@@ -1,0 +1,122 @@
+"""Local differential harness: Spark result vs DuckDB oracle.
+
+Mimics the driver's CORRECTNESS gate: for every query in
+``__spark_entry__.queries()`` that has an oracle, run both engines on the
+same parquet fixtures and compare row count, column names, and
+order-insensitive values.  Used by tests/test_oracle_diff.py and runnable
+standalone:  python tools/diffcheck.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+from pg_mooncake_spark.queries.registry import TABLES
+
+
+def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, bytes):
+            df[c] = s.apply(lambda b: b.hex() if isinstance(b, bytes) else b)
+        elif str(s.dtype).startswith("datetime64"):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == "float32":
+            df[c] = s.astype("float64")
+        elif str(s.dtype) in ("int32", "int16", "int8", "uint32", "Int32", "Int64"):
+            df[c] = s.astype("float64").astype("Int64")
+        elif s.dtype == "int64":
+            df[c] = s.astype("Int64")
+    # total sort for order-insensitive compare
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+
+def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
+    """Return list of mismatch descriptions (empty = pass)."""
+    errs: list[str] = []
+    sp = spark_df.toPandas()
+    if sorted(sp.columns) != sorted(duck_df.columns):
+        errs.append(f"{name}: columns spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}")
+        return errs
+    if len(sp) != len(duck_df):
+        errs.append(f"{name}: rowcount spark={len(sp)} duck={len(duck_df)}")
+        return errs
+    a, b = _normalize(sp), _normalize(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if str(av.dtype) == "float64" or str(bv.dtype) == "float64":
+            bad = 0
+            for x, y in zip(av.tolist(), bv.tolist()):
+                xn = x is None or (isinstance(x, float) and math.isnan(x))
+                yn = y is None or (isinstance(y, float) and math.isnan(y))
+                if xn or yn:
+                    if xn != yn:
+                        bad += 1
+                elif x != y and abs(x - y) > 1e-9 * max(1.0, abs(x), abs(y)):
+                    bad += 1
+            if bad:
+                errs.append(f"{name}: col {c}: {bad}/{len(av)} float mismatches "
+                            f"(e.g. spark={av.iloc[0]} duck={bv.iloc[0]})")
+        else:
+            neq = (av.astype(str) != bv.astype(str))
+            if neq.any():
+                i = int(neq.idxmax())
+                errs.append(f"{name}: col {c}: {int(neq.sum())}/{len(av)} mismatches "
+                            f"(row{i}: spark={av.iloc[i]!r} duck={bv.iloc[i]!r})")
+    return errs
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> int:
+    import __spark_entry__ as entrymod
+    from pg_mooncake_spark.session import get_spark
+
+    spark = get_spark("diffcheck")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duck_connection(sf_dir)
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in oracles:
+                ddf = con.execute(oracles[name]).df()
+                errs = compare(sdf, ddf, name)
+            else:
+                n = sdf.count()
+                errs = [] if n >= 0 else [f"{name}: no rows"]
+                print(f"  (rows-only) {name}: {n} rows")
+        except Exception as e:  # noqa: BLE001
+            errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
+        if errs:
+            failures += 1
+            for e in errs:
+                print("FAIL", e[:2000])
+        else:
+            print("ok  ", name)
+    print(f"\n{len(qs) - failures}/{len(qs)} queries pass")
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a] or None
+    sys.exit(1 if run(sf_dir, only) else 0)
