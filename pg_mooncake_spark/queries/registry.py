@@ -70,7 +70,21 @@ def _load_all() -> None:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (columnar parquet scan)."""
+    """Load one fixture table as a DataFrame (columnar parquet scan).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects (PARQUET_TYPE_ILLEGAL).  We read nanos as a
+    long (legacy conf, runtime-settable) and rebuild a microsecond
+    timestamp JVM-side — no Python round trip.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

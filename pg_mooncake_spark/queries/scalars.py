@@ -1,1 +1,462 @@
-"""Placeholder — populated in this round."""
+"""Scalar function family coverage — SURVEY.md §2.B scalar inventory.
+
+String / date-time / math / cast / conditional / JSON / array / hash
+families, each as one multi-column query so the driver gate exercises the
+whole family.  All expressions are JVM built-ins (whole-stage codegen) —
+no Python UDFs.
+
+Dialect notes baked into the oracles (DuckDB 1.0.0):
+- Spark ``weekday`` (Mon=0) ↔ DuckDB ``isodow`` (Mon=1): aligned via +1.
+- double→int CAST truncates in Spark but rounds in DuckDB: use floor().
+- transcendental functions (ln/pow/…) may differ in the last ulp between
+  Java and libm — rounded to 9 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.queries.registry import query, t
+
+
+@query(
+    "scalar_string_family",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           substring(c_name, 1, 8) AS name8,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           concat(c_name, ':', c_mktsegment) AS joined,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           trim('  ' || c_name || ' ') AS trimmed,
+           replace(c_name, '#', '-') AS replaced,
+           reverse(c_mktsegment) AS rseg,
+           repeat('ab', 3) AS rep,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hashpos,
+           split_part(c_name, '#', 2) AS after_hash,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowvowel,
+           printf('%s-%05d', c_mktsegment, c_custkey) AS formatted,
+           c_name LIKE '%#1%' AS like_match,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def scalar_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, concat (reference demo:
+    'val_' || g at tests/pg_regress/sql/partitioned_table.sql:5),
+    pad/trim/replace/reverse/repeat, position, split_part, translate,
+    printf, LIKE, regexp_extract."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.upper("c_name").alias("uname"),
+            F.lower("c_mktsegment").alias("lseg"),
+            F.substring("c_name", 1, 8).alias("name8"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+            F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias(
+                "joined"
+            ),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+            F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias(
+                "trimmed"
+            ),
+            F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("replaced"),
+            F.reverse("c_mktsegment").alias("rseg"),
+            F.repeat(F.lit("ab"), 3).alias("rep"),
+            F.instr("c_name", "#").cast("bigint").alias("hashpos"),
+            F.element_at(F.split("c_name", "#"), 2).alias("after_hash"),
+            F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("lowvowel"),
+            F.format_string("%s-%05d", "c_mktsegment", "c_custkey").alias(
+                "formatted"
+            ),
+            F.col("c_name").like("%#1%").alias("like_match"),
+            F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "scalar_datetime_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(isodow(o_orderdate) AS BIGINT) AS dow_mon1,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS plus30,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract fields, truncation, arithmetic, diffs,
+    formatting, epoch (reference demo: timestamp literals README.md:83-86)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    od = F.col("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            od.cast("date").alias("odate"),
+            F.year(od).cast("bigint").alias("yr"),
+            F.month(od).cast("bigint").alias("mo"),
+            F.dayofmonth(od).cast("bigint").alias("dom"),
+            F.quarter(od).cast("bigint").alias("qtr"),
+            (F.weekday(od) + 1).cast("bigint").alias("dow_mon1"),
+            F.dayofyear(od).cast("bigint").alias("doy"),
+            F.date_trunc("month", od).cast("date").alias("month_start"),
+            F.date_trunc("week", od).cast("date").alias("week_start"),
+            F.date_add(od.cast("date"), 30).alias("plus30"),
+            F.last_day(od.cast("date")).alias("month_end"),
+            F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("days_since"),
+            F.date_format(od, "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+            F.unix_timestamp(od).cast("bigint").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_math_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS rounded1,
+           CAST(floor(l_extendedprice) AS BIGINT) AS floored,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ceiled,
+           abs(l_quantity - 25.0) AS absdev,
+           CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+           ROUND(sqrt(l_extendedprice), 9) AS sqrt_price,
+           ROUND(ln(l_extendedprice + 1), 9) AS ln_price,
+           ROUND(log10(l_extendedprice + 1), 9) AS log10_price,
+           ROUND(exp(l_discount), 9) AS exp_disc,
+           ROUND(pow(1.0 + l_discount, 12), 9) AS compounded,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sgn,
+           ROUND(sin(l_discount), 9) AS sin_d,
+           ROUND(cos(l_discount), 9) AS cos_d,
+           ROUND(atan2(l_quantity, l_extendedprice), 9) AS angle
+    FROM lineitem WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (reference demo: a + 1 at tests/pg_regress/sql/sanity.sql:4)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    ep = F.col("l_extendedprice")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(ep, 1).alias("rounded1"),
+            F.floor(ep).cast("bigint").alias("floored"),
+            F.ceil(ep).cast("bigint").alias("ceiled"),
+            F.abs(F.col("l_quantity") - 25.0).alias("absdev"),
+            (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
+            F.round(F.sqrt(ep), 9).alias("sqrt_price"),
+            F.round(F.log(ep + 1), 9).alias("ln_price"),
+            F.round(F.log10(ep + 1), 9).alias("log10_price"),
+            F.round(F.exp("l_discount"), 9).alias("exp_disc"),
+            F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 12), 9).alias(
+                "compounded"
+            ),
+            F.signum(F.col("l_quantity") - 25.0).cast("double").alias("sgn"),
+            F.round(F.sin("l_discount"), 9).alias("sin_d"),
+            F.round(F.cos("l_discount"), 9).alias("cos_d"),
+            F.round(F.atan2(F.col("l_quantity"), ep), 9).alias("angle"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "scalar_cast_conversion",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST('1996-06-15' AS DATE) AS parsed_date,
+           (o_orderkey > 100) AS flag,
+           CAST((o_orderkey > 100) AS INTEGER) AS flag_int
+    FROM orders WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_cast_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix: int↔string (reference demo: implicit int→text,
+    tests/pg_regress/expected/sanity.out:10), double→int via floor
+    (truncation vs rounding dialect gap), decimal, date↔string, bool."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.col("o_orderkey").cast("string").cast("bigint").alias("roundtrip"),
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            F.col("o_orderkey").cast("double").alias("key_dbl"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+            F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+            F.lit("1996-06-15").cast("date").alias("parsed_date"),
+            (F.col("o_orderkey") > 100).alias("flag"),
+            (F.col("o_orderkey") > 100).cast("int").alias("flag_int"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_conditional_family",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'high'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+           greatest(o_totalprice, 100000.0) AS at_least_100k,
+           least(o_totalprice, 100000.0) AS at_most_100k,
+           (o_orderstatus = 'F' AND o_totalprice > 100000)
+             OR o_orderpriority = '1-URGENT' AS hot,
+           NOT (o_orderstatus = 'P') AS not_pending,
+           o_totalprice BETWEEN 50000 AND 150000 AS in_band,
+           o_orderstatus IN ('F','P') AS closed_ish,
+           nullif(o_orderstatus, o_orderstatus) IS NULL AS always_true
+    FROM orders WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/coalesce/nullif/greatest/least + boolean connectives,
+    BETWEEN/IN/IS NULL (SURVEY §2.B predicates; OR demo at
+    tests/pg_regress/sql/partitioned_table.sql:9)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    tp, st = F.col("o_totalprice"), F.col("o_orderstatus")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(tp > 150000, "high")
+            .when(tp > 50000, "mid")
+            .otherwise("low")
+            .alias("bucket"),
+            F.coalesce(F.nullif(st, F.lit("O")), F.lit("open")).alias(
+                "status_label"
+            ),
+            F.greatest(tp, F.lit(100000.0)).alias("at_least_100k"),
+            F.least(tp, F.lit(100000.0)).alias("at_most_100k"),
+            (
+                ((st == "F") & (tp > 100000))
+                | (F.col("o_orderpriority") == "1-URGENT")
+            ).alias("hot"),
+            (~(st == "P")).alias("not_pending"),
+            tp.between(50000, 150000).alias("in_band"),
+            st.isin("F", "P").alias("closed_ish"),
+            F.nullif(st, st).isNull().alias("always_true"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_json_family",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k
+    FROM events WHERE event_id < 200
+    ORDER BY event_id
+    """,
+)
+def scalar_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over events.props (JSON load contract,
+    reference CHANGELOG.md:24; json arg type src/functions.rs:25)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+            F.get_json_object("props", "$.missing").alias("missing"),
+            F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "scalar_json_structured",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_json_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct, then aggregate on the parsed field."""
+    e = t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+            F.max("p.k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scalar_array_family",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_elem,
+           ROUND(CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                  (a, b) -> a + b) AS DOUBLE), 5) AS vec_sum,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+           array_to_string(list_transform(list_slice(embedding, 1, 3),
+                                          x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))),
+                           ',') AS head3,
+           list_contains(list_transform(embedding, x -> x > 0), true) AS any_positive
+    FROM embeddings WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+)
+def scalar_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over embedding vectors: size, indexing, higher-order
+    transform/aggregate (the JVM-side path for vector math — SURVEY §2.C),
+    slice, max, stringify (PG arrays contract; text[] at src/functions.rs:119)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = F.col("embedding")
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    return (
+        e.select(
+            "vec_id",
+            F.size(emb).cast("bigint").alias("dim"),
+            F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
+            F.round(F.element_at(emb, 64).cast("double"), 6).alias("last_elem"),
+            F.round(
+                F.aggregate(dbl, F.lit(0.0), lambda a, b: a + b), 5
+            ).alias("vec_sum"),
+            F.round(F.array_max(emb).cast("double"), 6).alias("vec_max"),
+            F.array_join(
+                F.transform(
+                    F.slice(emb, 1, 3),
+                    lambda x: F.format_string(
+                        "%.4f", F.round(x.cast("double"), 4)
+                    ),
+                ),
+                ",",
+            ).alias("head3"),
+            F.array_contains(
+                F.transform(emb, lambda x: x > 0), True
+            ).alias("any_positive"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "scalar_hash_family",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(concat(lang, ':', source)) AS combo_md5
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def scalar_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5/sha2 agree across engines; xxhash64 is
+    Spark-specific (used in LSH ops, no oracle there)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.sha2("text", 256).alias("text_sha256"),
+            F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("source"))).alias(
+                "combo_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sequence_generation",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS g, concat('val_', CAST(g AS VARCHAR)) AS b
+    FROM generate_series(0, 99) AS s(g)
+    ORDER BY g
+    """,
+)
+def sequence_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_series parity (reference demo:
+    tests/pg_regress/sql/partitioned_table.sql:5) via spark.range —
+    the distributed sequence source."""
+    return (
+        spark.range(0, 100)
+        .select(
+            F.col("id").alias("g"),
+            F.concat(F.lit("val_"), F.col("id").cast("string")).alias("b"),
+        )
+        .orderBy("g")
+    )
+
+
+@query(
+    "struct_and_map_access",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS s_status,
+           CAST(o_totalprice AS DOUBLE) AS s_price,
+           CAST(map_extract(MAP {'status': o_orderstatus, 'priority': o_orderpriority},
+                            'priority')[1] AS VARCHAR) AS m_priority
+    FROM orders WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def struct_and_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction + field access and MAP construction + key lookup
+    (DuckDB MAP/STRUCT contract, SURVEY §2.B).  Output flattened to
+    scalars so both engines hash identically."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("price")
+    )
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            s.getField("status").alias("s_status"),
+            s.getField("price").cast("double").alias("s_price"),
+            F.element_at(m, "priority").alias("m_priority"),
+        )
+        .orderBy("o_orderkey")
+    )

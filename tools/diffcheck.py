@@ -29,11 +29,16 @@ def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
+
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         s = df[c]
-        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, bytes):
+        first = s.dropna().iloc[0] if len(s.dropna()) else None
+        if s.dtype == object and isinstance(first, bytes):
             df[c] = s.apply(lambda b: b.hex() if isinstance(b, bytes) else b)
+        elif s.dtype == object and isinstance(first, decimal.Decimal):
+            df[c] = s.astype("float64")
         elif str(s.dtype).startswith("datetime64"):
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == "float32":
