@@ -1,0 +1,86 @@
+"""Sync catalog: the engine's record of every columnstore mirror.
+
+Analog of moonlink's table registry surfaced by ``mooncake.list_tables()``
+(reference src/functions.rs:84-116): for each mirror we track the source,
+the storage path, the last source version ingested (= commit_lsn) and the
+last mirror version flushed (= flush_lsn).  Persisted as one JSON file in
+the warehouse so a restarted engine session resumes where it left off
+(reference bgworker restarts and resumes from the LSN watermarks,
+src/bgworker.rs:8-16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+from typing import Any, Optional
+
+
+class SyncCatalog:
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse.rstrip("/")
+        self.path = os.path.join(self.warehouse, "_mooncake_catalog.json")
+        self._lock = threading.Lock()
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    def _load(self) -> dict[str, dict[str, Any]]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _save(self, data: dict[str, dict[str, Any]]) -> None:
+        tmp = self.path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+        os.rename(tmp, self.path)
+
+    def register(self, table: str, source: Optional[str], path: str) -> None:
+        with self._lock:
+            data = self._load()
+            if table in data:
+                raise ValueError(f"mirror {table!r} already registered")
+            data[table] = {
+                "source": source,
+                "path": path,
+                "commit_version": None,   # last source version ingested
+                "flush_version": None,    # last mirror version durably committed
+            }
+            self._save(data)
+
+    def update_watermarks(
+        self,
+        table: str,
+        commit_version: Optional[int] = None,
+        flush_version: Optional[int] = None,
+    ) -> None:
+        with self._lock:
+            data = self._load()
+            if table not in data:
+                raise KeyError(f"unknown mirror {table!r}")
+            if commit_version is not None:
+                data[table]["commit_version"] = commit_version
+            if flush_version is not None:
+                data[table]["flush_version"] = flush_version
+            self._save(data)
+
+    def get(self, table: str) -> dict[str, Any]:
+        data = self._load()
+        if table not in data:
+            raise KeyError(f"unknown mirror {table!r}")
+        return data[table]
+
+    def drop(self, table: str) -> dict[str, Any]:
+        with self._lock:
+            data = self._load()
+            entry = data.pop(table, None)
+            if entry is None:
+                raise KeyError(f"unknown mirror {table!r}")
+            self._save(data)
+            return entry
+
+    def list_tables(self) -> dict[str, dict[str, Any]]:
+        """All mirrors with watermarks (mooncake.list_tables parity)."""
+        return self._load()

@@ -1,4 +1,221 @@
-"""Engine facade — fleshed out with the lifecycle layer."""
+"""MooncakeEngine — the user-facing facade.
 
-class MooncakeEngine:  # placeholder, implemented in this round
-    pass
+Maps the reference's ``mooncake.*`` control-plane API (reference
+src/functions.rs, full inventory in SURVEY.md §2.A) onto the moontable
+storage layer + Spark SQL:
+
+  reference                         engine
+  ------------------------------    ------------------------------------
+  mooncake.create_table (A1)        create_table(dst, source_df | src=...)
+  mooncake.create_snapshot (A2)     create_snapshot(dst)
+  mooncake.load_files (A3)          load_files(dst, files, fmt)
+  mooncake.optimize_table (A4)      optimize_table(dst, mode)
+  mooncake.list_tables (A5)         list_tables()
+  drop trigger (A6)                 drop_table(dst)
+  LSN-pinned scan (A10)             sql(...) / table(dst) version pinning
+
+The reference's "query a columnstore table like a regular table" contract
+(README.md:16) is satisfied by resolving mirror names to pinned snapshot
+DataFrames and registering them as temp views before delegating to Spark
+SQL — Catalyst executes the analytics.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.catalog import SyncCatalog
+from pg_mooncake_spark.storage import OP_COL, MoonTable
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+
+
+class MooncakeEngine:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.catalog = SyncCatalog(self.warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------ lifecycle
+
+    def _table_path(self, name: str) -> str:
+        if not _IDENT.match(name):
+            # parse_table parity (reference src/functions.rs:146-163):
+            # normalize, reject anything that isn't a plain identifier
+            raise ValueError(f"invalid table identifier {name!r}")
+        return os.path.join(self.warehouse, name)
+
+    def _moontable(self, name: str) -> MoonTable:
+        entry = self.catalog.get(name)
+        return MoonTable(self.spark, entry["path"])
+
+    def create_table(
+        self,
+        dst: str,
+        source_df: Optional[DataFrame] = None,
+        source_name: Optional[str] = None,
+        primary_key: Optional[list[str]] = None,
+        backfill: bool = True,
+    ) -> MoonTable:
+        """Create a columnstore mirror (reference A1, src/functions.rs:24-43).
+
+        Schema is copied verbatim from the source DataFrame — the analog of
+        the reference reading pg_attribute (src/functions.rs:204-228).
+        With ``backfill`` the current source snapshot is written before the
+        change stream attaches (backfill-then-tail, SURVEY §2.B streaming).
+        """
+        path = self._table_path(dst)
+        mt = MoonTable(self.spark, path)
+        if source_df is None and source_name is not None:
+            source_df = self.spark.table(source_name)
+        if source_df is None:
+            raise ValueError("need source_df or source_name")
+        mt.create(source_df.schema, primary_key=primary_key)
+        self.catalog.register(dst, source_name, path)
+        if backfill:
+            v = mt.append(source_df, source_version=0)
+            self.catalog.update_watermarks(dst, commit_version=0, flush_version=v)
+        return mt
+
+    def drop_table(self, dst: str) -> None:
+        """Mirror teardown (reference A6 drop trigger, src/functions.rs:45-82):
+        deregister from the catalog, delete storage."""
+        entry = self.catalog.drop(dst)
+        if os.path.isdir(entry["path"]):
+            shutil.rmtree(entry["path"])
+
+    def list_tables(self) -> DataFrame:
+        """(table, commit_version, flush_version, warehouse_location) —
+        reference A5, src/functions.rs:84-116."""
+        rows = [
+            (name, e["commit_version"], e["flush_version"], e["path"])
+            for name, e in sorted(self.catalog.list_tables().items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table string, commit_version long, flush_version long, "
+            "warehouse_location string",
+        )
+
+    # ------------------------------------------------------------ CDC apply
+
+    def apply_changes(
+        self,
+        dst: str,
+        changes: DataFrame,
+        source_version: Optional[int] = None,
+    ) -> int:
+        """Apply one CDC batch (rows carry __op ∈ {I,U,D}) — the moonlink
+        replication-apply analog.  Returns the new mirror version."""
+        mt = self._moontable(dst)
+        v = mt.merge(changes, source_version=source_version)
+        self.catalog.update_watermarks(
+            dst, commit_version=source_version, flush_version=v
+        )
+        return v
+
+    def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
+        mt = self._moontable(dst)
+        v = mt.append(df, source_version=source_version)
+        self.catalog.update_watermarks(
+            dst, commit_version=source_version, flush_version=v
+        )
+        return v
+
+    def update_where(self, dst: str, condition: str, assignments: dict[str, str]) -> int:
+        v = self._moontable(dst).update_where(condition, assignments)
+        self.catalog.update_watermarks(dst, flush_version=v)
+        return v
+
+    def delete_where(self, dst: str, condition: str) -> int:
+        v = self._moontable(dst).delete_where(condition)
+        self.catalog.update_watermarks(dst, flush_version=v)
+        return v
+
+    def create_snapshot(self, dst: str) -> int:
+        """Freshness/durability barrier (reference A2, src/functions.rs:9-22):
+        returns the mirror version covering every change applied so far.
+        All our commits are synchronous, so this is the latest version —
+        recorded so readers can pin it."""
+        mt = self._moontable(dst)
+        v = mt.latest_version()
+        self.catalog.update_watermarks(dst, flush_version=v)
+        return v
+
+    # ------------------------------------------------------------- file I/O
+
+    def load_files(
+        self,
+        dst: str,
+        files: list[str],
+        fmt: str = "parquet",
+        options: Optional[dict[str, str]] = None,
+    ) -> int:
+        """Bulk-load external Parquet/CSV/JSON into a mirror (reference A3,
+        src/functions.rs:118-130; format list CHANGELOG.md:24).  Schema is
+        reconciled to the mirror's (cast + column order)."""
+        mt = self._moontable(dst)
+        reader = self.spark.read
+        if options:
+            reader = reader.options(**options)
+        if fmt == "parquet":
+            df = reader.parquet(*files)
+        elif fmt == "csv":
+            df = reader.options(header="true").schema(mt.schema()).csv(list(files))
+        elif fmt == "json":
+            df = reader.schema(mt.schema()).json(list(files))
+        else:
+            raise ValueError(f"unsupported format {fmt!r}")
+        v = mt.append(df)
+        self.catalog.update_watermarks(dst, flush_version=v)
+        return v
+
+    def optimize_table(self, dst: str, mode: str = "compact") -> int:
+        """reference A4 (src/functions.rs:132-144): 'compact' rewrites small
+        files; 'vacuum' also deletes unreferenced files."""
+        mt = self._moontable(dst)
+        v = mt.optimize()
+        if mode == "vacuum":
+            mt.vacuum()
+        self.catalog.update_watermarks(dst, flush_version=v)
+        return v
+
+    # -------------------------------------------------------------- queries
+
+    def table(self, name: str, version: Optional[int] = None) -> DataFrame:
+        """Snapshot read of a mirror.  Default pins the mirror version that
+        covers the session's last write (read-your-writes — the analog of
+        pinning XactLastCommitEnd, reference src/duckdb_mooncake.rs:26-29)."""
+        entry = self.catalog.get(name)
+        mt = MoonTable(self.spark, entry["path"])
+        if version is None:
+            version = entry.get("flush_version")
+        return mt.read(version)
+
+    def sql(self, query: str, pin: Optional[dict[str, int]] = None) -> DataFrame:
+        """Run SQL over mirrors: every registered mirror name is resolved to
+        its pinned snapshot and exposed as a temp view, then Spark SQL
+        executes (the reference's pg_duckdb interception analog — here the
+        'interception' is just name resolution; Catalyst is the executor)."""
+        for name in self.catalog.list_tables():
+            v = (pin or {}).get(name)
+            self.table(name, v).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
+
+def changes_df(
+    df: DataFrame, op: str | None = None, op_col_expr: Optional[str] = None
+) -> DataFrame:
+    """Helper: tag a DataFrame with the CDC disposition column."""
+    if op is not None:
+        return df.withColumn(OP_COL, F.lit(op))
+    if op_col_expr is not None:
+        return df.withColumn(OP_COL, F.expr(op_col_expr))
+    raise ValueError("need op or op_col_expr")

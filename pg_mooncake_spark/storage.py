@@ -1,0 +1,418 @@
+"""moontable — a minimal versioned-Parquet table format.
+
+The reference mirrors tables into Iceberg and pins every read to an LSN
+(reference src/duckdb_mooncake.rs:26-29, src/functions.rs:9-22).  Delta and
+Iceberg jars are not available in this image, so this module implements the
+smallest commit-log table format that supports the reference's semantic
+contract:
+
+- **atomic versioned commits**: a JSON log entry per commit under
+  ``<path>/_moonlog/``; commit N is visible only once ``N.json`` exists
+  (atomic rename), so readers never see partial writes;
+- **snapshot reads** (time travel): ``read(version=...)`` reconstructs the
+  file set as of any retained version — the analog of Delta
+  ``versionAsOf`` / Iceberg snapshot-id, used by the engine for the
+  read-your-writes barrier;
+- **upsert/delete (MERGE)** keyed on a primary key — the CDC apply
+  primitive (reference applies logical-replication I/U/D to the mirror);
+- **optimize** — small-file compaction (reference
+  ``mooncake.optimize_table``, src/functions.rs:132-144).
+
+Scale design (100 TB): data files are plain Parquet written by Spark
+executors — the driver only writes the tiny JSON log entry.  Each commit
+records per-file row counts and primary-key min/max stats; MERGE uses those
+stats to rewrite **only the files whose key range intersects the change
+batch** (copy-on-write, like Delta), so a CDC tick touching 0.1% of keys
+does not rewrite 100 TB.  Readers prune with the same stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG_DIR = "_moonlog"
+OP_COL = "__op"  # change disposition column: I / U / D
+
+
+class MoonTableError(RuntimeError):
+    pass
+
+
+@dataclass
+class Commit:
+    version: int
+    op: str
+    add: list[dict[str, Any]] = field(default_factory=list)   # file descriptors
+    remove: list[str] = field(default_factory=list)            # file names
+    schema: Optional[str] = None                               # json DDL (v0 only)
+    primary_key: Optional[list[str]] = None
+    source_version: Optional[int] = None
+    ts: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "op": self.op,
+                "add": self.add,
+                "remove": self.remove,
+                "schema": self.schema,
+                "primary_key": self.primary_key,
+                "source_version": self.source_version,
+                "ts": self.ts,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Commit":
+        d = json.loads(s)
+        return Commit(**d)
+
+
+class MoonTable:
+    """Handle to one versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log_path = os.path.join(self.path, _LOG_DIR)
+
+    # ------------------------------------------------------------------ log
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_path) and bool(self._versions())
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self.log_path) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise MoonTableError(f"no moontable at {self.path}")
+        return vs[-1]
+
+    def _read_commit(self, v: int) -> Commit:
+        with open(os.path.join(self.log_path, f"{v:010d}.json")) as f:
+            return Commit.from_json(f.read())
+
+    def _write_commit(self, c: Commit) -> None:
+        os.makedirs(self.log_path, exist_ok=True)
+        final = os.path.join(self.log_path, f"{c.version:010d}.json")
+        if os.path.exists(final):
+            raise MoonTableError(
+                f"concurrent commit conflict at version {c.version} ({self.path})"
+            )
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        c.ts = time.time()
+        with open(tmp, "w") as f:
+            f.write(c.to_json())
+        os.rename(tmp, final)  # atomicity barrier: commit exists or it doesn't
+
+    def history(self) -> list[Commit]:
+        return [self._read_commit(v) for v in self._versions()]
+
+    # -------------------------------------------------------------- snapshot
+
+    def _snapshot(self, version: Optional[int] = None) -> tuple[list[dict], Commit]:
+        vs = self._versions()
+        if not vs:
+            raise MoonTableError(f"no moontable at {self.path}")
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            raise MoonTableError(f"version {version} not in log {vs[:3]}..{vs[-1]}")
+        files: dict[str, dict] = {}
+        first = self._read_commit(vs[0])
+        for v in vs:
+            if v > version:
+                break
+            c = self._read_commit(v)
+            for name in c.remove:
+                files.pop(name, None)
+            for d in c.add:
+                files[d["name"]] = d
+        return list(files.values()), first
+
+    def schema(self) -> T.StructType:
+        _, first = self._snapshot(None)
+        return T.StructType.fromJson(json.loads(first.schema))
+
+    def primary_key(self) -> Optional[list[str]]:
+        _, first = self._snapshot(None)
+        return first.primary_key
+
+    def read(self, version: Optional[int] = None) -> DataFrame:
+        """Snapshot read pinned to ``version`` (None = latest).
+
+        The engine's analog of the reference's LSN-pinned scan
+        (src/duckdb_mooncake.rs:26-29): the file list is fixed at plan
+        time, so concurrent commits cannot change what this query sees.
+        """
+        files, first = self._snapshot(version)
+        schema = T.StructType.fromJson(json.loads(first.schema))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, d["name"]) for d in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ---------------------------------------------------------------- writes
+
+    def _stage_files(self, df: DataFrame, pk: Optional[list[str]]) -> list[dict]:
+        """Write df as parquet files into the table dir; return descriptors
+        with row counts and pk min/max stats (the file-skipping index)."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        descriptors: list[dict] = []
+        part_files = [
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        ]
+        # per-file stats via one spark pass over the staged files
+        stats: dict[str, dict] = {}
+        if pk and part_files:
+            stat_df = (
+                self.spark.read.parquet(staging)
+                .withColumn("__file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+                .groupBy("__file")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    *[F.min(k).alias(f"min_{k}") for k in pk],
+                    *[F.max(k).alias(f"max_{k}") for k in pk],
+                )
+            )
+            for r in stat_df.collect():
+                d = r.asDict()
+                stats[d.pop("__file")] = d
+        for fname in part_files:
+            new_name = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, fname), os.path.join(self.path, new_name))
+            st = stats.get(fname, {})
+            descriptors.append(
+                {
+                    "name": new_name,
+                    "rows": st.get("rows"),
+                    "stats": {
+                        k: [_plain(st.get(f"min_{k}")), _plain(st.get(f"max_{k}"))]
+                        for k in (pk or [])
+                    },
+                }
+            )
+        # clean staging remnants
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
+        return descriptors
+
+    def create(
+        self,
+        schema: T.StructType,
+        primary_key: Optional[list[str]] = None,
+    ) -> None:
+        """Commit 0: schema + pk registration (reference copies the source
+        schema verbatim at mirror creation, src/functions.rs:204-228)."""
+        if self.exists():
+            raise MoonTableError(f"moontable already exists at {self.path}")
+        os.makedirs(self.path, exist_ok=True)
+        self._write_commit(
+            Commit(
+                version=0,
+                op="create",
+                schema=json.dumps(schema.jsonValue()),
+                primary_key=primary_key,
+            )
+        )
+
+    def append(self, df: DataFrame, source_version: Optional[int] = None) -> int:
+        """Blind append (INSERT path / bulk load)."""
+        df = self._conform(df)
+        v = self.latest_version() + 1
+        add = self._stage_files(df, self.primary_key())
+        self._write_commit(
+            Commit(version=v, op="append", add=add, source_version=source_version)
+        )
+        return v
+
+    def overwrite(self, df: DataFrame, source_version: Optional[int] = None) -> int:
+        df = self._conform(df)
+        files, _ = self._snapshot(None)
+        v = self.latest_version() + 1
+        add = self._stage_files(df, self.primary_key())
+        self._write_commit(
+            Commit(
+                version=v,
+                op="overwrite",
+                add=add,
+                remove=[d["name"] for d in files],
+                source_version=source_version,
+            )
+        )
+        return v
+
+    def merge(self, changes: DataFrame, source_version: Optional[int] = None) -> int:
+        """Apply a CDC change batch: ``changes`` carries the table columns
+        plus ``__op`` ∈ {I, U, D} (insert / update-upsert / delete).
+
+        Copy-on-write MERGE:
+        1. prune — per-file pk min/max stats select only files whose key
+           range intersects the batch's U/D keys (at 100 TB this is the
+           difference between rewriting gigabytes and rewriting everything);
+        2. rewrite — anti-join the touched files against U/D keys
+           (dropping old images), then append U-images and I-rows;
+        3. commit — one atomic log entry removing touched files and adding
+           rewritten ones.
+
+        Semantics match logical-replication apply in the reference's
+        moonlink sync (reference tests/pg_regress/sql/sanity.sql:3-5
+        I/U/D flow): U upserts (insert if key absent), D is a no-op for
+        absent keys.  A batch must carry at most one change per key
+        (CDC microbatches are key-compacted upstream); with both U and D
+        for one key the result is the U image.
+        """
+        pk = self.primary_key()
+        if not pk:
+            raise MoonTableError("merge requires a primary key")
+        if OP_COL not in changes.columns:
+            raise MoonTableError(f"changes must carry {OP_COL} in {{I,U,D}}")
+        changes = changes.cache()
+        try:
+            ud_keys = (
+                changes.filter(F.col(OP_COL).isin("U", "D")).select(*pk).distinct()
+            )
+            key_bounds = ud_keys.agg(
+                *[F.min(k).alias(f"min_{k}") for k in pk],
+                *[F.max(k).alias(f"max_{k}") for k in pk],
+            ).collect()[0]
+
+            files, _ = self._snapshot(None)
+            touched = [d for d in files if _intersects(d, pk, key_bounds)]
+            untouched_names = {d["name"] for d in files} - {
+                d["name"] for d in touched
+            }
+
+            cols = [f.name for f in self.schema().fields]
+            upserts = changes.filter(F.col(OP_COL).isin("I", "U")).select(*cols)
+
+            if touched:
+                paths = [os.path.join(self.path, d["name"]) for d in touched]
+                current = self.spark.read.schema(self.schema()).parquet(*paths)
+                survivors = current.join(ud_keys, on=pk, how="left_anti")
+                new_data = survivors.unionByName(upserts)
+            else:
+                new_data = upserts
+
+            v = self.latest_version() + 1
+            add = self._stage_files(new_data, pk) if new_data is not None else []
+            self._write_commit(
+                Commit(
+                    version=v,
+                    op="merge",
+                    add=add,
+                    remove=[d["name"] for d in touched],
+                    source_version=source_version,
+                )
+            )
+            _ = untouched_names  # untouched files carry over implicitly
+            return v
+        finally:
+            changes.unpersist()
+
+    def delete_where(self, condition: str) -> int:
+        """DELETE with predicate (reference sanity.sql:5) — copy-on-write
+        rewrite of the full predicate scan (file pruning on pk only)."""
+        current = self.read()
+        survivors = current.filter(f"NOT ({condition})")
+        return self.overwrite(survivors)
+
+    def update_where(self, condition: str, assignments: dict[str, str]) -> int:
+        """UPDATE ... SET col = expr WHERE cond (reference sanity.sql:4)."""
+        current = self.read()
+        cols = []
+        for f_ in current.schema.fields:
+            if f_.name in assignments:
+                cols.append(
+                    F.when(F.expr(condition), F.expr(assignments[f_.name]))
+                    .otherwise(F.col(f_.name))
+                    .cast(f_.dataType)
+                    .alias(f_.name)
+                )
+            else:
+                cols.append(F.col(f_.name))
+        return self.overwrite(current.select(*cols))
+
+    def optimize(self, target_partitions: Optional[int] = None) -> int:
+        """Compact small files (reference mooncake.optimize_table A4).
+
+        Rewrites the current snapshot into ``target_partitions`` files
+        (default: spark.sql.shuffle.partitions, or 1 for tiny tables).
+        """
+        files, _ = self._snapshot(None)
+        n_rows = sum(d.get("rows") or 0 for d in files)
+        if target_partitions is None:
+            target_partitions = max(1, min(len(files) // 4, 64)) if n_rows else 1
+        df = self.read().repartition(target_partitions)
+        return self.overwrite(df)
+
+    def vacuum(self) -> int:
+        """Remove data files no longer referenced by the latest snapshot.
+
+        (Time travel to pre-vacuum versions is forfeited — same contract
+        as Delta VACUUM.)"""
+        live = {d["name"] for d in self._snapshot(None)[0]}
+        removed = 0
+        for f in os.listdir(self.path):
+            if f.endswith(".parquet") and f not in live:
+                os.remove(os.path.join(self.path, f))
+                removed += 1
+        return removed
+
+    # ---------------------------------------------------------------- misc
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Schema reconciliation: align column order & types to the table
+        schema (load_files contract — reference src/functions.rs:118-130)."""
+        schema = self.schema()
+        missing = [f.name for f in schema.fields if f.name not in df.columns]
+        if missing:
+            raise MoonTableError(f"input missing columns {missing}")
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
+
+def _plain(v: Any) -> Any:
+    """JSON-encodable copy of a stats value."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _intersects(file_desc: dict, pk: list[str], bounds) -> bool:
+    """Does this file's pk range intersect the change batch's range?
+    Conservative: missing stats → assume intersecting."""
+    stats = file_desc.get("stats") or {}
+    for k in pk:
+        lo_hi = stats.get(k)
+        if not lo_hi or lo_hi[0] is None:
+            return True
+        lo, hi = lo_hi
+        bmin, bmax = bounds[f"min_{k}"], bounds[f"max_{k}"]
+        if bmin is None:
+            return False  # no U/D keys at all
+        bmin, bmax = _plain(bmin), _plain(bmax)
+        if bmax < lo or bmin > hi:
+            return False
+    return True
