@@ -114,6 +114,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
     bands: int = 4,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal bands, key
     each band by its hash, and equi-join band keys → candidate pairs.
@@ -121,8 +122,15 @@ def lsh_candidate_pairs(
     This is the scale move: pair generation is #(bucket choose 2) summed
     over buckets, not n² — Catalyst runs it as an ordinary shuffle join
     on (band_idx, band_hash).
+
+    Pass ``num_hashes`` when known: deriving it costs an extra action
+    (and a full recompute of an un-materialized signature plan).
     """
-    n = signatures.select(F.size("signature")).first()[0]
+    n = (
+        num_hashes
+        if num_hashes is not None
+        else signatures.select(F.size("signature")).first()[0]
+    )
     rows_per_band = n // bands
     banded = signatures.select(
         F.col(id_col),
@@ -166,9 +174,18 @@ def minhash_dedup_pairs(
     use_md5: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash → LSH bands → candidate join →
-    estimated Jaccard (matching minhash fraction) ≥ threshold."""
+    estimated Jaccard (matching minhash fraction) ≥ threshold.
+
+    Signatures are materialized (persist) before the band explode and the
+    two estimate joins: the signature plan feeds THREE consumers, and
+    letting Catalyst inline the shingle+hash expression tree into each —
+    re-hashing every shingle per consumer per row — is a >20× slowdown
+    (measured).  At warehouse scale, write signatures to a table instead;
+    the pipeline shape is identical.
+    """
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, use_md5)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sigs = sigs.persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
