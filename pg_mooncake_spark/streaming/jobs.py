@@ -1,0 +1,152 @@
+"""Structured Streaming twins of the event-time analytics operators.
+
+The reference's only streaming is CDC replication (SURVEY.md §2.B:
+no watermarks/windows in-tree) — these are the declared Spark-native
+extensions, wired so the SAME aggregation logic runs in batch (the
+oracle-checked queries in queries/llm.py) and as an incremental
+streaming job:
+
+- tumbling / sliding window counts with watermark-based late-data
+  handling (`F.window` + `withWatermark`);
+- gap-based sessionization via `F.session_window` (state-store backed,
+  merges sessions as events arrive);
+- a custom stateful operator (per-user running profile) via
+  `applyInPandasWithState` — the escape hatch for semantics window
+  functions can't express incrementally.
+
+Scale notes: streaming state is partitioned by the grouping key, so all
+of these scale like their batch twins (shuffle on user_id / window key
+only).  Watermark delay bounds state size: state for windows older than
+the watermark is evicted.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def with_event_time(stream: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Attach the event-time watermark: rows later than ``delay`` behind
+    the max observed event time are dropped from stateful aggregations."""
+    return stream.withWatermark(ts_col, delay)
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame,
+    minutes: int = 60,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of queries/llm.events_tumbling_window: same window
+    spec, incremental execution with late-data eviction."""
+    return (
+        with_event_time(stream, ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def streaming_sliding_counts(
+    stream: DataFrame,
+    length_min: int = 10,
+    slide_min: int = 5,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    return (
+        with_event_time(stream, ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), f"{length_min} minutes", f"{slide_min} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessions via session_window: the state store merges
+    events into sessions incrementally; a session closes once the
+    watermark passes its end + gap."""
+    return (
+        with_event_time(stream, ts_col, delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("w"),
+            user_col,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ------------------------------------------------------ custom stateful op
+
+PROFILE_STATE_SCHEMA = "n_events bigint, sum_value double, last_seen timestamp"
+PROFILE_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_value double, last_seen timestamp"
+)
+
+
+def _update_user_profile(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update function: fold each micro-batch of a
+    user's events into a running (count, sum, last_seen) profile."""
+    (user_id,) = key
+    if state.exists:
+        n, total, last_seen = state.get
+    else:
+        n, total, last_seen = 0, 0.0, None
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = pdf["ts"].max()
+        last_seen = mx if last_seen is None else max(last_seen, mx)
+    state.update((n, total, last_seen))
+    yield pd.DataFrame(
+        [(user_id, n, total, last_seen)],
+        columns=["user_id", "n_events", "sum_value", "last_seen"],
+    )
+
+
+def streaming_user_profiles(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator: continuously-updated per-user profile
+    (event count, value sum, last activity) — the
+    ``applyInPandasWithState`` pattern for operators with no built-in
+    incremental form."""
+    return (
+        with_event_time(stream, ts_col, delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=PROFILE_OUTPUT_SCHEMA,
+            stateStructType=PROFILE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,86 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+100 TB design depends on — predicate pushdown to parquet, column
+pruning, broadcast dimension joins, bounded shuffle counts.  A change
+that keeps results correct but loses one of these properties fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.plans import inspect as I
+from pg_mooncake_spark.queries.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_q6_filters_pushed_to_scan(spark, queries):
+    """Q6 is the pushdown showcase: every predicate must reach the
+    parquet reader as a PushedFilter."""
+    df = queries["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark, queries):
+    """Q6 touches 4 columns; the scan must not read the other 7."""
+    df = queries["q6_forecast_revenue"](spark, SF_DIR)
+    schemas = I.read_schemas(df)
+    assert schemas, "no file scan found"
+    for s in schemas:
+        assert "l_orderkey" not in s  # unused columns pruned
+        assert "l_returnflag" not in s
+
+
+def test_q5_dimension_joins_broadcast(spark, queries):
+    """Q5's 6-way join: all dimension sides broadcast; the lineitem fact
+    table must shuffle at most for the orders join + final agg."""
+    df = queries["q5_local_supplier_volume"](spark, SF_DIR)
+    assert I.broadcast_join_count(df) >= 4
+    # fact-fact join (lineitem ⋈ orders) + agg + sort
+    assert I.exchange_count(df) <= 5
+
+
+def test_q1_single_shuffle(spark, queries):
+    """Q1: partial agg map-side, one shuffle for the 6-group final agg,
+    one for the tiny sort."""
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    assert I.exchange_count(df) <= 2
+
+
+def test_q3_broadcasts_customer(spark, queries):
+    df = queries["q3_shipping_priority"](spark, SF_DIR)
+    assert I.broadcast_join_count(df) >= 1
+
+
+def test_topk_uses_take_ordered(spark, queries):
+    """Top-k queries must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global sort of all rows."""
+    df = queries["q3_shipping_priority"](spark, SF_DIR)
+    assert I.count_op(df, "TakeOrderedAndProject") == 1
+
+
+def test_sim_topk_no_global_sort(spark, queries):
+    df = queries["sim_cosine_topk_bruteforce"](spark, SF_DIR)
+    assert I.count_op(df, "TakeOrderedAndProject") == 1
+
+
+def test_sessionization_shuffles_only_on_user(spark, queries):
+    """Sessionization = 2 window passes + rollup, all partitioned by
+    user_id: one shuffle to co-locate users, then everything is local
+    (+1 for the output sort in the query form)."""
+    df = queries["events_sessionization"](spark, SF_DIR)
+    assert I.exchange_count(df) <= 2
+
+
+def test_q1_codegen_fused(spark, queries):
+    """The scan→filter→partial-agg pipeline must fuse into whole-stage
+    codegen (no interpreted gaps in the hot path)."""
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    assert I.codegen_span_count(df) >= 1

@@ -1,0 +1,126 @@
+"""Structured Streaming jobs: windowed aggs, session_window, and the
+applyInPandasWithState profile operator, each drained with
+trigger(availableNow) from a file source built on the events fixture and
+checked against the equivalent batch computation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.queries.registry import t
+from pg_mooncake_spark.streaming import jobs
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    """Events fixture rewritten as micro-batch-friendly parquet (the
+    nanos-timestamp workaround baked in)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    return path
+
+
+def _events_batch(spark):
+    return t(spark, SF_DIR, "events")
+
+
+def _as_stream(spark, path, df):
+    """Write the batch as a file-source stream, appending one far-future
+    sentinel event (user_id = -1): it advances the watermark past every
+    real window/session so append-mode sinks emit them all before the
+    availableNow drain finishes."""
+    if not os.path.isdir(path):
+        import datetime
+
+        mx = df.agg(F.max("ts").alias("m")).first()["m"]
+        far = mx + datetime.timedelta(days=30)
+        sent = (
+            df.limit(1)
+            .withColumn("event_id", F.lit(-1).cast(dict(df.dtypes)["event_id"]))
+            .withColumn("user_id", F.lit(-1).cast(dict(df.dtypes)["user_id"]))
+            .withColumn("event_type", F.lit("__flush"))
+            .withColumn("ts", F.lit(far).cast("timestamp"))
+        )
+        df.unionByName(sent).write.parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def _drain_to_memory(stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream_dir):
+    batch = _events_batch(spark)
+    stream = _as_stream(spark, events_stream_dir, batch)
+    _drain_to_memory(
+        jobs.streaming_tumbling_counts(stream, 60), "tumbling_sink", "append"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.table("tumbling_sink").collect()
+        if r["event_type"] != "__flush"
+    }
+    expected = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in (
+            batch.groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_streaming_sessionize_matches_batch_rollup(spark, events_stream_dir):
+    """session_window sessions must agree with the batch gaps-and-islands
+    sessionization on (user, n_events) multisets and session count."""
+    from pg_mooncake_spark.operators.sessionize import session_stats
+
+    batch = _events_batch(spark)
+    stream = _as_stream(spark, events_stream_dir, batch)
+    _drain_to_memory(
+        jobs.streaming_sessionize(stream, 30), "session_sink", "append"
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.table("session_sink").collect()
+        if r["user_id"] != -1
+    )
+    expected = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_stats(batch, 30).collect()
+    )
+    assert got == expected
+
+
+def test_streaming_user_profiles_state(spark, events_stream_dir):
+    batch = _events_batch(spark)
+    stream = _as_stream(spark, events_stream_dir, batch)
+    _drain_to_memory(
+        jobs.streaming_user_profiles(stream), "profile_sink", "update"
+    )
+    # keep the LAST emitted row per user (update mode re-emits on change)
+    rows = spark.table("profile_sink").collect()
+    got: dict = {}
+    for r in rows:
+        if r["user_id"] != -1:
+            got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 2))
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected
