@@ -1,0 +1,90 @@
+"""As-of (temporal) join — match each left row with the most recent right
+row at or before its timestamp, per key.
+
+Not in the reference's surface (SURVEY.md §2.B joins: DuckDB has ASOF but
+nothing in-tree exercises it) — declared as an extension because
+training-data and market-data pipelines lean on it constantly.
+
+Scale design: the naive formulation is an inequality join
+(l.ts >= r.ts), which Spark executes as a broadcast-nested-loop — O(n·m)
+and a non-starter at 100 TB.  This implementation uses the union+window
+trick instead:
+
+1. tag both sides and UNION them (no join!),
+2. one window pass per key ordered by (ts, side-tag): ``last_value``
+   with ``ignoreNulls`` over rows-unbounded-preceding carries the most
+   recent right-side payload forward onto each left row,
+3. filter back to left rows.
+
+Cost: ONE shuffle on the join key (same as any equi-join), a sort within
+partitions, zero row multiplication.  Skewed keys can reuse the salting
+in operators/skew.py because the window is per-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.ts <= left.ts`` and the same ``on`` key (NULLs when none).
+
+    ``tolerance_seconds`` drops matches older than the window (like
+    pandas ``merge_asof(tolerance=...)``).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+
+    lhs = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        if c in lhs.columns:
+            raise ValueError(f"column collision on {c!r}; pass right_cols/suffix")
+        lhs = lhs.withColumn(c + suffix, F.lit(None).cast(dict(right.dtypes)[c]))
+    rhs = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in (on, ts_col):
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = lhs.unionByName(rhs)
+
+    # right rows sort before left rows at equal ts (side 0 < 1), so an
+    # exactly-simultaneous right row IS visible to the left row.
+    w = (
+        W.partitionBy(on)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned
+    for c in right_cols:
+        carried = carried.withColumn(
+            c + suffix, F.last(c + suffix, ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn(
+        "__rts",
+        F.last(F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True).over(w),
+    )
+
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_timestamp(ts_col) - F.unix_timestamp("__rts")
+        ) > tolerance_seconds
+        for c in right_cols:
+            out = out.withColumn(
+                c + suffix, F.when(stale, F.lit(None)).otherwise(F.col(c + suffix))
+            )
+    return out.drop("__side", "__rts")

@@ -1,0 +1,145 @@
+"""Extension-operator queries: as-of join, skew-mitigation (salted ops),
+and Delta-format round-trips — each oracle-checked where ANSI/DuckDB SQL
+can express the semantics.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.functions import dsum
+from pg_mooncake_spark.operators.asof import asof_join
+from pg_mooncake_spark.operators.skew import salted_agg, salted_join
+from pg_mooncake_spark.queries.registry import query, t
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           ROUND(p.value, 6) AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.user_id, c.event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union+window trick (one shuffle on user_id, no
+    inequality-join row explosion) — checked against DuckDB's native
+    ASOF JOIN.  Each click is annotated with the value of the user's most
+    recent purchase at or before the click."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts")
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("value_r", 6).alias("last_purchase_value"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the (skewed: 5 distinct values)
+    event_type key — results must be IDENTICAL to the plain groupBy the
+    oracle runs; only the shuffle distribution differs."""
+    e = t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": (F.count, F.sum, "event_type"),
+            "sum_value": (
+                lambda c: F.sum(F.col(c).cast("decimal(30,2)")),
+                F.sum,
+                "value",
+            ),
+            "max_value": (F.max, F.max, "value"),
+        },
+        salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    ORDER BY o.o_orderkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (replicate small side x8, scatter big side) — result
+    identical to the plain equi-join; pair generation spreads any hot
+    customer across 8 tasks."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return (
+        salted_join(orders, cust, on="o_custkey", salts=8)
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "delta_roundtrip_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def delta_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol sink + source (SURVEY §2.B external-format rows):
+    write filtered lineitem as a Delta table (transaction log + parquet),
+    read it back through the log replay, aggregate.  The oracle computes
+    the same aggregate straight from the source — any row lost or duped
+    by the Delta log round-trip shows up as a hash mismatch."""
+    from pg_mooncake_spark.sources.delta import read_delta, write_delta
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    path = tempfile.mkdtemp(prefix="delta_rt_") + "/t"
+    write_delta(li, path, mode="error")
+    back = read_delta(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", 2).alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )

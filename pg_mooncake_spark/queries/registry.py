@@ -67,6 +67,7 @@ def _load_all() -> None:
     import pg_mooncake_spark.queries.scalars  # noqa: F401
     import pg_mooncake_spark.queries.llm  # noqa: F401
     import pg_mooncake_spark.queries.lifecycle  # noqa: F401
+    import pg_mooncake_spark.queries.extensions  # noqa: F401
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -275,10 +275,10 @@ class MoonTable:
 
         Semantics match logical-replication apply in the reference's
         moonlink sync (reference tests/pg_regress/sql/sanity.sql:3-5
-        I/U/D flow): U upserts (insert if key absent), D is a no-op for
-        absent keys.  A batch must carry at most one change per key
-        (CDC microbatches are key-compacted upstream); with both U and D
-        for one key the result is the U image.
+        I/U/D flow): I and U both upsert (replace if the key exists,
+        insert if absent — so replayed/duplicate inserts are idempotent),
+        D is a no-op for absent keys.  A batch must carry at most one
+        change per key (CDC microbatches are key-compacted upstream).
         """
         pk = self.primary_key()
         if not pk:
@@ -287,9 +287,10 @@ class MoonTable:
             raise MoonTableError(f"changes must carry {OP_COL} in {{I,U,D}}")
         changes = changes.cache()
         try:
-            ud_keys = (
-                changes.filter(F.col(OP_COL).isin("U", "D")).select(*pk).distinct()
-            )
+            # every changed key evicts its old image — including I keys,
+            # otherwise an insert for an existing key leaves two rows
+            # (found by tests/test_moontable_properties.py)
+            ud_keys = changes.select(*pk).distinct()
             key_bounds = ud_keys.agg(
                 *[F.min(k).alias(f"min_{k}") for k in pk],
                 *[F.max(k).alias(f"max_{k}") for k in pk],

@@ -1,0 +1,93 @@
+"""Property-based check of moontable CDC semantics: any sequence of
+append / merge(I,U,D) / delete_where / optimize operations must leave the
+table equal to a trivial in-memory model, and every historical version
+must stay readable with its exact historical content.
+
+This is the test the reference's golden corpus implies but can't express
+in pg_regress: the MERGE disposition logic (upsert-if-absent, ignore
+absent deletes, file-pruned rewrites) holds for arbitrary interleavings,
+not just the three scripted flows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import types as T
+
+from pg_mooncake_spark.storage import OP_COL, MoonTable
+
+KEYS = list(range(8))  # small key domain → plenty of key collisions
+
+op_insert = st.tuples(
+    st.just("I"), st.sampled_from(KEYS), st.integers(0, 100)
+)
+op_update = st.tuples(
+    st.just("U"), st.sampled_from(KEYS), st.integers(0, 100)
+)
+op_delete = st.tuples(st.just("D"), st.sampled_from(KEYS), st.none())
+
+batch = st.lists(st.one_of(op_insert, op_update, op_delete), min_size=1, max_size=5)
+script = st.lists(batch, min_size=1, max_size=4)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ]
+)
+
+
+def _dedup_batch(ops):
+    """Keep one change per key (the moontable MERGE contract: CDC
+    microbatches are key-compacted upstream — last op wins)."""
+    seen: dict = {}
+    for op, k, v in ops:
+        seen[k] = (op, k, v)
+    return list(seen.values())
+
+
+@pytest.mark.slow
+@given(script=script)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_matches_model(spark, tmp_path_factory, script):
+    path = str(tmp_path_factory.mktemp("mt") / "t")
+    mt = MoonTable(spark, path)
+    mt.create(SCHEMA, primary_key=["k"])
+
+    model: dict[int, int] = {}
+    versions: list[tuple[int, dict[int, int]]] = []
+
+    for ops in script:
+        ops = _dedup_batch(ops)
+        rows = [
+            (k, v if op != "D" else None, op) for (op, k, v) in ops
+        ]
+        changes = spark.createDataFrame(rows, "k int, v int, __op string")
+        assert OP_COL == "__op"
+        v = mt.merge(changes)
+        for op, k, val in ops:
+            if op == "D":
+                model.pop(k, None)
+            else:  # I and U both upsert (replication apply semantics)
+                model[k] = val
+        versions.append((v, dict(model)))
+
+    # final state equals the model
+    got = {r["k"]: r["v"] for r in mt.read().collect()}
+    assert got == model
+
+    # every historical version replays to its historical model state
+    for v, snap in versions:
+        got_v = {r["k"]: r["v"] for r in mt.read(v).collect()}
+        assert got_v == snap, f"version {v} drifted"
+
+    # compaction must not change content
+    mt.optimize()
+    assert {r["k"]: r["v"] for r in mt.read().collect()} == model

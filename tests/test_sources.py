@@ -1,0 +1,107 @@
+"""Delta-protocol source/sink and as-of join operator tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.operators.asof import asof_join
+from pg_mooncake_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_version,
+    read_delta,
+    write_delta,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_delta_create_append_overwrite_timetravel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert write_delta(_df(spark, [(1, "a")]), path) == 0
+    assert write_delta(_df(spark, [(2, "b")]), path, mode="append") == 1
+    assert sorted(tuple(r) for r in read_delta(spark, path).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert write_delta(_df(spark, [(9, "z")]), path, mode="overwrite") == 2
+    assert [tuple(r) for r in read_delta(spark, path).collect()] == [(9, "z")]
+    # time travel to pre-overwrite state
+    assert sorted(
+        tuple(r) for r in read_delta(spark, path, version_as_of=1).collect()
+    ) == [(1, "a"), (2, "b")]
+    assert delta_version(path) == 2
+
+
+def test_delta_log_is_real_protocol(spark, tmp_path):
+    """The emitted log must carry protocol/metaData/add actions in the
+    shape other Delta implementations parse."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), path)
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(log) if l.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert "add" in kinds
+    md = actions[1]["metaData"]
+    assert md["format"]["provider"] == "parquet"
+    schema = json.loads(md["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == ["k", "v"]
+    add = next(a for a in actions if "add" in a)["add"]
+    assert os.path.exists(os.path.join(path, add["path"]))
+    assert add["size"] > 0
+
+
+def test_delta_error_modes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), path)
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        write_delta(_df(spark, [(1, "a")]), path, mode="error")
+    with pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        write_delta(
+            spark.createDataFrame([(1,)], "other int"), path, mode="append"
+        )
+    with pytest.raises(DeltaProtocolError, match="not in log"):
+        read_delta(spark, path, version_as_of=7)
+    with pytest.raises(DeltaProtocolError, match="not a Delta table"):
+        read_delta(spark, str(tmp_path / "missing"))
+
+
+def test_asof_join_basic_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "c1"), (1, 200, "c2"), (2, 150, "c3")],
+        "user_id int, t int, tag string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 180, 2.0), (2, 400, 9.0)],
+        "user_id int, t int, price double",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "price")
+
+    out = asof_join(left, right, on="user_id", ts_col="ts")
+    got = {r["tag"]: r["price_r"] for r in out.collect()}
+    # c1@100 sees 90 → 1.0; c2@200 sees 180 → 2.0; c3@150 has no prior row
+    assert got == {"c1": 1.0, "c2": 2.0, "c3": None}
+
+    # with a 15-second tolerance, c1's 10-s-old match survives, c2's
+    # 20-s-old match is dropped
+    out_tol = asof_join(left, right, on="user_id", ts_col="ts", tolerance_seconds=15)
+    got_tol = {r["tag"]: r["price_r"] for r in out_tol.collect()}
+    assert got_tol == {"c1": 1.0, "c2": None, "c3": None}
+
+
+def test_asof_join_simultaneous_match(spark):
+    """A right row at exactly left.ts must be visible (<= semantics)."""
+    left = spark.createDataFrame([(1, 100, "x")], "k int, t int, tag string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "tag"
+    )
+    right = spark.createDataFrame([(1, 100, 5.0)], "k int, t int, p double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "p"
+    )
+    out = asof_join(left, right, on="k", ts_col="ts")
+    assert out.first()["p_r"] == 5.0
