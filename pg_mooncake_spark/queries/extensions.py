@@ -143,3 +143,64 @@ def delta_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", 2).alias("sum_qty"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "media_resize_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 80),
+    resized AS (
+      SELECT media_id, sha256(text || '224x224') AS content FROM media),
+    g AS (SELECT content, MIN(media_id) AS canonical_id, COUNT(*) AS n
+          FROM resized GROUP BY 1)
+    SELECT r.media_id, g.canonical_id, g.n AS group_size
+    FROM resized r JOIN g ON r.content = g.content
+    ORDER BY r.media_id
+    """,
+)
+def media_resize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal chain: binary media → mapInPandas resize (deterministic
+    fake: sha256(content || WxH)) → exact dedup over resized bytes.
+    Fully oracle-checked — DuckDB reproduces the fake-resize bytes, so a
+    single flipped byte anywhere in the Arrow round-trip fails the hash
+    compare."""
+    from pg_mooncake_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    media = media_from_documents(t(spark, sf_dir, "documents"), n=80)
+    resized = resize_images(media, target=(224, 224))
+    g = resized.groupBy("content").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        resized.join(g, "content")
+        .select("media_id", "canonical_id", "group_size")
+        .orderBy("media_id")
+    )
+
+
+@query("sketch_hll_distinct")  # rows-only: sketch binaries are engine-specific
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark): per-group sketches union into a global estimate without
+    re-scanning — the 100 TB pattern for incremental distinct counts
+    (store a sketch per partition/day, merge at query time)."""
+    e = t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("merged"),
+            F.sum("n").alias("total_events"),
+        )
+        .select(
+            F.hll_sketch_estimate("merged").alias("approx_users"),
+            "total_events",
+        )
+    )

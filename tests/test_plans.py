@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pg_mooncake_spark.plans import inspect as I
 from pg_mooncake_spark.queries.registry import all_queries
 from tests.conftest import SF_DIR
@@ -84,3 +86,61 @@ def test_q1_codegen_fused(spark, queries):
     codegen (no interpreted gaps in the hot path)."""
     df = queries["q1_pricing_summary"](spark, SF_DIR)
     assert I.codegen_span_count(df) >= 1
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing is the 100 TB co-location strategy: pay ONE shuffle at
+    write time (bucketBy orderkey), then every future orderkey join runs
+    with zero Exchange on either side.  Assert the joined plan has no
+    shuffle before the join itself."""
+    from pg_mooncake_spark.queries.registry import t as load
+    from tests.conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    for name, df, key in [
+        ("b_lineitem", li, "l_orderkey"),
+        ("b_orders", orders, "o_orderkey"),
+    ]:
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # at fixture scale Spark would broadcast this join (hiding the
+        # bucketing); force the shuffle-join path the 100 TB plan takes
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        # one exchange for the groupBy is allowed; the join itself must
+        # consume bucketed scans directly (no hashpartitioning exchange
+        # feeding the join)
+        assert I.exchange_count(joined) <= 1
+        assert I.sortmerge_join_count(joined) == 1
+        # results must match the unbucketed plan
+        plain = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert sorted((str(r["o_orderdate"]), round(r["q"], 2)) for r in joined.collect()) == \
+               sorted((str(r["o_orderdate"]), round(r["q"], 2)) for r in plain.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
