@@ -38,6 +38,11 @@ HEADLINE = [
     "text_profile_analysis",
     "events_sessionization",
     "events_tumbling_window",
+    "events_asof_join",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "delta_roundtrip_lineitem",
+    "media_resize_dedup",
 ]
 
 
@@ -62,6 +67,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from pg_mooncake_spark.queries.registry import all_queries
+
+    # warm the JVM/codegen path once so the first timed query measures
+    # the query, not session spin-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     queries = all_queries()
     timings: dict[str, float] = {}

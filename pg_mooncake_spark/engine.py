@@ -179,9 +179,14 @@ class MooncakeEngine:
 
     def optimize_table(self, dst: str, mode: str = "compact") -> int:
         """reference A4 (src/functions.rs:132-144): 'compact' rewrites small
-        files; 'vacuum' also deletes unreferenced files."""
+        files; 'vacuum' also deletes unreferenced files; 'sort:<col>[,col]'
+        range-clusters the rewrite so file stats ranges are disjoint
+        (maximum pruning)."""
         mt = self._moontable(dst)
-        v = mt.optimize()
+        if mode.startswith("sort:"):
+            v = mt.optimize(sort_by=mode[len("sort:"):].split(","))
+        else:
+            v = mt.optimize()
         if mode == "vacuum":
             mt.vacuum()
         self.catalog.update_watermarks(dst, flush_version=v)

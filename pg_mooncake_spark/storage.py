@@ -352,17 +352,33 @@ class MoonTable:
                 cols.append(F.col(f_.name))
         return self.overwrite(current.select(*cols))
 
-    def optimize(self, target_partitions: Optional[int] = None) -> int:
+    def optimize(
+        self,
+        target_partitions: Optional[int] = None,
+        sort_by: Optional[list[str]] = None,
+    ) -> int:
         """Compact small files (reference mooncake.optimize_table A4).
 
         Rewrites the current snapshot into ``target_partitions`` files
         (default: spark.sql.shuffle.partitions, or 1 for tiny tables).
+
+        ``sort_by`` clusters the rewrite on the given columns
+        (repartitionByRange + in-file sort): file pk-stat ranges become
+        disjoint, so MERGE pruning and min/max data skipping touch the
+        fewest possible files — the moontable analog of Delta's
+        ``OPTIMIZE ... ZORDER BY`` for the single-column case.
         """
         files, _ = self._snapshot(None)
         n_rows = sum(d.get("rows") or 0 for d in files)
         if target_partitions is None:
             target_partitions = max(1, min(len(files) // 4, 64)) if n_rows else 1
-        df = self.read().repartition(target_partitions)
+        df = self.read()
+        if sort_by:
+            df = df.repartitionByRange(target_partitions, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.repartition(target_partitions)
         return self.overwrite(df)
 
     def vacuum(self) -> int:

@@ -220,3 +220,36 @@ def test_streaming_sync_available_now(spark, warehouse, tmp_path):
     sync_available(eng, "st", stream, checkpoint_dir=str(tmp_path / "ckpt"))
     rows = sorted((r["k"], r["v"]) for r in eng.table("st").collect())
     assert rows == [(2, "b2"), (3, "c")]
+
+
+def test_optimize_sort_mode_improves_pruning(spark, warehouse):
+    """optimize_table('sort:k') range-clusters files; a subsequent MERGE
+    touching one key range must rewrite exactly one data file."""
+    eng = _engine(spark, warehouse)
+    # interleaved keys across many commits → every file spans ~all keys
+    src = spark.range(0, 400).select(
+        ((F.col("id") * 7919) % 400).cast("int").alias("k"),
+        F.col("id").cast("int").alias("v"),
+    )
+    eng.create_table("srt", source_df=src, primary_key=["k"])
+    for i in range(3):
+        eng.insert(
+            "srt",
+            spark.range(400 + i * 100, 500 + i * 100).select(
+                ((F.col("id") * 6151) % 10000).cast("int").alias("k"),
+                F.col("id").cast("int").alias("v"),
+            ),
+        )
+    eng.optimize_table("srt", mode="sort:k")
+    mt = MoonTable(spark, f"{warehouse}/srt")
+    files = mt._snapshot(None)[0]
+    assert len(files) > 1, "need multiple files to show pruning"
+    before = {d["name"] for d in files}
+    # touch one narrow key range
+    ch = spark.createDataFrame([(0, 999, "U")], "k int, v int, __op string")
+    eng.apply_changes("srt", ch, source_version=9)
+    after = {d["name"] for d in mt._snapshot(None)[0]}
+    rewritten = before - after
+    assert len(rewritten) == 1, f"expected 1 rewritten file, got {len(rewritten)}"
+    # content intact
+    assert eng.table("srt").filter("v = 999").count() == 1
