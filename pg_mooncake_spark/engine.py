@@ -139,6 +139,29 @@ class MooncakeEngine:
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 
+    def wait_for_source_version(
+        self, dst: str, source_version: int, timeout: float = 30.0
+    ) -> int:
+        """Freshness barrier against an ASYNC sync loop: block until the
+        mirror has ingested ``source_version`` (the reference blocks reads
+        on moonlink until the pinned LSN is covered,
+        src/duckdb_mooncake.rs:26-29).  Returns the covering mirror
+        version; raises TimeoutError if the stream doesn't catch up."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while True:
+            entry = self.catalog.get(dst)
+            cv = entry.get("commit_version")
+            if cv is not None and cv >= source_version:
+                return entry["flush_version"]
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"mirror {dst!r} stuck at source version {cv} "
+                    f"(< {source_version}) after {timeout}s"
+                )
+            _time.sleep(0.1)
+
     def create_snapshot(self, dst: str) -> int:
         """Freshness/durability barrier (reference A2, src/functions.rs:9-22):
         returns the mirror version covering every change applied so far.

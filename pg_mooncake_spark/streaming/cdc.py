@@ -43,6 +43,12 @@ def start_sync(
     if not change_stream.isStreaming:
         raise ValueError("change_stream must be a streaming DataFrame")
 
+    # stream epochs restart at 0, but the mirror's commit watermark may
+    # already cover the backfill — continue source versions monotonically
+    # so wait_for_source_version can distinguish stream progress
+    entry = engine.catalog.get(dst)
+    base = (entry.get("commit_version") if entry.get("commit_version") is not None else -1) + 1
+
     applied_epochs: set[int] = set()
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -51,7 +57,7 @@ def start_sync(
         applied_epochs.add(epoch_id)
         if batch_df.isEmpty():
             return
-        engine.apply_changes(dst, batch_df, source_version=epoch_id)
+        engine.apply_changes(dst, batch_df, source_version=base + epoch_id)
 
     writer = change_stream.writeStream.foreachBatch(apply_batch).outputMode("update")
     if checkpoint_dir is None:

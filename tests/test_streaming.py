@@ -124,3 +124,40 @@ def test_streaming_user_profiles_state(spark, events_stream_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_async_sync_with_freshness_barrier(spark, tmp_path):
+    """The full reference write-path contract with a LIVE stream: change
+    files land while a processing-time sync loop runs; a reader calls the
+    freshness barrier and must then see exactly the synced state
+    (read-your-writes against an asynchronous mirror)."""
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.streaming.cdc import start_sync
+
+    eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    eng.create_table("live", source_df=src, primary_key=["k"])
+
+    stream_dir = str(tmp_path / "changes")
+    os.makedirs(stream_dir)
+    stream = spark.readStream.schema("k int, v string, __op string").parquet(
+        stream_dir
+    )
+    q = start_sync(
+        eng,
+        "live",
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        processing_time="1 second",
+    )
+    try:
+        spark.createDataFrame(
+            [(2, "b2", "U"), (3, "c", "I")], "k int, v string, __op string"
+        ).write.mode("append").parquet(stream_dir)
+        # barrier: backfill holds commit_version 0; the first stream
+        # epoch lands at 1 — wait for it
+        eng.wait_for_source_version("live", 1, timeout=60)
+        rows = sorted((r["k"], r["v"]) for r in eng.table("live").collect())
+        assert rows == [(1, "a"), (2, "b2"), (3, "c")]
+    finally:
+        q.stop()
