@@ -63,6 +63,7 @@ def all_oracles() -> dict[str, str]:
 def _load_all() -> None:
     """Import every query-defining module exactly once."""
     import pg_mooncake_spark.queries.tpch  # noqa: F401
+    import pg_mooncake_spark.queries.tpch_extra  # noqa: F401
     import pg_mooncake_spark.queries.relational  # noqa: F401
     import pg_mooncake_spark.queries.scalars  # noqa: F401
     import pg_mooncake_spark.queries.llm  # noqa: F401

@@ -1,0 +1,461 @@
+"""TPC-H queries 2, 7, 8, 9, 11, 15, 20, 21 — completing the 22-query suite.
+
+The driver fixtures are TPC-H-ish (FIXTURES.md): there is no ``partsupp``
+table and lineitem has no commit/receipt dates, so the queries that depend
+on those are adapted (noted per-query) while keeping the *operator shape*
+that makes each query interesting:
+
+- q2  — correlated MIN subquery (min-cost supplier per part)
+- q7  — self-join of a dimension (two nation roles), year extraction
+- q8  — market share: conditional / total aggregation ratio per year
+- q9  — profit decomposition, LIKE filter, multi-way join, group by year
+- q11 — HAVING against an uncorrelated scalar subquery (global threshold)
+- q15 — aggregate view + MAX-equality (top supplier)
+- q20 — nested IN subqueries (semi-join chains)
+- q21 — EXISTS + NOT EXISTS self-joins on the fact table
+
+Reference parity: these exercise the full-SQL contract of the mirror's
+query plane (reference README.md:15-16 — "query … with ordinary SQL",
+executed by DuckDB); subquery handling is the Catalyst-side obligation
+noted in SURVEY.md §2.B.
+
+Scale notes (100 TB):
+- every dimension join (part, supplier, nation, region, customer) is an
+  explicit ``F.broadcast`` — lineitem/orders never shuffle for those;
+- q21's EXISTS/NOT-EXISTS become two shuffle joins co-partitioned on
+  l_orderkey — Catalyst reuses the exchange, so the fact table shuffles
+  once, not three times;
+- double aggregates go through exact DECIMAL sums (functions.dsum) so
+  MIN/MAX-equality comparisons (q2, q15) are engine/order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.functions import dsum
+from pg_mooncake_spark.queries.registry import query, t
+
+_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def _rev_col():
+    return (
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        ).cast("double")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) /
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    asia_supply AS (
+        SELECT supply.*, s_acctbal, s_name, n_name
+        FROM supply, supplier, nation, region
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+    SELECT s_acctbal, s_name, n_name, p_partkey, ROUND(unit_cost, 6) AS supply_cost
+    FROM part, asia_supply
+    WHERE p_partkey = l_partkey AND p_size = 25
+      AND unit_cost = (SELECT MIN(a2.unit_cost) FROM asia_supply a2
+                       WHERE a2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp — supply cost is the average unit
+    price each supplier charged for the part across lineitem): for every
+    size-25 part, the ASIA supplier(s) offering it at minimum cost.
+
+    The correlated MIN subquery is a window-min over p_partkey — one
+    shuffle on partkey instead of a per-row rescan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        (dsum("l_extendedprice", 2) / dsum("l_quantity", 2)).alias("unit_cost")
+    )
+    asia = (
+        supply.join(F.broadcast(supp), supply.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        asia.join(F.broadcast(part), asia.l_partkey == part.p_partkey)
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("unit_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {_REV.replace("l_extendedprice * (1 - l_discount)", "volume")} AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(year FROM l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship year.
+
+    The nation dimension joins twice under different roles (supplier's
+    nation vs customer's nation) — both broadcast; the OR-pair predicate
+    lands post-join, as Catalyst splits it.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_rev_col().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) /
+                 CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+            AND p_type = 'ECONOMY') all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_1's share of ECONOMY-part volume sold into
+    AMERICA, by order year — conditional/total aggregation ratio."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                      - 0.1 * p_retailprice * l_quantity AS DECIMAL(30,6)) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp — supply cost proxied as 10% of
+    p_retailprice per unit): profit on 'red' parts by supplier nation
+    and order year.  LIKE filter + 5-way join + two-level grouping key."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    nat = t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(30,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    SELECT l_partkey AS partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS part_value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) >
+           (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) * 0.01
+            FROM lineitem, supplier, nation
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_3')
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: part value = lineitem extended price instead of
+    partsupp availqty×supplycost): parts representing >1% of NATION_3
+    suppliers' shipped value — HAVING against an uncorrelated scalar
+    subquery.
+
+    The filtered fact projection is computed once and reused for both the
+    per-part aggregate and the global threshold (two aggregations over one
+    scan, not a per-row subquery).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    filtered = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    )
+    total = filtered.agg(dsum("l_extendedprice", 2)).first()[0]
+    threshold = total * 0.01
+    return (
+        filtered.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum("l_extendedprice", 2).alias("part_value"))
+        .filter(F.col("part_value") > threshold)
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum revenue in 1996Q1 — aggregate
+    view consumed twice (per-supplier revenue + global max).
+
+    MAX-equality on doubles is safe because each revenue is an exact
+    DECIMAL sum cast once to double (functions.dsum).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev_col().alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    return (
+        revenue.filter(F.col("total_revenue") == max_rev)
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 50)
+      AND s_nationkey = n_nationkey AND n_regionkey < 3
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: availability threshold is 'shipped >50 units of
+    small parts in 1996' — no partsupp): nested IN subqueries as chained
+    semi-joins (part-IN inside supplier-IN)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3)
+    heavy = (
+        li.join(F.broadcast(part), "l_partkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+        .filter(F.col("q") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        supp.join(F.broadcast(heavy), "s_suppkey", "left_semi")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate)
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: 'late' = shipped after the order date — the
+    fixture has no commit/receipt dates): suppliers who were the *sole*
+    late supplier on a finalized multi-supplier order.
+
+    EXISTS → left-semi, NOT EXISTS → left-anti, both on l_orderkey with a
+    suppkey-inequality residual; the order-correlated late predicate rides
+    on the carried o_orderdate column.  Both self-joins co-partition on
+    l_orderkey so the exchange is reused.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = l1.join(
+        l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi"
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3.k3)
+        & (F.col("l_suppkey") != l3.s3)
+        & (l3.d3 > F.col("o_orderdate")),
+        "left_anti",
+    )
+    return (
+        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
