@@ -54,23 +54,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of a text column (JVM higher-order only).
 
-    tokens[i..i+k-1] joined by space, for i in 0..len-k.
+    tokens[i..i+k-1] joined by space, for i in 0..len-k — built by
+    zipping k length-aligned shifted slices of the token array.  The
+    index-lambda alternative (``transform(sequence(…), i ->
+    concat_ws(element_at(toks, i), …))``) re-evaluates the ``split``
+    inside the lambda per element — k × #shingles splits per row instead
+    of k (measured ~3× slower on real documents).
+
+    Short texts (< k tokens) yield an empty array: ``greatest(n-k+1, 0)``
+    makes every slice empty, so the zip chain is empty too.
     """
     toks = F.split(text, " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    shingled = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    res = F.slice(toks, 1, m)
+    for j in range(1, k):
+        res = F.zip_with(
+            res, F.slice(toks, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
-    # Spark's sequence(1, x) runs DESCENDING for x < 1 — guard short texts
-    return F.when(n >= k, shingled).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(res)
 
 
 # -------------------------------------------------------------- minhash
@@ -89,25 +90,45 @@ def minhash_signature(
     Production path hashes with ``xxhash64(shingle, seed)`` (64-bit JVM
     hash, no string materialization); ``use_md5`` switches to min of md5
     hex strings — slower but reproducible in any engine (oracle mode).
+
+    Shape: explode shingles → groupBy(id) with ``num_hashes`` MIN
+    aggregates → re-assemble the array.  The naive alternative — one
+    ``array_min(transform(shingles, hash_s))`` column per seed over a
+    shingle-array column — looks cheaper (no shuffle) but Catalyst's
+    CollapseProject inlines the shingle expression into all 16 consumers,
+    re-shingling every row 16× (measured ~5× slower; common-subexpression
+    elimination does not cover higher-order lambdas).  Here the explode
+    evaluates shingling exactly once by construction, and partial
+    aggregation reduces the shuffle to #docs × num_hashes longs.
     """
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
 
-    # NB: the per-seed lambdas MUST be single-argument — a 2-arg lambda is
-    # interpreted by PySpark's higher-order functions as (element, index).
-    def md5_hasher(s: int):
-        return lambda x: F.md5(F.concat(x, F.lit(f"#{s}")))
+    def md5_hash(s: int, x: Column) -> Column:
+        return F.md5(F.concat(x, F.lit(f"#{s}")))
 
-    def xx_hasher(s: int):
-        return lambda x: F.xxhash64(x, F.lit(s))
+    def xx_hash(s: int, x: Column) -> Column:
+        return F.xxhash64(x, F.lit(s))
 
-    hasher = md5_hasher if use_md5 else xx_hasher
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), hasher(s)))
-            for s in range(num_hashes)
-        ]
+    hasher = md5_hash if use_md5 else xx_hash
+    # explode_outer keeps zero-shingle docs (they aggregate to an
+    # all-NULL signature, same as array_min over an empty array)
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
     )
-    return sh.select(id_col, sig.alias("signature"))
+    mins = [
+        F.min(
+            F.when(F.col("_sh").isNotNull(), hasher(s, F.col("_sh")))
+        ).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("signature"),
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -178,10 +199,9 @@ def minhash_dedup_pairs(
 
     Signatures are materialized (persist) before the band explode and the
     two estimate joins: the signature plan feeds THREE consumers, and
-    letting Catalyst inline the shingle+hash expression tree into each —
-    re-hashing every shingle per consumer per row — is a >20× slowdown
-    (measured).  At warehouse scale, write signatures to a table instead;
-    the pipeline shape is identical.
+    re-deriving the explode+groupBy per consumer triples the heavy part
+    of the pipeline.  At warehouse scale, write signatures to a table
+    instead; the pipeline shape is identical.
     """
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, use_md5)
     sigs = sigs.persist()
