@@ -9,8 +9,10 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 The headline set covers every engine subsystem: TPC-H relational core
 (scan/filter/join/agg/sort), window + grouping-set analytics, and the
 LLM-pipeline extensions (minhash dedup, ANN similarity, text profiling,
-sessionization).  Each query executes via .count() to force full
-evaluation without driver-side row materialization.
+sessionization).  Each query executes via the "noop" batch sink, which
+forces evaluation of EVERY output column without materializing rows on
+the driver — .count() would let Catalyst prune the aggregate/projection
+expressions and undertime expression-heavy queries.
 """
 
 from __future__ import annotations
@@ -68,16 +70,27 @@ def main() -> None:
 
     from pg_mooncake_spark.queries.registry import all_queries
 
-    # warm the JVM/codegen path once so the first timed query measures
-    # the query, not session spin-up
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
     queries = all_queries()
+
+    # Warm pass (untimed): JVM JIT, whole-stage codegen compilation, and
+    # first-touch parquet footer reads all land here, so the timed pass
+    # below measures steady-state query throughput rather than charging
+    # one-time session costs to whichever query happens to run first.
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # Drop DataFrame caches the warm pass created (e.g. the MinHash
+    # signature persist) so timed queries do their own materialization;
+    # JIT/codegen and OS page cache stay warm, which is the intent.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         start = time.perf_counter()
-        fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -449,19 +449,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_profile_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), quality features, and
-    polynomial fingerprint — one codegen pass per doc."""
+    polynomial fingerprint — one tokenization pass (explode + groupBy)
+    shared by every token statistic (operators/text.py layer note)."""
     d = t(spark, sf_dir, "documents")
-    c = F.col("text")
-    feats = X.quality_features(c)
     return (
-        d.select(
+        X.text_profile(d, "text", "doc_id")
+        .select(
             "doc_id",
-            X.token_count_ws(c).alias("n_tokens_ws"),
-            X.token_count_bpe_ish(c).alias("n_tokens_bpe"),
-            feats["mean_token_len"].alias("mean_token_len"),
-            feats["stopword_ratio"].alias("stopword_ratio"),
-            feats["punct_ratio"].alias("punct_ratio"),
-            X.fingerprint(c).alias("fingerprint"),
+            "n_tokens_ws",
+            "n_tokens_bpe",
+            "mean_token_len",
+            "stopword_ratio",
+            "punct_ratio",
+            "fingerprint",
         )
         .orderBy("doc_id")
     )
@@ -492,11 +492,19 @@ def text_profile_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID (argmax over per-language hit counts,
-    alphabetical tie-break, 'und' when no markers hit)."""
+    alphabetical tie-break, 'und' when no markers hit).  Scores come from
+    one exploded-token aggregation; the argmax when-chain runs over the
+    aggregated columns, not raw token-scan expressions."""
     d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", "lang", X.language_id(F.col("text")).alias("lang_pred")
-    ).orderBy("doc_id")
+    st = X.token_stats(d, "text", "doc_id")
+    lang_pred = X._argmax_lang(
+        {lang: F.col(f"_s_{lang}") for lang in X.LID_MARKERS}
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(st.select("doc_id", lang_pred.alias("lang_pred")), "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @query("text_quality_scoring")  # rows-only: composite formula is ours
