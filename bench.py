@@ -43,6 +43,10 @@ HEADLINE = [
     "events_asof_join",
     "q13_customer_distribution",
     "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q21_suppliers_kept_waiting",
     "delta_roundtrip_lineitem",
     "media_resize_dedup",
 ]

@@ -420,42 +420,38 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture has no commit/receipt dates): suppliers who were the *sole*
     late supplier on a finalized multi-supplier order.
 
-    EXISTS → left-semi, NOT EXISTS → left-anti, both on l_orderkey with a
-    suppkey-inequality residual; the order-correlated late predicate rides
-    on the carried o_orderdate column.  Both self-joins co-partition on
-    l_orderkey so the exchange is reused.
+    The naive plan is two lineitem self-joins (EXISTS → left-semi,
+    NOT EXISTS → left-anti on l_orderkey), shuffling the fact table three
+    times; their probe sides can't even share an exchange because column
+    pruning gives them different projections.  Instead we decorrelate by
+    hand into ONE groupBy(orderkey): a qualifying l1 row exists iff the
+    order has ≥2 distinct suppliers (the EXISTS) and exactly one distinct
+    *late* supplier (the NOT EXISTS), and then every late row in the
+    order belongs to that supplier — so per-order aggregates carry the
+    full answer.  Lineitem shuffles once.  The DuckDB oracle runs the
+    literal EXISTS/NOT-EXISTS form, proving the rewrite.
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
-    l1 = (
+    late = F.col("l_shipdate") > F.col("o_orderdate")
+    per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("k3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("d3"),
-    )
-    waited = l1.join(
-        l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi"
-    ).join(
-        l3,
-        (F.col("l_orderkey") == l3.k3)
-        & (F.col("l_suppkey") != l3.s3)
-        & (l3.d3 > F.col("o_orderdate")),
-        "left_anti",
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.when(late, True)).alias("n_late_rows"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
-        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        per_order.join(F.broadcast(supp), per_order.late_supp == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

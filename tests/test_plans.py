@@ -144,3 +144,34 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_q21_single_fact_shuffle(spark, queries):
+    """q21's hand-decorrelation contract: lineitem is shuffled once (the
+    orders join / per-order aggregate), not three times as in the naive
+    EXISTS/NOT-EXISTS self-join plan.  countDistinct adds an Expand pass
+    but no extra fact shuffle; dims broadcast."""
+    df = queries["q21_suppliers_kept_waiting"](spark, SF_DIR)
+    # orders join (≤2 sides) + per-order agg + supplier-name agg + top-k
+    assert I.exchange_count(df) <= 5
+    assert I.count_op(df, "TakeOrderedAndProject") == 1
+
+
+def test_q2_broadcasts_all_dims(spark, queries):
+    """q2: supplier/nation/region/part all broadcast; the only fact
+    shuffles are the supply aggregate and the per-part window min."""
+    df = queries["q2_min_cost_supplier"](spark, SF_DIR)
+    assert I.broadcast_join_count(df) >= 4
+
+
+def test_q9_broadcasts_all_dims(spark, queries):
+    """q9: part/supplier/nation broadcast — lineitem⋈orders is the only
+    fact-fact join."""
+    df = queries["q9_product_type_profit"](spark, SF_DIR)
+    assert I.broadcast_join_count(df) >= 3
+
+
+def test_q7_dual_role_dimension_broadcast(spark, queries):
+    """q7 joins nation twice under different roles; both must broadcast."""
+    df = queries["q7_volume_shipping"](spark, SF_DIR)
+    assert I.broadcast_join_count(df) >= 4
