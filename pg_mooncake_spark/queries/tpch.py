@@ -477,8 +477,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: IN over a HAVING aggregate (semi-join), 3-way join,
-    top-25 by order value."""
+    """TPC-H Q18: IN over a HAVING aggregate, 3-way join, top-25 by
+    order value.
+
+    The outer query's SUM(l_quantity) per order is the SAME aggregate
+    the HAVING subquery computes (grouping keys beyond o_orderkey are
+    functionally dependent on it), so instead of semi-joining lineitem
+    and re-aggregating it — two extra fact shuffles — we keep the sum
+    from the HAVING pass and join only the few surviving orders to
+    orders/customer.  Lineitem is scanned and shuffled exactly once;
+    AQE broadcasts the filtered per-order rows into the orders join.
+    The oracle runs the literal IN + re-aggregate form.
+    """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -486,21 +496,18 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
         .filter(F.col("q") > 120)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "bk"),
-                li.l_orderkey == F.col("bk"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
         )
-        .agg(dsum("l_quantity", 2).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(25)
     )

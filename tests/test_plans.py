@@ -148,13 +148,15 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 
 def test_q21_single_fact_shuffle(spark, queries):
     """q21's hand-decorrelation contract: lineitem is shuffled once (the
-    orders join / per-order aggregate), not three times as in the naive
-    EXISTS/NOT-EXISTS self-join plan.  countDistinct adds an Expand pass
-    but no extra fact shuffle; dims broadcast."""
+    orders join), not three times as in the naive EXISTS/NOT-EXISTS
+    self-join plan.  Both aggregate levels reuse the join's l_orderkey
+    partitioning (group keys are supersets), and the (order, supplier)
+    pre-aggregation means no countDistinct Expand pass; dims broadcast."""
     df = queries["q21_suppliers_kept_waiting"](spark, SF_DIR)
     # orders join (≤2 sides) + per-order agg + supplier-name agg + top-k
     assert I.exchange_count(df) <= 5
     assert I.count_op(df, "TakeOrderedAndProject") == 1
+    assert I.count_op(df, "Expand") == 0
 
 
 def test_q2_broadcasts_all_dims(spark, queries):
