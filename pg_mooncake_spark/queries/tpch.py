@@ -149,7 +149,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join (fact ⋈ 5 broadcast dims), group by nation."""
+    """TPC-H Q5: 6-way join, group by nation.
+
+    The ASIA region filter reaches lineitem BEFORE the fact-fact
+    shuffle: supplier⋈nation⋈region broadcasts onto lineitem, keeping
+    only ASIA-supplier rows (~1/5), while the orders side carries its
+    date filter and the customer broadcast; the local-supplier
+    (c_nationkey = s_nationkey) predicate rides the orderkey join as a
+    residual.
+    """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -159,16 +167,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    li_side = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey")
+    )
+    ord_side = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(
-            F.broadcast(cust),
-            (orders.o_custkey == cust.c_custkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+        li_side.join(
+            ord_side,
+            (li_side.l_orderkey == ord_side.o_orderkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(_rev_col().alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")

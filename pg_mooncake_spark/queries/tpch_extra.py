@@ -207,7 +207,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: NATION_1's share of ECONOMY-part volume sold into
-    AMERICA, by order year — conditional/total aggregation ratio."""
+    AMERICA, by order year — conditional/total aggregation ratio.
+
+    Both fact sides are reduced before the orderkey shuffle: the
+    ECONOMY part filter broadcasts into lineitem (with supplier/n2),
+    and the AMERICA region filter broadcasts into orders (via
+    customer/n1)."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -225,14 +230,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(30,6)"
     )
     zero = F.lit(0).cast("decimal(30,6)")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    li_side = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    ord_side = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
-        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    return (
+        li_side.join(ord_side, li_side.l_orderkey == ord_side.o_orderkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
