@@ -572,15 +572,32 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # no oracle: approximate by design
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT TRUE AS parts_within_tol, TRUE AS supps_within_tol
+    """,
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — value differs from DuckDB's
-    sketch so this is a rows-only check; exactness is covered by
-    agg_distinct_and_filtered."""
+    """HyperLogLog++ approximate distinct.  The raw estimate differs from
+    DuckDB's sketch, so the oracle-checkable output is the *assertion*:
+    estimate within ±5% of the exact distinct count (HLL++ rsd default
+    0.05).  Both booleans must be true, which DuckDB trivially agrees on —
+    this actually verifies the estimator instead of skipping the check."""
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
+    est = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+    return est.select(
+        F.col("approx_parts").between(
+            F.col("exact_parts") * 0.95, F.col("exact_parts") * 1.05
+        ).alias("parts_within_tol"),
+        F.col("approx_supps").between(
+            F.col("exact_supps") * 0.95, F.col("exact_supps") * 1.05
+        ).alias("supps_within_tol"),
     )
 
 
