@@ -263,6 +263,74 @@ def simhash(
     return df.select(F.col(id_col), fingerprint.alias("simhash_bits"))
 
 
+def simhash_banded_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-duplicate *search*: band the fingerprint, equi-join
+    band substrings, hamming-filter candidates.
+
+    Pigeonhole recall guarantee: if hamming(a, b) <= bands - 1, the
+    differing bits cannot touch every band, so at least one band matches
+    exactly and the pair is generated.  Defaults (8 bands of 8 bits,
+    max_hamming 6) make recall exact for the threshold; precision comes
+    from the hamming filter.  Candidate volume is sum over band-buckets of
+    (bucket choose 2) — an equi-join shuffle, never n² (the same scale
+    shape as :func:`lsh_candidate_pairs`).
+
+    The full fingerprint rides along through the band explode (bits/8
+    bytes × bands per doc) so hamming is computed join-side — cheaper than
+    two extra fingerprint re-join shuffles after candidate generation.
+
+    Scale dial: band width = bits/bands controls bucket selectivity — a
+    band matches ~2^-width of the corpus, so narrower bands (higher
+    recall threshold) mean fatter buckets and more candidates.  For a
+    lower max_hamming, prefer fewer/wider bands; for a higher one at
+    corpus scale, widen the fingerprint (e.g. 128-bit via two xxhash64
+    seeds) instead of shrinking bands below ~8 bits.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"recall guarantee needs bands > max_hamming "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+    width = bits // bands
+    banded = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash_bits"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash_bits", b * width + 1, width)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_sub"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sub") == F.col("b.band_sub"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming(F.col("a.simhash_bits"), F.col("b.simhash_bits")).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two equal-length bit strings."""
     return F.size(

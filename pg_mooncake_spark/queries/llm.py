@@ -232,24 +232,19 @@ def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash64_fast")  # rows-only: xxhash64-based
 def dedup_simhash64_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production 64-bit SimHash + hamming-distance near-dup pairs among
-    the synthesized dups (pairs with distance ≤ 6)."""
+    """Production 64-bit SimHash near-dup *search*: 8×8-bit band LSH →
+    candidate equi-join → hamming ≤ 6 filter.  No prior knowledge of
+    which docs are dups — the banding finds every pair within the
+    threshold (pigeonhole: hamming ≤ bands-1 ⇒ at least one band
+    identical).  Exact copies sit at hamming 0; one-token edits of the
+    fixture's short docs can exceed 6 bits — those are MinHash/Jaccard
+    territory, not a recall bug (tests/test_dedup.py asserts recall
+    against each pair's true hamming)."""
     docs = _docs2(spark, sf_dir)
-    sh = D.simhash(docs, "text", "doc_id").cache()
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") + 1000000 == F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            D.hamming(F.col("a.simhash_bits"), F.col("b.simhash_bits")).alias(
-                "hamming"
-            ),
-        )
-        .filter(F.col("hamming") <= 6)
-        .orderBy("id_a")
-    )
+    sh = D.simhash(docs, "text", "doc_id")
+    return D.simhash_banded_pairs(
+        sh, "doc_id", bits=64, bands=8, max_hamming=6
+    ).orderBy("id_a", "id_b")
 
 
 @query(

@@ -1,0 +1,62 @@
+"""Near-dup search recall tests: the banded searches must find the
+synthesized duplicate pairs WITHOUT being told which ids are dups.
+
+The synthesized fixture (queries/llm._docs2) unions originals with exact
+copies (doc_id < 25 → +1_000_000) and near-copies (one appended token,
+25 <= doc_id < 50 → +1_000_000), so ground truth is the 50 pairs
+(i, i + 1_000_000).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.operators import dedup as D
+from pg_mooncake_spark.queries.llm import _docs2
+from tests.conftest import SF_DIR
+
+
+def _truth_pairs(docs):
+    ids = {r[0] for r in docs.select("doc_id").collect()}
+    return {(i, i + 1_000_000) for i in range(50) if i in ids}
+
+
+def test_simhash_banded_search_finds_synthesized_dups(spark):
+    docs = _docs2(spark, SF_DIR)
+    sh = D.simhash(docs, "text", "doc_id").persist()
+    pairs = D.simhash_banded_pairs(sh, "doc_id", bits=64, bands=8, max_hamming=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # Recall is exact w.r.t. the operator's definition: every true pair
+    # whose actual hamming distance is within the threshold MUST be found
+    # (pigeonhole guarantee) — no id-offset shortcut anywhere.
+    a, b = sh.alias("a"), sh.alias("b")
+    truth_h = {
+        r["id"]: r["h"]
+        for r in a.join(b, F.col("a.doc_id") + 1_000_000 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id"),
+            D.hamming(F.col("a.simhash_bits"), F.col("b.simhash_bits")).alias("h"),
+        )
+        .collect()
+    }
+    sh.unpersist()
+    expected = {(i, i + 1_000_000) for i, h in truth_h.items() if h <= 6}
+    exact_copies = {(i, i + 1_000_000) for i in truth_h if i < 25}
+    assert exact_copies <= expected  # hamming 0 by construction
+    missing = expected - found
+    assert not missing, f"banded search missed in-threshold pairs: {sorted(missing)}"
+    # And it must not hallucinate out-of-threshold synthesized pairs.
+    over = {(i, i + 1_000_000) for i, h in truth_h.items() if h > 6}
+    assert not (over & found)
+
+
+def test_simhash_banded_pairs_hamming_zero_for_exact_copies(spark):
+    docs = _docs2(spark, SF_DIR)
+    sh = D.simhash(docs, "text", "doc_id")
+    pairs = D.simhash_banded_pairs(sh, "doc_id", bits=64, bands=8, max_hamming=6)
+    exact = (
+        pairs.filter((F.col("id_a") < 25) & (F.col("id_b") == F.col("id_a") + 1_000_000))
+        .select("hamming")
+        .collect()
+    )
+    assert exact and all(r["hamming"] == 0 for r in exact)
