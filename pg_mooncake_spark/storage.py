@@ -329,28 +329,89 @@ class MoonTable:
         finally:
             changes.unpersist()
 
+    def _touched_files(self, condition: str) -> list[dict]:
+        """Files containing at least one row matching ``condition``.
+
+        One column-pruned probe scan (predicate columns + file name only)
+        tagged with ``input_file_name()`` — sound for *arbitrary*
+        predicates, unlike min/max interval analysis, and the parquet
+        reader's own footer-stats pushdown skips non-matching row groups,
+        so on an optimize(sort_by=pk)'d table a single-key probe touches
+        ~1 file's worth of data.  Probing reads; it never rewrites.
+        """
+        files, first = self._snapshot(None)
+        if not files:
+            return []
+        schema = T.StructType.fromJson(json.loads(first.schema))
+        paths = [os.path.join(self.path, d["name"]) for d in files]
+        hit = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .filter(condition)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched = {r["__file"] for r in hit}
+        return [d for d in files if d["name"] in touched]
+
     def delete_where(self, condition: str) -> int:
         """DELETE with predicate (reference sanity.sql:5) — copy-on-write
-        rewrite of the full predicate scan (file pruning on pk only)."""
-        current = self.read()
-        survivors = current.filter(f"NOT ({condition})")
-        return self.overwrite(survivors)
+        over the *touched files only*: a predicate hitting 0.1% of rows
+        rewrites that 0.1% of files, never the full snapshot (the
+        moontable analog of the reference's incremental mirror
+        maintenance, src/functions.rs:132-144)."""
+        touched = self._touched_files(condition)
+        v = self.latest_version() + 1
+        add: list[dict] = []
+        if touched:
+            paths = [os.path.join(self.path, d["name"]) for d in touched]
+            current = self.spark.read.schema(self.schema()).parquet(*paths)
+            survivors = current.filter(f"NOT ({condition}) OR ({condition}) IS NULL")
+            add = self._stage_files(survivors, self.primary_key())
+        self._write_commit(
+            Commit(
+                version=v,
+                op="delete",
+                add=add,
+                remove=[d["name"] for d in touched],
+            )
+        )
+        return v
 
     def update_where(self, condition: str, assignments: dict[str, str]) -> int:
-        """UPDATE ... SET col = expr WHERE cond (reference sanity.sql:4)."""
-        current = self.read()
-        cols = []
-        for f_ in current.schema.fields:
-            if f_.name in assignments:
-                cols.append(
-                    F.when(F.expr(condition), F.expr(assignments[f_.name]))
-                    .otherwise(F.col(f_.name))
-                    .cast(f_.dataType)
-                    .alias(f_.name)
-                )
-            else:
-                cols.append(F.col(f_.name))
-        return self.overwrite(current.select(*cols))
+        """UPDATE ... SET col = expr WHERE cond (reference sanity.sql:4) —
+        same touched-files-only copy-on-write as :meth:`delete_where`."""
+        touched = self._touched_files(condition)
+        v = self.latest_version() + 1
+        add: list[dict] = []
+        if touched:
+            paths = [os.path.join(self.path, d["name"]) for d in touched]
+            current = self.spark.read.schema(self.schema()).parquet(*paths)
+            cols = []
+            for f_ in current.schema.fields:
+                if f_.name in assignments:
+                    cols.append(
+                        F.when(F.expr(condition), F.expr(assignments[f_.name]))
+                        .otherwise(F.col(f_.name))
+                        .cast(f_.dataType)
+                        .alias(f_.name)
+                    )
+                else:
+                    cols.append(F.col(f_.name))
+            add = self._stage_files(current.select(*cols), self.primary_key())
+        self._write_commit(
+            Commit(
+                version=v,
+                op="update",
+                add=add,
+                remove=[d["name"] for d in touched],
+            )
+        )
+        return v
 
     def optimize(
         self,
