@@ -73,6 +73,77 @@ def test_delta_error_modes(spark, tmp_path):
         read_delta(spark, str(tmp_path / "missing"))
 
 
+def test_delta_checkpoint_roundtrip(spark, tmp_path):
+    """12 commits → auto-checkpoint at v10; the reader must replay
+    checkpoint parquet + JSON tail and agree with the full-JSON history
+    (VERDICT r1 #6: real-world tables checkpoint every 10 commits)."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(0, "v0")]), path)
+    for i in range(1, 13):
+        write_delta(_df(spark, [(i, f"v{i}")]), path, mode="append")
+    log_dir = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    assert os.path.exists(os.path.join(log_dir, f"{10:020d}.checkpoint.parquet"))
+    got = sorted(tuple(r) for r in read_delta(spark, path).collect())
+    assert got == [(i, f"v{i}") for i in range(13)]
+    # reader must survive a vacuumed early log (checkpoint is authoritative)
+    for v in range(0, 10):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    got = sorted(tuple(r) for r in read_delta(spark, path).collect())
+    assert got == [(i, f"v{i}") for i in range(13)]
+    # time travel below the checkpoint now refuses loudly
+    with pytest.raises(DeltaProtocolError, match="predates checkpoint"):
+        read_delta(spark, path, version_as_of=3)
+
+
+def test_delta_partitioned_roundtrip(spark, tmp_path):
+    """Partition columns are reconstructed from add.partitionValues, not
+    directory names; data files physically lack them."""
+    path = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(1, "us", "a"), (2, "us", "b"), (3, "eu", "c"), (4, None, "d")],
+        "k int, region string, v string",
+    )
+    write_delta(df, path, partition_by=["region"])
+    got = sorted(
+        (r["k"], r["region"], r["v"]) for r in read_delta(spark, path).collect()
+    )
+    assert got == [(1, "us", "a"), (2, "us", "b"), (3, "eu", "c"), (4, None, "d")]
+    # appended rows are re-split into their partitions
+    write_delta(
+        spark.createDataFrame([(5, "eu", "e")], "k int, region string, v string"),
+        path,
+        mode="append",
+    )
+    eu = read_delta(spark, path).filter("region = 'eu'")
+    assert sorted(r["k"] for r in eu.collect()) == [3, 5]
+    # data files must not contain the partition column
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    add = next(
+        json.loads(l)["add"] for l in open(log) if l.strip() and "add" in json.loads(l)
+    )
+    import pyarrow.parquet as pq
+
+    assert "region" not in pq.read_schema(os.path.join(path, add["path"])).names
+    assert add["partitionValues"] in ({"region": "us"}, {"region": "eu"}, {"region": None})
+
+
+def test_delta_append_conforms_types(spark, tmp_path):
+    """A type-mismatched append must not commit physical types that
+    disagree with the metaData schemaString (ADVICE r1): the input is
+    cast-conformed to the table schema."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), path)
+    write_delta(
+        spark.createDataFrame([(2.9, "b")], "k double, v string"),
+        path,
+        mode="append",
+    )
+    got = sorted(tuple(r) for r in read_delta(spark, path).collect())
+    assert got == [(1, "a"), (2, "b")]  # 2.9 cast to int per table schema
+    assert dict(read_delta(spark, path).dtypes)["k"] == "int"
+
+
 def test_asof_join_basic_and_tolerance(spark):
     left = spark.createDataFrame(
         [(1, 100, "c1"), (1, 200, "c2"), (2, 150, "c3")],
