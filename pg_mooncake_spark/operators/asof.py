@@ -44,22 +44,27 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts_col)]
-
-    lhs = left.withColumn("__side", F.lit(1))
     for c in right_cols:
-        if c in lhs.columns:
-            raise ValueError(f"column collision on {c!r}; pass right_cols/suffix")
-        lhs = lhs.withColumn(c + suffix, F.lit(None).cast(dict(right.dtypes)[c]))
+        if c + suffix in left.columns:
+            raise ValueError(
+                f"column collision on {c + suffix!r}; pass right_cols/suffix"
+            )
+
+    # The entire right payload travels as ONE struct so a single
+    # last(ignorenulls) carries it atomically: every matched column comes
+    # from the same right row.  (Per-column carries could stitch a
+    # composite row — a newer right row with a NULL in one column would
+    # resurrect that column from an older row; ADVICE r1.)
     rhs = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.struct(
+            F.col(ts_col).alias("__ts"), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
     )
-    for c in left.columns:
-        if c not in (on, ts_col):
-            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    unioned = lhs.unionByName(rhs)
+    lhs = left.withColumn("__side", F.lit(1))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     # right rows sort before left rows at equal ts (side 0 < 1), so an
     # exactly-simultaneous right row IS visible to the left row.
@@ -68,23 +73,17 @@ def asof_join(
         .orderBy(ts_col, "__side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = unioned
-    for c in right_cols:
-        carried = carried.withColumn(
-            c + suffix, F.last(c + suffix, ignorenulls=True).over(w)
-        )
-    carried = carried.withColumn(
-        "__rts",
-        F.last(F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True).over(w),
+    out = (
+        unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
     )
-
-    out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
         stale = (
-            F.unix_timestamp(ts_col) - F.unix_timestamp("__rts")
+            F.unix_timestamp(ts_col) - F.unix_timestamp(F.col("__r.__ts"))
         ) > tolerance_seconds
-        for c in right_cols:
-            out = out.withColumn(
-                c + suffix, F.when(stale, F.lit(None)).otherwise(F.col(c + suffix))
-            )
-    return out.drop("__side", "__rts")
+        out = out.withColumn(
+            "__r", F.when(stale, F.lit(None)).otherwise(F.col("__r"))
+        )
+    for c in right_cols:
+        out = out.withColumn(c + suffix, F.col(f"__r.{c}"))
+    return out.drop("__side", "__r")

@@ -166,6 +166,21 @@ def test_asof_join_basic_and_tolerance(spark):
     assert got_tol == {"c1": 1.0, "c2": None, "c3": None}
 
 
+def test_asof_join_null_payload_not_stitched(spark):
+    """A newer right row with a NULL payload column must NOT resurrect
+    that column from an older right row (the matched row is atomic)."""
+    left = spark.createDataFrame([(1, 300, "q")], "k int, t int, tag string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "tag"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 7.0, "old"), (1, 200, None, "new")],
+        "k int, t int, price double, label string",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "price", "label")
+    out = asof_join(left, right, on="k", ts_col="ts").first()
+    assert out["label_r"] == "new"
+    assert out["price_r"] is None, "stale price stitched from an older right row"
+
+
 def test_asof_join_simultaneous_match(spark):
     """A right row at exactly left.ts must be visible (<= semantics)."""
     left = spark.createDataFrame([(1, 100, "x")], "k int, t int, tag string").select(
