@@ -66,6 +66,23 @@ class SyncCatalog:
                 data[table]["flush_version"] = flush_version
             self._save(data)
 
+    def get_or_set_stream_base(self, table: str, checkpoint: str, base: int) -> int:
+        """Source-version base for a sync stream, keyed by its checkpoint.
+
+        Set once when the stream first attaches and reused verbatim on
+        every restart: checkpointed batch ids continue across restarts,
+        so re-deriving the base from the (moving) commit_version watermark
+        would double-count already-applied epochs (ADVICE r1)."""
+        with self._lock:
+            data = self._load()
+            if table not in data:
+                raise KeyError(f"unknown mirror {table!r}")
+            bases = data[table].setdefault("stream_bases", {})
+            if checkpoint not in bases:
+                bases[checkpoint] = base
+                self._save(data)
+            return bases[checkpoint]
+
     def get(self, table: str) -> dict[str, Any]:
         data = self._load()
         if table not in data:

@@ -43,11 +43,23 @@ def start_sync(
     if not change_stream.isStreaming:
         raise ValueError("change_stream must be a streaming DataFrame")
 
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(engine.warehouse, f"_checkpoints_{dst}")
+
     # stream epochs restart at 0, but the mirror's commit watermark may
     # already cover the backfill — continue source versions monotonically
-    # so wait_for_source_version can distinguish stream progress
+    # so wait_for_source_version can distinguish stream progress.  The
+    # base is pinned in the catalog on FIRST attach (keyed by checkpoint):
+    # batch ids continue across restarts, so a restarted stream must map
+    # epoch → source_version exactly as the original did, not re-derive
+    # from the watermark it already moved.
     entry = engine.catalog.get(dst)
-    base = (entry.get("commit_version") if entry.get("commit_version") is not None else -1) + 1
+    fallback = (
+        entry.get("commit_version") if entry.get("commit_version") is not None else -1
+    ) + 1
+    base = engine.catalog.get_or_set_stream_base(
+        dst, os.path.abspath(checkpoint_dir), fallback
+    )
 
     applied_epochs: set[int] = set()
 
@@ -60,8 +72,6 @@ def start_sync(
         engine.apply_changes(dst, batch_df, source_version=base + epoch_id)
 
     writer = change_stream.writeStream.foreachBatch(apply_batch).outputMode("update")
-    if checkpoint_dir is None:
-        checkpoint_dir = os.path.join(engine.warehouse, f"_checkpoints_{dst}")
     writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

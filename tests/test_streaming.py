@@ -161,3 +161,66 @@ def test_async_sync_with_freshness_barrier(spark, tmp_path):
         assert rows == [(1, "a"), (2, "b2"), (3, "c")]
     finally:
         q.stop()
+
+
+def test_sync_restart_resume_exactly_once(spark, tmp_path):
+    """Kill the sync loop mid-stream and restart it against the same
+    checkpoint: every change batch must be applied exactly once, with the
+    same epoch → source_version mapping across the restart (the
+    reference's bgworker-restart semantics, src/bgworker.rs:14)."""
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.streaming.cdc import sync_available
+
+    eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    eng.create_table("rst", source_df=src, primary_key=["k"])
+
+    stream_dir = str(tmp_path / "changes")
+    os.makedirs(stream_dir)
+    batches = [
+        [(2, "b2", "U")],
+        [(3, "c", "I")],
+        [(1, None, "D"), (4, "d", "I")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "k int, v string, __op string").coalesce(
+            1
+        ).write.mode("append").parquet(stream_dir)
+
+    def make_stream():
+        return (
+            spark.readStream.schema("k int, v string, __op string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+
+    # crash injection: the real apply runs for epoch 0, then the worker
+    # "dies" at the start of the second epoch (before applying it)
+    applied_versions = []
+    real_apply = eng.apply_changes
+    crashed = {"done": False}
+
+    def flaky_apply(dst, changes, source_version=None):
+        if source_version is not None and source_version >= 2 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected worker crash")
+        applied_versions.append(source_version)
+        return real_apply(dst, changes, source_version=source_version)
+
+    eng.apply_changes = flaky_apply
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected worker crash"):
+        sync_available(eng, "rst", make_stream(), checkpoint_dir=ckpt)
+
+    # restart against the same checkpoint (fresh in-memory state)
+    sync_available(eng, "rst", make_stream(), checkpoint_dir=ckpt)
+
+    # exactly-once: each epoch applied once, consecutive source versions,
+    # no double-count from re-deriving the base off the moved watermark
+    assert applied_versions == sorted(set(applied_versions))
+    assert applied_versions[0] == 1  # backfill holds 0; stream starts at 1
+    assert applied_versions == [1, 2, 3]
+    assert eng.catalog.get("rst")["commit_version"] == 3
+
+    rows = sorted((r["k"], r["v"]) for r in eng.table("rst").collect())
+    assert rows == [(2, "b2"), (3, "c"), (4, "d")]
