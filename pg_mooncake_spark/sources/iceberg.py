@@ -6,15 +6,26 @@ manifests).  This image ships neither the iceberg-spark runtime nor an
 Avro reader, so full support is gated: with the runtime on the classpath
 we delegate to ``spark.read.format("iceberg")``; without it we can still
 serve the common "static table exported once" case by scanning the
-table's data directory directly, validating that the metadata JSON shows
-no delete files (position/equality deletes would make a raw scan wrong —
-that case raises instead of returning bad rows).
+table's data directory directly — with three guards that keep the raw
+scan honest instead of silently wrong (VERDICT/ADVICE r1):
+
+- **current snapshot only**: manifests are unreadable without Avro, so a
+  pinned ``snapshot_id`` other than the current one refuses (a raw scan
+  would return rows from later snapshots);
+- **no delete files**: position/equality deletes would make a raw scan
+  wrong;
+- **file-count reconciliation**: the scan's parquet file count must equal
+  the snapshot summary's ``total-data-files`` — a table that ever
+  rewrote/compacted data leaves orphaned files on disk that a blind
+  directory scan would re-include.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,13 +43,25 @@ def have_iceberg_runtime(spark: SparkSession) -> bool:
         return False
 
 
+_META_VERSION = re.compile(r"^(?:v)?(\d+)(?:-[0-9a-fA-F-]+)?\.metadata\.json$")
+
+
+def _metadata_version(fname: str) -> int:
+    """Numeric version of a metadata file name (``v3.metadata.json`` or
+    ``00003-<uuid>.metadata.json``); -1 when unparseable."""
+    m = _META_VERSION.match(fname)
+    return int(m.group(1)) if m else -1
+
+
 def _latest_metadata(path: str) -> dict:
     meta_dir = os.path.join(path, "metadata")
     if not os.path.isdir(meta_dir):
         raise IcebergSupportError(f"not an Iceberg table (no metadata/): {path}")
-    candidates = sorted(f for f in os.listdir(meta_dir) if f.endswith(".metadata.json"))
+    candidates = [f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")]
     if not candidates:
         raise IcebergSupportError(f"no *.metadata.json under {meta_dir}")
+    # numeric sort: v10 > v9 (lexical sort would pick v9; ADVICE r1)
+    candidates.sort(key=lambda f: (_metadata_version(f), f))
     with open(os.path.join(meta_dir, candidates[-1])) as fh:
         return json.load(fh)
 
@@ -50,7 +73,7 @@ def read_iceberg(
 
     Full fidelity requires the iceberg-spark runtime; the fallback path
     handles append-only tables by scanning data files, refusing (loudly)
-    when the current snapshot carries delete files.
+    whenever the raw scan could disagree with the manifests.
     """
     if have_iceberg_runtime(spark):  # pragma: no cover - runtime absent here
         reader = spark.read.format("iceberg")
@@ -60,16 +83,34 @@ def read_iceberg(
 
     meta = _latest_metadata(path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
-    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
-    snap = snaps.get(sid)
-    if snap is not None:
-        summary = snap.get("summary", {})
-        if int(summary.get("total-delete-files", 0) or 0) > 0:
-            raise IcebergSupportError(
-                "Iceberg snapshot carries delete files; the jar-less "
-                "fallback cannot apply them — install iceberg-spark"
-            )
+    current = meta.get("current-snapshot-id")
+    if snapshot_id is not None and snapshot_id != current:
+        raise IcebergSupportError(
+            f"snapshot {snapshot_id} is not the current snapshot ({current}); "
+            "the jar-less fallback cannot replay manifests for time travel — "
+            "install iceberg-spark"
+        )
+    snap = snaps.get(current)
+    summary = (snap or {}).get("summary", {})
+    if int(summary.get("total-delete-files", 0) or 0) > 0:
+        raise IcebergSupportError(
+            "Iceberg snapshot carries delete files; the jar-less "
+            "fallback cannot apply them — install iceberg-spark"
+        )
     data_dir = os.path.join(path, "data")
     if not os.path.isdir(data_dir):
         raise IcebergSupportError(f"no data/ directory under {path}")
-    return spark.read.parquet(os.path.join(data_dir, "**", "*.parquet"))
+    files = sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    expected = summary.get("total-data-files")
+    if expected is not None and len(files) != int(expected):
+        raise IcebergSupportError(
+            f"data/ holds {len(files)} parquet files but the current "
+            f"snapshot claims {expected} — the table was rewritten/"
+            "compacted and a raw scan would read orphaned files; "
+            "install iceberg-spark to read via manifests"
+        )
+    if not files:
+        raise IcebergSupportError(f"no data files under {data_dir}")
+    return spark.read.parquet(*files)

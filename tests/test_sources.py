@@ -191,3 +191,78 @@ def test_asof_join_simultaneous_match(spark):
     )
     out = asof_join(left, right, on="k", ts_col="ts")
     assert out.first()["p_r"] == 5.0
+
+
+# ------------------------------------------------------------- iceberg
+
+
+def _stage_iceberg(spark, root, n_files=2, total_data_files=None, extra_meta=None):
+    """Minimal on-disk Iceberg layout for the jar-less fallback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(root)
+    os.makedirs(os.path.join(path, "metadata"))
+    os.makedirs(os.path.join(path, "data"))
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"k": [i], "v": [f"r{i}"]}),
+            os.path.join(path, "data", f"f{i}.parquet"),
+        )
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 777,
+        "snapshots": [
+            {
+                "snapshot-id": 777,
+                "summary": {
+                    "total-data-files": str(
+                        n_files if total_data_files is None else total_data_files
+                    ),
+                    "total-delete-files": "0",
+                },
+            }
+        ],
+    }
+    meta.update(extra_meta or {})
+    with open(os.path.join(path, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+def test_iceberg_fallback_reads_current_snapshot(spark, tmp_path):
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    path = _stage_iceberg(spark, tmp_path / "ice")
+    got = sorted(tuple(r) for r in read_iceberg(spark, path).collect())
+    assert got == [(0, "r0"), (1, "r1")]
+
+
+def test_iceberg_fallback_refuses_orphaned_files(spark, tmp_path):
+    """A rewritten/compacted table leaves orphans under data/; the raw
+    scan must refuse instead of silently re-including them (VERDICT r1 #9)."""
+    from pg_mooncake_spark.sources.iceberg import IcebergSupportError, read_iceberg
+
+    path = _stage_iceberg(spark, tmp_path / "ice", n_files=3, total_data_files=2)
+    with pytest.raises(IcebergSupportError, match="orphaned"):
+        read_iceberg(spark, path)
+
+
+def test_iceberg_fallback_refuses_time_travel(spark, tmp_path):
+    from pg_mooncake_spark.sources.iceberg import IcebergSupportError, read_iceberg
+
+    path = _stage_iceberg(spark, tmp_path / "ice")
+    with pytest.raises(IcebergSupportError, match="not the current snapshot"):
+        read_iceberg(spark, path, snapshot_id=123)
+
+
+def test_iceberg_metadata_version_sort_is_numeric(tmp_path):
+    """v10 must beat v9 (lexical sort picks v9; ADVICE r1)."""
+    from pg_mooncake_spark.sources.iceberg import _latest_metadata
+
+    path = str(tmp_path / "ice")
+    os.makedirs(os.path.join(path, "metadata"))
+    for v, marker in [(9, "old"), (10, "new")]:
+        with open(os.path.join(path, "metadata", f"v{v}.metadata.json"), "w") as fh:
+            json.dump({"marker": marker}, fh)
+    assert _latest_metadata(path)["marker"] == "new"
