@@ -350,17 +350,35 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_k: int = 3,
     threshold: float = 0.4,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles, via an inverted-index join.
 
     shared(a,b) = #common shingles comes from a self-join of the exploded
     (id, shingle) relation on shingle — never a cartesian over documents.
-    At 100 TB add a df-frequency cap (drop shingles appearing in > F docs,
-    they only create hub pairs) — exposed as ``max_doc_freq``.
+
+    ``max_doc_freq`` caps hub shingles: a shingle present in > F docs
+    contributes C(F, 2)+ candidate pairs (quadratic in the hub size) while
+    carrying almost no similarity signal — boilerplate headers/footers at
+    corpus scale.  Shingles over the cap are dropped from the similarity
+    universe entirely (both the shared counts and the set sizes), so the
+    Jaccard stays internally consistent over the filtered universe; pairs
+    sharing ONLY hub shingles are treated as unrelated, which is the
+    point.  The hub set is tiny by definition → broadcast anti-join, no
+    extra shuffle of the inverted index.
     """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
     )
+    if max_doc_freq is not None:
+        # word_shingles is distinct per doc, so count(*) == doc frequency
+        hubs = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hubs), "s", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -60,3 +60,35 @@ def test_simhash_banded_pairs_hamming_zero_for_exact_copies(spark):
         .collect()
     )
     assert exact and all(r["hamming"] == 0 for r in exact)
+
+
+def test_ngram_jaccard_hub_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not generate
+    quadratic candidate pairs once it exceeds max_doc_freq."""
+    rows = [
+        (i, f"common header boilerplate unique{i} junk{i} tail{i} word{i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # every doc shares exactly one shingle: 'common header boilerplate'
+    uncapped = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", 3, threshold=0.01, max_doc_freq=None
+    )
+    assert uncapped.count() == 30 * 29 // 2  # quadratic hub blowup
+    capped = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", 3, threshold=0.01, max_doc_freq=5
+    )
+    assert capped.count() == 0  # hub dropped -> no candidates at all
+
+
+def test_ngram_jaccard_cap_keeps_real_dups(spark):
+    """Docs that are near-dups beyond the hub shingle still pair, with
+    Jaccard computed over the filtered universe."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, base), (1, base + " extra"), *[(i, f"common x{i} y{i} z{i} w{i}") for i in range(2, 40)]]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", 3, threshold=0.4, max_doc_freq=5
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (0, 1) in pairs
