@@ -115,6 +115,112 @@ def ann_lsh_topk(
     )
 
 
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """ANN build step: persist vectors with their LSH bucket as a
+    *physical partition column* (one directory per bucket).
+
+    This is what makes the probe sub-linear on disk, not just on CPU: a
+    probe filtering on ``bucket`` compiles to a partition-pruned scan that
+    never opens non-matching buckets' files (asserted by
+    tests/test_plans.py).  2^planes partitions; at 10⁹+ vectors pick
+    planes so each bucket is a few hundred MB."""
+    # 'b' prefix keeps partition-value type inference from reading the
+    # bit string "010110" back as the integer 10110
+    (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.concat(F.lit("b"), lsh_bucket(F.col(vec_col), planes)).alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_lsh_probe_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a :func:`build_lsh_index` table: partition-pruned scan of the
+    query's bucket directory only, then exact cosine top-k inside it."""
+    qb = "b" + _query_bucket(query_vec, planes)
+    q = _vec_lit(query_vec)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket") == qb)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF build step: persist vectors partitioned by inverted list."""
+    (
+        ivf_assign(df, centroids, vec_col)
+        .select(F.col(id_col), F.col(vec_col), F.col("ivf_list"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_list")
+        .parquet(path)
+    )
+
+
+def ann_ivf_probe_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    centroids: list[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` table: scan only the ``nprobe``
+    nearest lists' partitions."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype="float64")
+
+    def cos_np(c):
+        c = np.asarray(c, dtype="float64")
+        return float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c)))
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_np(centroids[i]))
+    probe = order[:nprobe]
+    q = _vec_lit(query_vec)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_list").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
 def _query_bucket(query_vec: Sequence[float], planes: int) -> str:
     """Driver-side bucket of the query vector (same arithmetic as
     hyperplane_weight — kept in exact int/float steps)."""

@@ -402,6 +402,45 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(e, qvec, k=10, planes=6)
 
 
+@query(
+    "sim_ann_indexed_probe",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+             array_to_string(list_transform(generate_series(0, 5), p ->
+               CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(v)), i ->
+                   v[i] * (CAST((p*73856093 + i*19349663) % 2000003 AS DOUBLE)
+                           / 1000001.5 - 1.0)),
+                 (a, x) -> a + x) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM v),
+    q AS (SELECT v, bucket FROM b WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS_SQL} AS cos
+    FROM b e, q
+    WHERE e.bucket = q.bucket
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN: build step writes the embeddings partitioned
+    by LSH bucket (one directory per bucket), probe is a partition-pruned
+    scan of the query's bucket only (tests/test_plans.py asserts the
+    pruning).  Same results as sim_ann_lsh_bucketed — the index changes
+    the physical plan, not the answer."""
+    import os
+    import tempfile
+
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    path = os.path.join(tempfile.gettempdir(), "mooncake_ann_idx")
+    S.build_lsh_index(e, path, planes=6)
+    return S.ann_lsh_probe_indexed(spark, path, qvec, k=10, planes=6)
+
+
 @query("sim_ann_ivf")  # rows-only: centroid seeding is engine-side logic
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: 8 seed centroids, probe the 2 nearest lists."""

@@ -80,11 +80,23 @@ _ROUND1_CHECKED = frozenset(
 )
 
 
+# Keys added after round 1: they queue BEHIND the round-1-unchecked tier so
+# they don't displace any of those 50 from the driver's checked window; they
+# rotate into the window in a later round (the local gate covers them now).
+_NEW_SINCE_ROUND1 = frozenset({"sim_ann_indexed_probe"})
+
+
 def _ordered(mapping: dict) -> dict:
-    """Round-1-unchecked keys first (registration order preserved per group)."""
-    first = {k: v for k, v in mapping.items() if k not in _ROUND1_CHECKED}
+    """Round-1-unchecked keys first, then post-round-1 additions, then
+    round-1-checked keys (registration order preserved per tier)."""
+    first = {
+        k: v
+        for k, v in mapping.items()
+        if k not in _ROUND1_CHECKED and k not in _NEW_SINCE_ROUND1
+    }
+    new = {k: v for k, v in mapping.items() if k in _NEW_SINCE_ROUND1}
     rest = {k: v for k, v in mapping.items() if k in _ROUND1_CHECKED}
-    return {**first, **rest}
+    return {**first, **new, **rest}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

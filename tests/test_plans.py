@@ -177,3 +177,56 @@ def test_q7_dual_role_dimension_broadcast(spark, queries):
     """q7 joins nation twice under different roles; both must broadcast."""
     df = queries["q7_volume_shipping"](spark, SF_DIR)
     assert I.broadcast_join_count(df) >= 4
+
+
+def test_ann_index_probe_partition_pruned(spark, tmp_path):
+    """The persisted LSH index must make a probe a partition-pruned scan:
+    the file scan reads ONLY the query's bucket directory (and the
+    results match the unindexed bucket scan exactly)."""
+    from pg_mooncake_spark.operators import similarity as S
+    from pg_mooncake_spark.queries.registry import t
+
+    e = t(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "annidx")
+    S.build_lsh_index(e, path, planes=6)
+
+    probe = S.ann_lsh_probe_indexed(spark, path, qvec, k=10, planes=6)
+    txt = I.plan_text(probe)
+    # partition pruning is visible as a PartitionFilters entry on bucket
+    m = __import__("re").search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "bucket" in m.group(1), txt
+    # and the scan must select a single partition of the 2^6 possible
+    import re as _re
+
+    sel = _re.search(r"partitions read: (\d+)", txt)
+    if sel:  # Spark prints this in formatted scan details
+        assert int(sel.group(1)) == 1, txt
+
+    got = [(r["vec_id"], r["cos"]) for r in probe.collect()]
+    want = [
+        (r["vec_id"], r["cos"])
+        for r in S.ann_lsh_topk(e, qvec, k=10, planes=6).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_index_probe_partition_pruned(spark, tmp_path):
+    from pg_mooncake_spark.operators import similarity as S
+    from pg_mooncake_spark.queries.registry import t
+
+    e = t(spark, SF_DIR, "embeddings")
+    cents = S.seed_centroids(e, nlist=8)
+    qvec = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "ivfidx")
+    S.build_ivf_index(e, path, cents)
+    probe = S.ann_ivf_probe_indexed(spark, path, qvec, cents, k=10, nprobe=2)
+    txt = I.plan_text(probe)
+    m = __import__("re").search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "ivf_list" in m.group(1), txt
+    got = [(r["vec_id"], r["cos"]) for r in probe.collect()]
+    want = [
+        (r["vec_id"], r["cos"])
+        for r in S.ann_ivf_topk(e, qvec, cents, k=10, nprobe=2).collect()
+    ]
+    assert got == want
