@@ -594,11 +594,16 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncorrelated scalar subquery + NOT EXISTS anti-join."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    # lazy global threshold: the 1-row aggregate broadcasts into a cross
+    # join instead of an eager .first() at plan-build time — one job, no
+    # driver round trip, and the query stays a pure DataFrame
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
     )
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
         .join(
             orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
             "c_custkey",

@@ -336,12 +336,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
         F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
     )
-    total = filtered.agg(dsum("l_extendedprice", 2)).first()[0]
-    threshold = total * 0.01
+    # lazy threshold: 1-row aggregate broadcast-cross-joined onto the
+    # per-part aggregate (no eager .first() at plan-build time)
+    total = filtered.agg((dsum("l_extendedprice", 2) * 0.01).alias("__threshold"))
     return (
         filtered.groupBy(F.col("l_partkey").alias("partkey"))
         .agg(dsum("l_extendedprice", 2).alias("part_value"))
-        .filter(F.col("part_value") > threshold)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__threshold"))
+        .drop("__threshold")
         .orderBy(F.desc("part_value"), "partkey")
     )
 
@@ -377,9 +380,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _rev_col().alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
-        revenue.filter(F.col("total_revenue") == max_rev)
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

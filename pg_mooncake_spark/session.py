@@ -52,8 +52,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffledHashJoinFactor", "3")
-        # timestamp[ns] parquet (events.ts) must not error; truncate to micros
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # timestamp[ns] parquet (events.ts) reads as long; queries rebuild
+        # a micros timestamp JVM-side (registry.t).  Set here once so the
+        # engine session never mutates conf mid-query; registry.t still
+        # sets it at runtime for driver-owned sessions built elsewhere.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
