@@ -37,7 +37,13 @@ class SyncCatalog:
             json.dump(data, f, indent=1)
         os.rename(tmp, self.path)
 
-    def register(self, table: str, source: Optional[str], path: str) -> None:
+    def register(
+        self,
+        table: str,
+        source: Optional[str],
+        path: str,
+        table_config: Optional[dict[str, Any]] = None,
+    ) -> None:
         with self._lock:
             data = self._load()
             if table in data:
@@ -47,6 +53,7 @@ class SyncCatalog:
                 "path": path,
                 "commit_version": None,   # last source version ingested
                 "flush_version": None,    # last mirror version durably committed
+                "table_config": table_config or {},
             }
             self._save(data)
 

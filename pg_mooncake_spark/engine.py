@@ -56,15 +56,56 @@ class MooncakeEngine:
         entry = self.catalog.get(name)
         return MoonTable(self.spark, entry["path"])
 
+    def _resolve_source_uri(self, uri: str, fmt: Optional[str]) -> DataFrame:
+        """Materialize an external source location as a DataFrame — the
+        analog of the reference's remote-source mirror (``create_table(dst,
+        src, src_uri)``, src/functions.rs:24-43): the mirrored table lives
+        elsewhere and is identified by URI.  Format is sniffed from the
+        on-disk layout (Delta log / Iceberg metadata / parquet) unless
+        given explicitly."""
+        from pg_mooncake_spark.sources.delta import read_delta
+        from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+        if fmt is None:
+            if os.path.isdir(os.path.join(uri, "_delta_log")):
+                fmt = "delta"
+            elif os.path.isdir(os.path.join(uri, "metadata")):
+                fmt = "iceberg"
+            else:
+                fmt = "parquet"
+        if fmt == "delta":
+            return read_delta(self.spark, uri)
+        if fmt == "iceberg":
+            return read_iceberg(self.spark, uri)
+        if fmt == "parquet":
+            return self.spark.read.parquet(uri)
+        if fmt == "csv":
+            return self.spark.read.options(header="true", inferSchema="true").csv(uri)
+        if fmt == "json":
+            return self.spark.read.json(uri)
+        raise ValueError(f"unsupported source format {fmt!r}")
+
     def create_table(
         self,
         dst: str,
         source_df: Optional[DataFrame] = None,
         source_name: Optional[str] = None,
+        source_uri: Optional[str] = None,
+        source_format: Optional[str] = None,
         primary_key: Optional[list[str]] = None,
+        table_config: Optional[dict[str, Any]] = None,
         backfill: bool = True,
     ) -> MoonTable:
         """Create a columnstore mirror (reference A1, src/functions.rs:24-43).
+
+        Source is one of: an in-session DataFrame, a registered table
+        name, or a ``source_uri`` pointing at an external location
+        (parquet dir / Delta table / Iceberg table / csv / json) — the
+        reference's remote-source form.  ``table_config`` is persisted in
+        the catalog per table (reference's ``table_config json`` arg,
+        src/functions.rs:25); honored keys: ``primary_key`` (fallback
+        when the argument is absent), everything else is carried for the
+        owner to read back.
 
         Schema is copied verbatim from the source DataFrame — the analog of
         the reference reading pg_attribute (src/functions.rs:204-228).
@@ -75,10 +116,16 @@ class MooncakeEngine:
         mt = MoonTable(self.spark, path)
         if source_df is None and source_name is not None:
             source_df = self.spark.table(source_name)
+        if source_df is None and source_uri is not None:
+            source_df = self._resolve_source_uri(source_uri, source_format)
         if source_df is None:
-            raise ValueError("need source_df or source_name")
+            raise ValueError("need source_df, source_name, or source_uri")
+        if primary_key is None and table_config:
+            primary_key = table_config.get("primary_key")
         mt.create(source_df.schema, primary_key=primary_key)
-        self.catalog.register(dst, source_name, path)
+        self.catalog.register(
+            dst, source_name or source_uri, path, table_config=table_config
+        )
         if backfill:
             v = mt.append(source_df, source_version=0)
             self.catalog.update_watermarks(dst, commit_version=0, flush_version=v)

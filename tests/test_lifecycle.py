@@ -290,3 +290,37 @@ def test_delete_where_rewrites_only_touched_files(spark, warehouse):
     mt.delete_where("k = -42")
     assert mt.latest_version() == v_before + 1
     assert {d["name"] for d in mt._snapshot(None)[0]} == before
+
+
+def test_create_table_from_source_uri_and_table_config(spark, warehouse, tmp_path):
+    """Remote-source mirror form (reference create_table(dst, src,
+    src_uri, table_config), src/functions.rs:24-43): the source is an
+    external location, format sniffed from layout; table_config persists
+    in the catalog and supplies the primary key."""
+    from pg_mooncake_spark.sources.delta import write_delta
+
+    eng = _engine(spark, warehouse)
+
+    # parquet dir source
+    pq_dir = str(tmp_path / "ext_pq")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.parquet(pq_dir)
+    eng.create_table(
+        "m_pq", source_uri=pq_dir, table_config={"primary_key": ["k"], "note": "x"}
+    )
+    assert sorted(r["k"] for r in eng.table("m_pq").collect()) == [1, 2]
+    entry = eng.catalog.get("m_pq")
+    assert entry["source"] == pq_dir
+    assert entry["table_config"] == {"primary_key": ["k"], "note": "x"}
+    # pk from table_config is live: merge works
+    eng.apply_changes(
+        "m_pq",
+        spark.createDataFrame([(2, "B", "U")], "k int, v string, __op string"),
+        source_version=1,
+    )
+    assert dict((r["k"], r["v"]) for r in eng.table("m_pq").collect())[2] == "B"
+
+    # delta source, format sniffed from _delta_log
+    dl = str(tmp_path / "ext_delta")
+    write_delta(spark.createDataFrame([(7, "z")], "k int, v string"), dl)
+    eng.create_table("m_dl", source_uri=dl)
+    assert [(r["k"], r["v"]) for r in eng.table("m_dl").collect()] == [(7, "z")]
