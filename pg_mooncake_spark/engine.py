@@ -36,6 +36,70 @@ from pg_mooncake_spark.storage import OP_COL, MoonTable
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
 
 
+def parse_table_name(name: str) -> str:
+    """Normalize a table identifier the way the reference's ``parse_table``
+    does (src/functions.rs:146-163): unquoted identifiers fold to
+    lowercase, double-quoted identifiers preserve case/spaces (with ``""``
+    as an escaped quote), at most one ``schema.`` qualifier, anything else
+    (injection characters, empty parts) rejected loudly.
+
+    Returns the canonical name, e.g. ``Public."My Table"`` → ``public.My
+    Table``.
+    """
+    parts: list[str] = []
+    i, n = 0, len(name)
+    while i < n:
+        if name[i] == '"':
+            j = i + 1
+            buf = []
+            while True:
+                if j >= n:
+                    raise ValueError(f"unterminated quote in identifier {name!r}")
+                if name[j] == '"':
+                    if j + 1 < n and name[j + 1] == '"':  # escaped quote
+                        buf.append('"')
+                        j += 2
+                        continue
+                    break
+                buf.append(name[j])
+                j += 1
+            part = "".join(buf)
+            if not part:
+                raise ValueError(f"empty quoted identifier in {name!r}")
+            parts.append(part)
+            i = j + 1
+        else:
+            j = i
+            while j < n and name[j] != ".":
+                j += 1
+            part = name[i:j]
+            if not _IDENT.match(part):
+                raise ValueError(f"invalid table identifier {name!r}")
+            parts.append(part.lower())
+            i = j
+        if i < n:
+            if name[i] != ".":
+                raise ValueError(f"invalid table identifier {name!r}")
+            i += 1
+            if i == n:
+                raise ValueError(f"trailing '.' in identifier {name!r}")
+    if not parts or len(parts) > 2:
+        raise ValueError(f"expected [schema.]table, got {name!r}")
+    return ".".join(parts)
+
+
+def _path_slug(canonical: str) -> str:
+    """Filesystem-safe storage directory for a canonical table name.
+    Plain identifiers map to themselves; anything else gets a sanitized
+    slug plus a short content hash so distinct names never collide."""
+    import hashlib
+
+    if _IDENT.match(canonical):
+        return canonical
+    slug = re.sub(r"[^A-Za-z0-9_]", "_", canonical)
+    return f"{slug}_{hashlib.md5(canonical.encode()).hexdigest()[:8]}"
+
+
 class MooncakeEngine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
@@ -45,15 +109,20 @@ class MooncakeEngine:
 
     # ------------------------------------------------------------ lifecycle
 
+    def _canon(self, name: str) -> str:
+        """Resolve a user-supplied identifier to its catalog key: an exact
+        catalog hit (already-canonical, e.g. 'My Table') wins; otherwise
+        normalize via parse_table_name."""
+        if name in self.catalog.list_tables():
+            return name
+        return parse_table_name(name)
+
     def _table_path(self, name: str) -> str:
-        if not _IDENT.match(name):
-            # parse_table parity (reference src/functions.rs:146-163):
-            # normalize, reject anything that isn't a plain identifier
-            raise ValueError(f"invalid table identifier {name!r}")
-        return os.path.join(self.warehouse, name)
+        # name is already canonical (parse_table_name)
+        return os.path.join(self.warehouse, _path_slug(name))
 
     def _moontable(self, name: str) -> MoonTable:
-        entry = self.catalog.get(name)
+        entry = self.catalog.get(self._canon(name))
         return MoonTable(self.spark, entry["path"])
 
     def _resolve_source_uri(self, uri: str, fmt: Optional[str]) -> DataFrame:
@@ -112,6 +181,9 @@ class MooncakeEngine:
         With ``backfill`` the current source snapshot is written before the
         change stream attaches (backfill-then-tail, SURVEY §2.B streaming).
         """
+        dst = parse_table_name(dst)
+        if dst in self.catalog.list_tables():
+            raise ValueError(f"mirror {dst!r} already registered")
         path = self._table_path(dst)
         mt = MoonTable(self.spark, path)
         if source_df is None and source_name is not None:
@@ -134,7 +206,7 @@ class MooncakeEngine:
     def drop_table(self, dst: str) -> None:
         """Mirror teardown (reference A6 drop trigger, src/functions.rs:45-82):
         deregister from the catalog, delete storage."""
-        entry = self.catalog.drop(dst)
+        entry = self.catalog.drop(self._canon(dst))
         if os.path.isdir(entry["path"]):
             shutil.rmtree(entry["path"])
 
@@ -161,6 +233,7 @@ class MooncakeEngine:
     ) -> int:
         """Apply one CDC batch (rows carry __op ∈ {I,U,D}) — the moonlink
         replication-apply analog.  Returns the new mirror version."""
+        dst = self._canon(dst)
         mt = self._moontable(dst)
         v = mt.merge(changes, source_version=source_version)
         self.catalog.update_watermarks(
@@ -169,6 +242,7 @@ class MooncakeEngine:
         return v
 
     def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
+        dst = self._canon(dst)
         mt = self._moontable(dst)
         v = mt.append(df, source_version=source_version)
         self.catalog.update_watermarks(
@@ -177,11 +251,13 @@ class MooncakeEngine:
         return v
 
     def update_where(self, dst: str, condition: str, assignments: dict[str, str]) -> int:
+        dst = self._canon(dst)
         v = self._moontable(dst).update_where(condition, assignments)
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 
     def delete_where(self, dst: str, condition: str) -> int:
+        dst = self._canon(dst)
         v = self._moontable(dst).delete_where(condition)
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
@@ -196,6 +272,7 @@ class MooncakeEngine:
         version; raises TimeoutError if the stream doesn't catch up."""
         import time as _time
 
+        dst = self._canon(dst)
         deadline = _time.monotonic() + timeout
         while True:
             entry = self.catalog.get(dst)
@@ -214,6 +291,7 @@ class MooncakeEngine:
         returns the mirror version covering every change applied so far.
         All our commits are synchronous, so this is the latest version —
         recorded so readers can pin it."""
+        dst = self._canon(dst)
         mt = self._moontable(dst)
         v = mt.latest_version()
         self.catalog.update_watermarks(dst, flush_version=v)
@@ -231,6 +309,7 @@ class MooncakeEngine:
         """Bulk-load external Parquet/CSV/JSON into a mirror (reference A3,
         src/functions.rs:118-130; format list CHANGELOG.md:24).  Schema is
         reconciled to the mirror's (cast + column order)."""
+        dst = self._canon(dst)
         mt = self._moontable(dst)
         reader = self.spark.read
         if options:
@@ -252,6 +331,7 @@ class MooncakeEngine:
         files; 'vacuum' also deletes unreferenced files; 'sort:<col>[,col]'
         range-clusters the rewrite so file stats ranges are disjoint
         (maximum pruning)."""
+        dst = self._canon(dst)
         mt = self._moontable(dst)
         if mode.startswith("sort:"):
             v = mt.optimize(sort_by=mode[len("sort:"):].split(","))
@@ -268,6 +348,7 @@ class MooncakeEngine:
         """Snapshot read of a mirror.  Default pins the mirror version that
         covers the session's last write (read-your-writes — the analog of
         pinning XactLastCommitEnd, reference src/duckdb_mooncake.rs:26-29)."""
+        name = self._canon(name)
         entry = self.catalog.get(name)
         mt = MoonTable(self.spark, entry["path"])
         if version is None:
@@ -281,7 +362,10 @@ class MooncakeEngine:
         'interception' is just name resolution; Catalyst is the executor)."""
         for name in self.catalog.list_tables():
             v = (pin or {}).get(name)
-            self.table(name, v).createOrReplaceTempView(name)
+            # non-plain canonical names (quoted/qualified) get a sanitized
+            # view alias — temp view names can't carry dots or spaces
+            view = name if _IDENT.match(name) else re.sub(r"[^A-Za-z0-9_]", "_", name)
+            self.table(name, v).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
 

@@ -324,3 +324,35 @@ def test_create_table_from_source_uri_and_table_config(spark, warehouse, tmp_pat
     write_delta(spark.createDataFrame([(7, "z")], "k int, v string"), dl)
     eng.create_table("m_dl", source_uri=dl)
     assert [(r["k"], r["v"]) for r in eng.table("m_dl").collect()] == [(7, "z")]
+
+
+def test_identifier_normalization(spark, warehouse):
+    """parse_table parity (reference src/functions.rs:146-163): unquoted
+    folds to lowercase, quoted preserves case/spaces, injection rejected."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.engine import parse_table_name
+
+    assert parse_table_name("Trades") == "trades"
+    assert parse_table_name('public."My Table"') == "public.My Table"
+    assert parse_table_name('"a""b"') == 'a"b'
+    for bad in ("x;drop", "a.b.c", '"', "a.", "", "1tbl", 'sch."".t'):
+        with _pytest.raises(ValueError):
+            parse_table_name(bad)
+
+    eng = _engine(spark, warehouse)
+    src = spark.createDataFrame([(1, "a")], "k int, v string")
+    eng.create_table("Trades", source_df=src, primary_key=["k"])
+    # same canonical table regardless of input case
+    assert eng.table("TRADES").count() == 1
+    eng.insert("trades", spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert eng.table("Trades").count() == 2
+    with _pytest.raises(ValueError, match="already registered"):
+        eng.create_table("TRADES", source_df=src)
+
+    # quoted identifier with a space: full lifecycle works; SQL sees a
+    # sanitized view alias
+    eng.create_table('"My Table"', source_df=src, primary_key=["k"])
+    assert eng.table('"My Table"').count() == 1
+    assert eng.sql("SELECT COUNT(*) AS n FROM My_Table").first()["n"] == 1
+    eng.drop_table('"My Table"')
