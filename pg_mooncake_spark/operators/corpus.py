@@ -1,0 +1,172 @@
+"""Corpus-construction operators for training-data pipelines: reproducible
+sampling, sequence packing, and token-window chunking (SURVEY.md §2.C
+extension surface — the steps between "deduped documents" and "training
+batches").
+
+Design rules shared with the dedup/similarity operators:
+- deterministic: every operator is a pure function of (row, parameters) —
+  re-running a 100 TB job reproduces the same sample/packing bit-for-bit,
+  and a DuckDB oracle can verify it (no Spark-specific RNG);
+- JVM-side only: md5/conv/window/slice built-ins, no Python in the path;
+- one shuffle max: sampling is a pure filter (no shuffle), stratified
+  sampling and packing shuffle once on their partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- sampling
+
+
+def hash_fraction(col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform fraction in [0, 1) from a key column.
+
+    First 8 hex chars of md5(key || '#seed') scaled by 16^8 — engine-
+    independent (DuckDB reproduces it exactly), uniform enough for
+    sampling, and stable across runs/cluster sizes, which Spark's
+    ``rand(seed)`` is NOT (row order dependence).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#{seed}"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(16**8))
+
+
+def sample_deterministic(
+    df: DataFrame, id_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Reproducible Bernoulli(rate) sample keyed on ``id_col``.
+
+    A pure filter: no shuffle, fully pushdown-friendly, and the same ids
+    are kept no matter how the data is partitioned — the property that
+    makes train/validation splits stable across pipeline re-runs.
+    """
+    return df.filter(hash_fraction(F.col(id_col), seed) < rate)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by deterministic hash order — balanced subsets (e.g.
+    per-language quotas) that survive re-runs.
+
+    One shuffle on the stratum key; row_number over (hash, id) picks the
+    same winners regardless of physical row order.
+    """
+    w = W.partitionBy(strata_col).orderBy(
+        hash_fraction(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+# -------------------------------------------------------------- packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    capacity: int,
+    shards: int = 64,
+) -> DataFrame:
+    """Assign documents to ~``capacity``-token training bins.
+
+    Capacity-quantized packing: within a deterministic hash shard,
+    documents are laid end-to-end in id order and the bin index is the
+    capacity quantile of each document's *starting* offset —
+    ``bin = floor(exclusive_cumsum(length) / capacity)``.  A document
+    straddling a boundary belongs to the bin where it starts (bins can
+    overrun by < one document; the tokenizer-side truncation handles the
+    tail — the standard fluid-packing approximation, chosen because exact
+    next-fit is a sequential fold that cannot scale out).
+
+    Scale: one shuffle on the shard key, one window pass per shard —
+    shards bound both skew and window state at 100 TB.
+
+    Output: id, shard, bin index, starting offset inside the bin.
+    """
+    # md5-derived shard (not xxhash64) so a DuckDB oracle reproduces it
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#shard"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(shards),
+    ).alias("shard")
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum(length_col).over(w) - F.col(length_col)).alias("__start")
+    return (
+        df.select(F.col(id_col), F.col(length_col), shard)
+        .select(
+            id_col,
+            length_col,
+            "shard",
+            F.floor(start / capacity).cast("bigint").alias("bin_idx"),
+            F.pmod(start, F.lit(capacity)).cast("bigint").alias("bin_offset"),
+        )
+    )
+
+
+# ------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_tokens`` with
+    ``overlap`` tokens carried between consecutive chunks.
+
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk is short rather than
+    padded.  Pure per-row explode (tokenize once, slice per chunk) — no
+    shuffle, linear output size, the standard pre-embedding step.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) chunks, minimum 1 for non-empty docs
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"), F.lit(1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("chunk_idx") * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size("__toks") - F.col("chunk_idx") * stride,
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )

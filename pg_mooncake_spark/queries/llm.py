@@ -623,6 +623,142 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_agg(e, 10, 5).orderBy("window_start")
 
 
+# --------------------------------------------------- corpus construction
+
+# DuckDB equivalent of operators/corpus.hash_fraction's md5-hex prefix:
+# first 8 hex chars of md5(expr) as a BIGINT
+def _h8(expr: str) -> str:
+    return (
+        "list_reduce(list_transform(string_split(substring(md5(" + expr + "), 1, 8), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+
+
+@query(
+    "corpus_sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST({_h8("CAST(doc_id AS VARCHAR) || '#7'")} AS DOUBLE)
+          / 4294967296.0 < 0.25
+    ORDER BY doc_id
+    """,
+)
+def corpus_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible Bernoulli sample (rate 0.25, seed 7): a pure filter on
+    an md5-derived fraction — same ids survive at any parallelism or row
+    order, unlike rand(seed).  The stable-split primitive for train/val."""
+    from pg_mooncake_spark.operators.corpus import sample_deterministic
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        sample_deterministic(d, "doc_id", 0.25, seed=7)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST({_h8("CAST(doc_id AS VARCHAR) || '#3'")} AS DOUBLE)
+                        / 4294967296.0, doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM r WHERE rn <= 5
+    ORDER BY doc_id
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language, picked by deterministic hash order —
+    balanced per-stratum quotas that survive re-runs.  One shuffle on the
+    stratum key."""
+    from pg_mooncake_spark.operators.corpus import sample_stratified
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        sample_stratified(d, "lang", "doc_id", 5, seed=3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST({_h8("CAST(doc_id AS VARCHAR) || '#shard'")} % 8 AS BIGINT) AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM d)
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor(start / 512) AS BIGINT) AS bin_idx,
+           CAST(start % 512 AS BIGINT) AS bin_offset
+    FROM c ORDER BY doc_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-quantized sequence packing: documents laid end-to-end in
+    id order within 8 hash shards, bin = capacity quantile of the doc's
+    starting offset (512-token bins).  One shuffle + one window pass per
+    shard — the scalable approximation of next-fit packing."""
+    from pg_mooncake_spark.operators.corpus import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    with_len = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(with_len, "doc_id", "n_tokens", 512, shards=8).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "corpus_chunking",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents WHERE doc_id % 10 = 0),
+    n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+                 greatest(CAST(ceil(CAST(len(tk) - 4 AS DOUBLE) / 8) AS BIGINT), 1)
+                   AS n_chunks
+          FROM d),
+    e AS (SELECT doc_id, tk, n,
+                 UNNEST(generate_series(0, n_chunks - 1)) AS i
+          FROM n)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(tk[CAST(i * 8 + 1 AS BIGINT) : CAST(i * 8 + 12 AS BIGINT)], ' ')
+             AS chunk_text,
+           CAST(least(12, n - i * 8) AS BIGINT) AS n_tokens
+    FROM e ORDER BY doc_id, chunk_idx
+    """,
+)
+def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (12-token windows, 4-token overlap): one
+    tokenize + per-row explode, no shuffle — the pre-embedding step of a
+    retrieval/training pipeline."""
+    from pg_mooncake_spark.operators.corpus import chunk_documents
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    out = chunk_documents(d, "text", "doc_id", chunk_tokens=12, overlap=4)
+    return (
+        out.select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "chunk_text",
+            "n_tokens",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 @query(
     "events_sessionization",
     oracle="""

@@ -83,7 +83,15 @@ _ROUND1_CHECKED = frozenset(
 # Keys added after round 1: they queue BEHIND the round-1-unchecked tier so
 # they don't displace any of those 50 from the driver's checked window; they
 # rotate into the window in a later round (the local gate covers them now).
-_NEW_SINCE_ROUND1 = frozenset({"sim_ann_indexed_probe"})
+_NEW_SINCE_ROUND1 = frozenset(
+    {
+        "sim_ann_indexed_probe",
+        "corpus_sample_deterministic",
+        "corpus_sample_stratified",
+        "corpus_pack_sequences",
+        "corpus_chunking",
+    }
+)
 
 
 def _ordered(mapping: dict) -> dict:
