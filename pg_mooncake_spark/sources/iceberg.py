@@ -66,14 +66,68 @@ def _latest_metadata(path: str) -> dict:
         return json.load(fh)
 
 
+def _resolve_path(p: str, table_root: str) -> str:
+    """Resolve a manifest/data-file URI against a possibly-relocated local
+    table: strip the file:// scheme; if the absolute path is gone, re-root
+    the /metadata/ or /data/ tail under the table directory."""
+    if p.startswith("file://"):
+        p = p[len("file://") :]
+    if os.path.exists(p):
+        return p
+    for marker in ("/metadata/", "/data/"):
+        idx = p.rfind(marker)
+        if idx >= 0:
+            candidate = os.path.join(table_root, p[idx + 1 :])
+            if os.path.exists(candidate):
+                return candidate
+    raise IcebergSupportError(f"referenced file not found: {p}")
+
+
+def _files_from_manifests(path: str, snap: dict) -> list[str]:
+    """Live data-file paths for a snapshot, by replaying its manifest
+    list → manifests (the real Iceberg read path, via the pure-Python
+    Avro reader).  Refuses row-level delete files rather than returning
+    rows they should have removed."""
+    from pg_mooncake_spark.sources.avro import AvroError, read_avro
+
+    try:
+        mlist_path = _resolve_path(snap["manifest-list"], path)
+        _, manifests = read_avro(mlist_path)
+        files: list[str] = []
+        for m in manifests:
+            manifest_path = _resolve_path(m["manifest_path"], path)
+            _, entries = read_avro(manifest_path)
+            is_delete_manifest = int(m.get("content") or 0) == 1
+            for e in entries:
+                if int(e.get("status") or 0) == 2:  # DELETED entry
+                    continue
+                df_ = e.get("data_file") or {}
+                if is_delete_manifest or int(df_.get("content") or 0) != 0:
+                    raise IcebergSupportError(
+                        "Iceberg snapshot carries row-level delete files; "
+                        "this reader cannot apply them — install iceberg-spark"
+                    )
+                fmt = str(df_.get("file_format") or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    raise IcebergSupportError(
+                        f"non-parquet Iceberg data file ({fmt}) not supported"
+                    )
+                files.append(_resolve_path(df_["file_path"], path))
+        return files
+    except AvroError as exc:
+        raise IcebergSupportError(f"failed to read Iceberg manifests: {exc}") from exc
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: Optional[int] = None
 ) -> DataFrame:
     """Read an external Iceberg table.
 
-    Full fidelity requires the iceberg-spark runtime; the fallback path
-    handles append-only tables by scanning data files, refusing (loudly)
-    whenever the raw scan could disagree with the manifests.
+    Preferred order: the iceberg-spark runtime if present; else the
+    manifest-chain read (pure-Python Avro, sources/avro.py — exact file
+    list, snapshot time travel, rewrite-safe); else, for manifest-less
+    static exports, a guarded raw directory scan that refuses whenever it
+    could disagree with the (absent) manifests.
     """
     if have_iceberg_runtime(spark):  # pragma: no cover - runtime absent here
         reader = spark.read.format("iceberg")
@@ -84,13 +138,24 @@ def read_iceberg(
     meta = _latest_metadata(path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     current = meta.get("current-snapshot-id")
+    sid = current if snapshot_id is None else snapshot_id
+    if snapshot_id is not None and snaps and snapshot_id not in snaps:
+        raise IcebergSupportError(
+            f"snapshot {snapshot_id} not in table history {sorted(snaps)}"
+        )
+    snap = snaps.get(sid)
+    if snap is not None and snap.get("manifest-list"):
+        files = _files_from_manifests(path, snap)
+        if not files:
+            raise IcebergSupportError(f"snapshot {sid} has no data files")
+        return spark.read.parquet(*files)
+
+    # manifest-less static export: guarded raw scan (current snapshot only)
     if snapshot_id is not None and snapshot_id != current:
         raise IcebergSupportError(
             f"snapshot {snapshot_id} is not the current snapshot ({current}); "
-            "the jar-less fallback cannot replay manifests for time travel — "
-            "install iceberg-spark"
+            "time travel needs manifests and this table has none"
         )
-    snap = snaps.get(current)
     summary = (snap or {}).get("summary", {})
     if int(summary.get("total-delete-files", 0) or 0) > 0:
         raise IcebergSupportError(

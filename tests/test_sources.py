@@ -252,7 +252,7 @@ def test_iceberg_fallback_refuses_time_travel(spark, tmp_path):
     from pg_mooncake_spark.sources.iceberg import IcebergSupportError, read_iceberg
 
     path = _stage_iceberg(spark, tmp_path / "ice")
-    with pytest.raises(IcebergSupportError, match="not the current snapshot"):
+    with pytest.raises(IcebergSupportError, match="not in table history"):
         read_iceberg(spark, path, snapshot_id=123)
 
 
@@ -266,3 +266,162 @@ def test_iceberg_metadata_version_sort_is_numeric(tmp_path):
         with open(os.path.join(path, "metadata", f"v{v}.metadata.json"), "w") as fh:
             json.dump({"marker": marker}, fh)
     assert _latest_metadata(path)["marker"] == "new"
+
+
+def test_avro_container_roundtrip(tmp_path):
+    """The pure-Python Avro layer must round-trip nested records, unions,
+    maps, arrays, negative/large varints, under both codecs."""
+    from pg_mooncake_spark.sources.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record", "name": "e", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sid", "type": ["null", "long"]},
+            {"name": "df", "type": {"type": "record", "name": "d", "fields": [
+                {"name": "path", "type": "string"},
+                {"name": "n", "type": "long"},
+                {"name": "pv", "type": {"type": "map", "values": ["null", "string"]}},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+            ]}},
+        ],
+    }
+    recs = [
+        {"status": 1, "sid": 777,
+         "df": {"path": "data/a.parquet", "n": -5, "pv": {"k": "1", "z": None},
+                "tags": ["x", "y"]}},
+        {"status": 2, "sid": None,
+         "df": {"path": "data/b.parquet", "n": 1234567890123, "pv": {}, "tags": []}},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_avro(p, schema, recs, codec=codec)
+        _, back = read_avro(p)
+        assert back == recs
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+_MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ]}},
+    ],
+}
+
+
+def _stage_iceberg_manifest_table(tmp_path):
+    """Two append snapshots + one rewrite snapshot, full manifest chain,
+    plus an orphaned parquet under data/ that manifests never reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_mooncake_spark.sources.avro import write_avro
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+
+    def data_file(name, ks):
+        p = os.path.join(root, "data", name)
+        pq.write_table(pa.table({"k": ks, "v": [f"r{k}" for k in ks]}), p)
+        return p
+
+    fa = data_file("a.parquet", [1, 2])
+    fb = data_file("b.parquet", [3])
+    fc = data_file("compacted.parquet", [1, 2, 3])
+    data_file("orphan.parquet", [99])
+
+    def manifest(name, entries):
+        p = os.path.join(root, "metadata", name)
+        write_avro(p, _MANIFEST_SCHEMA, entries)
+        return p
+
+    def entry(status, path, content=0):
+        return {"status": status, "snapshot_id": 1,
+                "data_file": {"content": content, "file_path": path,
+                              "file_format": "PARQUET", "record_count": 1}}
+
+    m1 = manifest("m1.avro", [entry(1, fa)])
+    m2 = manifest("m2.avro", [entry(0, fa), entry(1, fb)])
+    m3 = manifest("m3.avro", [entry(2, fa), entry(2, fb), entry(1, fc)])
+
+    def mlist(name, paths, content=0):
+        p = os.path.join(root, "metadata", name)
+        write_avro(
+            p,
+            _MANIFEST_LIST_SCHEMA,
+            [{"manifest_path": mp, "manifest_length": os.path.getsize(mp),
+              "content": content, "added_snapshot_id": 1} for mp in paths],
+        )
+        return p
+
+    snapshots = [
+        {"snapshot-id": 1, "manifest-list": mlist("snap-1.avro", [m1]), "summary": {}},
+        {"snapshot-id": 2, "manifest-list": mlist("snap-2.avro", [m2]), "summary": {}},
+        {"snapshot-id": 3, "manifest-list": mlist("snap-3.avro", [m3]), "summary": {}},
+    ]
+    meta = {"format-version": 2, "current-snapshot-id": 3, "snapshots": snapshots}
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    return root
+
+
+def test_iceberg_manifest_read_and_time_travel(spark, tmp_path):
+    """Manifest-chain reads: exact file list per snapshot (orphans under
+    data/ ignored), snapshot_id time travel across appends AND rewrites."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    root = _stage_iceberg_manifest_table(tmp_path)
+    assert sorted(r["k"] for r in read_iceberg(spark, root).collect()) == [1, 2, 3]
+    assert sorted(
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=1).collect()
+    ) == [1, 2]
+    assert sorted(
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=2).collect()
+    ) == [1, 2, 3]
+    # rewrite snapshot must not double-count pre-compaction files
+    got = sorted(r["k"] for r in read_iceberg(spark, root, snapshot_id=3).collect())
+    assert got == [1, 2, 3]
+
+
+def test_iceberg_manifest_refuses_delete_files(spark, tmp_path):
+    from pg_mooncake_spark.sources.avro import write_avro
+    from pg_mooncake_spark.sources.iceberg import IcebergSupportError, read_iceberg
+
+    root = _stage_iceberg_manifest_table(tmp_path)
+    # add a delete manifest (content=1) to a new snapshot 4
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_path))
+    dm = os.path.join(root, "metadata", "mdel.avro")
+    write_avro(
+        dm,
+        _MANIFEST_SCHEMA,
+        [{"status": 1, "snapshot_id": 4,
+          "data_file": {"content": 1, "file_path": os.path.join(root, "data", "del.parquet"),
+                        "file_format": "PARQUET", "record_count": 1}}],
+    )
+    ml = os.path.join(root, "metadata", "snap-4.avro")
+    write_avro(
+        ml,
+        _MANIFEST_LIST_SCHEMA,
+        [{"manifest_path": dm, "manifest_length": os.path.getsize(dm),
+          "content": 1, "added_snapshot_id": 4}],
+    )
+    meta["snapshots"].append({"snapshot-id": 4, "manifest-list": ml, "summary": {}})
+    meta["current-snapshot-id"] = 4
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(IcebergSupportError, match="delete files"):
+        read_iceberg(spark, root)
