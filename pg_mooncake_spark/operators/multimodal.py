@@ -78,8 +78,10 @@ def _decode_image_bytes(raw: bytes):
 
 def _fake_decode(raw: bytes) -> tuple[int, int, int, float, str]:
     """Deterministic content-derived fake: dimensions, channels, mean
-    intensity and a perceptual-hash stand-in from sha1(content)."""
-    h = hashlib.sha1(raw).digest()
+    intensity and a perceptual-hash stand-in from sha256(content).
+    sha256 (not sha1) so a DuckDB oracle can recompute every feature —
+    the whole Arrow/mapInPandas path becomes hash-checkable."""
+    h = hashlib.sha256(raw).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     channels = 1 + h[2] % 3
@@ -157,7 +159,9 @@ def sample_frames(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Video frame-sampling stub: one output row per sampled frame
-    (media_id, frame_idx, content).  Fake frames are sha1(content || idx)."""
+    (media_id, frame_idx, content).  Fake frames are
+    sha256(content || str(idx)) — a text salt so the oracle can rebuild
+    the exact frame bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,7 +176,7 @@ def sample_frames(
                     raise NotImplementedError("real frame sampling requires cv2")
                 n_frames = max(1, len(raw) // max(every_n, 1))
                 for i in range(min(n_frames, max_frames)):
-                    frame = hashlib.sha1(raw + bytes([i])).digest()
+                    frame = hashlib.sha256(raw + str(i).encode()).digest()
                     rows.append((mid, i * every_n, frame))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "content"])
 

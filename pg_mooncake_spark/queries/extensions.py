@@ -183,24 +183,38 @@ def media_resize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_distinct")  # rows-only: sketch binaries are engine-specific
+@query(
+    "sketch_hll_distinct",
+    oracle="""
+    SELECT TRUE AS users_within_tol, COUNT(*) AS total_events FROM events
+    """,
+)
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL, built
     into Spark): per-group sketches union into a global estimate without
     re-scanning — the 100 TB pattern for incremental distinct counts
-    (store a sketch per partition/day, merge at query time)."""
+    (store a sketch per partition/day, merge at query time).
+
+    The sketch binary is engine-specific, so the oracle-checkable output
+    is the assertion: merged estimate within ±5% of the exact distinct
+    count, plus the exact total (same trick as
+    agg_approx_count_distinct)."""
     e = t(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n"),
     )
-    return (
-        per_type.agg(
-            F.hll_union_agg("sk").alias("merged"),
-            F.sum("n").alias("total_events"),
-        )
-        .select(
-            F.hll_sketch_estimate("merged").alias("approx_users"),
-            "total_events",
-        )
+    merged = per_type.agg(
+        F.hll_union_agg("sk").alias("merged"),
+        F.sum("n").alias("total_events"),
+    ).select(
+        F.hll_sketch_estimate("merged").alias("approx_users"),
+        "total_events",
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        F.col("approx_users")
+        .between(F.col("exact_users") * 0.95, F.col("exact_users") * 1.05)
+        .alias("users_within_tol"),
+        "total_events",
     )

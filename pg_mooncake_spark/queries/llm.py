@@ -541,9 +541,60 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_quality_scoring")  # rows-only: composite formula is ours
+@query(
+    "text_quality_scoring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens_ws,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                  AS BIGINT) AS n_tokens_bpe,
+             ROUND(CASE WHEN len(tk) > 0 THEN
+               CAST(list_reduce(list_transform(tk, t -> CAST(length(t) AS BIGINT)),
+                                (a, b) -> a + b) AS DOUBLE) / len(tk)
+               ELSE 0.0 END, 6) AS mean_token_len,
+             ROUND(CASE WHEN len(tk) > 0 THEN
+               CAST(len(list_filter(tk, t -> list_contains(
+                 ['the','and','of','to','is','with','that'], t))) AS DOUBLE) / len(tk)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+             ROUND(CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+             list_reduce(list_transform(string_split(text, ''),
+                         c -> CAST(ord(c) AS BIGINT)),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+             len(list_filter(tk, t -> list_contains(
+               ['der','die','und','das','ist','mit','ein'], t))) AS s_de,
+             len(list_filter(tk, t -> list_contains(
+               ['the','and','of','to','is','with','that'], t))) AS s_en,
+             len(list_filter(tk, t -> list_contains(
+               ['el','la','los','que','es','una','con'], t))) AS s_es,
+             len(list_filter(tk, t -> list_contains(
+               ['le','la','les','et','est','une','des'], t))) AS s_fr
+      FROM toks)
+    SELECT doc_id, n_tokens_ws, n_tokens_bpe, mean_token_len, stopword_ratio,
+           punct_ratio,
+           ROUND((least(CAST(n_tokens_ws AS DOUBLE) / 64.0, 1.0)
+                  + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0
+                         THEN 1.0 ELSE 0.5 END
+                  + least(stopword_ratio * 5.0, 1.0)) / 3.0, 6) AS quality,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           fingerprint
+    FROM feat ORDER BY doc_id
+    """,
+)
 def text_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score + full profile (language, fingerprint)."""
+    """Composite quality score + full profile (language, fingerprint).
+    Every output — including the composite score — is deterministic
+    integer/double arithmetic, so the full profile is oracle-checked."""
     d = t(spark, sf_dir, "documents")
     return X.text_profile(d, "text", "doc_id").orderBy("doc_id")
 
@@ -551,11 +602,46 @@ def text_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ multimodal
 
 
-@query("media_feature_extraction")  # rows-only: Pandas-UDF decode stub
+_MEDIA_KIND_SQL = """
+      CASE WHEN doc_id % 3 = 0 THEN 'image'
+           WHEN doc_id % 3 = 1 THEN 'audio'
+           ELSE 'video' END
+"""
+
+# byte i (1-based) of a sha256 hex digest, as BIGINT
+_HEXBYTE = (
+    "CAST(strpos('0123456789abcdef', substring(hx, 2*{i}-1, 1)) - 1 AS BIGINT) * 16"
+    " + CAST(strpos('0123456789abcdef', substring(hx, 2*{i}, 1)) - 1 AS BIGINT)"
+)
+
+
+@query(
+    "media_feature_extraction",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind, text
+      FROM documents WHERE doc_id < 100),
+    h AS (SELECT media_id, kind, sha256(text) AS hx FROM media),
+    b AS (SELECT media_id, kind, hx,
+                 list_transform(generate_series(1, 11),
+                   i -> {_HEXBYTE.format(i="i")}) AS by
+          FROM h)
+    SELECT media_id, kind,
+           CAST(64 + by[1] % 192 AS INT) AS width,
+           CAST(64 + by[2] % 192 AS INT) AS height,
+           CAST(1 + by[3] % 3 AS INT) AS n_channels,
+           ROUND(CAST(by[4]+by[5]+by[6]+by[7]+by[8]+by[9]+by[10]+by[11] AS DOUBLE)
+                 / 2040.0, 6) AS mean_intensity,
+           substring(hx, 1, 16) AS phash
+    FROM b ORDER BY media_id
+    """,
+)
 def media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → mapInPandas decode
-    (deterministic fake — container has no codecs) → typed features.
-    The Arrow batch path, schema and partitioning are real."""
+    (deterministic sha256 fake — container has no codecs) → typed
+    features.  Oracle-checked end-to-end: DuckDB recomputes every
+    feature from the same bytes, so a flipped byte anywhere in the
+    Arrow/mapInPandas round trip fails the hash compare."""
     from pg_mooncake_spark.operators.multimodal import (
         extract_features,
         media_from_documents,
@@ -565,9 +651,24 @@ def media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).orderBy("media_id")
 
 
-@query("media_frame_sampling")  # rows-only: Pandas-UDF stub
+@query(
+    "media_frame_sampling",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind, text
+      FROM documents WHERE doc_id < 60),
+    v AS (SELECT media_id, text,
+                 least(greatest(octet_length(encode(text)) // 50, 1), 3) AS nf
+          FROM media WHERE kind = 'video'),
+    f AS (SELECT media_id, text, UNNEST(generate_series(0, nf - 1)) AS i FROM v)
+    SELECT media_id, CAST(i * 50 AS INT) AS frame_idx,
+           sha256(text || CAST(i AS VARCHAR)) AS frame_hex
+    FROM f ORDER BY media_id, frame_idx
+    """,
+)
 def media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling stub: one row per pseudo-frame via mapInPandas."""
+    """Video frame-sampling stub: one row per pseudo-frame via
+    mapInPandas; frame bytes oracle-checked (sha256 of content + index)."""
     from pg_mooncake_spark.operators.multimodal import (
         media_from_documents,
         sample_frames,
@@ -576,7 +677,7 @@ def media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(t(spark, sf_dir, "documents"), n=60)
     return (
         sample_frames(media, every_n=50, max_frames=3)
-        .select("media_id", "frame_idx", F.sha2("content", 256).alias("frame_sha"))
+        .select("media_id", "frame_idx", F.lower(F.hex("content")).alias("frame_hex"))
         .orderBy("media_id", "frame_idx")
     )
 
