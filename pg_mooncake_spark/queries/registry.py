@@ -128,6 +128,9 @@ def _load_all() -> None:
     import pg_mooncake_spark.queries.extensions  # noqa: F401
 
 
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (columnar parquet scan).
 
@@ -135,16 +138,33 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet reader rejects (PARQUET_TYPE_ILLEGAL).  We read nanos as a
     long (legacy conf, runtime-settable) and rebuild a microsecond
     timestamp JVM-side — no Python round trip.
+
+    ``SPARK_GRAFT_CACHE_TABLES=1`` opts into a session-shared dataset
+    cache (df.persist per table): a workload running many queries over
+    the same tables pays each scan once — the local analog of a
+    warehouse's shared buffer pool.  Off by default so single-query runs
+    and the correctness gate measure the cold path.
     """
+    import os as _os
+
+    cache_on = _os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+    key = (sf_dir, name)
+    if cache_on and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return (
+        df = (
             spark.read.parquet(f"{sf_dir}/{name}.parquet")
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if cache_on:
+        df = df.persist()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
