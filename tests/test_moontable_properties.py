@@ -91,3 +91,40 @@ def test_merge_matches_model(spark, tmp_path_factory, script):
     # compaction must not change content
     mt.optimize()
     assert {r["k"]: r["v"] for r in mt.read().collect()} == model
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Two writers racing to the same version: the second commit must fail
+    loudly (rename-into-place is the atomicity barrier), and the table
+    must stay readable at the winner's state."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.storage import MoonTableError
+
+    path = str(tmp_path / "t")
+    mt = MoonTable(spark, path)
+    mt.create(SCHEMA, primary_key=["k"])
+    mt.append(spark.createDataFrame([(1, 10)], SCHEMA))
+
+    # simulate a racing writer that claimed version 2 first
+    import json as _json
+    import os as _os
+
+    winner = _os.path.join(path, "_moonlog", f"{2:010d}.json")
+    with open(winner, "w") as fh:
+        fh.write(_json.dumps({
+            "version": 2, "op": "append", "add": [], "remove": [],
+            "schema": None, "primary_key": None, "source_version": None,
+            "ts": 0.0,
+        }))
+    # a loser that computed version 2 before the winner's rename landed
+    from pg_mooncake_spark.storage import Commit
+
+    with _pytest.raises(MoonTableError, match="concurrent commit"):
+        mt._write_commit(Commit(version=2, op="append"))
+    # winner's commit is current; the loser left no partial log entry
+    assert mt.latest_version() == 2
+    assert sorted(r["k"] for r in mt.read().collect()) == [1]
+    import glob as _glob
+
+    assert not _glob.glob(_os.path.join(path, "_moonlog", "*.tmp.*"))

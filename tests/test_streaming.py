@@ -224,3 +224,38 @@ def test_sync_restart_resume_exactly_once(spark, tmp_path):
 
     rows = sorted((r["k"], r["v"]) for r in eng.table("rst").collect())
     assert rows == [(2, "b2"), (3, "c"), (4, "d")]
+
+
+def test_streaming_exact_dedup_keeps_first(spark, tmp_path):
+    """Exact dedup as a streaming job: duplicate content arriving in later
+    micro-batches must be dropped by the state store."""
+    import datetime
+
+    stream_dir = str(tmp_path / "docs")
+    os.makedirs(stream_dir)
+    t0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows1 = [(1, "alpha beta", t0), (2, "gamma", t0)]
+    rows2 = [(3, "alpha beta", t0), (4, "delta", t0)]  # 3 duplicates 1
+    schema = "doc_id int, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        jobs.streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.table("dedup_sink").collect())
+    # exactly one of {1, 3} survives (first seen wins), both 2 and 4 do
+    assert 2 in got and 4 in got
+    assert len([i for i in got if i in (1, 3)]) == 1
+    assert len(got) == 3
