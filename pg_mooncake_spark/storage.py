@@ -443,15 +443,24 @@ class MoonTable:
         return self.overwrite(df)
 
     def vacuum(self) -> int:
-        """Remove data files no longer referenced by the latest snapshot.
+        """Remove data files no longer referenced by the latest snapshot,
+        plus staging directories orphaned by crashed writers (a writer
+        that died between staging and commit leaves ``_staging_*`` —
+        invisible to readers, but disk it holds must be reclaimable).
 
         (Time travel to pre-vacuum versions is forfeited — same contract
         as Delta VACUUM.)"""
+        import shutil as _shutil
+
         live = {d["name"] for d in self._snapshot(None)[0]}
         removed = 0
         for f in os.listdir(self.path):
+            full = os.path.join(self.path, f)
             if f.endswith(".parquet") and f not in live:
-                os.remove(os.path.join(self.path, f))
+                os.remove(full)
+                removed += 1
+            elif f.startswith("_staging_") and os.path.isdir(full):
+                _shutil.rmtree(full)
                 removed += 1
         return removed
 

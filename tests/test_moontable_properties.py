@@ -128,3 +128,20 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     import glob as _glob
 
     assert not _glob.glob(_os.path.join(path, "_moonlog", "*.tmp.*"))
+
+
+def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
+    """A writer that died between staging and commit leaves _staging_*;
+    vacuum must reclaim it without touching live data."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    mt = MoonTable(spark, path)
+    mt.create(SCHEMA, primary_key=["k"])
+    mt.append(spark.createDataFrame([(1, 10)], SCHEMA))
+    crashed = _os.path.join(path, "_staging_deadbeef")
+    _os.makedirs(crashed)
+    open(_os.path.join(crashed, "part-0.parquet"), "wb").close()
+    assert mt.vacuum() >= 1
+    assert not _os.path.isdir(crashed)
+    assert [r["k"] for r in mt.read().collect()] == [1]

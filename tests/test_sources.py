@@ -277,6 +277,11 @@ def test_avro_container_roundtrip(tmp_path):
         "type": "record", "name": "e", "fields": [
             {"name": "status", "type": "int"},
             {"name": "sid", "type": ["null", "long"]},
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+                                      "symbols": ["DATA", "DELETES"]}},
+            {"name": "sync", "type": {"type": "fixed", "name": "S", "size": 4}},
+            {"name": "ok", "type": "boolean"},
+            {"name": "score", "type": "double"},
             {"name": "df", "type": {"type": "record", "name": "d", "fields": [
                 {"name": "path", "type": "string"},
                 {"name": "n", "type": "long"},
@@ -286,10 +291,12 @@ def test_avro_container_roundtrip(tmp_path):
         ],
     }
     recs = [
-        {"status": 1, "sid": 777,
+        {"status": 1, "sid": 777, "kind": "DATA", "sync": b"\x00\x01\x02\x03",
+         "ok": True, "score": -2.5,
          "df": {"path": "data/a.parquet", "n": -5, "pv": {"k": "1", "z": None},
                 "tags": ["x", "y"]}},
-        {"status": 2, "sid": None,
+        {"status": 2, "sid": None, "kind": "DELETES", "sync": b"\xff\xfe\xfd\xfc",
+         "ok": False, "score": 0.0,
          "df": {"path": "data/b.parquet", "n": 1234567890123, "pv": {}, "tags": []}},
     ]
     for codec in ("null", "deflate"):
