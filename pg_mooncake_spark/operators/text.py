@@ -11,11 +11,15 @@ Two layers:
   Columns, but every use re-tokenizes the text — and nested when-chains
   (argmax) duplicate sub-expressions combinatorially.  Fine for a single
   feature, pathological for a profile.
-- DataFrame-level ``token_stats`` / ``text_profile``: tokenize ONCE via
-  explode + groupBy(id) with partial aggregation, then derive every
-  token-based feature from the aggregated columns.  Measured ~20× faster
-  than the all-expression profile on real documents, and the shuffle is
-  only #docs × a few longs — the shape that survives 100 TB.
+- DataFrame-level ``text_profile``: one struct-accumulator fold over the
+  token array computes every token statistic in a single pass, and an
+  ``explode(array(...))`` generator barrier stops CollapseProject from
+  inlining that fold into each downstream field reference (Catalyst's
+  common-subexpression elimination does not cover higher-order lambdas).
+  The whole profile is then MAP-ONLY: zero shuffles, embarrassingly
+  parallel at any scale.  (``token_stats`` keeps the explode+groupBy
+  alternative — same results, one shuffle — for callers that want the
+  exploded token relation anyway.)
 """
 
 from __future__ import annotations
@@ -178,26 +182,58 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def token_struct_stats(text: Column) -> Column:
+    """Every token-derived statistic in ONE fold over the token array:
+    struct(n, chars, s_de, s_en, s_es, s_fr).  Must be read through a
+    generator barrier (see :func:`text_profile`) or CollapseProject will
+    re-run the fold once per field consumer."""
+    toks = tokens(text)
+    fields = ("n", "chars", "s_de", "s_en", "s_es", "s_fr")
+    zero = F.struct(*[F.lit(0).cast("bigint").alias(k) for k in fields])
+
+    def step(acc: Column, t: Column) -> Column:
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["chars"] + F.length(t)).alias("chars"),
+            *[
+                (
+                    acc[f"s_{lang}"]
+                    + F.when(t.isin(*LID_MARKERS[lang]), 1).otherwise(0).cast("bigint")
+                ).alias(f"s_{lang}")
+                for lang in ("de", "en", "es", "fr")
+            ],
+        )
+
+    return F.aggregate(toks, zero, step)
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Full text analysis: counts, quality features + score, LID,
-    fingerprint — one tokenization pass + one per-row expression pass,
-    joined on id (co-partitioned shuffle join)."""
+    fingerprint — a single map-only pass.
+
+    The struct fold computes all token statistics at once; the
+    ``explode(array(...))`` wraps it in a Generate node, which is a
+    CollapseProject barrier, so the fold runs exactly once per row no
+    matter how many output columns read it.  Zero shuffles — at 100 TB
+    the profile is embarrassingly parallel (the previous shape paid a
+    two-sided shuffle join of #docs rows)."""
     c = F.col(text_col)
-    per_doc = df.select(
+    base = df.select(
         F.col(id_col),
         token_count_bpe_ish(c).alias("n_tokens_bpe"),
         F.length(c).cast("double").alias("_n_chars"),
         F.length(F.regexp_replace(c, "[^.,;:!?]", "")).cast("double").alias("_punct"),
         fingerprint(c).alias("fingerprint"),
+        token_struct_stats(c).alias("_st0"),
     )
-    st = token_stats(df, text_col, id_col)
-    n_tok = F.col("n_tokens_ws").cast("double")
+    b = base.select("*", F.explode(F.array("_st0")).alias("_st")).drop("_st0")
+    n_tok = F.col("_st.n").cast("double")
     mean_token_len = F.round(
-        F.when(n_tok > 0, F.col("_tok_chars").cast("double") / n_tok).otherwise(0.0),
+        F.when(n_tok > 0, F.col("_st.chars").cast("double") / n_tok).otherwise(0.0),
         6,
     )
     stopword_ratio = F.round(
-        F.when(n_tok > 0, F.col("_s_en").cast("double") / n_tok).otherwise(0.0), 6
+        F.when(n_tok > 0, F.col("_st.s_en").cast("double") / n_tok).otherwise(0.0), 6
     )
     punct_ratio = F.round(
         F.when(F.col("_n_chars") > 0, F.col("_punct") / F.col("_n_chars")).otherwise(
@@ -205,27 +241,17 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         6,
     )
-    lang_pred = _argmax_lang(
-        {lang: F.col(f"_s_{lang}") for lang in LID_MARKERS}
-    )
-    return (
-        per_doc.join(st, id_col)
-        .withColumn("mean_token_len", mean_token_len)
-        .withColumn("stopword_ratio", stopword_ratio)
-        .withColumn("punct_ratio", punct_ratio)
-        .select(
-            id_col,
-            "n_tokens_ws",
-            "n_tokens_bpe",
-            "mean_token_len",
-            "stopword_ratio",
-            "punct_ratio",
-            _quality_from(
-                F.col("n_tokens_ws"),
-                F.col("mean_token_len"),
-                F.col("stopword_ratio"),
-            ).alias("quality"),
-            lang_pred.alias("lang_pred"),
-            "fingerprint",
-        )
+    lang_pred = _argmax_lang({lang: F.col(f"_st.s_{lang}") for lang in LID_MARKERS})
+    return b.select(
+        id_col,
+        F.col("_st.n").alias("n_tokens_ws"),
+        "n_tokens_bpe",
+        mean_token_len.alias("mean_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        _quality_from(F.col("_st.n"), mean_token_len, stopword_ratio).alias(
+            "quality"
+        ),
+        lang_pred.alias("lang_pred"),
+        "fingerprint",
     )

@@ -230,3 +230,12 @@ def test_ivf_index_probe_partition_pruned(spark, tmp_path):
         for r in S.ann_ivf_topk(e, qvec, cents, k=10, nprobe=2).collect()
     ]
     assert got == want
+
+
+def test_text_profile_is_map_only(spark):
+    """The full text profile must compile to a shuffle-free plan (struct
+    fold + generator barrier) — embarrassingly parallel at any scale."""
+    from pg_mooncake_spark.operators.text import text_profile
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert I.exchange_count(text_profile(d, "text", "doc_id")) == 0
