@@ -87,51 +87,45 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signatures: sig[s] = min over shingles of hash(shingle, s).
 
-    Production path hashes each shingle string ONCE (``xxhash64``), then
-    derives the ``num_hashes`` family members by re-hashing the resulting
-    long with the seed — a fixed 8-byte input instead of ``num_hashes``
-    full string hashes (~25% faster end-to-end at 16 hashes, measured
-    in-session at sf0.1; the win grows with num_hashes and shingle
-    length).  ``use_md5`` switches to min of md5 hex strings — slower but
-    reproducible in any engine (oracle mode).
+    MAP-ONLY shape: the shingle array is hashed once per row (``xxhash64``
+    per shingle; shingle strings kept verbatim in md5 oracle mode),
+    materialized through an ``explode(array(...))`` generator barrier —
+    Catalyst's CollapseProject would otherwise inline the shingling into
+    every signature position, re-shingling each row ``num_hashes``×
+    (measured ~5× slower; common-subexpression elimination does not
+    cover higher-order lambdas) — then each family member is an
+    ``array_min`` over cheap re-hashes of the materialized values (for
+    xxhash64: a fixed 8-byte re-hash per seed instead of ``num_hashes``
+    full string hashes).  Zero shuffles: ~20% faster than the previous
+    explode+groupBy shape at sf0.1 (in-session A/B) and strictly better
+    at scale — no #docs × num_hashes aggregation exchange at all.
 
-    Shape: explode shingles → groupBy(id) with ``num_hashes`` MIN
-    aggregates → re-assemble the array.  The naive alternative — one
-    ``array_min(transform(shingles, hash_s))`` column per seed over a
-    shingle-array column — looks cheaper (no shuffle) but Catalyst's
-    CollapseProject inlines the shingle expression into all 16 consumers,
-    re-shingling every row 16× (measured ~5× slower; common-subexpression
-    elimination does not cover higher-order lambdas).  Here the explode
-    evaluates shingling exactly once by construction, and partial
-    aggregation reduces the shuffle to #docs × num_hashes longs.
+    Empty docs produce an all-NULL signature (``array_min`` over an
+    empty array), exactly as the aggregation shape did.
     """
-
-    # explode_outer keeps zero-shingle docs (they aggregate to an
-    # all-NULL signature, same as array_min over an empty array)
-    ex = df.select(
-        F.col(id_col),
-        F.explode_outer(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
-    )
     if use_md5:
-        def hasher(s: int) -> Column:
-            return F.md5(F.concat(F.col("_sh"), F.lit(f"#{s}")))
+        hashed = word_shingles(F.col(text_col), shingle_k)
+
+        def member(s: int) -> Column:
+            return F.array_min(
+                F.transform("_hs", lambda x: F.md5(F.concat(x, F.lit(f"#{s}"))))
+            )
+
     else:
-        ex = ex.withColumn("_h64", F.xxhash64("_sh"))
-
-        def hasher(s: int) -> Column:
-            return F.xxhash64(F.col("_h64"), F.lit(s))
-
-    mins = [
-        F.min(F.when(F.col("_sh").isNotNull(), hasher(s))).alias(f"_h{s}")
-        for s in range(num_hashes)
-    ]
-    return (
-        ex.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            id_col,
-            F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("signature"),
+        hashed = F.transform(
+            word_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
         )
+
+        def member(s: int) -> Column:
+            return F.array_min(
+                F.transform("_hs", lambda h: F.xxhash64(h, F.lit(s)))
+            )
+
+    base = df.select(F.col(id_col), hashed.alias("_hs0"))
+    barrier = base.select("*", F.explode(F.array("_hs0")).alias("_hs")).drop("_hs0")
+    return barrier.select(
+        id_col,
+        F.array(*[member(s) for s in range(num_hashes)]).alias("signature"),
     )
 
 
