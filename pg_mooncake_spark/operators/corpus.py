@@ -72,6 +72,37 @@ def sample_stratified(
     )
 
 
+def mix_corpora(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic data mixture: keep each source's rows at its weight
+    (Bernoulli on the id hash), tagged with a reproducible ``mix_order``
+    for downstream interleaving.  Sources absent from ``weights`` are
+    dropped (weight 0).
+
+    The standard pretraining-mixture step ("2 parts web, 1 part code,
+    0.1 part forums") as a pure filter — no shuffle, stable under
+    re-runs and re-partitioning, and the weights are auditable in the
+    plan.  Weights > 1 are capped at 1 (upsampling needs an explode —
+    deliberate, so accidental duplication can't happen silently).
+    """
+    keep = None
+    for src, w in weights.items():
+        clause = (F.col(source_col) == F.lit(src)) & (
+            hash_fraction(F.col(id_col), seed) < min(float(w), 1.0)
+        )
+        keep = clause if keep is None else (keep | clause)
+    if keep is None:
+        raise ValueError("weights must name at least one source")
+    return df.filter(keep).withColumn(
+        "mix_order", hash_fraction(F.col(id_col), seed + 1)
+    )
+
+
 # -------------------------------------------------------------- packing
 
 

@@ -788,6 +788,38 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mixture",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST({_h8("CAST(doc_id AS VARCHAR) || '#11'")} AS DOUBLE)
+               / 4294967296.0 AS frac,
+             CAST({_h8("CAST(doc_id AS VARCHAR) || '#12'")} AS DOUBLE)
+               / 4294967296.0 AS mix_order
+      FROM documents)
+    SELECT doc_id, lang, ROUND(mix_order, 6) AS mix_order
+    FROM w
+    WHERE (lang = 'en' AND frac < 1.0)
+       OR (lang = 'de' AND frac < 0.5)
+       OR (lang = 'fr' AND frac < 0.25)
+    ORDER BY doc_id
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pretraining mixture: per-source Bernoulli weights
+    (en 1.0, de 0.5, fr 0.25; es dropped) + a reproducible interleave
+    order — a pure filter, stable across re-runs and partitioning."""
+    from pg_mooncake_spark.operators.corpus import mix_corpora
+
+    d = t(spark, sf_dir, "documents")
+    out = mix_corpora(d, "lang", "doc_id", {"en": 1.0, "de": 0.5, "fr": 0.25}, seed=11)
+    return (
+        out.select("doc_id", "lang", F.round("mix_order", 6).alias("mix_order"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "corpus_pack_sequences",
     oracle=f"""
     WITH d AS (

@@ -90,6 +90,7 @@ _NEW_SINCE_ROUND1 = frozenset(
         "corpus_sample_stratified",
         "corpus_pack_sequences",
         "corpus_chunking",
+        "corpus_mixture",
     }
 )
 

@@ -109,3 +109,18 @@ def test_corpus_plan_shapes(spark):
     assert I.exchange_count(sample_deterministic(d, "doc_id", 0.5, 0)) == 0
     assert I.exchange_count(chunk_documents(d, "text", "doc_id", 12, 4)) == 0
     assert I.exchange_count(sample_stratified(d, "lang", "doc_id", 5)) == 1
+
+
+def test_mix_corpora_weights_and_determinism(spark):
+    from pg_mooncake_spark.operators.corpus import mix_corpora
+
+    d = _docs(spark)
+    out = mix_corpora(d, "lang", "doc_id", {"en": 1.0, "de": 0.5}, seed=11)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(per) <= {"en", "de"}  # unweighted sources dropped
+    assert per["en"] == sizes["en"]  # weight 1.0 keeps everything
+    assert 0.3 * sizes["de"] < per.get("de", 0) < 0.7 * sizes["de"]
+    again = mix_corpora(d.repartition(9), "lang", "doc_id", {"en": 1.0, "de": 0.5}, seed=11)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+    assert I.exchange_count(out) == 0  # pure filter
