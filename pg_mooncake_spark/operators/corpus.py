@@ -85,21 +85,39 @@ def mix_corpora(
     dropped (weight 0).
 
     The standard pretraining-mixture step ("2 parts web, 1 part code,
-    0.1 part forums") as a pure filter — no shuffle, stable under
-    re-runs and re-partitioning, and the weights are auditable in the
-    plan.  Weights > 1 are capped at 1 (upsampling needs an explode —
-    deliberate, so accidental duplication can't happen silently).
+    0.1 part forums").  Weights ≤ 1 downsample (pure filter, no
+    shuffle); weights > 1 upsample: every row gets ``floor(w)`` copies
+    plus one more with probability ``frac(w)`` — an explicit explode
+    with a ``copy_idx`` column, so duplication is visible downstream,
+    never silent.  Stable under re-runs and re-partitioning either way.
     """
-    keep = None
-    for src, w in weights.items():
-        clause = (F.col(source_col) == F.lit(src)) & (
-            hash_fraction(F.col(id_col), seed) < min(float(w), 1.0)
-        )
-        keep = clause if keep is None else (keep | clause)
-    if keep is None:
+    if not weights:
         raise ValueError("weights must name at least one source")
-    return df.filter(keep).withColumn(
-        "mix_order", hash_fraction(F.col(id_col), seed + 1)
+    frac = hash_fraction(F.col(id_col), seed)
+    n_copies = None
+    for src, w in weights.items():
+        w = float(w)
+        whole, part = int(w), w - int(w)
+        expr = F.lit(whole) + F.when(frac < part, 1).otherwise(0)
+        n_copies = (
+            F.when(F.col(source_col) == F.lit(src), expr)
+            if n_copies is None
+            else n_copies.when(F.col(source_col) == F.lit(src), expr)
+        )
+    n_copies = n_copies.otherwise(F.lit(0))
+    out = (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )
+    # per-(id, copy) order so upsampled copies interleave, not cluster
+    return out.withColumn(
+        "mix_order",
+        hash_fraction(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("copy_idx")),
+            seed + 1,
+        ),
     )
 
 

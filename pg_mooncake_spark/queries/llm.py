@@ -724,8 +724,6 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_agg(e, 10, 5).orderBy("window_start")
 
 
-# --------------------------------------------------- corpus construction
-
 # DuckDB equivalent of operators/corpus.hash_fraction's md5-hex prefix:
 # first 8 hex chars of md5(expr) as a BIGINT
 def _h8(expr: str) -> str:
@@ -733,6 +731,85 @@ def _h8(expr: str) -> str:
         "list_reduce(list_transform(string_split(substring(md5(" + expr + "), 1, 8), ''),"
         " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
     )
+
+
+@query(
+    "pipeline_pretraining_corpus",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM docs2),
+    feat AS (
+      SELECT doc_id, text,
+             CAST(len(tk) AS BIGINT) AS n_tokens_ws,
+             ROUND(CASE WHEN len(tk) > 0 THEN
+               CAST(list_reduce(list_transform(tk, t -> CAST(length(t) AS BIGINT)),
+                                (a, b) -> a + b) AS DOUBLE) / len(tk)
+               ELSE 0.0 END, 6) AS mean_token_len,
+             ROUND(CASE WHEN len(tk) > 0 THEN
+               CAST(len(list_filter(tk, t -> list_contains(
+                 ['the','and','of','to','is','with','that'], t))) AS DOUBLE) / len(tk)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+             len(list_filter(tk, t -> list_contains(
+               ['der','die','und','das','ist','mit','ein'], t))) AS s_de,
+             len(list_filter(tk, t -> list_contains(
+               ['the','and','of','to','is','with','that'], t))) AS s_en,
+             len(list_filter(tk, t -> list_contains(
+               ['el','la','los','que','es','una','con'], t))) AS s_es,
+             len(list_filter(tk, t -> list_contains(
+               ['le','la','les','et','est','une','des'], t))) AS s_fr
+      FROM toks),
+    scored AS (
+      SELECT doc_id, text, n_tokens_ws,
+             ROUND((least(CAST(n_tokens_ws AS DOUBLE) / 64.0, 1.0)
+                    + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0
+                           THEN 1.0 ELSE 0.5 END
+                    + least(stopword_ratio * 5.0, 1.0)) / 3.0, 6) AS quality,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM feat),
+    good AS (SELECT * FROM scored WHERE quality >= 0.5),
+    canon AS (
+      SELECT doc_id, quality, lang_pred, n_tokens_ws,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+      FROM good)
+    SELECT doc_id, lang_pred, quality, n_tokens_ws
+    FROM canon
+    WHERE is_canonical
+      AND CAST({_h8("CAST(doc_id AS VARCHAR) || '#13'")} AS DOUBLE)
+          / 4294967296.0 < 0.6
+    ORDER BY doc_id
+    """,
+)
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline over the dup-synthesized corpus:
+    quality-score filter (≥ 0.5) → exact dedup keeping canonical docs →
+    deterministic 60% sample.  Composes text_profile, exact_dedup and
+    sample_deterministic exactly as a user would; the oracle replays the
+    whole chain in SQL, so every stage's semantics are pinned end-to-end."""
+    from pg_mooncake_spark.operators.corpus import sample_deterministic
+
+    docs = _docs2(spark, sf_dir)
+    prof = X.text_profile(docs, "text", "doc_id").select(
+        "doc_id", "quality", "lang_pred", "n_tokens_ws"
+    )
+    good = docs.join(prof, "doc_id").filter(F.col("quality") >= 0.5)
+    dd = D.exact_dedup(good, "text", "doc_id")
+    canonical = good.join(
+        dd.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    sampled = sample_deterministic(canonical, "doc_id", 0.6, seed=13)
+    return sampled.select(
+        "doc_id", "lang_pred", "quality", "n_tokens_ws"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------- corpus construction
 
 
 @query(
@@ -794,7 +871,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              CAST({_h8("CAST(doc_id AS VARCHAR) || '#11'")} AS DOUBLE)
                / 4294967296.0 AS frac,
-             CAST({_h8("CAST(doc_id AS VARCHAR) || '#12'")} AS DOUBLE)
+             CAST({_h8("CAST(doc_id AS VARCHAR) || ':1#12'")} AS DOUBLE)
                / 4294967296.0 AS mix_order
       FROM documents)
     SELECT doc_id, lang, ROUND(mix_order, 6) AS mix_order

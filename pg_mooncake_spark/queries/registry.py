@@ -91,6 +91,7 @@ _NEW_SINCE_ROUND1 = frozenset(
         "corpus_pack_sequences",
         "corpus_chunking",
         "corpus_mixture",
+        "pipeline_pretraining_corpus",
     }
 )
 

@@ -124,3 +124,22 @@ def test_mix_corpora_weights_and_determinism(spark):
     again = mix_corpora(d.repartition(9), "lang", "doc_id", {"en": 1.0, "de": 0.5}, seed=11)
     assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
     assert I.exchange_count(out) == 0  # pure filter
+
+
+def test_mix_corpora_upsampling(spark):
+    from pg_mooncake_spark.operators.corpus import mix_corpora
+
+    d = _docs(spark)
+    out = mix_corpora(d, "lang", "doc_id", {"en": 2.5}, seed=4)
+    n_en = d.filter("lang = 'en'").count()
+    got = out.count()
+    # every en doc appears 2 or 3 times; expectation 2.5x
+    assert 2 * n_en <= got <= 3 * n_en
+    assert abs(got - 2.5 * n_en) < 0.25 * n_en
+    per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc.values()) <= {2, 3}
+    # copies carry distinct copy_idx and distinct interleave order
+    sample_doc = next(iter(per_doc))
+    copies = out.filter(F.col("doc_id") == sample_doc).collect()
+    assert len({r["copy_idx"] for r in copies}) == len(copies)
+    assert len({r["mix_order"] for r in copies}) == len(copies)
