@@ -93,21 +93,32 @@ def _checkpoint_paths(path: str, version: int, parts: Optional[int]) -> list[str
 class _State:
     """Log-replay accumulator: live adds keyed by file path + metadata."""
 
+    SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+
     def __init__(self) -> None:
         self.files: dict[str, dict] = {}  # path -> add action dict
         self.schema_json: Optional[str] = None
         self.partition_cols: list[str] = []
+        self.configuration: dict[str, str] = {}
         self.last_v = -1
 
     def apply_meta(self, md: dict) -> None:
         self.schema_json = md["schemaString"]
         self.partition_cols = list(md.get("partitionColumns") or [])
+        self.configuration = dict(md.get("configuration") or {})
 
     def apply_protocol(self, p: dict) -> None:
-        if p.get("minReaderVersion", 1) > 1:
+        v = p.get("minReaderVersion", 1)
+        if v <= 1:
+            return
+        if v == 2:  # column mapping era — handled at read time
+            return
+        features = set(p.get("readerFeatures") or [])
+        unsupported = features - self.SUPPORTED_READER_FEATURES
+        if v > 3 or unsupported:
             raise DeltaProtocolError(
-                f"reader version {p['minReaderVersion']} requires features "
-                "(e.g. deletion vectors, column mapping) this reader lacks"
+                f"reader version {v} requires features {sorted(unsupported)} "
+                "this reader lacks (e.g. deletion vectors)"
             )
 
     def apply_add(self, add: dict) -> None:
@@ -149,7 +160,7 @@ def _load_checkpoint(state: _State, path: str, version: int, parts: Optional[int
 
 def _replay(
     path: str, version_as_of: Optional[int] = None
-) -> tuple[list[dict], T.StructType, list[str], int]:
+) -> tuple[list[dict], T.StructType, list[str], "_State"]:
     """Replay the log: (live add actions, schema, partition cols, version).
 
     Starts from the newest eligible checkpoint (≤ version_as_of) and
@@ -200,7 +211,38 @@ def _replay(
     if state.schema_json is None:
         raise DeltaProtocolError("no metaData action found in Delta log")
     schema = T.StructType.fromJson(json.loads(state.schema_json))
-    return list(state.files.values()), schema, state.partition_cols, state.last_v
+    return list(state.files.values()), schema, state.partition_cols, state
+
+
+def _physical_schema(schema_json: dict) -> dict:
+    """schemaString JSON rewritten to physical column names (column
+    mapping 'name' mode): every struct field renames to its
+    delta.columnMapping.physicalName, recursively."""
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {"type": "struct", "fields": [walk_field(f) for f in t["fields"]]}
+            if t.get("type") == "array":
+                return {**t, "elementType": walk_type(t["elementType"])}
+            if t.get("type") == "map":
+                return {
+                    **t,
+                    "keyType": walk_type(t["keyType"]),
+                    "valueType": walk_type(t["valueType"]),
+                }
+        return t
+
+    def walk_field(f):
+        md = f.get("metadata") or {}
+        return {
+            **f,
+            "name": md.get("delta.columnMapping.physicalName", f["name"]),
+            "type": walk_type(f["type"]),
+            "metadata": {},
+        }
+
+    return {"type": "struct", "fields": [walk_field(f) for f in schema_json["fields"]]}
 
 
 def read_delta(
@@ -218,29 +260,60 @@ def read_delta(
         if version_as_of is not None:
             reader = reader.option("versionAsOf", version_as_of)
         return reader.load(path)
-    adds, schema, partition_cols, _ = _replay(path, version_as_of)
+    adds, schema, partition_cols, st = _replay(path, version_as_of)
     if not adds:
         return spark.createDataFrame([], schema)
+    mode = st.configuration.get("delta.columnMapping.mode") or "none"
+    if mode == "none":
+        phys_schema, phys_of = schema, {f.name: f.name for f in schema.fields}
+    elif mode == "name":
+        # parquet files carry PHYSICAL column names; the logical names
+        # live only in schemaString field metadata.  Read physically,
+        # then cast back — struct casts rename nested fields by position.
+        sjson = json.loads(st.schema_json)
+        phys_schema = T.StructType.fromJson(_physical_schema(sjson))
+        phys_of = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in sjson["fields"]
+        }
+    else:
+        raise DeltaProtocolError(
+            f"column mapping mode {mode!r} not supported (parquet field-id "
+            "resolution needs the delta-spark jars)"
+        )
+
+    def logical(df):
+        return df.select(
+            *[
+                F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     if not partition_cols:
         paths = [os.path.join(path, a["path"]) for a in adds]
-        return spark.read.schema(schema).parquet(*paths)
+        return logical(spark.read.schema(phys_schema).parquet(*paths))
 
+    # partitionValues keys use physical names under column mapping
+    phys_parts = [phys_of[c] for c in partition_cols]
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in partition_cols]
+        [f for f in phys_schema.fields if f.name not in phys_parts]
     )
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
     groups: dict[tuple, list[str]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in partition_cols)
+        key = tuple(pv.get(c) for c in phys_parts)
         groups.setdefault(key, []).append(os.path.join(path, a["path"]))
     parts = []
     for key, paths in groups.items():
         df = spark.read.schema(data_schema).parquet(*paths)
-        for c, val in zip(partition_cols, key):
+        for c, pc, val in zip(partition_cols, phys_parts, key):
             lit = F.lit(None) if val is None else F.lit(val)
-            df = df.withColumn(c, lit.cast(ptypes[c]))
-        parts.append(df.select(*[f.name for f in schema.fields]))
+            df = df.withColumn(pc, lit.cast(ptypes[c]))
+        parts.append(logical(df))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -248,7 +321,7 @@ def read_delta(
 
 
 def delta_version(path: str) -> int:
-    return _replay(path)[3]
+    return _replay(path)[3].last_v
 
 
 def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
@@ -275,7 +348,8 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    adds, schema, partition_cols, v = _replay(path, version)
+    adds, schema, partition_cols, st = _replay(path, version)
+    v = st.last_v
     kv = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema(
         [
@@ -501,7 +575,12 @@ def write_delta(
         _commit(path, 0, actions)
         return 0
 
-    live, schema, partition_cols, v = _replay(path)
+    live, schema, partition_cols, st = _replay(path)
+    v = st.last_v
+    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
+        raise DeltaProtocolError(
+            "writing to a column-mapped Delta table is not supported"
+        )
     if partition_by is not None and list(partition_by) != partition_cols:
         raise DeltaProtocolError(
             f"table is partitioned by {partition_cols}, got {list(partition_by)}"

@@ -432,3 +432,56 @@ def test_iceberg_manifest_refuses_delete_files(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(IcebergSupportError, match="delete files"):
         read_iceberg(spark, root)
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """Column mapping 'name' mode: parquet files carry physical col-<uuid>
+    names; logical names live in schemaString metadata.  The reader must
+    reconstruct logical columns (incl. partition columns, whose
+    partitionValues keys are physical)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "cm")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    phys_k, phys_v, phys_r = "col-" + _uuid.uuid4().hex, "col-" + _uuid.uuid4().hex, "col-" + _uuid.uuid4().hex
+
+    def field(name, phys, typ, cmid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": cmid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_string = json.dumps({"type": "struct", "fields": [
+        field("k", phys_k, "integer", 1),
+        field("v", phys_v, "string", 2),
+        field("region", phys_r, "string", 3),
+    ]})
+    data_name = "part-0.snappy.parquet"
+    pq.write_table(
+        pa.table({phys_k: pa.array([1, 2], type=pa.int32()), phys_v: ["a", "b"]}),
+        os.path.join(path, data_name),
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string,
+                      "partitionColumns": ["region"],
+                      "configuration": {"delta.columnMapping.mode": "name",
+                                        "delta.columnMapping.maxColumnId": "3"},
+                      "createdTime": 0}},
+        {"add": {"path": data_name, "partitionValues": {phys_r: "eu"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    got = sorted(tuple(r) for r in read_delta(spark, path).collect())
+    assert got == [(1, "a", "eu"), (2, "b", "eu")]
+    assert [f.name for f in read_delta(spark, path).schema.fields] == ["k", "v", "region"]
+
+    # id mode and writes to mapped tables refuse loudly
+    with pytest.raises(DeltaProtocolError, match="not supported"):
+        write_delta(_df(spark, [(3, "c")]), path, mode="append")
