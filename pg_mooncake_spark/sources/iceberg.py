@@ -66,6 +66,81 @@ def _latest_metadata(path: str) -> dict:
         return json.load(fh)
 
 
+_PRIMS = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "time": "bigint",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "string": "string",
+    "uuid": "string",
+    "binary": "binary",
+}
+
+
+def _iceberg_type(t) -> "object":
+    """Iceberg schema JSON type → Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, str):
+        if t in _PRIMS:
+            return T._parse_datatype_string(_PRIMS[t])
+        if t.startswith("decimal("):
+            p, s = t[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed["):
+            return T.BinaryType()
+        raise IcebergSupportError(f"unsupported Iceberg type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _iceberg_type(f["type"]), not f.get("required", False)
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            _iceberg_type(t["element"]), not t.get("element-required", False)
+        )
+    if kind == "map":
+        return T.MapType(
+            _iceberg_type(t["key"]),
+            _iceberg_type(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise IcebergSupportError(f"unsupported Iceberg type {t!r}")
+
+
+def _schema_from_metadata(meta: dict):
+    """Current table schema from the metadata JSON (v2 'schemas' +
+    current-schema-id, v1 'schema'); None when absent.
+
+    Imposing it on the scan makes schema evolution correct: files written
+    before a column was added surface NULLs for it, and declared types
+    win over per-file parquet inference."""
+    schema_json = None
+    if meta.get("schemas"):
+        sid = meta.get("current-schema-id")
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                schema_json = s
+                break
+        else:
+            schema_json = meta["schemas"][-1]
+    elif meta.get("schema"):
+        schema_json = meta["schema"]
+    if schema_json is None:
+        return None
+    return _iceberg_type({"type": "struct", "fields": schema_json["fields"]})
+
+
 def _resolve_path(p: str, table_root: str) -> str:
     """Resolve a manifest/data-file URI against a possibly-relocated local
     table: strip the file:// scheme; if the absolute path is gone, re-root
@@ -144,11 +219,13 @@ def read_iceberg(
             f"snapshot {snapshot_id} not in table history {sorted(snaps)}"
         )
     snap = snaps.get(sid)
+    declared = _schema_from_metadata(meta)
     if snap is not None and snap.get("manifest-list"):
         files = _files_from_manifests(path, snap)
         if not files:
             raise IcebergSupportError(f"snapshot {sid} has no data files")
-        return spark.read.parquet(*files)
+        reader = spark.read.schema(declared) if declared is not None else spark.read
+        return reader.parquet(*files)
 
     # manifest-less static export: guarded raw scan (current snapshot only)
     if snapshot_id is not None and snapshot_id != current:
@@ -178,4 +255,5 @@ def read_iceberg(
         )
     if not files:
         raise IcebergSupportError(f"no data files under {data_dir}")
-    return spark.read.parquet(*files)
+    reader = spark.read.schema(declared) if declared is not None else spark.read
+    return reader.parquet(*files)

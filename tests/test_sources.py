@@ -485,3 +485,56 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     # id mode and writes to mapped tables refuse loudly
     with pytest.raises(DeltaProtocolError, match="not supported"):
         write_delta(_df(spark, [(3, "c")]), path, mode="append")
+
+
+def test_iceberg_schema_evolution_fills_missing_columns(spark, tmp_path):
+    """The declared metadata schema is imposed on the scan: files written
+    before a column was added surface NULLs for it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_mooncake_spark.sources.avro import write_avro
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    old_file = os.path.join(root, "data", "old.parquet")
+    new_file = os.path.join(root, "data", "new.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], type=pa.int32())}), old_file)
+    pq.write_table(
+        pa.table({"k": pa.array([2], type=pa.int32()), "v": ["b"]}), new_file
+    )
+    m = os.path.join(root, "metadata", "m.avro")
+    write_avro(
+        m,
+        _MANIFEST_SCHEMA,
+        [{"status": 1, "snapshot_id": 1,
+          "data_file": {"content": 0, "file_path": f, "file_format": "PARQUET",
+                        "record_count": 1}} for f in (old_file, new_file)],
+    )
+    ml = os.path.join(root, "metadata", "snap.avro")
+    write_avro(
+        ml,
+        _MANIFEST_LIST_SCHEMA,
+        [{"manifest_path": m, "manifest_length": os.path.getsize(m),
+          "content": 0, "added_snapshot_id": 1}],
+    )
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "current-schema-id": 1,
+        "schemas": [
+            {"schema-id": 0, "type": "struct",
+             "fields": [{"id": 1, "name": "k", "required": True, "type": "int"}]},
+            {"schema-id": 1, "type": "struct",
+             "fields": [{"id": 1, "name": "k", "required": True, "type": "int"},
+                        {"id": 2, "name": "v", "required": False, "type": "string"}]},
+        ],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml, "summary": {}}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    got = sorted((r["k"], r["v"]) for r in read_iceberg(spark, root).collect())
+    assert got == [(1, None), (2, "b")]
+    assert dict(read_iceberg(spark, root).dtypes) == {"k": "int", "v": "string"}
