@@ -2,22 +2,21 @@
 CHANGELOG.md:25).
 
 Iceberg's metadata chain is JSON (table metadata) → Avro (manifest list,
-manifests).  This image ships neither the iceberg-spark runtime nor an
-Avro reader, so full support is gated: with the runtime on the classpath
-we delegate to ``spark.read.format("iceberg")``; without it we can still
-serve the common "static table exported once" case by scanning the
-table's data directory directly — with three guards that keep the raw
-scan honest instead of silently wrong (VERDICT/ADVICE r1):
+manifests).  Read order:
 
-- **current snapshot only**: manifests are unreadable without Avro, so a
-  pinned ``snapshot_id`` other than the current one refuses (a raw scan
-  would return rows from later snapshots);
-- **no delete files**: position/equality deletes would make a raw scan
-  wrong;
-- **file-count reconciliation**: the scan's parquet file count must equal
-  the snapshot summary's ``total-data-files`` — a table that ever
-  rewrote/compacted data leaves orphaned files on disk that a blind
-  directory scan would re-include.
+1. the iceberg-spark runtime when on the classpath
+   (``spark.read.format("iceberg")``);
+2. the **manifest-chain read**: metadata JSON → manifest list → manifests
+   via the pure-Python Avro layer (sources/avro.py) — exact per-snapshot
+   file lists (orphans from rewrites ignored by construction),
+   ``snapshot_id`` time travel, the declared schema imposed on the scan
+   (schema evolution surfaces NULLs for pre-evolution files), row-level
+   delete files refused loudly;
+3. for manifest-less static exports only, a guarded raw ``data/`` scan:
+   current snapshot only, no delete files, and the parquet file count
+   must reconcile with the snapshot summary's ``total-data-files`` —
+   every case where the raw scan could silently disagree with the
+   (absent) manifests refuses instead (VERDICT/ADVICE r1).
 """
 
 from __future__ import annotations
