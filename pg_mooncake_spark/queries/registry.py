@@ -92,6 +92,9 @@ _NEW_SINCE_ROUND1 = frozenset(
         "corpus_chunking",
         "corpus_mixture",
         "pipeline_pretraining_corpus",
+        "scalar_bitwise_family",
+        "scalar_array_setops_family",
+        "agg_bitwise_family",
     }
 )
 

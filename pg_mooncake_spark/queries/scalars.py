@@ -460,3 +460,101 @@ def struct_and_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_bitwise_family",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey & 255 AS b_and,
+           c_custkey | 4096 AS b_or,
+           xor(c_custkey, 85) AS b_xor,
+           c_custkey << 3 AS b_shl,
+           c_custkey >> 2 AS b_shr,
+           CAST(bit_count(CAST(c_custkey AS BIGINT)) AS BIGINT) AS b_popcount,
+           ~c_custkey AS b_not
+    FROM customer WHERE c_custkey < 300
+    ORDER BY c_custkey
+    """,
+)
+def scalar_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR, shifts, population count,
+    complement (DuckDB/Postgres operator parity)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            k.bitwiseAND(F.lit(255)).alias("b_and"),
+            k.bitwiseOR(F.lit(4096)).alias("b_or"),
+            k.bitwiseXOR(F.lit(85)).alias("b_xor"),
+            F.shiftleft(k, 3).alias("b_shl"),
+            F.shiftright(k, 2).alias("b_shr"),
+            F.bit_count(k.cast("bigint")).cast("bigint").alias("b_popcount"),
+            F.expr("~c_custkey").alias("b_not"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "scalar_array_setops_family",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey,
+             generate_series(1, c_custkey % 5 + 3) AS a,
+             generate_series(2, 6) AS b
+      FROM customer WHERE c_custkey < 300)
+    SELECT c_custkey,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u_sorted,
+           array_to_string(list_sort(list_intersect(a, b)), ',') AS i_sorted,
+           array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ',')
+             AS e_sorted,
+           CAST(coalesce(list_position(a, 3), 0) AS BIGINT) AS pos3,
+           list_contains(b, 4) AS has4
+    FROM v ORDER BY c_custkey
+    """,
+)
+def scalar_array_setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: union/intersect/except (+ sort-normalized so
+    both engines' occurrence orders hash identically), position and
+    membership."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    a = F.sequence(F.lit(1), F.col("c_custkey") % 5 + 3)
+    b = F.sequence(F.lit(2), F.lit(6))
+    return (
+        c.select(
+            "c_custkey",
+            F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("u_sorted"),
+            F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("i_sorted"),
+            F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("e_sorted"),
+            F.array_position(a, 3).alias("pos3"),
+            F.array_contains(b, 4).alias("has4"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "agg_bitwise_family",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS k_and,
+           bit_or(o_orderkey)  AS k_or,
+           bit_xor(o_orderkey) AS k_xor
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — associative and
+    commutative, so partial aggregation is exact at any parallelism."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").alias("k_and"),
+            F.bit_or("o_orderkey").alias("k_or"),
+            F.bit_xor("o_orderkey").alias("k_xor"),
+        )
+        .orderBy("o_orderstatus")
+    )
