@@ -95,6 +95,7 @@ _NEW_SINCE_ROUND1 = frozenset(
         "scalar_bitwise_family",
         "scalar_array_setops_family",
         "agg_bitwise_family",
+        "agg_boolean_family",
     }
 )
 
