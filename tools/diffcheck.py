@@ -55,8 +55,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
     """Return list of mismatch descriptions (empty = pass)."""
+    import decimal
+
     errs: list[str] = []
     sp = spark_df.toPandas()
+    # The driver hashes string representations: a Decimal on one side vs a
+    # float on the other ('205941.60' vs '205941.6') is a driver hash-fail
+    # even when values are numerically equal.  Flag it instead of silently
+    # normalizing both to float64 (which is still done below for the value
+    # comparison itself).
+    for c in set(sp.columns) & set(duck_df.columns):
+        def _is_dec(s):
+            nn = s.dropna()
+            return s.dtype == object and len(nn) and isinstance(nn.iloc[0], decimal.Decimal)
+        a_dec, b_dec = _is_dec(sp[c]), _is_dec(duck_df[c])
+        if a_dec != b_dec:
+            side = "spark" if a_dec else "oracle"
+            errs.append(
+                f"{name}: col {c}: DECIMAL on {side} side only — driver string-hash "
+                f"would mismatch; cast both sides to DOUBLE (or DECIMAL) explicitly"
+            )
+    if errs:
+        return errs
     if sorted(sp.columns) != sorted(duck_df.columns):
         errs.append(f"{name}: columns spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}")
         return errs
