@@ -360,11 +360,21 @@ class MooncakeEngine:
         its pinned snapshot and exposed as a temp view, then Spark SQL
         executes (the reference's pg_duckdb interception analog — here the
         'interception' is just name resolution; Catalyst is the executor)."""
+        aliases: dict[str, str] = {}
         for name in self.catalog.list_tables():
             v = (pin or {}).get(name)
             # non-plain canonical names (quoted/qualified) get a sanitized
-            # view alias — temp view names can't carry dots or spaces
+            # view alias — temp view names can't carry dots or spaces.
+            # Distinct tables may sanitize to the same alias (schema-qualified
+            # 'a.b' vs a plain table 'a_b'); silently shadowing one with the
+            # other would read the wrong data, so that is an error.
             view = name if _IDENT.match(name) else re.sub(r"[^A-Za-z0-9_]", "_", name)
+            if view in aliases:
+                raise ValueError(
+                    f"view alias {view!r} is ambiguous: both {aliases[view]!r} "
+                    f"and {name!r} sanitize to it; rename one table"
+                )
+            aliases[view] = name
             self.table(name, v).createOrReplaceTempView(view)
         return self.spark.sql(query)
 

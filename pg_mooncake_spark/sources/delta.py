@@ -14,17 +14,26 @@ PROTOCOL.md) those contracts need:
   reconstruct partition columns from each add action's
   ``partitionValues`` (the protocol's source of truth — directory
   layout is advisory only);
-- **write/append**: stage Parquet via Spark executors, then commit one
-  atomic log entry (protocol + metaData on create, add actions per
-  file).  Every 10th commit also writes a protocol-conformant parquet
-  checkpoint + ``_last_checkpoint``, like the reference implementation.
-  Commits use rename-into-place, the same atomicity the real
-  implementation relies on for local/HDFS stores.
+- **write/append**: stage Parquet via Spark executors (partitioned
+  tables stage through one ``partitionBy`` job regardless of partition
+  count), then commit one atomic log entry (protocol + metaData on
+  create, add actions per file).  Every 10th commit also writes a
+  protocol-conformant parquet checkpoint + ``_last_checkpoint`` carrying
+  the REPLAYED protocol/metaData/tombstones verbatim, like the reference
+  implementation.  Commits use rename-into-place, the same atomicity the
+  real implementation relies on for local/HDFS stores;
+- **deletion vectors**: adds with a ``deletionVector`` descriptor are
+  honored at scan time — Z85 inline or .bin sidecar, RoaringBitmapArray
+  portable format, positions dropped via a broadcast anti-join on the
+  hidden parquet ``_metadata.row_index`` column;
+- **column mapping**: 'name' mode via physical-name scan + logical
+  rename; 'id' mode via Spark's native parquet field-id matcher.
 
-Unsupported (loud errors, not silent wrongness): deletion vectors /
-reader version > 1, column mapping.  When the real delta-spark jars ARE
-on the classpath, ``spark.read.format("delta")`` supersedes this module;
-the engine prefers it automatically (``have_delta_jars``).
+Unsupported (loud errors, not silent wrongness): writes to column-mapped
+tables, reader features beyond {columnMapping, timestampNtz,
+deletionVectors}.  When the real delta-spark jars ARE on the classpath,
+``spark.read.format("delta")`` supersedes this module; the engine
+prefers it automatically (``have_delta_jars``).
 """
 
 from __future__ import annotations
@@ -90,24 +99,227 @@ def _checkpoint_paths(path: str, version: int, parts: Optional[int]) -> list[str
     return [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
 
 
+# ---------------------------------------------------------------- deletion
+# vectors (public protocol: PROTOCOL.md "Deletion Vectors").  A DV is a
+# 64-bit roaring bitmap of deleted row positions, stored inline (Z85 text in
+# the add action) or in a .bin sidecar file, serialized in the
+# RoaringBitmapArray "portable" format.
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+_DV_MAGIC = 1681511377  # RoaringBitmapArray portable-format magic
+
+
+def _z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise DeltaProtocolError(f"Z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i : i + 5]:
+            v = v * 85 + _Z85_INV[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _z85_encode(b: bytes) -> str:
+    if len(b) % 4:
+        raise DeltaProtocolError(f"Z85 input length {len(b)} not a multiple of 4")
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[v % 85])
+            v //= 85
+        out += reversed(chunk)
+    return "".join(out)
+
+
+def _parse_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard-format 32-bit roaring bitmap at ``pos``; returns
+    (values, next_pos).  Handles array, bitmap, and run containers."""
+    import struct
+
+    (cookie,) = struct.unpack_from("<i", buf, pos)
+    if cookie & 0xFFFF == 12347:  # SERIAL_COOKIE: run containers present
+        n = (cookie >> 16) + 1
+        pos += 4
+        runflags = buf[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+        has_offsets = n >= 4
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        (n,) = struct.unpack_from("<i", buf, pos + 4)
+        pos += 8
+        runflags = b""
+        has_offsets = True
+    else:
+        raise DeltaProtocolError(f"bad roaring cookie {cookie}")
+    keys, cards = [], []
+    for i in range(n):
+        k, c = struct.unpack_from("<HH", buf, pos)
+        keys.append(k)
+        cards.append(c + 1)
+        pos += 4
+    if has_offsets:
+        pos += 4 * n  # containers are sequential; offsets are redundant
+    vals: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        is_run = bool(runflags and (runflags[i // 8] >> (i % 8)) & 1)
+        if is_run:
+            (nruns,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(nruns):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                vals.extend(base | v for v in range(start, start + length + 1))
+        elif cards[i] <= 4096:
+            vals.extend(
+                base | v
+                for v in struct.unpack_from(f"<{cards[i]}H", buf, pos)
+            )
+            pos += 2 * cards[i]
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            vals.extend(
+                base | (w_i << 6) | b
+                for w_i, w in enumerate(words)
+                if w
+                for b in range(64)
+                if (w >> b) & 1
+            )
+    return vals, pos
+
+
+def _parse_roaring64(data: bytes) -> list[int]:
+    """RoaringBitmapArray portable format -> sorted 64-bit positions."""
+    import struct
+
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _DV_MAGIC:
+        raise DeltaProtocolError(f"bad DV magic {magic}")
+    (nmaps,) = struct.unpack_from("<q", data, 4)
+    pos = 12  # header: magic(4) + count(8)
+    out: list[int] = []
+    for _ in range(nmaps):
+        (high,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        vals, pos = _parse_roaring32(data, pos)
+        out.extend((high << 32) | v for v in vals)
+    return out
+
+
+def _serialize_roaring64(positions: list[int]) -> bytes:
+    """Inverse of _parse_roaring64 (array containers only — used by the
+    writer-side tests and any DV-producing tooling)."""
+    import struct
+    from collections import defaultdict
+
+    by_high: dict[int, dict[int, list[int]]] = defaultdict(lambda: defaultdict(list))
+    for p in sorted(set(positions)):
+        by_high[p >> 32][(p >> 16) & 0xFFFF].append(p & 0xFFFF)
+    out = struct.pack("<iq", _DV_MAGIC, len(by_high))
+    for high in sorted(by_high):
+        containers = by_high[high]
+        out += struct.pack("<i", high)
+        out += struct.pack("<ii", 12346, len(containers))
+        for k in sorted(containers):
+            out += struct.pack("<HH", k, len(containers[k]) - 1)
+        # offsets (required by the no-run-container cookie)
+        off = 4 + 4 + 4 * len(containers) + 4 * len(containers)
+        for k in sorted(containers):
+            out += struct.pack("<i", off)
+            off += 2 * len(containers[k])
+        for k in sorted(containers):
+            out += struct.pack(f"<{len(containers[k])}H", *containers[k])
+    return out
+
+
+def _dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Deleted row positions for one deletionVector descriptor."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    st = dv["storageType"]
+    if st == "i":  # inline: Z85 of the serialized bitmap
+        return _parse_roaring64(_z85_decode(dv["pathOrInlineDv"]))
+    if st == "u":  # <random prefix><z85 uuid> -> <prefix>/deletion_vector_<uuid>.bin
+        enc = dv["pathOrInlineDv"]
+        prefix, uid_z85 = enc[:-20], enc[-20:]
+        uid = _uuid.UUID(bytes=_z85_decode(uid_z85))
+        fname = f"deletion_vector_{uid}.bin"
+        fpath = os.path.join(table_path, prefix, fname) if prefix else os.path.join(
+            table_path, fname
+        )
+    elif st == "p":  # absolute path
+        fpath = dv["pathOrInlineDv"]
+    else:
+        raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+    with open(fpath, "rb") as fh:
+        blob = fh.read()
+    if blob[0] != 1:
+        raise DeltaProtocolError(f"unsupported DV file format version {blob[0]}")
+    off = dv.get("offset", 1)
+    (size,) = struct.unpack_from(">i", blob, off)
+    data = blob[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise DeltaProtocolError(f"DV checksum mismatch in {fpath}")
+    return _parse_roaring64(data)
+
+
+def write_dv_file(table_path: str, positions: list[int]) -> dict:
+    """Write a deletion-vector .bin file and return its add-action
+    descriptor — the staging half of the protocol this module's tests
+    (and a future MERGE path) use to produce DV-bearing tables."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    uid = _uuid.uuid4()
+    data = _serialize_roaring64(positions)
+    blob = bytes([1]) + struct.pack(">i", len(data)) + data
+    blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    with open(os.path.join(table_path, f"deletion_vector_{uid}.bin"), "wb") as fh:
+        fh.write(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _z85_encode(uid.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }
+
+
 class _State:
     """Log-replay accumulator: live adds keyed by file path + metadata."""
 
-    SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+    SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
 
     def __init__(self) -> None:
         self.files: dict[str, dict] = {}  # path -> add action dict
+        self.tombstones: dict[str, dict] = {}  # path -> remove action dict
         self.schema_json: Optional[str] = None
         self.partition_cols: list[str] = []
         self.configuration: dict[str, str] = {}
+        self.protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        self.metadata: dict = {}
         self.last_v = -1
 
     def apply_meta(self, md: dict) -> None:
+        self.metadata = dict(md)
         self.schema_json = md["schemaString"]
         self.partition_cols = list(md.get("partitionColumns") or [])
         self.configuration = dict(md.get("configuration") or {})
 
     def apply_protocol(self, p: dict) -> None:
+        self.protocol = dict(p)
         v = p.get("minReaderVersion", 1)
         if v <= 1:
             return
@@ -118,16 +330,16 @@ class _State:
         if v > 3 or unsupported:
             raise DeltaProtocolError(
                 f"reader version {v} requires features {sorted(unsupported)} "
-                "this reader lacks (e.g. deletion vectors)"
+                "this reader lacks"
             )
 
     def apply_add(self, add: dict) -> None:
-        if add.get("deletionVector"):
-            raise DeltaProtocolError("deletion vectors not supported")
         self.files[add["path"]] = add
+        self.tombstones.pop(add["path"], None)
 
     def apply_remove(self, remove: dict) -> None:
         self.files.pop(remove["path"], None)
+        self.tombstones[remove["path"]] = remove
 
 
 def _load_checkpoint(state: _State, path: str, version: int, parts: Optional[int]) -> None:
@@ -146,6 +358,14 @@ def _load_checkpoint(state: _State, path: str, version: int, parts: Optional[int
                 md = dict(row["metaData"])
                 if isinstance(md.get("partitionColumns"), str):
                     md["partitionColumns"] = json.loads(md["partitionColumns"])
+                # pyarrow renders parquet maps as lists of (k, v) pairs
+                if isinstance(md.get("configuration"), list):
+                    md["configuration"] = dict(md["configuration"])
+                if isinstance((md.get("format") or {}).get("options"), list):
+                    md["format"] = {
+                        **md["format"],
+                        "options": dict(md["format"]["options"]),
+                    }
                 state.apply_meta(md)
             if row.get("add"):
                 add = dict(row["add"])
@@ -214,10 +434,16 @@ def _replay(
     return list(state.files.values()), schema, state.partition_cols, state
 
 
-def _physical_schema(schema_json: dict) -> dict:
+def _physical_schema(schema_json: dict, with_field_ids: bool = False) -> dict:
     """schemaString JSON rewritten to physical column names (column
     mapping 'name' mode): every struct field renames to its
-    delta.columnMapping.physicalName, recursively."""
+    delta.columnMapping.physicalName, recursively.
+
+    ``with_field_ids`` ('id' mode): each field additionally carries
+    ``parquet.field.id`` = delta.columnMapping.id, so Spark's native
+    field-id matcher (spark.sql.parquet.fieldId.read.enabled) resolves
+    columns by parquet field id executor-side — names in the data files
+    are ignored, which is what makes post-rename files readable."""
 
     def walk_type(t):
         if isinstance(t, dict):
@@ -235,11 +461,14 @@ def _physical_schema(schema_json: dict) -> dict:
 
     def walk_field(f):
         md = f.get("metadata") or {}
+        new_md = {}
+        if with_field_ids and "delta.columnMapping.id" in md:
+            new_md["parquet.field.id"] = int(md["delta.columnMapping.id"])
         return {
             **f,
             "name": md.get("delta.columnMapping.physicalName", f["name"]),
             "type": walk_type(f["type"]),
-            "metadata": {},
+            "metadata": new_md,
         }
 
     return {"type": "struct", "fields": [walk_field(f) for f in schema_json["fields"]]}
@@ -266,23 +495,27 @@ def read_delta(
     mode = st.configuration.get("delta.columnMapping.mode") or "none"
     if mode == "none":
         phys_schema, phys_of = schema, {f.name: f.name for f in schema.fields}
-    elif mode == "name":
+    elif mode in ("name", "id"):
         # parquet files carry PHYSICAL column names; the logical names
         # live only in schemaString field metadata.  Read physically,
         # then cast back — struct casts rename nested fields by position.
+        # 'id' mode resolves by parquet field id instead of name (files
+        # written before a rename keep old names but stable ids), via
+        # Spark's native matcher — enabled here, effective per-scan.
         sjson = json.loads(st.schema_json)
-        phys_schema = T.StructType.fromJson(_physical_schema(sjson))
+        phys_schema = T.StructType.fromJson(
+            _physical_schema(sjson, with_field_ids=(mode == "id"))
+        )
         phys_of = {
             f["name"]: (f.get("metadata") or {}).get(
                 "delta.columnMapping.physicalName", f["name"]
             )
             for f in sjson["fields"]
         }
+        if mode == "id":
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     else:
-        raise DeltaProtocolError(
-            f"column mapping mode {mode!r} not supported (parquet field-id "
-            "resolution needs the delta-spark jars)"
-        )
+        raise DeltaProtocolError(f"column mapping mode {mode!r} not supported")
 
     def logical(df):
         return df.select(
@@ -292,9 +525,56 @@ def read_delta(
             ]
         )
 
+    def scan(read_schema: T.StructType, group_adds: list[dict]) -> DataFrame:
+        """Scan one group of data files, dropping DV-deleted positions.
+
+        Files with a deletionVector are read with the hidden parquet
+        ``_metadata.row_index`` column and broadcast-anti-joined against
+        their deleted (file, position) set; DV-free files scan plain.
+        The positions are parsed driver-side — DVs are small row-level
+        deltas by design (compaction folds them into rewrites), and the
+        anti-join keeps the filter JVM-side; a reader for pathologically
+        large DVs would parse them executor-side from the descriptors.
+        """
+        plain = [a for a in group_adds if not a.get("deletionVector")]
+        dv = [a for a in group_adds if a.get("deletionVector")]
+        out = []
+        if plain:
+            out.append(
+                spark.read.schema(read_schema).parquet(
+                    *[os.path.join(path, a["path"]) for a in plain]
+                )
+            )
+        if dv:
+            # _metadata.file_path is the Hadoop-style URI: file:/abs/path
+            deleted = [
+                ("file:" + os.path.abspath(os.path.join(path, a["path"])), int(p))
+                for a in dv
+                for p in _dv_positions(path, a["deletionVector"])
+            ]
+            df = (
+                spark.read.schema(read_schema)
+                .parquet(*[os.path.join(path, a["path"]) for a in dv])
+                .select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__dv_fp"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
+            )
+            del_df = spark.createDataFrame(
+                deleted, "__dv_fp string, __dv_pos long"
+            )
+            out.append(
+                df.join(F.broadcast(del_df), ["__dv_fp", "__dv_pos"], "left_anti")
+                .drop("__dv_fp", "__dv_pos")
+            )
+        res = out[0]
+        for o in out[1:]:
+            res = res.unionByName(o)
+        return res
+
     if not partition_cols:
-        paths = [os.path.join(path, a["path"]) for a in adds]
-        return logical(spark.read.schema(phys_schema).parquet(*paths))
+        return logical(scan(phys_schema, adds))
 
     # partitionValues keys use physical names under column mapping
     phys_parts = [phys_of[c] for c in partition_cols]
@@ -302,14 +582,14 @@ def read_delta(
         [f for f in phys_schema.fields if f.name not in phys_parts]
     )
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[dict]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in phys_parts)
-        groups.setdefault(key, []).append(os.path.join(path, a["path"]))
+        groups.setdefault(key, []).append(a)
     parts = []
-    for key, paths in groups.items():
-        df = spark.read.schema(data_schema).parquet(*paths)
+    for key, group_adds in groups.items():
+        df = scan(data_schema, group_adds)
         for c, pc, val in zip(partition_cols, phys_parts, key):
             lit = F.lit(None) if val is None else F.lit(val)
             df = df.withColumn(pc, lit.cast(ptypes[c]))
@@ -341,9 +621,14 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
     """Write a protocol-conformant parquet checkpoint of the table state
     at ``version`` (default latest) plus ``_last_checkpoint``.
 
-    One row per action (protocol, metaData, each live add) with the
-    standard nested-struct columns, so the real delta implementation can
-    consume it and vice versa.
+    One row per action with the standard nested-struct columns, so the
+    real delta implementation can consume it and vice versa.  The rows
+    are the REPLAYED state, carried verbatim — protocol (incl. feature
+    lists), metaData (same table id / configuration / createdTime the
+    log declared; regenerating the id would change table identity across
+    a checkpoint), per-add stats and deletionVector descriptors, and
+    unexpired remove tombstones, which the protocol requires checkpoints
+    to retain so vacuum still sees them.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -351,6 +636,15 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
     adds, schema, partition_cols, st = _replay(path, version)
     v = st.last_v
     kv = pa.map_(pa.string(), pa.string())
+    dv_struct = pa.struct(
+        [
+            pa.field("storageType", pa.string()),
+            pa.field("pathOrInlineDv", pa.string()),
+            pa.field("offset", pa.int32()),
+            pa.field("sizeInBytes", pa.int32()),
+            pa.field("cardinality", pa.int64()),
+        ]
+    )
     cp_schema = pa.schema(
         [
             pa.field(
@@ -359,6 +653,8 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -367,6 +663,8 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
                 pa.struct(
                     [
                         pa.field("id", pa.string()),
+                        pa.field("name", pa.string()),
+                        pa.field("description", pa.string()),
                         pa.field(
                             "format",
                             pa.struct(
@@ -392,25 +690,53 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
                         pa.field("size", pa.int64()),
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                        pa.field("deletionVector", dv_struct),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("deletionTimestamp", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
                     ]
                 ),
             ),
         ]
     )
+    md = st.metadata
     rows: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "protocol": {
+                "minReaderVersion": st.protocol.get("minReaderVersion", 1),
+                "minWriterVersion": st.protocol.get("minWriterVersion", 2),
+                "readerFeatures": st.protocol.get("readerFeatures"),
+                "writerFeatures": st.protocol.get("writerFeatures"),
+            }
+        },
         {
             "metaData": {
-                "id": str(uuid.uuid4()),
-                "format": {"provider": "parquet", "options": []},
-                "schemaString": json.dumps(schema.jsonValue()),
+                "id": md.get("id") or str(uuid.uuid4()),
+                "name": md.get("name"),
+                "description": md.get("description"),
+                "format": {
+                    "provider": (md.get("format") or {}).get("provider", "parquet"),
+                    "options": sorted(
+                        ((md.get("format") or {}).get("options") or {}).items()
+                    ),
+                },
+                "schemaString": st.schema_json or json.dumps(schema.jsonValue()),
                 "partitionColumns": partition_cols,
-                "configuration": [],
-                "createdTime": int(time.time() * 1000),
+                "configuration": sorted(st.configuration.items()),
+                "createdTime": md.get("createdTime"),
             }
         },
     ]
     for a in adds:
+        dv = a.get("deletionVector")
         rows.append(
             {
                 "add": {
@@ -421,6 +747,28 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
                     "size": a.get("size", 0),
                     "modificationTime": a.get("modificationTime", 0),
                     "dataChange": False,
+                    "stats": a.get("stats"),
+                    "deletionVector": (
+                        {
+                            "storageType": dv.get("storageType"),
+                            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                            "offset": dv.get("offset"),
+                            "sizeInBytes": dv.get("sizeInBytes"),
+                            "cardinality": dv.get("cardinality"),
+                        }
+                        if dv
+                        else None
+                    ),
+                }
+            }
+        )
+    for r in st.tombstones.values():
+        rows.append(
+            {
+                "remove": {
+                    "path": r["path"],
+                    "deletionTimestamp": r.get("deletionTimestamp"),
+                    "dataChange": r.get("dataChange", True),
                 }
             }
         )
@@ -432,22 +780,6 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
         fh.write(json.dumps({"version": v, "size": len(rows)}))
     os.rename(lc_tmp, os.path.join(path, _LOG, "_last_checkpoint"))
     return cp_path
-
-
-def _partition_value_str(v: Any) -> Optional[str]:
-    """Serialize a partition value per the protocol (strings; None stays
-    null)."""
-    import datetime
-
-    if v is None:
-        return None
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
 
 
 def _stage_parquet(
@@ -485,22 +817,47 @@ def _stage_parquet(
 def _stage_partitioned(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> list[dict[str, Any]]:
-    """Stage one file group per partition tuple; data files exclude the
-    partition columns (protocol layout).  Fine for the modest partition
-    counts of mirror tables; a cluster-scale writer would use a single
-    partitionBy write and walk the directory tree instead."""
-    combos = df.select(*partition_by).distinct().collect()
-    data_cols = [c for c in df.columns if c not in partition_by]
+    """Stage all partitions in ONE ``partitionBy`` Spark write (executors
+    split rows into hive-layout directories; data files exclude the
+    partition columns, per the protocol), then walk the staging tree to
+    build add actions with partitionValues parsed from the directory
+    names.  One job regardless of partition count — the previous
+    per-partition filtered-write loop issued O(#partitions) jobs plus a
+    driver-side distinct().collect()."""
+    import shutil
+    from urllib.parse import unquote
+
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
     adds: list[dict[str, Any]] = []
-    for row in combos:
-        cond = None
-        for c in partition_by:
-            clause = (
-                F.col(c).isNull() if row[c] is None else (F.col(c) == F.lit(row[c]))
+    now_ms = int(time.time() * 1000)
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pv: dict[str, Optional[str]] = {}
+            for s in segs:
+                k, _, val = s.partition("=")
+                pv[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+            name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            os.makedirs(os.path.join(path, *segs), exist_ok=True)
+            src = os.path.join(root, f)
+            size = os.path.getsize(src)
+            os.rename(src, os.path.join(path, *segs, name))
+            adds.append(
+                {
+                    "add": {
+                        "path": "/".join([*segs, name]),
+                        "partitionValues": {c: pv.get(c) for c in partition_by},
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
             )
-            cond = clause if cond is None else (cond & clause)
-        pv = {c: _partition_value_str(row[c]) for c in partition_by}
-        adds.extend(_stage_parquet(df.filter(cond).select(*data_cols), path, pv))
+    shutil.rmtree(staging)
     return adds
 
 

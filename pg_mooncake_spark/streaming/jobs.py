@@ -163,17 +163,19 @@ def streaming_exact_dedup(
     semantics: emit each document whose content hash has not been seen
     before; replays and duplicates are dropped by the state store.
 
-    ``dropDuplicates`` keyed on the content hash keeps per-key state;
-    the watermark bounds it — a duplicate arriving later than ``delay``
-    behind the stream's event time may be re-emitted, which is the
-    standard streaming-dedup contract (exactness within the watermark
-    horizon, at-most-once state per key inside it).  Shuffle is on the
-    256-bit hash only; document text never re-crosses the wire after the
-    hash is computed.
+    ``dropDuplicatesWithinWatermark`` keyed on the content hash gives the
+    watermark-horizon contract with *bounded* state: per-key state is
+    evicted once the key's event time falls behind the watermark, so a
+    duplicate arriving later than ``delay`` behind the stream's event
+    time may be re-emitted.  (Plain ``dropDuplicates(["__h"])`` would be
+    exact-forever dedup — Spark only evicts dedup state when the
+    event-time column is part of the key, so hash-only keys grow without
+    bound.)  Shuffle is on the 256-bit hash only; document text never
+    re-crosses the wire after the hash is computed.
     """
     hashed = stream.withColumn("__h", F.sha2(F.col(text_col), 256))
     return (
         hashed.withWatermark(ts_col, delay)
-        .dropDuplicates(["__h"])
+        .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
