@@ -10,8 +10,10 @@ manifests).  Read order:
    via the pure-Python Avro layer (sources/avro.py) — exact per-snapshot
    file lists (orphans from rewrites ignored by construction),
    ``snapshot_id`` time travel, the declared schema imposed on the scan
-   (schema evolution surfaces NULLs for pre-evolution files), row-level
-   delete files refused loudly;
+   (schema evolution surfaces NULLs for pre-evolution files),
+   content=1 positional deletes applied at scan time (broadcast
+   anti-join on hidden ``_metadata`` file/row-position columns),
+   content=2 equality deletes refused loudly;
 3. for manifest-less static exports only, a guarded raw ``data/`` scan:
    current snapshot only, no delete files, and the parquet file count
    must reconcile with the snapshot summary's ``total-data-files`` —
@@ -157,17 +159,23 @@ def _resolve_path(p: str, table_root: str) -> str:
     raise IcebergSupportError(f"referenced file not found: {p}")
 
 
-def _files_from_manifests(path: str, snap: dict) -> list[str]:
-    """Live data-file paths for a snapshot, by replaying its manifest
-    list → manifests (the real Iceberg read path, via the pure-Python
-    Avro reader).  Refuses row-level delete files rather than returning
-    rows they should have removed."""
+def _files_from_manifests(path: str, snap: dict) -> tuple[list[tuple[str, str]], list[str]]:
+    """Live file paths for a snapshot, by replaying its manifest list →
+    manifests (the real Iceberg read path, via the pure-Python Avro
+    reader).
+
+    Returns ``(data_files, positional_delete_files)`` where data_files
+    pairs the manifest-recorded path (the key positional-delete rows use)
+    with the locally-resolved path.  content=1 positional deletes are
+    applied at scan time; content=2 equality deletes are refused — they
+    need sequence-number scoping this reader does not implement."""
     from pg_mooncake_spark.sources.avro import AvroError, read_avro
 
     try:
         mlist_path = _resolve_path(snap["manifest-list"], path)
         _, manifests = read_avro(mlist_path)
-        files: list[str] = []
+        files: list[tuple[str, str]] = []
+        pos_deletes: list[str] = []
         for m in manifests:
             manifest_path = _resolve_path(m["manifest_path"], path)
             _, entries = read_avro(manifest_path)
@@ -176,18 +184,29 @@ def _files_from_manifests(path: str, snap: dict) -> list[str]:
                 if int(e.get("status") or 0) == 2:  # DELETED entry
                     continue
                 df_ = e.get("data_file") or {}
-                if is_delete_manifest or int(df_.get("content") or 0) != 0:
+                content = int(df_.get("content") or 0)
+                if is_delete_manifest and content == 0:
                     raise IcebergSupportError(
-                        "Iceberg snapshot carries row-level delete files; "
-                        "this reader cannot apply them — install iceberg-spark"
+                        "delete manifest carries a content=0 entry; "
+                        "refusing malformed metadata"
                     )
                 fmt = str(df_.get("file_format") or "PARQUET").upper()
                 if fmt != "PARQUET":
                     raise IcebergSupportError(
-                        f"non-parquet Iceberg data file ({fmt}) not supported"
+                        f"non-parquet Iceberg file ({fmt}) not supported"
                     )
-                files.append(_resolve_path(df_["file_path"], path))
-        return files
+                if content == 0:
+                    files.append(
+                        (df_["file_path"], _resolve_path(df_["file_path"], path))
+                    )
+                elif content == 1:  # positional deletes
+                    pos_deletes.append(_resolve_path(df_["file_path"], path))
+                else:  # content == 2: equality deletes
+                    raise IcebergSupportError(
+                        "Iceberg snapshot carries equality-delete files; "
+                        "this reader cannot apply them — install iceberg-spark"
+                    )
+        return files, pos_deletes
     except AvroError as exc:
         raise IcebergSupportError(f"failed to read Iceberg manifests: {exc}") from exc
 
@@ -220,11 +239,40 @@ def read_iceberg(
     snap = snaps.get(sid)
     declared = _schema_from_metadata(meta)
     if snap is not None and snap.get("manifest-list"):
-        files = _files_from_manifests(path, snap)
+        files, pos_deletes = _files_from_manifests(path, snap)
         if not files:
             raise IcebergSupportError(f"snapshot {sid} has no data files")
         reader = spark.read.schema(declared) if declared is not None else spark.read
-        return reader.parquet(*files)
+        df = reader.parquet(*[resolved for _, resolved in files])
+        if not pos_deletes:
+            return df
+        # v2 merge-on-read: positional delete parquet rows are
+        # (file_path, pos) keyed by the manifest-recorded data-file path.
+        # Map recorded paths to the URIs Spark's scan reports, then drop
+        # deleted positions with a broadcast anti-join on the hidden
+        # _metadata columns — delete files are small row-level deltas by
+        # design (compaction folds them into rewrites), so the broadcast
+        # is bounded; the scan side stays a plain distributed read.
+        from pyspark.sql import functions as F
+
+        mapping = spark.createDataFrame(
+            [(rec, "file:" + os.path.abspath(res)) for rec, res in files],
+            "file_path string, __fp string",
+        )
+        deletes = (
+            spark.read.parquet(*pos_deletes)
+            .select("file_path", "pos")
+            .join(F.broadcast(mapping), "file_path")
+            .select("__fp", F.col("pos").alias("__pos"))
+        )
+        data = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        return data.join(
+            F.broadcast(deletes), ["__fp", "__pos"], "left_anti"
+        ).drop("__fp", "__pos")
 
     # manifest-less static export: guarded raw scan (current snapshot only)
     if snapshot_id is not None and snapshot_id != current:

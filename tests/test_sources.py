@@ -403,34 +403,88 @@ def test_iceberg_manifest_read_and_time_travel(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
-def test_iceberg_manifest_refuses_delete_files(spark, tmp_path):
-    from pg_mooncake_spark.sources.avro import write_avro
-    from pg_mooncake_spark.sources.iceberg import IcebergSupportError, read_iceberg
+def _add_delete_snapshot(root, delete_parquet_name, rows, content):
+    """Append snapshot 4 = the compacted data manifest + a delete manifest
+    whose single entry (content=1 positional / 2 equality) references a
+    real parquet file holding ``rows``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    root = _stage_iceberg_manifest_table(tmp_path)
-    # add a delete manifest (content=1) to a new snapshot 4
+    from pg_mooncake_spark.sources.avro import write_avro
+
     meta_path = os.path.join(root, "metadata", "v1.metadata.json")
     meta = json.load(open(meta_path))
-    dm = os.path.join(root, "metadata", "mdel.avro")
+    fc = os.path.join(root, "data", "compacted.parquet")
+    del_path = os.path.join(root, "data", delete_parquet_name)
+    pq.write_table(pa.Table.from_pylist(rows), del_path)
+    dmanifest = os.path.join(root, "metadata", "mdel.avro")
     write_avro(
-        dm,
+        dmanifest,
         _MANIFEST_SCHEMA,
         [{"status": 1, "snapshot_id": 4,
-          "data_file": {"content": 1, "file_path": os.path.join(root, "data", "del.parquet"),
-                        "file_format": "PARQUET", "record_count": 1}}],
+          "data_file": {"content": content, "file_path": del_path,
+                        "file_format": "PARQUET", "record_count": len(rows)}}],
+    )
+    dataman = os.path.join(root, "metadata", "m4.avro")
+    write_avro(
+        dataman,
+        _MANIFEST_SCHEMA,
+        [{"status": 0, "snapshot_id": 4,
+          "data_file": {"content": 0, "file_path": fc,
+                        "file_format": "PARQUET", "record_count": 3}}],
     )
     ml = os.path.join(root, "metadata", "snap-4.avro")
     write_avro(
         ml,
         _MANIFEST_LIST_SCHEMA,
-        [{"manifest_path": dm, "manifest_length": os.path.getsize(dm),
+        [{"manifest_path": dataman, "manifest_length": os.path.getsize(dataman),
+          "content": 0, "added_snapshot_id": 4},
+         {"manifest_path": dmanifest, "manifest_length": os.path.getsize(dmanifest),
           "content": 1, "added_snapshot_id": 4}],
     )
     meta["snapshots"].append({"snapshot-id": 4, "manifest-list": ml, "summary": {}})
     meta["current-snapshot-id"] = 4
     with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
         json.dump(meta, fh)
-    with pytest.raises(IcebergSupportError, match="delete files"):
+    return fc
+
+
+def test_iceberg_positional_deletes_applied(spark, tmp_path):
+    """v2 merge-on-read: content=1 positional deletes drop (file, pos)
+    rows at scan time.  compacted.parquet holds k=[1,2,3]; deleting
+    positions 0 and 2 must leave k=[2]."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    root = _stage_iceberg_manifest_table(tmp_path)
+    fc = _add_delete_snapshot(
+        root, "pdel.parquet",
+        [{"file_path": "", "pos": 0}, {"file_path": "", "pos": 2}],
+        content=1,
+    )
+    # delete rows key on the manifest-recorded path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"file_path": fc, "pos": 0}, {"file_path": fc, "pos": 2}]
+        ),
+        os.path.join(root, "data", "pdel.parquet"),
+    )
+    got = [(r["k"], r["v"]) for r in read_iceberg(spark, root).collect()]
+    assert got == [(2, "r2")]
+    # earlier snapshots (no deletes) still time-travel cleanly
+    assert sorted(
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=3).collect()
+    ) == [1, 2, 3]
+
+
+def test_iceberg_manifest_refuses_equality_deletes(spark, tmp_path):
+    from pg_mooncake_spark.sources.iceberg import IcebergSupportError, read_iceberg
+
+    root = _stage_iceberg_manifest_table(tmp_path)
+    _add_delete_snapshot(root, "edel.parquet", [{"k": 1}], content=2)
+    with pytest.raises(IcebergSupportError, match="equality-delete"):
         read_iceberg(spark, root)
 
 
