@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -329,17 +330,124 @@ class MoonTable:
         finally:
             changes.unpersist()
 
+    def _pk_stat_candidates(
+        self, files: list[dict], condition: str
+    ) -> Optional[list[dict]]:
+        """Commit-log pk-stat pruning for SIMPLE predicates.
+
+        When ``condition`` is a bare conjunction of ``pk op literal``
+        comparisons (=, <, <=, >, >=, BETWEEN, IN) over primary-key
+        columns only, the per-file min/max stats in the commit log decide
+        candidacy driver-side — no Spark job at all.  Returns None for
+        anything it cannot prove (OR, NOT, parentheses, non-pk columns,
+        expression operands, type surprises): the caller then falls back
+        to the sound full probe scan.  Missing stats keep a file
+        candidate — pruning is only ever an optimization.
+        """
+        pk = set(self.primary_key() or [])
+        # OR/NOT disqualify outright; stray parentheses fail clause parsing
+        if not pk or re.search(r"\bOR\b|\bNOT\b", condition, re.I):
+            return None
+
+        def lit(tok: str):
+            tok = tok.strip()
+            if re.fullmatch(r"'(?:[^']|'')*'", tok):
+                return tok[1:-1].replace("''", "'")
+            if re.fullmatch(r"-?\d+", tok):
+                return int(tok)
+            if re.fullmatch(r"-?\d+\.\d+", tok):
+                return float(tok)
+            return None
+
+        # shield BETWEEN's own AND before splitting the conjunction
+        shielded = re.sub(
+            r"(\bBETWEEN\s+\S+\s+)AND\b", r"\1__BETWEEN_AND__", condition, flags=re.I
+        )
+        # each constraint: (col, admit(lo, hi) -> bool)
+        constraints = []
+        for raw in re.split(r"\bAND\b", shielded, flags=re.I):
+            clause = raw.replace("__BETWEEN_AND__", "AND")
+            m = re.fullmatch(
+                r"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|==|=|<|>)\s*(\S+)\s*", clause
+            )
+            mb = re.fullmatch(
+                r"\s*`?([A-Za-z_]\w*)`?\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)\s*",
+                clause,
+                re.I,
+            )
+            mi = re.fullmatch(
+                r"\s*`?([A-Za-z_]\w*)`?\s+IN\s*\(([^()]+)\)\s*", clause, re.I
+            )
+            if m:
+                col, op, v = m.group(1), m.group(2), lit(m.group(3))
+                if v is None:
+                    return None
+                admit = {
+                    "=": lambda lo, hi, v=v: lo <= v <= hi,
+                    "==": lambda lo, hi, v=v: lo <= v <= hi,
+                    "<": lambda lo, hi, v=v: lo < v,
+                    "<=": lambda lo, hi, v=v: lo <= v,
+                    ">": lambda lo, hi, v=v: hi > v,
+                    ">=": lambda lo, hi, v=v: hi >= v,
+                }[op]
+            elif mb:
+                col, a, b = mb.group(1), lit(mb.group(2)), lit(mb.group(3))
+                if a is None or b is None:
+                    return None
+                admit = lambda lo, hi, a=a, b=b: not (b < lo or a > hi)  # noqa: E731
+            elif mi:
+                col = mi.group(1)
+                vs = [lit(t) for t in mi.group(2).split(",")]
+                if any(v is None for v in vs):
+                    return None
+                admit = lambda lo, hi, vs=vs: any(lo <= v <= hi for v in vs)  # noqa: E731
+            else:
+                return None
+            if col not in pk:
+                return None
+            constraints.append((col, admit))
+
+        def is_candidate(d: dict) -> bool:
+            stats = d.get("stats") or {}
+            for col, admit in constraints:
+                lo_hi = stats.get(col)
+                if not lo_hi or lo_hi[0] is None:
+                    continue  # no stats -> conservative keep
+                try:
+                    if not admit(lo_hi[0], lo_hi[1]):
+                        return False
+                except TypeError:  # literal/stat type mismatch
+                    return None  # type: ignore[return-value]
+            return True
+
+        out = []
+        for d in files:
+            c = is_candidate(d)
+            if c is None:
+                return None
+            if c:
+                out.append(d)
+        return out
+
     def _touched_files(self, condition: str) -> list[dict]:
         """Files containing at least one row matching ``condition``.
 
-        One column-pruned probe scan (predicate columns + file name only)
-        tagged with ``input_file_name()`` — sound for *arbitrary*
-        predicates, unlike min/max interval analysis, and the parquet
-        reader's own footer-stats pushdown skips non-matching row groups,
-        so on an optimize(sort_by=pk)'d table a single-key probe touches
-        ~1 file's worth of data.  Probing reads; it never rewrites.
+        Fast path: pk-only simple predicates prune candidates from
+        commit-log stats first (:meth:`_pk_stat_candidates`) — on an
+        optimize(sort_by=pk)'d table a single-key probe then scans ≤1
+        file instead of the whole snapshot.  The remaining candidates go
+        through one column-pruned probe scan (predicate columns + file
+        name only) tagged with ``input_file_name()`` — sound for
+        *arbitrary* predicates, unlike min/max interval analysis, and the
+        parquet reader's own footer-stats pushdown skips non-matching row
+        groups.  Probing reads; it never rewrites.
         """
         files, first = self._snapshot(None)
+        if not files:
+            return []
+        pruned = self._pk_stat_candidates(files, condition)
+        if pruned is not None:
+            files = pruned
         if not files:
             return []
         schema = T.StructType.fromJson(json.loads(first.schema))

@@ -356,3 +356,39 @@ def test_identifier_normalization(spark, warehouse):
     assert eng.table('"My Table"').count() == 1
     assert eng.sql("SELECT COUNT(*) AS n FROM My_Table").first()["n"] == 1
     eng.drop_table('"My Table"')
+
+
+def test_delete_pk_stat_fast_path_prunes_probe(spark, warehouse):
+    """A pk-only predicate DELETE on an optimize(sort_by=pk)'d table must
+    decide its probe set from commit-log stats (≤1 candidate file), not a
+    full-snapshot probe scan (r2 VERDICT 'What's wrong' #3)."""
+    eng = _engine(spark, warehouse)
+    df = spark.range(0, 4000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    eng.create_table("pks", source_df=df, primary_key=["k"])
+    mt = MoonTable(spark, f"{warehouse}/pks")
+    mt.optimize(target_partitions=8, sort_by=["k"])  # disjoint pk ranges
+
+    files, _ = mt._snapshot(None)
+    assert len(files) == 8
+    cand = mt._pk_stat_candidates(files, "k = 1234")
+    assert cand is not None and len(cand) == 1
+    cand = mt._pk_stat_candidates(files, "k BETWEEN 1000 AND 1499")
+    assert cand is not None and 1 <= len(cand) <= 2
+    cand = mt._pk_stat_candidates(files, "k IN (5, 3999)")
+    assert cand is not None and len(cand) == 2
+    # non-pk / complex predicates fall back to the sound probe
+    assert mt._pk_stat_candidates(files, "v = 10") is None
+    assert mt._pk_stat_candidates(files, "k = 1 OR k = 3999") is None
+
+    # end-to-end: single-key delete rewrites exactly one file, result correct
+    before = {d["name"] for d in files}
+    mt.delete_where("k = 1234")
+    after, _ = mt._snapshot(None)
+    untouched = before & {d["name"] for d in after}
+    assert len(untouched) == 7, "delete rewrote more than the 1 candidate file"
+    assert mt.read().count() == 3999
+    assert mt.read().filter("k = 1234").count() == 0
+
+    # update through the same fast path
+    mt.update_where("k = 7", {"v": "v + 1000000"})
+    assert mt.read().filter("k = 7").select("v").first()[0] == 14 + 1000000
