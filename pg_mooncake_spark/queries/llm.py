@@ -17,6 +17,12 @@ from pg_mooncake_spark.operators import similarity as S
 from pg_mooncake_spark.operators import text as X
 from pg_mooncake_spark.operators.sessionize import session_stats, sliding_window_agg, tumbling_window_agg
 from pg_mooncake_spark.queries.registry import query, t
+from pg_mooncake_spark.queries.xxh64_sql import (
+    _unsigned64,
+    xxh64_int,
+    xxh64_long,
+    xxh64_str,
+)
 
 # Shared synthesized-dup SQL fragment: originals ∪ exact copies of
 # doc_id<25 ∪ near-copies (one appended token) of 25<=doc_id<50.
@@ -166,10 +172,61 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-@query("dedup_minhash_pairs_fast")  # rows-only: xxhash64 is Spark-specific
+# xxhash64 replayed in DuckDB SQL (queries/xxh64_sql.py): signature
+# members chain hashLong(shingle-hash, 42) -> hashInt(seed, ·) exactly as
+# F.xxhash64(h, lit(s)) does.  The only non-replayed piece is the band
+# BUCKETING hash (Spark Murmur3): the oracle buckets on band *content*,
+# which generates the identical candidate set modulo Murmur3 collisions
+# between distinct band contents (then the est_jaccard filter applies to
+# both sides equally).
+# outer lambda var must avoid xxh64_int's internal let names (u/sd/h*/f*)
+_MINHASH_FAST_SIG = ", ".join(
+    f"list_min(list_transform(hu, uu -> {xxh64_int(str(k), 'uu')}))"
+    for k in range(16)
+)
+
+
+@query(
+    "dedup_minhash_pairs_fast",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS shingles
+      FROM docs2),
+    hl AS (SELECT doc_id,
+                  list_transform(shingles, x -> {xxh64_str('x')}) AS hs
+           FROM sh),
+    hu_t AS (SELECT doc_id,
+                    list_transform(hs, h -> {_unsigned64(xxh64_long('h'))}) AS hu
+             FROM hl),
+    sig AS (SELECT doc_id, [{_MINHASH_FAST_SIG}] AS sig FROM hu_t),
+    bands AS (
+      SELECT doc_id, b, array_to_string(sig[4*b+1 : 4*b+4], '|') AS bh
+      FROM sig, generate_series(0, 3) AS g(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+                                AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_filter(generate_series(1, 16),
+                        i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6)
+               AS est_jaccard
+      FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+                  JOIN sig sb ON c.id_b = sb.doc_id)
+    SELECT * FROM est WHERE est_jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash+LSH (xxhash64, no string hashes) — numerically
-    engine-specific, so rows-only; semantics mirror dedup_minhash_lsh_pairs."""
+    """Production MinHash+LSH (xxhash64, no string hashes) — the DuckDB
+    oracle replays XXH64 bit-for-bit via generated SQL, so this fast
+    path is value-verified, not rows-only (r2 VERDICT task 9)."""
     docs = _docs2(spark, sf_dir)
     return D.minhash_dedup_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5, use_md5=False
@@ -230,7 +287,46 @@ def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash64_fast")  # rows-only: xxhash64-based
+# 64-bit fingerprint replay: bit j votes sign(sum over tokens of
+# ±1 from bit j of xxhash64(token)); bit exprs are unrolled Python-side
+# so the 2**j divisors are exact integer literals (float pow would lose
+# bits past 2**52).
+_SIMHASH64_FP = " || ".join(
+    f"(CASE WHEN list_sum(list_transform(hu, u -> (u // {1 << j}) % 2 * 2 - 1)) > 0"
+    f" THEN '1' ELSE '0' END)"
+    for j in range(64)
+)
+
+
+@query(
+    "dedup_simhash64_fast",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    tok AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            t -> {_unsigned64(xxh64_str('t'))}) AS hu
+      FROM docs2),
+    fp AS (SELECT doc_id, ({_SIMHASH64_FP}) AS simhash_bits FROM tok),
+    bands AS (
+      SELECT doc_id, simhash_bits, b,
+             substring(simhash_bits, b*8 + 1, 8) AS sub
+      FROM fp, generate_series(0, 7) AS g(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash_bits AS sa, b.simhash_bits AS sb
+      FROM bands a JOIN bands b ON a.b = b.b AND a.sub = b.sub
+                                AND a.doc_id < b.doc_id)
+    SELECT DISTINCT id_a, id_b,
+           CAST(len(list_filter(generate_series(1, 64),
+                    i -> substring(sa, i, 1) <> substring(sb, i, 1)))
+                AS BIGINT) AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 64),
+              i -> substring(sa, i, 1) <> substring(sb, i, 1))) <= 6
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash64_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production 64-bit SimHash near-dup *search*: 8×8-bit band LSH →
     candidate equi-join → hamming ≤ 6 filter.  No prior knowledge of

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_mooncake_spark.queries.registry import query, t
+from pg_mooncake_spark.queries.xxh64_sql import xxh64_str as _xxh64_str
 
 
 @query(
@@ -384,18 +385,20 @@ def scalar_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_hash_family",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            md5(text) AS text_md5,
            sha256(text) AS text_sha256,
-           md5(concat(lang, ':', source)) AS combo_md5
+           md5(concat(lang, ':', source)) AS combo_md5,
+           {_xxh64_str("text")} AS text_xxh64
     FROM documents WHERE doc_id < 100
     ORDER BY doc_id
     """,
 )
 def scalar_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash family: md5/sha2 agree across engines; xxhash64 is
-    Spark-specific (used in LSH ops, no oracle there)."""
+    """Hash family: md5/sha2 agree across engines natively; xxhash64 is
+    value-checked against the generated XXH64 replay
+    (queries/xxh64_sql.py)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return (
         d.select(
@@ -405,6 +408,7 @@ def scalar_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("source"))).alias(
                 "combo_md5"
             ),
+            F.xxhash64("text").alias("text_xxh64"),
         )
         .orderBy("doc_id")
     )
