@@ -249,6 +249,24 @@ def ivf_assign(
     return df.withColumn("ivf_list", best)
 
 
+def _cos_seq(a: Sequence[float], b: Sequence[float]) -> float:
+    """Sequential-fold cosine — the same left-to-right double arithmetic
+    as functions.dot/l2_norm (and the DuckDB list_reduce replay), so
+    driver-side centroid ranking is bit-identical to the oracle's.
+    (numpy's pairwise/BLAS summation could rank near-tied centroids
+    differently.)"""
+    import math
+
+    d = na = nb = 0.0
+    for x, y in zip(a, b):
+        d += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -260,14 +278,9 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF probe: rank centroids by cosine to the query, scan only the
     ``nprobe`` nearest inverted lists, exact-rank within them."""
-    import numpy as np
-
-    qv = np.asarray(query_vec, dtype="float64")
-    def cos_np(c):
-        c = np.asarray(c, dtype="float64")
-        return float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c)))
-
-    order = sorted(range(len(centroids)), key=lambda i: -cos_np(centroids[i]))
+    order = sorted(
+        range(len(centroids)), key=lambda i: -_cos_seq(query_vec, centroids[i])
+    )
     probe = order[:nprobe]
     q = _vec_lit(query_vec)
     return (
@@ -285,7 +298,61 @@ def ann_ivf_topk(
 def seed_centroids(
     df: DataFrame, nlist: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> list[list[float]]:
-    """Deterministic centroid seeds: the nlist lowest-id vectors.
-    (Production: replace with distributed k-means — the API stays.)"""
+    """Deterministic centroid seeds: the nlist lowest-id vectors."""
     rows = df.orderBy(id_col).limit(nlist).select(vec_col).collect()
     return [[float(x) for x in r[0]] for r in rows]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    nlist: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd k-means with DETERMINISTIC fixed-point means.
+
+    Each iteration is one Spark job: assign every vector to its nearest
+    centroid (broadcast literal centroids, JVM-side cosine), then update
+    each centroid dimension as
+
+        c[j] = (Σ floor(x_j · 2²⁰)) / 2²⁰ / n
+
+    The quantized integer sum is exact and associative, so the result is
+    bit-identical regardless of partition order or engine — float sums
+    are not, and a last-ulp difference can flip a boundary assignment in
+    the next iteration, cascading into different clusters.  That
+    determinism is what lets the DuckDB oracle replay the whole
+    clustering (sim_ann_ivf).  The 2⁻²⁰ quantization error (~1e-6) is
+    far below any clustering-quality signal.
+
+    Driver traffic is bounded: nlist × dim aggregate rows per iteration.
+    Empty lists keep their previous centroid (no respawn heuristics —
+    determinism first).
+    """
+    cents = seed_centroids(df, nlist, vec_col, id_col)
+    q = 1 << 20
+    for _ in range(iters):
+        rows = (
+            ivf_assign(df, cents, vec_col)
+            .select(
+                "ivf_list",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+            )
+            .groupBy("ivf_list", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * q).cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_list: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by_list.setdefault(r["ivf_list"], {})[r["pos"]] = (r["s"], r["n"])
+        new = [list(c) for c in cents]
+        for li, dims in by_list.items():
+            new[li] = [
+                (dims[p][0] / q) / dims[p][1] for p in range(len(dims))
+            ]
+        cents = new
+    return cents

@@ -537,11 +537,81 @@ def sim_ann_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_probe_indexed(spark, path, qvec, k=10, planes=6)
 
 
-@query("sim_ann_ivf")  # rows-only: centroid seeding is engine-side logic
+# --- sim_ann_ivf oracle: replay the ENTIRE IVF pipeline in SQL — seeds,
+# two deterministic Lloyd iterations (fixed-point means, see
+# similarity.kmeans_centroids), centroid ranking, probe, top-k.  The
+# fixture dim is 64 everywhere (lateral generate_series over len(v) is
+# unsupported in the oracle engine, so the dim is a constant here).
+
+
+def _ivf_cos(a: str, b: str) -> str:
+    """Sequential-fold cosine between two list expressions — the exact
+    arithmetic order of functions.dot/l2_norm."""
+    return (
+        f"(list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a})[i] * ({b})[i]), (aa, c2_) -> aa + c2_)"
+        f" / (sqrt(list_reduce(list_transform({a}, x -> x * x), (aa, c2_) -> aa + c2_))"
+        f" * sqrt(list_reduce(list_transform({b}, x -> x * x), (aa, c2_) -> aa + c2_))))"
+    )
+
+
+def _ivf_argmax(vexpr: str) -> str:
+    """0-based index of the max-cosine centroid in cs (first max wins,
+    matching F.array_position)."""
+    sims = f"list_transform(cs, c -> {_ivf_cos(vexpr, 'c')})"
+    return (
+        f"(list_transform([{sims}], sims -> "
+        f"list_position(sims, list_max(sims)))[1] - 1)"
+    )
+
+
+def _ivf_iter(k: int) -> str:
+    """One Lloyd iteration: assign to c{k-1}, fixed-point means, rebuild
+    c{k} (empty lists keep their previous centroid)."""
+    return f"""
+    a{k} AS (SELECT e.vec_id, e.v, {_ivf_argmax('e.v')} AS lst
+             FROM v e, c{k - 1}),
+    s{k} AS (SELECT lst, i - 1 AS pos,
+                    SUM(CAST(floor(v[i] * 1048576) AS BIGINT)) AS s,
+                    COUNT(*) AS n
+             FROM a{k}, generate_series(1, 64) AS g{k}(i)
+             GROUP BY lst, i),
+    u{k} AS (SELECT lst, list((CAST(s AS DOUBLE) / 1048576) / n ORDER BY pos) AS c
+             FROM s{k} GROUP BY lst),
+    c{k} AS (SELECT list(coalesce(u{k}.c, p.cs[li + 1]) ORDER BY li) AS cs
+             FROM c{k - 1} p, generate_series(0, 7) AS h{k}(li)
+             LEFT JOIN u{k} ON u{k}.lst = li)"""
+
+
+_IVF_ORACLE = f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT list(v ORDER BY vec_id) AS cs
+           FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+    {_ivf_iter(1)},
+    {_ivf_iter(2)},
+    q AS (SELECT e.v AS qv FROM v e WHERE e.vec_id = 0),
+    oc AS (SELECT li, {_ivf_cos('q.qv', 'c2.cs[li + 1]')} AS qc
+           FROM c2, q, generate_series(0, 7) AS gq(li)),
+    probe AS (SELECT li FROM oc ORDER BY qc DESC, li LIMIT 2),
+    a3 AS (SELECT e.vec_id, e.v, {_ivf_argmax('e.v')} AS lst FROM v e, c2)
+    SELECT a3.vec_id, ROUND({_ivf_cos('a3.v', 'q.qv')}, 6) AS cos
+    FROM a3, q
+    WHERE a3.lst IN (SELECT li FROM probe)
+    ORDER BY cos DESC, a3.vec_id
+    LIMIT 10
+"""
+
+
+@query("sim_ann_ivf", oracle=_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: 8 seed centroids, probe the 2 nearest lists."""
+    """IVF ANN with distributed k-means (8 lists, 2 deterministic Lloyd
+    iterations), probing the 2 nearest lists.  Fully value-oracled: the
+    fixed-point centroid update makes the clustering bit-reproducible,
+    so the oracle replays seeds → assignments → means → probe → top-k."""
     e = t(spark, sf_dir, "embeddings")
-    cents = S.seed_centroids(e, nlist=8)
+    cents = S.kmeans_centroids(e, nlist=8, iters=2)
     qvec = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
     return S.ann_ivf_topk(e, qvec, cents, k=10, nprobe=2)
 

@@ -92,3 +92,28 @@ def test_ngram_jaccard_cap_keeps_real_dups(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (0, 1) in pairs
+
+
+def test_kmeans_ivf_recall_and_determinism(spark):
+    """Distributed fixed-point k-means: (a) bit-identical across runs and
+    partitionings (the property the oracle replay depends on); (b) the
+    nprobe=2 probe keeps usable recall vs exact brute force at fixture
+    scale."""
+    from pg_mooncake_spark.operators import similarity as S
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    c1 = S.kmeans_centroids(e, nlist=8, iters=2)
+    c2 = S.kmeans_centroids(e.repartition(7), nlist=8, iters=2)
+    assert c1 == c2, "fixed-point means must not depend on partitioning"
+
+    qvec = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(e, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in S.ann_ivf_topk(e, qvec, c1, k=10, nprobe=2).collect()
+    ]
+    assert 0 in approx  # the query vector itself is always found
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"IVF nprobe=2 recall {overlap} too low"
