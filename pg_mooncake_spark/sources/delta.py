@@ -976,3 +976,118 @@ def write_delta(
     if (v + 1) % CHECKPOINT_INTERVAL == 0:
         write_checkpoint(path)
     return v + 1
+
+
+def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
+    """Merge-on-read DELETE: mark matching rows deleted via deletion
+    vectors instead of rewriting files (the modern Delta writer's default
+    for row-level deletes).
+
+    One probe job finds (file, position) for matching rows via the hidden
+    ``_metadata.row_index`` column; each touched file gets a .bin DV (its
+    existing DV's positions merged in — row_index is the PHYSICAL
+    position, stable under prior DVs) and is re-added with the descriptor
+    in one atomic commit.  Untouched files are untouched — a DELETE
+    hitting 0.1% of rows writes kilobytes of bitmaps, not a rewritten
+    copy of the files.  Readers apply the DVs at scan time (read_delta).
+
+    The matched positions surface driver-side (they must — the commit
+    log needs per-file descriptors); that bounds this path to the
+    row-level-delete regime DVs are designed for.  Mass deletes should
+    use the copy-on-write path (they rewrite anyway).
+
+    Returns the committed version.
+    """
+    adds, schema, partition_cols, st = _replay(path)
+    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
+        raise DeltaProtocolError("DV delete on column-mapped tables not supported")
+    by_uri = {
+        "file:" + os.path.abspath(os.path.join(path, a["path"])): a for a in adds
+    }
+    if not by_uri:
+        return st.last_v + 0  # empty table: nothing to do, no commit
+
+    # files lack partition columns; attach them so the predicate may
+    # reference partition columns too
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in partition_cols]
+    )
+    matched: dict[str, list[int]] = {}
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(c) for c in partition_cols), []).append(a)
+    for key, group in groups.items():
+        df = spark.read.schema(data_schema if partition_cols else schema).parquet(
+            *[os.path.join(path, a["path"]) for a in group]
+        )
+        for c, val in zip(partition_cols, key):
+            lit = F.lit(None) if val is None else F.lit(val)
+            df = df.withColumn(c, lit.cast(ptypes[c]))
+        hits = (
+            df.select(
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+                F.expr(condition).alias("__m"),
+            )
+            .filter("__m")
+            .groupBy("__fp")
+            .agg(F.collect_list("__pos").alias("ps"))
+            .collect()
+        )
+        for r in hits:
+            matched[r["__fp"]] = [int(p) for p in r["ps"]]
+    if not matched:
+        return st.last_v  # no matching rows: no-op, no commit
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    proto = st.protocol
+    if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in (
+        proto.get("readerFeatures") or []
+    ):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or []) | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
+                    ),
+                }
+            }
+        )
+    for uri, positions in matched.items():
+        a = by_uri[uri]
+        old_dv = a.get("deletionVector")
+        if old_dv:
+            positions = sorted(set(positions) | set(_dv_positions(path, old_dv)))
+        dv = write_dv_file(path, positions)
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append({"add": {**a, "deletionVector": dv, "dataChange": True}})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": condition},
+            }
+        }
+    )
+    v = st.last_v + 1
+    _commit(path, v, actions)
+    if v % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(path)
+    return v

@@ -13,7 +13,11 @@ manifests).  Read order:
    (schema evolution surfaces NULLs for pre-evolution files),
    content=1 positional deletes applied at scan time (broadcast
    anti-join on hidden ``_metadata`` file/row-position columns),
-   content=2 equality deletes refused loudly;
+   content=2 equality deletes applied with sequence-number scoping
+   (rows equal on the equality_ids columns drop from data files with
+   data_seq < delete_seq; null-safe, one broadcast anti-join per delete
+   file) — refused only when sequence numbers or equality_ids are
+   absent;
 3. for manifest-less static exports only, a guarded raw ``data/`` scan:
    current snapshot only, no delete files, and the parquet file count
    must reconcile with the snapshot summary's ``total-data-files`` —
@@ -142,6 +146,25 @@ def _schema_from_metadata(meta: dict):
     return _iceberg_type({"type": "struct", "fields": schema_json["fields"]})
 
 
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    """Top-level field id -> name from the current schema (equality
+    delete files reference columns by Iceberg field id)."""
+    schema_json = None
+    if meta.get("schemas"):
+        sid = meta.get("current-schema-id")
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                schema_json = s
+                break
+        else:
+            schema_json = meta["schemas"][-1]
+    elif meta.get("schema"):
+        schema_json = meta["schema"]
+    if not schema_json:
+        return {}
+    return {int(f["id"]): f["name"] for f in schema_json["fields"] if "id" in f}
+
+
 def _resolve_path(p: str, table_root: str) -> str:
     """Resolve a manifest/data-file URI against a possibly-relocated local
     table: strip the file:// scheme; if the absolute path is gone, re-root
@@ -159,23 +182,29 @@ def _resolve_path(p: str, table_root: str) -> str:
     raise IcebergSupportError(f"referenced file not found: {p}")
 
 
-def _files_from_manifests(path: str, snap: dict) -> tuple[list[tuple[str, str]], list[str]]:
+def _files_from_manifests(
+    path: str, snap: dict
+) -> tuple[list[dict], list[str], list[dict]]:
     """Live file paths for a snapshot, by replaying its manifest list →
     manifests (the real Iceberg read path, via the pure-Python Avro
     reader).
 
-    Returns ``(data_files, positional_delete_files)`` where data_files
-    pairs the manifest-recorded path (the key positional-delete rows use)
-    with the locally-resolved path.  content=1 positional deletes are
-    applied at scan time; content=2 equality deletes are refused — they
-    need sequence-number scoping this reader does not implement."""
+    Returns ``(data_files, positional_delete_files, equality_deletes)``.
+    data_files carry the manifest-recorded path (the key positional-
+    delete rows use), the resolved local path, and the data sequence
+    number (entry-level, inherited from the manifest entry when absent).
+    content=1 positional deletes apply by exact (path, pos); content=2
+    equality deletes apply to data files with data_seq < delete_seq and
+    need equality_ids + sequence numbers — refused if either is
+    missing."""
     from pg_mooncake_spark.sources.avro import AvroError, read_avro
 
     try:
         mlist_path = _resolve_path(snap["manifest-list"], path)
         _, manifests = read_avro(mlist_path)
-        files: list[tuple[str, str]] = []
+        files: list[dict] = []
         pos_deletes: list[str] = []
+        eq_deletes: list[dict] = []
         for m in manifests:
             manifest_path = _resolve_path(m["manifest_path"], path)
             _, entries = read_avro(manifest_path)
@@ -195,18 +224,34 @@ def _files_from_manifests(path: str, snap: dict) -> tuple[list[tuple[str, str]],
                     raise IcebergSupportError(
                         f"non-parquet Iceberg file ({fmt}) not supported"
                     )
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = m.get("sequence_number")  # v2 inheritance
                 if content == 0:
                     files.append(
-                        (df_["file_path"], _resolve_path(df_["file_path"], path))
+                        {
+                            "recorded": df_["file_path"],
+                            "resolved": _resolve_path(df_["file_path"], path),
+                            "seq": seq,
+                        }
                     )
                 elif content == 1:  # positional deletes
                     pos_deletes.append(_resolve_path(df_["file_path"], path))
                 else:  # content == 2: equality deletes
-                    raise IcebergSupportError(
-                        "Iceberg snapshot carries equality-delete files; "
-                        "this reader cannot apply them — install iceberg-spark"
+                    eq_ids = df_.get("equality_ids") or e.get("equality_ids")
+                    if not eq_ids or seq is None:
+                        raise IcebergSupportError(
+                            "equality-delete file lacks equality_ids or a "
+                            "sequence number; cannot apply it safely"
+                        )
+                    eq_deletes.append(
+                        {
+                            "resolved": _resolve_path(df_["file_path"], path),
+                            "seq": int(seq),
+                            "equality_ids": [int(i) for i in eq_ids],
+                        }
                     )
-        return files, pos_deletes
+        return files, pos_deletes, eq_deletes
     except AvroError as exc:
         raise IcebergSupportError(f"failed to read Iceberg manifests: {exc}") from exc
 
@@ -239,40 +284,73 @@ def read_iceberg(
     snap = snaps.get(sid)
     declared = _schema_from_metadata(meta)
     if snap is not None and snap.get("manifest-list"):
-        files, pos_deletes = _files_from_manifests(path, snap)
+        files, pos_deletes, eq_deletes = _files_from_manifests(path, snap)
         if not files:
             raise IcebergSupportError(f"snapshot {sid} has no data files")
         reader = spark.read.schema(declared) if declared is not None else spark.read
-        df = reader.parquet(*[resolved for _, resolved in files])
-        if not pos_deletes:
+        df = reader.parquet(*[f["resolved"] for f in files])
+        if not pos_deletes and not eq_deletes:
             return df
-        # v2 merge-on-read: positional delete parquet rows are
-        # (file_path, pos) keyed by the manifest-recorded data-file path.
-        # Map recorded paths to the URIs Spark's scan reports, then drop
+        # v2 merge-on-read.  Positional delete parquet rows are
+        # (file_path, pos) keyed by the manifest-recorded data-file path:
+        # map recorded paths to the URIs Spark's scan reports, then drop
         # deleted positions with a broadcast anti-join on the hidden
-        # _metadata columns — delete files are small row-level deltas by
-        # design (compaction folds them into rewrites), so the broadcast
-        # is bounded; the scan side stays a plain distributed read.
+        # _metadata columns.  Equality deletes (Flink/CDC writers) drop
+        # rows equal on the delete file's equality_ids columns from data
+        # files with data_seq < delete_seq — per delete file, one
+        # null-safe broadcast anti-join; the scan side stays one
+        # distributed read throughout.  Delete files are small row-level
+        # deltas by design (compaction folds them into rewrites), so the
+        # broadcasts are bounded.
         from pyspark.sql import functions as F
 
-        mapping = spark.createDataFrame(
-            [(rec, "file:" + os.path.abspath(res)) for rec, res in files],
-            "file_path string, __fp string",
-        )
-        deletes = (
-            spark.read.parquet(*pos_deletes)
-            .select("file_path", "pos")
-            .join(F.broadcast(mapping), "file_path")
-            .select("__fp", F.col("pos").alias("__pos"))
-        )
         data = df.select(
             "*",
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-        return data.join(
-            F.broadcast(deletes), ["__fp", "__pos"], "left_anti"
-        ).drop("__fp", "__pos")
+        if pos_deletes:
+            mapping = spark.createDataFrame(
+                [
+                    (f["recorded"], "file:" + os.path.abspath(f["resolved"]))
+                    for f in files
+                ],
+                "file_path string, __fp string",
+            )
+            deletes = (
+                spark.read.parquet(*pos_deletes)
+                .select("file_path", "pos")
+                .join(F.broadcast(mapping), "file_path")
+                .select("__fp", F.col("pos").alias("__pos"))
+            )
+            data = data.join(
+                F.broadcast(deletes), ["__fp", "__pos"], "left_anti"
+            )
+        if eq_deletes:
+            names_by_id = _field_names_by_id(meta)
+            seq_rows = [
+                ("file:" + os.path.abspath(f["resolved"]), int(f["seq"] or 0))
+                for f in files
+            ]
+            seq_map = spark.createDataFrame(seq_rows, "__fp string, __seq long")
+            data = data.join(F.broadcast(seq_map), "__fp", "left")
+            for d in sorted(eq_deletes, key=lambda x: x["seq"]):
+                try:
+                    cols = [names_by_id[i] for i in d["equality_ids"]]
+                except KeyError as exc:
+                    raise IcebergSupportError(
+                        f"equality_ids {d['equality_ids']} not in current "
+                        f"schema (field id {exc} unknown)"
+                    ) from exc
+                dd = spark.read.parquet(d["resolved"]).select(*cols).distinct()
+                cond = F.col("__seq") < F.lit(d["seq"])
+                for c in cols:
+                    cond = cond & F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+                data = (
+                    data.alias("__l")
+                    .join(F.broadcast(dd.alias("__r")), cond, "left_anti")
+                )
+        return data.drop("__fp", "__pos", "__seq")
 
     # manifest-less static export: guarded raw scan (current snapshot only)
     if snapshot_id is not None and snapshot_id != current:

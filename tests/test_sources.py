@@ -479,13 +479,92 @@ def test_iceberg_positional_deletes_applied(spark, tmp_path):
     ) == [1, 2, 3]
 
 
-def test_iceberg_manifest_refuses_equality_deletes(spark, tmp_path):
+def test_iceberg_refuses_unscopable_equality_deletes(spark, tmp_path):
+    """Equality deletes without sequence numbers / equality_ids cannot be
+    applied safely and must refuse."""
     from pg_mooncake_spark.sources.iceberg import IcebergSupportError, read_iceberg
 
     root = _stage_iceberg_manifest_table(tmp_path)
     _add_delete_snapshot(root, "edel.parquet", [{"k": 1}], content=2)
-    with pytest.raises(IcebergSupportError, match="equality-delete"):
+    with pytest.raises(IcebergSupportError, match="equality_ids or a sequence"):
         read_iceberg(spark, root)
+
+
+_MANIFEST_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}]},
+        ]}},
+    ],
+}
+
+
+def test_iceberg_equality_deletes_sequence_scoped(spark, tmp_path):
+    """content=2 equality deletes drop rows matching on equality_ids
+    columns, but ONLY from data files with data_seq < delete_seq — a
+    data file added after the delete keeps its matching rows (the CDC
+    re-insert pattern Flink writers produce)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_mooncake_spark.sources.avro import write_avro
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    root = str(tmp_path / "iceq")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+
+    def data_file(name, rows):
+        p = os.path.join(root, "data", name)
+        pq.write_table(pa.Table.from_pylist(rows), p)
+        return p
+
+    # seq 1: k=1,2,3; seq 3 (after the delete): k=1 re-inserted
+    f_old = data_file("old.parquet", [{"k": k, "v": f"r{k}"} for k in (1, 2, 3)])
+    f_new = data_file("new.parquet", [{"k": 1, "v": "reborn"}])
+    f_del = data_file("eqdel.parquet", [{"k": 1}, {"k": 3}])
+
+    def entry(content, fp, seq, eq_ids=None):
+        return {"status": 1, "snapshot_id": 1, "sequence_number": seq,
+                "data_file": {"content": content, "file_path": fp,
+                              "file_format": "PARQUET", "record_count": 1,
+                              "equality_ids": eq_ids}}
+
+    md = os.path.join(root, "metadata", "md.avro")
+    write_avro(md, _MANIFEST_SCHEMA_V2,
+               [entry(0, f_old, 1), entry(0, f_new, 3)])
+    mdel = os.path.join(root, "metadata", "mdel.avro")
+    write_avro(mdel, _MANIFEST_SCHEMA_V2, [entry(2, f_del, 2, eq_ids=[1])])
+    ml = os.path.join(root, "metadata", "snap.avro")
+    write_avro(
+        ml,
+        _MANIFEST_LIST_SCHEMA,
+        [{"manifest_path": md, "manifest_length": os.path.getsize(md),
+          "content": 0, "added_snapshot_id": 1},
+         {"manifest_path": mdel, "manifest_length": os.path.getsize(mdel),
+          "content": 1, "added_snapshot_id": 1}],
+    )
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"}]}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml, "summary": {}}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    got = sorted((r["k"], r["v"]) for r in read_iceberg(spark, root).collect())
+    # k=1 (seq1) and k=3 (seq1) deleted by the seq-2 delete; the seq-3
+    # re-insert of k=1 survives
+    assert got == [(1, "reborn"), (2, "r2")]
 
 
 def test_delta_column_mapping_name_mode(spark, tmp_path):
@@ -826,3 +905,47 @@ def test_delta_partitioned_write_is_one_job(spark, tmp_path):
     for a in adds:
         assert set(a["partitionValues"]) == {"p"}
         assert os.path.exists(os.path.join(path, a["path"]))
+
+
+def test_delta_dv_delete_merge_on_read(spark, tmp_path):
+    """delete_where_dv marks rows via deletion vectors (no file rewrite):
+    data files survive byte-identical, repeat deletes merge positions,
+    checkpoints carry the descriptors, and time travel sees pre-delete
+    state."""
+    from pg_mooncake_spark.sources.delta import delete_where_dv, write_checkpoint
+
+    path = str(tmp_path / "mor")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id % 4 AS INT) AS p",
+                                     "concat('v', id) AS v")
+    write_delta(df, path, partition_by=["p"])
+    files_before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    )
+    v = delete_where_dv(spark, path, "k % 10 = 3")  # 10 rows
+    assert v == 1
+    files_after = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert files_before == files_after, "DV delete must not rewrite data files"
+    out = read_delta(spark, path)
+    assert out.count() == 90
+    assert out.filter("k % 10 = 3").count() == 0
+    # predicate over a partition column; merges with existing DVs
+    v = delete_where_dv(spark, path, "p = 2 AND k < 50")
+    assert v == 2
+    out = read_delta(spark, path)
+    assert out.filter("p = 2 AND k < 50").count() == 0
+    assert out.count() == 90 - df.filter(
+        "p = 2 AND k < 50 AND NOT (k % 10 = 3)").count()
+    # no-op delete commits nothing
+    assert delete_where_dv(spark, path, "k = 99999") == 2
+    # time travel: version 0 still sees all 100 rows
+    assert read_delta(spark, path, version_as_of=0).count() == 100
+    # checkpoint round-trip with DV descriptors
+    write_checkpoint(path)
+    for f in os.listdir(os.path.join(path, "_delta_log")):
+        if f.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", f))
+    assert read_delta(spark, path).count() == out.count()
