@@ -146,6 +146,41 @@ def delta_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_dv_delete_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey < 5000 AND NOT (o_orderkey % 7 = 0)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def delta_dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE round-trip: write orders as Delta, delete
+    every 7th key via deletion vectors (no file rewrite), read back
+    through the DV-applying scan, aggregate.  The oracle applies the
+    same predicate to the source — a mis-parsed bitmap, mis-mapped
+    position, or missed descriptor shows up as a hash mismatch."""
+    from pg_mooncake_spark.sources.delta import (
+        delete_where_dv,
+        read_delta,
+        write_delta,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    path = tempfile.mkdtemp(prefix="delta_dv_") + "/t"
+    write_delta(o, path, mode="error")
+    delete_where_dv(spark, path, "o_orderkey % 7 = 0")
+    back = read_delta(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", 2).alias("sum_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "media_resize_dedup",
     oracle="""
     WITH media AS (

@@ -71,6 +71,8 @@ _NEVER_DRIVER_VERIFIED = (
     "corpus_mixture",
     "corpus_pack_sequences",
     "corpus_chunking",
+    # round-3 additions
+    "delta_dv_delete_roundtrip",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",
