@@ -1091,3 +1091,107 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     if v % CHECKPOINT_INTERVAL == 0:
         write_checkpoint(path)
     return v
+
+
+def compact_delta(
+    spark: SparkSession, path: str, target_files: Optional[int] = None
+) -> int:
+    """OPTIMIZE-style compaction: rewrite the current state (deletion
+    vectors folded in — the rewritten files contain only surviving rows)
+    and commit one version that removes every current add.  This is the
+    DV lifecycle's closing step: accumulate cheap merge-on-read deletes,
+    then fold them into clean files in one maintenance pass.
+
+    add/remove actions carry ``dataChange: false`` (per the protocol,
+    OPTIMIZE does not change table content), so CDC-style readers skip
+    the rewrite.  Returns the committed version.
+    """
+    adds, schema, partition_cols, st = _replay(path)
+    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
+        raise DeltaProtocolError("compacting column-mapped tables not supported")
+    df = read_delta(spark, path)
+    if target_files is not None:
+        df = df.repartition(target_files)
+    new_adds = (
+        _stage_partitioned(df, path, partition_cols)
+        if partition_cols
+        else _stage_parquet(df, path)
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    for a in adds:
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    for a in new_adds:
+        a["add"]["dataChange"] = False
+        actions.append(a)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {},
+            }
+        }
+    )
+    v = st.last_v + 1
+    _commit(path, v, actions)
+    if v % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(path)
+    return v
+
+
+def vacuum_delta(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    """Physically delete data/DV files no longer referenced by the
+    CURRENT version, once their tombstones age past ``retention_ms``
+    (default 7 days, the protocol's standard).  Time travel to versions
+    needing the removed files stops working — that is vacuum's contract.
+
+    Returns the deleted paths.  Driver-side file walking is proportional
+    to the table's file count, same as the reference's vacuum.
+    """
+    adds, _, _, st = _replay(path)
+    live: set[str] = set()
+    for a in adds:
+        live.add(os.path.normpath(os.path.join(path, a["path"])))
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            enc = dv["pathOrInlineDv"]
+            import uuid as _uuid
+
+            uid = _uuid.UUID(bytes=_z85_decode(enc[-20:]))
+            prefix = enc[:-20]
+            live.add(
+                os.path.normpath(
+                    os.path.join(path, prefix, f"deletion_vector_{uid}.bin")
+                )
+            )
+    cutoff = time.time() * 1000 - retention_ms
+    expired_tombstones = {
+        os.path.normpath(os.path.join(path, r["path"]))
+        for r in st.tombstones.values()
+        if (r.get("deletionTimestamp") or 0) <= cutoff
+    }
+    deleted: list[str] = []
+    for root, dirs, files in os.walk(path):
+        if _LOG in root:
+            continue
+        dirs[:] = [d for d in dirs if d != _LOG and not d.startswith("_staging_")]
+        for f in files:
+            full = os.path.normpath(os.path.join(root, f))
+            if full in live:
+                continue
+            if not (f.endswith(".parquet") or f.endswith(".bin")):
+                continue
+            # tombstoned-and-expired, or an orphan older than retention
+            if full in expired_tombstones or os.path.getmtime(full) * 1000 <= cutoff:
+                os.remove(full)
+                deleted.append(full)
+    return deleted

@@ -949,3 +949,48 @@ def test_delta_dv_delete_merge_on_read(spark, tmp_path):
         if f.endswith(".json"):
             os.remove(os.path.join(path, "_delta_log", f))
     assert read_delta(spark, path).count() == out.count()
+
+
+def test_delta_compact_folds_dvs_and_vacuum_reclaims(spark, tmp_path):
+    """OPTIMIZE folds deletion vectors into rewritten files (dataChange
+    false); vacuum then physically reclaims the tombstoned originals and
+    orphaned DV bins while the current version keeps reading."""
+    from pg_mooncake_spark.sources.delta import (
+        compact_delta,
+        delete_where_dv,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "opt")
+    df = spark.range(100).selectExpr("id AS k", "concat('v', id) AS v")
+    write_delta(df.repartition(4), path)
+    delete_where_dv(spark, path, "k % 5 = 0")  # 20 rows -> DVs
+    assert read_delta(spark, path).count() == 80
+
+    v = compact_delta(spark, path, target_files=1)
+    assert v == 2
+    out = read_delta(spark, path)
+    assert out.count() == 80 and out.filter("k % 5 = 0").count() == 0
+    # compacted files carry no DVs; commit is dataChange: false throughout
+    log = os.path.join(path, "_delta_log", f"{v:020d}.json")
+    acts = [json.loads(l) for l in open(log) if l.strip()]
+    for a in acts:
+        if "add" in a:
+            assert a["add"].get("deletionVector") is None
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+
+    n_before = sum(
+        f.endswith((".parquet", ".bin"))
+        for _, _, fs in os.walk(path) for f in fs
+    )
+    deleted = vacuum_delta(path, retention_ms=0)
+    assert deleted, "vacuum should reclaim the pre-compaction files"
+    n_after = sum(
+        f.endswith((".parquet", ".bin"))
+        for _, _, fs in os.walk(path) for f in fs
+    )
+    assert n_after < n_before
+    assert not [d for d in deleted if "_delta_log" in d]
+    assert read_delta(spark, path).count() == 80  # current version intact
