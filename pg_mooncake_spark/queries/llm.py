@@ -19,7 +19,7 @@ from pg_mooncake_spark.operators.sessionize import session_stats, sliding_window
 from pg_mooncake_spark.queries.registry import query, t
 from pg_mooncake_spark.queries.xxh64_sql import (
     _unsigned64,
-    xxh64_int,
+    hashint_seeds_cte,
     xxh64_long,
     xxh64_str,
 )
@@ -179,11 +179,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which generates the identical candidate set modulo Murmur3 collisions
 # between distinct band contents (then the est_jaccard filter applies to
 # both sides equally).
-# outer lambda var must avoid xxh64_int's internal let names (u/sd/h*/f*)
-_MINHASH_FAST_SIG = ", ".join(
-    f"list_min(list_transform(hu, uu -> {xxh64_int(str(k), 'uu')}))"
-    for k in range(16)
-)
+# Shape note: shingles are UNNESTED to one row per shingle and the 16
+# per-seed hashes run as chained-CTE column layers (hashint_seeds_cte) —
+# fully vectorized, zero per-row list allocations.  The same logic as
+# nested list lambdas ran ~35× slower (scalar per-element evaluation).
 
 
 @query(
@@ -198,13 +197,17 @@ _MINHASH_FAST_SIG = ", ".join(
                     string_split(text,' ')[i+1] || ' ' ||
                     string_split(text,' ')[i+2])) AS shingles
       FROM docs2),
-    hl AS (SELECT doc_id,
-                  list_transform(shingles, x -> {xxh64_str('x')}) AS hs
-           FROM sh),
-    hu_t AS (SELECT doc_id,
-                    list_transform(hs, h -> {_unsigned64(xxh64_long('h'))}) AS hu
-             FROM hl),
-    sig AS (SELECT doc_id, [{_MINHASH_FAST_SIG}] AS sig FROM hu_t),
+    el AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh),
+    eh AS (SELECT doc_id, {xxh64_str('sgl')} AS h FROM el),
+    hu_t AS (SELECT doc_id, {_unsigned64(xxh64_long('h'))} AS u FROM eh),
+    {hashint_seeds_cte(16)},
+    mins AS (SELECT doc_id, {", ".join(f"MIN(v{k}) AS s{k}" for k in range(16))}
+             FROM iz GROUP BY doc_id),
+    -- MATERIALIZED: sig feeds bands + both est sides; inlining would
+    -- re-run the whole hash chain three times
+    sig AS MATERIALIZED (
+            SELECT doc_id, [{", ".join(f"s{k}" for k in range(16))}] AS sig
+            FROM mins),
     bands AS (
       SELECT doc_id, b, array_to_string(sig[4*b+1 : 4*b+4], '|') AS bh
       FROM sig, generate_series(0, 3) AS g(b)),

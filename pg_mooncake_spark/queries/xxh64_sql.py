@@ -303,3 +303,73 @@ def xxh64_long_chain_int(long_expr: str, int_literal: int) -> str:
     :func:`xxh64_long` and wrap each seed with :func:`xxh64_int`."""
     inner_unsigned = _unsigned64(xxh64_long(long_expr))
     return xxh64_int(str(int_literal), inner_unsigned)
+
+
+def xxh64_int_lit(k: int, seed_expr: str) -> str:
+    """hashInt with a LITERAL int input: (k & 0xFFFFFFFF) * P1 folds to a
+    constant, saving two bindings per evaluation — used by the minhash
+    oracle, which evaluates this hundreds of thousands of times."""
+    c = ((k & 0xFFFFFFFF) * P1) % M
+    body = _let(
+        "sd",
+        seed_expr,
+        _let(
+            "h1",
+            _xor(_add("sd", str((P5 + 4) % M)), str(c)),
+            _let(
+                "h2",
+                _rotl("h1", 23),
+                _let("h3", _add(_mul("h2", str(P2)), str(P3)), _fmix("h3")),
+            ),
+        ),
+    )
+    return _signed(body)
+
+
+def hashint_seeds_cte(
+    n_seeds: int, src: str = "hu_t", u_col: str = "u", id_col: str = "doc_id"
+) -> str:
+    """Chained-CTE form of hashInt(k, u) for k in 0..n_seeds-1: each
+    algorithm step is one CTE layer of plain columns, so evaluation is
+    fully vectorized with zero list allocations (the let-binding form
+    costs a 1-element list per binding per row — ~60µs/eval; this form
+    is ~µs).  Emits CTE definitions ``ia, ib, ... iz`` (append after a
+    WITH clause); ``iz`` has columns (id_col, v0..v{n-1}) holding the
+    signed hashInt results."""
+    ks = range(n_seeds)
+    c1 = (P5 + 4) % M
+
+    def cols(fmt) -> str:
+        return ", ".join(fmt(k) for k in ks)
+
+    layers = [
+        f"ia AS (SELECT {id_col}, ((({u_col}) + {c1}) % {M}) AS a FROM {src})",
+        f"ib AS (SELECT {id_col}, "
+        + cols(lambda k: f"xor(a, {((k & 0xFFFFFFFF) * P1) % M}::HUGEINT) AS t{k}")
+        + " FROM ia)",
+        f"ic AS (SELECT {id_col}, "
+        + cols(lambda k: f"({_rotl(f't{k}', 23)}) AS r{k}")
+        + " FROM ib)",
+        f"im AS (SELECT {id_col}, "
+        + cols(lambda k: f"({_add(_mul(f'r{k}', str(P2)), str(P3))}) AS m{k}")
+        + " FROM ic)",
+        f"if1 AS (SELECT {id_col}, "
+        + cols(lambda k: f"({_xor(f'm{k}', f'm{k} // {1 << 33}')}) AS a{k}")
+        + " FROM im)",
+        f"if2 AS (SELECT {id_col}, "
+        + cols(lambda k: f"({_mul(f'a{k}', str(P2))}) AS b{k}")
+        + " FROM if1)",
+        f"if3 AS (SELECT {id_col}, "
+        + cols(lambda k: f"({_xor(f'b{k}', f'b{k} // {1 << 29}')}) AS c{k}")
+        + " FROM if2)",
+        f"if4 AS (SELECT {id_col}, "
+        + cols(lambda k: f"({_mul(f'c{k}', str(P3))}) AS d{k}")
+        + " FROM if3)",
+        f"if5 AS (SELECT {id_col}, "
+        + cols(lambda k: f"({_xor(f'd{k}', f'd{k} // {1 << 32}')}) AS e{k}")
+        + " FROM if4)",
+        f"iz AS (SELECT {id_col}, "
+        + cols(lambda k: f"({_signed(f'e{k}')}) AS v{k}")
+        + " FROM if5)",
+    ]
+    return ", ".join(layers)
