@@ -215,8 +215,10 @@ def _parse_roaring64(data: bytes) -> list[int]:
 
 
 def _serialize_roaring64(positions: list[int]) -> bytes:
-    """Inverse of _parse_roaring64 (array containers only — used by the
-    writer-side tests and any DV-producing tooling)."""
+    """Inverse of _parse_roaring64.  Containers with cardinality ≤ 4096
+    serialize as sorted uint16 arrays; above that the format REQUIRES a
+    bitmap container (readers decide array-vs-bitmap from cardinality
+    alone, so emitting an array there corrupts the stream)."""
     import struct
     from collections import defaultdict
 
@@ -233,39 +235,60 @@ def _serialize_roaring64(positions: list[int]) -> bytes:
         # offsets (required by the no-run-container cookie)
         off = 4 + 4 + 4 * len(containers) + 4 * len(containers)
         for k in sorted(containers):
+            card = len(containers[k])
             out += struct.pack("<i", off)
-            off += 2 * len(containers[k])
+            off += 2 * card if card <= 4096 else 8192
         for k in sorted(containers):
-            out += struct.pack(f"<{len(containers[k])}H", *containers[k])
+            vals = containers[k]
+            if len(vals) <= 4096:
+                out += struct.pack(f"<{len(vals)}H", *vals)
+            else:
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                out += struct.pack("<1024Q", *words)
     return out
 
 
-def _dv_positions(table_path: str, dv: dict) -> list[int]:
-    """Deleted row positions for one deletionVector descriptor."""
-    import struct
+def _dv_sidecar_path(table_path: str, dv: dict) -> Optional[str]:
+    """Filesystem path of a DV's .bin sidecar (None for inline DVs).
+    The single source of truth for the protocol's derived-path rule —
+    used by both the read path and vacuum's live-file protection."""
     import uuid as _uuid
-    import zlib
 
     st = dv["storageType"]
-    if st == "i":  # inline: Z85 of the serialized bitmap
-        return _parse_roaring64(_z85_decode(dv["pathOrInlineDv"]))
+    if st == "i":
+        return None
     if st == "u":  # <random prefix><z85 uuid> -> <prefix>/deletion_vector_<uuid>.bin
         enc = dv["pathOrInlineDv"]
         prefix, uid_z85 = enc[:-20], enc[-20:]
         uid = _uuid.UUID(bytes=_z85_decode(uid_z85))
         fname = f"deletion_vector_{uid}.bin"
-        fpath = os.path.join(table_path, prefix, fname) if prefix else os.path.join(
-            table_path, fname
+        return (
+            os.path.join(table_path, prefix, fname)
+            if prefix
+            else os.path.join(table_path, fname)
         )
-    elif st == "p":  # absolute path
-        fpath = dv["pathOrInlineDv"]
-    else:
-        raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+    if st == "p":  # absolute path
+        return dv["pathOrInlineDv"]
+    raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+
+
+def _dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Deleted row positions for one deletionVector descriptor."""
+    import struct
+    import zlib
+
+    if dv["storageType"] == "i":  # inline: Z85 of the serialized bitmap
+        return _parse_roaring64(_z85_decode(dv["pathOrInlineDv"]))
+    fpath = _dv_sidecar_path(table_path, dv)
     with open(fpath, "rb") as fh:
         blob = fh.read()
     if blob[0] != 1:
         raise DeltaProtocolError(f"unsupported DV file format version {blob[0]}")
-    off = dv.get("offset", 1)
+    # checkpoint round-trips surface a missing optional offset as an
+    # explicit None, so `get("offset", 1)` alone is not enough
+    off = dv.get("offset") or 1
     (size,) = struct.unpack_from(">i", blob, off)
     data = blob[off + 4 : off + 4 + size]
     (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
@@ -513,6 +536,11 @@ def read_delta(
             for f in sjson["fields"]
         }
         if mode == "id":
+            # Session-scoped by necessity: the scan is lazy, so restoring
+            # the conf after returning would disable id matching before
+            # the action runs.  The conf only changes resolution for READ
+            # SCHEMAS that explicitly carry parquet.field.id metadata
+            # (this module's id-mode schemas); plain reads are unaffected.
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     else:
         raise DeltaProtocolError(f"column mapping mode {mode!r} not supported")
@@ -1162,22 +1190,15 @@ def vacuum_delta(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[st
     for a in adds:
         live.add(os.path.normpath(os.path.join(path, a["path"])))
         dv = a.get("deletionVector")
-        if dv and dv.get("storageType") == "u":
-            enc = dv["pathOrInlineDv"]
-            import uuid as _uuid
-
-            uid = _uuid.UUID(bytes=_z85_decode(enc[-20:]))
-            prefix = enc[:-20]
-            live.add(
-                os.path.normpath(
-                    os.path.join(path, prefix, f"deletion_vector_{uid}.bin")
-                )
-            )
+        if dv and dv.get("storageType") != "i":
+            live.add(os.path.normpath(_dv_sidecar_path(path, dv)))
     cutoff = time.time() * 1000 - retention_ms
-    expired_tombstones = {
-        os.path.normpath(os.path.join(path, r["path"]))
+    # tombstone timestamps are authoritative: a file tombstoned five
+    # minutes ago keeps its retention clock even if the FILE's mtime is
+    # ancient (normal after a compaction of old data)
+    tombstone_ts = {
+        os.path.normpath(os.path.join(path, r["path"])): r.get("deletionTimestamp") or 0
         for r in st.tombstones.values()
-        if (r.get("deletionTimestamp") or 0) <= cutoff
     }
     deleted: list[str] = []
     for root, dirs, files in os.walk(path):
@@ -1190,8 +1211,11 @@ def vacuum_delta(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[st
                 continue
             if not (f.endswith(".parquet") or f.endswith(".bin")):
                 continue
-            # tombstoned-and-expired, or an orphan older than retention
-            if full in expired_tombstones or os.path.getmtime(full) * 1000 <= cutoff:
+            if full in tombstone_ts:
+                expired = tombstone_ts[full] <= cutoff
+            else:  # never committed (staging leftovers): age by mtime
+                expired = os.path.getmtime(full) * 1000 <= cutoff
+            if expired:
                 os.remove(full)
                 deleted.append(full)
     return deleted

@@ -352,26 +352,48 @@ class MoonTable:
         def lit(tok: str):
             tok = tok.strip()
             if re.fullmatch(r"'(?:[^']|'')*'", tok):
-                return tok[1:-1].replace("''", "'")
+                s = tok[1:-1].replace("''", "'")
+                # stats serialize datetimes via isoformat() ('...T...');
+                # SQL literals use a space — normalize so the string
+                # comparison below agrees ('T' > ' ' would silently
+                # mis-prune same-day timestamp predicates)
+                if re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:.*", s):
+                    s = s.replace(" ", "T", 1)
+                return s
             if re.fullmatch(r"-?\d+", tok):
                 return int(tok)
             if re.fullmatch(r"-?\d+\.\d+", tok):
                 return float(tok)
             return None
 
+        def _tclass(s) -> str:
+            """'date' / 'ts' / 'other' — pruning only trusts string
+            comparison when literal and stat share a temporal class
+            (date-vs-timestamp mixes need SQL cast semantics)."""
+            if not isinstance(s, str):
+                return "num"
+            if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+                return "date"
+            if re.fullmatch(r"\d{4}-\d{2}-\d{2}T.*", s):
+                return "ts"
+            return "other"
+
         # shield BETWEEN's own AND before splitting the conjunction
         shielded = re.sub(
-            r"(\bBETWEEN\s+\S+\s+)AND\b", r"\1__BETWEEN_AND__", condition, flags=re.I
+            r"(\bBETWEEN\s+(?:'(?:[^']|'')*'|\S+)\s+)AND\b",
+            r"\1__BETWEEN_AND__",
+            condition,
+            flags=re.I,
         )
-        # each constraint: (col, admit(lo, hi) -> bool)
+        # each constraint: (col, admit(lo, hi) -> bool, literals)
         constraints = []
         for raw in re.split(r"\bAND\b", shielded, flags=re.I):
             clause = raw.replace("__BETWEEN_AND__", "AND")
             m = re.fullmatch(
-                r"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|==|=|<|>)\s*(\S+)\s*", clause
+                r"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|==|=|<|>)\s*('(?:[^']|'')*'|\S+)\s*", clause
             )
             mb = re.fullmatch(
-                r"\s*`?([A-Za-z_]\w*)`?\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)\s*",
+                r"\s*`?([A-Za-z_]\w*)`?\s+BETWEEN\s+('(?:[^']|'')*'|\S+)\s+AND\s+('(?:[^']|'')*'|\S+)\s*",
                 clause,
                 re.I,
             )
@@ -382,6 +404,7 @@ class MoonTable:
                 col, op, v = m.group(1), m.group(2), lit(m.group(3))
                 if v is None:
                     return None
+                lits = [v]
                 admit = {
                     "=": lambda lo, hi, v=v: lo <= v <= hi,
                     "==": lambda lo, hi, v=v: lo <= v <= hi,
@@ -394,25 +417,29 @@ class MoonTable:
                 col, a, b = mb.group(1), lit(mb.group(2)), lit(mb.group(3))
                 if a is None or b is None:
                     return None
+                lits = [a, b]
                 admit = lambda lo, hi, a=a, b=b: not (b < lo or a > hi)  # noqa: E731
             elif mi:
                 col = mi.group(1)
                 vs = [lit(t) for t in mi.group(2).split(",")]
                 if any(v is None for v in vs):
                     return None
+                lits = list(vs)
                 admit = lambda lo, hi, vs=vs: any(lo <= v <= hi for v in vs)  # noqa: E731
             else:
                 return None
             if col not in pk:
                 return None
-            constraints.append((col, admit))
+            constraints.append((col, admit, lits))
 
         def is_candidate(d: dict) -> bool:
             stats = d.get("stats") or {}
-            for col, admit in constraints:
+            for col, admit, lits in constraints:
                 lo_hi = stats.get(col)
                 if not lo_hi or lo_hi[0] is None:
                     continue  # no stats -> conservative keep
+                if any(_tclass(v) != _tclass(lo_hi[0]) for v in lits):
+                    return None  # type: ignore[return-value]  # date/ts mix
                 try:
                     if not admit(lo_hi[0], lo_hi[1]):
                         return False

@@ -392,3 +392,39 @@ def test_delete_pk_stat_fast_path_prunes_probe(spark, warehouse):
     # update through the same fast path
     mt.update_where("k = 7", {"v": "v + 1000000"})
     assert mt.read().filter("k = 7").select("v").first()[0] == 14 + 1000000
+
+
+def test_sql_view_alias_collision_raises(spark, warehouse):
+    """Distinct tables whose names sanitize to the same view alias must
+    raise instead of silently shadowing one another (r2 ADVICE): 'a.b'
+    and 'a_b' both sanitize to view alias 'a_b'."""
+    import pytest as _pytest
+
+    eng = _engine(spark, warehouse)
+    src = spark.createDataFrame([(1, "x")], "k int, v string")
+    eng.create_table("a.b", source_df=src, primary_key=["k"])
+    eng.create_table("a_b", source_df=src, primary_key=["k"])
+    with _pytest.raises(ValueError, match="ambiguous"):
+        eng.sql("SELECT COUNT(*) AS n FROM a_b")
+
+
+def test_pk_stat_pruning_timestamp_literals(spark, warehouse):
+    """Timestamp pk predicates: SQL literals use a space, stats use
+    isoformat's 'T' — pruning must normalize (round-3 review finding:
+    'T' > ' ' silently mis-pruned same-day predicates)."""
+    eng = _engine(spark, warehouse)
+    df = spark.sql(
+        "SELECT timestamp'2020-07-01 00:00:00' + make_interval(0,0,0,0,id,0,0) AS ts,"
+        "       id AS v FROM range(100)"
+    )
+    eng.create_table("tspk", source_df=df, primary_key=["ts"])
+    mt = MoonTable(spark, f"{warehouse}/tspk")
+    mt.optimize(target_partitions=4, sort_by=["ts"])
+    files, _ = mt._snapshot(None)
+    cand = mt._pk_stat_candidates(files, "ts <= '2020-07-01 10:00:00'")
+    assert cand is not None and 1 <= len(cand) < 4
+    # date-only literal vs timestamp stats: unprovable -> sound fallback
+    assert mt._pk_stat_candidates(files, "ts <= '2020-07-02'") is None
+    # end-to-end: the delete must actually remove the matching rows
+    mt.delete_where("ts <= '2020-07-01 10:00:00'")
+    assert mt.read().count() == 89

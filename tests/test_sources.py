@@ -994,3 +994,37 @@ def test_delta_compact_folds_dvs_and_vacuum_reclaims(spark, tmp_path):
     assert n_after < n_before
     assert not [d for d in deleted if "_delta_log" in d]
     assert read_delta(spark, path).count() == 80  # current version intact
+
+
+def test_roaring64_serializer_emits_bitmap_containers():
+    """>4096 positions in one 16-bit container MUST serialize as a bitmap
+    container — readers decide array-vs-bitmap from cardinality alone, so
+    an array there is stream corruption (round-3 review finding)."""
+    from pg_mooncake_spark.sources.delta import (
+        _parse_roaring64,
+        _serialize_roaring64,
+    )
+
+    dense = list(range(5000)) + [70000, (2 << 32) | 5]
+    assert _parse_roaring64(_serialize_roaring64(dense)) == sorted(dense)
+
+
+def test_vacuum_respects_tombstone_retention(spark, tmp_path):
+    """Files tombstoned five minutes ago keep their retention clock even
+    when the physical file's mtime is ancient (round-3 review finding:
+    the orphan-mtime branch must not apply to tombstoned files)."""
+    from pg_mooncake_spark.sources.delta import compact_delta, vacuum_delta
+
+    path = str(tmp_path / "vr")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), path)
+    # age the data files' mtimes far past any retention window
+    for r, _, fs in os.walk(path):
+        if "_delta_log" in r:
+            continue
+        for f in fs:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(r, f), (1000, 1000))
+    compact_delta(spark, path)  # tombstones the aged files NOW
+    # 1-hour retention: tombstones are fresh -> nothing may be deleted
+    assert vacuum_delta(path, retention_ms=3600 * 1000) == []
+    assert read_delta(spark, path, version_as_of=0).count() == 2  # time travel OK
