@@ -73,6 +73,8 @@ _NEVER_DRIVER_VERIFIED = (
     "corpus_chunking",
     # round-3 additions
     "delta_dv_delete_roundtrip",
+    "scalar_regexp_family",
+    "scalar_hof_family",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",

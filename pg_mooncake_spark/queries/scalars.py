@@ -592,3 +592,91 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "scalar_regexp_family",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
+           regexp_matches(c_name, '[0-9]{3}$') AS ends_3digits,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           translate(c_name, '#0', '-o') AS dotted,
+           string_split(c_name, '#')[1] AS head,
+           CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat(c_mktsegment, 2) AS seg_twice
+    FROM customer WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+)
+def scalar_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp/string-search family: global regexp_replace (Spark
+    replaces all matches; the oracle needs the 'g' flag for the same
+    semantics), RLIKE partial-match, locate, translate, split, reverse,
+    repeat."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return (
+        c.select(
+            "c_custkey",
+            F.regexp_replace("c_name", "[0-9]", "*").alias("masked"),
+            F.col("c_name").rlike("[0-9]{3}$").alias("ends_3digits"),
+            F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+            F.translate("c_name", "#0", "-o").alias("dotted"),
+            F.split("c_name", "#").getItem(0).alias("head"),
+            F.size(F.split("c_name", "#")).cast("bigint").alias("n_parts"),
+            F.reverse("c_mktsegment").alias("seg_rev"),
+            F.repeat("c_mktsegment", 2).alias("seg_twice"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "scalar_hof_family",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tok
+      FROM documents WHERE doc_id < 150)
+    SELECT doc_id,
+           array_to_string(list_filter(tok, x -> len(x) > 4), '|') AS long_toks,
+           len(list_filter(tok, x -> len(x) > 6)) > 0 AS has_long,
+           len(list_filter(tok, x -> NOT (len(x) < 50))) = 0 AS all_short,
+           CAST(list_reduce(list_prepend(0, list_transform(tok, x -> len(x))),
+                            (a, b) -> a + b) AS BIGINT) AS total_chars,
+           array_to_string(list_sort(list_transform(tok, x -> lower(x))), '|')
+             AS sorted_lower,
+           array_to_string(tok[2:4], '|') AS middle,
+           array_to_string(flatten([tok[1:2], tok[1:2]]), '|') AS doubled_head,
+           array_to_string(generate_series(1, 5), '|') AS seq5
+    FROM toks ORDER BY doc_id
+    """,
+)
+def scalar_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter, exists, forall, aggregate
+    (fold), transform, sort_array, slice, flatten, sequence — the JVM
+    lambda surface the LLM-pipeline operators build on."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    tok = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.array_join(
+                F.filter(tok, lambda x: F.length(x) > 4), "|"
+            ).alias("long_toks"),
+            F.exists(tok, lambda x: F.length(x) > 6).alias("has_long"),
+            F.forall(tok, lambda x: F.length(x) < 50).alias("all_short"),
+            F.aggregate(
+                tok, F.lit(0), lambda acc, x: acc + F.length(x)
+            ).cast("bigint").alias("total_chars"),
+            F.array_join(F.sort_array(F.transform(tok, F.lower)), "|").alias(
+                "sorted_lower"
+            ),
+            F.array_join(F.slice(tok, 2, 3), "|").alias("middle"),
+            F.array_join(
+                F.flatten(F.array(F.slice(tok, 1, 2), F.slice(tok, 1, 2))), "|"
+            ).alias("doubled_head"),
+            F.array_join(F.sequence(F.lit(1), F.lit(5)), "|").alias("seq5"),
+        )
+        .orderBy("doc_id")
+    )
