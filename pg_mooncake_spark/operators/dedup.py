@@ -226,11 +226,11 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------- simhash
 
 
-def simhash(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 64
-) -> DataFrame:
-    """SimHash fingerprint: per-token 64-bit hash votes ±1 on each bit;
-    the sign of each bit-sum is the fingerprint bit.
+def simhash_fingerprint(text_col: str, bits: int = 64) -> Column:
+    """The SimHash fingerprint as a pure column expression: per-token
+    64-bit hash votes ±1 on each bit; the sign of each bit-sum is the
+    fingerprint bit.  Stateless and JVM-side, so it runs identically in
+    batch scans and streaming micro-batches.
 
     Entirely JVM-side: tokens → xxhash64 → per-token bit array
     (transform over sequence(0,bits-1)) → element-wise fold
@@ -255,10 +255,18 @@ def simhash(
         F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
     )
-    fingerprint = F.concat_ws(
+    return F.concat_ws(
         "", F.transform(summed, lambda s: F.when(s > 0, "1").otherwise("0"))
     )
-    return df.select(F.col(id_col), fingerprint.alias("simhash_bits"))
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """Per-document SimHash fingerprints (see simhash_fingerprint)."""
+    return df.select(
+        F.col(id_col), simhash_fingerprint(text_col, bits).alias("simhash_bits")
+    )
 
 
 def simhash_banded_pairs(

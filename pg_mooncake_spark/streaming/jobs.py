@@ -179,3 +179,35 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    bits: int = 64,
+) -> DataFrame:
+    """Streaming twin of the SimHash near-dup path: emit each document
+    whose 64-bit fingerprint has not been seen within the watermark
+    horizon; exact copies AND fingerprint-identical near-copies (token
+    reorderings, whitespace shuffles — hamming 0) are suppressed.
+
+    The fingerprint is the same pure column expression the batch
+    operator uses (operators/dedup.simhash), so it runs stateless
+    per-row inside the stream; only ``dropDuplicatesWithinWatermark``
+    keeps state, shuffled on the fingerprint alone with watermark-bounded
+    eviction.  Banded sub-fingerprint matching (hamming > 0) needs
+    cross-row joins that streaming state can't express incrementally —
+    that remains the batch operator's job; this is the stream-side
+    guard that stops exact/reordered duplicates from entering the
+    corpus at ingest time.
+    """
+    from pg_mooncake_spark.operators.dedup import simhash_fingerprint
+
+    return (
+        stream.withColumn("__fp", simhash_fingerprint(text_col, bits))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )

@@ -259,3 +259,39 @@ def test_streaming_exact_dedup_keeps_first(spark, tmp_path):
     assert 2 in got and 4 in got
     assert len([i for i in got if i in (1, 3)]) == 1
     assert len(got) == 3
+
+
+def test_streaming_near_dedup_suppresses_reordered_copies(spark, tmp_path):
+    """Near-dedup on the stream: a token-reordered copy (identical
+    SimHash fingerprint) arriving in a later micro-batch is suppressed;
+    genuinely different docs pass."""
+    import datetime
+
+    stream_dir = str(tmp_path / "nd")
+    os.makedirs(stream_dir)
+    t0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows1 = [(1, "alpha beta gamma", t0), (2, "totally different words", t0)]
+    rows2 = [(3, "gamma alpha beta", t0),  # reorder of 1 -> same fingerprint
+             (4, "another unrelated document", t0)]
+    schema = "doc_id int, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        jobs.streaming_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("near_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.table("near_dedup_sink").collect())
+    assert 2 in got and 4 in got
+    assert len([i for i in got if i in (1, 3)]) == 1  # reordered copy dropped
+    assert len(got) == 3
