@@ -157,14 +157,18 @@ def delta_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def delta_dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read DELETE round-trip: write orders as Delta, delete
-    every 7th key via deletion vectors (no file rewrite), read back
-    through the DV-applying scan, aggregate.  The oracle applies the
-    same predicate to the source — a mis-parsed bitmap, mis-mapped
-    position, or missed descriptor shows up as a hash mismatch."""
+    """Full merge-on-read lifecycle: write orders as Delta, delete every
+    7th key via deletion vectors (no file rewrite), OPTIMIZE-compact
+    (folds the DVs into clean files), vacuum the tombstoned originals,
+    read back, aggregate.  The result is invariant across every step —
+    the oracle applies the same predicate to the source, so a mis-parsed
+    bitmap, mis-mapped position, lost row in compaction, or
+    over-eager vacuum all show up as a hash mismatch."""
     from pg_mooncake_spark.sources.delta import (
+        compact_delta,
         delete_where_dv,
         read_delta,
+        vacuum_delta,
         write_delta,
     )
 
@@ -172,6 +176,8 @@ def delta_dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="delta_dv_") + "/t"
     write_delta(o, path, mode="error")
     delete_where_dv(spark, path, "o_orderkey % 7 = 0")
+    compact_delta(spark, path)
+    vacuum_delta(path, retention_ms=0)
     back = read_delta(spark, path)
     return (
         back.groupBy("o_orderstatus")

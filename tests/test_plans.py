@@ -239,3 +239,52 @@ def test_text_profile_is_map_only(spark):
 
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert I.exchange_count(text_profile(d, "text", "doc_id")) == 0
+
+
+def test_delta_dv_scan_uses_broadcast_anti_join(spark, tmp_path):
+    """DV-applying reads must drop deleted positions via a broadcast
+    anti-join (bitmap side is tiny) — a sort-merge join here would
+    shuffle the full table by (file, position) at 100 TB."""
+    from pg_mooncake_spark.sources.delta import (
+        delete_where_dv,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "dvplan")
+    write_delta(
+        spark.range(1000).selectExpr("id AS k", "concat('v', id) AS v"), path
+    )
+    delete_where_dv(spark, path, "k % 100 = 0")
+    df = read_delta(spark, path)
+    assert I.broadcast_join_count(df) >= 1
+    assert I.sortmerge_join_count(df) == 0
+    assert df.count() == 990
+
+
+def test_iceberg_positional_delete_scan_stays_broadcast(spark, tmp_path):
+    """The Iceberg merge-on-read scan's delete application must also be
+    broadcast-side only."""
+    import json
+    import os
+
+    from tests.test_sources import (
+        _add_delete_snapshot,
+        _stage_iceberg_manifest_table,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    root = _stage_iceberg_manifest_table(tmp_path)
+    fc = _add_delete_snapshot(
+        root, "pdel.parquet", [{"file_path": "", "pos": 0}], content=1
+    )
+    pq.write_table(
+        pa.Table.from_pylist([{"file_path": fc, "pos": 0}]),
+        os.path.join(root, "data", "pdel.parquet"),
+    )
+    df = read_iceberg(spark, root)
+    assert I.broadcast_join_count(df) >= 1
+    assert I.sortmerge_join_count(df) == 0
