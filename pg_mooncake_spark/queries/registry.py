@@ -75,6 +75,7 @@ _NEVER_DRIVER_VERIFIED = (
     "delta_dv_delete_roundtrip",
     "scalar_regexp_family",
     "scalar_hof_family",
+    "scalar_try_family",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",

@@ -680,3 +680,51 @@ def scalar_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "scalar_try_family",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS div_by_mod,
+           CASE WHEN o_orderkey > 2000 THEN NULL
+                ELSE CAST(9223372036854773807 + o_orderkey AS BIGINT) END AS ovf_add,
+           string_split(o_orderpriority, '-')[2] AS part2,
+           string_split(o_orderpriority, '-')[99] AS part99
+    FROM orders WHERE o_orderkey < 5000
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe (try_*) family — the data-cleaning surface: TRY_CAST on
+    unparseable strings, try_divide by a data-driven zero, try_add past
+    BIGINT overflow (NULL, not an error), try_element_at out of bounds.
+    The oracle proves the NULL pattern matches row-for-row (overflow
+    guarded with an equivalent CASE since the oracle engine errors on
+    overflow rather than NULLing)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr("TRY_CAST(o_orderpriority AS INT)").alias("prio_int"),
+            F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)").alias(
+                "prio_digit"
+            ),
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias(
+                "div_by_mod"
+            ),
+            F.try_add(
+                F.lit(9223372036854775807 - 2000), F.col("o_orderkey")
+            ).alias("ovf_add"),
+            F.try_element_at(F.split("o_orderpriority", "-"), F.lit(2)).alias(
+                "part2"
+            ),
+            F.try_element_at(F.split("o_orderpriority", "-"), F.lit(99)).alias(
+                "part99"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
