@@ -190,8 +190,11 @@ def streaming_near_dedup(
 ) -> DataFrame:
     """Streaming twin of the SimHash near-dup path: emit each document
     whose 64-bit fingerprint has not been seen within the watermark
-    horizon; exact copies AND fingerprint-identical near-copies (token
-    reorderings, whitespace shuffles — hamming 0) are suppressed.
+    horizon; exact copies AND fingerprint-identical near-copies are
+    suppressed — i.e. any reordering of the same single-space-separated
+    token set (hamming 0).  Other edits (extra whitespace changes the
+    token multiset under the space tokenizer, word substitutions) shift
+    the fingerprint and pass through.
 
     The fingerprint is the same pure column expression the batch
     operator uses (operators/dedup.simhash), so it runs stateless

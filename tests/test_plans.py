@@ -265,7 +265,6 @@ def test_delta_dv_scan_uses_broadcast_anti_join(spark, tmp_path):
 def test_iceberg_positional_delete_scan_stays_broadcast(spark, tmp_path):
     """The Iceberg merge-on-read scan's delete application must also be
     broadcast-side only."""
-    import json
     import os
 
     from tests.test_sources import (
