@@ -76,6 +76,7 @@ _NEVER_DRIVER_VERIFIED = (
     "scalar_regexp_family",
     "scalar_hof_family",
     "scalar_try_family",
+    "agg_approx_percentile",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",

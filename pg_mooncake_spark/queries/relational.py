@@ -931,3 +931,37 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "metric")
     )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           TRUE AS p50_within_tol, TRUE AS p95_within_tol
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch, accuracy=100 →
+    max rank error 1%).  Like agg_approx_count_distinct, the sketch
+    value is engine-specific, so the oracle-checkable output is the
+    ASSERTION: the approximate p50/p95 must sit between the exact
+    percentiles at rank ∓2% — true per group, which the oracle trivially
+    agrees on, so a broken estimator hash-mismatches."""
+    o = t(spark, sf_dir, "orders")
+    est = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 100).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.95, 100).alias("ap95"),
+        F.expr("percentile(o_totalprice, 0.48)").alias("e48"),
+        F.expr("percentile(o_totalprice, 0.52)").alias("e52"),
+        F.expr("percentile(o_totalprice, 0.93)").alias("e93"),
+        F.expr("percentile(o_totalprice, 0.97)").alias("e97"),
+    )
+    return (
+        est.select(
+            "o_orderstatus",
+            F.col("ap50").between(F.col("e48"), F.col("e52")).alias("p50_within_tol"),
+            F.col("ap95").between(F.col("e93"), F.col("e97")).alias("p95_within_tol"),
+        )
+        .orderBy("o_orderstatus")
+    )
