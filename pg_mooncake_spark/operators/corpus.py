@@ -219,3 +219,43 @@ def chunk_documents(
             ).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents that share at
+    least ``min_hits`` distinct word ``ngram_k``-grams with ANY benchmark
+    document — the standard pretraining hygiene step that stops eval-set
+    text from leaking into the training corpus.
+
+    Scale shape: the benchmark n-gram set is small (eval suites are
+    thousands of documents) and broadcasts; the training side is a
+    map-only shingle explode + broadcast semi-join + per-doc count —
+    training text itself never shuffles, so this runs at corpus scale
+    as one pass.  8-grams are the community convention (long enough that
+    natural collisions are rare, short enough to catch partial copies).
+    """
+    from pg_mooncake_spark.operators.dedup import word_shingles
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), ngram_k)).alias("g")
+        ).distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), ngram_k)).alias("g")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .select(id_col)
+    )
+    return train.join(contaminated, id_col, "left_anti")

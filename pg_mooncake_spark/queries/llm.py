@@ -1169,3 +1169,37 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands via lag + running sum, shuffling only on user_id."""
     e = t(spark, sf_dir, "events")
     return session_stats(e, 30).orderBy("user_id", "session_idx")
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4] || ' ' || string_split(text,' ')[i+5] || ' ' || string_split(text,' ')[i+6] || ' ' || string_split(text,' ')[i+7]))) AS g
+           FROM documents WHERE doc_id % 10 = 0),
+    tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4] || ' ' || string_split(text,' ')[i+5] || ' ' || string_split(text,' ')[i+6] || ' ' || string_split(text,' ')[i+7]))) AS g FROM docs2),
+    cont AS (SELECT tg.doc_id FROM tg JOIN bg USING (g)
+             GROUP BY tg.doc_id HAVING count(DISTINCT tg.g) >= 2)
+    SELECT d.doc_id, d.text
+    FROM docs2 d LEFT JOIN cont ON d.doc_id = cont.doc_id
+    WHERE cont.doc_id IS NULL
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.decontaminate): drop
+    training docs sharing >= 2 distinct word 8-grams with the benchmark
+    slice (doc_id % 10 == 0 stands in for an eval suite).  Catches the
+    benchmark docs themselves plus their exact/near copies; clean docs
+    survive.  Broadcast semi-join shape: training text never shuffles."""
+    from pg_mooncake_spark.operators.corpus import decontaminate
+
+    bench = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    train = _docs2(spark, sf_dir)
+    return decontaminate(
+        train, bench, "text", "doc_id", ngram_k=8, min_hits=2
+    ).orderBy("doc_id")

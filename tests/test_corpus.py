@@ -143,3 +143,27 @@ def test_mix_corpora_upsampling(spark):
     copies = out.filter(F.col("doc_id") == sample_doc).collect()
     assert len({r["copy_idx"] for r in copies}) == len(copies)
     assert len({r["mix_order"] for r in copies}) == len(copies)
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """Training docs sharing >= min_hits 8-grams with the benchmark are
+    dropped; clean docs survive; short docs (< 8 tokens) never match."""
+    from pg_mooncake_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id int, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "a completely different document about distributed query engines"),
+            (3, "short doc"),
+        ],
+        "doc_id int, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, ngram_k=8, min_hits=1).collect()
+    )
+    assert kept == [2, 3]
