@@ -448,3 +448,88 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------- connected components
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list — the step
+    that turns pairwise near-dup output (MinHash / SimHash / Jaccard
+    candidate pairs) into transitive dedup groups, so "A~B, B~C" collapses
+    A, B and C into one group even when A~C was never emitted as a pair.
+
+    Returns ``(node, component_id)`` for every node that appears in
+    ``pairs``; ``component_id`` is the smallest node id in the component
+    (the canonical document).  Join back to the full corpus with a left
+    join + coalesce to assign singletons their own id.
+
+    Scale design (reference parity: the reference has no graph operator —
+    this is part of the §2.C training-pipeline extension surface):
+
+    - iterative min-label propagation: each round is one equi-join on the
+      node id (shuffled hash join) plus one min-aggregation — partial
+      (map-side) min combine makes the shuffle traffic O(#distinct nodes),
+      never O(#edges);
+    - no edge or label data ever reaches the driver; the only collected
+      value per round is a 0/1 convergence probe (``limit(1).count()``);
+    - rounds needed = component diameter.  Near-dup clusters are shallow
+      stars around a canonical doc (diameter ≤ ~4), so a handful of rounds
+      converges; for adversarially deep graphs switch to the
+      large-star/small-star alternation (Kiveris et al., "Connected
+      Components in MapReduce and Beyond", SoCC'14) which converges in
+      O(log n) rounds — same output contract;
+    - lineage is truncated every round (``localCheckpoint``) so the
+      iterated plan stays constant-size instead of doubling per round (on
+      a real cluster prefer a reliable ``checkpoint`` dir for fault
+      tolerance; local mode has no such distinction).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "comp"), "dst"
+            ).select(F.col("src").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("old")), "node"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "component diameter exceeds max_iter — raise max_iter or use "
+        "large-star/small-star alternation"
+    )

@@ -383,6 +383,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE docs2 AS ({_DOCS2}),
+    sub AS (SELECT * FROM docs2 WHERE doc_id % 4 = 0 OR doc_id >= 1000000),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS s
+      FROM sub),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared JOIN sizes na ON id_a = na.doc_id
+                  JOIN sizes nb ON id_b = nb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.4),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+      FROM reach GROUP BY src),
+    assigned AS (
+      SELECT s.doc_id, COALESCE(c.component_id, s.doc_id) AS component_id
+      FROM (SELECT doc_id FROM sub) s LEFT JOIN comp c USING (doc_id)),
+    csize AS (
+      SELECT component_id, COUNT(*) AS component_size
+      FROM assigned GROUP BY 1)
+    SELECT a.doc_id, a.component_id, c.component_size
+    FROM assigned a JOIN csize c USING (component_id)
+    ORDER BY a.doc_id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup groups: Jaccard candidate pairs → connected
+    components (iterative min-label propagation, operators/dedup.py) →
+    canonical id + group size for EVERY doc in the subset (singletons
+    keep their own id).  A chain A~B~C with no direct A~C pair must
+    still collapse into one group — the property pairwise output alone
+    misses.  Oracle: recursive-CTE transitive closure (fine at oracle
+    scale; the Spark side never materializes closure, only per-round
+    neighbor minima)."""
+    docs = _docs2(spark, sf_dir).filter(
+        (F.col("doc_id") % 4 == 0) | (F.col("doc_id") >= 1000000)
+    )
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.4)
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component_id"),
+        )
+    )
+    sizes = assigned.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        assigned.join(sizes, "component_id")
+        .select("doc_id", "component_id", "component_size")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH vecs AS (

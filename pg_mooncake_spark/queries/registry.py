@@ -78,6 +78,7 @@ _NEVER_DRIVER_VERIFIED = (
     "scalar_try_family",
     "agg_approx_percentile",
     "corpus_decontaminate",
+    "dedup_components",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",

@@ -577,26 +577,39 @@ class MoonTable:
             df = df.repartition(target_partitions)
         return self.overwrite(df)
 
-    def vacuum(self) -> int:
+    def vacuum(self, staging_grace_s: float = 3600.0) -> int:
         """Remove data files no longer referenced by the latest snapshot,
         plus staging directories orphaned by crashed writers (a writer
         that died between staging and commit leaves ``_staging_*`` —
         invisible to readers, but disk it holds must be reclaimable).
 
+        Staging dirs younger than ``staging_grace_s`` are left alone so a
+        vacuum running concurrently with an in-flight append/update cannot
+        delete a live writer's files mid-write — the same protection Delta
+        VACUUM's retention window gives in-flight transactions.  Pass 0 to
+        force-reclaim (only safe when no writer can be active).
+
         (Time travel to pre-vacuum versions is forfeited — same contract
         as Delta VACUUM.)"""
         import shutil as _shutil
+        import time as _time
 
         live = {d["name"] for d in self._snapshot(None)[0]}
         removed = 0
+        now = _time.time()
         for f in os.listdir(self.path):
             full = os.path.join(self.path, f)
             if f.endswith(".parquet") and f not in live:
                 os.remove(full)
                 removed += 1
             elif f.startswith("_staging_") and os.path.isdir(full):
-                _shutil.rmtree(full)
-                removed += 1
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # racing writer removed it already
+                if age >= staging_grace_s:
+                    _shutil.rmtree(full)
+                    removed += 1
         return removed
 
     # ---------------------------------------------------------------- misc

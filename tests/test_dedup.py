@@ -117,3 +117,28 @@ def test_kmeans_ivf_recall_and_determinism(spark):
     assert 0 in approx  # the query vector itself is always found
     overlap = len(set(exact) & set(approx)) / 10
     assert overlap >= 0.5, f"IVF nprobe=2 recall {overlap} too low"
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D (no direct A~C/A~D pair) must collapse into ONE
+    component labeled with the min id — the transitivity pairwise dedup
+    output misses; disjoint pairs stay separate; convergence needs
+    multiple propagation rounds (chain diameter 3)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r["node"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A diameter deeper than max_iter must raise, not silently return a
+    half-propagated labeling."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(chain, max_iter=2)

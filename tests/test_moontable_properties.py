@@ -132,7 +132,9 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
 
 def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
     """A writer that died between staging and commit leaves _staging_*;
-    vacuum must reclaim it without touching live data."""
+    vacuum must reclaim it once past the grace window — but a staging dir
+    younger than the grace period (a possibly-live in-flight writer) must
+    survive, so concurrent vacuum can't kill an active write."""
     import os as _os
 
     path = str(tmp_path / "t")
@@ -142,6 +144,11 @@ def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
     crashed = _os.path.join(path, "_staging_deadbeef")
     _os.makedirs(crashed)
     open(_os.path.join(crashed, "part-0.parquet"), "wb").close()
+    # fresh dir = possibly a live writer: default grace protects it
+    assert mt.vacuum() == 0
+    assert _os.path.isdir(crashed)
+    # age it past the window: now it's reclaimable
+    _os.utime(crashed, (1.0, 1.0))
     assert mt.vacuum() >= 1
     assert not _os.path.isdir(crashed)
     assert [r["k"] for r in mt.read().collect()] == [1]
