@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pg_mooncake_spark.functions import dsum
 from pg_mooncake_spark.operators import dedup as D
 from pg_mooncake_spark.operators import similarity as S
 from pg_mooncake_spark.operators import text as X
@@ -966,6 +967,57 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows."""
     e = t(spark, sf_dir, "events")
     return sliding_window_agg(e, 10, 5).orderBy("window_start")
+
+
+@query(
+    "events_range_join",
+    oracle="""
+    WITH intervals AS (
+      SELECT k AS interval_id,
+             TIMESTAMP '2024-01-01 00:00:00' + k * (INTERVAL 97 MINUTE) AS s,
+             TIMESTAMP '2024-01-01 00:00:00' + k * (INTERVAL 97 MINUTE)
+               + INTERVAL 23 MINUTE AS e
+      FROM generate_series(0, 47) t(k))
+    SELECT i.interval_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM events ev JOIN intervals i ON ev.ts BETWEEN i.s AND i.e
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join events→intervals via bin bucketing
+    (operators/rangejoin.py): each event carries ONE bucket, each interval
+    explodes into its covering buckets, equi-join + residual BETWEEN — no
+    BroadcastNestedLoopJoin, no cartesian scan (the oracle's theta join IS
+    the naive plan this operator replaces at scale)."""
+    from pg_mooncake_spark.operators.rangejoin import range_join
+
+    e = t(spark, sf_dir, "events")
+    iv = spark.range(48).select(
+        F.col("id").alias("interval_id"),
+        F.expr(
+            "to_timestamp('2024-01-01 00:00:00')"
+            " + make_dt_interval(0, 0, id * 97, 0)"
+        ).alias("s"),
+        F.expr(
+            "to_timestamp('2024-01-01 00:00:00')"
+            " + make_dt_interval(0, 0, id * 97 + 23, 0)"
+        ).alias("e"),
+    )
+    joined = range_join(e, "ts", iv, "s", "e", bucket_s=23 * 60)
+    return (
+        joined.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2, 30).alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("interval_id")
+    )
 
 
 # DuckDB equivalent of operators/corpus.hash_fraction's md5-hex prefix:

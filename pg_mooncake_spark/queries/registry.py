@@ -79,6 +79,7 @@ _NEVER_DRIVER_VERIFIED = (
     "agg_approx_percentile",
     "corpus_decontaminate",
     "dedup_components",
+    "events_range_join",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",

@@ -287,3 +287,17 @@ def test_iceberg_positional_delete_scan_stays_broadcast(spark, tmp_path):
     df = read_iceberg(spark, root)
     assert I.broadcast_join_count(df) >= 1
     assert I.sortmerge_join_count(df) == 0
+
+
+def test_range_join_never_nested_loop(spark, queries):
+    """The bin-bucketed range join must compile to an equi-join (hash or
+    broadcast-hash on the bucket id) with the BETWEEN as residual — a
+    BroadcastNestedLoopJoin or CartesianProduct means the bucketing
+    collapsed and every fact would compare against every interval."""
+    df = queries["events_range_join"](spark, SF_DIR)
+    plan = I.plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (I.broadcast_join_count(df) + I.sortmerge_join_count(df)) >= 1 or (
+        "ShuffledHashJoin" in plan
+    )
