@@ -64,6 +64,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     Short texts (< k tokens) yield an empty array: ``greatest(n-k+1, 0)``
     makes every slice empty, so the zip chain is empty too.
     """
+    return F.array_distinct(word_kgrams(text, k))
+
+
+def word_kgrams(text: Column, k: int = 3) -> Column:
+    """All word k-grams in order (duplicates kept) — the non-distinct
+    building block behind ``word_shingles``; repetition scoring needs the
+    total-vs-distinct ratio, so duplicates must survive here."""
     toks = F.split(text, " ")
     m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     res = F.slice(toks, 1, m)
@@ -71,7 +78,7 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         res = F.zip_with(
             res, F.slice(toks, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    return F.array_distinct(res)
+    return res
 
 
 # -------------------------------------------------------------- minhash

@@ -255,3 +255,69 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang_pred.alias("lang_pred"),
         "fingerprint",
     )
+
+
+# ------------------------------------------------------------ PII redaction
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, \b word boundaries — no
+# lookarounds, no backreferences — so oracle SQL replays them verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped numbers from a text
+    column — the standard pre-training hygiene pass.
+
+    Per doc: occurrence counts per category (on the original text) and
+    the redacted text with ``[EMAIL]`` / ``[IP]`` / ``[PHONE]``
+    placeholders.  Emails are replaced first so an address's domain dots
+    can't be re-matched as an IP.
+
+    Map-only (regexp_count/regexp_replace are codegen'd JVM expressions —
+    no shuffle, no Python), so it scales linearly with the corpus.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "[EMAIL]"), PII_IPV4, "[IP]"
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(c, F.lit(PII_PHONE)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+# -------------------------------------------------------- repetition score
+
+
+def repetition_score(
+    df: DataFrame, text_col: str, id_col: str, k: int = 2
+) -> DataFrame:
+    """Boilerplate/repetition signal: the fraction of word k-grams that
+    are repeats of an earlier k-gram in the same document
+    (``1 - distinct/total``).  Templated or looping text scores high;
+    natural prose scores near 0.  Map-only: the k-gram array is built
+    with the same zip-of-shifted-slices shape as MinHash shingling and
+    never leaves the row.
+    """
+    from pg_mooncake_spark.operators.dedup import word_kgrams
+
+    grams = word_kgrams(F.col(text_col), k)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_grams"),
+        F.when(total > 0, F.round(1.0 - distinct / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    )

@@ -847,6 +847,123 @@ def text_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ multimodal
 
 
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE_SQL = "\\b\\d{3}-\\d{4}\\b"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+             THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 logged'
+             ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0
+             THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+             ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4_SQL}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+               '{_PII_IPV4_SQL}', '[IP]', 'g'),
+               '{_PII_PHONE_SQL}', '[PHONE]', 'g')) AS redacted_md5
+    FROM w ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass (operators/text.py pii_redact): synthesized
+    deterministic emails/IPs/phones appended to a subset of docs, then
+    counted and redacted; the md5 of the redacted text proves both
+    engines produced byte-identical redactions.  Patterns stay in the
+    Java-regex ∩ RE2 common subset so the oracle replays them verbatim."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    w = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".1 logged"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    red = X.pii_redact(w, "text", "doc_id")
+    return red.select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_ips").cast("bigint").alias("n_ips"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END AS text
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 1, 0)),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             ) AS grams
+      FROM w)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                 / len(grams), 6)
+                ELSE 0.0 END AS repetition
+    FROM g ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram repetition signal (operators/text.py): docs with
+    doc_id % 5 = 0 get their text doubled — those must score ≈0.5+;
+    untouched prose stays near 0."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return X.repetition_score(w, "text", "doc_id").orderBy("doc_id")
+
+
 _MEDIA_KIND_SQL = """
       CASE WHEN doc_id % 3 = 0 THEN 'image'
            WHEN doc_id % 3 = 1 THEN 'audio'

@@ -80,6 +80,8 @@ _NEVER_DRIVER_VERIFIED = (
     "corpus_decontaminate",
     "dedup_components",
     "events_range_join",
+    "text_pii_redaction",
+    "text_repetition_score",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",
