@@ -259,3 +259,37 @@ def decontaminate(
         .select(id_col)
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Cap each group's contribution at ``cap`` rows — domain/source
+    capping, the standard guard against one crawl domain dominating a
+    pretraining mix.
+
+    Selection is deterministic hash order (md5-fraction of the id, tie
+    broken by id), not arbitrary ``LIMIT``: the same rows survive at any
+    parallelism, and the kept subset is an unbiased per-group sample
+    rather than whatever physical order the scan produced.
+
+    Scale: one shuffle (window partitioned by ``group_col``); state per
+    group during the rank is O(1) — rows stream through the window sort.
+    A pathologically hot group bounds a single task at that group's row
+    count; for that regime pre-filter with ``sample_deterministic`` at a
+    rate that brings the hot group near ``cap`` before ranking.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -114,6 +114,37 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_lineitem",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (Spark's second native columnar format — the
+    reference is parquet-only, SURVEY §2.B external-format rows): write
+    filtered lineitem as ORC, read it back through the vectorized ORC
+    reader, aggregate.  The oracle aggregates the parquet source — any
+    type or row drift through the ORC round-trip is a hash mismatch."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/t"
+    li.write.orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice", 2).alias("sum_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
     "delta_roundtrip_lineitem",
     oracle="""
     SELECT l_returnflag,

@@ -1250,6 +1250,30 @@ def corpus_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_domain_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_h8("CAST(doc_id AS VARCHAR) || '#3'")} ASC, doc_id ASC
+             ) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (operators/corpus.py cap_per_group): every source
+    keeps at most 15 docs, chosen by deterministic hash order — the guard
+    against one crawl domain dominating the mix (at sf0.01: 20 sources
+    x 25 docs, so exactly 300 of 500 survive)."""
+    from pg_mooncake_spark.operators.corpus import cap_per_group
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, "source", "doc_id", 15, seed=3).orderBy("doc_id")
+
+
+@query(
     "corpus_sample_stratified",
     oracle=f"""
     WITH r AS (

@@ -82,6 +82,8 @@ _NEVER_DRIVER_VERIFIED = (
     "events_range_join",
     "text_pii_redaction",
     "text_repetition_score",
+    "corpus_domain_cap",
+    "orc_roundtrip_lineitem",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",
