@@ -116,9 +116,11 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duck_connection(sf_dir)
     failures = 0
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
@@ -136,7 +138,8 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
                 print("FAIL", e[:2000])
         else:
             print("ok  ", name)
-    print(f"\n{len(qs) - failures}/{len(qs)} queries pass")
+    suffix = f" (subset of {len(qs)} registered)" if only else ""
+    print(f"\n{ran - failures}/{ran} queries pass{suffix}")
     return failures
 
 
