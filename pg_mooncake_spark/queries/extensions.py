@@ -145,6 +145,40 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_roundtrip_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) AS sum_disc
+    FROM lineitem
+    WHERE l_partkey % 5 = 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def iceberg_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 sink + source (the reference mirrors tables into an
+    Iceberg warehouse — reference src/functions.rs:89, README.md:17):
+    write filtered lineitem as an Iceberg table (parquet + manifest Avro
+    chain + metadata JSON), read it back through the manifest-chain
+    replay, aggregate.  Oracle aggregates the parquet source — any drift
+    through the metadata chain is a hash mismatch."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="ice_rt_") + "/t"
+    write_iceberg(li, path)
+    back = read_iceberg(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_discount", 2).alias("sum_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "delta_roundtrip_lineitem",
     oracle="""
     SELECT l_returnflag,

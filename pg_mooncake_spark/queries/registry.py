@@ -84,6 +84,7 @@ _NEVER_DRIVER_VERIFIED = (
     "text_repetition_score",
     "corpus_domain_cap",
     "orc_roundtrip_lineitem",
+    "iceberg_roundtrip_lineitem",
     # red/rows-only rows repaired or newly oracled this round
     "scalar_cast_conversion",
     "q12_priority_shipping",

@@ -289,8 +289,15 @@ def write_avro(
     records: list[Any],
     codec: str = "deflate",
     sync: Optional[bytes] = None,
+    extra_meta: Optional[dict[str, bytes]] = None,
 ) -> None:
-    """Write records as an Avro object container file."""
+    """Write records as an Avro object container file.
+
+    ``extra_meta`` adds key→bytes pairs to the container's metadata map —
+    Iceberg manifests require ``schema`` / ``partition-spec`` /
+    ``format-version`` / ``content`` keys there (spec: Manifests,
+    "file metadata").
+    """
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported Avro codec {codec!r}")
     names: dict[str, Any] = {}
@@ -311,6 +318,7 @@ def write_avro(
         {
             "avro.schema": json.dumps(schema).encode("utf-8"),
             "avro.codec": codec.encode("utf-8"),
+            **(extra_meta or {}),
         },
         {},
     )

@@ -382,3 +382,342 @@ def read_iceberg(
         raise IcebergSupportError(f"no data files under {data_dir}")
     reader = spark.read.schema(declared) if declared is not None else spark.read
     return reader.parquet(*files)
+
+
+# --------------------------------------------------------------- write path
+#
+# Iceberg v2 table WRITE (append snapshots): parquet data files (one Spark
+# job) + manifest Avro + manifest-list Avro (sources/avro.py writer) +
+# versioned metadata JSON + version-hint.  The reference stores every
+# mirror as an Iceberg warehouse (reference src/functions.rs:89
+# iceberg_warehouse_location, README.md:17); this is that export surface,
+# Spark-side.  Conformance target: the public Iceberg v2 spec
+# (iceberg.apache.org/spec) — field-ids in all metadata schemas, manifest
+# file-metadata keys, sequence-number inheritance for added entries.
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+         "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None,
+         "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record",
+            "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition", "field-id": 102, "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
+            ],
+        }},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _spark_to_iceberg_schema(schema) -> dict:
+    """Spark StructType → Iceberg schema JSON with field-ids assigned
+    depth-first in declaration order (the assignment a fresh Iceberg
+    CREATE TABLE produces)."""
+    from pyspark.sql import types as T
+
+    counter = {"n": 0}
+
+    def nid() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    def conv(dt):
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = nid()
+                fields.append({
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": conv(f.dataType),
+                })
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            eid = nid()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            kid, vid = nid(), nid()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": conv(dt.keyType),
+                "value-id": vid,
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision},{dt.scale})"
+        simple = {
+            T.BooleanType: "boolean",
+            T.IntegerType: "int",
+            T.ShortType: "int",
+            T.ByteType: "int",
+            T.LongType: "long",
+            T.FloatType: "float",
+            T.DoubleType: "double",
+            T.DateType: "date",
+            T.TimestampType: "timestamptz",
+            T.TimestampNTZType: "timestamp",
+            T.StringType: "string",
+            T.BinaryType: "binary",
+        }.get(type(dt))
+        if simple is None:
+            raise IcebergSupportError(
+                f"cannot map Spark type {dt.simpleString()} to Iceberg"
+            )
+        return simple
+
+    struct = conv(schema)
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": struct["fields"],
+        # side-channel: last assigned id (popped before serialization)
+        "_last_column_id": counter["n"],
+    }
+
+
+def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Write/append a DataFrame as an Iceberg v2 table.
+
+    ``mode='error'`` creates a fresh table (refuses if one exists);
+    ``mode='append'`` adds a snapshot (schema must match the table's).
+
+    Scale shape: ONE Spark job stages the parquet data files; metadata
+    construction (per-file row counts from parquet footers, manifest +
+    manifest-list Avro, metadata JSON) is driver-side over the file
+    LISTING only — the same O(#files) driver work Iceberg's own commit
+    path performs, never O(rows).  Appends carry previous manifest-list
+    entries forward verbatim, so commit cost is O(new files + #prior
+    manifests), not O(table).
+    """
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    from pg_mooncake_spark.sources.avro import write_avro
+
+    meta_dir = os.path.join(path, "metadata")
+    exists = os.path.isdir(meta_dir)
+    if exists and mode == "error":
+        raise IcebergSupportError(f"Iceberg table already exists at {path}")
+    if not exists and mode == "append":
+        raise IcebergSupportError(f"no Iceberg table to append to at {path}")
+    if mode not in ("error", "append"):
+        raise IcebergSupportError(f"unsupported write_iceberg mode {mode!r}")
+
+    schema_json = _spark_to_iceberg_schema(df.schema)
+    last_column_id = schema_json.pop("_last_column_id")
+
+    prev = None
+    if exists:
+        prev = _latest_metadata(path)
+        prev_schema = None
+        if prev.get("schemas"):
+            for s in prev["schemas"]:
+                if s.get("schema-id") == prev.get("current-schema-id"):
+                    prev_schema = s
+        if prev_schema is not None:
+            a = [(f["name"], f["type"], f["required"]) for f in prev_schema["fields"]]
+            b = [(f["name"], f["type"], f["required"]) for f in schema_json["fields"]]
+            if a != b:
+                raise IcebergSupportError(
+                    "append schema differs from table schema; "
+                    "schema evolution on write is not supported"
+                )
+
+    version = 1 if prev is None else _metadata_version_of(prev, path) + 1
+    seq = 1 if prev is None else int(prev.get("last-sequence-number") or 0) + 1
+    snapshot_id = seq  # deterministic, unique per commit
+    table_uuid = prev["table-uuid"] if prev else str(_uuid.uuid4())
+
+    # 1. stage data files (the only Spark job)
+    data_dir = os.path.join(path, "data", f"s{seq:05d}")
+    df.write.parquet(data_dir)
+
+    files = sorted(
+        _glob.glob(os.path.join(data_dir, "part-*.parquet"))
+    )
+    entries = []
+    added_rows = 0
+    for f in files:
+        n = _pq.ParquetFile(f).metadata.num_rows
+        if n == 0:
+            # empty partitions stage empty part files; a real Iceberg
+            # commit never records zero-row files — drop them
+            os.remove(f)
+            continue
+        added_rows += n
+        entries.append({
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            # null sequence numbers: inherited from the manifest-list
+            # entry per the v2 inheritance rule (exercises the same path
+            # external writers rely on)
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": f,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(f),
+            },
+        })
+
+    os.makedirs(meta_dir, exist_ok=True)
+    pub_schema = {k: v for k, v in schema_json.items()}
+
+    # 2. manifest
+    manifest_path = os.path.join(
+        meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        extra_meta={
+            "schema": json.dumps(pub_schema).encode(),
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+
+    # 3. manifest list: new manifest first, previous manifests carried
+    # forward verbatim (append semantics)
+    new_mf = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    carried = []
+    if prev is not None:
+        cur = None
+        for s in prev.get("snapshots") or []:
+            if s.get("snapshot-id") == prev.get("current-snapshot-id"):
+                cur = s
+        if cur is not None:
+            from pg_mooncake_spark.sources.avro import read_avro
+
+            _, carried = read_avro(_resolve_path(cur["manifest-list"], path))
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [new_mf] + [
+            {k: c.get(k) for k in
+             (f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"])}
+            for c in carried
+        ],
+        extra_meta={"format-version": b"2"},
+    )
+
+    # 4. metadata JSON + version hint
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "schema-id": 0,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+        },
+    }
+    meta = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "current-schema-id": 0,
+        "schemas": [pub_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (list(prev.get("snapshots") or []) if prev else [])
+        + [snapshot],
+        "snapshot-log": (list(prev.get("snapshot-log") or []) if prev else [])
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+        "metadata-log": [],
+    }
+    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
+def _metadata_version_of(meta: dict, path: str) -> int:
+    """Highest metadata file version currently on disk (the version the
+    replayed ``meta`` came from)."""
+    meta_dir = os.path.join(path, "metadata")
+    return max(
+        (_metadata_version(f) for f in os.listdir(meta_dir)
+         if f.endswith(".metadata.json")),
+        default=0,
+    )
