@@ -342,6 +342,38 @@ class MooncakeEngine:
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 
+    def export_table(
+        self,
+        dst: str,
+        path: str,
+        fmt: str = "delta",
+        version: Optional[int] = None,
+        mode: str = "error",
+    ) -> None:
+        """Export a mirror snapshot as an open-format table the rest of
+        the lake can read — the Spark analog of the reference's
+        per-mirror Iceberg warehouse (``iceberg_warehouse_location`` in
+        ``list_tables``, reference src/functions.rs:89, README.md:17).
+
+        ``fmt``: 'delta' (transaction log), 'iceberg' (v2 manifest
+        chain), or 'parquet' (bare files).  ``version`` pins the mirror
+        snapshot (default: read-your-writes watermark).  'iceberg' and
+        'delta' support ``mode='append'`` to add the snapshot as a new
+        commit of an existing export."""
+        df = self.table(dst, version=version)
+        if fmt == "delta":
+            from pg_mooncake_spark.sources.delta import write_delta
+
+            write_delta(df, path, mode=mode)
+        elif fmt == "iceberg":
+            from pg_mooncake_spark.sources.iceberg import write_iceberg
+
+            write_iceberg(df, path, mode=mode)
+        elif fmt == "parquet":
+            df.write.mode("error" if mode == "error" else "append").parquet(path)
+        else:
+            raise ValueError(f"unsupported export format {fmt!r}")
+
     # -------------------------------------------------------------- queries
 
     def table(self, name: str, version: Optional[int] = None) -> DataFrame:

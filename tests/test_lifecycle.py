@@ -428,3 +428,26 @@ def test_pk_stat_pruning_timestamp_literals(spark, warehouse):
     # end-to-end: the delete must actually remove the matching rows
     mt.delete_where("ts <= '2020-07-01 10:00:00'")
     assert mt.read().count() == 89
+
+
+def test_export_table_iceberg_and_delta(spark, warehouse, tmp_path):
+    """export_table publishes a pinned mirror snapshot as an open-format
+    table (the reference's per-mirror Iceberg warehouse surface): both
+    exports read back with the same rows, and a version pin exports the
+    OLD snapshot even after later writes."""
+    from pg_mooncake_spark.sources.delta import read_delta
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    eng = _engine(spark, warehouse)
+    src = spark.createDataFrame([(i, i * 2) for i in range(8)], "k int, v int")
+    eng.create_table("ex", source_df=src, primary_key=["k"])
+    v1 = eng.create_snapshot("ex")
+    eng.delete_where("ex", "k >= 4")
+
+    ice = str(tmp_path / "ice_export")
+    dl = str(tmp_path / "delta_export")
+    eng.export_table("ex", ice, fmt="iceberg", version=v1)
+    eng.export_table("ex", dl, fmt="delta")  # current = post-delete
+
+    assert sorted(r["k"] for r in read_iceberg(spark, ice).collect()) == list(range(8))
+    assert sorted(r["k"] for r in read_delta(spark, dl).collect()) == [0, 1, 2, 3]
