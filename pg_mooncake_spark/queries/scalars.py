@@ -575,13 +575,17 @@ def agg_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            bool_and(o_totalprice > 1000) AS all_over_1k,
            bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-           count_if(o_custkey % 2 = 0) AS n_even_cust
+           CAST(count_if(o_custkey % 2 = 0) AS BIGINT) AS n_even_cust
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean aggregates: bool_and / bool_or / count_if — all
-    associative, exact under partial aggregation."""
+    associative, exact under partial aggregation.
+
+    Oracle note: DuckDB's count_if returns HUGEINT, which its pandas
+    bridge renders as float64 ("2466.0" vs Spark's bigint "2466" under
+    a string hash) — the oracle casts it to BIGINT explicitly."""
     o = t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")

@@ -75,6 +75,29 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
                 f"{name}: col {c}: DECIMAL on {side} side only — driver string-hash "
                 f"would mismatch; cast both sides to DOUBLE (or DECIMAL) explicitly"
             )
+        # Same class, new spelling (r2 decimals, r3 DuckDB count_if HUGEINT):
+        # an integer dtype on one side vs a float dtype on the other renders
+        # '2466' vs '2466.0' under the driver's string hash.  Only flag when
+        # the non-float side is genuinely integer-typed AND the float side has
+        # no NaN (a nullable int column legitimately floatifies through
+        # pandas on either side — those render identically).
+        def _kind(s):
+            d = str(s.dtype)
+            if d.startswith(("int", "uint", "Int", "UInt")):
+                return "int"
+            if d.startswith(("float", "Float")):
+                return "float"
+            return None
+        a_k, b_k = _kind(sp[c]), _kind(duck_df[c])
+        if {a_k, b_k} == {"int", "float"}:
+            fs = sp[c] if a_k == "float" else duck_df[c]
+            if not fs.isna().any():
+                side = "spark" if a_k == "float" else "oracle"
+                errs.append(
+                    f"{name}: col {c}: float dtype on {side} side vs integer on the "
+                    f"other — driver string-hash would mismatch ('1.0' vs '1'); cast "
+                    f"both sides to the same type (BIGINT or DOUBLE) explicitly"
+                )
     if errs:
         return errs
     if sorted(sp.columns) != sorted(duck_df.columns):
