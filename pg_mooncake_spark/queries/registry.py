@@ -178,11 +178,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Legacy fixtures store TIMESTAMP(NANOS), which the vectorized
+            # reader only surfaces as a long (nanosAsLong above); rebuild a
+            # microsecond timestamp JVM-side.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            # Current fixtures store TIMESTAMP(MICROS) without a timezone
+            # annotation, which Spark reads as TIMESTAMP_NTZ.  The session
+            # timezone is pinned to UTC, so this cast is value-identical and
+            # keeps every downstream query on the same TimestampType the
+            # queries were written against.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if cache_on:
