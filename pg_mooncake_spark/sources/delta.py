@@ -297,16 +297,17 @@ def _dv_positions(table_path: str, dv: dict) -> list[int]:
     return _parse_roaring64(data)
 
 
-def write_dv_file(table_path: str, positions: list[int]) -> dict:
-    """Write a deletion-vector .bin file and return its add-action
-    descriptor — the staging half of the protocol this module's tests
-    (and a future MERGE path) use to produce DV-bearing tables."""
+def write_dv_blob(table_path: str, data: bytes, cardinality: int) -> dict:
+    """Frame an already-serialized roaring64 payload as a deletion-vector
+    .bin sidecar (version byte + big-endian length + CRC32) and return
+    its add-action descriptor.  Split from write_dv_file so the DELETE
+    path can serialize bitmaps executor-side and hand the driver only
+    the finished bytes."""
     import struct
     import uuid as _uuid
     import zlib
 
     uid = _uuid.uuid4()
-    data = _serialize_roaring64(positions)
     blob = bytes([1]) + struct.pack(">i", len(data)) + data
     blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
     with open(os.path.join(table_path, f"deletion_vector_{uid}.bin"), "wb") as fh:
@@ -316,8 +317,17 @@ def write_dv_file(table_path: str, positions: list[int]) -> dict:
         "pathOrInlineDv": _z85_encode(uid.bytes),
         "offset": 1,
         "sizeInBytes": len(data),
-        "cardinality": len(set(positions)),
+        "cardinality": cardinality,
     }
+
+
+def write_dv_file(table_path: str, positions: list[int]) -> dict:
+    """Write a deletion-vector .bin file and return its add-action
+    descriptor — the staging half of the protocol this module's tests
+    (and a future MERGE path) use to produce DV-bearing tables."""
+    return write_dv_blob(
+        table_path, _serialize_roaring64(positions), len(set(positions))
+    )
 
 
 class _State:
@@ -1019,10 +1029,11 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     hitting 0.1% of rows writes kilobytes of bitmaps, not a rewritten
     copy of the files.  Readers apply the DVs at scan time (read_delta).
 
-    The matched positions surface driver-side (they must — the commit
-    log needs per-file descriptors); that bounds this path to the
-    row-level-delete regime DVs are designed for.  Mass deletes should
-    use the copy-on-write path (they rewrite anyway).
+    The roaring bitmaps are serialized EXECUTOR-side (applyInPandas per
+    file group, _probe_dv_blobs): the driver receives one small
+    (path, bytes, cardinality) row per touched file — never the matched
+    positions themselves — so a predicate DELETE over a 100 TB table
+    moves O(#touched files) through the driver, not O(#deleted rows).
 
     Returns the committed version.
     """
@@ -1035,38 +1046,8 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     if not by_uri:
         return st.last_v + 0  # empty table: nothing to do, no commit
 
-    # files lack partition columns; attach them so the predicate may
-    # reference partition columns too
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in partition_cols]
-    )
-    matched: dict[str, list[int]] = {}
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
-    groups: dict[tuple, list[dict]] = {}
-    for a in adds:
-        pv = a.get("partitionValues") or {}
-        groups.setdefault(tuple(pv.get(c) for c in partition_cols), []).append(a)
-    for key, group in groups.items():
-        df = spark.read.schema(data_schema if partition_cols else schema).parquet(
-            *[os.path.join(path, a["path"]) for a in group]
-        )
-        for c, val in zip(partition_cols, key):
-            lit = F.lit(None) if val is None else F.lit(val)
-            df = df.withColumn(c, lit.cast(ptypes[c]))
-        hits = (
-            df.select(
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__pos"),
-                F.expr(condition).alias("__m"),
-            )
-            .filter("__m")
-            .groupBy("__fp")
-            .agg(F.collect_list("__pos").alias("ps"))
-            .collect()
-        )
-        for r in hits:
-            matched[r["__fp"]] = [int(p) for p in r["ps"]]
-    if not matched:
+    blobs = _probe_dv_blobs(spark, path, condition, adds, schema, partition_cols)
+    if not blobs:
         return st.last_v  # no matching rows: no-op, no commit
 
     now_ms = int(time.time() * 1000)
@@ -1089,12 +1070,9 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
                 }
             }
         )
-    for uri, positions in matched.items():
+    for uri, data, cardinality in blobs:
         a = by_uri[uri]
-        old_dv = a.get("deletionVector")
-        if old_dv:
-            positions = sorted(set(positions) | set(_dv_positions(path, old_dv)))
-        dv = write_dv_file(path, positions)
+        dv = write_dv_blob(path, data, cardinality)
         actions.append(
             {
                 "remove": {
