@@ -134,7 +134,13 @@ class MooncakeEngine:
         given explicitly."""
         from pg_mooncake_spark.sources.delta import read_delta
         from pg_mooncake_spark.sources.iceberg import read_iceberg
+        from pg_mooncake_spark.sources.jdbc import read_jdbc
 
+        if uri.startswith("jdbc:") or fmt == "jdbc":
+            # the reference's live-server form (src/functions.rs:24-43):
+            # snapshot the remote table through the executor-side JDBC
+            # datasource; partitioned-scan options ride in the URI
+            return read_jdbc(self.spark, uri)
         if fmt is None:
             if os.path.isdir(os.path.join(uri, "_delta_log")):
                 fmt = "delta"

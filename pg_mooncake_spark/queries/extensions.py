@@ -179,6 +179,91 @@ def iceberg_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jdbc_mirror_snapshot",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
+    FROM supplier
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def jdbc_mirror_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-server mirror source (the reference's remote form of
+    create_table — the source table lives on another running SQL engine,
+    identified by URI; reference src/functions.rs:24-43): load supplier
+    into an embedded Derby database through the executor-side JDBC sink,
+    then snapshot it back through a RANGE-PARTITIONED JDBC scan (the
+    parallel-ingest pattern a 1000-executor backfill would use — 8
+    concurrent key-range slices here; bounds shape the stride only, rows
+    outside them still land in the edge slices) and aggregate.  The
+    oracle aggregates the parquet source directly — any row lost, duped,
+    or type-mangled by the SQL round trip is a hash mismatch."""
+    from pg_mooncake_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    sup = t(spark, sf_dir, "supplier")
+    db = tempfile.mkdtemp(prefix="jdbc_src_") + "/db"
+    write_jdbc(sup, f"jdbc:derby:{db};create=true", "supplier")
+    back = read_jdbc(
+        spark,
+        f"jdbc:derby:{db}#supplier?partitionColumn=s_suppkey"
+        "&lowerBound=1&upperBound=100000&numPartitions=8",
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("s_acctbal", 2).alias("sum_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "iceberg_delete_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey < 5000 AND NOT (o_orderkey % 7 = 0)
+          AND NOT (o_custkey % 11 = 0)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg merge-on-read DELETE lifecycle (the row-level-delete half
+    of the reference's Iceberg mirror maintenance — moonlink keeps the
+    warehouse current with deletes applied, reference README.md:13-17):
+    write orders as an Iceberg v2 table, DELETE twice via positional
+    delete files (no data rewrite; the second predicate exercises
+    delete-file accumulation across snapshots), read back through the
+    manifest chain, aggregate.  The oracle applies both predicates to
+    the source — a mis-keyed (file, pos) row, an unsorted delete file,
+    or a dropped prior delete manifest all surface as a hash mismatch."""
+    from pg_mooncake_spark.sources.iceberg import (
+        delete_where_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    path = tempfile.mkdtemp(prefix="ice_del_") + "/t"
+    write_iceberg(o, path)
+    delete_where_iceberg(spark, path, "o_orderkey % 7 = 0")
+    delete_where_iceberg(spark, path, "o_custkey % 11 = 0")
+    back = read_iceberg(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "delta_roundtrip_lineitem",
     oracle="""
     SELECT l_returnflag,

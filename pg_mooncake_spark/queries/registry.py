@@ -50,55 +50,78 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
-# Driver-window priority (round 3).  The external driver hash-verifies only
-# the first 50 ``queries()`` entries per round; the local gate
-# (tools/diffcheck.py) always covers 100%.  Policy, per round-2 advisor
-# feedback: a key that has NEVER received a driver-green row — including every
-# key added in the current round — sorts FIRST, so new operators get external
-# verification in the round they land, never later.  Previously-green keys
-# follow in registration order and rotate back through the window for
-# re-confirmation.  This is one static, reviewable list, not computed tiers.
-_NEVER_DRIVER_VERIFIED = (
-    # round-2 additions that have not yet been inside a driver window
-    "scalar_bitwise_family",
-    "scalar_array_setops_family",
-    "agg_bitwise_family",
-    "agg_boolean_family",
-    "sim_ann_indexed_probe",
-    "pipeline_pretraining_corpus",
-    "corpus_sample_deterministic",
-    "corpus_sample_stratified",
-    "corpus_mixture",
-    "corpus_pack_sequences",
-    "corpus_chunking",
-    # round-3 additions
+# Driver-window priority (rotated each round).  The external driver
+# hash-verifies only the first 50 ``queries()`` entries per round; the local
+# gate (tools/diffcheck.py) always covers 100%.  Policy: (1) keys that have
+# NEVER received a driver-green row — including every key added in the current
+# round — sort first; (2) keys that were RED in the previous round's window
+# and were fixed this round come next, so the fix is externally confirmed;
+# (3) the keys longest absent from any driver window (computed from the
+# CORRECTNESS_r*.json history) fill the remaining slots, oldest first.
+# Remaining keys follow in registration order and rotate in future rounds.
+# This is one static, reviewable list, not computed tiers.
+_WINDOW_PRIORITY = (
+    # round-6 additions — never driver-verified
+    "iceberg_delete_roundtrip",
+    "jdbc_mirror_snapshot",
+    # red in r5 (unfinished refactor), fixed this round — re-confirm
     "delta_dv_delete_roundtrip",
-    "scalar_regexp_family",
-    "scalar_hof_family",
-    "scalar_try_family",
-    "agg_approx_percentile",
-    "corpus_decontaminate",
-    "dedup_components",
-    "events_range_join",
-    "text_pii_redaction",
-    "text_repetition_score",
-    "corpus_domain_cap",
-    "orc_roundtrip_lineitem",
-    "iceberg_roundtrip_lineitem",
-    # red/rows-only rows repaired or newly oracled this round
-    "scalar_cast_conversion",
-    "q12_priority_shipping",
-    "agg_approx_count_distinct",
-    "dedup_minhash_pairs_fast",
-    "dedup_simhash64_fast",
-    "sim_ann_ivf",
+    # last driver-verified in round 1 (28 keys, stalest first group)
+    "join_inner_orders_customers",
+    "join_left_outer_customer_orders",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_cross_region_nation",
+    "join_inequality_acctbal",
+    "window_ranking_family",
+    "window_offset_family",
+    "window_running_and_range_frames",
+    "topk_per_group",
+    "agg_distinct_and_filtered",
+    "agg_scalar_ungrouped",
+    "agg_stats_family",
+    "agg_rollup",
+    "agg_cube_with_grouping",
+    "agg_grouping_sets",
+    "agg_string_agg",
+    "agg_having",
+    "agg_percentiles",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_except_all",
+    "q21_suppliers_kept_waiting",
+    # last driver-verified in round 2 — oldest slice, fills the window to 50
+    "distinct_projection",
+    "orderby_multikey_nulls",
+    "limit_offset",
+    "subquery_scalar_uncorrelated",
+    "subquery_correlated_scalar",
+    "subquery_in_notin",
+    "lateral_explode_tokens",
+    "pivot_status_by_priority",
+    "unpivot_stack",
+    "scalar_string_family",
+    "scalar_datetime_family",
+    "scalar_math_family",
+    "scalar_conditional_family",
+    "scalar_json_family",
+    "scalar_json_structured",
+    "scalar_array_family",
+    "scalar_hash_family",
+    "sequence_generation",
+    "struct_and_map_access",
 )
 
 
 def _ordered(mapping: dict) -> dict:
-    """Never-driver-verified keys first (static list above, which includes
-    all current-round additions), then registration order."""
-    first = {k: mapping[k] for k in _NEVER_DRIVER_VERIFIED if k in mapping}
+    """Window-priority keys first (static list above, which includes all
+    current-round additions), then registration order."""
+    first = {k: mapping[k] for k in _WINDOW_PRIORITY if k in mapping}
     rest = {k: v for k, v in mapping.items() if k not in first}
     return {**first, **rest}
 

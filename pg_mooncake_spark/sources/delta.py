@@ -1016,6 +1016,105 @@ def write_delta(
     return v + 1
 
 
+def _probe_dv_blobs(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    adds: list[dict],
+    schema: T.StructType,
+    partition_cols: list[str],
+) -> list[tuple[str, bytes, int]]:
+    """Find rows matching ``condition`` and serialize one roaring64
+    deletion bitmap per touched file, entirely executor-side.
+
+    The probe scans every live file with the hidden
+    ``_metadata.file_path`` / ``_metadata.row_index`` columns, filters by
+    the predicate (pushed into the parquet scan by Catalyst), then groups
+    the matched physical positions per file with ``applyInPandas``.  Each
+    worker merges the file's EXISTING deletion vector (parsed from the
+    sidecar — same shared storage the data files live on) before
+    serializing, so repeat deletes accumulate rather than replace.  Files
+    whose matches are all already-deleted positions emit nothing, which
+    keeps "DELETE matching no live rows" a true no-op for the caller.
+
+    Driver traffic is O(#touched files) rows of (uri, bytes,
+    cardinality) — never the matched positions — so a predicate DELETE
+    over a 100 TB table stays executor-bound.
+    """
+    import pandas as pd
+
+    def scan(read_schema: T.StructType, group_adds: list[dict]) -> DataFrame:
+        return spark.read.schema(read_schema).parquet(
+            *[os.path.join(path, a["path"]) for a in group_adds]
+        ).select(
+            "*",
+            F.col("_metadata.file_path").alias("__dv_fp"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+
+    if partition_cols:
+        # data files lack partition columns; re-attach from add actions
+        # as typed literals so the predicate can reference them
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in partition_cols]
+        )
+        ptypes = {
+            f.name: f.dataType for f in schema.fields if f.name in partition_cols
+        }
+        groups: dict[tuple, list[dict]] = {}
+        for a in adds:
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(
+                tuple(pv.get(c) for c in partition_cols), []
+            ).append(a)
+        parts = []
+        for key, group_adds in groups.items():
+            df = scan(data_schema, group_adds)
+            for c, val in zip(partition_cols, key):
+                lit = F.lit(None) if val is None else F.lit(val)
+                df = df.withColumn(c, lit.cast(ptypes[c]))
+            parts.append(df)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+    else:
+        full = scan(schema, adds)
+
+    matched = full.where(condition).select("__dv_fp", "__dv_pos")
+
+    existing_dvs = {
+        "file:" + os.path.abspath(os.path.join(path, a["path"])): a["deletionVector"]
+        for a in adds
+        if a.get("deletionVector")
+    }
+    out_schema = T.StructType(
+        [
+            T.StructField("uri", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("cardinality", T.LongType()),
+        ]
+    )
+
+    def serialize(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        uri = key[0]
+        new = set(int(p) for p in pdf["__dv_pos"])
+        dv = existing_dvs.get(uri)
+        old = set(_dv_positions(path, dv)) if dv else set()
+        if not new - old:  # nothing newly deleted in this file
+            return pd.DataFrame({"uri": [], "data": [], "cardinality": []})
+        merged = sorted(new | old)
+        return pd.DataFrame(
+            {
+                "uri": [uri],
+                "data": [_serialize_roaring64(merged)],
+                "cardinality": [len(merged)],
+            }
+        )
+
+    rows = matched.groupBy("__dv_fp").applyInPandas(serialize, out_schema).collect()
+    return [(r["uri"], bytes(r["data"]), int(r["cardinality"])) for r in rows]
+
+
 def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     """Merge-on-read DELETE: mark matching rows deleted via deletion
     vectors instead of rewriting files (the modern Delta writer's default

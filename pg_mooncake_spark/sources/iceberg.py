@@ -712,6 +712,197 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
         fh.write(str(version))
 
 
+def delete_where_iceberg(
+    spark: SparkSession, path: str, condition: str
+) -> Optional[int]:
+    """Merge-on-read DELETE on an Iceberg v2 table: write positional
+    delete files instead of rewriting data (the row-level-delete half of
+    the reference mirror's Iceberg maintenance — moonlink keeps the
+    exported warehouse current with deletes applied, reference
+    README.md:13-17; the read side already honors these files,
+    _files_from_manifests above).
+
+    Unlike Delta DVs (which REPLACE a file's previous vector), Iceberg
+    delete files ACCUMULATE: every content=1 file reachable from the
+    current snapshot applies.  So a DELETE commits one NEW delete file
+    holding only the newly matched (file_path, pos) rows and carries all
+    prior manifests — data and delete alike — forward verbatim.
+
+    Scale shape: the probe is one distributed scan (predicate pushed to
+    parquet) anti-joined against existing deletes, and the delete rows
+    are repartitioned by file_path and written sorted (file_path, pos)
+    per the spec, executor-side.  The driver handles only the file
+    LISTING — never a deleted position.  A no-op DELETE (no live rows
+    match) commits nothing and returns None; otherwise returns the new
+    snapshot id.
+    """
+    import shutil
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    from pg_mooncake_spark.sources.avro import read_avro, write_avro
+    from pyspark.sql import functions as F
+
+    meta = _latest_metadata(path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    current = meta.get("current-snapshot-id")
+    snap = snaps.get(current)
+    if snap is None or not snap.get("manifest-list"):
+        raise IcebergSupportError(
+            "DELETE needs a manifest-backed Iceberg table"
+        )
+    files, pos_deletes, eq_deletes = _files_from_manifests(path, snap)
+    if eq_deletes:
+        raise IcebergSupportError(
+            "DELETE over tables carrying equality deletes not supported"
+        )
+    if not files:
+        return None
+
+    declared = _schema_from_metadata(meta)
+    reader = spark.read.schema(declared) if declared is not None else spark.read
+    data = reader.parquet(*[f["resolved"] for f in files]).select(
+        "*",
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    mapping = spark.createDataFrame(
+        [(f["recorded"], "file:" + os.path.abspath(f["resolved"])) for f in files],
+        "file_path string, __fp string",
+    )
+    if pos_deletes:
+        # probe only LIVE rows so a repeat DELETE is a true no-op
+        old = (
+            spark.read.parquet(*pos_deletes)
+            .select("file_path", "pos")
+            .join(F.broadcast(mapping), "file_path")
+            .select("__fp", F.col("pos").alias("__pos"))
+        )
+        data = data.join(F.broadcast(old), ["__fp", "__pos"], "left_anti")
+    matched = (
+        data.where(condition)
+        .join(F.broadcast(mapping), "__fp")
+        .select("file_path", F.col("__pos").alias("pos"))
+    )
+
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    snapshot_id = seq
+    del_dir = os.path.join(path, "data", f"d{seq:05d}")
+    (
+        matched.repartition(F.col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(del_dir)
+    )
+    entries = []
+    deleted_rows = 0
+    for f in sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet"))):
+        n = _pq.ParquetFile(f).metadata.num_rows
+        if n == 0:
+            os.remove(f)
+            continue
+        deleted_rows += n
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited (v2 rule)
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # positional deletes
+                    "file_path": f,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(f),
+                },
+            }
+        )
+    if not entries:
+        shutil.rmtree(del_dir, ignore_errors=True)
+        return None
+
+    meta_dir = os.path.join(path, "metadata")
+    schema_json = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            schema_json = s
+    manifest_path = os.path.join(
+        meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema_json or {}).encode(),
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"deletes",
+        },
+    )
+    new_mf = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,  # delete manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": deleted_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    _, carried = read_avro(_resolve_path(snap["manifest-list"], path))
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [new_mf]
+        + [
+            {k: c.get(k) for k in (f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"])}
+            for c in carried
+        ],
+        extra_meta={"format-version": b"2"},
+    )
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "schema-id": meta.get("current-schema-id") or 0,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-position-deletes": str(deleted_rows),
+        },
+    }
+    version = _metadata_version_of(meta, path) + 1
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
 def _metadata_version_of(meta: dict, path: str) -> int:
     """Highest metadata file version currently on disk (the version the
     replayed ``meta`` came from)."""
