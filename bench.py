@@ -82,25 +82,44 @@ def main() -> None:
     queries = all_queries()
 
     # Warm pass (untimed): JVM JIT, whole-stage codegen compilation, and
-    # first-touch parquet footer reads all land here, so the timed pass
-    # below measures steady-state query throughput rather than charging
+    # first-touch parquet footer reads all land here, so the timed rounds
+    # below measure steady-state query throughput rather than charging
     # one-time session costs to whichever query happens to run first.
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
 
-    # Drop DataFrame caches the warm pass created (e.g. the MinHash
-    # signature persist) so timed queries do their own materialization;
-    # JIT/codegen and OS page cache stay warm, which is the intent.
-    spark.catalog.clearCache()
+    # Noise armor: the headline value is the PER-QUERY MEDIAN over
+    # SPARK_GRAFT_BENCH_RUNS timed rounds (default 5) — a transient
+    # machine-load spike inflates one round, not the median — and the
+    # artifact carries loadavg before/after so residual contention is
+    # diagnosable from the JSON alone (round 5's uniform 1.6× inflation
+    # was invisible without it).  Before each round, DataFrame caches the
+    # previous round created (e.g. the MinHash signature persist) are
+    # dropped so every timed query does its own materialization;
+    # JIT/codegen and the OS page cache stay warm, which is the intent.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    load_start = os.getloadavg()
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            fn = queries[name]
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - start)
+    load_end = os.getloadavg()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
+    spread = {
+        name: round(max(xs) - min(xs), 3) for name, xs in samples.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -115,6 +134,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs": n_runs,
+                "spread": spread,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
             }
         )
     )

@@ -105,6 +105,44 @@ class SyncCatalog:
             self._save(data)
             return entry
 
+    # Two-phase drop (reference's DROP runs a pre-commit callback so the
+    # mirror teardown is atomic with the catalog transaction,
+    # src/functions.rs:45-82).  Phase 1 atomically deregisters the table
+    # AND records its storage path under the reserved __pending_drops__
+    # key — one file write, so a crash can never leave a listed table
+    # with deleted storage.  Phase 2 (after the storage is physically
+    # gone) clears the tombstone.  A crash between phases leaves only an
+    # orphaned directory, reclaimed by reap on the next engine start.
+    _PENDING = "__pending_drops__"
+
+    def begin_drop(self, table: str) -> dict[str, Any]:
+        """Phase 1: deregister + tombstone, one atomic catalog commit."""
+        with self._lock:
+            data = self._load()
+            entry = data.pop(table, None)
+            if entry is None:
+                raise KeyError(f"unknown mirror {table!r}")
+            data.setdefault(self._PENDING, {})[table] = entry["path"]
+            self._save(data)
+            return entry
+
+    def finish_drop(self, table: str) -> None:
+        """Phase 2: storage is gone; clear the tombstone."""
+        with self._lock:
+            data = self._load()
+            pending = data.get(self._PENDING, {})
+            if table in pending:
+                del pending[table]
+                if not pending:
+                    data.pop(self._PENDING, None)
+                self._save(data)
+
+    def pending_drops(self) -> dict[str, str]:
+        """table -> storage path for drops whose phase 2 never ran."""
+        return dict(self._load().get(self._PENDING, {}))
+
     def list_tables(self) -> dict[str, dict[str, Any]]:
         """All mirrors with watermarks (mooncake.list_tables parity)."""
-        return self._load()
+        return {
+            k: v for k, v in self._load().items() if not k.startswith("__")
+        }

@@ -106,6 +106,7 @@ class MooncakeEngine:
         self.warehouse = warehouse.rstrip("/")
         self.catalog = SyncCatalog(self.warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
+        self.reap_pending_drops()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -210,11 +211,30 @@ class MooncakeEngine:
         return mt
 
     def drop_table(self, dst: str) -> None:
-        """Mirror teardown (reference A6 drop trigger, src/functions.rs:45-82):
-        deregister from the catalog, delete storage."""
-        entry = self.catalog.drop(self._canon(dst))
+        """Mirror teardown (reference A6 drop trigger, src/functions.rs:45-82).
+
+        Two-phase, mirroring the reference's pre-commit callback
+        semantics: the catalog commit (deregister + tombstone, one atomic
+        file write) happens BEFORE storage deletion, so a crash mid-drop
+        never leaves a registered table pointing at deleted storage —
+        only an orphaned directory, reclaimed by reap_pending_drops on
+        the next engine start."""
+        name = self._canon(dst)
+        entry = self.catalog.begin_drop(name)
         if os.path.isdir(entry["path"]):
             shutil.rmtree(entry["path"])
+        self.catalog.finish_drop(name)
+
+    def reap_pending_drops(self) -> list[str]:
+        """Finish phase 2 for any drop interrupted between catalog commit
+        and storage deletion (crash recovery; called at engine start)."""
+        reaped = []
+        for name, path in self.catalog.pending_drops().items():
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            self.catalog.finish_drop(name)
+            reaped.append(name)
+        return reaped
 
     def list_tables(self) -> DataFrame:
         """(table, commit_version, flush_version, warehouse_location) —

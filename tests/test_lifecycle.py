@@ -451,3 +451,63 @@ def test_export_table_iceberg_and_delta(spark, warehouse, tmp_path):
 
     assert sorted(r["k"] for r in read_iceberg(spark, ice).collect()) == list(range(8))
     assert sorted(r["k"] for r in read_delta(spark, dl).collect()) == [0, 1, 2, 3]
+
+
+def test_not_null_propagates_to_mirror_schema(spark, warehouse):
+    """NOT NULL constraints ride the mirror schema (reference copies
+    attnotnull into the mirror DDL, src/functions.rs:210): create_table
+    stores nullable=False verbatim and DML leaves it untouched.  The
+    parquet SCAN surfaces nullable=True — Spark file sources never trust
+    declared non-nullability at read time — so the catalog schema, not
+    the scan schema, is the constraint's source of truth, same as the
+    reference keeping it in pg_attribute rather than the data files."""
+    eng = _engine(spark, warehouse)
+    schema = T.StructType(
+        [
+            T.StructField("a", T.IntegerType(), False),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([(1, "x")], schema)
+    mt = eng.create_table("nn", source_df=df, primary_key=["a"])
+    assert [f.nullable for f in mt.schema().fields] == [False, True]
+
+    upd = spark.createDataFrame([(2, "y")], schema)
+    eng.apply_changes("nn", changes_df(upd, op="I"), source_version=1)
+    assert [f.nullable for f in mt.schema().fields] == [False, True]
+    assert mt.read().count() == 2
+
+
+def test_drop_is_two_phase_and_crash_recoverable(spark, warehouse):
+    """DROP commits the catalog change before touching storage (reference
+    tears the mirror down in a pre-commit callback so DROP is atomic with
+    the transaction, src/functions.rs:45-82).  A crash between the two
+    phases leaves the table deregistered with orphaned storage, and the
+    next engine start reaps it."""
+    import os
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+
+    eng = _engine(spark, warehouse)
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    eng.create_table("t1", source_df=df)
+    eng.create_table("t2", source_df=df)
+
+    # normal drop: gone from catalog AND disk, no tombstone left
+    p1 = eng.catalog.get("t1")["path"]
+    eng.drop_table("t1")
+    assert "t1" not in eng.catalog.list_tables()
+    assert not os.path.isdir(p1)
+    assert eng.catalog.pending_drops() == {}
+
+    # simulated crash after phase 1: deregistered, storage orphaned
+    p2 = eng.catalog.get("t2")["path"]
+    eng.catalog.begin_drop("t2")
+    assert "t2" not in eng.catalog.list_tables()
+    assert os.path.isdir(p2), "phase 1 must not touch storage"
+    assert eng.catalog.pending_drops() == {"t2": p2}
+
+    # recovery: a fresh engine session reaps the orphan
+    eng2 = MooncakeEngine(spark, warehouse)
+    assert not os.path.isdir(p2)
+    assert eng2.catalog.pending_drops() == {}
