@@ -237,12 +237,18 @@ def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse current with deletes applied, reference README.md:13-17):
     write orders as an Iceberg v2 table, DELETE twice via positional
     delete files (no data rewrite; the second predicate exercises
-    delete-file accumulation across snapshots), read back through the
-    manifest chain, aggregate.  The oracle applies both predicates to
-    the source — a mis-keyed (file, pos) row, an unsorted delete file,
-    or a dropped prior delete manifest all surface as a hash mismatch."""
+    delete-file accumulation across snapshots), compact (REPLACE
+    snapshot folds the deletes into clean files), expire the old
+    snapshots (physically reclaims the superseded data and delete
+    files), read back through the manifest chain, aggregate.  The result
+    is invariant across every step; the oracle applies the same
+    predicates to the source, so a mis-keyed (file, pos) row, a dropped
+    prior delete manifest, a lost row in compaction, or an over-eager
+    expiry all surface as a hash mismatch."""
     from pg_mooncake_spark.sources.iceberg import (
+        compact_iceberg,
         delete_where_iceberg,
+        expire_snapshots,
         read_iceberg,
         write_iceberg,
     )
@@ -252,12 +258,59 @@ def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_iceberg(o, path)
     delete_where_iceberg(spark, path, "o_orderkey % 7 = 0")
     delete_where_iceberg(spark, path, "o_custkey % 11 = 0")
+    compact_iceberg(spark, path)
+    expire_snapshots(path, retain_last=1)
     back = read_iceberg(spark, path)
     return (
         back.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "delta_dv_update_roundtrip",
+    oracle="""
+    WITH updated AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey < 5000)
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+    FROM updated
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def delta_dv_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE lifecycle: write orders as Delta, UPDATE
+    every 7th key's price via deletion vectors + appended copies (no
+    rewrite of untouched rows), read back, aggregate.  The oracle
+    applies the same CASE to the source — a row double-counted (DV not
+    applied to the original), lost (copy not appended), or mis-updated
+    all show up as count or hash mismatches."""
+    from pg_mooncake_spark.sources.delta import (
+        read_delta,
+        update_where_dv,
+        write_delta,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    path = tempfile.mkdtemp(prefix="delta_upd_") + "/t"
+    write_delta(o, path, mode="error")
+    update_where_dv(
+        spark, path, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice * 1.1"}
+    )
+    back = read_delta(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 4).alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )

@@ -64,6 +64,7 @@ _WINDOW_PRIORITY = (
     # round-6 additions — never driver-verified
     "iceberg_delete_roundtrip",
     "jdbc_mirror_snapshot",
+    "delta_dv_update_roundtrip",
     # red in r5 (unfinished refactor), fixed this round — re-confirm
     "delta_dv_delete_roundtrip",
     # last driver-verified in round 1 (28 keys, stalest first group)

@@ -1198,6 +1198,100 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     return v
 
 
+def update_where_dv(
+    spark: SparkSession, path: str, condition: str, assignments: dict[str, str]
+) -> int:
+    """Merge-on-read UPDATE (the modern Delta writer's DV-backed form):
+    rows matching ``condition`` are marked deleted via deletion vectors
+    on their original files — no rewrite of untouched rows — and their
+    updated copies (``assignments``: column -> SQL expression, evaluated
+    against the pre-update row) are appended as new files, all in ONE
+    atomic commit.
+
+    Reuses the DELETE probe for the DV half: _probe_dv_blobs serializes
+    per-file bitmaps executor-side and skips already-deleted positions,
+    so only LIVE matched rows are tombstoned — and the rewritten-row
+    scan goes through read_delta (DVs applied), so a previously deleted
+    row can never be resurrected as an updated copy.  An UPDATE matching
+    no live rows is a no-op (no commit).  Returns the committed version.
+    """
+    adds, schema, partition_cols, st = _replay(path)
+    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
+        raise DeltaProtocolError("DV update on column-mapped tables not supported")
+    by_uri = {
+        "file:" + os.path.abspath(os.path.join(path, a["path"])): a for a in adds
+    }
+    if not by_uri:
+        return st.last_v
+
+    blobs = _probe_dv_blobs(spark, path, condition, adds, schema, partition_cols)
+    if not blobs:
+        return st.last_v
+
+    names = {f.name for f in schema.fields}
+    unknown = set(assignments) - names
+    if unknown:
+        raise DeltaProtocolError(f"assignments target unknown columns {unknown}")
+    updated = read_delta(spark, path).where(condition)
+    updated = updated.withColumns(
+        {c: F.expr(e).cast(schema[c].dataType) for c, e in assignments.items()}
+    )
+    new_adds = (
+        _stage_partitioned(updated, path, partition_cols)
+        if partition_cols
+        else _stage_parquet(updated, path)
+    )
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    proto = st.protocol
+    if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in (
+        proto.get("readerFeatures") or []
+    ):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or []) | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
+                    ),
+                }
+            }
+        )
+    for uri, data, cardinality in blobs:
+        a = by_uri[uri]
+        dv = write_dv_blob(path, data, cardinality)
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append({"add": {**a, "deletionVector": dv, "dataChange": True}})
+    actions.extend(new_adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": condition},
+            }
+        }
+    )
+    v = st.last_v + 1
+    _commit(path, v, actions)
+    if v % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(path)
+    return v
+
+
 def compact_delta(
     spark: SparkSession, path: str, target_files: Optional[int] = None
 ) -> int:

@@ -903,6 +903,213 @@ def delete_where_iceberg(
     return snapshot_id
 
 
+def compact_iceberg(
+    spark: SparkSession, path: str, target_files: Optional[int] = None
+) -> int:
+    """OPTIMIZE-style rewrite: materialize the current state (positional
+    deletes folded in — the rewritten files hold only surviving rows)
+    and commit a REPLACE snapshot whose manifest list references ONLY the
+    new data manifest.  The closing step of the merge-on-read lifecycle:
+    accumulate cheap delete files, then fold them into clean files in
+    one maintenance pass (the Iceberg twin of compact_delta).
+
+    Prior snapshots stay readable (their manifest chains are untouched)
+    until expire_snapshots reclaims them.  Returns the new snapshot id.
+    """
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    from pg_mooncake_spark.sources.avro import write_avro
+
+    meta = _latest_metadata(path)
+    df = read_iceberg(spark, path)
+    if target_files is not None:
+        df = df.repartition(target_files)
+
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    snapshot_id = seq
+    data_dir = os.path.join(path, "data", f"s{seq:05d}")
+    df.write.parquet(data_dir)
+
+    entries = []
+    added_rows = 0
+    for f in sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet"))):
+        n = _pq.ParquetFile(f).metadata.num_rows
+        if n == 0:
+            os.remove(f)
+            continue
+        added_rows += n
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(f),
+                },
+            }
+        )
+
+    meta_dir = os.path.join(path, "metadata")
+    schema_json = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            schema_json = s
+    manifest_path = os.path.join(
+        meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema_json or {}).encode(),
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        extra_meta={"format-version": b"2"},
+    )
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "schema-id": meta.get("current-schema-id") or 0,
+        "summary": {
+            "operation": "replace",
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+        },
+    }
+    version = _metadata_version_of(meta, path) + 1
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
+def expire_snapshots(path: str, retain_last: int = 1) -> list[str]:
+    """Expire all but the last ``retain_last`` snapshots and physically
+    delete files reachable ONLY from the expired ones — data parquet,
+    delete parquet, manifest and manifest-list Avro (Iceberg's
+    expire_snapshots + orphan cleanup, and vacuum_delta's twin).  Time
+    travel to expired snapshots stops working; that is the contract.
+
+    Driver work is proportional to manifest count + file count, the same
+    O(#files) walk the real maintenance procedure performs.  Returns the
+    deleted paths.
+    """
+    import time
+
+    from pg_mooncake_spark.sources.avro import read_avro
+
+    meta = _latest_metadata(path)
+    snaps = list(meta.get("snapshots") or [])
+    if retain_last < 1:
+        raise IcebergSupportError("retain_last must be >= 1")
+    if len(snaps) <= retain_last:
+        return []
+    retained = snaps[-retain_last:]
+
+    reachable: set[str] = set()
+    for s in retained:
+        mlist = _resolve_path(s["manifest-list"], path)
+        reachable.add(os.path.normpath(mlist))
+        _, manifests = read_avro(mlist)
+        for m in manifests:
+            mp = _resolve_path(m["manifest_path"], path)
+            reachable.add(os.path.normpath(mp))
+            _, entries = read_avro(mp)
+            for e in entries:
+                df_ = e.get("data_file") or {}
+                if df_.get("file_path"):
+                    reachable.add(
+                        os.path.normpath(_resolve_path(df_["file_path"], path))
+                    )
+
+    deleted: list[str] = []
+    data_root = os.path.join(path, "data")
+    for root, _dirs, files in os.walk(data_root):
+        for f in files:
+            full = os.path.normpath(os.path.join(root, f))
+            if f.endswith(".parquet") and full not in reachable:
+                os.remove(full)
+                deleted.append(full)
+    meta_dir = os.path.join(path, "metadata")
+    for f in os.listdir(meta_dir):
+        if not f.endswith(".avro"):
+            continue
+        full = os.path.normpath(os.path.join(meta_dir, f))
+        if full not in reachable:
+            os.remove(full)
+            deleted.append(full)
+
+    now_ms = int(time.time() * 1000)
+    retained_ids = {s["snapshot-id"] for s in retained}
+    version = _metadata_version_of(meta, path) + 1
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    new_meta["snapshot-log"] = [
+        e
+        for e in (meta.get("snapshot-log") or [])
+        if e.get("snapshot-id") in retained_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return deleted
+
+
 def _metadata_version_of(meta: dict, path: str) -> int:
     """Highest metadata file version currently on disk (the version the
     replayed ``meta`` came from)."""

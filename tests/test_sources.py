@@ -1201,3 +1201,117 @@ def test_jdbc_source_mirror_and_partitioned_scan(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="must name the table"):
         read_jdbc(spark, f"jdbc:derby:{db}")
+
+
+def test_iceberg_compact_folds_deletes_and_expire_reclaims(spark, tmp_path):
+    """compact_iceberg rewrites the live state with positional deletes
+    folded in (REPLACE snapshot, prior snapshots still readable);
+    expire_snapshots then reclaims the files only the expired snapshots
+    reference while the current state keeps reading."""
+    import glob as _glob
+
+    from pg_mooncake_spark.sources.iceberg import (
+        compact_iceberg,
+        delete_where_iceberg,
+        expire_snapshots,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_opt")
+    df = spark.range(100).selectExpr("id AS k", "concat('v', id) AS v")
+    write_iceberg(df.repartition(4), path)
+    delete_where_iceberg(spark, path, "k % 5 = 0")  # 20 rows via deletes
+    assert read_iceberg(spark, path).count() == 80
+
+    sid = compact_iceberg(spark, path, target_files=1)
+    assert sid == 3
+    out = read_iceberg(spark, path)
+    assert out.count() == 80 and out.filter("k % 5 = 0").count() == 0
+    # pre-compaction snapshots still time-travel
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 100
+    assert read_iceberg(spark, path, snapshot_id=2).count() == 80
+
+    n_before = sum(
+        f.endswith((".parquet", ".avro"))
+        for _, _, fs in os.walk(path)
+        for f in fs
+    )
+    deleted = expire_snapshots(path, retain_last=1)
+    assert deleted, "expire should reclaim pre-compaction files"
+    n_after = sum(
+        f.endswith((".parquet", ".avro"))
+        for _, _, fs in os.walk(path)
+        for f in fs
+    )
+    assert n_after < n_before
+    # old delete files and original data files are gone; current reads
+    assert not _glob.glob(path + "/data/d*/part-*.parquet")
+    assert read_iceberg(spark, path).count() == 80
+    # expired snapshot no longer reachable
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.iceberg import IcebergSupportError
+
+    with _pytest.raises(IcebergSupportError, match="not in table history"):
+        read_iceberg(spark, path, snapshot_id=1)
+    # idempotent when nothing to expire
+    assert expire_snapshots(path, retain_last=1) == []
+
+
+def test_delta_dv_update_merge_on_read(spark, tmp_path):
+    """update_where_dv: matched rows get DV-tombstoned on their original
+    files and re-appended with assignments applied, one atomic commit;
+    repeat updates merge DVs; deleted rows are never resurrected; time
+    travel sees pre-update state; compaction folds everything."""
+    from pg_mooncake_spark.sources.delta import (
+        DeltaProtocolError,
+        compact_delta,
+        delete_where_dv,
+        update_where_dv,
+    )
+
+    path = str(tmp_path / "upd")
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS p", "CAST(id AS DOUBLE) AS val"
+    )
+    write_delta(df, path, partition_by=["p"])
+    delete_where_dv(spark, path, "k >= 90")  # 10 rows deleted first
+
+    v = update_where_dv(spark, path, "k % 10 = 3", {"val": "val * 100"})
+    assert v == 2
+    out = read_delta(spark, path)
+    assert out.count() == 90, "UPDATE must not change row count"
+    got = {r["k"]: r["val"] for r in out.filter("k % 10 = 3").collect()}
+    # k=93 was deleted; it must NOT be resurrected by the update
+    assert sorted(got) == [3, 13, 23, 33, 43, 53, 63, 73, 83]
+    assert all(got[k] == k * 100.0 for k in got)
+
+    # untouched rows unchanged; repeat update compounds on current state
+    assert out.filter("k = 4").collect()[0]["val"] == 4.0
+    v = update_where_dv(spark, path, "k = 3", {"val": "val + 1"})
+    assert v == 3
+    assert read_delta(spark, path).filter("k = 3").collect()[0]["val"] == 301.0
+
+    # no-op: nothing live matches
+    assert update_where_dv(spark, path, "k = 93", {"val": "0"}) == 3
+
+    # unknown assignment column refuses
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaProtocolError, match="unknown columns"):
+        update_where_dv(spark, path, "k = 1", {"nope": "1"})
+
+    # time travel pre-update
+    assert (
+        read_delta(spark, path, version_as_of=1)
+        .filter("k = 3")
+        .collect()[0]["val"]
+        == 3.0
+    )
+
+    # compaction folds DVs + update files into clean state
+    compact_delta(spark, path)
+    out = read_delta(spark, path)
+    assert out.count() == 90
+    assert out.filter("k = 3").collect()[0]["val"] == 301.0
