@@ -90,6 +90,19 @@ class SyncCatalog:
                 self._save(data)
             return bases[checkpoint]
 
+    def add_export(self, table: str, path: str) -> None:
+        """Record an attached open-format export the engine keeps current
+        (the analog of the reference's per-mirror iceberg_warehouse_location,
+        src/functions.rs:89)."""
+        with self._lock:
+            data = self._load()
+            if table not in data:
+                raise KeyError(f"unknown mirror {table!r}")
+            exports = data[table].setdefault("exports", [])
+            if path not in exports:
+                exports.append(path)
+                self._save(data)
+
     def get(self, table: str) -> dict[str, Any]:
         data = self._load()
         if table not in data:

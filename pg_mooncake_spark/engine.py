@@ -29,6 +29,7 @@ from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pg_mooncake_spark.catalog import SyncCatalog
 from pg_mooncake_spark.storage import OP_COL, MoonTable
@@ -258,14 +259,71 @@ class MooncakeEngine:
         source_version: Optional[int] = None,
     ) -> int:
         """Apply one CDC batch (rows carry __op ∈ {I,U,D}) — the moonlink
-        replication-apply analog.  Returns the new mirror version."""
+        replication-apply analog.  Returns the new mirror version.
+
+        If the mirror has attached Iceberg exports (attach_export), the
+        same batch is applied to each of them incrementally."""
         dst = self._canon(dst)
         mt = self._moontable(dst)
         v = mt.merge(changes, source_version=source_version)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
         )
+        exports = self.catalog.get(dst).get("exports") or []
+        if exports:
+            self._sync_exports(mt, changes, exports)
         return v
+
+    def attach_export(
+        self, dst: str, path: str, version: Optional[int] = None
+    ) -> None:
+        """Create an Iceberg export of the mirror and keep it CURRENT:
+        every subsequent apply_changes batch is re-applied to the export
+        incrementally — equality deletes by primary key, then appends —
+        instead of re-exporting the table.  This is the reference's core
+        loop (moonlink maintains each mirror's Iceberg warehouse with
+        replicated inserts/updates/deletes applied, README.md:13-17),
+        with the cost profile that makes it viable at 100 TB: O(batch)
+        per sync, never O(table)."""
+        name = self._canon(dst)
+        mt = self._moontable(name)
+        if not mt.primary_key():
+            raise ValueError(
+                "attach_export needs a primary key to map updates/deletes "
+                "onto equality deletes"
+            )
+        self.export_table(name, path, fmt="iceberg", version=version)
+        self.catalog.add_export(name, path)
+
+    def _sync_exports(
+        self, mt: MoonTable, changes: DataFrame, exports: list[str]
+    ) -> None:
+        """Apply one CDC batch to each attached Iceberg export: one
+        equality-delete commit for the U/D keys (scoped by sequence
+        number to earlier files), then one append commit for the I/U
+        rows — the standard upsert pattern for streaming Iceberg writers.
+        Both commits are O(batch); appended rows carry a higher sequence
+        number than the delete, so the re-inserted copies survive it."""
+        from pg_mooncake_spark.sources.iceberg import (
+            delete_keys_iceberg,
+            write_iceberg,
+        )
+
+        pk = mt.primary_key()
+        keys = changes.filter(F.col(OP_COL).isin("U", "D")).select(*pk)
+        # align to the mirror schema, then relax nullability to match the
+        # export (file-scan schemas are always nullable)
+        upserts = mt._conform(  # noqa: SLF001 - same-package protocol
+            changes.filter(F.col(OP_COL).isin("I", "U")).drop(OP_COL)
+        )
+        nullable = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in mt.schema().fields]
+        )
+        upserts = upserts.to(nullable)
+        for path in exports:
+            delete_keys_iceberg(self.spark, path, keys)
+            if upserts.take(1):
+                write_iceberg(upserts, path, mode="append")
 
     def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
         dst = self._canon(dst)

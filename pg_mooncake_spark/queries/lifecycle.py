@@ -103,6 +103,52 @@ def lifecycle_trades_quickstart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lifecycle_iceberg_mirror_sync",
+    oracle="""
+    WITH post AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 1
+                  ELSE l_quantity END AS q
+      FROM lineitem
+      WHERE l_orderkey < 3000 AND NOT (l_orderkey % 7 = 3)
+    )
+    SELECT CAST(SUM(CAST(q AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM post
+    """,
+)
+def lifecycle_iceberg_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core loop end-to-end (moonlink maintains each
+    mirror's Iceberg warehouse with replicated changes applied,
+    README.md:13-17): mirror lineitem, ATTACH an Iceberg export, apply a
+    deterministic U+D CDC batch, then aggregate what the EXPORT reads —
+    not the mirror.  The export was maintained incrementally (equality
+    deletes by PK + appends, each O(batch)); the oracle computes the
+    post-DML state straight from the source, so a key deleted from the
+    mirror but not the export (or vice versa) is a hash mismatch."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    eng = _temp_engine(spark)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    eng.create_table(
+        "li_sync", source_df=li, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    exp = tempfile.mkdtemp(prefix="ice_sync_") + "/t"
+    eng.attach_export("li_sync", exp)
+    updates = (
+        li.filter((F.col("l_orderkey") % 10 == 0) & (F.col("l_orderkey") % 7 != 3))
+        .withColumn("l_quantity", F.col("l_quantity") + 1)
+        .withColumn("__op", F.lit("U"))
+    )
+    deletes = li.filter(F.col("l_orderkey") % 7 == 3).withColumn("__op", F.lit("D"))
+    eng.apply_changes("li_sync", updates.unionByName(deletes), source_version=1)
+    return read_iceberg(spark, exp).agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
     "lifecycle_cdc_lineitem_merge",
     oracle="""
     WITH post AS (

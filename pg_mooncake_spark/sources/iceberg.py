@@ -418,6 +418,9 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "default": None, "field-id": 135},
             ],
         }},
     ],
@@ -712,6 +715,103 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
         fh.write(str(version))
 
 
+def _commit_snapshot(
+    path: str,
+    meta: dict,
+    seq: int,
+    snapshot_id: int,
+    entries: list[dict],
+    manifest_content: bytes,
+    mlist_entry_content: int,
+    carried: list[dict],
+    summary: dict[str, str],
+    added_rows: int,
+) -> int:
+    """Shared commit tail for every snapshot-producing maintenance op
+    (DELETE / equality DELETE / compact): write the entry manifest, the
+    manifest list ([new] + carried verbatim), the next metadata JSON and
+    the version hint.  Driver work is O(#entries + #carried manifests).
+    Returns the new snapshot id."""
+    import time
+    import uuid as _uuid
+
+    from pg_mooncake_spark.sources.avro import write_avro
+
+    meta_dir = os.path.join(path, "metadata")
+    schema_json = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            schema_json = s
+    manifest_path = os.path.join(
+        meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema_json or {}).encode(),
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": manifest_content,
+        },
+    )
+    new_mf = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": mlist_entry_content,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [new_mf]
+        + [
+            {k: c.get(k) for k in (f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"])}
+            for c in carried
+        ],
+        extra_meta={"format-version": b"2"},
+    )
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "schema-id": meta.get("current-schema-id") or 0,
+        "summary": summary,
+    }
+    version = _metadata_version_of(meta, path) + 1
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
 def delete_where_iceberg(
     spark: SparkSession, path: str, condition: str
 ) -> Optional[int]:
@@ -823,84 +923,109 @@ def delete_where_iceberg(
         shutil.rmtree(del_dir, ignore_errors=True)
         return None
 
-    meta_dir = os.path.join(path, "metadata")
-    schema_json = None
-    for s in meta.get("schemas") or []:
-        if s.get("schema-id") == meta.get("current-schema-id"):
-            schema_json = s
-    manifest_path = os.path.join(
-        meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
-    )
-    write_avro(
-        manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
-        entries,
-        extra_meta={
-            "schema": json.dumps(schema_json or {}).encode(),
-            "partition-spec": b"[]",
-            "partition-spec-id": b"0",
-            "format-version": b"2",
-            "content": b"deletes",
-        },
-    )
-    new_mf = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
-        "content": 1,  # delete manifest
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_data_files_count": len(entries),
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": deleted_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
     _, carried = read_avro(_resolve_path(snap["manifest-list"], path))
-    mlist_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex[:12]}.avro"
-    )
-    write_avro(
-        mlist_path,
-        _MANIFEST_FILE_SCHEMA,
-        [new_mf]
-        + [
-            {k: c.get(k) for k in (f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"])}
-            for c in carried
-        ],
-        extra_meta={"format-version": b"2"},
-    )
-    now_ms = int(time.time() * 1000)
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": mlist_path,
-        "schema-id": meta.get("current-schema-id") or 0,
-        "summary": {
+    return _commit_snapshot(
+        path, meta, seq, snapshot_id, entries,
+        manifest_content=b"deletes", mlist_entry_content=1, carried=carried,
+        summary={
             "operation": "delete",
             "added-delete-files": str(len(entries)),
             "added-position-deletes": str(deleted_rows),
         },
-    }
-    version = _metadata_version_of(meta, path) + 1
-    new_meta = dict(meta)
-    new_meta["last-sequence-number"] = seq
-    new_meta["last-updated-ms"] = now_ms
-    new_meta["current-snapshot-id"] = snapshot_id
-    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
-    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-    ]
-    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
-    return snapshot_id
+        added_rows=deleted_rows,
+    )
+
+
+def delete_keys_iceberg(
+    spark: SparkSession, path: str, keys_df: DataFrame
+) -> Optional[int]:
+    """CDC-style equality DELETE: drop every row whose key tuple appears
+    in ``keys_df`` (columns must be a subset of the table schema) by
+    writing v2 EQUALITY delete files — the form streaming/CDC writers
+    (and the reference's moonlink maintaining its Iceberg mirror with
+    replicated deletes, reference README.md:13-17) use, because the
+    writer knows the keys but not the (file, position) of the victims.
+
+    Per the spec the delete files carry the key columns plus
+    ``equality_ids`` (the field ids of those columns) and apply only to
+    data files with a LOWER data sequence number — rows appended after
+    this commit with the same keys survive (the read side enforces this,
+    _files_from_manifests/read_iceberg above).  No table scan at all:
+    cost is O(keys), written executor-side; the driver handles only the
+    file listing.  Returns the new snapshot id, or None for empty keys.
+    """
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    from pg_mooncake_spark.sources.avro import read_avro, write_avro
+
+    meta = _latest_metadata(path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    snap = snaps.get(meta.get("current-snapshot-id"))
+    if snap is None or not snap.get("manifest-list"):
+        raise IcebergSupportError("DELETE needs a manifest-backed Iceberg table")
+
+    ids_by_name: dict[str, int] = {}
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            ids_by_name = {f["name"]: int(f["id"]) for f in s.get("fields", [])}
+    unknown = [c for c in keys_df.columns if c not in ids_by_name]
+    if unknown:
+        raise IcebergSupportError(
+            f"equality-delete key columns {unknown} not in table schema"
+        )
+    equality_ids = [ids_by_name[c] for c in keys_df.columns]
+
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    snapshot_id = seq
+    del_dir = os.path.join(path, "data", f"e{seq:05d}")
+    keys_df.dropDuplicates().sortWithinPartitions(
+        *keys_df.columns
+    ).write.parquet(del_dir)
+    entries = []
+    deleted_rows = 0
+    for f in sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet"))):
+        n = _pq.ParquetFile(f).metadata.num_rows
+        if n == 0:
+            os.remove(f)
+            continue
+        deleted_rows += n
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited (v2 rule)
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 2,  # equality deletes
+                    "file_path": f,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(f),
+                    "equality_ids": equality_ids,
+                },
+            }
+        )
+    if not entries:
+        import shutil
+
+        shutil.rmtree(del_dir, ignore_errors=True)
+        return None
+
+    _, carried = read_avro(_resolve_path(snap["manifest-list"], path))
+    return _commit_snapshot(
+        path, meta, seq, snapshot_id, entries,
+        manifest_content=b"deletes", mlist_entry_content=1, carried=carried,
+        summary={
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-equality-deletes": str(deleted_rows),
+        },
+        added_rows=deleted_rows,
+    )
 
 
 def compact_iceberg(
@@ -958,80 +1083,16 @@ def compact_iceberg(
             }
         )
 
-    meta_dir = os.path.join(path, "metadata")
-    schema_json = None
-    for s in meta.get("schemas") or []:
-        if s.get("schema-id") == meta.get("current-schema-id"):
-            schema_json = s
-    manifest_path = os.path.join(
-        meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
-    )
-    write_avro(
-        manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
-        entries,
-        extra_meta={
-            "schema": json.dumps(schema_json or {}).encode(),
-            "partition-spec": b"[]",
-            "partition-spec-id": b"0",
-            "format-version": b"2",
-            "content": b"data",
-        },
-    )
-    mlist_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex[:12]}.avro"
-    )
-    write_avro(
-        mlist_path,
-        _MANIFEST_FILE_SCHEMA,
-        [
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snapshot_id,
-                "added_data_files_count": len(entries),
-                "existing_data_files_count": 0,
-                "deleted_data_files_count": 0,
-                "added_rows_count": added_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
-        extra_meta={"format-version": b"2"},
-    )
-    now_ms = int(time.time() * 1000)
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": mlist_path,
-        "schema-id": meta.get("current-schema-id") or 0,
-        "summary": {
+    return _commit_snapshot(
+        path, meta, seq, snapshot_id, entries,
+        manifest_content=b"data", mlist_entry_content=0, carried=[],
+        summary={
             "operation": "replace",
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
         },
-    }
-    version = _metadata_version_of(meta, path) + 1
-    new_meta = dict(meta)
-    new_meta["last-sequence-number"] = seq
-    new_meta["last-updated-ms"] = now_ms
-    new_meta["current-snapshot-id"] = snapshot_id
-    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
-    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-    ]
-    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
-    return snapshot_id
+        added_rows=added_rows,
+    )
 
 
 def expire_snapshots(path: str, retain_last: int = 1) -> list[str]:

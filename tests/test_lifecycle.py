@@ -511,3 +511,50 @@ def test_drop_is_two_phase_and_crash_recoverable(spark, warehouse):
     eng2 = MooncakeEngine(spark, warehouse)
     assert not os.path.isdir(p2)
     assert eng2.catalog.pending_drops() == {}
+
+
+def test_attach_export_keeps_iceberg_mirror_current(spark, warehouse, tmp_path):
+    """attach_export + apply_changes = the reference's core loop: the
+    Iceberg export is maintained incrementally (equality deletes by PK,
+    then appends) so after any mix of I/U/D it reads identically to the
+    mirror — without ever re-exporting the table."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    eng = _engine(spark, warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 1.0) for i in range(20)], "k long, v string, x double"
+    )
+    eng.create_table("m", source_df=df, primary_key=["k"])
+    exp = str(tmp_path / "exp_ice")
+    eng.attach_export("m", exp)
+    assert read_iceberg(spark, exp).count() == 20
+
+    batch = (
+        spark.createDataFrame(
+            [(3, "upd3", 300.0), (20, "new20", 20.0), (7, None, 0.0)],
+            "k long, v string, x double",
+        )
+        .withColumn("__op", F.expr("CASE k WHEN 3 THEN 'U' WHEN 20 THEN 'I' ELSE 'D' END"))
+    )
+    eng.apply_changes("m", batch, source_version=1)
+
+    mirror = {(r["k"], r["v"], r["x"]) for r in eng.table("m").collect()}
+    export = {(r["k"], r["v"], r["x"]) for r in read_iceberg(spark, exp).collect()}
+    assert mirror == export
+    assert (20, "new20", 20.0) in export and (3, "upd3", 300.0) in export
+    assert not any(k == 7 for k, _, _ in export)
+
+    # a second batch re-inserting a deleted key must survive the earlier
+    # equality delete (sequence scoping)
+    b2 = spark.createDataFrame([(7, "reborn", 7.0)], "k long, v string, x double")
+    eng.apply_changes("m", changes_df(b2, op="I"), source_version=2)
+    export = {(r["k"], r["v"]) for r in read_iceberg(spark, exp).collect()}
+    assert (7, "reborn") in export
+    assert len(export) == read_iceberg(spark, exp).count() == 21
+
+    # export without a primary key refuses
+    eng.create_table("nopk", source_df=df)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="primary key"):
+        eng.attach_export("nopk", str(tmp_path / "exp2"))

@@ -1315,3 +1315,70 @@ def test_delta_dv_update_merge_on_read(spark, tmp_path):
     out = read_delta(spark, path)
     assert out.count() == 90
     assert out.filter("k = 3").collect()[0]["val"] == 301.0
+
+
+def test_iceberg_equality_delete_write_sequence_scoped(spark, tmp_path):
+    """delete_keys_iceberg writes v2 equality delete files (CDC-style:
+    keys known, positions unknown): matching rows drop from EARLIER data
+    files only — rows appended after the delete with the same keys
+    survive, per sequence-number scoping — and our own reader applies
+    them; compaction folds everything into clean files."""
+    from pg_mooncake_spark.sources.avro import read_avro
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergSupportError,
+        compact_iceberg,
+        delete_keys_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_eq")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k bigint, v string"
+    )
+    write_iceberg(df, path)
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 50, 5)], "k bigint")
+    sid = delete_keys_iceberg(spark, path, keys)  # 10 keys
+    assert sid == 2
+    out = read_iceberg(spark, path)
+    assert out.count() == 40 and out.filter("k % 5 = 0").count() == 0
+
+    # rows appended AFTER the delete with the same keys survive
+    reinserted = spark.createDataFrame(
+        [(0, "reborn0"), (5, "reborn5")], "k bigint, v string"
+    )
+    write_iceberg(reinserted, path, mode="append")
+    out = read_iceberg(spark, path)
+    assert out.count() == 42
+    assert {r["v"] for r in out.filter("k IN (0, 5)").collect()} == {
+        "reborn0",
+        "reborn5",
+    }
+
+    # unknown key column refuses; empty keys is a no-op
+    import pytest as _pytest
+
+    with _pytest.raises(IcebergSupportError, match="not in table schema"):
+        delete_keys_iceberg(spark, path, keys.withColumnRenamed("k", "zz"))
+    empty = spark.createDataFrame([], "k bigint")
+    assert delete_keys_iceberg(spark, path, empty) is None
+
+    # manifest carries equality_ids pointing at the key field
+    import glob as _glob
+
+    mlists = sorted(_glob.glob(path + "/metadata/snap-*.avro"))
+    found = []
+    for ml in mlists:
+        _, mfs = read_avro(ml)
+        for m in mfs:
+            if m["content"] == 1:
+                _, entries = read_avro(m["manifest_path"])
+                found.extend(e["data_file"]["equality_ids"] for e in entries)
+    assert found and all(ids == [1] for ids in found)  # field id of k
+
+    # compaction folds equality deletes; result unchanged
+    compact_iceberg(spark, path)
+    out = read_iceberg(spark, path)
+    assert out.count() == 42
+    assert out.filter("k % 5 = 0 AND k NOT IN (0, 5)").count() == 0
