@@ -266,12 +266,17 @@ class MooncakeEngine:
         dst = self._canon(dst)
         mt = self._moontable(dst)
         v = mt.merge(changes, source_version=source_version)
-        self.catalog.update_watermarks(
-            dst, commit_version=source_version, flush_version=v
-        )
+        # exports sync BEFORE the watermark moves: wait_for_source_version
+        # is the freshness barrier, and "ingested" must mean the batch is
+        # applied to the mirror AND every attached export — otherwise a
+        # reader passing the barrier can still see a stale export while
+        # the sync loop's commits are in flight
         exports = self.catalog.get(dst).get("exports") or []
         if exports:
             self._sync_exports(mt, changes, exports)
+        self.catalog.update_watermarks(
+            dst, commit_version=source_version, flush_version=v
+        )
         return v
 
     def attach_export(
@@ -310,6 +315,12 @@ class MooncakeEngine:
         )
 
         pk = mt.primary_key()
+        # materialize the (bounded) CDC batch once: the export path runs
+        # three derived jobs (key scan, emptiness probe, append) and,
+        # inside a streaming foreachBatch, re-executing the micro-batch
+        # plan per job both recomputes upstream work and is not
+        # guaranteed to replay identical rows for every source
+        changes = changes.localCheckpoint(eager=True)
         keys = changes.filter(F.col(OP_COL).isin("U", "D")).select(*pk)
         # align to the mirror schema, then relax nullability to match the
         # export (file-scan schemas are always nullable)

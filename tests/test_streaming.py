@@ -295,3 +295,46 @@ def test_streaming_near_dedup_suppresses_reordered_copies(spark, tmp_path):
     assert 2 in got and 4 in got
     assert len([i for i in got if i in (1, 3)]) == 1  # reordered copy dropped
     assert len(got) == 3
+
+
+def test_streaming_sync_maintains_attached_iceberg_export(spark, tmp_path):
+    """The complete reference loop, streaming edition: a live CDC stream
+    drives apply_changes, which maintains BOTH the mirror and its
+    attached Iceberg export incrementally — after the barrier, a plain
+    Iceberg reader sees exactly the synced state (moonlink's sub-second
+    warehouse freshness, reference README.md:13-17)."""
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+    from pg_mooncake_spark.streaming.cdc import start_sync
+
+    eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    eng.create_table("live_exp", source_df=src, primary_key=["k"])
+    exp = str(tmp_path / "exp_ice")
+    eng.attach_export("live_exp", exp)
+
+    stream_dir = str(tmp_path / "changes")
+    os.makedirs(stream_dir)
+    stream = spark.readStream.schema("k int, v string, __op string").parquet(
+        stream_dir
+    )
+    q = start_sync(
+        eng,
+        "live_exp",
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        processing_time="1 second",
+    )
+    try:
+        spark.createDataFrame(
+            [(1, None, "D"), (2, "b2", "U"), (3, "c", "I")],
+            "k int, v string, __op string",
+        ).write.mode("append").parquet(stream_dir)
+        eng.wait_for_source_version("live_exp", 1, timeout=60)
+        mirror = sorted((r["k"], r["v"]) for r in eng.table("live_exp").collect())
+        export = sorted(
+            (r["k"], r["v"]) for r in read_iceberg(spark, exp).collect()
+        )
+        assert mirror == export == [(2, "b2"), (3, "c")]
+    finally:
+        q.stop()
