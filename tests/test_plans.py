@@ -301,3 +301,58 @@ def test_range_join_never_nested_loop(spark, queries):
     assert (I.broadcast_join_count(df) + I.sortmerge_join_count(df)) >= 1 or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_dv_delete_probe_pushes_predicate_to_scan(spark, tmp_path):
+    """The DELETE/UPDATE probe's predicate must reach the parquet scan
+    as a pushed filter — at 100 TB a probe that reads every row and
+    filters post-scan turns a 0.1% DELETE into a full-table decode."""
+    import os
+
+    from pg_mooncake_spark.sources.delta import _replay, write_delta
+
+    path = str(tmp_path / "probeplan")
+    write_delta(
+        spark.range(1000).selectExpr("id AS k", "concat('v', id) AS v"), path
+    )
+    adds, schema, partition_cols, _ = _replay(path)
+    # the probe's scan shape (delta._probe_dv_blobs builds exactly this)
+    probe = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(path, a["path"]) for a in adds])
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("__dv_fp"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        .where("k % 100 = 0")
+    )
+    assert any("k" in f for f in I.pushed_filters(probe)), (
+        f"predicate not pushed: {I.pushed_filters(probe)}"
+    )
+
+
+def test_iceberg_delete_probe_and_eq_write_stay_broadcast(spark, tmp_path):
+    """delete_where_iceberg's probe anti-join (existing deletes) and the
+    read path after an equality-delete write must both apply deletes via
+    broadcast joins — never a shuffle of the data by join key."""
+    from pg_mooncake_spark.sources.iceberg import (
+        delete_keys_iceberg,
+        delete_where_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "iceplan")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "k bigint, v string"
+    )
+    write_iceberg(df, path)
+    delete_where_iceberg(spark, path, "k % 100 = 0")
+    keys = spark.createDataFrame([(7,), (13,)], "k bigint")
+    delete_keys_iceberg(spark, path, keys)
+
+    out = read_iceberg(spark, path)
+    assert I.broadcast_join_count(out) >= 2  # positional + equality
+    assert I.sortmerge_join_count(out) == 0
+    assert out.count() == 988
