@@ -160,6 +160,52 @@ def fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31) -> Colum
     )
 
 
+def winnowing_fingerprints(
+    text: Column,
+    k: int = 3,
+    w: int = 4,
+    mod: int = 1_000_000_007,
+    base: int = 31,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS algorithm): hash every k-token gram, slide a
+    w-window over the hash sequence, keep each window's MINIMUM, distinct
+    the result.  Guarantee: two documents sharing any token run of at
+    least w + k - 1 tokens share at least one fingerprint, at ~2/(w+1)
+    the storage of the full gram set — the classic local fingerprinting
+    scheme for plagiarism/overlap detection over big corpora.
+
+    All higher-order functions on the token array — single pass, zero
+    UDFs, exact BIGINT arithmetic (same polynomial hash as
+    ``fingerprint``), so a SQL oracle replays it bit-for-bit.  Short
+    docs: fewer than k tokens → empty; fewer than w grams → one
+    fingerprint (the global min)."""
+    tk = F.filter(F.split(F.lower(text), " "), lambda x: x != "")
+    n = F.size(tk)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.aggregate(
+            F.split(g, ""),
+            F.lit(0).cast("bigint"),
+            lambda a, c: (a * base + F.ascii(c)) % mod,
+        ),
+    )
+    nh = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), nh - w + 1),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return (
+        F.when(n < k, F.array().cast("array<bigint>"))
+        .when(nh < w, F.array(F.array_min(hashes)))
+        .otherwise(F.array_sort(F.array_distinct(wins)))
+    )
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Tokenize once, aggregate every token-derived statistic.
 

@@ -1471,3 +1471,67 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(
         train, bench, "text", "doc_id", ngram_k=8, min_hits=2
     ).orderBy("doc_id")
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1),
+                 i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS gs
+      FROM toks),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(gs, g -> list_reduce(
+               list_transform(string_split(g, ''), c -> CAST(ord(c) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+      FROM grams),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) < 4 THEN [list_min(hs)]
+                  ELSE list_sort(list_distinct(list_transform(
+                         range(1, len(hs) - 2),
+                         i -> list_min(list_slice(hs, i, i + 3)))))
+             END AS fp
+      FROM hashes)
+    SELECT doc_id,
+           CAST(len(fp) AS BIGINT) AS n_fp,
+           CASE WHEN len(fp) = 0 THEN 0
+                ELSE list_reduce(fp, (a, b) -> (a + b) % 1000000007)
+           END AS fp_checksum,
+           list_min(fp) AS fp_min,
+           list_max(fp) AS fp_max
+    FROM fps ORDER BY doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local fingerprinting scheme) per
+    document: k=3 token grams, w=4 winnow window, exact BIGINT polynomial
+    hashes — one pass of higher-order functions, zero UDFs, fully
+    SQL-replayable.  Emits count/checksum/min/max of each doc's
+    fingerprint set so the oracle hash pins the whole set without
+    array-typed output columns."""
+    d = t(spark, sf_dir, "documents")
+    fp = X.winnowing_fingerprints(F.col("text"))
+    mod = 1_000_000_007
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").cast("bigint").alias("n_fp"),
+            F.aggregate(
+                "fp", F.lit(0).cast("bigint"), lambda a, b: (a + b) % mod
+            ).alias("fp_checksum"),
+            F.array_min("fp").alias("fp_min"),
+            F.array_max("fp").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )

@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = (
     "jdbc_mirror_snapshot",
     "delta_dv_update_roundtrip",
     "lifecycle_iceberg_mirror_sync",
+    "text_winnowing_fingerprints",
     # red in r5 (unfinished refactor), fixed this round — re-confirm
     "delta_dv_delete_roundtrip",
     # last driver-verified in round 1 (28 keys, stalest first group)

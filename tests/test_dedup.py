@@ -142,3 +142,33 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         D.connected_components(chain, max_iter=2)
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """Winnowing's defining property: documents sharing a token run of
+    length >= w + k - 1 (= 6 at k=3, w=4) share at least one
+    fingerprint; disjoint documents share none.  Short-doc edges: < k
+    tokens -> empty set, < w grams -> exactly one fingerprint."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    rows = [
+        (1, f"intro words here {shared} trailing one"),
+        (2, f"{shared} completely different ending tokens now"),
+        (3, "nothing in common with the others at all"),
+        (4, "two tokens"),          # < k -> empty
+        (5, "just three tokens"),   # exactly one gram -> one fingerprint
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnowing_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got[1] & got[2], "docs sharing a >=6-token run must overlap"
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+    assert got[4] == set()
+    assert len(got[5]) == 1

@@ -1382,3 +1382,101 @@ def test_iceberg_equality_delete_write_sequence_scoped(spark, tmp_path):
     out = read_iceberg(spark, path)
     assert out.count() == 42
     assert out.filter("k % 5 = 0 AND k NOT IN (0, 5)").count() == 0
+
+
+def test_roaring64_round_trip_properties():
+    """Property: serialize→parse is identity for arbitrary position sets,
+    across container-type boundaries (array ≤4096 < bitmap) and 32-bit
+    high-word splits — the exact shapes a 100 TB table's DVs produce."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_mooncake_spark.sources.delta import (
+        _parse_roaring64,
+        _serialize_roaring64,
+    )
+
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=1 << 40),
+                # cluster near container boundaries to stress both
+                # serializer branches and multi-container keys
+                st.integers(min_value=4090, max_value=4100),
+                st.integers(min_value=(1 << 32) - 5, max_value=(1 << 32) + 5),
+            ),
+            max_size=300,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(positions):
+        assert _parse_roaring64(_serialize_roaring64(positions)) == sorted(
+            set(positions)
+        )
+
+    check()
+
+    # dense container crossing the 4096 cardinality threshold (bitmap form)
+    dense = list(range(5000)) + [1 << 33, (1 << 33) + 70000]
+    assert _parse_roaring64(_serialize_roaring64(dense)) == sorted(set(dense))
+
+
+def test_avro_container_round_trip_properties():
+    """Property: the pure-Python Avro writer/reader round-trips records
+    with unions, arrays and nested records — the shapes Iceberg
+    manifests use."""
+    import os
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_mooncake_spark.sources.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": {"type": "array", "items": "int"},
+             "default": []},
+            {"name": "d", "type": ["null", {
+                "type": "record", "name": "sub",
+                "fields": [{"name": "x", "type": "double"}]}],
+             "default": None},
+        ],
+    }
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(1 << 60), max_value=1 << 60),
+                st.one_of(st.none(), st.text(max_size=40)),
+                st.lists(st.integers(min_value=-(1 << 30), max_value=1 << 30),
+                         max_size=8),
+                st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=False, allow_infinity=False,
+                              width=64),
+                ),
+            ),
+            max_size=25,
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def check(rows):
+        records = [
+            {"a": a, "b": b, "c": c, "d": None if d is None else {"x": d}}
+            for a, b, c, d in rows
+        ]
+        fd, fpath = tempfile.mkstemp(suffix=".avro")
+        os.close(fd)
+        try:
+            write_avro(fpath, schema, records)
+            _, back = read_avro(fpath)
+            assert back == records
+        finally:
+            os.unlink(fpath)
+
+    check()
