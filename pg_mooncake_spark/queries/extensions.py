@@ -462,3 +462,59 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("users_within_tol"),
         "total_events",
     )
+
+
+@query(
+    "delta_schema_evolution_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS v
+      FROM orders WHERE o_orderkey < 2000),
+    ext AS (
+      SELECT o_orderkey AS k, o_orderstatus AS v, o_totalprice AS score
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000),
+    unioned AS (
+      SELECT k, v, CAST(NULL AS DOUBLE) AS score FROM base
+      UNION ALL SELECT k, v, score FROM ext)
+    SELECT v,
+           COUNT(*) AS n,
+           COUNT(score) AS n_score,
+           CAST(SUM(CAST(COALESCE(score, 0) AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_score
+    FROM unioned GROUP BY v ORDER BY v
+    """,
+)
+def delta_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema lifecycle: create a Delta table from a 2-column slice
+    of orders, append a 3-column slice with merge_schema=True (the
+    schema widens in the same commit; pre-evolution files surface typed
+    NULLs at scan), read back, aggregate per status.  The oracle unions
+    the two slices with an explicit NULL column — a reader that drops
+    pre-evolution rows, mis-fills the new column, or loses the evolved
+    schema hash-mismatches."""
+    from pg_mooncake_spark.sources.delta import read_delta, write_delta
+
+    o = t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v")
+    )
+    ext = o.filter(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("v"),
+        F.col("o_totalprice").alias("score"),
+    )
+    path = tempfile.mkdtemp(prefix="delta_evo_") + "/t"
+    write_delta(base, path, mode="error")
+    write_delta(ext, path, mode="append", merge_schema=True)
+    back = read_delta(spark, path)
+    return (
+        back.groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("score").alias("n_score"),
+            dsum(F.coalesce(F.col("score"), F.lit(0.0)), 2).alias("sum_score"),
+        )
+        .orderBy("v")
+    )

@@ -899,13 +899,16 @@ def _stage_partitioned(
     return adds
 
 
-def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+def _conform(
+    df: DataFrame, schema: T.StructType, fill_missing: bool = False
+) -> DataFrame:
     """Align column order and types to the table schema; refuse on
-    missing columns.  Name-only validation previously let a
-    type-mismatched append commit parquet whose physical types disagreed
-    with the metaData schemaString (ADVICE r1)."""
+    missing columns unless ``fill_missing`` (mergeSchema semantics:
+    absent columns land as typed NULLs).  Name-only validation previously
+    let a type-mismatched append commit parquet whose physical types
+    disagreed with the metaData schemaString (ADVICE r1)."""
     missing = [f.name for f in schema.fields if f.name not in df.columns]
-    if missing:
+    if missing and not fill_missing:
         raise DeltaProtocolError(f"schema mismatch: input missing columns {missing}")
     extra = [c for c in df.columns if c not in {f.name for f in schema.fields}]
     if extra:
@@ -913,7 +916,12 @@ def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
             f"schema mismatch: input has columns not in table schema: {extra}"
         )
     return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        *[
+            (
+                F.col(f.name) if f.name in df.columns else F.lit(None)
+            ).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
     )
 
 
@@ -922,12 +930,19 @@ def write_delta(
     path: str,
     mode: str = "error",
     partition_by: Optional[list[str]] = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write a DataFrame as a Delta table (create / append / overwrite).
 
     Emits protocol-v1 actions readable by any Delta implementation, and a
     parquet checkpoint every ``CHECKPOINT_INTERVAL`` commits.  Returns
     the committed version.
+
+    ``merge_schema`` (appends): the mergeSchema evolution path — input
+    columns the table lacks WIDEN the schema (a new metaData action in
+    the same commit; earlier files surface typed NULLs at scan, which
+    the reader already handles by imposing the latest schema), and table
+    columns the input lacks land as typed NULLs.
     """
     exists = os.path.isdir(os.path.join(path, _LOG)) and (
         _log_files(path) or _last_checkpoint(path) is not None
@@ -980,8 +995,20 @@ def write_delta(
         raise DeltaProtocolError(
             f"table is partitioned by {partition_cols}, got {list(partition_by)}"
         )
-    df = _conform(df, schema)
     actions = []
+    if merge_schema and mode == "append":
+        known = {f.name for f in schema.fields}
+        new_fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in known
+        ]
+        if new_fields:
+            schema = T.StructType(list(schema.fields) + new_fields)
+            md = dict(st.metadata)
+            md["schemaString"] = json.dumps(schema.jsonValue())
+            actions.append({"metaData": md})
+    df = _conform(df, schema, fill_missing=merge_schema)
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
         actions.extend(

@@ -521,11 +521,24 @@ def _spark_to_iceberg_schema(schema) -> dict:
     }
 
 
-def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
+def write_iceberg(
+    df: DataFrame, path: str, mode: str = "error", merge_schema: bool = False
+) -> None:
     """Write/append a DataFrame as an Iceberg v2 table.
 
     ``mode='error'`` creates a fresh table (refuses if one exists);
-    ``mode='append'`` adds a snapshot (schema must match the table's).
+    ``mode='append'`` adds a snapshot (schema must match the table's
+    unless ``merge_schema``).
+
+    ``merge_schema`` appends evolve the schema the Iceberg way: new
+    input columns join the schema under FRESH field ids (a new schema-id
+    appended to the metadata's schemas list — prior schemas stay for
+    time travel), and input gaps land as typed NULLs; readers impose the
+    latest schema, so pre-evolution files surface NULLs for the new
+    columns (the read side already handles this).  Refused when the
+    existing field ids are not this writer's sequential assignment —
+    re-deriving ids for an externally-authored id layout could silently
+    re-key columns.
 
     Scale shape: ONE Spark job stages the parquet data files; metadata
     construction (per-file row counts from parquet footers, manifest +
@@ -555,6 +568,8 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
     last_column_id = schema_json.pop("_last_column_id")
 
     prev = None
+    schema_id = 0
+    schemas_list: Optional[list[dict]] = None
     if exists:
         prev = _latest_metadata(path)
         prev_schema = None
@@ -565,11 +580,58 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
         if prev_schema is not None:
             a = [(f["name"], f["type"], f["required"]) for f in prev_schema["fields"]]
             b = [(f["name"], f["type"], f["required"]) for f in schema_json["fields"]]
-            if a != b:
+            if a != b and not merge_schema:
                 raise IcebergSupportError(
                     "append schema differs from table schema; "
-                    "schema evolution on write is not supported"
+                    "pass merge_schema=True to evolve it"
                 )
+            if a != b:
+                from pyspark.sql import functions as F
+                from pyspark.sql import types as T
+
+                prev_spark = _schema_from_metadata(prev)
+                known = {f.name for f in prev_spark.fields}
+                extra = [
+                    T.StructField(f.name, f.dataType, True)
+                    for f in df.schema.fields
+                    if f.name not in known
+                ]
+                union = T.StructType(list(prev_spark.fields) + extra)
+                df = df.select(
+                    *[
+                        (
+                            F.col(f.name) if f.name in df.columns else F.lit(None)
+                        ).cast(f.dataType).alias(f.name)
+                        for f in union.fields
+                    ]
+                )
+                if extra:  # genuinely wider: bump schema-id, fresh ids
+                    schema_json = _spark_to_iceberg_schema(df.schema)
+                    last_column_id = schema_json.pop("_last_column_id")
+                    regen = {
+                        f["name"]: f["id"]
+                        for f in schema_json["fields"]
+                        if f["name"] in known
+                    }
+                    orig = {f["name"]: f["id"] for f in prev_schema["fields"]}
+                    if regen != orig:
+                        raise IcebergSupportError(
+                            "cannot evolve schema: existing field ids are not "
+                            "this writer's sequential assignment"
+                        )
+                    schema_id = int(prev.get("current-schema-id") or 0) + 1
+                    schema_json["schema-id"] = schema_id
+                    schemas_list = list(prev.get("schemas") or []) + [
+                        {k: v for k, v in schema_json.items()}
+                    ]
+        # non-evolving append: carry the table's schema state forward
+        # verbatim — regenerating it would reset the schemas history and
+        # re-key current-schema-id back to 0
+        if schemas_list is None and prev is not None and prev_schema is not None:
+            schema_id = int(prev.get("current-schema-id") or 0)
+            schemas_list = list(prev.get("schemas") or []) or None
+            schema_json = {k: v for k, v in prev_schema.items()}
+            last_column_id = int(prev.get("last-column-id") or last_column_id)
 
     version = 1 if prev is None else _metadata_version_of(prev, path) + 1
     seq = 1 if prev is None else int(prev.get("last-sequence-number") or 0) + 1
@@ -679,7 +741,7 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
-        "schema-id": 0,
+        "schema-id": schema_id,
         "summary": {
             "operation": "append",
             "added-data-files": str(len(entries)),
@@ -693,8 +755,8 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_column_id,
-        "current-schema-id": 0,
-        "schemas": [pub_schema],
+        "current-schema-id": schema_id,
+        "schemas": schemas_list if schemas_list is not None else [pub_schema],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,

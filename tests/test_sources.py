@@ -1480,3 +1480,119 @@ def test_avro_container_round_trip_properties():
             os.unlink(fpath)
 
     check()
+
+
+def test_delta_append_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema appends: new input columns widen the table schema in
+    the same commit (old files surface typed NULLs), input gaps land as
+    NULLs, and the checkpoint carries the evolved schema.  Without
+    merge_schema the same append refuses."""
+    from pg_mooncake_spark.sources.delta import (
+        DeltaProtocolError,
+        delta_version,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "evolve")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+    )
+    wider = spark.createDataFrame(
+        [(3, "c", 3.5)], "k long, v string, score double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaProtocolError, match="not in table schema"):
+        write_delta(wider, path, mode="append")
+
+    write_delta(wider, path, mode="append", merge_schema=True)
+    out = read_delta(spark, path)
+    assert [f.name for f in out.schema.fields] == ["k", "v", "score"]
+    rows = {r["k"]: (r["v"], r["score"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 3.5)}
+
+    # the other half: input missing an existing column -> typed NULL
+    narrower = spark.createDataFrame([(4, 4.0)], "k long, score double")
+    write_delta(narrower, path, mode="append", merge_schema=True)
+    out = read_delta(spark, path)
+    assert {r["k"]: r["v"] for r in out.collect()}[4] is None
+    assert out.count() == 4
+
+    # time travel sees the pre-evolution schema
+    v0 = read_delta(spark, path, version_as_of=0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v"]
+
+    # checkpoint round-trip keeps the evolved schema
+    write_checkpoint(path)
+    for f in os.listdir(os.path.join(path, "_delta_log")):
+        if f.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", f))
+    out = read_delta(spark, path)
+    assert [f.name for f in out.schema.fields] == ["k", "v", "score"]
+    assert out.count() == 4 and delta_version(path) == 2
+
+
+def test_iceberg_append_merge_schema_evolution(spark, tmp_path):
+    """merge_schema appends evolve the Iceberg schema: new columns get
+    fresh field ids under a NEW schema-id (prior schemas retained),
+    pre-evolution files surface NULLs, input gaps land as NULLs, and
+    plain mismatched appends still refuse."""
+    import glob as _glob
+    import json as _json
+
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergSupportError,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_evolve")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    write_iceberg(base, path)
+    wider = spark.createDataFrame(
+        [(3, "c", 3.5)], "k bigint, v string, score double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(IcebergSupportError, match="merge_schema"):
+        write_iceberg(wider, path, mode="append")
+
+    write_iceberg(wider, path, mode="append", merge_schema=True)
+    out = read_iceberg(spark, path)
+    assert [f.name for f in out.schema.fields] == ["k", "v", "score"]
+    rows = {r["k"]: (r["v"], r["score"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 3.5)}
+
+    # narrower follow-up append: missing column -> typed NULL
+    narrower = spark.createDataFrame([(4, 4.0)], "k bigint, score double")
+    write_iceberg(narrower, path, mode="append", merge_schema=True)
+    out = read_iceberg(spark, path)
+    assert out.count() == 4
+    assert {r["k"]: r["v"] for r in out.collect()}[4] is None
+
+    # metadata: schema history retained, ids stable, fresh id for score
+    metas = sorted(
+        _glob.glob(path + "/metadata/v*.metadata.json"),
+        key=lambda p: int(p.rsplit("/v", 1)[1].split(".")[0]),
+    )
+    meta = _json.load(open(metas[-1]))
+    assert meta["current-schema-id"] == 1
+    ids = {s["schema-id"] for s in meta["schemas"]}
+    assert {0, 1} <= ids
+    cur = [s for s in meta["schemas"] if s["schema-id"] == 1][0]
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name == {"k": 1, "v": 2, "score": 3}
+
+    # a plain exact-schema append must carry the evolved schema state
+    # forward, not reset the history to schema-id 0
+    exact = spark.createDataFrame(
+        [(5, "e", 5.0)], "k bigint, v string, score double"
+    )
+    write_iceberg(exact, path, mode="append")
+    meta = _json.load(open(sorted(
+        _glob.glob(path + "/metadata/v*.metadata.json"),
+        key=lambda p: int(p.rsplit("/v", 1)[1].split(".")[0]),
+    )[-1]))
+    assert meta["current-schema-id"] == 1
+    assert {s["schema-id"] for s in meta["schemas"]} >= {0, 1}
+    assert read_iceberg(spark, path).count() == 5
