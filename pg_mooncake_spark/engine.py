@@ -160,6 +160,10 @@ class MooncakeEngine:
             return self.spark.read.options(header="true", inferSchema="true").csv(uri)
         if fmt == "json":
             return self.spark.read.json(uri)
+        if fmt == "avro":
+            from pg_mooncake_spark.sources.avro_source import read_avro_files
+
+            return read_avro_files(self.spark, uri)
         raise ValueError(f"unsupported source format {fmt!r}")
 
     def create_table(
@@ -415,6 +419,14 @@ class MooncakeEngine:
             df = reader.options(header="true").schema(mt.schema()).csv(list(files))
         elif fmt == "json":
             df = reader.schema(mt.schema()).json(list(files))
+        elif fmt == "avro":
+            # jar-less distributed Avro read (sources/avro_source.py)
+            from pg_mooncake_spark.sources.avro_source import read_avro_files
+
+            dfs = [read_avro_files(self.spark, f) for f in files]
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
         v = mt.append(df)

@@ -518,3 +518,40 @@ def delta_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("v")
     )
+
+
+@query(
+    "avro_roundtrip_documents",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 3 = 0
+    GROUP BY source ORDER BY source
+    """,
+)
+def avro_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jar-less Avro sink + source (sources/avro_source.py: one container
+    file per partition on write, one task per file on read — the
+    spark-avro datasource's shape without its jar): write a documents
+    slice as Avro, read it back, aggregate.  The oracle aggregates the
+    parquet source — any record lost or value mangled by the Avro
+    encode/decode round trip is a hash mismatch."""
+    from pg_mooncake_spark.sources.avro_source import (
+        read_avro_files,
+        write_avro_files,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    path = tempfile.mkdtemp(prefix="avro_rt_") + "/t"
+    write_avro_files(d.repartition(4), path)
+    back = read_avro_files(spark, path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )

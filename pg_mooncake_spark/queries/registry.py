@@ -68,6 +68,7 @@ _WINDOW_PRIORITY = (
     "lifecycle_iceberg_mirror_sync",
     "text_winnowing_fingerprints",
     "delta_schema_evolution_roundtrip",
+    "avro_roundtrip_documents",
     # red in r5 (unfinished refactor), fixed this round — re-confirm
     "delta_dv_delete_roundtrip",
     # last driver-verified in round 1 (28 keys, stalest first group)
