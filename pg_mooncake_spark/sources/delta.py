@@ -1043,6 +1043,35 @@ def write_delta(
     return v + 1
 
 
+def with_occ_retry(op, attempts: int = 3):
+    """Optimistic-concurrency wrapper for commit operations.
+
+    Every mutator in this module (write_delta append/overwrite,
+    delete_where_dv, update_where_dv, compact_delta) replays the log,
+    derives its actions from that snapshot, and commits at
+    ``last_version + 1`` via rename-into-place — so a concurrent writer
+    surfaces as DeltaProtocolError("concurrent commit at version N"),
+    never as silent clobbering.  The correct reaction is the one
+    delta-spark takes: re-run the WHOLE operation (the re-replay sees
+    the winner's commit and re-derives against fresh state), not just
+    re-rename the stale actions.  ``op`` must therefore be a zero-arg
+    callable wrapping the full operation::
+
+        with_occ_retry(lambda: delete_where_dv(spark, path, "k = 5"))
+    """
+    last: Optional[DeltaProtocolError] = None
+    for _ in range(attempts):
+        try:
+            return op()
+        except DeltaProtocolError as exc:
+            if "concurrent commit" not in str(exc):
+                raise
+            last = exc
+    raise DeltaProtocolError(
+        f"commit contention persisted through {attempts} attempts"
+    ) from last
+
+
 def _probe_dv_blobs(
     spark: SparkSession,
     path: str,

@@ -769,12 +769,7 @@ def write_iceberg(
         + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
         "metadata-log": [],
     }
-    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _write_metadata_json(meta_dir, version, meta)
 
 
 def _commit_snapshot(
@@ -865,12 +860,7 @@ def _commit_snapshot(
     new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     ]
-    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _write_metadata_json(meta_dir, version, new_meta)
     return snapshot_id
 
 
@@ -1224,13 +1214,34 @@ def expire_snapshots(path: str, retain_last: int = 1) -> list[str]:
         if e.get("snapshot-id") in retained_ids
     ]
     new_meta["last-updated-ms"] = now_ms
-    tmp = os.path.join(meta_dir, f".tmp.v{version}.metadata.json")
+    _write_metadata_json(meta_dir, version, new_meta)
+    return deleted
+
+
+def _write_metadata_json(meta_dir: str, version: int, meta: dict) -> None:
+    """Commit one metadata version atomically WITHOUT clobbering: the
+    final name is taken via os.link, which fails if the file exists —
+    the put-if-absent barrier every Iceberg catalog provides, so two
+    concurrent committers serialize instead of silently overwriting
+    each other's snapshot."""
+    import uuid as _uuid
+
+    final = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = os.path.join(
+        meta_dir, f".tmp.v{version}.{_uuid.uuid4().hex}.metadata.json"
+    )
     with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise IcebergSupportError(
+            f"concurrent commit at metadata version {version}"
+        ) from None
+    finally:
+        os.unlink(tmp)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
-    return deleted
 
 
 def _metadata_version_of(meta: dict, path: str) -> int:

@@ -1640,3 +1640,70 @@ def test_avro_distributed_roundtrip_and_mirror_load(spark, tmp_path):
     eng.create_table("av", source_df=flat.limit(0))
     eng.load_files("av", [fdir], fmt="avro")
     assert eng.table("av").count() == 3
+
+
+def test_concurrent_commit_safety_delta_and_iceberg(spark, tmp_path):
+    """Concurrency barriers: a stale Delta committer raises 'concurrent
+    commit' (with_occ_retry re-derives and lands); a second Iceberg
+    writer racing to the same metadata version fails put-if-absent
+    instead of silently clobbering the winner."""
+    from pg_mooncake_spark.sources.delta import (
+        DeltaProtocolError,
+        _commit,
+        with_occ_retry,
+    )
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergSupportError,
+        _write_metadata_json,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    # Delta: simulate another writer landing version 1 first
+    path = str(tmp_path / "occ")
+    write_delta(spark.createDataFrame([(1,)], "k long"), path)
+    _commit(path, 1, [{"commitInfo": {"timestamp": 0, "operation": "WRITE",
+                                      "operationParameters": {}}}])
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaProtocolError, match="concurrent commit"):
+        _commit(path, 1, [])
+
+    # with_occ_retry: first attempt loses the race, rerun wins
+    calls = {"n": 0}
+
+    def contended_append():
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise DeltaProtocolError("concurrent commit at version 2")
+        return write_delta(
+            spark.createDataFrame([(2,)], "k long"), path, mode="append"
+        )
+
+    assert with_occ_retry(contended_append) == 2
+    assert read_delta(spark, path).count() == 2
+
+    # non-contention errors propagate immediately
+    def broken():
+        raise DeltaProtocolError("bad DV magic 7")
+
+    with _pytest.raises(DeltaProtocolError, match="bad DV magic"):
+        with_occ_retry(broken)
+
+    # persistent contention gives up loudly
+    with _pytest.raises(DeltaProtocolError, match="contention persisted"):
+        with_occ_retry(
+            lambda: (_ for _ in ()).throw(
+                DeltaProtocolError("concurrent commit at version 9")
+            ),
+            attempts=2,
+        )
+
+    # Iceberg: metadata version commit is put-if-absent
+    ipath = str(tmp_path / "occ_ice")
+    write_iceberg(spark.createDataFrame([(1, "a")], "k long, v string"), ipath)
+    meta_dir = ipath + "/metadata"
+    with _pytest.raises(IcebergSupportError, match="concurrent commit"):
+        _write_metadata_json(meta_dir, 1, {"clobber": True})
+    # the winner's table still reads
+    assert read_iceberg(spark, ipath).count() == 1
