@@ -356,3 +356,45 @@ def kmeans_centroids(
             ]
         cents = new
     return cents
+
+
+def normalize_quantize_stats(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Embedding-store maintenance for a training pipeline: L2-normalize
+    each vector, symmetric int8 quantization (scale = 127 / max|x| of
+    the unit vector), and the quantization's reconstruction MSE — the
+    compressed-index prep step before ANN serving, at 4x storage
+    reduction.
+
+    Single pass of higher-order functions per row — no shuffle at all
+    (embarrassingly parallel over any table size), no UDFs.  Arithmetic
+    is sequenced so a SQL oracle reproduces it bit-for-bit: the fold
+    starts at exact 0.0 and adds terms left-to-right, rounding uses the
+    explicit floor(x + 0.5) form (engine round() half-way conventions
+    differ), and outputs round computed doubles at fixed precision.
+    Emits (id, norm, max_abs_unit, q_checksum, mse_1e6)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / norm)
+    max_abs = F.array_max(F.transform(unit, F.abs))
+    scale = F.lit(127.0) / max_abs
+    q = F.transform(
+        unit, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint")
+    )
+    err = F.zip_with(
+        unit, q, lambda x, qi: (x - qi.cast("double") / scale)
+    )
+    mse = (
+        F.aggregate(err, F.lit(0.0), lambda a, d: a + d * d)
+        / F.size(v).cast("double")
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(norm, 6).alias("norm"),
+        F.round(max_abs, 6).alias("max_abs_unit"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "q_checksum"
+        ),
+        F.round(mse * F.lit(1_000_000.0), 6).alias("mse_1e6"),
+    )

@@ -1535,3 +1535,42 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "embedding_normalize_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_transform(v, x -> x * x),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v),
+    u AS (SELECT vec_id, nrm, list_transform(v, x -> x / nrm) AS u FROM n),
+    m AS (SELECT vec_id, nrm, u,
+                 list_max(list_transform(u, x -> abs(x))) AS mx
+          FROM u),
+    q AS (SELECT vec_id, nrm, u, mx,
+                 list_transform(u, x ->
+                   CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)) AS qv
+          FROM m)
+    SELECT vec_id,
+           ROUND(nrm, 6) AS norm,
+           ROUND(mx, 6) AS max_abs_unit,
+           CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_checksum,
+           ROUND(list_reduce(
+                   list_transform(generate_series(1, len(u)), i ->
+                     (u[i] - qv[i] / (127.0 / mx))
+                     * (u[i] - qv[i] / (127.0 / mx))),
+                   (a, b) -> a + b) / len(u) * 1000000.0, 6) AS mse_1e6
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding maintenance (operators/similarity.normalize_quantize_stats):
+    L2-normalize + symmetric int8 quantization + reconstruction MSE per
+    vector, zero shuffles, zero UDFs — the oracle replays the exact
+    fold order so the doubles match bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.normalize_quantize_stats(e, "embedding", "vec_id").orderBy("vec_id")

@@ -69,6 +69,7 @@ _WINDOW_PRIORITY = (
     "text_winnowing_fingerprints",
     "delta_schema_evolution_roundtrip",
     "avro_roundtrip_documents",
+    "embedding_normalize_quantize",
     # red in r5 (unfinished refactor), fixed this round — re-confirm
     "delta_dv_delete_roundtrip",
     # last driver-verified in round 1 (28 keys, stalest first group)
