@@ -344,20 +344,49 @@ class MooncakeEngine:
         dst = self._canon(dst)
         mt = self._moontable(dst)
         v = mt.append(df, source_version=source_version)
+        exports = self.catalog.get(dst).get("exports") or []
+        if exports:
+            self._sync_exports(mt, changes_df(df, op="I"), exports)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
         )
         return v
 
     def update_where(self, dst: str, condition: str, assignments: dict[str, str]) -> int:
+        """Direct UPDATE DML.  Attached exports stay current: the
+        affected keys are captured against the PRE-update state (the
+        condition may reference columns the assignment changes), then
+        the post-update rows for those keys are upserted into each
+        export — same O(affected batch) path apply_changes uses."""
         dst = self._canon(dst)
-        v = self._moontable(dst).update_where(condition, assignments)
+        mt = self._moontable(dst)
+        exports = self.catalog.get(dst).get("exports") or []
+        pre_keys = None
+        if exports:
+            pk = mt.primary_key()
+            pre_keys = (
+                mt.read().where(condition).select(*pk)
+                .localCheckpoint(eager=True)
+            )
+        v = mt.update_where(condition, assignments)
+        if exports and pre_keys is not None:
+            updated = mt.read(v).join(pre_keys, pk, "semi")
+            self._sync_exports(mt, changes_df(updated, op="U"), exports)
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 
     def delete_where(self, dst: str, condition: str) -> int:
+        """Direct DELETE DML; attached exports get the matched keys as
+        equality deletes (captured pre-delete), same as apply_changes."""
         dst = self._canon(dst)
-        v = self._moontable(dst).delete_where(condition)
+        mt = self._moontable(dst)
+        exports = self.catalog.get(dst).get("exports") or []
+        matched = None
+        if exports:
+            matched = mt.read().where(condition).localCheckpoint(eager=True)
+        v = mt.delete_where(condition)
+        if exports and matched is not None:
+            self._sync_exports(mt, changes_df(matched, op="D"), exports)
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 

@@ -552,6 +552,17 @@ def test_attach_export_keeps_iceberg_mirror_current(spark, warehouse, tmp_path):
     assert (7, "reborn") in export
     assert len(export) == read_iceberg(spark, exp).count() == 21
 
+    # direct DML (not just apply_changes) must also maintain the export
+    eng.insert("m", spark.createDataFrame([(30, "ins", 30.0)],
+                                          "k long, v string, x double"))
+    eng.update_where("m", "k = 5", {"x": "x * 10"})
+    eng.delete_where("m", "k = 4")
+    mirror = {(r["k"], r["v"], r["x"]) for r in eng.table("m").collect()}
+    export = {(r["k"], r["v"], r["x"]) for r in read_iceberg(spark, exp).collect()}
+    assert mirror == export
+    assert (30, "ins", 30.0) in export and (5, "v5", 50.0) in export
+    assert not any(k == 4 for k, _, _ in export)
+
     # export without a primary key refuses
     eng.create_table("nopk", source_df=df)
     import pytest as _pytest
