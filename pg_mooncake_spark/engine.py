@@ -475,6 +475,18 @@ class MooncakeEngine:
             v = mt.optimize()
         if mode == "vacuum":
             mt.vacuum()
+        # attached exports accumulate per-batch delete-file + append
+        # commits; the mirror's maintenance pass is where they get folded
+        # into clean files and old snapshots reclaimed
+        for path in self.catalog.get(dst).get("exports") or []:
+            from pg_mooncake_spark.sources.iceberg import (
+                compact_iceberg,
+                expire_snapshots,
+            )
+
+            compact_iceberg(self.spark, path)
+            if mode == "vacuum":
+                expire_snapshots(path, retain_last=1)
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 

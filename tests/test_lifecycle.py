@@ -563,6 +563,17 @@ def test_attach_export_keeps_iceberg_mirror_current(spark, warehouse, tmp_path):
     assert (30, "ins", 30.0) in export and (5, "v5", 50.0) in export
     assert not any(k == 4 for k, _, _ in export)
 
+    # optimize_table folds the export's accumulated delete files +
+    # appends into clean files; vacuum mode also expires old snapshots
+    import glob as _glob
+
+    eng.optimize_table("m", mode="vacuum")
+    export2 = {(r["k"], r["v"], r["x"]) for r in read_iceberg(spark, exp).collect()}
+    assert export2 == mirror
+    assert not _glob.glob(exp + "/data/e*/part-*.parquet"), (
+        "equality delete files should be reclaimed after compaction+expiry"
+    )
+
     # export without a primary key refuses
     eng.create_table("nopk", source_df=df)
     import pytest as _pytest
