@@ -293,3 +293,21 @@ def cap_per_group(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def shard_assignment(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic output sharding for a training corpus:
+    ``shard = floor(hash_fraction(id) * n_shards)`` — the write-layout
+    step after filtering/dedup/mixing, so a 100 TB corpus lands in N
+    stable, statistically balanced output shards.
+
+    A pure projection (no shuffle here; the WRITE repartitions on the
+    shard column), and the same id maps to the same shard at any
+    parallelism or row order — re-runs produce identical shard
+    membership, which downstream training-data bookkeeping relies on."""
+    return df.withColumn(
+        "shard",
+        F.floor(hash_fraction(F.col(id_col), seed) * n_shards).cast("int"),
+    )

@@ -1574,3 +1574,36 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold order so the doubles match bit-for-bit."""
     e = t(spark, sf_dir, "embeddings")
     return S.normalize_quantize_stats(e, "embedding", "vec_id").orderBy("vec_id")
+
+
+@query(
+    "corpus_shard_assignment",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(floor(CAST({_h8("CAST(doc_id AS VARCHAR) || '#5'")} AS DOUBLE)
+                        / 4294967296.0 * 8) AS INT) AS shard
+      FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way output sharding (operators/corpus.
+    shard_assignment): the same md5-fraction that drives sampling maps
+    each doc to a stable shard; the key emits per-shard doc and char
+    totals, so both the assignment and its balance are value-checked."""
+    from pg_mooncake_spark.operators.corpus import shard_assignment
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        shard_assignment(d, "doc_id", 8, seed=5)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .orderBy("shard")
+    )

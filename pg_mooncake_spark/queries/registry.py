@@ -70,6 +70,7 @@ _WINDOW_PRIORITY = (
     "delta_schema_evolution_roundtrip",
     "avro_roundtrip_documents",
     "embedding_normalize_quantize",
+    "corpus_shard_assignment",
     # red in r5 (unfinished refactor), fixed this round — re-confirm
     "delta_dv_delete_roundtrip",
     # last driver-verified in round 1 (28 keys, stalest first group)
