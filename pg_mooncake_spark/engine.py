@@ -307,16 +307,18 @@ class MooncakeEngine:
     def _sync_exports(
         self, mt: MoonTable, changes: DataFrame, exports: list[str]
     ) -> None:
-        """Apply one CDC batch to each attached Iceberg export: one
-        equality-delete commit for the U/D keys (scoped by sequence
-        number to earlier files), then one append commit for the I/U
-        rows — the standard upsert pattern for streaming Iceberg writers.
-        Both commits are O(batch); appended rows carry a higher sequence
-        number than the delete, so the re-inserted copies survive it."""
-        from pg_mooncake_spark.sources.iceberg import (
-            delete_keys_iceberg,
-            write_iceberg,
-        )
+        """Apply one CDC batch to each attached Iceberg export as ONE
+        row-delta snapshot: equality deletes for the U/D keys (scoped by
+        sequence number to earlier files) and the I/U rows in the same
+        commit — the Iceberg spec's atomic upsert shape.  An external
+        reader never sees the in-between state where updated rows are
+        missing, and a crash mid-sync cannot lose the batch's upserts
+        (ADVICE r6).  One commit per export per batch, O(batch), with
+        emptiness decided from the written parquet footers — no extra
+        probe job.  Same-commit appends share the delete's sequence
+        number and deletes apply only strictly below it, so the
+        re-inserted copies survive."""
+        from pg_mooncake_spark.sources.iceberg import upsert_keys_iceberg
 
         pk = mt.primary_key()
         # materialize the (bounded) CDC batch once: the export path runs
@@ -336,9 +338,7 @@ class MooncakeEngine:
         )
         upserts = upserts.to(nullable)
         for path in exports:
-            delete_keys_iceberg(self.spark, path, keys)
-            if upserts.take(1):
-                write_iceberg(upserts, path, mode="append")
+            upsert_keys_iceberg(self.spark, path, keys, upserts)
 
     def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
         dst = self._canon(dst)
@@ -354,24 +354,37 @@ class MooncakeEngine:
 
     def update_where(self, dst: str, condition: str, assignments: dict[str, str]) -> int:
         """Direct UPDATE DML.  Attached exports stay current: the
-        affected keys are captured against the PRE-update state (the
-        condition may reference columns the assignment changes), then
-        the post-update rows for those keys are upserted into each
-        export — same O(affected batch) path apply_changes uses."""
+        affected rows are captured against the PRE-update state (the
+        condition may reference columns the assignment changes) and the
+        sync is D(pre-image keys) + I(post-image rows), where the
+        post-image is the pre-image with the same simultaneous
+        assignment expressions MoonTable.update_where applies.  Keying
+        the sync on the PRE-image is what keeps exports correct when an
+        assignment rewrites a primary-key column (ADVICE r6): a
+        post-state semi-join on pre-keys would match nothing, never
+        delete the old key, and never append the re-keyed row."""
         dst = self._canon(dst)
         mt = self._moontable(dst)
         exports = self.catalog.get(dst).get("exports") or []
-        pre_keys = None
+        pre = None
         if exports:
-            pk = mt.primary_key()
-            pre_keys = (
-                mt.read().where(condition).select(*pk)
-                .localCheckpoint(eager=True)
-            )
+            pre = mt.read().where(condition).localCheckpoint(eager=True)
         v = mt.update_where(condition, assignments)
-        if exports and pre_keys is not None:
-            updated = mt.read(v).join(pre_keys, pk, "semi")
-            self._sync_exports(mt, changes_df(updated, op="U"), exports)
+        if exports and pre is not None:
+            post = pre.select(
+                *[
+                    (
+                        F.expr(assignments[f.name]).cast(f.dataType)
+                        if f.name in assignments
+                        else F.col(f.name)
+                    ).alias(f.name)
+                    for f in mt.schema().fields
+                ]
+            )
+            changes = changes_df(pre, op="D").unionByName(
+                changes_df(post, op="I")
+            )
+            self._sync_exports(mt, changes, exports)
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 

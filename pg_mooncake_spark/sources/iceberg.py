@@ -68,7 +68,17 @@ def _latest_metadata(path: str) -> dict:
     # numeric sort: v10 > v9 (lexical sort would pick v9; ADVICE r1)
     candidates.sort(key=lambda f: (_metadata_version(f), f))
     with open(os.path.join(meta_dir, candidates[-1])) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # Pin the version this replay came from (private key, stripped before
+    # any serialization).  Committers derive next-version from THIS, not
+    # from the on-disk max at commit time: a concurrent commit landing
+    # while a long Spark job runs bumps the disk max, and a stale-meta
+    # committer that re-reads it would link at a fresh version and
+    # silently erase the concurrent snapshot from history (ADVICE r6).
+    # With the pinned version, os.link on v<pinned+1> collides with the
+    # intervening commit and raises the intended 'concurrent commit'.
+    meta["__pinned-version"] = _metadata_version(candidates[-1])
+    return meta
 
 
 _PRIMS = {
@@ -286,7 +296,16 @@ def read_iceberg(
     if snap is not None and snap.get("manifest-list"):
         files, pos_deletes, eq_deletes = _files_from_manifests(path, snap)
         if not files:
-            raise IcebergSupportError(f"snapshot {sid} has no data files")
+            # A snapshot with zero live data files is legitimate — e.g.
+            # compact_iceberg after every row was deleted commits a
+            # REPLACE with no entries.  Readers get the declared schema
+            # and zero rows, not an error (ADVICE r6: optimize_table on a
+            # fully-emptied attached export must leave it readable).
+            if declared is None:
+                raise IcebergSupportError(
+                    f"snapshot {sid} has no data files and no schema"
+                )
+            return spark.createDataFrame([], declared)
         reader = spark.read.schema(declared) if declared is not None else spark.read
         df = reader.parquet(*[f["resolved"] for f in files])
         if not pos_deletes and not eq_deletes:
@@ -777,18 +796,21 @@ def _commit_snapshot(
     meta: dict,
     seq: int,
     snapshot_id: int,
-    entries: list[dict],
-    manifest_content: bytes,
-    mlist_entry_content: int,
+    groups: list[dict],
     carried: list[dict],
     summary: dict[str, str],
-    added_rows: int,
 ) -> int:
-    """Shared commit tail for every snapshot-producing maintenance op
-    (DELETE / equality DELETE / compact): write the entry manifest, the
-    manifest list ([new] + carried verbatim), the next metadata JSON and
-    the version hint.  Driver work is O(#entries + #carried manifests).
-    Returns the new snapshot id."""
+    """Shared commit tail for every snapshot-producing op (DELETE /
+    equality DELETE / compact / row-delta upsert): write one entry
+    manifest PER GROUP, the manifest list (new manifests + carried
+    verbatim), the next metadata JSON and the version hint.  Multiple
+    groups make the commit a spec row-delta: delete files and data files
+    land in ONE snapshot, so an external reader never observes the
+    in-between state where updated rows are missing (ADVICE r6).
+
+    Each group is ``{"entries": [...], "content": b"data"|b"deletes",
+    "mlist_content": 0|1, "added_rows": int}``.  Driver work is
+    O(#entries + #carried manifests).  Returns the new snapshot id."""
     import time
     import uuid as _uuid
 
@@ -799,43 +821,47 @@ def _commit_snapshot(
     for s in meta.get("schemas") or []:
         if s.get("schema-id") == meta.get("current-schema-id"):
             schema_json = s
-    manifest_path = os.path.join(
-        meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
-    )
-    write_avro(
-        manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
-        entries,
-        extra_meta={
-            "schema": json.dumps(schema_json or {}).encode(),
-            "partition-spec": b"[]",
-            "partition-spec-id": b"0",
-            "format-version": b"2",
-            "content": manifest_content,
-        },
-    )
-    new_mf = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
-        "content": mlist_entry_content,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_data_files_count": len(entries),
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": added_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
+    new_mfs = []
+    for g in groups:
+        manifest_path = os.path.join(
+            meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
+        )
+        write_avro(
+            manifest_path,
+            _MANIFEST_ENTRY_SCHEMA,
+            g["entries"],
+            extra_meta={
+                "schema": json.dumps(schema_json or {}).encode(),
+                "partition-spec": b"[]",
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": g["content"],
+            },
+        )
+        new_mfs.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": g["mlist_content"],
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(g["entries"]),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": g["added_rows"],
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     mlist_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex[:12]}.avro"
     )
     write_avro(
         mlist_path,
         _MANIFEST_FILE_SCHEMA,
-        [new_mf]
+        new_mfs
         + [
             {k: c.get(k) for k in (f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"])}
             for c in carried
@@ -977,14 +1003,17 @@ def delete_where_iceberg(
 
     _, carried = read_avro(_resolve_path(snap["manifest-list"], path))
     return _commit_snapshot(
-        path, meta, seq, snapshot_id, entries,
-        manifest_content=b"deletes", mlist_entry_content=1, carried=carried,
+        path, meta, seq, snapshot_id,
+        groups=[{
+            "entries": entries, "content": b"deletes",
+            "mlist_content": 1, "added_rows": deleted_rows,
+        }],
+        carried=carried,
         summary={
             "operation": "delete",
             "added-delete-files": str(len(entries)),
             "added-position-deletes": str(deleted_rows),
         },
-        added_rows=deleted_rows,
     )
 
 
@@ -1069,14 +1098,148 @@ def delete_keys_iceberg(
 
     _, carried = read_avro(_resolve_path(snap["manifest-list"], path))
     return _commit_snapshot(
-        path, meta, seq, snapshot_id, entries,
-        manifest_content=b"deletes", mlist_entry_content=1, carried=carried,
+        path, meta, seq, snapshot_id,
+        groups=[{
+            "entries": entries, "content": b"deletes",
+            "mlist_content": 1, "added_rows": deleted_rows,
+        }],
+        carried=carried,
         summary={
             "operation": "delete",
             "added-delete-files": str(len(entries)),
             "added-equality-deletes": str(deleted_rows),
         },
-        added_rows=deleted_rows,
+    )
+
+
+def upsert_keys_iceberg(
+    spark: SparkSession, path: str, keys_df: DataFrame, rows_df: DataFrame
+) -> Optional[int]:
+    """CDC row-delta upsert in ONE snapshot: equality-delete every key in
+    ``keys_df`` AND append ``rows_df``, committed atomically — the
+    Iceberg spec's row-delta commit shape real streaming writers use.
+    Two separate commits (delete, then append) expose an in-between
+    state where updated rows are missing entirely, and a crash between
+    them loses the batch's upserts (ADVICE r6); one snapshot does not.
+
+    Sequence semantics: both manifests share the commit's sequence
+    number N.  Equality deletes apply only to data files with data
+    sequence < N, so the same-commit appended rows survive their own
+    delete — exactly the spec rule the read side enforces.
+
+    Emptiness is decided from the written parquet footers (pyarrow
+    metadata on the driver), not an extra probe job.  Cost is O(keys +
+    rows); the table is never scanned.  Returns the new snapshot id, or
+    None when the batch is entirely empty (no commit)."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from pg_mooncake_spark.sources.avro import read_avro
+
+    meta = _latest_metadata(path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    snap = snaps.get(meta.get("current-snapshot-id"))
+    if snap is None or not snap.get("manifest-list"):
+        raise IcebergSupportError("upsert needs a manifest-backed Iceberg table")
+
+    ids_by_name: dict[str, int] = {}
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            ids_by_name = {f["name"]: int(f["id"]) for f in s.get("fields", [])}
+    unknown = [c for c in keys_df.columns if c not in ids_by_name]
+    if unknown:
+        raise IcebergSupportError(
+            f"equality-delete key columns {unknown} not in table schema"
+        )
+    equality_ids = [ids_by_name[c] for c in keys_df.columns]
+
+    declared = _schema_from_metadata(meta)
+    if declared is not None and set(rows_df.columns) != {
+        f.name for f in declared.fields
+    }:
+        raise IcebergSupportError(
+            f"upsert row columns {sorted(rows_df.columns)} differ from table "
+            f"schema {sorted(f.name for f in declared.fields)}; evolve the "
+            "schema with write_iceberg(merge_schema=True) first"
+        )
+    if declared is not None:
+        from pyspark.sql import functions as F
+
+        rows_df = rows_df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+        )
+
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    snapshot_id = seq
+    del_dir = os.path.join(path, "data", f"e{seq:05d}")
+    data_dir = os.path.join(path, "data", f"s{seq:05d}")
+    keys_df.dropDuplicates().sortWithinPartitions(
+        *keys_df.columns
+    ).write.parquet(del_dir)
+    rows_df.write.parquet(data_dir)
+
+    def _entries(d: str, content: int) -> tuple[list[dict], int]:
+        out, rows = [], 0
+        for f in sorted(_glob.glob(os.path.join(d, "part-*.parquet"))):
+            n = _pq.ParquetFile(f).metadata.num_rows
+            if n == 0:
+                os.remove(f)
+                continue
+            rows += n
+            data_file = {
+                "content": content,
+                "file_path": f,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(f),
+            }
+            if content == 2:
+                data_file["equality_ids"] = equality_ids
+            out.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherited (v2 rule)
+                    "file_sequence_number": None,
+                    "data_file": data_file,
+                }
+            )
+        return out, rows
+
+    del_entries, deleted_rows = _entries(del_dir, content=2)
+    data_entries, added_rows = _entries(data_dir, content=0)
+    if not del_entries and not data_entries:
+        shutil.rmtree(del_dir, ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        return None
+
+    groups = []
+    if del_entries:
+        groups.append(
+            {
+                "entries": del_entries, "content": b"deletes",
+                "mlist_content": 1, "added_rows": deleted_rows,
+            }
+        )
+    if data_entries:
+        groups.append(
+            {
+                "entries": data_entries, "content": b"data",
+                "mlist_content": 0, "added_rows": added_rows,
+            }
+        )
+    _, carried = read_avro(_resolve_path(snap["manifest-list"], path))
+    return _commit_snapshot(
+        path, meta, seq, snapshot_id, groups=groups, carried=carried,
+        summary={
+            "operation": "overwrite",
+            "added-delete-files": str(len(del_entries)),
+            "added-equality-deletes": str(deleted_rows),
+            "added-data-files": str(len(data_entries)),
+            "added-records": str(added_rows),
+        },
     )
 
 
@@ -1136,14 +1299,17 @@ def compact_iceberg(
         )
 
     return _commit_snapshot(
-        path, meta, seq, snapshot_id, entries,
-        manifest_content=b"data", mlist_entry_content=0, carried=[],
+        path, meta, seq, snapshot_id,
+        groups=[{
+            "entries": entries, "content": b"data",
+            "mlist_content": 0, "added_rows": added_rows,
+        }],
+        carried=[],
         summary={
             "operation": "replace",
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
         },
-        added_rows=added_rows,
     )
 
 
@@ -1231,7 +1397,7 @@ def _write_metadata_json(meta_dir: str, version: int, meta: dict) -> None:
         meta_dir, f".tmp.v{version}.{_uuid.uuid4().hex}.metadata.json"
     )
     with open(tmp, "w") as fh:
-        json.dump(meta, fh)
+        json.dump({k: v for k, v in meta.items() if not k.startswith("__")}, fh)
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -1245,8 +1411,15 @@ def _write_metadata_json(meta_dir: str, version: int, meta: dict) -> None:
 
 
 def _metadata_version_of(meta: dict, path: str) -> int:
-    """Highest metadata file version currently on disk (the version the
-    replayed ``meta`` came from)."""
+    """Version the replayed ``meta`` came from.  Prefers the version
+    pinned at load time by ``_latest_metadata`` — commit paths must
+    derive next-version from the LOADED version, so an intervening
+    commit makes the put-if-absent link fail instead of being silently
+    superseded.  Falls back to the on-disk max only for meta dicts that
+    never went through ``_latest_metadata`` (fresh creates)."""
+    pinned = meta.get("__pinned-version")
+    if pinned is not None:
+        return int(pinned)
     meta_dir = os.path.join(path, "metadata")
     return max(
         (_metadata_version(f) for f in os.listdir(meta_dir)

@@ -580,3 +580,53 @@ def test_attach_export_keeps_iceberg_mirror_current(spark, warehouse, tmp_path):
 
     with _pytest.raises(ValueError, match="primary key"):
         eng.attach_export("nopk", str(tmp_path / "exp2"))
+
+
+def test_export_sync_atomic_snapshot_and_pk_rewrite(spark, warehouse, tmp_path):
+    """Two ADVICE-r6 export-sync guarantees.  (1) Atomicity: each CDC
+    batch lands on the export as ONE row-delta snapshot (equality
+    deletes + appends in the same commit) — an external reader between
+    two commits would otherwise see updated rows missing entirely, and
+    a crash between them would lose the batch's upserts.  (2) PK
+    rewrite: UPDATE assigning a primary-key column syncs as
+    D(pre-image keys) + I(post-image rows); a post-state semi-join on
+    pre-keys would silently diverge the export."""
+    from pg_mooncake_spark.sources.iceberg import _latest_metadata, read_iceberg
+
+    eng = _engine(spark, warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    eng.create_table("m", source_df=df, primary_key=["k"])
+    exp = str(tmp_path / "exp_atomic")
+    eng.attach_export("m", exp)
+    n0 = len(_latest_metadata(exp)["snapshots"])
+
+    batch = spark.createDataFrame(
+        [(1, "upd1"), (10, "new10"), (2, None)], "k long, v string"
+    ).withColumn(
+        "__op", F.expr("CASE k WHEN 1 THEN 'U' WHEN 10 THEN 'I' ELSE 'D' END")
+    )
+    eng.apply_changes("m", batch, source_version=1)
+
+    meta = _latest_metadata(exp)
+    snaps = meta["snapshots"]
+    assert len(snaps) == n0 + 1, "one CDC batch must be exactly one snapshot"
+    s = snaps[-1]["summary"]
+    assert int(s["added-delete-files"]) >= 1 and int(s["added-data-files"]) >= 1, (
+        "the row-delta snapshot must carry BOTH the equality deletes and "
+        "the appended rows"
+    )
+    mirror = {(r["k"], r["v"]) for r in eng.table("m").collect()}
+    export = {(r["k"], r["v"]) for r in read_iceberg(spark, exp).collect()}
+    assert mirror == export
+
+    # UPDATE that rewrites the primary key itself
+    eng.update_where("m", "k = 3", {"k": "k + 100", "v": "'moved'"})
+    mirror = {(r["k"], r["v"]) for r in eng.table("m").collect()}
+    export = {(r["k"], r["v"]) for r in read_iceberg(spark, exp).collect()}
+    assert mirror == export
+    assert (103, "moved") in export
+    assert not any(k == 3 for k, _ in export), (
+        "the pre-update key must be equality-deleted from the export"
+    )

@@ -1259,6 +1259,34 @@ def test_iceberg_compact_folds_deletes_and_expire_reclaims(spark, tmp_path):
     assert expire_snapshots(path, retain_last=1) == []
 
 
+def test_iceberg_compact_fully_emptied_table_stays_readable(spark, tmp_path):
+    """Compacting a table whose rows were ALL deleted commits a REPLACE
+    snapshot with zero data-file entries; the read path must return an
+    empty DataFrame with the declared schema, not raise — otherwise
+    optimize_table on a fully-emptied attached export bricks the export
+    (ADVICE r6)."""
+    from pg_mooncake_spark.sources.iceberg import (
+        compact_iceberg,
+        delete_where_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_empty")
+    df = spark.range(10).selectExpr("id AS k", "concat('v', id) AS v")
+    write_iceberg(df, path)
+    delete_where_iceberg(spark, path, "k >= 0")  # delete everything
+    assert read_iceberg(spark, path).count() == 0
+
+    compact_iceberg(spark, path, target_files=1)
+    out = read_iceberg(spark, path)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+    # and appending to the emptied table still works
+    write_iceberg(df.limit(3), path, mode="append")
+    assert read_iceberg(spark, path).count() == 3
+
+
 def test_delta_dv_update_merge_on_read(spark, tmp_path):
     """update_where_dv: matched rows get DV-tombstoned on their original
     files and re-appended with assignments applied, one atomic commit;
@@ -1707,3 +1735,42 @@ def test_concurrent_commit_safety_delta_and_iceberg(spark, tmp_path):
         _write_metadata_json(meta_dir, 1, {"clobber": True})
     # the winner's table still reads
     assert read_iceberg(spark, ipath).count() == 1
+
+
+def test_iceberg_stale_committer_cannot_erase_concurrent_snapshot(spark, tmp_path):
+    """OCC version pinning (ADVICE r6): the next metadata version derives
+    from the version ``meta`` was LOADED at, not the on-disk max at commit
+    time — so a commit that lands while a long job runs makes the stale
+    committer's put-if-absent link collide instead of linking at a fresh
+    version and silently dropping the concurrent snapshot from history."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergSupportError,
+        _latest_metadata,
+        _metadata_version_of,
+        _write_metadata_json,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "pin")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_iceberg(df, path)
+    stale = _latest_metadata(path)  # replayed from v1; pins version 1
+    write_iceberg(df, path, mode="append")  # concurrent commit lands v2
+    # the stale replay still derives from its load-time version …
+    assert _metadata_version_of(stale, path) == 1
+    # … so its commit targets v2, collides with the intervening commit,
+    # and fails loudly instead of erasing it at v3
+    with _pytest.raises(IcebergSupportError, match="concurrent commit"):
+        _write_metadata_json(
+            path + "/metadata", _metadata_version_of(stale, path) + 1, stale
+        )
+    meta = _latest_metadata(path)
+    assert len(meta["snapshots"]) == 2  # both snapshots survive
+    # the private pin never reaches disk
+    for f in _glob.glob(path + "/metadata/*.metadata.json"):
+        with open(f) as fh:
+            assert "__pinned-version" not in json.load(fh)
