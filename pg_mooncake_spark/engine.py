@@ -284,7 +284,11 @@ class MooncakeEngine:
         return v
 
     def attach_export(
-        self, dst: str, path: str, version: Optional[int] = None
+        self,
+        dst: str,
+        path: str,
+        version: Optional[int] = None,
+        partition_by: Optional[list[str]] = None,
     ) -> None:
         """Create an Iceberg export of the mirror and keep it CURRENT:
         every subsequent apply_changes batch is re-applied to the export
@@ -301,7 +305,9 @@ class MooncakeEngine:
                 "attach_export needs a primary key to map updates/deletes "
                 "onto equality deletes"
             )
-        self.export_table(name, path, fmt="iceberg", version=version)
+        self.export_table(
+            name, path, fmt="iceberg", version=version, partition_by=partition_by
+        )
         self.catalog.add_export(name, path)
 
     def _sync_exports(
@@ -510,6 +516,7 @@ class MooncakeEngine:
         fmt: str = "delta",
         version: Optional[int] = None,
         mode: str = "error",
+        partition_by: Optional[list[str]] = None,
     ) -> None:
         """Export a mirror snapshot as an open-format table the rest of
         the lake can read — the Spark analog of the reference's
@@ -520,18 +527,27 @@ class MooncakeEngine:
         chain), or 'parquet' (bare files).  ``version`` pins the mirror
         snapshot (default: read-your-writes watermark).  'iceberg' and
         'delta' support ``mode='append'`` to add the snapshot as a new
-        commit of an existing export."""
+        commit of an existing export.  ``partition_by`` partitions the
+        export (identity): a 100 TB mirror's export keeps partition
+        pruning for downstream readers."""
         df = self.table(dst, version=version)
         if fmt == "delta":
             from pg_mooncake_spark.sources.delta import write_delta
 
+            if partition_by:
+                raise ValueError(
+                    "partition_by is supported for iceberg/parquet exports"
+                )
             write_delta(df, path, mode=mode)
         elif fmt == "iceberg":
             from pg_mooncake_spark.sources.iceberg import write_iceberg
 
-            write_iceberg(df, path, mode=mode)
+            write_iceberg(df, path, mode=mode, partition_by=partition_by)
         elif fmt == "parquet":
-            df.write.mode("error" if mode == "error" else "append").parquet(path)
+            w = df.write.mode("error" if mode == "error" else "append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
         else:
             raise ValueError(f"unsupported export format {fmt!r}")
 

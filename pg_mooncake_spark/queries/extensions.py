@@ -272,6 +272,56 @@ def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_partitioned_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey < 20000
+          AND NOT (o_orderkey % 13 = 0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def iceberg_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Iceberg lifecycle (the reference's mirror warehouse is
+    a partitioned Iceberg table for any large source — moonlink keeps
+    per-mirror warehouses, reference README.md:13-17): create with an
+    identity partition spec, append (spec inherited from metadata),
+    merge-on-read DELETE, then a PARTITION-PRUNED read — the file list
+    is cut down by the manifest-recorded partition tuples before the
+    scan, which is what preserves pruning for downstream readers of a
+    100 TB export.  The oracle applies the same predicates to the
+    source; a file mis-assigned to a partition, a pruned-away live file,
+    or a delete lost across the partitioned snapshots all surface as a
+    hash mismatch."""
+    from pg_mooncake_spark.sources.iceberg import (
+        delete_where_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    path = tempfile.mkdtemp(prefix="ice_part_") + "/t"
+    write_iceberg(
+        o.filter(F.col("o_orderkey") < 10000),
+        path,
+        partition_by=["o_orderstatus"],
+    )
+    write_iceberg(o.filter(F.col("o_orderkey") >= 10000), path, mode="append")
+    delete_where_iceberg(spark, path, "o_orderkey % 13 = 0")
+    back = read_iceberg(spark, path, partition_filter={"o_orderstatus": "F"})
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "delta_dv_update_roundtrip",
     oracle="""
     WITH updated AS (

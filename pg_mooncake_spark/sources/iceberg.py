@@ -243,6 +243,7 @@ def _files_from_manifests(
                             "recorded": df_["file_path"],
                             "resolved": _resolve_path(df_["file_path"], path),
                             "seq": seq,
+                            "partition": dict(df_.get("partition") or {}),
                         }
                     )
                 elif content == 1:  # positional deletes
@@ -267,7 +268,10 @@ def _files_from_manifests(
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: Optional[int] = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: Optional[int] = None,
+    partition_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Read an external Iceberg table.
 
@@ -276,12 +280,26 @@ def read_iceberg(
     list, snapshot time travel, rewrite-safe); else, for manifest-less
     static exports, a guarded raw directory scan that refuses whenever it
     could disagree with the (absent) manifests.
+
+    ``partition_filter`` = {partition column: value} prunes the file list
+    by the manifest-recorded partition tuples BEFORE the scan — the
+    Iceberg partition-pruning contract: a filtered read of a 100 TB
+    table plans only matching files.  Values accept the column's type
+    (dates also as 'YYYY-MM-DD').  Refused for non-partition columns.
     """
     if have_iceberg_runtime(spark):  # pragma: no cover - runtime absent here
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", snapshot_id)
-        return reader.load(path)
+        df = reader.load(path)
+        if partition_filter:
+            from pyspark.sql import functions as F
+
+            for c, v in partition_filter.items():
+                df = df.filter(
+                    F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                )
+        return df
 
     meta = _latest_metadata(path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -295,6 +313,15 @@ def read_iceberg(
     declared = _schema_from_metadata(meta)
     if snap is not None and snap.get("manifest-list"):
         files, pos_deletes, eq_deletes = _files_from_manifests(path, snap)
+        if partition_filter:
+            norm = _normalize_partition_filter(
+                partition_filter, _spec_partition_cols(meta)
+            )
+            files = [
+                f
+                for f in files
+                if all(f["partition"].get(c) == v for c, v in norm.items())
+            ]
         if not files:
             # A snapshot with zero live data files is legitimate — e.g.
             # compact_iceberg after every row was deleted commits a
@@ -372,6 +399,10 @@ def read_iceberg(
         return data.drop("__fp", "__pos", "__seq")
 
     # manifest-less static export: guarded raw scan (current snapshot only)
+    if partition_filter:
+        raise IcebergSupportError(
+            "partition_filter needs manifests and this table has none"
+        )
     if snapshot_id is not None and snapshot_id != current:
         raise IcebergSupportError(
             f"snapshot {snapshot_id} is not the current snapshot ({current}); "
@@ -466,6 +497,194 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+# ------------------------------------------------- identity partitioning
+#
+# Identity-transform partition specs (the moonlink mirror warehouse is a
+# partitioned Iceberg table for any large source; reference README.md:13-17).
+# Data files are staged with partitionBy on DUPLICATE columns so the parquet
+# files keep every source column (spec-valid — Java Iceberg writers also
+# materialize identity source columns); the manifest entries carry the typed
+# partition tuple, which is what read-side file pruning keys on.
+
+_PART_AVRO = {"int": "int", "long": "long", "string": "string",
+              "boolean": "boolean", "date": "int"}
+
+
+def _partition_spec_json(schema_json: dict, partition_by: list[str]) -> dict:
+    """Identity partition spec over ``partition_by`` (field-ids 1000+i,
+    the Iceberg partition-field id convention)."""
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    fields = []
+    for i, c in enumerate(partition_by):
+        f = by_name.get(c)
+        if f is None:
+            raise IcebergSupportError(f"partition column {c!r} not in schema")
+        if not (isinstance(f["type"], str) and f["type"] in _PART_AVRO):
+            raise IcebergSupportError(
+                f"identity partitioning on type {f['type']!r} not supported "
+                "(int/long/string/boolean/date)"
+            )
+        fields.append(
+            {"name": c, "transform": "identity", "source-id": int(f["id"]),
+             "field-id": 1000 + i}
+        )
+    return {"spec-id": 0, "fields": fields}
+
+
+def _spec_partition_cols(meta: dict) -> list[tuple[str, str]]:
+    """[(column name, iceberg type)] of the default partition spec;
+    empty for unpartitioned tables.  Only identity transforms are
+    readable/writable here — anything else refuses loudly."""
+    specs = meta.get("partition-specs") or []
+    default = None
+    for s in specs:
+        if s.get("spec-id") == int(meta.get("default-spec-id") or 0):
+            default = s
+    if default is None or not default.get("fields"):
+        return []
+    names_by_id = _field_names_by_id(meta)
+    types_by_name: dict[str, str] = {}
+    if meta.get("schemas"):
+        for s in meta["schemas"]:
+            if s.get("schema-id") == meta.get("current-schema-id"):
+                types_by_name = {
+                    f["name"]: f["type"] for f in s["fields"]
+                    if isinstance(f["type"], str)
+                }
+    out = []
+    for f in default["fields"]:
+        if f.get("transform") != "identity":
+            raise IcebergSupportError(
+                f"partition transform {f.get('transform')!r} not supported "
+                "(identity only)"
+            )
+        name = names_by_id.get(int(f["source-id"]))
+        if name is None:
+            raise IcebergSupportError(
+                f"partition source-id {f.get('source-id')} not in schema"
+            )
+        out.append((name, types_by_name.get(name, "string")))
+    return out
+
+
+def _parse_partition_value(raw: str, ice_type: str):
+    """Hive path segment value → typed partition value (Avro-encodable).
+    Dates are stored as days-since-epoch ints, the Iceberg encoding."""
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    if ice_type == "date":
+        import datetime as _dt
+
+        return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+    return raw
+
+
+def _normalize_partition_filter(
+    filt: dict, part_cols: list[tuple[str, str]]
+) -> dict:
+    """User-supplied {col: value} → the manifest encoding (dates become
+    days-since-epoch), validated against the table's partition spec."""
+    import datetime as _dt
+
+    types = dict(part_cols)
+    out = {}
+    for c, v in filt.items():
+        if c not in types:
+            raise IcebergSupportError(
+                f"{c!r} is not a partition column of this table "
+                f"(partitioned by {[n for n, _ in part_cols]})"
+            )
+        t = types[c]
+        if v is None:
+            out[c] = None
+        elif t == "date":
+            d = _dt.date.fromisoformat(v) if isinstance(v, str) else v
+            if isinstance(d, _dt.datetime):
+                d = d.date()
+            out[c] = (d - _dt.date(1970, 1, 1)).days
+        elif t in ("int", "long"):
+            out[c] = int(v)
+        elif t == "boolean":
+            out[c] = bool(v)
+        else:
+            out[c] = str(v)
+    return out
+
+
+def _entry_schema(part_fields: list[dict]) -> dict:
+    """Manifest-entry Avro schema with the spec's typed partition record
+    (the static empty record when the table is unpartitioned)."""
+    if not part_fields:
+        return _MANIFEST_ENTRY_SCHEMA
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": ["null", _PART_AVRO[f["ice_type"]]],
+                "default": None,
+                "field-id": f["field-id"],
+            }
+            for f in part_fields
+        ],
+    }
+    schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))  # deep copy
+    for f in schema["fields"]:
+        if f["name"] == "data_file":
+            for df_f in f["type"]["fields"]:
+                if df_f["name"] == "partition":
+                    df_f["type"] = part_record
+    return schema
+
+
+def _stage_data_files(
+    df: DataFrame, data_dir: str, part_cols: list[tuple[str, str]]
+) -> list[tuple[str, dict]]:
+    """Stage a DataFrame as parquet data files (ONE Spark job) and return
+    [(file path, partition tuple dict)].  Partitioned staging writes
+    through DUPLICATE ``__p_<col>`` columns so the data files keep every
+    source column; the hive-style directory names are parsed back into
+    typed partition values for the manifest entries."""
+    from pyspark.sql import functions as F
+
+    if not part_cols:
+        df.write.parquet(data_dir)
+        return [
+            (f, {})
+            for f in sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
+        ]
+    staged = df
+    for c, _t in part_cols:
+        staged = staged.withColumn(f"__p_{c}", F.col(c))
+    staged.write.partitionBy(*[f"__p_{c}" for c, _t in part_cols]).parquet(
+        data_dir
+    )
+    out = []
+    for f in sorted(
+        _glob.glob(os.path.join(data_dir, "**", "part-*.parquet"), recursive=True)
+    ):
+        values: dict = {}
+        for seg in os.path.relpath(f, data_dir).split(os.sep)[:-1]:
+            name, _, raw = seg.partition("=")
+            for c, t in part_cols:
+                if name == f"__p_{c}":
+                    values[c] = _parse_partition_value(raw, t)
+        if len(values) != len(part_cols):
+            raise IcebergSupportError(
+                f"staged file {f} lacks partition path segments"
+            )
+        out.append((f, values))
+    return out
+
+
 def _spark_to_iceberg_schema(schema) -> dict:
     """Spark StructType → Iceberg schema JSON with field-ids assigned
     depth-first in declaration order (the assignment a fresh Iceberg
@@ -541,13 +760,25 @@ def _spark_to_iceberg_schema(schema) -> dict:
 
 
 def write_iceberg(
-    df: DataFrame, path: str, mode: str = "error", merge_schema: bool = False
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    merge_schema: bool = False,
+    partition_by: Optional[list[str]] = None,
 ) -> None:
     """Write/append a DataFrame as an Iceberg v2 table.
 
     ``mode='error'`` creates a fresh table (refuses if one exists);
     ``mode='append'`` adds a snapshot (schema must match the table's
     unless ``merge_schema``).
+
+    ``partition_by`` (create only) declares an identity partition spec
+    over the named columns: data files are staged per partition value,
+    manifest entries carry the typed partition tuple, and partition-
+    filtered reads prune to matching files only (read_iceberg
+    ``partition_filter``) — what keeps a 100 TB export's downstream
+    scans from touching every file.  Appends derive the spec from the
+    table's metadata; passing a conflicting ``partition_by`` refuses.
 
     ``merge_schema`` appends evolve the schema the Iceberg way: new
     input columns join the schema under FRESH field ids (a new schema-id
@@ -652,6 +883,39 @@ def write_iceberg(
             schema_json = {k: v for k, v in prev_schema.items()}
             last_column_id = int(prev.get("last-column-id") or last_column_id)
 
+    # partition spec: created tables take partition_by; appends inherit
+    # the table's default spec (a conflicting explicit spec refuses)
+    if prev is not None:
+        part_cols = _spec_partition_cols(prev)
+        if partition_by is not None and list(partition_by) != [
+            n for n, _ in part_cols
+        ]:
+            raise IcebergSupportError(
+                f"append partition_by {list(partition_by)} conflicts with the "
+                f"table's spec {[n for n, _ in part_cols]}"
+            )
+        spec = None  # carried from prev metadata below
+        for s in prev.get("partition-specs") or []:
+            if s.get("spec-id") == int(prev.get("default-spec-id") or 0):
+                spec = s
+        if spec is None:
+            spec = {"spec-id": 0, "fields": []}
+    elif partition_by:
+        spec = _partition_spec_json(schema_json, list(partition_by))
+        types_by_name = {
+            f["name"]: f["type"]
+            for f in schema_json["fields"]
+            if isinstance(f["type"], str)
+        }
+        part_cols = [(c, types_by_name[c]) for c in partition_by]
+    else:
+        spec = {"spec-id": 0, "fields": []}
+        part_cols = []
+    part_fields = [
+        {"name": c, "ice_type": t, "field-id": 1000 + i}
+        for i, (c, t) in enumerate(part_cols)
+    ]
+
     version = 1 if prev is None else _metadata_version_of(prev, path) + 1
     seq = 1 if prev is None else int(prev.get("last-sequence-number") or 0) + 1
     snapshot_id = seq  # deterministic, unique per commit
@@ -659,14 +923,10 @@ def write_iceberg(
 
     # 1. stage data files (the only Spark job)
     data_dir = os.path.join(path, "data", f"s{seq:05d}")
-    df.write.parquet(data_dir)
-
-    files = sorted(
-        _glob.glob(os.path.join(data_dir, "part-*.parquet"))
-    )
+    staged = _stage_data_files(df, data_dir, part_cols)
     entries = []
     added_rows = 0
-    for f in files:
+    for f, part_values in staged:
         n = _pq.ParquetFile(f).metadata.num_rows
         if n == 0:
             # empty partitions stage empty part files; a real Iceberg
@@ -686,7 +946,7 @@ def write_iceberg(
                 "content": 0,
                 "file_path": f,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": part_values,
                 "record_count": n,
                 "file_size_in_bytes": os.path.getsize(f),
             },
@@ -701,12 +961,12 @@ def write_iceberg(
     )
     write_avro(
         manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
+        _entry_schema(part_fields),
         entries,
         extra_meta={
             "schema": json.dumps(pub_schema).encode(),
-            "partition-spec": b"[]",
-            "partition-spec-id": b"0",
+            "partition-spec": json.dumps(spec.get("fields", [])).encode(),
+            "partition-spec-id": str(spec.get("spec-id", 0)).encode(),
             "format-version": b"2",
             "content": b"data",
         },
@@ -776,9 +1036,9 @@ def write_iceberg(
         "last-column-id": last_column_id,
         "current-schema-id": schema_id,
         "schemas": schemas_list if schemas_list is not None else [pub_schema],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "default-spec-id": int(spec.get("spec-id", 0)),
+        "partition-specs": [spec],
+        "last-partition-id": 999 + len(spec.get("fields", [])),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,
@@ -809,8 +1069,11 @@ def _commit_snapshot(
     in-between state where updated rows are missing (ADVICE r6).
 
     Each group is ``{"entries": [...], "content": b"data"|b"deletes",
-    "mlist_content": 0|1, "added_rows": int}``.  Driver work is
-    O(#entries + #carried manifests).  Returns the new snapshot id."""
+    "mlist_content": 0|1, "added_rows": int}`` plus optional
+    ``entry_schema`` / ``spec_fields`` for partitioned data manifests
+    (delete manifests stay globally-scoped with an empty partition
+    record).  Driver work is O(#entries + #carried manifests).  Returns
+    the new snapshot id."""
     import time
     import uuid as _uuid
 
@@ -828,11 +1091,11 @@ def _commit_snapshot(
         )
         write_avro(
             manifest_path,
-            _MANIFEST_ENTRY_SCHEMA,
+            g.get("entry_schema") or _MANIFEST_ENTRY_SCHEMA,
             g["entries"],
             extra_meta={
                 "schema": json.dumps(schema_json or {}).encode(),
-                "partition-spec": b"[]",
+                "partition-spec": json.dumps(g.get("spec_fields") or []).encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
                 "content": g["content"],
@@ -1170,6 +1433,16 @@ def upsert_keys_iceberg(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
         )
 
+    part_cols = _spec_partition_cols(meta)
+    part_fields = [
+        {"name": c, "ice_type": t, "field-id": 1000 + i}
+        for i, (c, t) in enumerate(part_cols)
+    ]
+    spec_fields = None
+    for s in meta.get("partition-specs") or []:
+        if s.get("spec-id") == int(meta.get("default-spec-id") or 0):
+            spec_fields = s.get("fields")
+
     seq = int(meta.get("last-sequence-number") or 0) + 1
     snapshot_id = seq
     del_dir = os.path.join(path, "data", f"e{seq:05d}")
@@ -1177,11 +1450,15 @@ def upsert_keys_iceberg(
     keys_df.dropDuplicates().sortWithinPartitions(
         *keys_df.columns
     ).write.parquet(del_dir)
-    rows_df.write.parquet(data_dir)
+    # equality deletes stay globally scoped (empty partition tuple, the
+    # spec-sanctioned form for CDC writers); data files land partitioned
+    staged_rows = _stage_data_files(rows_df, data_dir, part_cols)
 
-    def _entries(d: str, content: int) -> tuple[list[dict], int]:
+    def _entries(
+        staged: list[tuple[str, dict]], content: int
+    ) -> tuple[list[dict], int]:
         out, rows = [], 0
-        for f in sorted(_glob.glob(os.path.join(d, "part-*.parquet"))):
+        for f, part_values in staged:
             n = _pq.ParquetFile(f).metadata.num_rows
             if n == 0:
                 os.remove(f)
@@ -1191,7 +1468,7 @@ def upsert_keys_iceberg(
                 "content": content,
                 "file_path": f,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": part_values,
                 "record_count": n,
                 "file_size_in_bytes": os.path.getsize(f),
             }
@@ -1208,8 +1485,14 @@ def upsert_keys_iceberg(
             )
         return out, rows
 
-    del_entries, deleted_rows = _entries(del_dir, content=2)
-    data_entries, added_rows = _entries(data_dir, content=0)
+    del_entries, deleted_rows = _entries(
+        [
+            (f, {})
+            for f in sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+        ],
+        content=2,
+    )
+    data_entries, added_rows = _entries(staged_rows, content=0)
     if not del_entries and not data_entries:
         shutil.rmtree(del_dir, ignore_errors=True)
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -1228,6 +1511,8 @@ def upsert_keys_iceberg(
             {
                 "entries": data_entries, "content": b"data",
                 "mlist_content": 0, "added_rows": added_rows,
+                "entry_schema": _entry_schema(part_fields),
+                "spec_fields": spec_fields,
             }
         )
     _, carried = read_avro(_resolve_path(snap["manifest-list"], path))
@@ -1264,18 +1549,34 @@ def compact_iceberg(
     from pg_mooncake_spark.sources.avro import write_avro
 
     meta = _latest_metadata(path)
+    part_cols = _spec_partition_cols(meta)
+    part_fields = [
+        {"name": c, "ice_type": t, "field-id": 1000 + i}
+        for i, (c, t) in enumerate(part_cols)
+    ]
+    spec_fields = None
+    for s in meta.get("partition-specs") or []:
+        if s.get("spec-id") == int(meta.get("default-spec-id") or 0):
+            spec_fields = s.get("fields")
     df = read_iceberg(spark, path)
-    if target_files is not None:
+    if part_cols:
+        # cluster the rewrite on the partition columns so each partition
+        # compacts to few files instead of target_files shards apiece
+        df = df.repartition(
+            *([target_files] if target_files is not None else []),
+            *[c for c, _t in part_cols],
+        )
+    elif target_files is not None:
         df = df.repartition(target_files)
 
     seq = int(meta.get("last-sequence-number") or 0) + 1
     snapshot_id = seq
     data_dir = os.path.join(path, "data", f"s{seq:05d}")
-    df.write.parquet(data_dir)
+    staged = _stage_data_files(df, data_dir, part_cols)
 
     entries = []
     added_rows = 0
-    for f in sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet"))):
+    for f, part_values in staged:
         n = _pq.ParquetFile(f).metadata.num_rows
         if n == 0:
             os.remove(f)
@@ -1291,7 +1592,7 @@ def compact_iceberg(
                     "content": 0,
                     "file_path": f,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part_values,
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(f),
                 },
@@ -1303,6 +1604,8 @@ def compact_iceberg(
         groups=[{
             "entries": entries, "content": b"data",
             "mlist_content": 0, "added_rows": added_rows,
+            "entry_schema": _entry_schema(part_fields),
+            "spec_fields": spec_fields,
         }],
         carried=[],
         summary={

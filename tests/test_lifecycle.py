@@ -582,6 +582,44 @@ def test_attach_export_keeps_iceberg_mirror_current(spark, warehouse, tmp_path):
         eng.attach_export("nopk", str(tmp_path / "exp2"))
 
 
+def test_partitioned_attach_export_stays_partitioned(spark, warehouse, tmp_path):
+    """attach_export(partition_by=...) creates a partitioned Iceberg
+    export and the incremental CDC sync keeps it partitioned: appended
+    data files land under their partition values (manifest tuples
+    included), so downstream partition-pruned reads stay cheap."""
+    from pg_mooncake_spark.sources.iceberg import _latest_metadata, read_iceberg
+
+    eng = _engine(spark, warehouse)
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", f"v{i}") for i in range(20)],
+        "k long, grp string, v string",
+    )
+    eng.create_table("pm", source_df=df, primary_key=["k"])
+    exp = str(tmp_path / "exp_part")
+    eng.attach_export("pm", exp, partition_by=["grp"])
+    spec = _latest_metadata(exp)["partition-specs"][0]
+    assert [f["name"] for f in spec["fields"]] == ["grp"]
+
+    batch = spark.createDataFrame(
+        [(1, "B", "upd1"), (20, "A", "new20"), (2, "A", None)],
+        "k long, grp string, v string",
+    ).withColumn(
+        "__op", F.expr("CASE k WHEN 1 THEN 'U' WHEN 20 THEN 'I' ELSE 'D' END")
+    )
+    eng.apply_changes("pm", batch, source_version=1)
+
+    mirror = {(r["k"], r["grp"], r["v"]) for r in eng.table("pm").collect()}
+    export = {(r["k"], r["grp"], r["v"]) for r in read_iceberg(spark, exp).collect()}
+    assert mirror == export
+    # synced rows are partition-addressable: the A-only read sees the new
+    # row, not the B-side update, and only scans A-partition data files
+    a_side = read_iceberg(spark, exp, partition_filter={"grp": "A"})
+    a_rows = {(r["k"], r["v"]) for r in a_side.collect()}
+    assert (20, "new20") in a_rows and not any(k == 1 for k, _ in a_rows)
+    data_files = [f for f in a_side.inputFiles() if "/data/s" in f]
+    assert data_files and all("__p_grp=A" in f for f in data_files)
+
+
 def test_export_sync_atomic_snapshot_and_pk_rewrite(spark, warehouse, tmp_path):
     """Two ADVICE-r6 export-sync guarantees.  (1) Atomicity: each CDC
     batch lands on the export as ONE row-delta snapshot (equality

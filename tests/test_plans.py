@@ -179,6 +179,30 @@ def test_q7_dual_role_dimension_broadcast(spark, queries):
     assert I.broadcast_join_count(df) >= 4
 
 
+def test_iceberg_partition_filter_scans_only_matching_files(spark, tmp_path):
+    """Partitioned Iceberg export: a partition-filtered read must plan a
+    scan over ONLY the matching partition's data files — the manifest
+    tuples prune the file list before Spark ever sees it.  At 100 TB
+    this is the difference between reading one date and the whole
+    table."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    df = spark.range(300).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 4 = 0 THEN 'hot' ELSE 'cold' END AS tier",
+        "CAST(id AS DOUBLE) AS x",
+    )
+    path = str(tmp_path / "ice_prune")
+    write_iceberg(df.repartition(4), path, partition_by=["tier"])
+
+    pruned = read_iceberg(spark, path, partition_filter={"tier": "hot"})
+    full = read_iceberg(spark, path)
+    assert pruned.count() == 75
+    scanned, total = pruned.inputFiles(), full.inputFiles()
+    assert scanned and all("__p_tier=hot" in f for f in scanned)
+    assert len(scanned) < len(total), "pruning must cut the file list"
+
+
 def test_ann_index_probe_partition_pruned(spark, tmp_path):
     """The persisted LSH index must make a probe a partition-pruned scan:
     the file scan reads ONLY the query's bucket directory (and the

@@ -1737,6 +1737,77 @@ def test_concurrent_commit_safety_delta_and_iceberg(spark, tmp_path):
     assert read_iceberg(spark, ipath).count() == 1
 
 
+def test_iceberg_partitioned_write_prunes_and_survives_maintenance(spark, tmp_path):
+    """Identity-partitioned Iceberg writes (VERDICT r6 gap #1): the spec
+    lands in the metadata, manifest entries carry typed partition
+    tuples, partition-filtered reads scan ONLY matching files, appends
+    inherit the spec, and delete+compact preserve the partitioning."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergSupportError,
+        _latest_metadata,
+        compact_iceberg,
+        delete_where_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_part")
+    df = spark.range(200).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'A' WHEN id % 3 = 1 THEN 'B' ELSE 'C' END AS grp",
+        "DATE_ADD(DATE'2024-01-01', CAST(id % 2 AS INT)) AS d",
+        "CAST(id * 1.5 AS DOUBLE) AS x",
+    )
+    write_iceberg(df.filter("k < 100"), path, partition_by=["grp", "d"])
+
+    meta = _latest_metadata(path)
+    spec = meta["partition-specs"][0]
+    assert [f["name"] for f in spec["fields"]] == ["grp", "d"]
+    assert all(f["transform"] == "identity" for f in spec["fields"])
+
+    # appends inherit the spec; conflicting explicit spec refuses
+    with _pytest.raises(IcebergSupportError, match="conflicts"):
+        write_iceberg(df.filter("k >= 100"), path, mode="append",
+                      partition_by=["grp"])
+    write_iceberg(df.filter("k >= 100"), path, mode="append")
+
+    full = read_iceberg(spark, path)
+    assert full.count() == 200
+    assert {r["k"] for r in full.collect()} == set(range(200))
+
+    # partition-filtered read prunes the FILE LIST, not just the rows
+    part = read_iceberg(spark, path, partition_filter={"grp": "A", "d": "2024-01-02"})
+    rows = part.collect()
+    assert all(r["grp"] == "A" and str(r["d"]) == "2024-01-02" for r in rows)
+    assert {r["k"] for r in rows} == {
+        k for k in range(200) if k % 3 == 0 and k % 2 == 1
+    }
+    scanned = part.inputFiles()
+    assert scanned and all(
+        "__p_grp=A" in f and "__p_d=2024-01-02" in f for f in scanned
+    )
+    total = full.inputFiles()
+    assert len(scanned) < len(total)
+
+    # filtering on a non-partition column refuses
+    with _pytest.raises(IcebergSupportError, match="not a partition column"):
+        read_iceberg(spark, path, partition_filter={"x": 1.0})
+
+    # merge-on-read delete + compact keep the partitioning
+    delete_where_iceberg(spark, path, "k % 10 = 0")
+    assert read_iceberg(spark, path).count() == 180
+    compact_iceberg(spark, path)
+    meta = _latest_metadata(path)
+    assert [f["name"] for f in meta["partition-specs"][0]["fields"]] == ["grp", "d"]
+    part = read_iceberg(spark, path, partition_filter={"grp": "B"})
+    assert part.count() == sum(
+        1 for k in range(200) if k % 3 == 1 and k % 10 != 0
+    )
+    assert all("__p_grp=B" in f for f in part.inputFiles())
+
+
 def test_iceberg_stale_committer_cannot_erase_concurrent_snapshot(spark, tmp_path):
     """OCC version pinning (ADVICE r6): the next metadata version derives
     from the version ``meta`` was LOADED at, not the on-disk max at commit
