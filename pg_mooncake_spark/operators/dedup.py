@@ -487,16 +487,17 @@ def connected_components(
       value per round is a 0/1 convergence probe (``limit(1).count()``);
     - rounds needed = component diameter.  Near-dup clusters are shallow
       stars around a canonical doc (diameter ≤ ~4), so a handful of rounds
-      converges; for adversarially deep graphs switch to the
-      large-star/small-star alternation (Kiveris et al., "Connected
-      Components in MapReduce and Beyond", SoCC'14) which converges in
-      O(log n) rounds — same output contract;
+      converges; when a component is deeper than ``max_iter`` (an
+      adversarially long chain of pairwise-similar documents), the
+      operator hands off to the large-star/small-star alternation
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14), which converges in O(log n) alternations regardless of
+      diameter — same output contract, so the result is always the
+      min-id labeling;
     - lineage is truncated every round (``localCheckpoint``) so the
       iterated plan stays constant-size instead of doubling per round (on
       a real cluster prefer a reliable ``checkpoint`` dir for fault
       tolerance; local mode has no such distinction).
-
-    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -534,9 +535,85 @@ def connected_components(
         if changed == 0:
             edges.unpersist()
             return labels
+
+    # Adversarially deep components (diameter > max_iter — e.g. a long
+    # chain of pairwise-similar documents) exceed label propagation's
+    # diameter-bound round count.  Switch to the large-star/small-star
+    # alternation (Kiveris et al., SoCC'14), which contracts every
+    # component into a star rooted at its minimum id in O(log n)
+    # alternations regardless of diameter.  Each phase is one
+    # groupBy-min + one equi-join; the only driver traffic is the O(1)
+    # convergence fingerprint.
+    nodes = labels.select("node")
+    star = edges  # (src, dst), symmetric
+    prev_fp = None
+    converged = False
+    for _ in range(64):  # ≥ log2 of any feasible node count
+        sym = (
+            star.unionByName(
+                star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # large-star: every neighbor larger than u links to u's min
+        mn = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        ls = (
+            sym.join(mn, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: every not-larger neighbor (and u itself) links to
+        # the min of u's smaller neighborhood; ls edges already point
+        # larger → smaller
+        mn2 = (
+            ls.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        joined = ls.join(mn2, "src")
+        ss = (
+            joined.select(F.col("dst").alias("node"), F.col("m").alias("comp"))
+            .unionByName(
+                joined.select(F.col("src").alias("node"), F.col("m").alias("comp"))
+            )
+            .where(F.col("node") != F.col("comp"))
+            .select(F.col("node").alias("src"), F.col("comp").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        r = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # decimal accumulator: a long sum of 64-bit hashes
+                # overflows under ANSI mode
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        fp = (r["n"], r["h"])
+        star = ss
+        if fp == prev_fp:  # exact fixpoint: the edge set is stable stars
+            converged = True
+            break
+        prev_fp = fp
     edges.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "component diameter exceeds max_iter — raise max_iter or use "
-        "large-star/small-star alternation"
+    if not converged:
+        raise RuntimeError(
+            "connected_components star alternation did not converge in 64 "
+            "rounds — this should be impossible for any real graph"
+        )
+    comp = (
+        star.groupBy("src")
+        .agg(F.min("dst").alias("comp"))
+        .select(F.col("src").alias("node"), "comp")
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
     )

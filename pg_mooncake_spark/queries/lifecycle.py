@@ -208,3 +208,67 @@ def lifecycle_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = eng.table("li_tt", version=v1).agg(F.count(F.lit(1)).alias("n_v1"))
     new = eng.table("li_tt", version=v2).agg(F.count(F.lit(1)).alias("n_v2"))
     return old.crossJoin(new)
+
+
+@query(
+    "lifecycle_decimal_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price0,
+             CAST(l_discount AS DECIMAL(4,3)) AS disc
+      FROM lineitem WHERE l_orderkey < 3000
+    ), post AS (
+      SELECT CASE WHEN l_orderkey % 10 = 0
+                  THEN CAST(price0 + CAST(1.50 AS DECIMAL(12,2))
+                            AS DECIMAL(12,2))
+                  ELSE price0 END AS price,
+             disc
+      FROM base WHERE NOT (l_orderkey % 7 = 3)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS sum_price,
+           CAST(SUM(price * disc) AS DOUBLE) AS sum_weighted
+    FROM post
+    """,
+)
+def lifecycle_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC(p,s) type matrix (SURVEY §1.2) through the FULL lifecycle:
+    a DECIMAL(12,2)/DECIMAL(4,3) mirror takes UPDATE arithmetic (exact
+    decimal addition, cast back to the declared scale) and a DELETE,
+    exports to Iceberg (decimal(p,s) in the schema JSON, decimals in the
+    manifest-chained parquet), and is read back through the manifest
+    replay.  Exact decimal SUM and a scale-growing DECIMAL multiply are
+    compared against the oracle's identical decimal pipeline — any
+    precision loss, double round-trip, or scale mangling anywhere in
+    mirror storage, DML, export, or read shows as a hash mismatch."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    eng = _temp_engine(spark)
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 3000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+            F.col("l_discount").cast("decimal(4,3)").alias("disc"),
+        )
+    )
+    eng.create_table(
+        "dec_m", source_df=li, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    eng.update_where(
+        "dec_m",
+        "l_orderkey % 10 = 0",
+        {"price": "price + CAST(1.50 AS DECIMAL(12,2))"},
+    )
+    eng.delete_where("dec_m", "l_orderkey % 7 = 3")
+    path = tempfile.mkdtemp(prefix="dec_exp_") + "/t"
+    eng.export_table("dec_m", path, fmt="iceberg")
+    back = read_iceberg(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("sum_price"),
+        F.sum(F.col("price") * F.col("disc")).cast("double").alias("sum_weighted"),
+    )

@@ -732,3 +732,60 @@ def scalar_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_interval_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d0,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_90d,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+           o_orderdate - INTERVAL 36 HOUR AS minus_36h,
+           CAST(o_orderdate + (o_orderkey % 28) * INTERVAL 1 DAY AS DATE)
+               AS staggered,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+               AS days_to_eoy98,
+           CAST(extract(day FROM (TIMESTAMP '1998-12-01 00:00:00'
+                                  - o_orderdate)) AS BIGINT) AS whole_days,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL type matrix (SURVEY §1.2): date/timestamp ± day and month
+    intervals, interval * integer scaling, timestamp subtraction into a
+    day-time interval with field extraction, and month truncation.
+    Results are surfaced as DATE/TIMESTAMP/BIGINT so both engines hash
+    identically; the interval arithmetic itself (calendar-aware month
+    addition, day-time interval multiplication) is what's under test."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.expr("CAST(o_orderdate + INTERVAL '90' DAY AS DATE)").alias(
+                "due_90d"
+            ),
+            F.expr("CAST(o_orderdate + INTERVAL '2' MONTH AS DATE)").alias(
+                "plus_2mo"
+            ),
+            F.expr("o_orderdate - INTERVAL '36' HOUR").alias("minus_36h"),
+            F.expr(
+                "CAST(o_orderdate + INTERVAL '1' DAY * CAST(o_orderkey % 28 AS INT)"
+                " AS DATE)"
+            ).alias("staggered"),
+            F.expr(
+                "datediff(DATE'1998-12-01', CAST(o_orderdate AS DATE))"
+            ).alias("days_to_eoy98"),
+            F.expr(
+                "CAST(extract(DAY FROM (TIMESTAMP'1998-12-01 00:00:00'"
+                " - o_orderdate)) AS BIGINT)"
+            ).alias("whole_days"),
+            F.expr("CAST(date_trunc('month', o_orderdate) AS DATE)").alias(
+                "month_start"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

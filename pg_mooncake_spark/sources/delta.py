@@ -99,6 +99,37 @@ def _checkpoint_paths(path: str, version: int, parts: Optional[int]) -> list[str
     return [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
 
 
+def _v2_checkpoint_manifest(path: str, version: int) -> Optional[str]:
+    """UUID-named v2Checkpoint manifest for ``version``
+    (``<v>.checkpoint.<uniqueStr>.{json|parquet}``, PROTOCOL.md "V2
+    Spec Checkpoints") — what current delta-spark writes when the
+    v2Checkpoint table feature is enabled.  None when the table uses a
+    classic or multipart checkpoint instead."""
+    import re
+
+    log_dir = os.path.join(path, _LOG)
+    # exactly one non-numeric segment between 'checkpoint' and the
+    # extension — multipart files have two numeric segments and classic
+    # has none, so neither matches
+    pat = re.compile(
+        rf"^{version:020d}\.checkpoint\.(?!\d+\.\d+\.)[A-Za-z0-9-]+"
+        r"\.(json|parquet)$"
+    )
+    cands = sorted(f for f in os.listdir(log_dir) if pat.match(f))
+    return os.path.join(log_dir, cands[-1]) if cands else None
+
+
+def _sidecar_path(path: str, sidecar: dict) -> str:
+    """Resolve a sidecar action's path: relative names live under
+    ``_delta_log/_sidecars/``; absolute URIs are used as-is."""
+    p = str(sidecar.get("path") or "")
+    if p.startswith("file://"):
+        p = p[len("file://") :]
+    if os.path.isabs(p) and os.path.exists(p):
+        return p
+    return os.path.join(path, _LOG, "_sidecars", os.path.basename(p))
+
+
 # ---------------------------------------------------------------- deletion
 # vectors (public protocol: PROTOCOL.md "Deletion Vectors").  A DV is a
 # 64-bit roaring bitmap of deleted row positions, stored inline (Z85 text in
@@ -375,39 +406,83 @@ class _State:
         self.tombstones[remove["path"]] = remove
 
 
+def _apply_checkpoint_row(state: _State, row: dict) -> None:
+    """Apply one checkpoint action row (classic part, v2 manifest, or v2
+    sidecar — they share the action schema) to the replay state."""
+    if row.get("protocol"):
+        state.apply_protocol(row["protocol"])
+    if row.get("metaData"):
+        md = dict(row["metaData"])
+        if isinstance(md.get("partitionColumns"), str):
+            md["partitionColumns"] = json.loads(md["partitionColumns"])
+        # pyarrow renders parquet maps as lists of (k, v) pairs
+        if isinstance(md.get("configuration"), list):
+            md["configuration"] = dict(md["configuration"])
+        if isinstance((md.get("format") or {}).get("options"), list):
+            md["format"] = {
+                **md["format"],
+                "options": dict(md["format"]["options"]),
+            }
+        state.apply_meta(md)
+    if row.get("add"):
+        add = dict(row["add"])
+        pv = add.get("partitionValues")
+        if isinstance(pv, list):  # pyarrow map -> list of (k, v)
+            add["partitionValues"] = dict(pv)
+        state.apply_add(add)
+    if row.get("remove"):
+        state.apply_remove(row["remove"])
+
+
 def _load_checkpoint(state: _State, path: str, version: int, parts: Optional[int]) -> None:
-    """Seed replay state from a checkpoint parquet (read via pyarrow —
-    the action list is driver-side metadata, no Spark job needed)."""
+    """Seed replay state from a checkpoint (read via pyarrow — the
+    action list is driver-side metadata, no Spark job needed).  Handles
+    all three protocol forms: classic single-file, multipart, and
+    v2Checkpoint (UUID-named manifest + sidecar files under
+    ``_sidecars/``) — tables written by current delta-spark with the
+    v2Checkpoint feature load through the last branch (reference
+    contract: read external Delta tables, CHANGELOG.md:25)."""
     import pyarrow.parquet as pq
 
-    for cp_path in _checkpoint_paths(path, version, parts):
+    cp_paths = _checkpoint_paths(path, version, parts)
+    if not parts and not os.path.exists(cp_paths[0]):
+        manifest = _v2_checkpoint_manifest(path, version)
+        if manifest is None:
+            raise DeltaProtocolError(
+                f"_last_checkpoint points at missing {cp_paths[0]}"
+            )
+        if manifest.endswith(".json"):
+            with open(manifest) as fh:
+                actions = [json.loads(ln) for ln in fh if ln.strip()]
+        else:
+            actions = pq.read_table(manifest).to_pylist()
+        sidecars = []
+        for row in actions:
+            cm = row.get("checkpointMetadata")
+            if cm:
+                if int(cm.get("version")) != version:
+                    raise DeltaProtocolError(
+                        f"v2 checkpoint manifest claims version "
+                        f"{cm.get('version')}, expected {version}"
+                    )
+                continue
+            if row.get("sidecar"):
+                sidecars.append(row["sidecar"])
+                continue
+            _apply_checkpoint_row(state, row)
+        for sc in sidecars:
+            scp = _sidecar_path(path, sc)
+            if not os.path.exists(scp):
+                raise DeltaProtocolError(f"v2 checkpoint sidecar missing: {scp}")
+            for row in pq.read_table(scp).to_pylist():
+                _apply_checkpoint_row(state, row)
+        state.last_v = version
+        return
+    for cp_path in cp_paths:
         if not os.path.exists(cp_path):
             raise DeltaProtocolError(f"_last_checkpoint points at missing {cp_path}")
-        rows = pq.read_table(cp_path).to_pylist()
-        for row in rows:
-            if row.get("protocol"):
-                state.apply_protocol(row["protocol"])
-            if row.get("metaData"):
-                md = dict(row["metaData"])
-                if isinstance(md.get("partitionColumns"), str):
-                    md["partitionColumns"] = json.loads(md["partitionColumns"])
-                # pyarrow renders parquet maps as lists of (k, v) pairs
-                if isinstance(md.get("configuration"), list):
-                    md["configuration"] = dict(md["configuration"])
-                if isinstance((md.get("format") or {}).get("options"), list):
-                    md["format"] = {
-                        **md["format"],
-                        "options": dict(md["format"]["options"]),
-                    }
-                state.apply_meta(md)
-            if row.get("add"):
-                add = dict(row["add"])
-                pv = add.get("partitionValues")
-                if isinstance(pv, list):  # pyarrow map -> list of (k, v)
-                    add["partitionValues"] = dict(pv)
-                state.apply_add(add)
-            if row.get("remove"):
-                state.apply_remove(row["remove"])
+        for row in pq.read_table(cp_path).to_pylist():
+            _apply_checkpoint_row(state, row)
     state.last_v = version
 
 

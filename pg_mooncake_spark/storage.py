@@ -286,6 +286,20 @@ class MoonTable:
             raise MoonTableError("merge requires a primary key")
         if OP_COL not in changes.columns:
             raise MoonTableError(f"changes must carry {OP_COL} in {{I,U,D}}")
+        # source schema drift fails LOUDLY (SURVEY §7.3): an extra column
+        # silently dropped, or a missing one silently nulled, would let a
+        # drifted upstream diverge the mirror without anyone noticing.
+        # Mirror ALTER propagation is out of scope (§1.3) — by design this
+        # raises instead of evolving.
+        expected = {f.name for f in self.schema().fields}
+        got = {c for c in changes.columns if c != OP_COL}
+        extra, missing = sorted(got - expected), sorted(expected - got)
+        if extra or missing:
+            raise MoonTableError(
+                f"CDC batch schema drifted from the mirror schema: extra "
+                f"columns {extra}, missing columns {missing}; recreate the "
+                "mirror (or load via load_files) to change its schema"
+            )
         changes = changes.cache()
         try:
             # every changed key evicts its old image — including I keys,

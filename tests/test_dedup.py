@@ -132,16 +132,33 @@ def test_connected_components_transitive_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
-def test_connected_components_nonconvergence_raises(spark):
-    """A diameter deeper than max_iter must raise, not silently return a
-    half-propagated labeling."""
-    import pytest as _pytest
-
+def test_connected_components_deep_chain_star_fallback(spark):
+    """A component deeper than max_iter (here: a 61-node path graph with
+    max_iter=3, diameter 60) must NOT raise — label propagation hands
+    off to the large-star/small-star alternation (Kiveris et al.,
+    SoCC'14), which converges in O(log n) alternations regardless of
+    diameter and yields the identical min-id labeling."""
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint"
+        [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint"
     )
-    with _pytest.raises(RuntimeError, match="converge"):
-        D.connected_components(chain, max_iter=2)
+    out = {
+        r["node"]: r["comp"]
+        for r in D.connected_components(chain, max_iter=3).collect()
+    }
+    assert out == {i: 0 for i in range(61)}
+
+    # multiple components + disjoint pairs, still via the fallback path
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102), (200, 201)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {
+        r["node"]: r["comp"]
+        for r in D.connected_components(pairs, max_iter=2).collect()
+    }
+    want = {i: 0 for i in range(31)}
+    want.update({100: 100, 101: 100, 102: 100, 200: 200, 201: 200})
+    assert out == want
 
 
 def test_winnowing_guarantee_and_edges(spark):

@@ -582,6 +582,37 @@ def test_attach_export_keeps_iceberg_mirror_current(spark, warehouse, tmp_path):
         eng.attach_export("nopk", str(tmp_path / "exp2"))
 
 
+def test_apply_changes_schema_drift_fails_loudly(spark, warehouse):
+    """SURVEY §7.3's promise: a CDC batch whose schema drifted from the
+    mirror (extra OR missing column) must raise a clear error, never
+    silently drop/null the difference — ALTER propagation is explicitly
+    out of scope (§1.3), so drift means the pipeline is misconfigured."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.storage import MoonTableError
+
+    eng = _engine(spark, warehouse)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    eng.create_table("drift", source_df=df, primary_key=["k"])
+
+    extra = spark.createDataFrame(
+        [(3, "c", 9.0)], "k long, v string, bonus double"
+    ).withColumn("__op", F.lit("I"))
+    with _pytest.raises(MoonTableError, match="drifted.*extra.*bonus"):
+        eng.apply_changes("drift", extra, source_version=1)
+
+    narrower = spark.createDataFrame([(3,)], "k long").withColumn(
+        "__op", F.lit("I")
+    )
+    with _pytest.raises(MoonTableError, match="drifted.*missing.*'v'"):
+        eng.apply_changes("drift", narrower, source_version=1)
+
+    # the failed batches left no trace: mirror state and watermarks intact
+    assert {(r["k"], r["v"]) for r in eng.table("drift").collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+
 def test_partitioned_attach_export_stays_partitioned(spark, warehouse, tmp_path):
     """attach_export(partition_by=...) creates a partitioned Iceberg
     export and the incremental CDC sync keeps it partitioned: appended

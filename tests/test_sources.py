@@ -1737,6 +1737,110 @@ def test_concurrent_commit_safety_delta_and_iceberg(spark, tmp_path):
     assert read_iceberg(spark, ipath).count() == 1
 
 
+def test_delta_v2_checkpoint_with_sidecars_reads(spark, tmp_path):
+    """v2Checkpoint reads (VERDICT r6 gap #2): a table whose checkpoint
+    is the UUID-named manifest + sidecar form current delta-spark writes
+    must load — manifest actions applied, add/remove actions pulled from
+    ``_sidecars/`` parquet files, JSON tail replayed on top.  The
+    fixture is hand-built to the PROTOCOL.md "V2 Spec Checkpoints"
+    layout (no delta jars in this container), with the pre-checkpoint
+    JSON log removed so the replay MUST go through the v2 chain."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_mooncake_spark.sources.delta import (
+        DeltaProtocolError,
+        _replay,
+        read_delta,
+    )
+
+    path = str(tmp_path / "v2cp")
+    write_delta(
+        spark.range(50).selectExpr("id AS k", "concat('a', id) AS v"), path
+    )  # v0
+    write_delta(
+        spark.range(50, 80).selectExpr("id AS k", "concat('a', id) AS v"),
+        path,
+        mode="append",
+    )  # v1
+
+    log_dir = os.path.join(path, "_delta_log")
+    # capture the live state (adds + metaData/protocol) the checkpoint
+    # must snapshot, straight from the JSON log before it is removed
+    adds, _schema, _pcols, state = _replay(path)
+    meta_action = protocol_action = None
+    for v in (0, 1):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for ln in fh:
+                a = json.loads(ln)
+                meta_action = a.get("metaData") or meta_action
+                protocol_action = a.get("protocol") or protocol_action
+
+    # sidecar parquet files under _sidecars/ (two, to prove multi-sidecar)
+    os.makedirs(os.path.join(log_dir, "_sidecars"))
+    sidecar_names = []
+    half = len(adds) // 2 or 1
+    for chunk in (adds[:half], adds[half:]):
+        if not chunk:
+            continue
+        name = f"{_uuid.uuid4().hex}.parquet"
+        rows = [
+            {"add": {"path": a["path"], "size": int(a.get("size") or 0),
+                     "dataChange": False}}
+            for a in chunk
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(log_dir, "_sidecars", name),
+        )
+        sidecar_names.append(name)
+
+    # UUID-named JSON manifest + _last_checkpoint, then drop the
+    # pre-checkpoint JSON commits
+    manifest = os.path.join(
+        log_dir, f"{1:020d}.checkpoint.{_uuid.uuid4().hex}.json"
+    )
+    with open(manifest, "w") as fh:
+        fh.write(json.dumps({"checkpointMetadata": {"version": 1}}) + "\n")
+        fh.write(json.dumps({"protocol": protocol_action}) + "\n")
+        fh.write(json.dumps({"metaData": meta_action}) + "\n")
+        for name in sidecar_names:
+            fh.write(
+                json.dumps(
+                    {"sidecar": {"path": name, "sizeInBytes": 1,
+                                 "modificationTime": 0}}
+                )
+                + "\n"
+            )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 1, "size": len(adds)}))
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    os.remove(os.path.join(log_dir, f"{1:020d}.json"))
+
+    out = read_delta(spark, path)
+    assert out.count() == 80
+    assert {r["k"] for r in out.select("k").collect()} == set(range(80))
+
+    # the JSON tail after the v2 checkpoint still replays on top
+    write_delta(
+        spark.range(80, 90).selectExpr("id AS k", "concat('a', id) AS v"),
+        path,
+        mode="append",
+    )  # v2
+    assert read_delta(spark, path).count() == 90
+    assert read_delta(spark, path, version_as_of=1).count() == 80
+
+    # a manifest claiming the wrong version refuses loudly
+    import pytest as _pytest
+
+    with open(manifest, "w") as fh:
+        fh.write(json.dumps({"checkpointMetadata": {"version": 7}}) + "\n")
+    with _pytest.raises(DeltaProtocolError, match="claims version"):
+        read_delta(spark, path, version_as_of=1).count()
+
+
 def test_iceberg_partitioned_write_prunes_and_survives_maintenance(spark, tmp_path):
     """Identity-partitioned Iceberg writes (VERDICT r6 gap #1): the spec
     lands in the metadata, manifest entries carry typed partition
