@@ -61,67 +61,60 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # round-6 additions — never driver-verified
-    "iceberg_delete_roundtrip",
-    "jdbc_mirror_snapshot",
-    "delta_dv_update_roundtrip",
-    "lifecycle_iceberg_mirror_sync",
-    "text_winnowing_fingerprints",
-    "delta_schema_evolution_roundtrip",
-    "avro_roundtrip_documents",
-    "embedding_normalize_quantize",
-    "corpus_shard_assignment",
-    # red in r5 (unfinished refactor), fixed this round — re-confirm
-    "delta_dv_delete_roundtrip",
-    # last driver-verified in round 1 (28 keys, stalest first group)
-    "join_inner_orders_customers",
-    "join_left_outer_customer_orders",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_cross_region_nation",
-    "join_inequality_acctbal",
-    "window_ranking_family",
-    "window_offset_family",
-    "window_running_and_range_frames",
-    "topk_per_group",
-    "agg_distinct_and_filtered",
-    "agg_scalar_ungrouped",
-    "agg_stats_family",
-    "agg_rollup",
-    "agg_cube_with_grouping",
-    "agg_grouping_sets",
-    "agg_string_agg",
-    "agg_having",
-    "agg_percentiles",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_intersect_all",
-    "setop_except_all",
-    "q21_suppliers_kept_waiting",
-    # last driver-verified in round 2 — oldest slice, fills the window to 50
-    "distinct_projection",
-    "orderby_multikey_nulls",
-    "limit_offset",
-    "subquery_scalar_uncorrelated",
-    "subquery_correlated_scalar",
-    "subquery_in_notin",
-    "lateral_explode_tokens",
-    "pivot_status_by_priority",
-    "unpivot_stack",
-    "scalar_string_family",
-    "scalar_datetime_family",
-    "scalar_math_family",
+    # round-7 additions — never driver-verified
+    "iceberg_partitioned_roundtrip",
+    "scalar_interval_family",
+    "lifecycle_decimal_roundtrip",
+    # last driver-verified in round 2 — the stalest slice (34 keys)
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_simhash16",
+    "delta_roundtrip_lineitem",
+    "events_asof_join",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "lifecycle_cdc_lineitem_merge",
+    "lifecycle_partitioned_counts",
+    "lifecycle_sanity_cdc",
+    "lifecycle_snapshot_versions",
+    "lifecycle_trades_quickstart",
+    "media_feature_extraction",
+    "media_frame_sampling",
+    "media_resize_dedup",
+    "scalar_array_family",
     "scalar_conditional_family",
+    "scalar_hash_family",
     "scalar_json_family",
     "scalar_json_structured",
-    "scalar_array_family",
-    "scalar_hash_family",
     "sequence_generation",
+    "sim_ann_lsh_bucketed",
+    "sim_cosine_topk_bruteforce",
+    "sketch_hll_distinct",
+    "skew_salted_agg",
+    "skew_salted_join",
     "struct_and_map_access",
+    "text_language_id",
+    "text_profile_analysis",
+    "text_quality_scoring",
+    # last driver-verified in round 5 — next-stalest, fills the window
+    # to exactly 50 (r5-window order)
+    "scalar_bitwise_family",
+    "scalar_array_setops_family",
+    "agg_bitwise_family",
+    "agg_boolean_family",
+    "sim_ann_indexed_probe",
+    "pipeline_pretraining_corpus",
+    "corpus_sample_deterministic",
+    "corpus_sample_stratified",
+    "corpus_mixture",
+    "corpus_pack_sequences",
+    "corpus_chunking",
+    "scalar_regexp_family",
+    "scalar_hof_family",
 )
 
 
