@@ -497,44 +497,87 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
-# ------------------------------------------------- identity partitioning
+# ----------------------------------------------------------- partitioning
 #
-# Identity-transform partition specs (the moonlink mirror warehouse is a
-# partitioned Iceberg table for any large source; reference README.md:13-17).
-# Data files are staged with partitionBy on DUPLICATE columns so the parquet
-# files keep every source column (spec-valid — Java Iceberg writers also
-# materialize identity source columns); the manifest entries carry the typed
+# Partition specs (the moonlink mirror warehouse is a partitioned Iceberg
+# table for any large source; reference README.md:13-17): identity over
+# int/long/string/boolean/date columns, plus the temporal transforms
+# year/month/day/hour over timestamp/date columns — the spec a real 100 TB
+# time-series export uses (``partition_by=["days(ts)"]``).  Data files are
+# staged with partitionBy on DUPLICATE derived columns so the parquet files
+# keep every source column (spec-valid — Java Iceberg writers also
+# materialize source columns); the manifest entries carry the typed
 # partition tuple, which is what read-side file pruning keys on.
 
 _PART_AVRO = {"int": "int", "long": "long", "string": "string",
               "boolean": "boolean", "date": "int"}
+_TEMPORAL_SOURCES = ("timestamp", "timestamptz", "date")
+_TRANSFORM_RE = re.compile(r"^(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)$")
+
+
+def _parse_partition_by(partition_by: list[str]) -> list[tuple[str, str]]:
+    """``["grp", "days(ts)"]`` → [(source column, transform)].  Accepts
+    the plural spellings delta-spark/Iceberg DSLs use (days/months/...)."""
+    out = []
+    for p in partition_by:
+        m = _TRANSFORM_RE.match(p.strip())
+        if m:
+            out.append((m.group(2), m.group(1).rstrip("s")))
+        else:
+            out.append((p.strip(), "identity"))
+    return out
+
+
+def _transform_result_type(transform: str, source_type: str) -> str:
+    """Iceberg result type of a partition transform (spec 'Partition
+    Transforms' table): identity keeps the source type; day → date;
+    year/month/hour → int offsets from 1970-01-01."""
+    if transform == "identity":
+        if source_type not in _PART_AVRO:
+            raise IcebergSupportError(
+                f"identity partitioning on type {source_type!r} not supported "
+                "(int/long/string/boolean/date)"
+            )
+        return source_type
+    if transform in ("year", "month", "day", "hour"):
+        if source_type not in _TEMPORAL_SOURCES or (
+            transform == "hour" and source_type == "date"
+        ):
+            raise IcebergSupportError(
+                f"{transform}() partitioning needs a timestamp/date column, "
+                f"got {source_type!r}"
+            )
+        return "date" if transform == "day" else "int"
+    raise IcebergSupportError(f"unsupported partition transform {transform!r}")
 
 
 def _partition_spec_json(schema_json: dict, partition_by: list[str]) -> dict:
-    """Identity partition spec over ``partition_by`` (field-ids 1000+i,
-    the Iceberg partition-field id convention)."""
+    """Partition spec over ``partition_by`` (field-ids 1000+i, the
+    Iceberg partition-field id convention; derived fields named
+    ``<col>_<transform>`` as the Java writer does)."""
     by_name = {f["name"]: f for f in schema_json["fields"]}
     fields = []
-    for i, c in enumerate(partition_by):
-        f = by_name.get(c)
+    for i, (src, tr) in enumerate(_parse_partition_by(partition_by)):
+        f = by_name.get(src)
         if f is None:
-            raise IcebergSupportError(f"partition column {c!r} not in schema")
-        if not (isinstance(f["type"], str) and f["type"] in _PART_AVRO):
-            raise IcebergSupportError(
-                f"identity partitioning on type {f['type']!r} not supported "
-                "(int/long/string/boolean/date)"
-            )
+            raise IcebergSupportError(f"partition column {src!r} not in schema")
+        st = f["type"] if isinstance(f["type"], str) else "struct"
+        _transform_result_type(tr, st)  # validates
         fields.append(
-            {"name": c, "transform": "identity", "source-id": int(f["id"]),
-             "field-id": 1000 + i}
+            {
+                "name": src if tr == "identity" else f"{src}_{tr}",
+                "transform": tr,
+                "source-id": int(f["id"]),
+                "field-id": 1000 + i,
+            }
         )
     return {"spec-id": 0, "fields": fields}
 
 
-def _spec_partition_cols(meta: dict) -> list[tuple[str, str]]:
-    """[(column name, iceberg type)] of the default partition spec;
-    empty for unpartitioned tables.  Only identity transforms are
-    readable/writable here — anything else refuses loudly."""
+def _spec_partition_cols(meta: dict) -> list[dict]:
+    """Default-spec partition fields as
+    ``{"name", "source", "transform", "ice_type"}`` dicts; empty for
+    unpartitioned tables.  Unknown transforms refuse loudly."""
     specs = meta.get("partition-specs") or []
     default = None
     for s in specs:
@@ -553,17 +596,22 @@ def _spec_partition_cols(meta: dict) -> list[tuple[str, str]]:
                 }
     out = []
     for f in default["fields"]:
-        if f.get("transform") != "identity":
-            raise IcebergSupportError(
-                f"partition transform {f.get('transform')!r} not supported "
-                "(identity only)"
-            )
-        name = names_by_id.get(int(f["source-id"]))
-        if name is None:
+        src = names_by_id.get(int(f["source-id"]))
+        if src is None:
             raise IcebergSupportError(
                 f"partition source-id {f.get('source-id')} not in schema"
             )
-        out.append((name, types_by_name.get(name, "string")))
+        tr = f.get("transform") or "identity"
+        out.append(
+            {
+                "name": f.get("name") or src,
+                "source": src,
+                "transform": tr,
+                "ice_type": _transform_result_type(
+                    tr, types_by_name.get(src, "string")
+                ),
+            }
+        )
     return out
 
 
@@ -586,20 +634,20 @@ def _parse_partition_value(raw: str, ice_type: str):
     return raw
 
 
-def _normalize_partition_filter(
-    filt: dict, part_cols: list[tuple[str, str]]
-) -> dict:
-    """User-supplied {col: value} → the manifest encoding (dates become
-    days-since-epoch), validated against the table's partition spec."""
+def _normalize_partition_filter(filt: dict, part_cols: list[dict]) -> dict:
+    """User-supplied {partition field: value} → the manifest encoding
+    (dates become days-since-epoch; for ``day()`` fields a date/'YYYY-MM-DD'
+    value selects that day), validated against the table's partition
+    spec."""
     import datetime as _dt
 
-    types = dict(part_cols)
+    types = {p["name"]: p["ice_type"] for p in part_cols}
     out = {}
     for c, v in filt.items():
         if c not in types:
             raise IcebergSupportError(
                 f"{c!r} is not a partition column of this table "
-                f"(partitioned by {[n for n, _ in part_cols]})"
+                f"(partitioned by {[p['name'] for p in part_cols]})"
             )
         t = types[c]
         if v is None:
@@ -645,16 +693,33 @@ def _entry_schema(part_fields: list[dict]) -> dict:
     return schema
 
 
+def _staging_expr(pc: dict):
+    """Spark Column computing a partition field's value from its source
+    column (the transform definitions in the Iceberg spec)."""
+    from pyspark.sql import functions as F
+
+    s, tr = pc["source"], pc["transform"]
+    if tr == "identity":
+        return F.col(s)
+    if tr == "day":
+        return F.col(s).cast("date")
+    if tr == "year":
+        return (F.year(s) - F.lit(1970)).cast("int")
+    if tr == "month":
+        return ((F.year(s) - F.lit(1970)) * 12 + F.month(s) - 1).cast("int")
+    if tr == "hour":
+        return F.floor(F.unix_timestamp(F.col(s)) / 3600).cast("int")
+    raise IcebergSupportError(f"unsupported partition transform {tr!r}")
+
+
 def _stage_data_files(
-    df: DataFrame, data_dir: str, part_cols: list[tuple[str, str]]
+    df: DataFrame, data_dir: str, part_cols: list[dict]
 ) -> list[tuple[str, dict]]:
     """Stage a DataFrame as parquet data files (ONE Spark job) and return
     [(file path, partition tuple dict)].  Partitioned staging writes
-    through DUPLICATE ``__p_<col>`` columns so the data files keep every
-    source column; the hive-style directory names are parsed back into
-    typed partition values for the manifest entries."""
-    from pyspark.sql import functions as F
-
+    through DUPLICATE derived ``__p_<field>`` columns so the data files
+    keep every source column; the hive-style directory names are parsed
+    back into typed partition values for the manifest entries."""
     if not part_cols:
         df.write.parquet(data_dir)
         return [
@@ -662,11 +727,11 @@ def _stage_data_files(
             for f in sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
         ]
     staged = df
-    for c, _t in part_cols:
-        staged = staged.withColumn(f"__p_{c}", F.col(c))
-    staged.write.partitionBy(*[f"__p_{c}" for c, _t in part_cols]).parquet(
-        data_dir
-    )
+    for pc in part_cols:
+        staged = staged.withColumn(f"__p_{pc['name']}", _staging_expr(pc))
+    staged.write.partitionBy(
+        *[f"__p_{pc['name']}" for pc in part_cols]
+    ).parquet(data_dir)
     out = []
     for f in sorted(
         _glob.glob(os.path.join(data_dir, "**", "part-*.parquet"), recursive=True)
@@ -674,9 +739,11 @@ def _stage_data_files(
         values: dict = {}
         for seg in os.path.relpath(f, data_dir).split(os.sep)[:-1]:
             name, _, raw = seg.partition("=")
-            for c, t in part_cols:
-                if name == f"__p_{c}":
-                    values[c] = _parse_partition_value(raw, t)
+            for pc in part_cols:
+                if name == f"__p_{pc['name']}":
+                    values[pc["name"]] = _parse_partition_value(
+                        raw, pc["ice_type"]
+                    )
         if len(values) != len(part_cols):
             raise IcebergSupportError(
                 f"staged file {f} lacks partition path segments"
@@ -772,13 +839,16 @@ def write_iceberg(
     ``mode='append'`` adds a snapshot (schema must match the table's
     unless ``merge_schema``).
 
-    ``partition_by`` (create only) declares an identity partition spec
-    over the named columns: data files are staged per partition value,
-    manifest entries carry the typed partition tuple, and partition-
-    filtered reads prune to matching files only (read_iceberg
-    ``partition_filter``) — what keeps a 100 TB export's downstream
-    scans from touching every file.  Appends derive the spec from the
-    table's metadata; passing a conflicting ``partition_by`` refuses.
+    ``partition_by`` (create only) declares the partition spec: bare
+    column names are identity transforms; ``"days(ts)"`` /
+    ``"months(ts)"`` / ``"years(ts)"`` / ``"hours(ts)"`` are the
+    temporal transforms a time-series table partitions on.  Data files
+    are staged per partition value, manifest entries carry the typed
+    partition tuple, and partition-filtered reads prune to matching
+    files only (read_iceberg ``partition_filter``) — what keeps a
+    100 TB export's downstream scans from touching every file.  Appends
+    derive the spec from the table's metadata; passing a conflicting
+    ``partition_by`` refuses.
 
     ``merge_schema`` appends evolve the schema the Iceberg way: new
     input columns join the schema under FRESH field ids (a new schema-id
@@ -887,12 +957,12 @@ def write_iceberg(
     # the table's default spec (a conflicting explicit spec refuses)
     if prev is not None:
         part_cols = _spec_partition_cols(prev)
-        if partition_by is not None and list(partition_by) != [
-            n for n, _ in part_cols
-        ]:
+        if partition_by is not None and _parse_partition_by(
+            list(partition_by)
+        ) != [(p["source"], p["transform"]) for p in part_cols]:
             raise IcebergSupportError(
                 f"append partition_by {list(partition_by)} conflicts with the "
-                f"table's spec {[n for n, _ in part_cols]}"
+                f"table's spec {[p['name'] for p in part_cols]}"
             )
         spec = None  # carried from prev metadata below
         for s in prev.get("partition-specs") or []:
@@ -902,18 +972,20 @@ def write_iceberg(
             spec = {"spec-id": 0, "fields": []}
     elif partition_by:
         spec = _partition_spec_json(schema_json, list(partition_by))
-        types_by_name = {
-            f["name"]: f["type"]
-            for f in schema_json["fields"]
-            if isinstance(f["type"], str)
-        }
-        part_cols = [(c, types_by_name[c]) for c in partition_by]
+        part_cols = _spec_partition_cols(
+            {
+                "partition-specs": [spec],
+                "default-spec-id": 0,
+                "schemas": [schema_json],
+                "current-schema-id": schema_json.get("schema-id", 0),
+            }
+        )
     else:
         spec = {"spec-id": 0, "fields": []}
         part_cols = []
     part_fields = [
-        {"name": c, "ice_type": t, "field-id": 1000 + i}
-        for i, (c, t) in enumerate(part_cols)
+        {"name": p["name"], "ice_type": p["ice_type"], "field-id": 1000 + i}
+        for i, p in enumerate(part_cols)
     ]
 
     version = 1 if prev is None else _metadata_version_of(prev, path) + 1
@@ -1435,8 +1507,8 @@ def upsert_keys_iceberg(
 
     part_cols = _spec_partition_cols(meta)
     part_fields = [
-        {"name": c, "ice_type": t, "field-id": 1000 + i}
-        for i, (c, t) in enumerate(part_cols)
+        {"name": p["name"], "ice_type": p["ice_type"], "field-id": 1000 + i}
+        for i, p in enumerate(part_cols)
     ]
     spec_fields = None
     for s in meta.get("partition-specs") or []:
@@ -1551,8 +1623,8 @@ def compact_iceberg(
     meta = _latest_metadata(path)
     part_cols = _spec_partition_cols(meta)
     part_fields = [
-        {"name": c, "ice_type": t, "field-id": 1000 + i}
-        for i, (c, t) in enumerate(part_cols)
+        {"name": p["name"], "ice_type": p["ice_type"], "field-id": 1000 + i}
+        for i, p in enumerate(part_cols)
     ]
     spec_fields = None
     for s in meta.get("partition-specs") or []:
@@ -1560,11 +1632,13 @@ def compact_iceberg(
             spec_fields = s.get("fields")
     df = read_iceberg(spark, path)
     if part_cols:
-        # cluster the rewrite on the partition columns so each partition
-        # compacts to few files instead of target_files shards apiece
+        # cluster the rewrite on the DERIVED partition values so each
+        # partition compacts to few files instead of target_files shards
+        # apiece (hashing the raw source column would scatter a day's
+        # rows across tasks for temporal transforms)
         df = df.repartition(
             *([target_files] if target_files is not None else []),
-            *[c for c, _t in part_cols],
+            *[_staging_expr(p) for p in part_cols],
         )
     elif target_files is not None:
         df = df.repartition(target_files)

@@ -1912,6 +1912,77 @@ def test_iceberg_partitioned_write_prunes_and_survives_maintenance(spark, tmp_pa
     assert all("__p_grp=B" in f for f in part.inputFiles())
 
 
+def test_iceberg_temporal_partition_transforms(spark, tmp_path):
+    """days()/months() partition transforms over a timestamp column —
+    the spec a real time-series export uses.  The derived partition
+    field (ts_day, typed date = days-since-epoch in the manifest tuple)
+    prunes by day; source columns stay intact in the data files; the
+    full read needs no partition reconstruction."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergSupportError,
+        _latest_metadata,
+        compact_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_days")
+    df = spark.range(96).selectExpr(
+        "id AS k",
+        "TIMESTAMP'2024-03-01 00:00:00' + make_dt_interval(0, CAST(id AS INT))"
+        " AS ts",
+        "CAST(id AS DOUBLE) AS x",
+    )  # 96 hourly rows spanning 4 days
+    write_iceberg(df, path, partition_by=["days(ts)"])
+
+    spec = _latest_metadata(path)["partition-specs"][0]
+    assert [(f["name"], f["transform"]) for f in spec["fields"]] == [
+        ("ts_day", "day")
+    ]
+
+    full = read_iceberg(spark, path)
+    assert full.count() == 96
+    assert {f.name for f in full.schema.fields} == {"k", "ts", "x"}
+
+    one_day = read_iceberg(spark, path, partition_filter={"ts_day": "2024-03-02"})
+    rows = one_day.collect()
+    assert len(rows) == 24
+    assert all(str(r["ts"]).startswith("2024-03-02") for r in rows)
+    assert all("__p_ts_day=2024-03-02" in f for f in one_day.inputFiles())
+
+    # appends inherit the temporal spec (and the DSL spelling matches it)
+    more = spark.range(96, 120).selectExpr(
+        "id AS k",
+        "TIMESTAMP'2024-03-01 00:00:00' + make_dt_interval(0, CAST(id AS INT))"
+        " AS ts",
+        "CAST(id AS DOUBLE) AS x",
+    )
+    write_iceberg(more, path, mode="append", partition_by=["days(ts)"])
+    assert read_iceberg(spark, path).count() == 120
+    assert (
+        read_iceberg(
+            spark, path, partition_filter={"ts_day": "2024-03-05"}
+        ).count()
+        == 24
+    )
+
+    # compact preserves the temporal partitioning
+    compact_iceberg(spark, path)
+    pruned = read_iceberg(spark, path, partition_filter={"ts_day": "2024-03-03"})
+    assert pruned.count() == 24
+    assert all("__p_ts_day=2024-03-03" in f for f in pruned.inputFiles())
+
+    # hour() over a date column is meaningless and refuses
+    with _pytest.raises(IcebergSupportError, match="hour"):
+        write_iceberg(
+            df.selectExpr("k", "CAST(ts AS DATE) AS d"),
+            str(tmp_path / "bad"),
+            partition_by=["hours(d)"],
+        )
+
+
 def test_iceberg_stale_committer_cannot_erase_concurrent_snapshot(spark, tmp_path):
     """OCC version pinning (ADVICE r6): the next metadata version derives
     from the version ``meta`` was LOADED at, not the on-disk max at commit
