@@ -367,3 +367,34 @@ def repetition_score(
         .otherwise(F.lit(0.0))
         .alias("repetition"),
     )
+
+
+# -------------------------------------------------------- corpus n-grams
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 50
+) -> DataFrame:
+    """Corpus-level top-k word n-grams by DOCUMENT frequency — the
+    boilerplate/template sweep a pretraining pipeline runs before
+    filtering (an n-gram present in thousands of documents is a nav bar,
+    license header, or scraped template, not prose), and the fast first
+    pass of benchmark-contamination checks.
+
+    Scale shape: per-document distinct n-grams (map-only zip-of-slices,
+    duplicates collapsed BEFORE the shuffle so a looping document can't
+    inflate its own counts) explode into ONE groupBy(ngram) with
+    map-side partial counts; the top-k is a TakeOrdered over the
+    aggregated counts — no global sort of the n-gram universe.  Driver
+    receives exactly k rows.
+    """
+    from pg_mooncake_spark.operators.dedup import word_kgrams
+
+    grams = F.array_distinct(word_kgrams(F.col(text_col), n))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "ngram")
+        .limit(k)
+    )

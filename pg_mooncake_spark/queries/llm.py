@@ -1607,3 +1607,29 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "text_top_ngrams",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS ngram
+      FROM documents)
+    SELECT ngram, COUNT(*) AS doc_freq
+    FROM sh GROUP BY ngram
+    ORDER BY doc_freq DESC, ngram LIMIT 50
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 trigrams by document frequency
+    (operators/text.top_ngrams): the boilerplate/template detector.
+    Per-doc distinct shingles collapse before the single ngram shuffle;
+    top-k is a TakeOrdered, not a global sort.  The oracle rebuilds the
+    same distinct-per-doc trigram multiset in SQL; the (doc_freq DESC,
+    ngram) total order makes the k-row result hash-stable."""
+    d = t(spark, sf_dir, "documents")
+    return X.top_ngrams(d, "text", "doc_id", n=3, k=50)

@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = (
     "iceberg_partitioned_roundtrip",
     "scalar_interval_family",
     "lifecycle_decimal_roundtrip",
+    "text_top_ngrams",
     # last driver-verified in round 2 — the stalest slice (34 keys)
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -114,7 +115,6 @@ _WINDOW_PRIORITY = (
     "corpus_pack_sequences",
     "corpus_chunking",
     "scalar_regexp_family",
-    "scalar_hof_family",
 )
 
 

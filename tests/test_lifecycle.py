@@ -650,6 +650,19 @@ def test_partitioned_attach_export_stays_partitioned(spark, warehouse, tmp_path)
     data_files = [f for f in a_side.inputFiles() if "/data/s" in f]
     assert data_files and all("__p_grp=A" in f for f in data_files)
 
+    # optimize_table folds the export's delete files + appends into clean
+    # files WITHOUT losing the partition spec or pruning
+    eng.optimize_table("pm", mode="vacuum")
+    spec = _latest_metadata(exp)["partition-specs"][0]
+    assert [f["name"] for f in spec["fields"]] == ["grp"]
+    export2 = {(r["k"], r["grp"], r["v"]) for r in read_iceberg(spark, exp).collect()}
+    assert export2 == mirror
+    b_side = read_iceberg(spark, exp, partition_filter={"grp": "B"})
+    assert all("__p_grp=B" in f for f in b_side.inputFiles())
+    assert {(r["k"], r["v"]) for r in b_side.collect()} == {
+        (k, v) for k, g, v in mirror if g == "B"
+    }
+
 
 def test_export_sync_atomic_snapshot_and_pk_rewrite(spark, warehouse, tmp_path):
     """Two ADVICE-r6 export-sync guarantees.  (1) Atomicity: each CDC

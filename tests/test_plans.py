@@ -73,6 +73,15 @@ def test_sim_topk_no_global_sort(spark, queries):
     assert I.count_op(df, "TakeOrderedAndProject") == 1
 
 
+def test_top_ngrams_single_shuffle_take_ordered(spark, queries):
+    """Corpus top-ngrams: one shuffle for the ngram count (map-side
+    partial agg), top-k via per-partition heaps — never a global sort
+    of the n-gram universe."""
+    df = queries["text_top_ngrams"](spark, SF_DIR)
+    assert I.count_op(df, "TakeOrderedAndProject") == 1
+    assert I.exchange_count(df) <= 1
+
+
 def test_sessionization_shuffles_only_on_user(spark, queries):
     """Sessionization = 2 window passes + rollup, all partitioned by
     user_id: one shuffle to co-locate users, then everything is local
