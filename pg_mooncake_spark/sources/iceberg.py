@@ -317,10 +317,17 @@ def read_iceberg(
             norm = _normalize_partition_filter(
                 partition_filter, _spec_partition_cols(meta)
             )
+            # conservative pruning: a file whose partition tuple LACKS the
+            # filtered field (written under an older spec, before partition
+            # evolution added it) may still hold matching rows — keep it.
+            # Only a present-and-different value excludes a file.
             files = [
                 f
                 for f in files
-                if all(f["partition"].get(c) == v for c, v in norm.items())
+                if all(
+                    c not in f["partition"] or f["partition"][c] == v
+                    for c, v in norm.items()
+                )
             ]
         if not files:
             # A snapshot with zero live data files is legitimate — e.g.
@@ -335,6 +342,28 @@ def read_iceberg(
             return spark.createDataFrame([], declared)
         reader = spark.read.schema(declared) if declared is not None else spark.read
         df = reader.parquet(*[f["resolved"] for f in files])
+        if partition_filter:
+            # exact semantics on top of the (conservative) file pruning:
+            # the transform's row predicate re-derives the partition value
+            # from the source column and ALSO pushes down to the parquet
+            # scan for identity transforms — kept old-spec files cannot
+            # leak other partitions' rows
+            import datetime as _dt
+
+            from pyspark.sql import functions as F
+
+            part_by_name = {p["name"]: p for p in _spec_partition_cols(meta)}
+            for c, v in norm.items():
+                expr = _staging_expr(part_by_name[c])
+                if v is None:
+                    df = df.filter(expr.isNull())
+                elif part_by_name[c]["ice_type"] == "date":
+                    df = df.filter(
+                        expr
+                        == F.lit(_dt.date(1970, 1, 1) + _dt.timedelta(days=v))
+                    )
+                else:
+                    df = df.filter(expr == F.lit(v))
         if not pos_deletes and not eq_deletes:
             return df
         # v2 merge-on-read.  Positional delete parquet rows are

@@ -1912,6 +1912,49 @@ def test_iceberg_partitioned_write_prunes_and_survives_maintenance(spark, tmp_pa
     assert all("__p_grp=B" in f for f in part.inputFiles())
 
 
+def test_iceberg_partition_filter_keeps_pre_evolution_files(spark, tmp_path):
+    """Partition evolution safety: files written BEFORE a partition field
+    existed carry no value for it in their manifest tuple — pruning must
+    KEEP them (a missing key is not a mismatch) and the transform's row
+    predicate supplies the exact semantics, so no rows leak and none are
+    lost."""
+    from pg_mooncake_spark.sources.iceberg import (
+        _latest_metadata,
+        _metadata_version_of,
+        _write_metadata_json,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_evolved")
+    df = spark.range(40).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS grp"
+    )
+    write_iceberg(df, path)  # unpartitioned: manifest tuples are empty
+
+    # simulate partition evolution: the spec gains an identity field on
+    # grp, but the existing data files predate it
+    meta = _latest_metadata(path)
+    grp_id = None
+    for s in meta["schemas"]:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            grp_id = next(f["id"] for f in s["fields"] if f["name"] == "grp")
+    meta["partition-specs"] = [
+        {"spec-id": 0, "fields": [
+            {"name": "grp", "transform": "identity", "source-id": grp_id,
+             "field-id": 1000},
+        ]}
+    ]
+    v = _metadata_version_of(meta, path) + 1
+    _write_metadata_json(path + "/metadata", v, meta)
+
+    out = read_iceberg(spark, path, partition_filter={"grp": "A"})
+    rows = out.collect()
+    assert len(rows) == 20 and all(r["grp"] == "A" for r in rows)
+    # pre-evolution files were kept (pruning had nothing to go on)
+    assert out.inputFiles()
+
+
 def test_iceberg_temporal_partition_transforms(spark, tmp_path):
     """days()/months() partition transforms over a timestamp column —
     the spec a real time-series export uses.  The derived partition
