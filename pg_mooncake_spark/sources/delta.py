@@ -582,8 +582,28 @@ def _physical_schema(schema_json: dict, with_field_ids: bool = False) -> dict:
     return {"type": "struct", "fields": [walk_field(f) for f in schema_json["fields"]]}
 
 
+def _delta_partition_str(v) -> Optional[str]:
+    """A filter value in the Delta protocol's partitionValues string
+    serialization (booleans lowercase, dates/timestamps ISO-ish,
+    numbers via str)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
 def read_delta(
-    spark: SparkSession, path: str, version_as_of: Optional[int] = None
+    spark: SparkSession,
+    path: str,
+    version_as_of: Optional[int] = None,
+    partition_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Read a Delta table (optionally time-traveled) as a DataFrame.
 
@@ -591,13 +611,33 @@ def read_delta(
     file group is scanned with the data schema and its partition values
     (from the add actions) are re-attached as typed literals — per the
     protocol, never inferred from directory names.
+
+    ``partition_filter`` = {partition column: value} prunes the add-file
+    list by the log-recorded partitionValues BEFORE any scan is planned
+    (the same pruning the reference gets from file skipping,
+    CHANGELOG.md:26).  Because partition columns exist ONLY in the log,
+    file pruning here IS exact row selection.  Refused for
+    non-partition columns.
     """
     if have_delta_jars(spark):  # pragma: no cover - jars absent in image
         reader = spark.read.format("delta")
         if version_as_of is not None:
             reader = reader.option("versionAsOf", version_as_of)
-        return reader.load(path)
+        df = reader.load(path)
+        if partition_filter:
+            for c, v in partition_filter.items():
+                df = df.filter(
+                    F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                )
+        return df
     adds, schema, partition_cols, st = _replay(path, version_as_of)
+    if partition_filter:
+        unknown = [c for c in partition_filter if c not in partition_cols]
+        if unknown:
+            raise DeltaProtocolError(
+                f"{unknown} are not partition columns of this table "
+                f"(partitioned by {partition_cols})"
+            )
     if not adds:
         return spark.createDataFrame([], schema)
     mode = st.configuration.get("delta.columnMapping.mode") or "none"
@@ -685,6 +725,25 @@ def read_delta(
         for o in out[1:]:
             res = res.unionByName(o)
         return res
+
+    if partition_filter:
+        # prune add actions on the protocol's string-serialized partition
+        # values; a missing key keeps the file (conservative)
+        want = {
+            phys_of[c]: _delta_partition_str(v)
+            for c, v in partition_filter.items()
+        }
+        adds = [
+            a
+            for a in adds
+            if all(
+                pc not in (a.get("partitionValues") or {})
+                or (a.get("partitionValues") or {}).get(pc) == v
+                for pc, v in want.items()
+            )
+        ]
+        if not adds:
+            return spark.createDataFrame([], schema)
 
     if not partition_cols:
         return logical(scan(phys_schema, adds))

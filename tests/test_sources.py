@@ -907,6 +907,56 @@ def test_delta_partitioned_write_is_one_job(spark, tmp_path):
         assert os.path.exists(os.path.join(path, a["path"]))
 
 
+def test_delta_partition_filter_prunes_add_files(spark, tmp_path):
+    """read_delta(partition_filter=...): the add-file list is pruned on
+    the log-recorded partitionValues before any scan is planned — since
+    Delta partition columns live only in the log, file pruning IS exact
+    row selection.  Symmetric with read_iceberg's partition_filter."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.delta import DeltaProtocolError
+
+    path = str(tmp_path / "dpf")
+    df = spark.range(120).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'A' WHEN id % 3 = 1 THEN 'B' ELSE 'C' END"
+        " AS grp",
+        "DATE_ADD(DATE'2024-06-01', CAST(id % 2 AS INT)) AS d",
+    )
+    write_delta(df, path, partition_by=["grp", "d"])
+
+    one = read_delta(
+        spark, path, partition_filter={"grp": "B"}
+    )
+    rows = one.collect()
+    assert len(rows) == 40 and all(r["grp"] == "B" for r in rows)
+    # pruning happened at the FILE level, not as a post-scan filter
+    full_files = read_delta(spark, path).inputFiles()
+    assert len(one.inputFiles()) < len(full_files)
+
+    import datetime as _dt
+
+    both = read_delta(
+        spark, path, partition_filter={"grp": "A", "d": _dt.date(2024, 6, 2)}
+    )
+    rows = both.collect()
+    assert rows and all(
+        r["grp"] == "A" and str(r["d"]) == "2024-06-02" for r in rows
+    )
+    assert {r["k"] for r in rows} == {
+        k for k in range(120) if k % 3 == 0 and k % 2 == 1
+    }
+
+    # fully-pruned filter returns an empty frame with the declared schema
+    none = read_delta(spark, path, partition_filter={"grp": "Z"})
+    assert none.count() == 0
+    assert {f.name for f in none.schema.fields} == {"k", "grp", "d"}
+
+    # non-partition columns refuse
+    with _pytest.raises(DeltaProtocolError, match="not partition columns"):
+        read_delta(spark, path, partition_filter={"k": 1})
+
+
 def test_delta_dv_delete_merge_on_read(spark, tmp_path):
     """delete_where_dv marks rows via deletion vectors (no file rewrite):
     data files survive byte-identical, repeat deletes merge positions,
