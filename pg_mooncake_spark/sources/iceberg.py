@@ -1137,9 +1137,18 @@ def write_iceberg(
         "last-column-id": last_column_id,
         "current-schema-id": schema_id,
         "schemas": schemas_list if schemas_list is not None else [pub_schema],
-        "default-spec-id": int(spec.get("spec-id", 0)),
-        "partition-specs": [spec],
-        "last-partition-id": 999 + len(spec.get("fields", [])),
+        "default-spec-id": int(
+            (prev.get("default-spec-id") if prev else None) or spec.get("spec-id", 0)
+        ),
+        # appends carry the FULL spec list forward (delete commits may
+        # have registered an extra unpartitioned spec for global deletes)
+        "partition-specs": (
+            list(prev.get("partition-specs") or [spec]) if prev else [spec]
+        ),
+        "last-partition-id": int(
+            (prev.get("last-partition-id") if prev else None)
+            or 999 + len(spec.get("fields", []))
+        ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,
@@ -1185,8 +1194,34 @@ def _commit_snapshot(
     for s in meta.get("schemas") or []:
         if s.get("schema-id") == meta.get("current-schema-id"):
             schema_json = s
+    # Spec binding per manifest: data manifests bind the table's default
+    # spec; globally-scoped delete manifests (empty partition tuples) on a
+    # PARTITIONED table bind an UNPARTITIONED spec — real readers decode a
+    # manifest's partition records against its declared spec, so stamping
+    # an empty tuple with a fielded spec-id would mis-decode.  The empty
+    # spec is registered in partition-specs on first use.
+    specs = list(meta.get("partition-specs") or [{"spec-id": 0, "fields": []}])
+    default_id = int(meta.get("default-spec-id") or 0)
+    default_fields = next(
+        (s.get("fields") or [] for s in specs if s.get("spec-id") == default_id),
+        [],
+    )
+    empty_id = next(
+        (s["spec-id"] for s in specs if not (s.get("fields") or [])), None
+    )
+    needs_empty = default_fields and any(
+        g["mlist_content"] == 1 and not g.get("spec_fields") for g in groups
+    )
+    if needs_empty and empty_id is None:
+        empty_id = max(int(s.get("spec-id") or 0) for s in specs) + 1
+        specs.append({"spec-id": empty_id, "fields": []})
     new_mfs = []
     for g in groups:
+        is_global_delete = g["mlist_content"] == 1 and not g.get("spec_fields")
+        spec_id = (
+            empty_id if (is_global_delete and default_fields) else default_id
+        )
+        spec_fields = [] if is_global_delete else (g.get("spec_fields") or [])
         manifest_path = os.path.join(
             meta_dir, f"m{seq:05d}-{_uuid.uuid4().hex[:12]}.avro"
         )
@@ -1196,8 +1231,8 @@ def _commit_snapshot(
             g["entries"],
             extra_meta={
                 "schema": json.dumps(schema_json or {}).encode(),
-                "partition-spec": json.dumps(g.get("spec_fields") or []).encode(),
-                "partition-spec-id": b"0",
+                "partition-spec": json.dumps(spec_fields).encode(),
+                "partition-spec-id": str(spec_id).encode(),
                 "format-version": b"2",
                 "content": g["content"],
             },
@@ -1206,7 +1241,7 @@ def _commit_snapshot(
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": int(spec_id),
                 "content": g["mlist_content"],
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -1246,6 +1281,7 @@ def _commit_snapshot(
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["partition-specs"] = specs
     new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
     new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}

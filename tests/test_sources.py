@@ -1952,6 +1952,27 @@ def test_iceberg_partitioned_write_prunes_and_survives_maintenance(spark, tmp_pa
     # merge-on-read delete + compact keep the partitioning
     delete_where_iceberg(spark, path, "k % 10 = 0")
     assert read_iceberg(spark, path).count() == 180
+    # spec conformance: globally-scoped delete manifests bind an
+    # UNPARTITIONED spec (registered on first use); data manifests bind
+    # the fielded default spec.  Real readers decode each manifest's
+    # partition records against its declared spec-id.
+    from pg_mooncake_spark.sources.avro import read_avro
+
+    meta = _latest_metadata(path)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    assert any(not s["fields"] for s in specs.values())
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mfs = read_avro(cur["manifest-list"])
+    assert {m["content"] for m in mfs} == {0, 1}
+    for m in mfs:
+        bound = specs[m["partition_spec_id"]]["fields"]
+        if m["content"] == 1:  # delete manifest → empty spec
+            assert bound == []
+        else:  # data manifest → the fielded default spec
+            assert [f["name"] for f in bound] == ["grp", "d"]
     compact_iceberg(spark, path)
     meta = _latest_metadata(path)
     assert [f["name"] for f in meta["partition-specs"][0]["fields"]] == ["grp", "d"]
