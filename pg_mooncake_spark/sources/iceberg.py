@@ -497,6 +497,48 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                # per-field stats (Iceberg spec ids): external readers
+                # use these for min/max file skipping on our exports
+                {"name": "value_counts",
+                 "type": ["null", {
+                     "type": "array", "logicalType": "map",
+                     "items": {"type": "record", "name": "k119_v120",
+                               "fields": [
+                                   {"name": "key", "type": "int",
+                                    "field-id": 119},
+                                   {"name": "value", "type": "long",
+                                    "field-id": 120}]}}],
+                 "default": None, "field-id": 109},
+                {"name": "null_value_counts",
+                 "type": ["null", {
+                     "type": "array", "logicalType": "map",
+                     "items": {"type": "record", "name": "k121_v122",
+                               "fields": [
+                                   {"name": "key", "type": "int",
+                                    "field-id": 121},
+                                   {"name": "value", "type": "long",
+                                    "field-id": 122}]}}],
+                 "default": None, "field-id": 110},
+                {"name": "lower_bounds",
+                 "type": ["null", {
+                     "type": "array", "logicalType": "map",
+                     "items": {"type": "record", "name": "k126_v127",
+                               "fields": [
+                                   {"name": "key", "type": "int",
+                                    "field-id": 126},
+                                   {"name": "value", "type": "bytes",
+                                    "field-id": 127}]}}],
+                 "default": None, "field-id": 125},
+                {"name": "upper_bounds",
+                 "type": ["null", {
+                     "type": "array", "logicalType": "map",
+                     "items": {"type": "record", "name": "k129_v130",
+                               "fields": [
+                                   {"name": "key", "type": "int",
+                                    "field-id": 129},
+                                   {"name": "value", "type": "bytes",
+                                    "field-id": 130}]}}],
+                 "default": None, "field-id": 128},
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}],
                  "default": None, "field-id": 135},
@@ -781,6 +823,108 @@ def _stage_data_files(
     return out
 
 
+def _bound_bytes(v, ice_type: str) -> Optional[bytes]:
+    """Iceberg single-value binary serialization (spec Appendix D) for
+    the bound-able primitive types.  None = type not bounded here
+    (strings are skipped: parquet writers may truncate string min/max,
+    and a truncated UPPER bound is unsound without increment logic)."""
+    import datetime as _dt
+    import struct
+
+    if v is None:
+        return None
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "date":
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = (v - _dt.date(1970, 1, 1)).days
+        return struct.pack("<i", int(v))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            v = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+        return struct.pack("<q", int(v))
+    return None
+
+
+def _column_stats_maps(fpath: str, schema_json: Optional[dict]) -> dict:
+    """Per-field stats for one staged parquet data file, in manifest-
+    entry form: value_counts / null_value_counts for every top-level
+    primitive, lower/upper bounds for the orderable non-string types —
+    aggregated across row groups from the parquet footer (driver-side
+    metadata, no data read).  A column whose stats are missing in ANY
+    row group is omitted from the bound maps (incomplete bounds are
+    unsound for skipping)."""
+    import pyarrow.parquet as _pq
+
+    if not schema_json:
+        return {}
+    ids, types = {}, {}
+    for f in schema_json.get("fields") or []:
+        if isinstance(f.get("type"), str):
+            ids[f["name"]] = int(f["id"])
+            types[f["name"]] = f["type"]
+    if not ids:
+        return {}
+    md = _pq.ParquetFile(fpath).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in ids:
+                continue
+            try:  # pyarrow raises "Cannot extract statistics for type
+                # ..." (e.g. decimals) on .statistics OR on .min/.max
+                st = col.statistics
+                ok = st is not None and st.has_min_max and st.null_count is not None
+                lo, hi = (st.min, st.max) if ok else (None, None)
+            except Exception:
+                ok = False
+            if not ok:
+                bad.add(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    n_rows = md.num_rows
+    value_counts = [{"key": fid, "value": n_rows} for fid in ids.values()]
+    null_counts = [
+        {"key": ids[n], "value": c} for n, c in nulls.items() if n not in bad
+    ]
+    lower, upper = [], []
+    for name in mins:
+        if name in bad:
+            continue
+        lo = _bound_bytes(mins[name], types[name])
+        hi = _bound_bytes(maxs[name], types[name])
+        if lo is not None and hi is not None:
+            lower.append({"key": ids[name], "value": lo})
+            upper.append({"key": ids[name], "value": hi})
+    out: dict = {"value_counts": value_counts}
+    if null_counts:
+        out["null_value_counts"] = null_counts
+    if lower:
+        out["lower_bounds"] = sorted(lower, key=lambda r: r["key"])
+        out["upper_bounds"] = sorted(upper, key=lambda r: r["key"])
+    return out
+
+
 def _spark_to_iceberg_schema(schema) -> dict:
     """Spark StructType → Iceberg schema JSON with field-ids assigned
     depth-first in declaration order (the assignment a fresh Iceberg
@@ -1035,6 +1179,15 @@ def write_iceberg(
             os.remove(f)
             continue
         added_rows += n
+        data_file = {
+            "content": 0,
+            "file_path": f,
+            "file_format": "PARQUET",
+            "partition": part_values,
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(f),
+        }
+        data_file.update(_column_stats_maps(f, schema_json))
         entries.append({
             "status": 1,  # ADDED
             "snapshot_id": snapshot_id,
@@ -1043,14 +1196,7 @@ def write_iceberg(
             # external writers rely on)
             "sequence_number": None,
             "file_sequence_number": None,
-            "data_file": {
-                "content": 0,
-                "file_path": f,
-                "file_format": "PARQUET",
-                "partition": part_values,
-                "record_count": n,
-                "file_size_in_bytes": os.path.getsize(f),
-            },
+            "data_file": data_file,
         })
 
     os.makedirs(meta_dir, exist_ok=True)
@@ -1591,6 +1737,11 @@ def upsert_keys_iceberg(
     # spec-sanctioned form for CDC writers); data files land partitioned
     staged_rows = _stage_data_files(rows_df, data_dir, part_cols)
 
+    cur_schema = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            cur_schema = s
+
     def _entries(
         staged: list[tuple[str, dict]], content: int
     ) -> tuple[list[dict], int]:
@@ -1611,6 +1762,8 @@ def upsert_keys_iceberg(
             }
             if content == 2:
                 data_file["equality_ids"] = equality_ids
+            else:
+                data_file.update(_column_stats_maps(f, cur_schema))
             out.append(
                 {
                     "status": 1,
@@ -1713,6 +1866,10 @@ def compact_iceberg(
     data_dir = os.path.join(path, "data", f"s{seq:05d}")
     staged = _stage_data_files(df, data_dir, part_cols)
 
+    cur_schema = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            cur_schema = s
     entries = []
     added_rows = 0
     for f, part_values in staged:
@@ -1721,20 +1878,22 @@ def compact_iceberg(
             os.remove(f)
             continue
         added_rows += n
+        data_file = {
+            "content": 0,
+            "file_path": f,
+            "file_format": "PARQUET",
+            "partition": part_values,
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(f),
+        }
+        data_file.update(_column_stats_maps(f, cur_schema))
         entries.append(
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
                 "sequence_number": None,
                 "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f,
-                    "file_format": "PARQUET",
-                    "partition": part_values,
-                    "record_count": n,
-                    "file_size_in_bytes": os.path.getsize(f),
-                },
+                "data_file": data_file,
             }
         )
 

@@ -1983,6 +1983,63 @@ def test_iceberg_partitioned_write_prunes_and_survives_maintenance(spark, tmp_pa
     assert all("__p_grp=B" in f for f in part.inputFiles())
 
 
+def test_iceberg_manifest_column_bounds_written(spark, tmp_path):
+    """Manifest entries carry per-field value/null counts and
+    lower/upper bounds (Iceberg single-value binary serialization) —
+    what gives EXTERNAL readers of our exports min/max file skipping.
+    Strings are deliberately unbounded (parquet may truncate string
+    stats; a truncated upper bound is unsound)."""
+    import struct
+
+    from pg_mooncake_spark.sources.avro import read_avro
+    from pg_mooncake_spark.sources.iceberg import (
+        _latest_metadata,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_bounds")
+    df = spark.range(100).selectExpr(
+        "id + 5 AS k",
+        "CAST(id AS DOUBLE) / 4 AS x",
+        "concat('s', id) AS s",
+        "IF(id % 10 = 0, CAST(NULL AS DOUBLE), CAST(id AS DOUBLE)) AS maybe",
+        "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d",
+    )
+    write_iceberg(df.coalesce(1), path)
+
+    meta = _latest_metadata(path)
+    ids = {
+        f["name"]: f["id"]
+        for s in meta["schemas"]
+        for f in s["fields"]
+    }
+    snap = meta["snapshots"][-1]
+    _, manifests = read_avro(snap["manifest-list"])
+    _, entries = read_avro(manifests[0]["manifest_path"])
+    d_file = entries[0]["data_file"]
+
+    def as_map(rows):
+        return {r["key"]: r["value"] for r in rows or []}
+
+    vc = as_map(d_file["value_counts"])
+    assert vc[ids["k"]] == 100 and vc[ids["maybe"]] == 100
+    nc = as_map(d_file["null_value_counts"])
+    assert nc[ids["maybe"]] == 10 and nc.get(ids["k"], 0) == 0
+    lo = as_map(d_file["lower_bounds"])
+    hi = as_map(d_file["upper_bounds"])
+    assert struct.unpack("<q", lo[ids["k"]])[0] == 5
+    assert struct.unpack("<q", hi[ids["k"]])[0] == 104
+    assert struct.unpack("<d", hi[ids["x"]])[0] == 99 / 4
+    # date bounds: days since epoch
+    assert struct.unpack("<i", lo[ids["d"]])[0] == 19723  # 2024-01-01
+    assert struct.unpack("<i", hi[ids["d"]])[0] == 19723 + 99
+    # strings: counted but never bounded
+    assert ids["s"] in vc and ids["s"] not in lo
+    # reader is unaffected by the extra entry fields
+    assert read_iceberg(spark, path).count() == 100
+
+
 def test_iceberg_partition_filter_keeps_pre_evolution_files(spark, tmp_path):
     """Partition evolution safety: files written BEFORE a partition field
     existed carry no value for it in their manifest tuple — pruning must
@@ -2082,11 +2139,16 @@ def test_iceberg_temporal_partition_transforms(spark, tmp_path):
         == 24
     )
 
-    # compact preserves the temporal partitioning
+    # compact preserves the temporal partitioning; expire reclaims the
+    # pre-compaction files from the partition subdirectories
     compact_iceberg(spark, path)
+    from pg_mooncake_spark.sources.iceberg import expire_snapshots
+
+    assert expire_snapshots(path, retain_last=1)
     pruned = read_iceberg(spark, path, partition_filter={"ts_day": "2024-03-03"})
     assert pruned.count() == 24
     assert all("__p_ts_day=2024-03-03" in f for f in pruned.inputFiles())
+    assert read_iceberg(spark, path).count() == 120
 
     # hour() over a date column is meaningless and refuses
     with _pytest.raises(IcebergSupportError, match="hour"):
