@@ -78,6 +78,7 @@ def _latest_metadata(path: str) -> dict:
     # With the pinned version, os.link on v<pinned+1> collides with the
     # intervening commit and raises the intended 'concurrent commit'.
     meta["__pinned-version"] = _metadata_version(candidates[-1])
+    meta["__pinned-file"] = os.path.join(meta_dir, candidates[-1])
     return meta
 
 
@@ -1302,7 +1303,14 @@ def write_iceberg(
         + [snapshot],
         "snapshot-log": (list(prev.get("snapshot-log") or []) if prev else [])
         + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
-        "metadata-log": [],
+        # metadata history: each commit links its predecessor file
+        "metadata-log": (
+            (list(prev.get("metadata-log") or []) +
+             [{"metadata-file": prev["__pinned-file"],
+               "timestamp-ms": int(prev.get("last-updated-ms") or 0)}])
+            if prev is not None and prev.get("__pinned-file")
+            else []
+        ),
     }
     _write_metadata_json(meta_dir, version, meta)
 
@@ -1432,6 +1440,11 @@ def _commit_snapshot(
     new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     ]
+    if meta.get("__pinned-file"):
+        new_meta["metadata-log"] = list(meta.get("metadata-log") or []) + [
+            {"metadata-file": meta["__pinned-file"],
+             "timestamp-ms": int(meta.get("last-updated-ms") or 0)}
+        ]
     _write_metadata_json(meta_dir, version, new_meta)
     return snapshot_id
 

@@ -1149,6 +1149,16 @@ def test_iceberg_write_metadata_conformance(spark, tmp_path):
     assert entries[0]["sequence_number"] is None  # inherited, per spec
     assert entries[0]["data_file"]["record_count"] == 1
 
+    # metadata-log: each commit links its predecessor metadata file
+    write_iceberg(df, path, mode="append")
+    metas = sorted(
+        _glob.glob(path + "/metadata/v*.metadata.json"),
+        key=lambda f: int(os.path.basename(f)[1:].split(".")[0]),
+    )
+    m2 = _json.load(open(metas[-1]))
+    assert [e["metadata-file"] for e in m2["metadata-log"]] == [metas[0]]
+    assert "__pinned-version" not in m2 and "__pinned-file" not in m2
+
 
 def test_iceberg_positional_delete_write_merge_on_read(spark, tmp_path):
     """delete_where_iceberg writes v2 positional delete files (no data
