@@ -322,6 +322,62 @@ def iceberg_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "iceberg_bucket_partition_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE substring(o_orderpriority, 1, 2) = '2-' AND o_orderkey < 20000
+          AND NOT (o_orderkey % 7 = 0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def iceberg_bucket_partition_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashed + truncated Iceberg partition spec (spec 'Partition
+    Transforms': ``bucket[N]`` murmur3 assignment, ``truncate[W]``
+    prefixes) — how a 100 TB export spreads a high-cardinality key
+    across buckets while keeping prefix point-reads prunable.  Writes
+    orders bucketed 16 ways on o_custkey and truncated on
+    o_orderpriority, appends under the inherited spec, merge-on-read
+    deletes, then a read pruned to the ``'2-'`` priority-prefix
+    partition.  The oracle applies the same prefix predicate with
+    substring(): a row hashed into the wrong bucket file, a
+    mis-truncated partition value, or pruning that drops a live file
+    all surface as a hash mismatch.  (Bucket-number pruning itself is
+    verified bit-exactly against the spec's murmur3 vectors in
+    tests/test_sources.py — DuckDB has no murmur3 to oracle it.)"""
+    from pg_mooncake_spark.sources.iceberg import (
+        delete_where_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    path = tempfile.mkdtemp(prefix="ice_bucket_") + "/t"
+    write_iceberg(
+        o.filter(F.col("o_orderkey") < 10000),
+        path,
+        partition_by=["bucket(16, o_custkey)", "truncate(2, o_orderpriority)"],
+    )
+    write_iceberg(o.filter(F.col("o_orderkey") >= 10000), path, mode="append")
+    delete_where_iceberg(spark, path, "o_orderkey % 7 = 0")
+    back = read_iceberg(
+        spark, path, partition_filter={"o_orderpriority_trunc": "2-"}
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "delta_dv_update_roundtrip",
     oracle="""
     WITH updated AS (

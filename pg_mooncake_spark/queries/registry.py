@@ -63,6 +63,7 @@ def query(name: str, oracle: Optional[str] = None):
 _WINDOW_PRIORITY = (
     # round-7 additions — never driver-verified
     "iceberg_partitioned_roundtrip",
+    "iceberg_bucket_partition_roundtrip",
     "scalar_interval_family",
     "lifecycle_decimal_roundtrip",
     "text_top_ngrams",
@@ -114,7 +115,6 @@ _WINDOW_PRIORITY = (
     "corpus_mixture",
     "corpus_pack_sequences",
     "corpus_chunking",
-    "scalar_regexp_family",
 )
 
 

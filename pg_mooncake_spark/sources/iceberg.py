@@ -321,12 +321,18 @@ def read_iceberg(
             # conservative pruning: a file whose partition tuple LACKS the
             # filtered field (written under an older spec, before partition
             # evolution added it) may still hold matching rows — keep it.
-            # Only a present-and-different value excludes a file.
+            # Only a present-and-different NON-NULL value excludes a file:
+            # hive-style staging paths encode both NULL and empty string as
+            # __HIVE_DEFAULT_PARTITION__, so a stored None is ambiguous for
+            # string-typed fields (the exact row predicate below restores
+            # precise semantics on the kept files).
             files = [
                 f
                 for f in files
                 if all(
-                    c not in f["partition"] or f["partition"][c] == v
+                    c not in f["partition"]
+                    or f["partition"][c] is None
+                    or f["partition"][c] == v
                     for c, v in norm.items()
                 )
             ]
@@ -585,16 +591,60 @@ _PART_AVRO = {"int": "int", "long": "long", "string": "string",
               "boolean": "boolean", "date": "int"}
 _TEMPORAL_SOURCES = ("timestamp", "timestamptz", "date")
 _TRANSFORM_RE = re.compile(r"^(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)$")
+_WIDTH_TRANSFORM_RE = re.compile(
+    r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$"
+)
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNCATE_RE = re.compile(r"^truncate\[(\d+)\]$")
+_BUCKET_SOURCES = ("int", "long", "date", "timestamp", "timestamptz", "string")
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant, the hash the Iceberg spec's bucket
+    transform mandates — spec 'Appendix B: 32-bit Hash Requirements').
+    Returns a SIGNED int32 so results compare directly against the
+    spec's published test vectors."""
+    c1, c2, mask = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+    h = seed & mask
+    n = len(data) // 4 * 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & mask
+        k = ((k << 15) | (k >> 17)) & mask
+        k = (k * c2) & mask
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & mask
+        h = (h * 5 + 0xE6546B64) & mask
+    tail = data[n:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & mask
+        k = ((k << 15) | (k >> 17)) & mask
+        k = (k * c2) & mask
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & mask
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & mask
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
 
 
 def _parse_partition_by(partition_by: list[str]) -> list[tuple[str, str]]:
-    """``["grp", "days(ts)"]`` → [(source column, transform)].  Accepts
-    the plural spellings delta-spark/Iceberg DSLs use (days/months/...)."""
+    """``["grp", "days(ts)", "bucket(16, id)"]`` → [(source column,
+    transform)].  Accepts the plural spellings delta-spark/Iceberg DSLs
+    use (days/months/...); bucket/truncate normalize to the spec's
+    ``bucket[N]`` / ``truncate[W]`` transform strings."""
     out = []
     for p in partition_by:
         m = _TRANSFORM_RE.match(p.strip())
         if m:
             out.append((m.group(2), m.group(1).rstrip("s")))
+            continue
+        w = _WIDTH_TRANSFORM_RE.match(p.strip())
+        if w:
+            out.append((w.group(3), f"{w.group(1)}[{w.group(2)}]"))
         else:
             out.append((p.strip(), "identity"))
     return out
@@ -620,6 +670,26 @@ def _transform_result_type(transform: str, source_type: str) -> str:
                 f"got {source_type!r}"
             )
         return "date" if transform == "day" else "int"
+    m = _BUCKET_RE.match(transform)
+    if m:
+        if int(m.group(1)) < 1:
+            raise IcebergSupportError("bucket[N] needs N >= 1")
+        if source_type not in _BUCKET_SOURCES:
+            raise IcebergSupportError(
+                f"bucket[] partitioning on type {source_type!r} not supported "
+                f"({'/'.join(_BUCKET_SOURCES)})"
+            )
+        return "int"
+    m = _TRUNCATE_RE.match(transform)
+    if m:
+        if int(m.group(1)) < 1:
+            raise IcebergSupportError("truncate[W] needs W >= 1")
+        if source_type not in ("int", "long", "string"):
+            raise IcebergSupportError(
+                f"truncate[] partitioning on type {source_type!r} not "
+                "supported (int/long/string)"
+            )
+        return source_type
     raise IcebergSupportError(f"unsupported partition transform {transform!r}")
 
 
@@ -635,9 +705,17 @@ def _partition_spec_json(schema_json: dict, partition_by: list[str]) -> dict:
             raise IcebergSupportError(f"partition column {src!r} not in schema")
         st = f["type"] if isinstance(f["type"], str) else "struct"
         _transform_result_type(tr, st)  # validates
+        if tr == "identity":
+            name = src
+        elif _BUCKET_RE.match(tr):
+            name = f"{src}_bucket"  # Java writer naming convention
+        elif _TRUNCATE_RE.match(tr):
+            name = f"{src}_trunc"
+        else:
+            name = f"{src}_{tr}"
         fields.append(
             {
-                "name": src if tr == "identity" else f"{src}_{tr}",
+                "name": name,
                 "transform": tr,
                 "source-id": int(f["id"]),
                 "field-id": 1000 + i,
@@ -679,6 +757,7 @@ def _spec_partition_cols(meta: dict) -> list[dict]:
                 "name": f.get("name") or src,
                 "source": src,
                 "transform": tr,
+                "source_type": types_by_name.get(src, "string"),
                 "ice_type": _transform_result_type(
                     tr, types_by_name.get(src, "string")
                 ),
@@ -765,6 +844,82 @@ def _entry_schema(part_fields: list[dict]) -> dict:
     return schema
 
 
+def _mm3_hash_longs(arr):
+    """Vectorized murmur3_x86_32 over int64 values hashed as their
+    8-byte little-endian representation (the Iceberg spec's hash for
+    int/long/date/timestamp bucket sources) — pure numpy uint32
+    modular arithmetic, no per-row Python."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        u = arr.astype(np.int64).astype(np.uint64)
+        h = np.zeros(len(u), dtype=np.uint32)
+        for shift in (np.uint64(0), np.uint64(32)):  # LE word order
+            k = ((u >> shift) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            k = k * np.uint32(0xCC9E2D51)
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * np.uint32(0x1B873593)
+            h = h ^ k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)  # byte length
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+        return h
+
+
+def _bucket_expr(col_name: str, n: int, source_type: str):
+    """Spark Column computing the Iceberg ``bucket[N]`` partition value:
+    ``(murmur3_x86_32(spec bytes) & MaxInt) % N``.  Spark's builtin
+    ``hash()`` is murmur3 with a different seed/byte layout, so an
+    Arrow-batched pandas UDF computes the spec hash — numbers/dates/
+    timestamps vectorize through numpy; strings hash their UTF-8 bytes
+    per value inside the batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def _bucket(s):
+        import numpy as np
+        import pandas as pd
+
+        out = pd.Series([pd.NA] * len(s), dtype="Int32")
+        valid = s.notna()
+        if not valid.any():
+            return out
+        vals = s[valid]
+        if source_type == "string":
+            hashes = np.fromiter(
+                (_murmur3_32(str(v).encode("utf-8")) for v in vals),
+                dtype=np.int64,
+                count=len(vals),
+            ).astype(np.uint32)
+        else:
+            if source_type in ("timestamp", "timestamptz"):
+                longs = (
+                    pd.to_datetime(vals).to_numpy(dtype="datetime64[us]")
+                    .astype(np.int64)
+                )
+            elif source_type == "date":
+                epoch = pd.Timestamp("1970-01-01")
+                longs = np.fromiter(
+                    ((pd.Timestamp(v) - epoch).days for v in vals),
+                    dtype=np.int64,
+                    count=len(vals),
+                )
+            else:  # int / long hashed as 8-byte longs per the spec
+                longs = vals.to_numpy(dtype=np.int64)
+            hashes = _mm3_hash_longs(longs)
+        buckets = (hashes & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+        out[valid] = buckets.astype(np.int32)
+        return out
+
+    return _bucket(F.col(col_name))
+
+
 def _staging_expr(pc: dict):
     """Spark Column computing a partition field's value from its source
     column (the transform definitions in the Iceberg spec)."""
@@ -773,6 +928,20 @@ def _staging_expr(pc: dict):
     s, tr = pc["source"], pc["transform"]
     if tr == "identity":
         return F.col(s)
+    m = _TRUNCATE_RE.match(tr)
+    if m:
+        w = int(m.group(1))
+        if pc.get("source_type") == "string":
+            # spec: truncate to at most W code points (exact for BMP text;
+            # Spark substring counts UTF-16 units, fine for the supported
+            # identifier-ish partition values)
+            return F.substring(F.col(s), 1, w)
+        # ints/longs: v - (v mod W) with floor semantics (spec examples:
+        # truncate[10] of -1 is -10)
+        return F.col(s) - F.pmod(F.col(s), F.lit(w))
+    m = _BUCKET_RE.match(tr)
+    if m:
+        return _bucket_expr(s, int(m.group(1)), pc.get("source_type", "string"))
     if tr == "day":
         return F.col(s).cast("date")
     if tr == "year":
