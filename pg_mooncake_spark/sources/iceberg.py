@@ -757,6 +757,7 @@ def _spec_partition_cols(meta: dict) -> list[dict]:
                 "name": f.get("name") or src,
                 "source": src,
                 "transform": tr,
+                "field-id": int(f.get("field-id") or 1000 + len(out)),
                 "source_type": types_by_name.get(src, "string"),
                 "ice_type": _transform_result_type(
                     tr, types_by_name.get(src, "string")
@@ -1327,7 +1328,8 @@ def write_iceberg(
         spec = {"spec-id": 0, "fields": []}
         part_cols = []
     part_fields = [
-        {"name": p["name"], "ice_type": p["ice_type"], "field-id": 1000 + i}
+        {"name": p["name"], "ice_type": p["ice_type"],
+         "field-id": p.get("field-id", 1000 + i)}
         for i, p in enumerate(part_cols)
     ]
 
@@ -1394,7 +1396,7 @@ def write_iceberg(
     new_mf = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": int(spec.get("spec-id", 0)),
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -1482,6 +1484,71 @@ def write_iceberg(
         ),
     }
     _write_metadata_json(meta_dir, version, meta)
+
+
+def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
+    """Register a NEW default partition spec (Iceberg 'Partition
+    Evolution') without rewriting any data — a metadata-only commit.
+    Subsequent appends stage under the new spec; files written under
+    prior specs stay valid: partition-filtered reads keep them
+    conservatively (their tuples lack the new fields) and the
+    transform's row predicate restores exact semantics.  Fields shared
+    with any prior spec (same source-id + transform) REUSE their
+    partition field-id, as the spec requires for v2 tables; new fields
+    allocate past last-partition-id.  Returns the new default spec-id
+    (the current one when the request matches it — a no-op)."""
+    import time
+
+    meta = _latest_metadata(path)
+    schema = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            schema = s
+    if schema is None:
+        raise IcebergSupportError("table has no current schema")
+    new = _partition_spec_json(schema, list(partition_by))
+    specs = list(meta.get("partition-specs") or [])
+
+    def key(f: dict) -> tuple:
+        return (int(f["source-id"]), f["transform"])
+
+    cur = next(
+        (s for s in specs
+         if s.get("spec-id") == int(meta.get("default-spec-id") or 0)),
+        None,
+    )
+    if cur is not None and [key(f) for f in cur.get("fields", [])] == [
+        key(f) for f in new["fields"]
+    ]:
+        return int(cur["spec-id"])
+    last_pid = int(meta.get("last-partition-id") or 999)
+    existing: dict[tuple, int] = {}
+    for s in specs:
+        for f in s.get("fields", []):
+            existing.setdefault(key(f), int(f["field-id"]))
+    for f in new["fields"]:
+        k = key(f)
+        if k in existing:
+            f["field-id"] = existing[k]
+        else:
+            last_pid += 1
+            f["field-id"] = last_pid
+    new["spec-id"] = max((int(s["spec-id"]) for s in specs), default=-1) + 1
+    out = {k: v for k, v in meta.items() if not k.startswith("__")}
+    out["partition-specs"] = specs + [new]
+    out["default-spec-id"] = new["spec-id"]
+    out["last-partition-id"] = last_pid
+    out["last-updated-ms"] = int(time.time() * 1000)
+    if meta.get("__pinned-file"):
+        out["metadata-log"] = list(meta.get("metadata-log") or []) + [
+            {
+                "metadata-file": meta["__pinned-file"],
+                "timestamp-ms": int(meta.get("last-updated-ms") or 0),
+            }
+        ]
+    meta_dir = os.path.join(path, "metadata")
+    _write_metadata_json(meta_dir, _metadata_version_of(meta, path) + 1, out)
+    return int(new["spec-id"])
 
 
 def _commit_snapshot(
@@ -1900,7 +1967,8 @@ def upsert_keys_iceberg(
 
     part_cols = _spec_partition_cols(meta)
     part_fields = [
-        {"name": p["name"], "ice_type": p["ice_type"], "field-id": 1000 + i}
+        {"name": p["name"], "ice_type": p["ice_type"],
+         "field-id": p.get("field-id", 1000 + i)}
         for i, p in enumerate(part_cols)
     ]
     spec_fields = None
@@ -2023,7 +2091,8 @@ def compact_iceberg(
     meta = _latest_metadata(path)
     part_cols = _spec_partition_cols(meta)
     part_fields = [
-        {"name": p["name"], "ice_type": p["ice_type"], "field-id": 1000 + i}
+        {"name": p["name"], "ice_type": p["ice_type"],
+         "field-id": p.get("field-id", 1000 + i)}
         for i, p in enumerate(part_cols)
     ]
     spec_fields = None

@@ -2313,3 +2313,80 @@ def test_iceberg_bucket_truncate_partition_transforms(spark, tmp_path):
     with _pytest.raises(IcebergSupportError, match="bucket"):
         write_iceberg(df, str(tmp_path / "bad2"),
                       partition_by=["bucket(0, k)"])
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """evolve_partition_spec: a metadata-only commit switches the
+    DEFAULT spec; appends after it stage under the new spec, files
+    from the old spec stay readable, retained fields keep their
+    partition field-id across specs (spec 'Partition Evolution'),
+    and filtered reads prune new-spec files while conservatively
+    keeping old-spec files (exact row predicate on top)."""
+    from pg_mooncake_spark.sources.avro import read_avro
+    from pg_mooncake_spark.sources.iceberg import (
+        _latest_metadata,
+        evolve_partition_spec,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_evolve")
+    df = spark.range(100).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS grp",
+        "CAST(id AS DOUBLE) AS x",
+    )
+    write_iceberg(df.filter("k < 50"), path, partition_by=["grp"])
+
+    # evolving to the same spec is a no-op returning the current id
+    assert evolve_partition_spec(path, ["grp"]) == 0
+    assert len(_latest_metadata(path)["partition-specs"]) == 1
+
+    sid = evolve_partition_spec(path, ["grp", "bucket(4, k)"])
+    meta = _latest_metadata(path)
+    assert sid == int(meta["default-spec-id"]) and sid != 0
+    new_spec = next(
+        s for s in meta["partition-specs"] if s["spec-id"] == sid
+    )
+    old_spec = next(s for s in meta["partition-specs"] if s["spec-id"] == 0)
+    # retained field reuses its field-id; the new field allocated past it
+    assert (
+        new_spec["fields"][0]["field-id"]
+        == old_spec["fields"][0]["field-id"]
+    )
+    assert new_spec["fields"][1]["field-id"] == meta["last-partition-id"]
+
+    # appends now stage under the evolved spec
+    write_iceberg(df.filter("k >= 50"), path, mode="append")
+    full = read_iceberg(spark, path)
+    assert full.count() == 100
+
+    # the new manifest binds the new spec-id; the old one keeps spec 0
+    meta = _latest_metadata(path)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mfs = read_avro(cur["manifest-list"])
+    assert sorted(m["partition_spec_id"] for m in mfs) == [0, sid]
+
+    # filter on the retained field prunes BOTH generations
+    a = read_iceberg(spark, path, partition_filter={"grp": "A"})
+    assert {r["k"] for r in a.collect()} == set(range(0, 100, 2))
+    assert all("__p_grp=A" in f for f in a.inputFiles())
+
+    # filter on the NEW field: new-spec files prune by manifest tuple,
+    # old-spec files (no k_bucket value) are kept and row-filtered
+    import struct
+
+    from pg_mooncake_spark.sources.iceberg import _murmur3_32
+
+    want_bucket = (_murmur3_32(struct.pack("<q", 60)) & 0x7FFFFFFF) % 4
+    b = read_iceberg(
+        spark, path, partition_filter={"k_bucket": want_bucket}
+    )
+    got = {r["k"] for r in b.collect()}
+    assert 60 in got
+    assert got == {
+        k for k in range(100)
+        if (_murmur3_32(struct.pack("<q", k)) & 0x7FFFFFFF) % 4 == want_bucket
+    }
