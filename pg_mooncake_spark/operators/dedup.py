@@ -413,6 +413,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def shared_substring_runs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    min_run: int = 3,
+    max_doc_freq: int = 64,
+) -> DataFrame:
+    """Cross-document EXACT shared-substring detection — the dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (substring-level dup removal): two documents share a
+    verbatim substring of >= shingle_k + min_run - 1 tokens iff they
+    share >= min_run CONSECUTIVE positional word k-grams.
+
+    Plan (never all-pairs): posexplode positional k-grams, equi-join on
+    the k-gram (inverted index), then collapse each (pair, diagonal =
+    pos_a - pos_b) to maximal runs with ONE gaps-and-islands window —
+    consecutive positions on a diagonal are exactly the consecutive
+    shared k-grams of one substring alignment.
+
+    ``max_doc_freq`` caps hub k-grams on BOTH sides before the join
+    (stop-phrase k-grams fan the join out quadratically at corpus scale
+    while any run through them is boilerplate by definition); an oracle
+    must mirror the cap.  Returns one row per detected pair:
+    (id_a, id_b, max_run, max_shared_tokens).
+
+    Scale: one shuffle keyed on the k-gram (join + doc-frequency), one
+    on (id_a, id_b, diag) for the window — both high-cardinality
+    composite keys; the window partitions are single alignments, never
+    whole documents.
+    """
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(word_kgrams(F.col(text_col), shingle_k)).alias(
+            "pos", "s"
+        ),
+    )
+    hubs = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("s")
+    )
+    sh = sh.join(F.broadcast(hubs), "s", "left_anti")
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    return (
+        pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("run").alias("max_run"))
+        .filter(F.col("max_run") >= min_run)
+        .withColumn(
+            "max_shared_tokens", F.col("max_run") + F.lit(shingle_k - 1)
+        )
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 

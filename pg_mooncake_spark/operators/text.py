@@ -398,3 +398,55 @@ def top_ngrams(
         .orderBy(F.desc("doc_freq"), "ngram")
         .limit(k)
     )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate occupancy: the fraction of a document's
+    word n-gram OCCURRENCES whose n-gram appears in more than
+    ``max_doc_freq`` distinct documents — the C4-style corpus-frequency
+    filter ("drop text that repeats across many pages": nav bars,
+    license headers, templates) expressed as a per-document score a
+    pipeline thresholds on.
+
+    Returns (id, n_kgrams, boilerplate_frac) — the frac is one exact
+    integer division per document (deterministic across engines, unlike
+    an averaged-doubles formulation).
+
+    Scale shape: occurrences explode once; document frequency is one
+    groupBy(ngram) with map-side combine; flags come back via a shuffle
+    join keyed on the n-gram (the frequency table is corpus-sized — NOT
+    broadcast); the per-document rollup is one more groupBy(id).  No
+    per-row Python, no driver traffic.
+    """
+    from pg_mooncake_spark.operators.dedup import word_kgrams
+
+    occ = df.select(
+        F.col(id_col),
+        F.explode(word_kgrams(F.col(text_col), n)).alias("s"),
+    )
+    dfreq = occ.groupBy("s").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    return (
+        occ.join(dfreq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kgrams"),
+            F.sum(
+                F.when(F.col("df") > max_doc_freq, 1).otherwise(0)
+            ).alias("boiler"),
+        )
+        .select(
+            F.col(id_col),
+            "n_kgrams",
+            F.round(F.col("boiler") / F.col("n_kgrams"), 6).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )

@@ -1633,3 +1633,85 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram) total order makes the k-row result hash-stable."""
     d = t(spark, sf_dir, "documents")
     return X.top_ngrams(d, "text", "doc_id", n=3, k=50)
+
+@query(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+    sh0 AS (
+      SELECT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> struct_pack(pos := i - 1,
+                                s := t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                     || ' ' || t[i+3] || ' ' || t[i+4]))) AS e
+      FROM toks),
+    sh AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM sh0),
+    rare AS (SELECT s FROM sh GROUP BY s
+             HAVING COUNT(DISTINCT doc_id) <= 64),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (s)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT id_a, id_b, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM pairs),
+    runs AS (SELECT id_a, id_b, COUNT(*) AS run
+             FROM isl GROUP BY id_a, id_b, diag, grp)
+    SELECT id_a, id_b, MAX(run) AS max_run,
+           MAX(run) + 4 AS max_shared_tokens
+    FROM runs GROUP BY id_a, id_b HAVING MAX(run) >= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring detection (operators/dedup.
+    shared_substring_runs — the Lee et al. substring-dedup signal):
+    pairs of documents sharing >= 3 consecutive positional 5-grams,
+    i.e. a verbatim >= 7-token substring.  Inverted-index join on the
+    5-gram + one gaps-and-islands window per (pair, alignment
+    diagonal); hub 5-grams (> 64 docs) capped on both sides.  The
+    synthesized exact/near copies must surface with full-length runs;
+    the oracle replays the identical positional algorithm in SQL, so a
+    lost diagonal, an off-by-one in the islands grouping, or a dropped
+    pair all hash-mismatch."""
+    return D.shared_substring_runs(
+        _docs2(spark, sf_dir), "text", "doc_id",
+        shingle_k=5, min_run=3, max_doc_freq=64,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "text_boilerplate_fraction",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS s
+      FROM documents),
+    dfreq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY s)
+    SELECT doc_id,
+           COUNT(*) AS n_kgrams,
+           ROUND(CAST(SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS boilerplate_frac
+    FROM occ JOIN dfreq USING (s)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate occupancy (operators/text.
+    boilerplate_fraction): fraction of each document's trigram
+    occurrences whose trigram occurs in > 2 distinct documents — the
+    C4-style corpus-frequency filter as a per-document score.  One
+    explode, one groupBy(ngram) frequency pass, one shuffle join back,
+    one groupBy(doc); the frac is a single exact integer division per
+    document, so the oracle comparison is bit-stable."""
+    d = t(spark, sf_dir, "documents")
+    return X.boilerplate_fraction(
+        d, "text", "doc_id", n=3, max_doc_freq=2
+    ).orderBy("doc_id")

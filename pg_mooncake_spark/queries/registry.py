@@ -64,6 +64,8 @@ _WINDOW_PRIORITY = (
     # round-7 additions — never driver-verified
     "iceberg_partitioned_roundtrip",
     "iceberg_bucket_partition_roundtrip",
+    "dedup_substring_runs",
+    "text_boilerplate_fraction",
     "scalar_interval_family",
     "lifecycle_decimal_roundtrip",
     "text_top_ngrams",
@@ -113,8 +115,6 @@ _WINDOW_PRIORITY = (
     "corpus_sample_deterministic",
     "corpus_sample_stratified",
     "corpus_mixture",
-    "corpus_pack_sequences",
-    "corpus_chunking",
 )
 
 

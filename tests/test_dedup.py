@@ -189,3 +189,69 @@ def test_winnowing_guarantee_and_edges(spark):
     assert not (got[1] & got[3]) and not (got[2] & got[3])
     assert got[4] == set()
     assert len(got[5]) == 1
+
+def test_shared_substring_runs_detects_alignments(spark):
+    """Runs are counted per alignment diagonal: a verbatim k+run-1-token
+    shared substring yields exactly run consecutive positional k-grams;
+    disjoint repeats don't merge; pairs below min_run are dropped."""
+    from pg_mooncake_spark.operators.dedup import shared_substring_runs
+
+    rows = [
+        # docs 1/2 share "a b c d e f g" (7 tokens -> run 3 at k=5)
+        (1, "x1 x2 a b c d e f g y1 y2"),
+        (2, "z1 a b c d e f g z2 z3 z4"),
+        # doc 3 shares only 5 tokens with doc 1 (run 1 -> filtered)
+        (3, "a b c d e q1 q2 q3 q4"),
+        # doc 4 is an exact copy of doc 2 (full-length run)
+        (4, "z1 a b c d e f g z2 z3 z4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shared_substring_runs(
+        df, "text", "doc_id", shingle_k=5, min_run=3, max_doc_freq=64
+    )
+    got = {(r["id_a"], r["id_b"]): (r["max_run"], r["max_shared_tokens"])
+           for r in out.collect()}
+    assert got[(1, 2)] == (3, 7)
+    assert got[(2, 4)] == (7, 11)  # 11 tokens -> 7 consecutive 5-grams
+    assert (1, 3) not in got and (2, 3) not in got
+    assert got[(1, 4)] == (3, 7)
+
+
+def test_shared_substring_runs_hub_cap(spark):
+    """k-grams present in more than max_doc_freq documents are excluded
+    from BOTH sides of the join — a boilerplate phrase shared by every
+    document produces no pairs once capped."""
+    from pg_mooncake_spark.operators.dedup import shared_substring_runs
+
+    rows = [(i, f"u{i} common a b c d e f tail{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = shared_substring_runs(
+        df, "text", "doc_id", shingle_k=5, min_run=3, max_doc_freq=5
+    )
+    assert capped.count() == 0
+    uncapped = shared_substring_runs(
+        df, "text", "doc_id", shingle_k=5, min_run=3, max_doc_freq=100
+    )
+    assert uncapped.count() == 45  # all pairs share the 7-token middle
+
+
+def test_boilerplate_fraction_exact(spark):
+    """boilerplate_frac = boiler-occurrences / total occurrences with
+    df counted over DISTINCT docs (a doc repeating its own n-gram does
+    not make it boilerplate)."""
+    from pg_mooncake_spark.operators.text import boilerplate_fraction
+
+    rows = [
+        (1, "a b c d e"),       # trigrams: "a b c","b c d","c d e"
+        (2, "a b c x y"),       # shares "a b c"
+        (3, "a b c p q"),       # shares "a b c"  -> df("a b c") = 3 > 2
+        (4, "m n o m n o m n"), # self-repeats only: df = 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_kgrams"], r["boilerplate_frac"])
+           for r in boilerplate_fraction(
+               df, "text", "doc_id", n=3, max_doc_freq=2).collect()}
+    assert out[1] == (3, round(1 / 3, 6))
+    assert out[2] == (3, round(1 / 3, 6))
+    assert out[3] == (3, round(1 / 3, 6))
+    assert out[4] == (6, 0.0)
