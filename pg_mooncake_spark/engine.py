@@ -488,22 +488,26 @@ class MooncakeEngine:
         (maximum pruning)."""
         dst = self._canon(dst)
         mt = self._moontable(dst)
+        sort_cols = None
         if mode.startswith("sort:"):
-            v = mt.optimize(sort_by=mode[len("sort:"):].split(","))
+            sort_cols = mode[len("sort:"):].split(",")
+            v = mt.optimize(sort_by=sort_cols)
         else:
             v = mt.optimize()
         if mode == "vacuum":
             mt.vacuum()
         # attached exports accumulate per-batch delete-file + append
         # commits; the mirror's maintenance pass is where they get folded
-        # into clean files and old snapshots reclaimed
+        # into clean files and old snapshots reclaimed — a sort: pass
+        # range-clusters the export rewrite too (sort-order registered in
+        # its metadata, files stamped with the sort_order_id)
         for path in self.catalog.get(dst).get("exports") or []:
             from pg_mooncake_spark.sources.iceberg import (
                 compact_iceberg,
                 expire_snapshots,
             )
 
-            compact_iceberg(self.spark, path)
+            compact_iceberg(self.spark, path, sort_by=sort_cols)
             if mode == "vacuum":
                 expire_snapshots(path, retain_last=1)
         self.catalog.update_watermarks(dst, flush_version=v)

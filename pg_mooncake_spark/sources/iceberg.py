@@ -549,6 +549,8 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}],
                  "default": None, "field-id": 135},
+                {"name": "sort_order_id", "type": ["null", "int"],
+                 "default": None, "field-id": 140},
             ],
         }},
     ],
@@ -1467,8 +1469,14 @@ def write_iceberg(
             (prev.get("last-partition-id") if prev else None)
             or 999 + len(spec.get("fields", []))
         ),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        # carry any sort orders a sorted compaction registered (new
+        # appends are unsorted, but the orders themselves persist)
+        "default-sort-order-id": int(
+            (prev.get("default-sort-order-id") if prev else None) or 0
+        ),
+        "sort-orders": (
+            list(prev.get("sort-orders") or []) if prev else []
+        ) or [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,
         "snapshots": (list(prev.get("snapshots") or []) if prev else [])
         + [snapshot],
@@ -2069,7 +2077,10 @@ def upsert_keys_iceberg(
 
 
 def compact_iceberg(
-    spark: SparkSession, path: str, target_files: Optional[int] = None
+    spark: SparkSession,
+    path: str,
+    target_files: Optional[int] = None,
+    sort_by: Optional[list[str]] = None,
 ) -> int:
     """OPTIMIZE-style rewrite: materialize the current state (positional
     deletes folded in — the rewritten files hold only surviving rows)
@@ -2077,6 +2088,15 @@ def compact_iceberg(
     new data manifest.  The closing step of the merge-on-read lifecycle:
     accumulate cheap delete files, then fold them into clean files in
     one maintenance pass (the Iceberg twin of compact_delta).
+
+    ``sort_by`` range-clusters the rewrite (spec 'Sorting'): files get
+    DISJOINT value ranges on the sort columns, so the manifest
+    lower/upper bounds this writer already records give external
+    readers maximal min/max file skipping.  The sort order is
+    registered in ``sort-orders`` metadata (identity transforms, asc,
+    nulls-first — matching the physical asc-nulls-first sort) and each
+    rewritten data file is stamped with its ``sort_order_id``.
+    Partitioned tables sort WITHIN partition clusters.
 
     Prior snapshots stay readable (their manifest chains are untouched)
     until expire_snapshots reclaims them.  Returns the new snapshot id.
@@ -2099,6 +2119,42 @@ def compact_iceberg(
     for s in meta.get("partition-specs") or []:
         if s.get("spec-id") == int(meta.get("default-spec-id") or 0):
             spec_fields = s.get("fields")
+    cur_schema_fields = {}
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            cur_schema_fields = {
+                f["name"]: int(f["id"]) for f in s.get("fields") or []
+            }
+    sort_order_id = None
+    if sort_by:
+        bad = [c for c in sort_by if c not in cur_schema_fields]
+        if bad:
+            raise IcebergSupportError(
+                f"sort_by columns {bad} not in table schema"
+            )
+        want = [
+            {
+                "transform": "identity",
+                "source-id": cur_schema_fields[c],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in sort_by
+        ]
+        orders = list(meta.get("sort-orders") or [])
+        for o in orders:
+            if o.get("fields") == want:
+                sort_order_id = int(o["order-id"])
+        if sort_order_id is None:
+            sort_order_id = (
+                max((int(o.get("order-id") or 0) for o in orders), default=0)
+                + 1
+            )
+            orders.append({"order-id": sort_order_id, "fields": want})
+        meta = dict(meta)
+        meta["sort-orders"] = orders
+        meta["default-sort-order-id"] = sort_order_id
+
     df = read_iceberg(spark, path)
     if part_cols:
         # cluster the rewrite on the DERIVED partition values so each
@@ -2109,6 +2165,16 @@ def compact_iceberg(
             *([target_files] if target_files is not None else []),
             *[_staging_expr(p) for p in part_cols],
         )
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+    elif sort_by:
+        # range partitioning gives files DISJOINT sort-key ranges (the
+        # point of a sorted rewrite: stats-based skipping), then an
+        # in-partition sort clusters rows inside each file
+        df = df.repartitionByRange(
+            *([target_files] if target_files is not None else []),
+            *sort_by,
+        ).sortWithinPartitions(*sort_by)
     elif target_files is not None:
         df = df.repartition(target_files)
 
@@ -2137,6 +2203,8 @@ def compact_iceberg(
             "record_count": n,
             "file_size_in_bytes": os.path.getsize(f),
         }
+        if sort_order_id is not None:
+            data_file["sort_order_id"] = sort_order_id
         data_file.update(_column_stats_maps(f, cur_schema))
         entries.append(
             {

@@ -2390,3 +2390,77 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
         k for k in range(100)
         if (_murmur3_32(struct.pack("<q", k)) & 0x7FFFFFFF) % 4 == want_bucket
     }
+
+def test_iceberg_sorted_compaction(spark, tmp_path):
+    """compact_iceberg(sort_by=...): the rewrite range-clusters files so
+    their manifest lower/upper bounds are DISJOINT on the sort key (what
+    external engines use for min/max skipping), registers the sort order
+    in metadata (spec 'Sorting'), stamps data files with sort_order_id,
+    and later appends carry the registered orders forward."""
+    import struct
+
+    from pg_mooncake_spark.sources.avro import read_avro
+    from pg_mooncake_spark.sources.iceberg import (
+        _latest_metadata,
+        compact_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_sorted")
+    df = spark.range(1000).selectExpr(
+        "CAST(pmod(id * 7919, 1000) AS LONG) AS k",  # scrambled order
+        "CAST(id AS DOUBLE) AS x",
+    )
+    write_iceberg(df.repartition(4), path)
+
+    compact_iceberg(spark, path, target_files=4, sort_by=["k"])
+    meta = _latest_metadata(path)
+    order = next(
+        o for o in meta["sort-orders"]
+        if o["order-id"] == meta["default-sort-order-id"]
+    )
+    k_id = next(
+        f["id"] for s in meta["schemas"] for f in s["fields"]
+        if f["name"] == "k"
+    )
+    assert order["fields"] == [{
+        "transform": "identity", "source-id": k_id,
+        "direction": "asc", "null-order": "nulls-first",
+    }]
+
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mfs = read_avro(cur["manifest-list"])
+    _, entries = read_avro(mfs[0]["manifest_path"])
+    ranges = []
+    for e in entries:
+        d = e["data_file"]
+        assert d["sort_order_id"] == order["order-id"]
+        lo = {r["key"]: r["value"] for r in d["lower_bounds"]}[k_id]
+        hi = {r["key"]: r["value"] for r in d["upper_bounds"]}[k_id]
+        ranges.append((struct.unpack("<q", lo)[0],
+                       struct.unpack("<q", hi)[0]))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # disjoint sort-key ranges per file
+
+    assert read_iceberg(spark, path).count() == 1000
+
+    # appends don't lose the registered order; compacting again with the
+    # same columns REUSES the existing order-id
+    write_iceberg(df.limit(10).selectExpr("k + 1000 AS k", "x"),
+                  path, mode="append")
+    meta = _latest_metadata(path)
+    assert any(o["order-id"] == order["order-id"]
+               for o in meta["sort-orders"])
+    compact_iceberg(spark, path, sort_by=["k"])
+    meta = _latest_metadata(path)
+    assert [o["order-id"] for o in meta["sort-orders"]].count(
+        order["order-id"]
+    ) == 1
+    assert meta["default-sort-order-id"] == order["order-id"]
+    assert read_iceberg(spark, path).count() == 1010
