@@ -954,6 +954,73 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
     return cp_path
 
 
+def _add_stats(fpath: str) -> Optional[str]:
+    """Delta per-file stats JSON (``numRecords`` / ``minValues`` /
+    ``maxValues`` / ``nullCount``) aggregated from the parquet footer —
+    driver-side metadata, no data read.  This is what gives delta-spark
+    readers of our exports stats-based file skipping (and fast
+    ``count(*)``).  Bounds cover the orderable numeric/date primitives;
+    strings are skipped (parquet writers may truncate string stats, and
+    a truncated UPPER bound is unsound) and so are timestamps (their
+    JSON serialization is writer-version-specific).  A column missing
+    stats in ANY row group is dropped from the bound maps."""
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    try:
+        md = _pq.ParquetFile(fpath).metadata
+    except Exception:
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: out of scope
+                continue
+            try:
+                st = col.statistics
+                ok = (
+                    st is not None
+                    and st.has_min_max
+                    and st.null_count is not None
+                )
+                lo, hi = (st.min, st.max) if ok else (None, None)
+            except Exception:
+                ok = False
+            if not ok:
+                bad.add(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if not isinstance(lo, (int, float, _dt.date)) or isinstance(
+                lo, (bool, _dt.datetime)
+            ):
+                bad.add(name)
+                continue
+            if isinstance(lo, _dt.date):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    stats: dict[str, Any] = {"numRecords": md.num_rows}
+    good_bounds = {k: v for k, v in mins.items() if k not in bad}
+    if good_bounds:
+        stats["minValues"] = good_bounds
+        stats["maxValues"] = {
+            k: v for k, v in maxs.items() if k not in bad
+        }
+    counted = {k: v for k, v in nulls.items() if k not in bad}
+    if counted:
+        stats["nullCount"] = counted
+    return json.dumps(stats)
+
+
 def _stage_parquet(
     df: DataFrame, path: str, partition_values: Optional[dict[str, Optional[str]]] = None
 ) -> list[dict[str, Any]]:
@@ -968,18 +1035,18 @@ def _stage_parquet(
         name = f"part-{uuid.uuid4().hex}.snappy.parquet"
         src = os.path.join(staging, f)
         size = os.path.getsize(src)
+        stats = _add_stats(src)
         os.rename(src, os.path.join(path, name))
-        adds.append(
-            {
-                "add": {
-                    "path": name,
-                    "partitionValues": partition_values or {},
-                    "size": size,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        add = {
+            "path": name,
+            "partitionValues": partition_values or {},
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats:
+            add["stats"] = stats
+        adds.append({"add": add})
     for f in os.listdir(staging):
         os.remove(os.path.join(staging, f))
     os.rmdir(staging)
@@ -1017,18 +1084,18 @@ def _stage_partitioned(
             os.makedirs(os.path.join(path, *segs), exist_ok=True)
             src = os.path.join(root, f)
             size = os.path.getsize(src)
+            stats = _add_stats(src)
             os.rename(src, os.path.join(path, *segs, name))
-            adds.append(
-                {
-                    "add": {
-                        "path": "/".join([*segs, name]),
-                        "partitionValues": {c: pv.get(c) for c in partition_by},
-                        "size": size,
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": "/".join([*segs, name]),
+                "partitionValues": {c: pv.get(c) for c in partition_by},
+                "size": size,
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            if stats:
+                add["stats"] = stats
+            adds.append({"add": add})
     shutil.rmtree(staging)
     return adds
 
@@ -1483,13 +1550,22 @@ def update_where_dv(
 
 
 def compact_delta(
-    spark: SparkSession, path: str, target_files: Optional[int] = None
+    spark: SparkSession,
+    path: str,
+    target_files: Optional[int] = None,
+    sort_by: Optional[list[str]] = None,
 ) -> int:
     """OPTIMIZE-style compaction: rewrite the current state (deletion
     vectors folded in — the rewritten files contain only surviving rows)
     and commit one version that removes every current add.  This is the
     DV lifecycle's closing step: accumulate cheap merge-on-read deletes,
     then fold them into clean files in one maintenance pass.
+
+    ``sort_by`` range-clusters the rewrite (the OPTIMIZE ... ZORDER
+    use-case expressed as a linear sort): files get DISJOINT value
+    ranges on the sort columns, which the per-add stats JSON turns into
+    file skipping for any delta reader.  Partitioned tables sort within
+    partition clusters.
 
     add/remove actions carry ``dataChange: false`` (per the protocol,
     OPTIMIZE does not change table content), so CDC-style readers skip
@@ -1499,7 +1575,21 @@ def compact_delta(
     if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
         raise DeltaProtocolError("compacting column-mapped tables not supported")
     df = read_delta(spark, path)
-    if target_files is not None:
+    if sort_by:
+        missing = [c for c in sort_by if c not in df.columns]
+        if missing:
+            raise DeltaProtocolError(f"sort_by columns {missing} not in table")
+        if partition_cols:
+            df = df.repartition(
+                *([target_files] if target_files is not None else []),
+                *partition_cols,
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartitionByRange(
+                *([target_files] if target_files is not None else []),
+                *sort_by,
+            ).sortWithinPartitions(*sort_by)
+    elif target_files is not None:
         df = df.repartition(target_files)
     new_adds = (
         _stage_partitioned(df, path, partition_cols)
@@ -1526,7 +1616,9 @@ def compact_delta(
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
-                "operationParameters": {},
+                "operationParameters": (
+                    {"sortBy": json.dumps(sort_by)} if sort_by else {}
+                ),
             }
         }
     )

@@ -2464,3 +2464,54 @@ def test_iceberg_sorted_compaction(spark, tmp_path):
     ) == 1
     assert meta["default-sort-order-id"] == order["order-id"]
     assert read_iceberg(spark, path).count() == 1010
+
+def test_delta_add_stats_and_sorted_compaction(spark, tmp_path):
+    """Every add action carries per-file stats JSON (numRecords +
+    min/max/nullCount for orderable primitives — what delta-spark uses
+    for file skipping); compact_delta(sort_by=...) range-clusters the
+    rewrite so those bounds become DISJOINT across files."""
+    import json as _json
+
+    from pg_mooncake_spark.sources.delta import (
+        _replay,
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "dl_sorted")
+    df = spark.range(1000).selectExpr(
+        "CAST(pmod(id * 7919, 1000) AS LONG) AS k",
+        "CAST(id AS DOUBLE) AS x",
+        "concat('s', id) AS s",
+        "IF(id % 10 = 0, CAST(NULL AS DOUBLE), CAST(id AS DOUBLE)) AS maybe",
+    )
+    write_delta(df.repartition(4), path)
+
+    adds, _, _, _ = _replay(path)
+    assert adds and all(a.get("stats") for a in adds)
+    st0 = _json.loads(adds[0]["stats"])
+    assert st0["numRecords"] > 0
+    assert "k" in st0["minValues"] and "x" in st0["maxValues"]
+    assert "s" not in st0.get("minValues", {})  # strings unbounded
+    assert st0["nullCount"].get("k") == 0
+    total = sum(_json.loads(a["stats"])["numRecords"] for a in adds)
+    assert total == 1000
+    nulls = sum(
+        _json.loads(a["stats"])["nullCount"].get("maybe", 0) for a in adds
+    )
+    assert nulls == 100
+
+    compact_delta(spark, path, target_files=4, sort_by=["k"])
+    adds, _, _, _ = _replay(path)
+    ranges = sorted(
+        (
+            _json.loads(a["stats"])["minValues"]["k"],
+            _json.loads(a["stats"])["maxValues"]["k"],
+        )
+        for a in adds
+    )
+    assert len(ranges) > 1
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next
+    assert read_delta(spark, path).count() == 1000
