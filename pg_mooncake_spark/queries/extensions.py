@@ -378,6 +378,53 @@ def iceberg_bucket_partition_roundtrip(
 
 
 @query(
+    "iceberg_sorted_range_scan",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 5000 AND 9999 AND l_orderkey < 20000
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def iceberg_sorted_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted Iceberg compaction feeding a stats-pruned range scan:
+    compact_iceberg(sort_by=[l_orderkey]) rewrites files with DISJOINT
+    key ranges recorded as manifest lower/upper bounds, and
+    read_iceberg(range_filter=...) skips files by those bounds before
+    the scan — the maintenance + read pattern that keeps a 100 TB
+    export's point/range queries proportional to the selected range
+    instead of the table.  The exact BETWEEN re-applies row-wise, so
+    the oracle's WHERE clause is the semantic contract; over-pruning
+    (lost rows) or under-sorting (no skipping) both surface — the
+    former as a hash mismatch, the latter in
+    tests/test_sources.py::test_iceberg_range_filter_stats_file_skipping."""
+    from pg_mooncake_spark.sources.iceberg import (
+        compact_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 20000)
+    path = tempfile.mkdtemp(prefix="ice_sorted_") + "/t"
+    write_iceberg(li, path)
+    compact_iceberg(spark, path, target_files=8, sort_by=["l_orderkey"])
+    back = read_iceberg(
+        spark, path, range_filter={"l_orderkey": (5000, 9999)}
+    )
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice", 2).alias("sum_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
     "delta_dv_update_roundtrip",
     oracle="""
     WITH updated AS (

@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = (
     "iceberg_bucket_partition_roundtrip",
     "dedup_substring_runs",
     "text_boilerplate_fraction",
+    "iceberg_sorted_range_scan",
     "scalar_interval_family",
     "lifecycle_decimal_roundtrip",
     "text_top_ngrams",
@@ -114,7 +115,6 @@ _WINDOW_PRIORITY = (
     "pipeline_pretraining_corpus",
     "corpus_sample_deterministic",
     "corpus_sample_stratified",
-    "corpus_mixture",
 )
 
 

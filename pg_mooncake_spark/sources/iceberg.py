@@ -245,6 +245,14 @@ def _files_from_manifests(
                             "resolved": _resolve_path(df_["file_path"], path),
                             "seq": seq,
                             "partition": dict(df_.get("partition") or {}),
+                            "lower": {
+                                int(r["key"]): r["value"]
+                                for r in df_.get("lower_bounds") or []
+                            },
+                            "upper": {
+                                int(r["key"]): r["value"]
+                                for r in df_.get("upper_bounds") or []
+                            },
                         }
                     )
                 elif content == 1:  # positional deletes
@@ -273,6 +281,7 @@ def read_iceberg(
     path: str,
     snapshot_id: Optional[int] = None,
     partition_filter: Optional[dict] = None,
+    range_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Read an external Iceberg table.
 
@@ -287,7 +296,25 @@ def read_iceberg(
     Iceberg partition-pruning contract: a filtered read of a 100 TB
     table plans only matching files.  Values accept the column's type
     (dates also as 'YYYY-MM-DD').  Refused for non-partition columns.
-    """
+
+    ``range_filter`` = {column: (lo, hi)} (inclusive; None = unbounded)
+    prunes the file list by the manifest-recorded per-file lower/upper
+    bounds — stats-based file skipping, the payoff of a sorted
+    compaction's disjoint ranges — then applies the exact BETWEEN
+    predicate row-wise (which also pushes down to the parquet scan).
+    Files lacking bounds for a column are kept: missing stats never
+    skip."""
+
+    def _apply_range_predicate(df: DataFrame, filt: dict) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for c, (lo, hi) in filt.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
     if have_iceberg_runtime(spark):  # pragma: no cover - runtime absent here
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
@@ -300,7 +327,11 @@ def read_iceberg(
                 df = df.filter(
                     F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
                 )
+        if range_filter:
+            df = _apply_range_predicate(df, range_filter)
         return df
+
+    # (manifest-chain path)
 
     meta = _latest_metadata(path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -335,6 +366,16 @@ def read_iceberg(
                     or f["partition"][c] == v
                     for c, v in norm.items()
                 )
+            ]
+        if range_filter:
+            # stats-based file skipping: drop files whose manifest
+            # lower/upper bounds provably miss the range; files without
+            # bounds are kept, the exact predicate below re-filters rows
+            rf = _normalize_range_filter(range_filter, meta)
+            files = [
+                f
+                for f in files
+                if all(_file_in_range(f, spec) for spec in rf.values())
             ]
         if not files:
             # A snapshot with zero live data files is legitimate — e.g.
@@ -371,6 +412,10 @@ def read_iceberg(
                     )
                 else:
                     df = df.filter(expr == F.lit(v))
+        if range_filter:
+            # exact inclusive BETWEEN on the kept files; pushes down to
+            # the parquet scan (row-group skipping under the file skip)
+            df = _apply_range_predicate(df, range_filter)
         if not pos_deletes and not eq_deletes:
             return df
         # v2 merge-on-read.  Positional delete parquet rows are
@@ -467,7 +512,10 @@ def read_iceberg(
     if not files:
         raise IcebergSupportError(f"no data files under {data_dir}")
     reader = spark.read.schema(declared) if declared is not None else spark.read
-    return reader.parquet(*files)
+    df = reader.parquet(*files)
+    if range_filter:  # row-exact only: no manifests, no file skipping
+        df = _apply_range_predicate(df, range_filter)
+    return df
 
 
 # --------------------------------------------------------------- write path
@@ -818,6 +866,111 @@ def _normalize_partition_filter(filt: dict, part_cols: list[dict]) -> dict:
         else:
             out[c] = str(v)
     return out
+
+
+def _decode_bound(b: bytes, ice_type: str):
+    """Inverse of _bound_bytes: Iceberg single-value binary → python
+    value (dates stay days-since-epoch, timestamps stay micros — the
+    comparison domain)."""
+    import struct
+
+    if ice_type == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "date":
+        return struct.unpack("<i", b)[0]
+    if ice_type in ("timestamp", "timestamptz"):
+        return struct.unpack("<q", b)[0]
+    if ice_type == "boolean":
+        return b != b"\x00"
+    return None
+
+
+def _normalize_range_filter(
+    filt: dict, meta: dict
+) -> dict[str, dict]:
+    """User {column: (lo, hi)} → per-column pruning spec
+    {"field_id", "ice_type", "lo", "hi"} in the manifest bounds'
+    comparison domain (dates → days, timestamps → micros).  Endpoints
+    are inclusive; None = unbounded.  Refuses columns not in the
+    current schema or of un-bounded types."""
+    import datetime as _dt
+
+    by_name: dict[str, tuple[int, str]] = {}
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            for f in s.get("fields") or []:
+                if isinstance(f.get("type"), str):
+                    by_name[f["name"]] = (int(f["id"]), f["type"])
+    orderable = (
+        "int", "long", "float", "double", "date", "timestamp", "timestamptz"
+    )
+
+    def conv(v, t):
+        if v is None:
+            return None
+        if t == "date":
+            d = _dt.date.fromisoformat(v) if isinstance(v, str) else v
+            if isinstance(d, _dt.datetime):
+                d = d.date()
+            return (d - _dt.date(1970, 1, 1)).days
+        if t in ("timestamp", "timestamptz"):
+            if isinstance(v, str):
+                v = _dt.datetime.fromisoformat(v)
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+                    microseconds=1
+                )
+            return int(v)
+        return v
+
+    out = {}
+    for c, (lo, hi) in filt.items():
+        if c not in by_name:
+            raise IcebergSupportError(
+                f"range_filter column {c!r} not a top-level primitive of "
+                "the current schema"
+            )
+        fid, t = by_name[c]
+        if t not in orderable:
+            raise IcebergSupportError(
+                f"range_filter on type {t!r} not supported ({c!r})"
+            )
+        out[c] = {
+            "field_id": fid,
+            "ice_type": t,
+            "lo": conv(lo, t),
+            "hi": conv(hi, t),
+        }
+    return out
+
+
+def _file_in_range(f: dict, spec: dict) -> bool:
+    """Manifest-bounds check for one file against one column's range:
+    keep unless the file's [lower, upper] provably misses [lo, hi].
+    Files lacking bounds for the column are KEPT (missing stats are
+    never grounds for skipping)."""
+    fid, t = spec["field_id"], spec["ice_type"]
+    f_lo = f.get("lower", {}).get(fid)
+    f_hi = f.get("upper", {}).get(fid)
+    if f_lo is None or f_hi is None:
+        return True
+    f_lo = _decode_bound(f_lo, t)
+    f_hi = _decode_bound(f_hi, t)
+    if f_lo is None or f_hi is None:
+        return True
+    if spec["hi"] is not None and f_lo > spec["hi"]:
+        return False
+    if spec["lo"] is not None and f_hi < spec["lo"]:
+        return False
+    return True
 
 
 def _entry_schema(part_fields: list[dict]) -> dict:

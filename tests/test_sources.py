@@ -2515,3 +2515,61 @@ def test_delta_add_stats_and_sorted_compaction(spark, tmp_path):
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo_next
     assert read_delta(spark, path).count() == 1000
+
+def test_iceberg_range_filter_stats_file_skipping(spark, tmp_path):
+    """range_filter prunes the file list by the manifest lower/upper
+    bounds (the payoff of sorted compaction's disjoint ranges), applies
+    the exact inclusive BETWEEN on the kept files, and never skips on
+    missing stats.  Dates convert to the bounds' days-since-epoch
+    comparison domain."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergSupportError,
+        compact_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_range")
+    df = spark.range(1000).selectExpr(
+        "CAST(pmod(id * 7919, 1000) AS LONG) AS k",
+        "DATE_ADD(DATE'2024-01-01', CAST(pmod(id * 7919, 1000) % 100 AS INT)) AS d",
+        "concat('s', id) AS s",
+    )
+    write_iceberg(df.repartition(4), path)
+    compact_iceberg(spark, path, target_files=8, sort_by=["k"])
+
+    full = read_iceberg(spark, path)
+    narrow = read_iceberg(spark, path, range_filter={"k": (100, 199)})
+    rows = narrow.collect()
+    assert {r["k"] for r in rows} == set(range(100, 200))
+    # the sorted rewrite makes bounds disjoint -> the narrow range hits
+    # a strict subset of files
+    assert 0 < len(narrow.inputFiles()) < len(full.inputFiles())
+
+    # open-ended ranges
+    hi = read_iceberg(spark, path, range_filter={"k": (900, None)})
+    assert hi.count() == 100
+    assert len(hi.inputFiles()) < len(full.inputFiles())
+
+    # date ranges accept ISO strings and prune via days-since-epoch
+    dr = read_iceberg(
+        spark, path, range_filter={"d": ("2024-01-10", "2024-01-19")}
+    )
+    assert dr.count() == 100  # 10 day-values x 10 rows per day-value
+
+    # conjunction of two columns
+    both = read_iceberg(
+        spark, path,
+        range_filter={"k": (0, 499), "d": ("2024-01-01", "2024-01-05")},
+    )
+    got = {(r["k"], str(r["d"])) for r in both.collect()}
+    assert all(k <= 499 and s <= "2024-01-05" for k, s in got)
+
+    # strings are unbounded in manifests -> refused loudly (no silent
+    # full scan pretending to prune)
+    with _pytest.raises(IcebergSupportError, match="not supported"):
+        read_iceberg(spark, path, range_filter={"s": ("a", "b")})
+    with _pytest.raises(IcebergSupportError, match="not a top-level"):
+        read_iceberg(spark, path, range_filter={"nope": (1, 2)})
