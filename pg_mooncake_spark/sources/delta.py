@@ -599,11 +599,73 @@ def _delta_partition_str(v) -> Optional[str]:
     return str(v)
 
 
+def _normalize_delta_range(filt: dict, schema: T.StructType) -> dict:
+    """User {column: (lo, hi)} → {column: (lo, hi)} in the add-stats
+    comparison domain (dates → ISO strings, matching _add_stats'
+    serialization; numbers pass through).  Refuses columns absent from
+    the schema or of types the stats never bound (a string filter would
+    silently full-scan while looking like it prunes)."""
+    import datetime as _dt
+
+    by_name = {f.name: f.dataType for f in schema.fields}
+    out = {}
+    for c, (lo, hi) in filt.items():
+        if c not in by_name:
+            raise DeltaProtocolError(f"range_filter column {c!r} not in table")
+        dt = by_name[c]
+        if isinstance(dt, T.DateType):
+            def conv(v):
+                if v is None:
+                    return None
+                if isinstance(v, str):
+                    return v
+                if isinstance(v, _dt.datetime):
+                    v = v.date()
+                return v.isoformat()
+
+            out[c] = (conv(lo), conv(hi))
+        elif isinstance(
+            dt,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType),
+        ):
+            out[c] = (lo, hi)
+        else:
+            raise DeltaProtocolError(
+                f"range_filter on type {dt.simpleString()} not supported "
+                f"({c!r}); stats bound only numeric/date columns"
+            )
+    return out
+
+
+def _add_in_range(a: dict, pc: str, lo, hi) -> bool:
+    """Stats-based skip check for one add action: drop only when the
+    file's recorded [min, max] provably misses [lo, hi]; missing or
+    unparsable stats always keep."""
+    st = a.get("stats")
+    if not st:
+        return True
+    try:
+        js = json.loads(st) if isinstance(st, str) else st
+        mn = (js.get("minValues") or {}).get(pc)
+        mx = (js.get("maxValues") or {}).get(pc)
+        if mn is None or mx is None:
+            return True
+        if hi is not None and mn > hi:
+            return False
+        if lo is not None and mx < lo:
+            return False
+    except (ValueError, TypeError):
+        return True
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version_as_of: Optional[int] = None,
     partition_filter: Optional[dict] = None,
+    range_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Read a Delta table (optionally time-traveled) as a DataFrame.
 
@@ -618,7 +680,22 @@ def read_delta(
     CHANGELOG.md:26).  Because partition columns exist ONLY in the log,
     file pruning here IS exact row selection.  Refused for
     non-partition columns.
+
+    ``range_filter`` = {column: (lo, hi)} (inclusive; None = unbounded)
+    prunes the add-file list by the per-add stats JSON (numeric/date
+    min/max this writer records) — Delta data skipping — then applies
+    the exact BETWEEN predicate row-wise.  Files without stats are
+    kept; unsupported types refuse loudly.
     """
+
+    def _range_predicate(df: DataFrame, filt: dict) -> DataFrame:
+        for c, (lo, hi) in filt.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
     if have_delta_jars(spark):  # pragma: no cover - jars absent in image
         reader = spark.read.format("delta")
         if version_as_of is not None:
@@ -629,6 +706,8 @@ def read_delta(
                 df = df.filter(
                     F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
                 )
+        if range_filter:
+            df = _range_predicate(df, range_filter)
         return df
     adds, schema, partition_cols, st = _replay(path, version_as_of)
     if partition_filter:
@@ -638,6 +717,9 @@ def read_delta(
                 f"{unknown} are not partition columns of this table "
                 f"(partitioned by {partition_cols})"
             )
+    norm_range = (
+        _normalize_delta_range(range_filter, schema) if range_filter else None
+    )
     if not adds:
         return spark.createDataFrame([], schema)
     mode = st.configuration.get("delta.columnMapping.mode") or "none"
@@ -745,8 +827,24 @@ def read_delta(
         if not adds:
             return spark.createDataFrame([], schema)
 
+    if norm_range:
+        # data skipping on the per-add stats (keyed by the PHYSICAL
+        # column names the parquet footers carry); the exact predicate
+        # re-applies row-wise on the kept files below
+        adds = [
+            a
+            for a in adds
+            if all(
+                _add_in_range(a, phys_of.get(c, c), lo, hi)
+                for c, (lo, hi) in norm_range.items()
+            )
+        ]
+        if not adds:
+            return spark.createDataFrame([], schema)
+
     if not partition_cols:
-        return logical(scan(phys_schema, adds))
+        out = logical(scan(phys_schema, adds))
+        return _range_predicate(out, norm_range) if norm_range else out
 
     # partitionValues keys use physical names under column mapping
     phys_parts = [phys_of[c] for c in partition_cols]
@@ -769,7 +867,7 @@ def read_delta(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _range_predicate(out, norm_range) if norm_range else out
 
 
 def delta_version(path: str) -> int:

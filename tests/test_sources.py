@@ -2573,3 +2573,62 @@ def test_iceberg_range_filter_stats_file_skipping(spark, tmp_path):
         read_iceberg(spark, path, range_filter={"s": ("a", "b")})
     with _pytest.raises(IcebergSupportError, match="not a top-level"):
         read_iceberg(spark, path, range_filter={"nope": (1, 2)})
+
+def test_delta_range_filter_data_skipping(spark, tmp_path):
+    """read_delta(range_filter=...): add actions are pruned by their
+    stats JSON min/max before any scan (Delta data skipping), the exact
+    BETWEEN re-applies row-wise, files without stats are kept, and
+    unsupported types refuse loudly."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.delta import (
+        DeltaProtocolError,
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "dl_range")
+    df = spark.range(1000).selectExpr(
+        "CAST(pmod(id * 7919, 1000) AS LONG) AS k",
+        "DATE_ADD(DATE'2024-01-01', CAST(pmod(id * 7919, 1000) % 100 AS INT)) AS d",
+        "concat('s', id) AS s",
+    )
+    write_delta(df.repartition(4), path)
+    compact_delta(spark, path, target_files=8, sort_by=["k"])
+
+    full = read_delta(spark, path)
+    narrow = read_delta(spark, path, range_filter={"k": (100, 199)})
+    assert {r["k"] for r in narrow.collect()} == set(range(100, 200))
+    assert 0 < len(narrow.inputFiles()) < len(full.inputFiles())
+
+    hi = read_delta(spark, path, range_filter={"k": (900, None)})
+    assert hi.count() == 100
+    assert len(hi.inputFiles()) < len(full.inputFiles())
+
+    dr = read_delta(
+        spark, path, range_filter={"d": ("2024-01-10", "2024-01-19")}
+    )
+    assert dr.count() == 100
+
+    with _pytest.raises(DeltaProtocolError, match="not supported"):
+        read_delta(spark, path, range_filter={"s": ("a", "b")})
+    with _pytest.raises(DeltaProtocolError, match="not in table"):
+        read_delta(spark, path, range_filter={"nope": (1, 2)})
+
+    # partitioned table: partition columns live only in the log, data
+    # columns still skip by stats within each partition group
+    ppath = str(tmp_path / "dl_range_part")
+    write_delta(
+        df.selectExpr("k", "d", "CAST(k % 2 AS LONG) AS par"),
+        ppath, partition_by=["par"],
+    )
+    compact_delta(spark, ppath, target_files=4, sort_by=["k"])
+    pn = read_delta(spark, ppath, range_filter={"k": (0, 99)})
+    assert {r["k"] for r in pn.collect()} == set(range(100))
+    pf = read_delta(
+        spark, ppath, partition_filter={"par": 1},
+        range_filter={"k": (0, 99)},
+    )
+    got = {r["k"] for r in pf.collect()}
+    assert got == {k for k in range(100) if k % 2 == 1}
