@@ -557,16 +557,25 @@ class MooncakeEngine:
 
     # -------------------------------------------------------------- queries
 
-    def table(self, name: str, version: Optional[int] = None) -> DataFrame:
+    def table(
+        self,
+        name: str,
+        version: Optional[int] = None,
+        where: Optional[str] = None,
+    ) -> DataFrame:
         """Snapshot read of a mirror.  Default pins the mirror version that
         covers the session's last write (read-your-writes — the analog of
-        pinning XactLastCommitEnd, reference src/duckdb_mooncake.rs:26-29)."""
+        pinning XactLastCommitEnd, reference src/duckdb_mooncake.rs:26-29).
+
+        ``where`` applies a SQL predicate exactly and, for simple
+        primary-key predicates, prunes the snapshot's file list through
+        the commit-log min/max stats before the scan is planned."""
         name = self._canon(name)
         entry = self.catalog.get(name)
         mt = MoonTable(self.spark, entry["path"])
         if version is None:
             version = entry.get("flush_version")
-        return mt.read(version)
+        return mt.read(version, where=where)
 
     def sql(self, query: str, pin: Optional[dict[str, int]] = None) -> DataFrame:
         """Run SQL over mirrors: every registered mirror name is resolved to

@@ -155,19 +155,35 @@ class MoonTable:
         _, first = self._snapshot(None)
         return first.primary_key
 
-    def read(self, version: Optional[int] = None) -> DataFrame:
+    def read(
+        self, version: Optional[int] = None, where: Optional[str] = None
+    ) -> DataFrame:
         """Snapshot read pinned to ``version`` (None = latest).
 
         The engine's analog of the reference's LSN-pinned scan
         (src/duckdb_mooncake.rs:26-29): the file list is fixed at plan
         time, so concurrent commits cannot change what this query sees.
+
+        ``where`` (a SQL predicate string) is applied exactly — and when
+        it is a simple primary-key predicate, the commit-log per-file
+        min/max stats prune the FILE LIST before the scan is planned
+        (the same skipping index MERGE uses): on an optimize(sort_by=pk)
+        table a key probe plans ≤1 file instead of the snapshot.
+        Non-pk or complex predicates skip the pruning and filter only —
+        never unsound, just unpruned.
         """
         files, first = self._snapshot(version)
         schema = T.StructType.fromJson(json.loads(first.schema))
+        if where and files:
+            pruned = self._pk_stat_candidates(files, where)
+            if pruned is not None:
+                files = pruned
         if not files:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            return df.filter(where) if where else df
         paths = [os.path.join(self.path, d["name"]) for d in files]
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        return df.filter(where) if where else df
 
     # ---------------------------------------------------------------- writes
 

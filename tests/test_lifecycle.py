@@ -712,3 +712,34 @@ def test_export_sync_atomic_snapshot_and_pk_rewrite(spark, warehouse, tmp_path):
     assert not any(k == 3 for k, _ in export), (
         "the pre-update key must be equality-deleted from the export"
     )
+
+def test_read_where_prunes_files_by_pk_stats(spark, warehouse):
+    """table(name, where=...) / MoonTable.read(where=...): a simple
+    pk predicate prunes the snapshot's FILE LIST through the commit-log
+    min/max stats (a key probe on a sort-clustered table plans ≤1
+    file); complex predicates fall back to filter-only — same rows,
+    no pruning, never unsound."""
+    eng = _engine(spark, warehouse)
+    src = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 3).cast("int").alias("v"),
+    )
+    eng.create_table("rprune", source_df=src, primary_key=["k"])
+    eng.optimize_table("rprune", mode="sort:k")
+    mt = MoonTable(spark, f"{warehouse}/rprune")
+    n_files = len(mt._snapshot(None)[0])
+    assert n_files > 1
+
+    probe = eng.table("rprune", where="k = 123")
+    rows = probe.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 369
+    assert len(probe.inputFiles()) == 1
+
+    rng = eng.table("rprune", where="k BETWEEN 10 AND 20")
+    assert rng.count() == 11
+    assert len(rng.inputFiles()) < n_files
+
+    # non-pk / complex predicates: exact rows, no pruning claimed
+    full = eng.table("rprune", where="v = 369 OR v = 372")
+    assert {r["k"] for r in full.collect()} == {123, 124}
+    assert len(full.inputFiles()) == n_files
