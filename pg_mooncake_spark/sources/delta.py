@@ -660,12 +660,56 @@ def _add_in_range(a: dict, pc: str, lo, hi) -> bool:
     return True
 
 
+def _to_epoch_ms(ts) -> int:
+    """Accept an epoch-ms int, ISO string, or datetime → epoch ms (naive
+    datetimes are taken as UTC, the log's clock)."""
+    import datetime as _dt
+
+    if isinstance(ts, bool):
+        raise TypeError("timestamp must be epoch-ms / ISO string / datetime")
+    if isinstance(ts, int):
+        return ts
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    raise TypeError(f"unsupported timestamp {ts!r}")
+
+
+def _version_at_timestamp(path: str, ts_ms: int) -> int:
+    """Latest version whose commit landed at or before ``ts_ms``.
+
+    Resolution follows delta-spark's timestampAsOf: the commit JSON
+    file's modification time is the commit's timestamp.  Refuses a
+    timestamp earlier than the oldest retained commit (the protocol's
+    'timestamp before earliest version' error)."""
+    logs = _log_files(path)
+    if not logs:
+        raise DeltaProtocolError(f"no Delta log at {path}")
+    best = None
+    earliest = None
+    for v, p in logs:
+        mtime_ms = int(os.path.getmtime(p) * 1000)
+        earliest = mtime_ms if earliest is None else min(earliest, mtime_ms)
+        if mtime_ms <= ts_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise DeltaProtocolError(
+            f"timestamp {ts_ms} is before the table's earliest retained "
+            f"commit ({earliest})"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version_as_of: Optional[int] = None,
     partition_filter: Optional[dict] = None,
     range_filter: Optional[dict] = None,
+    timestamp_as_of=None,
 ) -> DataFrame:
     """Read a Delta table (optionally time-traveled) as a DataFrame.
 
@@ -686,7 +730,20 @@ def read_delta(
     min/max this writer records) — Delta data skipping — then applies
     the exact BETWEEN predicate row-wise.  Files without stats are
     kept; unsupported types refuse loudly.
+
+    ``timestamp_as_of`` (epoch-ms / ISO string / datetime) time-travels
+    to the latest version committed at or before the timestamp
+    (delta-spark's timestampAsOf, resolved from commit-file
+    modification times).  Mutually exclusive with ``version_as_of``.
     """
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise DeltaProtocolError(
+                "version_as_of and timestamp_as_of are mutually exclusive"
+            )
+        version_as_of = _version_at_timestamp(
+            path, _to_epoch_ms(timestamp_as_of)
+        )
 
     def _range_predicate(df: DataFrame, filt: dict) -> DataFrame:
         for c, (lo, hi) in filt.items():

@@ -276,12 +276,36 @@ def _files_from_manifests(
         raise IcebergSupportError(f"failed to read Iceberg manifests: {exc}") from exc
 
 
+def snapshot_as_of(path: str, ts) -> int:
+    """Latest snapshot-id committed at or before ``ts`` (epoch-ms / ISO
+    string / datetime) — Iceberg's as-of-timestamp resolution over the
+    metadata's snapshot timestamps.  Refuses timestamps before the
+    oldest retained snapshot."""
+    from pg_mooncake_spark.sources.delta import _to_epoch_ms
+
+    ts_ms = _to_epoch_ms(ts)
+    meta = _latest_metadata(path)
+    best, best_ts, earliest = None, None, None
+    for s in meta.get("snapshots") or []:
+        t_ms = int(s.get("timestamp-ms") or 0)
+        earliest = t_ms if earliest is None else min(earliest, t_ms)
+        if t_ms <= ts_ms and (best_ts is None or t_ms >= best_ts):
+            best, best_ts = int(s["snapshot-id"]), t_ms
+    if best is None:
+        raise IcebergSupportError(
+            f"timestamp {ts_ms} is before the table's earliest retained "
+            f"snapshot ({earliest})"
+        )
+    return best
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: Optional[int] = None,
     partition_filter: Optional[dict] = None,
     range_filter: Optional[dict] = None,
+    as_of_timestamp=None,
 ) -> DataFrame:
     """Read an external Iceberg table.
 
@@ -303,7 +327,18 @@ def read_iceberg(
     compaction's disjoint ranges — then applies the exact BETWEEN
     predicate row-wise (which also pushes down to the parquet scan).
     Files lacking bounds for a column are kept: missing stats never
-    skip."""
+    skip.
+
+    ``as_of_timestamp`` (epoch-ms / ISO string / datetime) time-travels
+    to the latest snapshot committed at or before the timestamp (the
+    runtime's as-of-timestamp option).  Mutually exclusive with
+    ``snapshot_id``."""
+    if as_of_timestamp is not None:
+        if snapshot_id is not None:
+            raise IcebergSupportError(
+                "snapshot_id and as_of_timestamp are mutually exclusive"
+            )
+        snapshot_id = snapshot_as_of(path, as_of_timestamp)
 
     def _apply_range_predicate(df: DataFrame, filt: dict) -> DataFrame:
         from pyspark.sql import functions as F

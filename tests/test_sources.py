@@ -2632,3 +2632,71 @@ def test_delta_range_filter_data_skipping(spark, tmp_path):
     )
     got = {r["k"] for r in pf.collect()}
     assert got == {k for k in range(100) if k % 2 == 1}
+
+def test_timestamp_time_travel_delta_and_iceberg(spark, tmp_path):
+    """timestamp_as_of / as_of_timestamp resolve to the latest commit at
+    or before the given time (epoch-ms, ISO string, or datetime), refuse
+    pre-history timestamps, and are mutually exclusive with explicit
+    versions."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.delta import (
+        DeltaProtocolError,
+        read_delta,
+        write_delta,
+    )
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergSupportError,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    one = spark.range(10).selectExpr("id AS k")
+    two = spark.range(10, 30).selectExpr("id AS k")
+
+    dpath = str(tmp_path / "dl_ts")
+    write_delta(one, dpath)
+    write_delta(two, dpath, mode="append")
+    # pin distinct commit mtimes (resolution uses file modification time)
+    log = _os.path.join(dpath, "_delta_log")
+    t0 = _time.time() - 1000
+    _os.utime(_os.path.join(log, "00000000000000000000.json"), (t0, t0))
+    _os.utime(_os.path.join(log, "00000000000000000001.json"),
+              (t0 + 600, t0 + 600))
+    mid_ms = int((t0 + 300) * 1000)
+    assert read_delta(spark, dpath, timestamp_as_of=mid_ms).count() == 10
+    late_ms = int((t0 + 900) * 1000)
+    assert read_delta(spark, dpath, timestamp_as_of=late_ms).count() == 30
+    with _pytest.raises(DeltaProtocolError, match="earliest"):
+        read_delta(spark, dpath, timestamp_as_of=int((t0 - 50) * 1000))
+    with _pytest.raises(DeltaProtocolError, match="mutually exclusive"):
+        read_delta(spark, dpath, version_as_of=0, timestamp_as_of=mid_ms)
+
+    ipath = str(tmp_path / "ice_ts")
+    write_iceberg(one, ipath)
+    write_iceberg(two, ipath, mode="append")
+    from pg_mooncake_spark.sources.iceberg import _latest_metadata
+
+    snaps = _latest_metadata(ipath)["snapshots"]
+    ts0, ts1 = (int(s["timestamp-ms"]) for s in snaps)
+    assert read_iceberg(spark, ipath, as_of_timestamp=ts0).count() == 10
+    assert read_iceberg(
+        spark, ipath, as_of_timestamp=max(ts1, ts0 + 1)
+    ).count() == 30
+    # datetime / ISO forms accepted
+    import datetime as _dt
+
+    dt = _dt.datetime.fromtimestamp(
+        max(ts1, ts0 + 1) / 1000, tz=_dt.timezone.utc
+    )
+    assert read_iceberg(spark, ipath, as_of_timestamp=dt).count() == 30
+    assert read_iceberg(
+        spark, ipath, as_of_timestamp=dt.isoformat()
+    ).count() == 30
+    with _pytest.raises(IcebergSupportError, match="earliest"):
+        read_iceberg(spark, ipath, as_of_timestamp=ts0 - 10)
+    with _pytest.raises(IcebergSupportError, match="mutually exclusive"):
+        read_iceberg(spark, ipath, snapshot_id=1, as_of_timestamp=ts0)
