@@ -389,3 +389,38 @@ def test_iceberg_delete_probe_and_eq_write_stay_broadcast(spark, tmp_path):
     assert I.broadcast_join_count(out) >= 2  # positional + equality
     assert I.sortmerge_join_count(out) == 0
     assert out.count() == 988
+
+def test_range_filter_predicate_pushes_to_parquet_scan(spark, tmp_path):
+    """range_filter does BOTH levels of skipping: the file list shrinks
+    via manifest/add stats (asserted in test_sources), and the exact
+    BETWEEN predicate lands in the parquet scan's PushedFilters so kept
+    files also skip non-matching row groups."""
+    from pg_mooncake_spark.plans.inspect import pushed_filters
+    from pg_mooncake_spark.sources.delta import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+    from pg_mooncake_spark.sources.iceberg import (
+        compact_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    df = spark.range(500).selectExpr(
+        "CAST(pmod(id * 7919, 500) AS LONG) AS k", "CAST(id AS DOUBLE) AS x"
+    )
+
+    ipath = str(tmp_path / "ice_push")
+    write_iceberg(df.repartition(4), ipath)
+    compact_iceberg(spark, ipath, target_files=4, sort_by=["k"])
+    ice = read_iceberg(spark, ipath, range_filter={"k": (100, 199)})
+    pf = " ".join(pushed_filters(ice))
+    assert "GreaterThanOrEqual(k" in pf and "LessThanOrEqual(k" in pf
+
+    dpath = str(tmp_path / "dl_push")
+    write_delta(df.repartition(4), dpath)
+    compact_delta(spark, dpath, target_files=4, sort_by=["k"])
+    dl = read_delta(spark, dpath, range_filter={"k": (100, 199)})
+    pf = " ".join(pushed_filters(dl))
+    assert "GreaterThanOrEqual(k" in pf and "LessThanOrEqual(k" in pf
