@@ -562,6 +562,7 @@ class MooncakeEngine:
         name: str,
         version: Optional[int] = None,
         where: Optional[str] = None,
+        as_of_timestamp=None,
     ) -> DataFrame:
         """Snapshot read of a mirror.  Default pins the mirror version that
         covers the session's last write (read-your-writes — the analog of
@@ -569,11 +570,21 @@ class MooncakeEngine:
 
         ``where`` applies a SQL predicate exactly and, for simple
         primary-key predicates, prunes the snapshot's file list through
-        the commit-log min/max stats before the scan is planned."""
+        the commit-log min/max stats before the scan is planned.
+
+        ``as_of_timestamp`` (epoch-ms / ISO string / datetime)
+        time-travels to the latest commit at or before the timestamp;
+        mutually exclusive with ``version``."""
         name = self._canon(name)
         entry = self.catalog.get(name)
         mt = MoonTable(self.spark, entry["path"])
-        if version is None:
+        if as_of_timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "version and as_of_timestamp are mutually exclusive"
+                )
+            version = mt.version_at_timestamp(as_of_timestamp)
+        elif version is None:
             version = entry.get("flush_version")
         return mt.read(version, where=where)
 

@@ -155,6 +155,36 @@ class MoonTable:
         _, first = self._snapshot(None)
         return first.primary_key
 
+    def version_at_timestamp(self, ts) -> int:
+        """Latest commit version whose commit timestamp is at or before
+        ``ts`` (epoch-ms int, ISO string, or datetime; naive datetimes
+        are UTC) — the mirror's analog of Delta's timestampAsOf /
+        Iceberg's as-of-timestamp.  Refuses timestamps before the first
+        commit."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts_s = ts.timestamp()
+        else:
+            ts_s = float(ts) / 1000.0  # epoch ms
+        best = None
+        earliest = None
+        for v in self._versions():
+            c_ts = self._read_commit(v).ts
+            earliest = c_ts if earliest is None else min(earliest, c_ts)
+            if c_ts <= ts_s and (best is None or v > best):
+                best = v
+        if best is None:
+            raise MoonTableError(
+                f"timestamp {ts_s} is before the table's first commit "
+                f"({earliest})"
+            )
+        return best
+
     def read(
         self, version: Optional[int] = None, where: Optional[str] = None
     ) -> DataFrame:

@@ -743,3 +743,34 @@ def test_read_where_prunes_files_by_pk_stats(spark, warehouse):
     full = eng.table("rprune", where="v = 369 OR v = 372")
     assert {r["k"] for r in full.collect()} == {123, 124}
     assert len(full.inputFiles()) == n_files
+
+def test_mirror_timestamp_time_travel(spark, warehouse):
+    """engine.table(as_of_timestamp=...) resolves the mirror commit log
+    by commit timestamps — the mirror's analog of timestampAsOf —
+    refusing pre-history timestamps and explicit-version conflicts."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.storage import MoonTableError
+
+    eng = _engine(spark, warehouse)
+    src = spark.range(10).selectExpr("CAST(id AS INT) AS k")
+    eng.create_table("ttm", source_df=src, primary_key=["k"])
+    eng.insert(
+        "ttm", spark.range(10, 30).selectExpr("CAST(id AS INT) AS k")
+    )
+    mt = MoonTable(spark, f"{warehouse}/ttm")
+    versions = mt._versions()
+    t_first = mt._read_commit(versions[0]).ts
+    t_backfill = mt._read_commit(versions[-2]).ts
+    t_last = mt._read_commit(versions[-1]).ts
+
+    assert eng.table(
+        "ttm", as_of_timestamp=int(t_backfill * 1000) + 1
+    ).count() == 10
+    assert eng.table(
+        "ttm", as_of_timestamp=int(t_last * 1000) + 1
+    ).count() == 30
+    with _pytest.raises(MoonTableError, match="before"):
+        eng.table("ttm", as_of_timestamp=int((t_first - 10) * 1000))
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        eng.table("ttm", version=1, as_of_timestamp=int(t_last * 1000))
