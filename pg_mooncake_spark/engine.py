@@ -261,15 +261,25 @@ class MooncakeEngine:
         dst: str,
         changes: DataFrame,
         source_version: Optional[int] = None,
+        on_schema_drift: str = "fail",
     ) -> int:
         """Apply one CDC batch (rows carry __op ∈ {I,U,D}) — the moonlink
         replication-apply analog.  Returns the new mirror version.
 
         If the mirror has attached Iceberg exports (attach_export), the
-        same batch is applied to each of them incrementally."""
+        same batch is applied to each of them incrementally.
+
+        ``on_schema_drift='evolve'`` widens the mirror when the batch's
+        columns drifted (upstream ADD COLUMN) instead of failing, and
+        evolves attached exports' Iceberg schemas in step; the default
+        refuses loudly (SURVEY §7.3)."""
         dst = self._canon(dst)
         mt = self._moontable(dst)
-        v = mt.merge(changes, source_version=source_version)
+        v = mt.merge(
+            changes,
+            source_version=source_version,
+            on_schema_drift=on_schema_drift,
+        )
         # exports sync BEFORE the watermark moves: wait_for_source_version
         # is the freshness barrier, and "ingested" must mean the batch is
         # applied to the mirror AND every attached export — otherwise a
@@ -324,7 +334,10 @@ class MooncakeEngine:
         probe job.  Same-commit appends share the delete's sequence
         number and deletes apply only strictly below it, so the
         re-inserted copies survive."""
-        from pg_mooncake_spark.sources.iceberg import upsert_keys_iceberg
+        from pg_mooncake_spark.sources.iceberg import (
+            IcebergSupportError,
+            upsert_keys_iceberg,
+        )
 
         pk = mt.primary_key()
         # materialize the (bounded) CDC batch once: the export path runs
@@ -334,17 +347,34 @@ class MooncakeEngine:
         # guaranteed to replay identical rows for every source
         changes = changes.localCheckpoint(eager=True)
         keys = changes.filter(F.col(OP_COL).isin("U", "D")).select(*pk)
-        # align to the mirror schema, then relax nullability to match the
-        # export (file-scan schemas are always nullable)
-        upserts = mt._conform(  # noqa: SLF001 - same-package protocol
-            changes.filter(F.col(OP_COL).isin("I", "U")).drop(OP_COL)
-        )
+        # align to the mirror schema (null-filling columns the batch
+        # lacks: any drift already passed merge's gate — or evolved it),
+        # then relax nullability to match the export (file-scan schemas
+        # are always nullable)
+        rows = changes.filter(F.col(OP_COL).isin("I", "U")).drop(OP_COL)
+        for f in mt.schema().fields:
+            if f.name not in rows.columns:
+                rows = rows.withColumn(f.name, F.lit(None).cast(f.dataType))
+        upserts = mt._conform(rows)  # noqa: SLF001 - same-package protocol
         nullable = T.StructType(
             [T.StructField(f.name, f.dataType, True) for f in mt.schema().fields]
         )
         upserts = upserts.to(nullable)
         for path in exports:
-            upsert_keys_iceberg(self.spark, path, keys, upserts)
+            try:
+                upsert_keys_iceberg(self.spark, path, keys, upserts)
+            except IcebergSupportError as exc:
+                if "differ from table" not in str(exc):
+                    raise
+                # the mirror evolved past this export: widen the export's
+                # Iceberg schema with an empty mergeSchema append, then
+                # re-apply the batch
+                from pg_mooncake_spark.sources.iceberg import write_iceberg
+
+                write_iceberg(
+                    upserts.limit(0), path, mode="append", merge_schema=True
+                )
+                upsert_keys_iceberg(self.spark, path, keys, upserts)
 
     def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
         dst = self._canon(dst)

@@ -54,7 +54,7 @@ class Commit:
     op: str
     add: list[dict[str, Any]] = field(default_factory=list)   # file descriptors
     remove: list[str] = field(default_factory=list)            # file names
-    schema: Optional[str] = None                               # json DDL (v0 only)
+    schema: Optional[str] = None  # json DDL (v0 + schema-evolving commits)
     primary_key: Optional[list[str]] = None
     source_version: Optional[int] = None
     ts: float = 0.0
@@ -137,14 +137,24 @@ class MoonTable:
             raise MoonTableError(f"version {version} not in log {vs[:3]}..{vs[-1]}")
         files: dict[str, dict] = {}
         first = self._read_commit(vs[0])
+        eff_schema = first.schema
         for v in vs:
             if v > version:
                 break
             c = self._read_commit(v)
+            if c.schema:
+                # schema-evolving commit: the snapshot's schema is the
+                # LATEST one at or below the pinned version, so time
+                # travel below an evolution sees the pre-evolution shape
+                eff_schema = c.schema
             for name in c.remove:
                 files.pop(name, None)
             for d in c.add:
                 files[d["name"]] = d
+        if eff_schema != first.schema:
+            from dataclasses import replace as _dc_replace
+
+            first = _dc_replace(first, schema=eff_schema)
         return list(files.values()), first
 
     def schema(self) -> T.StructType:
@@ -307,9 +317,23 @@ class MoonTable:
         )
         return v
 
-    def merge(self, changes: DataFrame, source_version: Optional[int] = None) -> int:
+    def merge(
+        self,
+        changes: DataFrame,
+        source_version: Optional[int] = None,
+        on_schema_drift: str = "fail",
+    ) -> int:
         """Apply a CDC change batch: ``changes`` carries the table columns
         plus ``__op`` ∈ {I, U, D} (insert / update-upsert / delete).
+
+        ``on_schema_drift``: 'fail' (default) refuses a batch whose
+        columns drifted from the mirror schema; 'evolve' widens the
+        mirror instead — extra batch columns become new NULLABLE mirror
+        columns (recorded in a schema-evolving commit; pre-evolution
+        files read the new column as NULL; time travel below the
+        evolution sees the old shape), and columns missing from the
+        batch (upstream DROP) stay in the mirror with NULL in the new
+        row images.  Primary-key columns can never be missing.
 
         Copy-on-write MERGE:
         1. prune — per-file pk min/max stats select only files whose key
@@ -332,20 +356,49 @@ class MoonTable:
             raise MoonTableError("merge requires a primary key")
         if OP_COL not in changes.columns:
             raise MoonTableError(f"changes must carry {OP_COL} in {{I,U,D}}")
-        # source schema drift fails LOUDLY (SURVEY §7.3): an extra column
-        # silently dropped, or a missing one silently nulled, would let a
-        # drifted upstream diverge the mirror without anyone noticing.
-        # Mirror ALTER propagation is out of scope (§1.3) — by design this
-        # raises instead of evolving.
-        expected = {f.name for f in self.schema().fields}
-        got = {c for c in changes.columns if c != OP_COL}
-        extra, missing = sorted(got - expected), sorted(expected - got)
+        # source schema drift fails LOUDLY by default (SURVEY §7.3): an
+        # extra column silently dropped, or a missing one silently
+        # nulled, would let a drifted upstream diverge the mirror without
+        # anyone noticing.  on_schema_drift='evolve' opts into widening.
+        work_schema = self.schema()
+        expected = {f.name for f in work_schema.fields}
+        got = [c for c in changes.columns if c != OP_COL]
+        extra, missing = sorted(set(got) - expected), sorted(expected - set(got))
+        evolved = False
         if extra or missing:
-            raise MoonTableError(
-                f"CDC batch schema drifted from the mirror schema: extra "
-                f"columns {extra}, missing columns {missing}; recreate the "
-                "mirror (or load via load_files) to change its schema"
-            )
+            if on_schema_drift != "evolve":
+                raise MoonTableError(
+                    f"CDC batch schema drifted from the mirror schema: extra "
+                    f"columns {extra}, missing columns {missing}; recreate "
+                    "the mirror (or load via load_files) to change its "
+                    "schema, or pass on_schema_drift='evolve'"
+                )
+            missing_pk = [k for k in pk if k in missing]
+            if missing_pk:
+                raise MoonTableError(
+                    f"CDC batch lacks primary-key columns {missing_pk}; "
+                    "cannot evolve past the key"
+                )
+            if extra:
+                batch_types = {
+                    f.name: f.dataType for f in changes.schema.fields
+                }
+                work_schema = T.StructType(
+                    list(work_schema.fields)
+                    + [
+                        T.StructField(c, batch_types[c], True)
+                        for c in got
+                        if c in set(extra)
+                    ]
+                )
+                evolved = True
+            for mcol in missing:  # upstream DROP: new images carry NULL
+                mtype = next(
+                    f.dataType
+                    for f in work_schema.fields
+                    if f.name == mcol
+                )
+                changes = changes.withColumn(mcol, F.lit(None).cast(mtype))
         changes = changes.cache()
         try:
             # every changed key evicts its old image — including I keys,
@@ -363,12 +416,14 @@ class MoonTable:
                 d["name"] for d in touched
             }
 
-            cols = [f.name for f in self.schema().fields]
+            cols = [f.name for f in work_schema.fields]
             upserts = changes.filter(F.col(OP_COL).isin("I", "U")).select(*cols)
 
             if touched:
+                # scanning OLD files with the (possibly evolved) schema
+                # null-fills columns the files predate
                 paths = [os.path.join(self.path, d["name"]) for d in touched]
-                current = self.spark.read.schema(self.schema()).parquet(*paths)
+                current = self.spark.read.schema(work_schema).parquet(*paths)
                 survivors = current.join(ud_keys, on=pk, how="left_anti")
                 new_data = survivors.unionByName(upserts)
             else:
@@ -382,6 +437,11 @@ class MoonTable:
                     op="merge",
                     add=add,
                     remove=[d["name"] for d in touched],
+                    schema=(
+                        json.dumps(work_schema.jsonValue())
+                        if evolved
+                        else None
+                    ),
                     source_version=source_version,
                 )
             )

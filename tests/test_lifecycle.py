@@ -774,3 +774,69 @@ def test_mirror_timestamp_time_travel(spark, warehouse):
         eng.table("ttm", as_of_timestamp=int((t_first - 10) * 1000))
     with _pytest.raises(ValueError, match="mutually exclusive"):
         eng.table("ttm", version=1, as_of_timestamp=int(t_last * 1000))
+
+def test_apply_changes_schema_evolve(spark, warehouse):
+    """on_schema_drift='evolve': an upstream ADD COLUMN widens the
+    mirror (new nullable column; pre-evolution rows read NULL; time
+    travel below the evolution sees the old shape), a missing non-key
+    column nulls in the new images, a missing KEY column still refuses,
+    and an attached Iceberg export evolves in step."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+    from pg_mooncake_spark.storage import MoonTableError
+
+    eng = _engine(spark, warehouse)
+    src = spark.range(5).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id * 2 AS INT) AS v"
+    )
+    eng.create_table("evo", source_df=src, primary_key=["k"])
+    export = f"{warehouse}/evo_export"
+    eng.attach_export("evo", export)
+
+    drifted = spark.createDataFrame(
+        [(10, 20, "new", "I"), (0, 99, "upd", "U")],
+        "k int, v int, note string, __op string",
+    )
+    # default still refuses (fail-loudly contract intact)
+    with _pytest.raises(MoonTableError, match="drifted"):
+        eng.apply_changes("evo", drifted, source_version=5)
+
+    v_before = eng.catalog.get("evo")["flush_version"]
+    eng.apply_changes(
+        "evo", drifted, source_version=5, on_schema_drift="evolve"
+    )
+    out = {r["k"]: (r["v"], r["note"]) for r in eng.table("evo").collect()}
+    assert out[10] == (20, "new") and out[0] == (99, "upd")
+    assert out[1] == (2, None)  # pre-evolution row: NULL in new column
+    assert len(out) == 6
+
+    # time travel below the evolution: old two-column shape
+    old = eng.table("evo", version=v_before)
+    assert [f.name for f in old.schema.fields] == ["k", "v"]
+
+    # the attached export evolved in step
+    exp = {r["k"]: (r["v"], r["note"])
+           for r in read_iceberg(spark, export).collect()}
+    assert exp == out
+
+    # next batch missing the evolved column (upstream DROP): nulls in
+    # the new image only
+    drop_batch = spark.createDataFrame(
+        [(2, 55, "U")], "k int, v int, __op string"
+    )
+    eng.apply_changes(
+        "evo", drop_batch, source_version=6, on_schema_drift="evolve"
+    )
+    out = {r["k"]: (r["v"], r["note"]) for r in eng.table("evo").collect()}
+    assert out[2] == (55, None) and out[10] == (20, "new")
+    exp = {r["k"]: (r["v"], r["note"])
+           for r in read_iceberg(spark, export).collect()}
+    assert exp == out
+
+    # a batch without the primary key can never evolve past it
+    bad = spark.createDataFrame([(1, "x", "U")], "v int, note string, __op string")
+    with _pytest.raises(MoonTableError, match="primary-key"):
+        eng.apply_changes(
+            "evo", bad, source_version=7, on_schema_drift="evolve"
+        )
