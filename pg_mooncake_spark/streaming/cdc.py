@@ -30,6 +30,7 @@ def start_sync(
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = False,
     processing_time: str = "1 second",
+    on_schema_drift: str = "fail",
 ) -> StreamingQuery:
     """Attach a change stream to a mirror; returns the StreamingQuery
     (the engine-session-owned sync loop, reference A13).
@@ -39,6 +40,9 @@ def start_sync(
       idempotent for U/D (I replays are suppressed by epoch tracking).
     - ordering: foreachBatch serializes batches, so mirror versions move
       monotonically with the stream, like moonlink's commit_lsn.
+    - ``on_schema_drift='evolve'`` lets a mid-stream upstream ADD COLUMN
+      widen the mirror (and attached exports) instead of failing the
+      query; the default keeps the fail-loudly contract.
     """
     if not change_stream.isStreaming:
         raise ValueError("change_stream must be a streaming DataFrame")
@@ -69,7 +73,12 @@ def start_sync(
         applied_epochs.add(epoch_id)
         if batch_df.isEmpty():
             return
-        engine.apply_changes(dst, batch_df, source_version=base + epoch_id)
+        engine.apply_changes(
+            dst,
+            batch_df,
+            source_version=base + epoch_id,
+            on_schema_drift=on_schema_drift,
+        )
 
     writer = change_stream.writeStream.foreachBatch(apply_batch).outputMode("update")
     writer = writer.option("checkpointLocation", checkpoint_dir)
@@ -85,11 +94,13 @@ def sync_available(
     dst: str,
     change_stream: DataFrame,
     checkpoint_dir: Optional[str] = None,
+    on_schema_drift: str = "fail",
 ) -> None:
     """Drain everything currently available in the stream, then stop —
     the synchronous 'catch up now' barrier used by tests and
     create_snapshot-style freshness waits."""
     q = start_sync(
-        engine, dst, change_stream, checkpoint_dir, trigger_available_now=True
+        engine, dst, change_stream, checkpoint_dir,
+        trigger_available_now=True, on_schema_drift=on_schema_drift,
     )
     q.awaitTermination()

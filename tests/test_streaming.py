@@ -200,7 +200,7 @@ def test_sync_restart_resume_exactly_once(spark, tmp_path):
     real_apply = eng.apply_changes
     crashed = {"done": False}
 
-    def flaky_apply(dst, changes, source_version=None):
+    def flaky_apply(dst, changes, source_version=None, **kw):
         if source_version is not None and source_version >= 2 and not crashed["done"]:
             crashed["done"] = True
             raise RuntimeError("injected worker crash")
@@ -338,3 +338,50 @@ def test_streaming_sync_maintains_attached_iceberg_export(spark, tmp_path):
         assert mirror == export == [(2, "b2"), (3, "c")]
     finally:
         q.stop()
+
+def test_streaming_sync_mid_stream_schema_evolve(spark, tmp_path):
+    """A mid-stream upstream ADD COLUMN: with on_schema_drift='evolve'
+    the sync loop widens the mirror instead of failing the query; rows
+    before the drift read NULL in the new column."""
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.streaming.cdc import sync_available
+
+    wh = str(tmp_path / "wh")
+    eng = MooncakeEngine(spark, wh)
+    eng.create_table(
+        "sevo",
+        source_df=spark.createDataFrame([(1, 10)], "k int, v int"),
+        primary_key=["k"],
+    )
+
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    # first micro-batch file: original shape (note null — the stream
+    # schema is fixed at start; the DRIFT is what the mirror evolves on)
+    spark.createDataFrame(
+        [(2, 20, None, "I")], "k int, v int, note string, __op string"
+    ).write.json(os.path.join(src_dir, "b0"))
+    stream = (
+        spark.readStream.schema("k int, v int, note string, __op string")
+        .json(src_dir + "/*")
+    )
+    sync_available(
+        eng, "sevo", stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_schema_drift="evolve",
+    )
+    out = {r["k"]: (r["v"], r["note"]) for r in eng.table("sevo").collect()}
+    assert out == {1: (10, None), 2: (20, None)}
+
+    # second batch carries a real value in the drifted column
+    spark.createDataFrame(
+        [(3, 30, "text", "I"), (1, 11, "upd", "U")],
+        "k int, v int, note string, __op string",
+    ).write.json(os.path.join(src_dir, "b1"))
+    sync_available(
+        eng, "sevo", stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_schema_drift="evolve",
+    )
+    out = {r["k"]: (r["v"], r["note"]) for r in eng.table("sevo").collect()}
+    assert out == {1: (11, "upd"), 2: (20, None), 3: (30, "text")}
