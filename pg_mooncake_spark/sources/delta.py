@@ -1709,6 +1709,7 @@ def compact_delta(
     path: str,
     target_files: Optional[int] = None,
     sort_by: Optional[list[str]] = None,
+    zorder_by: Optional[list[str]] = None,
 ) -> int:
     """OPTIMIZE-style compaction: rewrite the current state (deletion
     vectors folded in — the rewritten files contain only surviving rows)
@@ -1716,11 +1717,12 @@ def compact_delta(
     DV lifecycle's closing step: accumulate cheap merge-on-read deletes,
     then fold them into clean files in one maintenance pass.
 
-    ``sort_by`` range-clusters the rewrite (the OPTIMIZE ... ZORDER
-    use-case expressed as a linear sort): files get DISJOINT value
+    ``sort_by`` range-clusters the rewrite: files get DISJOINT value
     ranges on the sort columns, which the per-add stats JSON turns into
-    file skipping for any delta reader.  Partitioned tables sort within
-    partition clusters.
+    file skipping for any delta reader.  ``zorder_by`` (mutually
+    exclusive) clusters on the Morton interleave of several columns —
+    OPTIMIZE ... ZORDER — so a range_filter on ANY of them skips files.
+    Partitioned tables sort within partition clusters.
 
     add/remove actions carry ``dataChange: false`` (per the protocol,
     OPTIMIZE does not change table content), so CDC-style readers skip
@@ -1729,6 +1731,8 @@ def compact_delta(
     adds, schema, partition_cols, st = _replay(path)
     if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
         raise DeltaProtocolError("compacting column-mapped tables not supported")
+    if sort_by and zorder_by:
+        raise DeltaProtocolError("sort_by and zorder_by are mutually exclusive")
     df = read_delta(spark, path)
     if sort_by:
         missing = [c for c in sort_by if c not in df.columns]
@@ -1744,6 +1748,20 @@ def compact_delta(
                 *([target_files] if target_files is not None else []),
                 *sort_by,
             ).sortWithinPartitions(*sort_by)
+    elif zorder_by:
+        from pg_mooncake_spark.functions.zorder import zorder_key
+
+        zk = zorder_key(df, list(zorder_by))
+        if partition_cols:
+            df = df.repartition(
+                *([target_files] if target_files is not None else []),
+                *partition_cols,
+            ).sortWithinPartitions(zk)
+        else:
+            df = df.repartitionByRange(
+                *([target_files] if target_files is not None else []),
+                zk,
+            ).sortWithinPartitions(zk)
     elif target_files is not None:
         df = df.repartition(target_files)
     new_adds = (
@@ -1772,7 +1790,11 @@ def compact_delta(
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
                 "operationParameters": (
-                    {"sortBy": json.dumps(sort_by)} if sort_by else {}
+                    {"sortBy": json.dumps(sort_by)}
+                    if sort_by
+                    else {"zOrderBy": json.dumps(zorder_by)}
+                    if zorder_by
+                    else {}
                 ),
             }
         }

@@ -2269,6 +2269,7 @@ def compact_iceberg(
     path: str,
     target_files: Optional[int] = None,
     sort_by: Optional[list[str]] = None,
+    zorder_by: Optional[list[str]] = None,
 ) -> int:
     """OPTIMIZE-style rewrite: materialize the current state (positional
     deletes folded in — the rewritten files hold only surviving rows)
@@ -2285,6 +2286,13 @@ def compact_iceberg(
     nulls-first — matching the physical asc-nulls-first sort) and each
     rewritten data file is stamped with its ``sort_order_id``.
     Partitioned tables sort WITHIN partition clusters.
+
+    ``zorder_by`` clusters on the Morton interleave of SEVERAL columns
+    instead (functions/zorder.py) — a range_filter on ANY of them then
+    skips most files, where a linear sort only helps its leading
+    column.  Mutually exclusive with ``sort_by``; not representable in
+    ``sort-orders`` metadata (the spec has no z transform), the benefit
+    rides entirely on the per-file column bounds.
 
     Prior snapshots stay readable (their manifest chains are untouched)
     until expire_snapshots reclaims them.  Returns the new snapshot id.
@@ -2307,6 +2315,8 @@ def compact_iceberg(
     for s in meta.get("partition-specs") or []:
         if s.get("spec-id") == int(meta.get("default-spec-id") or 0):
             spec_fields = s.get("fields")
+    if sort_by and zorder_by:
+        raise IcebergSupportError("sort_by and zorder_by are mutually exclusive")
     cur_schema_fields = {}
     for s in meta.get("schemas") or []:
         if s.get("schema-id") == meta.get("current-schema-id"):
@@ -2355,6 +2365,10 @@ def compact_iceberg(
         )
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
+        elif zorder_by:
+            from pg_mooncake_spark.functions.zorder import zorder_key
+
+            df = df.sortWithinPartitions(zorder_key(df, list(zorder_by)))
     elif sort_by:
         # range partitioning gives files DISJOINT sort-key ranges (the
         # point of a sorted rewrite: stats-based skipping), then an
@@ -2363,6 +2377,14 @@ def compact_iceberg(
             *([target_files] if target_files is not None else []),
             *sort_by,
         ).sortWithinPartitions(*sort_by)
+    elif zorder_by:
+        from pg_mooncake_spark.functions.zorder import zorder_key
+
+        zk = zorder_key(df, list(zorder_by))
+        df = df.repartitionByRange(
+            *([target_files] if target_files is not None else []),
+            zk,
+        ).sortWithinPartitions(zk)
     elif target_files is not None:
         df = df.repartition(target_files)
 

@@ -2700,3 +2700,64 @@ def test_timestamp_time_travel_delta_and_iceberg(spark, tmp_path):
         read_iceberg(spark, ipath, as_of_timestamp=ts0 - 10)
     with _pytest.raises(IcebergSupportError, match="mutually exclusive"):
         read_iceberg(spark, ipath, snapshot_id=1, as_of_timestamp=ts0)
+
+def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
+    """zorder_by clusters on the Morton interleave: after the rewrite a
+    range_filter on EITHER z-ordered column scans a strict subset of
+    files — the property a linear sort only gives its leading column.
+    Verified for Iceberg and Delta; Morton key unit-checked for bit
+    interleaving."""
+    from pyspark.sql import functions as SF
+
+    from pg_mooncake_spark.functions.zorder import zorder_key
+    from pg_mooncake_spark.sources.delta import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+    from pg_mooncake_spark.sources.iceberg import (
+        compact_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    # unit: interleave of maxed 16-bit cells fills alternating bits
+    unit = spark.createDataFrame(
+        [(0, 0), (65535, 0), (0, 65535), (65535, 65535)], "a long, b long"
+    )
+    keys = [
+        r["z"] for r in unit.select(
+            zorder_key(unit, ["a", "b"]).alias("z")
+        ).collect()
+    ]
+    assert keys[0] == 0
+    assert keys[1] == 0x55555555  # a occupies even bits
+    assert keys[2] == 0xAAAAAAAA  # b occupies odd bits
+    assert keys[3] == 0xFFFFFFFF
+
+    # a 32x32 grid: both dims uniformly spread, uncorrelated
+    df = spark.createDataFrame(
+        [(i % 32, (i * 7919) % 32, float(i)) for i in range(1024)],
+        "a long, b long, x double",
+    )
+
+    ipath = str(tmp_path / "ice_z")
+    write_iceberg(df.repartition(4), ipath)
+    compact_iceberg(spark, ipath, target_files=16, zorder_by=["a", "b"])
+    full_n = len(read_iceberg(spark, ipath).inputFiles())
+    assert full_n > 4
+    fa = read_iceberg(spark, ipath, range_filter={"a": (0, 7)})
+    fb = read_iceberg(spark, ipath, range_filter={"b": (0, 7)})
+    assert fa.count() == 1024 // 4 and fb.count() == 1024 // 4
+    assert len(fa.inputFiles()) < full_n
+    assert len(fb.inputFiles()) < full_n
+
+    dpath = str(tmp_path / "dl_z")
+    write_delta(df.repartition(4), dpath)
+    compact_delta(spark, dpath, target_files=16, zorder_by=["a", "b"])
+    full_n = len(read_delta(spark, dpath).inputFiles())
+    fa = read_delta(spark, dpath, range_filter={"a": (0, 7)})
+    fb = read_delta(spark, dpath, range_filter={"b": (0, 7)})
+    assert fa.count() == 1024 // 4 and fb.count() == 1024 // 4
+    assert len(fa.inputFiles()) < full_n
+    assert len(fb.inputFiles()) < full_n
