@@ -515,13 +515,18 @@ class MooncakeEngine:
         """reference A4 (src/functions.rs:132-144): 'compact' rewrites small
         files; 'vacuum' also deletes unreferenced files; 'sort:<col>[,col]'
         range-clusters the rewrite so file stats ranges are disjoint
-        (maximum pruning)."""
+        (maximum pruning); 'zorder:<col>,<col>' clusters on the Morton
+        interleave so pruning works on ANY listed column."""
         dst = self._canon(dst)
         mt = self._moontable(dst)
         sort_cols = None
+        zorder_cols = None
         if mode.startswith("sort:"):
             sort_cols = mode[len("sort:"):].split(",")
             v = mt.optimize(sort_by=sort_cols)
+        elif mode.startswith("zorder:"):
+            zorder_cols = mode[len("zorder:"):].split(",")
+            v = mt.optimize(zorder_by=zorder_cols)
         else:
             v = mt.optimize()
         if mode == "vacuum":
@@ -537,7 +542,9 @@ class MooncakeEngine:
                 expire_snapshots,
             )
 
-            compact_iceberg(self.spark, path, sort_by=sort_cols)
+            compact_iceberg(
+                self.spark, path, sort_by=sort_cols, zorder_by=zorder_cols
+            )
             if mode == "vacuum":
                 expire_snapshots(path, retain_last=1)
         self.catalog.update_watermarks(dst, flush_version=v)

@@ -672,6 +672,7 @@ class MoonTable:
         self,
         target_partitions: Optional[int] = None,
         sort_by: Optional[list[str]] = None,
+        zorder_by: Optional[list[str]] = None,
     ) -> int:
         """Compact small files (reference mooncake.optimize_table A4).
 
@@ -681,9 +682,13 @@ class MoonTable:
         ``sort_by`` clusters the rewrite on the given columns
         (repartitionByRange + in-file sort): file pk-stat ranges become
         disjoint, so MERGE pruning and min/max data skipping touch the
-        fewest possible files — the moontable analog of Delta's
-        ``OPTIMIZE ... ZORDER BY`` for the single-column case.
+        fewest possible files.  ``zorder_by`` (mutually exclusive)
+        clusters on the Morton interleave instead — the moontable
+        analog of Delta's ``OPTIMIZE ... ZORDER BY``: pruning works on
+        ANY of the z-ordered columns, not just the leading one.
         """
+        if sort_by and zorder_by:
+            raise MoonTableError("sort_by and zorder_by are mutually exclusive")
         files, _ = self._snapshot(None)
         n_rows = sum(d.get("rows") or 0 for d in files)
         if target_partitions is None:
@@ -693,6 +698,11 @@ class MoonTable:
             df = df.repartitionByRange(target_partitions, *sort_by).sortWithinPartitions(
                 *sort_by
             )
+        elif zorder_by:
+            from pg_mooncake_spark.functions.zorder import zorder_key
+
+            zk = zorder_key(df, list(zorder_by))
+            df = df.repartitionByRange(target_partitions, zk).sortWithinPartitions(zk)
         else:
             df = df.repartition(target_partitions)
         return self.overwrite(df)

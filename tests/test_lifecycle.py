@@ -840,3 +840,24 @@ def test_apply_changes_schema_evolve(spark, warehouse):
         eng.apply_changes(
             "evo", bad, source_version=7, on_schema_drift="evolve"
         )
+
+def test_optimize_zorder_mode_prunes_on_both_columns(spark, warehouse):
+    """optimize_table('zorder:a,b') Morton-clusters the mirror rewrite:
+    pk-stat pruned reads (where=) skip files for predicates on EITHER
+    z-ordered pk column."""
+    eng = _engine(spark, warehouse)
+    src = spark.createDataFrame(
+        [(i % 32, (i * 7919) % 32, float(i)) for i in range(1024)],
+        "a int, b int, x double",
+    )
+    eng.create_table("zt", source_df=src, primary_key=["a", "b"])
+    eng.optimize_table("zt", mode="zorder:a,b")
+    mt = MoonTable(spark, f"{warehouse}/zt")
+    n_files = len(mt._snapshot(None)[0])
+    assert n_files > 2
+
+    fa = eng.table("zt", where="a BETWEEN 0 AND 7")
+    fb = eng.table("zt", where="b BETWEEN 0 AND 7")
+    assert fa.count() == 1024 // 4 and fb.count() == 1024 // 4
+    assert len(fa.inputFiles()) < n_files
+    assert len(fb.inputFiles()) < n_files
