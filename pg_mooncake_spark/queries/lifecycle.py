@@ -272,3 +272,72 @@ def lifecycle_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price").cast("double").alias("sum_price"),
         F.sum(F.col("price") * F.col("disc")).cast("double").alias("sum_weighted"),
     )
+
+@query(
+    "lifecycle_schema_evolution_cdc",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 5000),
+    evolved AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'bumped' END AS tag
+      FROM base
+      UNION ALL
+      SELECT 9000000 + g AS o_orderkey,
+             CAST(g AS DOUBLE) AS o_totalprice,
+             'new' AS tag
+      FROM generate_series(1, 5) AS s(g))
+    SELECT COALESCE(tag, '<null>') AS tag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_price
+    FROM evolved GROUP BY 1 ORDER BY 1
+    """,
+)
+def lifecycle_schema_evolution_cdc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-stream CDC schema evolution end-to-end on a mirror: the
+    upstream adds a ``tag`` column, the drifted batch applies with
+    on_schema_drift='evolve' (U rows doubling every 10th price +
+    new I rows), and the widened mirror reads back with pre-evolution
+    rows NULL in the new column.  The oracle rebuilds the expected
+    post-evolution state in SQL — a silently-dropped column, a
+    mis-nulled pre-evolution row, or a lost upsert all hash-mismatch."""
+    from pg_mooncake_spark.engine import changes_df
+
+    eng = _temp_engine(spark)
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    eng.create_table("evo", source_df=base, primary_key=["o_orderkey"])
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("bumped").alias("tag"),
+        )
+    )
+    inserts = spark.range(1, 6).select(
+        (F.col("id") + 9000000).alias("o_orderkey"),
+        F.col("id").cast("double").alias("o_totalprice"),
+        F.lit("new").alias("tag"),
+    )
+    batch = changes_df(updates, op="U").unionByName(
+        changes_df(inserts, op="I")
+    )
+    eng.apply_changes("evo", batch, source_version=1, on_schema_drift="evolve")
+    return (
+        eng.table("evo")
+        .groupBy(F.coalesce(F.col("tag"), F.lit("<null>")).alias("tag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("tag")
+    )

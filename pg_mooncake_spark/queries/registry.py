@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = (
     "dedup_substring_runs",
     "text_boilerplate_fraction",
     "iceberg_sorted_range_scan",
+    "lifecycle_schema_evolution_cdc",
     "scalar_interval_family",
     "lifecycle_decimal_roundtrip",
     "text_top_ngrams",
@@ -114,7 +115,6 @@ _WINDOW_PRIORITY = (
     "sim_ann_indexed_probe",
     "pipeline_pretraining_corpus",
     "corpus_sample_deterministic",
-    "corpus_sample_stratified",
 )
 
 
