@@ -861,3 +861,45 @@ def test_optimize_zorder_mode_prunes_on_both_columns(spark, warehouse):
     assert fa.count() == 1024 // 4 and fb.count() == 1024 // 4
     assert len(fa.inputFiles()) < n_files
     assert len(fb.inputFiles()) < n_files
+
+def test_bucket_partitioned_attach_export_syncs(spark, warehouse, tmp_path):
+    """attach_export with a bucket() transform spec: the engine's DSL
+    flows through to the Iceberg writer, the CDC sync stages under the
+    murmur3 buckets, and every synced row lands in its spec-mandated
+    bucket file."""
+    import struct
+
+    from pg_mooncake_spark.sources.iceberg import (
+        _latest_metadata,
+        _murmur3_32,
+        read_iceberg,
+    )
+
+    eng = _engine(spark, warehouse)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    )
+    eng.create_table("bm", source_df=df, primary_key=["k"])
+    exp = str(tmp_path / "exp_bucket")
+    eng.attach_export("bm", exp, partition_by=["bucket(4, k)"])
+    spec = _latest_metadata(exp)["partition-specs"][0]
+    assert [(f["name"], f["transform"]) for f in spec["fields"]] == [
+        ("k_bucket", "bucket[4]")
+    ]
+
+    batch = spark.createDataFrame(
+        [(3, "upd3", "U"), (100, "new100", "I"), (4, None, "D")],
+        "k long, v string, __op string",
+    )
+    eng.apply_changes("bm", batch, source_version=1)
+    mirror = {(r["k"], r["v"]) for r in eng.table("bm").collect()}
+    export = {(r["k"], r["v"]) for r in read_iceberg(spark, exp).collect()}
+    assert mirror == export and (100, "new100") in export
+
+    def bucket(k: int) -> int:
+        return (_murmur3_32(struct.pack("<q", k)) & 0x7FFFFFFF) % 4
+
+    b = bucket(100)
+    probe = read_iceberg(spark, exp, partition_filter={"k_bucket": b})
+    rows = {r["k"] for r in probe.collect()}
+    assert 100 in rows and all(bucket(k) == b for k in rows)
