@@ -336,9 +336,11 @@ class MoonTable:
         row images.  Primary-key columns can never be missing.
 
         Copy-on-write MERGE:
-        1. prune — per-file pk min/max stats select only files whose key
-           range intersects the batch's U/D keys (at 100 TB this is the
-           difference between rewriting gigabytes and rewriting everything);
+        1. prune — per-file pk min/max stats narrow candidates driver-side,
+           then an exact key-membership probe (:meth:`_probe_by_keys`)
+           keeps only files actually containing a changed key (at 100 TB
+           this is the difference between rewriting gigabytes and
+           rewriting everything, even for scattered-key batches);
         2. rewrite — anti-join the touched files against U/D keys
            (dropping old images), then append U-images and I-rows;
         3. commit — one atomic log entry removing touched files and adding
@@ -411,10 +413,15 @@ class MoonTable:
             ).collect()[0]
 
             files, _ = self._snapshot(None)
-            touched = [d for d in files if _intersects(d, pk, key_bounds)]
-            untouched_names = {d["name"] for d in files} - {
-                d["name"] for d in touched
-            }
+            # two-stage candidate resolution: (1) per-file pk min/max
+            # stats vs the batch envelope — driver-side, no job; then
+            # (2) an exact key-membership probe, because the envelope
+            # alone admits every file overlapping the batch's GLOBAL
+            # [min,max] — a scattered-key CDC batch (uniform random
+            # updates, the common busy-OLTP shape) would degrade the
+            # merge to a full-table rewrite (VERDICT r7 task 1).
+            candidates = [d for d in files if _intersects(d, pk, key_bounds)]
+            touched = self._probe_by_keys(candidates, ud_keys, pk)
 
             cols = [f.name for f in work_schema.fields]
             upserts = changes.filter(F.col(OP_COL).isin("I", "U")).select(*cols)
@@ -445,10 +452,44 @@ class MoonTable:
                     source_version=source_version,
                 )
             )
-            _ = untouched_names  # untouched files carry over implicitly
             return v
         finally:
             changes.unpersist()
+
+    def _probe_by_keys(
+        self, candidates: list[dict], keys_df: DataFrame, pk: list[str]
+    ) -> list[dict]:
+        """Exact touched-file resolution for MERGE: of the stat-pruned
+        candidate files, keep only those that actually CONTAIN at least
+        one batch key.
+
+        The probe reads ONLY the pk columns (column-pruned parquet scan;
+        the reader's footer stats additionally skip whole row groups),
+        semi-joins against the distinct batch keys, and collects the
+        distinct file names — O(#files) driver traffic, never O(rows).
+        AQE turns the semi-join into a broadcast when the batch is small
+        (the normal CDC case).  Skipped when stats already narrowed the
+        candidates to ≤1 file: a probe job cannot beat just rewriting it.
+        """
+        if len(candidates) <= 1:
+            return candidates
+        pk_schema = T.StructType(
+            [f for f in self.schema().fields if f.name in set(pk)]
+        )
+        paths = [os.path.join(self.path, d["name"]) for d in candidates]
+        hit = (
+            self.spark.read.schema(pk_schema)
+            .parquet(*paths)
+            .withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .join(keys_df, on=list(pk), how="leftsemi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        names = {r["__file"] for r in hit}
+        return [d for d in candidates if d["name"] in names]
 
     def _pk_stat_candidates(
         self, files: list[dict], condition: str

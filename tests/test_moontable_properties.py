@@ -130,6 +130,38 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     assert not _glob.glob(_os.path.join(path, "_moonlog", "*.tmp.*"))
 
 
+def test_merge_scattered_keys_rewrites_only_containing_files(spark, tmp_path):
+    """VERDICT r7 task 1: a CDC batch whose keys span the id space must
+    NOT degrade the merge to a full-table rewrite.  The batch's global
+    [min,max] envelope overlaps every file of a pk-sorted table when its
+    two keys sit at opposite ends — the exact key-membership probe has to
+    narrow the rewrite to only the files that actually contain a changed
+    key (≤2 of many)."""
+    path = str(tmp_path / "t")
+    mt = MoonTable(spark, path)
+    mt.create(SCHEMA, primary_key=["k"])
+    big = spark.range(0, 1000).selectExpr("cast(id as int) k", "cast(id*2 as int) v")
+    mt.append(big)
+    # pk-sorted rewrite into many files with disjoint key ranges
+    mt.optimize(target_partitions=10, sort_by=["k"])
+    n_files = len(mt._snapshot(None)[0])
+    assert n_files >= 8
+
+    # two far-apart keys: envelope spans [1, 998] → every file intersects
+    changes = spark.createDataFrame(
+        [(1, -1, "U"), (998, -2, "U")], "k int, v int, __op string"
+    )
+    v = mt.merge(changes)
+    commit = mt._read_commit(v)
+    assert len(commit.remove) <= 2, (
+        f"scattered-key merge rewrote {len(commit.remove)}/{n_files} files; "
+        "expected the key-membership probe to touch ≤2"
+    )
+    got = {r["k"]: r["v"] for r in mt.read().collect()}
+    assert got[1] == -1 and got[998] == -2 and got[500] == 1000
+    assert len(got) == 1000
+
+
 def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
     """A writer that died between staging and commit leaves _staging_*;
     vacuum must reclaim it once past the grace window — but a staging dir
