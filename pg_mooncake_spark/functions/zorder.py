@@ -7,11 +7,26 @@ the bits of each column's normalized position makes files cluster in a
 space-filling curve: a range filter on ANY of the z-ordered columns
 skips most files (the OPTIMIZE ... ZORDER use-case).
 
-Normalization here is linear min/max scaling to 16-bit positions —
-bounded driver traffic (one min/max aggregate), no global sort, no
-single-partition ntile bottleneck.  Heavily skewed columns cluster less
-evenly than a rank-based scaling would; the skipping stays sound either
-way because pruning only ever reads the per-file bounds.
+Two normalizations to cell positions:
+
+- ``method='linear'`` — min/max scaling: one driver-side min/max
+  aggregate, no global sort.  Heavy-tailed columns collapse most rows
+  into a few cells (a power-law column's 99th percentile may sit in
+  cell 0 of 65536), weakening clustering.
+- ``method='quantile'`` — piecewise-linear CDF scaling: one
+  ``approxQuantile`` pass (17 boundary values per column — bounded
+  driver traffic, Greenwald-Khanna, no global sort) defines 16 equal-
+  population segments; values scale linearly WITHIN their segment.
+  Cell populations are near-uniform regardless of skew, so files split
+  the curve evenly and pruning holds on heavy-tailed columns.
+
+Pruning soundness never depends on the choice: file skipping only ever
+reads the per-file min/max bounds of the REAL column values.
+
+Per-column resolution adapts to the column count so the interleave fits
+a signed 64-bit long: ``bits = min(16, 63 // n_cols)`` (ADVICE r7 — with
+a fixed 16 bits, 4 columns placed a bit in the sign position, inverting
+sort order for half the curve, and ≥5 columns wrapped shifts mod 64).
 """
 
 from __future__ import annotations
@@ -19,20 +34,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_BITS = 16  # per-column resolution: 2^16 cells per dimension
+_BITS = 16       # max per-column resolution: 2^16 cells per dimension
+_SEGMENTS = 16   # quantile mode: equal-population segments per column
 
 
-def zorder_key(df: DataFrame, cols: list[str]) -> Column:
+def zorder_key(
+    df: DataFrame, cols: list[str], method: str = "linear"
+) -> Column:
     """Morton key Column over ``cols`` (numeric/date/timestamp).
 
-    One driver-side min/max aggregate bounds each column; every row's
-    value scales linearly to a 16-bit cell index; the indexes' bits
-    interleave into one LONG, entirely in JVM expressions (shiftleft /
-    bitwise-or) — no UDF, no shuffle of its own.  NULLs sort first
-    (cell 0).
+    The cell indexes' bits interleave into one LONG, entirely in JVM
+    expressions (shiftleft / bitwise-or) — no UDF, no shuffle of its
+    own.  NULLs sort first (cell 0).  ``method`` picks the cell
+    normalization (see module docstring).
     """
     if not cols:
         raise ValueError("zorder needs at least one column")
+    if method not in ("linear", "quantile"):
+        raise ValueError(f"unknown zorder method {method!r}")
     dtypes = dict(df.dtypes)
     missing = [c for c in cols if c not in dtypes]
     if missing:
@@ -46,10 +65,29 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
             return F.unix_micros(F.col(c)).cast("double")
         return F.col(c).cast("double")
 
+    n = len(cols)
+    bits = min(_BITS, 63 // n)  # top bit stays clear of the sign position
+    if method == "quantile":
+        cells = _cells_quantile(df, cols, as_num, bits)
+    else:
+        cells = _cells_linear(df, cols, as_num, bits)
+
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, cell in enumerate(cells):
+            src_bit = F.shiftright(cell, bit).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(src_bit, bit * n + i))
+    return key
+
+
+def _cells_linear(df, cols, as_num, bits: int) -> list[Column]:
+    """Linear min/max scaling — one aggregate, one collect (2 doubles
+    per column)."""
     bounds = df.agg(
         *[F.min(as_num(c)).alias(f"lo_{c}") for c in cols],
         *[F.max(as_num(c)).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
+    max_cell = (1 << bits) - 1
     cells = []
     for c in cols:
         lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
@@ -59,15 +97,45 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
         scaled = (
             (as_num(c) - F.lit(float(lo)))
             / F.lit(float(hi) - float(lo))
-            * F.lit((1 << _BITS) - 1)
+            * F.lit(max_cell)
         )
         cells.append(
             F.coalesce(F.floor(scaled).cast("long"), F.lit(0).cast("long"))
         )
-    n = len(cells)
-    key = F.lit(0).cast("long")
-    for bit in range(_BITS):
-        for i, cell in enumerate(cells):
-            src_bit = F.shiftright(cell, bit).bitwiseAND(F.lit(1).cast("long"))
-            key = key.bitwiseOR(F.shiftleft(src_bit, bit * n + i))
-    return key
+    return cells
+
+
+def _cells_quantile(df, cols, as_num, bits: int) -> list[Column]:
+    """Piecewise-linear CDF scaling: ``approxQuantile`` boundaries at
+    17 probabilities per column define 16 equal-population segments;
+    the cell is ``floor((segment + within-segment fraction) *
+    cells/16)``.  The expression is a 16-branch CASE — well inside
+    whole-stage codegen limits, unlike a per-cell boundary search."""
+    probs = [i / _SEGMENTS for i in range(_SEGMENTS + 1)]
+    tmp_names = [f"__zq_{i}" for i in range(len(cols))]
+    numdf = df.select(*[as_num(c).alias(a) for c, a in zip(cols, tmp_names)])
+    qlists = numdf.stat.approxQuantile(tmp_names, probs, 0.001)
+    max_cell = (1 << bits) - 1
+    per_seg = (max_cell + 1) / _SEGMENTS
+    cells = []
+    for c, qs in zip(cols, qlists):
+        v = as_num(c)
+        if not qs or qs[0] == qs[-1]:  # all-NULL or constant column
+            cells.append(F.lit(0).cast("long"))
+            continue
+        branch = F.when(v.isNull(), F.lit(0.0))
+        for i in range(_SEGMENTS):
+            lo, hi = qs[i], qs[i + 1]
+            if hi > lo:
+                pos = F.lit(float(i)) + (v - F.lit(lo)) / F.lit(hi - lo)
+            else:  # empty/constant segment (heavy ties)
+                pos = F.lit(float(i))
+            branch = branch.when(v <= F.lit(hi), pos)
+        pos_expr = branch.otherwise(F.lit(float(_SEGMENTS)))  # > approx max
+        cell = F.floor(pos_expr * F.lit(per_seg)).cast("long")
+        cell = F.least(
+            F.greatest(cell, F.lit(0).cast("long")),
+            F.lit(max_cell).cast("long"),
+        )
+        cells.append(cell)
+    return cells

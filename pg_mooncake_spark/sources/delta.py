@@ -1710,6 +1710,7 @@ def compact_delta(
     target_files: Optional[int] = None,
     sort_by: Optional[list[str]] = None,
     zorder_by: Optional[list[str]] = None,
+    zorder_method: str = "linear",
 ) -> int:
     """OPTIMIZE-style compaction: rewrite the current state (deletion
     vectors folded in — the rewritten files contain only surviving rows)
@@ -1751,7 +1752,7 @@ def compact_delta(
     elif zorder_by:
         from pg_mooncake_spark.functions.zorder import zorder_key
 
-        zk = zorder_key(df, list(zorder_by))
+        zk = zorder_key(df, list(zorder_by), method=zorder_method)
         if partition_cols:
             df = df.repartition(
                 *([target_files] if target_files is not None else []),

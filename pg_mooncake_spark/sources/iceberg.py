@@ -1066,49 +1066,68 @@ def _bucket_expr(col_name: str, n: int, source_type: str):
     """Spark Column computing the Iceberg ``bucket[N]`` partition value:
     ``(murmur3_x86_32(spec bytes) & MaxInt) % N``.  Spark's builtin
     ``hash()`` is murmur3 with a different seed/byte layout, so an
-    Arrow-batched pandas UDF computes the spec hash — numbers/dates/
-    timestamps vectorize through numpy; strings hash their UTF-8 bytes
-    per value inside the batch."""
+    Arrow-batched pandas UDF computes the spec hash over numpy —
+    strings hash their UTF-8 bytes per value inside the batch.
+
+    Temporal sources are reduced to the spec's long JVM-side FIRST
+    (``unix_micros`` for timestamps — instant-based, independent of
+    ``spark.sql.session.timeZone`` — and ``datediff`` from epoch for
+    dates), so the UDF only ever hashes longs: a non-UTC user session
+    cannot shift the hashed micros away from the spec's UTC micros
+    (ADVICE r7, iceberg.py:1094)."""
+    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int", PandasUDFType.SCALAR)
-    def _bucket(s):
-        import numpy as np
-        import pandas as pd
+    # NB: `from __future__ import annotations` stringifies inline hints
+    # and pandas is deliberately not a module-global (import cost), so
+    # the Series annotations are attached as real objects instead of
+    # decorator-syntax type hints — same type-hint UDF discovery path,
+    # no deprecated PandasUDFType (VERDICT r7 task 7).
+    if source_type == "string":
 
-        out = pd.Series([pd.NA] * len(s), dtype="Int32")
-        valid = s.notna()
-        if not valid.any():
-            return out
-        vals = s[valid]
-        if source_type == "string":
+        def _bucket_str(s):
+            import numpy as np
+
+            out = pd.Series([pd.NA] * len(s), dtype="Int32")
+            valid = s.notna()
+            if not valid.any():
+                return out
+            vals = s[valid]
             hashes = np.fromiter(
                 (_murmur3_32(str(v).encode("utf-8")) for v in vals),
                 dtype=np.int64,
                 count=len(vals),
             ).astype(np.uint32)
-        else:
-            if source_type in ("timestamp", "timestamptz"):
-                longs = (
-                    pd.to_datetime(vals).to_numpy(dtype="datetime64[us]")
-                    .astype(np.int64)
-                )
-            elif source_type == "date":
-                epoch = pd.Timestamp("1970-01-01")
-                longs = np.fromiter(
-                    ((pd.Timestamp(v) - epoch).days for v in vals),
-                    dtype=np.int64,
-                    count=len(vals),
-                )
-            else:  # int / long hashed as 8-byte longs per the spec
-                longs = vals.to_numpy(dtype=np.int64)
-            hashes = _mm3_hash_longs(longs)
+            buckets = (hashes & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+            out[valid] = buckets.astype(np.int32)
+            return out
+
+        _bucket_str.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_bucket_str, "int")(F.col(col_name))
+
+    if source_type in ("timestamp", "timestamptz"):
+        src = F.unix_micros(F.col(col_name))
+    elif source_type == "date":
+        src = F.datediff(F.col(col_name), F.lit("1970-01-01")).cast("long")
+    else:  # int / long hashed as 8-byte longs per the spec
+        src = F.col(col_name).cast("long")
+
+    def _bucket_long(s):
+        import numpy as np
+
+        out = pd.Series([pd.NA] * len(s), dtype="Int32")
+        valid = s.notna()
+        if not valid.any():
+            return out
+        longs = s[valid].to_numpy(dtype=np.int64)
+        hashes = _mm3_hash_longs(longs)
         buckets = (hashes & np.uint32(0x7FFFFFFF)) % np.uint32(n)
         out[valid] = buckets.astype(np.int32)
         return out
 
-    return _bucket(F.col(col_name))
+    _bucket_long.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket_long, "int")(src)
 
 
 def _staging_expr(pc: dict):
@@ -2270,6 +2289,7 @@ def compact_iceberg(
     target_files: Optional[int] = None,
     sort_by: Optional[list[str]] = None,
     zorder_by: Optional[list[str]] = None,
+    zorder_method: str = "linear",
 ) -> int:
     """OPTIMIZE-style rewrite: materialize the current state (positional
     deletes folded in — the rewritten files hold only surviving rows)
@@ -2368,7 +2388,9 @@ def compact_iceberg(
         elif zorder_by:
             from pg_mooncake_spark.functions.zorder import zorder_key
 
-            df = df.sortWithinPartitions(zorder_key(df, list(zorder_by)))
+            df = df.sortWithinPartitions(
+                zorder_key(df, list(zorder_by), method=zorder_method)
+            )
     elif sort_by:
         # range partitioning gives files DISJOINT sort-key ranges (the
         # point of a sorted rewrite: stats-based skipping), then an
@@ -2380,7 +2402,7 @@ def compact_iceberg(
     elif zorder_by:
         from pg_mooncake_spark.functions.zorder import zorder_key
 
-        zk = zorder_key(df, list(zorder_by))
+        zk = zorder_key(df, list(zorder_by), method=zorder_method)
         df = df.repartitionByRange(
             *([target_files] if target_files is not None else []),
             zk,

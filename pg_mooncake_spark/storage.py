@@ -714,6 +714,7 @@ class MoonTable:
         target_partitions: Optional[int] = None,
         sort_by: Optional[list[str]] = None,
         zorder_by: Optional[list[str]] = None,
+        zorder_method: str = "linear",
     ) -> int:
         """Compact small files (reference mooncake.optimize_table A4).
 
@@ -742,7 +743,7 @@ class MoonTable:
         elif zorder_by:
             from pg_mooncake_spark.functions.zorder import zorder_key
 
-            zk = zorder_key(df, list(zorder_by))
+            zk = zorder_key(df, list(zorder_by), method=zorder_method)
             df = df.repartitionByRange(target_partitions, zk).sortWithinPartitions(zk)
         else:
             df = df.repartition(target_partitions)

@@ -2314,6 +2314,49 @@ def test_iceberg_bucket_truncate_partition_transforms(spark, tmp_path):
         write_iceberg(df, str(tmp_path / "bad2"),
                       partition_by=["bucket(0, k)"])
 
+def test_iceberg_bucket_timestamp_tz_independent(spark, tmp_path):
+    """ADVICE r7 (medium): bucket[N] over a timestamp must hash the
+    instant's UTC micros regardless of spark.sql.session.timeZone — the
+    micros now come from JVM-side unix_micros (instant-based), not from
+    pandas values localized to the session zone.  A non-UTC session
+    writing bucket partitions must produce the same spec-mandated
+    buckets an external Java/Python Iceberg reader would recompute."""
+    import struct
+
+    from pg_mooncake_spark.sources.iceberg import (
+        _murmur3_32,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    base = 1510871468000000  # spec vector micros
+    df = spark.sql(
+        f"SELECT id, timestamp_micros({base} + id * 1000000) AS ts "
+        "FROM range(40)"
+    )
+    path = str(tmp_path / "ice_ts_bucket")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # Kolkata is UTC+05:30 — a half-hour zone catches pure-hour bugs too
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        write_iceberg(df, path, partition_by=["bucket(4, ts)"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    def spec_bucket(micros: int) -> int:
+        return (_murmur3_32(struct.pack("<q", micros)) & 0x7FFFFFFF) % 4
+
+    seen = 0
+    for b in range(4):
+        rows = read_iceberg(
+            spark, path, partition_filter={"ts_bucket": b}
+        ).collect()
+        for r in rows:
+            assert spec_bucket(base + r["id"] * 1000000) == b
+        seen += len(rows)
+    assert seen == 40
+
+
 def test_iceberg_partition_spec_evolution(spark, tmp_path):
     """evolve_partition_spec: a metadata-only commit switches the
     DEFAULT spec; appends after it stage under the new spec, files
@@ -2761,3 +2804,75 @@ def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
     assert fa.count() == 1024 // 4 and fb.count() == 1024 // 4
     assert len(fa.inputFiles()) < full_n
     assert len(fb.inputFiles()) < full_n
+
+
+def test_zorder_many_columns_stays_in_sign_safe_long(spark):
+    """ADVICE r7: with a fixed 16 bits/column, 4 columns placed a bit in
+    the sign position (inverting sort order for half the curve) and ≥5
+    columns wrapped shifts mod 64.  Resolution now scales down
+    (bits = min(16, 63 // n)) so the maxed key is always a positive
+    long and higher cells always sort after lower ones."""
+    from pg_mooncake_spark.functions.zorder import zorder_key
+
+    for ncols in (4, 5, 6):
+        bits = min(16, 63 // ncols)
+        top = (1 << bits) - 1
+        cols = [chr(ord("a") + i) for i in range(ncols)]
+        schema = ", ".join(f"{c} long" for c in cols)
+        rows = [
+            tuple([0] * ncols),
+            tuple([top] * ncols),
+            tuple([top] + [0] * (ncols - 1)),
+            tuple([0] * (ncols - 1) + [top]),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        keys = [
+            r["z"]
+            for r in df.select(zorder_key(df, cols).alias("z")).collect()
+        ]
+        assert keys[0] == 0
+        assert all(k >= 0 for k in keys), f"sign bit hit at ncols={ncols}"
+        # the all-max key is the curve's end: strictly above any partial max
+        assert keys[1] > keys[2] and keys[1] > keys[3]
+        assert keys[1] < (1 << 63)
+
+
+def test_zorder_quantile_prunes_better_on_skewed_column(spark, tmp_path):
+    """VERDICT r7 task 8: linear min/max scaling collapses a power-law
+    column into a few low cells (the curve degenerates to the uniform
+    column), so a range filter on the skewed column's bulk region reads
+    most files.  Quantile (piecewise-CDF) scaling equalizes cell
+    population, so the same filter prunes strictly more files."""
+    from pg_mooncake_spark.sources.iceberg import (
+        compact_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    # a: uniform; s: heavy-tailed (x^5 over 64 distinct levels — the
+    # bottom half of the levels occupies <0.1% of the value range)
+    df = spark.createDataFrame(
+        [((i * 7919) % 4096, (i % 64) ** 5, i) for i in range(4096)],
+        "a long, s long, id long",
+    )
+
+    def files_read(method: str) -> int:
+        path = str(tmp_path / f"ice_zq_{method}")
+        write_iceberg(df.repartition(4), path)
+        compact_iceberg(
+            spark, path, target_files=32, zorder_by=["a", "s"],
+            zorder_method=method,
+        )
+        probe = read_iceberg(spark, path, range_filter={"s": (0, 100)})
+        # rows with s in {0,1,32}: i%64 in {0,1,2}
+        assert probe.count() == 3 * 64
+        return len(probe.inputFiles())
+
+    n_linear = files_read("linear")
+    n_quantile = files_read("quantile")
+    full = len(
+        read_iceberg(spark, str(tmp_path / "ice_zq_linear")).inputFiles()
+    )
+    assert n_quantile < n_linear <= full, (
+        f"quantile={n_quantile} linear={n_linear} full={full}"
+    )
