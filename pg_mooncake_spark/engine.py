@@ -335,7 +335,7 @@ class MooncakeEngine:
         number and deletes apply only strictly below it, so the
         re-inserted copies survive."""
         from pg_mooncake_spark.sources.iceberg import (
-            IcebergSupportError,
+            IcebergSchemaMismatchError,
             upsert_keys_iceberg,
         )
 
@@ -363,9 +363,7 @@ class MooncakeEngine:
         for path in exports:
             try:
                 upsert_keys_iceberg(self.spark, path, keys, upserts)
-            except IcebergSupportError as exc:
-                if "differ from table" not in str(exc):
-                    raise
+            except IcebergSchemaMismatchError:
                 # the mirror evolved past this export: widen the export's
                 # Iceberg schema with an empty mergeSchema append, then
                 # re-apply the batch

@@ -414,9 +414,13 @@ def boilerplate_fraction(
     license headers, templates) expressed as a per-document score a
     pipeline thresholds on.
 
-    Returns (id, n_kgrams, boilerplate_frac) — the frac is one exact
-    integer division per document (deterministic across engines, unlike
-    an averaged-doubles formulation).
+    Returns (id, n_kgrams, boiler_kgrams, boilerplate_frac).  The two
+    counts are exact integers — the cross-engine-deterministic columns a
+    differential oracle should compare.  ``boilerplate_frac`` is the
+    convenience ratio rounded to 6 places; Spark's ROUND is HALF_UP on
+    the BigDecimal of the double, which can disagree with another
+    engine's ROUND on exact ties (ADVICE r7) — threshold on it, don't
+    hash it.
 
     Scale shape: occurrences explode once; document frequency is one
     groupBy(ngram) with map-side combine; flags come back via a shuffle
@@ -445,6 +449,7 @@ def boilerplate_fraction(
         .select(
             F.col(id_col),
             "n_kgrams",
+            F.col("boiler").alias("boiler_kgrams"),
             F.round(F.col("boiler") / F.col("n_kgrams"), 6).alias(
                 "boilerplate_frac"
             ),

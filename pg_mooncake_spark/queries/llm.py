@@ -1697,8 +1697,8 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY s)
     SELECT doc_id,
            COUNT(*) AS n_kgrams,
-           ROUND(CAST(SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS boilerplate_frac
+           CAST(SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS boiler_kgrams
     FROM occ JOIN dfreq USING (s)
     GROUP BY doc_id ORDER BY doc_id
     """,
@@ -1709,9 +1709,13 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences whose trigram occurs in > 2 distinct documents — the
     C4-style corpus-frequency filter as a per-document score.  One
     explode, one groupBy(ngram) frequency pass, one shuffle join back,
-    one groupBy(doc); the frac is a single exact integer division per
-    document, so the oracle comparison is bit-stable."""
+    one groupBy(doc).  The oracle compares the EXACT integer counts
+    (n_kgrams, boiler_kgrams); the operator's convenience ratio is a
+    rounded double whose tie behavior is engine-specific (Spark HALF_UP
+    vs DuckDB ROUND — ADVICE r7), so it stays out of the hash."""
     d = t(spark, sf_dir, "documents")
-    return X.boilerplate_fraction(
-        d, "text", "doc_id", n=3, max_doc_freq=2
-    ).orderBy("doc_id")
+    return (
+        X.boilerplate_fraction(d, "text", "doc_id", n=3, max_doc_freq=2)
+        .select("doc_id", "n_kgrams", "boiler_kgrams")
+        .orderBy("doc_id")
+    )

@@ -40,6 +40,13 @@ class IcebergSupportError(RuntimeError):
     pass
 
 
+class IcebergSchemaMismatchError(IcebergSupportError):
+    """Row columns do not match the table's declared schema.  A distinct
+    type (not a message substring) so callers that auto-evolve the table
+    and retry — engine._sync_exports — can't be broken by a rewording of
+    the message (ADVICE r7)."""
+
+
 def have_iceberg_runtime(spark: SparkSession) -> bool:
     try:
         spark._jvm.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
@@ -2168,7 +2175,7 @@ def upsert_keys_iceberg(
     if declared is not None and set(rows_df.columns) != {
         f.name for f in declared.fields
     }:
-        raise IcebergSupportError(
+        raise IcebergSchemaMismatchError(
             f"upsert row columns {sorted(rows_df.columns)} differ from table "
             f"schema {sorted(f.name for f in declared.fields)}; evolve the "
             "schema with write_iceberg(merge_schema=True) first"
