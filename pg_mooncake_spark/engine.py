@@ -262,6 +262,7 @@ class MooncakeEngine:
         changes: DataFrame,
         source_version: Optional[int] = None,
         on_schema_drift: str = "fail",
+        strategy: str = "auto",
     ) -> int:
         """Apply one CDC batch (rows carry __op ∈ {I,U,D}) — the moonlink
         replication-apply analog.  Returns the new mirror version.
@@ -272,13 +273,19 @@ class MooncakeEngine:
         ``on_schema_drift='evolve'`` widens the mirror when the batch's
         columns drifted (upstream ADD COLUMN) instead of failing, and
         evolves attached exports' Iceberg schemas in step; the default
-        refuses loudly (SURVEY §7.3)."""
+        refuses loudly (SURVEY §7.3).
+
+        ``strategy``: MoonTable.merge's copy-on-write vs merge-on-read
+        choice — 'auto' (default) flips to tombstone commits when the
+        batch touches most files (the reference's merge-on-read mirror,
+        README.md:13-14); optimize_table folds tombstones back."""
         dst = self._canon(dst)
         mt = self._moontable(dst)
         v = mt.merge(
             changes,
             source_version=source_version,
             on_schema_drift=on_schema_drift,
+            strategy=strategy,
         )
         # exports sync BEFORE the watermark moves: wait_for_source_version
         # is the freshness barrier, and "ingested" must mean the batch is
@@ -422,16 +429,18 @@ class MooncakeEngine:
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 
-    def delete_where(self, dst: str, condition: str) -> int:
+    def delete_where(self, dst: str, condition: str, strategy: str = "auto") -> int:
         """Direct DELETE DML; attached exports get the matched keys as
-        equality deletes (captured pre-delete), same as apply_changes."""
+        equality deletes (captured pre-delete), same as apply_changes.
+        ``strategy`` as in apply_changes ('mor' commits an O(matched
+        keys) tombstone instead of rewriting touched files)."""
         dst = self._canon(dst)
         mt = self._moontable(dst)
         exports = self.catalog.get(dst).get("exports") or []
         matched = None
         if exports:
             matched = mt.read().where(condition).localCheckpoint(eager=True)
-        v = mt.delete_where(condition)
+        v = mt.delete_where(condition, strategy=strategy)
         if exports and matched is not None:
             self._sync_exports(mt, changes_df(matched, op="D"), exports)
         self.catalog.update_watermarks(dst, flush_version=v)

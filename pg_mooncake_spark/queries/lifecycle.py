@@ -341,3 +341,55 @@ def lifecycle_schema_evolution_cdc(
         )
         .orderBy("tag")
     )
+
+
+@query(
+    "lifecycle_mor_scattered_dml",
+    oracle="""
+    WITH post AS (
+      SELECT CASE WHEN l_orderkey % 17 = 1 THEN l_quantity + 5
+                  ELSE l_quantity END AS q
+      FROM lineitem
+      WHERE NOT (l_orderkey % 13 = 2)
+    )
+    SELECT CAST(SUM(CAST(q AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(q AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty_folded,
+           COUNT(*) AS n_rows_folded
+    FROM post
+    """,
+)
+def lifecycle_mor_scattered_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read mirror DML (the reference's merge-on-read mirror
+    semantics, reference README.md:13-14): after a sorted compaction, a
+    scattered UPDATE batch and a scattered predicate DELETE both commit
+    as O(batch) equality-delete tombstones (strategy='mor' — commit
+    inspection in tests/test_moontable_properties.py proves no data file
+    is rewritten); the MOR read path folds tombstones with sequence
+    semantics, and optimize_table folds them into clean files with
+    identical results (the *_folded columns)."""
+    eng = _temp_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    eng.create_table(
+        "li_morx", source_df=li, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    eng.optimize_table("li_morx", mode="sort:l_orderkey")
+    updates = (
+        li.filter(
+            (F.col("l_orderkey") % 17 == 1) & (F.col("l_orderkey") % 13 != 2)
+        )
+        .withColumn("l_quantity", F.col("l_quantity") + 5)
+        .withColumn("__op", F.lit("U"))
+    )
+    eng.apply_changes("li_morx", updates, source_version=1, strategy="mor")
+    eng.delete_where("li_morx", "l_orderkey % 13 = 2", strategy="mor")
+    pre = eng.table("li_morx").agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    eng.optimize_table("li_morx", mode="sort:l_orderkey")
+    post = eng.table("li_morx").agg(
+        dsum("l_quantity", 2).alias("sum_qty_folded"),
+        F.count(F.lit(1)).alias("n_rows_folded"),
+    )
+    return pre.crossJoin(post)

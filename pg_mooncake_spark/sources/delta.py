@@ -932,16 +932,23 @@ def delta_version(path: str) -> int:
 
 
 def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
+    from pg_mooncake_spark.fsio import CommitConflict, get_backend
+
+    backend = get_backend(path)
     log_dir = os.path.join(path, _LOG)
-    os.makedirs(log_dir, exist_ok=True)
+    backend.mkdirs(log_dir)
     final = os.path.join(log_dir, f"{version:020d}.json")
-    if os.path.exists(final):
-        raise DeltaProtocolError(f"concurrent commit at version {version}")
-    tmp = final + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, final)  # atomicity barrier
+    data = "".join(json.dumps(a) + "\n" for a in actions).encode("utf-8")
+    try:
+        # OCC barrier (fsio seam): two writers racing to the same delta
+        # version serialize on put_if_absent — locally a hard-link
+        # EEXIST, on S3 a conditional PUT (what delta-on-S3 needs a
+        # LogStore/DynamoDB for when the bucket lacks conditional PUTs)
+        backend.put_if_absent(final, data)
+    except CommitConflict:
+        raise DeltaProtocolError(
+            f"concurrent commit at version {version}"
+        ) from None
 
 
 def write_checkpoint(path: str, version: Optional[int] = None) -> str:

@@ -2544,29 +2544,30 @@ def expire_snapshots(path: str, retain_last: int = 1) -> list[str]:
 
 
 def _write_metadata_json(meta_dir: str, version: int, meta: dict) -> None:
-    """Commit one metadata version atomically WITHOUT clobbering: the
-    final name is taken via os.link, which fails if the file exists —
+    """Commit one metadata version atomically WITHOUT clobbering —
     the put-if-absent barrier every Iceberg catalog provides, so two
     concurrent committers serialize instead of silently overwriting
-    each other's snapshot."""
-    import uuid as _uuid
+    each other's snapshot.  Goes through the fsio seam: locally a
+    hard-link EEXIST, on an object store a conditional PUT (the
+    rename-free commit an Iceberg REST/Hadoop catalog performs).  The
+    version hint is an atomic overwrite (advisory — readers fall back
+    to listing)."""
+    from pg_mooncake_spark.fsio import CommitConflict, get_backend
 
+    backend = get_backend(meta_dir)
     final = os.path.join(meta_dir, f"v{version}.metadata.json")
-    tmp = os.path.join(
-        meta_dir, f".tmp.v{version}.{_uuid.uuid4().hex}.metadata.json"
-    )
-    with open(tmp, "w") as fh:
-        json.dump({k: v for k, v in meta.items() if not k.startswith("__")}, fh)
+    data = json.dumps(
+        {k: v for k, v in meta.items() if not k.startswith("__")}
+    ).encode("utf-8")
     try:
-        os.link(tmp, final)
-    except FileExistsError:
+        backend.put_if_absent(final, data)
+    except CommitConflict:
         raise IcebergSupportError(
             f"concurrent commit at metadata version {version}"
         ) from None
-    finally:
-        os.unlink(tmp)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    backend.write_atomic(
+        os.path.join(meta_dir, "version-hint.text"), str(version).encode()
+    )
 
 
 def _metadata_version_of(meta: dict, path: str) -> int:

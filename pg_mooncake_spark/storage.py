@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pg_mooncake_spark.fsio import CommitConflict, StorageBackend, get_backend
+
 _LOG_DIR = "_moonlog"
 OP_COL = "__op"  # change disposition column: I / U / D
 
@@ -58,6 +60,10 @@ class Commit:
     primary_key: Optional[list[str]] = None
     source_version: Optional[int] = None
     ts: float = 0.0
+    # merge-on-read equality-delete files (pk tombstones): each applies
+    # to data files committed STRICTLY BEFORE its own commit (Iceberg
+    # sequence-number semantics), so same-commit upserts survive
+    deletes: list[dict[str, Any]] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -70,6 +76,7 @@ class Commit:
                 "primary_key": self.primary_key,
                 "source_version": self.source_version,
                 "ts": self.ts,
+                "deletes": self.deletes,
             }
         )
 
@@ -82,21 +89,30 @@ class Commit:
 class MoonTable:
     """Handle to one versioned table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        backend: Optional[StorageBackend] = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_path = os.path.join(self.path, _LOG_DIR)
+        # the commit log goes through the fsio seam: OCC is
+        # "put_if_absent of the next version's key", which maps to a
+        # conditional PUT on object stores — see fsio module docstring
+        self.backend = backend if backend is not None else get_backend(path)
 
     # ------------------------------------------------------------------ log
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_path) and bool(self._versions())
+        return bool(self._versions())
 
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.log_path):
-            return []
         return sorted(
-            int(f[:-5]) for f in os.listdir(self.log_path) if f.endswith(".json")
+            int(f[:-5])
+            for f in self.backend.listdir(self.log_path)
+            if f.endswith(".json") and f[:-5].isdigit()
         )
 
     def latest_version(self) -> int:
@@ -106,21 +122,24 @@ class MoonTable:
         return vs[-1]
 
     def _read_commit(self, v: int) -> Commit:
-        with open(os.path.join(self.log_path, f"{v:010d}.json")) as f:
-            return Commit.from_json(f.read())
+        raw = self.backend.read_bytes(
+            os.path.join(self.log_path, f"{v:010d}.json")
+        )
+        return Commit.from_json(raw.decode("utf-8"))
 
     def _write_commit(self, c: Commit) -> None:
-        os.makedirs(self.log_path, exist_ok=True)
+        self.backend.mkdirs(self.log_path)
         final = os.path.join(self.log_path, f"{c.version:010d}.json")
-        if os.path.exists(final):
+        c.ts = time.time()
+        try:
+            # the OCC barrier: commit N exists or it doesn't — two
+            # writers racing to the same version serialize here (local:
+            # hard-link EEXIST; S3: conditional PUT If-None-Match)
+            self.backend.put_if_absent(final, c.to_json().encode("utf-8"))
+        except CommitConflict:
             raise MoonTableError(
                 f"concurrent commit conflict at version {c.version} ({self.path})"
-            )
-        tmp = final + f".tmp.{uuid.uuid4().hex}"
-        c.ts = time.time()
-        with open(tmp, "w") as f:
-            f.write(c.to_json())
-        os.rename(tmp, final)  # atomicity barrier: commit exists or it doesn't
+            ) from None
 
     def history(self) -> list[Commit]:
         return [self._read_commit(v) for v in self._versions()]
@@ -128,6 +147,17 @@ class MoonTable:
     # -------------------------------------------------------------- snapshot
 
     def _snapshot(self, version: Optional[int] = None) -> tuple[list[dict], Commit]:
+        files, _dels, first = self._snapshot_full(version)
+        return files, first
+
+    def _snapshot_full(
+        self, version: Optional[int] = None
+    ) -> tuple[list[dict], list[dict], Commit]:
+        """(data files, active equality-delete files, effective commit-0)
+        as of ``version``.  Every descriptor is stamped with ``v`` — the
+        commit that added it — which is what sequences merge-on-read:
+        a delete file tombstones a key only in data files with a
+        strictly smaller ``v`` (same-commit upserts survive)."""
         vs = self._versions()
         if not vs:
             raise MoonTableError(f"no moontable at {self.path}")
@@ -136,6 +166,7 @@ class MoonTable:
         if version not in vs:
             raise MoonTableError(f"version {version} not in log {vs[:3]}..{vs[-1]}")
         files: dict[str, dict] = {}
+        dels: dict[str, dict] = {}
         first = self._read_commit(vs[0])
         eff_schema = first.schema
         for v in vs:
@@ -149,13 +180,16 @@ class MoonTable:
                 eff_schema = c.schema
             for name in c.remove:
                 files.pop(name, None)
+                dels.pop(name, None)
             for d in c.add:
-                files[d["name"]] = d
+                files[d["name"]] = {**d, "v": c.version}
+            for d in c.deletes:
+                dels[d["name"]] = {**d, "v": c.version}
         if eff_schema != first.schema:
             from dataclasses import replace as _dc_replace
 
             first = _dc_replace(first, schema=eff_schema)
-        return list(files.values()), first
+        return list(files.values()), list(dels.values()), first
 
     def schema(self) -> T.StructType:
         _, first = self._snapshot(None)
@@ -212,7 +246,7 @@ class MoonTable:
         Non-pk or complex predicates skip the pruning and filter only —
         never unsound, just unpruned.
         """
-        files, first = self._snapshot(version)
+        files, dels, first = self._snapshot_full(version)
         schema = T.StructType.fromJson(json.loads(first.schema))
         if where and files:
             pruned = self._pk_stat_candidates(files, where)
@@ -221,9 +255,52 @@ class MoonTable:
         if not files:
             df = self.spark.createDataFrame([], schema)
             return df.filter(where) if where else df
+        df = self._scan(files, schema, dels)
+        return df.filter(where) if where else df
+
+    def _scan(
+        self, files: list[dict], schema: T.StructType, dels: list[dict]
+    ) -> DataFrame:
+        """Scan ``files`` with merge-on-read equality deletes folded in.
+
+        One parquet scan; when tombstones are active, the scan joins a
+        tiny broadcast (file → commit version) map and left-joins the
+        tombstone keys reduced to (pk, max delete version): a row
+        survives iff its file's version ≥ every tombstoning delete's
+        version (Iceberg sequence-number rule).  Tombstone volume is
+        O(deleted keys since last optimize) — the join stays small and
+        AQE broadcasts it; no tombstones → the plain scan, zero extra
+        operators."""
         paths = [os.path.join(self.path, d["name"]) for d in files]
         df = self.spark.read.schema(schema).parquet(*paths)
-        return df.filter(where) if where else df
+        if not dels:
+            return df
+        pk = self.primary_key() or []
+        pk_schema = T.StructType(
+            [f for f in schema.fields if f.name in set(pk)]
+        )
+        tomb = None
+        for d in dels:
+            t = (
+                self.spark.read.schema(pk_schema)
+                .parquet(os.path.join(self.path, d["name"]))
+                .withColumn("__dv", F.lit(int(d["v"])).cast("long"))
+            )
+            tomb = t if tomb is None else tomb.unionByName(t)
+        tomb = tomb.groupBy(*pk).agg(F.max("__dv").alias("__dv"))
+        fmap = self.spark.createDataFrame(
+            [(d["name"], int(d.get("v") or 0)) for d in files],
+            "__file string, __fv long",
+        )
+        return (
+            df.withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .join(F.broadcast(fmap), "__file")
+            .join(tomb, on=list(pk), how="left")
+            .filter(F.col("__dv").isNull() | (F.col("__fv") >= F.col("__dv")))
+            .select(*[F.col(f.name) for f in schema.fields])
+        )
 
     # ---------------------------------------------------------------- writes
 
@@ -272,6 +349,32 @@ class MoonTable:
         os.rmdir(staging)
         return descriptors
 
+    def _stage_delete_files(
+        self, keys_df: DataFrame, pk: list[str]
+    ) -> list[dict]:
+        """Write a (small) equality-delete tombstone file of pk keys;
+        one file per batch — a CDC batch's key set is O(batch), so a
+        single coalesced writer task suffices and the commit stays
+        O(batch) bytes regardless of table size."""
+        import pyarrow.parquet as _pq
+
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        keys_df.select(*pk).coalesce(1).write.mode("overwrite").parquet(staging)
+        descriptors: list[dict] = []
+        for fname in os.listdir(staging):
+            if not fname.endswith(".parquet"):
+                continue
+            new_name = f"del-{uuid.uuid4().hex}.parquet"
+            full = os.path.join(self.path, new_name)
+            os.rename(os.path.join(staging, fname), full)
+            descriptors.append(
+                {"name": new_name, "rows": _pq.ParquetFile(full).metadata.num_rows}
+            )
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
+        return descriptors
+
     def create(
         self,
         schema: T.StructType,
@@ -303,7 +406,7 @@ class MoonTable:
 
     def overwrite(self, df: DataFrame, source_version: Optional[int] = None) -> int:
         df = self._conform(df)
-        files, _ = self._snapshot(None)
+        files, dels, _ = self._snapshot_full(None)
         v = self.latest_version() + 1
         add = self._stage_files(df, self.primary_key())
         self._write_commit(
@@ -311,7 +414,8 @@ class MoonTable:
                 version=v,
                 op="overwrite",
                 add=add,
-                remove=[d["name"] for d in files],
+                # replacing the data retires active tombstones with it
+                remove=[d["name"] for d in files] + [d["name"] for d in dels],
                 source_version=source_version,
             )
         )
@@ -322,6 +426,8 @@ class MoonTable:
         changes: DataFrame,
         source_version: Optional[int] = None,
         on_schema_drift: str = "fail",
+        strategy: str = "auto",
+        mor_threshold: float = 0.3,
     ) -> int:
         """Apply a CDC change batch: ``changes`` carries the table columns
         plus ``__op`` ∈ {I, U, D} (insert / update-upsert / delete).
@@ -352,6 +458,16 @@ class MoonTable:
         insert if absent — so replayed/duplicate inserts are idempotent),
         D is a no-op for absent keys.  A batch must carry at most one
         change per key (CDC microbatches are key-compacted upstream).
+
+        ``strategy``: 'cow' always rewrites touched files; 'mor' commits
+        merge-on-read instead — upserts append, changed keys land in an
+        equality-delete tombstone file, NOTHING is rewritten (O(batch)
+        bytes committed, the reference's merge-on-read mirror semantics,
+        reference README.md:13-14); 'auto' (default) picks MOR when the
+        touched-file fraction exceeds ``mor_threshold`` — the regime
+        where copy-on-write approaches a full-table rewrite even with
+        exact probing (one changed key in most files).  Tombstones fold
+        away on the next :meth:`optimize`.
         """
         pk = self.primary_key()
         if not pk:
@@ -412,7 +528,7 @@ class MoonTable:
                 *[F.max(k).alias(f"max_{k}") for k in pk],
             ).collect()[0]
 
-            files, _ = self._snapshot(None)
+            files, dels, _ = self._snapshot_full(None)
             # two-stage candidate resolution: (1) per-file pk min/max
             # stats vs the batch envelope — driver-side, no job; then
             # (2) an exact key-membership probe, because the envelope
@@ -426,17 +542,45 @@ class MoonTable:
             cols = [f.name for f in work_schema.fields]
             upserts = changes.filter(F.col(OP_COL).isin("I", "U")).select(*cols)
 
+            use_mor = strategy == "mor" or (
+                strategy == "auto"
+                and len(files) >= 4
+                and len(touched) / len(files) > mor_threshold
+            )
+            v = self.latest_version() + 1
+            if use_mor and touched:
+                # merge-on-read: append upserts, tombstone every changed
+                # key; the tombstone (commit v) applies only to files
+                # with version < v, so the upserts just appended survive
+                add = self._stage_files(upserts, pk)
+                del_descr = self._stage_delete_files(ud_keys, pk)
+                self._write_commit(
+                    Commit(
+                        version=v,
+                        op="merge-mor",
+                        add=add,
+                        deletes=del_descr,
+                        schema=(
+                            json.dumps(work_schema.jsonValue())
+                            if evolved
+                            else None
+                        ),
+                        source_version=source_version,
+                    )
+                )
+                return v
+
             if touched:
                 # scanning OLD files with the (possibly evolved) schema
-                # null-fills columns the files predate
-                paths = [os.path.join(self.path, d["name"]) for d in touched]
-                current = self.spark.read.schema(work_schema).parquet(*paths)
+                # null-fills columns the files predate; _scan folds any
+                # live tombstones so a rewrite (new file version) cannot
+                # resurrect previously MOR-deleted rows
+                current = self._scan(touched, work_schema, dels)
                 survivors = current.join(ud_keys, on=pk, how="left_anti")
                 new_data = survivors.unionByName(upserts)
             else:
                 new_data = upserts
 
-            v = self.latest_version() + 1
             add = self._stage_files(new_data, pk) if new_data is not None else []
             self._write_commit(
                 Commit(
@@ -654,20 +798,52 @@ class MoonTable:
         touched = {r["__file"] for r in hit}
         return [d for d in files if d["name"] in touched]
 
-    def delete_where(self, condition: str) -> int:
+    def delete_where(
+        self,
+        condition: str,
+        strategy: str = "auto",
+        mor_threshold: float = 0.3,
+    ) -> int:
         """DELETE with predicate (reference sanity.sql:5) — copy-on-write
         over the *touched files only*: a predicate hitting 0.1% of rows
         rewrites that 0.1% of files, never the full snapshot (the
         moontable analog of the reference's incremental mirror
-        maintenance, src/functions.rs:132-144)."""
+        maintenance, src/functions.rs:132-144).
+
+        ``strategy='mor'`` (or 'auto' past ``mor_threshold`` touched-file
+        fraction, pk tables only) commits an equality-delete tombstone of
+        the matching keys instead — O(deleted keys) bytes for a DELETE
+        scattered across most files, folded away on :meth:`optimize`."""
         touched = self._touched_files(condition)
+        files, dels, first = self._snapshot_full(None)
+        schema = T.StructType.fromJson(json.loads(first.schema))
+        pk = self.primary_key()
         v = self.latest_version() + 1
+        use_mor = bool(pk) and touched and (
+            strategy == "mor"
+            or (
+                strategy == "auto"
+                and len(files) >= 4
+                and len(touched) / len(files) > mor_threshold
+            )
+        )
+        if use_mor:
+            keys = (
+                self._scan(touched, schema, dels)
+                .filter(condition)
+                .select(*pk)
+                .distinct()
+            )
+            del_descr = self._stage_delete_files(keys, pk)
+            self._write_commit(
+                Commit(version=v, op="delete-mor", deletes=del_descr)
+            )
+            return v
         add: list[dict] = []
         if touched:
-            paths = [os.path.join(self.path, d["name"]) for d in touched]
-            current = self.spark.read.schema(self.schema()).parquet(*paths)
+            current = self._scan(touched, schema, dels)
             survivors = current.filter(f"NOT ({condition}) OR ({condition}) IS NULL")
-            add = self._stage_files(survivors, self.primary_key())
+            add = self._stage_files(survivors, pk)
         self._write_commit(
             Commit(
                 version=v,
@@ -682,11 +858,13 @@ class MoonTable:
         """UPDATE ... SET col = expr WHERE cond (reference sanity.sql:4) —
         same touched-files-only copy-on-write as :meth:`delete_where`."""
         touched = self._touched_files(condition)
+        _files, dels, first = self._snapshot_full(None)
         v = self.latest_version() + 1
         add: list[dict] = []
         if touched:
-            paths = [os.path.join(self.path, d["name"]) for d in touched]
-            current = self.spark.read.schema(self.schema()).parquet(*paths)
+            current = self._scan(
+                touched, T.StructType.fromJson(json.loads(first.schema)), dels
+            )
             cols = []
             for f_ in current.schema.fields:
                 if f_.name in assignments:
@@ -766,7 +944,8 @@ class MoonTable:
         import shutil as _shutil
         import time as _time
 
-        live = {d["name"] for d in self._snapshot(None)[0]}
+        snap_files, snap_dels, _ = self._snapshot_full(None)
+        live = {d["name"] for d in snap_files} | {d["name"] for d in snap_dels}
         removed = 0
         now = _time.time()
         for f in os.listdir(self.path):

@@ -162,6 +162,74 @@ def test_merge_scattered_keys_rewrites_only_containing_files(spark, tmp_path):
     assert len(got) == 1000
 
 
+def test_mor_merge_and_delete_tombstones(spark, tmp_path):
+    """VERDICT r7 task 4: merge-on-read DML.  A batch touching one key
+    in EVERY file commits O(batch) bytes (append + tombstone, zero
+    rewrites); reads fold tombstones with sequence semantics
+    (same-commit upserts survive, later rewrites don't resurrect);
+    optimize folds tombstones away; vacuum keeps live delete files."""
+    path = str(tmp_path / "t")
+    mt = MoonTable(spark, path)
+    mt.create(SCHEMA, primary_key=["k"])
+    mt.append(spark.range(0, 1000).selectExpr("cast(id as int) k",
+                                              "cast(id as int) v"))
+    mt.optimize(target_partitions=10, sort_by=["k"])
+    files0, dels0, _ = mt._snapshot_full(None)
+    assert len(files0) >= 8 and not dels0
+
+    # one changed key per file: CoW would rewrite everything
+    ks = [r["k"] for r in spark.createDataFrame(
+        [(d["stats"]["k"][0],) for d in files0], "k int").collect()]
+    changes = spark.createDataFrame(
+        [(k, -k, "U") for k in ks[:-1]] + [(ks[-1], None, "D")],
+        "k int, v int, __op string",
+    )
+    v_mor = mt.merge(changes)  # auto: touched fraction 100% > threshold
+    c = mt._read_commit(v_mor)
+    assert c.op == "merge-mor" and c.remove == [] and c.deletes
+    model = {k: k for k in range(1000)}
+    for k in ks[:-1]:
+        model[k] = -k
+    model.pop(ks[-1])
+    assert {r["k"]: r["v"] for r in mt.read().collect()} == model
+    # time travel below the MOR commit sees the pre-DML state
+    assert len(mt.read(v_mor - 1).collect()) == 1000
+
+    # a second MOR change to the same key: latest tombstone wins
+    k0 = ks[0]
+    mt.merge(spark.createDataFrame([(k0, 777, "U")], "k int, v int, __op string"),
+             strategy="mor")
+    model[k0] = 777
+    assert {r["k"]: r["v"] for r in mt.read().collect()} == model
+
+    # MOR predicate delete: no data file removed, read excludes matches
+    v_del = mt.delete_where("v = 777", strategy="mor")
+    cdel = mt._read_commit(v_del)
+    assert cdel.op == "delete-mor" and cdel.remove == [] and not cdel.add
+    model = {k: v for k, v in model.items() if v != 777}
+    assert {r["k"]: r["v"] for r in mt.read().collect()} == model
+
+    # a CoW rewrite of a file holding a tombstoned key must not
+    # resurrect it (the rewrite folds live tombstones first)
+    k1 = ks[1]
+    mt.merge(spark.createDataFrame([(k1, 42, "U")], "k int, v int, __op string"),
+             strategy="cow")
+    model[k1] = 42
+    assert {r["k"]: r["v"] for r in mt.read().collect()} == model
+
+    # optimize folds tombstones into clean files and retires them
+    mt.optimize(target_partitions=4)
+    files2, dels2, _ = mt._snapshot_full(None)
+    assert not dels2
+    assert {r["k"]: r["v"] for r in mt.read().collect()} == model
+    # vacuum now reclaims the retired delete files from disk
+    import os as _os
+
+    mt.vacuum(staging_grace_s=0)
+    assert not [f for f in _os.listdir(path) if f.startswith("del-")]
+    assert {r["k"]: r["v"] for r in mt.read().collect()} == model
+
+
 def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
     """A writer that died between staging and commit leaves _staging_*;
     vacuum must reclaim it once past the grace window — but a staging dir
