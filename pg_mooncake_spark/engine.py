@@ -518,6 +518,34 @@ class MooncakeEngine:
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
 
+    def rename_column(self, dst: str, old: str, new: str) -> int:
+        """Propagate an upstream ALTER TABLE RENAME COLUMN (extension
+        territory — the reference does no ALTER propagation at all,
+        SURVEY §1.3): metadata-only on the mirror (rename-era commit,
+        MoonTable.rename_column) AND on every attached Iceberg export
+        (rename-by-field-id, rename_column_iceberg) — no data file is
+        rewritten anywhere.  Exports carrying unmerged equality deletes
+        are compacted first (their delete files store era column
+        names)."""
+        dst = self._canon(dst)
+        mt = self._moontable(dst)
+        exports = self.catalog.get(dst).get("exports") or []
+        from pg_mooncake_spark.sources.iceberg import (
+            IcebergEqualityDeletesPendingError,
+            compact_iceberg,
+            rename_column_iceberg,
+        )
+
+        for path in exports:  # exports first: if one refuses, the mirror
+            try:               # hasn't moved and the op is retryable
+                rename_column_iceberg(path, old, new)
+            except IcebergEqualityDeletesPendingError:
+                compact_iceberg(self.spark, path)
+                rename_column_iceberg(path, old, new)
+        v = mt.rename_column(old, new)
+        self.catalog.update_watermarks(dst, flush_version=v)
+        return v
+
     def optimize_table(self, dst: str, mode: str = "compact") -> int:
         """reference A4 (src/functions.rs:132-144): 'compact' rewrites small
         files; 'vacuum' also deletes unreferenced files; 'sort:<col>[,col]'

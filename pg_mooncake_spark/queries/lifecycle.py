@@ -393,3 +393,61 @@ def lifecycle_mor_scattered_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows_folded"),
     )
     return pre.crossJoin(post)
+
+
+@query(
+    "lifecycle_rename_widen_cdc",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS ship,
+             o_totalprice
+      FROM orders WHERE o_orderkey < 5000
+    ),
+    post AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN o_orderkey + 3000000000 ELSE ship END AS ship,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM base
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+           CAST(MAX(ship) AS BIGINT) AS max_ship
+    FROM post
+    """,
+)
+def lifecycle_rename_widen_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream ALTER propagation (VERDICT r7 task 5, extension past the
+    reference which does none — SURVEY §1.3): RENAME COLUMN is a
+    metadata-only rename-era commit (engine.rename_column); a following
+    CDC batch under the NEW name carries int→long widening on ``ship``
+    and decimal(12,2)→(13,2) widening on ``price`` (from price*2), both
+    absorbed by on_schema_drift='evolve' as schema-widening commits —
+    pre-evolution files are never rewritten, read through parquet
+    widening conversions."""
+    from pg_mooncake_spark.engine import changes_df
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("ship"),
+        "o_totalprice",
+    )
+    eng.create_table("rw", source_df=base, primary_key=["o_orderkey"])
+    eng.rename_column("rw", "o_totalprice", "price")
+    upd = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderkey") + 3000000000).cast("long").alias("ship"),
+        (F.col("o_totalprice") * 2).alias("price"),
+    )
+    eng.apply_changes(
+        "rw", changes_df(upd, op="U"), source_version=1,
+        on_schema_drift="evolve",
+    )
+    return eng.table("rw").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("price", 2).alias("sum_price"),
+        F.max("ship").cast("long").alias("max_ship"),
+    )

@@ -47,6 +47,12 @@ class IcebergSchemaMismatchError(IcebergSupportError):
     the message (ADVICE r7)."""
 
 
+class IcebergEqualityDeletesPendingError(IcebergSupportError):
+    """The operation needs unmerged equality deletes folded first
+    (compact_iceberg); a distinct type so callers can compact-and-retry
+    without matching message text."""
+
+
 def have_iceberg_runtime(spark: SparkSession) -> bool:
     try:
         spark._jvm.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
@@ -430,8 +436,21 @@ def read_iceberg(
                     f"snapshot {sid} has no data files and no schema"
                 )
             return spark.createDataFrame([], declared)
-        reader = spark.read.schema(declared) if declared is not None else spark.read
-        df = reader.parquet(*[f["resolved"] for f in files])
+        eras = _rename_eras(meta) if declared is not None else None
+        era_cols = False
+        if eras:
+            # post-rename read: files group by the schema active at
+            # their sequence number; each era scans with its physical
+            # names aliased back to current (rename_column_iceberg)
+            df = _era_union_scan(
+                spark, declared, files, eras, _field_names_by_id(meta)
+            )
+            era_cols = True
+        else:
+            reader = (
+                spark.read.schema(declared) if declared is not None else spark.read
+            )
+            df = reader.parquet(*[f["resolved"] for f in files])
         if partition_filter:
             # exact semantics on top of the (conservative) file pruning:
             # the transform's row predicate re-derives the partition value
@@ -459,7 +478,7 @@ def read_iceberg(
             # the parquet scan (row-group skipping under the file skip)
             df = _apply_range_predicate(df, range_filter)
         if not pos_deletes and not eq_deletes:
-            return df
+            return df.drop("__fp", "__pos") if era_cols else df
         # v2 merge-on-read.  Positional delete parquet rows are
         # (file_path, pos) keyed by the manifest-recorded data-file path:
         # map recorded paths to the URIs Spark's scan reports, then drop
@@ -473,10 +492,14 @@ def read_iceberg(
         # broadcasts are bounded.
         from pyspark.sql import functions as F
 
-        data = df.select(
-            "*",
-            F.col("_metadata.file_path").alias("__fp"),
-            F.col("_metadata.row_index").alias("__pos"),
+        data = (
+            df
+            if era_cols  # era scans already carry __fp/__pos
+            else df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
         )
         if pos_deletes:
             mapping = spark.createDataFrame(
@@ -1691,6 +1714,9 @@ def write_iceberg(
         "sort-orders": (
             list(prev.get("sort-orders") or []) if prev else []
         ) or [{"order-id": 0, "fields": []}],
+        # carry table properties (incl. the pgms.schema-activation-seq
+        # markers rename-era reads depend on) across appends
+        "properties": dict((prev.get("properties") if prev else None) or {}),
         "current-snapshot-id": snapshot_id,
         "snapshots": (list(prev.get("snapshots") or []) if prev else [])
         + [snapshot],
@@ -1771,6 +1797,177 @@ def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
     meta_dir = os.path.join(path, "metadata")
     _write_metadata_json(meta_dir, _metadata_version_of(meta, path) + 1, out)
     return int(new["spec-id"])
+
+
+def rename_column_iceberg(path: str, old: str, new: str) -> int:
+    """Metadata-only column rename keeping the FIELD ID — the operation
+    Iceberg's field-id indirection exists for (spec 'Schema Evolution':
+    rename never touches data).  A new schema (same ids, renamed field)
+    joins the ``schemas`` list and becomes current; no data file, no
+    manifest is rewritten.
+
+    Because this writer's parquet files carry no embedded field-id
+    metadata, the reader resolves pre-rename files by ERA instead: the
+    table property ``pgms.schema-activation-seq.<schema-id>`` records
+    the first sequence number written under the new schema, and
+    read_iceberg groups data files by the schema active at their
+    sequence number, aliasing each era's physical column names back to
+    the current names (read path: :func:`_rename_eras`).  External
+    id-based readers are unaffected (ids never change); external
+    name-based readers should be pointed at a compacted table.
+
+    Refuses while unmerged EQUALITY deletes exist: their parquet files
+    store values under era column names AND their ids must keep meaning
+    across the rename — compact first (compact_iceberg), then rename.
+    Positional deletes are (path, pos) and are unaffected.
+
+    Returns the new schema-id."""
+    import time
+
+    meta = _latest_metadata(path)
+    cur = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            cur = s
+    if cur is None:
+        raise IcebergSupportError(f"no current schema in {path}")
+    names = [f["name"] for f in cur["fields"]]
+    if old not in names:
+        raise IcebergSupportError(f"no column {old!r} to rename")
+    if new in names:
+        raise IcebergSupportError(f"column {new!r} already exists")
+
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    snap = snaps.get(meta.get("current-snapshot-id"))
+    if snap is not None and snap.get("manifest-list"):
+        _files, _pos, eq_deletes = _files_from_manifests(path, snap)
+        if eq_deletes:
+            raise IcebergEqualityDeletesPendingError(
+                "cannot rename while unmerged equality deletes exist; "
+                "run compact_iceberg first"
+            )
+
+    new_schema = {
+        **cur,
+        "schema-id": max(
+            int(s.get("schema-id") or 0) for s in meta.get("schemas") or []
+        )
+        + 1,
+        "fields": [
+            {**f, "name": new} if f["name"] == old else f
+            for f in cur["fields"]
+        ],
+    }
+    out = {k: v for k, v in meta.items() if not k.startswith("__")}
+    out["schemas"] = list(meta.get("schemas") or []) + [new_schema]
+    out["current-schema-id"] = new_schema["schema-id"]
+    props = dict(out.get("properties") or {})
+    props[f"pgms.schema-activation-seq.{new_schema['schema-id']}"] = str(
+        int(meta.get("last-sequence-number") or 0) + 1
+    )
+    out["properties"] = props
+    out["last-updated-ms"] = int(time.time() * 1000)
+    if meta.get("__pinned-file"):
+        out["metadata-log"] = list(meta.get("metadata-log") or []) + [
+            {
+                "metadata-file": meta["__pinned-file"],
+                "timestamp-ms": int(meta.get("last-updated-ms") or 0),
+            }
+        ]
+    meta_dir = os.path.join(path, "metadata")
+    _write_metadata_json(meta_dir, _metadata_version_of(meta, path) + 1, out)
+    return int(new_schema["schema-id"])
+
+
+def _rename_eras(meta: dict):
+    """Era table for rename-aware reads, or None when every schema in
+    the metadata agrees with the current top-level names (the common,
+    zero-cost case).  Returns a list of ``(activation_seq, {field-id:
+    name})`` sorted ascending; a data file resolves against the era
+    with the greatest activation_seq ≤ its sequence number."""
+    schemas = meta.get("schemas") or []
+    if len(schemas) <= 1:
+        return None
+    cur_names = {}
+    for s in schemas:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            cur_names = {int(f["id"]): f["name"] for f in s["fields"]}
+    props = meta.get("properties") or {}
+    eras = []
+    differs = False
+    for s in schemas:
+        sid = int(s.get("schema-id") or 0)
+        names = {int(f["id"]): f["name"] for f in s["fields"]}
+        act = int(props.get(f"pgms.schema-activation-seq.{sid}") or 0)
+        eras.append((act, names))
+        if any(cur_names.get(i) not in (None, n) for i, n in names.items()):
+            differs = True
+    if not differs:
+        return None
+    # later activation wins ties (additive evolutions share act=0)
+    eras.sort(key=lambda e: e[0])
+    return eras
+
+
+def _era_union_scan(spark, declared, files, eras, cur_names):
+    """Union of per-era scans: each group of data files reads with its
+    era's physical column names and aliases back to the CURRENT names
+    (field-id correspondence, ``cur_names``: id → current name),
+    carrying ``__fp``/``__pos`` metadata columns for the delete-
+    application paths.  Era count is the number of renames plus one —
+    a handful of scans at worst."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cur_ids = {n: i for i, n in cur_names.items()}  # current name -> id
+
+    def era_of(seq):
+        s = int(seq or 0)
+        best = eras[0][1]
+        for act, names in eras:
+            if act <= s:
+                best = names
+        return best
+
+    groups: dict[tuple, list[dict]] = {}
+    era_by_key: dict[tuple, dict] = {}
+    for f in files:
+        names = era_of(f["seq"])
+        key = tuple(sorted(names.items()))
+        groups.setdefault(key, []).append(f)
+        era_by_key[key] = names
+    parts = []
+    for key, fs in groups.items():
+        names = era_by_key[key]
+        read_schema = T.StructType(
+            [
+                T.StructField(
+                    names.get(cur_ids.get(fld.name), fld.name),
+                    fld.dataType,
+                    True,
+                )
+                for fld in declared.fields
+            ]
+        )
+        gdf = spark.read.schema(read_schema).parquet(
+            *[f["resolved"] for f in fs]
+        )
+        parts.append(
+            gdf.select(
+                *[
+                    F.col(names.get(cur_ids.get(fld.name), fld.name)).alias(
+                        fld.name
+                    )
+                    for fld in declared.fields
+                ],
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _commit_snapshot(

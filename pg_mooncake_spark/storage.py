@@ -64,6 +64,10 @@ class Commit:
     # to data files committed STRICTLY BEFORE its own commit (Iceberg
     # sequence-number semantics), so same-commit upserts survive
     deletes: list[dict[str, Any]] = field(default_factory=list)
+    # metadata-only column rename {old: new} (upstream ALTER RENAME):
+    # files committed before this keep their data under the old
+    # physical column name; snapshot replay tracks the mapping per file
+    renames: Optional[dict] = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -77,6 +81,7 @@ class Commit:
                 "source_version": self.source_version,
                 "ts": self.ts,
                 "deletes": self.deletes,
+                "renames": self.renames,
             }
         )
 
@@ -169,6 +174,7 @@ class MoonTable:
         dels: dict[str, dict] = {}
         first = self._read_commit(vs[0])
         eff_schema = first.schema
+        eff_pk = list(first.primary_key or [])
         for v in vs:
             if v > version:
                 break
@@ -185,10 +191,22 @@ class MoonTable:
                 files[d["name"]] = {**d, "v": c.version}
             for d in c.deletes:
                 dels[d["name"]] = {**d, "v": c.version}
-        if eff_schema != first.schema:
+            if c.renames:
+                # files present BEFORE the rename keep their data under
+                # the pre-rename physical column name; descriptors carry
+                # the logical→physical map so scans resolve per file era
+                for old, new in c.renames.items():
+                    for d in list(files.values()) + list(dels.values()):
+                        pm = dict(d.get("phys") or {})
+                        pm[new] = pm.pop(old, old)
+                        d["phys"] = pm
+                eff_pk = [c.renames.get(k, k) for k in eff_pk]
+        if eff_schema != first.schema or eff_pk != list(first.primary_key or []):
             from dataclasses import replace as _dc_replace
 
-            first = _dc_replace(first, schema=eff_schema)
+            first = _dc_replace(
+                first, schema=eff_schema, primary_key=eff_pk or None
+            )
         return list(files.values()), list(dels.values()), first
 
     def schema(self) -> T.StructType:
@@ -258,33 +276,78 @@ class MoonTable:
         df = self._scan(files, schema, dels)
         return df.filter(where) if where else df
 
+    def _read_files(
+        self,
+        files: list[dict],
+        schema: T.StructType,
+        add_file_col: bool = False,
+    ) -> DataFrame:
+        """Parquet scan of ``files`` resolved to the LOGICAL ``schema``.
+
+        Files that predate a column rename store their data under the
+        old physical name (descriptor ``phys``: logical → physical, set
+        by :meth:`_snapshot_full`); files group by rename era and each
+        group scans with its own physical schema, aliased back to the
+        logical names — the moontable analog of Iceberg's resolve-by-
+        field-id.  Rename eras are few (renames are rare DDL), so this
+        is a handful of unioned scans at worst, one in the common case.
+        """
+        groups: dict[tuple, list[dict]] = {}
+        for d in files:
+            key = tuple(sorted((d.get("phys") or {}).items()))
+            groups.setdefault(key, []).append(d)
+        parts = []
+        for key, fs in groups.items():
+            phys = dict(key)
+            read_schema = T.StructType(
+                [
+                    T.StructField(phys.get(f.name, f.name), f.dataType, True)
+                    for f in schema.fields
+                ]
+            )
+            gdf = self.spark.read.schema(read_schema).parquet(
+                *[os.path.join(self.path, d["name"]) for d in fs]
+            )
+            cols = [
+                F.col(phys.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+            if add_file_col:
+                cols.append(
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("__file")
+                )
+            parts.append(gdf.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _scan(
         self, files: list[dict], schema: T.StructType, dels: list[dict]
     ) -> DataFrame:
         """Scan ``files`` with merge-on-read equality deletes folded in.
 
-        One parquet scan; when tombstones are active, the scan joins a
-        tiny broadcast (file → commit version) map and left-joins the
-        tombstone keys reduced to (pk, max delete version): a row
-        survives iff its file's version ≥ every tombstoning delete's
-        version (Iceberg sequence-number rule).  Tombstone volume is
-        O(deleted keys since last optimize) — the join stays small and
-        AQE broadcasts it; no tombstones → the plain scan, zero extra
-        operators."""
-        paths = [os.path.join(self.path, d["name"]) for d in files]
-        df = self.spark.read.schema(schema).parquet(*paths)
+        One parquet scan (per rename era); when tombstones are active,
+        the scan joins a tiny broadcast (file → commit version) map and
+        left-joins the tombstone keys reduced to (pk, max delete
+        version): a row survives iff its file's version ≥ every
+        tombstoning delete's version (Iceberg sequence-number rule).
+        Tombstone volume is O(deleted keys since last optimize) — the
+        join stays small and AQE broadcasts it; no tombstones → the
+        plain scan, zero extra operators."""
         if not dels:
-            return df
+            return self._read_files(files, schema)
+        df = self._read_files(files, schema, add_file_col=True)
         pk = self.primary_key() or []
         pk_schema = T.StructType(
             [f for f in schema.fields if f.name in set(pk)]
         )
         tomb = None
         for d in dels:
-            t = (
-                self.spark.read.schema(pk_schema)
-                .parquet(os.path.join(self.path, d["name"]))
-                .withColumn("__dv", F.lit(int(d["v"])).cast("long"))
+            t = self._read_files([d], pk_schema).withColumn(
+                "__dv", F.lit(int(d["v"])).cast("long")
             )
             tomb = t if tomb is None else tomb.unionByName(t)
         tomb = tomb.groupBy(*pk).agg(F.max("__dv").alias("__dv"))
@@ -293,10 +356,7 @@ class MoonTable:
             "__file string, __fv long",
         )
         return (
-            df.withColumn(
-                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-            )
-            .join(F.broadcast(fmap), "__file")
+            df.join(F.broadcast(fmap), "__file")
             .join(tomb, on=list(pk), how="left")
             .filter(F.col("__dv").isNull() | (F.col("__fv") >= F.col("__dv")))
             .select(*[F.col(f.name) for f in schema.fields])
@@ -441,6 +501,14 @@ class MoonTable:
         batch (upstream DROP) stay in the mirror with NULL in the new
         row images.  Primary-key columns can never be missing.
 
+        'evolve' also handles TYPE drift on common columns (upstream
+        ALTER COLUMN TYPE): when the batch carries a safe widening
+        (byte/short/int→wider integer, float→double) the mirror schema
+        widens in the same commit — pre-evolution parquet files read
+        through Spark's widening conversions (int32 scanned as long
+        etc.), no rewrite; a batch NARROWER than the mirror casts up;
+        anything lossy (string→int, long→int) still fails loudly.
+
         Copy-on-write MERGE:
         1. prune — per-file pk min/max stats narrow candidates driver-side,
            then an exact key-membership probe (:meth:`_probe_by_keys`)
@@ -517,6 +585,33 @@ class MoonTable:
                     if f.name == mcol
                 )
                 changes = changes.withColumn(mcol, F.lit(None).cast(mtype))
+        if on_schema_drift == "evolve":
+            # type drift on common columns (upstream ALTER COLUMN TYPE)
+            batch_types = {f.name: f.dataType for f in changes.schema.fields}
+            new_fields = []
+            for f_ in work_schema.fields:
+                bt = batch_types.get(f_.name)
+                if bt is None or bt == f_.dataType:
+                    new_fields.append(f_)
+                elif _widens(f_.dataType, bt):
+                    # batch is wider: widen the mirror (schema-evolving
+                    # commit; old files read via widening conversions)
+                    new_fields.append(T.StructField(f_.name, bt, f_.nullable))
+                    evolved = True
+                elif _widens(bt, f_.dataType):
+                    # batch is narrower: cast the images up, no evolution
+                    changes = changes.withColumn(
+                        f_.name, F.col(f_.name).cast(f_.dataType)
+                    )
+                    new_fields.append(f_)
+                else:
+                    raise MoonTableError(
+                        f"CDC batch column {f_.name!r} drifted to "
+                        f"{bt.simpleString()} which is not a safe widening "
+                        f"of the mirror's {f_.dataType.simpleString()}; "
+                        "recreate the mirror to change its schema"
+                    )
+            work_schema = T.StructType(new_fields)
         changes = changes.cache()
         try:
             # every changed key evicts its old image — including I keys,
@@ -620,13 +715,8 @@ class MoonTable:
         pk_schema = T.StructType(
             [f for f in self.schema().fields if f.name in set(pk)]
         )
-        paths = [os.path.join(self.path, d["name"]) for d in candidates]
         hit = (
-            self.spark.read.schema(pk_schema)
-            .parquet(*paths)
-            .withColumn(
-                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-            )
+            self._read_files(candidates, pk_schema, add_file_col=True)
             .join(keys_df, on=list(pk), how="leftsemi")
             .select("__file")
             .distinct()
@@ -783,13 +873,8 @@ class MoonTable:
         if not files:
             return []
         schema = T.StructType.fromJson(json.loads(first.schema))
-        paths = [os.path.join(self.path, d["name"]) for d in files]
         hit = (
-            self.spark.read.schema(schema)
-            .parquet(*paths)
-            .withColumn(
-                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-            )
+            self._read_files(files, schema, add_file_col=True)
             .filter(condition)
             .select("__file")
             .distinct()
@@ -887,6 +972,40 @@ class MoonTable:
         )
         return v
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (upstream ALTER TABLE RENAME
+        COLUMN) — no data file is touched.  Files written before the
+        rename keep their data under the old physical name; snapshot
+        replay carries the per-file logical→physical mapping and every
+        scan resolves it per rename era (:meth:`_read_files`), the
+        moontable analog of Iceberg's rename-by-field-id.  Primary-key
+        columns rename with the schema.  Time travel below the rename
+        sees the old name.  Pre-rename file pk stats remain keyed by
+        the old name, so stat pruning degrades to conservative keeps
+        for those files until the next optimize rewrites them."""
+        schema = self.schema()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise MoonTableError(f"no column {old!r} to rename")
+        if new in names:
+            raise MoonTableError(f"column {new!r} already exists")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        v = self.latest_version() + 1
+        self._write_commit(
+            Commit(
+                version=v,
+                op="rename",
+                schema=json.dumps(new_schema.jsonValue()),
+                renames={old: new},
+            )
+        )
+        return v
+
     def optimize(
         self,
         target_partitions: Optional[int] = None,
@@ -975,6 +1094,31 @@ class MoonTable:
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+
+
+_INT_RANK = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+
+
+def _widens(from_t: T.DataType, to_t: T.DataType) -> bool:
+    """True iff every value of ``from_t`` is exactly representable in
+    ``to_t`` AND Spark's parquet reader scans files written as
+    ``from_t`` through a widening conversion when the requested schema
+    says ``to_t`` (int32→int64, float→double, …) — the property that
+    lets the mirror widen without rewriting history."""
+    ft, tt = type(from_t), type(to_t)
+    if ft in _INT_RANK and tt in _INT_RANK:
+        return _INT_RANK[ft] < _INT_RANK[tt]
+    if ft is T.DecimalType and tt is T.DecimalType:
+        # wider iff both integral digits and scale grow-or-hold (and it
+        # actually changed) — verified readable through the vectorized
+        # parquet reader incl. scale increase
+        return (
+            to_t.scale >= from_t.scale
+            and to_t.precision - to_t.scale >= from_t.precision - from_t.scale
+            and (to_t.precision, to_t.scale)
+            != (from_t.precision, from_t.scale)
+        )
+    return ft is T.FloatType and tt is T.DoubleType
 
 
 def _plain(v: Any) -> Any:

@@ -903,3 +903,44 @@ def test_bucket_partitioned_attach_export_syncs(spark, warehouse, tmp_path):
     probe = read_iceberg(spark, exp, partition_filter={"k_bucket": b})
     rows = {r["k"] for r in probe.collect()}
     assert 100 in rows and all(bucket(k) == b for k in rows)
+
+
+def test_rename_column_propagates_to_exports(spark, warehouse, tmp_path):
+    """engine.rename_column: metadata-only on the mirror AND on the
+    attached Iceberg export (rename-by-field-id); CDC with the new name
+    keeps flowing afterwards; an export with pending equality deletes
+    is compacted automatically before the rename."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    eng = _engine(spark, warehouse)
+    df = spark.createDataFrame(
+        [(i, i * 1.0) for i in range(10)], "k long, amount double"
+    )
+    eng.create_table("r", source_df=df, primary_key=["k"])
+    exp = str(tmp_path / "exp_ren")
+    eng.attach_export("r", exp)
+
+    # leave pending equality deletes in the export so rename must
+    # compact it first (the typed-retry path)
+    eng.apply_changes(
+        "r",
+        changes_df(
+            spark.createDataFrame([(3, 33.0)], "k long, amount double"), op="U"
+        ),
+        source_version=1,
+    )
+
+    eng.rename_column("r", "amount", "total")
+    assert [f.name for f in eng.table("r").schema.fields] == ["k", "total"]
+    mirror = {(r["k"], r["total"]) for r in eng.table("r").collect()}
+    export = {(r["k"], r["total"]) for r in read_iceberg(spark, exp).collect()}
+    assert mirror == export and (3, 33.0) in export and len(export) == 10
+
+    # CDC continues under the new name, export stays in lockstep
+    batch = changes_df(
+        spark.createDataFrame([(5, 555.0)], "k long, total double"), op="U"
+    )
+    eng.apply_changes("r", batch, source_version=2)
+    mirror = {(r["k"], r["total"]) for r in eng.table("r").collect()}
+    export = {(r["k"], r["total"]) for r in read_iceberg(spark, exp).collect()}
+    assert mirror == export and (5, 555.0) in export

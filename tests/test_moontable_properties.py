@@ -230,6 +230,96 @@ def test_mor_merge_and_delete_tombstones(spark, tmp_path):
     assert {r["k"]: r["v"] for r in mt.read().collect()} == model
 
 
+def test_evolve_type_widening(spark, tmp_path):
+    """VERDICT r7 task 5: on_schema_drift='evolve' handles upstream
+    ALTER COLUMN TYPE — an int→long / float→double / decimal-widening
+    batch widens the mirror schema in the merge commit; pre-evolution
+    files read through the parquet reader's widening conversions (no
+    rewrite); a lossy drift still fails loudly; a narrower batch casts
+    up without evolving."""
+    import pytest as _pytest
+    from pg_mooncake_spark.storage import MoonTableError
+
+    path = str(tmp_path / "t")
+    mt = MoonTable(spark, path)
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("x", T.FloatType(), True),
+        T.StructField("d", T.DecimalType(12, 2), True),
+    ])
+    mt.create(schema, primary_key=["k"])
+    mt.append(spark.createDataFrame(
+        [(1, 1.5, None), (2, 2.5, None)],
+        "k int, x float, d decimal(12,2)"))
+
+    # upstream widened k to BIGINT, x to DOUBLE, d's precision grew
+    batch = spark.createDataFrame(
+        [(2, 9.25, "U"), (3000000000, 3.0, "I")],
+        "k long, x double, __op string",
+    ).selectExpr("k", "x", "cast(x as decimal(13,2)) d", "__op")
+    mt.merge(batch, on_schema_drift="evolve")
+    got = mt.schema()
+    assert dict((f.name, f.dataType.simpleString()) for f in got.fields) == {
+        "k": "bigint", "x": "double", "d": "decimal(13,2)"}
+    rows = {r["k"]: r["x"] for r in mt.read().collect()}
+    assert rows == {1: 1.5, 2: 9.25, 3000000000: 3.0}
+
+    # narrower batch (upstream never widened): casts up, schema stable
+    mt.merge(spark.createDataFrame([(7, "I")], "k int, __op string")
+             .selectExpr("k", "cast(1.5 as float) x",
+                         "cast(1 as decimal(12,2)) d", "__op"),
+             on_schema_drift="evolve")
+    assert mt.schema() == got
+    # lossy drift fails loudly even in evolve mode
+    bad = spark.createDataFrame([("x", "I")], "k string, __op string") \
+        .selectExpr("k", "cast(1 as double) x", "cast(1 as decimal(13,2)) d", "__op")
+    with _pytest.raises(MoonTableError, match="not a safe widening"):
+        mt.merge(bad, on_schema_drift="evolve")
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """VERDICT r7 task 5: rename-by-era.  A rename commits metadata
+    only; files written before it keep the old physical column name and
+    every path (read, merge probe, predicate delete, time travel,
+    tombstone fold, optimize) resolves per era."""
+    path = str(tmp_path / "t")
+    mt = MoonTable(spark, path)
+    mt.create(SCHEMA, primary_key=["k"])
+    mt.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], SCHEMA))
+    v_pre = mt.latest_version()
+
+    v_ren = mt.rename_column("v", "val")
+    c = mt._read_commit(v_ren)
+    assert c.add == [] and c.remove == []  # metadata-only
+    assert [f.name for f in mt.schema().fields] == ["k", "val"]
+    # old files read under the new logical name
+    assert {r["k"]: r["val"] for r in mt.read().collect()} == {1: 10, 2: 20, 3: 30}
+    # time travel below the rename sees the old shape
+    assert {r["k"]: r["v"] for r in mt.read(v_pre).collect()} == {1: 10, 2: 20, 3: 30}
+
+    # merge across the era boundary: probe + rewrite resolve old files
+    mt.merge(spark.createDataFrame([(2, 99, "U"), (4, 40, "I")],
+                                   "k int, val int, __op string"))
+    assert {r["k"]: r["val"] for r in mt.read().collect()} == {
+        1: 10, 2: 99, 3: 30, 4: 40}
+
+    # predicate DML on the NEW name hits pre-rename files
+    mt.delete_where("val = 30")
+    assert {r["k"]: r["val"] for r in mt.read().collect()} == {1: 10, 2: 99, 4: 40}
+
+    # renaming a pk column follows the key
+    mt.rename_column("k", "id")
+    assert mt.primary_key() == ["id"]
+    mt.merge(spark.createDataFrame([(1, -1, "U")], "id int, val int, __op string"))
+    assert {r["id"]: r["val"] for r in mt.read().collect()} == {1: -1, 2: 99, 4: 40}
+
+    # optimize rewrites everything into the current names; eras collapse
+    mt.optimize(target_partitions=1)
+    files, dels, _ = mt._snapshot_full(None)
+    assert all(not d.get("phys") for d in files)
+    assert {r["id"]: r["val"] for r in mt.read().collect()} == {1: -1, 2: 99, 4: 40}
+
+
 def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
     """A writer that died between staging and commit leaves _staging_*;
     vacuum must reclaim it once past the grace window — but a staging dir

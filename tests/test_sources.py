@@ -2357,6 +2357,69 @@ def test_iceberg_bucket_timestamp_tz_independent(spark, tmp_path):
     assert seen == 40
 
 
+def test_iceberg_rename_column_by_field_id(spark, tmp_path):
+    """rename_column_iceberg (spec 'Schema Evolution'): a rename is a
+    metadata-only commit keeping the field id; files written before it
+    resolve by era (activation-sequence grouping) so old data appears
+    under the new name; appends after the rename write the new name;
+    stats-based range skipping still works (bounds are keyed by field
+    id); equality-delete-pending tables refuse with a typed error."""
+    import pytest as _pytest
+
+    from pg_mooncake_spark.sources.iceberg import (
+        IcebergEqualityDeletesPendingError,
+        compact_iceberg,
+        read_iceberg,
+        rename_column_iceberg,
+        upsert_keys_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_ren")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS amount")
+    write_iceberg(df, path)
+    old_files = set(read_iceberg(spark, path).inputFiles())
+
+    rename_column_iceberg(path, "amount", "total")
+    got = read_iceberg(spark, path)
+    assert got.columns == ["k", "total"]
+    assert {r["k"]: r["total"] for r in got.collect()} == {
+        i: i * 2 for i in range(100)}
+    # metadata-only: the same data files serve the read
+    assert set(got.inputFiles()) == old_files
+
+    # append under the new name; both eras union under current names
+    write_iceberg(
+        spark.range(100, 150).selectExpr("id AS k", "id * 2 AS total"),
+        path, mode="append",
+    )
+    full = read_iceberg(spark, path)
+    assert full.count() == 150
+    assert {r["k"]: r["total"] for r in full.collect()} == {
+        i: i * 2 for i in range(150)}
+
+    # field-id-keyed column stats still skip files across the rename
+    probe = read_iceberg(spark, path, range_filter={"total": (0, 10)})
+    assert {r["k"] for r in probe.collect()} == {0, 1, 2, 3, 4, 5}
+    assert len(probe.inputFiles()) < len(full.inputFiles())
+
+    # MOR upsert after the rename, then rename again: refused until the
+    # equality deletes fold, then the compact-and-rename path works
+    upsert_keys_iceberg(
+        spark, path,
+        spark.createDataFrame([(0,)], "k long"),
+        spark.createDataFrame([(0, -1)], "k long, total long"),
+    )
+    with _pytest.raises(IcebergEqualityDeletesPendingError):
+        rename_column_iceberg(path, "total", "grand_total")
+    compact_iceberg(spark, path)
+    rename_column_iceberg(path, "total", "grand_total")
+    final = read_iceberg(spark, path)
+    assert final.columns == ["k", "grand_total"]
+    vals = {r["k"]: r["grand_total"] for r in final.collect()}
+    assert vals[0] == -1 and vals[149] == 298 and len(vals) == 150
+
+
 def test_iceberg_partition_spec_evolution(spark, tmp_path):
     """evolve_partition_spec: a metadata-only commit switches the
     DEFAULT spec; appends after it stage under the new spec, files
