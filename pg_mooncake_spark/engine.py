@@ -263,6 +263,7 @@ class MooncakeEngine:
         source_version: Optional[int] = None,
         on_schema_drift: str = "fail",
         strategy: str = "auto",
+        defer_exports: bool = False,
     ) -> int:
         """Apply one CDC batch (rows carry __op ∈ {I,U,D}) — the moonlink
         replication-apply analog.  Returns the new mirror version.
@@ -291,14 +292,39 @@ class MooncakeEngine:
         # is the freshness barrier, and "ingested" must mean the batch is
         # applied to the mirror AND every attached export — otherwise a
         # reader passing the barrier can still see a stale export while
-        # the sync loop's commits are in flight
+        # the sync loop's commits are in flight.  With defer_exports the
+        # caller owns the export flush (streaming commit batching): the
+        # COMMIT watermark then only moves at flush time, so the barrier
+        # never lies about export freshness.
         exports = self.catalog.get(dst).get("exports") or []
+        if defer_exports:
+            self.catalog.update_watermarks(dst, flush_version=v)
+            return v
         if exports:
             self._sync_exports(mt, changes, exports)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
         )
         return v
+
+    def flush_exports(
+        self,
+        dst: str,
+        changes: DataFrame,
+        source_version: Optional[int] = None,
+    ) -> None:
+        """Apply a (key-compacted) coalesced change set to every attached
+        export and advance the commit watermark — the flush half of
+        apply_changes(defer_exports=True).  One Iceberg commit per export
+        per flush instead of per micro-batch (VERDICT r7 task 9), so a
+        high-trigger-rate stream grows each export's metadata chain N×
+        slower between optimizes."""
+        dst = self._canon(dst)
+        mt = self._moontable(dst)
+        exports = self.catalog.get(dst).get("exports") or []
+        if exports:
+            self._sync_exports(mt, changes, exports)
+        self.catalog.update_watermarks(dst, commit_version=source_version)
 
     def attach_export(
         self,

@@ -364,7 +364,13 @@ def write_dv_file(table_path: str, positions: list[int]) -> dict:
 class _State:
     """Log-replay accumulator: live adds keyed by file path + metadata."""
 
-    SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
+    SUPPORTED_READER_FEATURES = {
+        "columnMapping",
+        "timestampNtz",
+        "deletionVectors",
+        # _load_checkpoint follows UUID manifests + sidecars
+        "v2Checkpoint",
+    }
 
     def __init__(self) -> None:
         self.files: dict[str, dict] = {}  # path -> add action dict
@@ -951,7 +957,9 @@ def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
         ) from None
 
 
-def write_checkpoint(path: str, version: Optional[int] = None) -> str:
+def write_checkpoint(
+    path: str, version: Optional[int] = None, v2: bool = False
+) -> str:
     """Write a protocol-conformant parquet checkpoint of the table state
     at ``version`` (default latest) plus ``_last_checkpoint``.
 
@@ -963,6 +971,17 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
     a checkpoint), per-add stats and deletionVector descriptors, and
     unexpired remove tombstones, which the protocol requires checkpoints
     to retain so vacuum still sees them.
+
+    ``v2=True`` emits the V2 spec checkpoint this module's reader (and
+    current delta-spark) consumes (PROTOCOL.md "V2 Spec Checkpoints",
+    VERDICT r7 task 6): a UUID-named manifest holding
+    checkpointMetadata + protocol + metaData + sidecar pointers, with
+    every FILE action (add/remove) in parquet sidecars under
+    ``_delta_log/_sidecars/`` — the layout that lets a 100 TB table's
+    checkpoint be written and read in parallel parts.  The manifest's
+    protocol row declares the v2Checkpoint reader/writer feature
+    (minReader 3 / minWriter 7), as delta-spark does when the feature
+    turns on.  Default stays classic: universally readable.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1042,15 +1061,25 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
         ]
     )
     md = st.metadata
+    proto = {
+        "minReaderVersion": st.protocol.get("minReaderVersion", 1),
+        "minWriterVersion": st.protocol.get("minWriterVersion", 2),
+        "readerFeatures": st.protocol.get("readerFeatures"),
+        "writerFeatures": st.protocol.get("writerFeatures"),
+    }
+    if v2:
+        # the v2Checkpoint table feature implies protocol (3, 7) with
+        # the feature listed on both sides (PROTOCOL.md)
+        proto["minReaderVersion"] = max(3, int(proto["minReaderVersion"]))
+        proto["minWriterVersion"] = max(7, int(proto["minWriterVersion"]))
+        rf = set(proto.get("readerFeatures") or [])
+        wf = set(proto.get("writerFeatures") or [])
+        rf.add("v2Checkpoint")
+        wf.add("v2Checkpoint")
+        proto["readerFeatures"] = sorted(rf)
+        proto["writerFeatures"] = sorted(wf)
     rows: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": st.protocol.get("minReaderVersion", 1),
-                "minWriterVersion": st.protocol.get("minWriterVersion", 2),
-                "readerFeatures": st.protocol.get("readerFeatures"),
-                "writerFeatures": st.protocol.get("writerFeatures"),
-            }
-        },
+        {"protocol": proto},
         {
             "metaData": {
                 "id": md.get("id") or str(uuid.uuid4()),
@@ -1106,9 +1135,57 @@ def write_checkpoint(path: str, version: Optional[int] = None) -> str:
                 }
             }
         )
-    table = pa.Table.from_pylist(rows, schema=cp_schema)
-    cp_path = os.path.join(path, _LOG, f"{v:020d}.checkpoint.parquet")
-    pq.write_table(table, cp_path)
+    if v2:
+        # sidecars hold ONLY file actions; the manifest holds
+        # checkpointMetadata + protocol + metaData + sidecar pointers
+        sc_dir = os.path.join(path, _LOG, "_sidecars")
+        os.makedirs(sc_dir, exist_ok=True)
+        sc_schema = pa.schema(
+            [cp_schema.field("add"), cp_schema.field("remove")]
+        )
+        file_rows = rows[2:]
+        sc_name = f"{uuid.uuid4()}.parquet"
+        sc_path = os.path.join(sc_dir, sc_name)
+        pq.write_table(pa.Table.from_pylist(file_rows, schema=sc_schema), sc_path)
+        mf_schema = pa.schema(
+            [
+                pa.field(
+                    "checkpointMetadata",
+                    pa.struct([pa.field("version", pa.int64())]),
+                ),
+                cp_schema.field("protocol"),
+                cp_schema.field("metaData"),
+                pa.field(
+                    "sidecar",
+                    pa.struct(
+                        [
+                            pa.field("path", pa.string()),
+                            pa.field("sizeInBytes", pa.int64()),
+                            pa.field("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        mf_rows = [
+            {"checkpointMetadata": {"version": v}},
+            rows[0],
+            rows[1],
+            {
+                "sidecar": {
+                    "path": sc_name,
+                    "sizeInBytes": os.path.getsize(sc_path),
+                    "modificationTime": int(os.path.getmtime(sc_path) * 1000),
+                }
+            },
+        ]
+        cp_path = os.path.join(
+            path, _LOG, f"{v:020d}.checkpoint.{uuid.uuid4()}.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist(mf_rows, schema=mf_schema), cp_path)
+    else:
+        cp_path = os.path.join(path, _LOG, f"{v:020d}.checkpoint.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema), cp_path)
     lc_tmp = os.path.join(path, _LOG, f"_last_checkpoint.tmp.{uuid.uuid4().hex}")
     with open(lc_tmp, "w") as fh:
         fh.write(json.dumps({"version": v, "size": len(rows)}))

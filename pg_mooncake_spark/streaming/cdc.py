@@ -31,6 +31,7 @@ def start_sync(
     trigger_available_now: bool = False,
     processing_time: str = "1 second",
     on_schema_drift: str = "fail",
+    export_commit_interval: int = 1,
 ) -> StreamingQuery:
     """Attach a change stream to a mirror; returns the StreamingQuery
     (the engine-session-owned sync loop, reference A13).
@@ -43,9 +44,22 @@ def start_sync(
     - ``on_schema_drift='evolve'`` lets a mid-stream upstream ADD COLUMN
       widen the mirror (and attached exports) instead of failing the
       query; the default keeps the fail-loudly contract.
+    - ``export_commit_interval=N`` (default 1 = per-batch) coalesces
+      attached-export maintenance: the MIRROR still commits every
+      micro-batch (read-your-writes), but exports receive ONE
+      key-compacted row-delta per N batches (last change per key wins —
+      exactly the state an export needs), so a fast trigger doesn't
+      grow each export's Iceberg metadata chain per tick.  The COMMIT
+      watermark only advances at flush time, so the
+      wait_for_source_version freshness barrier keeps meaning "mirror
+      AND exports".  A buffered tail is flushed by
+      :func:`flush_pending_exports` (sync_available does it
+      automatically after the drain).
     """
     if not change_stream.isStreaming:
         raise ValueError("change_stream must be a streaming DataFrame")
+    if export_commit_interval < 1:
+        raise ValueError("export_commit_interval must be >= 1")
 
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(engine.warehouse, f"_checkpoints_{dst}")
@@ -66,6 +80,19 @@ def start_sync(
     )
 
     applied_epochs: set[int] = set()
+    pending: list[tuple[int, DataFrame]] = []
+
+    def flush() -> None:
+        if not pending:
+            return
+        batches = list(pending)
+        pending.clear()
+        pk = engine._moontable(dst).primary_key() or []  # noqa: SLF001
+        engine.flush_exports(
+            dst,
+            _compact_batches([df for _e, df in batches], pk),
+            source_version=base + batches[-1][0],
+        )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in applied_epochs:
@@ -73,12 +100,29 @@ def start_sync(
         applied_epochs.add(epoch_id)
         if batch_df.isEmpty():
             return
+        if export_commit_interval <= 1:
+            engine.apply_changes(
+                dst,
+                batch_df,
+                source_version=base + epoch_id,
+                on_schema_drift=on_schema_drift,
+            )
+            return
+        # mirror now, exports at the flush: the batch is materialized
+        # once so the deferred export apply replays EXACTLY these rows
+        b = batch_df.localCheckpoint(eager=True)
         engine.apply_changes(
             dst,
-            batch_df,
+            b,
             source_version=base + epoch_id,
             on_schema_drift=on_schema_drift,
+            defer_exports=True,
         )
+        pending.append((epoch_id, b))
+        if len(pending) >= export_commit_interval:
+            flush()
+
+    _PENDING_FLUSHES[(id(engine), engine._canon(dst))] = flush  # noqa: SLF001
 
     writer = change_stream.writeStream.foreachBatch(apply_batch).outputMode("update")
     writer = writer.option("checkpointLocation", checkpoint_dir)
@@ -89,18 +133,58 @@ def start_sync(
     return writer.start()
 
 
+_PENDING_FLUSHES: dict = {}
+
+
+def _compact_batches(dfs: list[DataFrame], pk: list[str]) -> DataFrame:
+    """Union N change batches into one per-key-compacted change set:
+    the LAST change per key wins (batch order = epoch order), which is
+    exactly the end state an export upsert needs — a key updated in
+    every buffered batch costs the export ONE delete+insert, not N.
+    ``allowMissingColumns`` null-fills across a mid-buffer schema
+    evolution."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = None
+    for i, df in enumerate(dfs):
+        d = df.withColumn("__sync_epoch", F.lit(i))
+        u = d if u is None else u.unionByName(d, allowMissingColumns=True)
+    if len(dfs) == 1:
+        return u.drop("__sync_epoch")
+    w = Window.partitionBy(*pk).orderBy(F.col("__sync_epoch").desc())
+    return (
+        u.withColumn("__sync_rn", F.row_number().over(w))
+        .filter(F.col("__sync_rn") == 1)
+        .drop("__sync_rn", "__sync_epoch")
+    )
+
+
+def flush_pending_exports(engine: MooncakeEngine, dst: str) -> None:
+    """Flush any change batches start_sync buffered for ``dst``'s
+    exports (export_commit_interval > 1) — call after stopping a stream
+    mid-interval so exports catch up to the mirror."""
+    fn = _PENDING_FLUSHES.get((id(engine), engine._canon(dst)))  # noqa: SLF001
+    if fn is not None:
+        fn()
+
+
 def sync_available(
     engine: MooncakeEngine,
     dst: str,
     change_stream: DataFrame,
     checkpoint_dir: Optional[str] = None,
     on_schema_drift: str = "fail",
+    export_commit_interval: int = 1,
 ) -> None:
     """Drain everything currently available in the stream, then stop —
     the synchronous 'catch up now' barrier used by tests and
-    create_snapshot-style freshness waits."""
+    create_snapshot-style freshness waits.  Flushes any buffered export
+    tail after the drain."""
     q = start_sync(
         engine, dst, change_stream, checkpoint_dir,
         trigger_available_now=True, on_schema_drift=on_schema_drift,
+        export_commit_interval=export_commit_interval,
     )
     q.awaitTermination()
+    flush_pending_exports(engine, dst)

@@ -2939,3 +2939,58 @@ def test_zorder_quantile_prunes_better_on_skewed_column(spark, tmp_path):
     assert n_quantile < n_linear <= full, (
         f"quantile={n_quantile} linear={n_linear} full={full}"
     )
+
+
+def test_delta_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """VERDICT r7 task 6: write_checkpoint(v2=True) emits the V2 spec
+    layout the reader already consumes — UUID-named manifest
+    (checkpointMetadata + protocol + metaData + sidecar pointers) with
+    all file actions in a parquet sidecar; the manifest protocol row
+    declares the v2Checkpoint feature at (3, 7).  Round-trip: with the
+    pre-checkpoint JSON log removed, replay MUST go through the v2
+    chain and reproduce the exact state (incl. DV descriptors), and a
+    JSON append after the checkpoint layers on top."""
+    import glob as _glob
+
+    from pg_mooncake_spark.sources.delta import (
+        _replay,
+        delete_where_dv,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "v2w")
+    write_delta(spark.range(60).selectExpr("id AS k", "id * 3 AS x"), path)
+    write_delta(
+        spark.range(60, 90).selectExpr("id AS k", "id * 3 AS x"),
+        path, mode="append",
+    )
+    delete_where_dv(spark, path, "k % 7 = 0")  # DV descriptors in state
+    expected = {(r["k"], r["x"]) for r in read_delta(spark, path).collect()}
+
+    cp = write_checkpoint(path, v2=True)
+    log_dir = os.path.join(path, "_delta_log")
+    assert os.path.basename(cp).count(".") == 3  # <v>.checkpoint.<uuid>.parquet
+    assert _glob.glob(os.path.join(log_dir, "_sidecars", "*.parquet"))
+    # classic checkpoint file must NOT exist for this version
+    assert not os.path.exists(
+        os.path.join(log_dir, f"{2:020d}.checkpoint.parquet")
+    )
+
+    for f in list(os.listdir(log_dir)):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log_dir, f))
+    got = {(r["k"], r["x"]) for r in read_delta(spark, path).collect()}
+    assert got == expected and len(got) == 90 - 13
+
+    # protocol row carries the feature at (3, 7)
+    _adds, _schema, _p, st = _replay(path)
+    assert st.protocol["minReaderVersion"] >= 3
+    assert st.protocol["minWriterVersion"] >= 7
+    assert "v2Checkpoint" in (st.protocol.get("readerFeatures") or [])
+
+    # JSON tail after the checkpoint replays on top of the v2 state
+    write_delta(
+        spark.range(1000, 1003).selectExpr("id AS k", "id * 3 AS x"),
+        path, mode="append",
+    )
+    assert read_delta(spark, path).count() == 90 - 13 + 3

@@ -385,3 +385,65 @@ def test_streaming_sync_mid_stream_schema_evolve(spark, tmp_path):
     )
     out = {r["k"]: (r["v"], r["note"]) for r in eng.table("sevo").collect()}
     assert out == {1: (11, "upd"), 2: (20, None), 3: (30, "text")}
+
+
+def test_streaming_export_commit_batching(spark, tmp_path):
+    """VERDICT r7 task 9: export_commit_interval=N coalesces attached-
+    export maintenance to one key-compacted row-delta per N micro-
+    batches — the export's Iceberg snapshot chain grows strictly slower
+    than per-batch syncing, while the final mirror and export states
+    are identical (last change per key wins across the buffer)."""
+    import time
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.sources.iceberg import _latest_metadata, read_iceberg
+    from pg_mooncake_spark.streaming.cdc import sync_available
+
+    batches = [
+        [(1, "a1", "U")],
+        [(3, "c", "I")],
+        [(1, "a2", "U"), (2, None, "D")],
+        [(4, "d", "I")],
+    ]
+    expected = [(1, "a2"), (3, "c"), (4, "d")]
+
+    def run(interval: int, tag: str):
+        eng = MooncakeEngine(spark, str(tmp_path / f"wh_{tag}"))
+        eng.create_table(
+            "b",
+            source_df=spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+            primary_key=["k"],
+        )
+        exp = str(tmp_path / f"exp_{tag}")
+        eng.attach_export("b", exp)
+        sdir = str(tmp_path / f"src_{tag}")
+        os.makedirs(sdir)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "k int, v string, __op string"
+            ).coalesce(1).write.mode("append").parquet(sdir)
+            time.sleep(0.05)  # distinct mtimes: file-source batch order
+        stream = (
+            spark.readStream.schema("k int, v string, __op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        sync_available(
+            eng, "b", stream,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            export_commit_interval=interval,
+        )
+        mirror = sorted((r["k"], r["v"]) for r in eng.table("b").collect())
+        export = sorted(
+            (r["k"], r["v"]) for r in read_iceberg(spark, exp).collect()
+        )
+        snaps = len(_latest_metadata(exp).get("snapshots") or [])
+        return mirror, export, snaps
+
+    m1, e1, snaps_per_batch = run(1, "per")
+    m2, e2, snaps_coalesced = run(2, "coal")
+    assert m1 == e1 == expected
+    assert m2 == e2 == expected
+    assert snaps_coalesced < snaps_per_batch, (
+        f"coalesced {snaps_coalesced} !< per-batch {snaps_per_batch}"
+    )
