@@ -61,60 +61,61 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # round-7 additions — never driver-verified
-    "iceberg_partitioned_roundtrip",
-    "iceberg_bucket_partition_roundtrip",
-    "dedup_substring_runs",
-    "text_boilerplate_fraction",
-    "iceberg_sorted_range_scan",
-    "lifecycle_schema_evolution_cdc",
-    "scalar_interval_family",
-    "lifecycle_decimal_roundtrip",
-    "text_top_ngrams",
-    # last driver-verified in round 2 — the stalest slice (34 keys)
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signature",
-    "dedup_ngram_jaccard",
-    "dedup_simhash16",
-    "delta_roundtrip_lineitem",
-    "events_asof_join",
-    "events_sessionization",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "lifecycle_cdc_lineitem_merge",
-    "lifecycle_partitioned_counts",
-    "lifecycle_sanity_cdc",
-    "lifecycle_snapshot_versions",
-    "lifecycle_trades_quickstart",
-    "media_feature_extraction",
-    "media_frame_sampling",
-    "media_resize_dedup",
-    "scalar_array_family",
-    "scalar_conditional_family",
-    "scalar_hash_family",
-    "scalar_json_family",
-    "scalar_json_structured",
-    "sequence_generation",
-    "sim_ann_lsh_bucketed",
-    "sim_cosine_topk_bruteforce",
-    "sketch_hll_distinct",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "struct_and_map_access",
-    "text_language_id",
-    "text_profile_analysis",
-    "text_quality_scoring",
-    # last driver-verified in round 5 — next-stalest, fills the window
-    # to exactly 50 (r5-window order)
-    "scalar_bitwise_family",
-    "scalar_array_setops_family",
-    "agg_bitwise_family",
-    "agg_boolean_family",
-    "sim_ann_indexed_probe",
-    "pipeline_pretraining_corpus",
-    "corpus_sample_deterministic",
+    # round-8 additions — never driver-verified
+    "lifecycle_mor_scattered_dml",
+    "lifecycle_rename_widen_cdc",
+    # last driver-verified in round 5 — the stalest slice (42 keys,
+    # alphabetical; every other key is r6/r7-green)
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "corpus_chunking",
+    "corpus_decontaminate",
+    "corpus_domain_cap",
+    "corpus_mixture",
+    "corpus_pack_sequences",
+    "corpus_sample_stratified",
+    "dedup_components",
+    "dedup_minhash_pairs_fast",
+    "dedup_simhash64_fast",
+    "events_range_join",
+    "iceberg_roundtrip_lineitem",
+    "orc_roundtrip_lineitem",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "scalar_cast_conversion",
+    "scalar_hof_family",
+    "scalar_regexp_family",
+    "scalar_try_family",
+    "sim_ann_ivf",
+    "text_pii_redaction",
+    "text_repetition_score",
+    # last driver-verified in round 6 — next-stalest, fills the window
+    # to exactly 50 (r6-window order)
+    "iceberg_delete_roundtrip",
+    "jdbc_mirror_snapshot",
+    "delta_dv_update_roundtrip",
+    "lifecycle_iceberg_mirror_sync",
+    "text_winnowing_fingerprints",
+    "delta_schema_evolution_roundtrip",
 )
 
 
