@@ -176,6 +176,7 @@ class MooncakeEngine:
         primary_key: Optional[list[str]] = None,
         table_config: Optional[dict[str, Any]] = None,
         backfill: bool = True,
+        change_feed: bool = False,
     ) -> MoonTable:
         """Create a columnstore mirror (reference A1, src/functions.rs:24-43).
 
@@ -206,7 +207,11 @@ class MooncakeEngine:
             raise ValueError("need source_df, source_name, or source_uri")
         if primary_key is None and table_config:
             primary_key = table_config.get("primary_key")
-        mt.create(source_df.schema, primary_key=primary_key)
+        if table_config and table_config.get("change_feed"):
+            change_feed = True
+        mt.create(
+            source_df.schema, primary_key=primary_key, change_feed=change_feed
+        )
         self.catalog.register(
             dst, source_name or source_uri, path, table_config=table_config
         )
@@ -299,12 +304,14 @@ class MooncakeEngine:
         exports = self.catalog.get(dst).get("exports") or []
         if defer_exports:
             self.catalog.update_watermarks(dst, flush_version=v)
+            self._refresh_views_of(dst)
             return v
         if exports:
             self._sync_exports(mt, changes, exports)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
         )
+        self._refresh_views_of(dst)
         return v
 
     def flush_exports(
@@ -417,6 +424,7 @@ class MooncakeEngine:
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
         )
+        self._refresh_views_of(dst)
         return v
 
     def update_where(self, dst: str, condition: str, assignments: dict[str, str]) -> int:
@@ -453,6 +461,7 @@ class MooncakeEngine:
             )
             self._sync_exports(mt, changes, exports)
         self.catalog.update_watermarks(dst, flush_version=v)
+        self._refresh_views_of(dst)
         return v
 
     def delete_where(self, dst: str, condition: str, strategy: str = "auto") -> int:
@@ -470,6 +479,7 @@ class MooncakeEngine:
         if exports and matched is not None:
             self._sync_exports(mt, changes_df(matched, op="D"), exports)
         self.catalog.update_watermarks(dst, flush_version=v)
+        self._refresh_views_of(dst)
         return v
 
     def wait_for_source_version(
@@ -506,6 +516,81 @@ class MooncakeEngine:
         v = mt.latest_version()
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
+
+    def table_changes(
+        self,
+        dst: str,
+        start_version: int = 1,
+        end_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Row-level change feed of a mirror between two versions
+        (inclusive): table columns + ``_change_type`` ∈ {insert,
+        update_preimage, update_postimage, delete} + ``_commit_version``.
+        Requires ``create_table(..., change_feed=True)`` for DML commits;
+        insert-only history reads without it.  The downstream half of the
+        reference's CDC pipeline: what logical replication feeds IN,
+        table_changes exposes OUT (for incremental consumers — see
+        materialized views)."""
+        return self._moontable(self._canon(dst)).changes(
+            start_version, end_version
+        )
+
+    # ------------------------------------------------- materialized views
+
+    def create_materialized_view(
+        self,
+        name: str,
+        base: str,
+        group_by: list[str],
+        aggs: dict[str, tuple[str, str]],
+    ) -> None:
+        """Persisted GROUP BY aggregate over a mirror, kept fresh
+        INCREMENTALLY from the mirror's change feed: each
+        ``apply_changes`` on the base also folds the O(batch) delta into
+        the view (sum/count/avg by signed deltas; min/max groups that
+        saw a retraction recompute from the base, semi-join-bounded).
+        The base needs ``create_table(..., change_feed=True)``.
+        ``aggs``: output column → (fn, sql_expr), fn ∈ {sum, count, min,
+        max, avg}, expr ``"*"`` for count."""
+        from pg_mooncake_spark.views import MaterializedView
+
+        name = parse_table_name(name)
+        base = self._canon(base)
+        if name in self.catalog.list_tables():
+            raise ValueError(f"{name!r} already registered")
+        path = self._table_path(name)
+        MaterializedView.create(
+            self.spark, path, self._moontable(base), group_by, aggs
+        )
+        self.catalog.register(
+            name, base, path, table_config={"kind": "mview", "base": base}
+        )
+
+    def refresh_materialized_view(self, name: str) -> int:
+        """Fold base changes since the last refresh into the view;
+        returns the base version the view now reflects.  apply_changes
+        calls this automatically for every view of the changed mirror."""
+        from pg_mooncake_spark.views import MaterializedView
+
+        name = self._canon(name)
+        entry = self.catalog.get(name)
+        mv = MaterializedView(self.spark, entry["path"])
+        v = mv.refresh()
+        self.catalog.update_watermarks(name, commit_version=v, flush_version=v)
+        return v
+
+    def materialized_view(self, name: str) -> DataFrame:
+        """Read the view (group columns + finalized aggregates)."""
+        from pg_mooncake_spark.views import MaterializedView
+
+        name = self._canon(name)
+        return MaterializedView(self.spark, self.catalog.get(name)["path"]).read()
+
+    def _refresh_views_of(self, base: str) -> None:
+        for name, e in self.catalog.list_tables().items():
+            cfg = e.get("table_config") or {}
+            if cfg.get("kind") == "mview" and cfg.get("base") == base:
+                self.refresh_materialized_view(name)
 
     # ------------------------------------------------------------- file I/O
 

@@ -451,3 +451,153 @@ def lifecycle_rename_widen_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("price", 2).alias("sum_price"),
         F.max("ship").cast("long").alias("max_ship"),
     )
+
+
+@query(
+    "lifecycle_change_feed",
+    oracle="""
+    WITH upd AS (SELECT o_totalprice FROM orders
+                 WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3),
+    del AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 7 = 3),
+    ins AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 13 = 5),
+    feed AS (
+      SELECT 'delete' AS _change_type, o_totalprice AS p FROM del
+      UNION ALL SELECT 'update_preimage', o_totalprice FROM upd
+      UNION ALL SELECT 'update_postimage', o_totalprice + 1 FROM upd
+      UNION ALL SELECT 'insert', o_totalprice FROM ins
+    )
+    SELECT _change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM feed GROUP BY _change_type ORDER BY _change_type
+    """,
+)
+def lifecycle_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed (moontable CDF): mirror orders with
+    change_feed=True, apply one MERGE carrying genuine inserts (re-keyed
+    rows), upserts of existing keys, and deletes, then read
+    table_changes() for that commit and aggregate per _change_type.  The
+    oracle reconstructs the exact expected feed — pre-images from the
+    source state, post-images with the update applied — so a
+    misclassified row (insert vs update_postimage, missing pre-image)
+    is a hash mismatch, not just a count drift.  (orders, not lineitem:
+    the feed contract requires a key-compacted batch, and the synthetic
+    lineitem's (orderkey, linenumber) is not unique.)"""
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders")
+    eng.create_table(
+        "o_cdf", source_df=o, primary_key=["o_orderkey"], change_feed=True
+    )
+    updates = (
+        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 3))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("__op", F.lit("U"))
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 3).withColumn("__op", F.lit("D"))
+    inserts = (
+        o.filter(F.col("o_orderkey") % 13 == 5)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        .withColumn("__op", F.lit("I"))
+    )
+    eng.apply_changes(
+        "o_cdf", updates.unionByName(deletes).unionByName(inserts),
+        source_version=1,
+    )
+    return (
+        eng.table_changes("o_cdf", start_version=2)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+@query(
+    "mv_incremental_agg",
+    oracle="""
+    WITH post AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 3)
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) / COUNT(p) AS avg_price
+    FROM post GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view: sum/count/avg per
+    o_orderstatus over an orders mirror, refreshed from the change feed
+    after a U+D CDC batch — the refresh folds O(batch) signed deltas
+    into the view state (views.py), never recomputing the base.  The
+    oracle is the from-scratch GROUP BY over the post-DML state: any
+    drift between incremental maintenance and recomputation (missed
+    retraction, double-counted upsert, broken NULL semantics) is a hash
+    mismatch."""
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders")
+    eng.create_table(
+        "o_mv", source_df=o, primary_key=["o_orderkey"], change_feed=True
+    )
+    eng.create_materialized_view(
+        "o_agg", "o_mv", ["o_orderstatus"],
+        {
+            "sum_price": ("sum", "CAST(o_totalprice AS DECIMAL(30,2))"),
+            "n_rows": ("count", "*"),
+            "avg_price": ("avg", "CAST(o_totalprice AS DECIMAL(30,2))"),
+        },
+    )
+    updates = (
+        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 3))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("__op", F.lit("U"))
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 3).withColumn("__op", F.lit("D"))
+    eng.apply_changes("o_mv", updates.unionByName(deletes), source_version=1)
+    mv = eng.materialized_view("o_agg")
+    return mv.select(
+        "o_orderstatus",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n_rows",
+        "avg_price",
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "mv_minmax_retraction",
+    oracle="""
+    SELECT p_brand,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_size) AS max_size,
+           COUNT(*) AS n
+    FROM part
+    WHERE NOT (p_brand = 'Brand#11' OR p_retailprice < 1200)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def mv_minmax_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-retractable half of view maintenance: min/max under
+    DELETEs.  A deleted row may have BEEN the group's min, so exactly
+    the groups that saw a retraction recompute from the base table
+    (semi-join-bounded — views.py refresh), while untouched groups keep
+    their incremental values; a group deleted wholesale (Brand#11)
+    must disappear from the view entirely."""
+    eng = _temp_engine(spark)
+    part = t(spark, sf_dir, "part")
+    eng.create_table("p_mir", source_df=part, primary_key=["p_partkey"],
+                     change_feed=True)
+    eng.create_materialized_view(
+        "p_mv", "p_mir", ["p_brand"],
+        {
+            "min_price": ("min", "p_retailprice"),
+            "max_size": ("max", "p_size"),
+            "n": ("count", "*"),
+        },
+    )
+    eng.delete_where("p_mir", "p_brand = 'Brand#11' OR p_retailprice < 1200")
+    return eng.materialized_view("p_mv").orderBy("p_brand")

@@ -64,6 +64,9 @@ _WINDOW_PRIORITY = (
     # round-8 additions — never driver-verified
     "lifecycle_mor_scattered_dml",
     "lifecycle_rename_widen_cdc",
+    "lifecycle_change_feed",
+    "mv_incremental_agg",
+    "mv_minmax_retraction",
     # last driver-verified in round 5 — the stalest slice (42 keys,
     # alphabetical; every other key is r6/r7-green)
     "agg_approx_count_distinct",
@@ -113,9 +116,6 @@ _WINDOW_PRIORITY = (
     "iceberg_delete_roundtrip",
     "jdbc_mirror_snapshot",
     "delta_dv_update_roundtrip",
-    "lifecycle_iceberg_mirror_sync",
-    "text_winnowing_fingerprints",
-    "delta_schema_evolution_roundtrip",
 )
 
 

@@ -43,7 +43,15 @@ from pyspark.sql import types as T
 from pg_mooncake_spark.fsio import CommitConflict, StorageBackend, get_backend
 
 _LOG_DIR = "_moonlog"
+_CHANGES_DIR = "_changes"
+_INDEX_DIR = "_index"
 OP_COL = "__op"  # change disposition column: I / U / D
+# change-feed disposition values (Delta CDF vocabulary so downstream
+# consumers translate 1:1): insert / update_preimage / update_postimage /
+# delete, stamped in CHANGE_TYPE_COL with the commit in VERSION_COL
+CHANGE_TYPE_COL = "_change_type"
+VERSION_COL = "_commit_version"
+_DML_OPS = frozenset({"merge", "merge-mor", "delete", "delete-mor", "update"})
 
 
 class MoonTableError(RuntimeError):
@@ -68,6 +76,12 @@ class Commit:
     # files committed before this keep their data under the old
     # physical column name; snapshot replay tracks the mapping per file
     renames: Optional[dict] = None
+    # free-form commit properties.  Used keys:
+    #   change_feed   (commit 0)  — row-level change tracking enabled
+    #   change_files  (DML)       — CDF parquet names under _changes/
+    #   data_change   (overwrite) — False = data-preserving rewrite
+    #                               (optimize/compaction: no logical change)
+    props: Optional[dict] = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -82,6 +96,7 @@ class Commit:
                 "ts": self.ts,
                 "deletes": self.deletes,
                 "renames": self.renames,
+                "props": self.props,
             }
         )
 
@@ -276,6 +291,109 @@ class MoonTable:
         df = self._scan(files, schema, dels)
         return df.filter(where) if where else df
 
+    def changes(
+        self, start_version: int = 1, end_version: Optional[int] = None
+    ) -> DataFrame:
+        """Row-level change feed for commits ``start_version..end_version``
+        (inclusive; defaults: everything after create, through latest).
+
+        Returns the table columns plus ``_change_type`` ∈ {insert,
+        update_preimage, update_postimage, delete} and ``_commit_version``
+        — the moontable analog of Delta CDF's ``table_changes``.
+
+        Insert-only commits (append/backfill) cost nothing at write time:
+        their change rows are derived here from the commit's own data
+        files (still present after later rewrites, until vacuum).  DML
+        commits read the O(batch) change files persisted at commit time
+        (``create(change_feed=True)``); a DML commit on a table that
+        never enabled the feed raises, as does a range crossing a
+        data-changing ``overwrite`` (compaction rewrites are
+        ``data_change=False`` and contribute nothing — same contract as
+        Delta).  Columns follow the schema as of ``end_version``: renamed
+        columns resolve through the per-era physical mapping, columns
+        added by evolution read NULL for older change rows."""
+        vs = self._versions()
+        if not vs:
+            raise MoonTableError(f"no moontable at {self.path}")
+        if end_version is None:
+            end_version = vs[-1]
+        if end_version not in vs:
+            raise MoonTableError(f"version {end_version} not in log")
+        _files, _dels, first = self._snapshot_full(end_version)
+        schema = T.StructType.fromJson(json.loads(first.schema))
+        ins_pieces: list[dict] = []
+        chg_pieces: list[dict] = []
+        for v in vs:
+            if v > end_version:
+                break
+            c = self._read_commit(v)
+            if c.renames:
+                for old, new in c.renames.items():
+                    for d in ins_pieces + chg_pieces:
+                        pm = dict(d.get("phys") or {})
+                        pm[new] = pm.pop(old, old)
+                        d["phys"] = pm
+            if v < start_version or v == 0:
+                continue
+            if c.op == "append":
+                ins_pieces.extend({"name": d["name"], "v": v} for d in c.add)
+            elif c.op in _DML_OPS:
+                cf = (c.props or {}).get("change_files")
+                if cf is None:
+                    if c.add or c.remove or c.deletes:
+                        raise MoonTableError(
+                            f"commit {v} ({c.op}) predates change tracking; "
+                            "create the table with change_feed=True"
+                        )
+                else:
+                    chg_pieces.extend(
+                        {"name": os.path.join(_CHANGES_DIR, n), "v": v}
+                        for n in cf
+                    )
+            elif c.op == "overwrite":
+                if (c.props or {}).get("data_change", True) and (
+                    c.add or c.remove
+                ):
+                    raise MoonTableError(
+                        f"change feed cannot span data-changing overwrite "
+                        f"commit {v}; start after it"
+                    )
+        out_fields = list(schema.fields) + [
+            T.StructField(CHANGE_TYPE_COL, T.StringType(), True),
+            T.StructField(VERSION_COL, T.LongType(), True),
+        ]
+        out_cols = [f.name for f in out_fields]
+        parts: list[DataFrame] = []
+
+        def vmap(pieces: list[dict]) -> DataFrame:
+            return F.broadcast(
+                self.spark.createDataFrame(
+                    [(os.path.basename(d["name"]), d["v"]) for d in pieces],
+                    f"__file string, {VERSION_COL} long",
+                )
+            )
+
+        if ins_pieces:
+            df = self._read_files(ins_pieces, schema, add_file_col=True)
+            parts.append(
+                df.join(vmap(ins_pieces), "__file").withColumn(
+                    CHANGE_TYPE_COL, F.lit("insert")
+                )
+            )
+        if chg_pieces:
+            cschema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
+            )
+            df = self._read_files(chg_pieces, cschema, add_file_col=True)
+            parts.append(df.join(vmap(chg_pieces), "__file"))
+        if not parts:
+            return self.spark.createDataFrame([], T.StructType(out_fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*out_cols)
+
     def _read_files(
         self,
         files: list[dict],
@@ -366,7 +484,13 @@ class MoonTable:
 
     def _stage_files(self, df: DataFrame, pk: Optional[list[str]]) -> list[dict]:
         """Write df as parquet files into the table dir; return descriptors
-        with row counts and pk min/max stats (the file-skipping index)."""
+        with row counts and pk min/max stats (the file-skipping index).
+
+        For bloom-indexable key types a per-file bloom filter over the pk
+        is also built (one extra Arrow-batched pass over the staged
+        files, no shuffle) and persisted as an immutable ``_index/``
+        sidecar — MERGE's candidate pruning tests batch keys against it
+        driver-side instead of scanning the file (functions/bloom.py)."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         descriptors: list[dict] = []
@@ -389,25 +513,99 @@ class MoonTable:
             for r in stat_df.collect():
                 d = r.asDict()
                 stats[d.pop("__file")] = d
+        blooms: dict[str, bytes] = {}
+        if pk and part_files:
+            from pg_mooncake_spark.functions import bloom as B
+
+            if B.supported_pk_types(df.schema, pk):
+                rows_by_staged = {f: (stats.get(f) or {}).get("rows") for f in part_files}
+                blooms = self._stage_blooms(staging, list(pk), rows_by_staged)
         for fname in part_files:
             new_name = f"part-{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(staging, fname), os.path.join(self.path, new_name))
             st = stats.get(fname, {})
-            descriptors.append(
-                {
-                    "name": new_name,
-                    "rows": st.get("rows"),
-                    "stats": {
-                        k: [_plain(st.get(f"min_{k}")), _plain(st.get(f"max_{k}"))]
-                        for k in (pk or [])
-                    },
-                }
-            )
+            desc = {
+                "name": new_name,
+                "rows": st.get("rows"),
+                "stats": {
+                    k: [_plain(st.get(f"min_{k}")), _plain(st.get(f"max_{k}"))]
+                    for k in (pk or [])
+                },
+            }
+            if fname in blooms:
+                side = f"bloom-{new_name}.bin"
+                self.backend.mkdirs(os.path.join(self.path, _INDEX_DIR))
+                self.backend.write_atomic(
+                    os.path.join(self.path, _INDEX_DIR, side), blooms[fname]
+                )
+                desc["bloom"] = side
+            descriptors.append(desc)
         # clean staging remnants
         for f in os.listdir(staging):
             os.remove(os.path.join(staging, f))
         os.rmdir(staging)
         return descriptors
+
+    def _stage_blooms(
+        self,
+        staging: str,
+        pk: list[str],
+        rows_by_staged: dict[str, Optional[int]],
+    ) -> dict[str, bytes]:
+        """Serialized bloom bitmap per staged file name.
+
+        One ``mapInPandas`` pass over the staged parquet (pk columns
+        only): each Arrow batch contributes a PARTIAL bitmap for the file
+        chunk it covers; the driver ORs partials per file.  Driver
+        traffic is O(files × m/8) bitmap bytes — independent of row
+        count — and the bitmap size m is fixed per file up front from the
+        stats row count, so partials always agree."""
+        import numpy as np
+
+        from pg_mooncake_spark.functions import bloom as B
+
+        rows_map = {
+            f: int(r) if r else 0 for f, r in rows_by_staged.items()
+        }
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for fname, g in pdf.groupby("__file", sort=False):
+                    m = B.bloom_m_for(rows_map.get(fname) or len(g))
+                    h = B.key_hash_array([g[c] for c in pk])
+                    bm = B.build_bitmap(h, m)
+                    yield pd.DataFrame(
+                        {
+                            "file": [fname],
+                            "m": [m],
+                            "bits": [
+                                np.packbits(bm, bitorder="little").tobytes()
+                            ],
+                        }
+                    )
+
+        src = (
+            self.spark.read.parquet(staging)
+            .select(*pk)
+            .withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+        )
+        partials = src.mapInPandas(gen, "file string, m long, bits binary").collect()
+        merged: dict[str, tuple[int, Any]] = {}
+        for r in partials:
+            bm = np.unpackbits(
+                np.frombuffer(r["bits"], dtype=np.uint8), bitorder="little"
+            )[: r["m"]].astype(bool)
+            if r["file"] in merged:
+                np.bitwise_or(merged[r["file"]][1], bm, out=merged[r["file"]][1])
+            else:
+                merged[r["file"]] = (int(r["m"]), bm)
+        return {f: B.serialize(bm, m) for f, (m, bm) in merged.items()}
 
     def _stage_delete_files(
         self, keys_df: DataFrame, pk: list[str]
@@ -435,13 +633,44 @@ class MoonTable:
         os.rmdir(staging)
         return descriptors
 
+    def _stage_change_files(self, change_df: DataFrame) -> list[str]:
+        """Persist one DML commit's change rows (table columns +
+        CHANGE_TYPE_COL) as parquet under ``_changes/``; returns file
+        names relative to the changes dir.  A CDC batch's change set is
+        O(batch), so a single coalesced writer task keeps the driver out
+        of the data path while the file count stays 1."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        change_df.coalesce(1).write.mode("overwrite").parquet(staging)
+        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        os.makedirs(ch_dir, exist_ok=True)
+        names: list[str] = []
+        for fname in os.listdir(staging):
+            if not fname.endswith(".parquet"):
+                continue
+            new_name = f"chg-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, fname), os.path.join(ch_dir, new_name))
+            names.append(new_name)
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
+        return names
+
     def create(
         self,
         schema: T.StructType,
         primary_key: Optional[list[str]] = None,
+        change_feed: bool = False,
     ) -> None:
         """Commit 0: schema + pk registration (reference copies the source
-        schema verbatim at mirror creation, src/functions.rs:204-228)."""
+        schema verbatim at mirror creation, src/functions.rs:204-228).
+
+        ``change_feed=True`` opts into row-level change tracking: every
+        DML commit also persists its change batch (with pre/post images)
+        under ``_changes/``, readable via :meth:`changes` — the
+        moontable analog of Delta's Change Data Feed.  Appends cost
+        nothing extra (inserts are derived from the commit's own data
+        files); MERGE/DELETE/UPDATE pay one extra O(batch) change-file
+        write."""
         if self.exists():
             raise MoonTableError(f"moontable already exists at {self.path}")
         os.makedirs(self.path, exist_ok=True)
@@ -451,8 +680,16 @@ class MoonTable:
                 op="create",
                 schema=json.dumps(schema.jsonValue()),
                 primary_key=primary_key,
+                props={"change_feed": True} if change_feed else None,
             )
         )
+
+    def change_feed_enabled(self) -> bool:
+        vs = self._versions()
+        if not vs:
+            return False
+        props = self._read_commit(vs[0]).props or {}
+        return bool(props.get("change_feed"))
 
     def append(self, df: DataFrame, source_version: Optional[int] = None) -> int:
         """Blind append (INSERT path / bulk load)."""
@@ -464,7 +701,16 @@ class MoonTable:
         )
         return v
 
-    def overwrite(self, df: DataFrame, source_version: Optional[int] = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        source_version: Optional[int] = None,
+        data_change: bool = True,
+    ) -> int:
+        """``data_change=False`` marks the commit as a data-PRESERVING
+        rewrite (compaction/clustering): same logical rows, new physical
+        layout — the change feed skips it, exactly like Delta's
+        ``dataChange=false`` AddFiles."""
         df = self._conform(df)
         files, dels, _ = self._snapshot_full(None)
         v = self.latest_version() + 1
@@ -477,6 +723,7 @@ class MoonTable:
                 # replacing the data retires active tombstones with it
                 remove=[d["name"] for d in files] + [d["name"] for d in dels],
                 source_version=source_version,
+                props={"data_change": False} if not data_change else None,
             )
         )
         return v
@@ -621,6 +868,7 @@ class MoonTable:
             key_bounds = ud_keys.agg(
                 *[F.min(k).alias(f"min_{k}") for k in pk],
                 *[F.max(k).alias(f"max_{k}") for k in pk],
+                F.count(F.lit(1)).alias("__nkeys"),
             ).collect()[0]
 
             files, dels, _ = self._snapshot_full(None)
@@ -632,6 +880,9 @@ class MoonTable:
             # updates, the common busy-OLTP shape) would degrade the
             # merge to a full-table rewrite (VERDICT r7 task 1).
             candidates = [d for d in files if _intersects(d, pk, key_bounds)]
+            candidates = self._bloom_prune(
+                candidates, ud_keys, pk, int(key_bounds["__nkeys"])
+            )
             touched = self._probe_by_keys(candidates, ud_keys, pk)
 
             cols = [f.name for f in work_schema.fields]
@@ -643,6 +894,13 @@ class MoonTable:
                 and len(touched) / len(files) > mor_threshold
             )
             v = self.latest_version() + 1
+            props = None
+            if self.change_feed_enabled():
+                props = {
+                    "change_files": self._merge_change_files(
+                        touched, dels, work_schema, changes, upserts, pk
+                    )
+                }
             if use_mor and touched:
                 # merge-on-read: append upserts, tombstone every changed
                 # key; the tombstone (commit v) applies only to files
@@ -661,6 +919,7 @@ class MoonTable:
                             else None
                         ),
                         source_version=source_version,
+                        props=props,
                     )
                 )
                 return v
@@ -689,11 +948,143 @@ class MoonTable:
                         else None
                     ),
                     source_version=source_version,
+                    props=props,
                 )
             )
             return v
         finally:
             changes.unpersist()
+
+    def _merge_change_files(
+        self,
+        touched: list[dict],
+        dels: list[dict],
+        schema: T.StructType,
+        changes: DataFrame,
+        upserts: DataFrame,
+        pk: list[str],
+    ) -> list[str]:
+        """Row-level change set for one MERGE commit (change feed).
+
+        Classification needs exactly one extra fact per batch key —
+        "did the key exist?" — and the pre-images for those that did.
+        Both come from ONE scan of the already-probed touched files
+        (O(files actually containing batch keys), never the snapshot)
+        inner-joined to the batch keys; the join output is O(batch) and
+        is persisted so the four change classes below derive from it
+        without rescanning:
+
+        - D with a pre-image        → ``delete`` (old values)
+        - I/U with a pre-image      → ``update_preimage`` + ``update_postimage``
+        - I/U without one           → ``insert``
+        - D without one             → nothing (idempotent replays)
+        """
+        cols = [f.name for f in schema.fields]
+        ct = CHANGE_TYPE_COL
+        if not touched:
+            change_df = upserts.select(*cols).withColumn(ct, F.lit("insert"))
+            return self._stage_change_files(change_df)
+        ops = changes.select(*pk, OP_COL)
+        pre = (
+            self._scan(touched, schema, dels)
+            .join(ops, on=list(pk), how="inner")
+            .persist()
+        )
+        try:
+            existing_upd = pre.filter(F.col(OP_COL).isin("I", "U")).select(*pk)
+            change_df = (
+                pre.filter(F.col(OP_COL) == "D")
+                .select(*cols)
+                .withColumn(ct, F.lit("delete"))
+                .unionByName(
+                    pre.filter(F.col(OP_COL).isin("I", "U"))
+                    .select(*cols)
+                    .withColumn(ct, F.lit("update_preimage"))
+                )
+                .unionByName(
+                    upserts.join(existing_upd, on=list(pk), how="leftsemi")
+                    .select(*cols)
+                    .withColumn(ct, F.lit("update_postimage"))
+                )
+                .unionByName(
+                    upserts.join(existing_upd, on=list(pk), how="leftanti")
+                    .select(*cols)
+                    .withColumn(ct, F.lit("insert"))
+                )
+            )
+            return self._stage_change_files(change_df)
+        finally:
+            pre.unpersist()
+
+    # sidecar bitmaps are immutable (keyed by data-file name, and data
+    # files are never modified in place), so a process-wide cache is
+    # sound; a steady-state sync loop probes from memory with zero I/O
+    _BLOOM_CACHE: dict[str, Optional[tuple]] = {}
+    _BLOOM_CACHE_MAX = 8192
+    _BLOOM_MAX_KEYS = 100_000
+
+    def _bloom_prune(
+        self,
+        candidates: list[dict],
+        keys_df: DataFrame,
+        pk: list[str],
+        n_keys: int,
+    ) -> list[dict]:
+        """Driver-side candidate pruning via the per-file bloom sidecars
+        written at stage time: keep a file only if ANY batch key might be
+        present.  False positives just fall through to the exact probe
+        scan; a file without a (readable) sidecar is always kept, so
+        pruning can never be unsound.  Skipped for huge batches (the
+        hash collect is O(batch); past _BLOOM_MAX_KEYS the probe scan's
+        per-file parallelism wins anyway)."""
+        if (
+            len(candidates) <= 1
+            or n_keys == 0
+            or n_keys > self._BLOOM_MAX_KEYS
+            or not any(d.get("bloom") for d in candidates)
+        ):
+            return candidates
+        import numpy as np
+
+        from pg_mooncake_spark.functions import bloom as B
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf):
+                    yield pd.DataFrame(
+                        {"h": B.key_hash_array([pdf[c] for c in pk]).view(np.int64)}
+                    )
+
+        hs = np.array(
+            [r["h"] for r in keys_df.mapInPandas(gen, "h long").collect()],
+            dtype=np.int64,
+        ).view(np.uint64)
+        out = []
+        for d in candidates:
+            side = d.get("bloom")
+            if not side:
+                out.append(d)
+                continue
+            full = os.path.join(self.path, _INDEX_DIR, side)
+            if full not in self._BLOOM_CACHE:
+                if len(self._BLOOM_CACHE) >= self._BLOOM_CACHE_MAX:
+                    self._BLOOM_CACHE.clear()
+                try:
+                    self._BLOOM_CACHE[full] = B.deserialize(
+                        self.backend.read_bytes(full)
+                    )
+                except FileNotFoundError:
+                    self._BLOOM_CACHE[full] = None
+            parsed = self._BLOOM_CACHE[full]
+            if parsed is None:
+                out.append(d)
+                continue
+            bitmap, m, k = parsed
+            if B.might_contain_any(bitmap, m, hs, k):
+                out.append(d)
+        return out
 
     def _probe_by_keys(
         self, candidates: list[dict], keys_df: DataFrame, pk: list[str]
@@ -904,6 +1295,19 @@ class MoonTable:
         schema = T.StructType.fromJson(json.loads(first.schema))
         pk = self.primary_key()
         v = self.latest_version() + 1
+        props = None
+        if self.change_feed_enabled():
+            cols = [f.name for f in schema.fields]
+            if touched:
+                deleted = (
+                    self._scan(touched, schema, dels)
+                    .filter(condition)
+                    .select(*cols)
+                    .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                )
+                props = {"change_files": self._stage_change_files(deleted)}
+            else:
+                props = {"change_files": []}
         use_mor = bool(pk) and touched and (
             strategy == "mor"
             or (
@@ -921,7 +1325,7 @@ class MoonTable:
             )
             del_descr = self._stage_delete_files(keys, pk)
             self._write_commit(
-                Commit(version=v, op="delete-mor", deletes=del_descr)
+                Commit(version=v, op="delete-mor", deletes=del_descr, props=props)
             )
             return v
         add: list[dict] = []
@@ -935,6 +1339,7 @@ class MoonTable:
                 op="delete",
                 add=add,
                 remove=[d["name"] for d in touched],
+                props=props,
             )
         )
         return v
@@ -946,10 +1351,12 @@ class MoonTable:
         _files, dels, first = self._snapshot_full(None)
         v = self.latest_version() + 1
         add: list[dict] = []
+        props = None
+        if self.change_feed_enabled() and not touched:
+            props = {"change_files": []}
         if touched:
-            current = self._scan(
-                touched, T.StructType.fromJson(json.loads(first.schema)), dels
-            )
+            schema = T.StructType.fromJson(json.loads(first.schema))
+            current = self._scan(touched, schema, dels)
             cols = []
             for f_ in current.schema.fields:
                 if f_.name in assignments:
@@ -961,6 +1368,28 @@ class MoonTable:
                     )
                 else:
                     cols.append(F.col(f_.name))
+            if self.change_feed_enabled():
+                # pre/post images of the rows the predicate matches; the
+                # post image applies the assignments to the pre rows, so
+                # both classes come from the same O(matched) subset
+                names = [f.name for f in schema.fields]
+                pre_rows = current.filter(condition)
+                assigned = [
+                    F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+                change_df = (
+                    pre_rows.select(*names)
+                    .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+                    .unionByName(
+                        pre_rows.select(*assigned).withColumn(
+                            CHANGE_TYPE_COL, F.lit("update_postimage")
+                        )
+                    )
+                )
+                props = {"change_files": self._stage_change_files(change_df)}
             add = self._stage_files(current.select(*cols), self.primary_key())
         self._write_commit(
             Commit(
@@ -968,6 +1397,7 @@ class MoonTable:
                 op="update",
                 add=add,
                 remove=[d["name"] for d in touched],
+                props=props,
             )
         )
         return v
@@ -1044,7 +1474,7 @@ class MoonTable:
             df = df.repartitionByRange(target_partitions, zk).sortWithinPartitions(zk)
         else:
             df = df.repartition(target_partitions)
-        return self.overwrite(df)
+        return self.overwrite(df, data_change=False)
 
     def vacuum(self, staging_grace_s: float = 3600.0) -> int:
         """Remove data files no longer referenced by the latest snapshot,
@@ -1067,6 +1497,17 @@ class MoonTable:
         live = {d["name"] for d in snap_files} | {d["name"] for d in snap_dels}
         removed = 0
         now = _time.time()
+        # bloom sidecars of dead data files go with them (immutable 1:1)
+        idx_dir = os.path.join(self.path, _INDEX_DIR)
+        if os.path.isdir(idx_dir):
+            for f in os.listdir(idx_dir):
+                if (
+                    f.startswith("bloom-")
+                    and f.endswith(".bin")
+                    and f[len("bloom-"):-len(".bin")] not in live
+                ):
+                    os.remove(os.path.join(idx_dir, f))
+                    removed += 1
         for f in os.listdir(self.path):
             full = os.path.join(self.path, f)
             if f.endswith(".parquet") and f not in live:

@@ -1,0 +1,314 @@
+"""Incrementally-maintained materialized views over moontable mirrors.
+
+The reference's whole design is "keep a columnstore copy of an OLTP table
+fresh under a CDC stream" (reference README.md:13-17); the natural next
+consumer of that freshness is a *derived aggregate* that stays fresh too.
+This module maintains GROUP BY aggregate views incrementally from the
+mirror's row-level change feed (:meth:`MoonTable.changes`):
+
+- **refresh cost is O(changes), never O(table)** — the change batch is
+  delta-aggregated (insert/update_postimage count +1, delete/
+  update_preimage count −1), joined to the current view state, and only
+  the touched groups are merged back (MoonTable.merge keyed on the group
+  columns prunes to the files containing those groups);
+- **sum / count / avg are fully incremental** (signed deltas; avg is
+  maintained as sum + non-null count and finalized at read);
+- **min / max are incremental for insert-only deltas** (``least`` /
+  ``greatest`` against the incoming rows); a group that saw a retraction
+  (delete or update_preimage) cannot be maintained from deltas alone —
+  the dropped row might have BEEN the min — so exactly those groups are
+  recomputed from the base table (semi-join on the group keys: a bounded
+  recompute, not a full refresh);
+- **SQL NULL semantics are preserved**: per-aggregate non-null counts
+  make SUM/AVG return NULL (not 0) for all-NULL groups, matching what a
+  from-scratch GROUP BY would produce — so a DuckDB oracle running the
+  plain aggregate over the post-DML state hash-matches the view.
+
+At 100 TB the view table is the aggregate's cardinality (usually orders
+of magnitude below the base); each refresh shuffles only the change
+batch plus the touched slice of the view.  Group-by columns should be
+non-null (wrap nullable keys in ``coalesce``): view state is keyed on
+them as a moontable primary key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.fsio import get_backend
+from pg_mooncake_spark.storage import (
+    CHANGE_TYPE_COL,
+    MoonTable,
+    MoonTableError,
+)
+
+_SPEC_FILE = "_mvspec.json"
+_ROWS = "__rows"
+_FNS = ("sum", "count", "min", "max", "avg")
+
+
+class MaterializedView:
+    """A persisted GROUP BY aggregate over a base moontable.
+
+    ``aggs`` maps output column → ``(fn, expr)`` with fn ∈ {sum, count,
+    min, max, avg} and expr a SQL expression over the base columns
+    (``"*"`` for count).  State lives in a moontable at ``path`` keyed
+    on the group columns; the spec (including the base version the state
+    reflects) is one JSON beside it.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.backend = get_backend(path)
+        self.state = MoonTable(spark, self.path)
+
+    # ------------------------------------------------------------- spec
+
+    @property
+    def _spec_path(self) -> str:
+        return os.path.join(self.path, _SPEC_FILE)
+
+    def spec(self) -> dict[str, Any]:
+        return json.loads(self.backend.read_bytes(self._spec_path))
+
+    def _save_spec(self, spec: dict[str, Any]) -> None:
+        self.backend.write_atomic(
+            self._spec_path, json.dumps(spec, indent=1).encode("utf-8")
+        )
+
+    # ----------------------------------------------------------- create
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        base: MoonTable,
+        group_by: list[str],
+        aggs: dict[str, tuple[str, str]],
+    ) -> "MaterializedView":
+        """Full initial computation at the base's current version; every
+        later :meth:`refresh` is incremental from that version's change
+        feed (the base needs ``change_feed=True`` for DML commits)."""
+        for out, (fn, _expr) in aggs.items():
+            if fn not in _FNS:
+                raise MoonTableError(f"unsupported aggregate {fn!r} for {out!r}")
+            if out in group_by:
+                raise MoonTableError(f"aggregate {out!r} collides with a group key")
+        mv = MaterializedView(spark, path)
+        base_version = base.latest_version()
+        full = _full_agg(base.read(version=base_version), group_by, aggs)
+        mv.state.create(full.schema, primary_key=list(group_by))
+        mv.state.append(full)
+        mv._save_spec(
+            {
+                "base_path": base.path,
+                "group_by": list(group_by),
+                "aggs": {k: list(v) for k, v in aggs.items()},
+                "base_version": base_version,
+            }
+        )
+        return mv
+
+    # ---------------------------------------------------------- refresh
+
+    def refresh(self) -> int:
+        """Fold the base's changes since the last refresh into the view
+        state; returns the base version the view now reflects."""
+        spec = self.spec()
+        gb: list[str] = spec["group_by"]
+        aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+        base = MoonTable(self.spark, spec["base_path"])
+        start = spec["base_version"] + 1
+        end = base.latest_version()
+        if end < start:
+            return spec["base_version"]
+        ch = base.changes(start, end)
+
+        sign = F.when(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        dexprs = [F.sum(sign).alias(f"__d{_ROWS}")]
+        minmax: list[str] = []
+        for out, (fn, expr) in aggs.items():
+            e = F.lit(1) if expr == "*" else F.expr(expr)
+            if fn in ("sum", "avg"):
+                col = out if fn == "sum" else f"{out}__sum"
+                dexprs.append(
+                    F.sum(F.when(e.isNotNull(), sign * e)).alias(f"__d_{col}")
+                )
+                dexprs.append(
+                    F.sum(F.when(e.isNotNull(), sign).otherwise(0)).alias(
+                        f"__d_{out}__nn"
+                    )
+                )
+            elif fn == "count":
+                cnt = sign if expr == "*" else F.when(e.isNotNull(), sign).otherwise(0)
+                dexprs.append(F.sum(cnt).alias(f"__d_{out}"))
+            else:  # min / max: insert-side candidates + retraction flag
+                dexprs.append(
+                    (F.min if fn == "min" else F.max)(
+                        F.when(sign == 1, e)
+                    ).alias(f"__d_{out}")
+                )
+                dexprs.append(
+                    F.max(
+                        F.when((sign == -1) & e.isNotNull(), 1).otherwise(0)
+                    ).alias(f"__ret_{out}")
+                )
+                minmax.append(out)
+        deltas = ch.groupBy(*gb).agg(*dexprs)
+
+        old = self.state.read()
+        state_cols = [c for c in old.columns if c not in gb]
+        old_r = old.select(
+            *gb, *[F.col(c).alias(f"__o_{c}") for c in state_cols]
+        )
+        j = old_r.join(deltas, on=gb, how="right")
+
+        def _merged(out: str, fn: str) -> list:
+            if fn in ("sum", "avg"):
+                col = out if fn == "sum" else f"{out}__sum"
+                nn = f"{out}__nn"
+                new_nn = F.coalesce(F.col(f"__o_{nn}"), F.lit(0)) + F.coalesce(
+                    F.col(f"__d_{nn}"), F.lit(0)
+                )
+                new_sum = F.coalesce(F.col(f"__o_{col}"), F.lit(0)) + F.coalesce(
+                    F.col(f"__d_{col}"), F.lit(0)
+                )
+                return [
+                    F.when(new_nn > 0, new_sum).alias(col),
+                    new_nn.alias(nn),
+                ]
+            if fn == "count":
+                return [
+                    (
+                        F.coalesce(F.col(f"__o_{out}"), F.lit(0))
+                        + F.coalesce(F.col(f"__d_{out}"), F.lit(0))
+                    ).alias(out)
+                ]
+            pick = F.least if fn == "min" else F.greatest
+            return [pick(F.col(f"__o_{out}"), F.col(f"__d_{out}")).alias(out)]
+
+        new_rows = F.coalesce(F.col(f"__o_{_ROWS}"), F.lit(0)) + F.coalesce(
+            F.col(f"__d{_ROWS}"), F.lit(0)
+        )
+        out_cols = [F.col(c) for c in gb] + [new_rows.alias(_ROWS)]
+        for out, (fn, _e) in aggs.items():
+            out_cols.extend(_merged(out, fn))
+        ret_cols = [F.col(f"__ret_{m}") for m in minmax]
+        if not ret_cols:
+            needs = F.lit(0)
+        elif len(ret_cols) == 1:
+            needs = ret_cols[0]
+        else:
+            needs = F.greatest(*ret_cols)
+        inc = j.select(*out_cols, F.coalesce(needs, F.lit(0)).alias("__needs"))
+
+        state_schema = self.state.schema()
+        aligned = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in state_schema.fields
+        ]
+        if minmax:
+            inc = inc.persist()
+            try:
+                rec_groups = inc.filter(F.col("__needs") == 1).select(*gb)
+                rec = _full_agg(
+                    base.read(version=end).join(
+                        rec_groups, on=gb, how="leftsemi"
+                    ),
+                    gb,
+                    aggs,
+                )
+                # groups whose recompute found no surviving base rows
+                # disappeared entirely — delete them from the view
+                gone = rec_groups.join(rec.select(*gb), on=gb, how="leftanti")
+                batch = (
+                    inc.filter(F.col("__needs") == 0)
+                    .select(*aligned)
+                    .unionByName(rec.select(*aligned))
+                )
+                self._merge_state(batch, gone, gb, state_schema)
+            finally:
+                inc.unpersist()
+        else:
+            self._merge_state(inc.select(*aligned), None, gb, state_schema)
+        spec["base_version"] = end
+        self._save_spec(spec)
+        return end
+
+    def _merge_state(
+        self,
+        batch: DataFrame,
+        extra_deletes: Optional[DataFrame],
+        gb: list[str],
+        state_schema,
+    ) -> None:
+        """One MERGE into the state table: live groups upsert, emptied
+        groups delete (a group is empty when its row count folded to 0)."""
+        from pg_mooncake_spark.storage import OP_COL
+
+        ups = batch.filter(F.col(_ROWS) > 0).withColumn(OP_COL, F.lit("U"))
+        dels = batch.filter(F.col(_ROWS) <= 0).withColumn(OP_COL, F.lit("D"))
+        merged = ups.unionByName(dels)
+        if extra_deletes is not None:
+            pad = extra_deletes
+            for f in state_schema.fields:
+                if f.name not in gb:
+                    pad = pad.withColumn(f.name, F.lit(None).cast(f.dataType))
+            merged = merged.unionByName(pad.withColumn(OP_COL, F.lit("D")))
+        self.state.merge(merged)
+
+    # ------------------------------------------------------------- read
+
+    def read(self) -> DataFrame:
+        """The view as a DataFrame: group columns + finalized aggregates
+        (avg = sum / non-null count; all-NULL groups yield NULL)."""
+        spec = self.spec()
+        gb = spec["group_by"]
+        aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+        df = self.state.read()
+        cols = [F.col(c) for c in gb]
+        for out, (fn, _e) in aggs.items():
+            if fn == "avg":
+                # double division of the exact sum: IEEE-deterministic and
+                # engine-independent (decimal division scale rules differ
+                # between engines; double/int64 does not)
+                nn = F.col(f"{out}__nn")
+                cols.append(
+                    F.when(
+                        nn > 0, F.col(f"{out}__sum").cast("double") / nn
+                    ).alias(out)
+                )
+            else:
+                cols.append(F.col(out))
+        return df.select(*cols)
+
+
+def _full_agg(
+    df: DataFrame, gb: list[str], aggs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """The from-scratch aggregate (create + per-group recompute path);
+    its result schema IS the view's physical state schema."""
+    exprs = [F.count(F.lit(1)).alias(_ROWS)]
+    for out, (fn, expr) in aggs.items():
+        e = F.lit(1) if expr == "*" else F.expr(expr)
+        if fn == "sum":
+            exprs.append(F.sum(e).alias(out))
+            exprs.append(F.count(e).alias(f"{out}__nn"))
+        elif fn == "count":
+            exprs.append(
+                (F.count(F.lit(1)) if expr == "*" else F.count(e)).alias(out)
+            )
+        elif fn == "avg":
+            exprs.append(F.sum(e).alias(f"{out}__sum"))
+            exprs.append(F.count(e).alias(f"{out}__nn"))
+        else:
+            exprs.append((F.min if fn == "min" else F.max)(e).alias(out))
+    return df.groupBy(*gb).agg(*exprs)
