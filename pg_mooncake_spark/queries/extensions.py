@@ -708,3 +708,56 @@ def avro_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "delta_cdf_roundtrip",
+    oracle="""
+    WITH upd AS (SELECT o_totalprice FROM orders
+                 WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3),
+    del AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 7 = 3),
+    feed AS (
+      SELECT 'delete' AS _change_type, o_totalprice AS p FROM del
+      UNION ALL SELECT 'update_preimage', o_totalprice FROM upd
+      UNION ALL SELECT 'update_postimage', o_totalprice + 1 FROM upd
+    )
+    SELECT _change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM feed GROUP BY _change_type ORDER BY _change_type
+    """,
+)
+def delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Change Data Feed end-to-end on the pure-python protocol
+    implementation: create with delta.enableChangeDataFeed='true'
+    (protocol minWriterVersion 4), DV-DELETE then DV-UPDATE (each commit
+    also persists its _change_data/ cdc files), then read_delta_cdf and
+    aggregate per _change_type.  The oracle reconstructs the exact feed
+    from the source — wrong pre-images (post-delete state read instead
+    of pre-commit), missed DV masking, or double-fed rows all
+    hash-mismatch.  Delete runs FIRST so the update's images must be
+    computed against the DV-masked live state."""
+    from pg_mooncake_spark.sources.delta import (
+        delete_where_dv,
+        read_delta_cdf,
+        update_where_dv,
+        write_delta,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="delta_cdf_") + "/t"
+    write_delta(
+        o, path, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    delete_where_dv(spark, path, "o_orderkey % 7 = 3")
+    update_where_dv(
+        spark, path, "o_orderkey % 10 = 0", {"o_totalprice": "o_totalprice + 1"}
+    )
+    return (
+        read_delta_cdf(spark, path, start_version=1, end_version=2)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("_change_type")
+    )

@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = (
     "lifecycle_change_feed",
     "mv_incremental_agg",
     "mv_minmax_retraction",
+    "delta_cdf_roundtrip",
     # last driver-verified in round 5 — the stalest slice (42 keys,
     # alphabetical; every other key is r6/r7-green)
     "agg_approx_count_distinct",
@@ -115,7 +116,6 @@ _WINDOW_PRIORITY = (
     # to exactly 50 (r6-window order)
     "iceberg_delete_roundtrip",
     "jdbc_mirror_snapshot",
-    "delta_dv_update_roundtrip",
 )
 
 

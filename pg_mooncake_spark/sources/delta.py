@@ -1371,6 +1371,7 @@ def write_delta(
     mode: str = "error",
     partition_by: Optional[list[str]] = None,
     merge_schema: bool = False,
+    configuration: Optional[dict[str, str]] = None,
 ) -> int:
     """Write a DataFrame as a Delta table (create / append / overwrite).
 
@@ -1383,6 +1384,12 @@ def write_delta(
     the same commit; earlier files surface typed NULLs at scan, which
     the reader already handles by imposing the latest schema), and table
     columns the input lacks land as typed NULLs.
+
+    ``configuration`` (create only): table properties for the metaData
+    action.  ``delta.enableChangeDataFeed='true'`` turns on Change Data
+    Feed — DV DML commits then also persist ``_change_data/`` files via
+    ``cdc`` actions (read back with :func:`read_delta_cdf`), and the
+    protocol advertises minWriterVersion 4 as the CDF spec requires.
     """
     exists = os.path.isdir(os.path.join(path, _LOG)) and (
         _log_files(path) or _last_checkpoint(path) is not None
@@ -1401,15 +1408,17 @@ def write_delta(
             if partition_by
             else _stage_parquet(df, path)
         )
+        cfg = dict(configuration or {})
+        writer_v = 4 if cfg.get("delta.enableChangeDataFeed") == "true" else 2
         actions: list[dict[str, Any]] = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}},
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": json.dumps(df.schema.jsonValue()),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": cfg,
                     "createdTime": int(time.time() * 1000),
                 }
             },
@@ -1611,6 +1620,177 @@ def _probe_dv_blobs(
     return [(r["uri"], bytes(r["data"]), int(r["cardinality"])) for r in rows]
 
 
+_CDC_DIR = "_change_data"
+_CHANGE_TYPE = "_change_type"
+
+
+def _cdf_enabled(st: "_State") -> bool:
+    return (st.configuration.get("delta.enableChangeDataFeed") or "").lower() == "true"
+
+
+def _stage_cdc(df: DataFrame, path: str) -> list[dict[str, Any]]:
+    """Persist one commit's change rows (table columns + _change_type)
+    under ``_change_data/`` and return the ``cdc`` actions referencing
+    them.  ``dataChange=false`` per the CDF spec: cdc files describe the
+    commit, they are not table data."""
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    cdc_dir = os.path.join(path, _CDC_DIR)
+    os.makedirs(cdc_dir, exist_ok=True)
+    actions = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+        src = os.path.join(staging, f)
+        size = os.path.getsize(src)
+        os.rename(src, os.path.join(cdc_dir, name))
+        actions.append(
+            {
+                "cdc": {
+                    "path": f"{_CDC_DIR}/{name}",
+                    "partitionValues": {},
+                    "size": size,
+                    "dataChange": False,
+                }
+            }
+        )
+    for f in os.listdir(staging):
+        os.remove(os.path.join(staging, f))
+    os.rmdir(staging)
+    return actions
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    start_version: int = 0,
+    end_version: Optional[int] = None,
+) -> DataFrame:
+    """Change Data Feed read for commits ``start_version..end_version``
+    (inclusive): table columns + ``_change_type`` ∈ {insert,
+    update_preimage, update_postimage, delete} + ``_commit_version`` +
+    ``_commit_timestamp`` — the same shape delta-spark's
+    ``table_changes`` returns.
+
+    Per the CDF spec, a commit's changes come from its ``cdc`` actions
+    when present; an add-only data commit (plain WRITE/append) derives
+    ``insert`` rows from its added files; a commit that removed or
+    DV-masked rows WITHOUT writing cdc actions cannot be derived and
+    raises (enable ``delta.enableChangeDataFeed`` before the DML).
+    Compaction commits (``dataChange=false``) contribute nothing.
+    """
+    _adds, schema, partition_cols, st = _replay(path)
+    if end_version is None:
+        end_version = st.last_v
+    log_dir = os.path.join(path, _LOG)
+    cdc_pieces: list[tuple[str, int]] = []          # (relpath, version)
+    ins_pieces: list[tuple[str, int, dict]] = []    # (relpath, version, partitionValues)
+    ts_by_version: dict[int, int] = {}
+    for v, fname in _log_files(path):
+        if v < start_version or v > end_version:
+            continue
+        cdc_here: list[dict] = []
+        adds_here: list[dict] = []
+        removed = dv_masked = False
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "cdc" in act:
+                    cdc_here.append(act["cdc"])
+                elif "add" in act and act["add"].get("dataChange", True):
+                    if act["add"].get("deletionVector"):
+                        dv_masked = True
+                    else:
+                        adds_here.append(act["add"])
+                elif "remove" in act and act["remove"].get("dataChange", True):
+                    removed = True
+                elif "commitInfo" in act:
+                    ts_by_version[v] = act["commitInfo"].get(
+                        "timestamp", int(os.path.getmtime(os.path.join(log_dir, fname)) * 1000)
+                    )
+        if cdc_here:
+            cdc_pieces.extend((c["path"], v) for c in cdc_here)
+        elif removed or dv_masked:
+            raise DeltaProtocolError(
+                f"commit {v} changed existing rows without cdc actions; "
+                "its change feed cannot be derived — create the table with "
+                "delta.enableChangeDataFeed='true'"
+            )
+        else:
+            ins_pieces.extend(
+                (a["path"], v, a.get("partitionValues") or {}) for a in adds_here
+            )
+        ts_by_version.setdefault(
+            v, int(os.path.getmtime(os.path.join(log_dir, fname)) * 1000)
+        )
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField(_CHANGE_TYPE, T.StringType(), True),
+            T.StructField("_commit_version", T.LongType(), True),
+            T.StructField("_commit_timestamp", T.LongType(), True),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    vmap_rows = [
+        (os.path.basename(rel), v, ts_by_version[v])
+        for rel, v in cdc_pieces
+    ] + [
+        (os.path.basename(rel), v, ts_by_version[v])
+        for rel, v, _pv in ins_pieces
+    ]
+    if not vmap_rows:
+        return spark.createDataFrame([], out_schema)
+    vmap = F.broadcast(
+        spark.createDataFrame(
+            vmap_rows, "__file string, _commit_version long, _commit_timestamp long"
+        )
+    )
+    parts: list[DataFrame] = []
+    if cdc_pieces:
+        cschema = T.StructType(
+            list(schema.fields) + [T.StructField(_CHANGE_TYPE, T.StringType(), True)]
+        )
+        cdf = (
+            spark.read.schema(cschema)
+            .parquet(*[os.path.join(path, rel) for rel, _v in cdc_pieces])
+            .withColumn("__file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        )
+        parts.append(cdf.join(vmap, "__file").select(*out_cols))
+    if ins_pieces:
+        # group add files by identical partition values (the columns live
+        # only in the log for partitioned tables)
+        data_fields = [f for f in schema.fields if f.name not in set(partition_cols)]
+        by_pv: dict[tuple, list[str]] = {}
+        for rel, _v, pv in ins_pieces:
+            key = tuple(sorted(pv.items()))
+            by_pv.setdefault(key, []).append(rel)
+        for key, rels in by_pv.items():
+            pv = dict(key)
+            g = spark.read.schema(T.StructType(data_fields)).parquet(
+                *[os.path.join(path, rel) for rel in rels]
+            )
+            for c in partition_cols:
+                g = g.withColumn(
+                    c, F.lit(pv.get(c)).cast(schema[c].dataType)
+                )
+            g = (
+                g.withColumn(
+                    "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                )
+                .withColumn(_CHANGE_TYPE, F.lit("insert"))
+                .join(vmap, "__file")
+            )
+            parts.append(g.select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     """Merge-on-read DELETE: mark matching rows deleted via deletion
     vectors instead of rewriting files (the modern Delta writer's default
@@ -1645,6 +1825,17 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     if not blobs:
         return st.last_v  # no matching rows: no-op, no commit
 
+    cdc_actions: list[dict[str, Any]] = []
+    if _cdf_enabled(st):
+        # the matched LIVE rows (read_delta applies existing DVs), read
+        # against the pre-commit state — these ARE the deleted images
+        deleted = (
+            read_delta(spark, path)
+            .where(condition)
+            .withColumn(_CHANGE_TYPE, F.lit("delete"))
+        )
+        cdc_actions = _stage_cdc(deleted, path)
+
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     proto = st.protocol
@@ -1678,6 +1869,7 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
             }
         )
         actions.append({"add": {**a, "deletionVector": dv, "dataChange": True}})
+    actions.extend(cdc_actions)
     actions.append(
         {
             "commitInfo": {
@@ -1728,8 +1920,8 @@ def update_where_dv(
     unknown = set(assignments) - names
     if unknown:
         raise DeltaProtocolError(f"assignments target unknown columns {unknown}")
-    updated = read_delta(spark, path).where(condition)
-    updated = updated.withColumns(
+    pre = read_delta(spark, path).where(condition)
+    updated = pre.withColumns(
         {c: F.expr(e).cast(schema[c].dataType) for c, e in assignments.items()}
     )
     new_adds = (
@@ -1737,6 +1929,14 @@ def update_where_dv(
         if partition_cols
         else _stage_parquet(updated, path)
     )
+    cdc_actions: list[dict[str, Any]] = []
+    if _cdf_enabled(st):
+        change_df = pre.withColumn(
+            _CHANGE_TYPE, F.lit("update_preimage")
+        ).unionByName(
+            updated.withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+        )
+        cdc_actions = _stage_cdc(change_df, path)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
@@ -1772,6 +1972,7 @@ def update_where_dv(
         )
         actions.append({"add": {**a, "deletionVector": dv, "dataChange": True}})
     actions.extend(new_adds)
+    actions.extend(cdc_actions)
     actions.append(
         {
             "commitInfo": {

@@ -2994,3 +2994,88 @@ def test_delta_v2_checkpoint_write_roundtrip(spark, tmp_path):
         path, mode="append",
     )
     assert read_delta(spark, path).count() == 90 - 13 + 3
+
+
+class TestDeltaChangeDataFeed:
+    def _mk(self, spark, tmp_path, cdf=True):
+        from pg_mooncake_spark.sources.delta import write_delta
+
+        p = str(tmp_path / "cdf")
+        df = spark.range(0, 200).select(
+            "id", (F.col("id") * 1.5).alias("x")
+        )
+        cfg = {"delta.enableChangeDataFeed": "true"} if cdf else None
+        write_delta(df, p, configuration=cfg)
+        return p
+
+    def test_dml_commits_feed_exact_rows(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.delta import (
+            delete_where_dv,
+            read_delta_cdf,
+            update_where_dv,
+        )
+
+        p = self._mk(spark, tmp_path)
+        delete_where_dv(spark, p, "id < 5")
+        update_where_dv(spark, p, "id = 10", {"x": "x + 1000"})
+        rows = {
+            (r["id"], r["_change_type"], r["_commit_version"]): r["x"]
+            for r in read_delta_cdf(spark, p, 1).collect()
+        }
+        assert {k for k in rows} == {
+            *((i, "delete", 1) for i in range(5)),
+            (10, "update_preimage", 2),
+            (10, "update_postimage", 2),
+        }
+        assert rows[(10, "update_preimage", 2)] == 15.0
+        assert rows[(10, "update_postimage", 2)] == 1015.0
+
+    def test_appends_derive_inserts_without_cdc_files(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.delta import read_delta_cdf, write_delta
+
+        p = self._mk(spark, tmp_path, cdf=False)
+        write_delta(
+            spark.range(500, 503).select("id", (F.col("id") * 1.5).alias("x")),
+            p,
+            mode="append",
+        )
+        got = read_delta_cdf(spark, p, 1)
+        assert got.count() == 3
+        assert {r["_change_type"] for r in got.collect()} == {"insert"}
+
+    def test_compaction_contributes_nothing(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.delta import (
+            compact_delta,
+            delete_where_dv,
+            read_delta_cdf,
+        )
+
+        p = self._mk(spark, tmp_path)
+        delete_where_dv(spark, p, "id < 3")
+        before = read_delta_cdf(spark, p, 1).count()
+        compact_delta(spark, p, target_files=1)
+        assert read_delta_cdf(spark, p, 1).count() == before
+
+    def test_underivable_without_cdf_raises(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.delta import (
+            DeltaProtocolError,
+            delete_where_dv,
+            read_delta_cdf,
+        )
+
+        p = self._mk(spark, tmp_path, cdf=False)
+        delete_where_dv(spark, p, "id = 1")
+        with pytest.raises(DeltaProtocolError, match="cdc"):
+            read_delta_cdf(spark, p, 1).count()
+
+    def test_cdf_protocol_is_writer_v4(self, spark, tmp_path):
+        import json
+        import os
+
+        p = self._mk(spark, tmp_path)
+        with open(os.path.join(p, "_delta_log", f"{0:020d}.json")) as fh:
+            actions = [json.loads(line) for line in fh if line.strip()]
+        proto = next(a["protocol"] for a in actions if "protocol" in a)
+        assert proto["minWriterVersion"] >= 4
+        meta = next(a["metaData"] for a in actions if "metaData" in a)
+        assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
