@@ -302,16 +302,19 @@ class MooncakeEngine:
         # COMMIT watermark then only moves at flush time, so the barrier
         # never lies about export freshness.
         exports = self.catalog.get(dst).get("exports") or []
+        # views refresh BEFORE the watermark moves, same contract as
+        # exports: a reader passing the freshness barrier must see the
+        # batch in the mirror, every attached export, AND every view
         if defer_exports:
-            self.catalog.update_watermarks(dst, flush_version=v)
             self._refresh_views_of(dst)
+            self.catalog.update_watermarks(dst, flush_version=v)
             return v
         if exports:
             self._sync_exports(mt, changes, exports)
+        self._refresh_views_of(dst)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
         )
-        self._refresh_views_of(dst)
         return v
 
     def flush_exports(
@@ -421,10 +424,10 @@ class MooncakeEngine:
         exports = self.catalog.get(dst).get("exports") or []
         if exports:
             self._sync_exports(mt, changes_df(df, op="I"), exports)
+        self._refresh_views_of(dst)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
         )
-        self._refresh_views_of(dst)
         return v
 
     def update_where(self, dst: str, condition: str, assignments: dict[str, str]) -> int:
@@ -460,8 +463,8 @@ class MooncakeEngine:
                 changes_df(post, op="I")
             )
             self._sync_exports(mt, changes, exports)
-        self.catalog.update_watermarks(dst, flush_version=v)
         self._refresh_views_of(dst)
+        self.catalog.update_watermarks(dst, flush_version=v)
         return v
 
     def delete_where(self, dst: str, condition: str, strategy: str = "auto") -> int:
@@ -478,8 +481,8 @@ class MooncakeEngine:
         v = mt.delete_where(condition, strategy=strategy)
         if exports and matched is not None:
             self._sync_exports(mt, changes_df(matched, op="D"), exports)
-        self.catalog.update_watermarks(dst, flush_version=v)
         self._refresh_views_of(dst)
+        self.catalog.update_watermarks(dst, flush_version=v)
         return v
 
     def wait_for_source_version(
@@ -543,6 +546,7 @@ class MooncakeEngine:
         base: str,
         group_by: list[str],
         aggs: dict[str, tuple[str, str]],
+        where: Optional[str] = None,
     ) -> None:
         """Persisted GROUP BY aggregate over a mirror, kept fresh
         INCREMENTALLY from the mirror's change feed: each
@@ -551,7 +555,8 @@ class MooncakeEngine:
         saw a retraction recompute from the base, semi-join-bounded).
         The base needs ``create_table(..., change_feed=True)``.
         ``aggs``: output column → (fn, sql_expr), fn ∈ {sum, count, min,
-        max, avg}, expr ``"*"`` for count."""
+        max, avg}, expr ``"*"`` for count.  ``where`` restricts the view
+        to matching base rows (maintained per change-feed image)."""
         from pg_mooncake_spark.views import MaterializedView
 
         name = parse_table_name(name)
@@ -560,7 +565,7 @@ class MooncakeEngine:
             raise ValueError(f"{name!r} already registered")
         path = self._table_path(name)
         MaterializedView.create(
-            self.spark, path, self._moontable(base), group_by, aggs
+            self.spark, path, self._moontable(base), group_by, aggs, where=where
         )
         self.catalog.register(
             name, base, path, table_config={"kind": "mview", "base": base}
@@ -757,9 +762,22 @@ class MooncakeEngine:
 
         ``as_of_timestamp`` (epoch-ms / ISO string / datetime)
         time-travels to the latest commit at or before the timestamp;
-        mutually exclusive with ``version``."""
+        mutually exclusive with ``version``.
+
+        A materialized-view name resolves to its FINALIZED view (hidden
+        maintenance columns projected away, avg finalized), so views
+        query like tables; pinning a version of a view is not supported
+        — refresh determines its state."""
         name = self._canon(name)
         entry = self.catalog.get(name)
+        if (entry.get("table_config") or {}).get("kind") == "mview":
+            if version is not None or as_of_timestamp is not None:
+                raise ValueError(
+                    "materialized views read at their refreshed state; "
+                    "version pinning applies to the base table"
+                )
+            df = self.materialized_view(name)
+            return df.filter(where) if where else df
         mt = MoonTable(self.spark, entry["path"])
         if as_of_timestamp is not None:
             if version is not None:

@@ -601,3 +601,128 @@ def mv_minmax_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.delete_where("p_mir", "p_brand = 'Brand#11' OR p_retailprice < 1200")
     return eng.materialized_view("p_mv").orderBy("p_brand")
+
+
+@query(
+    "mv_filtered_where",
+    oracle="""
+    WITH post AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'F'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE NOT (o_orderkey % 7 = 3)
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM post WHERE status = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def mv_filtered_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-restricted materialized view under row MIGRATION: the
+    view covers only o_orderstatus='O'; the CDC batch flips some rows'
+    status to 'F' (their pre-image retracts from the view, the post-image
+    never enters), bumps prices of rows that stay, and deletes others.
+    Maintenance filters the change feed per image (views.py), so a
+    migration out of the predicate is exactly a retraction — the oracle
+    recomputes the filtered aggregate from the post-DML state."""
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders")
+    eng.create_table(
+        "o_fw", source_df=o, primary_key=["o_orderkey"], change_feed=True
+    )
+    eng.create_materialized_view(
+        "open_by_prio", "o_fw", ["o_orderpriority"],
+        {
+            "n": ("count", "*"),
+            "sum_price": ("sum", "CAST(o_totalprice AS DECIMAL(30,2))"),
+        },
+        where="o_orderstatus = 'O'",
+    )
+    mig = (
+        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 3))
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("__op", F.lit("U"))
+    )
+    bump = (
+        o.filter((F.col("o_orderkey") % 10 == 5) & (F.col("o_orderkey") % 7 != 3))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("__op", F.lit("U"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 7 == 3).withColumn("__op", F.lit("D"))
+    eng.apply_changes(
+        "o_fw", mig.unionByName(bump).unionByName(dels), source_version=1
+    )
+    mv = eng.table("open_by_prio")
+    return mv.select(
+        "o_orderpriority",
+        "n",
+        F.col("sum_price").cast("double").alias("sum_price"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "iceberg_changelog_export",
+    oracle="""
+    WITH upd AS (SELECT o_totalprice FROM orders
+                 WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3),
+    del AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 7 = 3),
+    ins AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 13 = 5),
+    feed AS (
+      SELECT 'delete' AS _change_type, o_totalprice AS p FROM del
+      UNION ALL SELECT 'delete', o_totalprice FROM upd
+      UNION ALL SELECT 'insert', o_totalprice + 1 FROM upd
+      UNION ALL SELECT 'insert', o_totalprice FROM ins
+    )
+    SELECT _change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM feed GROUP BY _change_type ORDER BY _change_type
+    """,
+)
+def iceberg_changelog_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream CDC consumption from the mirror's ICEBERG export: the
+    export is maintained as atomic row-delta snapshots (equality deletes
+    + appends per batch); iceberg_changelog diffs the manifest chain
+    between the backfill snapshot and the head, recovering delete
+    PRE-IMAGES by joining the equality-delete keys against the parent
+    snapshot's state.  An upsert surfaces as delete(pre) + insert(post)
+    — the oracle builds exactly that feed, so a missing pre-image, a
+    tombstone applied to the wrong snapshot generation, or an insert
+    row leaking from the wrong file set all hash-mismatch."""
+    from pg_mooncake_spark.sources.iceberg import (
+        _latest_metadata,
+        iceberg_changelog,
+    )
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders")
+    eng.create_table("o_log", source_df=o, primary_key=["o_orderkey"])
+    exp = tempfile.mkdtemp(prefix="ice_log_") + "/t"
+    eng.attach_export("o_log", exp)
+    base_snap = _latest_metadata(exp)["current-snapshot-id"]
+    updates = (
+        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 3))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("__op", F.lit("U"))
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 3).withColumn("__op", F.lit("D"))
+    inserts = (
+        o.filter(F.col("o_orderkey") % 13 == 5)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        .withColumn("__op", F.lit("I"))
+    )
+    eng.apply_changes(
+        "o_log", updates.unionByName(deletes).unionByName(inserts),
+        source_version=1,
+    )
+    return (
+        iceberg_changelog(spark, exp, base_snap)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("_change_type")
+    )

@@ -68,6 +68,8 @@ _WINDOW_PRIORITY = (
     "mv_incremental_agg",
     "mv_minmax_retraction",
     "delta_cdf_roundtrip",
+    "mv_filtered_where",
+    "iceberg_changelog_export",
     # last driver-verified in round 5 — the stalest slice (42 keys,
     # alphabetical; every other key is r6/r7-green)
     "agg_approx_count_distinct",
@@ -112,10 +114,6 @@ _WINDOW_PRIORITY = (
     "sim_ann_ivf",
     "text_pii_redaction",
     "text_repetition_score",
-    # last driver-verified in round 6 — next-stalest, fills the window
-    # to exactly 50 (r6-window order)
-    "iceberg_delete_roundtrip",
-    "jdbc_mirror_snapshot",
 )
 
 

@@ -1675,6 +1675,7 @@ def write_iceberg(
     now_ms = int(time.time() * 1000)
     snapshot = {
         "snapshot-id": snapshot_id,
+        "parent-snapshot-id": (prev or {}).get("current-snapshot-id"),
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
@@ -2079,6 +2080,7 @@ def _commit_snapshot(
     now_ms = int(time.time() * 1000)
     snapshot = {
         "snapshot-id": snapshot_id,
+        "parent-snapshot-id": meta.get("current-snapshot-id"),
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
@@ -2783,3 +2785,151 @@ def _metadata_version_of(meta: dict, path: str) -> int:
          if f.endswith(".metadata.json")),
         default=0,
     )
+
+
+def iceberg_changelog(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    """Incremental changelog scan between two snapshots — the manifest-
+    chain analog of Iceberg's changelog view (Spark's
+    ``create_changelog_view`` procedure): table columns +
+    ``_change_type`` ∈ {insert, delete} + ``_commit_snapshot_id`` +
+    ``_commit_timestamp`` for every snapshot AFTER ``from_snapshot_id``
+    up to and including ``to_snapshot_id`` (default: current).
+
+    Per snapshot, changes derive from the manifest diff against its
+    parent:
+
+    - data files ADDED → their rows as ``insert`` (raw parquet scan —
+      same-snapshot delete files never apply to them by the sequence-
+      number rule);
+    - equality-delete files ADDED → pre-images recovered by joining the
+      deleted keys against the PARENT snapshot's state (the full
+      read path: partition pruning, earlier deletes applied), so
+      downstream consumers see complete deleted rows, not just keys —
+      this is the mirror-export sync's own commit shape (one atomic
+      row-delta: deletes + appends), so an attached export's changelog
+      replays the mirror's CDC stream;
+    - a ``replace`` (compaction) snapshot contributes nothing;
+    - copy-on-write snapshots that REMOVE data files emit the removed
+      files' rows as ``delete`` and the added as ``insert`` (the raw
+      file-delta, same as Iceberg's non-net changelog for overwrites);
+    - positional-delete files added in range are refused (the export
+      sync never writes them; a general table might).
+
+    An update therefore appears as delete(pre-image) + insert(new row).
+    Driver work is O(manifest entries); every row stays executor-side.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    meta = _latest_metadata(path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if to_snapshot_id not in snaps:
+        raise IcebergSupportError(f"unknown snapshot {to_snapshot_id}")
+    if from_snapshot_id not in snaps:
+        raise IcebergSupportError(f"unknown snapshot {from_snapshot_id}")
+    # walk the parent chain to order the range (newest → oldest)
+    chain: list[dict] = []
+    cur = snaps[to_snapshot_id]
+    while True:
+        if cur["snapshot-id"] == from_snapshot_id:
+            break
+        chain.append(cur)
+        parent = cur.get("parent-snapshot-id")
+        if parent is None or parent not in snaps:
+            raise IcebergSupportError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id}"
+            )
+        cur = snaps[parent]
+    chain.reverse()
+
+    declared = _schema_from_metadata(meta)
+    if declared is None:
+        raise IcebergSupportError("table metadata lacks a schema")
+    names_by_id = _field_names_by_id(meta)
+    out_fields = list(declared.fields) + [
+        T.StructField("_change_type", T.StringType(), True),
+        T.StructField("_commit_snapshot_id", T.LongType(), True),
+        T.StructField("_commit_timestamp", T.LongType(), True),
+    ]
+    out_cols = [f.name for f in out_fields]
+    parts: list[DataFrame] = []
+
+    def _raw_rows(paths: list[str]) -> DataFrame:
+        return spark.read.schema(declared).parquet(*paths)
+
+    prev_cache: dict[int, tuple] = {}
+
+    def _file_sets(snap: dict) -> tuple:
+        sid = snap["snapshot-id"]
+        if sid not in prev_cache:
+            prev_cache[sid] = _files_from_manifests(path, snap)
+        return prev_cache[sid]
+
+    for snap in chain:
+        op = (snap.get("summary") or {}).get("operation")
+        if op == "replace":
+            continue
+        sid = int(snap["snapshot-id"])
+        ts = int(snap.get("timestamp-ms") or 0)
+        parent_id = snap.get("parent-snapshot-id")
+        if parent_id is not None and parent_id in snaps:
+            p_files, p_pos, p_eq = _file_sets(snaps[parent_id])
+        else:
+            p_files, p_pos, p_eq = [], [], []
+        files, pos, eq = _file_sets(snap)
+        p_paths = {f["recorded"] for f in p_files}
+        p_eq_paths = {d["resolved"] for d in p_eq}
+        added = [f for f in files if f["recorded"] not in p_paths]
+        removed = [f for f in p_files if f["recorded"] not in {
+            g["recorded"] for g in files
+        }]
+        new_eq = [d for d in eq if d["resolved"] not in p_eq_paths]
+        new_pos = [q for q in pos if q not in set(p_pos)]
+        if new_pos:
+            raise IcebergSupportError(
+                f"snapshot {sid} added positional-delete files; its "
+                "changelog cannot be derived"
+            )
+
+        def _tag(df: DataFrame, ct: str) -> DataFrame:
+            return (
+                df.withColumn("_change_type", F.lit(ct))
+                .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+                .withColumn("_commit_timestamp", F.lit(ts).cast("long"))
+                .select(*out_cols)
+            )
+
+        if added:
+            parts.append(_tag(_raw_rows([f["resolved"] for f in added]), "insert"))
+        if new_eq and parent_id is not None:
+            parent_state = read_iceberg(spark, path, snapshot_id=int(parent_id))
+            for d in new_eq:
+                key_cols = [names_by_id[i] for i in d["equality_ids"]]
+                key_schema = T.StructType(
+                    [f for f in declared.fields if f.name in set(key_cols)]
+                )
+                keys = spark.read.schema(key_schema).parquet(d["resolved"])
+                parts.append(
+                    _tag(
+                        parent_state.join(keys, on=key_cols, how="leftsemi"),
+                        "delete",
+                    )
+                )
+        if removed:
+            parts.append(
+                _tag(_raw_rows([f["resolved"] for f in removed]), "delete")
+            )
+    if not parts:
+        return spark.createDataFrame([], T.StructType(out_fields))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

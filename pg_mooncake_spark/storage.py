@@ -285,6 +285,13 @@ class MoonTable:
             pruned = self._pk_stat_candidates(files, where)
             if pruned is not None:
                 files = pruned
+                # a full-pk equality probe additionally tests the literal
+                # key against each candidate's bloom sidecar — pure
+                # driver-side Python (the canonical hash needs no Spark
+                # job for one literal), so a point read on an unsorted
+                # table plans O(1) files instead of every stat-admitted
+                # candidate
+                files = self._bloom_prune_literal(files, where)
         if not files:
             df = self.spark.createDataFrame([], schema)
             return df.filter(where) if where else df
@@ -1061,23 +1068,30 @@ class MoonTable:
             [r["h"] for r in keys_df.mapInPandas(gen, "h long").collect()],
             dtype=np.int64,
         ).view(np.uint64)
+        return self._bloom_filter_candidates(candidates, hs)
+
+    def _load_bloom(self, side: str):
+        from pg_mooncake_spark.functions import bloom as B
+
+        full = os.path.join(self.path, _INDEX_DIR, side)
+        if full not in self._BLOOM_CACHE:
+            if len(self._BLOOM_CACHE) >= self._BLOOM_CACHE_MAX:
+                self._BLOOM_CACHE.clear()
+            try:
+                self._BLOOM_CACHE[full] = B.deserialize(
+                    self.backend.read_bytes(full)
+                )
+            except FileNotFoundError:
+                self._BLOOM_CACHE[full] = None
+        return self._BLOOM_CACHE[full]
+
+    def _bloom_filter_candidates(self, candidates: list[dict], hs) -> list[dict]:
+        from pg_mooncake_spark.functions import bloom as B
+
         out = []
         for d in candidates:
             side = d.get("bloom")
-            if not side:
-                out.append(d)
-                continue
-            full = os.path.join(self.path, _INDEX_DIR, side)
-            if full not in self._BLOOM_CACHE:
-                if len(self._BLOOM_CACHE) >= self._BLOOM_CACHE_MAX:
-                    self._BLOOM_CACHE.clear()
-                try:
-                    self._BLOOM_CACHE[full] = B.deserialize(
-                        self.backend.read_bytes(full)
-                    )
-                except FileNotFoundError:
-                    self._BLOOM_CACHE[full] = None
-            parsed = self._BLOOM_CACHE[full]
+            parsed = self._load_bloom(side) if side else None
             if parsed is None:
                 out.append(d)
                 continue
@@ -1085,6 +1099,64 @@ class MoonTable:
             if B.might_contain_any(bitmap, m, hs, k):
                 out.append(d)
         return out
+
+    def _bloom_prune_literal(
+        self, candidates: list[dict], condition: str
+    ) -> list[dict]:
+        """Point-read pruning: when ``condition`` is a conjunction of
+        ``pk_col = literal`` equalities covering the FULL primary key,
+        hash the literal key driver-side (the canonical bloom hash is
+        plain Python — no Spark job) and drop every candidate whose
+        sidecar proves the key absent.  Anything unparseable, partial,
+        or type-surprising keeps all candidates — never unsound."""
+        import datetime
+
+        import numpy as np
+
+        from pg_mooncake_spark.functions import bloom as B
+
+        pk = self.primary_key() or []
+        if not pk or len(candidates) <= 1:
+            return candidates
+        if not any(d.get("bloom") for d in candidates):
+            return candidates
+        if re.search(r"\bOR\b|\bNOT\b|\bBETWEEN\b|\bIN\b", condition, re.I):
+            return candidates
+        eq: dict[str, str] = {}
+        for clause in re.split(r"\bAND\b", condition, flags=re.I):
+            m = re.fullmatch(
+                r"\s*`?([A-Za-z_]\w*)`?\s*==?\s*('(?:[^']|'')*'|-?\d+)\s*",
+                clause,
+            )
+            if not m or m.group(1) in eq:
+                return candidates
+            eq[m.group(1)] = m.group(2)
+        if set(eq) != set(pk):
+            return candidates
+        types = {f.name: f.dataType for f in self.schema().fields}
+        cols = []
+        for c in pk:
+            tok, dt = eq[c], types.get(c)
+            if tok.startswith("'"):
+                s = tok[1:-1].replace("''", "'")
+                if isinstance(dt, T.DateType):
+                    try:
+                        v = datetime.date.fromisoformat(s)
+                    except ValueError:
+                        return candidates
+                    cols.append(np.array([v], dtype=object))
+                elif isinstance(dt, T.StringType):
+                    cols.append(np.array([s], dtype=object))
+                else:
+                    return candidates
+            else:
+                if not isinstance(
+                    dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+                ):
+                    return candidates
+                cols.append(np.array([int(tok)], dtype=np.int64))
+        hs = B.key_hash_array(cols)
+        return self._bloom_filter_candidates(candidates, hs)
 
     def _probe_by_keys(
         self, candidates: list[dict], keys_df: DataFrame, pk: list[str]
@@ -1476,7 +1548,11 @@ class MoonTable:
             df = df.repartition(target_partitions)
         return self.overwrite(df, data_change=False)
 
-    def vacuum(self, staging_grace_s: float = 3600.0) -> int:
+    def vacuum(
+        self,
+        staging_grace_s: float = 3600.0,
+        changes_retention_versions: Optional[int] = None,
+    ) -> int:
         """Remove data files no longer referenced by the latest snapshot,
         plus staging directories orphaned by crashed writers (a writer
         that died between staging and commit leaves ``_staging_*`` —
@@ -1488,6 +1564,12 @@ class MoonTable:
         VACUUM's retention window gives in-flight transactions.  Pass 0 to
         force-reclaim (only safe when no writer can be active).
 
+        ``changes_retention_versions``: also reclaim change-feed files of
+        commits more than N versions behind the head (None = keep all).
+        ``changes()`` over a reclaimed range fails on the missing files —
+        pick N to cover the slowest downstream consumer (views record the
+        base version they reflect, so their lag is inspectable).
+
         (Time travel to pre-vacuum versions is forfeited — same contract
         as Delta VACUUM.)"""
         import shutil as _shutil
@@ -1497,6 +1579,20 @@ class MoonTable:
         live = {d["name"] for d in snap_files} | {d["name"] for d in snap_dels}
         removed = 0
         now = _time.time()
+        if changes_retention_versions is not None:
+            horizon = self.latest_version() - changes_retention_versions
+            keep: set[str] = set()
+            for v in self._versions():
+                c = self._read_commit(v)
+                for n in (c.props or {}).get("change_files") or []:
+                    if v > horizon:
+                        keep.add(n)
+            ch_dir = os.path.join(self.path, _CHANGES_DIR)
+            if os.path.isdir(ch_dir):
+                for f in os.listdir(ch_dir):
+                    if f.endswith(".parquet") and f not in keep:
+                        os.remove(os.path.join(ch_dir, f))
+                        removed += 1
         # bloom sidecars of dead data files go with them (immutable 1:1)
         idx_dir = os.path.join(self.path, _INDEX_DIR)
         if os.path.isdir(idx_dir):

@@ -91,10 +91,18 @@ class MaterializedView:
         base: MoonTable,
         group_by: list[str],
         aggs: dict[str, tuple[str, str]],
+        where: Optional[str] = None,
     ) -> "MaterializedView":
         """Full initial computation at the base's current version; every
         later :meth:`refresh` is incremental from that version's change
-        feed (the base needs ``change_feed=True`` for DML commits)."""
+        feed (the base needs ``change_feed=True`` for DML commits).
+
+        ``where`` restricts the view to base rows matching a SQL
+        predicate.  Incremental maintenance filters the change feed
+        PER IMAGE, which is exactly the filtered view's semantics: an
+        update moving a row out of the predicate contributes only its
+        pre-image (a retraction), one moving it in only its post-image
+        (an addition)."""
         for out, (fn, _expr) in aggs.items():
             if fn not in _FNS:
                 raise MoonTableError(f"unsupported aggregate {fn!r} for {out!r}")
@@ -102,7 +110,10 @@ class MaterializedView:
                 raise MoonTableError(f"aggregate {out!r} collides with a group key")
         mv = MaterializedView(spark, path)
         base_version = base.latest_version()
-        full = _full_agg(base.read(version=base_version), group_by, aggs)
+        src = base.read(version=base_version)
+        if where:
+            src = src.filter(where)
+        full = _full_agg(src, group_by, aggs)
         mv.state.create(full.schema, primary_key=list(group_by))
         mv.state.append(full)
         mv._save_spec(
@@ -110,6 +121,7 @@ class MaterializedView:
                 "base_path": base.path,
                 "group_by": list(group_by),
                 "aggs": {k: list(v) for k, v in aggs.items()},
+                "where": where,
                 "base_version": base_version,
             }
         )
@@ -129,6 +141,11 @@ class MaterializedView:
         if end < start:
             return spec["base_version"]
         ch = base.changes(start, end)
+        if spec.get("where"):
+            # per-image predicate: a pre-image that matched retracts, a
+            # post-image that matches adds — row migrations across the
+            # predicate boundary fall out correctly
+            ch = ch.filter(spec["where"])
 
         sign = F.when(
             F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
@@ -219,10 +236,11 @@ class MaterializedView:
             inc = inc.persist()
             try:
                 rec_groups = inc.filter(F.col("__needs") == 1).select(*gb)
+                rec_src = base.read(version=end)
+                if spec.get("where"):
+                    rec_src = rec_src.filter(spec["where"])
                 rec = _full_agg(
-                    base.read(version=end).join(
-                        rec_groups, on=gb, how="leftsemi"
-                    ),
+                    rec_src.join(rec_groups, on=gb, how="leftsemi"),
                     gb,
                     aggs,
                 )

@@ -154,3 +154,69 @@ class TestBloomPruning:
         live = {d["name"] for d in mt._snapshot(None)[0]}
         idx = os.listdir(os.path.join(mt.path, "_index"))
         assert {f[len("bloom-"):-len(".bin")] for f in idx} <= live
+
+
+class TestPointReadPruning:
+    def test_point_read_plans_single_file(self, spark, tmp_path):
+        """read(where='id = K') on an UNSORTED multi-file table: min/max
+        stats overlap everywhere, but the bloom sidecars cut the plan to
+        the containing file(s) — driver-side, no probe job."""
+        from pyspark.sql import functions as F
+
+        mt = MoonTable(spark, str(tmp_path / "t"))
+        mt.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType(), False),
+                    T.StructField("v", T.StringType(), True),
+                ]
+            ),
+            primary_key=["id"],
+        )
+        # interleaved appends, one file each -> every file spans the whole
+        # key range, so min/max stats overlap everywhere
+        for i in range(6):
+            mt.append(
+                spark.range(i, 3000, 6)
+                .select("id", F.concat(F.lit("v"), F.col("id")).alias("v"))
+                .coalesce(1)
+            )
+        files, _ = mt._snapshot(None)
+        n_files = len(files)
+        stat_kept = mt._pk_stat_candidates(files, "id = 17")
+        assert len(stat_kept) == n_files  # stats alone can't prune
+        bloom_kept = mt._bloom_prune_literal(stat_kept, "id = 17")
+        assert len(bloom_kept) < n_files
+        got = mt.read(where="id = 17").collect()
+        assert [(r["id"], r["v"]) for r in got] == [(17, "v17")]
+        # absent key: typically zero files planned, always zero rows
+        assert mt.read(where="id = 999999999").count() == 0
+
+    def test_partial_or_nonliteral_predicates_keep_all(self, spark, tmp_path):
+        mt = MoonTable(spark, str(tmp_path / "t"))
+        mt.create(
+            T.StructType(
+                [
+                    T.StructField("a", T.LongType(), False),
+                    T.StructField("b", T.StringType(), False),
+                    T.StructField("v", T.DoubleType(), True),
+                ]
+            ),
+            primary_key=["a", "b"],
+        )
+        mt.append(
+            spark.createDataFrame(
+                [(1, "x", 1.0), (2, "y", 2.0)], "a long, b string, v double"
+            )
+        )
+        mt.append(
+            spark.createDataFrame([(3, "z", 3.0)], "a long, b string, v double")
+        )
+        files, _ = mt._snapshot(None)
+        # partial key -> no pruning
+        assert mt._bloom_prune_literal(files, "a = 1") == files
+        # expression operand -> no pruning
+        assert mt._bloom_prune_literal(files, "a = 1 AND b = upper('x')") == files
+        # full literal key works and stays correct
+        rows = mt.read(where="a = 1 AND b = 'x'").collect()
+        assert [(r["a"], r["b"]) for r in rows] == [(1, "x")]

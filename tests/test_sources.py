@@ -3079,3 +3079,65 @@ class TestDeltaChangeDataFeed:
         assert proto["minWriterVersion"] >= 4
         meta = next(a["metaData"] for a in actions if "metaData" in a)
         assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+
+
+class TestIcebergChangelog:
+    def _export(self, spark, tmp_path):
+        import tempfile
+
+        from pg_mooncake_spark.engine import MooncakeEngine
+        from pg_mooncake_spark.sources.iceberg import _latest_metadata
+
+        eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+        src = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 11)], "k int, x double"
+        )
+        eng.create_table("t", source_df=src, primary_key=["k"])
+        exp = str(tmp_path / "ice")
+        eng.attach_export("t", exp)
+        return eng, exp, _latest_metadata(exp)["current-snapshot-id"]
+
+    def test_upsert_replays_as_delete_plus_insert(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.iceberg import iceberg_changelog
+
+        eng, exp, base = self._export(spark, tmp_path)
+        ch = spark.createDataFrame(
+            [(2, 200.0, "U"), (3, None, "D")], "k int, x double, __op string"
+        )
+        eng.apply_changes("t", ch, source_version=1)
+        rows = {
+            (r["k"], r["_change_type"]): r["x"]
+            for r in iceberg_changelog(spark, exp, base).collect()
+        }
+        assert rows == {
+            (2, "delete"): 2.0,
+            (2, "insert"): 200.0,
+            (3, "delete"): 3.0,
+        }
+
+    def test_compaction_snapshot_contributes_nothing(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.iceberg import (
+            compact_iceberg,
+            iceberg_changelog,
+        )
+
+        eng, exp, base = self._export(spark, tmp_path)
+        ch = spark.createDataFrame([(5, -5.0, "U")], "k int, x double, __op string")
+        eng.apply_changes("t", ch, source_version=1)
+        before = iceberg_changelog(spark, exp, base).count()
+        compact_iceberg(spark, exp)
+        assert iceberg_changelog(spark, exp, base).count() == before
+
+    def test_non_ancestor_raises(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.iceberg import (
+            IcebergSupportError,
+            _latest_metadata,
+            iceberg_changelog,
+        )
+
+        eng, exp, base = self._export(spark, tmp_path)
+        head = _latest_metadata(exp)["current-snapshot-id"]
+        with pytest.raises(IcebergSupportError, match="ancestor|unknown"):
+            iceberg_changelog(spark, exp, head + 999)
+        # empty range (from == to) is a valid no-op
+        assert iceberg_changelog(spark, exp, head).count() == 0

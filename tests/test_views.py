@@ -224,3 +224,160 @@ class TestMaterializedView:
         )
         eng.apply_changes("b", ch, source_version=1)
         assert mv.spec()["base_version"] > v0
+
+
+class TestFilteredView:
+    def test_predicate_migration(self, spark, warehouse):
+        """Rows migrating across the predicate boundary: out-migration is
+        a pure retraction, in-migration a pure addition."""
+        eng = MooncakeEngine(spark, warehouse)
+        src = spark.createDataFrame(
+            [(i, "open" if i % 2 == 0 else "closed", float(i)) for i in range(1, 21)],
+            SCHEMA,
+        )
+        eng.create_table("b", source_df=src, primary_key=["id"], change_feed=True)
+        eng.create_materialized_view(
+            "v", "b", ["g"], {"s": ("sum", "x"), "n": ("count", "*")},
+            where="g = 'open'",
+        )
+        # wait: g is the group AND the predicate column -> migrating rows
+        # change group too; use a steadier shape instead
+        eng.drop_table("v")
+        eng.drop_table("b")
+        src = spark.createDataFrame(
+            [(i, "g%d" % (i % 2), float(i)) for i in range(1, 21)], SCHEMA
+        )
+        eng.create_table("b", source_df=src, primary_key=["id"], change_feed=True)
+        eng.create_materialized_view(
+            "v", "b", ["g"], {"s": ("sum", "x"), "n": ("count", "*")},
+            where="x < 100",
+        )
+        ch = spark.createDataFrame(
+            [
+                (2, "g0", 500.0, "U"),   # migrates OUT (x >= 100)
+                (3, "g1", 50.0, "U"),    # stays in, new value
+                (21, "g0", 2000.0, "I"), # inserts OUT of predicate
+                (22, "g0", 22.0, "I"),   # inserts into predicate
+            ],
+            "id int, g string, x double, __op string",
+        )
+        eng.apply_changes("b", ch, source_version=1)
+        got = {r["g"]: (r["s"], r["n"]) for r in eng.table("v").collect()}
+        want = {
+            r["g"]: (r["s"], r["n"])
+            for r in eng.table("b")
+            .filter("x < 100")
+            .groupBy("g")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+
+    def test_engine_table_and_sql_resolve_view(self, spark, warehouse):
+        eng = MooncakeEngine(spark, warehouse)
+        src = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0)], SCHEMA
+        )
+        eng.create_table("b", source_df=src, primary_key=["id"], change_feed=True)
+        eng.create_materialized_view("v", "b", ["g"], {"s": ("sum", "x")})
+        # table() hides maintenance columns
+        assert set(eng.table("v").columns) == {"g", "s"}
+        rows = {
+            r["g"]: r["s"]
+            for r in eng.sql("SELECT g, s FROM v ORDER BY g").collect()
+        }
+        assert rows == {"a": 4.0, "b": 5.0}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="version"):
+            eng.table("v", version=1)
+
+
+def test_streaming_sync_keeps_view_fresh(spark, tmp_path):
+    """MVs refresh inside every micro-batch of the sync loop: after the
+    freshness barrier, the view must reflect the synced state."""
+    import os
+
+    from pg_mooncake_spark.streaming.cdc import start_sync
+
+    eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, g string, x double"
+    )
+    eng.create_table("live", source_df=src, primary_key=["k"], change_feed=True)
+    eng.create_materialized_view(
+        "agg", "live", ["g"], {"s": ("sum", "x"), "n": ("count", "*")}
+    )
+    stream_dir = str(tmp_path / "changes")
+    os.makedirs(stream_dir)
+    stream = spark.readStream.schema(
+        "k int, g string, x double, __op string"
+    ).parquet(stream_dir)
+    q = start_sync(
+        eng, "live", stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        processing_time="1 second",
+    )
+    try:
+        spark.createDataFrame(
+            [(2, "b", 25.0, "U"), (3, "a", 5.0, "I"), (1, None, None, "D")],
+            "k int, g string, x double, __op string",
+        ).write.mode("append").parquet(stream_dir)
+        eng.wait_for_source_version("live", 1, timeout=60)
+        got = {r["g"]: (r["s"], r["n"]) for r in eng.table("agg").collect()}
+        assert got == {"a": (5.0, 1), "b": (25.0, 1)}
+    finally:
+        q.stop()
+
+
+def test_refresh_never_reads_base_for_distributive_aggs(spark, tmp_path):
+    """The O(changes) contract, proven physically: a sum/count/avg view
+    refreshes from the change feed alone — even with every base DATA
+    file deleted, the refresh succeeds (only min/max retractions may
+    touch the base)."""
+    import os
+    import shutil
+
+    base = MoonTable(spark, str(tmp_path / "b"))
+    base.create(SCHEMA, primary_key=["id"], change_feed=True)
+    base.append(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 2), float(i)) for i in range(1, 11)], SCHEMA
+        )
+    )
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "v"), base, ["g"],
+        {"s": ("sum", "x"), "n": ("count", "*"), "a": ("avg", "x")},
+    )
+    ch = spark.createDataFrame(
+        [(1, "g1", 100.0, "U"), (2, None, None, "D")],
+        "id int, g string, x double, __op string",
+    )
+    base.merge(ch)
+    # trash the base's data plane; keep the log + change files
+    for f in os.listdir(base.path):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(base.path, f))
+    shutil.rmtree(os.path.join(base.path, "_index"), ignore_errors=True)
+    mv.refresh()
+    got = {r["g"]: (r["s"], r["n"]) for r in mv.read().collect()}
+    # truth computed by hand: g0={2..10 even}: ids 2,4,6,8,10 minus del(2)
+    # = 4+6+8+10 = 28, n=4; g1={odd}: 1->100, so 100+3+5+7+9=124, n=5
+    assert got == {"g0": (28.0, 4), "g1": (124.0, 5)}
+
+
+def test_vacuum_changes_retention(spark, tmp_path):
+    import os
+
+    mt = _mk(spark, tmp_path / "t", [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+    mt.delete_where("id = 1")   # v2
+    mt.delete_where("id = 2")   # v3
+    ch_dir = os.path.join(mt.path, "_changes")
+    n_before = len(os.listdir(ch_dir))
+    assert n_before == 2
+    mt.vacuum(staging_grace_s=0, changes_retention_versions=1)
+    # only the head commit's change file survives
+    assert len(os.listdir(ch_dir)) == 1
+    assert mt.changes(start_version=3).count() == 1
+    with pytest.raises(Exception):
+        mt.changes(start_version=2, end_version=2).collect()
