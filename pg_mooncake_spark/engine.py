@@ -208,7 +208,7 @@ class MooncakeEngine:
         if primary_key is None and table_config:
             primary_key = table_config.get("primary_key")
         if table_config and table_config.get("change_feed"):
-            change_feed = True
+            change_feed = table_config.get("change_feed")
         mt.create(
             source_df.schema, primary_key=primary_key, change_feed=change_feed
         )
@@ -308,6 +308,7 @@ class MooncakeEngine:
         if defer_exports:
             self._refresh_views_of(dst)
             self.catalog.update_watermarks(dst, flush_version=v)
+            self._maybe_auto_compact(dst, mt)
             return v
         if exports:
             self._sync_exports(mt, changes, exports)
@@ -315,7 +316,25 @@ class MooncakeEngine:
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
         )
+        self._maybe_auto_compact(dst, mt)
         return v
+
+    def _maybe_auto_compact(self, dst: str, mt: MoonTable) -> None:
+        """Background-maintenance analog of the reference's moonlink
+        compaction: a steady CDC drip accretes a small file (and, in MOR
+        regimes, tombstones) per batch — with
+        ``table_config={'auto_compact_files': N}`` the apply path folds
+        the table (and its attached exports) whenever the snapshot
+        reaches N files, so read amplification is bounded without an
+        operator ever calling optimize_table by hand.  The compaction
+        commit is data-preserving (invisible to the change feed)."""
+        cfg = self.catalog.get(dst).get("table_config") or {}
+        thr = cfg.get("auto_compact_files")
+        if not thr:
+            return
+        files, dels, _ = mt._snapshot_full(None)  # noqa: SLF001 - same package
+        if len(files) + len(dels) >= int(thr):
+            self.optimize_table(dst)
 
     def flush_exports(
         self,
@@ -537,6 +556,14 @@ class MooncakeEngine:
         return self._moontable(self._canon(dst)).changes(
             start_version, end_version
         )
+
+    def stream_changes(self, dst: str) -> DataFrame:
+        """The mirror's change feed as a STREAMING DataFrame (requires
+        ``create_table(..., change_feed='full')``).  Pipe it through
+        ``streaming.cdc.feed_as_ops`` into another mirror's
+        ``start_sync`` to chain mirrors — each stays exactly-once via
+        its own checkpoint."""
+        return self._moontable(self._canon(dst)).stream_changes()
 
     # ------------------------------------------------- materialized views
 

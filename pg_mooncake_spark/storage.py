@@ -343,7 +343,14 @@ class MoonTable:
             if v < start_version or v == 0:
                 continue
             if c.op == "append":
-                ins_pieces.extend({"name": d["name"], "v": v} for d in c.add)
+                cf = (c.props or {}).get("change_files")
+                if cf is not None:  # full feed mode: insert images persisted
+                    chg_pieces.extend(
+                        {"name": os.path.join(_CHANGES_DIR, n), "v": v}
+                        for n in cf
+                    )
+                else:
+                    ins_pieces.extend({"name": d["name"], "v": v} for d in c.add)
             elif c.op in _DML_OPS:
                 cf = (c.props or {}).get("change_files")
                 if cf is None:
@@ -400,6 +407,34 @@ class MoonTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.select(*out_cols)
+
+    def stream_changes(self) -> DataFrame:
+        """The change feed as a STREAMING DataFrame (table columns +
+        ``_change_type`` + ``_commit_version``): a Structured Streaming
+        file source over the ``_changes/`` directory, which in
+        ``change_feed='full'`` mode is a complete CDC log (insert images
+        persisted on append too).  Existing files replay as backfill;
+        each new commit's change file becomes a micro-batch — chain
+        mirrors by piping this into another mirror's sync loop
+        (streaming.cdc.feed_as_ops + start_sync).  Exactly-once comes
+        from the consumer's checkpoint, like any file source."""
+        mode = self.feed_mode()
+        if mode != "full":
+            raise MoonTableError(
+                "stream_changes requires change_feed='full' (mode is "
+                f"{mode!r}): append commits must persist insert images "
+                "for the _changes/ directory to be a complete log"
+            )
+        schema = T.StructType(
+            list(self.schema().fields)
+            + [
+                T.StructField(CHANGE_TYPE_COL, T.StringType(), True),
+                T.StructField(VERSION_COL, T.LongType(), True),
+            ]
+        )
+        return self.spark.readStream.schema(schema).parquet(
+            os.path.join(self.path, _CHANGES_DIR)
+        )
 
     def _read_files(
         self,
@@ -640,12 +675,23 @@ class MoonTable:
         os.rmdir(staging)
         return descriptors
 
-    def _stage_change_files(self, change_df: DataFrame) -> list[str]:
-        """Persist one DML commit's change rows (table columns +
+    def _stage_change_files(
+        self, change_df: DataFrame, commit_version: Optional[int] = None
+    ) -> list[str]:
+        """Persist one commit's change rows (table columns +
         CHANGE_TYPE_COL) as parquet under ``_changes/``; returns file
         names relative to the changes dir.  A CDC batch's change set is
         O(batch), so a single coalesced writer task keeps the driver out
-        of the data path while the file count stays 1."""
+        of the data path while the file count stays 1.
+
+        The commit version is embedded as a physical column so a
+        STREAMING consumer of the ``_changes/`` directory
+        (:meth:`stream_changes`) sees it; the batch reader ignores it
+        (explicit read schema) and derives the version from the log."""
+        if commit_version is not None:
+            change_df = change_df.withColumn(
+                VERSION_COL, F.lit(int(commit_version)).cast("long")
+            )
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         change_df.coalesce(1).write.mode("overwrite").parquet(staging)
         ch_dir = os.path.join(self.path, _CHANGES_DIR)
@@ -666,7 +712,7 @@ class MoonTable:
         self,
         schema: T.StructType,
         primary_key: Optional[list[str]] = None,
-        change_feed: bool = False,
+        change_feed=False,
     ) -> None:
         """Commit 0: schema + pk registration (reference copies the source
         schema verbatim at mirror creation, src/functions.rs:204-228).
@@ -677,7 +723,12 @@ class MoonTable:
         moontable analog of Delta's Change Data Feed.  Appends cost
         nothing extra (inserts are derived from the commit's own data
         files); MERGE/DELETE/UPDATE pay one extra O(batch) change-file
-        write."""
+        write.
+
+        ``change_feed='full'`` additionally persists INSERT images for
+        append commits, making ``_changes/`` a self-contained,
+        file-source-streamable CDC log (:meth:`stream_changes`) — the
+        cost is one extra copy of every appended batch."""
         if self.exists():
             raise MoonTableError(f"moontable already exists at {self.path}")
         os.makedirs(self.path, exist_ok=True)
@@ -687,24 +738,53 @@ class MoonTable:
                 op="create",
                 schema=json.dumps(schema.jsonValue()),
                 primary_key=primary_key,
-                props={"change_feed": True} if change_feed else None,
+                props=(
+                    {
+                        "change_feed": True,
+                        "feed_mode": "full" if change_feed == "full" else "dml",
+                    }
+                    if change_feed
+                    else None
+                ),
             )
         )
 
     def change_feed_enabled(self) -> bool:
+        return self.feed_mode() is not None
+
+    def feed_mode(self) -> Optional[str]:
+        """None (feed off) / 'dml' (DML commits tracked, appends derived)
+        / 'full' (appends persist insert images too — streamable)."""
         vs = self._versions()
         if not vs:
-            return False
+            return None
         props = self._read_commit(vs[0]).props or {}
-        return bool(props.get("change_feed"))
+        if not props.get("change_feed"):
+            return None
+        return props.get("feed_mode") or "dml"
 
     def append(self, df: DataFrame, source_version: Optional[int] = None) -> int:
         """Blind append (INSERT path / bulk load)."""
         df = self._conform(df)
         v = self.latest_version() + 1
         add = self._stage_files(df, self.primary_key())
+        props = None
+        if self.feed_mode() == "full":
+            # self-contained streamable feed: the appended rows are
+            # duplicated into _changes/ as insert images
+            props = {
+                "change_files": self._stage_change_files(
+                    df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), v
+                )
+            }
         self._write_commit(
-            Commit(version=v, op="append", add=add, source_version=source_version)
+            Commit(
+                version=v,
+                op="append",
+                add=add,
+                source_version=source_version,
+                props=props,
+            )
         )
         return v
 
@@ -905,7 +985,7 @@ class MoonTable:
             if self.change_feed_enabled():
                 props = {
                     "change_files": self._merge_change_files(
-                        touched, dels, work_schema, changes, upserts, pk
+                        touched, dels, work_schema, changes, upserts, pk, v
                     )
                 }
             if use_mor and touched:
@@ -970,6 +1050,7 @@ class MoonTable:
         changes: DataFrame,
         upserts: DataFrame,
         pk: list[str],
+        commit_version: int,
     ) -> list[str]:
         """Row-level change set for one MERGE commit (change feed).
 
@@ -990,7 +1071,7 @@ class MoonTable:
         ct = CHANGE_TYPE_COL
         if not touched:
             change_df = upserts.select(*cols).withColumn(ct, F.lit("insert"))
-            return self._stage_change_files(change_df)
+            return self._stage_change_files(change_df, commit_version)
         ops = changes.select(*pk, OP_COL)
         pre = (
             self._scan(touched, schema, dels)
@@ -1019,7 +1100,7 @@ class MoonTable:
                     .withColumn(ct, F.lit("insert"))
                 )
             )
-            return self._stage_change_files(change_df)
+            return self._stage_change_files(change_df, commit_version)
         finally:
             pre.unpersist()
 
@@ -1377,7 +1458,7 @@ class MoonTable:
                     .select(*cols)
                     .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
                 )
-                props = {"change_files": self._stage_change_files(deleted)}
+                props = {"change_files": self._stage_change_files(deleted, v)}
             else:
                 props = {"change_files": []}
         use_mor = bool(pk) and touched and (
@@ -1461,7 +1542,7 @@ class MoonTable:
                         )
                     )
                 )
-                props = {"change_files": self._stage_change_files(change_df)}
+                props = {"change_files": self._stage_change_files(change_df, v)}
             add = self._stage_files(current.select(*cols), self.primary_key())
         self._write_commit(
             Commit(

@@ -188,3 +188,30 @@ def sync_available(
     )
     q.awaitTermination()
     flush_pending_exports(engine, dst)
+
+
+def feed_as_ops(feed_df: DataFrame) -> DataFrame:
+    """Convert a change-feed stream/frame (``_change_type`` vocabulary —
+    engine.stream_changes / table_changes) into the ``__op`` ∈ {I,U,D}
+    CDC batch shape start_sync consumes, enabling mirror CHAINING: an
+    upstream mirror's feed drives a downstream mirror's sync loop.
+
+    update_preimage rows are dropped (MERGE upserts by key; the
+    post-image alone replaces the row), inserts map to I, deletes to D.
+    Works on both batch and streaming DataFrames (narrow ops only)."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.storage import CHANGE_TYPE_COL, OP_COL, VERSION_COL
+
+    ct = F.col(CHANGE_TYPE_COL)
+    out = (
+        feed_df.filter(ct != "update_preimage")
+        .withColumn(
+            OP_COL,
+            F.when(ct == "insert", F.lit("I"))
+            .when(ct == "update_postimage", F.lit("U"))
+            .otherwise(F.lit("D")),
+        )
+    )
+    drop = [c for c in (CHANGE_TYPE_COL, VERSION_COL) if c in out.columns]
+    return out.drop(*drop)

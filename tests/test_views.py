@@ -381,3 +381,84 @@ def test_vacuum_changes_retention(spark, tmp_path):
     assert mt.changes(start_version=3).count() == 1
     with pytest.raises(Exception):
         mt.changes(start_version=2, end_version=2).collect()
+
+
+def test_full_feed_mode_appends_tracked(spark, tmp_path):
+    mt = MoonTable(spark, str(tmp_path / "t"))
+    mt.create(SCHEMA, primary_key=["id"], change_feed="full")
+    mt.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA))
+    mt.delete_where("id = 1")
+    got = _feed(mt)
+    assert got == {
+        (1, "insert", 1),
+        (2, "insert", 1),
+        (1, "delete", 2),
+    }
+    import os
+
+    # the _changes dir alone is the complete log (streamability)
+    ch = os.path.join(mt.path, "_changes")
+    n = spark.read.parquet(ch).count()
+    assert n == 3
+
+
+def test_mirror_chaining_via_feed_stream(spark, tmp_path):
+    """Mirror → feed stream → downstream mirror: the downstream follows
+    the upstream through stream_changes + feed_as_ops + start_sync, and
+    converges to the same state (the reference's replication fan-out,
+    one hop deeper)."""
+    import os
+
+    from pg_mooncake_spark.streaming.cdc import feed_as_ops, start_sync
+
+    eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    eng.create_table("up", source_df=src, primary_key=["id"], change_feed="full")
+    # downstream starts from the upstream's current state
+    eng.create_table("down", source_df=eng.table("up"), primary_key=["id"])
+    stream = feed_as_ops(eng.stream_changes("up"))
+    q = start_sync(
+        eng, "down", stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        processing_time="1 second",
+    )
+    try:
+        ch = spark.createDataFrame(
+            [(2, "B", 20.0, "U"), (3, "c", 3.0, "I"), (1, None, None, "D")],
+            "id int, g string, x double, __op string",
+        )
+        eng.apply_changes("up", ch, source_version=1)
+        import time
+
+        deadline = time.monotonic() + 60
+        want = sorted(
+            (r["id"], r["g"], r["x"]) for r in eng.table("up").collect()
+        )
+        while time.monotonic() < deadline:
+            got = sorted(
+                (r["id"], r["g"], r["x"]) for r in eng.table("down").collect()
+            )
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_auto_compact_policy(spark, tmp_path):
+    eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(i, "g", float(i)) for i in range(1, 9)], SCHEMA)
+    eng.create_table(
+        "t", source_df=src, primary_key=["id"],
+        table_config={"auto_compact_files": 4},
+    )
+    mt = eng._moontable("t")
+    for i in range(10, 16):
+        ch = spark.createDataFrame(
+            [(i, "g", float(i), "I")], "id int, g string, x double, __op string"
+        )
+        eng.apply_changes("t", ch, source_version=i)
+        files, dels, _ = mt._snapshot_full(None)
+        assert len(files) + len(dels) < 4 + 1  # folded whenever threshold hit
+    assert eng.table("t").count() == 8 + 6
