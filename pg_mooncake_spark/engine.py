@@ -247,16 +247,42 @@ class MooncakeEngine:
         return reaped
 
     def list_tables(self) -> DataFrame:
-        """(table, commit_version, flush_version, warehouse_location) —
-        reference A5, src/functions.rs:84-116."""
-        rows = [
-            (name, e["commit_version"], e["flush_version"], e["path"])
-            for name, e in sorted(self.catalog.list_tables().items())
-        ]
+        """(table, kind, commit_version, flush_version, staleness,
+        warehouse_location) — reference A5, src/functions.rs:84-116.
+
+        ``staleness`` is the MV analog of the commit/flush-lsn gap: for a
+        materialized view, how many base commits it has not yet folded
+        (0 = fresh; the apply path keeps it 0 in steady state); NULL for
+        mirrors."""
+        rows = []
+        for name, e in sorted(self.catalog.list_tables().items()):
+            cfg = e.get("table_config") or {}
+            kind = cfg.get("kind") or "mirror"
+            staleness = None
+            if kind == "mview":
+                from pg_mooncake_spark.views import MaterializedView
+
+                try:
+                    spec = MaterializedView(self.spark, e["path"]).spec()
+                    base_entry = self.catalog.get(cfg["base"])
+                    base_mt = MoonTable(self.spark, base_entry["path"])
+                    staleness = base_mt.latest_version() - spec["base_version"]
+                except (KeyError, FileNotFoundError):
+                    staleness = None
+            rows.append(
+                (
+                    name,
+                    kind,
+                    e["commit_version"],
+                    e["flush_version"],
+                    staleness,
+                    e["path"],
+                )
+            )
         return self.spark.createDataFrame(
             rows,
-            "table string, commit_version long, flush_version long, "
-            "warehouse_location string",
+            "table string, kind string, commit_version long, "
+            "flush_version long, staleness long, warehouse_location string",
         )
 
     # ------------------------------------------------------------ CDC apply

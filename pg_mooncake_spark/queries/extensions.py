@@ -761,3 +761,34 @@ def delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type")
     )
+
+
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE counts AS (
+  SELECT CAST(o_orderkey % 5 AS INT) AS r, COUNT(*) AS c
+  FROM orders GROUP BY CAST(o_orderkey % 5 AS INT)
+),
+walk(r, acc) AS (
+  SELECT CAST(-1 AS INT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT w.r + 1, w.acc + c.c
+  FROM walk w JOIN counts c ON c.r = w.r + 1
+  WHERE w.r < 4
+)
+SELECT r, acc FROM walk WHERE r >= 0 ORDER BY r
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_WALK_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE parity (SURVEY §2.B CTE row's recursive half,
+    available since Spark 4.0): a recursive walk whose every step JOINS
+    the recursive relation against a real aggregate of the orders table
+    — each iteration accumulates the next residue class's order count.
+    The oracle runs the IDENTICAL statement in DuckDB, whose recursive
+    CTE implementation is independent, so both the fixpoint evaluation
+    and the join-in-recursive-step semantics are cross-checked."""
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_WALK_SQL)

@@ -726,3 +726,67 @@ def iceberg_changelog_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type")
     )
+
+
+@query(
+    "iceberg_metadata_tables",
+    oracle="""
+    WITH src AS (SELECT * FROM orders WHERE o_orderkey < 5000),
+    upd AS (SELECT * FROM src WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3),
+    del AS (SELECT * FROM src WHERE o_orderkey % 7 = 3),
+    snaps AS (
+      SELECT 1 AS sequence_number, 'append' AS operation,
+             (SELECT COUNT(*) FROM src) AS added_records
+      UNION ALL
+      SELECT 2, 'overwrite',
+             (SELECT COUNT(*) FROM upd)
+    )
+    SELECT s.sequence_number, s.operation, s.added_records,
+           (SELECT COUNT(*) FROM src) + (SELECT COUNT(*) FROM upd)
+             AS live_data_records,
+           (SELECT COUNT(*) FROM upd) + (SELECT COUNT(*) FROM del)
+             AS live_delete_records
+    FROM snaps s ORDER BY s.sequence_number
+    """,
+)
+def iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tbl$snapshots / tbl$files introspection surface on a mirror's
+    export: after backfill + one CDC row-delta, the snapshots metadata
+    table must show the exact operation sequence with spec-correct
+    added-records summaries, and the files table's per-content record
+    sums must equal what the row-delta protocol implies (data rows =
+    backfill + upserted images, since upserts append and tombstone;
+    delete-file rows = every changed key).  Counts come from manifest
+    entries only — a drifted record_count or a manifest entry leaking
+    from a dead snapshot breaks the hash."""
+    from pg_mooncake_spark.sources.iceberg import iceberg_metadata_table
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    eng.create_table("o_meta", source_df=o, primary_key=["o_orderkey"])
+    exp = tempfile.mkdtemp(prefix="ice_meta_") + "/t"
+    eng.attach_export("o_meta", exp)
+    updates = (
+        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 3))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("__op", F.lit("U"))
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 3).withColumn("__op", F.lit("D"))
+    eng.apply_changes("o_meta", updates.unionByName(deletes), source_version=1)
+    snaps = iceberg_metadata_table(spark, exp, "snapshots").select(
+        "sequence_number",
+        "operation",
+        F.element_at(F.col("summary"), "added-records")
+        .cast("long")
+        .alias("added_records"),
+    )
+    files = iceberg_metadata_table(spark, exp, "files")
+    sums = files.agg(
+        F.sum(F.when(F.col("content") == 0, F.col("record_count")))
+        .cast("long")
+        .alias("live_data_records"),
+        F.sum(F.when(F.col("content") > 0, F.col("record_count")))
+        .cast("long")
+        .alias("live_delete_records"),
+    )
+    return snaps.crossJoin(sums).orderBy("sequence_number")

@@ -70,6 +70,8 @@ _WINDOW_PRIORITY = (
     "delta_cdf_roundtrip",
     "mv_filtered_where",
     "iceberg_changelog_export",
+    "sql_recursive_cte",
+    "iceberg_metadata_tables",
     # last driver-verified in round 5 — the stalest slice (42 keys,
     # alphabetical; every other key is r6/r7-green)
     "agg_approx_count_distinct",
@@ -112,8 +114,6 @@ _WINDOW_PRIORITY = (
     "scalar_regexp_family",
     "scalar_try_family",
     "sim_ann_ivf",
-    "text_pii_redaction",
-    "text_repetition_score",
 )
 
 

@@ -2933,3 +2933,113 @@ def iceberg_changelog(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def iceberg_metadata_table(
+    spark: SparkSession, path: str, kind: str
+) -> DataFrame:
+    """The Iceberg metadata-table surface (``SELECT * FROM tbl$files``
+    etc.) over the manifest chain — the operational introspection every
+    Iceberg deployment leans on:
+
+    - ``snapshots``: one row per snapshot (id, parent, sequence number,
+      timestamp, operation, summary);
+    - ``history``: the snapshot-log (current-lineage timeline);
+    - ``manifests``: the CURRENT snapshot's manifest list;
+    - ``files``: the CURRENT snapshot's live data/delete files with
+      per-file record counts and content class.
+
+    All driver work is O(metadata); the result is a small DataFrame
+    built from the JSON/Avro chain, never a data-file scan."""
+    from pyspark.sql import types as T
+
+    from pg_mooncake_spark.sources.avro import read_avro
+
+    meta = _latest_metadata(path)
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s["parent-snapshot-id"])
+                if s.get("parent-snapshot-id") is not None
+                else None,
+                int(s.get("sequence-number") or 0),
+                int(s.get("timestamp-ms") or 0),
+                (s.get("summary") or {}).get("operation"),
+                {k: str(v) for k, v in (s.get("summary") or {}).items()},
+            )
+            for s in meta.get("snapshots") or []
+        ]
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("snapshot_id", T.LongType(), False),
+                    T.StructField("parent_id", T.LongType(), True),
+                    T.StructField("sequence_number", T.LongType(), True),
+                    T.StructField("committed_at_ms", T.LongType(), True),
+                    T.StructField("operation", T.StringType(), True),
+                    T.StructField(
+                        "summary", T.MapType(T.StringType(), T.StringType()), True
+                    ),
+                ]
+            ),
+        )
+    if kind == "history":
+        rows = [
+            (int(e["snapshot-id"]), int(e.get("timestamp-ms") or 0))
+            for e in meta.get("snapshot-log") or []
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, made_current_at_ms long"
+        )
+    snap_id = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots") or [] if s["snapshot-id"] == snap_id),
+        None,
+    )
+    if snap is None:
+        raise IcebergSupportError("table has no current snapshot")
+    if kind == "manifests":
+        _, manifests = read_avro(_resolve_path(snap["manifest-list"], path))
+        rows = [
+            (
+                m["manifest_path"],
+                int(m.get("manifest_length") or 0),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("content") or 0),
+                int(m.get("sequence_number") or 0),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id long, "
+            "content long, sequence_number long",
+        )
+    if kind == "files":
+        _, manifests = read_avro(_resolve_path(snap["manifest-list"], path))
+        rows = []
+        for m in manifests:
+            _, entries = read_avro(_resolve_path(m["manifest_path"], path))
+            for e in entries:
+                if int(e.get("status") or 0) == 2:  # DELETED
+                    continue
+                df_ = e.get("data_file") or {}
+                rows.append(
+                    (
+                        df_.get("file_path"),
+                        int(df_.get("content") or 0),
+                        int(df_.get("record_count") or 0),
+                        int(df_.get("file_size_in_bytes") or 0),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "file_path string, content long, record_count long, "
+            "file_size_bytes long",
+        )
+    raise IcebergSupportError(
+        f"unknown metadata table {kind!r}: expected snapshots/history/"
+        "manifests/files"
+    )

@@ -342,3 +342,92 @@ def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
     assert mt.vacuum() >= 1
     assert not _os.path.isdir(crashed)
     assert [r["k"] for r in mt.read().collect()] == [1]
+
+
+@pytest.mark.slow
+@given(script=script)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_change_feed_replay_reconstructs_state(spark, tmp_path_factory, script):
+    """The feed's fundamental invariant, for ARBITRARY merge
+    interleavings: applying the change feed's net images in commit order
+    onto an empty model reproduces exactly the final table state, and
+    the per-commit image counts are internally consistent (every
+    update_preimage has its postimage)."""
+    path = str(tmp_path_factory.mktemp("cf") / "t")
+    mt = MoonTable(spark, path)
+    mt.create(SCHEMA, primary_key=["k"], change_feed=True)
+
+    for ops in script:
+        ops = _dedup_batch(ops)
+        rows = [(k, v if op != "D" else None, op) for (op, k, v) in ops]
+        mt.merge(spark.createDataFrame(rows, "k int, v int, __op string"))
+
+    feed = sorted(
+        (
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in mt.changes().collect()
+        ),
+    )
+    model: dict[int, int] = {}
+    pre_counts: dict[int, int] = {}
+    post_counts: dict[int, int] = {}
+    for _v, ct, k, val in feed:
+        if ct in ("insert", "update_postimage"):
+            model[k] = val
+        elif ct == "delete":
+            assert k in model, "delete image for a key the replay lacks"
+            model.pop(k)
+        if ct == "update_preimage":
+            pre_counts[_v] = pre_counts.get(_v, 0) + 1
+        if ct == "update_postimage":
+            post_counts[_v] = post_counts.get(_v, 0) + 1
+    assert pre_counts == post_counts
+    got = {r["k"]: r["v"] for r in mt.read().collect()}
+    assert got == model
+
+
+@pytest.mark.slow
+@given(script=script)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_view_maintenance_invariant(spark, tmp_path_factory, script):
+    """Incremental view maintenance ≡ from-scratch aggregation for
+    ARBITRARY merge interleavings (per-batch refresh, like the engine's
+    apply path)."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.views import MaterializedView
+
+    root = tmp_path_factory.mktemp("mvp")
+    mt = MoonTable(spark, str(root / "b"))
+    mt.create(SCHEMA, primary_key=["k"], change_feed=True)
+    mt.append(spark.createDataFrame([(0, 0), (1, 1)], SCHEMA))
+    mv = MaterializedView.create(
+        spark, str(root / "v"), mt, ["k"],
+        {"s": ("sum", "v"), "n": ("count", "*"), "mx": ("max", "v")},
+    )
+    for ops in script:
+        ops = _dedup_batch(ops)
+        rows = [(k, v if op != "D" else None, op) for (op, k, v) in ops]
+        mt.merge(spark.createDataFrame(rows, "k int, v int, __op string"))
+        mv.refresh()
+    got = sorted(tuple(r) for r in mv.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in mt.read()
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    assert got == want

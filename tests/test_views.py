@@ -462,3 +462,22 @@ def test_auto_compact_policy(spark, tmp_path):
         files, dels, _ = mt._snapshot_full(None)
         assert len(files) + len(dels) < 4 + 1  # folded whenever threshold hit
     assert eng.table("t").count() == 8 + 6
+
+
+def test_list_tables_reports_view_staleness(spark, tmp_path):
+    eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    eng.create_table("b", source_df=src, primary_key=["id"], change_feed=True)
+    eng.create_materialized_view("v", "b", ["g"], {"n": ("count", "*")})
+    rows = {r["table"]: r for r in eng.list_tables().collect()}
+    assert rows["b"]["kind"] == "mirror" and rows["b"]["staleness"] is None
+    assert rows["v"]["kind"] == "mview" and rows["v"]["staleness"] == 0
+    # a direct storage-layer commit (bypassing the engine) leaves the
+    # view stale until the next refresh — and list_tables shows it
+    mt = eng._moontable("b")
+    mt.append(spark.createDataFrame([(2, "b", 2.0)], SCHEMA))
+    rows = {r["table"]: r for r in eng.list_tables().collect()}
+    assert rows["v"]["staleness"] == 1
+    eng.refresh_materialized_view("v")
+    rows = {r["table"]: r for r in eng.list_tables().collect()}
+    assert rows["v"]["staleness"] == 0
