@@ -387,15 +387,20 @@ class MooncakeEngine:
         path: str,
         version: Optional[int] = None,
         partition_by: Optional[list[str]] = None,
+        fmt: str = "iceberg",
     ) -> None:
-        """Create an Iceberg export of the mirror and keep it CURRENT:
-        every subsequent apply_changes batch is re-applied to the export
-        incrementally — equality deletes by primary key, then appends —
-        instead of re-exporting the table.  This is the reference's core
-        loop (moonlink maintains each mirror's Iceberg warehouse with
-        replicated inserts/updates/deletes applied, README.md:13-17),
-        with the cost profile that makes it viable at 100 TB: O(batch)
-        per sync, never O(table)."""
+        """Create an open-format export of the mirror and keep it
+        CURRENT: every subsequent apply_changes batch is re-applied to
+        the export incrementally instead of re-exporting the table.
+        This is the reference's core loop (moonlink maintains each
+        mirror's Iceberg warehouse with replicated inserts/updates/
+        deletes applied, README.md:13-17), with the cost profile that
+        makes it viable at 100 TB: O(batch) per sync, never O(table).
+
+        ``fmt='iceberg'`` (default) applies each batch as one atomic
+        row-delta snapshot (equality deletes + appends);
+        ``fmt='delta'`` as one MERGE commit (deletion-vector masking of
+        the batch keys + appends — upsert_keys_delta)."""
         name = self._canon(dst)
         mt = self._moontable(name)
         if not mt.primary_key():
@@ -403,8 +408,10 @@ class MooncakeEngine:
                 "attach_export needs a primary key to map updates/deletes "
                 "onto equality deletes"
             )
+        if fmt not in ("iceberg", "delta"):
+            raise ValueError(f"attach_export fmt must be iceberg/delta, got {fmt!r}")
         self.export_table(
-            name, path, fmt="iceberg", version=version, partition_by=partition_by
+            name, path, fmt=fmt, version=version, partition_by=partition_by
         )
         self.catalog.add_export(name, path)
 
@@ -449,6 +456,21 @@ class MooncakeEngine:
         )
         upserts = upserts.to(nullable)
         for path in exports:
+            if os.path.isdir(os.path.join(path, "_delta_log")):
+                from pg_mooncake_spark.sources.delta import (
+                    DeltaSchemaMismatchError,
+                    upsert_keys_delta,
+                    write_delta,
+                )
+
+                try:
+                    upsert_keys_delta(self.spark, path, keys, upserts)
+                except DeltaSchemaMismatchError:
+                    write_delta(
+                        upserts.limit(0), path, mode="append", merge_schema=True
+                    )
+                    upsert_keys_delta(self.spark, path, keys, upserts)
+                continue
             try:
                 upsert_keys_iceberg(self.spark, path, keys, upserts)
             except IcebergSchemaMismatchError:
@@ -741,6 +763,18 @@ class MooncakeEngine:
         # range-clusters the export rewrite too (sort-order registered in
         # its metadata, files stamped with the sort_order_id)
         for path in self.catalog.get(dst).get("exports") or []:
+            if os.path.isdir(os.path.join(path, "_delta_log")):
+                from pg_mooncake_spark.sources.delta import (
+                    compact_delta,
+                    vacuum_delta,
+                )
+
+                compact_delta(
+                    self.spark, path, sort_by=sort_cols, zorder_by=zorder_cols
+                )
+                if mode == "vacuum":
+                    vacuum_delta(path, retention_ms=0)
+                continue
             from pg_mooncake_spark.sources.iceberg import (
                 compact_iceberg,
                 expire_snapshots,

@@ -790,3 +790,50 @@ def iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("live_delete_records"),
     )
     return snaps.crossJoin(sums).orderBy("sequence_number")
+
+
+@query(
+    "lifecycle_delta_mirror_sync",
+    oracle="""
+    WITH post AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 1
+                  ELSE l_quantity END AS q
+      FROM lineitem
+      WHERE l_orderkey < 3000 AND NOT (l_orderkey % 7 = 3)
+    )
+    SELECT CAST(SUM(CAST(q AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM post
+    """,
+)
+def lifecycle_delta_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-mirror loop with a DELTA export (the Iceberg
+    twin's sibling, attach_export fmt='delta'): each CDC batch lands as
+    ONE MERGE commit — batch keys masked via deletion vectors
+    (semi-join probe, executor-side roaring serialization), new images
+    appended — and the post-DML aggregate of what the EXPORT reads must
+    equal the oracle's recomputation from the source.  A key deleted
+    from the mirror but still visible through the export's DVs (or an
+    upsert image lost between the mask and the append) is a hash
+    mismatch."""
+    from pg_mooncake_spark.sources.delta import read_delta
+
+    eng = _temp_engine(spark)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    eng.create_table(
+        "li_dsync", source_df=li, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    exp = tempfile.mkdtemp(prefix="delta_sync_") + "/t"
+    eng.attach_export("li_dsync", exp, fmt="delta")
+    updates = (
+        li.filter((F.col("l_orderkey") % 10 == 0) & (F.col("l_orderkey") % 7 != 3))
+        .withColumn("l_quantity", F.col("l_quantity") + 1)
+        .withColumn("__op", F.lit("U"))
+    )
+    deletes = li.filter(F.col("l_orderkey") % 7 == 3).withColumn("__op", F.lit("D"))
+    eng.apply_changes("li_dsync", updates.unionByName(deletes), source_version=1)
+    return read_delta(spark, exp).agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -72,6 +72,7 @@ _WINDOW_PRIORITY = (
     "iceberg_changelog_export",
     "sql_recursive_cte",
     "iceberg_metadata_tables",
+    "lifecycle_delta_mirror_sync",
     # last driver-verified in round 5 — the stalest slice (42 keys,
     # alphabetical; every other key is r6/r7-green)
     "agg_approx_count_distinct",
@@ -113,7 +114,6 @@ _WINDOW_PRIORITY = (
     "scalar_hof_family",
     "scalar_regexp_family",
     "scalar_try_family",
-    "sim_ann_ivf",
 )
 
 

@@ -1524,10 +1524,11 @@ def with_occ_retry(op, attempts: int = 3):
 def _probe_dv_blobs(
     spark: SparkSession,
     path: str,
-    condition: str,
+    condition: Optional[str],
     adds: list[dict],
     schema: T.StructType,
     partition_cols: list[str],
+    keys: Optional[tuple[DataFrame, list[str]]] = None,
 ) -> list[tuple[str, bytes, int]]:
     """Find rows matching ``condition`` and serialize one roaring64
     deletion bitmap per touched file, entirely executor-side.
@@ -1585,7 +1586,13 @@ def _probe_dv_blobs(
     else:
         full = scan(schema, adds)
 
-    matched = full.where(condition).select("__dv_fp", "__dv_pos")
+    if keys is not None:
+        keys_df, key_cols = keys
+        matched = full.join(keys_df, on=list(key_cols), how="leftsemi").select(
+            "__dv_fp", "__dv_pos"
+        )
+    else:
+        matched = full.where(condition).select("__dv_fp", "__dv_pos")
 
     existing_dvs = {
         "file:" + os.path.abspath(os.path.join(path, a["path"])): a["deletionVector"]
@@ -2135,3 +2142,125 @@ def vacuum_delta(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[st
                 os.remove(full)
                 deleted.append(full)
     return deleted
+
+
+class DeltaSchemaMismatchError(DeltaProtocolError):
+    """The input's columns are not a subset of the table schema — the
+    caller may widen the table (mergeSchema append) and retry."""
+
+
+def upsert_keys_delta(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    upserts_df: DataFrame,
+) -> int:
+    """Atomic key-batch MERGE on a Delta table: every key in ``keys_df``
+    is masked out of its current file via deletion vectors (semi-join
+    probe — no predicate string, so a CDC batch of arbitrary size stays
+    executor-bound) and the replacement/insert images in ``upserts_df``
+    are appended, all in ONE commit — the Delta analog of the Iceberg
+    row-delta upsert the mirror-export sync uses.  An external reader
+    never observes the state between delete and re-insert.
+
+    With ``delta.enableChangeDataFeed`` the commit also persists its cdc
+    files: pre-images of the masked keys as ``delete``, the new images
+    as ``insert`` (the same vocabulary the Iceberg changelog derives).
+
+    Raises :class:`DeltaSchemaMismatchError` when ``upserts_df`` carries
+    columns the table lacks — the caller widens the schema (mergeSchema
+    append) and retries, exactly like the Iceberg export-evolution path.
+    Returns the committed version.
+    """
+    adds, schema, partition_cols, st = _replay(path)
+    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
+        raise DeltaProtocolError("keyed upsert on column-mapped tables not supported")
+    names = {f.name for f in schema.fields}
+    extra = sorted(set(upserts_df.columns) - names)
+    if extra:
+        raise DeltaSchemaMismatchError(
+            f"upsert columns {extra} differ from table schema; widen the "
+            "table first (write_delta mode='append', merge_schema=True)"
+        )
+    key_cols = list(keys_df.columns)
+    bad = sorted(set(key_cols) - names)
+    if bad:
+        raise DeltaSchemaMismatchError(f"key columns {bad} not in table schema")
+    blobs = (
+        _probe_dv_blobs(
+            spark, path, None, adds, schema, partition_cols,
+            keys=(keys_df, key_cols),
+        )
+        if adds
+        else []
+    )
+    ups = _conform(upserts_df, schema, fill_missing=True)
+    cdc_actions: list[dict[str, Any]] = []
+    if _cdf_enabled(st):
+        pre = (
+            read_delta(spark, path)
+            .join(keys_df, on=key_cols, how="leftsemi")
+            .withColumn(_CHANGE_TYPE, F.lit("delete"))
+        )
+        change_df = pre.unionByName(
+            ups.withColumn(_CHANGE_TYPE, F.lit("insert"))
+        )
+        cdc_actions = _stage_cdc(change_df, path)
+    new_adds = (
+        _stage_partitioned(ups, path, partition_cols)
+        if partition_cols
+        else _stage_parquet(ups, path)
+    )
+    by_uri = {
+        "file:" + os.path.abspath(os.path.join(path, a["path"])): a for a in adds
+    }
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    proto = st.protocol
+    if blobs and (
+        proto.get("minReaderVersion", 1) < 3
+        or "deletionVectors" not in (proto.get("readerFeatures") or [])
+    ):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or []) | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
+                    ),
+                }
+            }
+        )
+    for uri, data, cardinality in blobs:
+        a = by_uri[uri]
+        dv = write_dv_blob(path, data, cardinality)
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append({"add": {**a, "deletionVector": dv, "dataChange": True}})
+    actions.extend(new_adds)
+    actions.extend(cdc_actions)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"matchedPredicate": "key-batch"},
+            }
+        }
+    )
+    v = st.last_v + 1
+    _commit(path, v, actions)
+    if v % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(path)
+    return v

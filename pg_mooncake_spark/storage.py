@@ -638,16 +638,27 @@ class MoonTable:
             )
         )
         partials = src.mapInPandas(gen, "file string, m long, bits binary").collect()
-        merged: dict[str, tuple[int, Any]] = {}
+        merged: dict[str, Optional[tuple[int, Any]]] = {}
         for r in partials:
             bm = np.unpackbits(
                 np.frombuffer(r["bits"], dtype=np.uint8), bitorder="little"
             )[: r["m"]].astype(bool)
+            cur = merged.get(r["file"])
             if r["file"] in merged:
-                np.bitwise_or(merged[r["file"]][1], bm, out=merged[r["file"]][1])
+                if cur is None or cur[0] != int(r["m"]):
+                    # chunks sized the bitmap differently (stats row count
+                    # missing for the file) — ORing mismatched bitmaps
+                    # would be unsound, so the file just gets no sidecar
+                    merged[r["file"]] = None
+                    continue
+                np.bitwise_or(cur[1], bm, out=cur[1])
             else:
                 merged[r["file"]] = (int(r["m"]), bm)
-        return {f: B.serialize(bm, m) for f, (m, bm) in merged.items()}
+        return {
+            f: B.serialize(t[1], t[0])
+            for f, t in merged.items()
+            if t is not None
+        }
 
     def _stage_delete_files(
         self, keys_df: DataFrame, pk: list[str]

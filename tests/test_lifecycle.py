@@ -944,3 +944,46 @@ def test_rename_column_propagates_to_exports(spark, warehouse, tmp_path):
     mirror = {(r["k"], r["total"]) for r in eng.table("r").collect()}
     export = {(r["k"], r["total"]) for r in read_iceberg(spark, exp).collect()}
     assert mirror == export and (5, 555.0) in export
+
+
+class TestDeltaMirrorExport:
+    def test_sync_and_dml_paths(self, spark, warehouse):
+        from pg_mooncake_spark.engine import MooncakeEngine
+        from pg_mooncake_spark.sources.delta import read_delta
+
+        eng = MooncakeEngine(spark, warehouse)
+        src = spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(1, 21)],
+            "k int, v string, x double",
+        )
+        eng.create_table("m", source_df=src, primary_key=["k"])
+        exp = warehouse + "/export_delta"
+        eng.attach_export("m", exp, fmt="delta")
+
+        ch = spark.createDataFrame(
+            [(2, "V2", 20.0, "U"), (3, None, None, "D"), (99, "n", 9.0, "I")],
+            "k int, v string, x double, __op string",
+        )
+        eng.apply_changes("m", ch, source_version=1)
+        eng.update_where("m", "k = 5", {"x": "x * 100"})
+        eng.delete_where("m", "k = 6")
+
+        want = sorted(tuple(r) for r in eng.table("m").collect())
+        got = sorted(tuple(r) for r in read_delta(spark, exp).collect())
+        assert got == want
+
+    def test_schema_evolution_reaches_delta_export(self, spark, warehouse):
+        from pg_mooncake_spark.engine import MooncakeEngine
+        from pg_mooncake_spark.sources.delta import read_delta
+
+        eng = MooncakeEngine(spark, warehouse)
+        src = spark.createDataFrame([(1, "a")], "k int, v string")
+        eng.create_table("m", source_df=src, primary_key=["k"])
+        exp = warehouse + "/export_delta"
+        eng.attach_export("m", exp, fmt="delta")
+        ch = spark.createDataFrame(
+            [(2, "b", 7, "I")], "k int, v string, extra int, __op string"
+        )
+        eng.apply_changes("m", ch, source_version=1, on_schema_drift="evolve")
+        got = {r["k"]: (r["v"], r["extra"]) for r in read_delta(spark, exp).collect()}
+        assert got == {1: ("a", None), 2: ("b", 7)}
