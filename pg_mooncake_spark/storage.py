@@ -1133,12 +1133,21 @@ class MoonTable:
         written at stage time: keep a file only if ANY batch key might be
         present.  False positives just fall through to the exact probe
         scan; a file without a (readable) sidecar is always kept, so
-        pruning can never be unsound.  Skipped for huge batches (the
-        hash collect is O(batch); past _BLOOM_MAX_KEYS the probe scan's
-        per-file parallelism wins anyway)."""
+        pruning can never be unsound.
+
+        Engaged only in the regime where it wins: more candidate FILES
+        than batch KEYS (uniform keys then hit ≲ n_keys files, so most
+        candidates get pruned before the probe scan — the 1M-file /
+        10k-key production shape).  When keys ≥ files nearly every file
+        contains some key (expected hit fraction 1−(1−1/F)^N), so the
+        filter would save nothing and the key-hash job is pure overhead
+        — measured at sf0.1: +0.6 s per merge for a 32→29 prune.  Also
+        skipped past _BLOOM_MAX_KEYS (the hash collect is O(batch); the
+        probe scan's per-file parallelism wins anyway)."""
         if (
             len(candidates) <= 1
             or n_keys == 0
+            or n_keys >= len(candidates)
             or n_keys > self._BLOOM_MAX_KEYS
             or not any(d.get("bloom") for d in candidates)
         ):
