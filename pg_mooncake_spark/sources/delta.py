@@ -1688,6 +1688,13 @@ def read_delta_cdf(
     Compaction commits (``dataChange=false``) contribute nothing.
     """
     _adds, schema, partition_cols, st = _replay(path)
+    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
+        # a mapped table's cdc/data parquet carries PHYSICAL column
+        # names; imposing the logical schema would silently null every
+        # renamed column — refuse instead
+        raise DeltaProtocolError(
+            "CDF read on column-mapped tables is not supported"
+        )
     if end_version is None:
         end_version = st.last_v
     log_dir = os.path.join(path, _LOG)

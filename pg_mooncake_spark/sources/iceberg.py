@@ -2861,9 +2861,20 @@ def iceberg_changelog(
     ]
     out_cols = [f.name for f in out_fields]
     parts: list[DataFrame] = []
+    # rename-aware raw scans: files written before a column rename store
+    # data under the old physical name; resolve per era by field id,
+    # same as the read path
+    eras = _rename_eras(meta)
+    cur_names = dict(names_by_id)
 
-    def _raw_rows(paths: list[str]) -> DataFrame:
-        return spark.read.schema(declared).parquet(*paths)
+    def _raw_rows(file_dicts: list[dict]) -> DataFrame:
+        if eras:
+            return _era_union_scan(
+                spark, declared, file_dicts, eras, cur_names
+            ).drop("__fp", "__pos")
+        return spark.read.schema(declared).parquet(
+            *[f["resolved"] for f in file_dicts]
+        )
 
     prev_cache: dict[int, tuple] = {}
 
@@ -2908,7 +2919,7 @@ def iceberg_changelog(
             )
 
         if added:
-            parts.append(_tag(_raw_rows([f["resolved"] for f in added]), "insert"))
+            parts.append(_tag(_raw_rows(added), "insert"))
         if new_eq and parent_id is not None:
             parent_state = read_iceberg(spark, path, snapshot_id=int(parent_id))
             for d in new_eq:
@@ -2924,9 +2935,7 @@ def iceberg_changelog(
                     )
                 )
         if removed:
-            parts.append(
-                _tag(_raw_rows([f["resolved"] for f in removed]), "delete")
-            )
+            parts.append(_tag(_raw_rows(removed), "delete"))
     if not parts:
         return spark.createDataFrame([], T.StructType(out_fields))
     out = parts[0]

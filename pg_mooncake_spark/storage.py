@@ -1434,6 +1434,10 @@ class MoonTable:
         pruned = self._pk_stat_candidates(files, condition)
         if pruned is not None:
             files = pruned
+            # full-pk equality probes additionally consult the bloom
+            # sidecars (driver-side, no job) — a point DELETE/UPDATE on
+            # an unsorted table plans O(1) files, same as read(where=)
+            files = self._bloom_prune_literal(files, condition)
         if not files:
             return []
         schema = T.StructType.fromJson(json.loads(first.schema))

@@ -424,3 +424,100 @@ def test_range_filter_predicate_pushes_to_parquet_scan(spark, tmp_path):
     dl = read_delta(spark, dpath, range_filter={"k": (100, 199)})
     pf = " ".join(pushed_filters(dl))
     assert "GreaterThanOrEqual(k" in pf and "LessThanOrEqual(k" in pf
+
+
+def test_change_feed_read_is_shuffle_free(spark, tmp_path):
+    """changes() is scans + a broadcast of the tiny file→version map:
+    no shuffle exchange anywhere — at 100 TB the feed read costs the
+    same as scanning the change files themselves."""
+    from pg_mooncake_spark.plans.inspect import (
+        broadcast_join_count,
+        exchange_count,
+    )
+    from pg_mooncake_spark.storage import MoonTable
+
+    from pyspark.sql import types as T
+
+    mt = MoonTable(spark, str(tmp_path / "t"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    mt.create(schema, primary_key=["id"], change_feed=True)
+    mt.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    mt.update_where("id = 1", {"v": "'A'"})
+    feed = mt.changes()
+    assert feed.count() == 4
+    assert exchange_count(feed) == 0
+    assert broadcast_join_count(feed) >= 1
+
+
+def test_mv_delta_aggregation_single_shuffle(spark, tmp_path):
+    """The refresh's delta aggregation shuffles ONCE (on the group
+    keys) over the O(batch) change feed — partial aggregation happens
+    map-side before the exchange."""
+    from pg_mooncake_spark.plans.inspect import exchange_count
+    from pg_mooncake_spark.storage import CHANGE_TYPE_COL, MoonTable
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    mt = MoonTable(spark, str(tmp_path / "t"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("g", T.StringType(), True),
+            T.StructField("x", T.DoubleType(), True),
+        ]
+    )
+    mt.create(schema, primary_key=["id"], change_feed=True)
+    mt.append(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], schema)
+    )
+    mt.delete_where("id = 1")
+    ch = mt.changes()
+    sign = F.when(
+        F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = ch.groupBy("g").agg(
+        F.sum(sign).alias("d_rows"),
+        F.sum(F.when(F.col("x").isNotNull(), sign * F.col("x"))).alias("d_x"),
+    )
+    assert exchange_count(deltas) == 1
+
+
+def test_feed_as_ops_is_narrow(spark, tmp_path):
+    """The feed→CDC-batch conversion adds no exchange: chaining mirrors
+    costs exactly the downstream merge, nothing in between."""
+    from pg_mooncake_spark.plans.inspect import exchange_count
+    from pg_mooncake_spark.storage import MoonTable
+    from pg_mooncake_spark.streaming.cdc import feed_as_ops
+
+    from pyspark.sql import types as T
+
+    mt = MoonTable(spark, str(tmp_path / "t"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    mt.create(schema, primary_key=["id"], change_feed="full")
+    mt.append(spark.createDataFrame([(1, "a")], schema))
+    import os
+
+    stream_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), True),
+            T.StructField("_commit_version", T.LongType(), True),
+        ]
+    )
+    batch_feed = spark.read.schema(stream_schema).parquet(
+        os.path.join(mt.path, "_changes")
+    )
+    ops = feed_as_ops(batch_feed)
+    assert exchange_count(ops) == 0
+    assert ops.count() == 1

@@ -3141,3 +3141,21 @@ class TestIcebergChangelog:
             iceberg_changelog(spark, exp, head + 999)
         # empty range (from == to) is a valid no-op
         assert iceberg_changelog(spark, exp, head).count() == 0
+
+    def test_changelog_across_column_rename(self, spark, tmp_path):
+        """Data files added BEFORE a rename must replay under the
+        CURRENT column name (per-era field-id resolution), not as
+        silent NULLs."""
+        from pg_mooncake_spark.sources.iceberg import iceberg_changelog
+
+        eng, exp, base = self._export(spark, tmp_path)
+        ch1 = spark.createDataFrame([(50, 50.0, "I")], "k int, x double, __op string")
+        eng.apply_changes("t", ch1, source_version=1)
+        eng.rename_column("t", "x", "y")
+        ch2 = spark.createDataFrame([(51, 51.0, "I")], "k int, y double, __op string")
+        eng.apply_changes("t", ch2, source_version=2)
+        rows = {
+            (r["k"], r["_change_type"]): r["y"]
+            for r in iceberg_changelog(spark, exp, base).collect()
+        }
+        assert rows == {(50, "insert"): 50.0, (51, "insert"): 51.0}
