@@ -2218,6 +2218,18 @@ def upsert_keys_delta(
         if partition_cols
         else _stage_parquet(ups, path)
     )
+    # a delete-only batch stages empty parquet: don't let it accrete
+    # zero-row adds commit after commit (footer stats decide, like the
+    # Iceberg twin)
+    kept_adds = []
+    for a in new_adds:
+        stats = a["add"].get("stats")
+        n = json.loads(stats).get("numRecords") if stats else None
+        if n == 0:
+            os.remove(os.path.join(path, a["add"]["path"]))
+        else:
+            kept_adds.append(a)
+    new_adds = kept_adds
     by_uri = {
         "file:" + os.path.abspath(os.path.join(path, a["path"])): a for a in adds
     }

@@ -2898,10 +2898,9 @@ def iceberg_changelog(
         files, pos, eq = _file_sets(snap)
         p_paths = {f["recorded"] for f in p_files}
         p_eq_paths = {d["resolved"] for d in p_eq}
+        cur_paths = {f["recorded"] for f in files}
         added = [f for f in files if f["recorded"] not in p_paths]
-        removed = [f for f in p_files if f["recorded"] not in {
-            g["recorded"] for g in files
-        }]
+        removed = [f for f in p_files if f["recorded"] not in cur_paths]
         new_eq = [d for d in eq if d["resolved"] not in p_eq_paths]
         new_pos = [q for q in pos if q not in set(p_pos)]
         if new_pos:

@@ -617,6 +617,16 @@ class MoonTable:
                 if not len(pdf):
                     continue
                 for fname, g in pdf.groupby("__file", sort=False):
+                    if g[pk].isna().any().any():
+                        # a NULL key anywhere in the chunk makes pandas
+                        # coerce integer columns to float64, corrupting
+                        # the canonical hash for the chunk's REAL keys —
+                        # a false-negative (lost-update) risk.  m=0 marks
+                        # the file as not-bloomable; the driver drops it.
+                        yield pd.DataFrame(
+                            {"file": [fname], "m": [0], "bits": [b""]}
+                        )
+                        continue
                     m = B.bloom_m_for(rows_map.get(fname) or len(g))
                     h = B.key_hash_array([g[c] for c in pk])
                     bm = B.build_bitmap(h, m)
@@ -643,6 +653,9 @@ class MoonTable:
             bm = np.unpackbits(
                 np.frombuffer(r["bits"], dtype=np.uint8), bitorder="little"
             )[: r["m"]].astype(bool)
+            if int(r["m"]) == 0:  # null-key chunk: file is not bloomable
+                merged[r["file"]] = None
+                continue
             cur = merged.get(r["file"])
             if r["file"] in merged:
                 if cur is None or cur[0] != int(r["m"]):
@@ -1160,15 +1173,27 @@ class MoonTable:
             import pandas as pd
 
             for pdf in batches:
-                if len(pdf):
-                    yield pd.DataFrame(
-                        {"h": B.key_hash_array([pdf[c] for c in pk]).view(np.int64)}
-                    )
+                if not len(pdf):
+                    continue
+                if pdf[pk].isna().any().any():
+                    # pandas coerces int columns with nulls to float64,
+                    # corrupting the chunk's OTHER hashes (and >2^53 keys
+                    # irrecoverably) — flag the batch as unhashable
+                    yield pd.DataFrame({"h": [0], "bad": [True]})
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "h": B.key_hash_array(
+                            [pdf[c] for c in pk]
+                        ).view(np.int64),
+                        "bad": False,
+                    }
+                )
 
-        hs = np.array(
-            [r["h"] for r in keys_df.mapInPandas(gen, "h long").collect()],
-            dtype=np.int64,
-        ).view(np.uint64)
+        rows = keys_df.mapInPandas(gen, "h long, bad boolean").collect()
+        if any(r["bad"] for r in rows):
+            return candidates  # null-key batch: pruning skipped, sound
+        hs = np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
         return self._bloom_filter_candidates(candidates, hs)
 
     def _load_bloom(self, side: str):

@@ -220,3 +220,37 @@ class TestPointReadPruning:
         # full literal key works and stays correct
         rows = mt.read(where="a = 1 AND b = 'x'").collect()
         assert [(r["a"], r["b"]) for r in rows] == [(1, "x")]
+
+
+def test_null_pk_values_disable_bloom_soundly(spark, tmp_path):
+    """NULL anywhere in a pk column must not corrupt neighbouring keys'
+    hashes (pandas int→float coercion): the affected file gets no
+    sidecar, a null-carrying batch skips pruning, and the merge still
+    lands every real change."""
+    mt = MoonTable(spark, str(tmp_path / "t"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),  # nullable pk (!)
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    mt.create(schema, primary_key=["id"])
+    mt.append(
+        spark.createDataFrame([(1, "a"), (None, "nullkey"), (2, "b")], schema)
+    )
+    files, _ = mt._snapshot(None)
+    # whichever staged file holds the null key must NOT have a sidecar
+    # (other files of the append legitimately keep theirs)
+    null_files = [
+        d
+        for d in files
+        if (d.get("stats") or {}).get("id", [None])[0] is None
+    ]
+    assert null_files and all(not d.get("bloom") for d in null_files)
+    mt.append(spark.createDataFrame([(10, "x"), (11, "y")], schema))
+    ch = spark.createDataFrame(
+        [(1, "A", "U"), (10, None, "D")], "id long, v string, __op string"
+    )
+    mt.merge(ch)
+    got = {r["id"]: r["v"] for r in mt.read().collect()}
+    assert got == {1: "A", None: "nullkey", 2: "b", 11: "y"}
