@@ -29,6 +29,12 @@ of magnitude below the base); each refresh shuffles only the change
 batch plus the touched slice of the view.  Group-by columns should be
 non-null (wrap nullable keys in ``coalesce``): view state is keyed on
 them as a moontable primary key.
+
+Known limitation: the spec's aggregate/filter expressions reference base
+columns BY NAME, so renaming a referenced base column
+(``rename_column``) breaks subsequent refreshes loudly (unresolved
+column) — drop and recreate the view after a rename.  The feed itself
+resolves renames by era, so unreferenced columns may rename freely.
 """
 
 from __future__ import annotations
