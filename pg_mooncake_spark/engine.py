@@ -416,11 +416,15 @@ class MooncakeEngine:
         self.catalog.add_export(name, path)
 
     def _sync_exports(
-        self, mt: MoonTable, changes: DataFrame, exports: list[str]
+        self,
+        mt: MoonTable,
+        changes: DataFrame,
+        exports: list[str],
+        upsert_inserts: bool = True,
     ) -> None:
         """Apply one CDC batch to each attached Iceberg export as ONE
-        row-delta snapshot: equality deletes for the U/D keys (scoped by
-        sequence number to earlier files) and the I/U rows in the same
+        row-delta snapshot: equality deletes for the changed keys (scoped
+        by sequence number to earlier files) and the I/U rows in the same
         commit — the Iceberg spec's atomic upsert shape.  An external
         reader never sees the in-between state where updated rows are
         missing, and a crash mid-sync cannot lose the batch's upserts
@@ -428,7 +432,17 @@ class MooncakeEngine:
         emptiness decided from the written parquet footers — no extra
         probe job.  Same-commit appends share the delete's sequence
         number and deletes apply only strictly below it, so the
-        re-inserted copies survive."""
+        re-inserted copies survive.
+
+        ``upsert_inserts`` mirrors the caller's semantics for I ops:
+        apply_changes/flush follow MoonTable.merge, where I upserts
+        (replace-if-exists — replayed inserts are idempotent), so I keys
+        must be masked in the export too or a re-inserted existing key
+        leaves the old copy live alongside the new one (the deferred
+        flush path hits this without replays: _compact_batches keeps the
+        LAST change per key, collapsing U(K);I(K) to I(K)).  insert()/
+        update_where() apply BLIND appends to the mirror (duplicates are
+        kept there), so their sync passes False to match."""
         from pg_mooncake_spark.sources.iceberg import (
             IcebergSchemaMismatchError,
             upsert_keys_iceberg,
@@ -441,7 +455,8 @@ class MooncakeEngine:
         # plan per job both recomputes upstream work and is not
         # guaranteed to replay identical rows for every source
         changes = changes.localCheckpoint(eager=True)
-        keys = changes.filter(F.col(OP_COL).isin("U", "D")).select(*pk)
+        mask_ops = ("I", "U", "D") if upsert_inserts else ("U", "D")
+        keys = changes.filter(F.col(OP_COL).isin(*mask_ops)).select(*pk)
         # align to the mirror schema (null-filling columns the batch
         # lacks: any drift already passed merge's gate — or evolved it),
         # then relax nullability to match the export (file-scan schemas
@@ -490,7 +505,11 @@ class MooncakeEngine:
         v = mt.append(df, source_version=source_version)
         exports = self.catalog.get(dst).get("exports") or []
         if exports:
-            self._sync_exports(mt, changes_df(df, op="I"), exports)
+            # blind append (matches mt.append: duplicates kept) — do NOT
+            # mask the inserted keys in the export
+            self._sync_exports(
+                mt, changes_df(df, op="I"), exports, upsert_inserts=False
+            )
         self._refresh_views_of(dst)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v
@@ -529,7 +548,10 @@ class MooncakeEngine:
             changes = changes_df(pre, op="D").unionByName(
                 changes_df(post, op="I")
             )
-            self._sync_exports(mt, changes, exports)
+            # the D pre-image keys carry the masking; post-image rows are
+            # blind appends (a pk rewritten onto an existing key keeps
+            # both rows in the mirror, so the export must keep both too)
+            self._sync_exports(mt, changes, exports, upsert_inserts=False)
         self._refresh_views_of(dst)
         self.catalog.update_watermarks(dst, flush_version=v)
         return v
@@ -727,6 +749,22 @@ class MooncakeEngine:
             rename_column_iceberg,
         )
 
+        # refuse Delta exports BEFORE anything moves: Delta renames
+        # require columnMapping=name, and this engine's Delta DML paths
+        # (upsert_keys_delta etc.) deliberately refuse column-mapping
+        # tables — a renamed Delta export could never be synced again.
+        # Detach the export (or re-export post-rename) instead.
+        delta_exports = [
+            p for p in exports
+            if os.path.isdir(os.path.join(p, "_delta_log"))
+        ]
+        if delta_exports:
+            raise ValueError(
+                f"rename_column cannot propagate to Delta exports "
+                f"{delta_exports}: Delta requires columnMapping=name, "
+                "which this engine's Delta sync paths do not DML against; "
+                "detach the export and re-export after the rename"
+            )
         for path in exports:  # exports first: if one refuses, the mirror
             try:               # hasn't moved and the op is retryable
                 rename_column_iceberg(path, old, new)

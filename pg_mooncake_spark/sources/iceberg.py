@@ -534,7 +534,27 @@ def read_iceberg(
                         f"equality_ids {d['equality_ids']} not in current "
                         f"schema (field id {exc} unknown)"
                     ) from exc
-                dd = spark.read.parquet(d["resolved"]).select(*cols).distinct()
+                # a delete file written before a rename stores its key
+                # columns under the era's physical names — resolve by
+                # field id at the file's sequence, alias to current
+                if eras:
+                    era_n = _era_names_for_seq(eras, d["seq"])
+                    phys = [
+                        era_n.get(i, names_by_id[i])
+                        for i in d["equality_ids"]
+                    ]
+                else:
+                    phys = cols
+                dd = (
+                    spark.read.parquet(d["resolved"])
+                    .select(
+                        *[
+                            F.col(p).alias(c)
+                            for p, c in zip(phys, cols)
+                        ]
+                    )
+                    .distinct()
+                )
                 cond = F.col("__seq") < F.lit(d["seq"])
                 for c in cols:
                     cond = cond & F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
@@ -1910,6 +1930,18 @@ def _rename_eras(meta: dict):
     return eras
 
 
+def _era_names_for_seq(eras, seq) -> dict:
+    """The field-id → name mapping active at sequence number ``seq``
+    (greatest activation ≤ seq): how a file written at that sequence
+    spelled its physical column names."""
+    s = int(seq or 0)
+    best = eras[0][1]
+    for act, names in eras:
+        if act <= s:
+            best = names
+    return best
+
+
 def _era_union_scan(spark, declared, files, eras, cur_names):
     """Union of per-era scans: each group of data files reads with its
     era's physical column names and aliases back to the CURRENT names
@@ -2921,12 +2953,38 @@ def iceberg_changelog(
             parts.append(_tag(_raw_rows(added), "insert"))
         if new_eq and parent_id is not None:
             parent_state = read_iceberg(spark, path, snapshot_id=int(parent_id))
+            decl_by_name = {f.name: f for f in declared.fields}
             for d in new_eq:
                 key_cols = [names_by_id[i] for i in d["equality_ids"]]
+                # delete files written before a rename store the era's
+                # physical names: reading them with the CURRENT names
+                # would resolve-by-name to all-NULL and silently drop
+                # every delete event of that snapshot — resolve by
+                # field id at the file's sequence, alias to current
+                if eras:
+                    era_n = _era_names_for_seq(eras, d["seq"])
+                    phys_cols = [
+                        era_n.get(i, names_by_id[i])
+                        for i in d["equality_ids"]
+                    ]
+                else:
+                    phys_cols = key_cols
                 key_schema = T.StructType(
-                    [f for f in declared.fields if f.name in set(key_cols)]
+                    [
+                        T.StructField(p, decl_by_name[c].dataType, True)
+                        for p, c in zip(phys_cols, key_cols)
+                    ]
                 )
-                keys = spark.read.schema(key_schema).parquet(d["resolved"])
+                keys = (
+                    spark.read.schema(key_schema)
+                    .parquet(d["resolved"])
+                    .select(
+                        *[
+                            F.col(p).alias(c)
+                            for p, c in zip(phys_cols, key_cols)
+                        ]
+                    )
+                )
                 parts.append(
                     _tag(
                         parent_state.join(keys, on=key_cols, how="leftsemi"),

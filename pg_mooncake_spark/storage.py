@@ -45,6 +45,7 @@ from pg_mooncake_spark.fsio import CommitConflict, StorageBackend, get_backend
 _LOG_DIR = "_moonlog"
 _CHANGES_DIR = "_changes"
 _INDEX_DIR = "_index"
+_PENDING_PREFIX = "pending-"  # staged change files: .pending-<name>
 OP_COL = "__op"  # change disposition column: I / U / D
 # change-feed disposition values (Delta CDF vocabulary so downstream
 # consumers translate 1:1): insert / update_preimage / update_postimage /
@@ -295,7 +296,7 @@ class MoonTable:
         if not files:
             df = self.spark.createDataFrame([], schema)
             return df.filter(where) if where else df
-        df = self._scan(files, schema, dels)
+        df = self._scan(files, schema, dels, pk=list(first.primary_key or []))
         return df.filter(where) if where else df
 
     def changes(
@@ -326,6 +327,9 @@ class MoonTable:
             end_version = vs[-1]
         if end_version not in vs:
             raise MoonTableError(f"version {end_version} not in log")
+        # a writer that crashed between commit and change-file finalize
+        # leaves committed-but-hidden files; make them visible first
+        self._heal_pending_changes()
         _files, _dels, first = self._snapshot_full(end_version)
         schema = T.StructType.fromJson(json.loads(first.schema))
         ins_pieces: list[dict] = []
@@ -425,6 +429,20 @@ class MoonTable:
                 f"{mode!r}): append commits must persist insert images "
                 "for the _changes/ directory to be a complete log"
             )
+        self._heal_pending_changes()
+        # a plain file source imposes ONE schema on every file; change
+        # files written before a column rename store the old physical
+        # name and would stream the renamed column as all-NULL.  The
+        # batch reader (:meth:`changes`) resolves renames per era —
+        # refuse here rather than corrupt a chained mirror silently.
+        if any(self._read_commit(v).renames for v in self._versions()):
+            raise MoonTableError(
+                "stream_changes cannot span a column rename (historical "
+                "change files keep the pre-rename physical column name, "
+                "which a single-schema file source would read as NULL); "
+                "use the batch changes() reader, which resolves renames "
+                "per era"
+            )
         schema = T.StructType(
             list(self.schema().fields)
             + [
@@ -485,7 +503,11 @@ class MoonTable:
         return out
 
     def _scan(
-        self, files: list[dict], schema: T.StructType, dels: list[dict]
+        self,
+        files: list[dict],
+        schema: T.StructType,
+        dels: list[dict],
+        pk: Optional[list[str]] = None,
     ) -> DataFrame:
         """Scan ``files`` with merge-on-read equality deletes folded in.
 
@@ -500,7 +522,10 @@ class MoonTable:
         if not dels:
             return self._read_files(files, schema)
         df = self._read_files(files, schema, add_file_col=True)
-        pk = self.primary_key() or []
+        # pk must match the SCHEMA's era: a time-travel read below a pk
+        # rename passes the as-of pk (the latest one would resolve to
+        # zero schema fields and break the tombstone join)
+        pk = pk if pk is not None else (self.primary_key() or [])
         pk_schema = T.StructType(
             [f for f in schema.fields if f.name in set(pk)]
         )
@@ -725,12 +750,76 @@ class MoonTable:
             if not fname.endswith(".parquet"):
                 continue
             new_name = f"chg-{uuid.uuid4().hex}.parquet"
-            os.rename(os.path.join(staging, fname), os.path.join(ch_dir, new_name))
+            # staged DOT-PREFIXED (Spark file sources and the parquet
+            # reader ignore hidden files): the change rows become visible
+            # only after the OCC commit referencing them lands — an OCC
+            # race loser or crashed writer can never feed phantom rows to
+            # a streaming consumer of _changes/.  The commit caller
+            # finalizes (rename to the visible name) on success and
+            # deletes the pending file on conflict.
+            os.rename(
+                os.path.join(staging, fname),
+                os.path.join(ch_dir, "." + _PENDING_PREFIX + new_name),
+            )
             names.append(new_name)
         for f in os.listdir(staging):
             os.remove(os.path.join(staging, f))
         os.rmdir(staging)
         return names
+
+    def _finalize_change_files(self, names: list[str]) -> None:
+        """Make committed change files visible (pending → final name).
+        Idempotent: already-finalized names are left alone, so crash
+        recovery (:meth:`_heal_pending_changes`) can re-run it."""
+        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        for n in names:
+            pend = os.path.join(ch_dir, "." + _PENDING_PREFIX + n)
+            final = os.path.join(ch_dir, n)
+            if os.path.exists(pend) and not os.path.exists(final):
+                os.rename(pend, final)
+
+    def _discard_change_files(self, names: list[str]) -> None:
+        """Drop pending change files of a commit that failed (OCC
+        conflict): they were never referenced, so nothing downstream can
+        have seen them."""
+        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        for n in names:
+            try:
+                os.remove(os.path.join(ch_dir, "." + _PENDING_PREFIX + n))
+            except FileNotFoundError:
+                pass
+
+    def _commit_with_changes(self, c: Commit) -> None:
+        """Write the commit; finalize its change files on success,
+        discard them on an OCC conflict — change rows in ``_changes/``
+        are visible iff the commit that produced them is in the log."""
+        names = (c.props or {}).get("change_files") or []
+        try:
+            self._write_commit(c)
+        except MoonTableError:
+            self._discard_change_files(names)
+            raise
+        self._finalize_change_files(names)
+
+    def _heal_pending_changes(self) -> None:
+        """Finalize change files whose commit landed but whose writer
+        crashed before the rename (commit-then-finalize window).  Cheap:
+        one existence probe per referenced change file."""
+        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        if not os.path.isdir(ch_dir):
+            return
+        pending = {
+            f[len(_PENDING_PREFIX) + 1:]
+            for f in os.listdir(ch_dir)
+            if f.startswith("." + _PENDING_PREFIX)
+        }
+        if not pending:
+            return
+        for v in self._versions():
+            cf = (self._read_commit(v).props or {}).get("change_files") or []
+            hits = [n for n in cf if n in pending]
+            if hits:
+                self._finalize_change_files(hits)
 
     def create(
         self,
@@ -801,7 +890,7 @@ class MoonTable:
                     df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), v
                 )
             }
-        self._write_commit(
+        self._commit_with_changes(
             Commit(
                 version=v,
                 op="append",
@@ -971,6 +1060,7 @@ class MoonTable:
                     )
             work_schema = T.StructType(new_fields)
         changes = changes.cache()
+        scan_cached = None
         try:
             # every changed key evicts its old image — including I keys,
             # otherwise an insert for an existing key leaves two rows
@@ -1006,10 +1096,20 @@ class MoonTable:
             )
             v = self.latest_version() + 1
             props = None
+            # with the change feed on, a CoW merge has TWO consumers of
+            # the touched-file content (pre-image derivation + the
+            # rewrite) — cache the scan so the dominant I/O of the CDC
+            # apply path happens once, not twice.  Bounded: touched is
+            # the exact-probed file set, O(files containing batch keys).
             if self.change_feed_enabled():
+                if touched and not use_mor:
+                    scan_cached = self._scan(
+                        touched, work_schema, dels
+                    ).persist()
                 props = {
                     "change_files": self._merge_change_files(
-                        touched, dels, work_schema, changes, upserts, pk, v
+                        touched, dels, work_schema, changes, upserts, pk, v,
+                        scan_df=scan_cached,
                     )
                 }
             if use_mor and touched:
@@ -1018,7 +1118,7 @@ class MoonTable:
                 # with version < v, so the upserts just appended survive
                 add = self._stage_files(upserts, pk)
                 del_descr = self._stage_delete_files(ud_keys, pk)
-                self._write_commit(
+                self._commit_with_changes(
                     Commit(
                         version=v,
                         op="merge-mor",
@@ -1040,14 +1140,18 @@ class MoonTable:
                 # null-fills columns the files predate; _scan folds any
                 # live tombstones so a rewrite (new file version) cannot
                 # resurrect previously MOR-deleted rows
-                current = self._scan(touched, work_schema, dels)
+                current = (
+                    scan_cached
+                    if scan_cached is not None
+                    else self._scan(touched, work_schema, dels)
+                )
                 survivors = current.join(ud_keys, on=pk, how="left_anti")
                 new_data = survivors.unionByName(upserts)
             else:
                 new_data = upserts
 
             add = self._stage_files(new_data, pk) if new_data is not None else []
-            self._write_commit(
+            self._commit_with_changes(
                 Commit(
                     version=v,
                     op="merge",
@@ -1064,6 +1168,8 @@ class MoonTable:
             )
             return v
         finally:
+            if scan_cached is not None:
+                scan_cached.unpersist()
             changes.unpersist()
 
     def _merge_change_files(
@@ -1075,8 +1181,12 @@ class MoonTable:
         upserts: DataFrame,
         pk: list[str],
         commit_version: int,
+        scan_df: Optional[DataFrame] = None,
     ) -> list[str]:
         """Row-level change set for one MERGE commit (change feed).
+        ``scan_df``: an already-built (and ideally cached) scan of the
+        touched files, shared with the CoW rewrite so the touched-file
+        I/O is paid once per merge.
 
         Classification needs exactly one extra fact per batch key —
         "did the key exist?" — and the pre-images for those that did.
@@ -1097,11 +1207,10 @@ class MoonTable:
             change_df = upserts.select(*cols).withColumn(ct, F.lit("insert"))
             return self._stage_change_files(change_df, commit_version)
         ops = changes.select(*pk, OP_COL)
-        pre = (
-            self._scan(touched, schema, dels)
-            .join(ops, on=list(pk), how="inner")
-            .persist()
+        base_scan = (
+            scan_df if scan_df is not None else self._scan(touched, schema, dels)
         )
+        pre = base_scan.join(ops, on=list(pk), how="inner").persist()
         try:
             existing_upd = pre.filter(F.col(OP_COL).isin("I", "U")).select(*pk)
             change_df = (
@@ -1526,7 +1635,7 @@ class MoonTable:
                 .distinct()
             )
             del_descr = self._stage_delete_files(keys, pk)
-            self._write_commit(
+            self._commit_with_changes(
                 Commit(version=v, op="delete-mor", deletes=del_descr, props=props)
             )
             return v
@@ -1535,7 +1644,7 @@ class MoonTable:
             current = self._scan(touched, schema, dels)
             survivors = current.filter(f"NOT ({condition}) OR ({condition}) IS NULL")
             add = self._stage_files(survivors, pk)
-        self._write_commit(
+        self._commit_with_changes(
             Commit(
                 version=v,
                 op="delete",
@@ -1593,7 +1702,7 @@ class MoonTable:
                 )
                 props = {"change_files": self._stage_change_files(change_df, v)}
             add = self._stage_files(current.select(*cols), self.primary_key())
-        self._write_commit(
+        self._commit_with_changes(
             Commit(
                 version=v,
                 op="update",
@@ -1709,6 +1818,23 @@ class MoonTable:
         live = {d["name"] for d in snap_files} | {d["name"] for d in snap_dels}
         removed = 0
         now = _time.time()
+        # pending change files: finalize any whose commit landed, then
+        # reclaim orphans (commit never landed — OCC loser / crashed
+        # writer) past the grace window
+        self._heal_pending_changes()
+        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        if os.path.isdir(ch_dir):
+            for f in os.listdir(ch_dir):
+                if not f.startswith("." + _PENDING_PREFIX):
+                    continue
+                full = os.path.join(ch_dir, f)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age >= staging_grace_s:
+                    os.remove(full)
+                    removed += 1
         if changes_retention_versions is not None:
             horizon = self.latest_version() - changes_retention_versions
             keep: set[str] = set()

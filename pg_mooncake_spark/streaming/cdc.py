@@ -122,7 +122,13 @@ def start_sync(
         if len(pending) >= export_commit_interval:
             flush()
 
-    _PENDING_FLUSHES[(id(engine), engine._canon(dst))] = flush  # noqa: SLF001
+    # flush closures live ON the engine (not a module global keyed by
+    # id(engine): ids are reused after GC, so a dead engine's entry
+    # could be looked up by a NEW engine at the same address and replay
+    # a stale buffered flush; engine-attached state also frees with it)
+    if not hasattr(engine, "_pending_flushes"):
+        engine._pending_flushes = {}  # noqa: SLF001
+    engine._pending_flushes[engine._canon(dst)] = flush  # noqa: SLF001
 
     writer = change_stream.writeStream.foreachBatch(apply_batch).outputMode("update")
     writer = writer.option("checkpointLocation", checkpoint_dir)
@@ -131,9 +137,6 @@ def start_sync(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
-
-
-_PENDING_FLUSHES: dict = {}
 
 
 def _compact_batches(dfs: list[DataFrame], pk: list[str]) -> DataFrame:
@@ -164,7 +167,7 @@ def flush_pending_exports(engine: MooncakeEngine, dst: str) -> None:
     """Flush any change batches start_sync buffered for ``dst``'s
     exports (export_commit_interval > 1) — call after stopping a stream
     mid-interval so exports catch up to the mirror."""
-    fn = _PENDING_FLUSHES.get((id(engine), engine._canon(dst)))  # noqa: SLF001
+    fn = getattr(engine, "_pending_flushes", {}).get(engine._canon(dst))  # noqa: SLF001
     if fn is not None:
         fn()
 

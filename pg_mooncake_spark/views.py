@@ -121,7 +121,7 @@ class MaterializedView:
             src = src.filter(where)
         full = _full_agg(src, group_by, aggs)
         mv.state.create(full.schema, primary_key=list(group_by))
-        mv.state.append(full)
+        mv.state.append(full, source_version=base_version)
         mv._save_spec(
             {
                 "base_path": base.path,
@@ -142,10 +142,19 @@ class MaterializedView:
         gb: list[str] = spec["group_by"]
         aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
         base = MoonTable(self.spark, spec["base_path"])
-        start = spec["base_version"] + 1
+        # the authoritative watermark is the one recorded IN the state
+        # table's own commit (source_version, written atomically with
+        # the folded deltas); the spec file is a cache updated after.
+        # A crash between the two leaves spec stale — trusting it would
+        # re-fold the same delta batch and silently double every sum.
+        reflected = max(spec["base_version"], self._state_watermark())
+        if reflected > spec["base_version"]:
+            spec["base_version"] = reflected
+            self._save_spec(spec)
+        start = reflected + 1
         end = base.latest_version()
         if end < start:
-            return spec["base_version"]
+            return reflected
         ch = base.changes(start, end)
         if spec.get("where"):
             # per-image predicate: a pre-image that matched retracts, a
@@ -258,14 +267,23 @@ class MaterializedView:
                     .select(*aligned)
                     .unionByName(rec.select(*aligned))
                 )
-                self._merge_state(batch, gone, gb, state_schema)
+                self._merge_state(batch, gone, gb, state_schema, end)
             finally:
                 inc.unpersist()
         else:
-            self._merge_state(inc.select(*aligned), None, gb, state_schema)
+            self._merge_state(inc.select(*aligned), None, gb, state_schema, end)
         spec["base_version"] = end
         self._save_spec(spec)
         return end
+
+    def _state_watermark(self) -> int:
+        """Base version recorded by the newest state commit (−1 if none
+        recorded one): the durable refresh watermark, committed in the
+        same atomic log entry as the folded deltas themselves."""
+        for c in reversed(self.state.history()):
+            if c.source_version is not None:
+                return int(c.source_version)
+        return -1
 
     def _merge_state(
         self,
@@ -273,9 +291,12 @@ class MaterializedView:
         extra_deletes: Optional[DataFrame],
         gb: list[str],
         state_schema,
+        base_version: int,
     ) -> None:
         """One MERGE into the state table: live groups upsert, emptied
-        groups delete (a group is empty when its row count folded to 0)."""
+        groups delete (a group is empty when its row count folded to 0).
+        ``base_version`` rides in the same commit — the durable refresh
+        watermark (:meth:`_state_watermark`)."""
         from pg_mooncake_spark.storage import OP_COL
 
         ups = batch.filter(F.col(_ROWS) > 0).withColumn(OP_COL, F.lit("U"))
@@ -287,7 +308,7 @@ class MaterializedView:
                 if f.name not in gb:
                     pad = pad.withColumn(f.name, F.lit(None).cast(f.dataType))
             merged = merged.unionByName(pad.withColumn(OP_COL, F.lit("D")))
-        self.state.merge(merged)
+        self.state.merge(merged, source_version=base_version)
 
     # ------------------------------------------------------------- read
 
