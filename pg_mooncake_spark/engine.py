@@ -35,6 +35,63 @@ from pg_mooncake_spark.catalog import SyncCatalog
 from pg_mooncake_spark.storage import OP_COL, MoonTable
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+_DML_KIND = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.I)
+# a table identifier as it appears in a statement: bare/qualified name or
+# a double-quoted (possibly schema-qualified) identifier
+_SQL_TABLE = r'((?:"[^"]*"|[A-Za-z_]\w*)(?:\.(?:"[^"]*"|[A-Za-z_]\w*))?)'
+
+
+def _scan_top(s: str):
+    """Yield (index, char) for characters at top level — outside single-
+    quoted SQL strings and parenthesis nesting (depth tracked; quotes
+    honor the '' escape)."""
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            yield i, c
+        i += 1
+
+
+def _find_top_keyword(s: str, word: str) -> int:
+    """Index of the first top-level, word-bounded, case-insensitive
+    occurrence of ``word`` in ``s``, or -1."""
+    w = len(word)
+    for i, c in _scan_top(s):
+        if c.upper() == word[0] and s[i : i + w].upper() == word:
+            before = s[i - 1] if i > 0 else " "
+            after = s[i + w] if i + w < len(s) else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                return i
+    return -1
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split ``s`` on top-level commas (commas inside parens/strings —
+    function args, row constructors, literals — do not split)."""
+    cuts = [i for i, c in _scan_top(s) if c == ","]
+    parts, prev = [], 0
+    for i in cuts:
+        parts.append(s[prev:i])
+        prev = i + 1
+    parts.append(s[prev:])
+    return [p.strip() for p in parts]
 
 
 def parse_table_name(name: str) -> str:
@@ -918,7 +975,27 @@ class MooncakeEngine:
         """Run SQL over mirrors: every registered mirror name is resolved to
         its pinned snapshot and exposed as a temp view, then Spark SQL
         executes (the reference's pg_duckdb interception analog — here the
-        'interception' is just name resolution; Catalyst is the executor)."""
+        'interception' is just name resolution; Catalyst is the executor).
+
+        DML statements route to the mirror-maintenance paths — the
+        statement surface the reference's own regress flow exercises
+        against mooncake tables (reference tests/pg_regress/sql/
+        sanity.sql:2-5 runs plain INSERT/UPDATE/DELETE):
+
+        - ``INSERT INTO t [(cols)] VALUES (...), ...`` and
+          ``INSERT INTO t [(cols)] SELECT ...`` → :meth:`insert`
+          (positional column matching, unlisted columns NULL);
+        - ``UPDATE t SET col = expr, ... [WHERE cond]`` →
+          :meth:`update_where` (expressions see the row's columns;
+          scalar subqueries are not supported there);
+        - ``DELETE FROM t [WHERE cond]`` → :meth:`delete_where`.
+
+        DML returns a one-row DataFrame (statement, table, new mirror
+        version); attached exports and materialized views stay current
+        exactly as with the method API."""
+        kind = _DML_KIND.match(query)
+        if kind:
+            return self._sql_dml(query, kind.group(1).upper())
         aliases: dict[str, str] = {}
         for name in self.catalog.list_tables():
             v = (pin or {}).get(name)
@@ -936,6 +1013,91 @@ class MooncakeEngine:
             aliases[view] = name
             self.table(name, v).createOrReplaceTempView(view)
         return self.spark.sql(query)
+
+    def _sql_dml(self, query: str, kind: str) -> DataFrame:
+        """Route one SQL DML statement to the engine's maintenance paths
+        (see :meth:`sql`).  The parser is deliberately bounded: the
+        reference's regress shapes (VALUES/SELECT inserts, SET lists
+        with arbitrary expressions, WHERE predicates) parse; anything
+        structurally surprising raises with the offending statement
+        rather than guessing."""
+        q = query.strip().rstrip(";").strip()
+        if kind == "MERGE":
+            raise ValueError(
+                "MERGE INTO is not supported as SQL; use apply_changes "
+                "(the engine's CDC upsert surface) instead"
+            )
+        if kind == "DELETE":
+            m = re.match(rf"DELETE\s+FROM\s+{_SQL_TABLE}\s*(.*)$", q, re.I | re.S)
+            if not m:
+                raise ValueError(f"cannot parse DELETE statement: {query!r}")
+            t, rest = m.group(1), m.group(2).strip()
+            cond = "true"
+            if rest:
+                if not re.match(r"WHERE\b", rest, re.I):
+                    raise ValueError(
+                        f"unexpected clause after DELETE target: {rest!r}"
+                    )
+                cond = rest[5:].strip()
+            v = self.delete_where(t, cond)
+            return self._dml_result("DELETE", t, v)
+        if kind == "UPDATE":
+            m = re.match(rf"UPDATE\s+{_SQL_TABLE}\s+SET\s+(.*)$", q, re.I | re.S)
+            if not m:
+                raise ValueError(f"cannot parse UPDATE statement: {query!r}")
+            t, rest = m.group(1), m.group(2)
+            wi = _find_top_keyword(rest, "WHERE")
+            cond = "true"
+            if wi >= 0:
+                cond = rest[wi + len("WHERE"):].strip()
+                rest = rest[:wi]
+            assignments: dict[str, str] = {}
+            for part in _split_top_commas(rest):
+                am = re.match(r'\s*("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$', part, re.S)
+                if not am:
+                    raise ValueError(f"cannot parse SET clause: {part!r}")
+                assignments[am.group(1).strip('"')] = am.group(2).strip()
+            v = self.update_where(t, cond, assignments)
+            return self._dml_result("UPDATE", t, v)
+        # INSERT
+        m = re.match(rf"INSERT\s+INTO\s+{_SQL_TABLE}\s*(.*)$", q, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse INSERT statement: {query!r}")
+        t, rest = m.group(1), m.group(2).strip()
+        cols: Optional[list[str]] = None
+        if rest.startswith("("):
+            close = rest.index(")")  # a column list never nests parens
+            cols = [
+                c.strip().strip('"') for c in rest[1:close].split(",")
+            ]
+            rest = rest[close + 1:].strip()
+        schema = self._moontable(self._canon(t)).schema()
+        if re.match(r"VALUES\b", rest, re.I):
+            src = self.spark.sql(f"SELECT * FROM {rest}")
+        elif re.match(r"(SELECT|WITH)\b", rest, re.I):
+            src = self.sql(rest)  # re-enter: resolves mirror views
+        else:
+            raise ValueError(
+                f"INSERT source must be VALUES or SELECT, got: {rest!r}"
+            )
+        target = cols if cols is not None else [f.name for f in schema.fields]
+        if len(src.columns) != len(target):
+            raise ValueError(
+                f"INSERT arity mismatch: {len(src.columns)} values for "
+                f"{len(target)} target columns {target}"
+            )
+        df = src.toDF(*target)  # positional matching, SQL semantics
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        v = self.insert(t, df)
+        return self._dml_result("INSERT", t, v)
+
+    def _dml_result(self, stmt: str, t: str, v: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(stmt, self._canon(t), int(v))],
+            "statement string, table string, version long",
+        )
 
 
 def changes_df(

@@ -50,6 +50,35 @@ def lifecycle_sanity_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lifecycle_sql_dml",
+    oracle="""
+    SELECT a, b, x
+    FROM (VALUES (2, 'b', 2.0), (3, 'C', 30.0), (4, 'd', 4.5),
+                 (102, 'b', 2.0)) AS v(a, b, x)
+    ORDER BY a
+    """,
+)
+def lifecycle_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-statement DML surface (engine.sql routing INSERT/UPDATE/
+    DELETE to the maintenance paths — the statement shapes the
+    reference's regress corpus runs against mooncake tables, reference
+    tests/pg_regress/sql/sanity.sql:2-5): VALUES insert with a column
+    subset, expression SET list, predicate delete, and INSERT..SELECT
+    reading the mirror itself."""
+    eng = _temp_engine(spark)
+    src = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "a int, b string, x double",
+    )
+    eng.create_table("s", source_df=src, primary_key=["a"])
+    eng.sql("INSERT INTO s (a, b, x) VALUES (4, 'd', 4.5)")
+    eng.sql("UPDATE s SET b = upper(b), x = x * 10 WHERE a = 3")
+    eng.sql("DELETE FROM s WHERE a < 2")
+    eng.sql("INSERT INTO s SELECT a + 100, b, x FROM s WHERE a = 2")
+    return eng.table("s").orderBy("a")
+
+
+@query(
     "lifecycle_partitioned_counts",
     oracle="""
     WITH r AS (SELECT g AS a FROM generate_series(0, 99) AS s(g)

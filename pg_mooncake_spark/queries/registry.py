@@ -62,6 +62,7 @@ def query(name: str, oracle: Optional[str] = None):
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
     # round-8 additions — never driver-verified
+    "lifecycle_sql_dml",
     "lifecycle_mor_scattered_dml",
     "lifecycle_rename_widen_cdc",
     "lifecycle_change_feed",
@@ -113,7 +114,8 @@ _WINDOW_PRIORITY = (
     "scalar_cast_conversion",
     "scalar_hof_family",
     "scalar_regexp_family",
-    "scalar_try_family",
+    # scalar_try_family (also r5-stale) overflows the 50-slot window
+    # this round; it heads the r9 rotation
 )
 
 
