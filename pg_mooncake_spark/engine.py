@@ -806,24 +806,44 @@ class MooncakeEngine:
             rename_column_iceberg,
         )
 
-        # refuse Delta exports BEFORE anything moves: Delta renames
-        # require columnMapping=name, and this engine's Delta DML paths
-        # (upsert_keys_delta etc.) deliberately refuse column-mapping
-        # tables — a renamed Delta export could never be synced again.
-        # Detach the export (or re-export post-rename) instead.
-        delta_exports = [
-            p for p in exports
-            if os.path.isdir(os.path.join(p, "_delta_log"))
-        ]
-        if delta_exports:
-            raise ValueError(
-                f"rename_column cannot propagate to Delta exports "
-                f"{delta_exports}: Delta requires columnMapping=name, "
-                "which this engine's Delta sync paths do not DML against; "
-                "detach the export and re-export after the rename"
-            )
+        # pre-flight every Delta export's restrictions (partitioned /
+        # CDF) BEFORE renaming anything, so one refusing export cannot
+        # leave earlier exports renamed with the mirror untouched
+        from pg_mooncake_spark.sources.delta import (
+            DeltaProtocolError,
+            _cdf_enabled,
+            _replay,
+        )
+
+        for path in exports:
+            if os.path.isdir(os.path.join(path, "_delta_log")):
+                _a, _s, pcols, st = _replay(path)
+                if pcols or _cdf_enabled(st):
+                    raise DeltaProtocolError(
+                        f"rename cannot propagate to Delta export {path}: "
+                        + (
+                            "partitioned tables"
+                            if pcols
+                            else "Change Data Feed tables"
+                        )
+                        + " do not support metadata-only rename; detach "
+                        "the export and re-export after the rename"
+                    )
         for path in exports:  # exports first: if one refuses, the mirror
-            try:               # hasn't moved and the op is retryable
+            # hasn't moved and the op is retryable
+            if os.path.isdir(os.path.join(path, "_delta_log")):
+                # Delta twin: first rename enables columnMapping=name
+                # (metadata-only; sync/compact paths resolve physical
+                # names).  Partitioned or CDF-enabled exports refuse
+                # loudly inside rename_column_delta before anything
+                # moves.
+                from pg_mooncake_spark.sources.delta import (
+                    rename_column_delta,
+                )
+
+                rename_column_delta(path, old, new)
+                continue
+            try:
                 rename_column_iceberg(path, old, new)
             except IcebergEqualityDeletesPendingError:
                 compact_iceberg(self.spark, path)

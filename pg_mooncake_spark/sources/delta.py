@@ -1365,6 +1365,131 @@ def _conform(
     )
 
 
+def _col_mapping(st: "_State") -> Optional[dict[str, str]]:
+    """logical → physical top-level column names when column mapping is
+    active (the reader resolves by ``delta.columnMapping.physicalName``
+    for both 'name' and 'id' modes); None when mapping is off."""
+    if (st.configuration.get("delta.columnMapping.mode") or "none") == "none":
+        return None
+    sj = json.loads(st.schema_json)
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in sj["fields"]
+    }
+
+
+def _to_physical(df: DataFrame, mapping: Optional[dict[str, str]]) -> DataFrame:
+    """Rename logical columns to their physical parquet names before a
+    staged write (no-op when mapping is off)."""
+    if not mapping:
+        return df
+    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def rename_column_delta(path: str, old: str, new: str) -> int:
+    """Metadata-only column rename on a Delta table — the Delta twin of
+    ``rename_column_iceberg`` (extension territory: the reference does
+    no ALTER propagation at all, SURVEY §1.3).
+
+    The first rename enables ``columnMapping.mode=name``, assigning
+    every existing field a column-mapping id and a physical name equal
+    to its CURRENT name — so no data file is rewritten, existing
+    parquet resolves through the mapping, and only the logical name
+    changes (this module's own reader and DML paths resolve physical
+    names; delta-spark does the same).  Later renames just flip the
+    logical name again.
+
+    Restrictions (refused loudly, nothing committed): partitioned
+    tables (pre-mapping add actions key partitionValues by logical
+    name, which mapping would reinterpret) and tables with Change Data
+    Feed enabled (this writer does not produce physical-named
+    ``_change_data`` files)."""
+    _adds, _schema, partition_cols, st = _replay(path)
+    if partition_cols:
+        raise DeltaProtocolError(
+            "rename on a partitioned Delta table is not supported "
+            "(partitionValues of existing files are keyed by the "
+            "pre-mapping column names)"
+        )
+    if _cdf_enabled(st):
+        raise DeltaProtocolError(
+            "rename with Change Data Feed enabled is not supported; "
+            "disable delta.enableChangeDataFeed first"
+        )
+    sj = json.loads(st.schema_json)
+    names = [f["name"] for f in sj["fields"]]
+    if old not in names:
+        raise DeltaProtocolError(f"no column {old!r} to rename")
+    if new in names:
+        raise DeltaProtocolError(f"column {new!r} already exists")
+    max_id = int(st.configuration.get("delta.columnMapping.maxColumnId") or 0)
+    fields = []
+    for f in sj["fields"]:
+        md = dict(f.get("metadata") or {})
+        if "delta.columnMapping.id" not in md:
+            max_id += 1
+            md["delta.columnMapping.id"] = max_id
+            md["delta.columnMapping.physicalName"] = f["name"]
+        nf = dict(f)
+        nf["metadata"] = md
+        if f["name"] == old:
+            nf["name"] = new
+        fields.append(nf)
+    cfg = dict(st.configuration)
+    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+    md_action = dict(st.metadata)
+    md_action["schemaString"] = json.dumps({**sj, "fields": fields})
+    md_action["configuration"] = cfg
+    actions: list[dict[str, Any]] = []
+    proto = st.protocol
+    rv = proto.get("minReaderVersion", 1)
+    wv = proto.get("minWriterVersion", 2)
+    if rv >= 3 or wv >= 7:
+        # table-features protocol: columnMapping is a reader-writer
+        # feature and must be listed on both sides
+        rf = set(proto.get("readerFeatures") or []) | {"columnMapping"}
+        wf = set(proto.get("writerFeatures") or []) | {"columnMapping"}
+        if rf != set(proto.get("readerFeatures") or []) or wf != set(
+            proto.get("writerFeatures") or []
+        ):
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": max(rv, 3),
+                        "minWriterVersion": max(wv, 7),
+                        "readerFeatures": sorted(rf),
+                        "writerFeatures": sorted(wf),
+                    }
+                }
+            )
+    elif rv < 2 or wv < 5:
+        # legacy protocol: column mapping needs reader 2 / writer 5
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": max(rv, 2),
+                    "minWriterVersion": max(wv, 5),
+                }
+            }
+        )
+    actions.append({"metaData": md_action})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
+            }
+        }
+    )
+    v = st.last_v + 1
+    _commit(path, v, actions)
+    return v
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -1436,9 +1561,11 @@ def write_delta(
 
     live, schema, partition_cols, st = _replay(path)
     v = st.last_v
-    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
+    mapping = _col_mapping(st)
+    if mapping and partition_cols:
         raise DeltaProtocolError(
-            "writing to a column-mapped Delta table is not supported"
+            "writing to a column-mapped PARTITIONED Delta table is not "
+            "supported"
         )
     if partition_by is not None and list(partition_by) != partition_cols:
         raise DeltaProtocolError(
@@ -1455,9 +1582,38 @@ def write_delta(
         if new_fields:
             schema = T.StructType(list(schema.fields) + new_fields)
             md = dict(st.metadata)
-            md["schemaString"] = json.dumps(schema.jsonValue())
+            if mapping is not None:
+                # mapped tables: every field needs a column-mapping id;
+                # new fields take their logical name as physical (fresh
+                # name — no parquet file predates them under another)
+                sj = json.loads(st.schema_json)
+                max_id = int(
+                    st.configuration.get("delta.columnMapping.maxColumnId")
+                    or 0
+                )
+                for f in new_fields:
+                    max_id += 1
+                    sj["fields"].append(
+                        {
+                            "name": f.name,
+                            "type": f.dataType.jsonValue(),
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": max_id,
+                                "delta.columnMapping.physicalName": f.name,
+                            },
+                        }
+                    )
+                    mapping[f.name] = f.name
+                cfg = dict(st.configuration)
+                cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+                md["schemaString"] = json.dumps(sj)
+                md["configuration"] = cfg
+            else:
+                md["schemaString"] = json.dumps(schema.jsonValue())
             actions.append({"metaData": md})
     df = _conform(df, schema, fill_missing=merge_schema)
+    df = _to_physical(df, mapping)
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
         actions.extend(
@@ -1529,6 +1685,7 @@ def _probe_dv_blobs(
     schema: T.StructType,
     partition_cols: list[str],
     keys: Optional[tuple[DataFrame, list[str]]] = None,
+    mapping: Optional[dict[str, str]] = None,
 ) -> list[tuple[str, bytes, int]]:
     """Find rows matching ``condition`` and serialize one roaring64
     deletion bitmap per touched file, entirely executor-side.
@@ -1550,6 +1707,27 @@ def _probe_dv_blobs(
     import pandas as pd
 
     def scan(read_schema: T.StructType, group_adds: list[dict]) -> DataFrame:
+        if mapping:
+            # column-mapped files store physical names: read physically,
+            # alias back to logical so predicates/keys resolve
+            phys_schema = T.StructType(
+                [
+                    T.StructField(
+                        mapping.get(f.name, f.name), f.dataType, True
+                    )
+                    for f in read_schema.fields
+                ]
+            )
+            return spark.read.schema(phys_schema).parquet(
+                *[os.path.join(path, a["path"]) for a in group_adds]
+            ).select(
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in read_schema.fields
+                ],
+                F.col("_metadata.file_path").alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
         return spark.read.schema(read_schema).parquet(
             *[os.path.join(path, a["path"]) for a in group_adds]
         ).select(
@@ -2029,8 +2207,11 @@ def compact_delta(
     the rewrite.  Returns the committed version.
     """
     adds, schema, partition_cols, st = _replay(path)
-    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
-        raise DeltaProtocolError("compacting column-mapped tables not supported")
+    mapping = _col_mapping(st)
+    if mapping and partition_cols:
+        raise DeltaProtocolError(
+            "compacting a column-mapped PARTITIONED table is not supported"
+        )
     if sort_by and zorder_by:
         raise DeltaProtocolError("sort_by and zorder_by are mutually exclusive")
     df = read_delta(spark, path)
@@ -2067,7 +2248,7 @@ def compact_delta(
     new_adds = (
         _stage_partitioned(df, path, partition_cols)
         if partition_cols
-        else _stage_parquet(df, path)
+        else _stage_parquet(_to_physical(df, mapping), path)
     )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
@@ -2180,8 +2361,17 @@ def upsert_keys_delta(
     Returns the committed version.
     """
     adds, schema, partition_cols, st = _replay(path)
-    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
-        raise DeltaProtocolError("keyed upsert on column-mapped tables not supported")
+    mapping = _col_mapping(st)
+    if mapping and partition_cols:
+        raise DeltaProtocolError(
+            "keyed upsert on a column-mapped PARTITIONED table is not "
+            "supported"
+        )
+    if mapping and _cdf_enabled(st):
+        raise DeltaProtocolError(
+            "keyed upsert with both column mapping and Change Data Feed "
+            "is not supported (cdc files would need physical names)"
+        )
     names = {f.name for f in schema.fields}
     extra = sorted(set(upserts_df.columns) - names)
     if extra:
@@ -2196,7 +2386,7 @@ def upsert_keys_delta(
     blobs = (
         _probe_dv_blobs(
             spark, path, None, adds, schema, partition_cols,
-            keys=(keys_df, key_cols),
+            keys=(keys_df, key_cols), mapping=mapping,
         )
         if adds
         else []
@@ -2216,7 +2406,7 @@ def upsert_keys_delta(
     new_adds = (
         _stage_partitioned(ups, path, partition_cols)
         if partition_cols
-        else _stage_parquet(ups, path)
+        else _stage_parquet(_to_physical(ups, mapping), path)
     )
     # a delete-only batch stages empty parquet: don't let it accrete
     # zero-row adds commit after commit (footer stats decide, like the
@@ -2240,16 +2430,24 @@ def upsert_keys_delta(
         proto.get("minReaderVersion", 1) < 3
         or "deletionVectors" not in (proto.get("readerFeatures") or [])
     ):
+        # upgrading a legacy protocol to table features must LIST every
+        # active legacy feature — a mapped table upgraded without
+        # columnMapping in the lists would drop its declared requirement
+        implied = {"columnMapping"} if mapping else set()
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
                     "readerFeatures": sorted(
-                        set(proto.get("readerFeatures") or []) | {"deletionVectors"}
+                        set(proto.get("readerFeatures") or [])
+                        | {"deletionVectors"}
+                        | implied
                     ),
                     "writerFeatures": sorted(
-                        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
+                        set(proto.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                        | implied
                     ),
                 }
             }

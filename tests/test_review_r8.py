@@ -250,12 +250,25 @@ def test_stream_changes_refuses_rename(spark, tmp_path):
         mt.stream_changes()
 
 
-def test_rename_column_refuses_delta_export(spark, warehouse, tmp_path):
+def test_rename_column_preflights_restricted_delta_export(
+    spark, warehouse, tmp_path
+):
+    """Pre-flight: a Delta export that cannot take a metadata-only
+    rename (here: CDF enabled) refuses BEFORE the mirror or any other
+    export moves (plain Delta exports rename via columnMapping —
+    tests/test_delta_mapping.py)."""
+    from pg_mooncake_spark.sources.delta import (
+        DeltaProtocolError,
+        write_delta,
+    )
+
     eng = MooncakeEngine(spark, warehouse)
     df = spark.createDataFrame([(1, "a")], "k long, v string")
     eng.create_table("m", source_df=df, primary_key=["k"])
-    eng.attach_export("m", str(tmp_path / "exp_delta"), fmt="delta")
-    with pytest.raises(ValueError, match="Delta"):
+    exp = str(tmp_path / "exp_cdf")
+    write_delta(df, exp, configuration={"delta.enableChangeDataFeed": "true"})
+    eng.catalog.add_export("m", exp)
+    with pytest.raises(DeltaProtocolError, match="Change Data Feed"):
         eng.rename_column("m", "v", "txt")
     # nothing moved: the mirror still has the old column name
     assert "v" in eng.table("m").columns
