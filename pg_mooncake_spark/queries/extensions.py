@@ -543,6 +543,67 @@ def delta_dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_rename_mapping_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 3000),
+    post AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS status,
+             o_totalprice
+      FROM src)
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_price
+    FROM post GROUP BY status ORDER BY status
+    """,
+)
+def delta_rename_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column-mapping lifecycle: write orders as Delta, rename a
+    column (metadata-only — enables columnMapping.mode=name, no file
+    rewritten), key-batch upsert through the renamed schema (probe and
+    staging resolve physical names), OPTIMIZE-compact, read back,
+    aggregate.  The oracle applies the same keyed update to the source,
+    so a mis-mapped physical name (old files read NULL, new files
+    double columns) or a lost row in the mapped compaction fails the
+    hash compare."""
+    from pg_mooncake_spark.sources.delta import (
+        compact_delta,
+        read_delta,
+        rename_column_delta,
+        upsert_keys_delta,
+        write_delta,
+    )
+
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="delta_cm_") + "/t"
+    write_delta(src, path, mode="error")
+    rename_column_delta(path, "o_orderstatus", "status")
+    upd = (
+        src.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("status"),
+            "o_totalprice",
+        )
+    )
+    upsert_keys_delta(
+        spark, path, upd.select("o_orderkey"), upd
+    )
+    compact_delta(spark, path)
+    back = read_delta(spark, path)
+    return (
+        back.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", 2).alias("sum_price"))
+        .orderBy("status")
+    )
+
+
+@query(
     "media_resize_dedup",
     oracle="""
     WITH media AS (

@@ -63,6 +63,7 @@ def query(name: str, oracle: Optional[str] = None):
 _WINDOW_PRIORITY = (
     # round-8 additions — never driver-verified
     "lifecycle_sql_dml",
+    "delta_rename_mapping_roundtrip",
     "lifecycle_mor_scattered_dml",
     "lifecycle_rename_widen_cdc",
     "lifecycle_change_feed",
@@ -113,9 +114,8 @@ _WINDOW_PRIORITY = (
     "q9_product_type_profit",
     "scalar_cast_conversion",
     "scalar_hof_family",
-    "scalar_regexp_family",
-    # scalar_try_family (also r5-stale) overflows the 50-slot window
-    # this round; it heads the r9 rotation
+    # scalar_regexp_family / scalar_try_family (also r5-stale) overflow
+    # the 50-slot window this round; they head the r9 rotation
 )
 
 
