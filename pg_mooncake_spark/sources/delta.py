@@ -1380,12 +1380,40 @@ def _col_mapping(st: "_State") -> Optional[dict[str, str]]:
     }
 
 
-def _to_physical(df: DataFrame, mapping: Optional[dict[str, str]]) -> DataFrame:
+def _col_field_ids(st: "_State") -> dict[str, Optional[int]]:
+    """logical column → column-mapping field id (None when unassigned)."""
+    sj = json.loads(st.schema_json)
+    out: dict[str, Optional[int]] = {}
+    for f in sj["fields"]:
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        out[f["name"]] = int(fid) if fid is not None else None
+    return out
+
+
+def _to_physical(
+    df: DataFrame,
+    mapping: Optional[dict[str, str]],
+    field_ids: Optional[dict[str, Optional[int]]] = None,
+) -> DataFrame:
     """Rename logical columns to their physical parquet names before a
-    staged write (no-op when mapping is off)."""
+    staged write, stamping each with its ``parquet.field.id`` (the spec
+    requires mapped writers to embed field ids — 'id'-mode readers,
+    including this module's, resolve by id and fail on files without
+    them).  No-op when mapping is off."""
     if not mapping:
         return df
-    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+    cols = []
+    for c in df.columns:
+        fid = (field_ids or {}).get(c)
+        if fid is not None:
+            cols.append(
+                F.col(c).alias(
+                    mapping.get(c, c), metadata={"parquet.field.id": fid}
+                )
+            )
+        else:
+            cols.append(F.col(c).alias(mapping.get(c, c)))
+    return df.select(*cols)
 
 
 def rename_column_delta(path: str, old: str, new: str) -> int:
@@ -1572,6 +1600,7 @@ def write_delta(
             f"table is partitioned by {partition_cols}, got {list(partition_by)}"
         )
     actions = []
+    field_ids = _col_field_ids(st) if mapping is not None else None
     if merge_schema and mode == "append":
         known = {f.name for f in schema.fields}
         new_fields = [
@@ -1605,6 +1634,7 @@ def write_delta(
                         }
                     )
                     mapping[f.name] = f.name
+                    field_ids[f.name] = max_id
                 cfg = dict(st.configuration)
                 cfg["delta.columnMapping.maxColumnId"] = str(max_id)
                 md["schemaString"] = json.dumps(sj)
@@ -1613,7 +1643,7 @@ def write_delta(
                 md["schemaString"] = json.dumps(schema.jsonValue())
             actions.append({"metaData": md})
     df = _conform(df, schema, fill_missing=merge_schema)
-    df = _to_physical(df, mapping)
+    df = _to_physical(df, mapping, field_ids)
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
         actions.extend(
@@ -1983,6 +2013,38 @@ def read_delta_cdf(
     return out
 
 
+def _dv_protocol_actions(
+    proto: dict, mapping: Optional[dict[str, str]]
+) -> list[dict[str, Any]]:
+    """Protocol-upgrade action for a first DV write, if needed.  When
+    upgrading a legacy protocol to table features, every ACTIVE legacy
+    feature must be listed — a column-mapped table upgraded without
+    columnMapping in the lists would drop its declared requirement."""
+    if proto.get("minReaderVersion", 1) >= 3 and "deletionVectors" in (
+        proto.get("readerFeatures") or []
+    ):
+        return []
+    implied = {"columnMapping"} if mapping else set()
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(proto.get("readerFeatures") or [])
+                    | {"deletionVectors"}
+                    | implied
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | {"deletionVectors"}
+                    | implied
+                ),
+            }
+        }
+    ]
+
+
 def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     """Merge-on-read DELETE: mark matching rows deleted via deletion
     vectors instead of rewriting files (the modern Delta writer's default
@@ -2005,15 +2067,25 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     Returns the committed version.
     """
     adds, schema, partition_cols, st = _replay(path)
-    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
-        raise DeltaProtocolError("DV delete on column-mapped tables not supported")
+    mapping = _col_mapping(st)
+    if mapping and partition_cols:
+        raise DeltaProtocolError(
+            "DV delete on a column-mapped PARTITIONED table is not supported"
+        )
+    if mapping and _cdf_enabled(st):
+        raise DeltaProtocolError(
+            "DV delete with both column mapping and Change Data Feed is "
+            "not supported (cdc files would need physical names)"
+        )
     by_uri = {
         "file:" + os.path.abspath(os.path.join(path, a["path"])): a for a in adds
     }
     if not by_uri:
         return st.last_v + 0  # empty table: nothing to do, no commit
 
-    blobs = _probe_dv_blobs(spark, path, condition, adds, schema, partition_cols)
+    blobs = _probe_dv_blobs(
+        spark, path, condition, adds, schema, partition_cols, mapping=mapping
+    )
     if not blobs:
         return st.last_v  # no matching rows: no-op, no commit
 
@@ -2031,23 +2103,7 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     proto = st.protocol
-    if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in (
-        proto.get("readerFeatures") or []
-    ):
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(
-                        set(proto.get("readerFeatures") or []) | {"deletionVectors"}
-                    ),
-                    "writerFeatures": sorted(
-                        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
-                    ),
-                }
-            }
-        )
+    actions.extend(_dv_protocol_actions(proto, mapping))
     for uri, data, cardinality in blobs:
         a = by_uri[uri]
         dv = write_dv_blob(path, data, cardinality)
@@ -2096,15 +2152,25 @@ def update_where_dv(
     no live rows is a no-op (no commit).  Returns the committed version.
     """
     adds, schema, partition_cols, st = _replay(path)
-    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
-        raise DeltaProtocolError("DV update on column-mapped tables not supported")
+    mapping = _col_mapping(st)
+    if mapping and partition_cols:
+        raise DeltaProtocolError(
+            "DV update on a column-mapped PARTITIONED table is not supported"
+        )
+    if mapping and _cdf_enabled(st):
+        raise DeltaProtocolError(
+            "DV update with both column mapping and Change Data Feed is "
+            "not supported (cdc files would need physical names)"
+        )
     by_uri = {
         "file:" + os.path.abspath(os.path.join(path, a["path"])): a for a in adds
     }
     if not by_uri:
         return st.last_v
 
-    blobs = _probe_dv_blobs(spark, path, condition, adds, schema, partition_cols)
+    blobs = _probe_dv_blobs(
+        spark, path, condition, adds, schema, partition_cols, mapping=mapping
+    )
     if not blobs:
         return st.last_v
 
@@ -2119,7 +2185,9 @@ def update_where_dv(
     new_adds = (
         _stage_partitioned(updated, path, partition_cols)
         if partition_cols
-        else _stage_parquet(updated, path)
+        else _stage_parquet(
+            _to_physical(updated, mapping, _col_field_ids(st)), path
+        )
     )
     cdc_actions: list[dict[str, Any]] = []
     if _cdf_enabled(st):
@@ -2133,23 +2201,7 @@ def update_where_dv(
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     proto = st.protocol
-    if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in (
-        proto.get("readerFeatures") or []
-    ):
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(
-                        set(proto.get("readerFeatures") or []) | {"deletionVectors"}
-                    ),
-                    "writerFeatures": sorted(
-                        set(proto.get("writerFeatures") or []) | {"deletionVectors"}
-                    ),
-                }
-            }
-        )
+    actions.extend(_dv_protocol_actions(proto, mapping))
     for uri, data, cardinality in blobs:
         a = by_uri[uri]
         dv = write_dv_blob(path, data, cardinality)
@@ -2248,7 +2300,9 @@ def compact_delta(
     new_adds = (
         _stage_partitioned(df, path, partition_cols)
         if partition_cols
-        else _stage_parquet(_to_physical(df, mapping), path)
+        else _stage_parquet(
+            _to_physical(df, mapping, _col_field_ids(st)), path
+        )
     )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
@@ -2406,7 +2460,9 @@ def upsert_keys_delta(
     new_adds = (
         _stage_partitioned(ups, path, partition_cols)
         if partition_cols
-        else _stage_parquet(_to_physical(ups, mapping), path)
+        else _stage_parquet(
+            _to_physical(ups, mapping, _col_field_ids(st)), path
+        )
     )
     # a delete-only batch stages empty parquet: don't let it accrete
     # zero-row adds commit after commit (footer stats decide, like the
@@ -2426,32 +2482,8 @@ def upsert_keys_delta(
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     proto = st.protocol
-    if blobs and (
-        proto.get("minReaderVersion", 1) < 3
-        or "deletionVectors" not in (proto.get("readerFeatures") or [])
-    ):
-        # upgrading a legacy protocol to table features must LIST every
-        # active legacy feature — a mapped table upgraded without
-        # columnMapping in the lists would drop its declared requirement
-        implied = {"columnMapping"} if mapping else set()
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(
-                        set(proto.get("readerFeatures") or [])
-                        | {"deletionVectors"}
-                        | implied
-                    ),
-                    "writerFeatures": sorted(
-                        set(proto.get("writerFeatures") or [])
-                        | {"deletionVectors"}
-                        | implied
-                    ),
-                }
-            }
-        )
+    if blobs:
+        actions.extend(_dv_protocol_actions(proto, mapping))
     for uri, data, cardinality in blobs:
         a = by_uri[uri]
         dv = write_dv_blob(path, data, cardinality)

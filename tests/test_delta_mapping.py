@@ -132,6 +132,25 @@ def test_compact_folds_dvs_on_mapped_table(spark, tmp_path):
     assert _rows(spark, p) == [(2, "b", 2.0), (3, "c", 3.0)]
 
 
+def test_dv_delete_and_update_on_mapped_table(spark, tmp_path):
+    """Direct predicate DML resolves physical names after a rename: the
+    probe reads physical columns, updated copies stage physically."""
+    from pg_mooncake_spark.sources.delta import (
+        delete_where_dv,
+        update_where_dv,
+    )
+
+    p = _mk(spark, tmp_path / "t")
+    rename_column_delta(p, "v", "txt")
+    # predicate over BOTH a renamed and an unrenamed column
+    update_where_dv(spark, p, "txt = 'b' AND k > 1", {"x": "x + 100"})
+    delete_where_dv(spark, p, "txt = 'a'")
+    assert _rows(spark, p) == [(2, "b", 102.0), (3, "c", 3.0)]
+    # no-op predicates commit nothing
+    v = delete_where_dv(spark, p, "txt = 'zzz'")
+    assert v == _replay(p)[3].last_v
+
+
 def test_rename_refuses_partitioned_and_cdf(spark, tmp_path):
     part = str(tmp_path / "part")
     write_delta(

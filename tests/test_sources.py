@@ -877,8 +877,11 @@ def test_delta_column_mapping_id_mode(spark, tmp_path):
     got = sorted(tuple(r) for r in read_delta(spark, path).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
     assert [f.name for f in read_delta(spark, path).schema.fields] == ["k", "v"]
-    with pytest.raises(DeltaProtocolError, match="not supported"):
-        write_delta(_df(spark, [(4, "d")]), path, mode="append")
+    # appends on mapped tables stage files under the PHYSICAL names
+    # (k1/v1 here), so the mapped reader resolves them like the originals
+    write_delta(_df(spark, [(4, "d")]), path, mode="append")
+    got = sorted(tuple(r) for r in read_delta(spark, path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
 
 
 def test_delta_partitioned_write_is_one_job(spark, tmp_path):
