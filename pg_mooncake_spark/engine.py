@@ -42,18 +42,25 @@ _SQL_TABLE = r'((?:"[^"]*"|[A-Za-z_]\w*)(?:\.(?:"[^"]*"|[A-Za-z_]\w*))?)'
 
 
 def _scan_top(s: str):
-    """Yield (index, char) for characters at top level — outside single-
-    quoted SQL strings and parenthesis nesting (depth tracked; quotes
-    honor the '' escape)."""
+    """Yield (index, char) for characters at top level — outside quoted
+    regions (single-quoted SQL strings, double-quoted strings/
+    identifiers) and parenthesis nesting.  Quotes honor both the
+    doubled-quote escape ('' / \"\") and backslash escapes (Spark's
+    default string escaping), so a comma or keyword inside any literal
+    never splits a clause."""
     depth = 0
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if c == "'":
+        if c in ("'", '"'):
+            q = c
             i += 1
             while i < n:
-                if s[i] == "'":
-                    if i + 1 < n and s[i + 1] == "'":
+                if s[i] == "\\":
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:
                         i += 2
                         continue
                     break
@@ -808,39 +815,23 @@ class MooncakeEngine:
 
         # pre-flight every Delta export's restrictions (partitioned /
         # CDF) BEFORE renaming anything, so one refusing export cannot
-        # leave earlier exports renamed with the mirror untouched
-        from pg_mooncake_spark.sources.delta import (
-            DeltaProtocolError,
-            _cdf_enabled,
-            _replay,
-        )
+        # leave earlier exports renamed with the mirror untouched.
+        # check_only runs rename_column_delta's OWN checks, so the
+        # refusal conditions live in exactly one place; export renames
+        # are idempotent, so a retry after a transient mid-loop failure
+        # (e.g. concurrent-commit conflict from a live sync) skips the
+        # already-renamed exports and completes the rest.
+        from pg_mooncake_spark.sources.delta import rename_column_delta
 
         for path in exports:
             if os.path.isdir(os.path.join(path, "_delta_log")):
-                _a, _s, pcols, st = _replay(path)
-                if pcols or _cdf_enabled(st):
-                    raise DeltaProtocolError(
-                        f"rename cannot propagate to Delta export {path}: "
-                        + (
-                            "partitioned tables"
-                            if pcols
-                            else "Change Data Feed tables"
-                        )
-                        + " do not support metadata-only rename; detach "
-                        "the export and re-export after the rename"
-                    )
+                rename_column_delta(path, old, new, check_only=True)
         for path in exports:  # exports first: if one refuses, the mirror
             # hasn't moved and the op is retryable
             if os.path.isdir(os.path.join(path, "_delta_log")):
                 # Delta twin: first rename enables columnMapping=name
                 # (metadata-only; sync/compact paths resolve physical
-                # names).  Partitioned or CDF-enabled exports refuse
-                # loudly inside rename_column_delta before anything
-                # moves.
-                from pg_mooncake_spark.sources.delta import (
-                    rename_column_delta,
-                )
-
+                # names)
                 rename_column_delta(path, old, new)
                 continue
             try:
@@ -1015,7 +1006,7 @@ class MooncakeEngine:
         exactly as with the method API."""
         kind = _DML_KIND.match(query)
         if kind:
-            return self._sql_dml(query, kind.group(1).upper())
+            return self._sql_dml(query, kind.group(1).upper(), pin=pin)
         aliases: dict[str, str] = {}
         for name in self.catalog.list_tables():
             v = (pin or {}).get(name)
@@ -1034,14 +1025,29 @@ class MooncakeEngine:
             self.table(name, v).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
-    def _sql_dml(self, query: str, kind: str) -> DataFrame:
+    def _sql_dml(
+        self,
+        query: str,
+        kind: str,
+        pin: Optional[dict[str, int]] = None,
+    ) -> DataFrame:
         """Route one SQL DML statement to the engine's maintenance paths
         (see :meth:`sql`).  The parser is deliberately bounded: the
         reference's regress shapes (VALUES/SELECT inserts, SET lists
         with arbitrary expressions, WHERE predicates) parse; anything
         structurally surprising raises with the offending statement
-        rather than guessing."""
+        rather than guessing.
+
+        ``pin`` applies only to the read half of ``INSERT ... SELECT``
+        (the SELECT resolves pinned snapshots); UPDATE/DELETE always
+        act on the current state, so a pin there is an error rather
+        than a silent no-op."""
         q = query.strip().rstrip(";").strip()
+        if pin and kind in ("UPDATE", "DELETE"):
+            raise ValueError(
+                f"pin= is not supported for {kind}: DML always applies "
+                "to the current table state"
+            )
         if kind == "MERGE":
             raise ValueError(
                 "MERGE INTO is not supported as SQL; use apply_changes "
@@ -1095,7 +1101,8 @@ class MooncakeEngine:
         if re.match(r"VALUES\b", rest, re.I):
             src = self.spark.sql(f"SELECT * FROM {rest}")
         elif re.match(r"(SELECT|WITH)\b", rest, re.I):
-            src = self.sql(rest)  # re-enter: resolves mirror views
+            # re-enter: resolves mirror views, honoring the caller's pin
+            src = self.sql(rest, pin=pin)
         else:
             raise ValueError(
                 f"INSERT source must be VALUES or SELECT, got: {rest!r}"

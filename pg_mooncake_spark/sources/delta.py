@@ -799,12 +799,7 @@ def read_delta(
         phys_schema = T.StructType.fromJson(
             _physical_schema(sjson, with_field_ids=(mode == "id"))
         )
-        phys_of = {
-            f["name"]: (f.get("metadata") or {}).get(
-                "delta.columnMapping.physicalName", f["name"]
-            )
-            for f in sjson["fields"]
-        }
+        phys_of = _col_mapping(st)  # single source of the mapping rule
         if mode == "id":
             # Session-scoped by necessity: the scan is lazy, so restoring
             # the conf after returning would disable id matching before
@@ -1416,7 +1411,9 @@ def _to_physical(
     return df.select(*cols)
 
 
-def rename_column_delta(path: str, old: str, new: str) -> int:
+def rename_column_delta(
+    path: str, old: str, new: str, check_only: bool = False
+) -> int:
     """Metadata-only column rename on a Delta table — the Delta twin of
     ``rename_column_iceberg`` (extension territory: the reference does
     no ALTER propagation at all, SURVEY §1.3).
@@ -1433,7 +1430,17 @@ def rename_column_delta(path: str, old: str, new: str) -> int:
     tables (pre-mapping add actions key partitionValues by logical
     name, which mapping would reinterpret) and tables with Change Data
     Feed enabled (this writer does not produce physical-named
-    ``_change_data`` files)."""
+    ``_change_data`` files).
+
+    Idempotent: when ``old`` is already gone and ``new`` already exists,
+    the rename is treated as done and the current version returned —
+    so a caller retrying a multi-export rename after a transient
+    failure (concurrent-commit conflict on a later export) does not
+    dead-end on the exports that already succeeded.
+
+    ``check_only`` runs the restriction checks and returns without
+    committing — the engine's pre-flight, so the refusal conditions
+    live in exactly one place."""
     _adds, _schema, partition_cols, st = _replay(path)
     if partition_cols:
         raise DeltaProtocolError(
@@ -1446,8 +1453,12 @@ def rename_column_delta(path: str, old: str, new: str) -> int:
             "rename with Change Data Feed enabled is not supported; "
             "disable delta.enableChangeDataFeed first"
         )
+    if check_only:
+        return st.last_v
     sj = json.loads(st.schema_json)
     names = [f["name"] for f in sj["fields"]]
+    if old not in names and new in names:
+        return st.last_v  # already renamed (retry after partial failure)
     if old not in names:
         raise DeltaProtocolError(f"no column {old!r} to rename")
     if new in names:
@@ -2013,18 +2024,28 @@ def read_delta_cdf(
     return out
 
 
-def _dv_protocol_actions(
-    proto: dict, mapping: Optional[dict[str, str]]
-) -> list[dict[str, Any]]:
+def _dv_protocol_actions(st: "_State") -> list[dict[str, Any]]:
     """Protocol-upgrade action for a first DV write, if needed.  When
     upgrading a legacy protocol to table features, every ACTIVE legacy
-    feature must be listed — a column-mapped table upgraded without
-    columnMapping in the lists would drop its declared requirement."""
+    feature must be listed — dropping one (columnMapping, or
+    changeDataFeed on a CDF table) would silently remove the table's
+    declared requirement, and a spec-conforming external writer honoring
+    only the listed writerFeatures would stop maintaining that feature."""
+    proto = st.protocol
     if proto.get("minReaderVersion", 1) >= 3 and "deletionVectors" in (
         proto.get("readerFeatures") or []
     ):
         return []
-    implied = {"columnMapping"} if mapping else set()
+    # active legacy features, derived from the table's own state
+    implied_w: set[str] = set()
+    implied_r: set[str] = set()
+    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
+        implied_w.add("columnMapping")
+        implied_r.add("columnMapping")  # reader-writer feature
+    if (st.configuration.get("delta.enableChangeDataFeed") or "").lower() == "true":
+        implied_w.add("changeDataFeed")  # writer-only feature
+    if (st.configuration.get("delta.appendOnly") or "").lower() == "true":
+        implied_w.add("appendOnly")
     return [
         {
             "protocol": {
@@ -2033,12 +2054,12 @@ def _dv_protocol_actions(
                 "readerFeatures": sorted(
                     set(proto.get("readerFeatures") or [])
                     | {"deletionVectors"}
-                    | implied
+                    | implied_r
                 ),
                 "writerFeatures": sorted(
                     set(proto.get("writerFeatures") or [])
                     | {"deletionVectors"}
-                    | implied
+                    | implied_w
                 ),
             }
         }
@@ -2102,8 +2123,7 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
-    proto = st.protocol
-    actions.extend(_dv_protocol_actions(proto, mapping))
+    actions.extend(_dv_protocol_actions(st))
     for uri, data, cardinality in blobs:
         a = by_uri[uri]
         dv = write_dv_blob(path, data, cardinality)
@@ -2200,8 +2220,7 @@ def update_where_dv(
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
-    proto = st.protocol
-    actions.extend(_dv_protocol_actions(proto, mapping))
+    actions.extend(_dv_protocol_actions(st))
     for uri, data, cardinality in blobs:
         a = by_uri[uri]
         dv = write_dv_blob(path, data, cardinality)
@@ -2481,9 +2500,8 @@ def upsert_keys_delta(
     }
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
-    proto = st.protocol
     if blobs:
-        actions.extend(_dv_protocol_actions(proto, mapping))
+        actions.extend(_dv_protocol_actions(st))
     for uri, data, cardinality in blobs:
         a = by_uri[uri]
         dv = write_dv_blob(path, data, cardinality)

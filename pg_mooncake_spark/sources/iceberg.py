@@ -1853,6 +1853,11 @@ def rename_column_iceberg(path: str, old: str, new: str) -> int:
     if cur is None:
         raise IcebergSupportError(f"no current schema in {path}")
     names = [f["name"] for f in cur["fields"]]
+    if old not in names and new in names:
+        # already renamed — idempotent success, so a caller retrying a
+        # multi-export rename after a transient failure does not
+        # dead-end on the exports that already succeeded
+        return int(meta.get("current-schema-id") or 0)
     if old not in names:
         raise IcebergSupportError(f"no column {old!r} to rename")
     if new in names:

@@ -142,11 +142,24 @@ class MoonTable:
             raise MoonTableError(f"no moontable at {self.path}")
         return vs[-1]
 
+    # committed log entries are immutable (versioned file names, never
+    # rewritten), so a process-wide cache is sound and turns the
+    # O(commits) log replays (snapshot reconstruction, change-feed
+    # scans, heal passes) into dict lookups after the first read
+    _COMMIT_CACHE: dict[str, Commit] = {}
+    _COMMIT_CACHE_MAX = 8192
+
     def _read_commit(self, v: int) -> Commit:
-        raw = self.backend.read_bytes(
-            os.path.join(self.log_path, f"{v:010d}.json")
-        )
-        return Commit.from_json(raw.decode("utf-8"))
+        key = os.path.join(self.log_path, f"{v:010d}.json")
+        c = self._COMMIT_CACHE.get(key)
+        if c is not None:
+            return c
+        raw = self.backend.read_bytes(key)
+        c = Commit.from_json(raw.decode("utf-8"))
+        if len(self._COMMIT_CACHE) >= self._COMMIT_CACHE_MAX:
+            self._COMMIT_CACHE.clear()
+        self._COMMIT_CACHE[key] = c
+        return c
 
     def _write_commit(self, c: Commit) -> None:
         self.backend.mkdirs(self.log_path)
@@ -435,14 +448,29 @@ class MoonTable:
         # name and would stream the renamed column as all-NULL.  The
         # batch reader (:meth:`changes`) resolves renames per era —
         # refuse here rather than corrupt a chained mirror silently.
-        if any(self._read_commit(v).renames for v in self._versions()):
-            raise MoonTableError(
-                "stream_changes cannot span a column rename (historical "
-                "change files keep the pre-rename physical column name, "
-                "which a single-schema file source would read as NULL); "
-                "use the batch changes() reader, which resolves renames "
-                "per era"
-            )
+        # Scoped to SURVIVING pre-rename change files: once
+        # vacuum(changes_retention_versions=...) has reclaimed them,
+        # every remaining file carries the current physical names and
+        # streaming is safe again.
+        commits = [self._read_commit(v) for v in self._versions()]
+        r_max = max((c.version for c in commits if c.renames), default=None)
+        if r_max is not None:
+            ch_dir = os.path.join(self.path, _CHANGES_DIR)
+            for c in commits:
+                if c.version >= r_max:
+                    continue
+                for n in (c.props or {}).get("change_files") or []:
+                    if os.path.exists(os.path.join(ch_dir, n)):
+                        raise MoonTableError(
+                            "stream_changes cannot span a column rename: "
+                            f"change file {n} (commit {c.version}) "
+                            "predates the rename and keeps the old "
+                            "physical column name, which a single-schema "
+                            "file source would read as NULL; use the "
+                            "batch changes() reader (per-era resolution) "
+                            "or vacuum the pre-rename change files "
+                            "(changes_retention_versions)"
+                        )
         schema = T.StructType(
             list(self.schema().fields)
             + [
@@ -776,7 +804,12 @@ class MoonTable:
             pend = os.path.join(ch_dir, "." + _PENDING_PREFIX + n)
             final = os.path.join(ch_dir, n)
             if os.path.exists(pend) and not os.path.exists(final):
-                os.rename(pend, final)
+                try:
+                    os.rename(pend, final)
+                except (FileNotFoundError, OSError):
+                    # a concurrent finalizer (writer vs healing reader)
+                    # won the rename — either outcome is success
+                    pass
 
     def _discard_change_files(self, names: list[str]) -> None:
         """Drop pending change files of a commit that failed (OCC

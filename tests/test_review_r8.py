@@ -272,3 +272,95 @@ def test_rename_column_preflights_restricted_delta_export(
         eng.rename_column("m", "v", "txt")
     # nothing moved: the mirror still has the old column name
     assert "v" in eng.table("m").columns
+
+
+class TestSecondPassFindings:
+    """Round-8 second review pass: protocol feature preservation,
+    rename idempotency, pin-aware SQL DML, quote-aware parsing, and
+    vacuum-scoped stream_changes rename refusal."""
+
+    def test_dv_upgrade_keeps_changedatafeed_feature(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.delta import (
+            _replay,
+            delete_where_dv,
+            write_delta,
+        )
+
+        p = str(tmp_path / "cdf")
+        write_delta(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            p,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        delete_where_dv(spark, p, "k = 1")
+        st = _replay(p)[3]
+        assert st.protocol["minWriterVersion"] == 7
+        assert "changeDataFeed" in st.protocol["writerFeatures"]
+        assert "deletionVectors" in st.protocol["writerFeatures"]
+
+    def test_rename_idempotent_delta_and_iceberg(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.delta import (
+            read_delta,
+            rename_column_delta,
+            write_delta,
+        )
+        from pg_mooncake_spark.sources.iceberg import (
+            read_iceberg,
+            rename_column_iceberg,
+            write_iceberg,
+        )
+
+        dp = str(tmp_path / "d")
+        write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), dp)
+        rename_column_delta(dp, "v", "txt")
+        rename_column_delta(dp, "v", "txt")  # retry: no-op success
+        assert read_delta(spark, dp).columns == ["k", "txt"]
+
+        ip = str(tmp_path / "i")
+        write_iceberg(spark.createDataFrame([(1, "a")], "k long, v string"), ip)
+        rename_column_iceberg(ip, "v", "txt")
+        rename_column_iceberg(ip, "v", "txt")  # retry: no-op success
+        assert read_iceberg(spark, ip).columns == ["k", "txt"]
+
+    def test_sql_dml_pin(self, spark, warehouse):
+        eng = MooncakeEngine(spark, warehouse)
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        eng.create_table("src", source_df=df, primary_key=["k"])
+        v1 = eng.catalog.get("src")["flush_version"]
+        eng.insert("src", spark.createDataFrame([(2, "b")], "k long, v string"))
+        eng.create_table(
+            "dst",
+            source_df=spark.createDataFrame([], "k long, v string"),
+            primary_key=["k"],
+        )
+        # INSERT..SELECT honors the pin: only the v1 rows land
+        eng.sql("INSERT INTO dst SELECT k, v FROM src", pin={"src": v1})
+        assert {r["k"] for r in eng.table("dst").collect()} == {1}
+        with pytest.raises(ValueError, match="pin"):
+            eng.sql("DELETE FROM dst WHERE k = 1", pin={"dst": 1})
+
+    def test_sql_dml_double_quoted_literal(self, spark, warehouse):
+        eng = MooncakeEngine(spark, warehouse)
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        eng.create_table("m", source_df=df, primary_key=["k"])
+        eng.sql('UPDATE m SET v = "x,y" WHERE k = 1')
+        assert [r["v"] for r in eng.table("m").collect()] == ["x,y"]
+
+    def test_stream_changes_allowed_after_vacuuming_prerename_files(
+        self, spark, tmp_path
+    ):
+        mt = MoonTable(spark, str(tmp_path / "t"))
+        mt.create(SCHEMA, primary_key=["id"], change_feed="full")
+        mt.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+        mt.rename_column("g", "grp")
+        with pytest.raises(MoonTableError, match="rename"):
+            mt.stream_changes()
+        # post-rename activity, then reclaim the pre-rename change files
+        mt.append(
+            spark.createDataFrame(
+                [(2, "b", 2.0)], "id int, grp string, x double"
+            )
+        )
+        mt.vacuum(changes_retention_versions=1)
+        df = mt.stream_changes()  # safe again: survivors are current-era
+        assert df.isStreaming
