@@ -297,6 +297,7 @@ class MooncakeEngine:
         entry = self.catalog.begin_drop(name)
         if os.path.isdir(entry["path"]):
             shutil.rmtree(entry["path"])
+        MoonTable.invalidate_caches(entry["path"])
         self.catalog.finish_drop(name)
 
     def reap_pending_drops(self) -> list[str]:
@@ -306,6 +307,7 @@ class MooncakeEngine:
         for name, path in self.catalog.pending_drops().items():
             if os.path.isdir(path):
                 shutil.rmtree(path)
+            MoonTable.invalidate_caches(path)
             self.catalog.finish_drop(name)
             reaped.append(name)
         return reaped

@@ -824,6 +824,63 @@ def delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_cdf_mapped_rename",
+    oracle="""
+    WITH del AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 7 = 3),
+    upd AS (SELECT o_totalprice FROM orders
+            WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3),
+    feed AS (
+      SELECT 'delete' AS _change_type, o_totalprice AS p FROM del
+      UNION ALL SELECT 'update_preimage', o_totalprice FROM upd
+      UNION ALL SELECT 'update_postimage', o_totalprice + 1 FROM upd
+    )
+    SELECT _change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM feed GROUP BY _change_type ORDER BY _change_type
+    """,
+)
+def delta_cdf_mapped_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed survives a mid-history column RENAME (VERDICT r8
+    task 4): DV-DELETE before the rename, metadata-only rename
+    o_totalprice→price (enables columnMapping.mode=name), DV-UPDATE on
+    the renamed column after it, then one read_delta_cdf over the WHOLE
+    history.  Pre-rename cdc parquet carries names equal to the physical
+    names mapping later assigns; post-rename cdc carries physical names
+    outright — the reader resolves both eras through the mapping and
+    returns the latest logical schema, so the delete-era pre-images
+    surface under the NEW name ``price``.  Wrong-era resolution (nulled
+    renamed columns) or a lost feed segment hash-mismatches the oracle's
+    reconstruction."""
+    from pg_mooncake_spark.sources.delta import (
+        delete_where_dv,
+        read_delta_cdf,
+        rename_column_delta,
+        update_where_dv,
+        write_delta,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="delta_cdf_map_") + "/t"
+    write_delta(
+        o, path, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    delete_where_dv(spark, path, "o_orderkey % 7 = 3")
+    rename_column_delta(path, "o_totalprice", "price")
+    update_where_dv(
+        spark, path, "o_orderkey % 10 = 0", {"price": "price + 1"}
+    )
+    return (
+        read_delta_cdf(spark, path, start_version=1)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("price", 2).alias("sum_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
 _RECURSIVE_WALK_SQL = """
 WITH RECURSIVE counts AS (
   SELECT CAST(o_orderkey % 5 AS INT) AS r, COUNT(*) AS c

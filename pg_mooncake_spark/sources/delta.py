@@ -29,9 +29,11 @@ PROTOCOL.md) those contracts need:
 - **column mapping**: 'name' mode via physical-name scan + logical
   rename; 'id' mode via Spark's native parquet field-id matcher.
 
-Unsupported (loud errors, not silent wrongness): writes to column-mapped
-tables, reader features beyond {columnMapping, timestampNtz,
-deletionVectors}.  When the real delta-spark jars ARE on the classpath,
+Column-mapped tables support reads AND writes (append/overwrite/DML with
+field-id-stamped parquet, metadata-only rename, mergeSchema adds with
+fresh ``col-<uuid>`` physical names).  Unsupported (loud errors, not
+silent wrongness): column-mapped + partitioned writes, reader features
+beyond {columnMapping, timestampNtz, deletionVectors}.  When the real delta-spark jars ARE on the classpath,
 ``spark.read.format("delta")`` supersedes this module; the engine
 prefers it automatically (``have_delta_jars``).
 """
@@ -1428,9 +1430,11 @@ def rename_column_delta(
 
     Restrictions (refused loudly, nothing committed): partitioned
     tables (pre-mapping add actions key partitionValues by logical
-    name, which mapping would reinterpret) and tables with Change Data
-    Feed enabled (this writer does not produce physical-named
-    ``_change_data`` files).
+    name, which mapping would reinterpret).  CDF-enabled tables rename
+    fine: cdc files written before mapping carry names equal to the
+    physical names mapping assigns, and DML after the rename stages
+    physical-named ``_change_data`` files — read_delta_cdf resolves
+    both eras through the mapping (VERDICT r8 task 4).
 
     Idempotent: when ``old`` is already gone and ``new`` already exists,
     the rename is treated as done and the current version returned —
@@ -1447,11 +1451,6 @@ def rename_column_delta(
             "rename on a partitioned Delta table is not supported "
             "(partitionValues of existing files are keyed by the "
             "pre-mapping column names)"
-        )
-    if _cdf_enabled(st):
-        raise DeltaProtocolError(
-            "rename with Change Data Feed enabled is not supported; "
-            "disable delta.enableChangeDataFeed first"
         )
     if check_only:
         return st.last_v
@@ -1623,16 +1622,24 @@ def write_delta(
             schema = T.StructType(list(schema.fields) + new_fields)
             md = dict(st.metadata)
             if mapping is not None:
-                # mapped tables: every field needs a column-mapping id;
-                # new fields take their logical name as physical (fresh
-                # name — no parquet file predates them under another)
+                # mapped tables: every field needs a column-mapping id
+                # and a FRESH unique physical name (delta-spark uses
+                # col-<uuid>).  Reusing the logical name collides when a
+                # column is re-added after a rename — e.g. rename a→b
+                # (physical stays 'a') then add a new 'a': two fields
+                # with physicalName 'a' (ADVICE r8 medium).
                 sj = json.loads(st.schema_json)
                 max_id = int(
                     st.configuration.get("delta.columnMapping.maxColumnId")
                     or 0
                 )
+                taken = set(mapping.values())
                 for f in new_fields:
                     max_id += 1
+                    phys = f"col-{uuid.uuid4()}"
+                    while phys in taken:  # vanishingly unlikely
+                        phys = f"col-{uuid.uuid4()}"
+                    taken.add(phys)
                     sj["fields"].append(
                         {
                             "name": f.name,
@@ -1640,11 +1647,11 @@ def write_delta(
                             "nullable": True,
                             "metadata": {
                                 "delta.columnMapping.id": max_id,
-                                "delta.columnMapping.physicalName": f.name,
+                                "delta.columnMapping.physicalName": phys,
                             },
                         }
                     )
-                    mapping[f.name] = f.name
+                    mapping[f.name] = phys
                     field_ids[f.name] = max_id
                 cfg = dict(st.configuration)
                 cfg["delta.columnMapping.maxColumnId"] = str(max_id)
@@ -1854,11 +1861,22 @@ def _cdf_enabled(st: "_State") -> bool:
     return (st.configuration.get("delta.enableChangeDataFeed") or "").lower() == "true"
 
 
-def _stage_cdc(df: DataFrame, path: str) -> list[dict[str, Any]]:
+def _stage_cdc(
+    df: DataFrame,
+    path: str,
+    mapping: Optional[dict[str, str]] = None,
+    field_ids: Optional[dict[str, Optional[int]]] = None,
+) -> list[dict[str, Any]]:
     """Persist one commit's change rows (table columns + _change_type)
     under ``_change_data/`` and return the ``cdc`` actions referencing
     them.  ``dataChange=false`` per the CDF spec: cdc files describe the
-    commit, they are not table data."""
+    commit, they are not table data.
+
+    On column-mapped tables cdc parquet carries PHYSICAL column names +
+    field ids, exactly like data files (Delta spec: change data files
+    follow the table's column-mapping mode); ``_change_type`` itself is
+    a CDF metadata column and stays unmapped."""
+    df = _to_physical(df, mapping, field_ids)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     cdc_dir = os.path.join(path, _CDC_DIR)
@@ -1907,12 +1925,28 @@ def read_delta_cdf(
     Compaction commits (``dataChange=false``) contribute nothing.
     """
     _adds, schema, partition_cols, st = _replay(path)
-    if (st.configuration.get("delta.columnMapping.mode") or "none") != "none":
-        # a mapped table's cdc/data parquet carries PHYSICAL column
-        # names; imposing the logical schema would silently null every
-        # renamed column — refuse instead
-        raise DeltaProtocolError(
-            "CDF read on column-mapped tables is not supported"
+    # column-mapped tables: cdc and data parquet carry PHYSICAL column
+    # names (stable across renames — mapping enablement sets physical =
+    # then-current logical, so even pre-mapping files match).  Read with
+    # the physical schema, then alias back to logical, exactly like the
+    # data scan path — a renamed CDF export keeps its whole feed
+    # (VERDICT r8 task 4).
+    mapping = _col_mapping(st) or {}
+
+    def _phys_fields(fields: list[T.StructField]) -> list[T.StructField]:
+        return [
+            T.StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in fields
+        ]
+
+    def _to_logical(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
+        if not mapping:
+            return df
+        keep = [c for c in df.columns if c not in
+                {mapping.get(f.name, f.name) for f in fields}]
+        return df.select(
+            *[F.col(mapping.get(f.name, f.name)).alias(f.name) for f in fields],
+            *keep,
         )
     if end_version is None:
         end_version = st.last_v
@@ -1985,13 +2019,15 @@ def read_delta_cdf(
     parts: list[DataFrame] = []
     if cdc_pieces:
         cschema = T.StructType(
-            list(schema.fields) + [T.StructField(_CHANGE_TYPE, T.StringType(), True)]
+            _phys_fields(list(schema.fields))
+            + [T.StructField(_CHANGE_TYPE, T.StringType(), True)]
         )
         cdf = (
             spark.read.schema(cschema)
             .parquet(*[os.path.join(path, rel) for rel, _v in cdc_pieces])
             .withColumn("__file", F.element_at(F.split(F.input_file_name(), "/"), -1))
         )
+        cdf = _to_logical(cdf, list(schema.fields))
         parts.append(cdf.join(vmap, "__file").select(*out_cols))
     if ins_pieces:
         # group add files by identical partition values (the columns live
@@ -2003,9 +2039,10 @@ def read_delta_cdf(
             by_pv.setdefault(key, []).append(rel)
         for key, rels in by_pv.items():
             pv = dict(key)
-            g = spark.read.schema(T.StructType(data_fields)).parquet(
+            g = spark.read.schema(T.StructType(_phys_fields(data_fields))).parquet(
                 *[os.path.join(path, rel) for rel in rels]
             )
+            g = _to_logical(g, data_fields)
             for c in partition_cols:
                 g = g.withColumn(
                     c, F.lit(pv.get(c)).cast(schema[c].dataType)
@@ -2093,11 +2130,6 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
         raise DeltaProtocolError(
             "DV delete on a column-mapped PARTITIONED table is not supported"
         )
-    if mapping and _cdf_enabled(st):
-        raise DeltaProtocolError(
-            "DV delete with both column mapping and Change Data Feed is "
-            "not supported (cdc files would need physical names)"
-        )
     by_uri = {
         "file:" + os.path.abspath(os.path.join(path, a["path"])): a for a in adds
     }
@@ -2119,7 +2151,7 @@ def delete_where_dv(spark: SparkSession, path: str, condition: str) -> int:
             .where(condition)
             .withColumn(_CHANGE_TYPE, F.lit("delete"))
         )
-        cdc_actions = _stage_cdc(deleted, path)
+        cdc_actions = _stage_cdc(deleted, path, mapping, _col_field_ids(st))
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
@@ -2177,11 +2209,6 @@ def update_where_dv(
         raise DeltaProtocolError(
             "DV update on a column-mapped PARTITIONED table is not supported"
         )
-    if mapping and _cdf_enabled(st):
-        raise DeltaProtocolError(
-            "DV update with both column mapping and Change Data Feed is "
-            "not supported (cdc files would need physical names)"
-        )
     by_uri = {
         "file:" + os.path.abspath(os.path.join(path, a["path"])): a for a in adds
     }
@@ -2216,7 +2243,7 @@ def update_where_dv(
         ).unionByName(
             updated.withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
         )
-        cdc_actions = _stage_cdc(change_df, path)
+        cdc_actions = _stage_cdc(change_df, path, mapping, _col_field_ids(st))
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
@@ -2440,11 +2467,6 @@ def upsert_keys_delta(
             "keyed upsert on a column-mapped PARTITIONED table is not "
             "supported"
         )
-    if mapping and _cdf_enabled(st):
-        raise DeltaProtocolError(
-            "keyed upsert with both column mapping and Change Data Feed "
-            "is not supported (cdc files would need physical names)"
-        )
     names = {f.name for f in schema.fields}
     extra = sorted(set(upserts_df.columns) - names)
     if extra:
@@ -2475,7 +2497,7 @@ def upsert_keys_delta(
         change_df = pre.unionByName(
             ups.withColumn(_CHANGE_TYPE, F.lit("insert"))
         )
-        cdc_actions = _stage_cdc(change_df, path)
+        cdc_actions = _stage_cdc(change_df, path, mapping, _col_field_ids(st))
     new_adds = (
         _stage_partitioned(ups, path, partition_cols)
         if partition_cols

@@ -143,11 +143,27 @@ class MoonTable:
         return vs[-1]
 
     # committed log entries are immutable (versioned file names, never
-    # rewritten), so a process-wide cache is sound and turns the
-    # O(commits) log replays (snapshot reconstruction, change-feed
-    # scans, heal passes) into dict lookups after the first read
+    # rewritten), so a process-wide cache is sound WITHIN one table
+    # incarnation and turns the O(commits) log replays (snapshot
+    # reconstruction, change-feed scans, heal passes) into dict lookups
+    # after the first read.  Across drop→recreate at the same path the
+    # version filenames repeat, so create()/drop paths MUST call
+    # invalidate_caches(path) — otherwise the new incarnation replays
+    # the old table's log (ADVICE r8 high / VERDICT r8 task 1).
     _COMMIT_CACHE: dict[str, Commit] = {}
     _COMMIT_CACHE_MAX = 8192
+
+    @classmethod
+    def invalidate_caches(cls, path: str) -> None:
+        """Purge every process-wide cache entry under ``path``.
+
+        Called when a table directory is (re)created or deleted so a
+        recreated table at the same deterministic warehouse path never
+        serves the previous incarnation's commits or bloom sidecars."""
+        prefix = os.path.normpath(path) + os.sep
+        for cache in (cls._COMMIT_CACHE, cls._BLOOM_CACHE):
+            for k in [k for k in cache if os.path.normpath(k).startswith(prefix)]:
+                del cache[k]
 
     def _read_commit(self, v: int) -> Commit:
         key = os.path.join(self.log_path, f"{v:010d}.json")
@@ -877,6 +893,9 @@ class MoonTable:
         cost is one extra copy of every appended batch."""
         if self.exists():
             raise MoonTableError(f"moontable already exists at {self.path}")
+        # a recreate at the same warehouse path must not replay the
+        # previous incarnation's cached commits/sidecars
+        self.invalidate_caches(self.path)
         os.makedirs(self.path, exist_ok=True)
         self._write_commit(
             Commit(
@@ -1691,6 +1710,15 @@ class MoonTable:
     def update_where(self, condition: str, assignments: dict[str, str]) -> int:
         """UPDATE ... SET col = expr WHERE cond (reference sanity.sql:4) —
         same touched-files-only copy-on-write as :meth:`delete_where`."""
+        known = set(self.schema().fieldNames())
+        unknown = [c for c in assignments if c not in known]
+        if unknown:
+            # silent no-ops are user-reachable via the SQL surface
+            # (UPDATE t SET typo = 1); fail loudly like delete/DV paths
+            raise MoonTableError(
+                f"UPDATE assigns unknown column(s) {unknown}; "
+                f"table columns: {sorted(known)}"
+            )
         touched = self._touched_files(condition)
         _files, dels, first = self._snapshot_full(None)
         v = self.latest_version() + 1
@@ -1879,6 +1907,12 @@ class MoonTable:
             ch_dir = os.path.join(self.path, _CHANGES_DIR)
             if os.path.isdir(ch_dir):
                 for f in os.listdir(ch_dir):
+                    # dot-prefixed staged files belong to in-flight
+                    # writers — the grace-gated pending sweep above is
+                    # the only path allowed to reclaim them (ADVICE r8:
+                    # deleting them here loses the commit's change feed)
+                    if f.startswith("." + _PENDING_PREFIX):
+                        continue
                     if f.endswith(".parquet") and f not in keep:
                         os.remove(os.path.join(ch_dir, f))
                         removed += 1

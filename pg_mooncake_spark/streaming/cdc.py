@@ -193,21 +193,37 @@ def sync_available(
     flush_pending_exports(engine, dst)
 
 
-def feed_as_ops(feed_df: DataFrame) -> DataFrame:
+def feed_as_ops(
+    feed_df: DataFrame, primary_key: Optional[list[str]] = None
+) -> DataFrame:
     """Convert a change-feed stream/frame (``_change_type`` vocabulary —
     engine.stream_changes / table_changes) into the ``__op`` ∈ {I,U,D}
     CDC batch shape start_sync consumes, enabling mirror CHAINING: an
     upstream mirror's feed drives a downstream mirror's sync loop.
 
-    update_preimage rows are dropped (MERGE upserts by key; the
-    post-image alone replaces the row), inserts map to I, deletes to D.
-    Works on both batch and streaming DataFrames (narrow ops only)."""
+    Inserts map to I, update post-images to U, deletes to D.
+
+    update_preimage handling depends on ``primary_key``:
+
+    - ``primary_key=None`` (default): pre-images are dropped (MERGE
+      upserts by key; the post-image alone replaces the row).  SOUND
+      ONLY when no upstream update rewrites a primary-key column — a
+      pk-rewriting UPDATE emits preimage(old key) + postimage(new key),
+      and dropping the pre-image would upsert the new key downstream but
+      never delete the old one (silent divergence, ADVICE r8 low).
+    - ``primary_key=[...]``: pre-images whose key has NO matching
+      post-image key within the same commit version are emitted as D
+      ops (the key was rewritten away); key-preserving pre-images are
+      still dropped.  Costs one left-anti self-join on (version, pk) —
+      batch DataFrames only (stream-stream anti-joins need watermarks;
+      chain via drain_available for pk-rewriting upstreams).
+    """
     from pyspark.sql import functions as F
 
     from pg_mooncake_spark.storage import CHANGE_TYPE_COL, OP_COL, VERSION_COL
 
     ct = F.col(CHANGE_TYPE_COL)
-    out = (
+    base = (
         feed_df.filter(ct != "update_preimage")
         .withColumn(
             OP_COL,
@@ -216,5 +232,23 @@ def feed_as_ops(feed_df: DataFrame) -> DataFrame:
             .otherwise(F.lit("D")),
         )
     )
-    drop = [c for c in (CHANGE_TYPE_COL, VERSION_COL) if c in out.columns]
-    return out.drop(*drop)
+    if primary_key:
+        if feed_df.isStreaming:
+            raise NotImplementedError(
+                "pk-rewrite-safe feed_as_ops needs a (version, pk) "
+                "anti-join, which stream-stream mode does not support "
+                "without watermarks; drain the upstream feed in batch "
+                "mode (drain_available) when updates may rewrite the key"
+            )
+        join_cols = list(primary_key)
+        if VERSION_COL in feed_df.columns:
+            join_cols = [VERSION_COL] + join_cols
+        post_keys = feed_df.filter(ct == "update_postimage").select(*join_cols)
+        rewritten = (
+            feed_df.filter(ct == "update_preimage")
+            .join(post_keys, on=join_cols, how="left_anti")
+            .withColumn(OP_COL, F.lit("D"))
+        )
+        base = base.unionByName(rewritten)
+    drop = [c for c in (CHANGE_TYPE_COL, VERSION_COL) if c in base.columns]
+    return base.drop(*drop)

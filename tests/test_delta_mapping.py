@@ -151,7 +151,10 @@ def test_dv_delete_and_update_on_mapped_table(spark, tmp_path):
     assert v == _replay(p)[3].last_v
 
 
-def test_rename_refuses_partitioned_and_cdf(spark, tmp_path):
+def test_rename_refuses_partitioned(spark, tmp_path):
+    """CDF-enabled tables rename fine since round 9 (mapped cdc files);
+    partitioned tables still refuse (partitionValues keyed by logical
+    name)."""
     part = str(tmp_path / "part")
     write_delta(
         spark.createDataFrame([(1, "a", "g1")], "k long, v string, g string"),
@@ -160,14 +163,6 @@ def test_rename_refuses_partitioned_and_cdf(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="partitioned"):
         rename_column_delta(part, "v", "txt")
-    cdf = str(tmp_path / "cdf")
-    write_delta(
-        spark.createDataFrame([(1, "a")], "k long, v string"),
-        cdf,
-        configuration={"delta.enableChangeDataFeed": "true"},
-    )
-    with pytest.raises(DeltaProtocolError, match="Change Data Feed"):
-        rename_column_delta(cdf, "v", "txt")
 
 
 def test_engine_rename_propagates_to_delta_export(spark, warehouse, tmp_path):
@@ -198,3 +193,91 @@ def test_engine_rename_propagates_to_delta_export(spark, warehouse, tmp_path):
     eng.optimize_table("m")
     export2 = {(r["k"], r["txt"], r["x"]) for r in read_delta(spark, exp).collect()}
     assert export2 == mirror
+
+
+class TestCdfWithColumnMapping:
+    """VERDICT r8 task 4: a renamed CDF export keeps its change feed.
+    cdc parquet on mapped tables carries PHYSICAL names (same rule as
+    data files); read_delta_cdf resolves both pre- and post-rename eras
+    through the mapping and returns the latest logical schema."""
+
+    def test_full_feed_across_rename_and_evolution(self, spark, tmp_path):
+        from pg_mooncake_spark.sources.delta import (
+            delete_where_dv,
+            read_delta,
+            read_delta_cdf,
+            rename_column_delta,
+            update_where_dv,
+            upsert_keys_delta,
+            write_delta,
+        )
+
+        d = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+            ),
+            d,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        delete_where_dv(spark, d, "k = 3")           # v1, pre-rename cdc
+        rename_column_delta(d, "v", "txt")           # v2, enables mapping
+        update_where_dv(spark, d, "k = 2", {"txt": "'B'"})  # v3
+        upsert_keys_delta(                           # v4
+            spark, d,
+            spark.createDataFrame([(4,)], "k long"),
+            spark.createDataFrame([(4, "d")], "k long, txt string"),
+        )
+        write_delta(                                 # v5: mergeSchema add
+            spark.createDataFrame(
+                [(5, "e", 1.5)], "k long, txt string, score double"
+            ),
+            d, mode="append", merge_schema=True,
+        )
+        delete_where_dv(spark, d, "k = 5")           # v6: cdc w/ new col
+
+        got = sorted(
+            tuple(r)
+            for r in read_delta_cdf(spark, d)
+            .select("k", "txt", "score", "_change_type", "_commit_version")
+            .collect()
+        )
+        assert got == [
+            (1, "a", None, "insert", 0),
+            (2, "B", None, "update_postimage", 3),
+            (2, "b", None, "insert", 0),
+            (2, "b", None, "update_preimage", 3),
+            (3, "c", None, "delete", 1),
+            (3, "c", None, "insert", 0),
+            (4, "d", None, "insert", 4),
+            (5, "e", 1.5, "delete", 6),
+            (5, "e", 1.5, "insert", 5),
+        ]
+        assert sorted(tuple(r) for r in read_delta(spark, d).collect()) == [
+            (1, "a", None), (2, "B", None), (4, "d", None),
+        ]
+
+    def test_cdc_files_carry_physical_names(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from pg_mooncake_spark.sources.delta import (
+            rename_column_delta,
+            update_where_dv,
+            write_delta,
+        )
+
+        d = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            d,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        rename_column_delta(d, "v", "txt")
+        update_where_dv(spark, d, "k = 1", {"txt": "'A'"})
+        cdc = glob.glob(d + "/_change_data/*.parquet")
+        assert cdc
+        for f in cdc:
+            names = pq.read_schema(f).names
+            assert "v" in names and "txt" not in names  # physical, not logical

@@ -987,3 +987,49 @@ class TestDeltaMirrorExport:
         eng.apply_changes("m", ch, source_version=1, on_schema_drift="evolve")
         got = {r["k"]: (r["v"], r["extra"]) for r in read_delta(spark, exp).collect()}
         assert got == {1: ("a", None), 2: ("b", 7)}
+
+
+class TestDropRecreateSamePath:
+    """VERDICT r8 task 1 / ADVICE r8 high: drop_table → create_table of the
+    same name reuses the same deterministic warehouse path and the same
+    commit-log filenames; the process-wide _COMMIT_CACHE must not serve the
+    old incarnation's commits (the reference's own regress flow drops and
+    recreates the same names — tests/pg_regress/sql/sanity.sql:7 →
+    partitioned_table.sql:1)."""
+
+    def test_recreate_serves_new_schema_and_data(self, spark, warehouse):
+        eng = _engine(spark, warehouse)
+        src1 = spark.createDataFrame([(1, "old")], "a int, b string")
+        mt1 = eng.create_table("r", source_df=src1, primary_key=["a"])
+        # warm the commit cache via reads
+        assert [r["b"] for r in eng.table("r").collect()] == ["old"]
+        old_path = mt1.path
+        eng.drop_table("r")
+
+        src2 = spark.createDataFrame(
+            [(10, 1.5, "new")], "x int, y double, z string"
+        )
+        mt2 = eng.create_table("r", source_df=src2, primary_key=["x"])
+        assert mt2.path == old_path  # same deterministic slug → same path
+        # schema, pk, and data must all come from the NEW incarnation
+        assert mt2.primary_key() == ["x"]
+        assert set(mt2.schema().fieldNames()) == {"x", "y", "z"}
+        rows = [tuple(r) for r in eng.table("r").collect()]
+        assert rows == [(10, 1.5, "new")]
+
+    def test_recreate_after_dml_history(self, spark, warehouse):
+        eng = _engine(spark, warehouse)
+        src = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "a int, b string")
+        eng.create_table("r", source_df=src, primary_key=["a"])
+        eng.update_where("r", "a > 2", {"b": "'upd'"})
+        eng.delete_where("r", "a = 0")
+        assert eng.table("r").count() == 4  # warm cache across versions
+        eng.drop_table("r")
+
+        src2 = spark.createDataFrame([(100, "fresh")], "a int, b string")
+        eng.create_table("r", source_df=src2, primary_key=["a"])
+        got = [tuple(r) for r in eng.table("r").collect()]
+        assert got == [(100, "fresh")]
+        # time travel on the new incarnation sees only its own history
+        mt = eng._moontable("r")
+        assert len(mt.history()) == 2  # create + backfill append
