@@ -1051,10 +1051,7 @@ class MooncakeEngine:
                 "to the current table state"
             )
         if kind == "MERGE":
-            raise ValueError(
-                "MERGE INTO is not supported as SQL; use apply_changes "
-                "(the engine's CDC upsert surface) instead"
-            )
+            return self._sql_merge(q, pin=pin)
         if kind == "DELETE":
             m = re.match(rf"DELETE\s+FROM\s+{_SQL_TABLE}\s*(.*)$", q, re.I | re.S)
             if not m:
@@ -1121,6 +1118,202 @@ class MooncakeEngine:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         v = self.insert(t, df)
         return self._dml_result("INSERT", t, v)
+
+    def _sql_merge(self, q: str, pin: Optional[dict[str, int]] = None) -> DataFrame:
+        """Route ``MERGE INTO`` onto :meth:`apply_changes` — the last DML
+        gap vs the reference contract (Postgres 15+ users write MERGE
+        against the heap side, reference README.md:16; VERDICT r8 task 6).
+
+        Bounded shape (anything else raises with the statement)::
+
+            MERGE INTO t [[AS] tgt] USING (<query> | table) [[AS] src]
+            ON <condition>
+            [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...
+             | WHEN MATCHED [AND <cond>] THEN DELETE]
+            [WHEN NOT MATCHED [AND <cond>] THEN
+             INSERT [(cols)] VALUES (exprs)]
+
+        Compilation is three declarative joins funneled into ONE CDC
+        batch (so the commit is atomic and exports/MVs sync once):
+        matched+UPDATE rows become U images (target row with the SET
+        expressions applied), matched+DELETE rows become D keys, and
+        NOT-MATCHED inserts come from a left-anti join.  Everything is
+        expressed as DataFrame joins Catalyst plans (broadcast/AQE apply
+        as usual) — at 100 TB the cost profile is apply_changes', which
+        is stats→bloom→exact-probe bounded.
+
+        Per the SQL standard, a source row may match at most one WHEN
+        MATCHED action and each target row at most one source row; the
+        latter is enforced with an O(matched) duplicate-key check (same
+        error DuckDB/delta-spark raise on multi-match)."""
+        m = re.match(
+            rf"MERGE\s+INTO\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)|(\w+))?\s+USING\s+(.*)$",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MERGE statement: {q!r}")
+        t = m.group(1)
+        tgt_alias = m.group(2) or m.group(3) or self._canon(t)
+        rest = m.group(4).strip()
+        # source: parenthesized query or table name, optional alias
+        if rest.startswith("("):
+            depth, i = 0, 0
+            for i, c in enumerate(rest):
+                depth += c == "("
+                depth -= c == ")"
+                if depth == 0:
+                    break
+            src_sql, rest = rest[1:i], rest[i + 1:].strip()
+            src_alias = "__merge_src"  # derived table: alias expected
+        else:
+            sm = re.match(rf"{_SQL_TABLE}\s*(.*)$", rest, re.S)
+            if not sm:
+                raise ValueError(f"cannot parse MERGE source: {rest!r}")
+            src_name, rest = sm.group(1), sm.group(2).strip()
+            src_sql = f"SELECT * FROM {src_name}"
+            # unaliased table source: the ON clause references it by name
+            src_alias = src_name.split(".")[-1].strip('"')
+        am = re.match(r"(?:AS\s+)?(\w+)\s+(?=ON\b)", rest, re.I | re.S)
+        if am:
+            src_alias, rest = am.group(1), rest[am.end():]
+        om = re.match(r"ON\s+(.*)$", rest, re.I | re.S)
+        if not om:
+            raise ValueError(f"MERGE needs an ON clause: {q!r}")
+        rest = om.group(1)
+        wi = _find_top_keyword(rest, "WHEN")
+        if wi < 0:
+            raise ValueError(f"MERGE needs at least one WHEN clause: {q!r}")
+        on_cond, rest = rest[:wi].strip(), rest[wi:]
+
+        upd: Optional[tuple[str, dict[str, str]]] = None  # (extra_cond, set)
+        dele: Optional[str] = None                        # extra_cond
+        ins: Optional[tuple[str, Optional[list[str]], str]] = None
+        while rest:
+            wm = re.match(
+                r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(.*)$",
+                rest, re.I | re.S,
+            )
+            if not wm:
+                raise ValueError(f"cannot parse WHEN clause: {rest!r}")
+            is_not, extra, action = bool(wm.group(1)), wm.group(2), wm.group(3)
+            nxt = _find_top_keyword(action, "WHEN")
+            action, rest = (
+                (action[:nxt].strip(), action[nxt:]) if nxt >= 0
+                else (action.strip(), "")
+            )
+            extra_cond = (extra or "true").strip() or "true"
+            if is_not:
+                im = re.match(
+                    r"INSERT\s*(\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
+                    action, re.I | re.S,
+                )
+                if not im:
+                    raise ValueError(
+                        f"WHEN NOT MATCHED action must be INSERT [(cols)] "
+                        f"VALUES (...): {action!r}"
+                    )
+                cols = (
+                    [c.strip().strip('"') for c in im.group(2).split(",")]
+                    if im.group(2) else None
+                )
+                if ins is not None:
+                    raise ValueError("multiple WHEN NOT MATCHED clauses")
+                ins = (extra_cond, cols, im.group(3))
+            elif re.match(r"DELETE\s*$", action, re.I):
+                if dele is not None:
+                    raise ValueError("multiple WHEN MATCHED DELETE clauses")
+                dele = extra_cond
+            else:
+                um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+                if not um:
+                    raise ValueError(
+                        f"WHEN MATCHED action must be UPDATE SET or "
+                        f"DELETE: {action!r}"
+                    )
+                assignments: dict[str, str] = {}
+                for part in _split_top_commas(um.group(1)):
+                    pm = re.match(
+                        r'\s*(?:\w+\.)?("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$',
+                        part, re.S,
+                    )
+                    if not pm:
+                        raise ValueError(f"cannot parse SET clause: {part!r}")
+                    assignments[pm.group(1).strip('"')] = pm.group(2).strip()
+                if upd is not None:
+                    raise ValueError("multiple WHEN MATCHED UPDATE clauses")
+                upd = (extra_cond, assignments)
+
+        name = self._canon(t)
+        mt = self._moontable(name)
+        schema = mt.schema()
+        pk = mt.primary_key()
+        if not pk:
+            raise ValueError(f"MERGE target {name!r} has no primary key")
+        tgt_df = self.table(name).alias(tgt_alias)
+        # source evaluated only after the statement fully parses, so a
+        # malformed MERGE errors on its shape, not on name resolution
+        src_df = self.sql(src_sql, pin=pin).alias(src_alias)
+        cond = F.expr(on_cond)
+        names = [f.name for f in schema.fields]
+
+        parts: list[DataFrame] = []
+        matched = tgt_df.join(src_df, cond, "inner")
+        if upd is not None or dele is not None:
+            # SQL standard: each target row matches at most one source row
+            dup = (
+                matched.groupBy(*[F.col(f"{tgt_alias}.{k}") for k in pk])
+                .count().filter("count > 1").limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE: a target row matched multiple source rows"
+                )
+        if upd is not None:
+            extra, assignments = upd
+            u = matched.filter(F.expr(extra)).select(
+                *[
+                    F.expr(assignments[c]).cast(schema[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(f"{tgt_alias}.{c}").alias(c)
+                    for c in names
+                ]
+            )
+            parts.append(u.withColumn(OP_COL, F.lit("U")))
+        if dele is not None:
+            not_updated = "true" if upd is None else f"NOT ({upd[0]})"
+            d = matched.filter(F.expr(dele)).filter(F.expr(not_updated)).select(
+                *[F.col(f"{tgt_alias}.{c}").alias(c) for c in names]
+            )
+            parts.append(d.withColumn(OP_COL, F.lit("D")))
+        if ins is not None:
+            extra, cols, values_sql = ins
+            unmatched = src_df.join(tgt_df, cond, "left_anti").filter(
+                F.expr(extra)
+            )
+            exprs = _split_top_commas(values_sql)
+            target_cols = cols if cols is not None else names
+            if len(exprs) != len(target_cols):
+                raise ValueError(
+                    f"MERGE INSERT arity mismatch: {len(exprs)} values for "
+                    f"{len(target_cols)} columns {target_cols}"
+                )
+            by_col = dict(zip(target_cols, exprs))
+            i_df = unmatched.select(
+                *[
+                    F.expr(by_col[c]).cast(schema[c].dataType).alias(c)
+                    if c in by_col
+                    else F.lit(None).cast(schema[c].dataType).alias(c)
+                    for c in names
+                ]
+            )
+            parts.append(i_df.withColumn(OP_COL, F.lit("I")))
+        if not parts:
+            raise ValueError(f"MERGE has no actionable WHEN clause: {q!r}")
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        v = self.apply_changes(name, batch)
+        return self._dml_result("MERGE", t, v)
 
     def _dml_result(self, stmt: str, t: str, v: int) -> DataFrame:
         return self.spark.createDataFrame(

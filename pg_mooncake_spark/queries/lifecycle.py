@@ -866,3 +866,75 @@ def lifecycle_delta_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "lifecycle_sql_merge",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 2 = 0
+    ),
+    src AS (
+      SELECT o_custkey AS k, COUNT(*) AS cnt,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    merged AS (
+      -- kept: target rows with no source match
+      SELECT t.c_custkey, t.c_name, t.c_acctbal
+      FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k WHERE s.k IS NULL
+      UNION ALL
+      -- updated: matched AND cnt > 10 (DELETE branch drops the rest)
+      SELECT t.c_custkey, t.c_name,
+             CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) + s.spend AS DOUBLE)
+      FROM tgt t JOIN src s ON t.c_custkey = s.k WHERE s.cnt > 10
+      UNION ALL
+      -- inserted: source keys absent from the target
+      SELECT s.k, 'new', CAST(s.spend AS DOUBLE)
+      FROM src s LEFT JOIN tgt t ON t.c_custkey = s.k WHERE t.c_custkey IS NULL
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN c_name = 'new' THEN 1 END) AS n_inserted,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM merged
+    """,
+)
+def lifecycle_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO`` as a SQL statement on a mirror (VERDICT r8 task 6 —
+    the reference contract is full SQL on the heap side, reference
+    README.md:16, and Postgres 15+ users write MERGE): all three WHEN
+    branches in one statement, compiled onto ONE apply_changes CDC batch
+    (atomic commit; exports/MVs sync once).  Target = even-custkey
+    customers; source = per-customer order aggregates, so matched
+    customers with >10 orders get their balance bumped, the rest of the
+    matched ones are deleted, and odd-custkey order aggregates insert.
+    The oracle reconstructs the exact post-MERGE state with plain joins;
+    arithmetic stays in DECIMAL until the end so both engines are exact."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter("c_custkey % 2 = 0")
+    )
+    eng.create_table("cust", source_df=cust, primary_key=["c_custkey"])
+    t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    ).createOrReplaceTempView("merge_src")
+    eng.sql("""
+        MERGE INTO cust USING merge_src AS s ON cust.c_custkey = s.k
+        WHEN MATCHED AND s.cnt > 10 THEN
+          UPDATE SET c_acctbal = CAST(c_acctbal AS DECIMAL(18,2)) + s.spend
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_name, c_acctbal)
+          VALUES (s.k, 'new', CAST(s.spend AS DOUBLE))
+    """)
+    return eng.table("cust").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("c_name") == "new", 1)).alias("n_inserted"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )
