@@ -843,6 +843,17 @@ class MooncakeEngine:
                 rename_column_iceberg(path, old, new)
         v = mt.rename_column(old, new)
         self.catalog.update_watermarks(dst, flush_version=v)
+        # materialized views over this mirror: remap their specs (and,
+        # for a renamed GROUP BY key, their state tables) so refreshes
+        # keep working under the new name (VERDICT r8 task 7)
+        from pg_mooncake_spark.views import MaterializedView
+
+        for _name, e in self.catalog.list_tables().items():
+            cfg = e.get("table_config") or {}
+            if cfg.get("kind") == "mview" and cfg.get("base") == dst:
+                MaterializedView(self.spark, e["path"]).remap_base_rename(
+                    old, new
+                )
         return v
 
     def optimize_table(self, dst: str, mode: str = "compact") -> int:

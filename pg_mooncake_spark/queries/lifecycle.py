@@ -598,6 +598,60 @@ def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mv_rename_survival",
+    oracle="""
+    WITH post AS (
+      SELECT o_orderstatus AS status,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 3)
+    )
+    SELECT status,
+           CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM post GROUP BY status ORDER BY status
+    """,
+)
+def mv_rename_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A materialized view survives base column RENAMES (VERDICT r8
+    task 7): the agg-referenced column renames mid-history (the spec's
+    expressions remap in place), DML after the rename folds
+    incrementally under the new name, and then the GROUP BY key itself
+    renames — which also renames the view state table's key column, so
+    the view's output column follows the base.  The oracle is the
+    from-scratch GROUP BY over the post-everything state under the
+    final names; a spec left pointing at the old names would fail the
+    refresh (unresolved column), and a missed state-key rename would
+    change the output schema — both hash-mismatch."""
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders")
+    eng.create_table(
+        "o_rn", source_df=o, primary_key=["o_orderkey"], change_feed=True
+    )
+    eng.create_materialized_view(
+        "o_rn_mv", "o_rn", ["o_orderstatus"],
+        {
+            "sum_price": ("sum", "CAST(o_totalprice AS DECIMAL(30,2))"),
+            "n_rows": ("count", "*"),
+        },
+    )
+    eng.delete_where("o_rn", "o_orderkey % 7 = 3")
+    eng.rename_column("o_rn", "o_totalprice", "price")
+    eng.sql("UPDATE o_rn SET price = price + 1 WHERE o_orderkey % 10 = 0")
+    eng.rename_column("o_rn", "o_orderstatus", "status")
+    return (
+        eng.materialized_view("o_rn_mv")
+        .select(
+            "status",
+            F.col("sum_price").cast("double").alias("sum_price"),
+            "n_rows",
+        )
+        .orderBy("status")
+    )
+
+
+@query(
     "mv_minmax_retraction",
     oracle="""
     SELECT p_brand,

@@ -30,11 +30,14 @@ batch plus the touched slice of the view.  Group-by columns should be
 non-null (wrap nullable keys in ``coalesce``): view state is keyed on
 them as a moontable primary key.
 
-Known limitation: the spec's aggregate/filter expressions reference base
-columns BY NAME, so renaming a referenced base column
-(``rename_column``) breaks subsequent refreshes loudly (unresolved
-column) — drop and recreate the view after a rename.  The feed itself
-resolves renames by era, so unreferenced columns may rename freely.
+Base column renames: the spec's aggregate/filter expressions reference
+base columns by name, and ``engine.rename_column`` remaps them in place
+(:meth:`MaterializedView.remap_base_rename`) — identifier-aware rewrite
+of the agg/where expressions, and when a GROUP BY key renames, the
+view's state table gets the same rename-era commit the mirror does, so
+the view's output column follows the base (VERDICT r8 task 7).  The
+change feed itself resolves renames by era, so a pending unrefreshed
+feed segment folds correctly under the new names.
 """
 
 from __future__ import annotations
@@ -56,6 +59,26 @@ from pg_mooncake_spark.storage import (
 _SPEC_FILE = "_mvspec.json"
 _ROWS = "__rows"
 _FNS = ("sum", "count", "min", "max", "avg")
+
+
+def _rewrite_ident(sql: str, old: str, new: str) -> str:
+    """Rename identifier ``old`` → ``new`` in a SQL expression without
+    touching single-quoted string literals; double-quoted identifiers
+    rewrite on exact match.  Bounded by design — expressions here are
+    the view spec's own agg/filter expressions, not arbitrary SQL."""
+    import re
+
+    out: list[str] = []
+    for piece in re.split(r"('(?:[^']|'')*')", sql):
+        if piece.startswith("'"):
+            out.append(piece)  # string literal: untouched
+            continue
+        piece = piece.replace(f'"{old}"', f'"{new}"')
+        piece = re.sub(
+            rf"(?<![\w.\"]){re.escape(old)}(?![\w\"])", new, piece
+        )
+        out.append(piece)
+    return "".join(out)
 
 
 class MaterializedView:
@@ -275,6 +298,42 @@ class MaterializedView:
         spec["base_version"] = end
         self._save_spec(spec)
         return end
+
+    # ----------------------------------------------------------- rename
+
+    def remap_base_rename(self, old: str, new: str) -> None:
+        """Remap the view spec after a base column rename, so refreshes
+        keep working instead of failing on an unresolved column
+        (VERDICT r8 task 7; the feed already resolves renames by era).
+
+        - agg expressions and the WHERE predicate rewrite by identifier;
+        - a renamed GROUP BY key also renames the state table's key
+          column (same metadata-only rename-era commit the mirror gets),
+          so the view's output column follows the base's new name.
+
+        Idempotent: remapping a spec that no longer references ``old``
+        is a no-op."""
+        spec = self.spec()
+        changed = False
+        if old in spec["group_by"]:
+            self.state.rename_column(old, new)
+            spec["group_by"] = [
+                new if c == old else c for c in spec["group_by"]
+            ]
+            changed = True
+        new_aggs: dict[str, list[str]] = {}
+        for out, fe in spec["aggs"].items():
+            fn, expr = fe[0], fe[1]
+            ne = expr if expr == "*" else _rewrite_ident(expr, old, new)
+            changed = changed or ne != expr
+            new_aggs[out] = [fn, ne]
+        spec["aggs"] = new_aggs
+        if spec.get("where"):
+            nw = _rewrite_ident(spec["where"], old, new)
+            changed = changed or nw != spec["where"]
+            spec["where"] = nw
+        if changed:
+            self._save_spec(spec)
 
     def _state_watermark(self) -> int:
         """Base version recorded by the newest state commit (−1 if none

@@ -481,3 +481,66 @@ def test_list_tables_reports_view_staleness(spark, tmp_path):
     eng.refresh_materialized_view("v")
     rows = {r["table"]: r for r in eng.list_tables().collect()}
     assert rows["v"]["staleness"] == 0
+
+
+class TestRenameSurvival:
+    """VERDICT r8 task 7: engine.rename_column remaps MV specs in place
+    (agg/where expressions by identifier; a renamed GROUP BY key also
+    renames the view state table's key column)."""
+
+    def _mk(self, spark, warehouse):
+        from pg_mooncake_spark.engine import MooncakeEngine
+
+        eng = MooncakeEngine(spark, warehouse)
+        src = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+            "k int, grp string, amt double",
+        )
+        eng.create_table(
+            "base", source_df=src, primary_key=["k"],
+            table_config={"change_feed": True},
+        )
+        eng.create_materialized_view(
+            "mv", "base", ["grp"],
+            {
+                "total": ("sum", "amt"),
+                "n": ("count", "*"),
+                "mx": ("max", "amt + 0.5"),
+            },
+            where="amt > 5",
+        )
+        return eng
+
+    def test_agg_column_rename_then_refresh(self, spark, warehouse):
+        eng = self._mk(spark, warehouse)
+        eng.rename_column("base", "amt", "amount")
+        eng.sql("UPDATE base SET amount = amount + 1 WHERE k = 1")
+        eng.sql("INSERT INTO base VALUES (4, 'b', 40.0)")
+        got = sorted(tuple(r) for r in eng.materialized_view("mv").collect())
+        assert got == [("a", 31.0, 2, 20.5), ("b", 70.0, 2, 40.5)]
+
+    def test_group_key_rename_renames_view_column(self, spark, warehouse):
+        eng = self._mk(spark, warehouse)
+        eng.rename_column("base", "grp", "bucket")
+        eng.sql("INSERT INTO base VALUES (5, 'a', 50.0)")
+        mv = eng.materialized_view("mv")
+        assert mv.columns == ["bucket", "total", "n", "mx"]
+        got = sorted(tuple(r) for r in mv.collect())
+        assert got == [("a", 80.0, 3, 50.5), ("b", 30.0, 1, 30.5)]
+
+    def test_where_predicate_remaps(self, spark, warehouse):
+        eng = self._mk(spark, warehouse)
+        eng.rename_column("base", "amt", "amount")
+        # row below the filter must stay excluded under the new name
+        eng.sql("INSERT INTO base VALUES (9, 'a', 1.0)")
+        got = {r["grp"]: r["n"] for r in eng.materialized_view("mv").collect()}
+        assert got == {"a": 2, "b": 1}
+
+    def test_rewrite_ident_is_string_safe(self):
+        from pg_mooncake_spark.views import _rewrite_ident
+
+        assert _rewrite_ident("amt + amtx + 'amt'", "amt", "z") == (
+            "z + amtx + 'amt'"
+        )
+        assert _rewrite_ident('"amt" || s.amt', "amt", "z") == '"z" || s.amt'
+        assert _rewrite_ident("upper(amt)", "amt", "z") == "upper(z)"
