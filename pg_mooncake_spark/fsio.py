@@ -41,8 +41,10 @@ protocol never reaches for a POSIX-only primitive.
 from __future__ import annotations
 
 import os
+import re
 import threading
 import uuid
+from typing import Optional
 
 
 class CommitConflict(Exception):
@@ -162,12 +164,129 @@ class FakeObjectStore(StorageBackend):
         pass  # flat namespace: containers don't exist
 
 
+class S3ObjectStore(StorageBackend):
+    """Metadata plane on Amazon S3 (or any S3-compatible store that
+    supports conditional writes).  Requires boto3 — gated behind an
+    import so the engine stays dependency-free where S3 is unreachable.
+
+    put_if_absent maps to the conditional PUT ``IfNoneMatch='*'``
+    (supported on ALL S3 buckets since 2024-08, and the primitive the
+    reference's object-store warehouses rely on — reference
+    src/functions.rs:89 ``iceberg_warehouse_location``); a 412
+    PreconditionFailed is the commit conflict.  write_atomic is a plain
+    PUT (object PUTs are atomic).  Paths are ``s3://bucket/key...``."""
+
+    def __init__(self, region: Optional[str] = None) -> None:
+        import boto3  # real deployments only; ImportError surfaces raw
+
+        self._s3 = boto3.client("s3", region_name=region)
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        rest = path[len("s3://"):]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        import botocore.exceptions
+
+        bucket, key = self._split(path)
+        try:
+            self._s3.put_object(
+                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+            )
+        except botocore.exceptions.ClientError as e:
+            code = e.response.get("Error", {}).get("Code")
+            if code in ("PreconditionFailed", "412"):
+                raise CommitConflict(path) from None
+            raise
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        bucket, key = self._split(path)
+        self._s3.put_object(Bucket=bucket, Key=key, Body=data)
+
+    def listdir(self, path: str) -> list[str]:
+        bucket, key = self._split(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        out: set[str] = set()
+        paginator = self._s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(
+            Bucket=bucket, Prefix=prefix, Delimiter="/"
+        ):
+            for o in page.get("Contents", []):
+                out.add(o["Key"][len(prefix):])
+            for p in page.get("CommonPrefixes", []):
+                out.add(p["Prefix"][len(prefix):].rstrip("/"))
+        return sorted(n for n in out if n)
+
+    def read_bytes(self, path: str) -> bytes:
+        import botocore.exceptions
+
+        bucket, key = self._split(path)
+        try:
+            return self._s3.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except botocore.exceptions.ClientError as e:
+            if e.response.get("Error", {}).get("Code") in ("NoSuchKey", "404"):
+                raise FileNotFoundError(path) from None
+            raise
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._split(path)
+        resp = self._s3.list_objects_v2(Bucket=bucket, Prefix=key, MaxKeys=1)
+        return resp.get("KeyCount", 0) > 0
+
+    def mkdirs(self, path: str) -> None:
+        pass  # flat namespace
+
+
 _DEFAULT = LocalFS()
+_MEM_BUCKETS: dict[str, FakeObjectStore] = {}
+_MEM_LOCK = threading.Lock()
+_SCHEME_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://")
+_SCHEMES: dict[str, "object"] = {}  # scheme → factory(path) -> backend
 
 
-def get_backend(path: str) -> StorageBackend:  # noqa: ARG001 - scheme hook
-    """Backend for ``path``.  Local paths (the only scheme reachable in
-    this image) resolve to the shared LocalFS; a real deployment maps
-    s3://... / gs://... prefixes to conditional-PUT implementations
-    here.  Tests bypass this by injecting a backend explicitly."""
-    return _DEFAULT
+def register_scheme(scheme: str, factory) -> None:
+    """Map ``scheme://`` paths to a backend: ``factory(path)`` is called
+    per get_backend and may return a shared instance.  Deployment hook
+    for custom stores (MinIO endpoints, Azure, test doubles)."""
+    _SCHEMES[scheme] = factory
+
+
+def _mem_backend(path: str) -> FakeObjectStore:
+    """``mem://bucket/...``: process-shared in-memory object store, one
+    per bucket — the object-store contract without a network, used to
+    run whole lifecycles through a non-LocalFS backend in tests/CI."""
+    bucket = path[len("mem://"):].split("/", 1)[0]
+    with _MEM_LOCK:
+        if bucket not in _MEM_BUCKETS:
+            _MEM_BUCKETS[bucket] = FakeObjectStore()
+        return _MEM_BUCKETS[bucket]
+
+
+def _s3_backend(_path: str) -> StorageBackend:
+    return S3ObjectStore()
+
+
+register_scheme("mem", _mem_backend)
+register_scheme("s3", _s3_backend)
+register_scheme("s3a", _s3_backend)
+
+
+def get_backend(path: str) -> StorageBackend:
+    """Backend for ``path``, dispatched on the URI scheme: plain local
+    paths (and file://) resolve to the shared LocalFS; ``mem://`` to a
+    process-shared in-memory object store; ``s3://``/``s3a://`` to the
+    conditional-PUT S3 implementation (needs boto3).  register_scheme
+    adds more.  Tests may also inject a backend explicitly."""
+    m = _SCHEME_RE.match(path)
+    if not m or m.group(1) == "file":
+        return _DEFAULT
+    scheme = m.group(1)
+    factory = _SCHEMES.get(scheme)
+    if factory is None:
+        raise ValueError(
+            f"no storage backend registered for scheme {scheme!r} "
+            f"({path!r}); register one with fsio.register_scheme"
+        )
+    return factory(path)
