@@ -61,61 +61,62 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # round-8 additions — never driver-verified
-    "lifecycle_sql_dml",
-    "delta_rename_mapping_roundtrip",
-    "lifecycle_mor_scattered_dml",
-    "lifecycle_rename_widen_cdc",
-    "lifecycle_change_feed",
-    "mv_incremental_agg",
-    "mv_minmax_retraction",
-    "delta_cdf_roundtrip",
-    "mv_filtered_where",
-    "iceberg_changelog_export",
-    "sql_recursive_cte",
-    "iceberg_metadata_tables",
-    "lifecycle_delta_mirror_sync",
-    # last driver-verified in round 5 — the stalest slice (42 keys,
-    # alphabetical; every other key is r6/r7-green)
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "corpus_chunking",
-    "corpus_decontaminate",
-    "corpus_domain_cap",
-    "corpus_mixture",
-    "corpus_pack_sequences",
-    "corpus_sample_stratified",
-    "dedup_components",
-    "dedup_minhash_pairs_fast",
-    "dedup_simhash64_fast",
-    "events_range_join",
-    "iceberg_roundtrip_lineitem",
-    "orc_roundtrip_lineitem",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "scalar_cast_conversion",
-    "scalar_hof_family",
-    # scalar_regexp_family / scalar_try_family (also r5-stale) overflow
-    # the 50-slot window this round; they head the r9 rotation
+    # (1) never driver-verified: round-9 additions + the round-10 MERGE
+    # clause-order regression key (VERDICT r9 tasks 1 and 3)
+    "lifecycle_sql_merge",
+    "lifecycle_sql_merge_order",
+    "delta_cdf_mapped_rename",
+    "mv_rename_survival",
+    # (3a) last driver-verified in round 5 — the stalest slice
+    "scalar_regexp_family",
+    "scalar_try_family",
+    "sim_ann_ivf",
+    "text_pii_redaction",
+    "text_repetition_score",
+    # (3b) last driver-verified in round 6 — first 41 alphabetically;
+    # the remaining 9 r6 keys (subquery_*, text_winnowing_fingerprints,
+    # topk_per_group, unpivot_stack, window_*) head the r11 rotation
+    "agg_cube_with_grouping",
+    "agg_distinct_and_filtered",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_scalar_ungrouped",
+    "agg_stats_family",
+    "agg_string_agg",
+    "avro_roundtrip_documents",
+    "corpus_shard_assignment",
+    "delta_dv_delete_roundtrip",
+    "delta_dv_update_roundtrip",
+    "delta_schema_evolution_roundtrip",
+    "distinct_projection",
+    "embedding_normalize_quantize",
+    "iceberg_delete_roundtrip",
+    "jdbc_mirror_snapshot",
+    "join_anti_customers_without_orders",
+    "join_cross_region_nation",
+    "join_full_outer",
+    "join_inequality_acctbal",
+    "join_inner_orders_customers",
+    "join_left_outer_customer_orders",
+    "join_right_outer",
+    "join_semi_customers_with_orders",
+    "lateral_explode_tokens",
+    "lifecycle_iceberg_mirror_sync",
+    "limit_offset",
+    "orderby_multikey_nulls",
+    "pivot_status_by_priority",
+    "q21_suppliers_kept_waiting",
+    "scalar_datetime_family",
+    "scalar_math_family",
+    "scalar_string_family",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
 )
 
 
