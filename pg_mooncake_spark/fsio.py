@@ -183,7 +183,9 @@ class S3ObjectStore(StorageBackend):
 
     @staticmethod
     def _split(path: str) -> tuple[str, str]:
-        rest = path[len("s3://"):]
+        # scheme-agnostic: registered for both s3:// and s3a:// (ADVICE
+        # r9 #3 — a fixed 5-char strip parsed s3a:// into bucket='')
+        rest = path.split("://", 1)[1] if "://" in path else path
         bucket, _, key = rest.partition("/")
         return bucket, key
 
@@ -231,8 +233,22 @@ class S3ObjectStore(StorageBackend):
             raise
 
     def exists(self, path: str) -> bool:
+        # exact key first, then '/'-boundary directory prefix — matching
+        # FakeObjectStore semantics (ADVICE r9 #4: a raw-key Prefix list
+        # made exists('wh/t1') true when only 'wh/t10/...' existed)
+        import botocore.exceptions
+
         bucket, key = self._split(path)
-        resp = self._s3.list_objects_v2(Bucket=bucket, Prefix=key, MaxKeys=1)
+        try:
+            self._s3.head_object(Bucket=bucket, Key=key)
+            return True
+        except botocore.exceptions.ClientError as e:
+            code = e.response.get("Error", {}).get("Code")
+            if code not in ("404", "NoSuchKey", "NotFound"):
+                raise
+        resp = self._s3.list_objects_v2(
+            Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1
+        )
         return resp.get("KeyCount", 0) > 0
 
     def mkdirs(self, path: str) -> None:

@@ -115,6 +115,7 @@ class MoonTable:
         spark: SparkSession,
         path: str,
         backend: Optional[StorageBackend] = None,
+        data_path: Optional[str] = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -123,6 +124,14 @@ class MoonTable:
         # "put_if_absent of the next version's key", which maps to a
         # conditional PUT on object stores — see fsio module docstring
         self.backend = backend if backend is not None else get_backend(path)
+        # two planes: METADATA (commit log, index sidecars) lives at
+        # ``path`` and moves through ``self.backend``; DATA (parquet
+        # files, staging, _changes/) lives at ``data_path`` and moves
+        # through Spark/os.  They coincide by default — s3a:// works for
+        # both (Spark reads s3a natively, the backend does conditional
+        # PUTs via the S3 API).  For metadata-only schemes Spark cannot
+        # read (mem://), callers pass a Spark-visible data_path.
+        self.data_path = (data_path or self.path).rstrip("/")
 
     # ------------------------------------------------------------------ log
 
@@ -471,7 +480,7 @@ class MoonTable:
         commits = [self._read_commit(v) for v in self._versions()]
         r_max = max((c.version for c in commits if c.renames), default=None)
         if r_max is not None:
-            ch_dir = os.path.join(self.path, _CHANGES_DIR)
+            ch_dir = os.path.join(self.data_path, _CHANGES_DIR)
             for c in commits:
                 if c.version >= r_max:
                     continue
@@ -495,7 +504,7 @@ class MoonTable:
             ]
         )
         return self.spark.readStream.schema(schema).parquet(
-            os.path.join(self.path, _CHANGES_DIR)
+            os.path.join(self.data_path, _CHANGES_DIR)
         )
 
     def _read_files(
@@ -528,7 +537,7 @@ class MoonTable:
                 ]
             )
             gdf = self.spark.read.schema(read_schema).parquet(
-                *[os.path.join(self.path, d["name"]) for d in fs]
+                *[os.path.join(self.data_path, d["name"]) for d in fs]
             )
             cols = [
                 F.col(phys.get(f.name, f.name)).alias(f.name)
@@ -602,7 +611,7 @@ class MoonTable:
         files, no shuffle) and persisted as an immutable ``_index/``
         sidecar — MERGE's candidate pruning tests batch keys against it
         driver-side instead of scanning the file (functions/bloom.py)."""
-        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        staging = os.path.join(self.data_path, f"_staging_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         descriptors: list[dict] = []
         part_files = [
@@ -633,7 +642,7 @@ class MoonTable:
                 blooms = self._stage_blooms(staging, list(pk), rows_by_staged)
         for fname in part_files:
             new_name = f"part-{uuid.uuid4().hex}.parquet"
-            os.rename(os.path.join(staging, fname), os.path.join(self.path, new_name))
+            os.rename(os.path.join(staging, fname), os.path.join(self.data_path, new_name))
             st = stats.get(fname, {})
             desc = {
                 "name": new_name,
@@ -751,14 +760,14 @@ class MoonTable:
         O(batch) bytes regardless of table size."""
         import pyarrow.parquet as _pq
 
-        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        staging = os.path.join(self.data_path, f"_staging_{uuid.uuid4().hex}")
         keys_df.select(*pk).coalesce(1).write.mode("overwrite").parquet(staging)
         descriptors: list[dict] = []
         for fname in os.listdir(staging):
             if not fname.endswith(".parquet"):
                 continue
             new_name = f"del-{uuid.uuid4().hex}.parquet"
-            full = os.path.join(self.path, new_name)
+            full = os.path.join(self.data_path, new_name)
             os.rename(os.path.join(staging, fname), full)
             descriptors.append(
                 {"name": new_name, "rows": _pq.ParquetFile(full).metadata.num_rows}
@@ -785,9 +794,9 @@ class MoonTable:
             change_df = change_df.withColumn(
                 VERSION_COL, F.lit(int(commit_version)).cast("long")
             )
-        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        staging = os.path.join(self.data_path, f"_staging_{uuid.uuid4().hex}")
         change_df.coalesce(1).write.mode("overwrite").parquet(staging)
-        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        ch_dir = os.path.join(self.data_path, _CHANGES_DIR)
         os.makedirs(ch_dir, exist_ok=True)
         names: list[str] = []
         for fname in os.listdir(staging):
@@ -815,7 +824,7 @@ class MoonTable:
         """Make committed change files visible (pending → final name).
         Idempotent: already-finalized names are left alone, so crash
         recovery (:meth:`_heal_pending_changes`) can re-run it."""
-        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        ch_dir = os.path.join(self.data_path, _CHANGES_DIR)
         for n in names:
             pend = os.path.join(ch_dir, "." + _PENDING_PREFIX + n)
             final = os.path.join(ch_dir, n)
@@ -831,7 +840,7 @@ class MoonTable:
         """Drop pending change files of a commit that failed (OCC
         conflict): they were never referenced, so nothing downstream can
         have seen them."""
-        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        ch_dir = os.path.join(self.data_path, _CHANGES_DIR)
         for n in names:
             try:
                 os.remove(os.path.join(ch_dir, "." + _PENDING_PREFIX + n))
@@ -854,7 +863,7 @@ class MoonTable:
         """Finalize change files whose commit landed but whose writer
         crashed before the rename (commit-then-finalize window).  Cheap:
         one existence probe per referenced change file."""
-        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        ch_dir = os.path.join(self.data_path, _CHANGES_DIR)
         if not os.path.isdir(ch_dir):
             return
         pending = {
@@ -896,7 +905,7 @@ class MoonTable:
         # a recreate at the same warehouse path must not replay the
         # previous incarnation's cached commits/sidecars
         self.invalidate_caches(self.path)
-        os.makedirs(self.path, exist_ok=True)
+        os.makedirs(self.data_path, exist_ok=True)
         self._write_commit(
             Commit(
                 version=0,
@@ -1883,7 +1892,7 @@ class MoonTable:
         # reclaim orphans (commit never landed — OCC loser / crashed
         # writer) past the grace window
         self._heal_pending_changes()
-        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        ch_dir = os.path.join(self.data_path, _CHANGES_DIR)
         if os.path.isdir(ch_dir):
             for f in os.listdir(ch_dir):
                 if not f.startswith("." + _PENDING_PREFIX):
@@ -1904,7 +1913,7 @@ class MoonTable:
                 for n in (c.props or {}).get("change_files") or []:
                     if v > horizon:
                         keep.add(n)
-            ch_dir = os.path.join(self.path, _CHANGES_DIR)
+            ch_dir = os.path.join(self.data_path, _CHANGES_DIR)
             if os.path.isdir(ch_dir):
                 for f in os.listdir(ch_dir):
                     # dot-prefixed staged files belong to in-flight
@@ -1927,8 +1936,8 @@ class MoonTable:
                 ):
                     os.remove(os.path.join(idx_dir, f))
                     removed += 1
-        for f in os.listdir(self.path):
-            full = os.path.join(self.path, f)
+        for f in os.listdir(self.data_path):
+            full = os.path.join(self.data_path, f)
             if f.endswith(".parquet") and f not in live:
                 os.remove(full)
                 removed += 1
