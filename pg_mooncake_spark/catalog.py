@@ -62,7 +62,22 @@ class SyncCatalog:
         table: str,
         commit_version: Optional[int] = None,
         flush_version: Optional[int] = None,
+        export_version: Optional[int] = None,
+        applied_source_version: Optional[int] = None,
     ) -> None:
+        """Watermark semantics:
+
+        - ``commit_version``: SOURCE version ingested end-to-end (mirror
+          AND exports AND views) — what wait_for_source_version gates on.
+        - ``flush_version``: MIRROR version of the last commit.
+        - ``export_version``: MIRROR version attached exports cover;
+          lags flush_version while apply_changes(defer_exports=True)
+          batches are buffered, and is the repair_exports window anchor
+          after a crash loses that buffer.
+        - ``applied_source_version``: SOURCE version applied to the
+          mirror alone (moves on deferred applies too) — what
+          repair_exports promotes commit_version to once exports
+          converge."""
         with self._lock:
             data = self._load()
             if table not in data:
@@ -71,6 +86,10 @@ class SyncCatalog:
                 data[table]["commit_version"] = commit_version
             if flush_version is not None:
                 data[table]["flush_version"] = flush_version
+            if export_version is not None:
+                data[table]["export_version"] = export_version
+            if applied_source_version is not None:
+                data[table]["applied_source_version"] = applied_source_version
             self._save(data)
 
     def get_or_set_stream_base(self, table: str, checkpoint: str, base: int) -> int:

@@ -281,7 +281,10 @@ class MooncakeEngine:
         )
         if backfill:
             v = mt.append(source_df, source_version=0)
-            self.catalog.update_watermarks(dst, commit_version=0, flush_version=v)
+            self.catalog.update_watermarks(
+                dst, commit_version=0, flush_version=v, export_version=v,
+                applied_source_version=0,
+            )
         return mt
 
     def drop_table(self, dst: str) -> None:
@@ -399,14 +402,20 @@ class MooncakeEngine:
         # batch in the mirror, every attached export, AND every view
         if defer_exports:
             self._refresh_views_of(dst)
-            self.catalog.update_watermarks(dst, flush_version=v)
+            # export_version intentionally NOT moved: exports now lag the
+            # mirror until flush_exports (or, after a crash that loses
+            # the buffered batches, repair_exports) converges them
+            self.catalog.update_watermarks(
+                dst, flush_version=v, applied_source_version=source_version
+            )
             self._maybe_auto_compact(dst, mt)
             return v
         if exports:
             self._sync_exports(mt, changes, exports)
         self._refresh_views_of(dst)
         self.catalog.update_watermarks(
-            dst, commit_version=source_version, flush_version=v
+            dst, commit_version=source_version, flush_version=v,
+            export_version=v, applied_source_version=source_version,
         )
         self._maybe_auto_compact(dst, mt)
         return v
@@ -445,7 +454,10 @@ class MooncakeEngine:
         exports = self.catalog.get(dst).get("exports") or []
         if exports:
             self._sync_exports(mt, changes, exports)
-        self.catalog.update_watermarks(dst, commit_version=source_version)
+        self.catalog.update_watermarks(
+            dst, commit_version=source_version,
+            export_version=mt.latest_version(),
+        )
 
     def attach_export(
         self,
@@ -480,6 +492,139 @@ class MooncakeEngine:
             name, path, fmt=fmt, version=version, partition_by=partition_by
         )
         self.catalog.add_export(name, path)
+        # the export-coverage watermark is the MINIMUM over exports: a
+        # time-travel attach lowers it (repair_exports then re-applies
+        # the window to every export — idempotent key-masked upserts)
+        covered = version if version is not None else mt.latest_version()
+        prior = self.catalog.get(name).get("export_version")
+        if prior is None or covered < prior:
+            self.catalog.update_watermarks(name, export_version=covered)
+
+    def repair_exports(self, dst: str) -> int:
+        """Converge attached exports with the mirror after a crash lost
+        a deferred flush buffer (``apply_changes(defer_exports=True)`` /
+        ``start_sync(export_commit_interval>1)`` whose process died
+        between the mirror merge and ``flush_exports``).  The
+        commit<flush freshness barrier stays honest through the crash —
+        commit_version only moves at flush time — and this is the resume
+        half: re-derive the missed NET change from the mirror itself,
+        apply it to each export, then advance the watermarks.  Returns
+        the mirror version the exports now cover.
+
+        Two strategies:
+
+        - change-feed repair (table created with ``change_feed=True`` or
+          an insert-only window): read the mirror's own change feed over
+          the missed version window, compact to the last image per key
+          (one window function at pk granularity), apply as ONE commit
+          per export — O(delta), the 100 TB path.
+        - state-diff repair (fallback): full-outer-join mirror vs export
+          on the primary key and emit U for differing rows, I for
+          export-missing keys, D for export-only keys.  O(table+export)
+          scan + one shuffle — heavier, but correct for any history.
+
+        ``start_sync`` calls this on (re)attach, so a restarted sync
+        loop converges exports before new batches flow."""
+        dst = self._canon(dst)
+        entry = self.catalog.get(dst)
+        exports = entry.get("exports") or []
+        mt = self._moontable(dst)
+        latest = mt.latest_version()
+        ev = entry.get("export_version")
+        asv = entry.get("applied_source_version")
+        if not exports or ev is None or ev >= latest:
+            # nothing to converge (legacy entries without the watermark
+            # are assumed current — there is no lag evidence to act on)
+            self.catalog.update_watermarks(
+                dst,
+                export_version=latest,
+                commit_version=asv if asv is not None else None,
+            )
+            return latest
+        pk = mt.primary_key() or []
+        net = None
+        try:
+            net = self._net_changes_from_feed(mt, ev + 1, latest, pk)
+        except Exception:
+            net = None  # feed unavailable for the window: state diff
+        if net is not None:
+            self._sync_exports(mt, net, exports)
+        else:
+            for path in exports:
+                diff = self._state_diff_ops(mt, path, pk)
+                self._sync_exports(mt, diff, [path])
+        self.catalog.update_watermarks(
+            dst,
+            export_version=latest,
+            commit_version=asv if asv is not None else None,
+        )
+        return latest
+
+    def _net_changes_from_feed(
+        self, mt: MoonTable, start: int, end: int, pk: list[str]
+    ) -> DataFrame:
+        """Mirror change feed over [start, end] reduced to the last
+        image per key — exactly the upsert/delete set an export needs to
+        catch up, computed without touching the export."""
+        from pyspark.sql import Window
+
+        from pg_mooncake_spark.storage import VERSION_COL
+        from pg_mooncake_spark.streaming.cdc import feed_as_ops
+
+        feed = mt.changes(start, end)
+        ordered = feed.withColumn("__repair_v", F.col(VERSION_COL))
+        ops = feed_as_ops(ordered, primary_key=pk)
+        w = Window.partitionBy(*pk).orderBy(F.col("__repair_v").desc())
+        return (
+            ops.withColumn("__repair_rn", F.row_number().over(w))
+            .filter(F.col("__repair_rn") == 1)
+            .drop("__repair_rn", "__repair_v")
+        )
+
+    def _state_diff_ops(
+        self, mt: MoonTable, export_path: str, pk: list[str]
+    ) -> DataFrame:
+        """CDC batch that rewrites ``export_path`` into the mirror's
+        current state: one full-outer join on pk, struct-level null-safe
+        comparison for changed rows."""
+        cols = [f.name for f in mt.schema().fields]
+        mirror = mt.read().select(*cols).alias("__m")
+        if os.path.isdir(os.path.join(export_path, "_delta_log")):
+            from pg_mooncake_spark.sources.delta import read_delta
+
+            exp = read_delta(self.spark, export_path)
+        else:
+            from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+            exp = read_iceberg(self.spark, export_path)
+        for f in mt.schema().fields:
+            if f.name not in exp.columns:
+                exp = exp.withColumn(f.name, F.lit(None).cast(f.dataType))
+        exp = exp.select(
+            *[F.col(c).cast(mt.schema()[c].dataType).alias(c) for c in cols]
+        ).alias("__e")
+        cond = None
+        for k in pk:
+            c = F.col(f"__m.{k}").eqNullSafe(F.col(f"__e.{k}"))
+            cond = c if cond is None else (cond & c)
+        j = mirror.join(exp, cond, "full_outer")
+        m_missing = F.col(f"__m.{pk[0]}").isNull()
+        e_missing = F.col(f"__e.{pk[0]}").isNull()
+        differs = ~F.struct(
+            *[F.col(f"__m.{c}") for c in cols]
+        ).eqNullSafe(F.struct(*[F.col(f"__e.{c}") for c in cols]))
+        op = (
+            F.when(e_missing, F.lit("I"))
+            .when(m_missing, F.lit("D"))
+            .when(differs, F.lit("U"))
+        )
+        side = F.when(m_missing, F.struct(*[F.col(f"__e.{c}") for c in cols])) \
+            .otherwise(F.struct(*[F.col(f"__m.{c}") for c in cols]))
+        return (
+            j.select(side.alias("__row"), op.alias(OP_COL))
+            .filter(F.col(OP_COL).isNotNull())
+            .select(*[F.col(f"__row.{c}").alias(c) for c in cols], OP_COL)
+        )
 
     def _sync_exports(
         self,
@@ -578,7 +723,8 @@ class MooncakeEngine:
             )
         self._refresh_views_of(dst)
         self.catalog.update_watermarks(
-            dst, commit_version=source_version, flush_version=v
+            dst, commit_version=source_version, flush_version=v,
+            export_version=v, applied_source_version=source_version,
         )
         return v
 
@@ -619,7 +765,7 @@ class MooncakeEngine:
             # both rows in the mirror, so the export must keep both too)
             self._sync_exports(mt, changes, exports, upsert_inserts=False)
         self._refresh_views_of(dst)
-        self.catalog.update_watermarks(dst, flush_version=v)
+        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
         return v
 
     def delete_where(self, dst: str, condition: str, strategy: str = "auto") -> int:
@@ -637,7 +783,7 @@ class MooncakeEngine:
         if exports and matched is not None:
             self._sync_exports(mt, changes_df(matched, op="D"), exports)
         self._refresh_views_of(dst)
-        self.catalog.update_watermarks(dst, flush_version=v)
+        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
         return v
 
     def wait_for_source_version(
@@ -842,7 +988,7 @@ class MooncakeEngine:
                 compact_iceberg(self.spark, path)
                 rename_column_iceberg(path, old, new)
         v = mt.rename_column(old, new)
-        self.catalog.update_watermarks(dst, flush_version=v)
+        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
         # materialized views over this mirror: remap their specs (and,
         # for a renamed GROUP BY key, their state tables) so refreshes
         # keep working under the new name (VERDICT r8 task 7)
@@ -904,7 +1050,7 @@ class MooncakeEngine:
             )
             if mode == "vacuum":
                 expire_snapshots(path, retain_last=1)
-        self.catalog.update_watermarks(dst, flush_version=v)
+        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
         return v
 
     def export_table(

@@ -79,6 +79,13 @@ def start_sync(
         dst, os.path.abspath(checkpoint_dir), fallback
     )
 
+    # a (re)started loop may resume after a crash that lost a buffered
+    # deferred-export flush (export_commit_interval>1): converge exports
+    # from the mirror BEFORE new batches flow, so the commit watermark
+    # can honestly advance past the crashed window (engine.repair_exports
+    # is a no-op catalog touch when exports are already current)
+    engine.repair_exports(dst)
+
     applied_epochs: set[int] = set()
     pending: list[tuple[int, DataFrame]] = []
 

@@ -447,3 +447,224 @@ def test_streaming_export_commit_batching(spark, tmp_path):
     assert snaps_coalesced < snaps_per_batch, (
         f"coalesced {snaps_coalesced} !< per-batch {snaps_per_batch}"
     )
+
+
+class TestDeferredExportCrashSafety:
+    """VERDICT r8 task 8 / r9 task 6: with defer_exports, a crash
+    between the mirror merge and flush_exports must (a) keep the
+    commit<flush freshness barrier honest — the commit watermark never
+    claims export coverage it doesn't have — and (b) leave a resume
+    path (repair_exports, run by start_sync on re-attach) that
+    converges exports to the mirror exactly."""
+
+    @staticmethod
+    def _setup(spark, tmp_path, tag, change_feed):
+        from pg_mooncake_spark.engine import MooncakeEngine
+
+        eng = MooncakeEngine(spark, str(tmp_path / f"wh_{tag}"))
+        eng.create_table(
+            "t",
+            source_df=spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+            ),
+            primary_key=["k"],
+            change_feed=change_feed,
+        )
+        exp = str(tmp_path / f"exp_{tag}")
+        eng.attach_export("t", exp)
+        return eng, exp
+
+    @staticmethod
+    def _export_rows(spark, exp):
+        from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+        return sorted(
+            (r["k"], r["v"]) for r in read_iceberg(spark, exp).collect()
+        )
+
+    def test_crash_between_merge_and_flush(self, spark, tmp_path):
+        from pg_mooncake_spark.engine import MooncakeEngine
+
+        eng, exp = self._setup(spark, tmp_path, "crash", change_feed=True)
+        # batch 1 fully flushed (src version 1)
+        eng.apply_changes(
+            "t",
+            spark.createDataFrame([(2, "b1", "U")], "k int, v string, __op string"),
+            source_version=1,
+        )
+        # batches 2 and 3 deferred — exports never see them, then CRASH
+        # (the buffer holding them dies with the process)
+        for sv, rows in (
+            (2, [(3, None, "D"), (4, "d", "I")]),
+            (3, [(4, "d2", "U"), (5, "e", "I")]),
+        ):
+            eng.apply_changes(
+                "t",
+                spark.createDataFrame(rows, "k int, v string, __op string"),
+                source_version=sv,
+                defer_exports=True,
+            )
+        mirror_want = [(1, "a"), (2, "b1"), (4, "d2"), (5, "e")]
+        assert sorted(
+            (r["k"], r["v"]) for r in eng.table("t").collect()
+        ) == mirror_want
+        # barrier honest: export-lagging source versions are NOT claimed
+        eng.wait_for_source_version("t", 1, timeout=5)
+        with pytest.raises(TimeoutError):
+            eng.wait_for_source_version("t", 2, timeout=0.3)
+        assert self._export_rows(spark, exp) == [(1, "a"), (2, "b1"), (3, "c")]
+
+        # resume in a NEW engine (fresh process over the same warehouse)
+        eng2 = MooncakeEngine(spark, str(tmp_path / "wh_crash"))
+        v = eng2.repair_exports("t")
+        assert self._export_rows(spark, exp) == mirror_want
+        assert eng2.catalog.get("t")["export_version"] == v
+        # and the barrier now passes for the crashed window
+        eng2.wait_for_source_version("t", 3, timeout=5)
+
+    def test_repair_without_change_feed_state_diff(self, spark, tmp_path):
+        from pg_mooncake_spark.engine import MooncakeEngine
+
+        eng, exp = self._setup(spark, tmp_path, "diff", change_feed=False)
+        eng.apply_changes(
+            "t",
+            spark.createDataFrame(
+                [(1, "a9", "U"), (2, None, "D"), (9, "i", "I")],
+                "k int, v string, __op string",
+            ),
+            source_version=1,
+            defer_exports=True,
+        )
+        # no feed for DML commits → repair falls back to the state diff
+        eng2 = MooncakeEngine(spark, str(tmp_path / "wh_diff"))
+        eng2.repair_exports("t")
+        mirror = sorted((r["k"], r["v"]) for r in eng2.table("t").collect())
+        assert self._export_rows(spark, exp) == mirror == [
+            (1, "a9"), (3, "c"), (9, "i"),
+        ]
+
+    def test_restarted_sync_loop_repairs_first(self, spark, tmp_path):
+        """Streaming shape: drain with export_commit_interval larger
+        than the batch count, 'crash' by never flushing the tail, then
+        restart the loop over new data — the re-attach must converge
+        the export for the crashed window AND the new batches."""
+        import time
+
+        from pg_mooncake_spark.engine import MooncakeEngine
+        from pg_mooncake_spark.streaming.cdc import start_sync
+
+        eng, exp = self._setup(spark, tmp_path, "loop", change_feed=True)
+        sdir = str(tmp_path / "src_loop")
+        os.makedirs(sdir)
+        for rows in ([[(2, "b9", "U")]], [[(7, "g", "I")]]):
+            spark.createDataFrame(
+                rows[0], "k int, v string, __op string"
+            ).coalesce(1).write.mode("append").parquet(sdir)
+            time.sleep(0.05)
+        stream = (
+            spark.readStream.schema("k int, v string, __op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q = start_sync(
+            eng, "t", stream,
+            checkpoint_dir=str(tmp_path / "ckpt_loop"),
+            trigger_available_now=True,
+            export_commit_interval=100,  # never flushes during the drain
+        )
+        q.awaitTermination()
+        # crash: flush_pending_exports is never called; export is stale
+        assert self._export_rows(spark, exp) == [(1, "a"), (2, "b"), (3, "c")]
+
+        eng2 = MooncakeEngine(spark, str(tmp_path / "wh_loop"))
+        spark.createDataFrame(
+            [(8, "h", "I")], "k int, v string, __op string"
+        ).coalesce(1).write.mode("append").parquet(sdir)
+        stream2 = (
+            spark.readStream.schema("k int, v string, __op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q2 = start_sync(
+            eng2, "t", stream2,
+            checkpoint_dir=str(tmp_path / "ckpt_loop"),
+            trigger_available_now=True,
+        )
+        q2.awaitTermination()
+        mirror = sorted((r["k"], r["v"]) for r in eng2.table("t").collect())
+        assert self._export_rows(spark, exp) == mirror
+        assert (8, "h") in mirror and (2, "b9") in mirror and (7, "g") in mirror
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_op_batch = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=6), st.sampled_from("IUD")),
+    min_size=1, max_size=3,
+).map(lambda ops: list({k: op for k, op in ops}.items()))  # one op per key
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(_op_batch, min_size=1, max_size=4),
+    crash_after=st.integers(min_value=0, max_value=3),
+)
+def test_deferred_export_crash_repair_property(spark, batches, crash_after):
+    """Property (VERDICT r8 task 8): for ANY batch sequence and ANY
+    crash point splitting it into flushed/deferred-then-lost halves,
+    (1) the commit watermark never exceeds the last flushed source
+    version, and (2) repair_exports converges the export to the
+    mirror exactly."""
+    import tempfile
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    wh = tempfile.mkdtemp(prefix="crashprop_wh_")
+    exp = tempfile.mkdtemp(prefix="crashprop_exp_") + "/e"
+    eng = MooncakeEngine(spark, wh)
+    eng.create_table(
+        "p",
+        source_df=spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ),
+        primary_key=["k"],
+        change_feed=True,
+    )
+    eng.attach_export("p", exp)
+    crash_after = min(crash_after, len(batches))
+    live = {1: "a", 2: "b"}
+    for i, ops in enumerate(batches):
+        sv = i + 1
+        rows = []
+        for k, op in ops:
+            if op == "D" and k not in live:
+                op = "I"  # deleting an absent key: degrade to insert
+            val = None if op == "D" else f"v{sv}_{k}"
+            rows.append((k, val, op))
+            if op == "D":
+                live.pop(k, None)
+            else:
+                live[k] = val
+        eng.apply_changes(
+            "p",
+            spark.createDataFrame(rows, "k int, v string, __op string"),
+            source_version=sv,
+            defer_exports=(i >= crash_after),
+        )
+    entry = eng.catalog.get("p")
+    assert (entry.get("commit_version") or 0) <= crash_after
+    # crash + resume
+    eng2 = MooncakeEngine(spark, wh)
+    eng2.repair_exports("p")
+    mirror = sorted((r["k"], r["v"]) for r in eng2.table("p").collect())
+    export = sorted(
+        (r["k"], r["v"]) for r in read_iceberg(spark, exp).collect()
+    )
+    assert mirror == export == sorted(live.items())
+    assert eng2.catalog.get("p")["commit_version"] == len(batches) or not batches
