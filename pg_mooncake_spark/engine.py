@@ -39,6 +39,7 @@ _DML_KIND = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.I)
 # a table identifier as it appears in a statement: bare/qualified name or
 # a double-quoted (possibly schema-qualified) identifier
 _SQL_TABLE = r'((?:"[^"]*"|[A-Za-z_]\w*)(?:\.(?:"[^"]*"|[A-Za-z_]\w*))?)'
+_MERGE_MULTI_MATCH_MSG = "MERGE: a target row matched multiple source rows"
 
 
 def _scan_top(s: str):
@@ -1438,22 +1439,45 @@ class MooncakeEngine:
                         f"re-insert instead"
                     )
 
-        parts: list[DataFrame] = []
-        matched = tgt_df.join(src_df, cond, "inner")
-        if matched_clauses:
-            # SQL standard: each target row matches at most one source row
-            dup = (
-                matched.groupBy(*[F.col(f"{tgt_alias}.{k}") for k in pk])
-                .count().filter("count > 1").limit(1).count()
-            )
-            if dup:
-                raise ValueError(
-                    "MERGE: a target row matched multiple source rows"
-                )
-
         def _tvl(sql_cond: str) -> Column:
             # three-valued logic: UNKNOWN does not fire the clause
             return F.coalesce(F.expr(sql_cond).cast("boolean"), F.lit(False))
+
+        parts: list[DataFrame] = []
+        matched = tgt_df.join(src_df, cond, "inner")
+        if matched_clauses:
+            # SQL standard: each target row may be MODIFIED by at most
+            # one source row.  Enforced inside the branch job itself
+            # (VERDICT r9 task 7 — previously a separate eager aggregate
+            # job over the matched set): a window count of action-firing
+            # rows per pk, and raise_error where it exceeds 1.  Costs at
+            # most ONE extra exchange (hash by pk for the window — often
+            # reused from the join), zero extra jobs, and matches
+            # Delta/DuckDB semantics exactly: duplicates that fire no
+            # WHEN MATCHED clause modify nothing and are legal.
+            from pyspark.sql import Window
+
+            fires = None
+            for _kind, extra, _a in matched_clauses:
+                g = _tvl(extra)
+                fires = g if fires is None else (fires | g)
+            w = Window.partitionBy(*[F.col(f"{tgt_alias}.{k}") for k in pk])
+            matched = matched.withColumn(
+                "__match_n", F.count(F.when(fires, F.lit(1))).over(w)
+            )
+
+        def _op_guarded(tag: str) -> Column:
+            # attached to the op column so column pruning can never drop
+            # the check; NullType from raise_error casts to string
+            return (
+                F.when(
+                    F.col("__match_n") > 1,
+                    F.raise_error(
+                        F.lit(_MERGE_MULTI_MATCH_MSG)
+                    ).cast("string"),
+                )
+                .otherwise(F.lit(tag))
+            )
 
         earlier: list[str] = []
         for kind, extra, assignments in matched_clauses:
@@ -1471,14 +1495,16 @@ class MooncakeEngine:
                         if c in assignments
                         else F.col(f"{tgt_alias}.{c}").alias(c)
                         for c in names
-                    ]
+                    ],
+                    _op_guarded("U").alias(OP_COL),
                 )
-                parts.append(u.withColumn(OP_COL, F.lit("U")))
+                parts.append(u)
             else:
                 d = rows.select(
-                    *[F.col(f"{tgt_alias}.{c}").alias(c) for c in names]
+                    *[F.col(f"{tgt_alias}.{c}").alias(c) for c in names],
+                    _op_guarded("D").alias(OP_COL),
                 )
-                parts.append(d.withColumn(OP_COL, F.lit("D")))
+                parts.append(d)
         if ins is not None:
             extra, cols, values_sql = ins
             unmatched = src_df.join(tgt_df, cond, "left_anti").filter(
@@ -1506,7 +1532,12 @@ class MooncakeEngine:
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p)
-        v = self.apply_changes(name, batch)
+        try:
+            v = self.apply_changes(name, batch)
+        except Exception as e:  # surface the in-job guard as ValueError
+            if _MERGE_MULTI_MATCH_MSG in str(e):
+                raise ValueError(_MERGE_MULTI_MATCH_MSG) from None
+            raise
         return self._dml_result("MERGE", t, v)
 
     def _dml_result(self, stmt: str, t: str, v: int) -> DataFrame:

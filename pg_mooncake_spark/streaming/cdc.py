@@ -32,6 +32,7 @@ def start_sync(
     processing_time: str = "1 second",
     on_schema_drift: str = "fail",
     export_commit_interval: int = 1,
+    feed_primary_key: Optional[list[str]] = None,
 ) -> StreamingQuery:
     """Attach a change stream to a mirror; returns the StreamingQuery
     (the engine-session-owned sync loop, reference A13).
@@ -55,6 +56,17 @@ def start_sync(
       AND exports".  A buffered tail is flushed by
       :func:`flush_pending_exports` (sync_available does it
       automatically after the drain).
+    - ``feed_primary_key=[...]`` accepts a RAW change-feed stream
+      (engine.stream_changes vocabulary: ``_change_type`` +
+      ``_commit_version``) and converts each micro-batch through
+      :func:`feed_as_ops` with pk-rewrite safety — the (version, pk)
+      anti-join that stream-stream mode cannot express runs on the
+      BATCH frame inside foreachBatch instead.  Sound because one
+      commit's change rows are staged as a single file
+      (storage._stage_change_files coalesces to 1) and a file source
+      never splits a file across micro-batches, so a version's pre- and
+      post-images always co-travel.  This closes the stream-stream
+      chaining gap for pk-rewriting upstreams (VERDICT r9 task 8).
     """
     if not change_stream.isStreaming:
         raise ValueError("change_stream must be a streaming DataFrame")
@@ -105,6 +117,11 @@ def start_sync(
         if epoch_id in applied_epochs:
             return
         applied_epochs.add(epoch_id)
+        if feed_primary_key is not None:
+            # raw feed vocabulary -> {I,U,D} ops, pk-rewrite-safe: the
+            # micro-batch is a plain batch frame here, so the
+            # (version, pk) anti-join is an ordinary join
+            batch_df = feed_as_ops(batch_df, primary_key=feed_primary_key)
         if batch_df.isEmpty():
             return
         if export_commit_interval <= 1:
@@ -186,6 +203,7 @@ def sync_available(
     checkpoint_dir: Optional[str] = None,
     on_schema_drift: str = "fail",
     export_commit_interval: int = 1,
+    feed_primary_key: Optional[list[str]] = None,
 ) -> None:
     """Drain everything currently available in the stream, then stop —
     the synchronous 'catch up now' barrier used by tests and
@@ -195,6 +213,7 @@ def sync_available(
         engine, dst, change_stream, checkpoint_dir,
         trigger_available_now=True, on_schema_drift=on_schema_drift,
         export_commit_interval=export_commit_interval,
+        feed_primary_key=feed_primary_key,
     )
     q.awaitTermination()
     flush_pending_exports(engine, dst)
@@ -244,8 +263,10 @@ def feed_as_ops(
             raise NotImplementedError(
                 "pk-rewrite-safe feed_as_ops needs a (version, pk) "
                 "anti-join, which stream-stream mode does not support "
-                "without watermarks; drain the upstream feed in batch "
-                "mode (drain_available) when updates may rewrite the key"
+                "without watermarks; pass the RAW feed stream to "
+                "start_sync(feed_primary_key=[...]) — the conversion "
+                "then runs per micro-batch inside foreachBatch — or "
+                "drain the feed in batch mode (sync_available)"
             )
         join_cols = list(primary_key)
         if VERSION_COL in feed_df.columns:
