@@ -941,7 +941,16 @@ class MooncakeEngine:
         else:
             raise ValueError(f"unsupported format {fmt!r}")
         v = mt.append(df)
-        self.catalog.update_watermarks(dst, flush_version=v)
+        # attached exports follow the bulk load too (blind append, same
+        # as mt.append: duplicates are kept on both sides) — previously
+        # load_files silently diverged exports until a repair ran
+        exports = self.catalog.get(dst).get("exports") or []
+        if exports:
+            self._sync_exports(
+                mt, changes_df(df, op="I"), exports, upsert_inserts=False
+            )
+        self._refresh_views_of(dst)
+        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
         return v
 
     def rename_column(self, dst: str, old: str, new: str) -> int:
@@ -1288,16 +1297,22 @@ class MooncakeEngine:
             ON <condition>
             [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...
              | WHEN MATCHED [AND <cond>] THEN DELETE] ...
-            [WHEN NOT MATCHED [AND <cond>] THEN
-             INSERT [(cols)] VALUES (exprs)]
+            [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+             INSERT [(cols)] VALUES (exprs)] ...
+            [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+             UPDATE SET c = expr, ... | DELETE] ...
 
-        Any number of WHEN MATCHED clauses is accepted; they apply
-        FIRST-MATCH-WINS in statement order per the SQL standard (clause
-        i fires only where coalesce(cond_i, false) holds and every
-        earlier clause's condition does not — a NULL condition falls
-        through rather than firing or suppressing later clauses).
-        UPDATE SET may not assign a primary-key column (that would
-        re-key the row through apply_changes and strand the old image).
+        Any number of clauses of each kind is accepted; within a kind
+        they apply FIRST-MATCH-WINS in statement order per the SQL
+        standard (clause i fires only where coalesce(cond_i, false)
+        holds and every earlier same-kind clause's condition does not —
+        a NULL condition falls through rather than firing or
+        suppressing later clauses).  ``WHEN NOT MATCHED BY SOURCE``
+        (SQL:2023) acts on TARGET rows with no source match; its
+        conditions and SET expressions may reference target columns
+        only.  UPDATE SET may not assign a primary-key column (that
+        would re-key the row through apply_changes and strand the old
+        image).
 
         Compilation is three declarative joins funneled into ONE CDC
         batch (so the commit is atomic and exports/MVs sync once):
@@ -1362,22 +1377,59 @@ class MooncakeEngine:
         matched_clauses: list[
             tuple[str, str, Optional[dict[str, str]]]
         ] = []
-        ins: Optional[tuple[str, Optional[list[str]], str]] = None
+        # NOT MATCHED BY SOURCE: target rows without a source match —
+        # same (kind, cond, assignments) shape as matched_clauses
+        by_source_clauses: list[
+            tuple[str, str, Optional[dict[str, str]]]
+        ] = []
+        ins_clauses: list[tuple[str, Optional[list[str]], str]] = []
+
+        def _parse_upd_del(action: str, ctx: str) -> tuple[str, Optional[dict]]:
+            if re.match(r"DELETE\s*$", action, re.I):
+                return ("D", None)
+            um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+            if not um:
+                raise ValueError(
+                    f"{ctx} action must be UPDATE SET or DELETE: {action!r}"
+                )
+            assignments: dict[str, str] = {}
+            for part in _split_top_commas(um.group(1)):
+                pm = re.match(
+                    r'\s*(?:\w+\.)?("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$',
+                    part, re.S,
+                )
+                if not pm:
+                    raise ValueError(f"cannot parse SET clause: {part!r}")
+                assignments[pm.group(1).strip('"')] = pm.group(2).strip()
+            return ("U", assignments)
+
         while rest:
             wm = re.match(
-                r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(.*)$",
+                r"WHEN\s+(NOT\s+)?MATCHED\s*(?:BY\s+(SOURCE|TARGET)\s*)?"
+                r"(?:AND\s+(.*?))?\s*THEN\s+(.*)$",
                 rest, re.I | re.S,
             )
             if not wm:
                 raise ValueError(f"cannot parse WHEN clause: {rest!r}")
-            is_not, extra, action = bool(wm.group(1)), wm.group(2), wm.group(3)
+            is_not = bool(wm.group(1))
+            by = (wm.group(2) or "").upper()
+            extra, action = wm.group(3), wm.group(4)
+            if by and not is_not:
+                raise ValueError(
+                    f"BY {by} is only valid after WHEN NOT MATCHED: {q!r}"
+                )
             nxt = _find_top_keyword(action, "WHEN")
             action, rest = (
                 (action[:nxt].strip(), action[nxt:]) if nxt >= 0
                 else (action.strip(), "")
             )
             extra_cond = (extra or "true").strip() or "true"
-            if is_not:
+            if is_not and by == "SOURCE":
+                kind, assignments = _parse_upd_del(
+                    action, "WHEN NOT MATCHED BY SOURCE"
+                )
+                by_source_clauses.append((kind, extra_cond, assignments))
+            elif is_not:
                 im = re.match(
                     r"INSERT\s*(\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
                     action, re.I | re.S,
@@ -1391,9 +1443,7 @@ class MooncakeEngine:
                     [c.strip().strip('"') for c in im.group(2).split(",")]
                     if im.group(2) else None
                 )
-                if ins is not None:
-                    raise ValueError("multiple WHEN NOT MATCHED clauses")
-                ins = (extra_cond, cols, im.group(3))
+                ins_clauses.append((extra_cond, cols, im.group(3)))
             elif re.match(r"DELETE\s*$", action, re.I):
                 matched_clauses.append(("D", extra_cond, None))
             else:
@@ -1427,7 +1477,7 @@ class MooncakeEngine:
         cond = F.expr(on_cond)
         names = [f.name for f in schema.fields]
 
-        for kind, _extra, assignments in matched_clauses:
+        for kind, _extra, assignments in matched_clauses + by_source_clauses:
             if kind == "U" and assignments:
                 pk_hits = sorted(set(assignments) & set(pk))
                 if pk_hits:
@@ -1505,28 +1555,62 @@ class MooncakeEngine:
                     _op_guarded("D").alias(OP_COL),
                 )
                 parts.append(d)
-        if ins is not None:
-            extra, cols, values_sql = ins
-            unmatched = src_df.join(tgt_df, cond, "left_anti").filter(
-                F.expr(extra)
-            )
-            exprs = _split_top_commas(values_sql)
-            target_cols = cols if cols is not None else names
-            if len(exprs) != len(target_cols):
-                raise ValueError(
-                    f"MERGE INSERT arity mismatch: {len(exprs)} values for "
-                    f"{len(target_cols)} columns {target_cols}"
+        if by_source_clauses:
+            # SQL:2023 NOT MATCHED BY SOURCE: target rows with no source
+            # match — one left-anti join, then the same ordered
+            # first-match-wins gating.  No multi-match guard needed:
+            # the anti-join emits each target row at most once.
+            unmatched_tgt = tgt_df.join(src_df, cond, "left_anti")
+            earlier_ns: list[str] = []
+            for kind, extra, assignments in by_source_clauses:
+                gate = _tvl(extra)
+                for prev in earlier_ns:
+                    gate = gate & ~_tvl(prev)
+                earlier_ns.append(extra)
+                rows = unmatched_tgt.filter(gate)
+                if kind == "U":
+                    assert assignments is not None
+                    u = rows.select(
+                        *[
+                            F.expr(assignments[c]).cast(schema[c].dataType)
+                            .alias(c)
+                            if c in assignments
+                            else F.col(f"{tgt_alias}.{c}").alias(c)
+                            for c in names
+                        ]
+                    )
+                    parts.append(u.withColumn(OP_COL, F.lit("U")))
+                else:
+                    d = rows.select(
+                        *[F.col(f"{tgt_alias}.{c}").alias(c) for c in names]
+                    )
+                    parts.append(d.withColumn(OP_COL, F.lit("D")))
+        if ins_clauses:
+            unmatched = src_df.join(tgt_df, cond, "left_anti")
+            earlier_i: list[str] = []
+            for extra, cols, values_sql in ins_clauses:
+                gate = _tvl(extra)
+                for prev in earlier_i:
+                    gate = gate & ~_tvl(prev)
+                earlier_i.append(extra)
+                fired = unmatched.filter(gate)
+                exprs = _split_top_commas(values_sql)
+                target_cols = cols if cols is not None else names
+                if len(exprs) != len(target_cols):
+                    raise ValueError(
+                        f"MERGE INSERT arity mismatch: {len(exprs)} values "
+                        f"for {len(target_cols)} columns {target_cols}"
+                    )
+                by_col = dict(zip(target_cols, exprs))
+                i_df = fired.select(
+                    *[
+                        F.expr(by_col[c]).cast(schema[c].dataType).alias(c)
+                        if c in by_col
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
+                        for c in names
+                    ]
                 )
-            by_col = dict(zip(target_cols, exprs))
-            i_df = unmatched.select(
-                *[
-                    F.expr(by_col[c]).cast(schema[c].dataType).alias(c)
-                    if c in by_col
-                    else F.lit(None).cast(schema[c].dataType).alias(c)
-                    for c in names
-                ]
-            )
-            parts.append(i_df.withColumn(OP_COL, F.lit("I")))
+                parts.append(i_df.withColumn(OP_COL, F.lit("I")))
         if not parts:
             raise ValueError(f"MERGE has no actionable WHEN clause: {q!r}")
         batch = parts[0]

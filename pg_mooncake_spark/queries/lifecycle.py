@@ -1073,3 +1073,64 @@ def lifecycle_sql_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c_name") == "new", 1)).alias("n_inserted"),
         dsum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@query(
+    "lifecycle_sql_merge_by_source",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 2 = 0
+    ),
+    src AS (
+      SELECT o_custkey AS k, COUNT(*) AS cnt
+      FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    ),
+    merged AS (
+      -- matched: balance zeroed
+      SELECT t.c_custkey, t.c_name, CAST(0.0 AS DOUBLE) AS c_acctbal
+      FROM tgt t JOIN src s ON t.c_custkey = s.k
+      UNION ALL
+      -- not matched by source, first-match-wins:
+      --   c_acctbal < 0 -> DELETE (excluded)
+      --   else          -> name = 'dormant'
+      SELECT t.c_custkey, 'dormant', t.c_acctbal
+      FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k
+      WHERE s.k IS NULL AND NOT (t.c_acctbal < 0)
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN c_name = 'dormant' THEN 1 END) AS n_dormant,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM merged
+    """,
+)
+def lifecycle_sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ``WHEN NOT MATCHED BY SOURCE``: customers with no orders
+    in the source window are deleted (negative balance) or flagged
+    dormant — the retention/cleanup MERGE shape Postgres 17 and DuckDB
+    run.  Ordered with a conditional DELETE before the catch-all UPDATE
+    so the oracle also pins first-match-wins on the BY SOURCE side."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter("c_custkey % 2 = 0")
+    )
+    eng.create_table("custbs", source_df=cust, primary_key=["c_custkey"])
+    t(spark, sf_dir, "orders").filter("o_custkey % 2 = 0").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("cnt")).createOrReplaceTempView(
+        "merge_bs_src"
+    )
+    eng.sql("""
+        MERGE INTO custbs USING merge_bs_src AS s
+        ON custbs.c_custkey = s.k
+        WHEN MATCHED THEN UPDATE SET c_acctbal = 0.0
+        WHEN NOT MATCHED BY SOURCE AND c_acctbal < 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_name = 'dormant'
+    """)
+    return eng.table("custbs").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("c_name") == "dormant", 1)).alias("n_dormant"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )

@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = (
     # clause-order regression key (VERDICT r9 tasks 1 and 3)
     "lifecycle_sql_merge",
     "lifecycle_sql_merge_order",
+    "lifecycle_sql_merge_by_source",
     "delta_cdf_mapped_rename",
     "mv_rename_survival",
     # (3a) last driver-verified in round 5 — the stalest slice
@@ -73,9 +74,10 @@ _WINDOW_PRIORITY = (
     "sim_ann_ivf",
     "text_pii_redaction",
     "text_repetition_score",
-    # (3b) last driver-verified in round 6 — first 41 alphabetically;
-    # the remaining 9 r6 keys (subquery_*, text_winnowing_fingerprints,
-    # topk_per_group, unpivot_stack, window_*) head the r11 rotation
+    # (3b) last driver-verified in round 6 — first 40 alphabetically;
+    # the remaining 10 r6 keys (setop_union_distinct, subquery_*,
+    # text_winnowing_fingerprints, topk_per_group, unpivot_stack,
+    # window_*) head the r11 rotation
     "agg_cube_with_grouping",
     "agg_distinct_and_filtered",
     "agg_grouping_sets",
@@ -116,7 +118,6 @@ _WINDOW_PRIORITY = (
     "setop_intersect",
     "setop_intersect_all",
     "setop_union_all",
-    "setop_union_distinct",
 )
 
 

@@ -1033,3 +1033,23 @@ class TestDropRecreateSamePath:
         # time travel on the new incarnation sees only its own history
         mt = eng._moontable("r")
         assert len(mt.history()) == 2  # create + backfill append
+
+
+def test_load_files_syncs_attached_exports(spark, warehouse, tmp_path):
+    """A bulk load into a mirror with attached exports must land in the
+    exports too (previously load_files appended to the mirror only,
+    silently diverging every export until a repair ran)."""
+    from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+    eng = _engine(spark, warehouse)
+    src = spark.createDataFrame([(1, "a")], "k int, v string")
+    eng.create_table("lfx", source_df=src, primary_key=["k"])
+    exp = str(tmp_path / "exp")
+    eng.attach_export("lfx", exp)
+    pq = str(tmp_path / "in_pq")
+    spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string").write.parquet(pq)
+    v = eng.load_files("lfx", [pq], fmt="parquet")
+    mirror = sorted(tuple(r) for r in eng.table("lfx").collect())
+    export = sorted(tuple(r) for r in read_iceberg(spark, exp).collect())
+    assert mirror == export == [(1, "a"), (2, "b"), (3, "c")]
+    assert eng.catalog.get("lfx")["export_version"] == v

@@ -316,3 +316,65 @@ class TestMergeGuardCost:
                 "MERGE INTO m USING mg3 AS s ON m.k = s.k "
                 "WHEN MATCHED AND s.amt > 50 THEN UPDATE SET x = s.amt"
             )
+
+
+class TestMergeNotMatchedBySource:
+    """SQL:2023 WHEN NOT MATCHED BY SOURCE (+ multiple ordered WHEN NOT
+    MATCHED clauses): target rows without a source match can be updated
+    or deleted; all clause kinds stay first-match-wins."""
+
+    def test_by_source_update_and_delete(self, eng, spark):
+        spark.createDataFrame(
+            [(2, "B")], "k long, v string"
+        ).createOrReplaceTempView("ns1")
+        eng.sql(
+            "MERGE INTO m USING ns1 AS s ON m.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED BY SOURCE AND x < 2 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'"
+        )
+        # k=1 (x=1): deleted; k=3 (x=3): marked stale; k=2: updated
+        assert _rows(eng) == [(2, "B", 2.0), (3, "stale", 3.0)]
+
+    def test_multiple_insert_clauses_first_wins(self, eng, spark):
+        spark.createDataFrame(
+            [(7, 100.0), (8, 1.0)], "k long, amt double"
+        ).createOrReplaceTempView("ns2")
+        eng.sql(
+            "MERGE INTO m USING ns2 AS s ON m.k = s.k "
+            "WHEN NOT MATCHED AND s.amt > 50 THEN "
+            "  INSERT (k, v, x) VALUES (s.k, 'big', s.amt) "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'small')"
+        )
+        assert (7, "big", 100.0) in _rows(eng)
+        assert (8, "small", None) in _rows(eng)
+
+    def test_by_target_alias_accepted(self, eng, spark):
+        spark.createDataFrame(
+            [(9, "i")], "k long, v string"
+        ).createOrReplaceTempView("ns3")
+        eng.sql(
+            "MERGE INTO m USING ns3 AS s ON m.k = s.k "
+            "WHEN NOT MATCHED BY TARGET THEN INSERT (k, v) VALUES (s.k, s.v)"
+        )
+        assert (9, "i", None) in _rows(eng)
+
+    def test_by_source_with_matched_rejected(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "x")], "k long, v string"
+        ).createOrReplaceTempView("ns4")
+        with pytest.raises(ValueError, match="only valid after WHEN NOT"):
+            eng.sql(
+                "MERGE INTO m USING ns4 ON m.k = ns4.k "
+                "WHEN MATCHED BY SOURCE THEN DELETE"
+            )
+
+    def test_by_source_pk_assignment_rejected(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "x")], "k long, v string"
+        ).createOrReplaceTempView("ns5")
+        with pytest.raises(ValueError, match="primary-key"):
+            eng.sql(
+                "MERGE INTO m USING ns5 AS s ON m.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = k + 10"
+            )
