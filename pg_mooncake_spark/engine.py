@@ -36,6 +36,40 @@ from pg_mooncake_spark.storage import OP_COL, MoonTable
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
 _DML_KIND = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.I)
+_DDL_KIND = re.compile(r"^\s*(CREATE|DROP|TRUNCATE|ALTER)\b", re.I)
+
+# Postgres type spellings → Spark DDL strings (anything unlisted falls
+# through to Spark's own DDL parser, so 'string'/'array<int>' also work)
+_PG_TYPES = {
+    "int": "int", "integer": "int", "int4": "int",
+    "bigint": "long", "int8": "long",
+    "smallint": "short", "int2": "short",
+    "text": "string", "varchar": "string", "char": "string",
+    "character varying": "string", "character": "string",
+    "real": "float", "float4": "float",
+    "double precision": "double", "float8": "double",
+    "boolean": "boolean", "bool": "boolean",
+    "bytea": "binary",
+    "date": "date",
+    "timestamp": "timestamp", "timestamptz": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "timestamp without time zone": "timestamp",
+}
+
+
+def _pg_type_to_spark(t: str) -> T.DataType:
+    """Resolve a column type as Postgres spells it (reference regress
+    DDL: int, text, ...) or as Spark DDL."""
+    s = re.sub(r"\s+", " ", t.strip().lower())
+    m = re.match(r"(numeric|decimal)\s*(\(\s*\d+\s*(?:,\s*\d+\s*)?\))?$", s)
+    if m:
+        return T._parse_datatype_string(f"decimal{m.group(2) or '(38,18)'}")
+    m = re.match(r"(varchar|char|character varying|character)\s*\(\s*\d+\s*\)$", s)
+    if m:
+        return T.StringType()
+    if s in _PG_TYPES:
+        return T._parse_datatype_string(_PG_TYPES[s])
+    return T._parse_datatype_string(s)
 # a table identifier as it appears in a statement: bare/qualified name or
 # a double-quoted (possibly schema-qualified) identifier
 _SQL_TABLE = r'((?:"[^"]*"|[A-Za-z_]\w*)(?:\.(?:"[^"]*"|[A-Za-z_]\w*))?)'
@@ -1176,6 +1210,9 @@ class MooncakeEngine:
         kind = _DML_KIND.match(query)
         if kind:
             return self._sql_dml(query, kind.group(1).upper(), pin=pin)
+        ddl = _DDL_KIND.match(query)
+        if ddl:
+            return self._sql_ddl(query, ddl.group(1).upper(), pin=pin)
         aliases: dict[str, str] = {}
         for name in self.catalog.list_tables():
             v = (pin or {}).get(name)
@@ -1623,6 +1660,157 @@ class MooncakeEngine:
                 raise ValueError(_MERGE_MULTI_MATCH_MSG) from None
             raise
         return self._dml_result("MERGE", t, v)
+
+    def _sql_ddl(
+        self, query: str, kind: str, pin: Optional[dict[str, int]] = None
+    ) -> DataFrame:
+        """Route one SQL DDL statement to the engine's lifecycle API —
+        completing the statement surface the reference's regress corpus
+        runs (reference tests/pg_regress/sql/sanity.sql:1,7 and
+        partitioned_table.sql wrap the DML in CREATE TABLE / DROP
+        TABLE).  Bounded shapes (anything else raises):
+
+        - ``CREATE TABLE [IF NOT EXISTS] t (col type [PRIMARY KEY|NOT
+          NULL], ..., [PRIMARY KEY (a, b)])`` → :meth:`create_table`
+          with an empty backfill; Postgres type spellings (int, text,
+          numeric(p,s)...) and Spark DDL types both resolve.
+        - ``CREATE TABLE t AS SELECT ...`` (CTAS) → create_table with
+          the query result as backfill (no primary key: append-only).
+        - ``DROP TABLE [IF EXISTS] t[, t2 ...]`` → :meth:`drop_table`.
+        - ``TRUNCATE [TABLE] t`` → delete of every row (exports/views
+          follow, same as DELETE without WHERE).
+        - ``ALTER TABLE t RENAME COLUMN a TO b`` → :meth:`rename_column`.
+        - ``ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c type`` →
+          :meth:`add_column` (schema-evolving commit; exports widen in
+          step)."""
+        q = query.strip().rstrip(";").strip()
+        if kind == "CREATE":
+            m = re.match(
+                rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_SQL_TABLE}\s*(.*)$",
+                q, re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"cannot parse CREATE TABLE: {q!r}")
+            if_not_exists, t, rest = bool(m.group(1)), m.group(2), m.group(3).strip()
+            name = parse_table_name(t)
+            if name in self.catalog.list_tables():
+                if if_not_exists:
+                    return self._dml_result("CREATE", t, 0)
+                raise ValueError(f"mirror {name!r} already registered")
+            if re.match(r"AS\s+(SELECT|WITH)\b", rest, re.I):
+                src = self.sql(re.sub(r"^AS\s+", "", rest, flags=re.I), pin=pin)
+                self.create_table(t, source_df=src)
+                return self._dml_result("CREATE", t, 1)
+            if not rest.startswith("("):
+                raise ValueError(
+                    f"CREATE TABLE needs (column defs) or AS SELECT: {q!r}"
+                )
+            close = rest.rindex(")")
+            fields: list[T.StructField] = []
+            pk: list[str] = []
+            for part in _split_top_commas(rest[1:close]):
+                cm = re.match(
+                    r"PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", part, re.I
+                )
+                if cm:  # table-level constraint
+                    pk.extend(
+                        c.strip().strip('"').lower() for c in cm.group(1).split(",")
+                    )
+                    continue
+                dm = re.match(
+                    r'\s*("[^"]+"|[A-Za-z_]\w*)\s+(.+?)'
+                    r"(\s+PRIMARY\s+KEY|\s+NOT\s+NULL|\s+NULL)*\s*$",
+                    part, re.I | re.S,
+                )
+                if not dm:
+                    raise ValueError(f"cannot parse column def: {part!r}")
+                col = dm.group(1).strip('"')
+                type_and_cons = part[dm.start(2):]
+                is_pk = bool(re.search(r"\bPRIMARY\s+KEY\b", type_and_cons, re.I))
+                type_sql = re.sub(
+                    r"\b(PRIMARY\s+KEY|NOT\s+NULL|NULL)\b", "",
+                    type_and_cons, flags=re.I,
+                ).strip()
+                # Postgres folding: quoted identifiers keep case,
+                # unquoted fold to lowercase
+                if not dm.group(1).startswith('"'):
+                    col = col.lower()
+                fields.append(
+                    T.StructField(col, _pg_type_to_spark(type_sql), True)
+                )
+                if is_pk:
+                    pk.append(fields[-1].name)
+            schema = T.StructType(fields)
+            empty = self.spark.createDataFrame([], schema)
+            self.create_table(t, source_df=empty, primary_key=pk or None)
+            return self._dml_result("CREATE", t, 1)
+        if kind == "DROP":
+            m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.*)$", q, re.I | re.S)
+            if not m:
+                raise ValueError(f"cannot parse DROP TABLE: {q!r}")
+            if_exists = bool(m.group(1))
+            last = "?"
+            for t in _split_top_commas(m.group(2)):
+                last = t
+                try:
+                    self.drop_table(t)
+                except KeyError:
+                    if not if_exists:
+                        raise
+            return self._dml_result("DROP", last, 0)
+        if kind == "TRUNCATE":
+            m = re.match(rf"TRUNCATE\s+(?:TABLE\s+)?{_SQL_TABLE}\s*$", q, re.I)
+            if not m:
+                raise ValueError(f"cannot parse TRUNCATE: {q!r}")
+            v = self.delete_where(m.group(1), "true")
+            return self._dml_result("TRUNCATE", m.group(1), v)
+        # ALTER
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+RENAME\s+COLUMN\s+"
+            r'("[^"]+"|\w+)\s+TO\s+("[^"]+"|\w+)\s*$',
+            q, re.I,
+        )
+        if m:
+            v = self.rename_column(
+                m.group(1), m.group(2).strip('"'), m.group(3).strip('"')
+            )
+            return self._dml_result("ALTER", m.group(1), v)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+COLUMN\s+"
+            r'(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|\w+)\s+(.+?)\s*$',
+            q, re.I | re.S,
+        )
+        if m:
+            t, if_not_exists = m.group(1), bool(m.group(2))
+            col = m.group(3).strip('"')
+            existing = [f.name for f in self._moontable(t).schema().fields]
+            if col in existing:
+                if if_not_exists:
+                    return self._dml_result("ALTER", t, 0)
+                raise ValueError(f"column {col!r} already exists on {t!r}")
+            v = self.add_column(t, col, _pg_type_to_spark(m.group(4)))
+            return self._dml_result("ALTER", t, v)
+        raise ValueError(f"unsupported {kind} statement: {q!r}")
+
+    def add_column(self, dst: str, col: str, dtype: T.DataType) -> int:
+        """Widen the mirror with a new NULLABLE column — the upstream
+        ALTER TABLE ADD COLUMN propagated (same schema-evolution commit
+        a drifted CDC batch triggers with on_schema_drift='evolve', so
+        pre-evolution files read the column as NULL, attached exports
+        widen in step, and time travel below the commit sees the old
+        shape)."""
+        dst = self._canon(dst)
+        mt = self._moontable(dst)
+        schema = mt.schema()
+        if col in [f.name for f in schema.fields]:
+            raise ValueError(f"column {col!r} already exists on {dst!r}")
+        widened = T.StructType(
+            list(schema.fields) + [T.StructField(col, dtype, True)]
+        )
+        empty = self.spark.createDataFrame([], widened).withColumn(
+            OP_COL, F.lit("I")
+        )
+        return self.apply_changes(dst, empty, on_schema_drift="evolve")
 
     def _dml_result(self, stmt: str, t: str, v: int) -> DataFrame:
         return self.spark.createDataFrame(

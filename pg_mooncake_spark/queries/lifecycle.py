@@ -1134,3 +1134,51 @@ def lifecycle_sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.when(F.col("c_name") == "dormant", 1)).alias("n_dormant"),
         dsum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@query(
+    "lifecycle_sql_ddl",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 10 = 0
+    ),
+    evolved AS (
+      SELECT c_custkey, c_name AS name, c_acctbal,
+             CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS tier
+      FROM base WHERE c_acctbal >= 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN tier = 'gold' THEN 1 END) AS n_gold,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM evolved
+    """,
+)
+def lifecycle_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference regress shape as PURE SQL statements — CREATE TABLE
+    with Postgres type spellings, INSERT..SELECT, schema-evolving ALTER
+    ADD COLUMN, UPDATE over the new column, metadata-only ALTER RENAME
+    COLUMN, DELETE (reference tests/pg_regress/sql/sanity.sql wraps its
+    DML in exactly this DDL; the engine's _sql_ddl routes each onto the
+    lifecycle API so exports/views stay current)."""
+    eng = _temp_engine(spark)
+    t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).filter("c_custkey % 10 = 0").createOrReplaceTempView("ddl_src")
+    eng.sql(
+        "CREATE TABLE cust_ddl (c_custkey bigint PRIMARY KEY, "
+        "c_name text, c_acctbal double precision)"
+    )
+    eng.sql("INSERT INTO cust_ddl SELECT * FROM ddl_src")
+    eng.sql("ALTER TABLE cust_ddl ADD COLUMN tier text")
+    eng.sql(
+        "UPDATE cust_ddl SET tier = CASE WHEN c_acctbal > 5000 "
+        "THEN 'gold' ELSE 'std' END"
+    )
+    eng.sql("ALTER TABLE cust_ddl RENAME COLUMN c_name TO name")
+    eng.sql("DELETE FROM cust_ddl WHERE c_acctbal < 0")
+    return eng.table("cust_ddl").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("tier") == "gold", 1)).alias("n_gold"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )

@@ -1,0 +1,128 @@
+"""SQL DDL routing through engine.sql — the statement wrapper around the
+reference's regress flow (reference tests/pg_regress/sql/sanity.sql:1,7
+and partitioned_table.sql wrap the DML in CREATE TABLE / DROP TABLE;
+TRUNCATE/ALTER complete the heap-side surface a Postgres user has)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.engine import MooncakeEngine, _pg_type_to_spark
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    return MooncakeEngine(spark, warehouse)
+
+
+class TestTypeResolution:
+    def test_postgres_spellings(self, spark):
+        cases = {
+            "int": "int", "integer": "int", "bigint": "bigint",
+            "smallint": "smallint", "text": "string",
+            "varchar(30)": "string", "character varying(10)": "string",
+            "double precision": "double", "real": "float",
+            "numeric(12,2)": "decimal(12,2)", "decimal(5,1)": "decimal(5,1)",
+            "numeric": "decimal(38,18)", "boolean": "boolean",
+            "bytea": "binary", "date": "date", "timestamp": "timestamp",
+            "timestamp with time zone": "timestamp",
+        }
+        for pg, want in cases.items():
+            assert _pg_type_to_spark(pg).simpleString() == want, pg
+
+    def test_spark_ddl_falls_through(self, spark):
+        assert _pg_type_to_spark("array<int>").simpleString() == "array<int>"
+        with pytest.raises(Exception):
+            _pg_type_to_spark("not a type")
+
+
+class TestSqlDdl:
+    def test_reference_sanity_flow(self, eng):
+        """sanity.sql end-to-end as statements: CREATE/INSERT/UPDATE/
+        DELETE/SELECT/DROP."""
+        eng.sql("CREATE TABLE r (a int PRIMARY KEY, b text)")
+        eng.sql("INSERT INTO r VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        eng.sql("UPDATE r SET b = a + 1 WHERE a > 2")
+        eng.sql("DELETE FROM r WHERE a < 2")
+        rows = sorted(tuple(x) for x in eng.sql("SELECT * FROM r").collect())
+        assert rows == [(2, "b"), (3, "4")]
+        eng.sql("DROP TABLE r")
+        assert "r" not in eng.catalog.list_tables()
+
+    def test_create_table_level_pk_and_types(self, eng):
+        eng.sql(
+            "CREATE TABLE typed (k bigint, amt numeric(12,2), "
+            "name varchar(30), ok boolean, PRIMARY KEY (k))"
+        )
+        mt = eng._moontable("typed")
+        sch = {f.name: f.dataType.simpleString() for f in mt.schema().fields}
+        assert sch == {
+            "k": "bigint", "amt": "decimal(12,2)",
+            "name": "string", "ok": "boolean",
+        }
+        assert mt.primary_key() == ["k"]
+
+    def test_create_if_not_exists_and_duplicate(self, eng):
+        eng.sql("CREATE TABLE t1 (k int PRIMARY KEY)")
+        eng.sql("CREATE TABLE IF NOT EXISTS t1 (other text)")  # no-op
+        with pytest.raises(ValueError, match="already registered"):
+            eng.sql("CREATE TABLE t1 (k int)")
+        assert [f.name for f in eng._moontable("t1").schema().fields] == ["k"]
+
+    def test_ctas(self, eng, spark):
+        eng.sql("CREATE TABLE base (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO base VALUES (1, 'a'), (2, 'b')")
+        eng.sql("CREATE TABLE derived AS SELECT k, upper(v) AS v FROM base")
+        rows = sorted(tuple(x) for x in eng.table("derived").collect())
+        assert rows == [(1, "A"), (2, "B")]
+
+    def test_truncate(self, eng):
+        eng.sql("CREATE TABLE tr (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO tr VALUES (1, 'a'), (2, 'b')")
+        r = eng.sql("TRUNCATE TABLE tr").collect()[0]
+        assert r["statement"] == "TRUNCATE"
+        assert eng.table("tr").count() == 0
+        eng.sql("INSERT INTO tr VALUES (3, 'c')")  # still writable
+        assert eng.table("tr").count() == 1
+
+    def test_drop_multi_and_if_exists(self, eng):
+        eng.sql("CREATE TABLE d1 (k int)")
+        eng.sql("CREATE TABLE d2 (k int)")
+        with pytest.raises(KeyError):
+            eng.sql("DROP TABLE d1, nope")
+        eng.sql("DROP TABLE IF EXISTS d2, nope")
+        assert "d2" not in eng.catalog.list_tables()
+
+    def test_alter_add_and_rename_column(self, eng):
+        eng.sql("CREATE TABLE al (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO al VALUES (1, 'a')")
+        eng.sql("ALTER TABLE al ADD COLUMN score double precision")
+        eng.sql("INSERT INTO al VALUES (2, 'b', 1.5)")
+        # pre-evolution row reads NULL for the new column
+        rows = sorted(tuple(x) for x in eng.table("al").collect())
+        assert rows == [(1, "a", None), (2, "b", 1.5)]
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("ALTER TABLE al ADD COLUMN score int")
+        eng.sql("ALTER TABLE al ADD COLUMN IF NOT EXISTS score int")  # no-op
+        eng.sql("ALTER TABLE al RENAME COLUMN v TO label")
+        assert "label" in eng.table("al").columns
+
+    def test_add_column_widens_attached_export(self, eng, spark, tmp_path):
+        from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+        eng.sql("CREATE TABLE ex (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO ex VALUES (1, 'a')")
+        exp = str(tmp_path / "exp")
+        eng.attach_export("ex", exp)
+        eng.sql("ALTER TABLE ex ADD COLUMN score double precision")
+        eng.sql("INSERT INTO ex VALUES (2, 'b', 2.5)")
+        got = sorted(tuple(r) for r in read_iceberg(spark, exp).collect())
+        assert got == [(1, "a", None), (2, "b", 2.5)]
+
+    def test_malformed_ddl_raises(self, eng):
+        with pytest.raises(ValueError, match="cannot parse|unsupported"):
+            eng.sql("CREATE TABLE")
+        with pytest.raises(ValueError, match="unsupported"):
+            eng.sql("ALTER TABLE x OWNER TO y")
+        with pytest.raises(ValueError, match="column defs|cannot parse"):
+            eng.sql("CREATE TABLE x LIKE y")
