@@ -109,6 +109,16 @@ class SyncCatalog:
                 self._save(data)
             return bases[checkpoint]
 
+    def set_config_key(self, table: str, key: str, value: Any) -> None:
+        """Update one table_config entry in place (e.g. a follower's
+        ``follow_version`` watermark)."""
+        with self._lock:
+            data = self._load()
+            if table not in data:
+                raise KeyError(f"unknown mirror {table!r}")
+            data[table].setdefault("table_config", {})[key] = value
+            self._save(data)
+
     def add_export(self, table: str, path: str) -> None:
         """Record an attached open-format export the engine keeps current
         (the analog of the reference's per-mirror iceberg_warehouse_location,

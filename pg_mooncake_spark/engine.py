@@ -37,6 +37,7 @@ from pg_mooncake_spark.storage import OP_COL, MoonTable
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
 _DML_KIND = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.I)
 _DDL_KIND = re.compile(r"^\s*(CREATE|DROP|TRUNCATE|ALTER)\b", re.I)
+_CALL_KIND = re.compile(r"^\s*CALL\s+mooncake\.(\w+)\s*\((.*)\)\s*;?\s*$", re.I | re.S)
 
 # Postgres type spellings → Spark DDL strings (anything unlisted falls
 # through to Spark's own DDL parser, so 'string'/'array<int>' also work)
@@ -936,10 +937,37 @@ class MooncakeEngine:
         return MaterializedView(self.spark, self.catalog.get(name)["path"]).read()
 
     def _refresh_views_of(self, base: str) -> None:
+        """Propagate a committed change to every dependent object:
+        materialized views refresh incrementally, and FOLLOWER mirrors
+        (CALL mooncake.create_table from a mirror source — the
+        reference's heap→columnstore CDC pair collapsed into
+        mirror→mirror) drain the base's change feed through the same
+        last-image-per-key reduction the export repair uses, O(changes)
+        per commit."""
         for name, e in self.catalog.list_tables().items():
             cfg = e.get("table_config") or {}
             if cfg.get("kind") == "mview" and cfg.get("base") == base:
                 self.refresh_materialized_view(name)
+            elif cfg.get("follows") == base:
+                self._refresh_follower(name, base, cfg)
+
+    def _refresh_follower(self, name: str, base: str, cfg: dict) -> None:
+        src_mt = self._moontable(base)
+        latest = src_mt.latest_version()
+        fv = int(cfg.get("follow_version") or 0)
+        if latest <= fv:
+            return
+        pk = src_mt.primary_key() or []
+        try:
+            net = self._net_changes_from_feed(src_mt, fv + 1, latest, pk)
+        except Exception as e:
+            raise ValueError(
+                f"follower {name!r} cannot derive changes of {base!r} "
+                f"versions {fv + 1}..{latest} (enable change_feed on the "
+                f"base, or drop and recreate the follower): {e}"
+            ) from e
+        self.apply_changes(name, net, source_version=latest)
+        self.catalog.set_config_key(name, "follow_version", latest)
 
     # ------------------------------------------------------------- file I/O
 
@@ -1213,6 +1241,9 @@ class MooncakeEngine:
         ddl = _DDL_KIND.match(query)
         if ddl:
             return self._sql_ddl(query, ddl.group(1).upper(), pin=pin)
+        call = _CALL_KIND.match(query)
+        if call:
+            return self._sql_call(call.group(1).lower(), call.group(2))
         aliases: dict[str, str] = {}
         for name in self.catalog.list_tables():
             v = (pin or {}).get(name)
@@ -1742,7 +1773,14 @@ class MooncakeEngine:
                     pk.append(fields[-1].name)
             schema = T.StructType(fields)
             empty = self.spark.createDataFrame([], schema)
-            self.create_table(t, source_df=empty, primary_key=pk or None)
+            # change_feed on by default for SQL-created tables — the
+            # wal_level=logical analog: DML commits persist an O(batch)
+            # change file so the table can be followed (CALL
+            # mooncake.create_table), fed to views, and repaired from;
+            # appends derive their feed rows for free either way
+            self.create_table(
+                t, source_df=empty, primary_key=pk or None, change_feed=True
+            )
             return self._dml_result("CREATE", t, 1)
         if kind == "DROP":
             m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.*)$", q, re.I | re.S)
@@ -1791,6 +1829,91 @@ class MooncakeEngine:
             v = self.add_column(t, col, _pg_type_to_spark(m.group(4)))
             return self._dml_result("ALTER", t, v)
         raise ValueError(f"unsupported {kind} statement: {q!r}")
+
+    def _sql_call(self, proc: str, args_sql: str) -> DataFrame:
+        """``CALL mooncake.<proc>(...)`` — the reference's literal
+        procedure syntax (reference tests/pg_regress/sql/sanity.sql:2
+        runs ``CALL mooncake.create_table('c', 'r')``), so its regress
+        scripts run through :meth:`sql` verbatim.  Arguments are SQL
+        literals (strings/numbers/NULL), parsed positionally:
+
+        - ``create_table(dst, src [, src_uri [, table_config]])`` —
+          ``src`` resolves to a registered mirror first (its primary key
+          is inherited), else a Spark temp view/table; with ``src_uri``
+          the source location is read as in :meth:`create_table`.
+        - ``create_snapshot(dst)``, ``optimize_table(dst [, mode])``,
+          ``drop_table(dst)``, ``load_files(dst, path [, fmt])``.
+        """
+        import json as _json
+
+        args: list[Any] = []
+        for part in _split_top_commas(args_sql) if args_sql.strip() else []:
+            p = part.strip()
+            if re.match(r"NULL$", p, re.I):
+                args.append(None)
+            elif p.startswith("'") and p.endswith("'"):
+                args.append(p[1:-1].replace("''", "'"))
+            elif re.match(r"-?\d+$", p):
+                args.append(int(p))
+            else:
+                raise ValueError(f"CALL argument must be a literal: {p!r}")
+        if proc == "create_table":
+            if not 2 <= len(args) <= 4:
+                raise ValueError("create_table(dst, src [, src_uri [, cfg]])")
+            dst, src = args[0], args[1]
+            src_uri = args[2] if len(args) > 2 else None
+            cfg = _json.loads(args[3]) if len(args) > 3 and args[3] else None
+            if src_uri:
+                self.create_table(
+                    dst, source_uri=src_uri, table_config=cfg,
+                    primary_key=(cfg or {}).get("primary_key"),
+                )
+            elif src in self.catalog.list_tables() or (
+                src and parse_table_name(src) in self.catalog.list_tables()
+            ):
+                # mirror source: snapshot-backfill, then FOLLOW — every
+                # subsequent commit on src drains into dst through the
+                # change feed (the reference's create_table starts CDC
+                # backfill+sync, src/functions.rs:24-43; here both sides
+                # are mirrors, so following is feed-driven).  Requires a
+                # primary key; keyless sources get a snapshot copy only.
+                src_mt = self._moontable(src)
+                pk = src_mt.primary_key()
+                v0 = src_mt.latest_version()
+                if pk:
+                    cfg = {
+                        **(cfg or {}),
+                        "follows": self._canon(src),
+                        "follow_version": v0,
+                    }
+                self.create_table(
+                    dst, source_df=self.table(src), primary_key=pk,
+                    table_config=cfg,
+                )
+            else:
+                self.create_table(
+                    dst, source_name=src, table_config=cfg,
+                    primary_key=(cfg or {}).get("primary_key"),
+                )
+            return self._dml_result("CALL create_table", dst, 1)
+        if proc == "create_snapshot":
+            v = self.create_snapshot(args[0])
+            return self._dml_result("CALL create_snapshot", args[0], v)
+        if proc == "optimize_table":
+            v = self.optimize_table(args[0], *( [args[1]] if len(args) > 1 else [] ))
+            return self._dml_result("CALL optimize_table", args[0], v)
+        if proc == "drop_table":
+            self.drop_table(args[0])
+            return self._dml_result("CALL drop_table", args[0], 0)
+        if proc == "load_files":
+            if not 2 <= len(args) <= 3:
+                raise ValueError("load_files(dst, path [, fmt])")
+            v = self.load_files(
+                args[0], [args[1]],
+                fmt=args[2] if len(args) > 2 else "parquet",
+            )
+            return self._dml_result("CALL load_files", args[0], v)
+        raise ValueError(f"unknown procedure mooncake.{proc}")
 
     def add_column(self, dst: str, col: str, dtype: T.DataType) -> int:
         """Widen the mirror with a new NULLABLE column — the upstream

@@ -1182,3 +1182,54 @@ def lifecycle_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("tier") == "gold", 1)).alias("n_gold"),
         dsum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@query(
+    "lifecycle_sql_call_follower",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    after_dml AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_acctbal > 5000 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal
+      FROM src WHERE NOT (c_acctbal < 0)
+      UNION ALL
+      SELECT -1, 'sentinel', 1234.5
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM after_dml
+    """,
+)
+def lifecycle_sql_call_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CALL mooncake.create_table('follower', 'base')`` — the
+    reference's literal procedure syntax (reference
+    tests/pg_regress/sql/sanity.sql:2) with its CDC-follow semantics:
+    every DML shape committed on the base AFTER the follower exists
+    (UPDATE, DELETE, INSERT) drains into the follower through the
+    change feed, so the follower — which this query reads — only
+    matches the oracle if following is live, not snapshot-only."""
+    eng = _temp_engine(spark)
+    base = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 7 = 0")
+    )
+    eng.create_table(
+        "cust_base", source_df=base, primary_key=["c_custkey"],
+        change_feed=True,
+    )
+    eng.sql("CALL mooncake.create_table('cust_follow', 'cust_base')")
+    eng.sql("UPDATE cust_base SET c_acctbal = c_acctbal * 2 WHERE c_acctbal > 5000")
+    eng.sql("DELETE FROM cust_base WHERE c_acctbal < 0")
+    eng.sql("INSERT INTO cust_base VALUES (-1, 'sentinel', 1234.5)")
+    return eng.table("cust_follow").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )
