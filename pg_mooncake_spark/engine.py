@@ -1732,11 +1732,30 @@ class MooncakeEngine:
                 src = self.sql(re.sub(r"^AS\s+", "", rest, flags=re.I), pin=pin)
                 self.create_table(t, source_df=src)
                 return self._dml_result("CREATE", t, 1)
+            if re.match(r"PARTITION\s+OF\b", rest, re.I):
+                # heap-side physical partitioning (reference
+                # partitioned_table.sql:2-3): the mirror is one logical
+                # table — child-partition DDL is a recorded no-op
+                return self._dml_result("CREATE", t, 0)
             if not rest.startswith("("):
                 raise ValueError(
                     f"CREATE TABLE needs (column defs) or AS SELECT: {q!r}"
                 )
-            close = rest.rindex(")")
+            # matching close-paren of the column list (NOT rindex: a
+            # trailing PARTITION BY RANGE (a) clause carries parens too)
+            depth, close = 0, -1
+            for i, c in enumerate(rest):
+                depth += c == "("
+                depth -= c == ")"
+                if depth == 0:
+                    close = i
+                    break
+            tail = rest[close + 1:].strip()
+            if tail and not re.match(
+                r"PARTITION\s+BY\s+(RANGE|LIST|HASH)\s*\([^)]*\)\s*$",
+                tail, re.I,
+            ):
+                raise ValueError(f"unsupported CREATE TABLE suffix: {tail!r}")
             fields: list[T.StructField] = []
             pk: list[str] = []
             for part in _split_top_commas(rest[1:close]):

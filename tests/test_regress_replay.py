@@ -36,12 +36,15 @@ def test_sanity_sql_verbatim(eng):
 
 
 def test_partitioned_table_sql(eng):
-    """partitioned_table.sql (partitioning is Postgres-side layout; the
-    mirror sees one logical table).  generate_series is spelled with
-    Spark's range(); every other statement is verbatim, and the three
-    expected counts (25, 75, 40) come from expected/partitioned_table.out
-    after 'DELETE FROM r WHERE a > 90'."""
-    eng.sql("CREATE TABLE r (a int PRIMARY KEY, b text)")
+    """partitioned_table.sql verbatim (PARTITION BY is accepted as
+    heap-side physical layout, child-partition DDL is a recorded no-op —
+    the mirror sees one logical table) except generate_series, spelled
+    with Spark's range().  The three expected counts (25, 75, 40) come
+    from expected/partitioned_table.out after 'DELETE FROM r WHERE
+    a > 90'."""
+    eng.sql("CREATE TABLE r (a int PRIMARY KEY, b TEXT) PARTITION BY RANGE (a)")
+    eng.sql("CREATE TABLE r1 PARTITION OF r FOR VALUES FROM (0) TO (50)")
+    eng.sql("CREATE TABLE r2 PARTITION OF r FOR VALUES FROM (50) TO (100)")
     eng.sql("CALL mooncake.create_table('c', 'r')")
     eng.sql("INSERT INTO r SELECT id, 'val_' || id FROM range(0, 100)")
     eng.sql("DELETE FROM r WHERE a > 90")
