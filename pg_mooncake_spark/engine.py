@@ -1320,10 +1320,29 @@ class MooncakeEngine:
             v = self.update_where(t, cond, assignments)
             return self._dml_result("UPDATE", t, v)
         # INSERT
-        m = re.match(rf"INSERT\s+INTO\s+{_SQL_TABLE}\s*(.*)$", q, re.I | re.S)
+        m = re.match(
+            rf"INSERT\s+INTO\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)\s+)?(.*)$",
+            q, re.I | re.S,
+        )
         if not m:
             raise ValueError(f"cannot parse INSERT statement: {query!r}")
-        t, rest = m.group(1), m.group(2).strip()
+        t, tgt_alias, rest = m.group(1), m.group(2), m.group(3).strip()
+        # Postgres upsert: a trailing top-level ON CONFLICT clause.
+        # JOIN ... ON inside an INSERT..SELECT is also top-level, so only
+        # an ON followed by the word CONFLICT is the clause boundary.
+        conflict_sql: Optional[str] = None
+        scan = rest
+        off = 0
+        while True:
+            oi = _find_top_keyword(scan, "ON")
+            if oi < 0:
+                break
+            if re.match(r"ON\s+CONFLICT\b", scan[oi:], re.I):
+                conflict_sql = rest[off + oi:]
+                rest = rest[: off + oi].strip()
+                break
+            off += oi + 2
+            scan = scan[oi + 2:]
         cols: Optional[list[str]] = None
         if rest.startswith("("):
             close = rest.index(")")  # a column list never nests parens
@@ -1351,7 +1370,145 @@ class MooncakeEngine:
         for f in schema.fields:
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        if conflict_sql is not None:
+            return self._sql_insert_on_conflict(
+                t, tgt_alias, df, conflict_sql
+            )
         v = self.insert(t, df)
+        return self._dml_result("INSERT", t, v)
+
+    def _sql_insert_on_conflict(
+        self,
+        t: str,
+        tgt_alias: Optional[str],
+        df: DataFrame,
+        conflict_sql: str,
+    ) -> DataFrame:
+        """``INSERT ... ON CONFLICT [(pk cols)] DO NOTHING | DO UPDATE
+        SET ... [WHERE cond]`` — the Postgres upsert, routed onto ONE
+        apply_changes CDC batch (exports/views sync once).
+
+        - only the primary key is a supported conflict target (the
+          engine has no secondary unique indexes);
+        - DO NOTHING keeps the FIRST proposed row per key (matching
+          Postgres's row-at-a-time insert order) and drops keys already
+          present — one window + one left-anti join;
+        - DO UPDATE builds U images from existing-row × proposed-row
+          pairs (``excluded.col`` references the proposed row, the
+          table name/alias references the existing row, same as
+          Postgres), I rows from unmatched keys; a key proposed twice
+          raises in-job, matching Postgres's 'cannot affect row a
+          second time' error; the optional WHERE leaves failing rows
+          unchanged."""
+        name = self._canon(t)
+        mt = self._moontable(name)
+        schema = mt.schema()
+        names = [f.name for f in schema.fields]
+        pk = mt.primary_key()
+        if not pk:
+            raise ValueError(
+                f"INSERT ON CONFLICT needs a primary key on {name!r}"
+            )
+        cm = re.match(
+            r"ON\s+CONFLICT\s*(\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.*)$",
+            conflict_sql, re.I | re.S,
+        )
+        if not cm:
+            raise ValueError(
+                f"cannot parse ON CONFLICT clause: {conflict_sql!r}"
+            )
+        if cm.group(2) is not None:
+            tgt_cols = sorted(
+                c.strip().strip('"').lower() for c in cm.group(2).split(",")
+            )
+            if tgt_cols != sorted(k.lower() for k in pk):
+                raise ValueError(
+                    f"ON CONFLICT target {tgt_cols} must be the primary "
+                    f"key {sorted(pk)} of {name!r}"
+                )
+        action = cm.group(3)
+        # intra-batch ordering: Postgres inserts row by row, so the
+        # FIRST proposed row per key wins for DO NOTHING and a second
+        # one is an error for DO UPDATE
+        from pyspark.sql import Window
+
+        df = df.withColumn("__seq", F.monotonically_increasing_id())
+        w = Window.partitionBy(*pk).orderBy("__seq")
+        wc = Window.partitionBy(*pk)
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__nk", F.count(F.lit(1)).over(wc))
+        )
+        existing = self.table(name)
+        if re.match(r"NOTHING$", action, re.I):
+            fresh = (
+                df.filter(F.col("__rn") == 1)
+                .drop("__seq", "__rn", "__nk")
+                .join(existing.select(*pk), on=pk, how="left_anti")
+            )
+            v = self.insert(t, fresh)
+            return self._dml_result("INSERT", t, v)
+        um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+        assert um is not None
+        set_sql = um.group(1)
+        wi = _find_top_keyword(set_sql, "WHERE")
+        upd_cond = "true"
+        if wi >= 0:
+            set_sql, upd_cond = set_sql[:wi], set_sql[wi + 5:].strip()
+        assignments: dict[str, str] = {}
+        for part in _split_top_commas(set_sql):
+            pm = re.match(
+                r'\s*("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$', part, re.S
+            )
+            if not pm:
+                raise ValueError(f"cannot parse SET clause: {part!r}")
+            assignments[pm.group(1).strip('"')] = pm.group(2).strip()
+        pk_hits = sorted(set(assignments) & set(pk))
+        if pk_hits:
+            raise ValueError(
+                f"ON CONFLICT DO UPDATE may not assign primary-key "
+                f"column(s) {pk_hits} of {name!r}"
+            )
+        alias = tgt_alias or name.split(".")[-1]
+        ex = existing.alias(alias)
+        proposed = df.alias("excluded")
+        cond = None
+        for k in pk:
+            c = F.col(f"{alias}.{k}").eqNullSafe(F.col(f"excluded.{k}"))
+            cond = c if cond is None else (cond & c)
+        matched = ex.join(proposed, cond, "inner")
+        dup_msg = (
+            "INSERT ON CONFLICT DO UPDATE cannot affect row a second time"
+        )
+        guard = F.when(
+            F.col("excluded.__nk") > 1,
+            F.raise_error(F.lit(dup_msg)).cast("string"),
+        ).otherwise(F.lit("U"))
+        u = matched.filter(
+            F.coalesce(F.expr(upd_cond).cast("boolean"), F.lit(False))
+        ).select(
+            *[
+                F.expr(assignments[c]).cast(schema[c].dataType).alias(c)
+                if c in assignments
+                else F.col(f"{alias}.{c}").alias(c)
+                for c in names
+            ],
+            guard.alias(OP_COL),
+        )
+        fresh = proposed.join(ex, cond, "left_anti").select(
+            *[F.col(c) for c in names],
+            F.when(
+                F.col("__nk") > 1,
+                F.raise_error(F.lit(dup_msg)).cast("string"),
+            ).otherwise(F.lit("I")).alias(OP_COL),
+        )
+        batch = u.unionByName(fresh)
+        try:
+            v = self.apply_changes(name, batch)
+        except Exception as e:
+            if dup_msg in str(e):
+                raise ValueError(dup_msg) from None
+            raise
         return self._dml_result("INSERT", t, v)
 
     def _sql_merge(self, q: str, pin: Optional[dict[str, int]] = None) -> DataFrame:

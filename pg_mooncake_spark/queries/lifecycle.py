@@ -1233,3 +1233,72 @@ def lifecycle_sql_call_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@query(
+    "lifecycle_sql_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 4 = 0
+    ),
+    src AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    ),
+    upserted AS (
+      -- conflict rows: balance += spend (excluded.spend)
+      SELECT t.c_custkey, t.c_name,
+             CAST(CAST(t.c_acctbal AS DECIMAL(18,2))
+                  + CAST(s.spend AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+      FROM tgt t JOIN src s ON t.c_custkey = s.k
+      UNION ALL
+      -- untouched target rows
+      SELECT t.c_custkey, t.c_name, t.c_acctbal
+      FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k WHERE s.k IS NULL
+      UNION ALL
+      -- fresh inserts
+      SELECT s.k, 'upserted', s.spend
+      FROM src s LEFT JOIN tgt t ON t.c_custkey = s.k WHERE t.c_custkey IS NULL
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN c_name = 'upserted' THEN 1 END) AS n_new,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM upserted
+    """,
+)
+def lifecycle_sql_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT ... ON CONFLICT (pk) DO UPDATE`` — the Postgres upsert
+    a heap-side user writes constantly (reference README.md:16 promises
+    full SQL on the heap side): per-customer order spend upserted into
+    a customer mirror, conflicting keys folding spend into the balance
+    via ``excluded``, new keys inserting, all as ONE CDC commit."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 4 = 0")
+    )
+    eng.create_table("cust_up", source_df=cust, primary_key=["c_custkey"])
+    t(spark, sf_dir, "orders").filter("o_custkey % 2 = 0").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("spend")
+    ).createOrReplaceTempView("upsert_src")
+    eng.sql("""
+        INSERT INTO cust_up
+        SELECT k, 'upserted', spend FROM upsert_src
+        ON CONFLICT (c_custkey) DO UPDATE SET
+          c_acctbal = CAST(cust_up.c_acctbal AS DECIMAL(18,2))
+                      + CAST(excluded.c_acctbal AS DECIMAL(18,2))
+    """)
+    return eng.table("cust_up").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("c_name") == "upserted", 1)).alias("n_new"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )

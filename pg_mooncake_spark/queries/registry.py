@@ -68,6 +68,7 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_merge_by_source",
     "lifecycle_sql_ddl",
     "lifecycle_sql_call_follower",
+    "lifecycle_sql_upsert",
     "delta_cdf_mapped_rename",
     "mv_rename_survival",
     # (3a) last driver-verified in round 5 — the stalest slice
@@ -76,10 +77,10 @@ _WINDOW_PRIORITY = (
     "sim_ann_ivf",
     "text_pii_redaction",
     "text_repetition_score",
-    # (3b) last driver-verified in round 6 — first 38 alphabetically;
-    # the remaining 12 r6 keys (setop_intersect_all, setop_union_all,
-    # setop_union_distinct, subquery_*, text_winnowing_fingerprints,
-    # topk_per_group, unpivot_stack, window_*) head the r11 rotation
+    # (3b) last driver-verified in round 6 — first 37 alphabetically;
+    # the remaining 13 r6 keys (setop_*, subquery_*,
+    # text_winnowing_fingerprints, topk_per_group, unpivot_stack,
+    # window_*) head the r11 rotation
     "agg_cube_with_grouping",
     "agg_distinct_and_filtered",
     "agg_grouping_sets",
@@ -117,7 +118,6 @@ _WINDOW_PRIORITY = (
     "scalar_string_family",
     "setop_except",
     "setop_except_all",
-    "setop_intersect",
 )
 
 

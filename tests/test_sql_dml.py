@@ -378,3 +378,67 @@ class TestMergeNotMatchedBySource:
                 "MERGE INTO m USING ns5 AS s ON m.k = s.k "
                 "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = k + 10"
             )
+
+
+class TestInsertOnConflict:
+    """Postgres upsert: INSERT ... ON CONFLICT DO NOTHING / DO UPDATE,
+    routed onto one apply_changes batch."""
+
+    def test_do_nothing_skips_existing_and_batch_dups(self, eng, spark):
+        eng.sql(
+            "INSERT INTO m VALUES (1, 'x', 9.0), (4, 'd', 4.0), "
+            "(4, 'dup', 0.0) ON CONFLICT DO NOTHING"
+        )
+        # existing k=1 untouched; first proposed row for k=4 wins
+        assert _rows(eng) == [
+            (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0),
+        ]
+
+    def test_do_update_with_excluded_and_alias(self, eng):
+        eng.sql(
+            "INSERT INTO m AS old VALUES (2, 'B', 10.0), (5, 'e', 5.0) "
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v, "
+            "x = old.x + excluded.x"
+        )
+        assert _rows(eng) == [
+            (1, "a", 1.0), (2, "B", 12.0), (3, "c", 3.0), (5, "e", 5.0),
+        ]
+
+    def test_do_update_where_leaves_rows_unchanged(self, eng):
+        eng.sql(
+            "INSERT INTO m VALUES (1, 'z', 0.0), (3, 'Z', 0.0) "
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v WHERE m.x > 2"
+        )
+        # k=1 (x=1) fails WHERE -> unchanged AND not inserted; k=3 updated
+        assert _rows(eng) == [(1, "a", 1.0), (2, "b", 2.0), (3, "Z", 3.0)]
+
+    def test_do_update_batch_dup_raises(self, eng):
+        with pytest.raises(ValueError, match="second time"):
+            eng.sql(
+                "INSERT INTO m VALUES (2, 'p', 0.0), (2, 'q', 0.0) "
+                "ON CONFLICT (k) DO UPDATE SET v = excluded.v"
+            )
+
+    def test_conflict_target_must_be_pk(self, eng):
+        with pytest.raises(ValueError, match="primary"):
+            eng.sql(
+                "INSERT INTO m VALUES (9, 'i', 0.0) "
+                "ON CONFLICT (v) DO NOTHING"
+            )
+
+    def test_pk_assignment_rejected(self, eng):
+        with pytest.raises(ValueError, match="primary-key"):
+            eng.sql(
+                "INSERT INTO m VALUES (2, 'p', 0.0) "
+                "ON CONFLICT (k) DO UPDATE SET k = 99"
+            )
+
+    def test_join_on_not_confused_with_conflict(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "j1"), (8, "j8")], "k long, v string"
+        ).createOrReplaceTempView("jsrc")
+        eng.sql(
+            "INSERT INTO m (k, v) SELECT a.k, a.v FROM jsrc a "
+            "JOIN jsrc b ON a.k = b.k ON CONFLICT DO NOTHING"
+        )
+        assert (8, "j8", None) in _rows(eng) and (1, "a", 1.0) in _rows(eng)
