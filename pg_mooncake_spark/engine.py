@@ -1288,10 +1288,21 @@ class MooncakeEngine:
         if kind == "MERGE":
             return self._sql_merge(q, pin=pin)
         if kind == "DELETE":
-            m = re.match(rf"DELETE\s+FROM\s+{_SQL_TABLE}\s*(.*)$", q, re.I | re.S)
+            m = re.match(
+                rf"DELETE\s+FROM\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)\s*)?(.*)$",
+                q, re.I | re.S,
+            )
             if not m:
                 raise ValueError(f"cannot parse DELETE statement: {query!r}")
-            t, rest = m.group(1), m.group(2).strip()
+            t, tgt_alias, rest = m.group(1), m.group(2), m.group(3).strip()
+            using_sql = None
+            um = re.match(r"USING\s+(.*)$", rest, re.I | re.S)
+            if um:
+                rest = um.group(1)
+                wi = _find_top_keyword(rest, "WHERE")
+                if wi < 0:
+                    raise ValueError("DELETE ... USING needs a WHERE clause")
+                using_sql, rest = rest[:wi].strip(), rest[wi:].strip()
             cond = "true"
             if rest:
                 if not re.match(r"WHERE\b", rest, re.I):
@@ -1299,24 +1310,46 @@ class MooncakeEngine:
                         f"unexpected clause after DELETE target: {rest!r}"
                     )
                 cond = rest[5:].strip()
+            if using_sql is not None:
+                return self._sql_delete_using(t, tgt_alias, using_sql, cond)
             v = self.delete_where(t, cond)
             return self._dml_result("DELETE", t, v)
         if kind == "UPDATE":
-            m = re.match(rf"UPDATE\s+{_SQL_TABLE}\s+SET\s+(.*)$", q, re.I | re.S)
+            m = re.match(
+                rf"UPDATE\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)\s+)?SET\s+(.*)$",
+                q, re.I | re.S,
+            )
             if not m:
                 raise ValueError(f"cannot parse UPDATE statement: {query!r}")
-            t, rest = m.group(1), m.group(2)
-            wi = _find_top_keyword(rest, "WHERE")
+            t, tgt_alias, rest = m.group(1), m.group(2), m.group(3)
+            fi = _find_top_keyword(rest, "FROM")
+            from_sql = None
+            if fi >= 0:
+                from_sql = rest[fi + len("FROM"):]
+                rest = rest[:fi]
+            wi = _find_top_keyword(from_sql if from_sql is not None else rest,
+                                   "WHERE")
             cond = "true"
             if wi >= 0:
-                cond = rest[wi + len("WHERE"):].strip()
-                rest = rest[:wi]
+                if from_sql is not None:
+                    cond = from_sql[wi + len("WHERE"):].strip()
+                    from_sql = from_sql[:wi]
+                else:
+                    cond = rest[wi + len("WHERE"):].strip()
+                    rest = rest[:wi]
             assignments: dict[str, str] = {}
             for part in _split_top_commas(rest):
-                am = re.match(r'\s*("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$', part, re.S)
+                am = re.match(
+                    r'\s*(?:\w+\.)?("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$',
+                    part, re.S,
+                )
                 if not am:
                     raise ValueError(f"cannot parse SET clause: {part!r}")
                 assignments[am.group(1).strip('"')] = am.group(2).strip()
+            if from_sql is not None:
+                return self._sql_update_from(
+                    t, tgt_alias, assignments, from_sql.strip(), cond
+                )
             v = self.update_where(t, cond, assignments)
             return self._dml_result("UPDATE", t, v)
         # INSERT
@@ -1510,6 +1543,101 @@ class MooncakeEngine:
                 raise ValueError(dup_msg) from None
             raise
         return self._dml_result("INSERT", t, v)
+
+    def _view_name(self, name: str) -> str:
+        """The temp-view alias :meth:`sql` registers for a mirror."""
+        return name if _IDENT.match(name) else re.sub(r"[^A-Za-z0-9_]", "_", name)
+
+    def _sql_update_from(
+        self,
+        t: str,
+        tgt_alias: Optional[str],
+        assignments: dict[str, str],
+        from_sql: str,
+        cond: str,
+    ) -> DataFrame:
+        """``UPDATE t [AS a] SET ... FROM <from items> WHERE ...`` —
+        the Postgres join-update, compiled as one SELECT over the
+        registered views (so subqueries, joins, and temp views all work
+        in the FROM list) funneled into one apply_changes batch of U
+        images.  Deliberate deviation from Postgres: a target row
+        matching MULTIPLE source rows raises in-job instead of updating
+        with an unpredictable one — silent nondeterminism has no place
+        in a CDC engine."""
+        name = self._canon(t)
+        mt = self._moontable(name)
+        schema = mt.schema()
+        names = [f.name for f in schema.fields]
+        pk = mt.primary_key()
+        if not pk:
+            raise ValueError(f"UPDATE ... FROM needs a primary key on {name!r}")
+        pk_hits = sorted(set(assignments) & set(pk))
+        if pk_hits:
+            raise ValueError(
+                f"UPDATE ... FROM may not assign primary-key column(s) "
+                f"{pk_hits} of {name!r}"
+            )
+        alias = tgt_alias or name.split(".")[-1]
+        proj = ", ".join(
+            f"({assignments[c]}) AS {c}" if c in assignments
+            else f"{alias}.{c} AS {c}"
+            for c in names
+        )
+        pk_list = ", ".join(f"{alias}.{k}" for k in pk)
+        sel = (
+            f"SELECT {proj}, COUNT(*) OVER (PARTITION BY {pk_list}) AS "
+            f"__match_n FROM {self._view_name(name)} AS {alias}, "
+            f"{from_sql} WHERE {cond}"
+        )
+        rows = self.sql(sel)
+        dup_msg = "UPDATE ... FROM: a target row matched multiple source rows"
+        op = F.when(
+            F.col("__match_n") > 1,
+            F.raise_error(F.lit(dup_msg)).cast("string"),
+        ).otherwise(F.lit("U"))
+        batch = rows.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in names],
+            op.alias(OP_COL),
+        )
+        try:
+            v = self.apply_changes(name, batch)
+        except Exception as e:
+            if dup_msg in str(e):
+                raise ValueError(dup_msg) from None
+            raise
+        return self._dml_result("UPDATE", t, v)
+
+    def _sql_delete_using(
+        self,
+        t: str,
+        tgt_alias: Optional[str],
+        using_sql: str,
+        cond: str,
+    ) -> DataFrame:
+        """``DELETE FROM t [AS a] USING <from items> WHERE ...`` — the
+        Postgres join-delete: target rows with at least one match in
+        the USING product are deleted (DISTINCT over the target row, so
+        multiple matches delete once), one apply_changes batch of D
+        keys."""
+        name = self._canon(t)
+        mt = self._moontable(name)
+        schema = mt.schema()
+        names = [f.name for f in schema.fields]
+        if not mt.primary_key():
+            raise ValueError(f"DELETE ... USING needs a primary key on {name!r}")
+        alias = tgt_alias or name.split(".")[-1]
+        proj = ", ".join(f"{alias}.{c} AS {c}" for c in names)
+        sel = (
+            f"SELECT DISTINCT {proj} FROM {self._view_name(name)} AS "
+            f"{alias}, {using_sql} WHERE {cond}"
+        )
+        rows = self.sql(sel)
+        batch = rows.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in names],
+            F.lit("D").alias(OP_COL),
+        )
+        v = self.apply_changes(name, batch)
+        return self._dml_result("DELETE", t, v)
 
     def _sql_merge(self, q: str, pin: Optional[dict[str, int]] = None) -> DataFrame:
         """Route ``MERGE INTO`` onto :meth:`apply_changes` — the last DML

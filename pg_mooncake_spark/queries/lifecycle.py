@@ -1302,3 +1302,78 @@ def lifecycle_sql_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c_name") == "upserted", 1)).alias("n_new"),
         dsum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@query(
+    "lifecycle_sql_join_dml",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    spend AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt
+      FROM orders GROUP BY o_custkey
+    ),
+    updated AS (
+      SELECT t.c_custkey, t.c_name,
+             CASE WHEN s.k IS NOT NULL
+                  THEN CAST(CAST(t.c_acctbal AS DECIMAL(18,2))
+                            + CAST(s.amt AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE t.c_acctbal END AS c_acctbal
+      FROM tgt t LEFT JOIN spend s ON t.c_custkey = s.k
+    ),
+    final AS (
+      -- DELETE USING: drop customers with an URGENT order
+      SELECT u.* FROM updated u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = u.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM final
+    """,
+)
+def lifecycle_sql_join_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres join-DML as statements: ``UPDATE ... FROM`` folds each
+    customer's total order spend into the balance (one U batch from a
+    join over the registered views), then ``DELETE ... USING`` drops
+    customers holding an URGENT order (DISTINCT target rows, one D
+    batch).  The oracle reconstructs both steps with joins."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 3 = 0")
+    )
+    eng.create_table("cust_jd", source_df=cust, primary_key=["c_custkey"])
+    t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("amt")
+    ).createOrReplaceTempView("jd_spend")
+    t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).createOrReplaceTempView("jd_orders")
+    eng.sql("""
+        UPDATE cust_jd SET
+          c_acctbal = CAST(cust_jd.c_acctbal AS DECIMAL(18,2))
+                      + CAST(jd_spend.amt AS DECIMAL(18,2))
+        FROM jd_spend WHERE cust_jd.c_custkey = jd_spend.k
+    """)
+    eng.sql("""
+        DELETE FROM cust_jd USING jd_orders
+        WHERE cust_jd.c_custkey = jd_orders.o_custkey
+          AND jd_orders.o_orderpriority = '1-URGENT'
+    """)
+    return eng.table("cust_jd").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )

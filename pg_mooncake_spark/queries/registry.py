@@ -69,6 +69,7 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_ddl",
     "lifecycle_sql_call_follower",
     "lifecycle_sql_upsert",
+    "lifecycle_sql_join_dml",
     "delta_cdf_mapped_rename",
     "mv_rename_survival",
     # (3a) last driver-verified in round 5 — the stalest slice
@@ -77,8 +78,8 @@ _WINDOW_PRIORITY = (
     "sim_ann_ivf",
     "text_pii_redaction",
     "text_repetition_score",
-    # (3b) last driver-verified in round 6 — first 37 alphabetically;
-    # the remaining 13 r6 keys (setop_*, subquery_*,
+    # (3b) last driver-verified in round 6 — first 36 alphabetically;
+    # the remaining 14 r6 keys (setop_*, subquery_*,
     # text_winnowing_fingerprints, topk_per_group, unpivot_stack,
     # window_*) head the r11 rotation
     "agg_cube_with_grouping",
@@ -117,7 +118,6 @@ _WINDOW_PRIORITY = (
     "scalar_math_family",
     "scalar_string_family",
     "setop_except",
-    "setop_except_all",
 )
 
 

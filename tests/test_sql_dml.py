@@ -442,3 +442,52 @@ class TestInsertOnConflict:
             "JOIN jsrc b ON a.k = b.k ON CONFLICT DO NOTHING"
         )
         assert (8, "j8", None) in _rows(eng) and (1, "a", 1.0) in _rows(eng)
+
+
+class TestJoinDml:
+    """Postgres join-DML: UPDATE ... FROM and DELETE ... USING compiled
+    over the registered views into one apply_changes batch."""
+
+    def test_update_from(self, eng, spark):
+        spark.createDataFrame(
+            [(2, 20.0), (3, 30.0), (9, 90.0)], "k long, bonus double"
+        ).createOrReplaceTempView("jf1")
+        eng.sql("UPDATE m SET x = m.x + jf1.bonus FROM jf1 WHERE m.k = jf1.k")
+        assert _rows(eng) == [(1, "a", 1.0), (2, "b", 22.0), (3, "c", 33.0)]
+
+    def test_update_from_alias_and_subquery(self, eng, spark):
+        spark.createDataFrame(
+            [(3, "hit")], "k long, tag string"
+        ).createOrReplaceTempView("jf2")
+        eng.sql(
+            "UPDATE m AS tgt SET v = s.tag "
+            "FROM (SELECT k, tag FROM jf2) s WHERE tgt.k = s.k"
+        )
+        assert (3, "hit", 3.0) in _rows(eng)
+
+    def test_update_from_multi_match_raises(self, eng, spark):
+        spark.createDataFrame(
+            [(2, 1.0), (2, 2.0)], "k long, d double"
+        ).createOrReplaceTempView("jf3")
+        with pytest.raises(ValueError, match="multiple source rows"):
+            eng.sql("UPDATE m SET x = jf3.d FROM jf3 WHERE m.k = jf3.k")
+
+    def test_update_from_pk_assignment_rejected(self, eng, spark):
+        spark.createDataFrame([(2, 5)], "k long, d long").createOrReplaceTempView(
+            "jf4"
+        )
+        with pytest.raises(ValueError, match="primary-key"):
+            eng.sql("UPDATE m SET k = jf4.d FROM jf4 WHERE m.k = jf4.k")
+
+    def test_delete_using(self, eng, spark):
+        spark.createDataFrame(
+            [(1, 0), (1, 1), (3, 0)], "k long, junk int"
+        ).createOrReplaceTempView("ju1")
+        eng.sql("DELETE FROM m USING ju1 WHERE m.k = ju1.k")
+        # k=1 matched twice: deleted once; k=2 survives
+        assert _rows(eng) == [(2, "b", 2.0)]
+
+    def test_delete_using_requires_where(self, eng, spark):
+        spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("ju2")
+        with pytest.raises(ValueError, match="WHERE"):
+            eng.sql("DELETE FROM m USING ju2")
