@@ -1219,22 +1219,30 @@ class MooncakeEngine:
         executes (the reference's pg_duckdb interception analog — here the
         'interception' is just name resolution; Catalyst is the executor).
 
-        DML statements route to the mirror-maintenance paths — the
-        statement surface the reference's own regress flow exercises
-        against mooncake tables (reference tests/pg_regress/sql/
-        sanity.sql:2-5 runs plain INSERT/UPDATE/DELETE):
+        DML, DDL, and CALL statements route to the mirror-maintenance
+        paths — the complete statement surface the reference's regress
+        corpus exercises (reference tests/pg_regress/sql/sanity.sql and
+        partitioned_table.sql replay statement-for-statement,
+        tests/test_regress_replay.py):
 
-        - ``INSERT INTO t [(cols)] VALUES (...), ...`` and
-          ``INSERT INTO t [(cols)] SELECT ...`` → :meth:`insert`
-          (positional column matching, unlisted columns NULL);
-        - ``UPDATE t SET col = expr, ... [WHERE cond]`` →
-          :meth:`update_where` (expressions see the row's columns;
-          scalar subqueries are not supported there);
-        - ``DELETE FROM t [WHERE cond]`` → :meth:`delete_where`.
+        - ``INSERT INTO t [AS a] [(cols)] VALUES ... | SELECT ...``
+          → :meth:`insert` (positional matching, unlisted columns
+          NULL); with ``ON CONFLICT [(pk)] DO NOTHING | DO UPDATE SET
+          ... [WHERE]`` → the Postgres upsert on one CDC batch;
+        - ``UPDATE t [AS a] SET ... [FROM items] [WHERE]`` →
+          :meth:`update_where`, or the join-update compile path;
+        - ``DELETE FROM t [AS a] [USING items] [WHERE]`` →
+          :meth:`delete_where`, or the join-delete compile path;
+        - ``MERGE INTO ...`` → :meth:`_sql_merge` (ordered
+          first-match-wins WHEN clauses, NOT MATCHED BY SOURCE);
+        - ``CREATE TABLE`` (defs/CTAS) / ``DROP`` / ``TRUNCATE`` /
+          ``ALTER RENAME|ADD COLUMN`` → :meth:`_sql_ddl`;
+        - ``CALL mooncake.<proc>(...)`` → :meth:`_sql_call`
+          (create_table from a mirror source creates a FOLLOWER).
 
-        DML returns a one-row DataFrame (statement, table, new mirror
-        version); attached exports and materialized views stay current
-        exactly as with the method API."""
+        DML/DDL return a one-row DataFrame (statement, table, version);
+        attached exports, materialized views, and follower mirrors stay
+        current exactly as with the method API."""
         kind = _DML_KIND.match(query)
         if kind:
             return self._sql_dml(query, kind.group(1).upper(), pin=pin)
