@@ -36,7 +36,13 @@ from pg_mooncake_spark.storage import OP_COL, MoonTable
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
 _DML_KIND = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.I)
-_DDL_KIND = re.compile(r"^\s*(CREATE|DROP|TRUNCATE|ALTER)\b", re.I)
+# TABLE statements only: CREATE/DROP VIEW, CREATE FUNCTION etc. fall
+# through to spark.sql untouched
+_DDL_KIND = re.compile(
+    r"^\s*(CREATE)\s+TABLE\b|^\s*(DROP)\s+TABLE\b"
+    r"|^\s*(TRUNCATE)\b|^\s*(ALTER)\s+TABLE\b",
+    re.I,
+)
 _CALL_KIND = re.compile(r"^\s*CALL\s+mooncake\.(\w+)\s*\((.*)\)\s*;?\s*$", re.I | re.S)
 
 # Postgres type spellings → Spark DDL strings (anything unlisted falls
@@ -581,6 +587,10 @@ class MooncakeEngine:
         net = None
         try:
             net = self._net_changes_from_feed(mt, ev + 1, latest, pk)
+            # materialize INSIDE the try: a change file reclaimed by a
+            # concurrent vacuum (or corrupt) surfaces at execution, not
+            # plan time, and must also engage the state-diff fallback
+            net = net.localCheckpoint(eager=True)
         except Exception:
             net = None  # feed unavailable for the window: state diff
         if net is not None:
@@ -601,7 +611,13 @@ class MooncakeEngine:
     ) -> DataFrame:
         """Mirror change feed over [start, end] reduced to the last
         image per key — exactly the upsert/delete set an export needs to
-        catch up, computed without touching the export."""
+        catch up, computed without touching the export.
+
+        A key carrying MORE than one image in a single version means the
+        base holds duplicate-primary-key rows (a blind append inserted
+        the same key twice) — key-reduced CDC cannot represent that
+        state, so the plan raises in-job instead of silently keeping an
+        arbitrary one of the copies."""
         from pyspark.sql import Window
 
         from pg_mooncake_spark.storage import VERSION_COL
@@ -610,11 +626,21 @@ class MooncakeEngine:
         feed = mt.changes(start, end)
         ordered = feed.withColumn("__repair_v", F.col(VERSION_COL))
         ops = feed_as_ops(ordered, primary_key=pk)
+        wd = Window.partitionBy(*pk, "__repair_v")
+        ops = ops.withColumn("__dup_n", F.count(F.lit(1)).over(wd))
+        guard = F.when(
+            F.col("__dup_n") > 1,
+            F.raise_error(F.lit(
+                "change-feed reduction: duplicate primary-key rows in "
+                "one commit cannot be followed/repaired by key"
+            )).cast("string"),
+        ).otherwise(F.col(OP_COL))
         w = Window.partitionBy(*pk).orderBy(F.col("__repair_v").desc())
         return (
-            ops.withColumn("__repair_rn", F.row_number().over(w))
+            ops.withColumn(OP_COL, guard)
+            .withColumn("__repair_rn", F.row_number().over(w))
             .filter(F.col("__repair_rn") == 1)
-            .drop("__repair_rn", "__repair_v")
+            .drop("__repair_rn", "__repair_v", "__dup_n")
         )
 
     def _state_diff_ops(
@@ -1248,7 +1274,8 @@ class MooncakeEngine:
             return self._sql_dml(query, kind.group(1).upper(), pin=pin)
         ddl = _DDL_KIND.match(query)
         if ddl:
-            return self._sql_ddl(query, ddl.group(1).upper(), pin=pin)
+            word = next(g for g in ddl.groups() if g)
+            return self._sql_ddl(query, word.upper(), pin=pin)
         call = _CALL_KIND.match(query)
         if call:
             return self._sql_call(call.group(1).lower(), call.group(2))
@@ -1260,7 +1287,7 @@ class MooncakeEngine:
             # Distinct tables may sanitize to the same alias (schema-qualified
             # 'a.b' vs a plain table 'a_b'); silently shadowing one with the
             # other would read the wrong data, so that is an error.
-            view = name if _IDENT.match(name) else re.sub(r"[^A-Za-z0-9_]", "_", name)
+            view = self._view_name(name)
             if view in aliases:
                 raise ValueError(
                     f"view alias {view!r} is ambiguous: both {aliases[view]!r} "
@@ -1805,25 +1832,9 @@ class MooncakeEngine:
                     if im.group(2) else None
                 )
                 ins_clauses.append((extra_cond, cols, im.group(3)))
-            elif re.match(r"DELETE\s*$", action, re.I):
-                matched_clauses.append(("D", extra_cond, None))
             else:
-                um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
-                if not um:
-                    raise ValueError(
-                        f"WHEN MATCHED action must be UPDATE SET or "
-                        f"DELETE: {action!r}"
-                    )
-                assignments: dict[str, str] = {}
-                for part in _split_top_commas(um.group(1)):
-                    pm = re.match(
-                        r'\s*(?:\w+\.)?("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$',
-                        part, re.S,
-                    )
-                    if not pm:
-                        raise ValueError(f"cannot parse SET clause: {part!r}")
-                    assignments[pm.group(1).strip('"')] = pm.group(2).strip()
-                matched_clauses.append(("U", extra_cond, assignments))
+                kind_m, assignments = _parse_upd_del(action, "WHEN MATCHED")
+                matched_clauses.append((kind_m, extra_cond, assignments))
 
         name = self._canon(t)
         mt = self._moontable(name)
@@ -2055,10 +2066,13 @@ class MooncakeEngine:
                 cm = re.match(
                     r"PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", part, re.I
                 )
-                if cm:  # table-level constraint
-                    pk.extend(
-                        c.strip().strip('"').lower() for c in cm.group(1).split(",")
-                    )
+                if cm:  # table-level constraint — same identifier
+                    # folding as column defs: quoted keeps case
+                    for c in cm.group(1).split(","):
+                        c = c.strip()
+                        pk.append(
+                            c.strip('"') if c.startswith('"') else c.lower()
+                        )
                     continue
                 dm = re.match(
                     r'\s*("[^"]+"|[A-Za-z_]\w*)\s+(.+?)'
@@ -2189,8 +2203,22 @@ class MooncakeEngine:
                 # backfill+sync, src/functions.rs:24-43; here both sides
                 # are mirrors, so following is feed-driven).  Requires a
                 # primary key; keyless sources get a snapshot copy only.
+                # A keyed base WITHOUT a change feed is refused HERE —
+                # at follower-creation time — because the failure would
+                # otherwise surface after the base's next DML commit,
+                # leaving its watermarks stale (the wal_level=logical
+                # prerequisite, checked eagerly like the reference).
                 src_mt = self._moontable(src)
                 pk = src_mt.primary_key()
+                if pk and src_mt.feed_mode() is None:
+                    raise ValueError(
+                        f"cannot follow {src!r}: its change feed is off; "
+                        f"create the base with change_feed=True (SQL "
+                        f"CREATE TABLE does this by default)"
+                    )
+                # pin the snapshot and the follow window to the SAME
+                # commit-log version (self.table() would read the
+                # flush_version watermark, which can lag latest)
                 v0 = src_mt.latest_version()
                 if pk:
                     cfg = {
@@ -2199,7 +2227,7 @@ class MooncakeEngine:
                         "follow_version": v0,
                     }
                 self.create_table(
-                    dst, source_df=self.table(src), primary_key=pk,
+                    dst, source_df=src_mt.read(v0), primary_key=pk,
                     table_config=cfg,
                 )
             else:
