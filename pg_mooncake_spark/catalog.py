@@ -109,6 +109,20 @@ class SyncCatalog:
                 self._save(data)
             return bases[checkpoint]
 
+    def set_field(self, table: str, key: str, value: Any) -> None:
+        """Set (or clear, with None) one top-level entry field — e.g.
+        ``export_defer_base``, the mirror version a deferred-export
+        window started from (see engine.flush_exports)."""
+        with self._lock:
+            data = self._load()
+            if table not in data:
+                raise KeyError(f"unknown mirror {table!r}")
+            if value is None:
+                data[table].pop(key, None)
+            else:
+                data[table][key] = value
+            self._save(data)
+
     def set_config_key(self, table: str, key: str, value: Any) -> None:
         """Update one table_config entry in place (e.g. a follower's
         ``follow_version`` watermark)."""

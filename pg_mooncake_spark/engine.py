@@ -44,6 +44,9 @@ _DDL_KIND = re.compile(
     re.I,
 )
 _CALL_KIND = re.compile(r"^\s*CALL\s+mooncake\.(\w+)\s*\((.*)\)\s*;?\s*$", re.I | re.S)
+_TXN_KIND = re.compile(
+    r"^\s*(BEGIN|START|COMMIT|END|ROLLBACK|ABORT|SAVEPOINT|RELEASE)\b", re.I
+)
 
 # Postgres type spellings → Spark DDL strings (anything unlisted falls
 # through to Spark's own DDL parser, so 'string'/'array<int>' also work)
@@ -212,6 +215,10 @@ class MooncakeEngine:
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.catalog = SyncCatalog(self.warehouse)
+        # active BEGIN..COMMIT/ROLLBACK block, or None (autocommit).
+        # {"overlay": {table: DataFrame}, "staged": [(table, kind,
+        # batch)], "aborted": bool} — see _sql_txn for the contract
+        self._txn: Optional[dict[str, Any]] = None
         os.makedirs(self.warehouse, exist_ok=True)
         self.reap_pending_drops()
 
@@ -300,6 +307,7 @@ class MooncakeEngine:
         With ``backfill`` the current source snapshot is written before the
         change stream attaches (backfill-then-tail, SURVEY §2.B streaming).
         """
+        self._no_txn("create_table")
         dst = parse_table_name(dst)
         if dst in self.catalog.list_tables():
             raise ValueError(f"mirror {dst!r} already registered")
@@ -338,6 +346,7 @@ class MooncakeEngine:
         never leaves a registered table pointing at deleted storage —
         only an orphaned directory, reclaimed by reap_pending_drops on
         the next engine start."""
+        self._no_txn("drop_table")
         name = self._canon(dst)
         entry = self.catalog.begin_drop(name)
         if os.path.isdir(entry["path"]):
@@ -423,7 +432,16 @@ class MooncakeEngine:
         batch touches most files (the reference's merge-on-read mirror,
         README.md:13-14); optimize_table folds tombstones back."""
         dst = self._canon(dst)
+        if self._txn is not None:
+            if on_schema_drift != "fail" or defer_exports:
+                raise self._txn_abort(ValueError(
+                    "schema-evolving or deferred-export applies are not "
+                    "supported inside a transaction block"
+                ))
+            return self._txn_stage_apply(dst, changes)
         mt = self._moontable(dst)
+        entry = self.catalog.get(dst)
+        prior_ev, prior_latest = entry.get("export_version"), mt.latest_version()
         v = mt.merge(
             changes,
             source_version=source_version,
@@ -438,7 +456,7 @@ class MooncakeEngine:
         # caller owns the export flush (streaming commit batching): the
         # COMMIT watermark then only moves at flush time, so the barrier
         # never lies about export freshness.
-        exports = self.catalog.get(dst).get("exports") or []
+        exports = entry.get("exports") or []
         # views refresh BEFORE the watermark moves, same contract as
         # exports: a reader passing the freshness barrier must see the
         # batch in the mirror, every attached export, AND every view
@@ -446,7 +464,14 @@ class MooncakeEngine:
             self._refresh_views_of(dst)
             # export_version intentionally NOT moved: exports now lag the
             # mirror until flush_exports (or, after a crash that loses
-            # the buffered batches, repair_exports) converges them
+            # the buffered batches, repair_exports) converges them.  The
+            # defer base records the mirror version the deferral started
+            # from, so flush_exports can tell "steady deferral" (its
+            # buffer covers the whole window — advance) from an export
+            # watermark LOWERED mid-window by a time-travel attach (its
+            # buffer does not — leave the lag for repair_exports).
+            if entry.get("export_defer_base") is None:
+                self.catalog.set_field(dst, "export_defer_base", prior_latest)
             self.catalog.update_watermarks(
                 dst, flush_version=v, applied_source_version=source_version
             )
@@ -457,10 +482,28 @@ class MooncakeEngine:
         self._refresh_views_of(dst)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v,
-            export_version=v, applied_source_version=source_version,
+            export_version=self._ev_advance(v, prior_ev, prior_latest),
+            applied_source_version=source_version,
         )
         self._maybe_auto_compact(dst, mt)
         return v
+
+    @staticmethod
+    def _ev_advance(
+        v: int, prior_ev: Optional[int], prior_latest: int
+    ) -> Optional[int]:
+        """export_version to record after a DML that synced its own batch
+        to every attached export: the new mirror version when exports
+        were CURRENT before the DML, else None (leave untouched).
+
+        The watermark must advance monotonically and only from a covered
+        state (ADVICE r10 medium): after a time-travel attach_export
+        lowered it (or a crash left a deferred window unflushed), the
+        export is missing the [prior_ev, prior_latest] window — the DML
+        syncs only its OWN batch, so blindly stamping the latest version
+        would erase the lag evidence and turn repair_exports into a
+        permanent no-op while the export silently diverges."""
+        return v if (prior_ev is None or prior_ev >= prior_latest) else None
 
     def _maybe_auto_compact(self, dst: str, mt: MoonTable) -> None:
         """Background-maintenance analog of the reference's moonlink
@@ -491,14 +534,25 @@ class MooncakeEngine:
         per flush instead of per micro-batch (VERDICT r7 task 9), so a
         high-trigger-rate stream grows each export's metadata chain N×
         slower between optimizes."""
+        self._no_txn("flush_exports")
         dst = self._canon(dst)
         mt = self._moontable(dst)
-        exports = self.catalog.get(dst).get("exports") or []
+        entry = self.catalog.get(dst)
+        exports = entry.get("exports") or []
         if exports:
             self._sync_exports(mt, changes, exports)
+        # the buffer covers (export_defer_base, latest]; export_version
+        # advances to latest only when the pre-flush watermark covered
+        # the window start — an attach_export that LOWERED it mid-window
+        # left a gap the buffer cannot fill, so the lag stays recorded
+        # for repair_exports (ADVICE r10 medium)
+        base = entry.get("export_defer_base")
+        ev = entry.get("export_version")
+        covered = base is None or ev is None or ev >= base
+        self.catalog.set_field(dst, "export_defer_base", None)
         self.catalog.update_watermarks(
             dst, commit_version=source_version,
-            export_version=mt.latest_version(),
+            export_version=mt.latest_version() if covered else None,
         )
 
     def attach_export(
@@ -521,6 +575,7 @@ class MooncakeEngine:
         row-delta snapshot (equality deletes + appends);
         ``fmt='delta'`` as one MERGE commit (deletion-vector masking of
         the batch keys + appends — upsert_keys_delta)."""
+        self._no_txn("attach_export")
         name = self._canon(dst)
         mt = self._moontable(name)
         if not mt.primary_key():
@@ -567,6 +622,7 @@ class MooncakeEngine:
 
         ``start_sync`` calls this on (re)attach, so a restarted sync
         loop converges exports before new batches flow."""
+        self._no_txn("repair_exports")
         dst = self._canon(dst)
         entry = self.catalog.get(dst)
         exports = entry.get("exports") or []
@@ -577,6 +633,7 @@ class MooncakeEngine:
         if not exports or ev is None or ev >= latest:
             # nothing to converge (legacy entries without the watermark
             # are assumed current — there is no lag evidence to act on)
+            self.catalog.set_field(dst, "export_defer_base", None)
             self.catalog.update_watermarks(
                 dst,
                 export_version=latest,
@@ -584,6 +641,16 @@ class MooncakeEngine:
             )
             return latest
         pk = mt.primary_key() or []
+        if not pk:
+            # keyless mirrors cannot be repaired by key: the feed
+            # reduction and the state diff both need a pk to address
+            # rows (ADVICE r10) — refuse loudly with the watermark left
+            # untouched rather than raising from deep inside either
+            # strategy
+            raise ValueError(
+                f"repair_exports requires a primary key on {dst!r}; "
+                "re-create the export from a current snapshot instead"
+            )
         net = None
         try:
             net = self._net_changes_from_feed(mt, ev + 1, latest, pk)
@@ -599,6 +666,7 @@ class MooncakeEngine:
             for path in exports:
                 diff = self._state_diff_ops(mt, path, pk)
                 self._sync_exports(mt, diff, [path])
+        self.catalog.set_field(dst, "export_defer_base", None)
         self.catalog.update_watermarks(
             dst,
             export_version=latest,
@@ -774,9 +842,13 @@ class MooncakeEngine:
 
     def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
         dst = self._canon(dst)
+        if self._txn is not None:
+            return self._txn_stage_insert(dst, df)
         mt = self._moontable(dst)
+        entry = self.catalog.get(dst)
+        prior_ev, prior_latest = entry.get("export_version"), mt.latest_version()
         v = mt.append(df, source_version=source_version)
-        exports = self.catalog.get(dst).get("exports") or []
+        exports = entry.get("exports") or []
         if exports:
             # blind append (matches mt.append: duplicates kept) — do NOT
             # mask the inserted keys in the export
@@ -786,7 +858,8 @@ class MooncakeEngine:
         self._refresh_views_of(dst)
         self.catalog.update_watermarks(
             dst, commit_version=source_version, flush_version=v,
-            export_version=v, applied_source_version=source_version,
+            export_version=self._ev_advance(v, prior_ev, prior_latest),
+            applied_source_version=source_version,
         )
         return v
 
@@ -802,8 +875,33 @@ class MooncakeEngine:
         post-state semi-join on pre-keys would match nothing, never
         delete the old key, and never append the re-keyed row."""
         dst = self._canon(dst)
+        if self._txn is not None:
+            mt = self._moontable(dst)
+            pk = mt.primary_key() or []
+            hits = sorted(set(assignments) & set(pk))
+            if hits:
+                raise self._txn_abort(ValueError(
+                    f"UPDATE may not assign primary-key column(s) {hits} "
+                    "inside a transaction block"
+                ))
+            pre = self.table(dst).where(condition)
+            post = pre.select(
+                *[
+                    (
+                        F.expr(assignments[f.name]).cast(f.dataType)
+                        if f.name in assignments
+                        else F.col(f.name)
+                    ).alias(f.name)
+                    for f in mt.schema().fields
+                ]
+            )
+            return self._txn_stage_apply(
+                dst, post.withColumn(OP_COL, F.lit("U"))
+            )
         mt = self._moontable(dst)
-        exports = self.catalog.get(dst).get("exports") or []
+        entry = self.catalog.get(dst)
+        prior_ev, prior_latest = entry.get("export_version"), mt.latest_version()
+        exports = entry.get("exports") or []
         pre = None
         if exports:
             pre = mt.read().where(condition).localCheckpoint(eager=True)
@@ -827,7 +925,10 @@ class MooncakeEngine:
             # both rows in the mirror, so the export must keep both too)
             self._sync_exports(mt, changes, exports, upsert_inserts=False)
         self._refresh_views_of(dst)
-        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
+        self.catalog.update_watermarks(
+            dst, flush_version=v,
+            export_version=self._ev_advance(v, prior_ev, prior_latest),
+        )
         return v
 
     def delete_where(self, dst: str, condition: str, strategy: str = "auto") -> int:
@@ -836,8 +937,15 @@ class MooncakeEngine:
         ``strategy`` as in apply_changes ('mor' commits an O(matched
         keys) tombstone instead of rewriting touched files)."""
         dst = self._canon(dst)
+        if self._txn is not None:
+            batch = self.table(dst).where(condition).withColumn(
+                OP_COL, F.lit("D")
+            )
+            return self._txn_stage_apply(dst, batch)
         mt = self._moontable(dst)
-        exports = self.catalog.get(dst).get("exports") or []
+        entry = self.catalog.get(dst)
+        prior_ev, prior_latest = entry.get("export_version"), mt.latest_version()
+        exports = entry.get("exports") or []
         matched = None
         if exports:
             matched = mt.read().where(condition).localCheckpoint(eager=True)
@@ -845,7 +953,10 @@ class MooncakeEngine:
         if exports and matched is not None:
             self._sync_exports(mt, changes_df(matched, op="D"), exports)
         self._refresh_views_of(dst)
-        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
+        self.catalog.update_watermarks(
+            dst, flush_version=v,
+            export_version=self._ev_advance(v, prior_ev, prior_latest),
+        )
         return v
 
     def wait_for_source_version(
@@ -928,6 +1039,7 @@ class MooncakeEngine:
         ``aggs``: output column → (fn, sql_expr), fn ∈ {sum, count, min,
         max, avg}, expr ``"*"`` for count.  ``where`` restricts the view
         to matching base rows (maintained per change-feed image)."""
+        self._no_txn("create_materialized_view")
         from pg_mooncake_spark.views import MaterializedView
 
         name = parse_table_name(name)
@@ -1028,17 +1140,25 @@ class MooncakeEngine:
                 df = df.unionByName(d)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
+        if self._txn is not None:
+            # COPY/bulk load inside a block stages like an INSERT
+            return self._txn_stage_insert(dst, df)
+        entry = self.catalog.get(dst)
+        prior_ev, prior_latest = entry.get("export_version"), mt.latest_version()
         v = mt.append(df)
         # attached exports follow the bulk load too (blind append, same
         # as mt.append: duplicates are kept on both sides) — previously
         # load_files silently diverged exports until a repair ran
-        exports = self.catalog.get(dst).get("exports") or []
+        exports = entry.get("exports") or []
         if exports:
             self._sync_exports(
                 mt, changes_df(df, op="I"), exports, upsert_inserts=False
             )
         self._refresh_views_of(dst)
-        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
+        self.catalog.update_watermarks(
+            dst, flush_version=v,
+            export_version=self._ev_advance(v, prior_ev, prior_latest),
+        )
         return v
 
     def rename_column(self, dst: str, old: str, new: str) -> int:
@@ -1050,9 +1170,12 @@ class MooncakeEngine:
         rewritten anywhere.  Exports carrying unmerged equality deletes
         are compacted first (their delete files store era column
         names)."""
+        self._no_txn("rename_column")
         dst = self._canon(dst)
         mt = self._moontable(dst)
-        exports = self.catalog.get(dst).get("exports") or []
+        entry = self.catalog.get(dst)
+        prior_ev, prior_latest = entry.get("export_version"), mt.latest_version()
+        exports = entry.get("exports") or []
         from pg_mooncake_spark.sources.iceberg import (
             IcebergEqualityDeletesPendingError,
             compact_iceberg,
@@ -1086,7 +1209,10 @@ class MooncakeEngine:
                 compact_iceberg(self.spark, path)
                 rename_column_iceberg(path, old, new)
         v = mt.rename_column(old, new)
-        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
+        self.catalog.update_watermarks(
+            dst, flush_version=v,
+            export_version=self._ev_advance(v, prior_ev, prior_latest),
+        )
         # materialized views over this mirror: remap their specs (and,
         # for a renamed GROUP BY key, their state tables) so refreshes
         # keep working under the new name (VERDICT r8 task 7)
@@ -1100,14 +1226,99 @@ class MooncakeEngine:
                 )
         return v
 
+    def drop_column(self, dst: str, col: str) -> int:
+        """Propagate an upstream ALTER TABLE DROP COLUMN (extension
+        territory, same as rename_column — the reference does no ALTER
+        propagation, SURVEY §1.3): metadata-only on the mirror (a
+        schema-narrowing :meth:`MoonTable.evolve_schema` commit — data
+        files keep the column's bytes, scans stop reading it, time
+        travel below the commit still sees it) AND on every attached
+        export (drop-by-field-id / column-mapping drop — no data file
+        rewritten anywhere).
+
+        Refused loudly when a dependent would break: primary-key
+        columns, follower mirrors (their feed drain would drift), and
+        materialized views whose spec references the column."""
+        self._no_txn("drop_column")
+        dst = self._canon(dst)
+        mt = self._moontable(dst)
+        entry = self.catalog.get(dst)
+        prior_ev, prior_latest = entry.get("export_version"), mt.latest_version()
+        schema = mt.schema()
+        if col not in [f.name for f in schema.fields]:
+            raise ValueError(f"no column {col!r} on {dst!r}")
+        if col in (mt.primary_key() or []):
+            raise ValueError(f"cannot drop primary-key column {col!r}")
+        ident = re.compile(rf"\b{re.escape(col)}\b")
+        for name, e in self.catalog.list_tables().items():
+            cfg = e.get("table_config") or {}
+            if cfg.get("follows") == dst:
+                raise ValueError(
+                    f"cannot drop {col!r} from {dst!r}: follower mirror "
+                    f"{name!r} drains its change feed; drop the follower "
+                    "first"
+                )
+            if cfg.get("kind") == "mview" and cfg.get("base") == dst:
+                from pg_mooncake_spark.views import MaterializedView
+
+                spec = MaterializedView(self.spark, e["path"]).spec()
+                exprs = [
+                    e2 for _fn, e2 in spec["aggs"].values() if e2 != "*"
+                ] + ([spec["where"]] if spec.get("where") else [])
+                if col in spec["group_by"] or any(
+                    ident.search(x) for x in exprs
+                ):
+                    raise ValueError(
+                        f"cannot drop {col!r} from {dst!r}: materialized "
+                        f"view {name!r} references it; drop the view first"
+                    )
+        exports = entry.get("exports") or []
+        from pg_mooncake_spark.sources.delta import drop_column_delta
+        from pg_mooncake_spark.sources.iceberg import (
+            IcebergEqualityDeletesPendingError,
+            compact_iceberg,
+            drop_column_iceberg,
+        )
+
+        # pre-flight every Delta export's restrictions BEFORE dropping
+        # anything; export drops are idempotent, so a retry after a
+        # transient mid-loop failure completes the rest (same protocol
+        # as rename_column)
+        for path in exports:
+            if os.path.isdir(os.path.join(path, "_delta_log")):
+                drop_column_delta(path, col, check_only=True)
+        for path in exports:  # exports first: a refusal leaves the
+            # mirror untouched and the op retryable
+            if os.path.isdir(os.path.join(path, "_delta_log")):
+                drop_column_delta(path, col)
+                continue
+            try:
+                drop_column_iceberg(path, col)
+            except IcebergEqualityDeletesPendingError:
+                compact_iceberg(self.spark, path)
+                drop_column_iceberg(path, col)
+        narrowed = T.StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        v = mt.evolve_schema(narrowed)
+        self._refresh_views_of(dst)
+        self.catalog.update_watermarks(
+            dst, flush_version=v,
+            export_version=self._ev_advance(v, prior_ev, prior_latest),
+        )
+        return v
+
     def optimize_table(self, dst: str, mode: str = "compact") -> int:
         """reference A4 (src/functions.rs:132-144): 'compact' rewrites small
         files; 'vacuum' also deletes unreferenced files; 'sort:<col>[,col]'
         range-clusters the rewrite so file stats ranges are disjoint
         (maximum pruning); 'zorder:<col>,<col>' clusters on the Morton
         interleave so pruning works on ANY listed column."""
+        self._no_txn("optimize_table")
         dst = self._canon(dst)
         mt = self._moontable(dst)
+        entry = self.catalog.get(dst)
+        prior_ev, prior_latest = entry.get("export_version"), mt.latest_version()
         sort_cols = None
         zorder_cols = None
         if mode.startswith("sort:"):
@@ -1148,7 +1359,10 @@ class MooncakeEngine:
             )
             if mode == "vacuum":
                 expire_snapshots(path, retain_last=1)
-        self.catalog.update_watermarks(dst, flush_version=v, export_version=v)
+        self.catalog.update_watermarks(
+            dst, flush_version=v,
+            export_version=self._ev_advance(v, prior_ev, prior_latest),
+        )
         return v
 
     def export_table(
@@ -1219,6 +1433,18 @@ class MooncakeEngine:
         query like tables; pinning a version of a view is not supported
         — refresh determines its state."""
         name = self._canon(name)
+        if self._txn is not None and name in self._txn["overlay"]:
+            # read-your-writes inside the transaction block: the overlay
+            # is the committed snapshot plus every staged batch, composed
+            # lazily (base pinned at plan time, batches checkpointed
+            # O(change) — nothing table-sized is materialized)
+            if version is not None or as_of_timestamp is not None:
+                raise ValueError(
+                    f"cannot pin a version of {name!r}: it has uncommitted "
+                    "changes in the current transaction"
+                )
+            df = self._txn["overlay"][name]
+            return df.filter(where) if where else df
         entry = self.catalog.get(name)
         if (entry.get("table_config") or {}).get("kind") == "mview":
             if version is not None or as_of_timestamp is not None:
@@ -1262,22 +1488,49 @@ class MooncakeEngine:
         - ``MERGE INTO ...`` → :meth:`_sql_merge` (ordered
           first-match-wins WHEN clauses, NOT MATCHED BY SOURCE);
         - ``CREATE TABLE`` (defs/CTAS) / ``DROP`` / ``TRUNCATE`` /
-          ``ALTER RENAME|ADD COLUMN`` → :meth:`_sql_ddl`;
+          ``ALTER RENAME|ADD|DROP COLUMN`` → :meth:`_sql_ddl`;
         - ``CALL mooncake.<proc>(...)`` → :meth:`_sql_call`
           (create_table from a mirror source creates a FOLLOWER).
 
         DML/DDL return a one-row DataFrame (statement, table, version);
         attached exports, materialized views, and follower mirrors stay
-        current exactly as with the method API."""
+        current exactly as with the method API.
+
+        ``BEGIN`` / ``COMMIT`` / ``ROLLBACK`` open a flat transaction
+        block (:meth:`_sql_txn`): DML inside it stages against an
+        in-session overlay (reads — SELECT and DML compilation — see
+        the transaction's own writes), nothing touches any mirror until
+        COMMIT, and ROLLBACK leaves no trace.  A failed statement
+        aborts the block, Postgres-style."""
+        txm = _TXN_KIND.match(query)
+        if txm:
+            return self._sql_txn(query, txm.group(1).upper())
+        if self._txn is not None and self._txn["aborted"]:
+            raise ValueError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block (issue ROLLBACK)"
+            )
         kind = _DML_KIND.match(query)
         if kind:
             return self._sql_dml(query, kind.group(1).upper(), pin=pin)
         ddl = _DDL_KIND.match(query)
         if ddl:
+            if self._txn is not None:
+                self._txn["aborted"] = True
+                raise ValueError(
+                    "DDL statements are not supported inside a "
+                    "transaction block; COMMIT or ROLLBACK first "
+                    "(DDL here is per-statement atomic)"
+                )
             word = next(g for g in ddl.groups() if g)
             return self._sql_ddl(query, word.upper(), pin=pin)
         call = _CALL_KIND.match(query)
         if call:
+            if self._txn is not None:
+                self._txn["aborted"] = True
+                raise ValueError(
+                    "CALL is not supported inside a transaction block"
+                )
             return self._sql_call(call.group(1).lower(), call.group(2))
         aliases: dict[str, str] = {}
         for name in self.catalog.list_tables():
@@ -1296,6 +1549,177 @@ class MooncakeEngine:
             aliases[view] = name
             self.table(name, v).createOrReplaceTempView(view)
         return self.spark.sql(query)
+
+    # ------------------------------------------------------- transactions
+
+    _TXN_BEGIN_WORDS = frozenset(
+        "WORK TRANSACTION ISOLATION LEVEL READ WRITE ONLY COMMITTED "
+        "UNCOMMITTED REPEATABLE SERIALIZABLE DEFERRABLE NOT".split()
+    )
+
+    def _sql_txn(self, query: str, word: str) -> DataFrame:
+        """Flat ``BEGIN .. COMMIT/ROLLBACK`` blocks — the reference's
+        transactional-DML contract (reference CHANGELOG.md:22: inserts/
+        updates/deletes replicate transactionally) re-expressed for a
+        single-session engine:
+
+        - ``BEGIN`` opens the block.  Subsequent DML statements COMPILE
+          immediately against an overlay (committed snapshot + staged
+          batches), so data-dependent errors (duplicate upsert keys,
+          MERGE multi-match) surface at the offending statement and
+          abort the block, and later statements read earlier ones'
+          writes — but NO mirror, export, or view is touched yet.
+          Staged batches are localCheckpoint-materialized, O(statement
+          change volume) each; the overlay itself stays a lazy plan
+          over the pinned base, so nothing table-sized materializes.
+        - ``COMMIT`` replays the staged batches through the real apply
+          paths in statement order — exports, materialized views, and
+          followers sync exactly as in autocommit.  Visibility is
+          deferred to COMMIT; the replayed commits land back-to-back
+          (per-table crash atomicity, not cross-table — documented
+          deviation for a file-log storage layer).
+        - ``ROLLBACK`` (or COMMIT of an aborted block) discards the
+          stage: no trace anywhere.
+
+        Inside a block: DDL / CALL / schema-evolving applies refuse
+        loudly; transactional DML requires primary-keyed tables (the
+        overlay and the replayed merge both address rows by key).
+        Savepoints are not supported (flat blocks only)."""
+        q = query.strip().rstrip(";").strip()
+        if word in ("SAVEPOINT", "RELEASE"):
+            raise ValueError(
+                "savepoints are not supported; transaction blocks are "
+                "flat BEGIN .. COMMIT/ROLLBACK"
+            )
+        if word == "START":
+            if not re.match(r"START\s+TRANSACTION\b", q, re.I):
+                raise ValueError(f"cannot parse statement: {query!r}")
+            q = re.sub(r"^START\s+TRANSACTION", "BEGIN", q, flags=re.I)
+            word = "BEGIN"
+        if word == "BEGIN":
+            tail = q.split()[1:]
+            unknown = [
+                t for t in tail
+                if t.upper().strip(",") not in self._TXN_BEGIN_WORDS
+            ]
+            if unknown:
+                raise ValueError(
+                    f"unsupported BEGIN modifier(s) {unknown}: {query!r}"
+                )
+            if self._txn is not None:
+                # Postgres warns and keeps the open block
+                return self._txn_result(
+                    "BEGIN", "transaction already in progress"
+                )
+            self._txn = {"overlay": {}, "staged": [], "aborted": False}
+            return self._txn_result("BEGIN", "transaction started")
+        if word in ("COMMIT", "END"):
+            if self._txn is None:
+                return self._txn_result(
+                    "COMMIT", "no transaction in progress"
+                )
+            if self._txn["aborted"]:
+                self._txn = None
+                return self._txn_result(
+                    "ROLLBACK", "aborted transaction rolled back"
+                )
+            txn, self._txn = self._txn, None
+            for name, kind, batch in txn["staged"]:
+                if kind == "insert":
+                    self.insert(name, batch)
+                else:
+                    self.apply_changes(name, batch)
+            return self._txn_result(
+                "COMMIT", f"{len(txn['staged'])} statement(s) applied"
+            )
+        # ROLLBACK / ABORT
+        if re.match(r"ROLLBACK\s+TO\b", q, re.I):
+            raise ValueError(
+                "ROLLBACK TO SAVEPOINT is not supported (flat blocks)"
+            )
+        had = self._txn is not None
+        self._txn = None
+        return self._txn_result(
+            "ROLLBACK",
+            "transaction discarded" if had else "no transaction in progress",
+        )
+
+    def _txn_result(self, stmt: str, detail: str) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(stmt, detail)], "statement string, detail string"
+        )
+
+    def _txn_abort(self, exc: Exception) -> Exception:
+        """Mark the open block aborted (Postgres: a failed statement
+        poisons the block until ROLLBACK) and return the exception."""
+        if self._txn is not None:
+            self._txn["aborted"] = True
+        return exc
+
+    def _txn_stage_apply(self, dst: str, changes: DataFrame) -> int:
+        """Stage one CDC batch inside the open block: validate/conform
+        against the mirror schema, materialize it (guards embedded in
+        the batch plan fire HERE — per-statement errors, zero mirror
+        mutation), fold it into the overlay, queue it for COMMIT."""
+        mt = self._moontable(dst)
+        pk = mt.primary_key()
+        if not pk:
+            raise self._txn_abort(ValueError(
+                f"transactional DML requires a primary key on {dst!r}"
+            ))
+        schema = mt.schema()
+        expected = [f.name for f in schema.fields]
+        got = [c for c in changes.columns if c != OP_COL]
+        if sorted(got) != sorted(expected):
+            raise self._txn_abort(ValueError(
+                f"CDC batch schema drifted from {dst!r}: got {sorted(got)}, "
+                f"expected {sorted(expected)} (schema evolution is not "
+                "supported inside a transaction)"
+            ))
+        batch = changes.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in expected],
+            F.col(OP_COL),
+        )
+        try:
+            batch = batch.localCheckpoint(eager=True)
+        except Exception as e:
+            raise self._txn_abort(e)
+        base = self.table(dst)
+        keys = batch.select(*pk).distinct().alias("__txk")
+        cond = None
+        for k in pk:
+            c = F.col(f"__txb.{k}").eqNullSafe(F.col(f"__txk.{k}"))
+            cond = c if cond is None else (cond & c)
+        kept = base.alias("__txb").join(keys, cond, "left_anti")
+        adds = batch.filter(F.col(OP_COL).isin("I", "U")).drop(OP_COL)
+        self._txn["overlay"][dst] = kept.select(*expected).unionByName(adds)
+        self._txn["staged"].append((dst, "apply", batch))
+        return -1  # version assigned at COMMIT
+
+    def _txn_stage_insert(self, dst: str, df: DataFrame) -> int:
+        """Stage a blind append (INSERT / bulk load) inside the block."""
+        mt = self._moontable(dst)
+        if not mt.primary_key():
+            raise self._txn_abort(ValueError(
+                f"transactional DML requires a primary key on {dst!r}"
+            ))
+        try:
+            batch = mt._conform(df).localCheckpoint(  # noqa: SLF001
+                eager=True
+            )
+        except Exception as e:
+            raise self._txn_abort(e)
+        base = self.table(dst)
+        self._txn["overlay"][dst] = base.unionByName(batch)
+        self._txn["staged"].append((dst, "insert", batch))
+        return -1
+
+    def _no_txn(self, what: str) -> None:
+        if self._txn is not None:
+            raise self._txn_abort(ValueError(
+                f"{what} is not supported inside a transaction block; "
+                "COMMIT or ROLLBACK first"
+            ))
 
     def _sql_dml(
         self,
@@ -1509,11 +1933,23 @@ class MooncakeEngine:
         )
         existing = self.table(name)
         if re.match(r"NOTHING$", action, re.I):
-            fresh = (
+            # null-safe anti-join (ADVICE r10): the engine does not
+            # enforce NOT NULL on pk columns, and a name-list join's
+            # null-unsafe equality would let a NULL-key proposed row
+            # bypass conflict detection and blind-insert every time
+            first = (
                 df.filter(F.col("__rn") == 1)
                 .drop("__seq", "__rn", "__nk")
-                .join(existing.select(*pk), on=pk, how="left_anti")
+                .alias("__proposed")
             )
+            ex_keys = existing.select(*pk).alias("__existing")
+            anti = None
+            for k in pk:
+                c = F.col(f"__proposed.{k}").eqNullSafe(
+                    F.col(f"__existing.{k}")
+                )
+                anti = c if anti is None else (anti & c)
+            fresh = first.join(ex_keys, anti, "left_anti")
             v = self.insert(t, fresh)
             return self._dml_result("INSERT", t, v)
         um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
@@ -1548,10 +1984,6 @@ class MooncakeEngine:
         dup_msg = (
             "INSERT ON CONFLICT DO UPDATE cannot affect row a second time"
         )
-        guard = F.when(
-            F.col("excluded.__nk") > 1,
-            F.raise_error(F.lit(dup_msg)).cast("string"),
-        ).otherwise(F.lit("U"))
         u = matched.filter(
             F.coalesce(F.expr(upd_cond).cast("boolean"), F.lit(False))
         ).select(
@@ -1561,16 +1993,26 @@ class MooncakeEngine:
                 else F.col(f"{alias}.{c}").alias(c)
                 for c in names
             ],
-            guard.alias(OP_COL),
+            F.lit("U").alias(OP_COL),
         )
         fresh = proposed.join(ex, cond, "left_anti").select(
-            *[F.col(c) for c in names],
+            *[F.col(c) for c in names], F.lit("I").alias(OP_COL)
+        )
+        # Postgres raises 'cannot affect row a second time' for ANY key
+        # proposed twice — arbitration happens before the DO UPDATE
+        # WHERE, so a duplicate whose rows all fail the WHERE still
+        # errors.  A guard attached to the filtered U rows disappears
+        # with them (ADVICE r10), so the violation check is its own
+        # branch over the UNFILTERED proposed rows, unioned into the
+        # batch: zero rows when clean, raises in-job otherwise.
+        viol = df.filter(F.col("__nk") > 1).select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in names],
             F.when(
                 F.col("__nk") > 1,
                 F.raise_error(F.lit(dup_msg)).cast("string"),
             ).otherwise(F.lit("I")).alias(OP_COL),
         )
-        batch = u.unionByName(fresh)
+        batch = u.unionByName(fresh).unionByName(viol)
         try:
             v = self.apply_changes(name, batch)
         except Exception as e:
@@ -2017,7 +2459,10 @@ class MooncakeEngine:
         - ``ALTER TABLE t RENAME COLUMN a TO b`` → :meth:`rename_column`.
         - ``ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c type`` →
           :meth:`add_column` (schema-evolving commit; exports widen in
-          step)."""
+          step).
+        - ``ALTER TABLE t DROP COLUMN [IF EXISTS] c`` →
+          :meth:`drop_column` (schema-narrowing commit; exports drop by
+          field-id / column mapping — nothing rewritten)."""
         q = query.strip().rstrip(";").strip()
         if kind == "CREATE":
             m = re.match(
@@ -2154,6 +2599,21 @@ class MooncakeEngine:
                 raise ValueError(f"column {col!r} already exists on {t!r}")
             v = self.add_column(t, col, _pg_type_to_spark(m.group(4)))
             return self._dml_result("ALTER", t, v)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+DROP\s+COLUMN\s+"
+            r'(IF\s+EXISTS\s+)?("[^"]+"|\w+)\s*$',
+            q, re.I,
+        )
+        if m:
+            t, if_exists = m.group(1), bool(m.group(2))
+            col = m.group(3).strip('"')
+            existing = [f.name for f in self._moontable(t).schema().fields]
+            if col not in existing:
+                if if_exists:
+                    return self._dml_result("ALTER", t, 0)
+                raise ValueError(f"no column {col!r} on {t!r}")
+            v = self.drop_column(t, col)
+            return self._dml_result("ALTER", t, v)
         raise ValueError(f"unsupported {kind} statement: {q!r}")
 
     def _sql_call(self, proc: str, args_sql: str) -> DataFrame:
@@ -2262,6 +2722,7 @@ class MooncakeEngine:
         pre-evolution files read the column as NULL, attached exports
         widen in step, and time travel below the commit sees the old
         shape)."""
+        self._no_txn("add_column")
         dst = self._canon(dst)
         mt = self._moontable(dst)
         schema = mt.schema()
@@ -2270,6 +2731,16 @@ class MooncakeEngine:
         widened = T.StructType(
             list(schema.fields) + [T.StructField(col, dtype, True)]
         )
+        if not mt.primary_key():
+            # keyless mirrors (e.g. SQL CTAS tables) cannot route the
+            # widen through apply_changes — merge requires a primary key
+            # (ADVICE r10).  The schema-evolving commit is metadata-only
+            # either way; keyless tables cannot carry exports (attach
+            # needs a pk), so there is no export to widen in step.
+            v = mt.evolve_schema(widened)
+            self._refresh_views_of(dst)
+            self.catalog.update_watermarks(dst, flush_version=v)
+            return v
         empty = self.spark.createDataFrame([], widened).withColumn(
             OP_COL, F.lit("I")
         )

@@ -1377,3 +1377,91 @@ def lifecycle_sql_join_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@query(
+    "lifecycle_sql_txn",
+    oracle="""
+    WITH cust0 AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT -1, 'txn-sentinel', CAST(100.0 AS DOUBLE)
+    ),
+    cust AS (
+      -- committed UPDATE: double balances of custkeys divisible by 10
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM cust0
+    ),
+    ord0 AS (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    ords AS (
+      -- committed DELETE of expensive orders, plus the committed INSERT
+      SELECT * FROM ord0 WHERE NOT (o_totalprice > 150000)
+      UNION ALL
+      SELECT -7, -1, CAST(50.0 AS DOUBLE)
+    )
+    -- the second BEGIN (delete everything / zero prices) ROLLED BACK:
+    -- the oracle models only the committed block
+    SELECT (SELECT COUNT(*) FROM cust) AS n_cust,
+           (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+            FROM cust) AS total_bal,
+           (SELECT COUNT(*) FROM ords) AS n_ord,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+            FROM ords) AS total_price
+    """,
+)
+def lifecycle_sql_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``BEGIN .. COMMIT / ROLLBACK`` blocks (VERDICT r10 task 4 — the
+    reference replicates DML transactionally, reference CHANGELOG.md:22):
+    one committed block mutates TWO mirrors (insert + read-your-writes
+    update + join-free delete), becoming visible only at COMMIT; a
+    second block deletes/zeroes everything and ROLLS BACK, leaving no
+    trace.  The oracle reconstructs exactly the committed block."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 5 = 0")
+    )
+    eng.create_table("cust_txn", source_df=cust, primary_key=["c_custkey"])
+    ords = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .filter("o_orderkey % 97 = 0")
+    )
+    eng.create_table("ord_txn", source_df=ords, primary_key=["o_orderkey"])
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO cust_txn VALUES (-1, 'txn-sentinel', 100.0)")
+    eng.sql("""
+        UPDATE cust_txn
+        SET c_acctbal = CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE)
+        WHERE c_custkey % 10 = 0
+    """)
+    eng.sql("DELETE FROM ord_txn WHERE o_totalprice > 150000")
+    eng.sql("INSERT INTO ord_txn VALUES (-7, -1, 50.0)")
+    eng.sql("COMMIT")
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM cust_txn WHERE true")
+    eng.sql("UPDATE ord_txn SET o_totalprice = 0.0 WHERE true")
+    eng.sql("ROLLBACK")
+    c = eng.table("cust_txn").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )
+    o = eng.table("ord_txn").agg(
+        F.count(F.lit(1)).alias("n_ord"),
+        dsum("o_totalprice", 2).alias("total_price"),
+    )
+    return c.crossJoin(o)

@@ -1528,6 +1528,93 @@ def rename_column_delta(
     return v
 
 
+def drop_column_delta(path: str, col: str, check_only: bool = False) -> int:
+    """Metadata-only column drop on a Delta table — the Delta twin of
+    ``drop_column_iceberg`` and the DROP half of
+    :func:`rename_column_delta`'s mapping machinery.
+
+    Enabling ``columnMapping.mode=name`` first (ids + physical names
+    assigned to every surviving field, physical = current name) means
+    existing parquet keeps the dropped column's bytes while the logical
+    schema no longer lists it — no data file is rewritten, and readers
+    (this module's and delta-spark's) resolve the surviving columns
+    through the mapping.  Partitioned tables are refused for the same
+    pre-mapping partitionValues reason as rename; ``check_only`` runs
+    only the restriction checks (the engine's pre-flight)."""
+    _adds, _schema, partition_cols, st = _replay(path)
+    if partition_cols:
+        raise DeltaProtocolError(
+            "drop column on a partitioned Delta table is not supported "
+            "(partitionValues of existing files are keyed by the "
+            "pre-mapping column names)"
+        )
+    if check_only:
+        return st.last_v
+    sj = json.loads(st.schema_json)
+    names = [f["name"] for f in sj["fields"]]
+    if col not in names:
+        return st.last_v  # already dropped (retry after partial failure)
+    max_id = int(st.configuration.get("delta.columnMapping.maxColumnId") or 0)
+    fields = []
+    for f in sj["fields"]:
+        if f["name"] == col:
+            continue
+        md = dict(f.get("metadata") or {})
+        if "delta.columnMapping.id" not in md:
+            max_id += 1
+            md["delta.columnMapping.id"] = max_id
+            md["delta.columnMapping.physicalName"] = f["name"]
+        fields.append({**f, "metadata": md})
+    cfg = dict(st.configuration)
+    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+    md_action = dict(st.metadata)
+    md_action["schemaString"] = json.dumps({**sj, "fields": fields})
+    md_action["configuration"] = cfg
+    actions: list[dict[str, Any]] = []
+    proto = st.protocol
+    rv = proto.get("minReaderVersion", 1)
+    wv = proto.get("minWriterVersion", 2)
+    if rv >= 3 or wv >= 7:
+        rf = set(proto.get("readerFeatures") or []) | {"columnMapping"}
+        wf = set(proto.get("writerFeatures") or []) | {"columnMapping"}
+        if rf != set(proto.get("readerFeatures") or []) or wf != set(
+            proto.get("writerFeatures") or []
+        ):
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": max(rv, 3),
+                        "minWriterVersion": max(wv, 7),
+                        "readerFeatures": sorted(rf),
+                        "writerFeatures": sorted(wf),
+                    }
+                }
+            )
+    elif rv < 2 or wv < 5:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": max(rv, 2),
+                    "minWriterVersion": max(wv, 5),
+                }
+            }
+        )
+    actions.append({"metaData": md_action})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DROP COLUMNS",
+                "operationParameters": {"columns": json.dumps([col])},
+            }
+        }
+    )
+    v = st.last_v + 1
+    _commit(path, v, actions)
+    return v
+
+
 def write_delta(
     df: DataFrame,
     path: str,

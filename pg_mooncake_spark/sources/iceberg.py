@@ -1905,6 +1905,80 @@ def rename_column_iceberg(path: str, old: str, new: str) -> int:
     return int(new_schema["schema-id"])
 
 
+def drop_column_iceberg(path: str, col: str) -> int:
+    """Metadata-only column drop keeping every other FIELD ID — the
+    Iceberg spec's delete-column evolution (data files keep the
+    column's bytes; readers resolving by id simply stop selecting it).
+    A new schema (same ids, field removed) joins the ``schemas`` list
+    and becomes current; no data file, no manifest is rewritten.
+
+    Same era bookkeeping as :func:`rename_column_iceberg` (the
+    activation-seq property), and the same refusal while unmerged
+    equality deletes exist (their files store era-named columns —
+    compact first).  Dropping a column any partition spec transforms
+    is refused: partition values of existing files would lose their
+    source field."""
+    import time
+
+    meta = _latest_metadata(path)
+    cur = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            cur = s
+    if cur is None:
+        raise IcebergSupportError(f"no current schema in {path}")
+    names = [f["name"] for f in cur["fields"]]
+    if col not in names:
+        # already dropped — idempotent success for multi-export retries
+        return int(meta.get("current-schema-id") or 0)
+    field_id = next(f["id"] for f in cur["fields"] if f["name"] == col)
+    for spec in meta.get("partition-specs") or []:
+        if any(
+            int(f.get("source-id") or -1) == int(field_id)
+            for f in spec.get("fields") or []
+        ):
+            raise IcebergSupportError(
+                f"cannot drop {col!r}: partition spec "
+                f"{spec.get('spec-id')} transforms it"
+            )
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    snap = snaps.get(meta.get("current-snapshot-id"))
+    if snap is not None and snap.get("manifest-list"):
+        _files, _pos, eq_deletes = _files_from_manifests(path, snap)
+        if eq_deletes:
+            raise IcebergEqualityDeletesPendingError(
+                "cannot drop a column while unmerged equality deletes "
+                "exist; run compact_iceberg first"
+            )
+    new_schema = {
+        **cur,
+        "schema-id": max(
+            int(s.get("schema-id") or 0) for s in meta.get("schemas") or []
+        )
+        + 1,
+        "fields": [f for f in cur["fields"] if f["name"] != col],
+    }
+    out = {k: v for k, v in meta.items() if not k.startswith("__")}
+    out["schemas"] = list(meta.get("schemas") or []) + [new_schema]
+    out["current-schema-id"] = new_schema["schema-id"]
+    props = dict(out.get("properties") or {})
+    props[f"pgms.schema-activation-seq.{new_schema['schema-id']}"] = str(
+        int(meta.get("last-sequence-number") or 0) + 1
+    )
+    out["properties"] = props
+    out["last-updated-ms"] = int(time.time() * 1000)
+    if meta.get("__pinned-file"):
+        out["metadata-log"] = list(meta.get("metadata-log") or []) + [
+            {
+                "metadata-file": meta["__pinned-file"],
+                "timestamp-ms": int(meta.get("last-updated-ms") or 0),
+            }
+        ]
+    meta_dir = os.path.join(path, "metadata")
+    _write_metadata_json(meta_dir, _metadata_version_of(meta, path) + 1, out)
+    return int(new_schema["schema-id"])
+
+
 def _rename_eras(meta: dict):
     """Era table for rename-aware reads, or None when every schema in
     the metadata agrees with the current top-level names (the common,

@@ -1817,6 +1817,49 @@ class MoonTable:
         )
         return v
 
+    def evolve_schema(self, new_schema: T.StructType) -> int:
+        """Metadata-only schema change commit — no data file is touched.
+
+        Two shapes are accepted:
+
+        - WIDEN: every existing column kept (same type), new columns
+          appended NULLABLE — the ALTER TABLE ADD COLUMN path for
+          tables :meth:`merge` cannot serve (keyless mirrors; merge
+          requires a primary key, ADVICE r10).  Pre-evolution files
+          read the new columns as NULL.
+        - NARROW: a subset of existing columns (same types) — the
+          ALTER TABLE DROP COLUMN path.  Files keep the dropped
+          column's bytes; scans resolve to the logical schema, so the
+          column simply stops being read.  Primary-key columns cannot
+          be dropped.
+
+        Time travel below the commit sees the old shape (same
+        schema-evolving replay as a drifted merge)."""
+        old = {f.name: f.dataType for f in self.schema().fields}
+        new = {f.name: f.dataType for f in new_schema.fields}
+        changed = sorted(
+            c for c in set(old) & set(new) if old[c] != new[c]
+        )
+        if changed:
+            raise MoonTableError(
+                f"evolve_schema cannot change column types: {changed}"
+            )
+        dropped = sorted(set(old) - set(new))
+        pk_dropped = sorted(set(dropped) & set(self.primary_key() or []))
+        if pk_dropped:
+            raise MoonTableError(
+                f"cannot drop primary-key column(s) {pk_dropped}"
+            )
+        v = self.latest_version() + 1
+        self._write_commit(
+            Commit(
+                version=v,
+                op="evolve",
+                schema=json.dumps(new_schema.jsonValue()),
+            )
+        )
+        return v
+
     def optimize(
         self,
         target_partitions: Optional[int] = None,

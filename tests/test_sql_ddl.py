@@ -119,6 +119,75 @@ class TestSqlDdl:
         got = sorted(tuple(r) for r in read_iceberg(spark, exp).collect())
         assert got == [(1, "a", None), (2, "b", 2.5)]
 
+    def test_alter_drop_column(self, eng):
+        """DROP COLUMN is a schema-narrowing metadata commit: reads stop
+        seeing the column, time travel below still does, and the change
+        feed resolves to the end-version schema (VERDICT r10 task 7)."""
+        eng.sql("CREATE TABLE dc (k int PRIMARY KEY, v text, x int)")
+        eng.sql("INSERT INTO dc VALUES (1, 'a', 10), (2, 'b', 20)")
+        v_before = eng._moontable("dc").latest_version()
+        eng.sql("ALTER TABLE dc DROP COLUMN x")
+        assert [f.name for f in eng._moontable("dc").schema().fields] == [
+            "k", "v",
+        ]
+        assert sorted(tuple(r) for r in eng.table("dc").collect()) == [
+            (1, "a"), (2, "b"),
+        ]
+        # time travel below the drop still sees the column
+        old = eng.table("dc", version=v_before)
+        assert sorted(tuple(r) for r in old.collect()) == [
+            (1, "a", 10), (2, "b", 20),
+        ]
+        # DML keeps working on the narrowed shape, and a feed window
+        # spanning the drop resolves to the narrow schema
+        eng.sql("INSERT INTO dc VALUES (3, 'c')")
+        eng.sql("UPDATE dc SET v = 'B' WHERE k = 2")
+        feed = eng.table_changes("dc", 1)
+        assert "x" not in feed.columns
+        assert sorted(tuple(r) for r in eng.table("dc").collect()) == [
+            (1, "a"), (2, "B"), (3, "c"),
+        ]
+        with pytest.raises(ValueError, match="primary-key"):
+            eng.sql("ALTER TABLE dc DROP COLUMN k")
+        with pytest.raises(ValueError, match="no column"):
+            eng.sql("ALTER TABLE dc DROP COLUMN nope")
+        eng.sql("ALTER TABLE dc DROP COLUMN IF EXISTS nope")  # no-op
+
+    def test_drop_column_propagates_to_exports(self, eng, spark, tmp_path):
+        from pg_mooncake_spark.sources.delta import read_delta
+        from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+        eng.sql("CREATE TABLE de (k int PRIMARY KEY, v text, x int)")
+        eng.sql("INSERT INTO de VALUES (1, 'a', 10)")
+        ice, dl = str(tmp_path / "ice"), str(tmp_path / "dl")
+        eng.attach_export("de", ice)
+        eng.attach_export("de", dl, fmt="delta")
+        eng.sql("ALTER TABLE de DROP COLUMN x")
+        assert sorted(read_iceberg(spark, ice).columns) == ["k", "v"]
+        assert sorted(read_delta(spark, dl).columns) == ["k", "v"]
+        # post-drop DML still syncs both exports
+        eng.sql("INSERT INTO de VALUES (2, 'b')")
+        eng.sql("UPDATE de SET v = 'A' WHERE k = 1")
+        want = [(1, "A"), (2, "b")]
+        assert sorted(tuple(r) for r in read_iceberg(spark, ice).collect()) == want
+        assert sorted(tuple(r) for r in read_delta(spark, dl).collect()) == want
+
+    def test_drop_column_refuses_dependents(self, eng, spark):
+        eng.sql("CREATE TABLE db (k int PRIMARY KEY, v text, x int)")
+        eng.sql("INSERT INTO db VALUES (1, 'a', 10)")
+        eng.create_materialized_view(
+            "db_mv", "db", group_by=["v"], aggs={"sx": ("sum", "x")}
+        )
+        with pytest.raises(ValueError, match="materialized view"):
+            eng.drop_column("db", "x")
+        eng.drop_table("db_mv")
+        eng.sql("CALL mooncake.create_table('db_f', 'db')")
+        with pytest.raises(ValueError, match="follower"):
+            eng.drop_column("db", "x")
+        eng.drop_table("db_f")
+        eng.drop_column("db", "x")
+        assert eng.table("db").columns == ["k", "v"]
+
     def test_malformed_ddl_raises(self, eng):
         with pytest.raises(ValueError, match="cannot parse|unsupported"):
             eng.sql("CREATE TABLE")

@@ -1,0 +1,167 @@
+"""BEGIN / COMMIT / ROLLBACK transaction blocks (VERDICT r10 task 4 —
+the reference's transactional-DML contract, reference CHANGELOG.md:22):
+DML stages against an overlay, COMMIT applies atomically-visible,
+ROLLBACK leaves no trace, failed statements abort the block."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.engine import MooncakeEngine
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    e = MooncakeEngine(spark, warehouse)
+    e.sql("CREATE TABLE a (k int PRIMARY KEY, v text)")
+    e.sql("INSERT INTO a VALUES (1, 'a1'), (2, 'a2')")
+    e.sql("CREATE TABLE b (k int PRIMARY KEY, n int)")
+    e.sql("INSERT INTO b VALUES (1, 10)")
+    return e
+
+
+def _rows(eng, t):
+    return sorted(tuple(r) for r in eng.table(t).collect())
+
+
+class TestCommit:
+    def test_multi_table_commit_visible_atomically(self, eng):
+        va = eng._moontable("a").latest_version()
+        vb = eng._moontable("b").latest_version()
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        eng.sql("UPDATE b SET n = n + 5 WHERE k = 1")
+        eng.sql("INSERT INTO b VALUES (2, 20)")
+        # nothing has touched either mirror yet
+        assert eng._moontable("a").latest_version() == va
+        assert eng._moontable("b").latest_version() == vb
+        r = eng.sql("COMMIT").collect()[0]
+        assert r["statement"] == "COMMIT"
+        assert _rows(eng, "a") == [(1, "a1"), (2, "a2"), (3, "a3")]
+        assert _rows(eng, "b") == [(1, 15), (2, 20)]
+
+    def test_read_your_writes_inside_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        # SELECT sees the staged insert …
+        assert eng.sql("SELECT count(*) AS n FROM a").collect()[0]["n"] == 3
+        # … and DML compiles against it (UPDATE of the staged row)
+        eng.sql("UPDATE a SET v = 'A3' WHERE k = 3")
+        eng.sql("DELETE FROM a WHERE k = 1")
+        # the mirror itself still holds the pre-txn state
+        assert sorted(
+            r["k"] for r in eng._moontable("a").read().collect()
+        ) == [1, 2]
+        eng.sql("COMMIT")
+        assert _rows(eng, "a") == [(2, "a2"), (3, "A3")]
+
+    def test_insert_select_and_merge_inside_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO b SELECT k + 100, 1 FROM a")
+        eng.sql(
+            "MERGE INTO b USING (SELECT 1 AS k, 99 AS n) s ON b.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET n = s.n "
+            "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.n)"
+        )
+        eng.sql("COMMIT")
+        assert _rows(eng, "b") == [(1, 99), (101, 1), (102, 1)]
+
+    def test_commit_syncs_exports_and_views(self, eng, spark, tmp_path):
+        from pg_mooncake_spark.sources.iceberg import read_iceberg
+
+        exp = str(tmp_path / "exp")
+        eng.attach_export("b", exp)
+        eng.create_materialized_view(
+            "b_mv", "b", group_by=["k"], aggs={"total": ("sum", "n")}
+        )
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO b VALUES (2, 20)")
+        eng.sql("UPDATE b SET n = 0 WHERE k = 1")
+        # export and view untouched mid-block
+        assert sorted(r["k"] for r in read_iceberg(spark, exp).collect()) == [1]
+        eng.sql("COMMIT")
+        assert sorted(
+            (r["k"], r["n"]) for r in read_iceberg(spark, exp).collect()
+        ) == [(1, 0), (2, 20)]
+        assert sorted(
+            (r["k"], r["total"]) for r in eng.table("b_mv").collect()
+        ) == [(1, 0), (2, 20)]
+
+
+class TestRollbackAndAbort:
+    def test_rollback_leaves_no_trace(self, eng):
+        va = eng._moontable("a").latest_version()
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO a VALUES (9, 'x')")
+        eng.sql("DELETE FROM a WHERE k = 1")
+        eng.sql("ROLLBACK")
+        assert _rows(eng, "a") == [(1, "a1"), (2, "a2")]
+        assert eng._moontable("a").latest_version() == va
+        # autocommit resumes after the block
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        assert (3, "a3") in _rows(eng, "a")
+
+    def test_failed_statement_aborts_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO a VALUES (9, 'x')")
+        with pytest.raises(ValueError, match="second time"):
+            eng.sql(
+                "INSERT INTO a VALUES (2, 'p'), (2, 'q') "
+                "ON CONFLICT (k) DO UPDATE SET v = excluded.v"
+            )
+        with pytest.raises(ValueError, match="aborted"):
+            eng.sql("INSERT INTO a VALUES (10, 'y')")
+        # COMMIT of an aborted block rolls back
+        r = eng.sql("COMMIT").collect()[0]
+        assert r["statement"] == "ROLLBACK"
+        assert _rows(eng, "a") == [(1, "a1"), (2, "a2")]
+
+    def test_ddl_and_call_refused_inside_block(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="transaction"):
+            eng.sql("CREATE TABLE nope (k int PRIMARY KEY)")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="transaction"):
+            eng.sql("CALL mooncake.create_snapshot('a')")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="transaction"):
+            eng.drop_table("a")
+        eng.sql("ROLLBACK")
+
+    def test_keyless_table_dml_refused(self, eng, spark):
+        eng.sql("CREATE TABLE nk AS SELECT 1 AS k, 'a' AS v")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="primary key"):
+            eng.sql("INSERT INTO nk VALUES (2, 'b')")
+        eng.sql("ROLLBACK")
+
+
+class TestBlockShapes:
+    def test_begin_variants_and_noops(self, eng):
+        assert eng.sql("START TRANSACTION").collect()[0]["statement"] == "BEGIN"
+        assert "already" in eng.sql(
+            "BEGIN ISOLATION LEVEL SERIALIZABLE"
+        ).collect()[0]["detail"]
+        eng.sql("ROLLBACK")
+        assert "no transaction" in eng.sql("COMMIT").collect()[0]["detail"]
+        assert "no transaction" in eng.sql("ROLLBACK").collect()[0]["detail"]
+        eng.sql("BEGIN WORK")
+        eng.sql("END")  # COMMIT spelling
+
+    def test_savepoints_refused(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="[Ss]avepoint"):
+            eng.sql("SAVEPOINT s1")
+        with pytest.raises(ValueError, match="not supported"):
+            eng.sql("ROLLBACK TO SAVEPOINT s1")
+        eng.sql("ROLLBACK")
+
+    def test_version_pin_refused_on_dirty_table(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        with pytest.raises(ValueError, match="uncommitted"):
+            eng.table("a", version=1)
+        eng.table("b", version=eng._moontable("b").latest_version())  # clean: ok
+        eng.sql("ROLLBACK")
