@@ -1465,3 +1465,45 @@ def lifecycle_sql_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", 2).alias("total_price"),
     )
     return c.crossJoin(o)
+
+
+@query(
+    "lifecycle_sql_copy",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(30,2)))
+                AS DOUBLE) AS total_bal
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def lifecycle_sql_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COPY`` statements end-to-end (VERDICT r10 task 5 — the
+    reference replicates COPY bulk loads, reference CHANGELOG.md:22):
+    a customer-subset mirror COPY TO csv on disk, then COPY FROM that
+    csv into a second, empty mirror — format/header options on both
+    sides.  The roundtrip is the identity, so the oracle is the
+    subset itself."""
+    import os as _os
+
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 7 = 0")
+    )
+    eng.create_table("cust_src", source_df=cust, primary_key=["c_custkey"])
+    eng.create_table(
+        "cust_dst", source_df=cust.limit(0), primary_key=["c_custkey"]
+    )
+    out = _os.path.join(
+        tempfile.mkdtemp(prefix="mooncake_copy_"), "cust.csv"
+    )
+    eng.sql(f"COPY cust_src TO '{out}' WITH (FORMAT csv, HEADER true)")
+    eng.sql(f"COPY cust_dst FROM '{out}' WITH (FORMAT csv, HEADER true)")
+    return eng.table("cust_dst").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )

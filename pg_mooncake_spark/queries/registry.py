@@ -61,63 +61,65 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # (1) never driver-verified: round-9 additions + the round-10 MERGE
-    # clause-order regression key (VERDICT r9 tasks 1 and 3)
-    "lifecycle_sql_merge",
-    "lifecycle_sql_merge_order",
-    "lifecycle_sql_merge_by_source",
-    "lifecycle_sql_ddl",
-    "lifecycle_sql_call_follower",
-    "lifecycle_sql_upsert",
-    "lifecycle_sql_join_dml",
-    "delta_cdf_mapped_rename",
-    "mv_rename_survival",
-    # (3a) last driver-verified in round 5 — the stalest slice
-    "scalar_regexp_family",
-    "scalar_try_family",
-    "sim_ann_ivf",
-    "text_pii_redaction",
-    "text_repetition_score",
-    # (3b) last driver-verified in round 6 — first 36 alphabetically;
-    # the remaining 14 r6 keys (setop_*, subquery_*,
-    # text_winnowing_fingerprints, topk_per_group, unpivot_stack,
-    # window_*) head the r11 rotation
-    "agg_cube_with_grouping",
-    "agg_distinct_and_filtered",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_scalar_ungrouped",
-    "agg_stats_family",
-    "agg_string_agg",
-    "avro_roundtrip_documents",
-    "corpus_shard_assignment",
-    "delta_dv_delete_roundtrip",
-    "delta_dv_update_roundtrip",
-    "delta_schema_evolution_roundtrip",
-    "distinct_projection",
-    "embedding_normalize_quantize",
-    "iceberg_delete_roundtrip",
-    "jdbc_mirror_snapshot",
-    "join_anti_customers_without_orders",
-    "join_cross_region_nation",
-    "join_full_outer",
-    "join_inequality_acctbal",
-    "join_inner_orders_customers",
-    "join_left_outer_customer_orders",
-    "join_right_outer",
-    "join_semi_customers_with_orders",
-    "lateral_explode_tokens",
-    "lifecycle_iceberg_mirror_sync",
-    "limit_offset",
-    "orderby_multikey_nulls",
-    "pivot_status_by_priority",
-    "q21_suppliers_kept_waiting",
-    "scalar_datetime_family",
-    "scalar_math_family",
-    "scalar_string_family",
-    "setop_except",
+    # (1) never driver-verified: the round-11 additions (transaction
+    # blocks, COPY)
+    "lifecycle_sql_txn",
+    "lifecycle_sql_copy",
+    # (3a) last driver-verified in round 6 — the stalest slice, ALL 14
+    # (VERDICT r10 task 1)
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "subquery_correlated_scalar",
+    "subquery_in_notin",
+    "subquery_scalar_uncorrelated",
+    "text_winnowing_fingerprints",
+    "topk_per_group",
+    "unpivot_stack",
+    "window_offset_family",
+    "window_ranking_family",
+    "window_running_and_range_frames",
+    # (3b) last driver-verified in round 7 — first 34 alphabetically
+    # (fills the 50-slot window); the remaining 16 r7 keys
+    # (scalar_interval/json*, sequence_generation, sim_*, sketch/skew_*,
+    # struct_and_map_access, text_{boilerplate,language,profile,quality,
+    # top_ngrams}) head the r12 rotation
+    "agg_bitwise_family",
+    "agg_boolean_family",
+    "corpus_sample_deterministic",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_simhash16",
+    "dedup_substring_runs",
+    "delta_roundtrip_lineitem",
+    "events_asof_join",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "iceberg_bucket_partition_roundtrip",
+    "iceberg_partitioned_roundtrip",
+    "iceberg_sorted_range_scan",
+    "lifecycle_cdc_lineitem_merge",
+    "lifecycle_decimal_roundtrip",
+    "lifecycle_partitioned_counts",
+    "lifecycle_sanity_cdc",
+    "lifecycle_schema_evolution_cdc",
+    "lifecycle_snapshot_versions",
+    "lifecycle_trades_quickstart",
+    "media_feature_extraction",
+    "media_frame_sampling",
+    "media_resize_dedup",
+    "pipeline_pretraining_corpus",
+    "scalar_array_family",
+    "scalar_array_setops_family",
+    "scalar_bitwise_family",
+    "scalar_conditional_family",
+    "scalar_hash_family",
 )
 
 

@@ -1817,6 +1817,34 @@ class MoonTable:
         )
         return v
 
+    def keys_present(self, keys_df: DataFrame) -> DataFrame:
+        """Distinct ``keys_df`` keys that already exist in the current
+        snapshot — the merge path's stats→bloom pruning reused as a
+        membership test, so the scan touches only candidate files that
+        can contain a probed key (O(candidates), never O(table));
+        merge-on-read tombstones are honored (a deleted key is absent)."""
+        pk = self.primary_key()
+        if not pk:
+            raise MoonTableError("keys_present requires a primary key")
+        keys = keys_df.select(*pk).distinct()
+        bounds = keys.agg(
+            *[F.min(k).alias(f"min_{k}") for k in pk],
+            *[F.max(k).alias(f"max_{k}") for k in pk],
+            F.count(F.lit(1)).alias("__nkeys"),
+        ).collect()[0]
+        files, dels, _ = self._snapshot_full(None)
+        candidates = [d for d in files if _intersects(d, pk, bounds)]
+        candidates = self._bloom_prune(
+            candidates, keys, pk, int(bounds["__nkeys"])
+        )
+        if not candidates:
+            return keys.limit(0)
+        pk_schema = T.StructType(
+            [f for f in self.schema().fields if f.name in set(pk)]
+        )
+        scan = self._scan(candidates, pk_schema, dels, pk=pk)
+        return keys.join(scan, on=list(pk), how="leftsemi")
+
     def evolve_schema(self, new_schema: T.StructType) -> int:
         """Metadata-only schema change commit — no data file is touched.
 

@@ -167,6 +167,128 @@ class TestKeylessRepairAndAddColumn:
         ) == [(1, None), (2, 7)]
 
 
+class TestStatementScopedResolution:
+    """VERDICT r10 task 2: engine.sql must resolve pinned snapshot views
+    only for mirrors the statement references, not the whole catalog."""
+
+    def test_sql_resolves_only_referenced_tables(self, spark, warehouse):
+        eng = MooncakeEngine(spark, warehouse)
+        probe = spark.createDataFrame([(1, "a")], "k int, v string")
+        eng.create_table("hot1", source_df=probe, primary_key=["k"])
+        eng.create_table("hot2", source_df=probe, primary_key=["k"])
+        for i in range(30):  # filler catalog entries (no backfill commit)
+            eng.create_table(
+                f"filler{i}", source_df=probe, primary_key=["k"],
+                backfill=False,
+            )
+        resolved: list[str] = []
+        orig = eng.table
+
+        def spy(name, *a, **kw):
+            resolved.append(name)
+            return orig(name, *a, **kw)
+
+        eng.table = spy
+        n = eng.sql(
+            "SELECT count(*) AS n FROM hot1 JOIN hot2 USING (k)"
+        ).collect()[0]["n"]
+        assert n == 1
+        assert sorted(set(resolved)) == ["hot1", "hot2"]
+
+    def test_dependents_index_maintained(self, spark, warehouse):
+        eng = MooncakeEngine(spark, warehouse)
+        eng.sql("CREATE TABLE base_ix (k int PRIMARY KEY, n int)")
+        eng.sql("INSERT INTO base_ix VALUES (1, 10)")
+        eng.create_materialized_view(
+            "ix_mv", "base_ix", group_by=["k"], aggs={"s": ("sum", "n")}
+        )
+        eng.sql("CALL mooncake.create_table('ix_f', 'base_ix')")
+        assert sorted(eng.catalog.dependents("base_ix")) == ["ix_f", "ix_mv"]
+        eng.drop_table("ix_mv")
+        assert eng.catalog.dependents("base_ix") == ["ix_f"]
+        eng.drop_table("ix_f")
+        assert eng.catalog.dependents("base_ix") == []
+
+    def test_dropped_table_not_answered_by_stale_view(self, spark, warehouse):
+        eng = MooncakeEngine(spark, warehouse)
+        eng.sql("CREATE TABLE ghost (k int PRIMARY KEY)")
+        eng.sql("INSERT INTO ghost VALUES (1)")
+        assert eng.sql("SELECT * FROM ghost").count() == 1
+        eng.sql("DROP TABLE ghost")
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM ghost").collect()
+
+
+class TestFollowedAppendGuard:
+    """VERDICT r10 wrong #2: duplicate-pk blind appends on a followed
+    table must fail at WRITE time, not wedge the follower at follow
+    time."""
+
+    def test_dup_append_refused_and_follower_advances(self, spark, warehouse):
+        eng = MooncakeEngine(spark, warehouse)
+        eng.sql("CREATE TABLE fb (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO fb VALUES (1, 'a')")
+        eng.sql("CALL mooncake.create_table('fb_f', 'fb')")
+        # in-batch duplicate
+        with pytest.raises(ValueError, match="duplicate"):
+            eng.insert(
+                "fb",
+                spark.createDataFrame(
+                    [(2, "x"), (2, "y")], "k int, v string"
+                ),
+            )
+        # collision with an existing key
+        with pytest.raises(ValueError, match="duplicate"):
+            eng.sql("INSERT INTO fb VALUES (1, 'again')")
+        # valid writes still flow through to the follower
+        eng.sql("INSERT INTO fb VALUES (3, 'c')")
+        assert sorted(
+            (r["k"], r["v"]) for r in eng.table("fb_f").collect()
+        ) == [(1, "a"), (3, "c")]
+
+    def test_txn_guard_fires_at_stage_commit_stays_atomic(
+        self, spark, warehouse
+    ):
+        """Inside a transaction the guard runs at STAGE time against the
+        overlay (cross-statement dup caught before COMMIT); replay never
+        fails halfway, so a guarded block commits atomically."""
+        eng = MooncakeEngine(spark, warehouse)
+        eng.sql("CREATE TABLE ftx (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO ftx VALUES (1, 'a')")
+        eng.sql("CALL mooncake.create_table('ftx_f', 'ftx')")
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO ftx VALUES (2, 'b')")
+        with pytest.raises(ValueError, match="duplicate"):
+            eng.sql("INSERT INTO ftx VALUES (2, 'again')")  # vs overlay
+        # block is poisoned Postgres-style
+        with pytest.raises(Exception):
+            eng.sql("INSERT INTO ftx VALUES (9, 'z')")
+        eng.sql("ROLLBACK")
+        assert eng.table("ftx").count() == 1
+        # a clean block commits fully and the follower advances
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO ftx VALUES (2, 'b')")
+        eng.sql("INSERT INTO ftx VALUES (3, 'c')")
+        eng.sql("COMMIT")
+        assert sorted(
+            (r["k"], r["v"]) for r in eng.table("ftx_f").collect()
+        ) == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_unfollowed_table_keeps_blind_append_semantics(
+        self, spark, warehouse
+    ):
+        eng = MooncakeEngine(spark, warehouse)
+        eng.create_table(
+            "plain",
+            source_df=spark.createDataFrame([(1, "a")], "k int, v string"),
+            primary_key=["k"],
+        )
+        eng.insert(
+            "plain", spark.createDataFrame([(1, "b")], "k int, v string")
+        )  # duplicates allowed: no follower to protect
+        assert eng.table("plain").count() == 2
+
+
 class TestOnConflictEdges:
     @pytest.fixture()
     def eng(self, spark, warehouse):

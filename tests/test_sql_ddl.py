@@ -188,6 +188,65 @@ class TestSqlDdl:
         eng.drop_column("db", "x")
         assert eng.table("db").columns == ["k", "v"]
 
+    def test_copy_from_csv_variants(self, eng, tmp_path):
+        """COPY t FROM with Postgres defaults: csv is headerless unless
+        HEADER is given; legacy 'WITH CSV HEADER' spelling accepted."""
+        eng.sql("CREATE TABLE cp (k int PRIMARY KEY, v text)")
+        f1 = tmp_path / "h.csv"
+        f1.write_text("k,v\n1,a\n2,b\n")
+        eng.sql(f"COPY cp FROM '{f1}' WITH (FORMAT csv, HEADER true)")
+        f2 = tmp_path / "nh.csv"
+        f2.write_text("3,c\n")
+        eng.sql(f"COPY cp FROM '{f2}'")  # format inferred, no header
+        f3 = tmp_path / "l.csv"
+        f3.write_text("k,v\n4,d\n")
+        eng.sql(f"COPY cp FROM '{f3}' WITH CSV HEADER")
+        assert sorted(tuple(r) for r in eng.table("cp").collect()) == [
+            (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+        ]
+
+    def test_copy_to_and_query_form(self, eng, spark, tmp_path):
+        eng.sql("CREATE TABLE ct (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO ct VALUES (1, 'a'), (2, 'b')")
+        out = tmp_path / "out.parquet"
+        eng.sql(f"COPY ct TO '{out}'")
+        assert sorted(
+            tuple(r) for r in spark.read.parquet(str(out)).collect()
+        ) == [(1, "a"), (2, "b")]
+        qout = tmp_path / "q.csv"
+        eng.sql(
+            f"COPY (SELECT k FROM ct WHERE k = 2) TO '{qout}' "
+            "WITH (FORMAT csv, HEADER true)"
+        )
+        got = spark.read.options(header="true").csv(str(qout)).collect()
+        assert [r["k"] for r in got] == ["2"]
+
+    def test_copy_from_inside_transaction_stages(self, eng, tmp_path):
+        eng.sql("CREATE TABLE cpx (k int PRIMARY KEY, v text)")
+        f = tmp_path / "t.csv"
+        f.write_text("1,a\n")
+        eng.sql("BEGIN")
+        eng.sql(f"COPY cpx FROM '{f}'")
+        assert eng.sql("SELECT count(*) AS n FROM cpx").collect()[0]["n"] == 1
+        eng.sql("ROLLBACK")
+        assert eng.table("cpx").count() == 0
+
+    def test_list_tables_as_sql_relation(self, eng):
+        eng.sql("CREATE TABLE lt1 (k int PRIMARY KEY)")
+        eng.sql("CREATE TABLE lt2 (k int PRIMARY KEY)")
+        rows = eng.sql(
+            "SELECT table, kind FROM mooncake.list_tables() "
+            "WHERE table LIKE 'lt%' ORDER BY table"
+        ).collect()
+        assert [(r["table"], r["kind"]) for r in rows] == [
+            ("lt1", "mirror"), ("lt2", "mirror"),
+        ]
+        # a string literal spelling the function is left alone
+        lit = eng.sql(
+            "SELECT 'mooncake.list_tables()' AS s"
+        ).collect()[0]["s"]
+        assert lit == "mooncake.list_tables()"
+
     def test_malformed_ddl_raises(self, eng):
         with pytest.raises(ValueError, match="cannot parse|unsupported"):
             eng.sql("CREATE TABLE")

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Spark vs DuckDB-oracle wall-times at an arbitrary SF directory.
+
+Validates BASELINE.md's driver-floor amortization claim (VERDICT r10
+task 3): at sf0.1 Spark's fixed ~0.2-0.5 s/query scheduling floor
+dominates, and the whole perf verdict rests on that floor amortizing
+as data grows.  This runs a query subset at a larger SF (see
+tools/make_scale.py) in BOTH engines and prints the per-query
+wall-times plus the Spark/DuckDB ratio, so the ratio trend vs sf0.1
+is an in-repo fact rather than an argument.
+
+Protocol mirrors bench.py (warm pass, then median of N timed rounds,
+noop sink so every output column evaluates) and BASELINE.md's DuckDB
+anchor (same oracle SQL the correctness gate runs, fetchall-timed,
+threads=SPARK_GRAFT_CPUS for symmetry).  DuckDB queries exceeding
+--cap seconds are interrupted and reported as ">cap".
+
+Usage:  python tools/bench_scale.py SF_DIR [query ...]
+Env:    SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_RUNS (3),
+        SPARK_GRAFT_ORACLE_CAP (seconds, default 300)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q21_suppliers_kept_waiting",
+    "text_profile_analysis",
+    "dedup_minhash_pairs_fast",
+    "events_sessionization",
+]
+
+
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    cap = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "300"))
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pg_mooncake_spark-bench-scale")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from pg_mooncake_spark.queries.registry import all_queries
+
+    queries = all_queries()
+    oracles = entry.oracle_sql()
+
+    # ---- Spark side: warm pass, then median of timed rounds
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    spark_t: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        spark.catalog.clearCache()
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark_t[name].append(time.perf_counter() - t0)
+
+    # ---- DuckDB side: same SQL the correctness oracle runs
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={cpus}")
+    con.execute("SET TimeZone='UTC'")
+    from pg_mooncake_spark.queries.registry import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    duck_t: dict[str, object] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            duck_t[name] = None
+            continue
+        runs: list[float] = []
+        capped = False
+        for _ in range(n_runs):
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+            except duckdb.InterruptException:
+                capped = True
+                break
+            finally:
+                timer.cancel()
+        duck_t[name] = f">{cap:g}" if capped else round(median(runs), 3)
+
+    out: dict[str, object] = {"sf_dir": sf_dir, "runs": n_runs, "queries": {}}
+    for name in names:
+        s = round(median(spark_t[name]), 3)
+        d = duck_t[name]
+        ratio = (
+            round(s / d, 2) if isinstance(d, float) and d > 0 else None
+        )
+        out["queries"][name] = {"spark": s, "duckdb": d, "ratio": ratio}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
