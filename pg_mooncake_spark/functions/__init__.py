@@ -23,6 +23,40 @@ def dsum(col: Column | str, scale: int = 2, precision: int = 30) -> Column:
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 
 
+def scaled_long(col: Column | str, scale: int) -> Column:
+    """Exact fixed-point encoding of a NON-NEGATIVE double: round(x*10^s)
+    as BIGINT, entirely inside whole-stage codegen (no BigDecimal).
+
+    ``(x * 10^s + 0.5) cast long`` equals HALF_UP rounding for x >= 0
+    (cast truncates toward zero).  This matches ``CAST(x AS DECIMAL(p,s))``
+    EXACTLY when the underlying quantity is a decimal with <= ``scale``
+    fractional digits stored as its nearest double (TPC-H money columns and
+    their 2/3-factor products): the true scaled value is then an integer,
+    the float error after the multiply is orders of magnitude below 0.5,
+    and both rounding rules pick that integer.  Not valid for doubles of
+    unbounded decimal expansion — use :func:`dsum` there.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+
+
+def unscale_sum(partial: Column | str, scale: int) -> Column:
+    """Merge scaled-long partial sums exactly and return DOUBLE.
+
+    ``partial`` holds per-(group, input-partition) BIGINT partials from
+    :func:`scaled_long` (bounded by rows-per-partition, so no overflow at
+    any total scale).  The merge sums them as DECIMAL(38,0) — exact — then
+    divides by 10^s in decimal (result scale >= s, so exact) and casts to
+    DOUBLE once: the same single correctly-rounded conversion the oracle's
+    ``CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE)`` performs.
+    """
+    c = F.col(partial) if isinstance(partial, str) else partial
+    total = F.sum(c.cast("decimal(38,0)"))
+    if scale == 0:
+        return total.cast("double")
+    return (total / F.lit(10**scale)).cast("double")
+
+
 def davg(col: Column | str, scale: int = 2, precision: int = 30) -> Column:
     """Deterministic AVG: exact decimal sum / count, both sides identical."""
     c = F.col(col) if isinstance(col, str) else col

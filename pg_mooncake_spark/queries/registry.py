@@ -61,65 +61,66 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # (1) never driver-verified: the round-11 additions (transaction
-    # blocks, COPY)
-    "lifecycle_sql_txn",
-    "lifecycle_sql_copy",
-    # (3a) last driver-verified in round 6 — the stalest slice, ALL 14
-    # (VERDICT r10 task 1)
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "subquery_correlated_scalar",
-    "subquery_in_notin",
-    "subquery_scalar_uncorrelated",
-    "text_winnowing_fingerprints",
-    "topk_per_group",
-    "unpivot_stack",
-    "window_offset_family",
-    "window_ranking_family",
-    "window_running_and_range_frames",
-    # (3b) last driver-verified in round 7 — first 34 alphabetically
-    # (fills the 50-slot window); the remaining 16 r7 keys
-    # (scalar_interval/json*, sequence_generation, sim_*, sketch/skew_*,
-    # struct_and_map_access, text_{boilerplate,language,profile,quality,
-    # top_ngrams}) head the r12 rotation
-    "agg_bitwise_family",
-    "agg_boolean_family",
-    "corpus_sample_deterministic",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signature",
-    "dedup_ngram_jaccard",
-    "dedup_simhash16",
-    "dedup_substring_runs",
-    "delta_roundtrip_lineitem",
-    "events_asof_join",
-    "events_sessionization",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "iceberg_bucket_partition_roundtrip",
-    "iceberg_partitioned_roundtrip",
-    "iceberg_sorted_range_scan",
-    "lifecycle_cdc_lineitem_merge",
-    "lifecycle_decimal_roundtrip",
-    "lifecycle_partitioned_counts",
-    "lifecycle_sanity_cdc",
-    "lifecycle_schema_evolution_cdc",
-    "lifecycle_snapshot_versions",
-    "lifecycle_trades_quickstart",
-    "media_feature_extraction",
-    "media_frame_sampling",
-    "media_resize_dedup",
-    "pipeline_pretraining_corpus",
-    "scalar_array_family",
-    "scalar_array_setops_family",
-    "scalar_bitwise_family",
-    "scalar_conditional_family",
-    "scalar_hash_family",
+    # (2) implementation changed this round (q1 exact-sum fast path) — the
+    # change must be externally re-confirmed even though the key was
+    # driver-green in r9
+    "q1_pricing_summary",
+    # (3a) last driver-verified in round 7 — the stalest slice, ALL 16
+    # (judge-r11 task: rotate onto the r7 tail)
+    "scalar_interval_family",
+    "scalar_json_family",
+    "scalar_json_structured",
+    "sequence_generation",
+    "sim_ann_indexed_probe",
+    "sim_ann_lsh_bucketed",
+    "sim_cosine_topk_bruteforce",
+    "sketch_hll_distinct",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "struct_and_map_access",
+    "text_boilerplate_fraction",
+    "text_language_id",
+    "text_profile_analysis",
+    "text_quality_scoring",
+    "text_top_ngrams",
+    # (3b) last driver-verified in round 9 — first 33 alphabetically
+    # (fills the 50-slot window); the remaining r9 keys
+    # (q18-q22/q2-q9 band, scalar_cast_conversion, scalar_hof_family,
+    # sql_recursive_cte) head the r13 rotation
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "corpus_chunking",
+    "corpus_decontaminate",
+    "corpus_domain_cap",
+    "corpus_mixture",
+    "corpus_pack_sequences",
+    "corpus_sample_stratified",
+    "dedup_components",
+    "dedup_minhash_pairs_fast",
+    "dedup_simhash64_fast",
+    "delta_cdf_roundtrip",
+    "delta_rename_mapping_roundtrip",
+    "events_range_join",
+    "iceberg_changelog_export",
+    "iceberg_metadata_tables",
+    "iceberg_roundtrip_lineitem",
+    "lifecycle_change_feed",
+    "lifecycle_delta_mirror_sync",
+    "lifecycle_mor_scattered_dml",
+    "lifecycle_rename_widen_cdc",
+    "lifecycle_sql_dml",
+    "mv_filtered_where",
+    "mv_incremental_agg",
+    "mv_minmax_retraction",
+    "orc_roundtrip_lineitem",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
 )
 
 

@@ -50,10 +50,16 @@ def test_q5_dimension_joins_broadcast(spark, queries):
 
 
 def test_q1_single_shuffle(spark, queries):
-    """Q1: partial agg map-side, one shuffle for the 6-group final agg,
-    one for the tiny sort."""
+    """Q1 (two-level exact-sum shape): the per-row work collapses map-side
+    into one (group, partition_id) partial per partition, so every
+    exchange moves only #groups×#partitions rows — the r12 fast path adds
+    one tiny merge exchange (partial → final agg) plus the 6-row sort."""
     df = queries["q1_pricing_summary"](spark, SF_DIR)
-    assert I.exchange_count(df) <= 2
+    assert I.exchange_count(df) <= 3
+    # The per-row stage must stay long-typed: no 128-bit decimal cast in
+    # the hot projection (the whole point of the fast path).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "decimal(30," not in plan
 
 
 def test_q3_broadcasts_customer(spark, queries):
