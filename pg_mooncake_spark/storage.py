@@ -186,6 +186,18 @@ class MoonTable:
         self._COMMIT_CACHE[key] = c
         return c
 
+    def txn_tags(self) -> set:
+        """Transaction-replay idempotency tags (``props['txn']``) present
+        in this table's commit log — the durable record of which staged
+        transaction batches already landed here.  O(commits) metadata
+        reads, served from the commit cache after the first scan."""
+        tags = set()
+        for v in self._versions():
+            props = self._read_commit(v).props
+            if props and props.get("txn"):
+                tags.add(props["txn"])
+        return tags
+
     def _write_commit(self, c: Commit) -> None:
         self.backend.mkdirs(self.log_path)
         final = os.path.join(self.log_path, f"{c.version:010d}.json")
@@ -937,19 +949,29 @@ class MoonTable:
             return None
         return props.get("feed_mode") or "dml"
 
-    def append(self, df: DataFrame, source_version: Optional[int] = None) -> int:
-        """Blind append (INSERT path / bulk load)."""
+    def append(
+        self,
+        df: DataFrame,
+        source_version: Optional[int] = None,
+        commit_props: Optional[dict] = None,
+    ) -> int:
+        """Blind append (INSERT path / bulk load).  ``commit_props``
+        folds extra keys into the commit's props — used by transaction
+        replay to stamp an idempotency tag (``txn``) INSIDE the atomic
+        commit, so crash recovery can tell applied batches from lost
+        ones by reading the log."""
         df = self._conform(df)
         v = self.latest_version() + 1
         add = self._stage_files(df, self.primary_key())
-        props = None
+        props = dict(commit_props) if commit_props else None
         if self.feed_mode() == "full":
             # self-contained streamable feed: the appended rows are
             # duplicated into _changes/ as insert images
             props = {
+                **(props or {}),
                 "change_files": self._stage_change_files(
                     df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), v
-                )
+                ),
             }
         self._commit_with_changes(
             Commit(
@@ -996,9 +1018,13 @@ class MoonTable:
         on_schema_drift: str = "fail",
         strategy: str = "auto",
         mor_threshold: float = 0.3,
+        commit_props: Optional[dict] = None,
     ) -> int:
         """Apply a CDC change batch: ``changes`` carries the table columns
         plus ``__op`` ∈ {I, U, D} (insert / update-upsert / delete).
+
+        ``commit_props`` folds extra keys into the commit's props (see
+        :meth:`append` — transaction-replay idempotency tags).
 
         ``on_schema_drift``: 'fail' (default) refuses a batch whose
         columns drifted from the mirror schema; 'evolve' widens the
@@ -1156,7 +1182,7 @@ class MoonTable:
                 and len(touched) / len(files) > mor_threshold
             )
             v = self.latest_version() + 1
-            props = None
+            props = dict(commit_props) if commit_props else None
             # with the change feed on, a CoW merge has TWO consumers of
             # the touched-file content (pre-image derivation + the
             # rewrite) — cache the scan so the dominant I/O of the CDC
@@ -1168,10 +1194,11 @@ class MoonTable:
                         touched, work_schema, dels
                     ).persist()
                 props = {
+                    **(props or {}),
                     "change_files": self._merge_change_files(
                         touched, dels, work_schema, changes, upserts, pk, v,
                         scan_df=scan_cached,
-                    )
+                    ),
                 }
             if use_mor and touched:
                 # merge-on-read: append upserts, tombstone every changed
