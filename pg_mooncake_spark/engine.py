@@ -1298,9 +1298,10 @@ class MooncakeEngine:
         # keep working under the new name (VERDICT r8 task 7)
         from pg_mooncake_spark.views import MaterializedView
 
-        for _name, e in self.catalog.list_tables().items():
+        for name in self.catalog.dependents(dst):
+            e = self.catalog.get(name)
             cfg = e.get("table_config") or {}
-            if cfg.get("kind") == "mview" and cfg.get("base") == dst:
+            if cfg.get("kind") == "mview":
                 MaterializedView(self.spark, e["path"]).remap_base_rename(
                     old, new
                 )
@@ -1330,7 +1331,8 @@ class MooncakeEngine:
         if col in (mt.primary_key() or []):
             raise ValueError(f"cannot drop primary-key column {col!r}")
         ident = re.compile(rf"\b{re.escape(col)}\b")
-        for name, e in self.catalog.list_tables().items():
+        for name in self.catalog.dependents(dst):
+            e = self.catalog.get(name)
             cfg = e.get("table_config") or {}
             if cfg.get("follows") == dst:
                 raise ValueError(
@@ -1545,7 +1547,12 @@ class MooncakeEngine:
             version = entry.get("flush_version")
         return mt.read(version, where=where)
 
-    def sql(self, query: str, pin: Optional[dict[str, int]] = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        pin: Optional[dict[str, int]] = None,
+        copy_data: Optional[Any] = None,
+    ) -> DataFrame:
         """Run SQL over mirrors: every registered mirror name is resolved to
         its pinned snapshot and exposed as a temp view, then Spark SQL
         executes (the reference's pg_duckdb interception analog — here the
@@ -1613,7 +1620,7 @@ class MooncakeEngine:
                 )
             return self._sql_call(call.group(1).lower(), call.group(2))
         if _COPY_KIND.match(query):
-            return self._sql_copy(query)
+            return self._sql_copy(query, copy_data=copy_data)
         # ``SELECT * FROM mooncake.list_tables()`` — the reference's
         # catalog relation (src/functions.rs:84-116) as a queryable SQL
         # spelling: rewrite top-level occurrences to a temp view over
@@ -2867,7 +2874,89 @@ class MooncakeEngine:
             return self._dml_result("ALTER", t, v)
         raise ValueError(f"unsupported {kind} statement: {q!r}")
 
-    def _sql_copy(self, query: str) -> DataFrame:
+    def _copy_stdin_df(
+        self,
+        table: str,
+        copy_data: Any,
+        fmt: str,
+        header: Optional[bool],
+        sep: Optional[str],
+    ) -> DataFrame:
+        """Materialize a COPY FROM STDIN payload as a DataFrame typed to
+        the target table's schema.  Accepts a ready DataFrame verbatim,
+        or a string in the statement's FORMAT:
+
+        - ``text`` (Postgres default): tab-delimited, ``\\N`` = NULL,
+          optional ``\\.`` terminator line;
+        - ``csv``: DELIMITER/HEADER options honored; an empty field is
+          NULL (Python's csv reader cannot distinguish ``""`` from an
+          unquoted empty, so quoted-empty-string degrades to NULL —
+          bounded deviation).
+
+        The payload arrived through the session call, so it is
+        driver-local by definition; parsing happens driver-side and the
+        typed rows enter the normal insert path (txn staging included).
+        """
+        if copy_data is None:
+            raise ValueError(
+                "COPY ... FROM STDIN needs the payload: "
+                "sql(stmt, copy_data=<string or DataFrame>)"
+            )
+        if isinstance(copy_data, DataFrame):
+            return copy_data
+        schema = self._moontable(table).schema()
+        names = [f.name for f in schema.fields]
+        if fmt == "csv":
+            import csv as _csv
+            import io
+
+            raw = list(
+                _csv.reader(io.StringIO(copy_data), delimiter=sep or ",")
+            )
+            if header and raw:
+                raw = raw[1:]
+            rows = []
+            for r in raw:
+                if not r or r == ["\\."]:
+                    if r == ["\\."]:
+                        break
+                    continue
+                rows.append([None if v == "" else v for v in r])
+        elif fmt == "text":
+            d = sep or "\t"
+            rows = []
+            for ln in copy_data.splitlines():
+                if ln == "\\.":
+                    break
+                if not ln:
+                    continue
+                rows.append(
+                    [None if v == "\\N" else v for v in ln.split(d)]
+                )
+        else:
+            raise ValueError(
+                f"COPY FROM STDIN supports FORMAT text|csv, not {fmt!r}"
+            )
+        for r in rows:
+            if len(r) != len(names):
+                raise ValueError(
+                    f"COPY payload row has {len(r)} fields, table "
+                    f"{table!r} has {len(names)} columns: {r!r}"
+                )
+        sdf = self.spark.createDataFrame(
+            rows,
+            T.StructType(
+                [T.StructField(n, T.StringType()) for n in names]
+            ),
+        )
+        return sdf.select(
+            *[
+                F.col(n).cast(schema[n].dataType).alias(n)
+                for n in names
+            ]
+        )
+
+    def _sql_copy(self, query: str, copy_data: Optional[Any] = None) -> DataFrame:
         """``COPY`` — the Postgres bulk path (reference CHANGELOG.md:22
         lists COPY among the replicated operations).  Bounded shapes:
 
@@ -2878,10 +2967,19 @@ class MooncakeEngine:
           accepted as the legacy spelling.  Postgres defaults apply:
           csv has NO header unless HEADER is given; FORMAT text reads
           tab-delimited headerless files.
+        - ``COPY t FROM STDIN [...]`` → the inline-payload form: the
+          payload rides in ``sql(..., copy_data=...)`` as a string in
+          the statement's FORMAT (csv / text with ``\\N`` nulls and an
+          optional ``\\.`` terminator) or as a ready DataFrame.  STDIN
+          payloads are session-supplied and therefore driver-local by
+          definition — bulk-scale loads belong in COPY FROM 'path'.
         - ``COPY t TO 'path' [...]`` / ``COPY (SELECT ...) TO 'path'
-          [...]`` → a distributed write of the snapshot/query result
-          (a DIRECTORY of part files, not one file — the Spark-native
-          deviation, same bytes).
+          [...]`` → when the local target names a single file of the
+          chosen format (``.csv``/``.json``/``.parquet``), ONE file is
+          produced, Postgres-style — a single-writer step by the
+          statement's own contract.  Any other target (no extension, or
+          a remote URI) takes the scale path: a distributed DIRECTORY
+          of part files, same bytes.
 
         Inside a transaction block, COPY FROM stages like an INSERT;
         COPY TO reads the overlay."""
@@ -2903,13 +3001,19 @@ class MooncakeEngine:
             if not tm:
                 raise ValueError(f"cannot parse COPY statement: {query!r}")
             t, rest = tm.group(1), rest[tm.end():]
-        dm = re.match(r"(FROM|TO)\s+'([^']+)'\s*(.*)$", rest, re.I | re.S)
+        dm = re.match(
+            r"(FROM|TO)\s+(STDIN\b|'[^']+')\s*(.*)$", rest, re.I | re.S
+        )
         if not dm:
             raise ValueError(
-                f"COPY needs FROM 'path' or TO 'path': {query!r}"
+                f"COPY needs FROM 'path'|STDIN or TO 'path': {query!r}"
             )
         direction = dm.group(1).upper()
-        path, opts_sql = dm.group(2), dm.group(3).strip()
+        target, opts_sql = dm.group(2), dm.group(3).strip()
+        stdin = target.upper() == "STDIN"
+        path = "" if stdin else target.strip("'")
+        if stdin and direction != "FROM":
+            raise ValueError("STDIN is only valid with COPY ... FROM")
         if src_query is not None and direction != "TO":
             raise ValueError("COPY (query) supports only TO")
         fmt: Optional[str] = None
@@ -2938,6 +3042,11 @@ class MooncakeEngine:
                 )
             fmt = "csv"
             header = bool(lm.group(2))
+        if stdin:
+            assert t is not None
+            df = self._copy_stdin_df(t, copy_data, fmt or "text", header, sep)
+            v = self.insert(t, df)
+            return self._dml_result("COPY", t, v)
         if fmt == "text":
             fmt, sep = "csv", sep or "\t"
         if fmt is None:
@@ -2960,19 +3069,41 @@ class MooncakeEngine:
             v = self.load_files(t, [path], fmt=fmt, options=options)
             return self._dml_result("COPY", t, v)
         df = self.sql(src_query) if src_query is not None else self.table(t)
+        # Postgres semantics: a local target with a matching file
+        # extension yields ONE file (single-writer by contract); other
+        # targets take the distributed directory-of-parts path.
+        single = (
+            "://" not in path
+            and os.path.splitext(path)[1].lower().lstrip(".") == fmt
+            and not os.path.isdir(path)
+        )
+        out = path + ".__copytmp__" if single else path
+        if single:
+            df = df.coalesce(1)
         if fmt == "parquet":
-            df.write.parquet(path)
+            df.write.parquet(out)
         elif fmt == "json":
-            df.write.json(path)
+            df.write.json(out)
         elif fmt == "csv":
             w = df.write.options(
                 header="true" if header else "false"
             )
             if sep:
                 w = w.options(sep=sep)
-            w.csv(path)
+            w.csv(out)
         else:
             raise ValueError(f"COPY TO does not support FORMAT {fmt!r}")
+        if single:
+            parts = sorted(
+                f for f in os.listdir(out)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+            if len(parts) != 1:  # pragma: no cover - coalesce(1) invariant
+                raise RuntimeError(
+                    f"expected one part file in {out}, found {parts}"
+                )
+            os.replace(os.path.join(out, parts[0]), path)
+            shutil.rmtree(out, ignore_errors=True)
         return self.spark.createDataFrame(
             [("COPY", t if t is not None else "(query)", 0)],
             "statement string, table string, version long",

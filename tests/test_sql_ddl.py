@@ -231,6 +231,56 @@ class TestSqlDdl:
         eng.sql("ROLLBACK")
         assert eng.table("cpx").count() == 0
 
+    def test_copy_from_stdin_text_and_csv(self, eng):
+        """COPY FROM STDIN: payload rides in sql(..., copy_data=...) —
+        Postgres text format (tab, \\N nulls, \\. terminator) and csv."""
+        eng.sql("CREATE TABLE si (k int PRIMARY KEY, v text, n int)")
+        eng.sql(
+            "COPY si FROM STDIN",
+            copy_data="1\ta\t10\n2\t\\N\t20\n\\.\nignored\tx\t0\n",
+        )
+        eng.sql(
+            "COPY si FROM STDIN WITH (FORMAT csv, HEADER true)",
+            copy_data="k,v,n\n3,c,\n",
+        )
+        assert sorted(tuple(r) for r in eng.table("si").collect()) == [
+            (1, "a", 10), (2, None, 20), (3, "c", None),
+        ]
+
+    def test_copy_from_stdin_dataframe_and_txn(self, eng, spark):
+        eng.sql("CREATE TABLE sdf (k int PRIMARY KEY, v text)")
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        eng.sql("COPY sdf FROM STDIN", copy_data=df)
+        eng.sql("BEGIN")
+        eng.sql("COPY sdf FROM STDIN", copy_data="2\tb\n")
+        assert eng.sql("SELECT count(*) AS n FROM sdf").collect()[0]["n"] == 2
+        eng.sql("ROLLBACK")
+        assert eng.table("sdf").count() == 1
+        with pytest.raises(ValueError, match="payload"):
+            eng.sql("COPY sdf FROM STDIN")
+        with pytest.raises(ValueError, match="STDIN"):
+            eng.sql("COPY sdf TO STDIN")
+
+    def test_copy_to_single_file(self, eng, spark, tmp_path):
+        """A local target with a matching extension yields ONE file
+        (Postgres semantics); extensionless targets keep the
+        distributed directory-of-parts form."""
+        import os
+
+        eng.sql("CREATE TABLE sf1t (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO sf1t VALUES (1, 'a'), (2, 'b')")
+        single = tmp_path / "one.csv"
+        eng.sql(f"COPY sf1t TO '{single}' WITH (FORMAT csv, HEADER true)")
+        assert os.path.isfile(single)
+        assert spark.read.options(header="true").csv(str(single)).count() == 2
+        par = tmp_path / "one.parquet"
+        eng.sql(f"COPY sf1t TO '{par}'")
+        assert os.path.isfile(par)
+        assert spark.read.parquet(str(par)).count() == 2
+        d = tmp_path / "parts_out"
+        eng.sql(f"COPY sf1t TO '{d}' WITH (FORMAT csv)")
+        assert os.path.isdir(d)
+
     def test_list_tables_as_sql_relation(self, eng):
         eng.sql("CREATE TABLE lt1 (k int PRIMARY KEY)")
         eng.sql("CREATE TABLE lt2 (k int PRIMARY KEY)")
