@@ -219,7 +219,8 @@ class MooncakeEngine:
         self.catalog = SyncCatalog(self.warehouse)
         # active BEGIN..COMMIT/ROLLBACK block, or None (autocommit).
         # {"overlay": {table: DataFrame}, "staged": [(table, kind,
-        # batch)], "aborted": bool} — see _sql_txn for the contract
+        # batch)], "aborted": bool, "savepoints": {name: (staged_len,
+        # overlay_snapshot)}} — see _sql_txn for the contract
         self._txn: Optional[dict[str, Any]] = None
         self._txn_replaying = False
         # idempotency tag stamped into commits while replaying a durable
@@ -1597,6 +1598,22 @@ class MooncakeEngine:
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block (issue ROLLBACK)"
             )
+        if self._txn is not None:
+            # Postgres: ANY failed statement poisons the open block (not
+            # only the ones that reach staging — parse errors and unknown
+            # tables too); ROLLBACK TO a savepoint un-poisons it
+            try:
+                return self._sql_dispatch(query, pin, copy_data)
+            except Exception as e:
+                raise self._txn_abort(e)
+        return self._sql_dispatch(query, pin, copy_data)
+
+    def _sql_dispatch(
+        self,
+        query: str,
+        pin: Optional[dict[str, int]],
+        copy_data: Optional[Any],
+    ) -> DataFrame:
         kind = _DML_KIND.match(query)
         if kind:
             return self._sql_dml(query, kind.group(1).upper(), pin=pin)
@@ -1718,12 +1735,68 @@ class MooncakeEngine:
         Inside a block: DDL / CALL / schema-evolving applies refuse
         loudly; transactional DML requires primary-keyed tables (the
         overlay and the replayed merge both address rows by key).
-        Savepoints are not supported (flat blocks only)."""
+
+        ``SAVEPOINT`` / ``ROLLBACK TO`` / ``RELEASE`` give Postgres
+        partial-rollback semantics at zero staging cost: a savepoint
+        records (staged-statement count, overlay snapshot) — both O(1)
+        references, the overlay values are immutable lazy plans —
+        ``ROLLBACK TO`` truncates the stage back to it and UN-ABORTS a
+        failed block (the statement's main use in Postgres scripts),
+        ``RELEASE`` keeps the changes and destroys the savepoint and
+        every later one."""
         q = query.strip().rstrip(";").strip()
-        if word in ("SAVEPOINT", "RELEASE"):
-            raise ValueError(
-                "savepoints are not supported; transaction blocks are "
-                "flat BEGIN .. COMMIT/ROLLBACK"
+        if word == "SAVEPOINT":
+            m2 = re.match(r"SAVEPOINT\s+([A-Za-z_][A-Za-z0-9_]*)$", q, re.I)
+            if not m2:
+                raise ValueError(f"cannot parse statement: {query!r}")
+            if self._txn is None:
+                raise ValueError(
+                    "SAVEPOINT can only be used in transaction blocks"
+                )
+            if self._txn["aborted"]:
+                raise ValueError(
+                    "current transaction is aborted, commands ignored "
+                    "until end of transaction block (issue ROLLBACK or "
+                    "ROLLBACK TO an earlier savepoint)"
+                )
+            name = m2.group(1).lower()
+            sps = self._txn["savepoints"]
+            sps.pop(name, None)  # redefinition destroys the old one
+            sps[name] = (
+                len(self._txn["staged"]),
+                dict(self._txn["overlay"]),
+            )
+            return self._txn_result(
+                "SAVEPOINT", f"savepoint {name} established"
+            )
+        if word == "RELEASE":
+            m2 = re.match(
+                r"RELEASE\s+(?:SAVEPOINT\s+)?([A-Za-z_][A-Za-z0-9_]*)$",
+                q, re.I,
+            )
+            if not m2:
+                raise ValueError(f"cannot parse statement: {query!r}")
+            if self._txn is None:
+                raise ValueError(
+                    "RELEASE can only be used in transaction blocks"
+                )
+            if self._txn["aborted"]:
+                raise self._txn_abort(ValueError(
+                    "current transaction is aborted, commands ignored "
+                    "until end of transaction block"
+                ))
+            name = m2.group(1).lower()
+            sps = self._txn["savepoints"]
+            if name not in sps:
+                raise self._txn_abort(ValueError(
+                    f"savepoint {name!r} does not exist"
+                ))
+            # keep the changes; destroy this savepoint and every later one
+            order = list(sps)
+            for later in order[order.index(name):]:
+                del sps[later]
+            return self._txn_result(
+                "RELEASE", f"savepoint {name} released"
             )
         if word == "START":
             if not re.match(r"START\s+TRANSACTION\b", q, re.I):
@@ -1745,7 +1818,10 @@ class MooncakeEngine:
                 return self._txn_result(
                     "BEGIN", "transaction already in progress"
                 )
-            self._txn = {"overlay": {}, "staged": [], "aborted": False}
+            self._txn = {
+                "overlay": {}, "staged": [], "aborted": False,
+                "savepoints": {},
+            }
             return self._txn_result("BEGIN", "transaction started")
         if word in ("COMMIT", "END"):
             if self._txn is None:
@@ -1765,9 +1841,32 @@ class MooncakeEngine:
                 "COMMIT", f"{len(txn['staged'])} statement(s) applied"
             )
         # ROLLBACK / ABORT
-        if re.match(r"ROLLBACK\s+TO\b", q, re.I):
-            raise ValueError(
-                "ROLLBACK TO SAVEPOINT is not supported (flat blocks)"
+        m2 = re.match(
+            r"ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+"
+            r"(?:SAVEPOINT\s+)?([A-Za-z_][A-Za-z0-9_]*)$",
+            q, re.I,
+        )
+        if m2:
+            if self._txn is None:
+                raise ValueError(
+                    "ROLLBACK TO can only be used in transaction blocks"
+                )
+            name = m2.group(1).lower()
+            sps = self._txn["savepoints"]
+            if name not in sps:
+                raise self._txn_abort(ValueError(
+                    f"savepoint {name!r} does not exist"
+                ))
+            length, overlay = sps[name]
+            # the savepoint itself survives; later ones are destroyed
+            order = list(sps)
+            for later in order[order.index(name) + 1:]:
+                del sps[later]
+            self._txn["staged"] = self._txn["staged"][:length]
+            self._txn["overlay"] = dict(overlay)
+            self._txn["aborted"] = False  # un-poisons a failed block
+            return self._txn_result(
+                "ROLLBACK", f"rolled back to savepoint {name}"
             )
         had = self._txn is not None
         self._txn = None

@@ -1468,6 +1468,64 @@ def lifecycle_sql_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lifecycle_sql_savepoint",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(18,2)) * 3
+                  AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT CAST(100.0 AS DOUBLE)  -- the pre-savepoint sentinel insert
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(bal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM base
+    """,
+)
+def lifecycle_sql_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SAVEPOINT`` / ``ROLLBACK TO`` / ``RELEASE`` (round 12 — the last
+    unrouted Postgres-script statements): work after a savepoint rolls
+    back without discarding the block, a failed statement poisons the
+    block and ROLLBACK TO un-poisons it (the statement's canonical use),
+    RELEASE keeps changes.  The oracle models exactly the surviving
+    effects: base rows with the tripled balances plus the sentinel."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 11 = 0")
+    )
+    eng.create_table("cust_sp", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO cust_sp VALUES (-1, 'sentinel', 100.0)")
+    eng.sql("SAVEPOINT s1")
+    eng.sql("INSERT INTO cust_sp VALUES (-2, 'discarded', 999.0)")
+    eng.sql("UPDATE cust_sp SET c_acctbal = c_acctbal * 100 WHERE true")
+    eng.sql("ROLLBACK TO SAVEPOINT s1")  # discards both statements
+    eng.sql("""
+        UPDATE cust_sp
+        SET c_acctbal = CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 3 AS DOUBLE)
+        WHERE c_custkey >= 0
+    """)
+    eng.sql("SAVEPOINT s2")
+    eng.sql("DELETE FROM cust_sp WHERE c_custkey = -1")
+    try:  # a failed statement poisons the block ...
+        eng.sql("INSERT INTO no_such_mirror VALUES (1)")
+    except Exception:
+        pass
+    eng.sql("ROLLBACK TO s2")  # ... ROLLBACK TO un-poisons it
+    eng.sql("RELEASE SAVEPOINT s2")
+    eng.sql("COMMIT")
+    return eng.table("cust_sp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )
+
+
+@query(
     "lifecycle_sql_copy",
     oracle="""
     SELECT COUNT(*) AS n_rows,

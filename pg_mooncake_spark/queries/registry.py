@@ -61,6 +61,8 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
+    # (1) never driver-verified: round-12 additions
+    "lifecycle_sql_savepoint",
     # (2) implementation changed this round (q1 exact-sum fast path) — the
     # change must be externally re-confirmed even though the key was
     # driver-green in r9
@@ -120,7 +122,6 @@ _WINDOW_PRIORITY = (
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
 )
 
 

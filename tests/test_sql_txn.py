@@ -150,13 +150,58 @@ class TestBlockShapes:
         eng.sql("BEGIN WORK")
         eng.sql("END")  # COMMIT spelling
 
-    def test_savepoints_refused(self, eng):
+    def test_savepoint_partial_rollback(self, eng):
+        """SAVEPOINT / ROLLBACK TO: the stage truncates back to the
+        savepoint, later statements' effects vanish, earlier ones
+        commit."""
         eng.sql("BEGIN")
-        with pytest.raises(ValueError, match="[Ss]avepoint"):
-            eng.sql("SAVEPOINT s1")
-        with pytest.raises(ValueError, match="not supported"):
-            eng.sql("ROLLBACK TO SAVEPOINT s1")
-        eng.sql("ROLLBACK")
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        eng.sql("SAVEPOINT s1")
+        eng.sql("INSERT INTO a VALUES (4, 'a4')")
+        eng.sql("UPDATE b SET n = 0 WHERE k = 1")
+        # overlay sees everything pre-rollback
+        assert eng.sql("SELECT count(*) AS n FROM a").collect()[0]["n"] == 4
+        eng.sql("ROLLBACK TO SAVEPOINT s1")
+        assert eng.sql("SELECT count(*) AS n FROM a").collect()[0]["n"] == 3
+        eng.sql("INSERT INTO b VALUES (7, 70)")
+        eng.sql("COMMIT")
+        assert _rows(eng, "a") == [(1, "a1"), (2, "a2"), (3, "a3")]
+        assert _rows(eng, "b") == [(1, 10), (7, 70)]
+
+    def test_rollback_to_unaborts_failed_block(self, eng):
+        """The Postgres use-case: an error poisons the block; ROLLBACK
+        TO an earlier savepoint un-poisons it and the block commits."""
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        eng.sql("SAVEPOINT before_bad")
+        with pytest.raises(Exception):
+            eng.sql("INSERT INTO nosuch_table VALUES (1)")
+        with pytest.raises(ValueError, match="aborted"):
+            eng.sql("SELECT 1 AS x")
+        with pytest.raises(ValueError, match="aborted"):
+            eng.sql("SAVEPOINT s2")  # no new savepoints while aborted
+        eng.sql("ROLLBACK TO before_bad")
+        eng.sql("INSERT INTO a VALUES (5, 'a5')")  # block usable again
+        eng.sql("COMMIT")
+        assert _rows(eng, "a") == [
+            (1, "a1"), (2, "a2"), (3, "a3"), (5, "a5"),
+        ]
+
+    def test_release_and_savepoint_scoping(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("SAVEPOINT s1")
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        eng.sql("SAVEPOINT s2")
+        eng.sql("RELEASE SAVEPOINT s1")  # keeps changes, kills s1 AND s2
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("ROLLBACK TO s2")
+        eng.sql("ROLLBACK")  # block is poisoned by the missing savepoint
+        assert _rows(eng, "a") == [(1, "a1"), (2, "a2")]
+        # outside a block: errors
+        with pytest.raises(ValueError, match="transaction blocks"):
+            eng.sql("SAVEPOINT sx")
+        with pytest.raises(ValueError, match="transaction blocks"):
+            eng.sql("ROLLBACK TO sx")
 
     def test_version_pin_refused_on_dirty_table(self, eng):
         eng.sql("BEGIN")
