@@ -2973,6 +2973,84 @@ class MooncakeEngine:
             return self._dml_result("ALTER", t, v)
         raise ValueError(f"unsupported {kind} statement: {q!r}")
 
+    _STDIN_BLOCK = re.compile(
+        r"(COPY\s+[^;]+?FROM\s+STDIN[^;]*);[ \t]*\n(.*?)\n\\\.[ \t]*(?:\n|$)",
+        re.I | re.S,
+    )
+
+    def sql_script(self, script: str) -> Optional[DataFrame]:
+        """Run a multi-statement SQL script (a pg_regress / pg_dump-style
+        file) statement-for-statement through :meth:`sql` and return the
+        LAST statement's result (None for an empty script).
+
+        Handles the script-level syntax :meth:`sql` cannot see from a
+        single statement: top-level ``;`` splitting with quotes honored,
+        ``--`` line and ``/* */`` block comments stripped outside
+        strings, and inline ``COPY ... FROM STDIN;`` payloads (raw lines
+        up to a ``\\.`` terminator, exactly as pg_dump emits them) routed
+        to ``sql(..., copy_data=...)``.  Dollar-quoted bodies are not
+        supported (no CREATE FUNCTION surface).  Errors propagate — and
+        inside an open transaction block they poison it, so a script's
+        BEGIN/SAVEPOINT error handling behaves as in psql."""
+        payloads: list[tuple[str, str]] = []
+
+        def _extract(m: "re.Match[str]") -> str:
+            payloads.append((m.group(1), m.group(2)))
+            return f"\x00STDIN{len(payloads) - 1}\x00;"
+
+        script = self._STDIN_BLOCK.sub(_extract, script)
+        result: Optional[DataFrame] = None
+        for stmt in self._split_statements(script):
+            if stmt.startswith("\x00STDIN"):
+                idx = int(stmt[6:].rstrip("\x00"))
+                copy_stmt, payload = payloads[idx]
+                result = self.sql(copy_stmt, copy_data=payload + "\n")
+            else:
+                result = self.sql(stmt)
+        return result
+
+    @staticmethod
+    def _split_statements(s: str) -> list[str]:
+        """Split a script on top-level semicolons; string literals and
+        quoted identifiers never split, comments vanish."""
+        stmts: list[str] = []
+        buf: list[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c in ("'", '"'):
+                q, j = c, i + 1
+                while j < n:
+                    if s[j] == "\\":
+                        j += 2
+                        continue
+                    if s[j] == q:
+                        if j + 1 < n and s[j + 1] == q:
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                buf.append(s[i : j + 1])
+                i = j + 1
+                continue
+            if s.startswith("--", i):
+                j = s.find("\n", i)
+                i = n if j == -1 else j
+                continue
+            if s.startswith("/*", i):
+                j = s.find("*/", i + 2)
+                i = n if j == -1 else j + 2
+                continue
+            if c == ";":
+                stmts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+        stmts.append("".join(buf))
+        return [t.strip() for t in stmts if t.strip()]
+
     def _copy_stdin_df(
         self,
         table: str,

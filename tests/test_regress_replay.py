@@ -114,3 +114,44 @@ class TestFollowers:
     def test_unknown_procedure(self, eng):
         with pytest.raises(ValueError, match="unknown procedure"):
             eng.sql("CALL mooncake.nope('x')")
+
+
+def test_sql_script_whole_file(eng):
+    """engine.sql_script runs a whole regress/pg_dump-style file:
+    comments, multi-line statements, quoted semicolons, transaction
+    blocks, and an inline COPY FROM STDIN payload."""
+    out = eng.sql_script("""
+        -- the sanity corpus as one script
+        CREATE TABLE r (a int PRIMARY KEY, b text);
+        CALL mooncake.create_table('c', 'r');
+        /* block comment;
+           with a semicolon inside */
+        INSERT INTO r VALUES (1, 'semi;colon'), (2, 'b'), (3, 'c');
+        COPY r FROM STDIN;
+4	d4
+5	\\N
+\\.
+        BEGIN;
+        UPDATE r
+           SET b = a + 1
+         WHERE a > 2;  -- trailing comment
+        DELETE FROM r WHERE a < 2;
+        COMMIT;
+        SELECT * FROM c ORDER BY a;
+    """)
+    rows = [tuple(x) for x in out.collect()]
+    assert rows == [(2, "b"), (3, "4"), (4, "5"), (5, "6")]
+    eng.sql("DROP TABLE r, c")
+
+
+def test_sql_script_empty_and_error(eng):
+    assert eng.sql_script("  -- nothing here\n") is None
+    eng.sql_script("CREATE TABLE s1 (k int PRIMARY KEY);")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.sql_script("INSERT INTO s1 VALUES (1); SELECT broken syntax from;")
+    # first statement of the failed script still applied (autocommit,
+    # per-statement atomicity — psql default)
+    assert eng.table("s1").count() == 1
+    eng.sql("DROP TABLE s1")
