@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from pg_mooncake_spark.functions import davg, dsum
+from pg_mooncake_spark.functions import dsum
 from pg_mooncake_spark.queries.registry import query, register_views, t
 
 # ---------------------------------------------------------------------------
