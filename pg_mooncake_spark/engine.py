@@ -1821,6 +1821,11 @@ class MooncakeEngine:
             self._txn = {
                 "overlay": {}, "staged": [], "aborted": False,
                 "savepoints": {},
+                # BEGIN READ ONLY is enforced, not just parsed: staging
+                # any write into a read-only block refuses
+                "read_only": bool(
+                    re.search(r"\bREAD\s+ONLY\b", q, re.I)
+                ),
             }
             return self._txn_result("BEGIN", "transaction started")
         if word in ("COMMIT", "END"):
@@ -2010,6 +2015,7 @@ class MooncakeEngine:
         against the mirror schema, materialize it (guards embedded in
         the batch plan fire HERE — per-statement errors, zero mirror
         mutation), fold it into the overlay, queue it for COMMIT."""
+        self._txn_check_writable(dst)
         mt = self._moontable(dst)
         pk = mt.primary_key()
         if not pk:
@@ -2045,8 +2051,15 @@ class MooncakeEngine:
         self._txn["staged"].append((dst, "apply", batch))
         return -1  # version assigned at COMMIT
 
+    def _txn_check_writable(self, dst: str) -> None:
+        if self._txn is not None and self._txn.get("read_only"):
+            raise self._txn_abort(ValueError(
+                f"cannot write to {dst!r} in a read-only transaction"
+            ))
+
     def _txn_stage_insert(self, dst: str, df: DataFrame) -> int:
         """Stage a blind append (INSERT / bulk load) inside the block."""
+        self._txn_check_writable(dst)
         mt = self._moontable(dst)
         if not mt.primary_key():
             raise self._txn_abort(ValueError(

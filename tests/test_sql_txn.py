@@ -312,3 +312,14 @@ class TestCrashAtomicity:
         assert _rows(e2, "b") == [(1, 10)]
         root = os.path.join(warehouse, eng._TXN_DIR)
         assert not os.path.isdir(root) or os.listdir(root) == []
+
+    def test_begin_read_only_enforced(self, eng):
+        eng.sql("BEGIN READ ONLY")
+        assert eng.sql("SELECT count(*) AS n FROM a").collect()[0]["n"] == 2
+        with pytest.raises(ValueError, match="read-only"):
+            eng.sql("INSERT INTO a VALUES (9, 'x')")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN ISOLATION LEVEL SERIALIZABLE READ WRITE")
+        eng.sql("INSERT INTO a VALUES (9, 'x')")
+        eng.sql("COMMIT")
+        assert (9, "x") in _rows(eng, "a")
