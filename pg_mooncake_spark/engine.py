@@ -49,6 +49,117 @@ _TXN_KIND = re.compile(
     r"^\s*(BEGIN|START|COMMIT|END|ROLLBACK|ABORT|SAVEPOINT|RELEASE)\b", re.I
 )
 _COPY_KIND = re.compile(r"^\s*COPY\b", re.I)
+_EXPLAIN_KIND = re.compile(r"^\s*EXPLAIN\b", re.I)
+_PREPARE_KIND = re.compile(
+    r"^\s*PREPARE\s+(\w+)\s*(?:\(([^)]*)\))?\s+AS\s+(.*?);?\s*$", re.I | re.S
+)
+_EXECUTE_KIND = re.compile(
+    r"^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$", re.I | re.S
+)
+_DEALLOCATE_KIND = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*;?\s*$", re.I
+)
+_SHOW_TABLES_KIND = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_DESCRIBE_KIND = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\".]+)\s*;?\s*$", re.I
+)
+
+
+def _mask_quoted(s: str) -> str:
+    """Return ``s`` with every character inside a quoted region (single-
+    or double-quoted, honoring doubled-quote and backslash escapes)
+    replaced by a space — so positional regex scans (``$n`` parameter
+    markers, identifier rewrites) can run on the mask and never match
+    inside a string literal, while spans map 1:1 back to ``s``."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < n:
+                if s[i] == "\\":
+                    out[i] = " "
+                    if i + 1 < n:
+                        out[i + 1] = " "
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:
+                        out[i] = " "
+                        out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
+                out[i] = " "
+                i += 1
+        i += 1
+    return "".join(out)
+
+
+def _render_literal(v: Any) -> str:
+    """Render a Python value as a Spark SQL literal — the engine's bind
+    step for ``$n`` parameters (Postgres's extended-protocol bind,
+    reference users drive it through every client library).  Values
+    only, never identifiers — exactly Postgres's parameter contract."""
+    import datetime as _dt
+    import math as _math
+    from decimal import Decimal as _Dec
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if _math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if _math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, _Dec):
+        return f"CAST('{v}' AS DECIMAL(38,18))"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex()}'"
+    if isinstance(v, (list, tuple)):
+        return f"array({', '.join(_render_literal(x) for x in v)})"
+    if isinstance(v, str):
+        body = v.replace("\\", "\\\\").replace("'", "''")
+        return f"'{body}'"
+    raise TypeError(f"cannot bind a {type(v).__name__} as a SQL parameter")
+
+
+def _bind_params(query: str, params: Any) -> str:
+    """Substitute Postgres ``$1..$n`` markers (outside string literals)
+    with rendered literals.  Markers may repeat and appear in any
+    order; a marker past the end of ``params`` raises the Postgres
+    bind error."""
+    mask = _mask_quoted(query)
+    spans = [(m.span(), int(m.group(1))) for m in re.finditer(r"\$(\d+)", mask)]
+    if not spans:
+        return query
+    seq = list(params) if isinstance(params, (list, tuple)) else [params]
+    need = max(n for _, n in spans)
+    if need > len(seq):
+        raise ValueError(
+            f"bind message supplies {len(seq)} parameters, but "
+            f"statement requires {need}"
+        )
+    out, prev = [], 0
+    for (s, e), n in spans:
+        if n < 1:
+            raise ValueError(f"there is no parameter ${n}")
+        out.append(query[prev:s])
+        out.append(_render_literal(seq[n - 1]))
+        prev = e
+    out.append(query[prev:])
+    return "".join(out)
 
 # Postgres type spellings → Spark DDL strings (anything unlisted falls
 # through to Spark's own DDL parser, so 'string'/'array<int>' also work)
@@ -222,6 +333,9 @@ class MooncakeEngine:
         # batch)], "aborted": bool, "savepoints": {name: (staged_len,
         # overlay_snapshot)}} — see _sql_txn for the contract
         self._txn: Optional[dict[str, Any]] = None
+        # session-scoped prepared statements: name -> statement text with
+        # $n markers (PREPARE / EXECUTE / DEALLOCATE, Postgres semantics)
+        self._prepared: dict[str, str] = {}
         self._txn_replaying = False
         # idempotency tag stamped into commits while replaying a durable
         # transaction ("<txn_id>:<batch_index>") — see _replay_txn
@@ -1553,6 +1667,7 @@ class MooncakeEngine:
         query: str,
         pin: Optional[dict[str, int]] = None,
         copy_data: Optional[Any] = None,
+        params: Optional[Any] = None,
     ) -> DataFrame:
         """Run SQL over mirrors: every registered mirror name is resolved to
         its pinned snapshot and exposed as a temp view, then Spark SQL
@@ -1589,7 +1704,15 @@ class MooncakeEngine:
         in-session overlay (reads — SELECT and DML compilation — see
         the transaction's own writes), nothing touches any mirror until
         COMMIT, and ROLLBACK leaves no trace.  A failed statement
-        aborts the block, Postgres-style."""
+        aborts the block, Postgres-style.
+
+        ``params`` binds Postgres ``$1..$n`` markers to Python values
+        (rendered as typed literals — values only, never identifiers,
+        exactly the extended-protocol parameter contract); ``PREPARE
+        name AS ... / EXECUTE name(args) / DEALLOCATE`` give the same
+        binding as session-scoped SQL statements."""
+        if params is not None:
+            query = _bind_params(query, params)
         txm = _TXN_KIND.match(query)
         if txm:
             return self._sql_txn(query, txm.group(1).upper())
@@ -1638,6 +1761,39 @@ class MooncakeEngine:
             return self._sql_call(call.group(1).lower(), call.group(2))
         if _COPY_KIND.match(query):
             return self._sql_copy(query, copy_data=copy_data)
+        if _EXPLAIN_KIND.match(query):
+            return self._sql_explain(query, pin)
+        pm = _PREPARE_KIND.match(query)
+        if pm:
+            return self._sql_prepare(pm.group(1), pm.group(3))
+        em = _EXECUTE_KIND.match(query)
+        if em:
+            return self._sql_execute(em.group(1), em.group(2), pin, copy_data)
+        dm = _DEALLOCATE_KIND.match(query)
+        if dm:
+            return self._sql_deallocate(dm.group(1))
+        if _SHOW_TABLES_KIND.match(query):
+            return self.list_tables().select(
+                F.col("table").alias("table_name")
+            )
+        desc = _DESCRIBE_KIND.match(query)
+        if desc:
+            try:
+                name = self._canon(desc.group(1).replace('"', ""))
+            except ValueError:
+                name = None
+            if name is not None and name in self.catalog.list_tables():
+                return self._describe_table(name)
+            # not a mirror — Spark's own DESCRIBE (temp views, etc.)
+        return self._run_select(query, pin)
+
+    def _run_select(
+        self, query: str, pin: Optional[dict[str, int]]
+    ) -> DataFrame:
+        """Resolve mirror names referenced by ``query`` to pinned
+        snapshot temp views, rewrite catalog relations
+        (``mooncake.list_tables()``, ``information_schema.tables`` /
+        ``.columns``), and hand the statement to Spark SQL."""
         # ``SELECT * FROM mooncake.list_tables()`` — the reference's
         # catalog relation (src/functions.rs:84-116) as a queryable SQL
         # spelling: rewrite top-level occurrences to a temp view over
@@ -1661,6 +1817,76 @@ class MooncakeEngine:
                     prev = e
                 out.append(query[prev:])
                 query = "".join(out)
+        # ``information_schema.tables`` / ``.columns`` — the standard
+        # catalog relations every Postgres client introspects with:
+        # rewrite occurrences outside string literals to temp views
+        # built from the engine catalog (O(catalog), but only when the
+        # statement IS a catalog query)
+        is_hits = [
+            (m.span(), m.group(1).lower())
+            for m in re.finditer(
+                r"\binformation_schema\s*\.\s*(tables|columns)\b",
+                _mask_quoted(query), re.I,
+            )
+        ]
+        if is_hits:
+            for rel in {r for _, r in is_hits}:
+                self._information_schema_df(rel).createOrReplaceTempView(
+                    f"__mooncake_is_{rel}"
+                )
+            out, prev = [], 0
+            for (s, e), rel in is_hits:
+                out.append(query[prev:s])
+                out.append(f"__mooncake_is_{rel}")
+                prev = e
+            out.append(query[prev:])
+            query = "".join(out)
+        # time-travel spelling: ``FROM t FOR VERSION AS OF 3`` /
+        # ``FOR [SYSTEM_TIME|TIMESTAMP] AS OF '…'`` (SQL:2011 system
+        # versioning; the bare Delta spellings VERSION/TIMESTAMP AS OF
+        # also accepted).  Each pinned read registers its own snapshot
+        # view — the engine's A10 contract as a SQL surface.
+        tt = []
+        for m in re.finditer(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+(?:FOR\s+)?"
+            r"(VERSION|SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+            _mask_quoted(query), re.I,
+        ):
+            tt.append(m)
+        if tt:
+            by_alias_tt: dict[str, str] = {}
+            for name in self.catalog.list_tables():
+                by_alias_tt.setdefault(self._view_name(name).lower(), name)
+            out, prev = [], 0
+            for m in tt:
+                alias, kind = m.group(1).lower(), m.group(2).upper()
+                if alias not in by_alias_tt:
+                    continue  # not a mirror — leave for Spark to judge
+                name = by_alias_tt[alias]
+                lit = query[m.start(3):m.end(3)]
+                if kind == "VERSION":
+                    if not lit.isdigit():
+                        raise ValueError(
+                            f"VERSION AS OF expects an integer, got {lit}"
+                        )
+                    version = int(lit)
+                    snap = self.table(name, version=version)
+                else:
+                    if lit.isdigit():
+                        raise ValueError(
+                            f"{kind} AS OF expects a quoted timestamp, "
+                            f"got {lit}"
+                        )
+                    ts = lit[1:-1]
+                    version = self._moontable(name).version_at_timestamp(ts)
+                    snap = self.table(name, version=version)
+                view = f"__mooncake_asof_{alias}_{version}"
+                snap.createOrReplaceTempView(view)
+                out.append(query[prev:m.start()])
+                out.append(view)
+                prev = m.end()
+            out.append(query[prev:])
+            query = "".join(out)
         # O(statement) name resolution (VERDICT r10 task 2): resolve and
         # register pinned snapshot views ONLY for mirrors the statement
         # actually references — materializing every registered mirror's
@@ -1697,6 +1923,231 @@ class MooncakeEngine:
                 self._view_name(name)
             )
         return self.spark.sql(query)
+
+    # --------------------------------------- prepared statements / EXPLAIN
+
+    def _sql_prepare(self, name: str, stmt: str) -> DataFrame:
+        """``PREPARE name [(types)] AS statement`` — session-scoped, the
+        Postgres semantics: re-PREPARE of a live name errors, the
+        optional type list is accepted and ignored (binding is by
+        value).  The statement body is stored verbatim; ``$n`` markers
+        bind at EXECUTE time."""
+        key = name.lower()
+        if key in self._prepared:
+            raise ValueError(f'prepared statement "{key}" already exists')
+        if not stmt.strip():
+            raise ValueError(f"PREPARE {name}: empty statement body")
+        self._prepared[key] = stmt.strip()
+        return self.spark.createDataFrame(
+            [("PREPARE", key, None)],
+            "statement string, table string, version long",
+        )
+
+    def _sql_execute(
+        self,
+        name: str,
+        args_sql: Optional[str],
+        pin: Optional[dict[str, int]],
+        copy_data: Optional[Any],
+    ) -> DataFrame:
+        """``EXECUTE name(args)`` — bind the stored statement's ``$n``
+        markers to the argument EXPRESSION TEXTS (each parenthesized, so
+        precedence survives textual substitution) and dispatch it as if
+        typed directly; inside a transaction block the bound statement
+        stages exactly like immediate DML."""
+        key = name.lower()
+        if key not in self._prepared:
+            raise ValueError(f'prepared statement "{key}" does not exist')
+        stmt = self._prepared[key]
+        texts = (
+            [a for a in _split_top_commas(args_sql) if a]
+            if args_sql and args_sql.strip() else []
+        )
+        mask = _mask_quoted(stmt)
+        spans = [
+            (m.span(), int(m.group(1)))
+            for m in re.finditer(r"\$(\d+)", mask)
+        ]
+        need = max((n for _, n in spans), default=0)
+        if need != len(texts):
+            raise ValueError(
+                f"bind message supplies {len(texts)} parameters, but "
+                f'prepared statement "{key}" requires {need}'
+            )
+        out, prev = [], 0
+        for (s, e), n in spans:
+            out.append(stmt[prev:s])
+            out.append(f"({texts[n - 1]})")
+            prev = e
+        out.append(stmt[prev:])
+        return self._sql_dispatch("".join(out), pin, copy_data)
+
+    def _sql_deallocate(self, name: str) -> DataFrame:
+        """``DEALLOCATE [PREPARE] name | ALL`` — Postgres semantics
+        (unknown name errors; ALL is idempotent)."""
+        if name.upper() == "ALL":
+            dropped = sorted(self._prepared)
+            self._prepared.clear()
+            return self.spark.createDataFrame(
+                [("DEALLOCATE", ",".join(dropped) or None, None)],
+                "statement string, table string, version long",
+            )
+        key = name.lower()
+        if key not in self._prepared:
+            raise ValueError(f'prepared statement "{key}" does not exist')
+        del self._prepared[key]
+        return self.spark.createDataFrame(
+            [("DEALLOCATE", key, None)],
+            "statement string, table string, version long",
+        )
+
+    def _sql_explain(
+        self, query: str, pin: Optional[dict[str, int]]
+    ) -> DataFrame:
+        """``EXPLAIN [ANALYZE] [VERBOSE|EXTENDED|FORMATTED|CODEGEN|COST]
+        <statement>`` — the Postgres spelling over Spark's plan dump.
+
+        SELECT-shaped statements resolve mirror views exactly as a real
+        run would, then return Catalyst's plan one line per row (column
+        ``query_plan``, the Postgres column).  Default mode is
+        ``formatted``; VERBOSE maps to extended.  ``EXPLAIN ANALYZE``
+        additionally EXECUTES the statement (Postgres contract) and
+        appends an ``Execution: N rows in T ms`` tail line.  DML / DDL /
+        CALL / COPY statements describe their compiled route WITHOUT
+        executing (EXPLAIN of a write is read-only unless ANALYZE —
+        and ANALYZE of a write is refused rather than half-applied)."""
+        m = re.match(
+            r"^\s*EXPLAIN\s+((?:(?:ANALYZE|VERBOSE|EXTENDED|FORMATTED|"
+            r"CODEGEN|COST)\s+)*)(.*)$",
+            query, re.I | re.S,
+        )
+        opts = {w.upper() for w in (m.group(1) or "").split()}
+        inner = m.group(2).strip().rstrip(";")
+        if not inner:
+            raise ValueError("EXPLAIN: empty statement")
+        analyze = "ANALYZE" in opts
+        route = None
+        if _DML_KIND.match(inner):
+            route = ("DML", _DML_KIND.match(inner).group(1).upper())
+        elif _DDL_KIND.match(inner):
+            route = ("DDL", next(g for g in _DDL_KIND.match(inner).groups() if g).upper())
+        elif _CALL_KIND.match(inner):
+            route = ("CALL", _CALL_KIND.match(inner).group(1).lower())
+        elif _COPY_KIND.match(inner):
+            route = ("COPY", "COPY")
+        if route is not None:
+            if analyze:
+                raise ValueError(
+                    "EXPLAIN ANALYZE of a write statement is not "
+                    "supported: it would execute the write"
+                )
+            kind, word = route
+            lines = [
+                f"Mooncake {kind} route: {word}",
+                "  compiled to one apply_changes CDC batch "
+                "(exports / materialized views / followers sync in the "
+                "same call); not executed",
+            ]
+            return self.spark.createDataFrame(
+                [(ln,) for ln in lines], "query_plan string"
+            )
+        mode = "extended" if ({"VERBOSE", "EXTENDED"} & opts) else "formatted"
+        if "CODEGEN" in opts:
+            mode = "codegen"
+        if "COST" in opts:
+            mode = "cost"
+        df = self._run_select(inner, pin)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+        lines = [(ln,) for ln in plan.rstrip("\n").split("\n")]
+        if analyze:
+            import time as _time
+
+            t0 = _time.monotonic()
+            n = df.count()
+            ms = (_time.monotonic() - t0) * 1000.0
+            lines.append((f"Execution: {n} rows in {ms:.1f} ms",))
+        return self.spark.createDataFrame(lines, "query_plan string")
+
+    # ------------------------------------------------- catalog relations
+
+    _SPARK_TO_PG = {
+        "int": "integer", "smallint": "smallint", "bigint": "bigint",
+        "string": "text", "float": "real", "double": "double precision",
+        "boolean": "boolean", "binary": "bytea", "date": "date",
+        "timestamp": "timestamp without time zone",
+        "timestamp_ntz": "timestamp without time zone",
+    }
+
+    def _pg_type_name(self, dt: T.DataType) -> str:
+        s = dt.simpleString()
+        if s.startswith("decimal"):
+            return s.replace("decimal", "numeric")
+        if s.startswith("array<"):
+            return self._pg_type_name(dt.elementType) + "[]"
+        return self._SPARK_TO_PG.get(s, s)
+
+    def _describe_table(self, name: str) -> DataFrame:
+        """``DESCRIBE <mirror>`` — one row per column with Postgres type
+        spellings and the pk flag (psql's ``\\d`` essentials)."""
+        mt = self._moontable(name)
+        pk = set(mt.primary_key() or [])
+        rows = [
+            (f.name, self._pg_type_name(f.dataType),
+             "YES" if f.nullable else "NO", f.name in pk)
+            for f in mt.schema().fields
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, data_type string, is_nullable string, "
+            "primary_key boolean",
+        )
+
+    def _information_schema_df(self, rel: str) -> DataFrame:
+        """Build ``information_schema.tables`` / ``.columns`` over the
+        engine catalog — the standard relations Postgres clients
+        introspect (reference users' psql/ORM tooling).  Column set is
+        the Postgres core; types use Postgres spellings."""
+        t_rows, c_rows = [], []
+        for name, e in sorted(self.catalog.list_tables().items()):
+            schema_part, _, table_part = name.rpartition(".")
+            schema_part = schema_part or "public"
+            kind = (e.get("table_config") or {}).get("kind") or "mirror"
+            t_type = "VIEW" if kind == "mview" else "BASE TABLE"
+            t_rows.append(("mooncake", schema_part, table_part, t_type))
+            if rel == "columns":
+                try:
+                    fields = MoonTable(self.spark, e["path"]).schema().fields
+                except Exception:
+                    # materialized views resolve through their own spec
+                    try:
+                        from pg_mooncake_spark.views import MaterializedView
+
+                        fields = (
+                            MaterializedView(self.spark, e["path"])
+                            .read().schema.fields
+                        )
+                    except Exception:
+                        continue
+                for i, f in enumerate(fields, start=1):
+                    c_rows.append(
+                        ("mooncake", schema_part, table_part, f.name, i,
+                         self._pg_type_name(f.dataType),
+                         "YES" if f.nullable else "NO")
+                    )
+        if rel == "tables":
+            return self.spark.createDataFrame(
+                t_rows,
+                "table_catalog string, table_schema string, "
+                "table_name string, table_type string",
+            )
+        return self.spark.createDataFrame(
+            c_rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, data_type string, "
+            "is_nullable string",
+        )
 
     # ------------------------------------------------------- transactions
 

@@ -1565,3 +1565,120 @@ def lifecycle_sql_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@query(
+    "lifecycle_sql_prepare",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    bumped AS (
+      -- EXECUTE bump(14, 10.0): +10 to custkeys divisible by 14
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 14 = 0
+                  THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 10.0
+                            AS DOUBLE)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM base
+    ),
+    kept AS (
+      -- the $1-bound DELETE removed negative balances
+      SELECT * FROM bumped WHERE NOT (c_acctbal < 0)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+             AS total_bal,
+           3 AS n_cols
+    FROM kept
+    """,
+)
+def lifecycle_sql_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PREPARE`` / ``EXECUTE`` / ``$n`` parameter binding +
+    ``information_schema`` introspection (round 12): a prepared
+    parameterized UPDATE executes with bound arguments, a direct
+    ``sql(..., params=[...])`` DELETE binds Python values as typed
+    literals, and the final result joins the mirror aggregate with a
+    column count read through ``information_schema.columns`` — the
+    extended-protocol + catalog surfaces every Postgres client
+    library drives (reference users reach them through psycopg /
+    JDBC against the source)."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 7 = 0")
+    )
+    eng.create_table("cust_ps", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("""
+        PREPARE bump (int, double precision) AS
+        UPDATE cust_ps
+        SET c_acctbal = CAST(CAST(c_acctbal AS DECIMAL(18,2)) + $2 AS DOUBLE)
+        WHERE c_custkey % $1 = 0
+    """)
+    eng.sql("EXECUTE bump(14, 10.0)")
+    eng.sql(
+        "DELETE FROM cust_ps WHERE c_acctbal < $1", params=[0.0]
+    )
+    eng.sql("DEALLOCATE bump")
+    agg = eng.table("cust_ps").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )
+    cols = eng.sql(
+        "SELECT CAST(count(*) AS INT) AS n_cols "
+        "FROM information_schema.columns WHERE table_name = 'cust_ps'"
+    )
+    return agg.crossJoin(cols)
+
+
+@query(
+    "lifecycle_sql_time_travel",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    v2 AS (
+      SELECT * FROM v1 WHERE NOT (c_acctbal < 1000)
+    )
+    SELECT (SELECT COUNT(*) FROM v1) AS n_v1,
+           (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+            FROM v1) AS bal_v1,
+           (SELECT COUNT(*) FROM v2) AS n_now,
+           (SELECT COUNT(*) FROM v1 WHERE c_acctbal < 1000) AS n_gone
+    """,
+)
+def lifecycle_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM t FOR VERSION AS OF n`` / ``FOR SYSTEM_TIME AS OF ts``
+    (round 12): the engine's LSN-pinned read (A10,
+    reference src/duckdb_mooncake.rs:26-29 pins XactLastCommitEnd)
+    as a SQL:2011 system-versioning spelling — a pinned pre-DML
+    snapshot queries alongside the current state in ONE statement,
+    including a cross-version anti-join recovering exactly the
+    deleted rows."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 13 = 0")
+    )
+    eng.create_table("cust_tt", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("DELETE FROM cust_tt WHERE c_acctbal < 1000")
+    return eng.sql("""
+        SELECT
+          (SELECT count(*) FROM cust_tt FOR VERSION AS OF 1) AS n_v1,
+          (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+           FROM cust_tt FOR VERSION AS OF 1) AS bal_v1,
+          (SELECT count(*) FROM cust_tt) AS n_now,
+          (SELECT count(*) FROM cust_tt FOR VERSION AS OF 1 a
+           LEFT ANTI JOIN cust_tt b ON a.c_custkey = b.c_custkey) AS n_gone
+    """)

@@ -61,8 +61,10 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # (1) never driver-verified: round-12 additions
+    # (1) never driver-verified: round-11/12 additions
     "lifecycle_sql_savepoint",
+    "lifecycle_sql_prepare",
+    "lifecycle_sql_time_travel",
     # (2) implementation changed this round (q1 exact-sum fast path) — the
     # change must be externally re-confirmed even though the key was
     # driver-green in r9

@@ -1,0 +1,254 @@
+"""Session-level SQL surfaces: $n parameter binding, PREPARE / EXECUTE /
+DEALLOCATE, EXPLAIN, SHOW TABLES / DESCRIBE, and the information_schema
+catalog relations (round 12).
+
+The reference's users drive these through every Postgres client library
+(extended-protocol bind, psql \\d, ORM introspection); here they are
+session-scoped spellings over the same engine catalog and dispatch."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_mooncake_spark.engine import (
+    MooncakeEngine,
+    _bind_params,
+    _mask_quoted,
+    _render_literal,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    return MooncakeEngine(spark, warehouse)
+
+
+@pytest.fixture()
+def cust(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter("c_custkey <= 200")
+    )
+
+
+# ------------------------------------------------------------- binding
+
+
+def test_render_literal_types():
+    assert _render_literal(None) == "NULL"
+    assert _render_literal(True) == "TRUE"
+    assert _render_literal(42) == "42"
+    assert _render_literal(1.5) == "1.5"
+    assert _render_literal("O'x\\y") == "'O''x\\\\y'"
+    assert _render_literal(datetime.date(2020, 1, 2)) == "DATE '2020-01-02'"
+    assert _render_literal(b"\x01\xff") == "X'01ff'"
+    assert _render_literal([1, 2]) == "array(1, 2)"
+    assert "DECIMAL" in _render_literal(Decimal("1.25"))
+    with pytest.raises(TypeError):
+        _render_literal(object())
+
+
+def test_mask_quoted_hides_literals():
+    s = "SELECT '$1' AS a, \"$2\" FROM t WHERE x = $1"
+    m = _mask_quoted(s)
+    assert "$1" in m and m.count("$") == 1
+    assert len(m) == len(s)
+
+
+def test_bind_params_positions_and_repeats():
+    q = _bind_params("SELECT $2, $1, $2", ["a", 7])
+    assert q == "SELECT 7, 'a', 7"
+    with pytest.raises(ValueError, match="supplies 1 parameters"):
+        _bind_params("SELECT $3", ["a"])
+
+
+def test_sql_params_end_to_end(eng, cust):
+    eng.create_table("c_bind", source_df=cust, primary_key=["c_custkey"])
+    n = eng.sql(
+        "SELECT count(*) AS n FROM c_bind WHERE c_custkey > $1",
+        params=[100],
+    ).collect()[0].n
+    want = cust.filter("c_custkey > 100").count()
+    assert n == want
+    # params reach DML too (bound before dispatch)
+    eng.sql("DELETE FROM c_bind WHERE c_custkey > $1", params=[100])
+    assert eng.table("c_bind").count() == cust.count() - want
+
+
+# ------------------------------------------- PREPARE / EXECUTE / DEALLOCATE
+
+
+def test_prepare_execute_roundtrip(eng, cust):
+    eng.create_table("c_ps", source_df=cust, primary_key=["c_custkey"])
+    eng.sql(
+        "PREPARE pick (int) AS "
+        "SELECT c_custkey FROM c_ps WHERE c_custkey = $1"
+    )
+    assert eng.sql("EXECUTE pick(7)").collect()[0].c_custkey == 7
+    # argument is an expression, parenthesized at bind time
+    assert eng.sql("EXECUTE pick(3 + 4)").collect()[0].c_custkey == 7
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("PREPARE pick AS SELECT 1")
+    with pytest.raises(ValueError, match='requires 1'):
+        eng.sql("EXECUTE pick(1, 2)")
+    eng.sql("DEALLOCATE pick")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("EXECUTE pick(1)")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("DEALLOCATE pick")
+
+
+def test_prepare_dml_and_deallocate_all(eng, cust):
+    eng.create_table("c_pd", source_df=cust, primary_key=["c_custkey"])
+    eng.sql(
+        "PREPARE zap (int) AS DELETE FROM c_pd WHERE c_custkey % $1 = 0"
+    )
+    eng.sql("EXECUTE zap(2)")
+    assert eng.table("c_pd").filter("c_custkey % 2 = 0").count() == 0
+    eng.sql("DEALLOCATE ALL")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("EXECUTE zap(3)")
+    # DEALLOCATE ALL is idempotent
+    eng.sql("DEALLOCATE ALL")
+
+
+def test_execute_stages_inside_transaction(eng, cust):
+    eng.create_table("c_pt", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("PREPARE ins AS INSERT INTO c_pt VALUES ($1, $2, $3)")
+    eng.sql("BEGIN")
+    eng.sql("EXECUTE ins(-1, 'x', 1.0)")
+    eng.sql("ROLLBACK")
+    assert eng.table("c_pt").filter("c_custkey = -1").count() == 0
+    eng.sql("BEGIN")
+    eng.sql("EXECUTE ins(-1, 'x', 1.0)")
+    eng.sql("COMMIT")
+    assert eng.table("c_pt").filter("c_custkey = -1").count() == 1
+
+
+# ------------------------------------------------------------- EXPLAIN
+
+
+def test_explain_select_resolves_mirror(eng, cust):
+    eng.create_table("c_ex", source_df=cust, primary_key=["c_custkey"])
+    rows = eng.sql(
+        "EXPLAIN SELECT c_custkey FROM c_ex WHERE c_custkey = 5"
+    ).collect()
+    text = "\n".join(r.query_plan for r in rows)
+    assert "Physical Plan" in text
+    assert rows[0].__fields__ == ["query_plan"]
+
+
+def test_explain_analyze_executes(eng, cust):
+    eng.create_table("c_ea", source_df=cust, primary_key=["c_custkey"])
+    rows = eng.sql("EXPLAIN ANALYZE SELECT count(*) AS n FROM c_ea").collect()
+    assert rows[-1].query_plan.startswith("Execution: 1 rows")
+
+
+def test_explain_write_does_not_execute(eng, cust):
+    eng.create_table("c_ew", source_df=cust, primary_key=["c_custkey"])
+    v0 = eng.catalog.get("c_ew")["commit_version"]
+    rows = eng.sql("EXPLAIN DELETE FROM c_ew WHERE c_custkey > 0").collect()
+    assert "DML route: DELETE" in rows[0].query_plan
+    assert eng.catalog.get("c_ew")["commit_version"] == v0
+    assert eng.table("c_ew").count() == cust.count()
+    with pytest.raises(ValueError, match="would execute the write"):
+        eng.sql("EXPLAIN ANALYZE DELETE FROM c_ew WHERE c_custkey > 0")
+
+
+# ------------------------------------- SHOW / DESCRIBE / information_schema
+
+
+def test_show_tables_and_describe(eng, cust):
+    eng.create_table("c_cat", source_df=cust, primary_key=["c_custkey"])
+    names = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
+    assert names == ["c_cat"]
+    d = {r.column_name: r for r in eng.sql("DESCRIBE c_cat").collect()}
+    assert d["c_custkey"].primary_key is True
+    assert d["c_custkey"].data_type == "bigint"
+    assert d["c_name"].data_type == "text"
+    assert d["c_acctbal"].data_type == "double precision"
+
+
+def test_information_schema_tables_and_columns(eng, cust):
+    eng.create_table("c_is", source_df=cust, primary_key=["c_custkey"])
+    t = eng.sql(
+        "SELECT table_schema, table_name, table_type "
+        "FROM information_schema.tables"
+    ).collect()
+    assert [(r.table_schema, r.table_name, r.table_type) for r in t] == [
+        ("public", "c_is", "BASE TABLE")
+    ]
+    cols = eng.sql(
+        "SELECT column_name, ordinal_position, data_type "
+        "FROM information_schema.columns WHERE table_name = 'c_is' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [r.column_name for r in cols] == [
+        "c_custkey", "c_name", "c_acctbal"
+    ]
+    assert cols[0].data_type == "bigint"
+    # a string literal mentioning information_schema.tables is untouched
+    lit = eng.sql("SELECT 'information_schema.tables' AS s").collect()
+    assert lit[0].s == "information_schema.tables"
+
+
+def test_information_schema_joins_mirror(eng, cust):
+    """The rewritten relations join against mirror data in one
+    statement (resolution and rewrite compose)."""
+    eng.create_table("c_isj", source_df=cust, primary_key=["c_custkey"])
+    row = eng.sql(
+        "SELECT c.n, ic.n_cols FROM "
+        "(SELECT count(*) AS n FROM c_isj) c CROSS JOIN "
+        "(SELECT count(*) AS n_cols FROM information_schema.columns "
+        " WHERE table_name = 'c_isj') ic"
+    ).collect()[0]
+    assert row.n == cust.count() and row.n_cols == 3
+
+
+# ------------------------------------------------------------ time travel
+
+
+def test_sql_time_travel_version(eng, cust):
+    eng.create_table("c_tt", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("DELETE FROM c_tt WHERE c_custkey > 10")
+    now = eng.sql("SELECT count(*) AS n FROM c_tt").collect()[0].n
+    v1 = eng.sql(
+        "SELECT count(*) AS n FROM c_tt FOR VERSION AS OF 1"
+    ).collect()[0].n
+    kept = cust.filter("c_custkey <= 10").count()
+    assert v1 == cust.count() and now == kept
+    # bare Delta spelling, and a self-join across versions
+    assert eng.sql(
+        "SELECT count(*) AS n FROM c_tt VERSION AS OF 1"
+    ).collect()[0].n == cust.count()
+    gone = eng.sql(
+        "SELECT count(*) AS n FROM c_tt FOR VERSION AS OF 1 a "
+        "LEFT ANTI JOIN c_tt b ON a.c_custkey = b.c_custkey"
+    ).collect()[0].n
+    assert gone == cust.count() - kept
+
+
+def test_sql_time_travel_timestamp(eng, cust):
+    import datetime
+
+    eng.create_table("c_ts", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("DELETE FROM c_ts WHERE c_custkey > 10")
+    ts = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM c_ts FOR SYSTEM_TIME AS OF '{ts}'"
+    ).collect()[0].n
+    assert n == cust.filter("c_custkey <= 10").count()
+    with pytest.raises(ValueError, match="quoted timestamp"):
+        eng.sql("SELECT * FROM c_ts FOR TIMESTAMP AS OF 3")
+    with pytest.raises(ValueError, match="integer"):
+        eng.sql("SELECT * FROM c_ts FOR VERSION AS OF '3'")
+    # a string literal spelling the clause is untouched
+    s = eng.sql("SELECT 'c_ts FOR VERSION AS OF 1' AS s").collect()[0].s
+    assert s == "c_ts FOR VERSION AS OF 1"
