@@ -161,6 +161,157 @@ def _bind_params(query: str, params: Any) -> str:
     out.append(query[prev:])
     return "".join(out)
 
+
+def _subst_idents(expr: str, mapping: dict[str, str]) -> str:
+    """Replace identifier words in ``expr`` (outside string literals,
+    case-insensitive) by ``mapping`` — used to fold UPDATE assignment
+    expressions into a CHECK constraint to get its post-image form
+    (assignments are simultaneous over the pre-state, so plain
+    substitution IS the post-image)."""
+    mask = _mask_quoted(expr)
+    out, prev = [], 0
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", mask):
+        rep = mapping.get(m.group(0).lower())
+        if rep is None:
+            continue
+        out.append(expr[prev:m.start()])
+        out.append(rep)
+        prev = m.end()
+    out.append(expr[prev:])
+    return "".join(out)
+
+
+_COL_CONSTRAINT_KWS = (
+    "PRIMARY", "NOT", "NULL", "DEFAULT", "CHECK", "UNIQUE",
+    "REFERENCES", "CONSTRAINT", "GENERATED",
+)
+
+
+def _parse_col_constraints(tail: str) -> tuple[str, dict[str, Any]]:
+    """Split a column definition's tail (everything after the column
+    name) into the type spelling and its constraints: ``text NOT NULL
+    DEFAULT 'x' CHECK (length(c) > 0)`` → (``text``, {not_null,
+    default, checks}).  Unsupported Postgres constraints (UNIQUE /
+    REFERENCES / GENERATED) refuse loudly rather than silently not
+    enforcing."""
+    first = len(tail)
+    for kw in _COL_CONSTRAINT_KWS:
+        i = _find_top_keyword(tail, kw)
+        if 0 <= i < first:
+            first = i
+    type_sql = tail[:first].strip()
+    if not type_sql:
+        raise ValueError(f"column definition missing a type: {tail!r}")
+    rest = tail[first:].strip()
+    info: dict[str, Any] = {
+        "is_pk": False, "not_null": False, "default": None, "checks": [],
+    }
+    while rest:
+        m = re.match(r"PRIMARY\s+KEY\b", rest, re.I)
+        if m:
+            info["is_pk"] = True
+            rest = rest[m.end():].strip()
+            continue
+        m = re.match(r"NOT\s+NULL\b", rest, re.I)
+        if m:
+            info["not_null"] = True
+            rest = rest[m.end():].strip()
+            continue
+        m = re.match(r"NULL\b", rest, re.I)
+        if m:
+            rest = rest[m.end():].strip()
+            continue
+        m = re.match(r"(UNIQUE|REFERENCES|GENERATED)\b", rest, re.I)
+        if m:
+            raise ValueError(
+                f"{m.group(1).upper()} column constraints are not "
+                "supported (NOT NULL / CHECK / DEFAULT / PRIMARY KEY are)"
+            )
+        cm = re.match(r"(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\(", rest, re.I)
+        if cm:
+            depth, close = 1, -1
+            for i in range(cm.end(), len(rest)):
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+            if close < 0:
+                raise ValueError(f"unbalanced CHECK constraint: {rest!r}")
+            info["checks"].append(
+                (cm.group(1), rest[cm.end():close].strip())
+            )
+            rest = rest[close + 1:].strip()
+            continue
+        m = re.match(r"DEFAULT\b", rest, re.I)
+        if m:
+            body = rest[m.end():].strip()
+            end = len(body)
+            for kw in _COL_CONSTRAINT_KWS:
+                i = _find_top_keyword(body, kw)
+                if 0 <= i < end:
+                    end = i
+            expr = body[:end].strip()
+            if not expr:
+                raise ValueError(f"DEFAULT needs an expression: {tail!r}")
+            info["default"] = expr
+            rest = body[end:].strip()
+            continue
+        raise ValueError(f"cannot parse column constraint: {rest!r}")
+    return type_sql, info
+
+
+def _rewrite_values_defaults(
+    values_sql: str,
+    target: list[str],
+    schema: T.StructType,
+    defaults: dict[str, str],
+) -> str:
+    """Rewrite bare ``DEFAULT`` elements inside a ``VALUES (...), (...)``
+    list to the positionally-matching column's declared default (or a
+    typed NULL — the Postgres fallback when no default is declared), so
+    Spark's VALUES parser never sees the keyword."""
+    mask = _mask_quoted(values_sql)
+    if not re.search(r"\bDEFAULT\b", mask, re.I):
+        return values_sql
+    spans = []  # (start, end, element_index)
+    depth, idx, elem_begin = 0, 0, None
+    for i, ch in enumerate(mask):
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                idx, elem_begin = 0, i + 1
+        elif ch == ")":
+            if depth == 1 and elem_begin is not None:
+                spans.append((elem_begin, i, idx))
+                elem_begin = None
+            depth -= 1
+        elif ch == "," and depth == 1:
+            spans.append((elem_begin, i, idx))
+            idx += 1
+            elem_begin = i + 1
+    out, prev = [], 0
+    by_name = {f.name: f for f in schema.fields}
+    for s, e, i in spans:
+        if values_sql[s:e].strip().upper() != "DEFAULT":
+            continue
+        if i >= len(target) or target[i] not in by_name:
+            continue  # arity error surfaces downstream with context
+        f = by_name[target[i]]
+        d = defaults.get(f.name)
+        lit = (
+            f"CAST(({d}) AS {f.dataType.simpleString()})"
+            if d else f"CAST(NULL AS {f.dataType.simpleString()})"
+        )
+        out.append(values_sql[prev:s])
+        out.append(lit)
+        prev = e
+    out.append(values_sql[prev:])
+    return "".join(out)
+
+
 # Postgres type spellings → Spark DDL strings (anything unlisted falls
 # through to Spark's own DDL parser, so 'string'/'array<int>' also work)
 _PG_TYPES = {
@@ -535,6 +686,117 @@ class MooncakeEngine:
 
     # ------------------------------------------------------------ CDC apply
 
+    # ---------------------------------------------------- table constraints
+
+    def _constraints(self, dst: str) -> Optional[dict]:
+        """Declared table constraints ({not_null, checks, defaults}) from
+        the catalog, or None.  Declared via CREATE TABLE SQL or
+        ``create_table(table_config={'constraints': ...})``."""
+        try:
+            cfg = self.catalog.get(self._canon(dst)).get("table_config") or {}
+        except KeyError:
+            return None
+        return cfg.get("constraints") or None
+
+    def _guard_constraints(self, dst: str, df: DataFrame) -> DataFrame:
+        """Attach NOT NULL / CHECK enforcement to a write batch IN-JOB
+        (the MERGE-guard pattern: a when/raise_error chain rides the
+        first data column, costing zero extra Spark jobs and never
+        materializing the batch early).  Delete rows (__op = 'D') are
+        exempt — only new/updated images are constrained, Postgres
+        semantics."""
+        cons = self._constraints(dst)
+        if not cons:
+            return df
+        name = self._canon(dst)
+        has_op = OP_COL in df.columns
+        data_cols = [c for c in df.columns if c != OP_COL]
+        if not data_cols:
+            return df
+        branches: list[tuple[Column, str]] = []
+        present = set(df.columns)
+        for c in cons.get("not_null", []):
+            if c not in present:
+                continue
+            branches.append((
+                F.col(c).isNull(),
+                f'null value in column "{c}" of relation "{name}" '
+                "violates not-null constraint",
+            ))
+        for cname, expr in cons.get("checks", []):
+            # three-valued logic: a NULL check result passes (Postgres)
+            branches.append((
+                ~F.coalesce(F.expr(expr), F.lit(True)),
+                f'new row for relation "{name}" violates check '
+                f'constraint "{cname}"',
+            ))
+        if not branches:
+            return df
+        anchor = data_cols[0]
+        a_type = df.schema[anchor].dataType
+        chain = None
+        for viol, msg in branches:
+            if has_op:
+                viol = viol & (F.col(OP_COL) != F.lit("D"))
+            err = F.raise_error(F.lit(msg)).cast(a_type)
+            chain = (
+                F.when(viol, err) if chain is None else chain.when(viol, err)
+            )
+        return df.withColumn(anchor, chain.otherwise(F.col(anchor)))
+
+    def _guard_update_assignments(
+        self, dst: str, assignments: dict[str, str]
+    ) -> dict[str, str]:
+        """The UPDATE twin of :meth:`_guard_constraints`: wrap assignment
+        expressions so NOT NULL / CHECK violations raise inside
+        MoonTable.update_where's own job.  CHECK constraints evaluate on
+        the POST-image: assigned columns are substituted by their
+        (simultaneous, pre-state) expressions."""
+        cons = self._constraints(dst)
+        if not cons:
+            return assignments
+        name = self._canon(dst)
+        mt = self._moontable(dst)
+        types = {f.name: f.dataType.simpleString() for f in mt.schema().fields}
+        orig = dict(assignments)
+        out = dict(assignments)
+
+        def _wrap(col: str, viol_sql: str, msg: str) -> None:
+            e = out[col]
+            msg_sql = msg.replace("'", "''")
+            out[col] = (
+                f"CASE WHEN {viol_sql} THEN CAST(raise_error('{msg_sql}') "
+                f"AS {types[col]}) ELSE ({e}) END"
+            )
+
+        sub = {c.lower(): f"({e})" for c, e in orig.items()}
+        anchor = next(iter(orig))
+        for cname, expr in cons.get("checks", []):
+            refs = {
+                w.lower()
+                for w in re.findall(
+                    r"[A-Za-z_][A-Za-z0-9_]*", _mask_quoted(expr)
+                )
+            }
+            if not (refs & set(sub)):
+                continue  # no assigned column involved — pre-state holds
+            post = _subst_idents(expr, sub)
+            _wrap(
+                anchor,
+                f"NOT COALESCE(({post}), TRUE)",
+                f'new row for relation "{name}" violates check '
+                f'constraint "{cname}"',
+            )
+        for c in cons.get("not_null", []):
+            if c in orig:
+                _wrap(
+                    c,
+                    f"({orig[c]}) IS NULL",
+                    f'null value in column "{c}" of relation "{name}" '
+                    "violates not-null constraint",
+                )
+        return out
+
     def apply_changes(
         self,
         dst: str,
@@ -560,6 +822,7 @@ class MooncakeEngine:
         batch touches most files (the reference's merge-on-read mirror,
         README.md:13-14); optimize_table folds tombstones back."""
         dst = self._canon(dst)
+        changes = self._guard_constraints(dst, changes)
         if self._txn is not None:
             if on_schema_drift != "fail" or defer_exports:
                 raise self._txn_abort(ValueError(
@@ -1024,6 +1287,7 @@ class MooncakeEngine:
 
     def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
         dst = self._canon(dst)
+        df = self._guard_constraints(dst, df)
         if self._txn is not None:
             return self._txn_stage_insert(dst, df)
         mt = self._moontable(dst)
@@ -1061,6 +1325,7 @@ class MooncakeEngine:
         post-state semi-join on pre-keys would match nothing, never
         delete the old key, and never append the re-keyed row."""
         dst = self._canon(dst)
+        assignments = self._guard_update_assignments(dst, assignments)
         if self._txn is not None:
             mt = self._moontable(dst)
             pk = mt.primary_key() or []
@@ -1334,6 +1599,7 @@ class MooncakeEngine:
                 df = df.unionByName(d)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
+        df = self._guard_constraints(dst, df)
         if self._txn is not None:
             # COPY/bulk load inside a block stages like an INSERT
             return self._txn_stage_insert(dst, df)
@@ -2664,7 +2930,25 @@ class MooncakeEngine:
             ]
             rest = rest[close + 1:].strip()
         schema = self._moontable(self._canon(t)).schema()
-        if re.match(r"VALUES\b", rest, re.I):
+        defaults = (self._constraints(t) or {}).get("defaults", {})
+        target = cols if cols is not None else [f.name for f in schema.fields]
+        if re.match(r"DEFAULT\s+VALUES\s*$", rest, re.I):
+            # one row of declared defaults (typed NULL where none)
+            exprs = [
+                (
+                    f"CAST(({defaults[f.name]}) AS "
+                    f"{f.dataType.simpleString()}) AS `{f.name}`"
+                    if f.name in defaults
+                    else f"CAST(NULL AS {f.dataType.simpleString()}) "
+                         f"AS `{f.name}`"
+                )
+                for f in schema.fields
+            ]
+            src = self.spark.sql("SELECT " + ", ".join(exprs))
+            target = [f.name for f in schema.fields]
+        elif re.match(r"VALUES\b", rest, re.I):
+            # bare DEFAULT elements become the declared default
+            rest = _rewrite_values_defaults(rest, target, schema, defaults)
             src = self.spark.sql(f"SELECT * FROM {rest}")
         elif re.match(r"(SELECT|WITH)\b", rest, re.I):
             # re-enter: resolves mirror views, honoring the caller's pin
@@ -2673,7 +2957,6 @@ class MooncakeEngine:
             raise ValueError(
                 f"INSERT source must be VALUES or SELECT, got: {rest!r}"
             )
-        target = cols if cols is not None else [f.name for f in schema.fields]
         if len(src.columns) != len(target):
             raise ValueError(
                 f"INSERT arity mismatch: {len(src.columns)} values for "
@@ -2682,7 +2965,14 @@ class MooncakeEngine:
         df = src.toDF(*target)  # positional matching, SQL semantics
         for f in schema.fields:
             if f.name not in df.columns:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                # unlisted columns take their declared default (Postgres),
+                # NULL otherwise
+                d = defaults.get(f.name)
+                df = df.withColumn(
+                    f.name,
+                    F.expr(d).cast(f.dataType) if d
+                    else F.lit(None).cast(f.dataType),
+                )
         if conflict_sql is not None:
             return self._sql_insert_on_conflict(
                 t, tgt_alias, df, conflict_sql
@@ -3269,9 +3559,16 @@ class MooncakeEngine:
         TABLE).  Bounded shapes (anything else raises):
 
         - ``CREATE TABLE [IF NOT EXISTS] t (col type [PRIMARY KEY|NOT
-          NULL], ..., [PRIMARY KEY (a, b)])`` → :meth:`create_table`
+          NULL|DEFAULT expr|CHECK (expr)], ..., [PRIMARY KEY (a, b)],
+          [[CONSTRAINT name] CHECK (expr)])`` → :meth:`create_table`
           with an empty backfill; Postgres type spellings (int, text,
           numeric(p,s)...) and Spark DDL types both resolve.
+          Constraints persist in the catalog and are enforced in-job
+          on every write path (insert / INSERT incl. upsert and
+          DEFAULT VALUES / UPDATE post-image / MERGE / COPY FROM /
+          transaction staging) with Postgres error spellings; UNIQUE
+          and REFERENCES refuse at CREATE rather than silently not
+          enforcing.
         - ``CREATE TABLE t AS SELECT ...`` (CTAS) → create_table with
           the query result as backfill (no primary key: append-only).
         - ``DROP TABLE [IF EXISTS] t[, t2 ...]`` → :meth:`drop_table`.
@@ -3328,7 +3625,11 @@ class MooncakeEngine:
                 raise ValueError(f"unsupported CREATE TABLE suffix: {tail!r}")
             fields: list[T.StructField] = []
             pk: list[str] = []
+            not_null: list[str] = []
+            checks: list[list[str]] = []  # [name, expr_sql]
+            defaults: dict[str, str] = {}
             for part in _split_top_commas(rest[1:close]):
+                part = part.strip()
                 cm = re.match(
                     r"PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", part, re.I
                 )
@@ -3340,29 +3641,53 @@ class MooncakeEngine:
                             c.strip('"') if c.startswith('"') else c.lower()
                         )
                     continue
-                dm = re.match(
-                    r'\s*("[^"]+"|[A-Za-z_]\w*)\s+(.+?)'
-                    r"(\s+PRIMARY\s+KEY|\s+NOT\s+NULL|\s+NULL)*\s*$",
+                tm = re.match(
+                    r"(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\((.*)\)\s*$",
                     part, re.I | re.S,
+                )
+                if tm:  # table-level CHECK
+                    checks.append([tm.group(1), tm.group(2).strip()])
+                    continue
+                dm = re.match(
+                    r'\s*("[^"]+"|[A-Za-z_]\w*)\s+(.*)$', part, re.S
                 )
                 if not dm:
                     raise ValueError(f"cannot parse column def: {part!r}")
                 col = dm.group(1).strip('"')
-                type_and_cons = part[dm.start(2):]
-                is_pk = bool(re.search(r"\bPRIMARY\s+KEY\b", type_and_cons, re.I))
-                type_sql = re.sub(
-                    r"\b(PRIMARY\s+KEY|NOT\s+NULL|NULL)\b", "",
-                    type_and_cons, flags=re.I,
-                ).strip()
                 # Postgres folding: quoted identifiers keep case,
                 # unquoted fold to lowercase
                 if not dm.group(1).startswith('"'):
                     col = col.lower()
+                type_sql, info = _parse_col_constraints(dm.group(2).strip())
                 fields.append(
                     T.StructField(col, _pg_type_to_spark(type_sql), True)
                 )
-                if is_pk:
-                    pk.append(fields[-1].name)
+                if info["is_pk"]:
+                    pk.append(col)
+                if info["not_null"]:
+                    not_null.append(col)
+                if info["default"] is not None:
+                    defaults[col] = info["default"]
+                for cons_name, expr in info["checks"]:
+                    checks.append([cons_name, expr])
+            # Postgres auto-names: <table>_<col?>_check, numbered dups
+            auto = 0
+            tbl_slug = parse_table_name(t).replace(".", "_")
+            for ck in checks:
+                if ck[0] is None:
+                    auto += 1
+                    ck[0] = (
+                        f"{tbl_slug}_check"
+                        if auto == 1 else f"{tbl_slug}_check{auto}"
+                    )
+            constraints: dict[str, Any] = {}
+            if not_null or pk:
+                # PRIMARY KEY implies NOT NULL, Postgres semantics
+                constraints["not_null"] = sorted({*not_null, *pk})
+            if checks:
+                constraints["checks"] = checks
+            if defaults:
+                constraints["defaults"] = defaults
             schema = T.StructType(fields)
             empty = self.spark.createDataFrame([], schema)
             # change_feed on by default for SQL-created tables — the
@@ -3371,7 +3696,10 @@ class MooncakeEngine:
             # mooncake.create_table), fed to views, and repaired from;
             # appends derive their feed rows for free either way
             self.create_table(
-                t, source_df=empty, primary_key=pk or None, change_feed=True
+                t, source_df=empty, primary_key=pk or None, change_feed=True,
+                table_config=(
+                    {"constraints": constraints} if constraints else None
+                ),
             )
             return self._dml_result("CREATE", t, 1)
         if kind == "DROP":

@@ -455,3 +455,130 @@ def boilerplate_fraction(
             ),
         )
     )
+
+
+# ------------------------------------------------- entropy / surprisal
+#
+# Quality signals for pre-training corpora (round 12): character-class
+# entropy (a zero-shuffle proxy for gibberish/boilerplate detection),
+# per-document token entropy (vocabulary diversity), and corpus n-gram
+# surprisal (a CCNet-style LM-perplexity proxy where the "LM" is the
+# corpus's own n-gram frequency table — fully distributed, no model
+# download).  Regex syntax restricted to the Java/RE2 shared subset so
+# the DuckDB oracle replays the same patterns.
+
+_ENTROPY_CLASSES = (
+    ("lower", "[a-z]"),
+    ("upper", "[A-Z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n]"),
+    ("punct", "[.,;:!?]"),
+)
+
+
+def char_class_entropy(text: Column) -> Column:
+    """Shannon entropy (bits) over six character classes — lower /
+    upper / digit / space / punct / other.  Pure column expression:
+    five regexp passes + arithmetic, all inside whole-stage codegen —
+    ZERO shuffles, embarrassingly parallel at any scale.  Natural text
+    lands near ~1.8-2.2 bits; key-mash and repeated-char junk collapse
+    toward 0; base64/hex blobs push above 2.4."""
+    n = F.length(text).cast("double")
+    counts = [
+        (
+            n - F.length(F.regexp_replace(text, pat, "")).cast("double")
+        ).alias(name)
+        for name, pat in _ENTROPY_CLASSES
+    ]
+    other = n
+    for c in counts:
+        other = other - c
+    terms = []
+    for c in [*counts, other]:
+        p = c / n
+        terms.append(F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
+    total = terms[0]
+    for t_ in terms[1:]:
+        total = total + t_
+    return F.when(n > 0, F.round(total, 4)).otherwise(F.lit(0.0))
+
+
+def _words(text: Column) -> Column:
+    """Lower-cased alphanumeric word array (empty strings dropped) —
+    the shared tokenizer for entropy/surprisal, chosen because DuckDB's
+    regexp_split_to_array + list_filter reproduces it exactly."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda w: w != ""
+    )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token-frequency entropy (bits): explode words,
+    count per (doc, word), fold -p*log2(p) per doc.  Two shuffles,
+    both hash-partitioned on doc id (word counting co-partitions by
+    the composite key) — no global state, scales linearly with corpus
+    size.  Low entropy at normal length = repetitive template text."""
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
+    )
+    cnt = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log2(F.col("c"))).alias("_clogc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            # -sum(c/n log2 c/n) == log2(n) - sum(c log2 c)/n : one
+            # pass, no per-word division
+            F.round(
+                F.log2(F.col("n_tokens"))
+                - F.col("_clogc") / F.col("n_tokens"),
+                4,
+            ).alias("token_entropy"),
+        )
+    )
+
+
+def ngram_surprisal(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Corpus n-gram surprisal — the distributed perplexity-proxy
+    quality filter: build the corpus's own word-n-gram frequency table
+    (one groupBy over exploded n-grams), then score each document by
+    the mean negative log-probability of its n-grams under that table.
+
+    100 TB design: n-gram generation is map-side; the model is an
+    equi-join keyed on the n-gram (never all-pairs, skew-tolerant via
+    AQE); the single scalar N rides a 1-row broadcast cross join.  A
+    document full of n-grams nobody else uses scores HIGH (surprising
+    = likely junk/garble); templated boilerplate scores LOW."""
+    grams = F.when(
+        F.size(_words(F.col(text_col))) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(_words(F.col(text_col))) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(_words(F.col(text_col)), i + k + 1)
+                    for k in range(n)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    model = occ.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("n_total"))
+    return (
+        occ.join(model, "g")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("n_total"))), 4
+            ).alias("avg_surprisal"),
+        )
+    )

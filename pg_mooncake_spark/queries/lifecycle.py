@@ -1682,3 +1682,86 @@ def lifecycle_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT count(*) FROM cust_tt FOR VERSION AS OF 1 a
            LEFT ANTI JOIN cust_tt b ON a.c_custkey = b.c_custkey) AS n_gone
     """)
+
+
+@query(
+    "lifecycle_sql_constraints",
+    oracle="""
+    WITH loaded AS (
+      SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS bal,
+             'cust' AS tag
+      FROM customer WHERE c_custkey % 9 = 0 AND c_acctbal >= 0
+    ),
+    all_rows AS (
+      SELECT * FROM loaded
+      UNION ALL SELECT -1, CAST(0.0 AS DOUBLE), 'base'   -- defaults fill
+      UNION ALL SELECT -2, CAST(0.0 AS DOUBLE), 'x'      -- DEFAULT keyword
+    ),
+    bumped AS (
+      -- the committed UPDATE: +1 on the sentinel rows
+      SELECT id,
+             CASE WHEN id < 0
+                  THEN CAST(CAST(bal AS DECIMAL(18,2)) + 1.0 AS DOUBLE)
+                  ELSE bal END AS bal,
+             tag
+      FROM all_rows
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(bal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal,
+           COUNT(CASE WHEN tag = 'base' THEN 1 END) AS n_base_tag
+    FROM bumped
+    """,
+)
+def lifecycle_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT NULL / CHECK / DEFAULT table constraints (round 12): declared
+    in CREATE TABLE, enforced in-job on every write path (the MERGE-
+    guard raise_error pattern — zero extra jobs), with Postgres error
+    spellings.  Violating statements leave no trace (per-statement
+    atomicity); the oracle reconstructs exactly the legal committed
+    writes including both DEFAULT application forms."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 9 = 0")
+    )
+    eng.create_table("cust_cc", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("""
+        CREATE TABLE acct_c (
+          id bigint PRIMARY KEY,
+          bal double precision DEFAULT 0.0 CHECK (bal >= 0.0),
+          tag text NOT NULL DEFAULT 'base'
+        )
+    """)
+    eng.sql("""
+        INSERT INTO acct_c (id, bal, tag)
+        SELECT c_custkey, c_acctbal, 'cust' FROM cust_cc
+        WHERE c_acctbal >= 0
+    """)
+    eng.sql("INSERT INTO acct_c (id) VALUES (-1)")
+    eng.sql("INSERT INTO acct_c VALUES (-2, DEFAULT, 'x')")
+    for bad in (
+        "INSERT INTO acct_c VALUES (-3, -5.0, 'neg')",   # CHECK
+        "INSERT INTO acct_c VALUES (-4, 1.0, NULL)",     # NOT NULL
+        "UPDATE acct_c SET bal = bal - 1e9 WHERE id = -1",  # CHECK post
+    ):
+        try:
+            eng.sql(bad)
+            raise AssertionError(f"constraint not enforced: {bad}")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # refused, per-statement atomic — no trace
+    eng.sql("""
+        UPDATE acct_c
+        SET bal = CAST(CAST(bal AS DECIMAL(18,2)) + 1.0 AS DOUBLE)
+        WHERE id < 0
+    """)
+    return eng.table("acct_c").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("bal", 2).alias("total_bal"),
+        F.count(F.when(F.col("tag") == "base", 1)).alias("n_base_tag"),
+    )

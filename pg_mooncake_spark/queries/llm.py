@@ -844,6 +844,116 @@ def text_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.text_profile(d, "text", "doc_id").orderBy("doc_id")
 
 
+@query(
+    "text_entropy_scores",
+    oracle="""
+    WITH cls AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+               AS c_lower,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+               AS c_upper,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               AS c_digit,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[ \\t\\n]', '', 'g'))
+                  AS DOUBLE) AS c_space,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                  AS DOUBLE) AS c_punct
+      FROM documents),
+    ent AS (
+      SELECT doc_id,
+        ROUND(
+          (CASE WHEN c_lower > 0
+                THEN -(c_lower/n) * log2(c_lower/n) ELSE 0.0 END)
+        + (CASE WHEN c_upper > 0
+                THEN -(c_upper/n) * log2(c_upper/n) ELSE 0.0 END)
+        + (CASE WHEN c_digit > 0
+                THEN -(c_digit/n) * log2(c_digit/n) ELSE 0.0 END)
+        + (CASE WHEN c_space > 0
+                THEN -(c_space/n) * log2(c_space/n) ELSE 0.0 END)
+        + (CASE WHEN c_punct > 0
+                THEN -(c_punct/n) * log2(c_punct/n) ELSE 0.0 END)
+        + (CASE WHEN n - c_lower - c_upper - c_digit - c_space - c_punct > 0
+                THEN -((n - c_lower - c_upper - c_digit - c_space - c_punct)/n)
+                     * log2((n - c_lower - c_upper - c_digit - c_space
+                             - c_punct)/n)
+                ELSE 0.0 END), 4) AS class_entropy
+      FROM cls),
+    words AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS w
+            FROM documents)),
+    cnt AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+    tok AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                   - SUM(c * log2(CAST(c AS DOUBLE)))
+                     / CAST(SUM(c) AS DOUBLE), 4) AS token_entropy
+      FROM cnt GROUP BY doc_id)
+    SELECT e.doc_id, e.class_entropy, t.n_tokens, t.token_entropy
+    FROM ent e JOIN tok t ON e.doc_id = t.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy quality signals (round 12): six-class character entropy
+    (ZERO shuffles — five codegen regexp passes per row) and per-doc
+    token-frequency entropy (two shuffles, both keyed by doc id).
+    Low entropy at normal length flags repeated-template/key-mash
+    junk; both land as filterable per-document doubles."""
+    d = t(spark, sf_dir, "documents")
+    cls = d.select(
+        "doc_id", X.char_class_entropy(F.col("text")).alias("class_entropy")
+    )
+    tok = X.token_entropy(d, "text", "doc_id")
+    return cls.join(tok, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_ngram_surprisal",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, g
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM words)),
+    model AS (
+      SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM model)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           ROUND(AVG(-ln(c / n_total)), 4) AS avg_surprisal
+    FROM grams JOIN model USING (g) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_ngram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram surprisal (round 12) — the distributed
+    perplexity-proxy filter: the corpus's own n-gram frequency table
+    is the language model (one groupBy over exploded bigrams), each
+    document scored by mean -ln p(gram).  Model lookup is an
+    equi-join on the gram (AQE-skew-tolerant, never all-pairs); the
+    scalar total rides a one-row broadcast."""
+    d = t(spark, sf_dir, "documents")
+    return X.ngram_surprisal(d, "text", "doc_id").orderBy("doc_id")
+
+
 # ------------------------------------------------------------ multimodal
 
 

@@ -65,6 +65,9 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_savepoint",
     "lifecycle_sql_prepare",
     "lifecycle_sql_time_travel",
+    "lifecycle_sql_constraints",
+    "text_entropy_scores",
+    "text_ngram_surprisal",
     # (2) implementation changed this round (q1 exact-sum fast path) — the
     # change must be externally re-confirmed even though the key was
     # driver-green in r9

@@ -527,3 +527,27 @@ def test_feed_as_ops_is_narrow(spark, tmp_path):
     ops = feed_as_ops(batch_feed)
     assert exchange_count(ops) == 0
     assert ops.count() == 1
+
+
+def test_char_class_entropy_is_map_only(spark):
+    """Class entropy is five regexp passes + arithmetic inside codegen —
+    zero exchanges (round 12)."""
+    from pg_mooncake_spark.operators.text import char_class_entropy
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = d.select("doc_id", char_class_entropy(F.col("text")).alias("h"))
+    assert I.exchange_count(df) == 0
+
+
+def test_ngram_surprisal_model_is_equi_join(spark):
+    """The surprisal model lookup must be an equi-join on the gram —
+    never a nested-loop/cartesian (the one-row total broadcast is the
+    only cross join)."""
+    from pg_mooncake_spark.operators.text import ngram_surprisal
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    txt = I.plan_text(ngram_surprisal(d, "text", "doc_id"))
+    assert "CartesianProduct" not in txt
+    rows = ngram_surprisal(d.limit(50), "text", "doc_id").collect()
+    assert rows and all(r.avg_surprisal >= 0 for r in rows)
