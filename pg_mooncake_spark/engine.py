@@ -181,6 +181,26 @@ def _subst_idents(expr: str, mapping: dict[str, str]) -> str:
     return "".join(out)
 
 
+def _no_gen_on_gen(generated: dict[str, str]) -> None:
+    """Postgres refuses a generated column whose expression references
+    another generated column — and so must we: the UPDATE recompute
+    substitutes only PLAIN assignments into generated expressions, so a
+    gen-on-gen chain would silently read the PRE-state of the inner
+    column."""
+    names = {c.lower() for c in generated}
+    for col, expr in generated.items():
+        refs = {
+            w.lower()
+            for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", _mask_quoted(expr))
+        }
+        hit = sorted((refs & names) - {col.lower()})
+        if hit:
+            raise ValueError(
+                f'cannot use generated column "{hit[0]}" in the '
+                f'generation expression of "{col}"'
+            )
+
+
 _COL_CONSTRAINT_KWS = (
     "PRIMARY", "NOT", "NULL", "DEFAULT", "CHECK", "UNIQUE",
     "REFERENCES", "CONSTRAINT", "GENERATED",
@@ -191,9 +211,9 @@ def _parse_col_constraints(tail: str) -> tuple[str, dict[str, Any]]:
     """Split a column definition's tail (everything after the column
     name) into the type spelling and its constraints: ``text NOT NULL
     DEFAULT 'x' CHECK (length(c) > 0)`` → (``text``, {not_null,
-    default, checks}).  Unsupported Postgres constraints (UNIQUE /
-    REFERENCES / GENERATED) refuse loudly rather than silently not
-    enforcing."""
+    default, checks, generated}).  Unsupported Postgres constraints
+    (UNIQUE / REFERENCES / IDENTITY) refuse loudly rather than silently
+    not enforcing."""
     first = len(tail)
     for kw in _COL_CONSTRAINT_KWS:
         i = _find_top_keyword(tail, kw)
@@ -205,6 +225,7 @@ def _parse_col_constraints(tail: str) -> tuple[str, dict[str, Any]]:
     rest = tail[first:].strip()
     info: dict[str, Any] = {
         "is_pk": False, "not_null": False, "default": None, "checks": [],
+        "generated": None,
     }
     while rest:
         m = re.match(r"PRIMARY\s+KEY\b", rest, re.I)
@@ -221,11 +242,41 @@ def _parse_col_constraints(tail: str) -> tuple[str, dict[str, Any]]:
         if m:
             rest = rest[m.end():].strip()
             continue
-        m = re.match(r"(UNIQUE|REFERENCES|GENERATED)\b", rest, re.I)
+        m = re.match(r"(UNIQUE|REFERENCES)\b", rest, re.I)
         if m:
             raise ValueError(
                 f"{m.group(1).upper()} column constraints are not "
-                "supported (NOT NULL / CHECK / DEFAULT / PRIMARY KEY are)"
+                "supported (NOT NULL / CHECK / DEFAULT / PRIMARY KEY / "
+                "GENERATED ... STORED are)"
+            )
+        gm = re.match(r"GENERATED\s+ALWAYS\s+AS\s*\(", rest, re.I)
+        if gm:
+            depth, close = 1, -1
+            for i in range(gm.end(), len(rest)):
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+            if close < 0:
+                raise ValueError(f"unbalanced GENERATED expression: {rest!r}")
+            info["generated"] = rest[gm.end():close].strip()
+            after = rest[close + 1:].strip()
+            sm = re.match(r"STORED\b", after, re.I)
+            if not sm:
+                raise ValueError(
+                    "only GENERATED ALWAYS AS (expr) STORED is supported "
+                    "(virtual generated columns and IDENTITY are not)"
+                )
+            rest = after[sm.end():].strip()
+            continue
+        m = re.match(r"GENERATED\b", rest, re.I)
+        if m:
+            raise ValueError(
+                "only GENERATED ALWAYS AS (expr) STORED is supported "
+                "(IDENTITY columns are not)"
             )
         cm = re.match(r"(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\(", rest, re.I)
         if cm:
@@ -263,20 +314,10 @@ def _parse_col_constraints(tail: str) -> tuple[str, dict[str, Any]]:
     return type_sql, info
 
 
-def _rewrite_values_defaults(
-    values_sql: str,
-    target: list[str],
-    schema: T.StructType,
-    defaults: dict[str, str],
-) -> str:
-    """Rewrite bare ``DEFAULT`` elements inside a ``VALUES (...), (...)``
-    list to the positionally-matching column's declared default (or a
-    typed NULL — the Postgres fallback when no default is declared), so
-    Spark's VALUES parser never sees the keyword."""
-    mask = _mask_quoted(values_sql)
-    if not re.search(r"\bDEFAULT\b", mask, re.I):
-        return values_sql
-    spans = []  # (start, end, element_index)
+def _values_spans(mask: str) -> list[tuple[int, int, int]]:
+    """Element spans of a masked ``VALUES (...), (...)`` body:
+    (start, end, element_index) per top-level-parenthesized element."""
+    spans: list[tuple[int, int, int]] = []
     depth, idx, elem_begin = 0, 0, None
     for i, ch in enumerate(mask):
         if ch == "(":
@@ -292,6 +333,23 @@ def _rewrite_values_defaults(
             spans.append((elem_begin, i, idx))
             idx += 1
             elem_begin = i + 1
+    return spans
+
+
+def _rewrite_values_defaults(
+    values_sql: str,
+    target: list[str],
+    schema: T.StructType,
+    defaults: dict[str, str],
+) -> str:
+    """Rewrite bare ``DEFAULT`` elements inside a ``VALUES (...), (...)``
+    list to the positionally-matching column's declared default (or a
+    typed NULL — the Postgres fallback when no default is declared), so
+    Spark's VALUES parser never sees the keyword."""
+    mask = _mask_quoted(values_sql)
+    if not re.search(r"\bDEFAULT\b", mask, re.I):
+        return values_sql
+    spans = _values_spans(mask)
     out, prev = [], 0
     by_name = {f.name: f for f in schema.fields}
     for s, e, i in spans:
@@ -698,6 +756,39 @@ class MooncakeEngine:
             return None
         return cfg.get("constraints") or None
 
+    def _set_constraints(self, dst: str, cons: Optional[dict]) -> None:
+        """Persist the table's declared constraints ({not_null, checks,
+        defaults, generated, not_validated}) into the catalog — the
+        ALTER TABLE constraint surface mutates through here."""
+        cons = {k: v for k, v in (cons or {}).items() if v} or None
+        self.catalog.set_config_key(self._canon(dst), "constraints", cons)
+
+    def _apply_generated(self, dst: str, df: DataFrame) -> DataFrame:
+        """Recompute ``GENERATED ALWAYS AS (expr) STORED`` columns on a
+        write batch.  Rows carry their full post-image by the time any
+        batch reaches a write path (INSERT images are the new rows,
+        UPDATE/MERGE images are already post-state), so the expression
+        evaluates directly over the batch's own columns — a pure column
+        projection, zero extra jobs.  Explicit values are overwritten:
+        the SQL surface refuses non-DEFAULT writes up front (Postgres
+        spelling), and API writers get silent recompute (documented)."""
+        cons = self._constraints(dst)
+        gen = (cons or {}).get("generated") or {}
+        if not gen:
+            return df
+        types = {
+            f.name: f.dataType for f in self._moontable(dst).schema().fields
+        }
+        for c, expr in gen.items():
+            if c in types:
+                col = F.expr(expr).cast(types[c])
+                if OP_COL in df.columns:
+                    # delete images may be key-only projections upstream;
+                    # keep their recorded value untouched
+                    col = F.when(F.col(OP_COL) == "D", F.col(c)).otherwise(col)
+                df = df.withColumn(c, col)
+        return df
+
     def _guard_constraints(self, dst: str, df: DataFrame) -> DataFrame:
         """Attach NOT NULL / CHECK enforcement to a write batch IN-JOB
         (the MERGE-guard pattern: a when/raise_error chain rides the
@@ -743,6 +834,51 @@ class MooncakeEngine:
                 F.when(viol, err) if chain is None else chain.when(viol, err)
             )
         return df.withColumn(anchor, chain.otherwise(F.col(anchor)))
+
+    def _resolve_update_defaults(
+        self, dst: str, assignments: dict[str, str]
+    ) -> dict[str, str]:
+        """UPDATE-side constraint plumbing that must run BEFORE the
+        check/not-null guards: ``SET c = DEFAULT`` resolves to the
+        declared default (typed NULL when none, Postgres), assigning a
+        generated column anything else refuses with the Postgres
+        spelling, and every generated column gets a recompute assignment
+        — its expression with assigned columns substituted by their
+        (simultaneous, pre-state) expressions, which IS the post-image
+        value because all assignments evaluate over the pre-state."""
+        cons = self._constraints(dst) or {}
+        gen = cons.get("generated") or {}
+        defaults = cons.get("defaults") or {}
+        if not gen and not any(
+            e.strip().upper() == "DEFAULT" for e in assignments.values()
+        ):
+            return assignments
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in self._moontable(dst).schema().fields
+        }
+        out: dict[str, str] = {}
+        for c, e in assignments.items():
+            if c in gen:
+                if e.strip().upper() != "DEFAULT":
+                    raise ValueError(
+                        f'column "{c}" can only be updated to DEFAULT '
+                        f'(generated column on "{self._canon(dst)}")'
+                    )
+                continue  # recompute injected below
+            if e.strip().upper() == "DEFAULT":
+                d = defaults.get(c)
+                e = (
+                    f"CAST(({d}) AS {types[c]})" if d
+                    else f"CAST(NULL AS {types[c]})"
+                )
+            out[c] = e
+        if not out:
+            raise ValueError("UPDATE must assign at least one plain column")
+        sub = {c.lower(): f"({e})" for c, e in out.items()}
+        for g, expr in gen.items():
+            out[g] = _subst_idents(expr, sub)
+        return out
 
     def _guard_update_assignments(
         self, dst: str, assignments: dict[str, str]
@@ -822,7 +958,9 @@ class MooncakeEngine:
         batch touches most files (the reference's merge-on-read mirror,
         README.md:13-14); optimize_table folds tombstones back."""
         dst = self._canon(dst)
-        changes = self._guard_constraints(dst, changes)
+        changes = self._guard_constraints(
+            dst, self._apply_generated(dst, changes)
+        )
         if self._txn is not None:
             if on_schema_drift != "fail" or defer_exports:
                 raise self._txn_abort(ValueError(
@@ -1287,7 +1425,7 @@ class MooncakeEngine:
 
     def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
         dst = self._canon(dst)
-        df = self._guard_constraints(dst, df)
+        df = self._guard_constraints(dst, self._apply_generated(dst, df))
         if self._txn is not None:
             return self._txn_stage_insert(dst, df)
         mt = self._moontable(dst)
@@ -1325,6 +1463,7 @@ class MooncakeEngine:
         post-state semi-join on pre-keys would match nothing, never
         delete the old key, and never append the re-keyed row."""
         dst = self._canon(dst)
+        assignments = self._resolve_update_defaults(dst, assignments)
         assignments = self._guard_update_assignments(dst, assignments)
         if self._txn is not None:
             mt = self._moontable(dst)
@@ -1599,7 +1738,7 @@ class MooncakeEngine:
                 df = df.unionByName(d)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
-        df = self._guard_constraints(dst, df)
+        df = self._guard_constraints(dst, self._apply_generated(dst, df))
         if self._txn is not None:
             # COPY/bulk load inside a block stages like an INSERT
             return self._txn_stage_insert(dst, df)
@@ -1670,6 +1809,29 @@ class MooncakeEngine:
                 compact_iceberg(self.spark, path)
                 rename_column_iceberg(path, old, new)
         v = mt.rename_column(old, new)
+        cons = self._constraints(dst)
+        if cons:
+            # constraint metadata follows the rename: list membership,
+            # dict keys, and identifier references inside expressions
+            sub = {old.lower(): new}
+            self._set_constraints(dst, {
+                "not_null": [
+                    new if c == old else c for c in cons.get("not_null", [])
+                ],
+                "defaults": {
+                    (new if c == old else c): _subst_idents(e, sub)
+                    for c, e in (cons.get("defaults") or {}).items()
+                },
+                "generated": {
+                    (new if c == old else c): _subst_idents(e, sub)
+                    for c, e in (cons.get("generated") or {}).items()
+                },
+                "checks": [
+                    [n, _subst_idents(e, sub)]
+                    for n, e in cons.get("checks", [])
+                ],
+                "not_validated": cons.get("not_validated", []),
+            })
         self.catalog.update_watermarks(
             dst, flush_version=v,
             export_version=self._ev_advance(v, prior_ev, prior_latest),
@@ -1712,6 +1874,26 @@ class MooncakeEngine:
         if col in (mt.primary_key() or []):
             raise ValueError(f"cannot drop primary-key column {col!r}")
         ident = re.compile(rf"\b{re.escape(col)}\b")
+        cons = self._constraints(dst)
+        if cons:
+            # Postgres refuses dropping a column other objects depend on:
+            # CHECK constraints and OTHER generated columns referencing it
+            def _refs(expr: str) -> bool:
+                return bool(ident.search(_mask_quoted(expr)))
+
+            for n, e in cons.get("checks", []):
+                if _refs(e):
+                    raise ValueError(
+                        f'cannot drop column "{col}" of "{dst}": check '
+                        f'constraint "{n}" depends on it; drop the '
+                        "constraint first"
+                    )
+            for g, e in (cons.get("generated") or {}).items():
+                if g != col and _refs(e):
+                    raise ValueError(
+                        f'cannot drop column "{col}" of "{dst}": generated '
+                        f'column "{g}" depends on it; drop it first'
+                    )
         for name in self.catalog.dependents(dst):
             e = self.catalog.get(name)
             cfg = e.get("table_config") or {}
@@ -1764,6 +1946,21 @@ class MooncakeEngine:
             [f for f in schema.fields if f.name != col]
         )
         v = mt.evolve_schema(narrowed)
+        if cons:
+            # the column's OWN constraint entries go with it
+            self._set_constraints(dst, {
+                "not_null": [c for c in cons.get("not_null", []) if c != col],
+                "defaults": {
+                    c: e for c, e in (cons.get("defaults") or {}).items()
+                    if c != col
+                },
+                "generated": {
+                    c: e for c, e in (cons.get("generated") or {}).items()
+                    if c != col
+                },
+                "checks": cons.get("checks", []),
+                "not_validated": cons.get("not_validated", []),
+            })
         self._refresh_views_of(dst)
         self.catalog.update_watermarks(
             dst, flush_version=v,
@@ -2930,8 +3127,31 @@ class MooncakeEngine:
             ]
             rest = rest[close + 1:].strip()
         schema = self._moontable(self._canon(t)).schema()
-        defaults = (self._constraints(t) or {}).get("defaults", {})
-        target = cols if cols is not None else [f.name for f in schema.fields]
+        cons = self._constraints(t) or {}
+        defaults = cons.get("defaults", {})
+        gen = cons.get("generated", {})
+        # Postgres: generated columns are EXCLUDED from the implicit
+        # INSERT target list; explicitly listed ones only accept DEFAULT
+        target = (
+            cols if cols is not None
+            else [f.name for f in schema.fields if f.name not in gen]
+        )
+        if gen and cols is not None:
+            gen_pos = {i for i, c in enumerate(target) if c in gen}
+            if gen_pos and not re.match(r"(VALUES|DEFAULT\s+VALUES)\b",
+                                        rest, re.I):
+                bad = target[min(gen_pos)]
+                raise ValueError(
+                    f'cannot insert a non-DEFAULT value into column "{bad}" '
+                    f'(generated column; use DEFAULT or omit it)'
+                )
+            if gen_pos and re.match(r"VALUES\b", rest, re.I):
+                for s, e, i in _values_spans(_mask_quoted(rest)):
+                    if i in gen_pos and rest[s:e].strip().upper() != "DEFAULT":
+                        raise ValueError(
+                            f"cannot insert a non-DEFAULT value into "
+                            f'column "{target[i]}" (generated column)'
+                        )
         if re.match(r"DEFAULT\s+VALUES\s*$", rest, re.I):
             # one row of declared defaults (typed NULL where none)
             exprs = [
@@ -3084,6 +3304,15 @@ class MooncakeEngine:
                 f"ON CONFLICT DO UPDATE may not assign primary-key "
                 f"column(s) {pk_hits} of {name!r}"
             )
+        gen_hits = sorted(
+            set(assignments)
+            & set((self._constraints(name) or {}).get("generated") or {})
+        )
+        if gen_hits:
+            raise ValueError(
+                f'column "{gen_hits[0]}" can only be updated to DEFAULT '
+                f'(generated column on "{name}")'
+            )
         alias = tgt_alias or name.split(".")[-1]
         ex = existing.alias(alias)
         proposed = df.alias("excluded")
@@ -3164,6 +3393,15 @@ class MooncakeEngine:
             raise ValueError(
                 f"UPDATE ... FROM may not assign primary-key column(s) "
                 f"{pk_hits} of {name!r}"
+            )
+        gen_hits = sorted(
+            set(assignments)
+            & set((self._constraints(name) or {}).get("generated") or {})
+        )
+        if gen_hits:
+            raise ValueError(
+                f'column "{gen_hits[0]}" can only be updated to DEFAULT '
+                f'(generated column on "{name}")'
             )
         alias = tgt_alias or name.split(".")[-1]
         proj = ", ".join(
@@ -3402,6 +3640,7 @@ class MooncakeEngine:
         cond = F.expr(on_cond)
         names = [f.name for f in schema.fields]
 
+        gen_cols = set((self._constraints(name) or {}).get("generated") or {})
         for kind, _extra, assignments in matched_clauses + by_source_clauses:
             if kind == "U" and assignments:
                 pk_hits = sorted(set(assignments) & set(pk))
@@ -3412,6 +3651,12 @@ class MooncakeEngine:
                         f"MERGE UPDATE SET may not assign primary-key "
                         f"column(s) {pk_hits} of {name!r}; delete and "
                         f"re-insert instead"
+                    )
+                gen_hits = sorted(set(assignments) & gen_cols)
+                if gen_hits:
+                    raise ValueError(
+                        f'column "{gen_hits[0]}" can only be updated to '
+                        f'DEFAULT (generated column on "{name}")'
                     )
 
         def _tvl(sql_cond: str) -> Column:
@@ -3628,6 +3873,7 @@ class MooncakeEngine:
             not_null: list[str] = []
             checks: list[list[str]] = []  # [name, expr_sql]
             defaults: dict[str, str] = {}
+            generated: dict[str, str] = {}
             for part in _split_top_commas(rest[1:close]):
                 part = part.strip()
                 cm = re.match(
@@ -3668,6 +3914,8 @@ class MooncakeEngine:
                     not_null.append(col)
                 if info["default"] is not None:
                     defaults[col] = info["default"]
+                if info["generated"] is not None:
+                    generated[col] = info["generated"]
                 for cons_name, expr in info["checks"]:
                     checks.append([cons_name, expr])
             # Postgres auto-names: <table>_<col?>_check, numbered dups
@@ -3688,6 +3936,9 @@ class MooncakeEngine:
                 constraints["checks"] = checks
             if defaults:
                 constraints["defaults"] = defaults
+            if generated:
+                _no_gen_on_gen(generated)
+                constraints["generated"] = generated
             schema = T.StructType(fields)
             empty = self.spark.createDataFrame([], schema)
             # change_feed on by default for SQL-created tables — the
@@ -3746,7 +3997,7 @@ class MooncakeEngine:
                 if if_not_exists:
                     return self._dml_result("ALTER", t, 0)
                 raise ValueError(f"column {col!r} already exists on {t!r}")
-            v = self.add_column(t, col, _pg_type_to_spark(m.group(4)))
+            v = self._sql_add_column(t, col, m.group(4).strip())
             return self._dml_result("ALTER", t, v)
         m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+DROP\s+COLUMN\s+"
@@ -3763,7 +4014,242 @@ class MooncakeEngine:
                 raise ValueError(f"no column {col!r} on {t!r}")
             v = self.drop_column(t, col)
             return self._dml_result("ALTER", t, v)
+        # --- constraint lifecycle (round 12; Postgres error spellings) ---
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+"
+            r"(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\((.*)\)\s*"
+            r"(NOT\s+VALID)?\s*$",
+            q, re.I | re.S,
+        )
+        if m:
+            self._no_txn("ALTER TABLE ADD CHECK")
+            t, cname = m.group(1), m.group(2)
+            expr, not_valid = m.group(3).strip(), bool(m.group(4))
+            name = self._canon(t)
+            cons = self._constraints(t) or {}
+            taken = {n for n, _ in cons.get("checks", [])}
+            if cname is None:
+                base, i = f"{name.replace('.', '_')}_check", 1
+                cname = base
+                while cname in taken:
+                    i += 1
+                    cname = f"{base}{i}"
+            elif cname in taken:
+                raise ValueError(
+                    f'constraint "{cname}" for relation "{name}" '
+                    "already exists"
+                )
+            if not not_valid:
+                # one validation job: any existing row that fails (NULL
+                # check results pass, three-valued logic)
+                bad = (
+                    self.table(t)
+                    .where(f"NOT coalesce(({expr}), true)")
+                    .limit(1).count()
+                )
+                if bad:
+                    raise ValueError(
+                        f'check constraint "{cname}" of relation '
+                        f'"{name}" is violated by some row'
+                    )
+            cons.setdefault("checks", []).append([cname, expr])
+            if not_valid:
+                cons.setdefault("not_validated", []).append(cname)
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+VALIDATE\s+CONSTRAINT\s+"
+            r"(\w+)\s*$",
+            q, re.I,
+        )
+        if m:
+            self._no_txn("ALTER TABLE VALIDATE CONSTRAINT")
+            t, cname = m.group(1), m.group(2)
+            name = self._canon(t)
+            cons = self._constraints(t) or {}
+            by_name = {n: e for n, e in cons.get("checks", [])}
+            if cname not in by_name:
+                raise ValueError(
+                    f'constraint "{cname}" of relation "{name}" '
+                    "does not exist"
+                )
+            if cname in cons.get("not_validated", []):
+                bad = (
+                    self.table(t)
+                    .where(f"NOT coalesce(({by_name[cname]}), true)")
+                    .limit(1).count()
+                )
+                if bad:
+                    raise ValueError(
+                        f'check constraint "{cname}" of relation '
+                        f'"{name}" is violated by some row'
+                    )
+                cons["not_validated"] = [
+                    n for n in cons["not_validated"] if n != cname
+                ]
+                self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+DROP\s+CONSTRAINT\s+"
+            r"(IF\s+EXISTS\s+)?(\w+)\s*$",
+            q, re.I,
+        )
+        if m:
+            self._no_txn("ALTER TABLE DROP CONSTRAINT")
+            t, if_exists, cname = m.group(1), bool(m.group(2)), m.group(3)
+            name = self._canon(t)
+            cons = self._constraints(t) or {}
+            checks = cons.get("checks", [])
+            if cname not in {n for n, _ in checks}:
+                if if_exists:
+                    return self._dml_result("ALTER", t, 0)
+                raise ValueError(
+                    f'constraint "{cname}" of relation "{name}" '
+                    "does not exist"
+                )
+            cons["checks"] = [c for c in checks if c[0] != cname]
+            cons["not_validated"] = [
+                n for n in cons.get("not_validated", []) if n != cname
+            ]
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ALTER\s+(?:COLUMN\s+)?"
+            r'("[^"]+"|\w+)\s+(.*)$',
+            q, re.I | re.S,
+        )
+        if m:
+            self._no_txn("ALTER TABLE ALTER COLUMN")
+            t, col, action = m.group(1), m.group(2).strip('"'), m.group(3)
+            return self._sql_alter_column(t, col, action.strip())
         raise ValueError(f"unsupported {kind} statement: {q!r}")
+
+    def _sql_alter_column(self, t: str, col: str, action: str) -> DataFrame:
+        """``ALTER TABLE t ALTER [COLUMN] c SET DEFAULT expr | DROP
+        DEFAULT | SET NOT NULL | DROP NOT NULL`` — constraint-metadata
+        mutations with Postgres validation semantics: SET NOT NULL scans
+        once for existing NULLs; DROP NOT NULL refuses on primary-key
+        columns."""
+        name = self._canon(t)
+        mt = self._moontable(t)
+        if col not in [f.name for f in mt.schema().fields]:
+            raise ValueError(f'column "{col}" of relation "{name}" '
+                             "does not exist")
+        cons = self._constraints(t) or {}
+        am = re.match(r"SET\s+DEFAULT\s+(.+)$", action, re.I | re.S)
+        if am:
+            if col in (cons.get("generated") or {}):
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" is a generated '
+                    "column"
+                )
+            cons.setdefault("defaults", {})[col] = am.group(1).strip()
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        if re.match(r"DROP\s+DEFAULT\s*$", action, re.I):
+            (cons.get("defaults") or {}).pop(col, None)
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        if re.match(r"SET\s+NOT\s+NULL\s*$", action, re.I):
+            if col not in cons.get("not_null", []):
+                bad = (
+                    self.table(t).where(F.col(col).isNull()).limit(1).count()
+                )
+                if bad:
+                    raise ValueError(
+                        f'column "{col}" of relation "{name}" contains '
+                        "null values"
+                    )
+                cons.setdefault("not_null", []).append(col)
+                self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        if re.match(r"DROP\s+NOT\s+NULL\s*$", action, re.I):
+            if col in (mt.primary_key() or []):
+                raise ValueError(f'column "{col}" is in a primary key')
+            cons["not_null"] = [
+                c for c in cons.get("not_null", []) if c != col
+            ]
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        raise ValueError(f"unsupported ALTER COLUMN action: {action!r}")
+
+    def _sql_add_column(self, t: str, col: str, tail: str) -> int:
+        """``ALTER TABLE t ADD COLUMN c type [constraints]`` with the
+        full column-constraint grammar of CREATE TABLE.  Semantics match
+        Postgres: a DEFAULT (or GENERATED expression) fills EXISTING
+        rows at ALTER time — here via one update_where pass, i.e. a
+        table rewrite like pre-11 Postgres (at 100 TB, prefer adding the
+        column without DEFAULT and backfilling incrementally); NOT NULL
+        on a non-empty table requires a DEFAULT; new CHECKs validate
+        against the post-backfill state before anything is written."""
+        name = self._canon(t)
+        type_sql, info = _parse_col_constraints(tail)
+        if info["is_pk"]:
+            raise ValueError(
+                "cannot add a PRIMARY KEY column to an existing table"
+            )
+        cons = self._constraints(t) or {}
+        if info["generated"] is not None:
+            # validate BEFORE any write so a refusal leaves no trace
+            _no_gen_on_gen(
+                {**(cons.get("generated") or {}), col: info["generated"]}
+            )
+        fill = info["generated"] or info["default"]
+        if (info["not_null"] or info["checks"]) and fill is None:
+            # Postgres: NOT NULL add needs a default when rows exist; a
+            # CHECK over an all-NULL new column passes 3VL, but surface
+            # the NOT NULL case with the Postgres spelling
+            if info["not_null"] and self.table(t).limit(1).count():
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" contains '
+                    "null values"
+                )
+        if info["checks"] and fill is not None:
+            # pre-validate each CHECK against the post-backfill image
+            # (new column substituted by its fill expression) so a
+            # violated ALTER leaves the table untouched
+            sub = {col.lower(): f"({fill})"}
+            for cname, expr in info["checks"]:
+                post = _subst_idents(expr, sub)
+                if (
+                    self.table(t)
+                    .where(f"NOT coalesce(({post}), true)")
+                    .limit(1).count()
+                ):
+                    shown = cname or (name.replace(".", "_") + "_check")
+                    raise ValueError(
+                        f'check constraint "{shown}" of relation '
+                        f'"{name}" is violated by some row'
+                    )
+        v = self.add_column(t, col, _pg_type_to_spark(type_sql))
+        if fill is not None:
+            # backfill BEFORE registering the constraint metadata so the
+            # plain-assignment path applies (generated columns refuse
+            # direct assignment once registered)
+            v = self.update_where(t, "true", {col: fill})
+        taken = {n for n, _ in cons.get("checks", [])}
+        auto = 0
+        for cname, expr in info["checks"]:
+            if cname is None:
+                auto += 1
+                base = f"{name.replace('.', '_')}_{col}_check"
+                cname = base if auto == 1 else f"{base}{auto}"
+                while cname in taken:
+                    cname += "_"
+            elif cname in taken:
+                raise ValueError(
+                    f'constraint "{cname}" for relation "{name}" '
+                    "already exists"
+                )
+            cons.setdefault("checks", []).append([cname, expr])
+        if info["not_null"]:
+            cons.setdefault("not_null", []).append(col)
+        if info["default"] is not None:
+            cons.setdefault("defaults", {})[col] = info["default"]
+        if info["generated"] is not None:
+            cons.setdefault("generated", {})[col] = info["generated"]
+        self._set_constraints(t, cons)
+        return v
 
     _STDIN_BLOCK = re.compile(
         r"(COPY\s+[^;]+?FROM\s+STDIN[^;]*);[ \t]*\n(.*?)\n\\\.[ \t]*(?:\n|$)",

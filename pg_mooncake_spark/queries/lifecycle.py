@@ -1765,3 +1765,87 @@ def lifecycle_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("bal", 2).alias("total_bal"),
         F.count(F.when(F.col("tag") == "base", 1)).alias("n_base_tag"),
     )
+
+
+@query(
+    "lifecycle_sql_generated",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey % 5 + 1 AS INT) AS qty,
+             CAST(c_acctbal AS DOUBLE) AS price
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    bumped AS (
+      -- the committed UPDATE: qty += 2 on id % 3 = 0 rows; the
+      -- generated column recomputes simultaneously
+      SELECT id,
+             CASE WHEN id % 3 = 0 THEN qty + 2 ELSE qty END AS qty,
+             price
+      FROM base
+    ),
+    post AS (
+      SELECT id, qty, price,
+             qty * price AS amount,          -- GENERATED ALWAYS AS
+             (qty * price) * 0.1 AS fee      -- added by ALTER, backfilled
+      FROM bumped
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(30,2))) AS DOUBLE) AS total_amount,
+           CAST(SUM(CAST(fee AS DECIMAL(30,4))) AS DOUBLE) AS total_fee,
+           COUNT(CASE WHEN amount < 0 THEN 1 END) AS n_neg
+    FROM post
+    """,
+)
+def lifecycle_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS (expr) STORED columns (round 12): computed
+    as a pure projection on every write path (never an extra job),
+    excluded from the implicit INSERT target list, recomputed through
+    UPDATE's simultaneous-assignment substitution, backfillable via
+    ALTER TABLE ADD COLUMN, and write-protected with the Postgres
+    error spellings.  The oracle reconstructs the committed state with
+    the same arithmetic."""
+    eng = _temp_engine(spark)
+    src = (
+        t(spark, sf_dir, "customer")
+        .filter("c_custkey % 7 = 0")
+        .select(
+            F.col("c_custkey").alias("id"),
+            (F.col("c_custkey") % 5 + 1).cast("int").alias("qty"),
+            F.col("c_acctbal").cast("double").alias("price"),
+        )
+    )
+    eng.create_table("led_src", source_df=src, primary_key=["id"])
+    eng.sql("""
+        CREATE TABLE ledger (
+          id bigint PRIMARY KEY,
+          qty int NOT NULL DEFAULT 1,
+          price double precision,
+          amount double precision GENERATED ALWAYS AS (qty * price) STORED
+        )
+    """)
+    eng.sql("INSERT INTO ledger (id, qty, price) SELECT id, qty, price FROM led_src")
+    for bad in (
+        # explicit non-DEFAULT write into a generated column
+        "INSERT INTO ledger (id, qty, price, amount) VALUES (-1, 1, 1.0, 9.9)",
+        "UPDATE ledger SET amount = 0 WHERE id = 7",
+    ):
+        try:
+            eng.sql(bad)
+            raise AssertionError(f"generated column not protected: {bad}")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # refused; per-statement atomic
+    eng.sql("UPDATE ledger SET qty = qty + 2 WHERE id % 3 = 0")
+    # ALTER adds a second generated column and backfills existing rows
+    eng.sql("""
+        ALTER TABLE ledger ADD COLUMN fee double precision
+          GENERATED ALWAYS AS ((qty * price) * 0.1) STORED
+    """)
+    return eng.table("ledger").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("amount", 2).alias("total_amount"),
+        dsum("fee", 4).alias("total_fee"),
+        F.count(F.when(F.col("amount") < 0, 1)).alias("n_neg"),
+    )

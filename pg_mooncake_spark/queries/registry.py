@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_prepare",
     "lifecycle_sql_time_travel",
     "lifecycle_sql_constraints",
+    "lifecycle_sql_generated",
     "text_entropy_scores",
     "text_ngram_surprisal",
     # (2) implementation changed this round (q1 exact-sum fast path) — the

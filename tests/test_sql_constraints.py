@@ -179,3 +179,164 @@ def test_default_values_statement(eng):
     eng.sql("INSERT INTO d DEFAULT VALUES")
     r = eng.sql("SELECT * FROM d").collect()[0]
     assert (r.a, r.b, r.c) == (7, "x", None)
+
+
+# ------------------------------------------------ ALTER constraint DDL
+
+
+def test_add_check_validates_existing_rows(eng):
+    eng.sql("CREATE TABLE t1 (id bigint PRIMARY KEY, v double precision)")
+    eng.sql("INSERT INTO t1 VALUES (1, 5.0), (2, -1.0)")
+    with pytest.raises(ValueError, match="violated by some row"):
+        eng.sql("ALTER TABLE t1 ADD CONSTRAINT v_pos CHECK (v > 0)")
+    # NOT VALID skips the scan but still guards new writes
+    eng.sql("ALTER TABLE t1 ADD CONSTRAINT v_pos CHECK (v > 0) NOT VALID")
+    with pytest.raises(Exception, match='check constraint "v_pos"'):
+        eng.sql("INSERT INTO t1 VALUES (3, -2.0)")
+    with pytest.raises(ValueError, match="violated by some row"):
+        eng.sql("ALTER TABLE t1 VALIDATE CONSTRAINT v_pos")
+    eng.sql("UPDATE t1 SET v = 1.0 WHERE id = 2")
+    eng.sql("ALTER TABLE t1 VALIDATE CONSTRAINT v_pos")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("ALTER TABLE t1 ADD CONSTRAINT v_pos CHECK (v > 1)")
+
+
+def test_drop_constraint(eng):
+    eng.sql("CREATE TABLE t2 (id bigint PRIMARY KEY, "
+            "v int CHECK (v > 0))")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("ALTER TABLE t2 DROP CONSTRAINT nope")
+    eng.sql("ALTER TABLE t2 DROP CONSTRAINT IF EXISTS nope")
+    eng.sql("ALTER TABLE t2 DROP CONSTRAINT t2_check")
+    eng.sql("INSERT INTO t2 VALUES (1, -5)")  # check is gone
+
+
+def test_alter_column_default_and_not_null(eng):
+    eng.sql("CREATE TABLE t3 (id bigint PRIMARY KEY, v int, w text)")
+    eng.sql("INSERT INTO t3 (id) VALUES (1)")
+    with pytest.raises(ValueError, match="contains null values"):
+        eng.sql("ALTER TABLE t3 ALTER COLUMN v SET NOT NULL")
+    eng.sql("UPDATE t3 SET v = 0 WHERE v IS NULL")
+    eng.sql("ALTER TABLE t3 ALTER COLUMN v SET NOT NULL")
+    with pytest.raises(Exception, match="not-null constraint"):
+        eng.sql("INSERT INTO t3 (id, w) VALUES (2, 'x')")
+    eng.sql("ALTER TABLE t3 ALTER COLUMN v SET DEFAULT 42")
+    eng.sql("INSERT INTO t3 (id, w) VALUES (2, 'x')")
+    assert eng.sql("SELECT v FROM t3 WHERE id = 2").collect()[0].v == 42
+    eng.sql("ALTER TABLE t3 ALTER COLUMN v DROP NOT NULL")
+    eng.sql("ALTER TABLE t3 ALTER COLUMN v DROP DEFAULT")
+    eng.sql("INSERT INTO t3 (id, w) VALUES (3, 'y')")
+    assert eng.sql("SELECT v FROM t3 WHERE id = 3").collect()[0].v is None
+    with pytest.raises(ValueError, match="is in a primary key"):
+        eng.sql("ALTER TABLE t3 ALTER COLUMN id DROP NOT NULL")
+
+
+def test_add_column_with_default_backfills(eng):
+    eng.sql("CREATE TABLE t4 (id bigint PRIMARY KEY)")
+    eng.sql("INSERT INTO t4 VALUES (1), (2)")
+    eng.sql("ALTER TABLE t4 ADD COLUMN tag text DEFAULT 'n/a' NOT NULL")
+    assert {r.tag for r in eng.sql("SELECT tag FROM t4").collect()} == {"n/a"}
+    eng.sql("INSERT INTO t4 (id) VALUES (3)")
+    assert eng.sql(
+        "SELECT tag FROM t4 WHERE id = 3"
+    ).collect()[0].tag == "n/a"
+    # NOT NULL without a default on a non-empty table refuses up front
+    with pytest.raises(ValueError, match="contains null values"):
+        eng.sql("ALTER TABLE t4 ADD COLUMN req int NOT NULL")
+
+
+# --------------------------------------------------- generated columns
+
+
+GEN_DDL = """CREATE TABLE g (
+  id bigint PRIMARY KEY,
+  qty int NOT NULL DEFAULT 1,
+  price double precision,
+  total double precision GENERATED ALWAYS AS (qty * price) STORED
+)"""
+
+
+def test_generated_computes_on_insert_paths(eng):
+    eng.sql(GEN_DDL)
+    eng.sql("INSERT INTO g (id, qty, price) VALUES (1, 2, 10.0)")
+    eng.sql("INSERT INTO g VALUES (2, 3, 4.0)")  # implicit list skips gen
+    eng.sql("INSERT INTO g (id, qty, price, total) VALUES (3, 1, 5.0, DEFAULT)")
+    got = {r.id: r.total for r in eng.sql("SELECT id, total FROM g").collect()}
+    assert got == {1: 20.0, 2: 12.0, 3: 5.0}
+
+
+def test_generated_refuses_explicit_writes(eng):
+    eng.sql(GEN_DDL)
+    eng.sql("INSERT INTO g (id, qty, price) VALUES (1, 2, 10.0)")
+    with pytest.raises(ValueError, match="non-DEFAULT value"):
+        eng.sql("INSERT INTO g (id, qty, price, total) VALUES (9, 1, 1.0, 7.0)")
+    with pytest.raises(ValueError, match="non-DEFAULT value"):
+        eng.sql("INSERT INTO g (id, total) SELECT 9, 1.0")
+    with pytest.raises(ValueError, match="updated to DEFAULT"):
+        eng.sql("UPDATE g SET total = 99 WHERE id = 1")
+    with pytest.raises(ValueError, match="updated to DEFAULT"):
+        eng.sql(
+            "MERGE INTO g USING (SELECT 1 AS id) s ON g.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET total = 5"
+        )
+    with pytest.raises(ValueError, match="updated to DEFAULT"):
+        eng.sql(
+            "INSERT INTO g VALUES (1, 1, 1.0) "
+            "ON CONFLICT (id) DO UPDATE SET total = 1.0"
+        )
+
+
+def test_generated_recomputes_on_update_and_merge(eng):
+    eng.sql(GEN_DDL)
+    eng.sql("INSERT INTO g (id, qty, price) VALUES (1, 2, 10.0), (2, 1, 3.0)")
+    eng.sql("UPDATE g SET qty = qty + 1 WHERE id = 1")
+    assert eng.sql(
+        "SELECT total FROM g WHERE id = 1"
+    ).collect()[0].total == 30.0
+    # SET total = DEFAULT is legal (and a recompute no-op)
+    eng.sql("UPDATE g SET price = 6.0, total = DEFAULT WHERE id = 2")
+    assert eng.sql(
+        "SELECT total FROM g WHERE id = 2"
+    ).collect()[0].total == 6.0
+    eng.sql(
+        "MERGE INTO g USING (SELECT 2 AS id, 5 AS q) s ON g.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = s.q"
+    )
+    assert eng.sql(
+        "SELECT total FROM g WHERE id = 2"
+    ).collect()[0].total == 30.0
+
+
+def test_generated_add_column_backfill_and_deps(eng):
+    eng.sql(GEN_DDL)
+    eng.sql("INSERT INTO g (id, qty, price) VALUES (1, 2, 10.0)")
+    eng.sql("ALTER TABLE g ADD COLUMN fee double precision "
+            "GENERATED ALWAYS AS ((qty * price) * 0.5) STORED")
+    assert eng.sql("SELECT fee FROM g WHERE id = 1").collect()[0].fee == 10.0
+    with pytest.raises(ValueError, match="generated column"):
+        eng.sql("ALTER TABLE g ADD COLUMN f2 double precision "
+                "GENERATED ALWAYS AS (total + 1) STORED")
+    with pytest.raises(ValueError, match='depends on it'):
+        eng.sql("ALTER TABLE g DROP COLUMN price")
+    eng.sql("ALTER TABLE g DROP COLUMN fee")  # dropping the gen col is fine
+    with pytest.raises(ValueError, match="generated column"):
+        eng.sql("ALTER TABLE g ALTER COLUMN total SET DEFAULT 1.0")
+
+
+def test_generated_survives_rename(eng):
+    eng.sql(GEN_DDL)
+    eng.sql("INSERT INTO g (id, qty, price) VALUES (1, 2, 10.0)")
+    eng.sql("ALTER TABLE g RENAME COLUMN qty TO quantity")
+    eng.sql("UPDATE g SET quantity = 4 WHERE id = 1")
+    assert eng.sql(
+        "SELECT total FROM g WHERE id = 1"
+    ).collect()[0].total == 40.0
+
+
+def test_gen_on_gen_refused_at_create(eng):
+    with pytest.raises(ValueError, match="generation expression"):
+        eng.sql("""CREATE TABLE bad (
+          id bigint PRIMARY KEY,
+          a double precision GENERATED ALWAYS AS (id * 2) STORED,
+          b double precision GENERATED ALWAYS AS (a + 1) STORED
+        )""")
