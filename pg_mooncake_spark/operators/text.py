@@ -526,7 +526,13 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         cnt.groupBy(id_col)
         .agg(
             F.sum("c").alias("n_tokens"),
-            F.sum(F.col("c") * F.log2(F.col("c"))).alias("_clogc"),
+            # exact decimal partials: summing raw doubles is partition-
+            # order-dependent and would drift vs the oracle (the dsum
+            # contract, SURVEY §5.2); the per-value cast rounds each
+            # c·log2(c) once, deterministically, then sums exactly
+            F.sum(
+                (F.col("c") * F.log2(F.col("c"))).cast("decimal(28,12)")
+            ).alias("_clogc"),
         )
         .select(
             F.col(id_col),
@@ -535,7 +541,7 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             # pass, no per-word division
             F.round(
                 F.log2(F.col("n_tokens"))
-                - F.col("_clogc") / F.col("n_tokens"),
+                - F.col("_clogc").cast("double") / F.col("n_tokens"),
                 4,
             ).alias("token_entropy"),
         )
@@ -577,8 +583,14 @@ def ngram_surprisal(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
+            # exact-decimal mean (same rationale as token_entropy): cast
+            # each -ln p once, sum exactly, divide the final double
             F.round(
-                F.avg(-F.log(F.col("c") / F.col("n_total"))), 4
+                F.sum(
+                    (-F.log(F.col("c") / F.col("n_total")))
+                    .cast("decimal(28,12)")
+                ).cast("double") / F.count(F.lit(1)),
+                4,
             ).alias("avg_surprisal"),
         )
     )

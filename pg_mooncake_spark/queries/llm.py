@@ -897,7 +897,8 @@ def text_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok AS (
       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
              ROUND(log2(CAST(SUM(c) AS DOUBLE))
-                   - SUM(c * log2(CAST(c AS DOUBLE)))
+                   - CAST(SUM(CAST(c * log2(CAST(c AS DOUBLE))
+                                   AS DECIMAL(28,12))) AS DOUBLE)
                      / CAST(SUM(c) AS DOUBLE), 4) AS token_entropy
       FROM cnt GROUP BY doc_id)
     SELECT e.doc_id, e.class_entropy, t.n_tokens, t.token_entropy
@@ -937,7 +938,8 @@ def text_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
     total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM model)
     SELECT doc_id, COUNT(*) AS n_grams,
-           ROUND(AVG(-ln(c / n_total)), 4) AS avg_surprisal
+           ROUND(CAST(SUM(CAST(-ln(c / n_total) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_surprisal
     FROM grams JOIN model USING (g) CROSS JOIN total
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1828,4 +1830,161 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.boilerplate_fraction(d, "text", "doc_id", n=3, max_doc_freq=2)
         .select("doc_id", "n_kgrams", "boiler_kgrams")
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------- quality buckets & cluster sample
+
+
+_SURPRISAL_CTE = """
+    words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, g
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM words)),
+    model AS (
+      SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM model),
+    sur AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(-ln(c / n_total) AS DECIMAL(28,12)))
+                        AS DOUBLE) / COUNT(*), 4) AS s
+      FROM grams JOIN model USING (g) CROSS JOIN total
+      GROUP BY doc_id)
+"""
+
+
+@query(
+    "text_quality_buckets",
+    oracle=f"""
+    WITH {_SURPRISAL_CTE},
+    st AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(s AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(s AS DECIMAL(18,4))
+                           * CAST(s AS DECIMAL(18,4))
+                           AS DECIMAL(38,8))) AS DOUBLE) AS s2
+      FROM sur),
+    b AS (
+      SELECT s,
+             CASE
+               WHEN s < s1 / n - 0.5 * sqrt((s2 - s1 * s1 / n) / n)
+                 THEN 'head'
+               WHEN s > s1 / n + 0.5 * sqrt((s2 - s1 * s1 / n) / n)
+                 THEN 'tail'
+               ELSE 'middle'
+             END AS bucket
+      FROM sur, st)
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(s AS DECIMAL(30,4))) AS DOUBLE) AS sum_surprisal,
+           ROUND(MIN(s), 4) AS min_surprisal,
+           ROUND(MAX(s), 4) AS max_surprisal
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (round 12): head / middle / tail by
+    corpus-relative surprisal THRESHOLDS (mean ± 0.5σ), not by global
+    NTILE — a global ranking window collapses to one partition at
+    100 TB, while mean/σ are one exact-decimal aggregate (deterministic
+    across engines and partition orders) broadcast as a single row; the
+    bucket assignment itself is map-side.  CCNet buckets by LM
+    perplexity against a held-out model; the corpus's own bigram model
+    is the self-contained proxy (text_ngram_surprisal)."""
+    d = t(spark, sf_dir, "documents")
+    s = X.ngram_surprisal(d, "text", "doc_id")
+    dec = F.col("avg_surprisal").cast("decimal(18,4)")
+    stats = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum((dec * dec).cast("decimal(38,8)")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    )
+    sv = F.col("avg_surprisal")
+    bucket = (
+        F.when(sv < mean - F.lit(0.5) * sd, "head")
+        .when(sv > mean + F.lit(0.5) * sd, "tail")
+        .otherwise("middle")
+    )
+    return (
+        s.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), sv.alias("s"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum("s", 4).alias("sum_surprisal"),
+            F.round(F.min("s"), 4).alias("min_surprisal"),
+            F.round(F.max("s"), 4).alias("max_surprisal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "corpus_cluster_sample",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT list(v ORDER BY vec_id) AS cs
+           FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+    {_ivf_iter(1)},
+    {_ivf_iter(2)},
+    a3 AS (SELECT e.vec_id, {_ivf_argmax('e.v')} AS lst FROM v e, c2),
+    ranked AS (
+      SELECT vec_id, lst,
+             ROW_NUMBER() OVER (
+               PARTITION BY lst
+               ORDER BY {_h8("CAST(vec_id AS VARCHAR) || '#0'")} ASC,
+                        vec_id ASC) AS rn
+      FROM a3)
+    SELECT lst AS cluster_id, COUNT(*) AS n_total,
+           CAST(COUNT(CASE WHEN rn <= 25 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 25 THEN vec_id END) AS BIGINT)
+             AS kept_id_sum
+    FROM ranked GROUP BY lst ORDER BY cluster_id
+    """,
+)
+def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (round 12): k-means the
+    embedding space (8 lists, 2 deterministic fixed-point Lloyd
+    iterations — same engine as sim_ann_ivf), then keep at most 25
+    vectors per cluster in deterministic hash order (cap_per_group) —
+    the SemDeDup-style recipe for capping over-represented semantic
+    regions of a pretraining corpus.
+
+    100 TB shape: centroids are nlist×dim driver traffic; assignment is
+    a map-side broadcast-literal projection; the cap is ONE shuffle
+    hash-partitioned by cluster.  The oracle replays the identical
+    clustering (fixed-point means) and the identical md5-prefix hash
+    order, so counts AND the kept-id checksum hash-match."""
+    from pg_mooncake_spark.operators.corpus import cap_per_group
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(e, nlist=8, iters=2)
+    assigned = S.ivf_assign(e, cents).select("vec_id", "ivf_list")
+    kept = cap_per_group(assigned, "ivf_list", "vec_id", cap=25, seed=0)
+    totals = assigned.groupBy("ivf_list").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    kept_agg = kept.groupBy("ivf_list").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("kept_id_sum"),
+    )
+    return (
+        totals.join(kept_agg, "ivf_list")
+        .select(
+            F.col("ivf_list").alias("cluster_id"),
+            "n_total", "n_kept", "kept_id_sum",
+        )
+        .orderBy("cluster_id")
     )

@@ -69,6 +69,8 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_generated",
     "text_entropy_scores",
     "text_ngram_surprisal",
+    "text_quality_buckets",
+    "corpus_cluster_sample",
     # (2) implementation changed this round (q1 exact-sum fast path) — the
     # change must be externally re-confirmed even though the key was
     # driver-green in r9

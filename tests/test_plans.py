@@ -551,3 +551,33 @@ def test_ngram_surprisal_model_is_equi_join(spark):
     assert "CartesianProduct" not in txt
     rows = ngram_surprisal(d.limit(50), "text", "doc_id").collect()
     assert rows and all(r.avg_surprisal >= 0 for r in rows)
+
+
+def test_quality_buckets_no_global_sort_window(spark):
+    """Bucketing is threshold-based (one 1-row stats broadcast), NOT a
+    global NTILE — no single-partition window sort anywhere in the plan
+    (round 12)."""
+    from pg_mooncake_spark.queries.llm import text_quality_buckets
+
+    df = text_quality_buckets(spark, SF_DIR)
+    txt = I.plan_text(df)
+    assert "Window" not in txt
+    assert "CartesianProduct" not in txt  # stats ride a broadcast
+
+
+def test_cluster_sample_single_cap_shuffle(spark):
+    """The per-cluster cap is the only wide stage after assignment:
+    centroid assignment is a broadcast-literal projection (no join),
+    and the window hashes on the cluster id."""
+    from pg_mooncake_spark.operators.corpus import cap_per_group
+    from pg_mooncake_spark.operators.similarity import (
+        ivf_assign, kmeans_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_centroids(e, nlist=4, iters=1)
+    assigned = ivf_assign(e, cents).select("vec_id", "ivf_list")
+    assert I.exchange_count(assigned) == 0  # pure projection
+    kept = cap_per_group(assigned, "ivf_list", "vec_id", cap=5, seed=0)
+    assert I.exchange_count(kept) == 1
+    assert "hashpartitioning(ivf_list" in I.plan_text(kept)
