@@ -2235,6 +2235,20 @@ class MooncakeEngine:
         dm = _DEALLOCATE_KIND.match(query)
         if dm:
             return self._sql_deallocate(dm.group(1))
+        # ANALYZE TABLE is Spark's own spelling — passes through below
+        mm = re.match(
+            r"^\s*(VACUUM|ANALYZE(?!\s+TABLE\b))\b(.*)$", query, re.I | re.S
+        )
+        if mm:
+            if self._txn is not None:
+                self._txn["aborted"] = True
+                raise ValueError(
+                    f"{mm.group(1).upper()} cannot run inside a "
+                    "transaction block"
+                )
+            return self._sql_maintenance(
+                mm.group(1).upper(), mm.group(2).strip()
+            )
         if _SHOW_TABLES_KIND.match(query):
             return self.list_tables().select(
                 F.col("table").alias("table_name")
@@ -2551,20 +2565,70 @@ class MooncakeEngine:
             return self._pg_type_name(dt.elementType) + "[]"
         return self._SPARK_TO_PG.get(s, s)
 
+    def _sql_maintenance(self, kind: str, rest: str) -> DataFrame:
+        """``VACUUM [(opts)] [FULL|FREEZE|VERBOSE|ANALYZE] [t[, t2]]``
+        and ``ANALYZE [VERBOSE] [t [(cols)]]`` — the Postgres
+        maintenance spellings a replayed pg script contains.
+
+        VACUUM maps to :meth:`optimize_table` mode 'vacuum' (compact
+        small files + delete unreferenced ones — the closest analogue of
+        reclaiming dead tuples); with no table it sweeps every mirror in
+        the catalog (materialized views excluded — their state compacts
+        through their own refresh).  ANALYZE is an acknowledged no-op:
+        per-file stat envelopes, bloom sidecars, and zone maps are
+        maintained transactionally on EVERY commit (storage.py
+        _stage_files), so there is never a stale-stats state to repair —
+        the statement exists so habitual `VACUUM ANALYZE` scripts run."""
+        if rest.startswith("("):
+            close = rest.index(")")
+            rest = rest[close + 1:].strip()
+        toks = rest.split()
+        while toks and toks[0].upper() in (
+            "FULL", "FREEZE", "VERBOSE", "ANALYZE",
+        ):
+            toks.pop(0)
+        rest = " ".join(toks)
+        if "(" in rest:  # ANALYZE t (col, ...) — column list is advisory
+            rest = rest[:rest.index("(")].strip()
+        if rest:
+            tables = [
+                x.strip().strip('"') for x in rest.split(",") if x.strip()
+            ]
+        else:
+            tables = [
+                n for n, e in sorted(self.catalog.list_tables().items())
+                if ((e.get("table_config") or {}).get("kind") or "mirror")
+                != "mview"
+            ]
+        for t in tables:
+            if kind == "VACUUM":
+                self.optimize_table(t, "vacuum")
+            else:
+                self._moontable(t)  # existence check, Postgres error shape
+        return self._dml_result(kind, ", ".join(tables) or "*", len(tables))
+
     def _describe_table(self, name: str) -> DataFrame:
         """``DESCRIBE <mirror>`` — one row per column with Postgres type
-        spellings and the pk flag (psql's ``\\d`` essentials)."""
+        spellings, the pk flag, and the declared constraint surface
+        (psql's ``\\d`` essentials: nullability, default, generation
+        expression)."""
         mt = self._moontable(name)
         pk = set(mt.primary_key() or [])
+        cons = self._constraints(name) or {}
+        nn = set(cons.get("not_null", [])) | pk
+        defaults = cons.get("defaults") or {}
+        gen = cons.get("generated") or {}
         rows = [
             (f.name, self._pg_type_name(f.dataType),
-             "YES" if f.nullable else "NO", f.name in pk)
+             "NO" if (f.name in nn or not f.nullable) else "YES",
+             f.name in pk, defaults.get(f.name), gen.get(f.name))
             for f in mt.schema().fields
         ]
         return self.spark.createDataFrame(
             rows,
             "column_name string, data_type string, is_nullable string, "
-            "primary_key boolean",
+            "primary_key boolean, column_default string, "
+            "generation_expression string",
         )
 
     def _information_schema_df(self, rel: str) -> DataFrame:
@@ -2593,11 +2657,15 @@ class MooncakeEngine:
                         )
                     except Exception:
                         continue
+                cons = (e.get("table_config") or {}).get("constraints") or {}
+                nn = set(cons.get("not_null", []))
+                defaults = cons.get("defaults") or {}
                 for i, f in enumerate(fields, start=1):
                     c_rows.append(
                         ("mooncake", schema_part, table_part, f.name, i,
                          self._pg_type_name(f.dataType),
-                         "YES" if f.nullable else "NO")
+                         "NO" if (f.name in nn or not f.nullable) else "YES",
+                         defaults.get(f.name))
                     )
         if rel == "tables":
             return self.spark.createDataFrame(
@@ -2609,7 +2677,7 @@ class MooncakeEngine:
             c_rows,
             "table_catalog string, table_schema string, table_name string, "
             "column_name string, ordinal_position int, data_type string, "
-            "is_nullable string",
+            "is_nullable string, column_default string",
         )
 
     # ------------------------------------------------------- transactions

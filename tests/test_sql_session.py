@@ -252,3 +252,42 @@ def test_sql_time_travel_timestamp(eng, cust):
     # a string literal spelling the clause is untouched
     s = eng.sql("SELECT 'c_ts FOR VERSION AS OF 1' AS s").collect()[0].s
     assert s == "c_ts FOR VERSION AS OF 1"
+
+
+def test_describe_shows_constraints(eng):
+    eng.sql("""CREATE TABLE dsc (
+      id bigint PRIMARY KEY,
+      v int NOT NULL DEFAULT 3,
+      d double precision GENERATED ALWAYS AS (v * 2.0) STORED
+    )""")
+    d = {r.column_name: r for r in eng.sql("DESCRIBE dsc").collect()}
+    assert d["id"].is_nullable == "NO" and d["id"].primary_key
+    assert d["v"].is_nullable == "NO" and d["v"].column_default == "3"
+    assert d["d"].generation_expression == "v * 2.0"
+    c = {
+        r.column_name: r
+        for r in eng.sql(
+            "SELECT column_name, is_nullable, column_default "
+            "FROM information_schema.columns WHERE table_name = 'dsc'"
+        ).collect()
+    }
+    assert c["v"].is_nullable == "NO" and c["v"].column_default == "3"
+
+
+def test_vacuum_and_analyze_spellings(eng, cust):
+    eng.create_table("vt", source_df=cust.limit(50), primary_key=["c_custkey"])
+    for i in range(3):
+        eng.sql(f"UPDATE vt SET c_acctbal = c_acctbal + 1 WHERE c_custkey % 7 = {i}")
+    eng.sql("VACUUM vt")
+    eng.sql("VACUUM (FULL, ANALYZE) vt")
+    eng.sql("VACUUM")            # catalog-wide sweep
+    eng.sql("ANALYZE vt")
+    eng.sql("ANALYZE VERBOSE vt (c_acctbal)")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        eng.sql("ANALYZE no_such_table")
+    assert eng.sql("SELECT count(*) AS n FROM vt").collect()[0].n == 50
+    eng.sql("BEGIN")
+    with _pytest.raises(ValueError, match="cannot run inside a transaction"):
+        eng.sql("VACUUM vt")
+    eng.sql("ROLLBACK")
