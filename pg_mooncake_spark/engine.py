@@ -2235,6 +2235,24 @@ class MooncakeEngine:
         dm = _DEALLOCATE_KIND.match(query)
         if dm:
             return self._sql_deallocate(dm.group(1))
+        cm = re.match(
+            r"^\s*CLUSTER\s+(?:VERBOSE\s+)?([\w.\"]+)"
+            r"(?:\s+USING\s+\w+)?\s*;?\s*$",
+            query, re.I,
+        )
+        if cm:
+            # Postgres CLUSTER physically orders the heap by an index;
+            # the analogue is a sort-clustered optimize on the primary
+            # key (disjoint file stat ranges → maximum scan pruning)
+            t = cm.group(1).strip('"')
+            pk = self._moontable(t).primary_key()
+            if not pk:
+                raise ValueError(
+                    f"there is no previously clustered index for table "
+                    f'"{self._canon(t)}" (CLUSTER needs a primary key here)'
+                )
+            v = self.optimize_table(t, "sort:" + ",".join(pk))
+            return self._dml_result("CLUSTER", t, v)
         # ANALYZE TABLE is Spark's own spelling — passes through below
         mm = re.match(
             r"^\s*(VACUUM|ANALYZE(?!\s+TABLE\b))\b(.*)$", query, re.I | re.S
@@ -2262,6 +2280,34 @@ class MooncakeEngine:
             if name is not None and name in self.catalog.list_tables():
                 return self._describe_table(name)
             # not a mirror — Spark's own DESCRIBE (temp views, etc.)
+        if re.match(r"^\s*SELECT\b", query, re.I):
+            qq = query.strip().rstrip(";")
+            ii = _find_top_keyword(qq, "INTO")
+            if ii >= 0:
+                # Postgres ``SELECT ... INTO [TEMP] [TABLE] t FROM ...``
+                # — CTAS spelled inline.  Rebuild the plain SELECT with
+                # the INTO clause excised and route to create_table.
+                im = re.match(
+                    r"INTO\s+(?:(?:TEMPORARY|TEMP|UNLOGGED)\s+)?"
+                    r"(?:TABLE\s+)?([\w.\"]+)\s*",
+                    qq[ii:], re.I,
+                )
+                if not im:
+                    raise ValueError(f"cannot parse SELECT INTO: {query!r}")
+                t = im.group(1).strip('"')
+                if self._txn is not None:
+                    self._txn["aborted"] = True
+                    raise ValueError(
+                        "SELECT INTO (DDL) is not supported inside a "
+                        "transaction block"
+                    )
+                name = parse_table_name(t)
+                if name in self.catalog.list_tables():
+                    raise ValueError(f'relation "{name}" already exists')
+                sel = qq[:ii] + qq[ii + im.end():]
+                src = self._run_select(sel, pin)
+                self.create_table(t, source_df=src)
+                return self._dml_result("SELECT INTO", t, 1)
         return self._run_select(query, pin)
 
     def _run_select(

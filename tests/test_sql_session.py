@@ -291,3 +291,24 @@ def test_vacuum_and_analyze_spellings(eng, cust):
     with _pytest.raises(ValueError, match="cannot run inside a transaction"):
         eng.sql("VACUUM vt")
     eng.sql("ROLLBACK")
+
+
+def test_select_into_and_cluster(eng, cust):
+    eng.create_table("ci_src", source_df=cust, primary_key=["c_custkey"])
+    eng.sql(
+        "SELECT c_custkey, c_acctbal INTO ci_top FROM ci_src "
+        "WHERE c_acctbal > 0"
+    )
+    n = eng.sql("SELECT count(*) AS n FROM ci_top").collect()[0].n
+    assert n == eng.sql(
+        "SELECT count(*) AS n FROM ci_src WHERE c_acctbal > 0"
+    ).collect()[0].n
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("SELECT c_custkey INTO ci_top FROM ci_src")
+    # a plain SELECT with 'into' inside a string literal is untouched
+    r = eng.sql("SELECT 'go into town' AS s").collect()
+    assert r[0].s == "go into town"
+    eng.sql("CLUSTER ci_src")
+    assert eng.sql("SELECT count(*) AS n FROM ci_src").collect()[0].n > 0
+    with pytest.raises(ValueError, match="clustered index"):
+        eng.sql("CLUSTER ci_top")  # keyless CTAS table
