@@ -230,6 +230,152 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------- persisted incremental index
+
+
+def _banded(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    n_shards: int,
+) -> DataFrame:
+    """Explode a signature table into (id, signature, band_idx,
+    band_hash, shard) band rows — the shared layout of the persisted
+    index and its probe side."""
+    rpb = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice(F.col("signature"), b * rpb + 1, rpb))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    ).withColumn("shard", F.pmod(F.col("band_hash"), F.lit(n_shards)))
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    n_shards: int = 16,
+) -> None:
+    """Persist a corpus-wide MinHash band index for INCREMENTAL dedup:
+    one row per (doc, band) carrying the band hash and the full
+    signature, physically partitioned by ``shard = band_hash mod
+    n_shards``.
+
+    This is the 100 TB move the all-pairs job cannot make: deduping a
+    new crawl increment against an existing corpus must not re-shingle
+    or re-shuffle the corpus.  The index is built ONCE (map-only
+    signatures → one write), and every probe joins only band rows —
+    16 longs + 2 ints per (doc, band), no text.  The shard partition
+    column exists for dynamic partition pruning: a broadcast probe
+    prunes index shards to the probe's own band hashes, so a small
+    increment reads a fraction of the index files (asserted in
+    tests/test_plans.py).  At 10⁹+ docs raise ``n_shards`` so a shard
+    is a few GB.
+
+    Append new accepted batches with ``mode='append'`` via
+    :func:`extend_minhash_index` to keep the index current."""
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    (
+        _banded(sigs, id_col, num_hashes, bands, n_shards)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def extend_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    n_shards: int = 16,
+) -> None:
+    """Append a new (accepted) batch's band rows to an existing index —
+    O(batch) work, no corpus rescan."""
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    (
+        _banded(sigs, id_col, num_hashes, bands, n_shards)
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_shards: int = 16,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Dedup a new batch against a :func:`build_minhash_index` corpus:
+    returns (new_id, corpus_id, est_jaccard) for every new document
+    whose estimated Jaccard against an indexed document clears
+    ``threshold``.
+
+    Shape: batch signatures are map-only; the candidate step is ONE
+    equi-join on (shard, band_idx, band_hash) with the small probe side
+    broadcast — Spark's dynamic partition pruning then skips index
+    shards no probe band hashes into.  Both sides carry their
+    signature, so the Jaccard estimate (matching-position fraction,
+    zip_with — JVM-side) needs NO extra join back to either corpus.
+    Band-hash collisions (Murmur3) are filtered by the estimate
+    exactly as in minhash_dedup_pairs."""
+    sigs = minhash_signature(new_df, text_col, id_col, num_hashes, shingle_k)
+    probe = _banded(sigs, id_col, num_hashes, bands, n_shards).select(
+        F.col(id_col).alias("new_id"),
+        F.col("signature").alias("sig_new"),
+        "band_idx", "band_hash", "shard",
+    )
+    if broadcast_probe:
+        probe = F.broadcast(probe)
+    idx = spark.read.parquet(path).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("signature").alias("sig_old"),
+        "band_idx", "band_hash", "shard",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_new", "sig_old", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        idx.join(probe, ["shard", "band_idx", "band_hash"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id", "sig_new", "sig_old")
+        .dropDuplicates(["new_id", "corpus_id"])
+        .select(
+            "new_id", "corpus_id", F.round(est, 6).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 # --------------------------------------------------------------- simhash
 
 

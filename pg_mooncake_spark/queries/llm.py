@@ -1988,3 +1988,64 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS shingles
+      FROM docs2),
+    el AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh),
+    eh AS (SELECT doc_id, {xxh64_str('sgl')} AS h FROM el),
+    hu_t AS (SELECT doc_id, {_unsigned64(xxh64_long('h'))} AS u FROM eh),
+    {hashint_seeds_cte(16)},
+    mins AS (SELECT doc_id, {", ".join(f"MIN(v{k}) AS s{k}" for k in range(16))}
+             FROM iz GROUP BY doc_id),
+    sig AS MATERIALIZED (
+            SELECT doc_id, [{", ".join(f"s{k}" for k in range(16))}] AS sig
+            FROM mins),
+    bands AS (
+      SELECT doc_id, b, array_to_string(sig[4*b+1 : 4*b+4], '|') AS bh
+      FROM sig, generate_series(0, 3) AS g(b)),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+      FROM bands n JOIN bands o ON n.b = o.b AND n.bh = o.bh
+      WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000),
+    est AS (
+      SELECT c.new_id, c.corpus_id,
+             ROUND(CAST(len(list_filter(generate_series(1, 16),
+                        i -> sn.sig[i] = so.sig[i])) AS DOUBLE) / 16, 6)
+               AS est_jaccard
+      FROM cand c JOIN sig sn ON c.new_id = sn.doc_id
+                  JOIN sig so ON c.corpus_id = so.doc_id)
+    SELECT * FROM est WHERE est_jaccard >= 0.5
+    ORDER BY new_id, corpus_id
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED MinHash band index (round
+    12): the corpus half of docs2 is indexed once
+    (operators/dedup.build_minhash_index — band rows partitioned by
+    band-hash shard), then the synthetic-duplicate half probes it as a
+    new crawl increment.  The probe is one broadcast equi-join with
+    dynamic partition pruning on the shard column — the corpus is never
+    re-shingled or re-shuffled (the 100 TB contract; the all-pairs jobs
+    cannot make that claim).  The oracle replays the identical XXH64
+    signature chain and band-content join over the same split."""
+    import tempfile
+
+    docs = _docs2(spark, sf_dir)
+    corpus = docs.filter("doc_id < 1000000")
+    batch = docs.filter("doc_id >= 1000000")
+    path = tempfile.mkdtemp(prefix="mooncake_mhidx_") + "/index"
+    D.build_minhash_index(corpus, path, "text", "doc_id")
+    return D.probe_minhash_index(
+        spark, path, batch, "text", "doc_id", threshold=0.5
+    ).orderBy("new_id", "corpus_id")

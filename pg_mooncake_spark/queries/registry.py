@@ -71,6 +71,7 @@ _WINDOW_PRIORITY = (
     "text_ngram_surprisal",
     "text_quality_buckets",
     "corpus_cluster_sample",
+    "dedup_incremental_index",
     # (2) implementation changed this round (q1 exact-sum fast path) — the
     # change must be externally re-confirmed even though the key was
     # driver-green in r9

@@ -581,3 +581,51 @@ def test_cluster_sample_single_cap_shuffle(spark):
     kept = cap_per_group(assigned, "ivf_list", "vec_id", cap=5, seed=0)
     assert I.exchange_count(kept) == 1
     assert "hashpartitioning(ivf_list" in I.plan_text(kept)
+
+
+def test_minhash_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted-index probe must be a broadcast equi-join whose
+    index scan carries a dynamic-partition-pruning filter on the shard
+    directory column — the corpus is read partially, never reshuffled
+    (round 12)."""
+    from pg_mooncake_spark.operators.dedup import (
+        build_minhash_index, probe_minhash_index,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = d.filter("doc_id % 10 != 0")
+    batch = d.filter("doc_id % 10 = 0").limit(20)
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, path, "text", "doc_id")
+    res = probe_minhash_index(spark, path, batch, "text", "doc_id")
+    txt = I.plan_text(res)
+    assert "dynamicpruning" in txt.lower()
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    res.collect()  # executes end-to-end
+
+
+def test_minhash_index_extend_is_append(spark, tmp_path):
+    """extend_minhash_index appends O(batch) band rows; a probe then
+    sees both generations."""
+    from pg_mooncake_spark.operators.dedup import (
+        build_minhash_index, extend_minhash_index, probe_minhash_index,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    build_minhash_index(
+        d.filter("doc_id < 100"), str(tmp_path / "ix"), "text", "doc_id"
+    )
+    extend_minhash_index(
+        d.filter("doc_id >= 100 AND doc_id < 200"),
+        str(tmp_path / "ix"), "text", "doc_id",
+    )
+    # probe an indexed doc's own text under a fresh id: must match its
+    # original from EACH generation's id range it duplicates
+    probe = d.filter("doc_id = 150").select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    hits = probe_minhash_index(
+        spark, str(tmp_path / "ix"), probe, "text", "doc_id", threshold=0.99
+    ).collect()
+    assert any(r.corpus_id == 150 for r in hits)
