@@ -214,3 +214,81 @@ def streaming_near_dedup(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def streaming_index_dedup(
+    stream: DataFrame,
+    index_path: str,
+    accept,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """Streaming ingest gate over the PERSISTED MinHash index (round
+    12): each micro-batch is near-dup-checked against the whole
+    historical corpus via operators/dedup.probe_minhash_index (one
+    broadcast equi-join, dynamic-partition-pruned index scan — the
+    corpus is never rescanned), then against ITSELF (in-batch pairs,
+    keep-lowest-id), survivors extend the index O(batch) and are handed
+    to ``accept(batch_df, batch_id)``.
+
+    This is the composition the watermark twins above cannot express:
+    ``dropDuplicatesWithinWatermark`` bounds state by evicting old
+    keys, so a duplicate of LAST MONTH's document sails through; the
+    index gate has unbounded horizon at O(batch) incremental cost
+    because the state lives in the index files, not the state store.
+    foreachBatch serializes batches, so build/extend never race.
+
+    Returns the DataStreamWriter (caller picks trigger/checkpoint and
+    starts it)."""
+    import os as _os
+
+    from pg_mooncake_spark.operators.dedup import (
+        build_minhash_index,
+        extend_minhash_index,
+        minhash_dedup_pairs,
+        probe_minhash_index,
+    )
+
+    kw = dict(
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # probe + anti-join +
+        # extend all consume it; recomputing a stream source is illegal
+        survivors = batch
+        if _os.path.isdir(index_path):
+            hits = probe_minhash_index(
+                spark, index_path, batch, text_col, id_col,
+                threshold=threshold, **kw,
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            survivors = survivors.join(hits, id_col, "left_anti")
+        # in-batch near-dups: keep the lowest id of each matched pair
+        dup_ids = (
+            minhash_dedup_pairs(
+                survivors, text_col, id_col,
+                threshold=threshold, **kw,
+            )
+            .select(F.col("id_b").alias(id_col)).distinct()
+        )
+        survivors = survivors.join(
+            dup_ids, id_col, "left_anti"
+        ).localCheckpoint(eager=True)  # pin BEFORE the index grows: the
+        # extend below appends the survivors' own bands, and a lazy plan
+        # re-probing afterwards would see them
+        if _os.path.isdir(index_path):
+            extend_minhash_index(
+                survivors, index_path, text_col, id_col, **kw
+            )
+        else:
+            build_minhash_index(
+                survivors, index_path, text_col, id_col, **kw
+            )
+        accept(survivors, batch_id)
+
+    return stream.writeStream.foreachBatch(process).outputMode("update")

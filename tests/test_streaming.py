@@ -714,3 +714,47 @@ def test_stream_chaining_pk_rewrite_via_feed_primary_key(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_index_dedup_unbounded_horizon(spark, tmp_path):
+    """The persisted-index ingest gate drops duplicates of ANY earlier
+    batch (no watermark eviction), dedups within a batch, and admits
+    genuinely new documents while extending the index O(batch)."""
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    idx = str(tmp_path / "mh_index")
+    schema = "doc_id int, text string"
+    b1 = [(1, "the quick brown fox jumps over the lazy dog today"),
+          (2, "entirely different words compose this second document here")]
+    # batch 2: 3 duplicates 1 (cross-batch), 4+5 duplicate each other
+    # (in-batch), 6 is new
+    b2 = [(3, "the quick brown fox jumps over the lazy dog today"),
+          (4, "novel content for the pair of twin documents in batch two"),
+          (5, "novel content for the pair of twin documents in batch two"),
+          (6, "a third genuinely unique document closes out the stream")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(stream_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(stream_dir)
+
+    accepted = []
+
+    def accept(df, bid):
+        accepted.extend(r.doc_id for r in df.select("doc_id").collect())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        jobs.streaming_index_dedup(stream, idx, accept)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(accepted)
+    assert 1 in got and 2 in got and 6 in got
+    assert 3 not in got            # cross-batch duplicate: index horizon
+    assert (4 in got) != (5 in got)  # in-batch pair: exactly one survives
