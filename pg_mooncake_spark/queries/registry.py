@@ -94,9 +94,10 @@ _WINDOW_PRIORITY = (
     "text_profile_analysis",
     "text_quality_scoring",
     "text_top_ngrams",
-    # (3b) last driver-verified in round 9 — first 33 alphabetically
-    # (fills the 50-slot window); the remaining r9 keys
-    # (q18-q22/q2-q9 band, scalar_cast_conversion, scalar_hof_family,
+    # (3b) last driver-verified in round 9 — first 23 alphabetically
+    # (fills the 50-slot window after this round's 10 new keys); the
+    # remaining r9 keys (mv_incremental_agg onward: orc/q10-q22/q2-q9
+    # band, scalar_cast_conversion, scalar_hof_family,
     # sql_recursive_cte) head the r13 rotation
     "agg_approx_count_distinct",
     "agg_approx_percentile",
@@ -121,16 +122,6 @@ _WINDOW_PRIORITY = (
     "lifecycle_rename_widen_cdc",
     "lifecycle_sql_dml",
     "mv_filtered_where",
-    "mv_incremental_agg",
-    "mv_minmax_retraction",
-    "orc_roundtrip_lineitem",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
 )
 
 
