@@ -874,7 +874,19 @@ class MooncakeEngine:
                 )
             out[c] = e
         if not out:
-            raise ValueError("UPDATE must assign at least one plain column")
+            # ``SET gen = DEFAULT`` alone: a legal Postgres statement —
+            # rows are touched and the recompute runs; carry an identity
+            # assignment on the first plain column so the update machinery
+            # has a post-image to build
+            mt = self._moontable(dst)
+            pk = set(mt.primary_key() or [])
+            cands = [f.name for f in mt.schema().fields if f.name not in gen]
+            plain = next((c for c in cands if c not in pk), None) or (
+                cands[0] if cands else None
+            )
+            if plain is None:
+                raise ValueError("UPDATE must assign at least one column")
+            out[plain] = plain
         sub = {c.lower(): f"({e})" for c, e in out.items()}
         for g, expr in gen.items():
             out[g] = _subst_idents(expr, sub)
@@ -4055,6 +4067,20 @@ class MooncakeEngine:
                 constraints["generated"] = generated
             schema = T.StructType(fields)
             empty = self.spark.createDataFrame([], schema)
+            # Postgres errors on a bad constraint expression at CREATE,
+            # not at first write: one analysis pass (no job) per expr
+            for what, e_ in [
+                *[("DEFAULT", x) for x in defaults.values()],
+                *[("GENERATED", x) for x in generated.values()],
+                *[("CHECK", x[1]) for x in checks],
+            ]:
+                try:
+                    empty.select(F.expr(e_))
+                except Exception as ex:
+                    raise ValueError(
+                        f"invalid {what} expression {e_!r}: "
+                        f"{str(ex).splitlines()[0]}"
+                    ) from ex
             # change_feed on by default for SQL-created tables — the
             # wal_level=logical analog: DML commits persist an O(batch)
             # change file so the table can be followed (CALL

@@ -340,3 +340,21 @@ def test_gen_on_gen_refused_at_create(eng):
           a double precision GENERATED ALWAYS AS (id * 2) STORED,
           b double precision GENERATED ALWAYS AS (a + 1) STORED
         )""")
+
+
+def test_set_gen_default_alone_recomputes(eng):
+    eng.sql(GEN_DDL)
+    eng.sql("INSERT INTO g (id, qty, price) VALUES (1, 2, 10.0)")
+    eng.sql("UPDATE g SET total = DEFAULT WHERE id = 1")  # legal no-op-ish
+    assert eng.sql(
+        "SELECT total FROM g WHERE id = 1"
+    ).collect()[0].total == 20.0
+
+
+def test_bad_constraint_expr_refused_at_create(eng):
+    with pytest.raises(ValueError, match="invalid CHECK expression"):
+        eng.sql("CREATE TABLE bc (id bigint PRIMARY KEY, "
+                "v int CHECK (no_such_col > 0))")
+    with pytest.raises(ValueError, match="invalid GENERATED expression"):
+        eng.sql("CREATE TABLE bg (id bigint PRIMARY KEY, "
+                "d double precision GENERATED ALWAYS AS (missing * 2) STORED)")
