@@ -2360,7 +2360,8 @@ class MooncakeEngine:
         is_hits = [
             (m.span(), m.group(1).lower())
             for m in re.finditer(
-                r"\binformation_schema\s*\.\s*(tables|columns)\b",
+                r"\binformation_schema\s*\.\s*"
+                r"(tables|columns|table_constraints|check_constraints)\b",
                 _mask_quoted(query), re.I,
             )
         ]
@@ -2693,8 +2694,12 @@ class MooncakeEngine:
         """Build ``information_schema.tables`` / ``.columns`` over the
         engine catalog — the standard relations Postgres clients
         introspect (reference users' psql/ORM tooling).  Column set is
-        the Postgres core; types use Postgres spellings."""
-        t_rows, c_rows = [], []
+        the Postgres core; types use Postgres spellings.
+        ``table_constraints`` / ``check_constraints`` follow Postgres
+        conventions: the pk row is ``<table>_pkey``, NOT NULL surfaces
+        as a CHECK named ``<table>_<col>_not_null`` with clause
+        ``<col> IS NOT NULL``."""
+        t_rows, c_rows, tc_rows, cc_rows = [], [], [], []
         for name, e in sorted(self.catalog.list_tables().items()):
             schema_part, _, table_part = name.rpartition(".")
             schema_part = schema_part or "public"
@@ -2725,6 +2730,45 @@ class MooncakeEngine:
                          "NO" if (f.name in nn or not f.nullable) else "YES",
                          defaults.get(f.name))
                     )
+            if rel in ("table_constraints", "check_constraints"):
+                cons = (e.get("table_config") or {}).get("constraints") or {}
+                try:
+                    pk = MoonTable(self.spark, e["path"]).primary_key() or []
+                except Exception:
+                    pk = []
+
+                def _tc(cname: str, ctype: str) -> None:
+                    tc_rows.append(
+                        ("mooncake", schema_part, cname,
+                         "mooncake", schema_part, table_part, ctype)
+                    )
+
+                if pk:
+                    _tc(f"{table_part}_pkey", "PRIMARY KEY")
+                for cname, expr in cons.get("checks", []):
+                    _tc(cname, "CHECK")
+                    cc_rows.append(("mooncake", schema_part, cname, expr))
+                for col in cons.get("not_null", []):
+                    cname = f"{table_part}_{col}_not_null"
+                    _tc(cname, "CHECK")
+                    cc_rows.append(
+                        ("mooncake", schema_part, cname,
+                         f"{col} IS NOT NULL")
+                    )
+        if rel == "table_constraints":
+            return self.spark.createDataFrame(
+                tc_rows,
+                "constraint_catalog string, constraint_schema string, "
+                "constraint_name string, table_catalog string, "
+                "table_schema string, table_name string, "
+                "constraint_type string",
+            )
+        if rel == "check_constraints":
+            return self.spark.createDataFrame(
+                cc_rows,
+                "constraint_catalog string, constraint_schema string, "
+                "constraint_name string, check_clause string",
+            )
         if rel == "tables":
             return self.spark.createDataFrame(
                 t_rows,

@@ -312,3 +312,32 @@ def test_select_into_and_cluster(eng, cust):
     assert eng.sql("SELECT count(*) AS n FROM ci_src").collect()[0].n > 0
     with pytest.raises(ValueError, match="clustered index"):
         eng.sql("CLUSTER ci_top")  # keyless CTAS table
+
+
+def test_information_schema_constraints(eng):
+    eng.sql("""CREATE TABLE isc (
+      id bigint PRIMARY KEY,
+      v int NOT NULL CHECK (v > 0),
+      CONSTRAINT v_small CHECK (v < 100)
+    )""")
+    tc = {
+        r.constraint_name: r.constraint_type
+        for r in eng.sql(
+            "SELECT constraint_name, constraint_type "
+            "FROM information_schema.table_constraints "
+            "WHERE table_name = 'isc'"
+        ).collect()
+    }
+    assert tc["isc_pkey"] == "PRIMARY KEY"
+    assert tc["v_small"] == "CHECK"
+    assert tc["isc_v_not_null"] == "CHECK"
+    cc = {
+        r.constraint_name: r.check_clause
+        for r in eng.sql(
+            "SELECT constraint_name, check_clause "
+            "FROM information_schema.check_constraints"
+        ).collect()
+    }
+    assert cc["v_small"] == "v < 100"
+    assert cc["isc_v_not_null"] == "v IS NOT NULL"
+    assert cc["isc_check"] == "v > 0"
