@@ -2049,3 +2049,47 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.probe_minhash_index(
         spark, path, batch, "text", "doc_id", threshold=0.5
     ).orderBy("new_id", "corpus_id")
+
+
+@query(
+    "join_cobucketed",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def join_cobucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed fact⋈dim join (round 12, operators/bucketing.py):
+    both sides written hash-bucketed on the join key with equal bucket
+    counts, so the join itself plans with ZERO exchanges — the write
+    pays the shuffle once, every subsequent join on the key is
+    exchange-free (plan pinned in tests/test_plans.py).  The oracle is
+    the plain join: bucketing changes the physical plan only."""
+    from pg_mooncake_spark.operators.bucketing import (
+        cobucketed_join, write_bucketed,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    write_bucketed(orders, "cbq_orders", ["o_custkey"], 8,
+                   sort_cols=["o_custkey"])
+    write_bucketed(cust, "cbq_cust", ["o_custkey"], 8,
+                   sort_cols=["o_custkey"])
+    return (
+        cobucketed_join(spark, "cbq_orders", "cbq_cust", "o_custkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("nationkey")
+    )

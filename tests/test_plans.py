@@ -629,3 +629,41 @@ def test_minhash_index_extend_is_append(spark, tmp_path):
         spark, str(tmp_path / "ix"), probe, "text", "doc_id", threshold=0.99
     ).collect()
     assert any(r.corpus_id == 150 for r in hits)
+
+
+def test_cobucketed_join_has_zero_exchanges(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO exchange on either side (and no sort when
+    written sortBy the key) — the repeated fact-join shuffle eliminated
+    at write time (round 12)."""
+    from pg_mooncake_spark.operators.bucketing import (
+        cobucketed_join, write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_acctbal"),
+        "b_cust", ["o_custkey"], 8, sort_cols=["o_custkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cobucketed_join(spark, "b_orders", "b_cust", "o_custkey")
+        txt = I.plan_text(j)
+        assert I.exchange_count(j) == 0, txt
+        assert "SortMergeJoin" in txt
+        n = j.count()
+        # identical result to the plain (shuffled) join
+        plain = orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+        ).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
