@@ -51,7 +51,9 @@ _TXN_KIND = re.compile(
 _COPY_KIND = re.compile(r"^\s*COPY\b", re.I)
 _EXPLAIN_KIND = re.compile(r"^\s*EXPLAIN\b", re.I)
 _PREPARE_KIND = re.compile(
-    r"^\s*PREPARE\s+(\w+)\s*(?:\(([^)]*)\))?\s+AS\s+(.*?);?\s*$", re.I | re.S
+    # the type list may itself contain parens (numeric(10,2))
+    r"^\s*PREPARE\s+(\w+)\s*(?:\(((?:[^()]|\([^()]*\))*)\))?\s+AS\s+(.*?);?\s*$",
+    re.I | re.S,
 )
 _EXECUTE_KIND = re.compile(
     r"^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$", re.I | re.S
@@ -122,6 +124,12 @@ def _render_literal(v: Any) -> str:
     if isinstance(v, _Dec):
         return f"CAST('{v}' AS DECIMAL(38,18))"
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            # dropping the offset would rebind the instant in the session
+            # timezone; normalize to UTC and SAY so in the literal (Spark
+            # timestamp literals accept a trailing zone id)
+            v = v.astimezone(_dt.timezone.utc)
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')} UTC'"
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
@@ -299,6 +307,18 @@ def _parse_col_constraints(tail: str) -> tuple[str, dict[str, Any]]:
         m = re.match(r"DEFAULT\b", rest, re.I)
         if m:
             body = rest[m.end():].strip()
+            nm = re.match(
+                r"NULL(?:\s*::\s*[A-Za-z_]\w*"
+                r"(?:\s+(?:varying|precision|with(?:out)?\s+time\s+zone))?"
+                r"(?:\([^)]*\))?)?(?!\w)",
+                body, re.I,
+            )
+            if nm:
+                # Postgres's DEFAULT NULL (pg_dump spells it with a
+                # ::type cast) — identical to declaring no default;
+                # special-cased because NULL is also a constraint keyword
+                rest = body[nm.end():].strip()
+                continue
             end = len(body)
             for kw in _COL_CONSTRAINT_KWS:
                 i = _find_top_keyword(body, kw)
@@ -539,13 +559,19 @@ class MooncakeEngine:
         self.catalog = SyncCatalog(self.warehouse)
         # active BEGIN..COMMIT/ROLLBACK block, or None (autocommit).
         # {"overlay": {table: DataFrame}, "staged": [(table, kind,
-        # batch)], "aborted": bool, "savepoints": {name: (staged_len,
-        # overlay_snapshot)}} — see _sql_txn for the contract
+        # batch)], "aborted": bool, "savepoints": [(name, staged_len,
+        # overlay_snapshot), ...] (a stack: same-name shadows)} — see
+        # _sql_txn for the contract
         self._txn: Optional[dict[str, Any]] = None
         # session-scoped prepared statements: name -> statement text with
         # $n markers (PREPARE / EXECUTE / DEALLOCATE, Postgres semantics)
-        self._prepared: dict[str, str] = {}
+        self._prepared: dict[str, tuple[str, Optional[int]]] = {}
         self._txn_replaying = False
+        # set when a COMMIT replay failed mid-apply: the transaction IS
+        # committed (its manifest exists) but incompletely applied, so
+        # further writes must wait for recover_transactions() — otherwise
+        # a later attach would replay the stale tail OVER newer writes
+        self._recovery_pending: Optional[str] = None
         # idempotency tag stamped into commits while replaying a durable
         # transaction ("<txn_id>:<batch_index>") — see _replay_txn
         self._txn_replay_tag: Optional[str] = None
@@ -779,14 +805,27 @@ class MooncakeEngine:
         types = {
             f.name: f.dataType for f in self._moontable(dst).schema().fields
         }
+        present = set(df.columns)
         for c, expr in gen.items():
-            if c in types:
-                col = F.expr(expr).cast(types[c])
-                if OP_COL in df.columns:
-                    # delete images may be key-only projections upstream;
-                    # keep their recorded value untouched
-                    col = F.when(F.col(OP_COL) == "D", F.col(c)).otherwise(col)
-                df = df.withColumn(c, col)
+            refs = {
+                w for w in re.findall(
+                    r"[A-Za-z_][A-Za-z0-9_]*", _mask_quoted(expr)
+                )
+            }
+            if c not in types or (refs & set(types)) - present:
+                # narrow batch (key-only deletes, drift projections):
+                # inputs absent — leave the recorded/evolved value alone
+                continue
+            col = F.expr(expr).cast(types[c])
+            if OP_COL in df.columns:
+                # delete images may be key-only projections upstream;
+                # keep their recorded value untouched
+                keep = (
+                    F.col(c) if c in present
+                    else F.lit(None).cast(types[c])
+                )
+                col = F.when(F.col(OP_COL) == "D", keep).otherwise(col)
+            df = df.withColumn(c, col)
         return df
 
     def _guard_constraints(self, dst: str, df: DataFrame) -> DataFrame:
@@ -806,6 +845,7 @@ class MooncakeEngine:
             return df
         branches: list[tuple[Column, str]] = []
         present = set(df.columns)
+        all_cols = [f.name for f in self._moontable(dst).schema().fields]
         for c in cons.get("not_null", []):
             if c not in present:
                 continue
@@ -815,6 +855,18 @@ class MooncakeEngine:
                 "violates not-null constraint",
             ))
         for cname, expr in cons.get("checks", []):
+            # a batch may be a narrow projection (key-only deletes, drift
+            # batches the evolve path null-fills): a check referencing an
+            # absent column is skipped — the null-filled value passes 3VL
+            # anyway, so this matches the evolve contract instead of
+            # crashing analysis
+            refs = {
+                w for w in re.findall(
+                    r"[A-Za-z_][A-Za-z0-9_]*", _mask_quoted(expr)
+                )
+            }
+            if (refs & set(all_cols)) - present:
+                continue
             # three-valued logic: a NULL check result passes (Postgres)
             branches.append((
                 ~F.coalesce(F.expr(expr), F.lit(True)),
@@ -970,6 +1022,7 @@ class MooncakeEngine:
         batch touches most files (the reference's merge-on-read mirror,
         README.md:13-14); optimize_table folds tombstones back."""
         dst = self._canon(dst)
+        self._check_recovery_pending()
         changes = self._guard_constraints(
             dst, self._apply_generated(dst, changes)
         )
@@ -1437,6 +1490,7 @@ class MooncakeEngine:
 
     def insert(self, dst: str, df: DataFrame, source_version: Optional[int] = None) -> int:
         dst = self._canon(dst)
+        self._check_recovery_pending()
         df = self._guard_constraints(dst, self._apply_generated(dst, df))
         if self._txn is not None:
             return self._txn_stage_insert(dst, df)
@@ -1475,6 +1529,7 @@ class MooncakeEngine:
         post-state semi-join on pre-keys would match nothing, never
         delete the old key, and never append the re-keyed row."""
         dst = self._canon(dst)
+        self._check_recovery_pending()
         assignments = self._resolve_update_defaults(dst, assignments)
         assignments = self._guard_update_assignments(dst, assignments)
         if self._txn is not None:
@@ -1539,6 +1594,7 @@ class MooncakeEngine:
         ``strategy`` as in apply_changes ('mor' commits an O(matched
         keys) tombstone instead of rewriting touched files)."""
         dst = self._canon(dst)
+        self._check_recovery_pending()
         if self._txn is not None:
             batch = self.table(dst).where(condition).withColumn(
                 OP_COL, F.lit("D")
@@ -1750,6 +1806,7 @@ class MooncakeEngine:
                 df = df.unionByName(d)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
+        self._check_recovery_pending()
         df = self._guard_constraints(dst, self._apply_generated(dst, df))
         if self._txn is not None:
             # COPY/bulk load inside a block stages like an INSERT
@@ -2240,7 +2297,9 @@ class MooncakeEngine:
             return self._sql_explain(query, pin)
         pm = _PREPARE_KIND.match(query)
         if pm:
-            return self._sql_prepare(pm.group(1), pm.group(3))
+            return self._sql_prepare(
+                pm.group(1), pm.group(2), pm.group(3)
+            )
         em = _EXECUTE_KIND.match(query)
         if em:
             return self._sql_execute(em.group(1), em.group(2), pin, copy_data)
@@ -2462,18 +2521,27 @@ class MooncakeEngine:
 
     # --------------------------------------- prepared statements / EXPLAIN
 
-    def _sql_prepare(self, name: str, stmt: str) -> DataFrame:
+    def _sql_prepare(
+        self, name: str, types: Optional[str], stmt: str
+    ) -> DataFrame:
         """``PREPARE name [(types)] AS statement`` — session-scoped, the
-        Postgres semantics: re-PREPARE of a live name errors, the
-        optional type list is accepted and ignored (binding is by
-        value).  The statement body is stored verbatim; ``$n`` markers
-        bind at EXECUTE time."""
+        Postgres semantics: re-PREPARE of a live name errors; binding is
+        by value, so the type LIST's only effect is its length (it
+        governs EXECUTE arity — a declared parameter the body never
+        references is legal).  The statement body is stored verbatim;
+        ``$n`` markers bind at EXECUTE time."""
         key = name.lower()
         if key in self._prepared:
             raise ValueError(f'prepared statement "{key}" already exists')
         if not stmt.strip():
             raise ValueError(f"PREPARE {name}: empty statement body")
-        self._prepared[key] = stmt.strip()
+        # the declared type count governs EXECUTE arity (Postgres) — a
+        # declared parameter the body never references is legal
+        declared = (
+            len(_split_top_commas(types)) if types and types.strip()
+            else None
+        )
+        self._prepared[key] = (stmt.strip(), declared)
         return self.spark.createDataFrame(
             [("PREPARE", key, None)],
             "statement string, table string, version long",
@@ -2494,7 +2562,7 @@ class MooncakeEngine:
         key = name.lower()
         if key not in self._prepared:
             raise ValueError(f'prepared statement "{key}" does not exist')
-        stmt = self._prepared[key]
+        stmt, declared = self._prepared[key]
         texts = (
             [a for a in _split_top_commas(args_sql) if a]
             if args_sql and args_sql.strip() else []
@@ -2504,7 +2572,10 @@ class MooncakeEngine:
             (m.span(), int(m.group(1)))
             for m in re.finditer(r"\$(\d+)", mask)
         ]
-        need = max((n for _, n in spans), default=0)
+        need = (
+            declared if declared is not None
+            else max((n for _, n in spans), default=0)
+        )
         if need != len(texts):
             raise ValueError(
                 f"bind message supplies {len(texts)} parameters, but "
@@ -2844,12 +2915,14 @@ class MooncakeEngine:
                     "ROLLBACK TO an earlier savepoint)"
                 )
             name = m2.group(1).lower()
-            sps = self._txn["savepoints"]
-            sps.pop(name, None)  # redefinition destroys the old one
-            sps[name] = (
+            # a stack, not a dict: re-establishing a name SHADOWS the
+            # older savepoint (Postgres) — releasing the newer one makes
+            # the older accessible again
+            self._txn["savepoints"].append((
+                name,
                 len(self._txn["staged"]),
                 dict(self._txn["overlay"]),
-            )
+            ))
             return self._txn_result(
                 "SAVEPOINT", f"savepoint {name} established"
             )
@@ -2871,14 +2944,17 @@ class MooncakeEngine:
                 ))
             name = m2.group(1).lower()
             sps = self._txn["savepoints"]
-            if name not in sps:
+            idx = next(
+                (i for i in range(len(sps) - 1, -1, -1)
+                 if sps[i][0] == name), None,
+            )
+            if idx is None:
                 raise self._txn_abort(ValueError(
                     f"savepoint {name!r} does not exist"
                 ))
-            # keep the changes; destroy this savepoint and every later one
-            order = list(sps)
-            for later in order[order.index(name):]:
-                del sps[later]
+            # keep the changes; destroy this savepoint and every later
+            # one — an older shadowed same-name savepoint resurfaces
+            del sps[idx:]
             return self._txn_result(
                 "RELEASE", f"savepoint {name} released"
             )
@@ -2904,7 +2980,7 @@ class MooncakeEngine:
                 )
             self._txn = {
                 "overlay": {}, "staged": [], "aborted": False,
-                "savepoints": {},
+                "savepoints": [],
                 # BEGIN READ ONLY is enforced, not just parsed: staging
                 # any write into a read-only block refuses
                 "read_only": bool(
@@ -2924,6 +3000,7 @@ class MooncakeEngine:
                 )
             txn, self._txn = self._txn, None
             if txn["staged"]:
+                self._check_recovery_pending()
                 manifest = self._persist_txn(txn["staged"])
                 self._replay_txn(manifest)
             return self._txn_result(
@@ -2942,15 +3019,17 @@ class MooncakeEngine:
                 )
             name = m2.group(1).lower()
             sps = self._txn["savepoints"]
-            if name not in sps:
+            idx = next(
+                (i for i in range(len(sps) - 1, -1, -1)
+                 if sps[i][0] == name), None,
+            )
+            if idx is None:
                 raise self._txn_abort(ValueError(
                     f"savepoint {name!r} does not exist"
                 ))
-            length, overlay = sps[name]
+            _, length, overlay = sps[idx]
             # the savepoint itself survives; later ones are destroyed
-            order = list(sps)
-            for later in order[order.index(name) + 1:]:
-                del sps[later]
+            del sps[idx + 1:]
             self._txn["staged"] = self._txn["staged"][:length]
             self._txn["overlay"] = dict(overlay)
             self._txn["aborted"] = False  # un-poisons a failed block
@@ -3021,9 +3100,24 @@ class MooncakeEngine:
         os.rename(tmp, os.path.join(root, f"{txn_id}.json"))
         return manifest
 
+    def _check_recovery_pending(self) -> None:
+        """Refuse writes while a committed transaction is incompletely
+        applied (see _recovery_pending) — a later recover_transactions
+        would otherwise replay the stale tail over the new writes."""
+        if self._recovery_pending is not None and not self._txn_replaying:
+            raise ValueError(
+                f"transaction {self._recovery_pending!r} is committed but "
+                "incompletely applied (its replay failed); run "
+                "engine.recover_transactions() to complete it before "
+                "writing"
+            )
+
     def _replay_txn(self, manifest: dict) -> None:
         """Apply a committed transaction's staged batches in statement
-        order, idempotently (commit-log txn tags), then clean up."""
+        order, idempotently (commit-log txn tags), then clean up.  A
+        mid-replay failure leaves the manifest in place (the transaction
+        is already committed) and FENCES this session's writes until
+        recover_transactions completes the apply."""
         txn_id = manifest["txn"]
         applied_tags: dict[str, set] = {}
         self._txn_replaying = True
@@ -3046,8 +3140,13 @@ class MooncakeEngine:
                         self.apply_changes(name, df)
                 finally:
                     self._txn_replay_tag = None
+        except Exception:
+            self._recovery_pending = txn_id
+            raise
         finally:
             self._txn_replaying = False
+        if self._recovery_pending == txn_id:
+            self._recovery_pending = None
         root = os.path.join(self.warehouse, self._TXN_DIR)
         # manifest first: once it is gone the transaction is fully
         # applied and the staging directory is plain garbage
@@ -4223,6 +4322,7 @@ class MooncakeEngine:
                     f'constraint "{cname}" for relation "{name}" '
                     "already exists"
                 )
+            self._analysis_check_expr(t, "CHECK", expr)
             if not not_valid:
                 # one validation job: any existing row that fails (NULL
                 # check results pass, three-valued logic)
@@ -4308,6 +4408,20 @@ class MooncakeEngine:
             return self._sql_alter_column(t, col, action.strip())
         raise ValueError(f"unsupported {kind} statement: {q!r}")
 
+    def _analysis_check_expr(self, t: str, what: str, expr: str) -> None:
+        """One Spark analysis pass (no job) over an empty frame with the
+        table's schema — a typo'd expression must refuse at DDL time
+        (Postgres validates syntax even for NOT VALID), never poison
+        later writes."""
+        probe = self.spark.createDataFrame([], self._moontable(t).schema())
+        try:
+            probe.select(F.expr(expr))
+        except Exception as ex:
+            raise ValueError(
+                f"invalid {what} expression {expr!r}: "
+                f"{str(ex).splitlines()[0]}"
+            ) from ex
+
     def _sql_alter_column(self, t: str, col: str, action: str) -> DataFrame:
         """``ALTER TABLE t ALTER [COLUMN] c SET DEFAULT expr | DROP
         DEFAULT | SET NOT NULL | DROP NOT NULL`` — constraint-metadata
@@ -4327,6 +4441,7 @@ class MooncakeEngine:
                     f'column "{col}" of relation "{name}" is a generated '
                     "column"
                 )
+            self._analysis_check_expr(t, "DEFAULT", am.group(1).strip())
             cons.setdefault("defaults", {})[col] = am.group(1).strip()
             self._set_constraints(t, cons)
             return self._dml_result("ALTER", t, 1)
@@ -4373,11 +4488,39 @@ class MooncakeEngine:
                 "cannot add a PRIMARY KEY column to an existing table"
             )
         cons = self._constraints(t) or {}
+        # every refusal below must fire BEFORE any write so a failed
+        # ALTER leaves no trace (Postgres's atomic ALTER)
         if info["generated"] is not None:
-            # validate BEFORE any write so a refusal leaves no trace
             _no_gen_on_gen(
                 {**(cons.get("generated") or {}), col: info["generated"]}
             )
+        taken = {n for n, _ in cons.get("checks", [])}
+        dup = next(
+            (n for n, _ in info["checks"] if n is not None and n in taken),
+            None,
+        )
+        if dup is not None:
+            raise ValueError(
+                f'constraint "{dup}" for relation "{name}" already exists'
+            )
+        probe = self.spark.createDataFrame(
+            [], T.StructType(
+                [*self._moontable(t).schema().fields,
+                 T.StructField(col, _pg_type_to_spark(type_sql), True)]
+            )
+        )
+        for what, e_ in [
+            *([("DEFAULT", info["default"])] if info["default"] else []),
+            *([("GENERATED", info["generated"])] if info["generated"] else []),
+            *[("CHECK", x[1]) for x in info["checks"]],
+        ]:
+            try:
+                probe.select(F.expr(e_))
+            except Exception as ex:
+                raise ValueError(
+                    f"invalid {what} expression {e_!r}: "
+                    f"{str(ex).splitlines()[0]}"
+                ) from ex
         fill = info["generated"] or info["default"]
         if (info["not_null"] or info["checks"]) and fill is None:
             # Postgres: NOT NULL add needs a default when rows exist; a

@@ -561,20 +561,25 @@ def ngram_surprisal(
     AQE); the single scalar N rides a 1-row broadcast cross join.  A
     document full of n-grams nobody else uses scores HIGH (surprising
     = likely junk/garble); templated boilerplate scores LOW."""
+    # materialize the word array through an explode(array(...)) generator
+    # barrier (the minhash_signature pattern): Catalyst's CollapseProject
+    # would otherwise inline the full-text regex split into EVERY
+    # element_at inside the higher-order lambda — O(words) re-splits of
+    # the document per row instead of one
+    wdf = df.select(
+        F.col(id_col), F.explode(F.array(_words(F.col(text_col)))).alias("w")
+    )
     grams = F.when(
-        F.size(_words(F.col(text_col))) >= n,
+        F.size(F.col("w")) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(_words(F.col(text_col))) - n),
+            F.sequence(F.lit(0), F.size(F.col("w")) - n),
             lambda i: F.concat_ws(
                 " ",
-                *[
-                    F.element_at(_words(F.col(text_col)), i + k + 1)
-                    for k in range(n)
-                ],
+                *[F.element_at(F.col("w"), i + k + 1) for k in range(n)],
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    occ = wdf.select(F.col(id_col), F.explode(grams).alias("g"))
     model = occ.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("n_total"))
     return (

@@ -358,3 +358,94 @@ def test_bad_constraint_expr_refused_at_create(eng):
     with pytest.raises(ValueError, match="invalid GENERATED expression"):
         eng.sql("CREATE TABLE bg (id bigint PRIMARY KEY, "
                 "d double precision GENERATED ALWAYS AS (missing * 2) STORED)")
+
+
+# ----------------------------------------------- round-12 review fixes
+
+
+def test_default_null_spellings(eng):
+    eng.sql("CREATE TABLE dn (id bigint PRIMARY KEY, "
+            "a text DEFAULT NULL, "
+            "b text DEFAULT NULL::character varying NOT NULL)")
+    d = {r.column_name: r for r in eng.sql("DESCRIBE dn").collect()}
+    assert d["a"].column_default is None
+    assert d["b"].is_nullable == "NO"
+    eng.sql("INSERT INTO dn (id, b) VALUES (1, 'x')")
+    assert eng.sql("SELECT a FROM dn").collect()[0].a is None
+
+
+def test_add_column_dup_constraint_refuses_before_write(eng):
+    eng.sql("CREATE TABLE adc (id bigint PRIMARY KEY, "
+            "v int CONSTRAINT c1 CHECK (v IS NULL OR v > 0))")
+    eng.sql("INSERT INTO adc (id, v) VALUES (1, 5)")
+    with pytest.raises(ValueError, match='"c1" for relation "adc" already'):
+        eng.sql("ALTER TABLE adc ADD COLUMN x int DEFAULT 1 "
+                "CONSTRAINT c1 CHECK (x > 0)")
+    # atomic refusal: the column must NOT have been added
+    cols = [f.name for f in eng.table("adc").schema.fields]
+    assert "x" not in cols
+
+
+def test_alter_expressions_validated_at_ddl_time(eng):
+    eng.sql("CREATE TABLE av (id bigint PRIMARY KEY, v int)")
+    with pytest.raises(ValueError, match="invalid CHECK expression"):
+        eng.sql("ALTER TABLE av ADD CONSTRAINT bad "
+                "CHECK (no_such > 0) NOT VALID")
+    with pytest.raises(ValueError, match="invalid DEFAULT expression"):
+        eng.sql("ALTER TABLE av ALTER COLUMN v SET DEFAULT not_a_col")
+    with pytest.raises(ValueError, match="invalid CHECK expression"):
+        eng.sql("ALTER TABLE av ADD COLUMN y int CHECK (nope > 0) "
+                "DEFAULT 0")
+    assert "y" not in [f.name for f in eng.table("av").schema.fields]
+    eng.sql("INSERT INTO av (id, v) VALUES (1, 1)")  # writes unpoisoned
+
+
+def test_narrow_batches_skip_absent_constraint_inputs(eng, spark):
+    """Schema-drift batches (evolve null-fills) and key-only delete
+    images must not crash analysis when a CHECK or generated column
+    references an absent column."""
+    eng.sql("""CREATE TABLE nb (
+      id bigint PRIMARY KEY,
+      bal double precision CHECK (bal >= 0),
+      twice double precision GENERATED ALWAYS AS (bal * 2) STORED
+    )""")
+    eng.sql("INSERT INTO nb (id, bal) VALUES (1, 5.0)")
+    narrow = spark.createDataFrame(
+        [(1, "D")], "id long, __op string"
+    )
+    # key-only delete image: the evolve path null-fills the absent
+    # columns; the guards must not crash analysis before it runs
+    eng.apply_changes("nb", narrow, on_schema_drift="evolve")
+    assert eng.sql("SELECT count(*) AS n FROM nb").collect()[0].n == 0
+
+
+def test_commit_replay_failure_fences_writes(eng, spark, monkeypatch):
+    """A COMMIT whose replay fails mid-apply leaves the manifest as the
+    durable record; the session must refuse further writes until
+    recover_transactions completes the apply (otherwise a later attach
+    replays the stale tail over newer data)."""
+    eng.sql("CREATE TABLE fw (id bigint PRIMARY KEY, v int)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO fw VALUES (1, 10)")
+
+    real = type(eng).insert
+    calls = {"n": 0}
+
+    def flaky(self, dst, df, source_version=None):
+        calls["n"] += 1
+        raise RuntimeError("transient executor loss")
+
+    monkeypatch.setattr(type(eng), "insert", flaky)
+    with pytest.raises(RuntimeError):
+        eng.sql("COMMIT")
+    monkeypatch.setattr(type(eng), "insert", real)
+
+    with pytest.raises(ValueError, match="incompletely applied"):
+        eng.sql("INSERT INTO fw VALUES (2, 20)")
+    with pytest.raises(ValueError, match="incompletely applied"):
+        eng.sql("UPDATE fw SET v = 1 WHERE id = 1")
+    done = eng.recover_transactions()
+    assert len(done) == 1
+    eng.sql("INSERT INTO fw VALUES (2, 20)")  # fence lifted
+    got = sorted((r.id, r.v) for r in eng.sql("SELECT * FROM fw").collect())
+    assert got == [(1, 10), (2, 20)]

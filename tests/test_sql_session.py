@@ -341,3 +341,39 @@ def test_information_schema_constraints(eng):
     assert cc["v_small"] == "v < 100"
     assert cc["isc_v_not_null"] == "v IS NOT NULL"
     assert cc["isc_check"] == "v > 0"
+
+
+def test_prepare_declared_arity_and_paren_types(eng):
+    eng.sql("PREPARE pt (numeric(10,2), int) AS SELECT CAST($1 AS DOUBLE) AS v")
+    # declared list governs arity: the unreferenced $2 is legal
+    r = eng.sql("EXECUTE pt(1.5, 42)").collect()
+    assert r[0].v == 1.5
+    with pytest.raises(ValueError, match="supplies 1 parameters"):
+        eng.sql("EXECUTE pt(1.5)")
+    eng.sql("DEALLOCATE pt")
+
+
+def test_tz_aware_param_binds_the_instant(eng, spark):
+    import datetime as dt
+
+    tz = dt.timezone(dt.timedelta(hours=-7))
+    aware = dt.datetime(2026, 1, 1, 5, 0, 0, tzinfo=tz)  # = 12:00 UTC
+    r = eng.sql(
+        "SELECT CAST($1 AS STRING) AS s", params=[aware]
+    ).collect()[0].s
+    # the rendered instant is 12:00 UTC regardless of session tz
+    sess_tz = spark.conf.get("spark.sql.session.timeZone")
+    assert sess_tz == "UTC" and r.startswith("2026-01-01 12:00:00")
+
+
+def test_savepoint_shadowing_postgres_semantics(eng):
+    eng.sql("CREATE TABLE svs (id bigint PRIMARY KEY)")
+    eng.sql("BEGIN")
+    eng.sql("SAVEPOINT a")
+    eng.sql("INSERT INTO svs VALUES (1)")
+    eng.sql("SAVEPOINT a")               # shadows, does not destroy
+    eng.sql("INSERT INTO svs VALUES (2)")
+    eng.sql("RELEASE a")                 # releases the NEWER a
+    eng.sql("ROLLBACK TO a")             # the older a resurfaces
+    eng.sql("COMMIT")
+    assert eng.sql("SELECT count(*) AS n FROM svs").collect()[0].n == 0
