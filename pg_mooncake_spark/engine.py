@@ -566,6 +566,8 @@ class MooncakeEngine:
         # session-scoped prepared statements: name -> statement text with
         # $n markers (PREPARE / EXECUTE / DEALLOCATE, Postgres semantics)
         self._prepared: dict[str, tuple[str, Optional[int]]] = {}
+        # logical-view resolution stack (cycle guard)
+        self._view_stack: set[str] = set()
         self._txn_replaying = False
         # set when a COMMIT replay failed mid-apply: the transaction IS
         # committed (its manifest exists) but incompletely applied, so
@@ -2175,6 +2177,22 @@ class MooncakeEngine:
             df = self._txn["overlay"][name]
             return df.filter(where) if where else df
         entry = self.catalog.get(name)
+        if (entry.get("table_config") or {}).get("kind") == "logical_view":
+            if version is not None or as_of_timestamp is not None:
+                raise ValueError(
+                    "logical views have no version history; pin the "
+                    "base tables instead"
+                )
+            if name in self._view_stack:
+                raise ValueError(
+                    f'infinite recursion detected in rules for view "{name}"'
+                )
+            self._view_stack.add(name)
+            try:
+                df = self.sql(entry["table_config"]["view_sql"])
+            finally:
+                self._view_stack.discard(name)
+            return df.filter(where) if where else df
         if (entry.get("table_config") or {}).get("kind") == "mview":
             if version is not None or as_of_timestamp is not None:
                 raise ValueError(
@@ -2306,6 +2324,36 @@ class MooncakeEngine:
         dm = _DEALLOCATE_KIND.match(query)
         if dm:
             return self._sql_deallocate(dm.group(1))
+        vm = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+"
+            r"AS\s+(.*?);?\s*$",
+            query, re.I | re.S,
+        )
+        if vm:
+            # Postgres CREATE VIEW persists in the catalog; the Spark
+            # TEMP/TEMPORARY VIEW spellings do not match and pass through
+            return self._sql_create_view(
+                bool(vm.group(1)), vm.group(2).strip('"'),
+                vm.group(3).strip(),
+            )
+        vm = re.match(
+            r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*;?\s*$",
+            query, re.I,
+        )
+        if vm:
+            name = parse_table_name(vm.group(2).strip('"'))
+            entry = self.catalog.list_tables().get(name)
+            if entry is not None and (
+                (entry.get("table_config") or {}).get("kind")
+                == "logical_view"
+            ):
+                self.catalog.drop(name)
+                try:  # resolution may have left a session temp view
+                    self.spark.catalog.dropTempView(self._view_name(name))
+                except Exception:
+                    pass
+                return self._dml_result("DROP VIEW", name, 1)
+            # not a catalog view — Spark temp views drop below
         cm = re.match(
             r"^\s*CLUSTER\s+(?:VERBOSE\s+)?([\w.\"]+)"
             r"(?:\s+USING\s+\w+)?\s*;?\s*$",
@@ -2695,6 +2743,43 @@ class MooncakeEngine:
             return self._pg_type_name(dt.elementType) + "[]"
         return self._SPARK_TO_PG.get(s, s)
 
+    def _sql_create_view(
+        self, replace: bool, name: str, select_sql: str
+    ) -> DataFrame:
+        """``CREATE [OR REPLACE] VIEW name AS select`` — a LOGICAL view
+        persisted in the engine catalog (Postgres semantics: views
+        outlive the session, unlike Spark temp views).  The stored SQL
+        re-plans against the CURRENT base tables on every read — always
+        fresh, zero maintenance state (contrast
+        :meth:`create_materialized_view`, which folds the change feed).
+        Name resolution is the mirror machinery itself: the view name
+        resolves through :meth:`table`, nested views resolve
+        recursively with a cycle guard."""
+        if self._txn is not None:
+            self._txn["aborted"] = True
+            raise ValueError(
+                "CREATE VIEW (DDL) is not supported inside a "
+                "transaction block"
+            )
+        if not re.match(r"(SELECT|WITH|VALUES)\b", select_sql, re.I):
+            raise ValueError(
+                f"CREATE VIEW body must be a SELECT: {select_sql!r}"
+            )
+        canon = parse_table_name(name)
+        existing = self.catalog.list_tables().get(canon)
+        if existing is not None:
+            kind = (existing.get("table_config") or {}).get("kind")
+            if not (replace and kind == "logical_view"):
+                raise ValueError(f'relation "{canon}" already exists')
+        self.sql(select_sql)  # analysis pass: names/syntax refuse NOW
+        if existing is not None:
+            self.catalog.drop(canon)
+        self.catalog.register(
+            canon, None, os.path.join(self.warehouse, "_views", canon),
+            table_config={"kind": "logical_view", "view_sql": select_sql},
+        )
+        return self._dml_result("CREATE VIEW", canon, 1)
+
     def _sql_maintenance(self, kind: str, rest: str) -> DataFrame:
         """``VACUUM [(opts)] [FULL|FREEZE|VERBOSE|ANALYZE] [t[, t2]]``
         and ``ANALYZE [VERBOSE] [t [(cols)]]`` — the Postgres
@@ -2728,7 +2813,7 @@ class MooncakeEngine:
             tables = [
                 n for n, e in sorted(self.catalog.list_tables().items())
                 if ((e.get("table_config") or {}).get("kind") or "mirror")
-                != "mview"
+                not in ("mview", "logical_view")
             ]
         for t in tables:
             if kind == "VACUUM":

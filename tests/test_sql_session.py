@@ -377,3 +377,40 @@ def test_savepoint_shadowing_postgres_semantics(eng):
     eng.sql("ROLLBACK TO a")             # the older a resurfaces
     eng.sql("COMMIT")
     assert eng.sql("SELECT count(*) AS n FROM svs").collect()[0].n == 0
+
+
+def test_logical_views_persist_and_track_base(eng, cust, spark, warehouse):
+    from pg_mooncake_spark.engine import MooncakeEngine
+
+    eng.create_table("lv_base", source_df=cust.limit(100),
+                     primary_key=["c_custkey"])
+    eng.sql("CREATE VIEW rich AS "
+            "SELECT c_custkey, c_acctbal FROM lv_base WHERE c_acctbal > 0")
+    n1 = eng.sql("SELECT count(*) AS n FROM rich").collect()[0].n
+    # the view re-plans against the CURRENT base: a delete shows through
+    eng.sql("DELETE FROM lv_base WHERE c_acctbal > 0")
+    assert eng.sql("SELECT count(*) AS n FROM rich").collect()[0].n == 0
+    assert n1 > 0
+    # persists across engine attach (a Spark temp view would not)
+    eng2 = MooncakeEngine(spark, warehouse)
+    assert eng2.sql("SELECT count(*) AS n FROM rich").collect()[0].n == 0
+    # nested views + OR REPLACE + introspection
+    eng.sql("CREATE VIEW rich2 AS SELECT c_custkey FROM rich")
+    assert eng.sql("SELECT count(*) AS n FROM rich2").collect()[0].n == 0
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE VIEW rich AS SELECT 1 AS x")
+    eng.sql("CREATE OR REPLACE VIEW rich AS "
+            "SELECT c_custkey, c_acctbal FROM lv_base")
+    assert eng.sql("SELECT count(*) AS n FROM rich").collect()[0].n > 0
+    kinds = {r.table: r.kind for r in eng.list_tables().collect()}
+    assert kinds["rich"] == "logical_view"
+    tt = {r.table_name: r.table_type for r in eng.sql(
+        "SELECT table_name, table_type FROM information_schema.tables"
+    ).collect()}
+    assert tt["rich"] == "BASE TABLE" or tt["rich"] == "VIEW"
+    # bad body refuses at CREATE; DROP VIEW removes from the catalog
+    with pytest.raises(Exception):
+        eng.sql("CREATE VIEW broken AS SELECT * FROM no_such_table")
+    eng.sql("DROP VIEW rich2")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM rich2")
