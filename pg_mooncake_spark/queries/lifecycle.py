@@ -1849,3 +1849,59 @@ def lifecycle_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("fee", 4).alias("total_fee"),
         F.count(F.when(F.col("amount") < 0, 1)).alias("n_neg"),
     )
+
+
+@query(
+    "lifecycle_sql_views",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS bal,
+             c_nationkey AS nk
+      FROM customer WHERE c_custkey % 6 = 0
+    ),
+    after_dml AS (
+      -- committed UPDATE: halve negative balances
+      SELECT id,
+             CASE WHEN bal < 0
+                  THEN CAST(CAST(bal AS DECIMAL(18,2)) / 2 AS DOUBLE)
+                  ELSE bal END AS bal,
+             nk
+      FROM base
+    )
+    SELECT nk,
+           COUNT(*) AS n_rich,
+           CAST(SUM(CAST(bal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM after_dml WHERE bal > 1000.0
+    GROUP BY nk ORDER BY nk
+    """,
+)
+def lifecycle_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-persisted logical views (round 12): CREATE VIEW stores
+    the SQL; every read re-plans against the CURRENT base state, so
+    DML through the base shows through the view (and a nested view)
+    with zero maintenance machinery.  The oracle reconstructs the
+    committed base state and applies the view predicates directly."""
+    eng = _temp_engine(spark)
+    src = (
+        t(spark, sf_dir, "customer")
+        .filter("c_custkey % 6 = 0")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.col("c_nationkey").alias("nk"),
+        )
+    )
+    eng.create_table("acct_v", source_df=src, primary_key=["id"])
+    eng.sql("CREATE VIEW rich_v AS "
+            "SELECT id, bal, nk FROM acct_v WHERE bal > 1000.0")
+    eng.sql("CREATE VIEW rich_by_nation_v AS "
+            "SELECT nk, count(*) AS n_rich, "
+            "CAST(SUM(CAST(bal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal "
+            "FROM rich_v GROUP BY nk")
+    # DML AFTER the views exist must show through both layers
+    eng.sql("""
+        UPDATE acct_v
+        SET bal = CAST(CAST(bal AS DECIMAL(18,2)) / 2 AS DOUBLE)
+        WHERE bal < 0
+    """)
+    return eng.sql("SELECT * FROM rich_by_nation_v ORDER BY nk")

@@ -73,6 +73,7 @@ _WINDOW_PRIORITY = (
     "corpus_cluster_sample",
     "dedup_incremental_index",
     "join_cobucketed",
+    "lifecycle_sql_views",
     # (2) implementation changed this round (q1 exact-sum fast path) — the
     # change must be externally re-confirmed even though the key was
     # driver-green in r9
@@ -95,9 +96,9 @@ _WINDOW_PRIORITY = (
     "text_profile_analysis",
     "text_quality_scoring",
     "text_top_ngrams",
-    # (3b) last driver-verified in round 9 — first 22 alphabetically
-    # (fills the 50-slot window after this round's 11 new keys); the
-    # remaining r9 keys (mv_filtered_where onward: mv/orc/q10-q22/q2-q9
+    # (3b) last driver-verified in round 9 — first 21 alphabetically
+    # (fills the 50-slot window after this round's 12 new keys); the
+    # remaining r9 keys (lifecycle_sql_dml onward: mv/orc/q10-q22/q2-q9
     # band, scalar_cast_conversion, scalar_hof_family,
     # sql_recursive_cte) head the r13 rotation
     "agg_approx_count_distinct",
@@ -121,7 +122,6 @@ _WINDOW_PRIORITY = (
     "lifecycle_delta_mirror_sync",
     "lifecycle_mor_scattered_dml",
     "lifecycle_rename_widen_cdc",
-    "lifecycle_sql_dml",
 )
 
 
