@@ -449,3 +449,41 @@ def test_commit_replay_failure_fences_writes(eng, spark, monkeypatch):
     eng.sql("INSERT INTO fw VALUES (2, 20)")  # fence lifted
     got = sorted((r.id, r.v) for r in eng.sql("SELECT * FROM fw").collect())
     assert got == [(1, 10), (2, 20)]
+
+
+def test_streaming_sync_enforces_constraints(eng, spark, tmp_path):
+    """Postgres logical replication enforces the SUBSCRIBER's
+    constraints — a violating replicated row errors and halts the
+    stream rather than landing silently (the CDC sync path funnels
+    through apply_changes, so the in-job guards ride along)."""
+    import os as _os
+
+    from pg_mooncake_spark.streaming.cdc import start_sync
+
+    eng.sql("CREATE TABLE sc (id bigint PRIMARY KEY, "
+            "v int CHECK (v >= 0))")
+    feed = str(tmp_path / "feed")
+    _os.makedirs(feed)
+    schema = "id long, v int, __op string"
+    spark.createDataFrame([(1, 5, "I"), (2, 7, "I")], schema) \
+        .coalesce(1).write.mode("append").parquet(feed)
+    stream = spark.readStream.schema(schema).parquet(feed)
+    q = start_sync(
+        eng, "sc", stream,
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    assert eng.sql("SELECT count(*) AS n FROM sc").collect()[0].n == 2
+    # a violating replicated row halts the stream loudly
+    spark.createDataFrame([(3, -1, "I")], schema) \
+        .coalesce(1).write.mode("append").parquet(feed)
+    stream2 = spark.readStream.schema(schema).parquet(feed)
+    q2 = start_sync(
+        eng, "sc", stream2,
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger_available_now=True,
+    )
+    with pytest.raises(Exception, match="check constraint"):
+        q2.awaitTermination()
+    assert eng.sql("SELECT count(*) AS n FROM sc").collect()[0].n == 2
