@@ -22,6 +22,7 @@ Verified properties (tests/test_plans.py):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,19 @@ def write_bucketed(
 
     Pick ``n_buckets`` so a bucket is a few hundred MB at target scale;
     both sides of a planned co-located join MUST use the same count."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    # a managed-table location can outlive the in-memory catalog (a
+    # previous session's warehouse dir): overwrite cannot see it, so
+    # clear BOTH the catalog entry and any stale local location
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        stale = os.path.join(wh.path, table.lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
