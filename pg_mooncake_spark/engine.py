@@ -189,6 +189,17 @@ def _subst_idents(expr: str, mapping: dict[str, str]) -> str:
     return "".join(out)
 
 
+def _expr_refs(expr: str) -> set[str]:
+    """Lower-cased identifier words of ``expr`` outside string literals —
+    the shared ref-extraction for constraint/generated column matching
+    (column names fold to lowercase at CREATE; expression text is
+    stored verbatim, so matching must be case-insensitive)."""
+    return {
+        w.lower()
+        for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", _mask_quoted(expr))
+    }
+
+
 def _no_gen_on_gen(generated: dict[str, str]) -> None:
     """Postgres refuses a generated column whose expression references
     another generated column — and so must we: the UPDATE recompute
@@ -807,14 +818,11 @@ class MooncakeEngine:
         types = {
             f.name: f.dataType for f in self._moontable(dst).schema().fields
         }
+        present_l = {c.lower() for c in df.columns}
+        types_l = {t_.lower() for t_ in types}
         present = set(df.columns)
         for c, expr in gen.items():
-            refs = {
-                w for w in re.findall(
-                    r"[A-Za-z_][A-Za-z0-9_]*", _mask_quoted(expr)
-                )
-            }
-            if c not in types or (refs & set(types)) - present:
+            if c not in types or (_expr_refs(expr) & types_l) - present_l:
                 # narrow batch (key-only deletes, drift projections):
                 # inputs absent — leave the recorded/evolved value alone
                 continue
@@ -847,7 +855,6 @@ class MooncakeEngine:
             return df
         branches: list[tuple[Column, str]] = []
         present = set(df.columns)
-        all_cols = [f.name for f in self._moontable(dst).schema().fields]
         for c in cons.get("not_null", []):
             if c not in present:
                 continue
@@ -856,19 +863,25 @@ class MooncakeEngine:
                 f'null value in column "{c}" of relation "{name}" '
                 "violates not-null constraint",
             ))
+        types_by_lower = {
+            f.name.lower(): f.dataType.simpleString()
+            for f in self._moontable(dst).schema().fields
+        }
+        present_l = {c.lower() for c in present}
         for cname, expr in cons.get("checks", []):
             # a batch may be a narrow projection (key-only deletes, drift
-            # batches the evolve path null-fills): a check referencing an
-            # absent column is skipped — the null-filled value passes 3VL
-            # anyway, so this matches the evolve contract instead of
-            # crashing analysis
-            refs = {
-                w for w in re.findall(
-                    r"[A-Za-z_][A-Za-z0-9_]*", _mask_quoted(expr)
+            # batches the evolve path null-fills): absent referenced
+            # columns are substituted by typed NULLs — exactly the value
+            # the evolve path will fill — so AND-composed checks whose
+            # PRESENT columns already prove a violation still fire
+            # (skipping the whole check would silently admit them),
+            # while fully-null-dependent checks pass 3VL as in Postgres
+            absent = (_expr_refs(expr) & set(types_by_lower)) - present_l
+            if absent:
+                expr = _subst_idents(
+                    expr,
+                    {c: f"CAST(NULL AS {types_by_lower[c]})" for c in absent},
                 )
-            }
-            if (refs & set(all_cols)) - present:
-                continue
             # three-valued logic: a NULL check result passes (Postgres)
             branches.append((
                 ~F.coalesce(F.expr(expr), F.lit(True)),
@@ -2192,6 +2205,9 @@ class MooncakeEngine:
                 df = self.sql(entry["table_config"]["view_sql"])
             finally:
                 self._view_stack.discard(name)
+            cols = entry["table_config"].get("view_columns")
+            if cols:
+                df = df.toDF(*cols)
             return df.filter(where) if where else df
         if (entry.get("table_config") or {}).get("kind") == "mview":
             if version is not None or as_of_timestamp is not None:
@@ -2325,16 +2341,20 @@ class MooncakeEngine:
         if dm:
             return self._sql_deallocate(dm.group(1))
         vm = re.match(
-            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+"
-            r"AS\s+(.*?);?\s*$",
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s*"
+            r"(?:\(([^)]*)\)\s*)?AS\s+(.*?);?\s*$",
             query, re.I | re.S,
         )
         if vm:
             # Postgres CREATE VIEW persists in the catalog; the Spark
             # TEMP/TEMPORARY VIEW spellings do not match and pass through
+            cols = (
+                [c.strip().strip('"') for c in vm.group(3).split(",")]
+                if vm.group(3) else None
+            )
             return self._sql_create_view(
                 bool(vm.group(1)), vm.group(2).strip('"'),
-                vm.group(3).strip(),
+                vm.group(4).strip(), cols,
             )
         vm = re.match(
             r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*;?\s*$",
@@ -2343,17 +2363,23 @@ class MooncakeEngine:
         if vm:
             name = parse_table_name(vm.group(2).strip('"'))
             entry = self.catalog.list_tables().get(name)
-            if entry is not None and (
-                (entry.get("table_config") or {}).get("kind")
-                == "logical_view"
-            ):
+            if entry is not None:
+                kind = (entry.get("table_config") or {}).get("kind")
+                if kind != "logical_view":
+                    # Postgres: DROP VIEW on a table/matview errors; it
+                    # must never fall through and silently drop the
+                    # engine's internal resolution temp view instead
+                    raise ValueError(
+                        f'"{name}" is not a view '
+                        "(use DROP TABLE / drop_table)"
+                    )
                 self.catalog.drop(name)
                 try:  # resolution may have left a session temp view
                     self.spark.catalog.dropTempView(self._view_name(name))
                 except Exception:
                     pass
                 return self._dml_result("DROP VIEW", name, 1)
-            # not a catalog view — Spark temp views drop below
+            # not a catalog relation — Spark temp views drop below
         cm = re.match(
             r"^\s*CLUSTER\s+(?:VERBOSE\s+)?([\w.\"]+)"
             r"(?:\s+USING\s+\w+)?\s*;?\s*$",
@@ -2589,6 +2615,19 @@ class MooncakeEngine:
             len(_split_top_commas(types)) if types and types.strip()
             else None
         )
+        # Postgres validates marker bounds at PREPARE: $0 is never a
+        # parameter, and a body marker beyond the declared list errors
+        # here, not as an IndexError at EXECUTE
+        markers = [
+            int(m.group(1))
+            for m in re.finditer(r"\$(\d+)", _mask_quoted(stmt))
+        ]
+        if any(n == 0 for n in markers):
+            raise ValueError("there is no parameter $0")
+        if declared is not None:
+            bad = next((n for n in markers if n > declared), None)
+            if bad is not None:
+                raise ValueError(f"there is no parameter ${bad}")
         self._prepared[key] = (stmt.strip(), declared)
         return self.spark.createDataFrame(
             [("PREPARE", key, None)],
@@ -2744,7 +2783,11 @@ class MooncakeEngine:
         return self._SPARK_TO_PG.get(s, s)
 
     def _sql_create_view(
-        self, replace: bool, name: str, select_sql: str
+        self,
+        replace: bool,
+        name: str,
+        select_sql: str,
+        columns: Optional[list[str]] = None,
     ) -> DataFrame:
         """``CREATE [OR REPLACE] VIEW name AS select`` — a LOGICAL view
         persisted in the engine catalog (Postgres semantics: views
@@ -2771,12 +2814,23 @@ class MooncakeEngine:
             kind = (existing.get("table_config") or {}).get("kind")
             if not (replace and kind == "logical_view"):
                 raise ValueError(f'relation "{canon}" already exists')
-        self.sql(select_sql)  # analysis pass: names/syntax refuse NOW
+        probe = self.sql(select_sql)  # analysis: names/syntax refuse NOW
+        if columns is not None and len(columns) != len(probe.columns):
+            raise ValueError(
+                f"CREATE VIEW specifies {len(columns)} column names but "
+                f"the query produces {len(probe.columns)} columns"
+            )
         if existing is not None:
             self.catalog.drop(canon)
+        cfg: dict[str, Any] = {
+            "kind": "logical_view", "view_sql": select_sql,
+        }
+        if columns is not None:
+            # Postgres positional output-column rename: CREATE VIEW v (a, b)
+            cfg["view_columns"] = columns
         self.catalog.register(
             canon, None, os.path.join(self.warehouse, "_views", canon),
-            table_config={"kind": "logical_view", "view_sql": select_sql},
+            table_config=cfg,
         )
         return self._dml_result("CREATE VIEW", canon, 1)
 
@@ -2860,11 +2914,19 @@ class MooncakeEngine:
             schema_part, _, table_part = name.rpartition(".")
             schema_part = schema_part or "public"
             kind = (e.get("table_config") or {}).get("kind") or "mirror"
-            t_type = "VIEW" if kind == "mview" else "BASE TABLE"
+            t_type = (
+                "VIEW" if kind in ("mview", "logical_view")
+                else "BASE TABLE"
+            )
             t_rows.append(("mooncake", schema_part, table_part, t_type))
             if rel == "columns":
                 try:
-                    fields = MoonTable(self.spark, e["path"]).schema().fields
+                    if kind == "logical_view":
+                        fields = self.table(name).schema.fields
+                    else:
+                        fields = MoonTable(
+                            self.spark, e["path"]
+                        ).schema().fields
                 except Exception:
                     # materialized views resolve through their own spec
                     try:
@@ -3358,6 +3420,11 @@ class MooncakeEngine:
                 f"{what} is not supported inside a transaction block; "
                 "COMMIT or ROLLBACK first"
             ))
+        # every DDL/maintenance chokepoint is also a recovery fence:
+        # dropping/recreating/altering a table while a committed
+        # transaction is incompletely applied would let the recovery
+        # replay the stale tail into the NEW table state
+        self._check_recovery_pending()
 
     def _sql_dml(
         self,
@@ -4302,13 +4369,7 @@ class MooncakeEngine:
                 *[("GENERATED", x) for x in generated.values()],
                 *[("CHECK", x[1]) for x in checks],
             ]:
-                try:
-                    empty.select(F.expr(e_))
-                except Exception as ex:
-                    raise ValueError(
-                        f"invalid {what} expression {e_!r}: "
-                        f"{str(ex).splitlines()[0]}"
-                    ) from ex
+                self._analysis_check_expr(None, what, e_, schema=schema)
             # change_feed on by default for SQL-created tables — the
             # wal_level=logical analog: DML commits persist an O(batch)
             # change file so the table can be followed (CALL
@@ -4493,12 +4554,21 @@ class MooncakeEngine:
             return self._sql_alter_column(t, col, action.strip())
         raise ValueError(f"unsupported {kind} statement: {q!r}")
 
-    def _analysis_check_expr(self, t: str, what: str, expr: str) -> None:
+    def _analysis_check_expr(
+        self,
+        t: Optional[str],
+        what: str,
+        expr: str,
+        schema: Optional[T.StructType] = None,
+    ) -> None:
         """One Spark analysis pass (no job) over an empty frame with the
-        table's schema — a typo'd expression must refuse at DDL time
+        table's schema (or an explicit ``schema`` when the table does
+        not exist yet) — a typo'd expression must refuse at DDL time
         (Postgres validates syntax even for NOT VALID), never poison
         later writes."""
-        probe = self.spark.createDataFrame([], self._moontable(t).schema())
+        if schema is None:
+            schema = self._moontable(t).schema()
+        probe = self.spark.createDataFrame([], schema)
         try:
             probe.select(F.expr(expr))
         except Exception as ex:
@@ -4588,24 +4658,16 @@ class MooncakeEngine:
             raise ValueError(
                 f'constraint "{dup}" for relation "{name}" already exists'
             )
-        probe = self.spark.createDataFrame(
-            [], T.StructType(
-                [*self._moontable(t).schema().fields,
-                 T.StructField(col, _pg_type_to_spark(type_sql), True)]
-            )
+        widened = T.StructType(
+            [*self._moontable(t).schema().fields,
+             T.StructField(col, _pg_type_to_spark(type_sql), True)]
         )
         for what, e_ in [
             *([("DEFAULT", info["default"])] if info["default"] else []),
             *([("GENERATED", info["generated"])] if info["generated"] else []),
             *[("CHECK", x[1]) for x in info["checks"]],
         ]:
-            try:
-                probe.select(F.expr(e_))
-            except Exception as ex:
-                raise ValueError(
-                    f"invalid {what} expression {e_!r}: "
-                    f"{str(ex).splitlines()[0]}"
-                ) from ex
+            self._analysis_check_expr(None, what, e_, schema=widened)
         fill = info["generated"] or info["default"]
         if (info["not_null"] or info["checks"]) and fill is None:
             # Postgres: NOT NULL add needs a default when rows exist; a

@@ -42,7 +42,7 @@ def write_bucketed(
     Pick ``n_buckets`` so a bucket is a few hundred MB at target scale;
     both sides of a planned co-located join MUST use the same count."""
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     # a managed-table location can outlive the in-memory catalog (a
@@ -51,7 +51,14 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     if wh.scheme in ("", "file"):
-        stale = os.path.join(wh.path, table.lower())
+        parts = table.lower().split(".")
+        # managed layout: <wh>/<db>.db/<table>; default db is flat
+        rel = (
+            os.path.join(f"{parts[0]}.db", parts[1])
+            if len(parts) == 2 and parts[0] != "default"
+            else parts[-1]
+        )
+        stale = os.path.join(unquote(wh.path), rel)
         if os.path.isdir(stale):
             shutil.rmtree(stale, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)

@@ -1860,11 +1860,11 @@ def lifecycle_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey % 6 = 0
     ),
     after_dml AS (
-      -- committed UPDATE: halve negative balances
+      -- committed UPDATE: double mid-range balances — rows CROSS the
+      -- view's 1000 threshold, so a stale-snapshot view would differ
       SELECT id,
-             CASE WHEN bal < 0
-                  THEN CAST(CAST(bal AS DECIMAL(18,2)) / 2 AS DOUBLE)
-                  ELSE bal END AS bal,
+             CASE WHEN bal > 500.0 AND bal <= 1500.0
+                  THEN bal * 2 ELSE bal END AS bal,
              nk
       FROM base
     )
@@ -1898,10 +1898,11 @@ def lifecycle_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT nk, count(*) AS n_rich, "
             "CAST(SUM(CAST(bal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal "
             "FROM rich_v GROUP BY nk")
-    # DML AFTER the views exist must show through both layers
+    # DML AFTER the views exist must show through both layers: the
+    # doubled rows cross the views' 1000 threshold, so a snapshot-at-
+    # CREATE regression changes counts AND sums
     eng.sql("""
-        UPDATE acct_v
-        SET bal = CAST(CAST(bal AS DECIMAL(18,2)) / 2 AS DOUBLE)
-        WHERE bal < 0
+        UPDATE acct_v SET bal = bal * 2
+        WHERE bal > 500.0 AND bal <= 1500.0
     """)
     return eng.sql("SELECT * FROM rich_by_nation_v ORDER BY nk")

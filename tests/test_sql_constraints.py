@@ -487,3 +487,40 @@ def test_streaming_sync_enforces_constraints(eng, spark, tmp_path):
     with pytest.raises(Exception, match="check constraint"):
         q2.awaitTermination()
     assert eng.sql("SELECT count(*) AS n FROM sc").collect()[0].n == 2
+
+
+def test_partial_check_fires_on_narrow_batch(eng, spark):
+    """An AND-composed CHECK whose PRESENT columns already prove a
+    violation must fire on a drift batch; absent inputs substitute as
+    the typed NULLs the evolve path fills."""
+    eng.sql("""CREATE TABLE pc (
+      id bigint PRIMARY KEY, bal int, cap int,
+      CONSTRAINT both_pos CHECK (bal >= 0 AND cap >= 0)
+    )""")
+    bad = spark.createDataFrame([(1, -5, "I")], "id long, bal int, __op string")
+    with pytest.raises(Exception, match='check constraint "both_pos"'):
+        eng.apply_changes("pc", bad, on_schema_drift="evolve")
+    ok = spark.createDataFrame([(1, 5, "I")], "id long, bal int, __op string")
+    eng.apply_changes("pc", ok, on_schema_drift="evolve")  # NULL cap: 3VL
+    assert eng.sql("SELECT count(*) AS n FROM pc").collect()[0].n == 1
+
+
+def test_recovery_fence_covers_ddl(eng, spark, monkeypatch):
+    eng.sql("CREATE TABLE fd (id bigint PRIMARY KEY, v int)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO fd VALUES (1, 10)")
+    real = type(eng).insert
+    monkeypatch.setattr(
+        type(eng), "insert",
+        lambda self, dst, df, source_version=None:
+            (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError):
+        eng.sql("COMMIT")
+    monkeypatch.setattr(type(eng), "insert", real)
+    with pytest.raises(ValueError, match="incompletely applied"):
+        eng.drop_table("fd")
+    with pytest.raises(ValueError, match="incompletely applied"):
+        eng.sql("ALTER TABLE fd ADD COLUMN w int")
+    eng.recover_transactions()
+    eng.drop_table("fd")  # fence lifted

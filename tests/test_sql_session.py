@@ -407,10 +407,36 @@ def test_logical_views_persist_and_track_base(eng, cust, spark, warehouse):
     tt = {r.table_name: r.table_type for r in eng.sql(
         "SELECT table_name, table_type FROM information_schema.tables"
     ).collect()}
-    assert tt["rich"] == "BASE TABLE" or tt["rich"] == "VIEW"
+    assert tt["rich"] == "VIEW"
     # bad body refuses at CREATE; DROP VIEW removes from the catalog
     with pytest.raises(Exception):
         eng.sql("CREATE VIEW broken AS SELECT * FROM no_such_table")
     eng.sql("DROP VIEW rich2")
     with pytest.raises(Exception):
         eng.sql("SELECT * FROM rich2")
+
+
+def test_view_column_alias_list_and_drop_view_guards(eng, cust):
+    eng.create_table("va_base", source_df=cust.limit(10),
+                     primary_key=["c_custkey"])
+    eng.sql("CREATE VIEW va (key, balance) AS "
+            "SELECT c_custkey, c_acctbal FROM va_base")
+    cols = eng.sql("SELECT * FROM va").columns
+    assert cols == ["key", "balance"]
+    with pytest.raises(ValueError, match="2 column names"):
+        eng.sql("CREATE VIEW va2 (a, b) AS SELECT c_custkey FROM va_base")
+    with pytest.raises(ValueError, match="is not a view"):
+        eng.sql("DROP VIEW va_base")
+    # classification + columns introspection
+    c = [r.column_name for r in eng.sql(
+        "SELECT column_name FROM information_schema.columns "
+        "WHERE table_name = 'va' ORDER BY ordinal_position"
+    ).collect()]
+    assert c == ["key", "balance"]
+
+
+def test_prepare_marker_bounds_validate_at_prepare(eng):
+    with pytest.raises(ValueError, match=r"no parameter \$3"):
+        eng.sql("PREPARE pb (int) AS SELECT $3")
+    with pytest.raises(ValueError, match=r"no parameter \$0"):
+        eng.sql("PREPARE pz AS SELECT $0")
