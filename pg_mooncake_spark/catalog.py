@@ -197,6 +197,19 @@ class SyncCatalog:
             raise KeyError(f"unknown mirror {table!r}")
         return data[table]
 
+    def rename(self, old: str, new: str) -> None:
+        """Move an entry to a new name in one atomic catalog write.  The
+        storage path is untouched (paths are opaque handles)."""
+        with self._lock:
+            data = self._load()
+            if old not in data:
+                raise KeyError(f"unknown mirror {old!r}")
+            if new in data:
+                raise ValueError(f"mirror {new!r} already registered")
+            data[new] = data.pop(old)
+            self._reindex(data)
+            self._save(data)
+
     def drop(self, table: str) -> dict[str, Any]:
         with self._lock:
             data = self._load()

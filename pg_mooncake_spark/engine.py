@@ -1845,6 +1845,45 @@ class MooncakeEngine:
         )
         return v
 
+    def rename_table(self, old: str, new: str) -> None:
+        """``ALTER TABLE old RENAME TO new`` — a metadata-only catalog
+        move (the storage path is an opaque handle and stays put, so no
+        data or export file is touched).
+
+        Loud refusals where a dependent pins the OLD name: materialized
+        views and follower mirrors record their base by name, and a
+        logical view's stored SQL references it textually — Postgres
+        follows renames through OIDs, which a name-keyed catalog cannot
+        do silently, so the dependent must be dropped (or recreated)
+        first."""
+        self._no_txn("rename_table")
+        old = self._canon(old)
+        newc = parse_table_name(new)
+        if newc in self.catalog.list_tables():
+            raise ValueError(f'relation "{newc}" already exists')
+        deps = self.catalog.dependents(old)
+        if deps:
+            raise ValueError(
+                f"cannot rename {old!r}: dependent objects {sorted(deps)} "
+                "record the base by name; drop or recreate them first"
+            )
+        old_alias = self._view_name(old).lower()
+        for n, e in self.catalog.list_tables().items():
+            cfg = e.get("table_config") or {}
+            if (
+                cfg.get("kind") == "logical_view"
+                and old_alias in _expr_refs(cfg.get("view_sql", ""))
+            ):
+                raise ValueError(
+                    f"cannot rename {old!r}: logical view {n!r} "
+                    "references it; drop the view first"
+                )
+        self.catalog.rename(old, newc)
+        try:  # a stale pinned temp view must not answer for the old name
+            self.spark.catalog.dropTempView(self._view_name(old))
+        except Exception:
+            pass
+
     def rename_column(self, dst: str, old: str, new: str) -> int:
         """Propagate an upstream ALTER TABLE RENAME COLUMN (extension
         territory — the reference does no ALTER propagation at all,
@@ -4403,6 +4442,14 @@ class MooncakeEngine:
             v = self.delete_where(m.group(1), "true")
             return self._dml_result("TRUNCATE", m.group(1), v)
         # ALTER
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+RENAME\s+TO\s+"
+            r'("[^"]+"|[\w.]+)\s*$',
+            q, re.I,
+        )
+        if m:
+            self.rename_table(m.group(1), m.group(2).strip('"'))
+            return self._dml_result("ALTER", m.group(2).strip('"'), 1)
         m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+RENAME\s+COLUMN\s+"
             r'("[^"]+"|\w+)\s+TO\s+("[^"]+"|\w+)\s*$',

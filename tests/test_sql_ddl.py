@@ -304,3 +304,32 @@ class TestSqlDdl:
             eng.sql("ALTER TABLE x OWNER TO y")
         with pytest.raises(ValueError, match="column defs|cannot parse"):
             eng.sql("CREATE TABLE x LIKE y")
+
+
+def test_alter_table_rename_to(eng):
+    eng.sql("""CREATE TABLE rt (
+      id bigint PRIMARY KEY,
+      v int NOT NULL DEFAULT 3 CHECK (v > 0)
+    )""")
+    eng.sql("INSERT INTO rt (id) VALUES (1)")
+    eng.sql("ALTER TABLE rt RENAME TO rt2")
+    assert eng.sql("SELECT count(*) AS n FROM rt2").collect()[0].n == 1
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM rt").collect()  # old name gone
+    # constraint metadata rides the entry
+    with pytest.raises(Exception, match='check constraint'):
+        eng.sql("UPDATE rt2 SET v = -1 WHERE id = 1")
+    eng.sql("INSERT INTO rt2 (id) VALUES (2)")  # default survives
+    assert eng.sql(
+        "SELECT v FROM rt2 WHERE id = 2"
+    ).collect()[0].v == 3
+    # refusals: name taken, logical-view dependency
+    eng.sql("CREATE TABLE other (id bigint PRIMARY KEY)")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("ALTER TABLE rt2 RENAME TO other")
+    eng.sql("CREATE VIEW rv AS SELECT id FROM rt2")
+    with pytest.raises(ValueError, match="references it"):
+        eng.sql("ALTER TABLE rt2 RENAME TO rt3")
+    eng.sql("DROP VIEW rv")
+    eng.sql("ALTER TABLE rt2 RENAME TO rt3")
+    assert eng.sql("SELECT count(*) AS n FROM rt3").collect()[0].n == 2
