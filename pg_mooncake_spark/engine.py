@@ -62,6 +62,24 @@ _DEALLOCATE_KIND = re.compile(
     r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*;?\s*$", re.I
 )
 _SHOW_TABLES_KIND = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_SET_KIND = re.compile(
+    r"^\s*SET\s+(?:(SESSION|LOCAL)\s+)?"
+    r"(?:(TIME\s+ZONE)\s+(.+?)|([A-Za-z_][\w.]*)\s*(?:TO|=)\s*(.+?))"
+    r"\s*;?\s*$",
+    re.I | re.S,
+)
+_RESET_KIND = re.compile(
+    r"^\s*RESET\s+(ALL|TIME\s+ZONE|[A-Za-z_][\w.]*)\s*;?\s*$", re.I
+)
+_SHOW_GUC_KIND = re.compile(
+    r"^\s*SHOW\s+(ALL|TIME\s+ZONE|[A-Za-z_][\w.]*)\s*;?\s*$", re.I
+)
+# Spark's own multi-word SHOW spellings must keep passing through to
+# spark.sql untouched (SHOW DATABASES / VIEWS / PARTITIONS t ...)
+_SHOW_SPARK_WORDS = frozenset(
+    "DATABASES SCHEMAS VIEWS FUNCTIONS PARTITIONS COLUMNS TBLPROPERTIES "
+    "CREATE CATALOGS NAMESPACES TABLES TABLE".split()
+)
 _DESCRIBE_KIND = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w\".]+)\s*;?\s*$", re.I
 )
@@ -577,6 +595,12 @@ class MooncakeEngine:
         # session-scoped prepared statements: name -> statement text with
         # $n markers (PREPARE / EXECUTE / DEALLOCATE, Postgres semantics)
         self._prepared: dict[str, tuple[str, Optional[int]]] = {}
+        # session GUC overlay: canonical name -> explicitly-set value
+        # (SET/SHOW/RESET, reference CHANGELOG.md:13-14 duckdb.* GUCs);
+        # _guc_originals captures pre-SET Spark conf values so RESET can
+        # restore them (None = the conf was unset)
+        self._gucs: dict[str, str] = {}
+        self._guc_originals: dict[str, Optional[str]] = {}
         # logical-view resolution stack (cycle guard)
         self._view_stack: set[str] = set()
         self._txn_replaying = False
@@ -855,11 +879,17 @@ class MooncakeEngine:
             return df
         branches: list[tuple[Column, str]] = []
         present = set(df.columns)
+        # constraint metadata stores lowercased column names; an API
+        # write may carry any identifier case — resolve the actual
+        # DataFrame column case-insensitively (as _apply_generated does)
+        # so NOT NULL is enforced regardless of the batch's casing
+        by_lower = {c.lower(): c for c in df.columns}
         for c in cons.get("not_null", []):
-            if c not in present:
+            actual = by_lower.get(c.lower())
+            if actual is None:
                 continue
             branches.append((
-                F.col(c).isNull(),
+                F.col(actual).isNull(),
                 f'null value in column "{c}" of relation "{name}" '
                 "violates not-null constraint",
             ))
@@ -2379,6 +2409,12 @@ class MooncakeEngine:
         dm = _DEALLOCATE_KIND.match(query)
         if dm:
             return self._sql_deallocate(dm.group(1))
+        sm = _SET_KIND.match(query)
+        if sm:
+            return self._sql_set(sm, query)
+        rsm = _RESET_KIND.match(query)
+        if rsm:
+            return self._sql_reset(rsm.group(1))
         vm = re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s*"
             r"(?:\(([^)]*)\)\s*)?AS\s+(.*?);?\s*$",
@@ -2455,6 +2491,11 @@ class MooncakeEngine:
             return self.list_tables().select(
                 F.col("table").alias("table_name")
             )
+        shm = _SHOW_GUC_KIND.match(query)
+        if shm and (
+            shm.group(1).split()[0].upper() not in _SHOW_SPARK_WORDS
+        ):
+            return self._sql_show_guc(shm.group(1))
         desc = _DESCRIBE_KIND.match(query)
         if desc:
             try:
@@ -2680,11 +2721,18 @@ class MooncakeEngine:
         pin: Optional[dict[str, int]],
         copy_data: Optional[Any],
     ) -> DataFrame:
-        """``EXECUTE name(args)`` — bind the stored statement's ``$n``
-        markers to the argument EXPRESSION TEXTS (each parenthesized, so
-        precedence survives textual substitution) and dispatch it as if
+        """``EXECUTE name(args)`` — evaluate each argument expression
+        ONCE (Postgres's extended-protocol bind: parameters are values,
+        not expression splices), then substitute the rendered literal
+        into every ``$n`` occurrence and dispatch the statement as if
         typed directly; inside a transaction block the bound statement
-        stages exactly like immediate DML."""
+        stages exactly like immediate DML.
+
+        Bind-once matters twice: a volatile argument (``rand()``) must
+        evaluate to ONE value even when its marker repeats, and an
+        argument referencing a target-table column must error (Postgres
+        rejects column references in bind parameters) instead of being
+        silently spliced into the statement's scope."""
         key = name.lower()
         if key not in self._prepared:
             raise ValueError(f'prepared statement "{key}" does not exist')
@@ -2707,10 +2755,22 @@ class MooncakeEngine:
                 f"bind message supplies {len(texts)} parameters, but "
                 f'prepared statement "{key}" requires {need}'
             )
+        bound: list[str] = []
+        for text in texts:
+            # one-row evaluation in an empty scope: column references
+            # (no FROM) and malformed expressions error here, loudly
+            try:
+                val = self.spark.sql(f"SELECT ({text}) AS v").first()[0]
+            except Exception as exc:
+                raise ValueError(
+                    f"EXECUTE {key}: cannot evaluate parameter "
+                    f"expression {text!r}: {exc}"
+                ) from None
+            bound.append(_render_literal(val))
         out, prev = [], 0
         for (s, e), n in spans:
             out.append(stmt[prev:s])
-            out.append(f"({texts[n - 1]})")
+            out.append(bound[n - 1])
             prev = e
         out.append(stmt[prev:])
         return self._sql_dispatch("".join(out), pin, copy_data)
@@ -2734,6 +2794,206 @@ class MooncakeEngine:
             "statement string, table string, version long",
         )
 
+    # ------------------------------------------------------- session GUCs
+    #
+    # The reference exposes its engine settings as SQL-visible GUCs —
+    # ``duckdb.max_memory`` / ``duckdb.threads`` (reference
+    # CHANGELOG.md:13-14; non-superuser SET fix CHANGELOG.md:7) — so a
+    # tuning script's first lines are ``SET``/``SHOW``.  Here the same
+    # spellings drive Spark session confs: ``threads`` maps to
+    # ``spark.sql.shuffle.partitions`` (the runtime parallelism knob;
+    # executor counts are cluster-manager-side), ``timezone`` to
+    # ``spark.sql.session.timeZone``; ``max_memory`` is validated and
+    # recorded session-locally (JVM heap is fixed at launch — the GUC is
+    # advisory, exactly like a follower ignoring a leader-only knob).
+    # ``SET spark.*`` passes through to the live session conf so real
+    # Spark tuning needs no side channel.  Unknown parameters error
+    # loudly (Postgres: unrecognized configuration parameter).
+
+    _GUC_ALIASES = {
+        "duckdb.max_memory": "mooncake.max_memory",
+        "duckdb.memory_limit": "mooncake.max_memory",
+        "mooncake.memory_limit": "mooncake.max_memory",
+        "duckdb.threads": "mooncake.threads",
+        "duckdb.worker_threads": "mooncake.threads",
+    }
+    # canonical GUC -> the runtime-settable Spark conf it drives
+    _GUC_SPARK = {
+        "mooncake.threads": "spark.sql.shuffle.partitions",
+        "timezone": "spark.sql.session.timeZone",
+    }
+    # session-local (validated, SHOW-visible; no post-launch Spark knob)
+    _GUC_STORED = {
+        "mooncake.max_memory": "",
+        "search_path": '"$user", public',
+        "client_min_messages": "notice",
+    }
+    _SIZE_RE = re.compile(
+        r"^\d+(\.\d+)?\s*(%|B|KB|MB|GB|TB|PB|KIB|MIB|GIB|TIB)?$", re.I
+    )
+
+    def _guc_canon(self, raw: str) -> str:
+        trimmed = re.sub(r"\s+", " ", raw.strip())
+        name = trimmed.lower()
+        if name == "time zone":
+            name = "timezone"
+        if name.startswith("spark."):
+            # Spark conf keys are case-sensitive — pass them verbatim
+            return trimmed
+        return self._GUC_ALIASES.get(name, name)
+
+    def _guc_known(self, name: str) -> bool:
+        return (
+            name in self._GUC_SPARK
+            or name in self._GUC_STORED
+            or name.startswith("spark.")
+        )
+
+    def _guc_validate(self, name: str, value: str) -> str:
+        if name == "mooncake.threads":
+            try:
+                n = int(value)
+            except ValueError:
+                n = 0
+            if n <= 0:
+                raise ValueError(
+                    f'invalid value for parameter "threads": "{value}" '
+                    "(a positive integer)"
+                )
+            return str(n)
+        if name == "mooncake.max_memory":
+            if not self._SIZE_RE.match(value.strip()):
+                raise ValueError(
+                    f'invalid value for parameter "max_memory": '
+                    f'"{value}" (e.g. \'4GB\', \'512MB\', \'80%\')'
+                )
+            return value.strip()
+        return value
+
+    def _guc_effective(self, name: str) -> str:
+        key = self._GUC_SPARK.get(name)
+        if key is None and name.startswith("spark."):
+            key = name
+        if key is not None:
+            try:
+                return self.spark.conf.get(key)
+            except Exception:
+                return ""
+        return self._gucs.get(name, self._GUC_STORED.get(name, ""))
+
+    def _guc_set(self, name: str, value: Optional[str]) -> None:
+        """Apply an explicit value, or restore the pre-session default
+        when ``value`` is None (RESET / SET ... DEFAULT / txn unwind)."""
+        key = self._GUC_SPARK.get(name)
+        if key is None and name.startswith("spark."):
+            key = name
+        if key is not None:
+            if key not in self._guc_originals:
+                try:
+                    orig: Optional[str] = self.spark.conf.get(key)
+                except Exception:
+                    orig = None
+                self._guc_originals[key] = orig
+            if value is None:
+                orig = self._guc_originals[key]
+                if orig is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, orig)
+            else:
+                self.spark.conf.set(key, value)
+        if value is None:
+            self._gucs.pop(name, None)
+        else:
+            self._gucs[name] = value
+
+    def _guc_txn_unwind(self, txn: dict, committed: bool) -> None:
+        """Postgres GUC transactionality: plain SET is reverted by
+        ROLLBACK (kept by COMMIT); SET LOCAL is reverted at block end
+        either way.  Entries unwind newest-first."""
+        for name, prior, local in reversed(txn.get("guc_restore", [])):
+            if local or not committed:
+                self._guc_set(name, prior)
+
+    def _sql_set(self, m: "re.Match", query: str) -> DataFrame:
+        scope = (m.group(1) or "SESSION").upper()
+        if m.group(2):
+            raw, value_text = "timezone", m.group(3)
+        else:
+            raw, value_text = m.group(4), m.group(5)
+        name = self._guc_canon(raw)
+        if not self._guc_known(name):
+            raise ValueError(
+                f'unrecognized configuration parameter "{raw.strip()}"'
+            )
+        t = value_text.strip().rstrip(";").strip()
+        if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+            value: Optional[str] = t[1:-1].replace("''", "'")
+        elif t.upper() == "DEFAULT":
+            value = None
+        else:
+            value = t
+        if value is not None:
+            value = self._guc_validate(name, value)
+        if self._txn is not None:
+            self._txn.setdefault("guc_restore", []).append(
+                (name, self._gucs.get(name), scope == "LOCAL")
+            )
+        self._guc_set(name, value)
+        return self.spark.createDataFrame(
+            [("SET", name, self._guc_effective(name))],
+            "statement string, parameter string, value string",
+        )
+
+    def _sql_reset(self, raw: str) -> DataFrame:
+        if raw.strip().upper() == "ALL":
+            for name in sorted(self._gucs):
+                if self._txn is not None:
+                    self._txn.setdefault("guc_restore", []).append(
+                        (name, self._gucs.get(name), False)
+                    )
+                self._guc_set(name, None)
+            return self.spark.createDataFrame(
+                [("RESET", "ALL", None)],
+                "statement string, parameter string, value string",
+            )
+        name = self._guc_canon(raw)
+        if not self._guc_known(name):
+            raise ValueError(
+                f'unrecognized configuration parameter "{raw.strip()}"'
+            )
+        if self._txn is not None:
+            self._txn.setdefault("guc_restore", []).append(
+                (name, self._gucs.get(name), False)
+            )
+        self._guc_set(name, None)
+        return self.spark.createDataFrame(
+            [("RESET", name, self._guc_effective(name))],
+            "statement string, parameter string, value string",
+        )
+
+    def _sql_show_guc(self, raw: str) -> DataFrame:
+        from pyspark.sql import types as T_
+
+        if raw.strip().upper() == "ALL":
+            names = sorted(
+                set(self._GUC_STORED) | set(self._GUC_SPARK)
+                | set(self._gucs)
+            )
+            return self.spark.createDataFrame(
+                [(n, self._guc_effective(n)) for n in names],
+                "name string, setting string",
+            )
+        name = self._guc_canon(raw)
+        if not self._guc_known(name):
+            raise ValueError(
+                f'unrecognized configuration parameter "{raw.strip()}"'
+            )
+        schema = T_.StructType([T_.StructField(name, T_.StringType())])
+        return self.spark.createDataFrame(
+            [(self._guc_effective(name),)], schema
+        )
+
     def _sql_explain(
         self, query: str, pin: Optional[dict[str, int]]
     ) -> DataFrame:
@@ -2754,6 +3014,9 @@ class MooncakeEngine:
             r"CODEGEN|COST)\s+)*)(.*)$",
             query, re.I | re.S,
         )
+        if m is None:
+            # bare "EXPLAIN" / "EXPLAIN;" — no statement to plan
+            raise ValueError("EXPLAIN: empty statement")
         opts = {w.upper() for w in (m.group(1) or "").split()}
         inner = m.group(2).strip().rstrip(";")
         if not inner:
@@ -3166,7 +3429,7 @@ class MooncakeEngine:
                 )
             self._txn = {
                 "overlay": {}, "staged": [], "aborted": False,
-                "savepoints": [],
+                "savepoints": [], "guc_restore": [],
                 # BEGIN READ ONLY is enforced, not just parsed: staging
                 # any write into a read-only block refuses
                 "read_only": bool(
@@ -3180,7 +3443,8 @@ class MooncakeEngine:
                     "COMMIT", "no transaction in progress"
                 )
             if self._txn["aborted"]:
-                self._txn = None
+                txn, self._txn = self._txn, None
+                self._guc_txn_unwind(txn, committed=False)
                 return self._txn_result(
                     "ROLLBACK", "aborted transaction rolled back"
                 )
@@ -3189,6 +3453,7 @@ class MooncakeEngine:
                 self._check_recovery_pending()
                 manifest = self._persist_txn(txn["staged"])
                 self._replay_txn(manifest)
+            self._guc_txn_unwind(txn, committed=True)
             return self._txn_result(
                 "COMMIT", f"{len(txn['staged'])} statement(s) applied"
             )
@@ -3222,11 +3487,13 @@ class MooncakeEngine:
             return self._txn_result(
                 "ROLLBACK", f"rolled back to savepoint {name}"
             )
-        had = self._txn is not None
-        self._txn = None
+        txn, self._txn = self._txn, None
+        if txn is not None:
+            self._guc_txn_unwind(txn, committed=False)
         return self._txn_result(
             "ROLLBACK",
-            "transaction discarded" if had else "no transaction in progress",
+            "transaction discarded" if txn is not None
+            else "no transaction in progress",
         )
 
     # Durable-COMMIT write-ahead protocol (judge-r11: a crash between the
@@ -4443,6 +4710,26 @@ class MooncakeEngine:
             return self._dml_result("TRUNCATE", m.group(1), v)
         # ALTER
         m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+SET\s+ACCESS\s+METHOD\s+"
+            r"(\w+)\s*$",
+            q, re.I,
+        )
+        if m:
+            # The reference's columnstore tables are selected by table
+            # ACCESS METHOD (``USING columnstore``; CHANGELOG.md:8 adds
+            # ALTER ... SET ACCESS METHOD).  Spark has no heap/AM split —
+            # every mirror IS columnar parquet — so switching a mirror's
+            # AM is not applicable here; refuse loudly (a silent no-op
+            # would let a migration script believe it converted a table)
+            t, am = m.group(1), m.group(2)
+            self._canon(t)  # unknown-table error first, like Postgres
+            raise ValueError(
+                f"ALTER TABLE ... SET ACCESS METHOD {am}: not applicable "
+                "— mirrors are always columnar (parquet); to change the "
+                "storage of the data, CREATE a new table from this one "
+                "or attach an export (delta/iceberg)"
+            )
+        m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+RENAME\s+TO\s+"
             r'("[^"]+"|[\w.]+)\s*$',
             q, re.I,
@@ -5182,7 +5469,36 @@ class MooncakeEngine:
                 fmt=args[2] if len(args) > 2 else "parquet",
             )
             return self._dml_result("CALL load_files", args[0], v)
+        if proc == "reset":
+            self.reset()
+            return self.spark.createDataFrame(
+                [("CALL reset", None, 0)],
+                "statement string, table string, version long",
+            )
         raise ValueError(f"unknown procedure mooncake.{proc}")
+
+    def reset(self) -> None:
+        """Reset the session's execution state WITHOUT touching any
+        table: open transaction discarded, prepared statements
+        deallocated, session GUC overlays restored to their defaults,
+        and the engine's pinned resolution temp views dropped (they
+        re-pin lazily on next use).  The analogue of the reference's
+        reset-DuckDB maintenance command (reference CHANGELOG.md:12
+        ``mooncake.reset``-style engine restart): the reference tears
+        down and relaunches its embedded engine; here the 'engine' is
+        the Spark session, so reset clears everything the engine layered
+        onto it.  SQL spelling: ``CALL mooncake.reset()``."""
+        if self._txn is not None:
+            txn, self._txn = self._txn, None
+            self._guc_txn_unwind(txn, committed=False)
+        self._prepared.clear()
+        for name in list(self._gucs):
+            self._guc_set(name, None)
+        for t in self.catalog.list_tables():
+            try:
+                self.spark.catalog.dropTempView(self._view_name(t))
+            except Exception:
+                pass
 
     def add_column(self, dst: str, col: str, dtype: T.DataType) -> int:
         """Widen the mirror with a new NULLABLE column — the upstream

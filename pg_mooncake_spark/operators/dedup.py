@@ -232,6 +232,75 @@ def minhash_dedup_pairs(
 
 # ------------------------------------------- persisted incremental index
 
+# Hidden to parquet scans (leading underscore), visible to us: the index
+# parameters are pinned at build time so extend/probe can never disagree
+# with the layout on disk (a probe run with a different n_shards would
+# compute different shard values and silently miss true duplicates).
+_INDEX_META_FILE = "_MINHASH_INDEX_META.json"
+
+
+def _hadoop_path(spark, path: str):
+    """(FileSystem, Path) through the Hadoop API — works on every
+    Spark-supported scheme (s3a://, hdfs://, file:), unlike driver-local
+    ``os.path`` checks."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hp
+
+
+def minhash_index_exists(spark, path: str) -> bool:
+    """True if a persisted MinHash index exists at ``path`` on whatever
+    filesystem the path's scheme selects."""
+    fs, hp = _hadoop_path(spark, path)
+    return bool(fs.exists(hp))
+
+
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    import json as _json
+
+    fs, hp = _hadoop_path(spark, f"{path.rstrip('/')}/{_INDEX_META_FILE}")
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(_json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_minhash_index_meta(spark, path: str):
+    """The parameters the index at ``path`` was built with, or ``None``
+    for a pre-metadata index (callers then fall back to their own
+    arguments, the old contract)."""
+    import json as _json
+
+    fs, hp = _hadoop_path(spark, f"{path.rstrip('/')}/{_INDEX_META_FILE}")
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return _json.loads(data.decode())
+
+
+def _resolve_index_params(
+    spark, path: str, num_hashes: int, bands: int, shingle_k: int,
+    n_shards: int,
+) -> tuple[int, int, int, int]:
+    """Pinned-at-build parameters win over caller arguments: the disk
+    layout is the truth, and silently probing with a mismatched
+    ``n_shards`` loses duplicates."""
+    meta = read_minhash_index_meta(spark, path)
+    if meta is None:
+        return num_hashes, bands, shingle_k, n_shards
+    return (
+        int(meta["num_hashes"]), int(meta["bands"]),
+        int(meta["shingle_k"]), int(meta["n_shards"]),
+    )
+
 
 def _banded(
     sigs: DataFrame,
@@ -285,7 +354,11 @@ def build_minhash_index(
     is a few GB.
 
     Append new accepted batches with ``mode='append'`` via
-    :func:`extend_minhash_index` to keep the index current."""
+    :func:`extend_minhash_index` to keep the index current.  The build
+    parameters are pinned in ``_MINHASH_INDEX_META.json`` alongside the
+    data (hidden to parquet scans); extend/probe read them back so a
+    caller's mismatched defaults can never silently probe the wrong
+    shard layout."""
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
     (
         _banded(sigs, id_col, num_hashes, bands, n_shards)
@@ -293,6 +366,11 @@ def build_minhash_index(
         .partitionBy("shard")
         .parquet(path)
     )
+    _write_index_meta(df.sparkSession, path, {
+        "num_hashes": num_hashes, "bands": bands,
+        "shingle_k": shingle_k, "n_shards": n_shards,
+        "id_col": id_col,
+    })
 
 
 def extend_minhash_index(
@@ -306,7 +384,11 @@ def extend_minhash_index(
     n_shards: int = 16,
 ) -> None:
     """Append a new (accepted) batch's band rows to an existing index —
-    O(batch) work, no corpus rescan."""
+    O(batch) work, no corpus rescan.  Parameters pinned at build time
+    override the caller's arguments (disk layout is the truth)."""
+    num_hashes, bands, shingle_k, n_shards = _resolve_index_params(
+        df.sparkSession, path, num_hashes, bands, shingle_k, n_shards,
+    )
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
     (
         _banded(sigs, id_col, num_hashes, bands, n_shards)
@@ -341,7 +423,13 @@ def probe_minhash_index(
     signature, so the Jaccard estimate (matching-position fraction,
     zip_with — JVM-side) needs NO extra join back to either corpus.
     Band-hash collisions (Murmur3) are filtered by the estimate
-    exactly as in minhash_dedup_pairs."""
+    exactly as in minhash_dedup_pairs.  Parameters pinned at build time
+    override the caller's arguments — a probe with a different
+    ``n_shards`` would shard-join against the wrong partitions and
+    silently miss true duplicates."""
+    num_hashes, bands, shingle_k, n_shards = _resolve_index_params(
+        spark, path, num_hashes, bands, shingle_k, n_shards,
+    )
     sigs = minhash_signature(new_df, text_col, id_col, num_hashes, shingle_k)
     probe = _banded(sigs, id_col, num_hashes, bands, n_shards).select(
         F.col(id_col).alias("new_id"),

@@ -1076,6 +1076,11 @@ class MoonTable:
             raise MoonTableError("merge requires a primary key")
         if OP_COL not in changes.columns:
             raise MoonTableError(f"changes must carry {OP_COL} in {{I,U,D}}")
+        # fold batch column case to the table spelling BEFORE drift
+        # detection: a different-cased batch is not drift, and under
+        # 'evolve' it would otherwise dup the column and bypass
+        # constraint metadata (stored lowercased) — ADVICE r12
+        changes = self._align_case(changes)
         # source schema drift fails LOUDLY by default (SURVEY §7.3): an
         # extra column silently dropped, or a missing one silently
         # nulled, would let a drifted upstream diverge the mirror without
@@ -2051,9 +2056,38 @@ class MoonTable:
 
     # ---------------------------------------------------------------- misc
 
+    def _align_case(self, df: DataFrame) -> DataFrame:
+        """Rename batch columns that case-insensitively match a table
+        column to the table's exact spelling (Postgres folds unquoted
+        identifiers; Spark's analyzer resolves case-insensitively by
+        default).  Without this, a different-cased batch either errors
+        spuriously or — worse, under evolve — registers as schema drift
+        and silently bypasses constraint metadata keyed on the stored
+        case (ADVICE r12).  Two batch columns folding to one table
+        column is ambiguous and refused."""
+        canon = {f.name.lower(): f.name for f in self.schema().fields}
+        taken: dict[str, str] = {}
+        renames: list[tuple[str, str]] = []
+        for c in df.columns:
+            want = canon.get(c.lower())
+            if want is None:
+                continue
+            if want in taken and taken[want] != c:
+                raise MoonTableError(
+                    f"ambiguous input columns {taken[want]!r} and {c!r} "
+                    f"both resolve to table column {want!r}"
+                )
+            taken[want] = c
+            if want != c:
+                renames.append((c, want))
+        for old, new in renames:
+            df = df.withColumnRenamed(old, new)
+        return df
+
     def _conform(self, df: DataFrame) -> DataFrame:
         """Schema reconciliation: align column order & types to the table
         schema (load_files contract — reference src/functions.rs:118-130)."""
+        df = self._align_case(df)
         schema = self.schema()
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:

@@ -244,12 +244,11 @@ def streaming_index_dedup(
 
     Returns the DataStreamWriter (caller picks trigger/checkpoint and
     starts it)."""
-    import os as _os
-
     from pg_mooncake_spark.operators.dedup import (
         build_minhash_index,
         extend_minhash_index,
         minhash_dedup_pairs,
+        minhash_index_exists,
         probe_minhash_index,
     )
 
@@ -261,8 +260,13 @@ def streaming_index_dedup(
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)  # probe + anti-join +
         # extend all consume it; recomputing a stream source is illegal
+        # existence via the Hadoop FileSystem API: a driver-local
+        # os.path check is always False for s3a://hdfs:// index paths,
+        # which would silently rebuild (destroy) the historical index
+        # every micro-batch
+        has_index = minhash_index_exists(spark, index_path)
         survivors = batch
-        if _os.path.isdir(index_path):
+        if has_index:
             hits = probe_minhash_index(
                 spark, index_path, batch, text_col, id_col,
                 threshold=threshold, **kw,
@@ -281,7 +285,7 @@ def streaming_index_dedup(
         ).localCheckpoint(eager=True)  # pin BEFORE the index grows: the
         # extend below appends the survivors' own bands, and a lazy plan
         # re-probing afterwards would see them
-        if _os.path.isdir(index_path):
+        if has_index:
             extend_minhash_index(
                 survivors, index_path, text_col, id_col, **kw
             )
