@@ -1,0 +1,2975 @@
+"""The SQL statement router: Postgres-dialect statement dispatch over
+the lifecycle engine.
+
+``SqlRouterMixin`` carries :meth:`sql` (the user entry point), the
+statement-kind dispatch, and every per-statement parser/compiler —
+DML (INSERT/UPDATE/DELETE/MERGE + ON CONFLICT, join-DML), DDL (CREATE/
+DROP/TRUNCATE/ALTER incl. constraints and generated columns), COPY,
+CALL procedures, transaction blocks + savepoints, PREPARE/EXECUTE,
+EXPLAIN, session GUCs (SET/SHOW/RESET), views, maintenance spellings,
+DESCRIBE and information_schema relations.  It is stateless on its own:
+every effect goes through the lifecycle methods the host class
+(``MooncakeEngine``) provides — create_table/insert/update_where/
+delete_where/apply_changes/optimize_table/... — and the shared session
+state (``_txn``, ``_prepared``, ``_gucs``) initialized by the host.
+
+Split out of engine.py in round 13 (the file had grown to 5.5k lines);
+pure text-level move, zero behavior change — the tests are the proof.
+Reference parity notes live on each method (reference
+tests/pg_regress/sql/*.sql replay through these routes verbatim).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pg_mooncake_spark.sqlparse import (
+    _DML_KIND,
+    _DDL_KIND,
+    _CALL_KIND,
+    _TXN_KIND,
+    _COPY_KIND,
+    _EXPLAIN_KIND,
+    _PREPARE_KIND,
+    _EXECUTE_KIND,
+    _DEALLOCATE_KIND,
+    _SHOW_TABLES_KIND,
+    _SET_KIND,
+    _RESET_KIND,
+    _SHOW_GUC_KIND,
+    _SHOW_SPARK_WORDS,
+    _DESCRIBE_KIND,
+    _SQL_TABLE,
+    _bind_params,
+    _expr_refs,
+    _find_top_keyword,
+    _mask_quoted,
+    _no_gen_on_gen,
+    _parse_col_constraints,
+    _pg_type_to_spark,
+    _render_literal,
+    _rewrite_values_defaults,
+    _scan_top,
+    _split_top_commas,
+    _subst_idents,
+    _values_spans,
+    parse_table_name,
+)
+from pg_mooncake_spark.storage import OP_COL, MoonTable
+
+_MERGE_MULTI_MATCH_MSG = "MERGE: a target row matched multiple source rows"
+
+
+class SqlRouterMixin:
+    """Statement router half of :class:`~pg_mooncake_spark.engine.
+    MooncakeEngine` (see module docstring)."""
+
+    _GUC_ALIASES = {
+        "duckdb.max_memory": "mooncake.max_memory",
+        "duckdb.memory_limit": "mooncake.max_memory",
+        "mooncake.memory_limit": "mooncake.max_memory",
+        "duckdb.threads": "mooncake.threads",
+        "duckdb.worker_threads": "mooncake.threads",
+    }
+    # canonical GUC -> the runtime-settable Spark conf it drives
+    _GUC_SPARK = {
+        "mooncake.threads": "spark.sql.shuffle.partitions",
+        "timezone": "spark.sql.session.timeZone",
+    }
+    # session-local (validated, SHOW-visible; no post-launch Spark knob)
+    _GUC_STORED = {
+        "mooncake.max_memory": "",
+        "search_path": '"$user", public',
+        "client_min_messages": "notice",
+    }
+    _SIZE_RE = re.compile(
+        r"^\d+(\.\d+)?\s*(%|B|KB|MB|GB|TB|PB|KIB|MIB|GIB|TIB)?$", re.I
+    )
+    _TXN_BEGIN_WORDS = frozenset(
+        "WORK TRANSACTION ISOLATION LEVEL READ WRITE ONLY COMMITTED "
+        "UNCOMMITTED REPEATABLE SERIALIZABLE DEFERRABLE NOT".split()
+    )
+
+    def sql(
+        self,
+        query: str,
+        pin: Optional[dict[str, int]] = None,
+        copy_data: Optional[Any] = None,
+        params: Optional[Any] = None,
+    ) -> DataFrame:
+        """Run SQL over mirrors: every registered mirror name is resolved to
+        its pinned snapshot and exposed as a temp view, then Spark SQL
+        executes (the reference's pg_duckdb interception analog — here the
+        'interception' is just name resolution; Catalyst is the executor).
+
+        DML, DDL, and CALL statements route to the mirror-maintenance
+        paths — the complete statement surface the reference's regress
+        corpus exercises (reference tests/pg_regress/sql/sanity.sql and
+        partitioned_table.sql replay statement-for-statement,
+        tests/test_regress_replay.py):
+
+        - ``INSERT INTO t [AS a] [(cols)] VALUES ... | SELECT ...``
+          → :meth:`insert` (positional matching, unlisted columns
+          NULL); with ``ON CONFLICT [(pk)] DO NOTHING | DO UPDATE SET
+          ... [WHERE]`` → the Postgres upsert on one CDC batch;
+        - ``UPDATE t [AS a] SET ... [FROM items] [WHERE]`` →
+          :meth:`update_where`, or the join-update compile path;
+        - ``DELETE FROM t [AS a] [USING items] [WHERE]`` →
+          :meth:`delete_where`, or the join-delete compile path;
+        - ``MERGE INTO ...`` → :meth:`_sql_merge` (ordered
+          first-match-wins WHEN clauses, NOT MATCHED BY SOURCE);
+        - ``CREATE TABLE`` (defs/CTAS) / ``DROP`` / ``TRUNCATE`` /
+          ``ALTER RENAME|ADD|DROP COLUMN`` → :meth:`_sql_ddl`;
+        - ``CALL mooncake.<proc>(...)`` → :meth:`_sql_call`
+          (create_table from a mirror source creates a FOLLOWER).
+
+        DML/DDL return a one-row DataFrame (statement, table, version);
+        attached exports, materialized views, and follower mirrors stay
+        current exactly as with the method API.
+
+        ``BEGIN`` / ``COMMIT`` / ``ROLLBACK`` open a flat transaction
+        block (:meth:`_sql_txn`): DML inside it stages against an
+        in-session overlay (reads — SELECT and DML compilation — see
+        the transaction's own writes), nothing touches any mirror until
+        COMMIT, and ROLLBACK leaves no trace.  A failed statement
+        aborts the block, Postgres-style.
+
+        ``params`` binds Postgres ``$1..$n`` markers to Python values
+        (rendered as typed literals — values only, never identifiers,
+        exactly the extended-protocol parameter contract); ``PREPARE
+        name AS ... / EXECUTE name(args) / DEALLOCATE`` give the same
+        binding as session-scoped SQL statements."""
+        if params is not None:
+            query = _bind_params(query, params)
+        txm = _TXN_KIND.match(query)
+        if txm:
+            return self._sql_txn(query, txm.group(1).upper())
+        if self._txn is not None and self._txn["aborted"]:
+            raise ValueError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block (issue ROLLBACK)"
+            )
+        if self._txn is not None:
+            # Postgres: ANY failed statement poisons the open block (not
+            # only the ones that reach staging — parse errors and unknown
+            # tables too); ROLLBACK TO a savepoint un-poisons it
+            try:
+                return self._sql_dispatch(query, pin, copy_data)
+            except Exception as e:
+                raise self._txn_abort(e)
+        return self._sql_dispatch(query, pin, copy_data)
+    def _sql_dispatch(
+        self,
+        query: str,
+        pin: Optional[dict[str, int]],
+        copy_data: Optional[Any],
+    ) -> DataFrame:
+        kind = _DML_KIND.match(query)
+        if kind:
+            return self._sql_dml(query, kind.group(1).upper(), pin=pin)
+        ddl = _DDL_KIND.match(query)
+        if ddl:
+            if self._txn is not None:
+                self._txn["aborted"] = True
+                raise ValueError(
+                    "DDL statements are not supported inside a "
+                    "transaction block; COMMIT or ROLLBACK first "
+                    "(DDL here is per-statement atomic)"
+                )
+            word = next(g for g in ddl.groups() if g)
+            return self._sql_ddl(query, word.upper(), pin=pin)
+        call = _CALL_KIND.match(query)
+        if call:
+            if self._txn is not None:
+                self._txn["aborted"] = True
+                raise ValueError(
+                    "CALL is not supported inside a transaction block"
+                )
+            return self._sql_call(call.group(1).lower(), call.group(2))
+        if _COPY_KIND.match(query):
+            return self._sql_copy(query, copy_data=copy_data)
+        if _EXPLAIN_KIND.match(query):
+            return self._sql_explain(query, pin)
+        pm = _PREPARE_KIND.match(query)
+        if pm:
+            return self._sql_prepare(
+                pm.group(1), pm.group(2), pm.group(3)
+            )
+        em = _EXECUTE_KIND.match(query)
+        if em:
+            return self._sql_execute(em.group(1), em.group(2), pin, copy_data)
+        dm = _DEALLOCATE_KIND.match(query)
+        if dm:
+            return self._sql_deallocate(dm.group(1))
+        sm = _SET_KIND.match(query)
+        if sm:
+            return self._sql_set(sm, query)
+        rsm = _RESET_KIND.match(query)
+        if rsm:
+            return self._sql_reset(rsm.group(1))
+        dsm = re.match(
+            r"^\s*DISCARD\s+(ALL|PLANS|SEQUENCES|TEMPORARY|TEMP)\s*;?\s*$",
+            query, re.I,
+        )
+        if dsm:
+            return self._sql_discard(dsm.group(1).upper())
+        vm = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s*"
+            r"(?:\(([^)]*)\)\s*)?AS\s+(.*?);?\s*$",
+            query, re.I | re.S,
+        )
+        if vm:
+            # Postgres CREATE VIEW persists in the catalog; the Spark
+            # TEMP/TEMPORARY VIEW spellings do not match and pass through
+            cols = (
+                [c.strip().strip('"') for c in vm.group(3).split(",")]
+                if vm.group(3) else None
+            )
+            return self._sql_create_view(
+                bool(vm.group(1)), vm.group(2).strip('"'),
+                vm.group(4).strip(), cols,
+            )
+        vm = re.match(
+            r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*;?\s*$",
+            query, re.I,
+        )
+        if vm:
+            name = parse_table_name(vm.group(2).strip('"'))
+            entry = self.catalog.list_tables().get(name)
+            if entry is not None:
+                kind = (entry.get("table_config") or {}).get("kind")
+                if kind != "logical_view":
+                    # Postgres: DROP VIEW on a table/matview errors; it
+                    # must never fall through and silently drop the
+                    # engine's internal resolution temp view instead
+                    raise ValueError(
+                        f'"{name}" is not a view '
+                        "(use DROP TABLE / drop_table)"
+                    )
+                self.catalog.drop(name)
+                try:  # resolution may have left a session temp view
+                    self.spark.catalog.dropTempView(self._view_name(name))
+                except Exception:
+                    pass
+                return self._dml_result("DROP VIEW", name, 1)
+            # not a catalog relation — Spark temp views drop below
+        cm = re.match(
+            r"^\s*CLUSTER\s+(?:VERBOSE\s+)?([\w.\"]+)"
+            r"(?:\s+USING\s+\w+)?\s*;?\s*$",
+            query, re.I,
+        )
+        if cm:
+            # Postgres CLUSTER physically orders the heap by an index;
+            # the analogue is a sort-clustered optimize on the primary
+            # key (disjoint file stat ranges → maximum scan pruning)
+            t = cm.group(1).strip('"')
+            pk = self._moontable(t).primary_key()
+            if not pk:
+                raise ValueError(
+                    f"there is no previously clustered index for table "
+                    f'"{self._canon(t)}" (CLUSTER needs a primary key here)'
+                )
+            v = self.optimize_table(t, "sort:" + ",".join(pk))
+            return self._dml_result("CLUSTER", t, v)
+        # ANALYZE TABLE is Spark's own spelling — passes through below
+        mm = re.match(
+            r"^\s*(VACUUM|ANALYZE(?!\s+TABLE\b))\b(.*)$", query, re.I | re.S
+        )
+        if mm:
+            if self._txn is not None:
+                self._txn["aborted"] = True
+                raise ValueError(
+                    f"{mm.group(1).upper()} cannot run inside a "
+                    "transaction block"
+                )
+            return self._sql_maintenance(
+                mm.group(1).upper(), mm.group(2).strip()
+            )
+        if _SHOW_TABLES_KIND.match(query):
+            return self.list_tables().select(
+                F.col("table").alias("table_name")
+            )
+        shm = _SHOW_GUC_KIND.match(query)
+        if shm and (
+            shm.group(1).split()[0].upper() not in _SHOW_SPARK_WORDS
+        ):
+            return self._sql_show_guc(shm.group(1))
+        desc = _DESCRIBE_KIND.match(query)
+        if desc:
+            try:
+                name = self._canon(desc.group(1).replace('"', ""))
+            except ValueError:
+                name = None
+            if name is not None and name in self.catalog.list_tables():
+                return self._describe_table(name)
+            # not a mirror — Spark's own DESCRIBE (temp views, etc.)
+        if re.match(r"^\s*SELECT\b", query, re.I):
+            qq = query.strip().rstrip(";")
+            ii = _find_top_keyword(qq, "INTO")
+            if ii >= 0:
+                # Postgres ``SELECT ... INTO [TEMP] [TABLE] t FROM ...``
+                # — CTAS spelled inline.  Rebuild the plain SELECT with
+                # the INTO clause excised and route to create_table.
+                im = re.match(
+                    r"INTO\s+(?:(?:TEMPORARY|TEMP|UNLOGGED)\s+)?"
+                    r"(?:TABLE\s+)?([\w.\"]+)\s*",
+                    qq[ii:], re.I,
+                )
+                if not im:
+                    raise ValueError(f"cannot parse SELECT INTO: {query!r}")
+                t = im.group(1).strip('"')
+                if self._txn is not None:
+                    self._txn["aborted"] = True
+                    raise ValueError(
+                        "SELECT INTO (DDL) is not supported inside a "
+                        "transaction block"
+                    )
+                name = parse_table_name(t)
+                if name in self.catalog.list_tables():
+                    raise ValueError(f'relation "{name}" already exists')
+                sel = qq[:ii] + qq[ii + im.end():]
+                src = self._run_select(sel, pin)
+                self.create_table(t, source_df=src)
+                return self._dml_result("SELECT INTO", t, 1)
+        return self._run_select(query, pin)
+    def _run_select(
+        self, query: str, pin: Optional[dict[str, int]]
+    ) -> DataFrame:
+        """Resolve mirror names referenced by ``query`` to pinned
+        snapshot temp views, rewrite catalog relations
+        (``mooncake.list_tables()``, ``information_schema.tables`` /
+        ``.columns``), and hand the statement to Spark SQL."""
+        # ``SELECT * FROM mooncake.list_tables()`` — the reference's
+        # catalog relation (src/functions.rs:84-116) as a queryable SQL
+        # spelling: rewrite top-level occurrences to a temp view over
+        # :meth:`list_tables` (string literals are left alone)
+        lt = [
+            m for m in re.finditer(
+                r"mooncake\.list_tables\s*\(\s*\)", query, re.I
+            )
+        ]
+        if lt:
+            top = {i for i, _ in _scan_top(query)}
+            spans = [m.span() for m in lt if m.start() in top]
+            if spans:
+                self.list_tables().createOrReplaceTempView(
+                    "__mooncake_list_tables"
+                )
+                out, prev = [], 0
+                for s, e in spans:
+                    out.append(query[prev:s])
+                    out.append("__mooncake_list_tables")
+                    prev = e
+                out.append(query[prev:])
+                query = "".join(out)
+        # ``information_schema.tables`` / ``.columns`` — the standard
+        # catalog relations every Postgres client introspects with:
+        # rewrite occurrences outside string literals to temp views
+        # built from the engine catalog (O(catalog), but only when the
+        # statement IS a catalog query)
+        is_hits = [
+            (m.span(), m.group(1).lower())
+            for m in re.finditer(
+                r"\binformation_schema\s*\.\s*"
+                r"(tables|columns|table_constraints|check_constraints)\b",
+                _mask_quoted(query), re.I,
+            )
+        ]
+        if is_hits:
+            for rel in {r for _, r in is_hits}:
+                self._information_schema_df(rel).createOrReplaceTempView(
+                    f"__mooncake_is_{rel}"
+                )
+            out, prev = [], 0
+            for (s, e), rel in is_hits:
+                out.append(query[prev:s])
+                out.append(f"__mooncake_is_{rel}")
+                prev = e
+            out.append(query[prev:])
+            query = "".join(out)
+        # time-travel spelling: ``FROM t FOR VERSION AS OF 3`` /
+        # ``FOR [SYSTEM_TIME|TIMESTAMP] AS OF '…'`` (SQL:2011 system
+        # versioning; the bare Delta spellings VERSION/TIMESTAMP AS OF
+        # also accepted).  Each pinned read registers its own snapshot
+        # view — the engine's A10 contract as a SQL surface.
+        tt = []
+        for m in re.finditer(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+(?:FOR\s+)?"
+            r"(VERSION|SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+            _mask_quoted(query), re.I,
+        ):
+            tt.append(m)
+        if tt:
+            by_alias_tt: dict[str, str] = {}
+            for name in self.catalog.list_tables():
+                by_alias_tt.setdefault(self._view_name(name).lower(), name)
+            out, prev = [], 0
+            for m in tt:
+                alias, kind = m.group(1).lower(), m.group(2).upper()
+                if alias not in by_alias_tt:
+                    continue  # not a mirror — leave for Spark to judge
+                name = by_alias_tt[alias]
+                lit = query[m.start(3):m.end(3)]
+                if kind == "VERSION":
+                    if not lit.isdigit():
+                        raise ValueError(
+                            f"VERSION AS OF expects an integer, got {lit}"
+                        )
+                    version = int(lit)
+                    snap = self.table(name, version=version)
+                else:
+                    if lit.isdigit():
+                        raise ValueError(
+                            f"{kind} AS OF expects a quoted timestamp, "
+                            f"got {lit}"
+                        )
+                    ts = lit[1:-1]
+                    version = self._moontable(name).version_at_timestamp(ts)
+                    snap = self.table(name, version=version)
+                view = f"__mooncake_asof_{alias}_{version}"
+                snap.createOrReplaceTempView(view)
+                out.append(query[prev:m.start()])
+                out.append(view)
+                prev = m.end()
+            out.append(query[prev:])
+            query = "".join(out)
+        # O(statement) name resolution (VERDICT r10 task 2): resolve and
+        # register pinned snapshot views ONLY for mirrors the statement
+        # actually references — materializing every registered mirror's
+        # pinned view (each a commit-log resolution) made every SELECT
+        # O(catalog).  A mirror is referenced when its view alias appears
+        # as a token of the query text (plain, backquoted, or
+        # double-quoted); CTE aliases shadowing a mirror name still win
+        # inside Spark, so over-matching is harmless — under-matching is
+        # impossible because Spark can only resolve the alias spelling.
+        tokens = {
+            t_.lower() for t_ in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query)
+        }
+        for quoted in re.findall(r'`([^`]+)`|"([^"]+)"', query):
+            for q_ in quoted:
+                if q_:
+                    tokens.add(re.sub(r"[^A-Za-z0-9_]", "_", q_).lower())
+        by_alias: dict[str, list[str]] = {}
+        for name in self.catalog.list_tables():
+            by_alias.setdefault(self._view_name(name).lower(), []).append(name)
+        pin_names = {self._canon(n) for n in (pin or {})}
+        for alias_l, names in by_alias.items():
+            if alias_l not in tokens and not (set(names) & pin_names):
+                continue
+            # distinct tables may sanitize to the same alias
+            # (schema-qualified 'a.b' vs a plain table 'a_b'); silently
+            # shadowing one with the other would read the wrong data
+            if len(names) > 1:
+                raise ValueError(
+                    f"view alias {self._view_name(names[0])!r} is ambiguous: "
+                    f"{sorted(names)} all sanitize to it; rename one table"
+                )
+            name = names[0]
+            self.table(name, (pin or {}).get(name)).createOrReplaceTempView(
+                self._view_name(name)
+            )
+        return self.spark.sql(query)
+    def _sql_prepare(
+        self, name: str, types: Optional[str], stmt: str
+    ) -> DataFrame:
+        """``PREPARE name [(types)] AS statement`` — session-scoped, the
+        Postgres semantics: re-PREPARE of a live name errors; binding is
+        by value, so the type LIST's only effect is its length (it
+        governs EXECUTE arity — a declared parameter the body never
+        references is legal).  The statement body is stored verbatim;
+        ``$n`` markers bind at EXECUTE time."""
+        key = name.lower()
+        if key in self._prepared:
+            raise ValueError(f'prepared statement "{key}" already exists')
+        if not stmt.strip():
+            raise ValueError(f"PREPARE {name}: empty statement body")
+        # the declared type count governs EXECUTE arity (Postgres) — a
+        # declared parameter the body never references is legal
+        declared = (
+            len(_split_top_commas(types)) if types and types.strip()
+            else None
+        )
+        # Postgres validates marker bounds at PREPARE: $0 is never a
+        # parameter, and a body marker beyond the declared list errors
+        # here, not as an IndexError at EXECUTE
+        markers = [
+            int(m.group(1))
+            for m in re.finditer(r"\$(\d+)", _mask_quoted(stmt))
+        ]
+        if any(n == 0 for n in markers):
+            raise ValueError("there is no parameter $0")
+        if declared is not None:
+            bad = next((n for n in markers if n > declared), None)
+            if bad is not None:
+                raise ValueError(f"there is no parameter ${bad}")
+        self._prepared[key] = (stmt.strip(), declared)
+        return self.spark.createDataFrame(
+            [("PREPARE", key, None)],
+            "statement string, table string, version long",
+        )
+    def _sql_execute(
+        self,
+        name: str,
+        args_sql: Optional[str],
+        pin: Optional[dict[str, int]],
+        copy_data: Optional[Any],
+    ) -> DataFrame:
+        """``EXECUTE name(args)`` — evaluate each argument expression
+        ONCE (Postgres's extended-protocol bind: parameters are values,
+        not expression splices), then substitute the rendered literal
+        into every ``$n`` occurrence and dispatch the statement as if
+        typed directly; inside a transaction block the bound statement
+        stages exactly like immediate DML.
+
+        Bind-once matters twice: a volatile argument (``rand()``) must
+        evaluate to ONE value even when its marker repeats, and an
+        argument referencing a target-table column must error (Postgres
+        rejects column references in bind parameters) instead of being
+        silently spliced into the statement's scope."""
+        key = name.lower()
+        if key not in self._prepared:
+            raise ValueError(f'prepared statement "{key}" does not exist')
+        stmt, declared = self._prepared[key]
+        texts = (
+            [a for a in _split_top_commas(args_sql) if a]
+            if args_sql and args_sql.strip() else []
+        )
+        mask = _mask_quoted(stmt)
+        spans = [
+            (m.span(), int(m.group(1)))
+            for m in re.finditer(r"\$(\d+)", mask)
+        ]
+        need = (
+            declared if declared is not None
+            else max((n for _, n in spans), default=0)
+        )
+        if need != len(texts):
+            raise ValueError(
+                f"bind message supplies {len(texts)} parameters, but "
+                f'prepared statement "{key}" requires {need}'
+            )
+        bound: list[str] = []
+        for text in texts:
+            # one-row evaluation in an empty scope: column references
+            # (no FROM) and malformed expressions error here, loudly
+            try:
+                val = self.spark.sql(f"SELECT ({text}) AS v").first()[0]
+            except Exception as exc:
+                raise ValueError(
+                    f"EXECUTE {key}: cannot evaluate parameter "
+                    f"expression {text!r}: {exc}"
+                ) from None
+            bound.append(_render_literal(val))
+        out, prev = [], 0
+        for (s, e), n in spans:
+            out.append(stmt[prev:s])
+            out.append(bound[n - 1])
+            prev = e
+        out.append(stmt[prev:])
+        return self._sql_dispatch("".join(out), pin, copy_data)
+    def _sql_deallocate(self, name: str) -> DataFrame:
+        """``DEALLOCATE [PREPARE] name | ALL`` — Postgres semantics
+        (unknown name errors; ALL is idempotent)."""
+        if name.upper() == "ALL":
+            dropped = sorted(self._prepared)
+            self._prepared.clear()
+            return self.spark.createDataFrame(
+                [("DEALLOCATE", ",".join(dropped) or None, None)],
+                "statement string, table string, version long",
+            )
+        key = name.lower()
+        if key not in self._prepared:
+            raise ValueError(f'prepared statement "{key}" does not exist')
+        del self._prepared[key]
+        return self.spark.createDataFrame(
+            [("DEALLOCATE", key, None)],
+            "statement string, table string, version long",
+        )
+    def _guc_canon(self, raw: str) -> str:
+        trimmed = re.sub(r"\s+", " ", raw.strip())
+        name = trimmed.lower()
+        if name == "time zone":
+            name = "timezone"
+        if name.startswith("spark."):
+            # Spark conf keys are case-sensitive — pass them verbatim
+            return trimmed
+        return self._GUC_ALIASES.get(name, name)
+    def _guc_known(self, name: str) -> bool:
+        return (
+            name in self._GUC_SPARK
+            or name in self._GUC_STORED
+            or name.startswith("spark.")
+        )
+    def _guc_validate(self, name: str, value: str) -> str:
+        if name == "mooncake.threads":
+            try:
+                n = int(value)
+            except ValueError:
+                n = 0
+            if n <= 0:
+                raise ValueError(
+                    f'invalid value for parameter "threads": "{value}" '
+                    "(a positive integer)"
+                )
+            return str(n)
+        if name == "mooncake.max_memory":
+            if not self._SIZE_RE.match(value.strip()):
+                raise ValueError(
+                    f'invalid value for parameter "max_memory": '
+                    f'"{value}" (e.g. \'4GB\', \'512MB\', \'80%\')'
+                )
+            return value.strip()
+        return value
+    def _guc_effective(self, name: str) -> str:
+        key = self._GUC_SPARK.get(name)
+        if key is None and name.startswith("spark."):
+            key = name
+        if key is not None:
+            try:
+                return self.spark.conf.get(key)
+            except Exception:
+                return ""
+        return self._gucs.get(name, self._GUC_STORED.get(name, ""))
+    def _guc_set(self, name: str, value: Optional[str]) -> None:
+        """Apply an explicit value, or restore the pre-session default
+        when ``value`` is None (RESET / SET ... DEFAULT / txn unwind)."""
+        key = self._GUC_SPARK.get(name)
+        if key is None and name.startswith("spark."):
+            key = name
+        if key is not None:
+            if key not in self._guc_originals:
+                try:
+                    orig: Optional[str] = self.spark.conf.get(key)
+                except Exception:
+                    orig = None
+                self._guc_originals[key] = orig
+            if value is None:
+                orig = self._guc_originals[key]
+                if orig is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, orig)
+            else:
+                self.spark.conf.set(key, value)
+        if value is None:
+            self._gucs.pop(name, None)
+        else:
+            self._gucs[name] = value
+    def _guc_txn_unwind(self, txn: dict, committed: bool) -> None:
+        """Postgres GUC transactionality: plain SET is reverted by
+        ROLLBACK (kept by COMMIT); SET LOCAL is reverted at block end
+        either way.  Entries unwind newest-first."""
+        for name, prior, local in reversed(txn.get("guc_restore", [])):
+            if local or not committed:
+                self._guc_set(name, prior)
+    def _sql_set(self, m: "re.Match", query: str) -> DataFrame:
+        scope = (m.group(1) or "SESSION").upper()
+        if m.group(2):
+            raw, value_text = "timezone", m.group(3)
+        else:
+            raw, value_text = m.group(4), m.group(5)
+        name = self._guc_canon(raw)
+        if not self._guc_known(name):
+            raise ValueError(
+                f'unrecognized configuration parameter "{raw.strip()}"'
+            )
+        t = value_text.strip().rstrip(";").strip()
+        if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+            value: Optional[str] = t[1:-1].replace("''", "'")
+        elif t.upper() == "DEFAULT":
+            value = None
+        else:
+            value = t
+        if value is not None:
+            value = self._guc_validate(name, value)
+        if self._txn is not None:
+            self._txn.setdefault("guc_restore", []).append(
+                (name, self._gucs.get(name), scope == "LOCAL")
+            )
+        self._guc_set(name, value)
+        return self.spark.createDataFrame(
+            [("SET", name, self._guc_effective(name))],
+            "statement string, parameter string, value string",
+        )
+    def _sql_reset(self, raw: str) -> DataFrame:
+        if raw.strip().upper() == "ALL":
+            for name in sorted(self._gucs):
+                if self._txn is not None:
+                    self._txn.setdefault("guc_restore", []).append(
+                        (name, self._gucs.get(name), False)
+                    )
+                self._guc_set(name, None)
+            return self.spark.createDataFrame(
+                [("RESET", "ALL", None)],
+                "statement string, parameter string, value string",
+            )
+        name = self._guc_canon(raw)
+        if not self._guc_known(name):
+            raise ValueError(
+                f'unrecognized configuration parameter "{raw.strip()}"'
+            )
+        if self._txn is not None:
+            self._txn.setdefault("guc_restore", []).append(
+                (name, self._gucs.get(name), False)
+            )
+        self._guc_set(name, None)
+        return self.spark.createDataFrame(
+            [("RESET", name, self._guc_effective(name))],
+            "statement string, parameter string, value string",
+        )
+    def _sql_show_guc(self, raw: str) -> DataFrame:
+        from pyspark.sql import types as T_
+
+        if raw.strip().upper() == "ALL":
+            names = sorted(
+                set(self._GUC_STORED) | set(self._GUC_SPARK)
+                | set(self._gucs)
+            )
+            return self.spark.createDataFrame(
+                [(n, self._guc_effective(n)) for n in names],
+                "name string, setting string",
+            )
+        name = self._guc_canon(raw)
+        if not self._guc_known(name):
+            raise ValueError(
+                f'unrecognized configuration parameter "{raw.strip()}"'
+            )
+        schema = T_.StructType([T_.StructField(name, T_.StringType())])
+        return self.spark.createDataFrame(
+            [(self._guc_effective(name),)], schema
+        )
+    def _sql_discard(self, what: str) -> DataFrame:
+        """Postgres ``DISCARD ALL | PLANS | SEQUENCES | TEMP[ORARY]`` —
+        the client-library session-reset spelling (connection poolers
+        issue DISCARD ALL between checkouts).  ALL maps to
+        :meth:`reset` and, like Postgres, refuses inside a transaction
+        block; PLANS deallocates prepared statements; SEQUENCES is a
+        no-op (sequence caches are per-statement here); TEMP drops the
+        engine's pinned resolution temp views (they re-pin lazily)."""
+        if what == "ALL":
+            if self._txn is not None:
+                raise self._txn_abort(ValueError(
+                    "DISCARD ALL cannot run inside a transaction block"
+                ))
+            self.reset()
+        elif what == "PLANS":
+            self._prepared.clear()
+        elif what in ("TEMP", "TEMPORARY"):
+            for t in self.catalog.list_tables():
+                try:
+                    self.spark.catalog.dropTempView(self._view_name(t))
+                except Exception:
+                    pass
+        return self.spark.createDataFrame(
+            [("DISCARD", what, None)],
+            "statement string, parameter string, value string",
+        )
+
+    def _sql_explain(
+        self, query: str, pin: Optional[dict[str, int]]
+    ) -> DataFrame:
+        """``EXPLAIN [ANALYZE] [VERBOSE|EXTENDED|FORMATTED|CODEGEN|COST]
+        <statement>`` — the Postgres spelling over Spark's plan dump.
+
+        SELECT-shaped statements resolve mirror views exactly as a real
+        run would, then return Catalyst's plan one line per row (column
+        ``query_plan``, the Postgres column).  Default mode is
+        ``formatted``; VERBOSE maps to extended.  ``EXPLAIN ANALYZE``
+        additionally EXECUTES the statement (Postgres contract) and
+        appends an ``Execution: N rows in T ms`` tail line.  DML / DDL /
+        CALL / COPY statements describe their compiled route WITHOUT
+        executing (EXPLAIN of a write is read-only unless ANALYZE —
+        and ANALYZE of a write is refused rather than half-applied)."""
+        m = re.match(
+            r"^\s*EXPLAIN\s+((?:(?:ANALYZE|VERBOSE|EXTENDED|FORMATTED|"
+            r"CODEGEN|COST)\s+)*)(.*)$",
+            query, re.I | re.S,
+        )
+        if m is None:
+            # bare "EXPLAIN" / "EXPLAIN;" — no statement to plan
+            raise ValueError("EXPLAIN: empty statement")
+        opts = {w.upper() for w in (m.group(1) or "").split()}
+        inner = m.group(2).strip().rstrip(";")
+        if not inner:
+            raise ValueError("EXPLAIN: empty statement")
+        analyze = "ANALYZE" in opts
+        route = None
+        if _DML_KIND.match(inner):
+            route = ("DML", _DML_KIND.match(inner).group(1).upper())
+        elif _DDL_KIND.match(inner):
+            route = ("DDL", next(g for g in _DDL_KIND.match(inner).groups() if g).upper())
+        elif _CALL_KIND.match(inner):
+            route = ("CALL", _CALL_KIND.match(inner).group(1).lower())
+        elif _COPY_KIND.match(inner):
+            route = ("COPY", "COPY")
+        if route is not None:
+            if analyze:
+                raise ValueError(
+                    "EXPLAIN ANALYZE of a write statement is not "
+                    "supported: it would execute the write"
+                )
+            kind, word = route
+            lines = [
+                f"Mooncake {kind} route: {word}",
+                "  compiled to one apply_changes CDC batch "
+                "(exports / materialized views / followers sync in the "
+                "same call); not executed",
+            ]
+            return self.spark.createDataFrame(
+                [(ln,) for ln in lines], "query_plan string"
+            )
+        mode = "extended" if ({"VERBOSE", "EXTENDED"} & opts) else "formatted"
+        if "CODEGEN" in opts:
+            mode = "codegen"
+        if "COST" in opts:
+            mode = "cost"
+        df = self._run_select(inner, pin)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+        lines = [(ln,) for ln in plan.rstrip("\n").split("\n")]
+        if analyze:
+            import time as _time
+
+            t0 = _time.monotonic()
+            n = df.count()
+            ms = (_time.monotonic() - t0) * 1000.0
+            lines.append((f"Execution: {n} rows in {ms:.1f} ms",))
+        return self.spark.createDataFrame(lines, "query_plan string")
+    def _pg_type_name(self, dt: T.DataType) -> str:
+        s = dt.simpleString()
+        if s.startswith("decimal"):
+            return s.replace("decimal", "numeric")
+        if s.startswith("array<"):
+            return self._pg_type_name(dt.elementType) + "[]"
+        return self._SPARK_TO_PG.get(s, s)
+    def _sql_create_view(
+        self,
+        replace: bool,
+        name: str,
+        select_sql: str,
+        columns: Optional[list[str]] = None,
+    ) -> DataFrame:
+        """``CREATE [OR REPLACE] VIEW name AS select`` — a LOGICAL view
+        persisted in the engine catalog (Postgres semantics: views
+        outlive the session, unlike Spark temp views).  The stored SQL
+        re-plans against the CURRENT base tables on every read — always
+        fresh, zero maintenance state (contrast
+        :meth:`create_materialized_view`, which folds the change feed).
+        Name resolution is the mirror machinery itself: the view name
+        resolves through :meth:`table`, nested views resolve
+        recursively with a cycle guard."""
+        if self._txn is not None:
+            self._txn["aborted"] = True
+            raise ValueError(
+                "CREATE VIEW (DDL) is not supported inside a "
+                "transaction block"
+            )
+        if not re.match(r"(SELECT|WITH|VALUES)\b", select_sql, re.I):
+            raise ValueError(
+                f"CREATE VIEW body must be a SELECT: {select_sql!r}"
+            )
+        canon = parse_table_name(name)
+        existing = self.catalog.list_tables().get(canon)
+        if existing is not None:
+            kind = (existing.get("table_config") or {}).get("kind")
+            if not (replace and kind == "logical_view"):
+                raise ValueError(f'relation "{canon}" already exists')
+        probe = self.sql(select_sql)  # analysis: names/syntax refuse NOW
+        if columns is not None and len(columns) != len(probe.columns):
+            raise ValueError(
+                f"CREATE VIEW specifies {len(columns)} column names but "
+                f"the query produces {len(probe.columns)} columns"
+            )
+        if existing is not None:
+            self.catalog.drop(canon)
+        cfg: dict[str, Any] = {
+            "kind": "logical_view", "view_sql": select_sql,
+        }
+        if columns is not None:
+            # Postgres positional output-column rename: CREATE VIEW v (a, b)
+            cfg["view_columns"] = columns
+        self.catalog.register(
+            canon, None, os.path.join(self.warehouse, "_views", canon),
+            table_config=cfg,
+        )
+        return self._dml_result("CREATE VIEW", canon, 1)
+    def _sql_maintenance(self, kind: str, rest: str) -> DataFrame:
+        """``VACUUM [(opts)] [FULL|FREEZE|VERBOSE|ANALYZE] [t[, t2]]``
+        and ``ANALYZE [VERBOSE] [t [(cols)]]`` — the Postgres
+        maintenance spellings a replayed pg script contains.
+
+        VACUUM maps to :meth:`optimize_table` mode 'vacuum' (compact
+        small files + delete unreferenced ones — the closest analogue of
+        reclaiming dead tuples); with no table it sweeps every mirror in
+        the catalog (materialized views excluded — their state compacts
+        through their own refresh).  ANALYZE is an acknowledged no-op:
+        per-file stat envelopes, bloom sidecars, and zone maps are
+        maintained transactionally on EVERY commit (storage.py
+        _stage_files), so there is never a stale-stats state to repair —
+        the statement exists so habitual `VACUUM ANALYZE` scripts run."""
+        if rest.startswith("("):
+            close = rest.index(")")
+            rest = rest[close + 1:].strip()
+        toks = rest.split()
+        while toks and toks[0].upper() in (
+            "FULL", "FREEZE", "VERBOSE", "ANALYZE",
+        ):
+            toks.pop(0)
+        rest = " ".join(toks)
+        if "(" in rest:  # ANALYZE t (col, ...) — column list is advisory
+            rest = rest[:rest.index("(")].strip()
+        if rest:
+            tables = [
+                x.strip().strip('"') for x in rest.split(",") if x.strip()
+            ]
+        else:
+            tables = [
+                n for n, e in sorted(self.catalog.list_tables().items())
+                if ((e.get("table_config") or {}).get("kind") or "mirror")
+                not in ("mview", "logical_view")
+            ]
+        for t in tables:
+            if kind == "VACUUM":
+                self.optimize_table(t, "vacuum")
+            else:
+                self._moontable(t)  # existence check, Postgres error shape
+        return self._dml_result(kind, ", ".join(tables) or "*", len(tables))
+    def _describe_table(self, name: str) -> DataFrame:
+        """``DESCRIBE <mirror>`` — one row per column with Postgres type
+        spellings, the pk flag, and the declared constraint surface
+        (psql's ``\\d`` essentials: nullability, default, generation
+        expression)."""
+        mt = self._moontable(name)
+        pk = set(mt.primary_key() or [])
+        cons = self._constraints(name) or {}
+        nn = set(cons.get("not_null", [])) | pk
+        defaults = cons.get("defaults") or {}
+        gen = cons.get("generated") or {}
+        rows = [
+            (f.name, self._pg_type_name(f.dataType),
+             "NO" if (f.name in nn or not f.nullable) else "YES",
+             f.name in pk, defaults.get(f.name), gen.get(f.name))
+            for f in mt.schema().fields
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, data_type string, is_nullable string, "
+            "primary_key boolean, column_default string, "
+            "generation_expression string",
+        )
+    def _information_schema_df(self, rel: str) -> DataFrame:
+        """Build ``information_schema.tables`` / ``.columns`` over the
+        engine catalog — the standard relations Postgres clients
+        introspect (reference users' psql/ORM tooling).  Column set is
+        the Postgres core; types use Postgres spellings.
+        ``table_constraints`` / ``check_constraints`` follow Postgres
+        conventions: the pk row is ``<table>_pkey``, NOT NULL surfaces
+        as a CHECK named ``<table>_<col>_not_null`` with clause
+        ``<col> IS NOT NULL``."""
+        t_rows, c_rows, tc_rows, cc_rows = [], [], [], []
+        for name, e in sorted(self.catalog.list_tables().items()):
+            schema_part, _, table_part = name.rpartition(".")
+            schema_part = schema_part or "public"
+            kind = (e.get("table_config") or {}).get("kind") or "mirror"
+            t_type = (
+                "VIEW" if kind in ("mview", "logical_view")
+                else "BASE TABLE"
+            )
+            t_rows.append(("mooncake", schema_part, table_part, t_type))
+            if rel == "columns":
+                try:
+                    if kind == "logical_view":
+                        fields = self.table(name).schema.fields
+                    else:
+                        fields = MoonTable(
+                            self.spark, e["path"]
+                        ).schema().fields
+                except Exception:
+                    # materialized views resolve through their own spec
+                    try:
+                        from pg_mooncake_spark.views import MaterializedView
+
+                        fields = (
+                            MaterializedView(self.spark, e["path"])
+                            .read().schema.fields
+                        )
+                    except Exception:
+                        continue
+                cons = (e.get("table_config") or {}).get("constraints") or {}
+                nn = set(cons.get("not_null", []))
+                defaults = cons.get("defaults") or {}
+                for i, f in enumerate(fields, start=1):
+                    c_rows.append(
+                        ("mooncake", schema_part, table_part, f.name, i,
+                         self._pg_type_name(f.dataType),
+                         "NO" if (f.name in nn or not f.nullable) else "YES",
+                         defaults.get(f.name))
+                    )
+            if rel in ("table_constraints", "check_constraints"):
+                cons = (e.get("table_config") or {}).get("constraints") or {}
+                try:
+                    pk = MoonTable(self.spark, e["path"]).primary_key() or []
+                except Exception:
+                    pk = []
+
+                def _tc(cname: str, ctype: str) -> None:
+                    tc_rows.append(
+                        ("mooncake", schema_part, cname,
+                         "mooncake", schema_part, table_part, ctype)
+                    )
+
+                if pk:
+                    _tc(f"{table_part}_pkey", "PRIMARY KEY")
+                for cname, expr in cons.get("checks", []):
+                    _tc(cname, "CHECK")
+                    cc_rows.append(("mooncake", schema_part, cname, expr))
+                for col in cons.get("not_null", []):
+                    cname = f"{table_part}_{col}_not_null"
+                    _tc(cname, "CHECK")
+                    cc_rows.append(
+                        ("mooncake", schema_part, cname,
+                         f"{col} IS NOT NULL")
+                    )
+        if rel == "table_constraints":
+            return self.spark.createDataFrame(
+                tc_rows,
+                "constraint_catalog string, constraint_schema string, "
+                "constraint_name string, table_catalog string, "
+                "table_schema string, table_name string, "
+                "constraint_type string",
+            )
+        if rel == "check_constraints":
+            return self.spark.createDataFrame(
+                cc_rows,
+                "constraint_catalog string, constraint_schema string, "
+                "constraint_name string, check_clause string",
+            )
+        if rel == "tables":
+            return self.spark.createDataFrame(
+                t_rows,
+                "table_catalog string, table_schema string, "
+                "table_name string, table_type string",
+            )
+        return self.spark.createDataFrame(
+            c_rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, data_type string, "
+            "is_nullable string, column_default string",
+        )
+    def _sql_txn(self, query: str, word: str) -> DataFrame:
+        """Flat ``BEGIN .. COMMIT/ROLLBACK`` blocks — the reference's
+        transactional-DML contract (reference CHANGELOG.md:22: inserts/
+        updates/deletes replicate transactionally) re-expressed for a
+        single-session engine:
+
+        - ``BEGIN`` opens the block.  Subsequent DML statements COMPILE
+          immediately against an overlay (committed snapshot + staged
+          batches), so data-dependent errors (duplicate upsert keys,
+          MERGE multi-match) surface at the offending statement and
+          abort the block, and later statements read earlier ones'
+          writes — but NO mirror, export, or view is touched yet.
+          Staged batches are localCheckpoint-materialized, O(statement
+          change volume) each; the overlay itself stays a lazy plan
+          over the pinned base, so nothing table-sized materializes.
+        - ``COMMIT`` replays the staged batches through the real apply
+          paths in statement order — exports, materialized views, and
+          followers sync exactly as in autocommit.  Visibility is
+          deferred to COMMIT.  Cross-table crash atomicity comes from a
+          write-ahead record: batches persist to ``_txn.d/`` and an
+          atomically-renamed manifest is the commit point; a crash at
+          any later instant is completed by :meth:`recover_transactions`
+          at the next engine attach (idempotent via per-commit txn
+          tags), and a crash before the manifest rolls back cleanly.
+        - ``ROLLBACK`` (or COMMIT of an aborted block) discards the
+          stage: no trace anywhere.
+
+        Inside a block: DDL / CALL / schema-evolving applies refuse
+        loudly; transactional DML requires primary-keyed tables (the
+        overlay and the replayed merge both address rows by key).
+
+        ``SAVEPOINT`` / ``ROLLBACK TO`` / ``RELEASE`` give Postgres
+        partial-rollback semantics at zero staging cost: a savepoint
+        records (staged-statement count, overlay snapshot) — both O(1)
+        references, the overlay values are immutable lazy plans —
+        ``ROLLBACK TO`` truncates the stage back to it and UN-ABORTS a
+        failed block (the statement's main use in Postgres scripts),
+        ``RELEASE`` keeps the changes and destroys the savepoint and
+        every later one."""
+        q = query.strip().rstrip(";").strip()
+        if word == "SAVEPOINT":
+            m2 = re.match(r"SAVEPOINT\s+([A-Za-z_][A-Za-z0-9_]*)$", q, re.I)
+            if not m2:
+                raise ValueError(f"cannot parse statement: {query!r}")
+            if self._txn is None:
+                raise ValueError(
+                    "SAVEPOINT can only be used in transaction blocks"
+                )
+            if self._txn["aborted"]:
+                raise ValueError(
+                    "current transaction is aborted, commands ignored "
+                    "until end of transaction block (issue ROLLBACK or "
+                    "ROLLBACK TO an earlier savepoint)"
+                )
+            name = m2.group(1).lower()
+            # a stack, not a dict: re-establishing a name SHADOWS the
+            # older savepoint (Postgres) — releasing the newer one makes
+            # the older accessible again
+            self._txn["savepoints"].append((
+                name,
+                len(self._txn["staged"]),
+                dict(self._txn["overlay"]),
+            ))
+            return self._txn_result(
+                "SAVEPOINT", f"savepoint {name} established"
+            )
+        if word == "RELEASE":
+            m2 = re.match(
+                r"RELEASE\s+(?:SAVEPOINT\s+)?([A-Za-z_][A-Za-z0-9_]*)$",
+                q, re.I,
+            )
+            if not m2:
+                raise ValueError(f"cannot parse statement: {query!r}")
+            if self._txn is None:
+                raise ValueError(
+                    "RELEASE can only be used in transaction blocks"
+                )
+            if self._txn["aborted"]:
+                raise self._txn_abort(ValueError(
+                    "current transaction is aborted, commands ignored "
+                    "until end of transaction block"
+                ))
+            name = m2.group(1).lower()
+            sps = self._txn["savepoints"]
+            idx = next(
+                (i for i in range(len(sps) - 1, -1, -1)
+                 if sps[i][0] == name), None,
+            )
+            if idx is None:
+                raise self._txn_abort(ValueError(
+                    f"savepoint {name!r} does not exist"
+                ))
+            # keep the changes; destroy this savepoint and every later
+            # one — an older shadowed same-name savepoint resurfaces
+            del sps[idx:]
+            return self._txn_result(
+                "RELEASE", f"savepoint {name} released"
+            )
+        if word == "START":
+            if not re.match(r"START\s+TRANSACTION\b", q, re.I):
+                raise ValueError(f"cannot parse statement: {query!r}")
+            q = re.sub(r"^START\s+TRANSACTION", "BEGIN", q, flags=re.I)
+            word = "BEGIN"
+        if word == "BEGIN":
+            tail = q.split()[1:]
+            unknown = [
+                t for t in tail
+                if t.upper().strip(",") not in self._TXN_BEGIN_WORDS
+            ]
+            if unknown:
+                raise ValueError(
+                    f"unsupported BEGIN modifier(s) {unknown}: {query!r}"
+                )
+            if self._txn is not None:
+                # Postgres warns and keeps the open block
+                return self._txn_result(
+                    "BEGIN", "transaction already in progress"
+                )
+            self._txn = {
+                "overlay": {}, "staged": [], "aborted": False,
+                "savepoints": [], "guc_restore": [],
+                # BEGIN READ ONLY is enforced, not just parsed: staging
+                # any write into a read-only block refuses
+                "read_only": bool(
+                    re.search(r"\bREAD\s+ONLY\b", q, re.I)
+                ),
+            }
+            return self._txn_result("BEGIN", "transaction started")
+        if word in ("COMMIT", "END"):
+            if self._txn is None:
+                return self._txn_result(
+                    "COMMIT", "no transaction in progress"
+                )
+            if self._txn["aborted"]:
+                txn, self._txn = self._txn, None
+                self._guc_txn_unwind(txn, committed=False)
+                return self._txn_result(
+                    "ROLLBACK", "aborted transaction rolled back"
+                )
+            txn, self._txn = self._txn, None
+            if txn["staged"]:
+                self._check_recovery_pending()
+                manifest = self._persist_txn(txn["staged"])
+                self._replay_txn(manifest)
+            self._guc_txn_unwind(txn, committed=True)
+            return self._txn_result(
+                "COMMIT", f"{len(txn['staged'])} statement(s) applied"
+            )
+        # ROLLBACK / ABORT
+        m2 = re.match(
+            r"ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+"
+            r"(?:SAVEPOINT\s+)?([A-Za-z_][A-Za-z0-9_]*)$",
+            q, re.I,
+        )
+        if m2:
+            if self._txn is None:
+                raise ValueError(
+                    "ROLLBACK TO can only be used in transaction blocks"
+                )
+            name = m2.group(1).lower()
+            sps = self._txn["savepoints"]
+            idx = next(
+                (i for i in range(len(sps) - 1, -1, -1)
+                 if sps[i][0] == name), None,
+            )
+            if idx is None:
+                raise self._txn_abort(ValueError(
+                    f"savepoint {name!r} does not exist"
+                ))
+            _, length, overlay = sps[idx]
+            # the savepoint itself survives; later ones are destroyed
+            del sps[idx + 1:]
+            self._txn["staged"] = self._txn["staged"][:length]
+            self._txn["overlay"] = dict(overlay)
+            self._txn["aborted"] = False  # un-poisons a failed block
+            return self._txn_result(
+                "ROLLBACK", f"rolled back to savepoint {name}"
+            )
+        txn, self._txn = self._txn, None
+        if txn is not None:
+            self._guc_txn_unwind(txn, committed=False)
+        return self._txn_result(
+            "ROLLBACK",
+            "transaction discarded" if txn is not None
+            else "no transaction in progress",
+        )
+    def _sql_dml(
+        self,
+        query: str,
+        kind: str,
+        pin: Optional[dict[str, int]] = None,
+    ) -> DataFrame:
+        """Route one SQL DML statement to the engine's maintenance paths
+        (see :meth:`sql`).  The parser is deliberately bounded: the
+        reference's regress shapes (VALUES/SELECT inserts, SET lists
+        with arbitrary expressions, WHERE predicates) parse; anything
+        structurally surprising raises with the offending statement
+        rather than guessing.
+
+        ``pin`` applies only to the read half of ``INSERT ... SELECT``
+        (the SELECT resolves pinned snapshots); UPDATE/DELETE always
+        act on the current state, so a pin there is an error rather
+        than a silent no-op."""
+        q = query.strip().rstrip(";").strip()
+        if pin and kind in ("UPDATE", "DELETE"):
+            raise ValueError(
+                f"pin= is not supported for {kind}: DML always applies "
+                "to the current table state"
+            )
+        if kind == "MERGE":
+            return self._sql_merge(q, pin=pin)
+        if kind == "DELETE":
+            m = re.match(
+                rf"DELETE\s+FROM\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)\s*)?(.*)$",
+                q, re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"cannot parse DELETE statement: {query!r}")
+            t, tgt_alias, rest = m.group(1), m.group(2), m.group(3).strip()
+            using_sql = None
+            um = re.match(r"USING\s+(.*)$", rest, re.I | re.S)
+            if um:
+                rest = um.group(1)
+                wi = _find_top_keyword(rest, "WHERE")
+                if wi < 0:
+                    raise ValueError("DELETE ... USING needs a WHERE clause")
+                using_sql, rest = rest[:wi].strip(), rest[wi:].strip()
+            cond = "true"
+            if rest:
+                if not re.match(r"WHERE\b", rest, re.I):
+                    raise ValueError(
+                        f"unexpected clause after DELETE target: {rest!r}"
+                    )
+                cond = rest[5:].strip()
+            if using_sql is not None:
+                return self._sql_delete_using(t, tgt_alias, using_sql, cond)
+            v = self.delete_where(t, cond)
+            return self._dml_result("DELETE", t, v)
+        if kind == "UPDATE":
+            m = re.match(
+                rf"UPDATE\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)\s+)?SET\s+(.*)$",
+                q, re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"cannot parse UPDATE statement: {query!r}")
+            t, tgt_alias, rest = m.group(1), m.group(2), m.group(3)
+            fi = _find_top_keyword(rest, "FROM")
+            from_sql = None
+            if fi >= 0:
+                from_sql = rest[fi + len("FROM"):]
+                rest = rest[:fi]
+            wi = _find_top_keyword(from_sql if from_sql is not None else rest,
+                                   "WHERE")
+            cond = "true"
+            if wi >= 0:
+                if from_sql is not None:
+                    cond = from_sql[wi + len("WHERE"):].strip()
+                    from_sql = from_sql[:wi]
+                else:
+                    cond = rest[wi + len("WHERE"):].strip()
+                    rest = rest[:wi]
+            assignments: dict[str, str] = {}
+            for part in _split_top_commas(rest):
+                am = re.match(
+                    r'\s*(?:\w+\.)?("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$',
+                    part, re.S,
+                )
+                if not am:
+                    raise ValueError(f"cannot parse SET clause: {part!r}")
+                assignments[am.group(1).strip('"')] = am.group(2).strip()
+            if from_sql is not None:
+                return self._sql_update_from(
+                    t, tgt_alias, assignments, from_sql.strip(), cond
+                )
+            v = self.update_where(t, cond, assignments)
+            return self._dml_result("UPDATE", t, v)
+        # INSERT
+        m = re.match(
+            rf"INSERT\s+INTO\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)\s+)?(.*)$",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT statement: {query!r}")
+        t, tgt_alias, rest = m.group(1), m.group(2), m.group(3).strip()
+        # Postgres upsert: a trailing top-level ON CONFLICT clause.
+        # JOIN ... ON inside an INSERT..SELECT is also top-level, so only
+        # an ON followed by the word CONFLICT is the clause boundary.
+        conflict_sql: Optional[str] = None
+        scan = rest
+        off = 0
+        while True:
+            oi = _find_top_keyword(scan, "ON")
+            if oi < 0:
+                break
+            if re.match(r"ON\s+CONFLICT\b", scan[oi:], re.I):
+                conflict_sql = rest[off + oi:]
+                rest = rest[: off + oi].strip()
+                break
+            off += oi + 2
+            scan = scan[oi + 2:]
+        cols: Optional[list[str]] = None
+        if rest.startswith("("):
+            close = rest.index(")")  # a column list never nests parens
+            cols = [
+                c.strip().strip('"') for c in rest[1:close].split(",")
+            ]
+            rest = rest[close + 1:].strip()
+        schema = self._moontable(self._canon(t)).schema()
+        cons = self._constraints(t) or {}
+        defaults = cons.get("defaults", {})
+        gen = cons.get("generated", {})
+        # Postgres: generated columns are EXCLUDED from the implicit
+        # INSERT target list; explicitly listed ones only accept DEFAULT
+        target = (
+            cols if cols is not None
+            else [f.name for f in schema.fields if f.name not in gen]
+        )
+        if gen and cols is not None:
+            gen_pos = {i for i, c in enumerate(target) if c in gen}
+            if gen_pos and not re.match(r"(VALUES|DEFAULT\s+VALUES)\b",
+                                        rest, re.I):
+                bad = target[min(gen_pos)]
+                raise ValueError(
+                    f'cannot insert a non-DEFAULT value into column "{bad}" '
+                    f'(generated column; use DEFAULT or omit it)'
+                )
+            if gen_pos and re.match(r"VALUES\b", rest, re.I):
+                for s, e, i in _values_spans(_mask_quoted(rest)):
+                    if i in gen_pos and rest[s:e].strip().upper() != "DEFAULT":
+                        raise ValueError(
+                            f"cannot insert a non-DEFAULT value into "
+                            f'column "{target[i]}" (generated column)'
+                        )
+        if re.match(r"DEFAULT\s+VALUES\s*$", rest, re.I):
+            # one row of declared defaults (typed NULL where none)
+            exprs = [
+                (
+                    f"CAST(({defaults[f.name]}) AS "
+                    f"{f.dataType.simpleString()}) AS `{f.name}`"
+                    if f.name in defaults
+                    else f"CAST(NULL AS {f.dataType.simpleString()}) "
+                         f"AS `{f.name}`"
+                )
+                for f in schema.fields
+            ]
+            src = self.spark.sql("SELECT " + ", ".join(exprs))
+            target = [f.name for f in schema.fields]
+        elif re.match(r"VALUES\b", rest, re.I):
+            # bare DEFAULT elements become the declared default
+            rest = _rewrite_values_defaults(rest, target, schema, defaults)
+            src = self.spark.sql(f"SELECT * FROM {rest}")
+        elif re.match(r"(SELECT|WITH)\b", rest, re.I):
+            # re-enter: resolves mirror views, honoring the caller's pin
+            src = self.sql(rest, pin=pin)
+        else:
+            raise ValueError(
+                f"INSERT source must be VALUES or SELECT, got: {rest!r}"
+            )
+        if len(src.columns) != len(target):
+            raise ValueError(
+                f"INSERT arity mismatch: {len(src.columns)} values for "
+                f"{len(target)} target columns {target}"
+            )
+        df = src.toDF(*target)  # positional matching, SQL semantics
+        for f in schema.fields:
+            if f.name not in df.columns:
+                # unlisted columns take their declared default (Postgres),
+                # NULL otherwise
+                d = defaults.get(f.name)
+                df = df.withColumn(
+                    f.name,
+                    F.expr(d).cast(f.dataType) if d
+                    else F.lit(None).cast(f.dataType),
+                )
+        if conflict_sql is not None:
+            return self._sql_insert_on_conflict(
+                t, tgt_alias, df, conflict_sql
+            )
+        v = self.insert(t, df)
+        return self._dml_result("INSERT", t, v)
+    def _sql_insert_on_conflict(
+        self,
+        t: str,
+        tgt_alias: Optional[str],
+        df: DataFrame,
+        conflict_sql: str,
+    ) -> DataFrame:
+        """``INSERT ... ON CONFLICT [(pk cols)] DO NOTHING | DO UPDATE
+        SET ... [WHERE cond]`` — the Postgres upsert, routed onto ONE
+        apply_changes CDC batch (exports/views sync once).
+
+        - only the primary key is a supported conflict target (the
+          engine has no secondary unique indexes);
+        - DO NOTHING keeps the FIRST proposed row per key (matching
+          Postgres's row-at-a-time insert order) and drops keys already
+          present — one window + one left-anti join;
+        - DO UPDATE builds U images from existing-row × proposed-row
+          pairs (``excluded.col`` references the proposed row, the
+          table name/alias references the existing row, same as
+          Postgres), I rows from unmatched keys; a key proposed twice
+          raises in-job, matching Postgres's 'cannot affect row a
+          second time' error; the optional WHERE leaves failing rows
+          unchanged."""
+        name = self._canon(t)
+        mt = self._moontable(name)
+        schema = mt.schema()
+        names = [f.name for f in schema.fields]
+        pk = mt.primary_key()
+        if not pk:
+            raise ValueError(
+                f"INSERT ON CONFLICT needs a primary key on {name!r}"
+            )
+        cm = re.match(
+            r"ON\s+CONFLICT\s*(\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.*)$",
+            conflict_sql, re.I | re.S,
+        )
+        if not cm:
+            raise ValueError(
+                f"cannot parse ON CONFLICT clause: {conflict_sql!r}"
+            )
+        if cm.group(2) is not None:
+            tgt_cols = sorted(
+                c.strip().strip('"').lower() for c in cm.group(2).split(",")
+            )
+            if tgt_cols != sorted(k.lower() for k in pk):
+                raise ValueError(
+                    f"ON CONFLICT target {tgt_cols} must be the primary "
+                    f"key {sorted(pk)} of {name!r}"
+                )
+        action = cm.group(3)
+        # intra-batch ordering: Postgres inserts row by row, so the
+        # FIRST proposed row per key wins for DO NOTHING and a second
+        # one is an error for DO UPDATE
+        from pyspark.sql import Window
+
+        df = df.withColumn("__seq", F.monotonically_increasing_id())
+        w = Window.partitionBy(*pk).orderBy("__seq")
+        wc = Window.partitionBy(*pk)
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__nk", F.count(F.lit(1)).over(wc))
+        )
+        existing = self.table(name)
+        if re.match(r"NOTHING$", action, re.I):
+            # null-safe anti-join (ADVICE r10): the engine does not
+            # enforce NOT NULL on pk columns, and a name-list join's
+            # null-unsafe equality would let a NULL-key proposed row
+            # bypass conflict detection and blind-insert every time
+            first = (
+                df.filter(F.col("__rn") == 1)
+                .drop("__seq", "__rn", "__nk")
+                .alias("__proposed")
+            )
+            ex_keys = existing.select(*pk).alias("__existing")
+            anti = None
+            for k in pk:
+                c = F.col(f"__proposed.{k}").eqNullSafe(
+                    F.col(f"__existing.{k}")
+                )
+                anti = c if anti is None else (anti & c)
+            fresh = first.join(ex_keys, anti, "left_anti")
+            v = self.insert(t, fresh)
+            return self._dml_result("INSERT", t, v)
+        um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+        assert um is not None
+        set_sql = um.group(1)
+        wi = _find_top_keyword(set_sql, "WHERE")
+        upd_cond = "true"
+        if wi >= 0:
+            set_sql, upd_cond = set_sql[:wi], set_sql[wi + 5:].strip()
+        assignments: dict[str, str] = {}
+        for part in _split_top_commas(set_sql):
+            pm = re.match(
+                r'\s*("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$', part, re.S
+            )
+            if not pm:
+                raise ValueError(f"cannot parse SET clause: {part!r}")
+            assignments[pm.group(1).strip('"')] = pm.group(2).strip()
+        pk_hits = sorted(set(assignments) & set(pk))
+        if pk_hits:
+            raise ValueError(
+                f"ON CONFLICT DO UPDATE may not assign primary-key "
+                f"column(s) {pk_hits} of {name!r}"
+            )
+        gen_hits = sorted(
+            set(assignments)
+            & set((self._constraints(name) or {}).get("generated") or {})
+        )
+        if gen_hits:
+            raise ValueError(
+                f'column "{gen_hits[0]}" can only be updated to DEFAULT '
+                f'(generated column on "{name}")'
+            )
+        alias = tgt_alias or name.split(".")[-1]
+        ex = existing.alias(alias)
+        proposed = df.alias("excluded")
+        cond = None
+        for k in pk:
+            c = F.col(f"{alias}.{k}").eqNullSafe(F.col(f"excluded.{k}"))
+            cond = c if cond is None else (cond & c)
+        matched = ex.join(proposed, cond, "inner")
+        dup_msg = (
+            "INSERT ON CONFLICT DO UPDATE cannot affect row a second time"
+        )
+        u = matched.filter(
+            F.coalesce(F.expr(upd_cond).cast("boolean"), F.lit(False))
+        ).select(
+            *[
+                F.expr(assignments[c]).cast(schema[c].dataType).alias(c)
+                if c in assignments
+                else F.col(f"{alias}.{c}").alias(c)
+                for c in names
+            ],
+            F.lit("U").alias(OP_COL),
+        )
+        fresh = proposed.join(ex, cond, "left_anti").select(
+            *[F.col(c) for c in names], F.lit("I").alias(OP_COL)
+        )
+        # Postgres raises 'cannot affect row a second time' for ANY key
+        # proposed twice — arbitration happens before the DO UPDATE
+        # WHERE, so a duplicate whose rows all fail the WHERE still
+        # errors.  A guard attached to the filtered U rows disappears
+        # with them (ADVICE r10), so the violation check is its own
+        # branch over the UNFILTERED proposed rows, unioned into the
+        # batch: zero rows when clean, raises in-job otherwise.
+        viol = df.filter(F.col("__nk") > 1).select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in names],
+            F.when(
+                F.col("__nk") > 1,
+                F.raise_error(F.lit(dup_msg)).cast("string"),
+            ).otherwise(F.lit("I")).alias(OP_COL),
+        )
+        batch = u.unionByName(fresh).unionByName(viol)
+        try:
+            v = self.apply_changes(name, batch)
+        except Exception as e:
+            if dup_msg in str(e):
+                raise ValueError(dup_msg) from None
+            raise
+        return self._dml_result("INSERT", t, v)
+    def _sql_update_from(
+        self,
+        t: str,
+        tgt_alias: Optional[str],
+        assignments: dict[str, str],
+        from_sql: str,
+        cond: str,
+    ) -> DataFrame:
+        """``UPDATE t [AS a] SET ... FROM <from items> WHERE ...`` —
+        the Postgres join-update, compiled as one SELECT over the
+        registered views (so subqueries, joins, and temp views all work
+        in the FROM list) funneled into one apply_changes batch of U
+        images.  Deliberate deviation from Postgres: a target row
+        matching MULTIPLE source rows raises in-job instead of updating
+        with an unpredictable one — silent nondeterminism has no place
+        in a CDC engine."""
+        name = self._canon(t)
+        mt = self._moontable(name)
+        schema = mt.schema()
+        names = [f.name for f in schema.fields]
+        pk = mt.primary_key()
+        if not pk:
+            raise ValueError(f"UPDATE ... FROM needs a primary key on {name!r}")
+        pk_hits = sorted(set(assignments) & set(pk))
+        if pk_hits:
+            raise ValueError(
+                f"UPDATE ... FROM may not assign primary-key column(s) "
+                f"{pk_hits} of {name!r}"
+            )
+        gen_hits = sorted(
+            set(assignments)
+            & set((self._constraints(name) or {}).get("generated") or {})
+        )
+        if gen_hits:
+            raise ValueError(
+                f'column "{gen_hits[0]}" can only be updated to DEFAULT '
+                f'(generated column on "{name}")'
+            )
+        alias = tgt_alias or name.split(".")[-1]
+        proj = ", ".join(
+            f"({assignments[c]}) AS {c}" if c in assignments
+            else f"{alias}.{c} AS {c}"
+            for c in names
+        )
+        pk_list = ", ".join(f"{alias}.{k}" for k in pk)
+        sel = (
+            f"SELECT {proj}, COUNT(*) OVER (PARTITION BY {pk_list}) AS "
+            f"__match_n FROM {self._view_name(name)} AS {alias}, "
+            f"{from_sql} WHERE {cond}"
+        )
+        rows = self.sql(sel)
+        dup_msg = "UPDATE ... FROM: a target row matched multiple source rows"
+        op = F.when(
+            F.col("__match_n") > 1,
+            F.raise_error(F.lit(dup_msg)).cast("string"),
+        ).otherwise(F.lit("U"))
+        batch = rows.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in names],
+            op.alias(OP_COL),
+        )
+        try:
+            v = self.apply_changes(name, batch)
+        except Exception as e:
+            if dup_msg in str(e):
+                raise ValueError(dup_msg) from None
+            raise
+        return self._dml_result("UPDATE", t, v)
+    def _sql_delete_using(
+        self,
+        t: str,
+        tgt_alias: Optional[str],
+        using_sql: str,
+        cond: str,
+    ) -> DataFrame:
+        """``DELETE FROM t [AS a] USING <from items> WHERE ...`` — the
+        Postgres join-delete: target rows with at least one match in
+        the USING product are deleted (DISTINCT over the target row, so
+        multiple matches delete once), one apply_changes batch of D
+        keys."""
+        name = self._canon(t)
+        mt = self._moontable(name)
+        schema = mt.schema()
+        names = [f.name for f in schema.fields]
+        if not mt.primary_key():
+            raise ValueError(f"DELETE ... USING needs a primary key on {name!r}")
+        alias = tgt_alias or name.split(".")[-1]
+        proj = ", ".join(f"{alias}.{c} AS {c}" for c in names)
+        sel = (
+            f"SELECT DISTINCT {proj} FROM {self._view_name(name)} AS "
+            f"{alias}, {using_sql} WHERE {cond}"
+        )
+        rows = self.sql(sel)
+        batch = rows.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in names],
+            F.lit("D").alias(OP_COL),
+        )
+        v = self.apply_changes(name, batch)
+        return self._dml_result("DELETE", t, v)
+    def _sql_merge(self, q: str, pin: Optional[dict[str, int]] = None) -> DataFrame:
+        """Route ``MERGE INTO`` onto :meth:`apply_changes` — the last DML
+        gap vs the reference contract (Postgres 15+ users write MERGE
+        against the heap side, reference README.md:16; VERDICT r8 task 6).
+
+        Bounded shape (anything else raises with the statement)::
+
+            MERGE INTO t [[AS] tgt] USING (<query> | table) [[AS] src]
+            ON <condition>
+            [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...
+             | WHEN MATCHED [AND <cond>] THEN DELETE] ...
+            [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+             INSERT [(cols)] VALUES (exprs)] ...
+            [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+             UPDATE SET c = expr, ... | DELETE] ...
+
+        Any number of clauses of each kind is accepted; within a kind
+        they apply FIRST-MATCH-WINS in statement order per the SQL
+        standard (clause i fires only where coalesce(cond_i, false)
+        holds and every earlier same-kind clause's condition does not —
+        a NULL condition falls through rather than firing or
+        suppressing later clauses).  ``WHEN NOT MATCHED BY SOURCE``
+        (SQL:2023) acts on TARGET rows with no source match; its
+        conditions and SET expressions may reference target columns
+        only.  UPDATE SET may not assign a primary-key column (that
+        would re-key the row through apply_changes and strand the old
+        image).
+
+        Compilation is three declarative joins funneled into ONE CDC
+        batch (so the commit is atomic and exports/MVs sync once):
+        matched+UPDATE rows become U images (target row with the SET
+        expressions applied), matched+DELETE rows become D keys, and
+        NOT-MATCHED inserts come from a left-anti join.  Everything is
+        expressed as DataFrame joins Catalyst plans (broadcast/AQE apply
+        as usual) — at 100 TB the cost profile is apply_changes', which
+        is stats→bloom→exact-probe bounded.
+
+        Per the SQL standard, a source row may match at most one WHEN
+        MATCHED action and each target row at most one source row; the
+        latter is enforced with an O(matched) duplicate-key check (same
+        error DuckDB/delta-spark raise on multi-match)."""
+        m = re.match(
+            rf"MERGE\s+INTO\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)|(\w+))?\s+USING\s+(.*)$",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MERGE statement: {q!r}")
+        t = m.group(1)
+        tgt_alias = m.group(2) or m.group(3) or self._canon(t)
+        rest = m.group(4).strip()
+        # source: parenthesized query or table name, optional alias
+        if rest.startswith("("):
+            depth, i = 0, 0
+            for i, c in enumerate(rest):
+                depth += c == "("
+                depth -= c == ")"
+                if depth == 0:
+                    break
+            src_sql, rest = rest[1:i], rest[i + 1:].strip()
+            src_alias = "__merge_src"  # derived table: alias expected
+        else:
+            sm = re.match(rf"{_SQL_TABLE}\s*(.*)$", rest, re.S)
+            if not sm:
+                raise ValueError(f"cannot parse MERGE source: {rest!r}")
+            src_name, rest = sm.group(1), sm.group(2).strip()
+            src_sql = f"SELECT * FROM {src_name}"
+            # unaliased table source: the ON clause references it by name
+            src_alias = src_name.split(".")[-1].strip('"')
+        am = re.match(r"(?:AS\s+)?(\w+)\s+(?=ON\b)", rest, re.I | re.S)
+        if am:
+            src_alias, rest = am.group(1), rest[am.end():]
+        om = re.match(r"ON\s+(.*)$", rest, re.I | re.S)
+        if not om:
+            raise ValueError(f"MERGE needs an ON clause: {q!r}")
+        rest = om.group(1)
+        wi = _find_top_keyword(rest, "WHEN")
+        if wi < 0:
+            raise ValueError(f"MERGE needs at least one WHEN clause: {q!r}")
+        on_cond, rest = rest[:wi].strip(), rest[wi:]
+
+        # Ordered WHEN MATCHED clauses, first-match-wins per the SQL
+        # standard (VERDICT r9 #1: the previous two-slot compiler hardwired
+        # UPDATE precedence, so DELETE-before-UPDATE silently updated).
+        # Each entry is ("U", extra_cond, assignments) or ("D", extra_cond,
+        # None); eligibility for clause i is coalesce(cond_i, false) AND
+        # NOT coalesce(cond_j, false) for every earlier clause j — the
+        # coalesce gives SQL three-valued logic (a NULL condition falls
+        # through instead of poisoning both branches).
+        matched_clauses: list[
+            tuple[str, str, Optional[dict[str, str]]]
+        ] = []
+        # NOT MATCHED BY SOURCE: target rows without a source match —
+        # same (kind, cond, assignments) shape as matched_clauses
+        by_source_clauses: list[
+            tuple[str, str, Optional[dict[str, str]]]
+        ] = []
+        ins_clauses: list[tuple[str, Optional[list[str]], str]] = []
+
+        def _parse_upd_del(action: str, ctx: str) -> tuple[str, Optional[dict]]:
+            if re.match(r"DELETE\s*$", action, re.I):
+                return ("D", None)
+            um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+            if not um:
+                raise ValueError(
+                    f"{ctx} action must be UPDATE SET or DELETE: {action!r}"
+                )
+            assignments: dict[str, str] = {}
+            for part in _split_top_commas(um.group(1)):
+                pm = re.match(
+                    r'\s*(?:\w+\.)?("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$',
+                    part, re.S,
+                )
+                if not pm:
+                    raise ValueError(f"cannot parse SET clause: {part!r}")
+                assignments[pm.group(1).strip('"')] = pm.group(2).strip()
+            return ("U", assignments)
+
+        while rest:
+            wm = re.match(
+                r"WHEN\s+(NOT\s+)?MATCHED\s*(?:BY\s+(SOURCE|TARGET)\s*)?"
+                r"(?:AND\s+(.*?))?\s*THEN\s+(.*)$",
+                rest, re.I | re.S,
+            )
+            if not wm:
+                raise ValueError(f"cannot parse WHEN clause: {rest!r}")
+            is_not = bool(wm.group(1))
+            by = (wm.group(2) or "").upper()
+            extra, action = wm.group(3), wm.group(4)
+            if by and not is_not:
+                raise ValueError(
+                    f"BY {by} is only valid after WHEN NOT MATCHED: {q!r}"
+                )
+            nxt = _find_top_keyword(action, "WHEN")
+            action, rest = (
+                (action[:nxt].strip(), action[nxt:]) if nxt >= 0
+                else (action.strip(), "")
+            )
+            extra_cond = (extra or "true").strip() or "true"
+            if is_not and by == "SOURCE":
+                kind, assignments = _parse_upd_del(
+                    action, "WHEN NOT MATCHED BY SOURCE"
+                )
+                by_source_clauses.append((kind, extra_cond, assignments))
+            elif is_not:
+                im = re.match(
+                    r"INSERT\s*(\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
+                    action, re.I | re.S,
+                )
+                if not im:
+                    raise ValueError(
+                        f"WHEN NOT MATCHED action must be INSERT [(cols)] "
+                        f"VALUES (...): {action!r}"
+                    )
+                cols = (
+                    [c.strip().strip('"') for c in im.group(2).split(",")]
+                    if im.group(2) else None
+                )
+                ins_clauses.append((extra_cond, cols, im.group(3)))
+            else:
+                kind_m, assignments = _parse_upd_del(action, "WHEN MATCHED")
+                matched_clauses.append((kind_m, extra_cond, assignments))
+
+        name = self._canon(t)
+        mt = self._moontable(name)
+        schema = mt.schema()
+        pk = mt.primary_key()
+        if not pk:
+            raise ValueError(f"MERGE target {name!r} has no primary key")
+        tgt_df = self.table(name).alias(tgt_alias)
+        # source evaluated only after the statement fully parses, so a
+        # malformed MERGE errors on its shape, not on name resolution
+        src_df = self.sql(src_sql, pin=pin).alias(src_alias)
+        cond = F.expr(on_cond)
+        names = [f.name for f in schema.fields]
+
+        gen_cols = set((self._constraints(name) or {}).get("generated") or {})
+        for kind, _extra, assignments in matched_clauses + by_source_clauses:
+            if kind == "U" and assignments:
+                pk_hits = sorted(set(assignments) & set(pk))
+                if pk_hits:
+                    # ADVICE r9 #2: a pk rewrite would upsert under the NEW
+                    # key via apply_changes and strand the old-key row.
+                    raise ValueError(
+                        f"MERGE UPDATE SET may not assign primary-key "
+                        f"column(s) {pk_hits} of {name!r}; delete and "
+                        f"re-insert instead"
+                    )
+                gen_hits = sorted(set(assignments) & gen_cols)
+                if gen_hits:
+                    raise ValueError(
+                        f'column "{gen_hits[0]}" can only be updated to '
+                        f'DEFAULT (generated column on "{name}")'
+                    )
+
+        def _tvl(sql_cond: str) -> Column:
+            # three-valued logic: UNKNOWN does not fire the clause
+            return F.coalesce(F.expr(sql_cond).cast("boolean"), F.lit(False))
+
+        parts: list[DataFrame] = []
+        matched = tgt_df.join(src_df, cond, "inner")
+        if matched_clauses:
+            # SQL standard: each target row may be MODIFIED by at most
+            # one source row.  Enforced inside the branch job itself
+            # (VERDICT r9 task 7 — previously a separate eager aggregate
+            # job over the matched set): a window count of action-firing
+            # rows per pk, and raise_error where it exceeds 1.  Costs at
+            # most ONE extra exchange (hash by pk for the window — often
+            # reused from the join), zero extra jobs, and matches
+            # Delta/DuckDB semantics exactly: duplicates that fire no
+            # WHEN MATCHED clause modify nothing and are legal.
+            from pyspark.sql import Window
+
+            fires = None
+            for _kind, extra, _a in matched_clauses:
+                g = _tvl(extra)
+                fires = g if fires is None else (fires | g)
+            w = Window.partitionBy(*[F.col(f"{tgt_alias}.{k}") for k in pk])
+            matched = matched.withColumn(
+                "__match_n", F.count(F.when(fires, F.lit(1))).over(w)
+            )
+
+        def _op_guarded(tag: str) -> Column:
+            # attached to the op column so column pruning can never drop
+            # the check; NullType from raise_error casts to string
+            return (
+                F.when(
+                    F.col("__match_n") > 1,
+                    F.raise_error(
+                        F.lit(_MERGE_MULTI_MATCH_MSG)
+                    ).cast("string"),
+                )
+                .otherwise(F.lit(tag))
+            )
+
+        earlier: list[str] = []
+        for kind, extra, assignments in matched_clauses:
+            gate = _tvl(extra)
+            for prev in earlier:
+                gate = gate & ~_tvl(prev)
+            earlier.append(extra)
+            rows = matched.filter(gate)
+            if kind == "U":
+                assert assignments is not None
+                u = rows.select(
+                    *[
+                        F.expr(assignments[c]).cast(schema[c].dataType)
+                        .alias(c)
+                        if c in assignments
+                        else F.col(f"{tgt_alias}.{c}").alias(c)
+                        for c in names
+                    ],
+                    _op_guarded("U").alias(OP_COL),
+                )
+                parts.append(u)
+            else:
+                d = rows.select(
+                    *[F.col(f"{tgt_alias}.{c}").alias(c) for c in names],
+                    _op_guarded("D").alias(OP_COL),
+                )
+                parts.append(d)
+        if by_source_clauses:
+            # SQL:2023 NOT MATCHED BY SOURCE: target rows with no source
+            # match — one left-anti join, then the same ordered
+            # first-match-wins gating.  No multi-match guard needed:
+            # the anti-join emits each target row at most once.
+            unmatched_tgt = tgt_df.join(src_df, cond, "left_anti")
+            earlier_ns: list[str] = []
+            for kind, extra, assignments in by_source_clauses:
+                gate = _tvl(extra)
+                for prev in earlier_ns:
+                    gate = gate & ~_tvl(prev)
+                earlier_ns.append(extra)
+                rows = unmatched_tgt.filter(gate)
+                if kind == "U":
+                    assert assignments is not None
+                    u = rows.select(
+                        *[
+                            F.expr(assignments[c]).cast(schema[c].dataType)
+                            .alias(c)
+                            if c in assignments
+                            else F.col(f"{tgt_alias}.{c}").alias(c)
+                            for c in names
+                        ]
+                    )
+                    parts.append(u.withColumn(OP_COL, F.lit("U")))
+                else:
+                    d = rows.select(
+                        *[F.col(f"{tgt_alias}.{c}").alias(c) for c in names]
+                    )
+                    parts.append(d.withColumn(OP_COL, F.lit("D")))
+        if ins_clauses:
+            unmatched = src_df.join(tgt_df, cond, "left_anti")
+            earlier_i: list[str] = []
+            for extra, cols, values_sql in ins_clauses:
+                gate = _tvl(extra)
+                for prev in earlier_i:
+                    gate = gate & ~_tvl(prev)
+                earlier_i.append(extra)
+                fired = unmatched.filter(gate)
+                exprs = _split_top_commas(values_sql)
+                target_cols = cols if cols is not None else names
+                if len(exprs) != len(target_cols):
+                    raise ValueError(
+                        f"MERGE INSERT arity mismatch: {len(exprs)} values "
+                        f"for {len(target_cols)} columns {target_cols}"
+                    )
+                by_col = dict(zip(target_cols, exprs))
+                i_df = fired.select(
+                    *[
+                        F.expr(by_col[c]).cast(schema[c].dataType).alias(c)
+                        if c in by_col
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
+                        for c in names
+                    ]
+                )
+                parts.append(i_df.withColumn(OP_COL, F.lit("I")))
+        if not parts:
+            raise ValueError(f"MERGE has no actionable WHEN clause: {q!r}")
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        try:
+            v = self.apply_changes(name, batch)
+        except Exception as e:  # surface the in-job guard as ValueError
+            if _MERGE_MULTI_MATCH_MSG in str(e):
+                raise ValueError(_MERGE_MULTI_MATCH_MSG) from None
+            raise
+        return self._dml_result("MERGE", t, v)
+    def _sql_ddl(
+        self, query: str, kind: str, pin: Optional[dict[str, int]] = None
+    ) -> DataFrame:
+        """Route one SQL DDL statement to the engine's lifecycle API —
+        completing the statement surface the reference's regress corpus
+        runs (reference tests/pg_regress/sql/sanity.sql:1,7 and
+        partitioned_table.sql wrap the DML in CREATE TABLE / DROP
+        TABLE).  Bounded shapes (anything else raises):
+
+        - ``CREATE TABLE [IF NOT EXISTS] t (col type [PRIMARY KEY|NOT
+          NULL|DEFAULT expr|CHECK (expr)], ..., [PRIMARY KEY (a, b)],
+          [[CONSTRAINT name] CHECK (expr)])`` → :meth:`create_table`
+          with an empty backfill; Postgres type spellings (int, text,
+          numeric(p,s)...) and Spark DDL types both resolve.
+          Constraints persist in the catalog and are enforced in-job
+          on every write path (insert / INSERT incl. upsert and
+          DEFAULT VALUES / UPDATE post-image / MERGE / COPY FROM /
+          transaction staging) with Postgres error spellings; UNIQUE
+          and REFERENCES refuse at CREATE rather than silently not
+          enforcing.
+        - ``CREATE TABLE t AS SELECT ...`` (CTAS) → create_table with
+          the query result as backfill (no primary key: append-only).
+        - ``DROP TABLE [IF EXISTS] t[, t2 ...]`` → :meth:`drop_table`.
+        - ``TRUNCATE [TABLE] t`` → delete of every row (exports/views
+          follow, same as DELETE without WHERE).
+        - ``ALTER TABLE t RENAME COLUMN a TO b`` → :meth:`rename_column`.
+        - ``ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c type`` →
+          :meth:`add_column` (schema-evolving commit; exports widen in
+          step).
+        - ``ALTER TABLE t DROP COLUMN [IF EXISTS] c`` →
+          :meth:`drop_column` (schema-narrowing commit; exports drop by
+          field-id / column mapping — nothing rewritten)."""
+        q = query.strip().rstrip(";").strip()
+        if kind == "CREATE":
+            m = re.match(
+                rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_SQL_TABLE}\s*(.*)$",
+                q, re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"cannot parse CREATE TABLE: {q!r}")
+            if_not_exists, t, rest = bool(m.group(1)), m.group(2), m.group(3).strip()
+            name = parse_table_name(t)
+            if name in self.catalog.list_tables():
+                if if_not_exists:
+                    return self._dml_result("CREATE", t, 0)
+                raise ValueError(f"mirror {name!r} already registered")
+            if re.match(r"AS\s+(SELECT|WITH)\b", rest, re.I):
+                src = self.sql(re.sub(r"^AS\s+", "", rest, flags=re.I), pin=pin)
+                self.create_table(t, source_df=src)
+                return self._dml_result("CREATE", t, 1)
+            if re.match(r"PARTITION\s+OF\b", rest, re.I):
+                # heap-side physical partitioning (reference
+                # partitioned_table.sql:2-3): the mirror is one logical
+                # table — child-partition DDL is a recorded no-op
+                return self._dml_result("CREATE", t, 0)
+            if not rest.startswith("("):
+                raise ValueError(
+                    f"CREATE TABLE needs (column defs) or AS SELECT: {q!r}"
+                )
+            # matching close-paren of the column list (NOT rindex: a
+            # trailing PARTITION BY RANGE (a) clause carries parens too)
+            depth, close = 0, -1
+            for i, c in enumerate(rest):
+                depth += c == "("
+                depth -= c == ")"
+                if depth == 0:
+                    close = i
+                    break
+            tail = rest[close + 1:].strip()
+            if tail and not re.match(
+                r"PARTITION\s+BY\s+(RANGE|LIST|HASH)\s*\([^)]*\)\s*$",
+                tail, re.I,
+            ):
+                raise ValueError(f"unsupported CREATE TABLE suffix: {tail!r}")
+            fields: list[T.StructField] = []
+            pk: list[str] = []
+            not_null: list[str] = []
+            checks: list[list[str]] = []  # [name, expr_sql]
+            defaults: dict[str, str] = {}
+            generated: dict[str, str] = {}
+            for part in _split_top_commas(rest[1:close]):
+                part = part.strip()
+                cm = re.match(
+                    r"PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", part, re.I
+                )
+                if cm:  # table-level constraint — same identifier
+                    # folding as column defs: quoted keeps case
+                    for c in cm.group(1).split(","):
+                        c = c.strip()
+                        pk.append(
+                            c.strip('"') if c.startswith('"') else c.lower()
+                        )
+                    continue
+                tm = re.match(
+                    r"(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\((.*)\)\s*$",
+                    part, re.I | re.S,
+                )
+                if tm:  # table-level CHECK
+                    checks.append([tm.group(1), tm.group(2).strip()])
+                    continue
+                dm = re.match(
+                    r'\s*("[^"]+"|[A-Za-z_]\w*)\s+(.*)$', part, re.S
+                )
+                if not dm:
+                    raise ValueError(f"cannot parse column def: {part!r}")
+                col = dm.group(1).strip('"')
+                # Postgres folding: quoted identifiers keep case,
+                # unquoted fold to lowercase
+                if not dm.group(1).startswith('"'):
+                    col = col.lower()
+                type_sql, info = _parse_col_constraints(dm.group(2).strip())
+                fields.append(
+                    T.StructField(col, _pg_type_to_spark(type_sql), True)
+                )
+                if info["is_pk"]:
+                    pk.append(col)
+                if info["not_null"]:
+                    not_null.append(col)
+                if info["default"] is not None:
+                    defaults[col] = info["default"]
+                if info["generated"] is not None:
+                    generated[col] = info["generated"]
+                for cons_name, expr in info["checks"]:
+                    checks.append([cons_name, expr])
+            # Postgres auto-names: <table>_<col?>_check, numbered dups
+            auto = 0
+            tbl_slug = parse_table_name(t).replace(".", "_")
+            for ck in checks:
+                if ck[0] is None:
+                    auto += 1
+                    ck[0] = (
+                        f"{tbl_slug}_check"
+                        if auto == 1 else f"{tbl_slug}_check{auto}"
+                    )
+            constraints: dict[str, Any] = {}
+            if not_null or pk:
+                # PRIMARY KEY implies NOT NULL, Postgres semantics
+                constraints["not_null"] = sorted({*not_null, *pk})
+            if checks:
+                constraints["checks"] = checks
+            if defaults:
+                constraints["defaults"] = defaults
+            if generated:
+                _no_gen_on_gen(generated)
+                constraints["generated"] = generated
+            schema = T.StructType(fields)
+            empty = self.spark.createDataFrame([], schema)
+            # Postgres errors on a bad constraint expression at CREATE,
+            # not at first write: one analysis pass (no job) per expr
+            for what, e_ in [
+                *[("DEFAULT", x) for x in defaults.values()],
+                *[("GENERATED", x) for x in generated.values()],
+                *[("CHECK", x[1]) for x in checks],
+            ]:
+                self._analysis_check_expr(None, what, e_, schema=schema)
+            # change_feed on by default for SQL-created tables — the
+            # wal_level=logical analog: DML commits persist an O(batch)
+            # change file so the table can be followed (CALL
+            # mooncake.create_table), fed to views, and repaired from;
+            # appends derive their feed rows for free either way
+            self.create_table(
+                t, source_df=empty, primary_key=pk or None, change_feed=True,
+                table_config=(
+                    {"constraints": constraints} if constraints else None
+                ),
+            )
+            return self._dml_result("CREATE", t, 1)
+        if kind == "DROP":
+            m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.*)$", q, re.I | re.S)
+            if not m:
+                raise ValueError(f"cannot parse DROP TABLE: {q!r}")
+            if_exists = bool(m.group(1))
+            last = "?"
+            for t in _split_top_commas(m.group(2)):
+                last = t
+                try:
+                    self.drop_table(t)
+                except KeyError:
+                    if not if_exists:
+                        raise
+            return self._dml_result("DROP", last, 0)
+        if kind == "TRUNCATE":
+            m = re.match(rf"TRUNCATE\s+(?:TABLE\s+)?{_SQL_TABLE}\s*$", q, re.I)
+            if not m:
+                raise ValueError(f"cannot parse TRUNCATE: {q!r}")
+            v = self.delete_where(m.group(1), "true")
+            return self._dml_result("TRUNCATE", m.group(1), v)
+        # ALTER
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+SET\s+ACCESS\s+METHOD\s+"
+            r"(\w+)\s*$",
+            q, re.I,
+        )
+        if m:
+            # The reference's columnstore tables are selected by table
+            # ACCESS METHOD (``USING columnstore``; CHANGELOG.md:8 adds
+            # ALTER ... SET ACCESS METHOD).  Spark has no heap/AM split —
+            # every mirror IS columnar parquet — so switching a mirror's
+            # AM is not applicable here; refuse loudly (a silent no-op
+            # would let a migration script believe it converted a table)
+            t, am = m.group(1), m.group(2)
+            self._canon(t)  # unknown-table error first, like Postgres
+            raise ValueError(
+                f"ALTER TABLE ... SET ACCESS METHOD {am}: not applicable "
+                "— mirrors are always columnar (parquet); to change the "
+                "storage of the data, CREATE a new table from this one "
+                "or attach an export (delta/iceberg)"
+            )
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+RENAME\s+TO\s+"
+            r'("[^"]+"|[\w.]+)\s*$',
+            q, re.I,
+        )
+        if m:
+            self.rename_table(m.group(1), m.group(2).strip('"'))
+            return self._dml_result("ALTER", m.group(2).strip('"'), 1)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+RENAME\s+COLUMN\s+"
+            r'("[^"]+"|\w+)\s+TO\s+("[^"]+"|\w+)\s*$',
+            q, re.I,
+        )
+        if m:
+            v = self.rename_column(
+                m.group(1), m.group(2).strip('"'), m.group(3).strip('"')
+            )
+            return self._dml_result("ALTER", m.group(1), v)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+COLUMN\s+"
+            r'(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|\w+)\s+(.+?)\s*$',
+            q, re.I | re.S,
+        )
+        if m:
+            t, if_not_exists = m.group(1), bool(m.group(2))
+            col = m.group(3).strip('"')
+            existing = [f.name for f in self._moontable(t).schema().fields]
+            if col in existing:
+                if if_not_exists:
+                    return self._dml_result("ALTER", t, 0)
+                raise ValueError(f"column {col!r} already exists on {t!r}")
+            v = self._sql_add_column(t, col, m.group(4).strip())
+            return self._dml_result("ALTER", t, v)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+DROP\s+COLUMN\s+"
+            r'(IF\s+EXISTS\s+)?("[^"]+"|\w+)\s*$',
+            q, re.I,
+        )
+        if m:
+            t, if_exists = m.group(1), bool(m.group(2))
+            col = m.group(3).strip('"')
+            existing = [f.name for f in self._moontable(t).schema().fields]
+            if col not in existing:
+                if if_exists:
+                    return self._dml_result("ALTER", t, 0)
+                raise ValueError(f"no column {col!r} on {t!r}")
+            v = self.drop_column(t, col)
+            return self._dml_result("ALTER", t, v)
+        # --- constraint lifecycle (round 12; Postgres error spellings) ---
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+"
+            r"(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\((.*)\)\s*"
+            r"(NOT\s+VALID)?\s*$",
+            q, re.I | re.S,
+        )
+        if m:
+            self._no_txn("ALTER TABLE ADD CHECK")
+            t, cname = m.group(1), m.group(2)
+            expr, not_valid = m.group(3).strip(), bool(m.group(4))
+            name = self._canon(t)
+            cons = self._constraints(t) or {}
+            taken = {n for n, _ in cons.get("checks", [])}
+            if cname is None:
+                base, i = f"{name.replace('.', '_')}_check", 1
+                cname = base
+                while cname in taken:
+                    i += 1
+                    cname = f"{base}{i}"
+            elif cname in taken:
+                raise ValueError(
+                    f'constraint "{cname}" for relation "{name}" '
+                    "already exists"
+                )
+            self._analysis_check_expr(t, "CHECK", expr)
+            if not not_valid:
+                # one validation job: any existing row that fails (NULL
+                # check results pass, three-valued logic)
+                bad = (
+                    self.table(t)
+                    .where(f"NOT coalesce(({expr}), true)")
+                    .limit(1).count()
+                )
+                if bad:
+                    raise ValueError(
+                        f'check constraint "{cname}" of relation '
+                        f'"{name}" is violated by some row'
+                    )
+            cons.setdefault("checks", []).append([cname, expr])
+            if not_valid:
+                cons.setdefault("not_validated", []).append(cname)
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+VALIDATE\s+CONSTRAINT\s+"
+            r"(\w+)\s*$",
+            q, re.I,
+        )
+        if m:
+            self._no_txn("ALTER TABLE VALIDATE CONSTRAINT")
+            t, cname = m.group(1), m.group(2)
+            name = self._canon(t)
+            cons = self._constraints(t) or {}
+            by_name = {n: e for n, e in cons.get("checks", [])}
+            if cname not in by_name:
+                raise ValueError(
+                    f'constraint "{cname}" of relation "{name}" '
+                    "does not exist"
+                )
+            if cname in cons.get("not_validated", []):
+                bad = (
+                    self.table(t)
+                    .where(f"NOT coalesce(({by_name[cname]}), true)")
+                    .limit(1).count()
+                )
+                if bad:
+                    raise ValueError(
+                        f'check constraint "{cname}" of relation '
+                        f'"{name}" is violated by some row'
+                    )
+                cons["not_validated"] = [
+                    n for n in cons["not_validated"] if n != cname
+                ]
+                self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+DROP\s+CONSTRAINT\s+"
+            r"(IF\s+EXISTS\s+)?(\w+)\s*$",
+            q, re.I,
+        )
+        if m:
+            self._no_txn("ALTER TABLE DROP CONSTRAINT")
+            t, if_exists, cname = m.group(1), bool(m.group(2)), m.group(3)
+            name = self._canon(t)
+            cons = self._constraints(t) or {}
+            checks = cons.get("checks", [])
+            if cname not in {n for n, _ in checks}:
+                if if_exists:
+                    return self._dml_result("ALTER", t, 0)
+                raise ValueError(
+                    f'constraint "{cname}" of relation "{name}" '
+                    "does not exist"
+                )
+            cons["checks"] = [c for c in checks if c[0] != cname]
+            cons["not_validated"] = [
+                n for n in cons.get("not_validated", []) if n != cname
+            ]
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ALTER\s+(?:COLUMN\s+)?"
+            r'("[^"]+"|\w+)\s+(.*)$',
+            q, re.I | re.S,
+        )
+        if m:
+            self._no_txn("ALTER TABLE ALTER COLUMN")
+            t, col, action = m.group(1), m.group(2).strip('"'), m.group(3)
+            return self._sql_alter_column(t, col, action.strip())
+        raise ValueError(f"unsupported {kind} statement: {q!r}")
+    def _analysis_check_expr(
+        self,
+        t: Optional[str],
+        what: str,
+        expr: str,
+        schema: Optional[T.StructType] = None,
+    ) -> None:
+        """One Spark analysis pass (no job) over an empty frame with the
+        table's schema (or an explicit ``schema`` when the table does
+        not exist yet) — a typo'd expression must refuse at DDL time
+        (Postgres validates syntax even for NOT VALID), never poison
+        later writes."""
+        if schema is None:
+            schema = self._moontable(t).schema()
+        probe = self.spark.createDataFrame([], schema)
+        try:
+            probe.select(F.expr(expr))
+        except Exception as ex:
+            raise ValueError(
+                f"invalid {what} expression {expr!r}: "
+                f"{str(ex).splitlines()[0]}"
+            ) from ex
+    def _sql_alter_column(self, t: str, col: str, action: str) -> DataFrame:
+        """``ALTER TABLE t ALTER [COLUMN] c SET DEFAULT expr | DROP
+        DEFAULT | SET NOT NULL | DROP NOT NULL`` — constraint-metadata
+        mutations with Postgres validation semantics: SET NOT NULL scans
+        once for existing NULLs; DROP NOT NULL refuses on primary-key
+        columns."""
+        name = self._canon(t)
+        mt = self._moontable(t)
+        if col not in [f.name for f in mt.schema().fields]:
+            raise ValueError(f'column "{col}" of relation "{name}" '
+                             "does not exist")
+        cons = self._constraints(t) or {}
+        am = re.match(r"SET\s+DEFAULT\s+(.+)$", action, re.I | re.S)
+        if am:
+            if col in (cons.get("generated") or {}):
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" is a generated '
+                    "column"
+                )
+            self._analysis_check_expr(t, "DEFAULT", am.group(1).strip())
+            cons.setdefault("defaults", {})[col] = am.group(1).strip()
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        if re.match(r"DROP\s+DEFAULT\s*$", action, re.I):
+            (cons.get("defaults") or {}).pop(col, None)
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        if re.match(r"SET\s+NOT\s+NULL\s*$", action, re.I):
+            if col not in cons.get("not_null", []):
+                bad = (
+                    self.table(t).where(F.col(col).isNull()).limit(1).count()
+                )
+                if bad:
+                    raise ValueError(
+                        f'column "{col}" of relation "{name}" contains '
+                        "null values"
+                    )
+                cons.setdefault("not_null", []).append(col)
+                self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        if re.match(r"DROP\s+NOT\s+NULL\s*$", action, re.I):
+            if col in (mt.primary_key() or []):
+                raise ValueError(f'column "{col}" is in a primary key')
+            cons["not_null"] = [
+                c for c in cons.get("not_null", []) if c != col
+            ]
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        raise ValueError(f"unsupported ALTER COLUMN action: {action!r}")
+    def _sql_add_column(self, t: str, col: str, tail: str) -> int:
+        """``ALTER TABLE t ADD COLUMN c type [constraints]`` with the
+        full column-constraint grammar of CREATE TABLE.  Semantics match
+        Postgres: a DEFAULT (or GENERATED expression) fills EXISTING
+        rows at ALTER time — here via one update_where pass, i.e. a
+        table rewrite like pre-11 Postgres (at 100 TB, prefer adding the
+        column without DEFAULT and backfilling incrementally); NOT NULL
+        on a non-empty table requires a DEFAULT; new CHECKs validate
+        against the post-backfill state before anything is written."""
+        name = self._canon(t)
+        type_sql, info = _parse_col_constraints(tail)
+        if info["is_pk"]:
+            raise ValueError(
+                "cannot add a PRIMARY KEY column to an existing table"
+            )
+        cons = self._constraints(t) or {}
+        # every refusal below must fire BEFORE any write so a failed
+        # ALTER leaves no trace (Postgres's atomic ALTER)
+        if info["generated"] is not None:
+            _no_gen_on_gen(
+                {**(cons.get("generated") or {}), col: info["generated"]}
+            )
+        taken = {n for n, _ in cons.get("checks", [])}
+        dup = next(
+            (n for n, _ in info["checks"] if n is not None and n in taken),
+            None,
+        )
+        if dup is not None:
+            raise ValueError(
+                f'constraint "{dup}" for relation "{name}" already exists'
+            )
+        widened = T.StructType(
+            [*self._moontable(t).schema().fields,
+             T.StructField(col, _pg_type_to_spark(type_sql), True)]
+        )
+        for what, e_ in [
+            *([("DEFAULT", info["default"])] if info["default"] else []),
+            *([("GENERATED", info["generated"])] if info["generated"] else []),
+            *[("CHECK", x[1]) for x in info["checks"]],
+        ]:
+            self._analysis_check_expr(None, what, e_, schema=widened)
+        fill = info["generated"] or info["default"]
+        if (info["not_null"] or info["checks"]) and fill is None:
+            # Postgres: NOT NULL add needs a default when rows exist; a
+            # CHECK over an all-NULL new column passes 3VL, but surface
+            # the NOT NULL case with the Postgres spelling
+            if info["not_null"] and self.table(t).limit(1).count():
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" contains '
+                    "null values"
+                )
+        if info["checks"] and fill is not None:
+            # pre-validate each CHECK against the post-backfill image
+            # (new column substituted by its fill expression) so a
+            # violated ALTER leaves the table untouched
+            sub = {col.lower(): f"({fill})"}
+            for cname, expr in info["checks"]:
+                post = _subst_idents(expr, sub)
+                if (
+                    self.table(t)
+                    .where(f"NOT coalesce(({post}), true)")
+                    .limit(1).count()
+                ):
+                    shown = cname or (name.replace(".", "_") + "_check")
+                    raise ValueError(
+                        f'check constraint "{shown}" of relation '
+                        f'"{name}" is violated by some row'
+                    )
+        v = self.add_column(t, col, _pg_type_to_spark(type_sql))
+        if fill is not None:
+            # backfill BEFORE registering the constraint metadata so the
+            # plain-assignment path applies (generated columns refuse
+            # direct assignment once registered)
+            v = self.update_where(t, "true", {col: fill})
+        taken = {n for n, _ in cons.get("checks", [])}
+        auto = 0
+        for cname, expr in info["checks"]:
+            if cname is None:
+                auto += 1
+                base = f"{name.replace('.', '_')}_{col}_check"
+                cname = base if auto == 1 else f"{base}{auto}"
+                while cname in taken:
+                    cname += "_"
+            elif cname in taken:
+                raise ValueError(
+                    f'constraint "{cname}" for relation "{name}" '
+                    "already exists"
+                )
+            cons.setdefault("checks", []).append([cname, expr])
+        if info["not_null"]:
+            cons.setdefault("not_null", []).append(col)
+        if info["default"] is not None:
+            cons.setdefault("defaults", {})[col] = info["default"]
+        if info["generated"] is not None:
+            cons.setdefault("generated", {})[col] = info["generated"]
+        self._set_constraints(t, cons)
+        return v
+    def sql_script(self, script: str) -> Optional[DataFrame]:
+        """Run a multi-statement SQL script (a pg_regress / pg_dump-style
+        file) statement-for-statement through :meth:`sql` and return the
+        LAST statement's result (None for an empty script).
+
+        Handles the script-level syntax :meth:`sql` cannot see from a
+        single statement: top-level ``;`` splitting with quotes honored,
+        ``--`` line and ``/* */`` block comments stripped outside
+        strings, and inline ``COPY ... FROM STDIN;`` payloads (raw lines
+        up to a ``\\.`` terminator, exactly as pg_dump emits them) routed
+        to ``sql(..., copy_data=...)``.  Dollar-quoted bodies are not
+        supported (no CREATE FUNCTION surface).  Errors propagate — and
+        inside an open transaction block they poison it, so a script's
+        BEGIN/SAVEPOINT error handling behaves as in psql."""
+        payloads: list[tuple[str, str]] = []
+
+        def _extract(m: "re.Match[str]") -> str:
+            payloads.append((m.group(1), m.group(2)))
+            return f"\x00STDIN{len(payloads) - 1}\x00;"
+
+        script = self._STDIN_BLOCK.sub(_extract, script)
+        result: Optional[DataFrame] = None
+        for stmt in self._split_statements(script):
+            if stmt.startswith("\x00STDIN"):
+                idx = int(stmt[6:].rstrip("\x00"))
+                copy_stmt, payload = payloads[idx]
+                result = self.sql(copy_stmt, copy_data=payload + "\n")
+            else:
+                result = self.sql(stmt)
+        return result
+    @staticmethod
+    def _split_statements(s: str) -> list[str]:
+        """Split a script on top-level semicolons; string literals and
+        quoted identifiers never split, comments vanish."""
+        stmts: list[str] = []
+        buf: list[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c in ("'", '"'):
+                q, j = c, i + 1
+                while j < n:
+                    if s[j] == "\\":
+                        j += 2
+                        continue
+                    if s[j] == q:
+                        if j + 1 < n and s[j + 1] == q:
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                buf.append(s[i : j + 1])
+                i = j + 1
+                continue
+            if s.startswith("--", i):
+                j = s.find("\n", i)
+                i = n if j == -1 else j
+                continue
+            if s.startswith("/*", i):
+                j = s.find("*/", i + 2)
+                i = n if j == -1 else j + 2
+                continue
+            if c == ";":
+                stmts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+        stmts.append("".join(buf))
+        return [t.strip() for t in stmts if t.strip()]
+    def _copy_stdin_df(
+        self,
+        table: str,
+        copy_data: Any,
+        fmt: str,
+        header: Optional[bool],
+        sep: Optional[str],
+    ) -> DataFrame:
+        """Materialize a COPY FROM STDIN payload as a DataFrame typed to
+        the target table's schema.  Accepts a ready DataFrame verbatim,
+        or a string in the statement's FORMAT:
+
+        - ``text`` (Postgres default): tab-delimited, ``\\N`` = NULL,
+          optional ``\\.`` terminator line;
+        - ``csv``: DELIMITER/HEADER options honored; an empty field is
+          NULL (Python's csv reader cannot distinguish ``""`` from an
+          unquoted empty, so quoted-empty-string degrades to NULL —
+          bounded deviation).
+
+        The payload arrived through the session call, so it is
+        driver-local by definition; parsing happens driver-side and the
+        typed rows enter the normal insert path (txn staging included).
+        """
+        if copy_data is None:
+            raise ValueError(
+                "COPY ... FROM STDIN needs the payload: "
+                "sql(stmt, copy_data=<string or DataFrame>)"
+            )
+        if isinstance(copy_data, DataFrame):
+            return copy_data
+        schema = self._moontable(table).schema()
+        names = [f.name for f in schema.fields]
+        if fmt == "csv":
+            import csv as _csv
+            import io
+
+            raw = list(
+                _csv.reader(io.StringIO(copy_data), delimiter=sep or ",")
+            )
+            if header and raw:
+                raw = raw[1:]
+            rows = []
+            for r in raw:
+                if not r or r == ["\\."]:
+                    if r == ["\\."]:
+                        break
+                    continue
+                rows.append([None if v == "" else v for v in r])
+        elif fmt == "text":
+            d = sep or "\t"
+            rows = []
+            for ln in copy_data.splitlines():
+                if ln == "\\.":
+                    break
+                if not ln:
+                    continue
+                rows.append(
+                    [None if v == "\\N" else v for v in ln.split(d)]
+                )
+        else:
+            raise ValueError(
+                f"COPY FROM STDIN supports FORMAT text|csv, not {fmt!r}"
+            )
+        for r in rows:
+            if len(r) != len(names):
+                raise ValueError(
+                    f"COPY payload row has {len(r)} fields, table "
+                    f"{table!r} has {len(names)} columns: {r!r}"
+                )
+        sdf = self.spark.createDataFrame(
+            rows,
+            T.StructType(
+                [T.StructField(n, T.StringType()) for n in names]
+            ),
+        )
+        return sdf.select(
+            *[
+                F.col(n).cast(schema[n].dataType).alias(n)
+                for n in names
+            ]
+        )
+    def _sql_copy(self, query: str, copy_data: Optional[Any] = None) -> DataFrame:
+        """``COPY`` — the Postgres bulk path (reference CHANGELOG.md:22
+        lists COPY among the replicated operations).  Bounded shapes:
+
+        - ``COPY t FROM 'path' [[WITH] (FORMAT fmt [, HEADER b]
+          [, DELIMITER 'c'])]`` → :meth:`load_files` (one commit;
+          exports/views/followers sync as with any bulk load).  Format
+          defaults from the file extension; bare ``CSV [HEADER]`` is
+          accepted as the legacy spelling.  Postgres defaults apply:
+          csv has NO header unless HEADER is given; FORMAT text reads
+          tab-delimited headerless files.
+        - ``COPY t FROM STDIN [...]`` → the inline-payload form: the
+          payload rides in ``sql(..., copy_data=...)`` as a string in
+          the statement's FORMAT (csv / text with ``\\N`` nulls and an
+          optional ``\\.`` terminator) or as a ready DataFrame.  STDIN
+          payloads are session-supplied and therefore driver-local by
+          definition — bulk-scale loads belong in COPY FROM 'path'.
+        - ``COPY t TO 'path' [...]`` / ``COPY (SELECT ...) TO 'path'
+          [...]`` → when the local target names a single file of the
+          chosen format (``.csv``/``.json``/``.parquet``), ONE file is
+          produced, Postgres-style — a single-writer step by the
+          statement's own contract.  Any other target (no extension, or
+          a remote URI) takes the scale path: a distributed DIRECTORY
+          of part files, same bytes.
+
+        Inside a transaction block, COPY FROM stages like an INSERT;
+        COPY TO reads the overlay."""
+        q = query.strip().rstrip(";").strip()
+        m = re.match(r"COPY\s+", q, re.I)
+        rest = q[m.end():]
+        src_query = None
+        if rest.startswith("("):
+            depth = 0
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            src_query, rest = rest[1:i], rest[i + 1:].strip()
+            t = None
+        else:
+            tm = re.match(rf"{_SQL_TABLE}\s*", rest)
+            if not tm:
+                raise ValueError(f"cannot parse COPY statement: {query!r}")
+            t, rest = tm.group(1), rest[tm.end():]
+        dm = re.match(
+            r"(FROM|TO)\s+(STDIN\b|'[^']+')\s*(.*)$", rest, re.I | re.S
+        )
+        if not dm:
+            raise ValueError(
+                f"COPY needs FROM 'path'|STDIN or TO 'path': {query!r}"
+            )
+        direction = dm.group(1).upper()
+        target, opts_sql = dm.group(2), dm.group(3).strip()
+        stdin = target.upper() == "STDIN"
+        path = "" if stdin else target.strip("'")
+        if stdin and direction != "FROM":
+            raise ValueError("STDIN is only valid with COPY ... FROM")
+        if src_query is not None and direction != "TO":
+            raise ValueError("COPY (query) supports only TO")
+        fmt: Optional[str] = None
+        header: Optional[bool] = None
+        sep: Optional[str] = None
+        opts_sql = re.sub(r"^WITH\s+", "", opts_sql, flags=re.I)
+        if opts_sql.startswith("("):
+            for part in _split_top_commas(opts_sql.strip("() \t\n")):
+                om = re.match(
+                    r"(FORMAT|HEADER|DELIMITER)\s*(.*)$", part.strip(), re.I
+                )
+                if not om:
+                    raise ValueError(f"unsupported COPY option: {part!r}")
+                key, val = om.group(1).upper(), om.group(2).strip()
+                if key == "FORMAT":
+                    fmt = val.strip("'").lower()
+                elif key == "HEADER":
+                    header = val.lower() not in ("false", "off", "0")
+                else:
+                    sep = val.strip("'")
+        elif opts_sql:
+            lm = re.match(r"(CSV|BINARY)\s*(HEADER)?\s*$", opts_sql, re.I)
+            if not lm or lm.group(1).upper() == "BINARY":
+                raise ValueError(
+                    f"unsupported COPY options: {opts_sql!r}"
+                )
+            fmt = "csv"
+            header = bool(lm.group(2))
+        if stdin:
+            assert t is not None
+            df = self._copy_stdin_df(t, copy_data, fmt or "text", header, sep)
+            v = self.insert(t, df)
+            return self._dml_result("COPY", t, v)
+        if fmt == "text":
+            fmt, sep = "csv", sep or "\t"
+        if fmt is None:
+            ext = os.path.splitext(path)[1].lower().lstrip(".")
+            if ext in ("csv", "json", "parquet", "avro"):
+                fmt = ext
+            else:
+                raise ValueError(
+                    f"COPY cannot infer the format of {path!r}; add "
+                    "(FORMAT csv|parquet|json|avro)"
+                )
+        if direction == "FROM":
+            assert t is not None
+            options: dict[str, str] = {}
+            if fmt == "csv":
+                # Postgres csv defaults: no header unless HEADER given
+                options["header"] = "true" if header else "false"
+                if sep:
+                    options["sep"] = sep
+            v = self.load_files(t, [path], fmt=fmt, options=options)
+            return self._dml_result("COPY", t, v)
+        df = self.sql(src_query) if src_query is not None else self.table(t)
+        # Postgres semantics: a local target with a matching file
+        # extension yields ONE file (single-writer by contract); other
+        # targets take the distributed directory-of-parts path.
+        single = (
+            "://" not in path
+            and os.path.splitext(path)[1].lower().lstrip(".") == fmt
+            and not os.path.isdir(path)
+        )
+        out = path + ".__copytmp__" if single else path
+        if single:
+            df = df.coalesce(1)
+        if fmt == "parquet":
+            df.write.parquet(out)
+        elif fmt == "json":
+            df.write.json(out)
+        elif fmt == "csv":
+            w = df.write.options(
+                header="true" if header else "false"
+            )
+            if sep:
+                w = w.options(sep=sep)
+            w.csv(out)
+        else:
+            raise ValueError(f"COPY TO does not support FORMAT {fmt!r}")
+        if single:
+            parts = sorted(
+                f for f in os.listdir(out)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+            if len(parts) != 1:  # pragma: no cover - coalesce(1) invariant
+                raise RuntimeError(
+                    f"expected one part file in {out}, found {parts}"
+                )
+            os.replace(os.path.join(out, parts[0]), path)
+            shutil.rmtree(out, ignore_errors=True)
+        return self.spark.createDataFrame(
+            [("COPY", t if t is not None else "(query)", 0)],
+            "statement string, table string, version long",
+        )
+    def _sql_call(self, proc: str, args_sql: str) -> DataFrame:
+        """``CALL mooncake.<proc>(...)`` — the reference's literal
+        procedure syntax (reference tests/pg_regress/sql/sanity.sql:2
+        runs ``CALL mooncake.create_table('c', 'r')``), so its regress
+        scripts run through :meth:`sql` verbatim.  Arguments are SQL
+        literals (strings/numbers/NULL), parsed positionally:
+
+        - ``create_table(dst, src [, src_uri [, table_config]])`` —
+          ``src`` resolves to a registered mirror first (its primary key
+          is inherited), else a Spark temp view/table; with ``src_uri``
+          the source location is read as in :meth:`create_table`.
+        - ``create_snapshot(dst)``, ``optimize_table(dst [, mode])``,
+          ``drop_table(dst)``, ``load_files(dst, path [, fmt])``.
+        """
+        import json as _json
+
+        args: list[Any] = []
+        for part in _split_top_commas(args_sql) if args_sql.strip() else []:
+            p = part.strip()
+            if re.match(r"NULL$", p, re.I):
+                args.append(None)
+            elif p.startswith("'") and p.endswith("'"):
+                args.append(p[1:-1].replace("''", "'"))
+            elif re.match(r"-?\d+$", p):
+                args.append(int(p))
+            else:
+                raise ValueError(f"CALL argument must be a literal: {p!r}")
+        if proc == "create_table":
+            if not 2 <= len(args) <= 4:
+                raise ValueError("create_table(dst, src [, src_uri [, cfg]])")
+            dst, src = args[0], args[1]
+            src_uri = args[2] if len(args) > 2 else None
+            cfg = _json.loads(args[3]) if len(args) > 3 and args[3] else None
+            if src_uri:
+                self.create_table(
+                    dst, source_uri=src_uri, table_config=cfg,
+                    primary_key=(cfg or {}).get("primary_key"),
+                )
+            elif src in self.catalog.list_tables() or (
+                src and parse_table_name(src) in self.catalog.list_tables()
+            ):
+                # mirror source: snapshot-backfill, then FOLLOW — every
+                # subsequent commit on src drains into dst through the
+                # change feed (the reference's create_table starts CDC
+                # backfill+sync, src/functions.rs:24-43; here both sides
+                # are mirrors, so following is feed-driven).  Requires a
+                # primary key; keyless sources get a snapshot copy only.
+                # A keyed base WITHOUT a change feed is refused HERE —
+                # at follower-creation time — because the failure would
+                # otherwise surface after the base's next DML commit,
+                # leaving its watermarks stale (the wal_level=logical
+                # prerequisite, checked eagerly like the reference).
+                src_mt = self._moontable(src)
+                pk = src_mt.primary_key()
+                if pk and src_mt.feed_mode() is None:
+                    raise ValueError(
+                        f"cannot follow {src!r}: its change feed is off; "
+                        f"create the base with change_feed=True (SQL "
+                        f"CREATE TABLE does this by default)"
+                    )
+                # pin the snapshot and the follow window to the SAME
+                # commit-log version (self.table() would read the
+                # flush_version watermark, which can lag latest)
+                v0 = src_mt.latest_version()
+                if pk:
+                    cfg = {
+                        **(cfg or {}),
+                        "follows": self._canon(src),
+                        "follow_version": v0,
+                    }
+                self.create_table(
+                    dst, source_df=src_mt.read(v0), primary_key=pk,
+                    table_config=cfg,
+                )
+            else:
+                self.create_table(
+                    dst, source_name=src, table_config=cfg,
+                    primary_key=(cfg or {}).get("primary_key"),
+                )
+            return self._dml_result("CALL create_table", dst, 1)
+        if proc == "create_snapshot":
+            v = self.create_snapshot(args[0])
+            return self._dml_result("CALL create_snapshot", args[0], v)
+        if proc == "optimize_table":
+            v = self.optimize_table(args[0], *( [args[1]] if len(args) > 1 else [] ))
+            return self._dml_result("CALL optimize_table", args[0], v)
+        if proc == "drop_table":
+            self.drop_table(args[0])
+            return self._dml_result("CALL drop_table", args[0], 0)
+        if proc == "load_files":
+            if not 2 <= len(args) <= 3:
+                raise ValueError("load_files(dst, path [, fmt])")
+            v = self.load_files(
+                args[0], [args[1]],
+                fmt=args[2] if len(args) > 2 else "parquet",
+            )
+            return self._dml_result("CALL load_files", args[0], v)
+        if proc == "reset":
+            self.reset()
+            return self.spark.createDataFrame(
+                [("CALL reset", None, 0)],
+                "statement string, table string, version long",
+            )
+        raise ValueError(f"unknown procedure mooncake.{proc}")

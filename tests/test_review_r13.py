@@ -178,3 +178,24 @@ def test_bare_explain_raises_value_error(eng):
         eng.sql("EXPLAIN")
     with pytest.raises(ValueError, match="empty statement"):
         eng.sql("EXPLAIN;")
+
+
+# ------------------------------------------------- scaled_long guard
+
+
+def test_scaled_long_rejects_negative_input(spark):
+    from pg_mooncake_spark.functions import scaled_long
+
+    df = spark.createDataFrame([(1.25,), (-0.5,)], "x double")
+    with pytest.raises(Exception, match="scaled_long: negative"):
+        df.select(scaled_long("x", 2).alias("s")).collect()
+    # opt-out for proven-non-negative domains skips the guard
+    ok = spark.createDataFrame([(1.25,), (2.0,)], "x double")
+    rows = ok.select(
+        scaled_long("x", 2, assume_non_negative=True).alias("s")
+    ).collect()
+    assert sorted(r.s for r in rows) == [125, 200]
+    # NULLs pass through as NULL, not as a guard trip
+    withnull = spark.createDataFrame([(1.0,), (None,)], "x double")
+    rows = withnull.select(scaled_long("x", 2).alias("s")).collect()
+    assert sorted((r.s for r in rows), key=lambda v: (v is None, v)) == [100, None]

@@ -153,3 +153,20 @@ def test_alter_set_access_method_refuses_loudly(eng, spark):
         eng.sql("ALTER TABLE am_t SET ACCESS METHOD columnstore")
     with pytest.raises(ValueError):  # unknown table errors first
         eng.sql("ALTER TABLE no_such SET ACCESS METHOD heap")
+
+
+def test_discard_spellings(eng, spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    eng.sql("PREPARE d13 AS SELECT 1 AS one")
+    eng.sql("DISCARD PLANS")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("EXECUTE d13")
+    eng.sql("DISCARD TEMP")
+    eng.sql("DISCARD SEQUENCES")
+    eng.sql("SET mooncake.threads = 3")
+    eng.sql("BEGIN")
+    with pytest.raises(ValueError, match="transaction block"):
+        eng.sql("DISCARD ALL")
+    eng.sql("ROLLBACK")
+    eng.sql("DISCARD ALL")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
