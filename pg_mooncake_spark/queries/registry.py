@@ -61,67 +61,62 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # (1) never driver-verified: round-11/12 additions
-    "lifecycle_sql_savepoint",
-    "lifecycle_sql_prepare",
-    "lifecycle_sql_time_travel",
-    "lifecycle_sql_constraints",
-    "lifecycle_sql_generated",
-    "text_entropy_scores",
-    "text_ngram_surprisal",
-    "text_quality_buckets",
-    "corpus_cluster_sample",
-    "dedup_incremental_index",
-    "join_cobucketed",
-    "lifecycle_sql_views",
-    # (2) implementation changed this round (q1 exact-sum fast path) — the
-    # change must be externally re-confirmed even though the key was
-    # driver-green in r9
-    "q1_pricing_summary",
-    # (3a) last driver-verified in round 7 — the stalest slice, ALL 16
-    # (judge-r11 task: rotate onto the r7 tail)
-    "scalar_interval_family",
-    "scalar_json_family",
-    "scalar_json_structured",
-    "sequence_generation",
-    "sim_ann_indexed_probe",
-    "sim_ann_lsh_bucketed",
-    "sim_cosine_topk_bruteforce",
-    "sketch_hll_distinct",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "struct_and_map_access",
-    "text_boilerplate_fraction",
-    "text_language_id",
-    "text_profile_analysis",
-    "text_quality_scoring",
-    "text_top_ngrams",
-    # (3b) last driver-verified in round 9 — first 21 alphabetically
-    # (fills the 50-slot window after this round's 12 new keys); the
-    # remaining r9 keys (lifecycle_sql_dml onward: mv/orc/q10-q22/q2-q9
-    # band, scalar_cast_conversion, scalar_hof_family,
-    # sql_recursive_cte) head the r13 rotation
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "corpus_chunking",
-    "corpus_decontaminate",
-    "corpus_domain_cap",
-    "corpus_mixture",
-    "corpus_pack_sequences",
-    "corpus_sample_stratified",
-    "dedup_components",
-    "dedup_minhash_pairs_fast",
-    "dedup_simhash64_fast",
-    "delta_cdf_roundtrip",
-    "delta_rename_mapping_roundtrip",
-    "events_range_join",
-    "iceberg_changelog_export",
-    "iceberg_metadata_tables",
-    "iceberg_roundtrip_lineitem",
-    "lifecycle_change_feed",
-    "lifecycle_delta_mirror_sync",
-    "lifecycle_mor_scattered_dml",
-    "lifecycle_rename_widen_cdc",
+    # (1) never driver-verified: the round-13 addition
+    "mv_q1_pricing_summary",
+    # (2) last driver-verified in round 9 — the stalest slice, ALL 28
+    # (judge-r12 task 1: after r13 no key is older than r10)
+    "lifecycle_sql_dml",
+    "mv_filtered_where",
+    "mv_incremental_agg",
+    "mv_minmax_retraction",
+    "orc_roundtrip_lineitem",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "scalar_cast_conversion",
+    "scalar_hof_family",
+    "sql_recursive_cte",
+    # (3) last driver-verified in round 10 — first 21 alphabetically
+    # (fills the 50-slot window; the remaining 29 r10 keys head the
+    # r14 rotation: join_full_outer onward plus the r11 band after)
+    "agg_cube_with_grouping",
+    "agg_distinct_and_filtered",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_scalar_ungrouped",
+    "agg_stats_family",
+    "agg_string_agg",
+    "avro_roundtrip_documents",
+    "corpus_shard_assignment",
+    "delta_cdf_mapped_rename",
+    "delta_dv_delete_roundtrip",
+    "delta_dv_update_roundtrip",
+    "delta_schema_evolution_roundtrip",
+    "distinct_projection",
+    "embedding_normalize_quantize",
+    "iceberg_delete_roundtrip",
+    "jdbc_mirror_snapshot",
+    "join_anti_customers_without_orders",
+    "join_cross_region_nation",
 )
 
 

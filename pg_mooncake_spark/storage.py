@@ -703,23 +703,48 @@ class MoonTable:
         def gen(batches):
             import pandas as pd
 
+            # Accumulate ONE partial per (task, file), ORing every Arrow
+            # batch into it — NOT one partial per batch.  A per-batch
+            # yield re-ships the file's full m-bit bitmap every ~10k rows,
+            # making driver traffic O(rows/batch_size × m/8): at a 60M-row
+            # rewrite that exceeded spark.driver.maxResultSize outright.
+            # Per-task accumulation restores the documented O(files × m/8)
+            # (a task covers one input split, so a file gets as many
+            # partials as splits that overlap it).
+            acc: dict[str, Optional[tuple[int, Any]]] = {}
             for pdf in batches:
                 if not len(pdf):
                     continue
                 for fname, g in pdf.groupby("__file", sort=False):
+                    if fname in acc and acc[fname] is None:
+                        continue
                     if g[pk].isna().any().any():
                         # a NULL key anywhere in the chunk makes pandas
                         # coerce integer columns to float64, corrupting
                         # the canonical hash for the chunk's REAL keys —
                         # a false-negative (lost-update) risk.  m=0 marks
                         # the file as not-bloomable; the driver drops it.
-                        yield pd.DataFrame(
-                            {"file": [fname], "m": [0], "bits": [b""]}
-                        )
+                        acc[fname] = None
                         continue
                     m = B.bloom_m_for(rows_map.get(fname) or len(g))
                     h = B.key_hash_array([g[c] for c in pk])
                     bm = B.build_bitmap(h, m)
+                    cur = acc.get(fname)
+                    if cur is None:
+                        acc[fname] = (m, bm)
+                    elif cur[0] != m:
+                        # stats row count missing → chunks could size the
+                        # bitmap differently; unsound to OR — drop file
+                        acc[fname] = None
+                    else:
+                        acc[fname] = (m, cur[1] | bm)
+            for fname, v in acc.items():
+                if v is None:
+                    yield pd.DataFrame(
+                        {"file": [fname], "m": [0], "bits": [b""]}
+                    )
+                else:
+                    m, bm = v
                     yield pd.DataFrame(
                         {
                             "file": [fname],

@@ -17,8 +17,14 @@ at the given SF directory it measures:
 The point at scale: (2) must stay O(increment) while (3) grows with
 the corpus — the ratio is the argument.
 
-Usage:  python tools/bench_llm_scale.py [SF_DIR] [increment_mod]
-        (defaults /root/testdata/sf0.1, 100 → ~1% increment)
+The increment is the first ``inc_size`` doc_ids of the make_scale
+second tile (doc_id in [STRIDE, STRIDE+inc_size)) so its texts HAVE
+duplicates in the corpus (tiled copies); an increment chosen by
+``doc_id % k`` would take every tiled copy of a doc with it (the tile
+stride is divisible by any small k) and probe against nothing.
+
+Usage:  python tools/bench_llm_scale.py [SF_DIR] [inc_size]
+        (defaults /root/testdata/sf0.1, 500)
 Env:    SPARK_GRAFT_CPUS (default 32)
 """
 from __future__ import annotations
@@ -33,8 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    mod = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    inc_size = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    stride = 100_000_000  # tools/make_scale.py STRIDE
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -62,8 +69,14 @@ def main() -> None:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus = docs.filter(f"doc_id % {mod} != 0")
-    increment = docs.filter(f"doc_id % {mod} = 0").select(
+    has_tiles = docs.filter(f"doc_id >= {stride}").limit(1).count() > 0
+    if has_tiles:
+        lo, hi = stride, stride + inc_size
+    else:  # plain sf dir: take the tail of the id range as the increment
+        hi = docs.agg(F.max("doc_id")).first()[0] + 1
+        lo = hi - inc_size
+    corpus = docs.filter(f"doc_id < {lo} OR doc_id >= {hi}")
+    increment = docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").select(
         (F.col("doc_id") + 500_000_000).alias("doc_id"), "text"
     )
     n_corpus, n_inc = corpus.count(), increment.count()
@@ -100,11 +113,17 @@ def main() -> None:
 
     # the no-index alternative at the same freshness: all-pairs LSH over
     # corpus ∪ increment, filtered to pairs touching the increment
-    union = corpus.select("doc_id", "text").unionByName(increment)
-    t0 = time.monotonic()
-    pairs = minhash_dedup_pairs(union, "text", "doc_id", threshold=0.9)
-    n_pairs = pairs.filter("id_a >= 500000000 OR id_b >= 500000000").count()
-    t_full = time.monotonic() - t0
+    # (SPARK_GRAFT_SKIP_FULL=1 skips it for pruning-only runs)
+    if os.environ.get("SPARK_GRAFT_SKIP_FULL"):
+        t_full, n_pairs = float("nan"), -1
+    else:
+        union = corpus.select("doc_id", "text").unionByName(increment)
+        t0 = time.monotonic()
+        pairs = minhash_dedup_pairs(union, "text", "doc_id", threshold=0.9)
+        n_pairs = pairs.filter(
+            "id_a >= 500000000 OR id_b >= 500000000"
+        ).count()
+        t_full = time.monotonic() - t0
 
     print(
         f"sf_dir={sf_dir} corpus={n_corpus} increment={n_inc}\n"
