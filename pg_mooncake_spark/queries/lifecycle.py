@@ -836,6 +836,66 @@ def mv_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lifecycle_sql_matview",
+    oracle="""
+    WITH post AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 3)
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) / COUNT(p) AS avg_price
+    FROM post
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def lifecycle_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Postgres matview spellings end-to-end (round 13): ``CREATE
+    MATERIALIZED VIEW ... AS SELECT aggs FROM mirror WHERE ... GROUP
+    BY ...`` compiles into the incremental-MV machinery (sql_router
+    _parse_matview_select), SQL DML on the base folds O(batch) deltas
+    into it inside the same commit, ``REFRESH MATERIALIZED VIEW`` is
+    the (normally no-op) recovery spelling, and the view reads through
+    the ordinary table path.  Oracle = the from-scratch filtered GROUP
+    BY over the post-DML state."""
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders")
+    eng.create_table(
+        "o_smv", source_df=o, primary_key=["o_orderkey"], change_feed=True
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW prio_summary AS "
+        "SELECT o_orderpriority, "
+        "sum(CAST(o_totalprice AS DECIMAL(30,2))) AS sum_price, "
+        "count(*) AS n, "
+        "avg(CAST(o_totalprice AS DECIMAL(30,2))) AS avg_price "
+        "FROM o_smv WHERE o_orderstatus = 'O' GROUP BY o_orderpriority"
+    )
+    eng.sql(
+        "UPDATE o_smv SET o_totalprice = o_totalprice + 1 "
+        "WHERE o_orderkey % 10 = 0"
+    )
+    eng.sql("DELETE FROM o_smv WHERE o_orderkey % 7 = 3")
+    eng.sql("REFRESH MATERIALIZED VIEW prio_summary")
+    return (
+        eng.table("prio_summary")
+        .select(
+            "o_orderpriority",
+            F.col("sum_price").cast("double").alias("sum_price"),
+            "n",
+            "avg_price",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "iceberg_changelog_export",
     oracle="""
     WITH upd AS (SELECT o_totalprice FROM orders

@@ -221,6 +221,31 @@ class SqlRouterMixin:
         )
         if dsm:
             return self._sql_discard(dsm.group(1).upper())
+        mv = re.match(
+            r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.\"]+)\s+AS\s+(.*?);?\s*$",
+            query, re.I | re.S,
+        )
+        if mv:
+            return self._sql_create_matview(
+                bool(mv.group(1)), mv.group(2).strip('"'), mv.group(3)
+            )
+        mv = re.match(
+            r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+            r"([\w.\"]+)\s*;?\s*$",
+            query, re.I,
+        )
+        if mv:
+            return self._sql_drop_matview(
+                bool(mv.group(1)), mv.group(2).strip('"')
+            )
+        mv = re.match(
+            r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?:CONCURRENTLY\s+)?"
+            r"([\w.\"]+)\s*;?\s*$",
+            query, re.I,
+        )
+        if mv:
+            return self._sql_refresh_matview(mv.group(1).strip('"'))
         vm = re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s*"
             r"(?:\(([^)]*)\)\s*)?AS\s+(.*?);?\s*$",
@@ -902,6 +927,171 @@ class SqlRouterMixin:
             table_config=cfg,
         )
         return self._dml_result("CREATE VIEW", canon, 1)
+
+    # ------------------------------------------------- materialized views
+
+    def _parse_matview_select(
+        self, sel: str
+    ) -> tuple[str, list[str], dict[str, tuple[str, str]], Optional[str]]:
+        """Compile the restricted aggregate SELECT a Postgres
+        ``CREATE MATERIALIZED VIEW`` body may carry into the
+        incremental-MV spec (base, group_by, aggs, where).
+
+        Supported shape — exactly what :meth:`create_materialized_view`
+        maintains in O(changes): one mirror in FROM, an optional WHERE,
+        GROUP BY over bare columns, and a select list of those group
+        columns plus ``sum/count/min/max/avg(expr) AS alias`` items.
+        Anything else (joins, DISTINCT, HAVING, ORDER BY, subqueries)
+        refuses loudly with the alternative spelled out: those belong
+        in a logical view (always fresh, re-planned) — silently
+        accepting them here would create a view whose refresh could not
+        be incremental."""
+        q = sel.strip().rstrip(";")
+        if not re.match(r"^\s*SELECT\b", q, re.I):
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW body must be a SELECT: {q!r}"
+            )
+        for kw in ("HAVING", "ORDER", "LIMIT", "UNION", "JOIN", "WINDOW"):
+            if _find_top_keyword(q, kw) >= 0:
+                raise ValueError(
+                    f"CREATE MATERIALIZED VIEW: {kw} is not supported — "
+                    "incremental maintenance covers single-table GROUP "
+                    "BY aggregates; use CREATE VIEW (logical, always "
+                    "fresh) for arbitrary queries"
+                )
+        i_from = _find_top_keyword(q, "FROM")
+        i_where = _find_top_keyword(q, "WHERE")
+        i_group = _find_top_keyword(q, "GROUP")
+        if i_from < 0 or i_group < 0:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW body needs FROM <mirror> and "
+                "GROUP BY <cols>"
+            )
+        sel_list = q[len("SELECT"):i_from].strip()
+        if re.match(r"^\s*DISTINCT\b", sel_list, re.I):
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW: DISTINCT is not supported"
+            )
+        from_part = q[i_from + 4: i_where if i_where >= 0 else i_group]
+        base = from_part.strip().strip('"')
+        if not re.match(r'^("?[\w.]+"?)$', base):
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW: FROM must name one mirror, "
+                f"got {from_part.strip()!r}"
+            )
+        where = (
+            q[i_where + 5: i_group].strip() if i_where >= 0 else None
+        )
+        gm = re.match(r"^GROUP\s+BY\s+(.*)$", q[i_group:], re.I | re.S)
+        if not gm:
+            raise ValueError(f"cannot parse GROUP BY in {q!r}")
+        group_by = [
+            g.strip().strip('"') for g in _split_top_commas(gm.group(1))
+        ]
+        aggs: dict[str, tuple[str, str]] = {}
+        plain: list[str] = []
+        for item in _split_top_commas(sel_list):
+            it = item.strip()
+            am = re.match(
+                r"^(sum|count|min|max|avg)\s*\((.*)\)\s+AS\s+([\w\"]+)$",
+                it, re.I | re.S,
+            )
+            if am:
+                fn = am.group(1).lower()
+                arg = am.group(2).strip()
+                alias = am.group(3).strip('"')
+                if arg == "*" and fn != "count":
+                    raise ValueError(f"{fn}(*) is not valid")
+                aggs[alias] = (fn, "*" if arg == "*" else arg)
+                continue
+            cm2 = re.match(r'^("?[\w]+"?)$', it)
+            if cm2:
+                plain.append(it.strip('"'))
+                continue
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW select item must be a group "
+                f"column or agg(expr) AS alias, got {it!r} (aggregates "
+                "need an explicit alias — it becomes the view column)"
+            )
+        if {c.lower() for c in plain} != {c.lower() for c in group_by}:
+            raise ValueError(
+                f"select-list group columns {plain} must match "
+                f"GROUP BY {group_by}"
+            )
+        if not aggs:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW needs at least one aggregate"
+            )
+        return base, group_by, aggs, where
+
+    def _sql_create_matview(
+        self, if_not_exists: bool, name: str, sel: str
+    ) -> DataFrame:
+        """``CREATE MATERIALIZED VIEW [IF NOT EXISTS] name AS SELECT
+        ... FROM mirror [WHERE ...] GROUP BY ...`` — the Postgres
+        matview spelling over :meth:`create_materialized_view`: the
+        view is INCREMENTALLY maintained from the base's change feed on
+        every commit (Postgres matviews go stale until REFRESH; here
+        REFRESH MATERIALIZED VIEW exists but is normally a no-op)."""
+        if self._txn is not None:
+            self._txn["aborted"] = True
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW (DDL) is not supported inside "
+                "a transaction block"
+            )
+        canon = parse_table_name(name)
+        existing = self.catalog.list_tables().get(canon)
+        if existing is not None:
+            kind = (existing.get("table_config") or {}).get("kind")
+            if if_not_exists and kind == "mview":
+                return self._dml_result(
+                    "CREATE MATERIALIZED VIEW", canon, 0
+                )
+            raise ValueError(f'relation "{canon}" already exists')
+        base, group_by, aggs, where = self._parse_matview_select(sel)
+        self.create_materialized_view(
+            canon, base, group_by, aggs, where=where
+        )
+        return self._dml_result("CREATE MATERIALIZED VIEW", canon, 1)
+
+    def _sql_drop_matview(self, if_exists: bool, name: str) -> DataFrame:
+        if self._txn is not None:
+            self._txn["aborted"] = True
+            raise ValueError(
+                "DROP MATERIALIZED VIEW (DDL) is not supported inside "
+                "a transaction block"
+            )
+        canon = parse_table_name(name)
+        entry = self.catalog.list_tables().get(canon)
+        if entry is None:
+            if if_exists:
+                return self._dml_result("DROP MATERIALIZED VIEW", canon, 0)
+            raise ValueError(
+                f'materialized view "{canon}" does not exist'
+            )
+        if (entry.get("table_config") or {}).get("kind") != "mview":
+            raise ValueError(
+                f'"{canon}" is not a materialized view '
+                "(use DROP TABLE / DROP VIEW)"
+            )
+        self.drop_table(canon)
+        return self._dml_result("DROP MATERIALIZED VIEW", canon, 1)
+
+    def _sql_refresh_matview(self, name: str) -> DataFrame:
+        """``REFRESH MATERIALIZED VIEW [CONCURRENTLY] name`` — folds any
+        unapplied base changes.  The engine refreshes views inside every
+        commit, so this is normally a no-op returning the current base
+        version — but it IS the recovery path when a base was written by
+        a session that crashed between the merge and the view fold."""
+        canon = self._canon(name)
+        entry = self.catalog.get(canon)
+        if (entry.get("table_config") or {}).get("kind") != "mview":
+            raise ValueError(
+                f'"{canon}" is not a materialized view'
+            )
+        v = self.refresh_materialized_view(canon)
+        return self._dml_result("REFRESH MATERIALIZED VIEW", canon, v)
+
     def _sql_maintenance(self, kind: str, rest: str) -> DataFrame:
         """``VACUUM [(opts)] [FULL|FREEZE|VERBOSE|ANALYZE] [t[, t2]]``
         and ``ANALYZE [VERBOSE] [t [(cols)]]`` — the Postgres

@@ -544,3 +544,92 @@ class TestRenameSurvival:
         )
         assert _rewrite_ident('"amt" || s.amt', "amt", "z") == '"z" || s.amt'
         assert _rewrite_ident("upper(amt)", "amt", "z") == "upper(z)"
+
+
+class TestSqlMatviewSpellings:
+    """Round 13: CREATE / DROP / REFRESH MATERIALIZED VIEW SQL routes."""
+
+    def _eng(self, spark, warehouse):
+        from pg_mooncake_spark.engine import MooncakeEngine
+
+        eng = MooncakeEngine(spark, warehouse)
+        src = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "a", 40.0)],
+            "k int, grp string, amt double",
+        )
+        eng.create_table(
+            "base_s", source_df=src, primary_key=["k"], change_feed=True
+        )
+        return eng
+
+    def test_create_refresh_drop_roundtrip(self, spark, warehouse):
+        import pytest
+
+        eng = self._eng(spark, warehouse)
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mv_s AS "
+            "SELECT grp, sum(CAST(amt AS DECIMAL(30,2))) AS total, "
+            "count(*) AS n FROM base_s WHERE k <> 4 GROUP BY grp"
+        )
+        got = {r.grp: (float(r.total), r.n) for r in eng.table("mv_s").collect()}
+        assert got == {"a": (30.0, 2), "b": (30.0, 1)}
+        # DML folds incrementally through the same spelling
+        eng.sql("DELETE FROM base_s WHERE k = 1")
+        got = {r.grp: (float(r.total), r.n) for r in eng.table("mv_s").collect()}
+        assert got == {"a": (20.0, 1), "b": (30.0, 1)}
+        # REFRESH is a no-op returning the current base version
+        v = eng.sql("REFRESH MATERIALIZED VIEW mv_s").collect()[0]
+        assert v.statement == "REFRESH MATERIALIZED VIEW"
+        # IF NOT EXISTS on an existing matview: no-op, no error
+        eng.sql(
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS mv_s AS "
+            "SELECT grp, count(*) AS n FROM base_s GROUP BY grp"
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW mv_s AS "
+                "SELECT grp, count(*) AS n FROM base_s GROUP BY grp"
+            )
+        eng.sql("DROP MATERIALIZED VIEW mv_s")
+        assert "mv_s" not in eng.catalog.list_tables()
+        eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_s")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("DROP MATERIALIZED VIEW mv_s")
+
+    def test_unsupported_shapes_refuse_loudly(self, spark, warehouse):
+        import pytest
+
+        eng = self._eng(spark, warehouse)
+        bad = [
+            ("SELECT grp, count(*) AS n FROM base_s "
+             "JOIN base_s b2 ON 1=1 GROUP BY grp", "JOIN"),
+            ("SELECT grp, count(*) AS n FROM base_s GROUP BY grp "
+             "HAVING count(*) > 1", "HAVING"),
+            ("SELECT DISTINCT grp, count(*) AS n FROM base_s GROUP BY grp",
+             "DISTINCT"),
+            ("SELECT grp, count(*) AS n FROM base_s GROUP BY grp "
+             "ORDER BY grp", "ORDER"),
+            ("SELECT grp, count(*) FROM base_s GROUP BY grp", "alias"),
+            ("SELECT amt, count(*) AS n FROM base_s GROUP BY grp", "match"),
+            ("SELECT count(*) AS n FROM base_s", "GROUP BY"),
+        ]
+        for sql, frag in bad:
+            with pytest.raises(ValueError, match=frag):
+                eng.sql(f"CREATE MATERIALIZED VIEW nope AS {sql}")
+        # DROP MATERIALIZED VIEW on a plain table refuses
+        with pytest.raises(ValueError, match="not a materialized view"):
+            eng.sql("DROP MATERIALIZED VIEW base_s")
+        with pytest.raises(ValueError, match="not a materialized view"):
+            eng.sql("REFRESH MATERIALIZED VIEW base_s")
+
+    def test_matview_ddl_refused_in_txn(self, spark, warehouse):
+        import pytest
+
+        eng = self._eng(spark, warehouse)
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="transaction block"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_mv AS "
+                "SELECT grp, count(*) AS n FROM base_s GROUP BY grp"
+            )
+        eng.sql("ROLLBACK")
