@@ -288,17 +288,20 @@ def read_minhash_index_meta(spark, path: str):
 
 def _resolve_index_params(
     spark, path: str, num_hashes: int, bands: int, shingle_k: int,
-    n_shards: int,
-) -> tuple[int, int, int, int]:
+    n_shards: int, id_col: str,
+) -> tuple[int, int, int, int, str]:
     """Pinned-at-build parameters win over caller arguments: the disk
-    layout is the truth, and silently probing with a mismatched
-    ``n_shards`` loses duplicates."""
+    layout is the truth — probing with a mismatched ``n_shards`` loses
+    duplicates, and extending under a different ``id_col`` name splits
+    the parquet schema (later reads resolve one name and see the other
+    generation's ids as NULL)."""
     meta = read_minhash_index_meta(spark, path)
     if meta is None:
-        return num_hashes, bands, shingle_k, n_shards
+        return num_hashes, bands, shingle_k, n_shards, id_col
     return (
         int(meta["num_hashes"]), int(meta["bands"]),
         int(meta["shingle_k"]), int(meta["n_shards"]),
+        str(meta.get("id_col") or id_col),
     )
 
 
@@ -385,13 +388,20 @@ def extend_minhash_index(
 ) -> None:
     """Append a new (accepted) batch's band rows to an existing index —
     O(batch) work, no corpus rescan.  Parameters pinned at build time
-    override the caller's arguments (disk layout is the truth)."""
-    num_hashes, bands, shingle_k, n_shards = _resolve_index_params(
-        df.sparkSession, path, num_hashes, bands, shingle_k, n_shards,
+    override the caller's arguments (disk layout is the truth); band
+    rows land under the PINNED id column name so every generation of
+    the index shares one parquet schema."""
+    num_hashes, bands, shingle_k, n_shards, pinned_id = (
+        _resolve_index_params(
+            df.sparkSession, path, num_hashes, bands, shingle_k,
+            n_shards, id_col,
+        )
     )
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    if pinned_id != id_col:
+        sigs = sigs.withColumnRenamed(id_col, pinned_id)
     (
-        _banded(sigs, id_col, num_hashes, bands, n_shards)
+        _banded(sigs, pinned_id, num_hashes, bands, n_shards)
         .write.mode("append")
         .partitionBy("shard")
         .parquet(path)
@@ -427,8 +437,10 @@ def probe_minhash_index(
     override the caller's arguments — a probe with a different
     ``n_shards`` would shard-join against the wrong partitions and
     silently miss true duplicates."""
-    num_hashes, bands, shingle_k, n_shards = _resolve_index_params(
-        spark, path, num_hashes, bands, shingle_k, n_shards,
+    num_hashes, bands, shingle_k, n_shards, pinned_id = (
+        _resolve_index_params(
+            spark, path, num_hashes, bands, shingle_k, n_shards, id_col,
+        )
     )
     sigs = minhash_signature(new_df, text_col, id_col, num_hashes, shingle_k)
     probe = _banded(sigs, id_col, num_hashes, bands, n_shards).select(
@@ -438,8 +450,10 @@ def probe_minhash_index(
     )
     if broadcast_probe:
         probe = F.broadcast(probe)
+    # the INDEX side reads under the id column name pinned at build —
+    # the probe batch's own id name is independent of it
     idx = spark.read.parquet(path).select(
-        F.col(id_col).alias("corpus_id"),
+        F.col(pinned_id).alias("corpus_id"),
         F.col("signature").alias("sig_old"),
         "band_idx", "band_hash", "shard",
     )

@@ -67,6 +67,17 @@ from pg_mooncake_spark.storage import OP_COL, MoonTable
 
 _MERGE_MULTI_MATCH_MSG = "MERGE: a target row matched multiple source rows"
 
+# EXECUTE argument texts that ARE literals — substituted without a
+# round-trip evaluation (see _sql_execute): NULL/booleans, signed
+# numerics, quoted strings, and typed DATE/TIMESTAMP literals
+_PLAIN_LITERAL = re.compile(
+    r"^\s*(?:NULL|TRUE|FALSE"
+    r"|[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?"
+    r"|'(?:[^']|'')*'"
+    r"|(?:DATE|TIMESTAMP)\s*'(?:[^']|'')*')\s*$",
+    re.I,
+)
+
 
 class SqlRouterMixin:
     """Statement router half of :class:`~pg_mooncake_spark.engine.
@@ -227,8 +238,9 @@ class SqlRouterMixin:
             query, re.I | re.S,
         )
         if mv:
+            # keep quoting intact: parse_table_name preserves quoted case
             return self._sql_create_matview(
-                bool(mv.group(1)), mv.group(2).strip('"'), mv.group(3)
+                bool(mv.group(1)), mv.group(2), mv.group(3)
             )
         mv = re.match(
             r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
@@ -236,16 +248,14 @@ class SqlRouterMixin:
             query, re.I,
         )
         if mv:
-            return self._sql_drop_matview(
-                bool(mv.group(1)), mv.group(2).strip('"')
-            )
+            return self._sql_drop_matview(bool(mv.group(1)), mv.group(2))
         mv = re.match(
             r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?:CONCURRENTLY\s+)?"
             r"([\w.\"]+)\s*;?\s*$",
             query, re.I,
         )
         if mv:
-            return self._sql_refresh_matview(mv.group(1).strip('"'))
+            return self._sql_refresh_matview(mv.group(1))
         vm = re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s*"
             r"(?:\(([^)]*)\)\s*)?AS\s+(.*?);?\s*$",
@@ -583,8 +593,15 @@ class SqlRouterMixin:
             )
         bound: list[str] = []
         for text in texts:
-            # one-row evaluation in an empty scope: column references
-            # (no FROM) and malformed expressions error here, loudly
+            # fast path: a plain literal IS its own once-evaluated value
+            # — substitute its text directly, zero Spark jobs (the
+            # common loop shape: EXECUTE ins(5, 'x', DATE '2024-01-01'))
+            if _PLAIN_LITERAL.match(text):
+                bound.append(text.strip())
+                continue
+            # genuine expression: ONE-row evaluation in an empty scope —
+            # bind-once semantics (volatile args stable across repeated
+            # markers); column references (no FROM) error here, loudly
             try:
                 val = self.spark.sql(f"SELECT ({text}) AS v").first()[0]
             except Exception as exc:
@@ -688,13 +705,27 @@ class SqlRouterMixin:
             self._gucs.pop(name, None)
         else:
             self._gucs[name] = value
+    def _guc_txn_track(self, name: str, local: bool, value) -> None:
+        """Record a GUC write inside the open block.  ``prior`` (the
+        pre-transaction explicit value) is captured on FIRST touch; a
+        plain (non-LOCAL) SET/RESET also records the value COMMIT must
+        land on — Postgres: the last plain SET wins at commit even when
+        a SET LOCAL ran before or after it."""
+        track = self._txn.setdefault("gucs", {})
+        ent = track.setdefault(name, {"prior": self._gucs.get(name)})
+        if not local:
+            ent["committed"] = value
+
     def _guc_txn_unwind(self, txn: dict, committed: bool) -> None:
-        """Postgres GUC transactionality: plain SET is reverted by
-        ROLLBACK (kept by COMMIT); SET LOCAL is reverted at block end
-        either way.  Entries unwind newest-first."""
-        for name, prior, local in reversed(txn.get("guc_restore", [])):
-            if local or not committed:
-                self._guc_set(name, prior)
+        """Postgres GUC transactionality at block end: ROLLBACK restores
+        every touched GUC to its pre-transaction value; COMMIT lands
+        each on its last plain-SET value (reverting only the trailing
+        SET LOCAL effect) or, with no plain SET, back on the prior."""
+        for name, ent in (txn.get("gucs") or {}).items():
+            if committed and "committed" in ent:
+                self._guc_set(name, ent["committed"])
+            else:
+                self._guc_set(name, ent["prior"])
     def _sql_set(self, m: "re.Match", query: str) -> DataFrame:
         scope = (m.group(1) or "SESSION").upper()
         if m.group(2):
@@ -715,10 +746,16 @@ class SqlRouterMixin:
             value = t
         if value is not None:
             value = self._guc_validate(name, value)
-        if self._txn is not None:
-            self._txn.setdefault("guc_restore", []).append(
-                (name, self._gucs.get(name), scope == "LOCAL")
+        if scope == "LOCAL" and self._txn is None:
+            # Postgres: "SET LOCAL can only be used in transaction
+            # blocks" — a WARNING and NO effect; applying it for the
+            # rest of the session would diverge a replayed pg script
+            return self.spark.createDataFrame(
+                [("SET", name, self._guc_effective(name))],
+                "statement string, parameter string, value string",
             )
+        if self._txn is not None:
+            self._guc_txn_track(name, scope == "LOCAL", value)
         self._guc_set(name, value)
         return self.spark.createDataFrame(
             [("SET", name, self._guc_effective(name))],
@@ -728,9 +765,7 @@ class SqlRouterMixin:
         if raw.strip().upper() == "ALL":
             for name in sorted(self._gucs):
                 if self._txn is not None:
-                    self._txn.setdefault("guc_restore", []).append(
-                        (name, self._gucs.get(name), False)
-                    )
+                    self._guc_txn_track(name, False, None)
                 self._guc_set(name, None)
             return self.spark.createDataFrame(
                 [("RESET", "ALL", None)],
@@ -742,9 +777,7 @@ class SqlRouterMixin:
                 f'unrecognized configuration parameter "{raw.strip()}"'
             )
         if self._txn is not None:
-            self._txn.setdefault("guc_restore", []).append(
-                (name, self._gucs.get(name), False)
-            )
+            self._guc_txn_track(name, False, None)
         self._guc_set(name, None)
         return self.spark.createDataFrame(
             [("RESET", name, self._guc_effective(name))],
@@ -1002,6 +1035,12 @@ class SqlRouterMixin:
                 alias = am.group(3).strip('"')
                 if arg == "*" and fn != "count":
                     raise ValueError(f"{fn}(*) is not valid")
+                if alias in aggs:
+                    # Postgres 42701: duplicate output names; silently
+                    # overwriting would drop an aggregate
+                    raise ValueError(
+                        f'column "{alias}" specified more than once'
+                    )
                 aggs[alias] = (fn, "*" if arg == "*" else arg)
                 continue
             cm2 = re.match(r'^("?[\w]+"?)$', it)
@@ -1049,8 +1088,12 @@ class SqlRouterMixin:
                 )
             raise ValueError(f'relation "{canon}" already exists')
         base, group_by, aggs, where = self._parse_matview_select(sel)
+        # pass the ORIGINAL (possibly quoted) spelling through:
+        # create_materialized_view canonicalizes once via
+        # parse_table_name; re-canonicalizing an already-canonical name
+        # would fold its preserved case
         self.create_materialized_view(
-            canon, base, group_by, aggs, where=where
+            name, base, group_by, aggs, where=where
         )
         return self._dml_result("CREATE MATERIALIZED VIEW", canon, 1)
 
@@ -1317,6 +1360,11 @@ class SqlRouterMixin:
                 name,
                 len(self._txn["staged"]),
                 dict(self._txn["overlay"]),
+                # GUC state at the savepoint: the explicit overlay and
+                # the block's tracking dict — ROLLBACK TO reverts GUCs
+                # set after the savepoint (Postgres)
+                dict(self._gucs),
+                {k: dict(v) for k, v in self._txn.get("gucs", {}).items()},
             ))
             return self._txn_result(
                 "SAVEPOINT", f"savepoint {name} established"
@@ -1375,7 +1423,7 @@ class SqlRouterMixin:
                 )
             self._txn = {
                 "overlay": {}, "staged": [], "aborted": False,
-                "savepoints": [], "guc_restore": [],
+                "savepoints": [], "gucs": {},
                 # BEGIN READ ONLY is enforced, not just parsed: staging
                 # any write into a read-only block refuses
                 "read_only": bool(
@@ -1424,11 +1472,17 @@ class SqlRouterMixin:
                 raise self._txn_abort(ValueError(
                     f"savepoint {name!r} does not exist"
                 ))
-            _, length, overlay = sps[idx]
+            _, length, overlay, sp_gucs, sp_track = sps[idx]
             # the savepoint itself survives; later ones are destroyed
             del sps[idx + 1:]
             self._txn["staged"] = self._txn["staged"][:length]
             self._txn["overlay"] = dict(overlay)
+            # revert GUCs changed after the savepoint to their
+            # at-savepoint values (side effects included via _guc_set)
+            for g in set(self._gucs) | set(sp_gucs):
+                if self._gucs.get(g) != sp_gucs.get(g):
+                    self._guc_set(g, sp_gucs.get(g))
+            self._txn["gucs"] = {k: dict(v) for k, v in sp_track.items()}
             self._txn["aborted"] = False  # un-poisons a failed block
             return self._txn_result(
                 "ROLLBACK", f"rolled back to savepoint {name}"

@@ -199,3 +199,57 @@ def test_scaled_long_rejects_negative_input(spark):
     withnull = spark.createDataFrame([(1.0,), (None,)], "x double")
     rows = withnull.select(scaled_long("x", 2).alias("s")).collect()
     assert sorted((r.s for r in rows), key=lambda v: (v is None, v)) == [100, None]
+
+
+# ------------------------------------- r13 self-review: index id_col pin
+
+
+def test_extend_with_different_id_col_uses_pinned_name(spark, tmp_path):
+    from pg_mooncake_spark.operators.dedup import (
+        build_minhash_index, extend_minhash_index, probe_minhash_index,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "ix_idcol")
+    build_minhash_index(d.filter("doc_id < 100"), path, "text", "doc_id")
+    # extend under a DIFFERENT id column name: rows must land under the
+    # pinned name, or later reads see one generation's ids as NULL and
+    # silently drop its candidates
+    ext = d.filter("doc_id >= 100 AND doc_id < 150").select(
+        F.col("doc_id").alias("row_id"), "text"
+    )
+    extend_minhash_index(ext, path, "text", "row_id")
+    assert set(spark.read.parquet(path).columns) >= {"doc_id", "signature"}
+    probe = d.filter("doc_id = 120").select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    hits = probe_minhash_index(
+        spark, path, probe, "text", "doc_id", threshold=0.99
+    ).collect()
+    assert any(r.corpus_id == 120 for r in hits)
+
+
+def test_matview_duplicate_alias_and_quoted_name(spark, warehouse):
+    eng = MooncakeEngine(spark, warehouse)
+    src = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, g string, v double"
+    )
+    eng.create_table(
+        "mq_base", source_df=src, primary_key=["k"], change_feed=True
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW dup_mv AS "
+            "SELECT g, sum(CAST(v AS DECIMAL(10,2))) AS s, count(*) AS s "
+            "FROM mq_base GROUP BY g"
+        )
+    # quoted identifiers preserve case end-to-end (CREATE sees the same
+    # canonical name table()/DROP resolve later)
+    eng.sql(
+        'CREATE MATERIALIZED VIEW "MyMV" AS '
+        "SELECT g, count(*) AS n FROM mq_base GROUP BY g"
+    )
+    assert "MyMV" in eng.catalog.list_tables()
+    assert eng.table('"MyMV"').count() == 2
+    eng.sql('DROP MATERIALIZED VIEW "MyMV"')
+    assert "MyMV" not in eng.catalog.list_tables()

@@ -170,3 +170,47 @@ def test_discard_spellings(eng, spark):
     eng.sql("ROLLBACK")
     eng.sql("DISCARD ALL")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---------------------------------------- round-13 self-review findings
+
+
+def test_commit_lands_on_last_plain_set_after_set_local(eng, spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    eng.sql("BEGIN")
+    eng.sql("SET LOCAL mooncake.threads = 4")
+    eng.sql("SET mooncake.threads = 16")
+    eng.sql("COMMIT")
+    # Postgres: the plain SET survives COMMIT even though a SET LOCAL
+    # touched the same GUC earlier in the block
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    eng.sql("RESET mooncake.threads")
+    # and the reverse order: plain SET then SET LOCAL — commit still
+    # lands on the plain SET value, reverting only the LOCAL tail
+    eng.sql("BEGIN")
+    eng.sql("SET mooncake.threads = 12")
+    eng.sql("SET LOCAL mooncake.threads = 4")
+    eng.sql("COMMIT")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
+    eng.sql("RESET mooncake.threads")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_rollback_to_savepoint_reverts_gucs(eng, spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    eng.sql("BEGIN")
+    eng.sql("SAVEPOINT s1")
+    eng.sql("SET mooncake.threads = 8")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    eng.sql("ROLLBACK TO s1")
+    # the SET after the savepoint is gone NOW, not just at block end
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    eng.sql("COMMIT")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_set_local_outside_txn_is_noop(eng, spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    eng.sql("SET LOCAL mooncake.threads = 9")
+    # Postgres warns and takes NO effect outside a transaction block
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
