@@ -77,16 +77,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # assume_non_negative: TPC-H domain — quantity/price >= 0,
+    # 0 <= discount <= 1, tax >= 0, so every encoded column and product
+    # is non-negative by construction; the default in-job guard costs
+    # ~25% on this 5-encode/row loop (r13 A/B) and proves nothing here
+    nn = dict(assume_non_negative=True)
     staged = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .select(
             "l_returnflag",
             "l_linestatus",
-            scaled_long("l_quantity", 2).alias("qty_c"),
-            scaled_long("l_extendedprice", 2).alias("price_c"),
-            scaled_long(disc_price, 6).alias("disc_price_u"),
-            scaled_long(disc_price * (1 + F.col("l_tax")), 6).alias("charge_u"),
-            scaled_long("l_discount", 4).alias("disc_t"),
+            scaled_long("l_quantity", 2, **nn).alias("qty_c"),
+            scaled_long("l_extendedprice", 2, **nn).alias("price_c"),
+            scaled_long(disc_price, 6, **nn).alias("disc_price_u"),
+            scaled_long(
+                disc_price * (1 + F.col("l_tax")), 6, **nn
+            ).alias("charge_u"),
+            scaled_long("l_discount", 4, **nn).alias("disc_t"),
             F.spark_partition_id().alias("_pid"),
         )
     )
