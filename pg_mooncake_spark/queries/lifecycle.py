@@ -896,6 +896,53 @@ def lifecycle_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lifecycle_sql_returning",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 100
+    )
+    SELECT 'I' AS tag, 9001 AS k, CAST(50.0 AS DOUBLE) AS val
+    UNION ALL
+    SELECT 'U' AS tag, c_custkey AS k, c_acctbal + 10 AS val
+    FROM base WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT 'D' AS tag, c_custkey AS k, c_acctbal AS val
+    FROM base WHERE c_custkey % 10 = 7
+    ORDER BY tag, k
+    """,
+)
+def lifecycle_sql_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres DML RETURNING (round 13): INSERT returns the inserted
+    images, UPDATE the post-images of affected rows (captured by key
+    through the real update path), DELETE the pre-images pinned before
+    the delete mutates state.  The oracle derives all three result sets
+    from the pristine table — a lazily-evaluated capture (re-reading
+    post-DML state) or a missed/extra affected row is a hash
+    mismatch."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter("c_custkey <= 100")
+    )
+    eng.create_table("c_ret", source_df=cust, primary_key=["c_custkey"])
+    ins = eng.sql(
+        "INSERT INTO c_ret VALUES (9001, 'new', 50.0) "
+        "RETURNING 'I' AS tag, c_custkey AS k, c_acctbal AS val"
+    )
+    upd = eng.sql(
+        "UPDATE c_ret SET c_acctbal = c_acctbal + 10 "
+        "WHERE c_custkey % 10 = 3 AND c_custkey <= 100 "
+        "RETURNING 'U' AS tag, c_custkey AS k, c_acctbal AS val"
+    )
+    dele = eng.sql(
+        "DELETE FROM c_ret WHERE c_custkey % 10 = 7 "
+        "RETURNING 'D' AS tag, c_custkey AS k, c_acctbal AS val"
+    )
+    return ins.unionByName(upd).unionByName(dele).orderBy("tag", "k")
+
+
+@query(
     "iceberg_changelog_export",
     oracle="""
     WITH upd AS (SELECT o_totalprice FROM orders

@@ -64,6 +64,7 @@ _WINDOW_PRIORITY = (
     # (1) never driver-verified: the round-13 additions
     "mv_q1_pricing_summary",
     "lifecycle_sql_matview",
+    "lifecycle_sql_returning",
     # (2) last driver-verified in round 9 — the stalest slice, ALL 28
     # (judge-r12 task 1: after r13 no key is older than r10)
     "lifecycle_sql_dml",
@@ -94,9 +95,10 @@ _WINDOW_PRIORITY = (
     "scalar_cast_conversion",
     "scalar_hof_family",
     "sql_recursive_cte",
-    # (3) last driver-verified in round 10 — first 20 alphabetically
-    # (fills the 50-slot window; the remaining 30 r10 keys head the
-    # r14 rotation: join_cross_region_nation onward plus the r11 band)
+    # (3) last driver-verified in round 10 — first 19 alphabetically
+    # (fills the 50-slot window; the remaining 31 r10 keys head the
+    # r14 rotation: join_anti_customers_without_orders onward plus the
+    # r11 band)
     "agg_cube_with_grouping",
     "agg_distinct_and_filtered",
     "agg_grouping_sets",
@@ -116,7 +118,6 @@ _WINDOW_PRIORITY = (
     "embedding_normalize_quantize",
     "iceberg_delete_roundtrip",
     "jdbc_mirror_snapshot",
-    "join_anti_customers_without_orders",
 )
 
 

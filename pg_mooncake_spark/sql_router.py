@@ -1518,6 +1518,26 @@ class SqlRouterMixin:
                 f"pin= is not supported for {kind}: DML always applies "
                 "to the current table state"
             )
+        # Postgres RETURNING: always the trailing clause.  Supported on
+        # the basic shapes (INSERT VALUES/SELECT, UPDATE, DELETE);
+        # refused loudly with MERGE / ON CONFLICT / USING / FROM and
+        # inside transaction blocks (the affected-row capture would
+        # have to read the overlay mid-stage) — a silent wrong answer
+        # is worse than a missing spelling.
+        returning: Optional[str] = None
+        ri = _find_top_keyword(q, "RETURNING")
+        if ri >= 0:
+            returning = q[ri + len("RETURNING"):].strip()
+            q = q[:ri].strip()
+            if not returning:
+                raise ValueError("RETURNING needs an expression list")
+            if self._txn is not None:
+                raise self._txn_abort(ValueError(
+                    "RETURNING is not supported inside a transaction "
+                    "block"
+                ))
+            if kind == "MERGE":
+                raise ValueError("RETURNING is not supported with MERGE")
         if kind == "MERGE":
             return self._sql_merge(q, pin=pin)
         if kind == "DELETE":
@@ -1544,7 +1564,19 @@ class SqlRouterMixin:
                     )
                 cond = rest[5:].strip()
             if using_sql is not None:
+                if returning is not None:
+                    raise ValueError(
+                        "RETURNING is not supported with DELETE ... USING"
+                    )
                 return self._sql_delete_using(t, tgt_alias, using_sql, cond)
+            if returning is not None:
+                # pre-image capture, pinned BEFORE the delete mutates
+                # state (a lazy plan would re-read the post-delete table)
+                ret = self._returning_df(
+                    self.table(t).filter(cond), returning
+                ).localCheckpoint(eager=True)
+                self.delete_where(t, cond)
+                return ret
             v = self.delete_where(t, cond)
             return self._dml_result("DELETE", t, v)
         if kind == "UPDATE":
@@ -1582,6 +1614,35 @@ class SqlRouterMixin:
             if from_sql is not None:
                 return self._sql_update_from(
                     t, tgt_alias, assignments, from_sql.strip(), cond
+                )
+            if returning is not None:
+                if from_sql is not None:
+                    raise ValueError(
+                        "RETURNING is not supported with UPDATE ... FROM"
+                    )
+                # capture affected keys pre-update, apply through the
+                # REAL update path (defaults/generated/constraints all
+                # fire there), then read the post-images back by key —
+                # zero duplicated semantics.  A PK rewrite would break
+                # the key join, so it refuses.
+                pk = self._moontable(self._canon(t)).primary_key() or []
+                if not pk:
+                    raise ValueError(
+                        "UPDATE ... RETURNING needs a primary-keyed table"
+                    )
+                if {a.lower() for a in assignments} & {k.lower() for k in pk}:
+                    raise ValueError(
+                        "RETURNING is not supported when the UPDATE "
+                        "rewrites a primary-key column"
+                    )
+                keys = (
+                    self.table(t).filter(cond).select(*pk)
+                    .localCheckpoint(eager=True)
+                )
+                self.update_where(t, cond, assignments)
+                return self._returning_df(
+                    self.table(t).join(keys, list(pk), "left_semi"),
+                    returning,
                 )
             v = self.update_where(t, cond, assignments)
             return self._dml_result("UPDATE", t, v)
@@ -1684,11 +1745,34 @@ class SqlRouterMixin:
                     else F.lit(None).cast(f.dataType),
                 )
         if conflict_sql is not None:
+            if returning is not None:
+                raise ValueError(
+                    "RETURNING is not supported with ON CONFLICT"
+                )
             return self._sql_insert_on_conflict(
                 t, tgt_alias, df, conflict_sql
             )
+        if returning is not None:
+            # the inserted images (generated columns recomputed exactly
+            # as the insert path will, schema column order), pinned
+            # before the append so an INSERT ... SELECT reading its own
+            # target can't double-see
+            images = self._apply_generated(t, df).select(
+                *[f.name for f in schema.fields]
+            )
+            ret = self._returning_df(
+                images, returning
+            ).localCheckpoint(eager=True)
+            self.insert(t, df)
+            return ret
         v = self.insert(t, df)
         return self._dml_result("INSERT", t, v)
+
+    def _returning_df(self, df: DataFrame, returning: str) -> DataFrame:
+        """Project a RETURNING expression list (``*`` or expressions
+        with optional ``AS alias``) over the affected-row images."""
+        items = [i.strip() for i in _split_top_commas(returning) if i.strip()]
+        return df.selectExpr(*items)
     def _sql_insert_on_conflict(
         self,
         t: str,

@@ -491,3 +491,72 @@ class TestJoinDml:
         spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("ju2")
         with pytest.raises(ValueError, match="WHERE"):
             eng.sql("DELETE FROM m USING ju2")
+
+
+class TestReturning:
+    """Round 13: Postgres DML RETURNING on the basic shapes."""
+
+    def _eng(self, spark, warehouse):
+        from pg_mooncake_spark.engine import MooncakeEngine
+
+        eng = MooncakeEngine(spark, warehouse)
+        src = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, s string, v double",
+        )
+        eng.create_table("r_t", source_df=src, primary_key=["k"])
+        return eng
+
+    def test_insert_update_delete_returning(self, spark, warehouse):
+        eng = self._eng(spark, warehouse)
+        rows = eng.sql(
+            "INSERT INTO r_t VALUES (4, 'd', 40.0), (5, 'e', 50.0) "
+            "RETURNING k, upper(s) AS us"
+        ).collect()
+        assert sorted((r.k, r.us) for r in rows) == [(4, "D"), (5, "E")]
+        rows = eng.sql(
+            "UPDATE r_t SET v = v * 2 WHERE k <= 2 RETURNING *"
+        ).collect()
+        assert sorted((r.k, r.v) for r in rows) == [(1, 20.0), (2, 40.0)]
+        rows = eng.sql(
+            "DELETE FROM r_t WHERE k = 3 RETURNING k, v"
+        ).collect()
+        # pre-image, captured before the delete
+        assert [(r.k, r.v) for r in rows] == [(3, 30.0)]
+        assert eng.table("r_t").filter("k = 3").count() == 0
+        # RETURNING with no matching rows: empty result, not an error
+        assert eng.sql("DELETE FROM r_t WHERE k = 99 RETURNING *").count() == 0
+
+    def test_returning_sees_generated_and_defaults(self, spark, warehouse):
+        from pg_mooncake_spark.engine import MooncakeEngine
+
+        eng = MooncakeEngine(spark, warehouse)
+        eng.sql(
+            "CREATE TABLE r_g (k INT PRIMARY KEY, v INT DEFAULT 7, "
+            "d INT GENERATED ALWAYS AS (k * 10) STORED)"
+        )
+        rows = eng.sql(
+            "INSERT INTO r_g (k) VALUES (3) RETURNING k, v, d"
+        ).collect()
+        assert [(r.k, r.v, r.d) for r in rows] == [(3, 7, 30)]
+
+    def test_returning_refusals(self, spark, warehouse):
+        import pytest
+
+        eng = self._eng(spark, warehouse)
+        with pytest.raises(ValueError, match="ON CONFLICT"):
+            eng.sql(
+                "INSERT INTO r_t VALUES (1, 'x', 1.0) "
+                "ON CONFLICT DO NOTHING RETURNING k"
+            )
+        with pytest.raises(ValueError, match="primary-key column"):
+            eng.sql("UPDATE r_t SET k = k + 100 RETURNING k")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="transaction block"):
+            eng.sql("DELETE FROM r_t WHERE k = 1 RETURNING k")
+        eng.sql("ROLLBACK")
+        # a string literal containing the word is NOT a clause
+        rows = eng.sql(
+            "UPDATE r_t SET s = 'RETURNING x' WHERE k = 1"
+        )
+        assert rows.collect()[0].statement == "UPDATE"
