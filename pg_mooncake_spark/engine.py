@@ -2120,8 +2120,15 @@ class MooncakeEngine(SqlRouterMixin):
         return self.apply_changes(dst, empty, on_schema_drift="evolve")
 
     def _dml_result(self, stmt: str, t: str, v: int) -> DataFrame:
+        # a just-dropped quoted name ('My Table') is no longer a catalog
+        # hit and would fail parse_table_name; it is already canonical —
+        # report it verbatim rather than erroring after the work is done
+        try:
+            canon = self._canon(t)
+        except ValueError:
+            canon = t
         return self.spark.createDataFrame(
-            [(stmt, self._canon(t), int(v))],
+            [(stmt, canon, int(v))],
             "statement string, table string, version long",
         )
 

@@ -250,21 +250,35 @@ def _hadoop_path(spark, path: str):
 
 
 def minhash_index_exists(spark, path: str) -> bool:
-    """True if a persisted MinHash index exists at ``path`` on whatever
-    filesystem the path's scheme selects."""
-    fs, hp = _hadoop_path(spark, path)
+    """True if a COMPLETE persisted MinHash index exists at ``path`` on
+    whatever filesystem the path's scheme selects.  Gated on the meta
+    file, which is written last (and atomically): a crashed build leaves
+    parquet debris but no meta, and the next caller rebuilds instead of
+    extending/probing a corrupt index."""
+    fs, hp = _hadoop_path(spark, f"{path.rstrip('/')}/{_INDEX_META_FILE}")
     return bool(fs.exists(hp))
 
 
 def _write_index_meta(spark, path: str, meta: dict) -> None:
     import json as _json
 
-    fs, hp = _hadoop_path(spark, f"{path.rstrip('/')}/{_INDEX_META_FILE}")
-    out = fs.create(hp, True)
+    # atomic: write to a temp name, then rename over the final name —
+    # a half-written meta must never make a half-built index look valid
+    base = path.rstrip("/")
+    fs, final = _hadoop_path(spark, f"{base}/{_INDEX_META_FILE}")
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{base}/.{_INDEX_META_FILE}.tmp"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(_json.dumps(meta, sort_keys=True).encode()))
     finally:
         out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"cannot commit index metadata at {final}")
 
 
 def read_minhash_index_meta(spark, path: str):

@@ -233,8 +233,8 @@ class SqlRouterMixin:
         if dsm:
             return self._sql_discard(dsm.group(1).upper())
         mv = re.match(
-            r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
-            r"([\w.\"]+)\s+AS\s+(.*?);?\s*$",
+            rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+            rf"{_SQL_TABLE}\s+AS\s+(.*?);?\s*$",
             query, re.I | re.S,
         )
         if mv:
@@ -243,22 +243,22 @@ class SqlRouterMixin:
                 bool(mv.group(1)), mv.group(2), mv.group(3)
             )
         mv = re.match(
-            r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
-            r"([\w.\"]+)\s*;?\s*$",
+            rf"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+            rf"{_SQL_TABLE}\s*;?\s*$",
             query, re.I,
         )
         if mv:
             return self._sql_drop_matview(bool(mv.group(1)), mv.group(2))
         mv = re.match(
-            r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?:CONCURRENTLY\s+)?"
-            r"([\w.\"]+)\s*;?\s*$",
+            rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?:CONCURRENTLY\s+)?"
+            rf"{_SQL_TABLE}\s*;?\s*$",
             query, re.I,
         )
         if mv:
             return self._sql_refresh_matview(mv.group(1))
         vm = re.match(
-            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s*"
-            r"(?:\(([^)]*)\)\s*)?AS\s+(.*?);?\s*$",
+            rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+{_SQL_TABLE}\s*"
+            rf"(?:\(([^)]*)\)\s*)?AS\s+(.*?);?\s*$",
             query, re.I | re.S,
         )
         if vm:
@@ -597,7 +597,10 @@ class SqlRouterMixin:
             # — substitute its text directly, zero Spark jobs (the
             # common loop shape: EXECUTE ins(5, 'x', DATE '2024-01-01'))
             if _PLAIN_LITERAL.match(text):
-                bound.append(text.strip())
+                # parenthesize: a bare negative literal spliced after a
+                # '-' operator would lex as a line comment ("2-$1" with
+                # EXECUTE p(-5) → "2--5")
+                bound.append(f"({text.strip()})")
                 continue
             # genuine expression: ONE-row evaluation in an empty scope —
             # bind-once semantics (volatile args stable across repeated
@@ -609,7 +612,7 @@ class SqlRouterMixin:
                     f"EXECUTE {key}: cannot evaluate parameter "
                     f"expression {text!r}: {exc}"
                 ) from None
-            bound.append(_render_literal(val))
+            bound.append(f"({_render_literal(val)})")
         out, prev = [], 0
         for (s, e), n in spans:
             out.append(stmt[prev:s])
@@ -1754,11 +1757,16 @@ class SqlRouterMixin:
             )
         if returning is not None:
             # the inserted images (generated columns recomputed exactly
-            # as the insert path will, schema column order), pinned
-            # before the append so an INSERT ... SELECT reading its own
-            # target can't double-see
+            # as the insert path will, schema column order, cast to the
+            # table schema the way the stored rows are conformed —
+            # RETURNING must reflect stored values), pinned before the
+            # append so an INSERT ... SELECT reading its own target
+            # can't double-see
             images = self._apply_generated(t, df).select(
-                *[f.name for f in schema.fields]
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
             )
             ret = self._returning_df(
                 images, returning

@@ -187,7 +187,9 @@ def _bind_params(query: str, params: Any) -> str:
         if n < 1:
             raise ValueError(f"there is no parameter ${n}")
         out.append(query[prev:s])
-        out.append(_render_literal(seq[n - 1]))
+        # parenthesize: a bare negative literal after a '-' operator
+        # would lex as a line comment ("2-$1" bound to -5 → "2--5")
+        out.append(f"({_render_literal(seq[n - 1])})")
         prev = e
     out.append(query[prev:])
     return "".join(out)

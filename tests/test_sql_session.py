@@ -64,7 +64,7 @@ def test_mask_quoted_hides_literals():
 
 def test_bind_params_positions_and_repeats():
     q = _bind_params("SELECT $2, $1, $2", ["a", 7])
-    assert q == "SELECT 7, 'a', 7"
+    assert q == "SELECT (7), ('a'), (7)"
     with pytest.raises(ValueError, match="supplies 1 parameters"):
         _bind_params("SELECT $3", ["a"])
 
@@ -103,6 +103,18 @@ def test_prepare_execute_roundtrip(eng, cust):
         eng.sql("EXECUTE pick(1)")
     with pytest.raises(ValueError, match="does not exist"):
         eng.sql("DEALLOCATE pick")
+
+
+def test_execute_negative_arg_adjacent_minus(eng):
+    # "2-$1" bound to -5 must not splice into "2--5" (a line comment):
+    # every bound argument is parenthesized before substitution
+    eng.sql("PREPARE pneg (int) AS SELECT 2-$1 AS v, 2*$1 AS w")
+    row = eng.sql("EXECUTE pneg(-5)").collect()[0]
+    assert (row.v, row.w) == (7, -10)
+    # same hazard through the $n params path
+    row2 = eng.sql("SELECT 2-$1 AS v", params=[-5]).collect()[0]
+    assert row2.v == 7
+    eng.sql("DEALLOCATE pneg")
 
 
 def test_prepare_dml_and_deallocate_all(eng, cust):
