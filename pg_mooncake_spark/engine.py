@@ -66,6 +66,57 @@ def _path_slug(canonical: str) -> str:
     return f"{slug}_{hashlib.md5(canonical.encode()).hexdigest()[:8]}"
 
 
+class _TxnTableShim:
+    """Stand-in for a table staged by CREATE TABLE inside an open
+    transaction block: nothing exists on disk until COMMIT replays the
+    staged DDL, but later statements in the block must compile against
+    its schema/primary key (read-your-writes).  Serves exactly the
+    surface the in-transaction code paths use; anything else raises,
+    loudly naming the reason."""
+
+    def __init__(self, name: str, spec: dict):
+        self._name = name
+        self._spec = spec
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._spec["schema"])
+
+    def primary_key(self) -> Optional[list[str]]:
+        pk = self._spec.get("primary_key")
+        return list(pk) if pk else None
+
+    def _align_case(self, df: DataFrame) -> DataFrame:
+        canon = {f.name.lower(): f.name for f in self.schema().fields}
+        renames = [
+            (c, canon[c.lower()])
+            for c in df.columns
+            if c.lower() in canon and canon[c.lower()] != c
+        ]
+        for old, new in renames:
+            df = df.withColumnRenamed(old, new)
+        return df
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        df = self._align_case(df)
+        schema = self.schema()
+        missing = [f.name for f in schema.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"input missing columns {missing}")
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def __getattr__(self, item):
+        raise AttributeError(
+            f"{item!r} is not available on table {self._name!r}: it was "
+            "created inside the current transaction block and has no "
+            "storage until COMMIT"
+        )
+
+
 class MooncakeEngine(SqlRouterMixin):
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
@@ -116,7 +167,20 @@ class MooncakeEngine(SqlRouterMixin):
         return os.path.join(self.warehouse, _path_slug(name))
 
     def _moontable(self, name: str) -> MoonTable:
-        entry = self.catalog.get(self._canon(name))
+        canon = self._canon(name)
+        if self._txn is not None:
+            spec = self._txn.get("created", {}).get(canon)
+            if spec is not None:
+                # table staged by CREATE TABLE inside the open block:
+                # nothing exists on disk yet — serve schema/pk/conform
+                # from the staged spec so DML into it compiles
+                return _TxnTableShim(canon, spec)
+            if canon in self._txn.get("dropped", set()):
+                raise KeyError(
+                    f"table {canon!r} does not exist (dropped in the "
+                    "current transaction)"
+                )
+        entry = self.catalog.get(canon)
         return MoonTable(self.spark, entry["path"])
 
     def _resolve_source_uri(self, uri: str, fmt: Optional[str]) -> DataFrame:
@@ -298,8 +362,14 @@ class MooncakeEngine(SqlRouterMixin):
         """Declared table constraints ({not_null, checks, defaults}) from
         the catalog, or None.  Declared via CREATE TABLE SQL or
         ``create_table(table_config={'constraints': ...})``."""
+        canon = self._canon(dst)
+        if self._txn is not None:
+            spec = self._txn.get("created", {}).get(canon)
+            if spec is not None:
+                cfg = spec.get("table_config") or {}
+                return cfg.get("constraints") or None
         try:
-            cfg = self.catalog.get(self._canon(dst)).get("table_config") or {}
+            cfg = self.catalog.get(canon).get("table_config") or {}
         except KeyError:
             return None
         return cfg.get("constraints") or None
@@ -1731,6 +1801,15 @@ class MooncakeEngine(SqlRouterMixin):
         query like tables; pinning a version of a view is not supported
         — refresh determines its state."""
         name = self._canon(name)
+        if (
+            self._txn is not None
+            and name in self._txn.get("dropped", set())
+            and name not in self._txn.get("created", {})
+        ):
+            raise KeyError(
+                f"table {name!r} does not exist (dropped in the current "
+                "transaction)"
+            )
         if self._txn is not None and name in self._txn["overlay"]:
             # read-your-writes inside the transaction block: the overlay
             # is the committed snapshot plus every staged batch, composed
@@ -1854,6 +1933,14 @@ class MooncakeEngine(SqlRouterMixin):
         stage_root = os.path.join(root, txn_id)
         batches = []
         for i, (name, kind, batch) in enumerate(staged):
+            if kind in ("create", "drop"):
+                # staged DDL: the spec is plain JSON — no data to write
+                batches.append(
+                    {"index": i, "table": name, "kind": kind,
+                     "path": None, "rows": 0,
+                     **({"spec": batch} if kind == "create" else {})}
+                )
+                continue
             rows = batch.count()  # staged batches are localCheckpointed
             path = os.path.join(stage_root, f"batch-{i}")
             if rows:
@@ -1897,9 +1984,32 @@ class MooncakeEngine(SqlRouterMixin):
         self._txn_replaying = True
         try:
             for b in manifest["batches"]:
+                name = b["table"]
+                kind = b.get("kind")
+                if kind == "create":
+                    # idempotent: existence means OUR create already ran
+                    # (a staged create only follows a staged drop of any
+                    # same-named pre-existing table, and replay is in
+                    # statement order, so that drop has already applied)
+                    if name not in self.catalog.list_tables():
+                        spec = b["spec"]
+                        schema = T.StructType.fromJson(spec["schema"])
+                        empty = self.spark.createDataFrame([], schema)
+                        self.create_table(
+                            name, source_df=empty,
+                            primary_key=spec.get("primary_key"),
+                            change_feed=spec.get("change_feed", False),
+                            table_config=spec.get("table_config"),
+                        )
+                    applied_tags.pop(name, None)  # fresh log, fresh tags
+                    continue
+                if kind == "drop":
+                    if name in self.catalog.list_tables():
+                        self.drop_table(name)
+                    applied_tags.pop(name, None)
+                    continue
                 if not b["rows"]:
                     continue
-                name = b["table"]
                 if name not in applied_tags:
                     applied_tags[name] = self._moontable(name).txn_tags()
                 tag = f"{txn_id}:{b['index']}"
@@ -2017,8 +2127,12 @@ class MooncakeEngine(SqlRouterMixin):
     def _txn_stage_insert(self, dst: str, df: DataFrame) -> int:
         """Stage a blind append (INSERT / bulk load) inside the block."""
         self._txn_check_writable(dst)
+        created = dst in self._txn.get("created", {})
         mt = self._moontable(dst)
-        if not mt.primary_key():
+        if not created and not mt.primary_key():
+            # tables created INSIDE the block are exempt: they have no
+            # pre-existing rows or followers, so key addressing is not
+            # needed to replay their appends
             raise self._txn_abort(ValueError(
                 f"transactional DML requires a primary key on {dst!r}"
             ))
@@ -2029,16 +2143,78 @@ class MooncakeEngine(SqlRouterMixin):
         except Exception as e:
             raise self._txn_abort(e)
         base = self._txn["overlay"].get(dst) or self.table(dst)
-        try:
-            # write-time duplicate-pk refusal on followed tables runs at
-            # STAGE time against the overlay (read-your-writes: earlier
-            # staged statements count), so COMMIT replay cannot fail
-            # halfway through the block
-            self._guard_followed_append(dst, mt, batch, existing=base)
-        except ValueError as e:
-            raise self._txn_abort(e)
+        if not created:
+            try:
+                # write-time duplicate-pk refusal on followed tables runs
+                # at STAGE time against the overlay (read-your-writes:
+                # earlier staged statements count), so COMMIT replay
+                # cannot fail halfway through the block
+                self._guard_followed_append(dst, mt, batch, existing=base)
+            except ValueError as e:
+                raise self._txn_abort(e)
         self._txn["overlay"][dst] = base.unionByName(batch)
         self._txn["staged"].append((dst, "insert", batch))
+        return -1
+
+    def _txn_stage_create(
+        self,
+        name: str,
+        schema: T.StructType,
+        primary_key: Optional[list[str]],
+        table_config: Optional[dict],
+        change_feed: bool,
+        backfill_df: Optional[DataFrame] = None,
+    ) -> int:
+        """Stage ``CREATE TABLE`` inside the open block: nothing touches
+        the catalog or disk — the spec lands in the block's shadow
+        catalog so later statements compile against it (read-your-
+        writes), and COMMIT replays it through the durable ``_txn.d``
+        path in statement order (crash atomicity covers mixed DDL+DML
+        transactions — reference contract CHANGELOG.md:22 under
+        pg_regress's implicit transactions)."""
+        self._txn_check_writable(name)
+        created = self._txn.setdefault("created", {})
+        dropped = self._txn.setdefault("dropped", set())
+        if name in created or (
+            name in self.catalog.list_tables() and name not in dropped
+        ):
+            raise self._txn_abort(ValueError(
+                f"mirror {name!r} already registered"
+            ))
+        spec = {
+            "schema": json.loads(schema.json()),
+            "primary_key": list(primary_key) if primary_key else None,
+            "table_config": table_config,
+            "change_feed": bool(change_feed),
+        }
+        created[name] = spec
+        self._txn["overlay"][name] = self.spark.createDataFrame([], schema)
+        self._txn["staged"].append((name, "create", spec))
+        if backfill_df is not None:
+            self._txn_stage_insert(name, backfill_df)
+        return -1
+
+    def _txn_stage_drop(self, name: str) -> int:
+        """Stage ``DROP TABLE`` inside the open block: the name becomes
+        invisible to later statements in the block; the real teardown
+        (storage, exports, views, temp views) runs at COMMIT replay.
+        Raises KeyError for a missing table (the IF EXISTS contract of
+        the SQL path).  Dropping a table CREATED in this block stays an
+        ordered staged entry — COMMIT creates then drops it, which keeps
+        the staged list append-only (savepoint truncation stays exact)
+        and recovery idempotent."""
+        self._txn_check_writable(name)
+        created = self._txn.setdefault("created", {})
+        dropped = self._txn.setdefault("dropped", set())
+        exists = name in created or (
+            name in self.catalog.list_tables() and name not in dropped
+        )
+        if not exists:
+            raise KeyError(name)
+        created.pop(name, None)
+        self._txn["overlay"].pop(name, None)
+        dropped.add(name)
+        self._txn["staged"].append((name, "drop", None))
         return -1
 
     def _no_txn(self, what: str) -> None:

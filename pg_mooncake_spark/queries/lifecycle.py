@@ -1664,6 +1664,82 @@ def lifecycle_sql_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lifecycle_sql_txn_ddl",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    agg AS (
+      SELECT c_nationkey,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS nat_bal
+      FROM cust GROUP BY c_nationkey
+    )
+    -- the committed block: CTAS of agg + created note table with 2 rows
+    -- + DROP of the source mirror; the second block (ghost table, DROP
+    -- of agg) rolled back, so agg survives and ghost never existed
+    SELECT (SELECT COUNT(*) FROM agg) AS n_groups,
+           (SELECT CAST(SUM(CAST(nat_bal AS DECIMAL(30,2))) AS DOUBLE)
+            FROM agg) AS total_bal,
+           CAST(2 AS BIGINT) AS n_note,
+           CAST(0 AS BIGINT) AS src_alive,
+           CAST(0 AS BIGINT) AS ghost_alive
+    """,
+)
+def lifecycle_sql_txn_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional DDL (VERDICT r13 task 3 — Postgres, the
+    reference's host, runs CREATE/DROP TABLE transactionally; the
+    reference regress wraps DDL+DML flows,
+    reference tests/pg_regress/sql/sanity.sql:1-7): one committed block
+    stages a CTAS, a column-def CREATE with an insert, and a DROP of
+    the source mirror — all applied atomically at COMMIT through the
+    durable write-ahead path; a second block creates a table and drops
+    the CTAS result, then ROLLS BACK leaving no trace.  The oracle
+    reconstructs exactly the committed post-state."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+        .filter("c_custkey % 7 = 0")
+    )
+    eng.create_table("cust_td", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("BEGIN")
+    eng.sql("""
+        CREATE TABLE agg_td AS
+        SELECT c_nationkey,
+               count(*) AS cnt,
+               CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS nat_bal
+        FROM cust_td GROUP BY c_nationkey
+    """)
+    eng.sql("CREATE TABLE note_td (k int PRIMARY KEY, v text NOT NULL)")
+    eng.sql("INSERT INTO note_td VALUES (1, 'first'), (2, 'second')")
+    eng.sql("DROP TABLE cust_td")
+    eng.sql("COMMIT")
+    eng.sql("BEGIN")
+    eng.sql("CREATE TABLE ghost_td (k int PRIMARY KEY)")
+    eng.sql("INSERT INTO ghost_td VALUES (1)")
+    eng.sql("DROP TABLE agg_td")
+    eng.sql("ROLLBACK")
+    tables = eng.catalog.list_tables()
+    a = eng.table("agg_td").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        dsum("nat_bal", 2).alias("total_bal"),
+    )
+    n = eng.table("note_td").agg(F.count(F.lit(1)).alias("n_note"))
+    return a.crossJoin(n).select(
+        "n_groups", "total_bal", "n_note",
+        F.lit(1 if "cust_td" in tables else 0).cast("long")
+        .alias("src_alive"),
+        F.lit(1 if "ghost_td" in tables else 0).cast("long")
+        .alias("ghost_alive"),
+    )
+
+
+@query(
     "lifecycle_sql_savepoint",
     oracle="""
     WITH base AS (

@@ -188,15 +188,18 @@ class SqlRouterMixin:
             return self._sql_dml(query, kind.group(1).upper(), pin=pin)
         ddl = _DDL_KIND.match(query)
         if ddl:
-            if self._txn is not None:
+            word = next(g for g in ddl.groups() if g).upper()
+            if self._txn is not None and word == "ALTER":
+                # CREATE/DROP TABLE and TRUNCATE stage transactionally
+                # (Postgres runs DDL in transactions); ALTER is the one
+                # shape still refused — schema evolution of a table with
+                # staged batches would invalidate the overlay plans
                 self._txn["aborted"] = True
                 raise ValueError(
-                    "DDL statements are not supported inside a "
-                    "transaction block; COMMIT or ROLLBACK first "
-                    "(DDL here is per-statement atomic)"
+                    "ALTER TABLE is not supported inside a transaction "
+                    "block; COMMIT or ROLLBACK first"
                 )
-            word = next(g for g in ddl.groups() if g)
-            return self._sql_ddl(query, word.upper(), pin=pin)
+            return self._sql_ddl(query, word, pin=pin)
         call = _CALL_KIND.match(query)
         if call:
             if self._txn is not None:
@@ -495,6 +498,18 @@ class SqlRouterMixin:
         by_alias: dict[str, list[str]] = {}
         for name in self.catalog.list_tables():
             by_alias.setdefault(self._view_name(name).lower(), []).append(name)
+        txn_created = (
+            self._txn.get("created", {}) if self._txn is not None else {}
+        )
+        txn_dropped = (
+            self._txn.get("dropped", set()) if self._txn is not None
+            else set()
+        )
+        for name in txn_created:
+            if name not in self.catalog.list_tables():
+                by_alias.setdefault(
+                    self._view_name(name).lower(), []
+                ).append(name)
         pin_names = {self._canon(n) for n in (pin or {})}
         for alias_l, names in by_alias.items():
             if alias_l not in tokens and not (set(names) & pin_names):
@@ -508,6 +523,16 @@ class SqlRouterMixin:
                     f"{sorted(names)} all sanitize to it; rename one table"
                 )
             name = names[0]
+            if name in txn_dropped and name not in txn_created:
+                # dropped in the open block: deregister any stale temp
+                # view and let Spark's resolution raise not-found (the
+                # token match may also be a CTE alias, which then still
+                # resolves correctly)
+                try:
+                    self.spark.catalog.dropTempView(self._view_name(name))
+                except Exception:
+                    pass
+                continue
             self.table(name, (pin or {}).get(name)).createOrReplaceTempView(
                 self._view_name(name)
             )
@@ -1368,6 +1393,10 @@ class SqlRouterMixin:
                 # set after the savepoint (Postgres)
                 dict(self._gucs),
                 {k: dict(v) for k, v in self._txn.get("gucs", {}).items()},
+                # shadow-catalog snapshot: staged DDL after the
+                # savepoint rolls back with it (specs are immutable)
+                dict(self._txn.get("created", {})),
+                set(self._txn.get("dropped", set())),
             ))
             return self._txn_result(
                 "SAVEPOINT", f"savepoint {name} established"
@@ -1427,6 +1456,10 @@ class SqlRouterMixin:
             self._txn = {
                 "overlay": {}, "staged": [], "aborted": False,
                 "savepoints": [], "gucs": {},
+                # shadow catalog for DDL staged inside the block:
+                # created maps canon name -> spec (schema/pk/config),
+                # dropped is the set of names staged for teardown
+                "created": {}, "dropped": set(),
                 # BEGIN READ ONLY is enforced, not just parsed: staging
                 # any write into a read-only block refuses
                 "read_only": bool(
@@ -1475,11 +1508,14 @@ class SqlRouterMixin:
                 raise self._txn_abort(ValueError(
                     f"savepoint {name!r} does not exist"
                 ))
-            _, length, overlay, sp_gucs, sp_track = sps[idx]
+            (_, length, overlay, sp_gucs, sp_track,
+             sp_created, sp_dropped) = sps[idx]
             # the savepoint itself survives; later ones are destroyed
             del sps[idx + 1:]
             self._txn["staged"] = self._txn["staged"][:length]
             self._txn["overlay"] = dict(overlay)
+            self._txn["created"] = dict(sp_created)
+            self._txn["dropped"] = set(sp_dropped)
             # revert GUCs changed after the savepoint to their
             # at-savepoint values (side effects included via _guc_set)
             for g in set(self._gucs) | set(sp_gucs):
@@ -2409,12 +2445,29 @@ class SqlRouterMixin:
                 raise ValueError(f"cannot parse CREATE TABLE: {q!r}")
             if_not_exists, t, rest = bool(m.group(1)), m.group(2), m.group(3).strip()
             name = parse_table_name(t)
-            if name in self.catalog.list_tables():
+            in_txn = self._txn is not None
+            exists = (
+                name in self._txn.get("created", {})
+                or (
+                    name in self.catalog.list_tables()
+                    and name not in self._txn.get("dropped", set())
+                )
+            ) if in_txn else name in self.catalog.list_tables()
+            if exists:
                 if if_not_exists:
                     return self._dml_result("CREATE", t, 0)
                 raise ValueError(f"mirror {name!r} already registered")
             if re.match(r"AS\s+(SELECT|WITH)\b", rest, re.I):
                 src = self.sql(re.sub(r"^AS\s+", "", rest, flags=re.I), pin=pin)
+                if in_txn:
+                    # CTAS in a block: the SELECT already resolved
+                    # against the overlay (read-your-writes); stage the
+                    # create + its backfill in statement order
+                    self._txn_stage_create(
+                        name, src.schema, None, None, False,
+                        backfill_df=src,
+                    )
+                    return self._dml_result("CREATE", t, -1)
                 self.create_table(t, source_df=src)
                 return self._dml_result("CREATE", t, 1)
             if re.match(r"PARTITION\s+OF\b", rest, re.I):
@@ -2527,6 +2580,13 @@ class SqlRouterMixin:
             # change file so the table can be followed (CALL
             # mooncake.create_table), fed to views, and repaired from;
             # appends derive their feed rows for free either way
+            if in_txn:
+                self._txn_stage_create(
+                    name, schema, pk or None,
+                    {"constraints": constraints} if constraints else None,
+                    True,
+                )
+                return self._dml_result("CREATE", t, -1)
             self.create_table(
                 t, source_df=empty, primary_key=pk or None, change_feed=True,
                 table_config=(
@@ -2543,7 +2603,10 @@ class SqlRouterMixin:
             for t in _split_top_commas(m.group(2)):
                 last = t
                 try:
-                    self.drop_table(t)
+                    if self._txn is not None:
+                        self._txn_stage_drop(self._canon(t))
+                    else:
+                        self.drop_table(t)
                 except KeyError:
                     if not if_exists:
                         raise

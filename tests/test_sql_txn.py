@@ -117,9 +117,11 @@ class TestRollbackAndAbort:
         assert _rows(eng, "a") == [(1, "a1"), (2, "a2")]
 
     def test_ddl_and_call_refused_inside_block(self, eng):
+        # CREATE/DROP TABLE now STAGE transactionally (TestTransactionalDDL);
+        # ALTER, CALL, and the API lifecycle methods still refuse
         eng.sql("BEGIN")
         with pytest.raises(ValueError, match="transaction"):
-            eng.sql("CREATE TABLE nope (k int PRIMARY KEY)")
+            eng.sql("ALTER TABLE a ADD COLUMN extra int")
         eng.sql("ROLLBACK")
         eng.sql("BEGIN")
         with pytest.raises(ValueError, match="transaction"):
@@ -323,3 +325,206 @@ class TestCrashAtomicity:
         eng.sql("INSERT INTO a VALUES (9, 'x')")
         eng.sql("COMMIT")
         assert (9, "x") in _rows(eng, "a")
+
+
+class TestTransactionalDDL:
+    """CREATE TABLE / DROP TABLE / CTAS staged inside BEGIN blocks
+    (VERDICT r13 task 3 — Postgres runs DDL transactionally; reference
+    regress wraps DDL+DML flows, tests/pg_regress/sql/sanity.sql:1-7).
+    Staged DDL lands in the block's shadow catalog, replays through the
+    durable _txn.d commit path, and rolls back without a trace."""
+
+    def test_create_insert_commit(self, eng, warehouse):
+        import os
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE tnew (k int PRIMARY KEY, v text NOT NULL)")
+        eng.sql("INSERT INTO tnew VALUES (1, 'x'), (2, 'y')")
+        # read-your-writes: the created table is queryable in-block
+        assert eng.sql(
+            "SELECT count(*) AS n FROM tnew"
+        ).collect()[0]["n"] == 2
+        # nothing on disk yet
+        assert not os.path.isdir(os.path.join(warehouse, "tnew"))
+        eng.sql("COMMIT")
+        assert _rows(eng, "tnew") == [(1, "x"), (2, "y")]
+        assert "tnew" in eng.catalog.list_tables()
+        # constraints survived the replay
+        with pytest.raises(Exception, match="not-null"):
+            eng.sql("INSERT INTO tnew VALUES (3, NULL)")
+
+    def test_create_rollback_leaves_no_trace(self, eng, warehouse):
+        import os
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE tgone (k int PRIMARY KEY)")
+        eng.sql("INSERT INTO tgone VALUES (9)")
+        eng.sql("ROLLBACK")
+        assert "tgone" not in eng.catalog.list_tables()
+        assert not os.path.isdir(os.path.join(warehouse, "tgone"))
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM tgone").collect()
+
+    def test_drop_staged_hidden_rollback_restores(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DROP TABLE a")
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM a").collect()
+        with pytest.raises(Exception):
+            eng.sql("INSERT INTO a VALUES (9, 'z')")
+        eng.sql("ROLLBACK")
+        assert _rows(eng, "a") == [(1, "a1"), (2, "a2")]
+
+    def test_drop_commit_tears_down(self, eng, warehouse):
+        import os
+        eng.sql("BEGIN")
+        eng.sql("DROP TABLE a")
+        eng.sql("INSERT INTO b VALUES (7, 70)")
+        eng.sql("COMMIT")
+        assert "a" not in eng.catalog.list_tables()
+        assert not os.path.isdir(os.path.join(warehouse, "a"))
+        assert (7, 70) in _rows(eng, "b")
+
+    def test_ctas_in_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE ct AS SELECT k, n * 2 AS dbl FROM b")
+        assert eng.sql(
+            "SELECT count(*) AS n FROM ct"
+        ).collect()[0]["n"] == 1
+        eng.sql("COMMIT")
+        assert _rows(eng, "ct") == [(1, 20)]
+
+    def test_drop_then_recreate_same_name(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DROP TABLE a")
+        eng.sql("CREATE TABLE a (k int PRIMARY KEY, score int)")
+        eng.sql("INSERT INTO a VALUES (10, 100)")
+        eng.sql("COMMIT")
+        assert _rows(eng, "a") == [(10, 100)]
+        assert [f.name for f in eng._moontable("a").schema().fields] == [
+            "k", "score",
+        ]
+
+    def test_savepoint_rolls_back_ddl(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        eng.sql("SAVEPOINT sp")
+        eng.sql("CREATE TABLE mid (k int PRIMARY KEY)")
+        eng.sql("DROP TABLE b")
+        eng.sql("ROLLBACK TO sp")
+        # DDL after the savepoint is unwound: b visible again, mid gone
+        assert eng.sql(
+            "SELECT count(*) AS n FROM b"
+        ).collect()[0]["n"] == 1
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM mid").collect()
+        # the failed probe poisoned the block (Postgres); un-poison it
+        eng.sql("ROLLBACK TO sp")
+        eng.sql("COMMIT")
+        assert (3, "a3") in _rows(eng, "a")
+        assert "mid" not in eng.catalog.list_tables()
+        assert "b" in eng.catalog.list_tables()
+
+    def test_constraints_enforced_on_created_table_in_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql(
+            "CREATE TABLE cck (k int PRIMARY KEY, n int CHECK (n > 0))"
+        )
+        with pytest.raises(Exception, match="check constraint"):
+            eng.sql("INSERT INTO cck VALUES (1, -5)")
+        eng.sql("ROLLBACK")
+
+    def test_read_only_block_refuses_ddl(self, eng):
+        eng.sql("BEGIN READ ONLY")
+        with pytest.raises(ValueError, match="read-only"):
+            eng.sql("CREATE TABLE ro (k int PRIMARY KEY)")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN READ ONLY")
+        with pytest.raises(ValueError, match="read-only"):
+            eng.sql("DROP TABLE a")
+        eng.sql("ROLLBACK")
+
+    def test_create_if_not_exists_semantics_in_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE t1 (k int PRIMARY KEY)")
+        # same name again: IF NOT EXISTS no-ops, plain CREATE errors
+        eng.sql("CREATE TABLE IF NOT EXISTS t1 (k int PRIMARY KEY)")
+        with pytest.raises(ValueError, match="already registered"):
+            eng.sql("CREATE TABLE t1 (k int PRIMARY KEY)")
+        # the failed statement poisoned the block (Postgres)
+        eng.sql("ROLLBACK")
+        # a catalog table counts as existing too
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="already registered"):
+            eng.sql("CREATE TABLE a (k int PRIMARY KEY)")
+        eng.sql("ROLLBACK")
+
+    def test_drop_if_exists_in_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DROP TABLE IF EXISTS never_was")  # no error
+        with pytest.raises(KeyError):
+            eng.sql("DROP TABLE never_was")
+        eng.sql("ROLLBACK")
+
+    @pytest.mark.parametrize("crash_after", [0, 1])
+    def test_crash_mid_replay_with_ddl_recovers(
+        self, eng, spark, warehouse, monkeypatch, crash_after
+    ):
+        """Crash during COMMIT replay of a mixed DDL+DML transaction:
+        the manifest is the commit point, so a fresh attach completes
+        the create + its inserts exactly once."""
+        import os
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE tx (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO tx VALUES (1, 'one')")       # replayed insert 1
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")          # replayed insert 2
+        eng.sql("DROP TABLE b")
+
+        applied = {"n": 0}
+        real_insert = MooncakeEngine.insert
+
+        def dying(self, *a, **kw):
+            if self._txn_replaying:
+                if applied["n"] >= crash_after:
+                    raise _Kill()
+                applied["n"] += 1
+            return real_insert(self, *a, **kw)
+
+        monkeypatch.setattr(MooncakeEngine, "insert", dying)
+        with pytest.raises(_Kill):
+            eng.sql("COMMIT")
+        monkeypatch.undo()
+
+        root = os.path.join(warehouse, eng._TXN_DIR)
+        assert any(f.endswith(".json") for f in os.listdir(root))
+
+        e2 = MooncakeEngine(spark, warehouse)
+        assert _rows(e2, "tx") == [(1, "one")]
+        assert _rows(e2, "a") == [(1, "a1"), (2, "a2"), (3, "a3")]
+        assert "b" not in e2.catalog.list_tables()
+        assert e2.recover_transactions() == []
+        assert _rows(e2, "tx") == [(1, "one")]
+
+    def test_crash_before_commit_point_rolls_back_ddl(
+        self, eng, spark, warehouse, monkeypatch
+    ):
+        import os
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE tx (k int PRIMARY KEY)")
+        eng.sql("INSERT INTO tx VALUES (1)")
+        eng.sql("DROP TABLE b")
+
+        real_rename = os.rename
+
+        def dying_rename(src, dst):
+            if eng._TXN_DIR in dst and dst.endswith(".json"):
+                raise _Kill()
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", dying_rename)
+        with pytest.raises(_Kill):
+            eng.sql("COMMIT")
+        monkeypatch.undo()
+
+        e2 = MooncakeEngine(spark, warehouse)
+        assert e2.recover_transactions() == []
+        assert "tx" not in e2.catalog.list_tables()
+        assert _rows(e2, "b") == [(1, 10)]
