@@ -943,6 +943,82 @@ def lifecycle_sql_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lifecycle_sql_returning_join",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey <= 200
+    ),
+    spend AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS amt
+      FROM orders WHERE o_orderkey % 50 = 0 AND o_custkey <= 200
+      GROUP BY o_custkey
+    ),
+    upd AS (
+      SELECT 'U' AS tag, b.c_custkey AS k,
+             CAST(CAST(b.bal AS DECIMAL(18,2))
+                  + CAST(s.amt AS DECIMAL(18,2)) AS DOUBLE) AS val
+      FROM base b JOIN spend s ON b.c_custkey = s.k
+    ),
+    del AS (
+      SELECT DISTINCT 'D' AS tag, b.c_custkey AS k,
+             CASE WHEN b.c_custkey IN (SELECT k FROM spend)
+                  THEN CAST(CAST(b.bal AS DECIMAL(18,2))
+                       + (SELECT CAST(amt AS DECIMAL(18,2)) FROM spend
+                          WHERE k = b.c_custkey) AS DOUBLE)
+                  ELSE b.bal END AS val
+      FROM base b JOIN orders o ON b.c_custkey = o.o_custkey
+      WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 40 = 0
+    )
+    SELECT * FROM upd UNION ALL SELECT * FROM del ORDER BY tag, k
+    """,
+)
+def lifecycle_sql_returning_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURNING on the join-DML shapes (VERDICT r13 task 4): UPDATE
+    ... FROM returns the post-images of exactly the matched target
+    rows (the U batch, generated/conform applied), DELETE ... USING
+    the DISTINCT pre-images pinned before the apply mutates the
+    target.  The oracle recomputes both result sets — a lazy capture
+    re-reading post-DML state, a duplicate from the USING product, or
+    a missed matched row is a hash mismatch."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+        .filter("c_custkey <= 200")
+    )
+    eng.create_table("c_rj", source_df=cust, primary_key=["c_custkey"])
+    t(spark, sf_dir, "orders").filter(
+        "o_orderkey % 50 = 0 AND o_custkey <= 200"
+    ).groupBy(F.col("o_custkey").alias("k")).agg(
+        dsum("o_totalprice", 2).alias("amt")
+    ).createOrReplaceTempView("rj_spend")
+    t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderkey"
+    ).createOrReplaceTempView("rj_orders")
+    upd = eng.sql("""
+        UPDATE c_rj SET
+          bal = CAST(CAST(c_rj.bal AS DECIMAL(18,2))
+                     + CAST(rj_spend.amt AS DECIMAL(18,2)) AS DOUBLE)
+        FROM rj_spend WHERE c_rj.c_custkey = rj_spend.k
+        RETURNING 'U' AS tag, c_custkey AS k, bal AS val
+    """)
+    dele = eng.sql("""
+        DELETE FROM c_rj USING rj_orders
+        WHERE c_rj.c_custkey = rj_orders.o_custkey
+          AND rj_orders.o_orderpriority = '1-URGENT'
+          AND rj_orders.o_orderkey % 40 = 0
+        RETURNING 'D' AS tag, c_custkey AS k, bal AS val
+    """)
+    return upd.unionByName(dele).orderBy("tag", "k")
+
+
+@query(
     "iceberg_changelog_export",
     oracle="""
     WITH upd AS (SELECT o_totalprice FROM orders

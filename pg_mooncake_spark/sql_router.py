@@ -1558,11 +1558,11 @@ class SqlRouterMixin:
                 "to the current table state"
             )
         # Postgres RETURNING: always the trailing clause.  Supported on
-        # the basic shapes (INSERT VALUES/SELECT, UPDATE, DELETE);
-        # refused loudly with MERGE / ON CONFLICT / USING / FROM and
-        # inside transaction blocks (the affected-row capture would
-        # have to read the overlay mid-stage) — a silent wrong answer
-        # is worse than a missing spelling.
+        # INSERT VALUES/SELECT, UPDATE [... FROM], DELETE [... USING],
+        # inside transaction blocks (the captures read the overlay —
+        # read-your-writes gives exactly the staged pre/post images);
+        # refused loudly with MERGE / ON CONFLICT — a silent wrong
+        # answer is worse than a missing spelling.
         returning: Optional[str] = None
         ri = _find_top_keyword(q, "RETURNING")
         if ri >= 0:
@@ -1570,11 +1570,6 @@ class SqlRouterMixin:
             q = q[:ri].strip()
             if not returning:
                 raise ValueError("RETURNING needs an expression list")
-            if self._txn is not None:
-                raise self._txn_abort(ValueError(
-                    "RETURNING is not supported inside a transaction "
-                    "block"
-                ))
             if kind == "MERGE":
                 raise ValueError("RETURNING is not supported with MERGE")
         if kind == "MERGE":
@@ -1603,11 +1598,9 @@ class SqlRouterMixin:
                     )
                 cond = rest[5:].strip()
             if using_sql is not None:
-                if returning is not None:
-                    raise ValueError(
-                        "RETURNING is not supported with DELETE ... USING"
-                    )
-                return self._sql_delete_using(t, tgt_alias, using_sql, cond)
+                return self._sql_delete_using(
+                    t, tgt_alias, using_sql, cond, returning=returning
+                )
             if returning is not None:
                 # pre-image capture, pinned BEFORE the delete mutates
                 # state (a lazy plan would re-read the post-delete table)
@@ -1652,13 +1645,10 @@ class SqlRouterMixin:
                 assignments[am.group(1).strip('"')] = am.group(2).strip()
             if from_sql is not None:
                 return self._sql_update_from(
-                    t, tgt_alias, assignments, from_sql.strip(), cond
+                    t, tgt_alias, assignments, from_sql.strip(), cond,
+                    returning=returning,
                 )
             if returning is not None:
-                if from_sql is not None:
-                    raise ValueError(
-                        "RETURNING is not supported with UPDATE ... FROM"
-                    )
                 # capture affected keys pre-update, apply through the
                 # REAL update path (defaults/generated/constraints all
                 # fire there), then read the post-images back by key —
@@ -1984,6 +1974,7 @@ class SqlRouterMixin:
         assignments: dict[str, str],
         from_sql: str,
         cond: str,
+        returning: Optional[str] = None,
     ) -> DataFrame:
         """``UPDATE t [AS a] SET ... FROM <from items> WHERE ...`` —
         the Postgres join-update, compiled as one SELECT over the
@@ -2037,12 +2028,33 @@ class SqlRouterMixin:
             *[F.col(c).cast(schema[c].dataType).alias(c) for c in names],
             op.alias(OP_COL),
         )
+        if returning is not None:
+            # pin the U images ONCE (pre-apply: the lazy plan reads the
+            # target view, which the apply mutates); the multi-match
+            # raise_error fires here, mapped to the same ValueError
+            try:
+                batch = batch.localCheckpoint(eager=True)
+            except Exception as e:
+                if dup_msg in str(e):
+                    raise ValueError(dup_msg) from None
+                raise
         try:
             v = self.apply_changes(name, batch)
         except Exception as e:
             if dup_msg in str(e):
                 raise ValueError(dup_msg) from None
             raise
+        if returning is not None:
+            # post-images exactly as stored: the real apply path runs
+            # generated-column recompute + the schema conform cast —
+            # mirror both over the pinned batch
+            images = self._apply_generated(name, batch.drop(OP_COL)).select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            return self._returning_df(images, returning)
         return self._dml_result("UPDATE", t, v)
     def _sql_delete_using(
         self,
@@ -2050,6 +2062,7 @@ class SqlRouterMixin:
         tgt_alias: Optional[str],
         using_sql: str,
         cond: str,
+        returning: Optional[str] = None,
     ) -> DataFrame:
         """``DELETE FROM t [AS a] USING <from items> WHERE ...`` — the
         Postgres join-delete: target rows with at least one match in
@@ -2073,7 +2086,12 @@ class SqlRouterMixin:
             *[F.col(c).cast(schema[c].dataType).alias(c) for c in names],
             F.lit("D").alias(OP_COL),
         )
+        if returning is not None:
+            # pin the pre-images before the apply mutates the target
+            batch = batch.localCheckpoint(eager=True)
         v = self.apply_changes(name, batch)
+        if returning is not None:
+            return self._returning_df(batch.drop(OP_COL), returning)
         return self._dml_result("DELETE", t, v)
     def _sql_merge(self, q: str, pin: Optional[dict[str, int]] = None) -> DataFrame:
         """Route ``MERGE INTO`` onto :meth:`apply_changes` — the last DML

@@ -551,12 +551,61 @@ class TestReturning:
             )
         with pytest.raises(ValueError, match="primary-key column"):
             eng.sql("UPDATE r_t SET k = k + 100 RETURNING k")
-        eng.sql("BEGIN")
-        with pytest.raises(ValueError, match="transaction block"):
-            eng.sql("DELETE FROM r_t WHERE k = 1 RETURNING k")
-        eng.sql("ROLLBACK")
         # a string literal containing the word is NOT a clause
         rows = eng.sql(
             "UPDATE r_t SET s = 'RETURNING x' WHERE k = 1"
         )
         assert rows.collect()[0].statement == "UPDATE"
+
+    def test_update_from_returning(self, spark, warehouse):
+        eng = self._eng(spark, warehouse)
+        spark.createDataFrame(
+            [(1, 100.0), (3, 300.0)], "k int, add double"
+        ).createOrReplaceTempView("r_src")
+        rows = eng.sql(
+            "UPDATE r_t SET v = r_t.v + r_src.add FROM r_src "
+            "WHERE r_t.k = r_src.k RETURNING k, v"
+        ).collect()
+        # post-images of exactly the matched rows
+        assert sorted((r.k, r.v) for r in rows) == [(1, 110.0), (3, 330.0)]
+        assert sorted(
+            (r.k, r.v) for r in eng.table("r_t").collect()
+        ) == [(1, 110.0), (2, 20.0), (3, 330.0)]
+
+    def test_delete_using_returning(self, spark, warehouse):
+        eng = self._eng(spark, warehouse)
+        spark.createDataFrame(
+            [(2,), (3,)], "k int"
+        ).createOrReplaceTempView("r_kill")
+        rows = eng.sql(
+            "DELETE FROM r_t USING r_kill WHERE r_t.k = r_kill.k "
+            "RETURNING k, s, v"
+        ).collect()
+        # pre-images, captured before the apply
+        assert sorted((r.k, r.s, r.v) for r in rows) == [
+            (2, "b", 20.0), (3, "c", 30.0),
+        ]
+        assert [r.k for r in eng.table("r_t").collect()] == [1]
+
+    def test_returning_inside_transaction_block(self, spark, warehouse):
+        eng = self._eng(spark, warehouse)
+        eng.sql("BEGIN")
+        rows = eng.sql(
+            "INSERT INTO r_t VALUES (4, 'd', 40.0) RETURNING k, v"
+        ).collect()
+        assert [(r.k, r.v) for r in rows] == [(4, 40.0)]
+        # UPDATE RETURNING reads the overlay post-image (sees the
+        # staged insert too)
+        rows = eng.sql(
+            "UPDATE r_t SET v = v + 1 WHERE k >= 3 RETURNING k, v"
+        ).collect()
+        assert sorted((r.k, r.v) for r in rows) == [(3, 31.0), (4, 41.0)]
+        rows = eng.sql(
+            "DELETE FROM r_t WHERE k = 4 RETURNING k, v"
+        ).collect()
+        assert [(r.k, r.v) for r in rows] == [(4, 41.0)]
+        eng.sql("ROLLBACK")
+        # rolled back: RETURNING surfaced staged images, table untouched
+        assert sorted(
+            (r.k, r.v) for r in eng.table("r_t").collect()
+        ) == [(1, 10.0), (2, 20.0), (3, 30.0)]
