@@ -3053,6 +3053,72 @@ class SqlRouterMixin:
             i += 1
         stmts.append("".join(buf))
         return [t.strip() for t in stmts if t.strip()]
+    def _copy_stdout_df(
+        self,
+        df: DataFrame,
+        fmt: str,
+        header: Optional[bool],
+        sep: Optional[str],
+    ) -> DataFrame:
+        """``COPY ... TO STDOUT``: render the rows as payload lines —
+        one ``copy_line`` string column, built IN-PLAN (distributed; no
+        driver materialization) so the session consumes the stream the
+        way COPY FROM STDIN supplies ``copy_data``.  The dual of
+        :meth:`_copy_stdin_df`: a collected text payload feeds back
+        through ``COPY t FROM STDIN`` losslessly.
+
+        - ``text`` (default): DELIMITER-separated (tab), ``\\N`` for
+          NULL, Postgres backslash escapes for ``\\``/TAB/LF/CR;
+        - ``csv``: standard quoting (fields containing the delimiter,
+          quotes, or newlines are double-quoted with doubled quotes),
+          NULL renders empty; HEADER prepends the column-name line."""
+        if fmt not in ("text", "csv"):
+            raise ValueError(
+                f"COPY TO STDOUT supports FORMAT text|csv, got {fmt!r}"
+            )
+        d = sep or ("\t" if fmt == "text" else ",")
+        cols = []
+        for c in df.columns:
+            s = F.col(c).cast("string")
+            if fmt == "text":
+                # backslash first, then the control characters
+                s = F.regexp_replace(s, r"\\", r"\\\\")
+                s = F.regexp_replace(s, "\t", r"\\t")
+                s = F.regexp_replace(s, "\n", r"\\n")
+                s = F.regexp_replace(s, "\r", r"\\r")
+                s = F.coalesce(s, F.lit("\\N"))
+            else:
+                quoted = F.concat(
+                    F.lit('"'),
+                    F.regexp_replace(s, '"', '""'),
+                    F.lit('"'),
+                )
+                need = (
+                    s.contains(d) | s.contains('"')
+                    | s.contains("\n") | s.contains("\r")
+                )
+                s = (
+                    F.when(s.isNull(), F.lit(""))
+                    .when(need, quoted)
+                    .otherwise(s)
+                )
+            cols.append(s)
+        lines = df.select(F.concat_ws(d, *cols).alias("copy_line"))
+        if fmt == "csv" and header:
+            hdr = self.spark.createDataFrame(
+                [(0, d.join(df.columns))], "__ord int, copy_line string"
+            )
+            lines = (
+                hdr.unionByName(
+                    lines.select(
+                        F.lit(1).alias("__ord"), F.col("copy_line")
+                    )
+                )
+                .orderBy("__ord")
+                .select("copy_line")
+            )
+        return lines
+
     def _copy_stdin_df(
         self,
         table: str,
@@ -3103,6 +3169,24 @@ class SqlRouterMixin:
                 rows.append([None if v == "" else v for v in r])
         elif fmt == "text":
             d = sep or "\t"
+
+            def _unescape(v: str) -> str:
+                # Postgres text-format escapes (\\, \t, \n, \r) — the
+                # dual of _copy_stdout_df's rendering, so a TO STDOUT
+                # payload feeds back losslessly
+                out, i = [], 0
+                while i < len(v):
+                    if v[i] == "\\" and i + 1 < len(v):
+                        out.append(
+                            {"t": "\t", "n": "\n", "r": "\r",
+                             "\\": "\\"}.get(v[i + 1], v[i + 1])
+                        )
+                        i += 2
+                    else:
+                        out.append(v[i])
+                        i += 1
+                return "".join(out)
+
             rows = []
             for ln in copy_data.splitlines():
                 if ln == "\\.":
@@ -3110,7 +3194,10 @@ class SqlRouterMixin:
                 if not ln:
                     continue
                 rows.append(
-                    [None if v == "\\N" else v for v in ln.split(d)]
+                    [
+                        None if v == "\\N" else _unescape(v)
+                        for v in ln.split(d)
+                    ]
                 )
         else:
             raise ValueError(
@@ -3180,18 +3267,23 @@ class SqlRouterMixin:
                 raise ValueError(f"cannot parse COPY statement: {query!r}")
             t, rest = tm.group(1), rest[tm.end():]
         dm = re.match(
-            r"(FROM|TO)\s+(STDIN\b|'[^']+')\s*(.*)$", rest, re.I | re.S
+            r"(FROM|TO)\s+(STDIN\b|STDOUT\b|'[^']+')\s*(.*)$",
+            rest, re.I | re.S,
         )
         if not dm:
             raise ValueError(
-                f"COPY needs FROM 'path'|STDIN or TO 'path': {query!r}"
+                f"COPY needs FROM 'path'|STDIN or TO 'path'|STDOUT: "
+                f"{query!r}"
             )
         direction = dm.group(1).upper()
         target, opts_sql = dm.group(2), dm.group(3).strip()
         stdin = target.upper() == "STDIN"
-        path = "" if stdin else target.strip("'")
+        stdout = target.upper() == "STDOUT"
+        path = "" if stdin or stdout else target.strip("'")
         if stdin and direction != "FROM":
             raise ValueError("STDIN is only valid with COPY ... FROM")
+        if stdout and direction != "TO":
+            raise ValueError("STDOUT is only valid with COPY ... TO")
         if src_query is not None and direction != "TO":
             raise ValueError("COPY (query) supports only TO")
         fmt: Optional[str] = None
@@ -3225,6 +3317,10 @@ class SqlRouterMixin:
             df = self._copy_stdin_df(t, copy_data, fmt or "text", header, sep)
             v = self.insert(t, df)
             return self._dml_result("COPY", t, v)
+        if stdout:
+            src = self.sql(src_query) if src_query is not None \
+                else self.table(t)
+            return self._copy_stdout_df(src, fmt or "text", header, sep)
         if fmt == "text":
             fmt, sep = "csv", sep or "\t"
         if fmt is None:

@@ -281,6 +281,43 @@ class TestSqlDdl:
         eng.sql(f"COPY sf1t TO '{d}' WITH (FORMAT csv)")
         assert os.path.isdir(d)
 
+    def test_copy_to_stdout_text_roundtrip(self, eng):
+        """COPY TO STDOUT returns the payload as a copy_line DataFrame
+        (built in-plan, distributed); the text rendering feeds back
+        through COPY FROM STDIN losslessly — incl. \\N nulls and the
+        backslash/TAB/LF escapes."""
+        eng.sql("CREATE TABLE so (k int PRIMARY KEY, v text, n int)")
+        eng.sql("INSERT INTO so VALUES (1, 'plain', 10), (2, NULL, 20)")
+        eng.sql(r"INSERT INTO so VALUES (3, 'a\tb', 30)")  # literal chars
+        eng.sql("INSERT INTO so SELECT 4, concat('x', chr(10), 'y'), 40")
+        out = eng.sql("COPY so TO STDOUT")
+        assert out.columns == ["copy_line"]
+        payload = "\n".join(r.copy_line for r in out.collect()) + "\n"
+        assert "\\N" in payload  # the NULL spelling
+        eng.sql("CREATE TABLE so2 (k int PRIMARY KEY, v text, n int)")
+        eng.sql("COPY so2 FROM STDIN", copy_data=payload)
+        assert sorted(tuple(r) for r in eng.table("so2").collect()) == \
+            sorted(tuple(r) for r in eng.table("so").collect())
+
+    def test_copy_to_stdout_csv_and_query_form(self, eng):
+        eng.sql("CREATE TABLE soc (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO soc VALUES (1, 'has,comma'), (2, 'q\"uote')")
+        lines = [
+            r.copy_line for r in eng.sql(
+                "COPY soc TO STDOUT WITH (FORMAT csv, HEADER true)"
+            ).collect()
+        ]
+        assert lines[0] == "k,v"
+        assert '"has,comma"' in "\n".join(lines)
+        assert '"q""uote"' in "\n".join(lines)
+        # query form + expression
+        rows = eng.sql(
+            "COPY (SELECT k * 10 AS kk FROM soc ORDER BY k) TO STDOUT"
+        ).collect()
+        assert sorted(r.copy_line for r in rows) == ["10", "20"]
+        with pytest.raises(ValueError, match="STDOUT"):
+            eng.sql("COPY soc FROM STDOUT")
+
     def test_list_tables_as_sql_relation(self, eng):
         eng.sql("CREATE TABLE lt1 (k int PRIMARY KEY)")
         eng.sql("CREATE TABLE lt2 (k int PRIMARY KEY)")
