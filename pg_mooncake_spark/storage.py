@@ -614,9 +614,19 @@ class MoonTable:
 
     # ---------------------------------------------------------------- writes
 
-    def _stage_files(self, df: DataFrame, pk: Optional[list[str]]) -> list[dict]:
+    def _stage_files(
+        self,
+        df: DataFrame,
+        pk: Optional[list[str]],
+        extra_stats_cols: Optional[list[str]] = None,
+    ) -> list[dict]:
         """Write df as parquet files into the table dir; return descriptors
-        with row counts and pk min/max stats (the file-skipping index).
+        with row counts and min/max stats (the file-skipping index) over
+        the primary key plus ``extra_stats_cols`` — clustering columns of
+        an ``optimize(sort_by=/zorder_by=)`` pass, so a range predicate
+        on the clustered column prunes the FILE LIST planner-side (the
+        reference contract: file statistics & skipping,
+        reference CHANGELOG.md:26).
 
         For bloom-indexable key types a per-file bloom filter over the pk
         is also built (one extra Arrow-batched pass over the staged
@@ -629,17 +639,21 @@ class MoonTable:
         part_files = [
             f for f in os.listdir(staging) if f.endswith(".parquet")
         ]
+        stat_cols = list(pk or [])
+        for c in extra_stats_cols or []:
+            if c not in stat_cols and c in df.columns:
+                stat_cols.append(c)
         # per-file stats via one spark pass over the staged files
         stats: dict[str, dict] = {}
-        if pk and part_files:
+        if stat_cols and part_files:
             stat_df = (
                 self.spark.read.parquet(staging)
                 .withColumn("__file", F.element_at(F.split(F.input_file_name(), "/"), -1))
                 .groupBy("__file")
                 .agg(
                     F.count(F.lit(1)).alias("rows"),
-                    *[F.min(k).alias(f"min_{k}") for k in pk],
-                    *[F.max(k).alias(f"max_{k}") for k in pk],
+                    *[F.min(k).alias(f"min_{k}") for k in stat_cols],
+                    *[F.max(k).alias(f"max_{k}") for k in stat_cols],
                 )
             )
             for r in stat_df.collect():
@@ -661,7 +675,7 @@ class MoonTable:
                 "rows": st.get("rows"),
                 "stats": {
                     k: [_plain(st.get(f"min_{k}")), _plain(st.get(f"max_{k}"))]
-                    for k in (pk or [])
+                    for k in stat_cols
                 },
             }
             if fname in blooms:
@@ -1014,15 +1028,19 @@ class MoonTable:
         df: DataFrame,
         source_version: Optional[int] = None,
         data_change: bool = True,
+        stats_cols: Optional[list[str]] = None,
     ) -> int:
         """``data_change=False`` marks the commit as a data-PRESERVING
         rewrite (compaction/clustering): same logical rows, new physical
         layout — the change feed skips it, exactly like Delta's
-        ``dataChange=false`` AddFiles."""
+        ``dataChange=false`` AddFiles.  ``stats_cols`` adds per-file
+        min/max stats beyond the pk (clustering columns)."""
         df = self._conform(df)
         files, dels, _ = self._snapshot_full(None)
         v = self.latest_version() + 1
-        add = self._stage_files(df, self.primary_key())
+        add = self._stage_files(
+            df, self.primary_key(), extra_stats_cols=stats_cols
+        )
         self._write_commit(
             Commit(
                 version=v,
@@ -1544,24 +1562,35 @@ class MoonTable:
     def _pk_stat_candidates(
         self, files: list[dict], condition: str
     ) -> Optional[list[dict]]:
-        """Commit-log pk-stat pruning for SIMPLE predicates.
+        """Commit-log stat pruning for SIMPLE predicates.
 
-        When ``condition`` is a bare conjunction of ``pk op literal``
-        comparisons (=, <, <=, >, >=, BETWEEN, IN) over primary-key
-        columns only, the per-file min/max stats in the commit log decide
-        candidacy driver-side — no Spark job at all.  Returns None for
-        anything it cannot prove (OR, NOT, parentheses, non-pk columns,
-        expression operands, type surprises): the caller then falls back
-        to the sound full probe scan.  Missing stats keep a file
-        candidate — pruning is only ever an optimization.
+        When ``condition`` is a bare conjunction of ``col op literal``
+        comparisons (=, <, <=, >, >=, BETWEEN, IN) over STATTED columns
+        — the primary key plus any clustering columns an
+        ``optimize(sort_by=/zorder_by=)`` pass recorded stats for — the
+        per-file min/max stats in the commit log decide candidacy
+        driver-side — no Spark job at all.  A parseable conjunct on an
+        un-statted column is simply skipped (pruning on the remaining
+        conjuncts stays sound: a file failing ANY proven conjunct can
+        hold no matching row).  Returns None for anything it cannot
+        parse (OR, NOT, parentheses, expression operands, type
+        surprises): the caller then falls back to the sound full probe
+        scan.  Missing stats on a candidate file keep it — pruning is
+        only ever an optimization.
         """
         pk = set(self.primary_key() or [])
+        statted = pk | {
+            c for d in files for c in (d.get("stats") or {})
+        }
         # OR/NOT disqualify outright; stray parentheses fail clause parsing
-        if not pk or re.search(r"\bOR\b|\bNOT\b", condition, re.I):
+        if not statted or re.search(r"\bOR\b|\bNOT\b", condition, re.I):
             return None
 
         def lit(tok: str):
             tok = tok.strip()
+            # typed literals: DATE '...' / TIMESTAMP '...' — strip the
+            # keyword; the quoted body then normalizes like any string
+            tok = re.sub(r"^(?:DATE|TIMESTAMP)\s+(?=')", "", tok, flags=re.I)
             if re.fullmatch(r"'(?:[^']|'')*'", tok):
                 s = tok[1:-1].replace("''", "'")
                 # stats serialize datetimes via isoformat() ('...T...');
@@ -1591,7 +1620,8 @@ class MoonTable:
 
         # shield BETWEEN's own AND before splitting the conjunction
         shielded = re.sub(
-            r"(\bBETWEEN\s+(?:'(?:[^']|'')*'|\S+)\s+)AND\b",
+            r"(\bBETWEEN\s+(?:(?:DATE\s+|TIMESTAMP\s+)?'(?:[^']|'')*'|\S+)"
+            r"\s+)AND\b",
             r"\1__BETWEEN_AND__",
             condition,
             flags=re.I,
@@ -1601,10 +1631,14 @@ class MoonTable:
         for raw in re.split(r"\bAND\b", shielded, flags=re.I):
             clause = raw.replace("__BETWEEN_AND__", "AND")
             m = re.fullmatch(
-                r"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|==|=|<|>)\s*('(?:[^']|'')*'|\S+)\s*", clause
+                r"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|==|=|<|>)\s*"
+                r"((?:DATE\s+|TIMESTAMP\s+)?'(?:[^']|'')*'|\S+)\s*", clause,
+                re.I,
             )
             mb = re.fullmatch(
-                r"\s*`?([A-Za-z_]\w*)`?\s+BETWEEN\s+('(?:[^']|'')*'|\S+)\s+AND\s+('(?:[^']|'')*'|\S+)\s*",
+                r"\s*`?([A-Za-z_]\w*)`?\s+BETWEEN\s+"
+                r"((?:DATE\s+|TIMESTAMP\s+)?'(?:[^']|'')*'|\S+)\s+AND\s+"
+                r"((?:DATE\s+|TIMESTAMP\s+)?'(?:[^']|'')*'|\S+)\s*",
                 clause,
                 re.I,
             )
@@ -1639,9 +1673,11 @@ class MoonTable:
                 admit = lambda lo, hi, vs=vs: any(lo <= v <= hi for v in vs)  # noqa: E731
             else:
                 return None
-            if col not in pk:
-                return None
+            if col not in statted:
+                continue  # parseable but un-statted: skip, stay sound
             constraints.append((col, admit, lits))
+        if not constraints:
+            return None
 
         def is_candidate(d: dict) -> bool:
             stats = d.get("stats") or {}
@@ -1983,7 +2019,13 @@ class MoonTable:
             df = df.repartitionByRange(target_partitions, zk).sortWithinPartitions(zk)
         else:
             df = df.repartition(target_partitions)
-        return self.overwrite(df, data_change=False)
+        # clustering columns earn per-file min/max stats: disjoint (sort)
+        # or bounded (zorder) ranges make range predicates prune the file
+        # list planner-side, not just parquet row groups executor-side
+        return self.overwrite(
+            df, data_change=False,
+            stats_cols=list(sort_by or zorder_by or []),
+        )
 
     def vacuum(
         self,

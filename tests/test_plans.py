@@ -667,3 +667,73 @@ def test_cobucketed_join_has_zero_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_sorted_mirror_prunes_file_list(spark, tmp_path):
+    """optimize_table('sort:<col>') must turn a range predicate on the
+    clustered column into PLANNER-side file-list pruning via the
+    commit-log min/max stats (reference contract: file statistics &
+    skipping, reference CHANGELOG.md:26).  At 100 TB a one-year q6-style
+    predicate over a 7-year table must plan ~1/7 of the files, not all
+    of them."""
+    from pg_mooncake_spark.engine import MooncakeEngine
+
+    eng = MooncakeEngine(spark, str(tmp_path / "wh"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    eng.create_table(
+        "li_sorted", source_df=li, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    mt = eng._moontable("li_sorted")
+    v = mt.optimize(target_partitions=16, sort_by=["l_shipdate"])
+    eng.catalog.update_watermarks("li_sorted", flush_version=v)
+    mt = eng._moontable("li_sorted")
+    total = len(mt.read().inputFiles())
+    assert total >= 8  # enough granularity for the claim to mean anything
+    w = (
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+        "l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND "
+        "l_quantity < 24"  # un-statted conjunct: skipped, not a bail-out
+    )
+    pruned = eng.table("li_sorted", where=w)
+    frac = len(pruned.inputFiles()) / total
+    assert frac <= 0.5, (
+        f"sorted mirror read {frac:.0%} of files for a ~1/7 range"
+    )
+    # pruning is sound: identical rows to the plain filtered scan
+    assert pruned.count() == mt.read().filter(w).count()
+    # the un-sorted table gives no file pruning on this predicate
+    eng.create_table(
+        "li_plain", source_df=li, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    mt2 = eng._moontable("li_plain")
+    v2 = mt2.optimize(target_partitions=16)
+    eng.catalog.update_watermarks("li_plain", flush_version=v2)
+    mt2 = eng._moontable("li_plain")
+    plain = eng.table("li_plain", where=w)
+    assert len(plain.inputFiles()) == len(mt2.read().inputFiles())
+
+
+def test_zorder_mirror_prunes_on_second_column(spark, tmp_path):
+    """zorder clustering bounds EVERY listed column's per-file range, so
+    a predicate on the non-leading column still prunes files — the
+    property plain sort cannot give."""
+    from pg_mooncake_spark.engine import MooncakeEngine
+
+    eng = MooncakeEngine(spark, str(tmp_path / "whz"))
+    df = spark.range(40_000).selectExpr(
+        "id AS k", "CAST(id % 200 AS INT) AS a",
+        "CAST(pmod(hash(id), 200) AS INT) AS b",
+    )
+    eng.create_table("zt", source_df=df, primary_key=["k"])
+    mt = eng._moontable("zt")
+    vz = mt.optimize(target_partitions=16, zorder_by=["a", "b"])
+    eng.catalog.update_watermarks("zt", flush_version=vz)
+    mt = eng._moontable("zt")
+    total = len(mt.read().inputFiles())
+    assert total >= 8
+    for col in ("a", "b"):
+        w = f"{col} >= 10 AND {col} < 20"  # 5% range
+        pruned = eng.table("zt", where=w)
+        frac = len(pruned.inputFiles()) / total
+        assert frac <= 0.75, f"zorder should prune on {col}: {frac:.0%}"
+        assert pruned.count() == mt.read().filter(w).count()
