@@ -61,63 +61,66 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # (1) never driver-verified: the round-13 additions
-    "mv_q1_pricing_summary",
-    "lifecycle_sql_matview",
+    # (1) never driver-verified: the round-14 additions
+    "lifecycle_sql_txn_ddl",
+    "lifecycle_sql_returning_join",
+    # (2) implementation changed this round (RETURNING plumbing in
+    # _sql_dml, txn staging/savepoint shape, optimize stats commit):
+    # the external signal should re-confirm them
     "lifecycle_sql_returning",
-    # (2) last driver-verified in round 9 — the stalest slice, ALL 28
-    # (judge-r12 task 1: after r13 no key is older than r10)
     "lifecycle_sql_dml",
-    "mv_filtered_where",
-    "mv_incremental_agg",
-    "mv_minmax_retraction",
-    "orc_roundtrip_lineitem",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "scalar_cast_conversion",
-    "scalar_hof_family",
-    "sql_recursive_cte",
-    # (3) last driver-verified in round 10 — first 19 alphabetically
-    # (fills the 50-slot window; the remaining 31 r10 keys head the
-    # r14 rotation: join_anti_customers_without_orders onward plus the
-    # r11 band)
-    "agg_cube_with_grouping",
-    "agg_distinct_and_filtered",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_scalar_ungrouped",
-    "agg_stats_family",
-    "agg_string_agg",
-    "avro_roundtrip_documents",
-    "corpus_shard_assignment",
-    "delta_cdf_mapped_rename",
-    "delta_dv_delete_roundtrip",
-    "delta_dv_update_roundtrip",
-    "delta_schema_evolution_roundtrip",
-    "distinct_projection",
-    "embedding_normalize_quantize",
-    "iceberg_delete_roundtrip",
-    "jdbc_mirror_snapshot",
+    "lifecycle_sql_txn",
+    "lifecycle_sql_savepoint",
+    "iceberg_sorted_range_scan",
+    # (3) last driver-verified in round 10 — ALL 31 (the rotation the
+    # r13 registry comment committed to, starting at
+    # join_anti_customers_without_orders)
+    "join_anti_customers_without_orders",
+    "join_cross_region_nation",
+    "join_full_outer",
+    "join_inequality_acctbal",
+    "join_inner_orders_customers",
+    "join_left_outer_customer_orders",
+    "join_right_outer",
+    "join_semi_customers_with_orders",
+    "lateral_explode_tokens",
+    "lifecycle_iceberg_mirror_sync",
+    "lifecycle_sql_call_follower",
+    "lifecycle_sql_ddl",
+    "lifecycle_sql_join_dml",
+    "lifecycle_sql_merge",
+    "lifecycle_sql_merge_by_source",
+    "lifecycle_sql_merge_order",
+    "lifecycle_sql_upsert",
+    "limit_offset",
+    "mv_rename_survival",
+    "orderby_multikey_nulls",
+    "pivot_status_by_priority",
+    "q21_suppliers_kept_waiting",
+    "scalar_datetime_family",
+    "scalar_math_family",
+    "scalar_regexp_family",
+    "scalar_string_family",
+    "scalar_try_family",
+    "setop_except",
+    "sim_ann_ivf",
+    "text_pii_redaction",
+    "text_repetition_score",
+    # (4) last driver-verified in round 11 — first 12 alphabetically
+    # (fills the 50-slot window; the rest of the r11 band heads the
+    # r15 rotation: events_sessionization onward, then the r12 band)
+    "agg_bitwise_family",
+    "agg_boolean_family",
+    "corpus_sample_deterministic",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_simhash16",
+    "dedup_substring_runs",
+    "delta_roundtrip_lineitem",
+    "events_asof_join",
 )
 
 
