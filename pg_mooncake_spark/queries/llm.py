@@ -1897,8 +1897,19 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment itself is map-side.  CCNet buckets by LM
     perplexity against a held-out model; the corpus's own bigram model
     is the self-contained proxy (text_ngram_surprisal)."""
+    from pyspark import StorageLevel
+
     d = t(spark, sf_dir, "documents")
-    s = X.ngram_surprisal(d, "text", "doc_id")
+    # the surprisal relation feeds TWO consumers (the 1-row stats
+    # aggregate and the bucket aggregate); persist the one needed
+    # column so the expensive bigram-model computation runs ONCE —
+    # O(8 bytes/doc) cache, spill-safe (r13 verdict #5: the stats pass
+    # must not re-pay the main pass)
+    s = (
+        X.ngram_surprisal(d, "text", "doc_id")
+        .select("avg_surprisal")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dec = F.col("avg_surprisal").cast("decimal(18,4)")
     stats = s.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1963,25 +1974,43 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions of a pretraining corpus.
 
     100 TB shape: centroids are nlist×dim driver traffic; assignment is
-    a map-side broadcast-literal projection; the cap is ONE shuffle
-    hash-partitioned by cluster.  The oracle replays the identical
-    clustering (fixed-point means) and the identical md5-prefix hash
-    order, so counts AND the kept-id checksum hash-match."""
-    from pg_mooncake_spark.operators.corpus import cap_per_group
+    a map-side broadcast-literal projection; the cap RANK and BOTH
+    aggregates (totals and kept) fuse into one pass over the assignment
+    — a single shuffle hash-partitioned by cluster, no second
+    assignment scan and no totals⋈kept join (r13 verdict #5).  The
+    embedding projection is persisted across the Lloyd iterations and
+    the final assign, so parquet decode is paid once, not
+    iters+1 times.  The oracle replays the identical clustering
+    (fixed-point means) and the identical md5-prefix hash order, so
+    counts AND the kept-id checksum hash-match."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
 
-    e = t(spark, sf_dir, "embeddings")
+    from pg_mooncake_spark.operators.corpus import hash_fraction
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cents = S.kmeans_centroids(e, nlist=8, iters=2)
     assigned = S.ivf_assign(e, cents).select("vec_id", "ivf_list")
-    kept = cap_per_group(assigned, "ivf_list", "vec_id", cap=25, seed=0)
-    totals = assigned.groupBy("ivf_list").agg(
-        F.count(F.lit(1)).alias("n_total")
+    # same rank cap_per_group(cap=25, seed=0) applies — fused with the
+    # per-cluster totals so ranked rows aggregate in place
+    w = Window.partitionBy("ivf_list").orderBy(
+        hash_fraction(F.col("vec_id"), 0).asc(), F.col("vec_id").asc()
     )
-    kept_agg = kept.groupBy("ivf_list").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("vec_id").alias("kept_id_sum"),
-    )
+    kept_flag = F.row_number().over(w) <= 25
     return (
-        totals.join(kept_agg, "ivf_list")
+        assigned.withColumn("__kept", kept_flag)
+        .groupBy("ivf_list")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("__kept"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("__kept"), F.col("vec_id"))).alias(
+                "kept_id_sum"
+            ),
+        )
         .select(
             F.col("ivf_list").alias("cluster_id"),
             "n_total", "n_kept", "kept_id_sum",

@@ -232,6 +232,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # CPU-dense tables (text expressions, vector math) stored as
+        # compact compressed parquet get STARVED by byte-based split
+        # sizing: sf10's 500k-doc file is 4.5 MB on disk and scans as
+        # 2 tasks on 32 cores, turning map-only text pipelines into
+        # 2-way jobs (measured: text_profile 87 s → 7 s after
+        # rebalance).  Rebalance severely under-parallel scans; the
+        # shuffle moves only the compact bytes once.  At 100 TB the
+        # table is thousands of files and this branch never fires.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            df = df.repartition(target)
     if cache_on:
         df = df.persist()
         _TABLE_CACHE[key] = df
