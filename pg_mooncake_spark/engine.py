@@ -86,12 +86,24 @@ class _TxnTableShim:
         return list(pk) if pk else None
 
     def _align_case(self, df: DataFrame) -> DataFrame:
+        # mirrors MoonTable._align_case including its ambiguity guard
+        # (two batch columns folding to one table column is refused,
+        # the r12 ADVICE contract)
         canon = {f.name.lower(): f.name for f in self.schema().fields}
-        renames = [
-            (c, canon[c.lower()])
-            for c in df.columns
-            if c.lower() in canon and canon[c.lower()] != c
-        ]
+        taken: dict[str, str] = {}
+        renames: list[tuple[str, str]] = []
+        for c in df.columns:
+            want = canon.get(c.lower())
+            if want is None:
+                continue
+            if want in taken and taken[want] != c:
+                raise ValueError(
+                    f"ambiguous input columns {taken[want]!r} and {c!r} "
+                    f"both resolve to table column {want!r}"
+                )
+            taken[want] = c
+            if want != c:
+                renames.append((c, want))
         for old, new in renames:
             df = df.withColumnRenamed(old, new)
         return df
@@ -1207,7 +1219,10 @@ class MooncakeEngine(SqlRouterMixin):
         matched = None
         if exports:
             matched = mt.read().where(condition).localCheckpoint(eager=True)
-        v = mt.delete_where(condition, strategy=strategy)
+        v = mt.delete_where(
+            condition, strategy=strategy,
+            commit_props=self._txn_commit_props(),
+        )
         if exports and matched is not None:
             self._sync_exports(mt, changes_df(matched, op="D"), exports)
         self._refresh_views_of(dst)
@@ -1933,7 +1948,7 @@ class MooncakeEngine(SqlRouterMixin):
         stage_root = os.path.join(root, txn_id)
         batches = []
         for i, (name, kind, batch) in enumerate(staged):
-            if kind in ("create", "drop"):
+            if kind in ("create", "drop", "truncate"):
                 # staged DDL: the spec is plain JSON — no data to write
                 batches.append(
                     {"index": i, "table": name, "kind": kind,
@@ -2008,6 +2023,22 @@ class MooncakeEngine(SqlRouterMixin):
                         self.drop_table(name)
                     applied_tags.pop(name, None)
                     continue
+                if kind == "truncate":
+                    # tagged like any batch: a crash AFTER a later
+                    # insert applied must not re-truncate its rows
+                    if name not in applied_tags:
+                        applied_tags[name] = (
+                            self._moontable(name).txn_tags()
+                        )
+                    tag = f"{txn_id}:{b['index']}"
+                    if tag in applied_tags[name]:
+                        continue
+                    self._txn_replay_tag = tag
+                    try:
+                        self.delete_where(name, "true")
+                    finally:
+                        self._txn_replay_tag = None
+                    continue
                 if not b["rows"]:
                     continue
                 if name not in applied_tags:
@@ -2064,6 +2095,19 @@ class MooncakeEngine(SqlRouterMixin):
             elif d.startswith(".") and d.endswith(".tmp"):
                 os.remove(full)
         return completed
+
+    def _txn_unregister_created_views(self, names) -> None:
+        """Drop the session temp views a SELECT inside the block may
+        have registered for tables whose staged CREATE is being rolled
+        back — a stale view would keep answering for a table that no
+        longer exists (Postgres errors there)."""
+        for name in names:
+            if name in self.catalog.list_tables():
+                continue  # a real table owns this alias; leave it
+            try:
+                self.spark.catalog.dropTempView(self._view_name(name))
+            except Exception:
+                pass
 
     def _txn_result(self, stmt: str, detail: str) -> DataFrame:
         return self.spark.createDataFrame(
@@ -2192,6 +2236,18 @@ class MooncakeEngine(SqlRouterMixin):
         self._txn["staged"].append((name, "create", spec))
         if backfill_df is not None:
             self._txn_stage_insert(name, backfill_df)
+        return -1
+
+    def _txn_stage_truncate(self, name: str) -> int:
+        """Stage ``TRUNCATE`` inside the block: whole-table, so no row
+        addressing is needed — works on pk-less tables where the
+        row-addressed DML staging refuses.  The overlay becomes empty;
+        replay runs a tagged ``delete_where('true')`` so crash recovery
+        never re-truncates rows a later, already-applied batch added."""
+        self._txn_check_writable(name)
+        schema = self._moontable(name).schema()
+        self._txn["overlay"][name] = self.spark.createDataFrame([], schema)
+        self._txn["staged"].append((name, "truncate", None))
         return -1
 
     def _txn_stage_drop(self, name: str) -> int:

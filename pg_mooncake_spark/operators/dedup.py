@@ -252,11 +252,18 @@ def _hadoop_path(spark, path: str):
 def minhash_index_exists(spark, path: str) -> bool:
     """True if a COMPLETE persisted MinHash index exists at ``path`` on
     whatever filesystem the path's scheme selects.  Gated on the meta
-    file, which is written last (and atomically): a crashed build leaves
-    parquet debris but no meta, and the next caller rebuilds instead of
-    extending/probing a corrupt index."""
-    fs, hp = _hadoop_path(spark, f"{path.rstrip('/')}/{_INDEX_META_FILE}")
-    return bool(fs.exists(hp))
+    file (written last, atomically) OR the parquet job's ``_SUCCESS``
+    marker (pre-metadata indexes — the old contract — committed that
+    way): a crashed build leaves parquet debris but neither marker, and
+    the next caller rebuilds instead of extending/probing a corrupt
+    index — while a complete legacy index is never mistaken for debris
+    and silently overwritten."""
+    base = path.rstrip("/")
+    fs, meta = _hadoop_path(spark, f"{base}/{_INDEX_META_FILE}")
+    if fs.exists(meta):
+        return True
+    jvm = spark._jvm
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/_SUCCESS")))
 
 
 def _write_index_meta(spark, path: str, meta: dict) -> None:

@@ -1926,7 +1926,7 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(sv > mean + F.lit(0.5) * sd, "tail")
         .otherwise("middle")
     )
-    return (
+    out = (
         s.crossJoin(F.broadcast(stats))
         .select(bucket.alias("bucket"), sv.alias("s"))
         .groupBy("bucket")
@@ -1938,6 +1938,12 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+    # the result is ≤3 rows: materialize it, release the cached
+    # surprisal relation deterministically (no session-lifetime cache
+    # accumulation across a many-query window), return a local frame
+    rows = out.collect()
+    s.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(
@@ -2001,7 +2007,7 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fraction(F.col("vec_id"), 0).asc(), F.col("vec_id").asc()
     )
     kept_flag = F.row_number().over(w) <= 25
-    return (
+    out = (
         assigned.withColumn("__kept", kept_flag)
         .groupBy("ivf_list")
         .agg(
@@ -2017,6 +2023,11 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+    # nlist rows: materialize, release the cached embedding projection
+    # deterministically, return a local frame
+    rows = out.collect()
+    e.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(

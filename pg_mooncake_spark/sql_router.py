@@ -1475,6 +1475,10 @@ class SqlRouterMixin:
             if self._txn["aborted"]:
                 txn, self._txn = self._txn, None
                 self._guc_txn_unwind(txn, committed=False)
+                self._txn_unregister_created_views(
+                    set(txn.get("created", {}))
+                    | set(txn.get("dropped", set()))
+                )
                 return self._txn_result(
                     "ROLLBACK", "aborted transaction rolled back"
                 )
@@ -1514,8 +1518,10 @@ class SqlRouterMixin:
             del sps[idx + 1:]
             self._txn["staged"] = self._txn["staged"][:length]
             self._txn["overlay"] = dict(overlay)
+            rolled_off = set(self._txn.get("created", {})) - set(sp_created)
             self._txn["created"] = dict(sp_created)
             self._txn["dropped"] = set(sp_dropped)
+            self._txn_unregister_created_views(rolled_off)
             # revert GUCs changed after the savepoint to their
             # at-savepoint values (side effects included via _guc_set)
             for g in set(self._gucs) | set(sp_gucs):
@@ -1529,6 +1535,10 @@ class SqlRouterMixin:
         txn, self._txn = self._txn, None
         if txn is not None:
             self._guc_txn_unwind(txn, committed=False)
+            self._txn_unregister_created_views(
+                set(txn.get("created", {}))
+                | set(txn.get("dropped", set()))
+            )
         return self._txn_result(
             "ROLLBACK",
             "transaction discarded" if txn is not None
@@ -2633,6 +2643,12 @@ class SqlRouterMixin:
             m = re.match(rf"TRUNCATE\s+(?:TABLE\s+)?{_SQL_TABLE}\s*$", q, re.I)
             if not m:
                 raise ValueError(f"cannot parse TRUNCATE: {q!r}")
+            if self._txn is not None:
+                # whole-table: stages without the row-addressed DML
+                # path's primary-key requirement (pk-less tables
+                # TRUNCATE fine in autocommit and must in a block too)
+                self._txn_stage_truncate(self._canon(m.group(1)))
+                return self._dml_result("TRUNCATE", m.group(1), -1)
             v = self.delete_where(m.group(1), "true")
             return self._dml_result("TRUNCATE", m.group(1), v)
         # ALTER
@@ -3081,11 +3097,20 @@ class SqlRouterMixin:
         for c in df.columns:
             s = F.col(c).cast("string")
             if fmt == "text":
-                # backslash first, then the control characters
+                # backslash first, then the control characters, then a
+                # custom active delimiter (Postgres escapes it too —
+                # data containing the delimiter must round-trip)
                 s = F.regexp_replace(s, r"\\", r"\\\\")
                 s = F.regexp_replace(s, "\t", r"\\t")
                 s = F.regexp_replace(s, "\n", r"\\n")
                 s = F.regexp_replace(s, "\r", r"\\r")
+                if d not in ("\t", "\n", "\r", "\\"):
+                    import re as _re
+
+                    s = F.regexp_replace(
+                        s, _re.escape(d),
+                        ("\\\\" + d).replace("$", "\\$"),
+                    )
                 s = F.coalesce(s, F.lit("\\N"))
             else:
                 quoted = F.concat(
@@ -3187,6 +3212,24 @@ class SqlRouterMixin:
                         i += 1
                 return "".join(out)
 
+            def _split(ln: str) -> list[str]:
+                # escape-aware field split: a backslash-escaped
+                # delimiter is data, not a boundary (the dual of the
+                # STDOUT renderer's delimiter escaping)
+                out, buf, i = [], [], 0
+                while i < len(ln):
+                    if ln[i] == "\\" and i + 1 < len(ln):
+                        buf.append(ln[i]); buf.append(ln[i + 1])
+                        i += 2
+                        continue
+                    if ln[i : i + len(d)] == d:
+                        out.append("".join(buf)); buf = []
+                        i += len(d)
+                        continue
+                    buf.append(ln[i]); i += 1
+                out.append("".join(buf))
+                return out
+
             rows = []
             for ln in copy_data.splitlines():
                 if ln == "\\.":
@@ -3196,7 +3239,7 @@ class SqlRouterMixin:
                 rows.append(
                     [
                         None if v == "\\N" else _unescape(v)
-                        for v in ln.split(d)
+                        for v in _split(ln)
                     ]
                 )
         else:

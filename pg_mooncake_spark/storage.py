@@ -1744,6 +1744,7 @@ class MoonTable:
         condition: str,
         strategy: str = "auto",
         mor_threshold: float = 0.3,
+        commit_props: Optional[dict] = None,
     ) -> int:
         """DELETE with predicate (reference sanity.sql:5) — copy-on-write
         over the *touched files only*: a predicate hitting 0.1% of rows
@@ -1760,7 +1761,7 @@ class MoonTable:
         schema = T.StructType.fromJson(json.loads(first.schema))
         pk = self.primary_key()
         v = self.latest_version() + 1
-        props = None
+        props = dict(commit_props) if commit_props else None
         if self.change_feed_enabled():
             cols = [f.name for f in schema.fields]
             if touched:
@@ -1770,9 +1771,12 @@ class MoonTable:
                     .select(*cols)
                     .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
                 )
-                props = {"change_files": self._stage_change_files(deleted, v)}
+                props = {
+                    **(props or {}),
+                    "change_files": self._stage_change_files(deleted, v),
+                }
             else:
-                props = {"change_files": []}
+                props = {**(props or {}), "change_files": []}
         use_mor = bool(pk) and touched and (
             strategy == "mor"
             or (

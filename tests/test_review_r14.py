@@ -80,7 +80,12 @@ def test_partial_index_dir_not_treated_as_index(spark, tmp_path):
     path = str(tmp_path / "ix_partial")
     build_minhash_index(d, path, "text", "doc_id")
     assert minhash_index_exists(spark, path)
-    # simulate a crash between the parquet write and the meta commit:
-    # the directory exists but the meta file does not -> not an index
+    # a legacy pre-metadata index (job-committed parquet, no meta file)
+    # is STILL an index — it must never be mistaken for debris and
+    # silently overwritten by a rebuild
     (tmp_path / "ix_partial" / _INDEX_META_FILE).unlink()
+    assert minhash_index_exists(spark, path)
+    # a crashed build (no meta AND no job-commit marker) is debris:
+    # the next caller rebuilds instead of extending a corrupt index
+    (tmp_path / "ix_partial" / "_SUCCESS").unlink()
     assert not minhash_index_exists(spark, path)

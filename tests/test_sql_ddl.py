@@ -370,3 +370,25 @@ def test_alter_table_rename_to(eng):
     eng.sql("DROP VIEW rv")
     eng.sql("ALTER TABLE rt2 RENAME TO rt3")
     assert eng.sql("SELECT count(*) AS n FROM rt3").collect()[0].n == 2
+
+
+def test_copy_stdout_custom_delimiter_roundtrip(eng):
+    """Data containing the active delimiter must round-trip: the
+    STDOUT renderer escapes it, the STDIN parser splits
+    escape-aware (review r14 finding 3)."""
+    eng.sql("CREATE TABLE sod (k int PRIMARY KEY, v text)")
+    eng.sql("INSERT INTO sod VALUES (1, 'a|b'), (2, NULL)")
+    lines = [
+        r.copy_line for r in eng.sql(
+            "COPY sod TO STDOUT WITH (FORMAT text, DELIMITER '|')"
+        ).collect()
+    ]
+    assert sorted(lines) == ["1|a\\|b", "2|\\N"]
+    eng.sql("CREATE TABLE sod2 (k int PRIMARY KEY, v text)")
+    eng.sql(
+        "COPY sod2 FROM STDIN WITH (FORMAT text, DELIMITER '|')",
+        copy_data="\n".join(sorted(lines)) + "\n",
+    )
+    assert sorted(tuple(r) for r in eng.table("sod2").collect()) == [
+        (1, "a|b"), (2, None),
+    ]

@@ -344,7 +344,7 @@ class TestTransactionalDDL:
             "SELECT count(*) AS n FROM tnew"
         ).collect()[0]["n"] == 2
         # nothing on disk yet
-        assert not os.path.isdir(os.path.join(warehouse, "tnew"))
+        assert not os.path.isdir(eng._table_path("tnew"))
         eng.sql("COMMIT")
         assert _rows(eng, "tnew") == [(1, "x"), (2, "y")]
         assert "tnew" in eng.catalog.list_tables()
@@ -359,7 +359,7 @@ class TestTransactionalDDL:
         eng.sql("INSERT INTO tgone VALUES (9)")
         eng.sql("ROLLBACK")
         assert "tgone" not in eng.catalog.list_tables()
-        assert not os.path.isdir(os.path.join(warehouse, "tgone"))
+        assert not os.path.isdir(eng._table_path("tgone"))
         with pytest.raises(Exception):
             eng.sql("SELECT * FROM tgone").collect()
 
@@ -528,3 +528,74 @@ class TestTransactionalDDL:
         assert e2.recover_transactions() == []
         assert "tx" not in e2.catalog.list_tables()
         assert _rows(e2, "b") == [(1, 10)]
+
+    def test_rollback_after_select_drops_stale_view(self, eng):
+        """A SELECT inside the block registers a temp view over the
+        created table's overlay; every unwind path must deregister it —
+        a stale view would keep answering with the discarded rows
+        (review r14 finding 1)."""
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE ghost (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO ghost VALUES (1, 'a')")
+        assert eng.sql("SELECT count(*) AS n FROM ghost").collect()[0].n == 1
+        eng.sql("ROLLBACK")
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM ghost").collect()
+        # same through ROLLBACK TO savepoint
+        eng.sql("BEGIN")
+        eng.sql("SAVEPOINT sp")
+        eng.sql("CREATE TABLE ghost2 (k int PRIMARY KEY)")
+        eng.sql("INSERT INTO ghost2 VALUES (1)")
+        assert eng.sql("SELECT count(*) AS n FROM ghost2").collect()[0].n == 1
+        eng.sql("ROLLBACK TO sp")
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM ghost2").collect()
+        eng.sql("ROLLBACK TO sp")  # the probe poisoned the block
+        eng.sql("COMMIT")
+        assert "ghost2" not in eng.catalog.list_tables()
+
+    def test_truncate_stages_in_block(self, eng, spark):
+        # pk-less table: TRUNCATE must stage even though row-addressed
+        # DML refuses (whole-table needs no key addressing)
+        eng.sql("CREATE TABLE nk2 AS SELECT 1 AS k, 'a' AS v")
+        eng.sql("BEGIN")
+        eng.sql("TRUNCATE nk2")
+        assert eng.sql("SELECT count(*) AS n FROM nk2").collect()[0].n == 0
+        eng.sql("ROLLBACK")
+        assert eng.table("nk2").count() == 1
+        eng.sql("BEGIN")
+        eng.sql("TRUNCATE TABLE nk2")
+        eng.sql("COMMIT")
+        assert eng.table("nk2").count() == 0
+        # and on a table created inside the same block
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE ct2 AS SELECT 5 AS k")
+        eng.sql("TRUNCATE ct2")
+        eng.sql("COMMIT")
+        assert eng.table("ct2").count() == 0
+
+    def test_truncate_crash_recovery_is_tagged(
+        self, eng, spark, warehouse, monkeypatch
+    ):
+        """[truncate, insert] with a crash after BOTH applied: recovery
+        must not re-truncate the applied insert's rows (the truncate
+        replay is idempotency-tagged like any batch)."""
+        import os
+        eng.sql("BEGIN")
+        eng.sql("TRUNCATE a")
+        eng.sql("INSERT INTO a VALUES (7, 'seven')")
+        # crash AFTER full replay but BEFORE the manifest cleanup
+        real_remove = os.remove
+
+        def dying_remove(p):
+            if eng._TXN_DIR in p and p.endswith(".json"):
+                raise _Kill()
+            return real_remove(p)
+
+        monkeypatch.setattr(os, "remove", dying_remove)
+        with pytest.raises(_Kill):
+            eng.sql("COMMIT")
+        monkeypatch.undo()
+        assert _rows(eng, "a") == [(7, "seven")]
+        e2 = MooncakeEngine(spark, warehouse)
+        assert _rows(e2, "a") == [(7, "seven")]
