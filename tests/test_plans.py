@@ -85,7 +85,12 @@ def test_top_ngrams_single_shuffle_take_ordered(spark, queries):
     of the n-gram universe."""
     df = queries["text_top_ngrams"](spark, SF_DIR)
     assert I.count_op(df, "TakeOrderedAndProject") == 1
-    assert I.exchange_count(df) <= 1
+    # one HASH shuffle for the count; the loader's deliberate
+    # round-robin input rebalance (r14: byte-sized splits starve
+    # CPU-dense text scans) is not an aggregation shuffle
+    txt = I.plan_text(df)
+    assert txt.count("Exchange hashpartitioning") <= 1, txt
+    assert "Exchange rangepartitioning" not in txt, txt
 
 
 def test_sessionization_shuffles_only_on_user(spark, queries):
