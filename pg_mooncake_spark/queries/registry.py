@@ -237,13 +237,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # compact compressed parquet get STARVED by byte-based split
         # sizing: sf10's 500k-doc file is 4.5 MB on disk and scans as
         # 2 tasks on 32 cores, turning map-only text pipelines into
-        # 2-way jobs (measured: text_profile 87 s → 7 s after
-        # rebalance).  Rebalance severely under-parallel scans; the
-        # shuffle moves only the compact bytes once.  At 100 TB the
-        # table is thousands of files and this branch never fires.
+        # 2-way jobs (measured: text_profile 87 s → 22 s after
+        # rebalance).  Rebalance severely under-parallel scans WHEN the
+        # row count makes the shuffle worth it (the r14 A/B/A caught a
+        # blanket rebalance taxing tiny-SF queries 2× for zero gain);
+        # the footer read is driver-local and O(metadata).  At 100 TB
+        # the table is thousands of files and this branch never fires.
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(2, target // 2):
-            df = df.repartition(target)
+            try:
+                import pyarrow.parquet as _pq
+
+                rows = _pq.ParquetFile(
+                    f"{sf_dir}/{name}.parquet"
+                ).metadata.num_rows
+            except Exception:
+                rows = 0
+            if rows >= 20_000:
+                df = df.repartition(target)
     if cache_on:
         df = df.persist()
         _TABLE_CACHE[key] = df
