@@ -616,7 +616,8 @@ class SqlRouterMixin:
                 f"bind message supplies {len(texts)} parameters, but "
                 f'prepared statement "{key}" requires {need}'
             )
-        bound: list[str] = []
+        bound: list[Optional[str]] = []
+        exprs: list[tuple[int, str]] = []  # (bound index, expression)
         for text in texts:
             # fast path: a plain literal IS its own once-evaluated value
             # — substitute its text directly, zero Spark jobs (the
@@ -627,17 +628,26 @@ class SqlRouterMixin:
                 # EXECUTE p(-5) → "2--5")
                 bound.append(f"({text.strip()})")
                 continue
-            # genuine expression: ONE-row evaluation in an empty scope —
+            bound.append(None)
+            exprs.append((len(bound) - 1, text))
+        if exprs:
+            # genuine expressions: ONE-row evaluation of ALL of them in
+            # a single job (one driver round-trip however many args) —
             # bind-once semantics (volatile args stable across repeated
             # markers); column references (no FROM) error here, loudly
+            sel = ", ".join(
+                f"({text}) AS v{i}" for i, (_, text) in enumerate(exprs)
+            )
             try:
-                val = self.spark.sql(f"SELECT ({text}) AS v").first()[0]
+                row = self.spark.sql(f"SELECT {sel}").first()
             except Exception as exc:
                 raise ValueError(
                     f"EXECUTE {key}: cannot evaluate parameter "
-                    f"expression {text!r}: {exc}"
+                    f"expression(s) "
+                    f"{[t for _, t in exprs]!r}: {exc}"
                 ) from None
-            bound.append(f"({_render_literal(val)})")
+            for i, (slot, _text) in enumerate(exprs):
+                bound[slot] = f"({_render_literal(row[i])})"
         out, prev = [], 0
         for (s, e), n in spans:
             out.append(stmt[prev:s])
