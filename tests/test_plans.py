@@ -742,3 +742,37 @@ def test_zorder_mirror_prunes_on_second_column(spark, tmp_path):
         frac = len(pruned.inputFiles()) / total
         assert frac <= 0.75, f"zorder should prune on {col}: {frac:.0%}"
         assert pruned.count() == mt.read().filter(w).count()
+
+
+def test_sorted_mirror_dml_rewrites_touched_files_only(spark, tmp_path):
+    """Clustering stats serve WRITES too: a range-predicate DELETE on a
+    sort-clustered mirror must rewrite only the stat-admitted files —
+    at 100 TB a one-month retention delete rewrites that month, never
+    the table (the copy-on-write analog of the read-side pruning)."""
+    from pg_mooncake_spark.engine import MooncakeEngine
+
+    eng = MooncakeEngine(spark, str(tmp_path / "whd"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    eng.create_table(
+        "li_dml", source_df=li, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    mt = eng._moontable("li_dml")
+    v = mt.optimize(target_partitions=16, sort_by=["l_shipdate"])
+    eng.catalog.update_watermarks("li_dml", flush_version=v)
+    mt = eng._moontable("li_dml")
+    before = {f.split("/")[-1] for f in mt.read().inputFiles()}
+    n_before = mt.read().count()
+    w = (
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+        "l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+    )
+    n_del = mt.read().filter(w).count()
+    eng.delete_where("li_dml", w)
+    mt = eng._moontable("li_dml")
+    after = {f.split("/")[-1] for f in mt.read().inputFiles()}
+    survivors = before & after
+    # most files were untouched by name: only the stat-admitted range
+    # was rewritten (16 range-disjoint files, a ~1/7 predicate)
+    assert len(survivors) >= len(before) // 2, (len(before), len(after))
+    assert mt.read().count() == n_before - n_del
+    assert mt.read().filter(w).count() == 0
