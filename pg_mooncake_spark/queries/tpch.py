@@ -155,6 +155,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer is dimension-sized → broadcast; lineitem⋈orders shuffles on
     orderkey (co-partitioned keys, no skew).
+
+    Eager aggregation negative result (round 15, sf10): pre-summing
+    revenue per l_orderkey before the orders join measured 7.1 s vs
+    3.9 s for this plan — the late-shipdate filter leaves ~1 lineitem
+    per surviving order, so the pre-agg shuffles the same row count
+    twice and the map-side combine buys nothing.  Keep the join-first
+    shape (the q13/q10 lever only pays when the agg collapses many
+    rows per key).
     """
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
@@ -280,7 +288,18 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    """TPC-H Q10: returned-item revenue per customer, top 20.
+
+    Eager aggregation (round 15): the 3-month o_orderdate slice is the
+    smallest relation in the query, so it broadcasts into the lineitem
+    scan (projected to the two join/key columns) and revenue is summed
+    per o_custkey BEFORE customer/nation attach — lineitem is never
+    shuffled; the only exchange moves one decimal partial per customer.
+    The name columns join onto the aggregate, not the fact.  Measured
+    sf10: 3.8 s -> 1.9 s (the AQE-decided shuffle variant is 19.5 s —
+    BASELINE.md).  At a scale where the date slice outgrows broadcast,
+    drop the hint and the plan degrades to the q10_cur shuffled join
+    with identical semantics."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
@@ -288,12 +307,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nat = t(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+    rev_per_cust = (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
         .agg(_rev_col().alias("revenue"))
+    )
+    return (
+        rev_per_cust.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -385,21 +410,33 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: outer join with a join-time filter, double aggregation
-    (orders per customer → customers per order-count)."""
+    (orders per customer → customers per order-count).
+
+    Eager aggregation: orders are counted per ``o_custkey`` BEFORE the
+    customer join, so the join and every later shuffle move the narrow
+    pre-aggregated relation (one row per ordering customer) instead of the
+    full customer⋈orders product.  A customer with no qualifying orders has
+    no row in the pre-aggregate; the left join + ``coalesce(.., 0)``
+    reproduces ``COUNT(o_orderkey) = 0`` exactly, so values stay
+    hash-identical to the naive-plan oracle.  Catalyst does not perform this
+    agg-below-outer-join rewrite itself (measured 41x vs DuckDB at sf10
+    before, see BASELINE.md)."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(
-            orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (orders.o_orderpriority != "5-LOW"),
-            "left",
-        )
-        .groupBy(cust.c_custkey)
-        .agg(F.count(orders.o_orderkey).alias("c_count"))
+    ord_counts = (
+        orders.filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    per_cust = cust.select("c_custkey").join(
+        ord_counts, F.col("c_custkey") == F.col("o_custkey"), "left"
     )
     return (
-        per_cust.groupBy("c_count")
+        per_cust.select(
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count")
+        )
+        .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )

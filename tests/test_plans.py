@@ -179,6 +179,39 @@ def test_q21_single_fact_shuffle(spark, queries):
     assert I.count_op(df, "Expand") == 0
 
 
+def test_q13_eager_aggregation_below_join(spark, queries):
+    """q13's eager-agg contract (round 15): orders are counted per
+    o_custkey BEFORE the customer join, so every exchange moves a
+    narrow relation — pre-agg counts, 1-column customer keys, or the
+    tiny c_count histogram — never the customer⋈orders product.
+    Catalyst does not do this rewrite; losing it regresses q13 from
+    ~8x to 41x vs the sf10 baseline (BASELINE.md)."""
+    df = queries["q13_customer_distribution"](spark, SF_DIR)
+    txt = I.plan_text(df)
+    # the orders-side aggregate keyed on o_custkey must exist...
+    assert "Keys [1]: [o_custkey" in txt
+    # ...and no aggregate may be keyed on c_custkey (the naive plan
+    # groups the full join product by customer key)
+    assert "Keys [1]: [c_custkey" not in txt
+    # orders pre-agg + counts join + c_count agg + final sort
+    assert I.exchange_count(df) <= 5
+
+
+def test_q10_single_narrow_exchange(spark, queries):
+    """q10's eager-agg contract (round 15): the 3-month orders slice
+    broadcasts into the lineitem scan and revenue aggregates per
+    o_custkey before customer/nation attach — exactly ONE exchange
+    (the per-custkey decimal partials), lineitem itself never
+    shuffles, and the top-20 is a TakeOrderedAndProject, not a global
+    sort.  Measured sf10: 3.8 s -> 1.9 s (BASELINE.md)."""
+    df = queries["q10_returned_items"](spark, SF_DIR)
+    txt = I.plan_text(df)
+    assert "Keys [1]: [o_custkey" in txt
+    assert I.exchange_count(df) == 1
+    assert I.broadcast_join_count(df) == 3
+    assert I.count_op(df, "TakeOrderedAndProject") == 1
+
+
 def test_q2_broadcasts_all_dims(spark, queries):
     """q2: supplier/nation/region/part all broadcast; the only fact
     shuffles are the supply aggregate and the per-part window min."""
