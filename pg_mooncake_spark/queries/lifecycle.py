@@ -1577,6 +1577,75 @@ def lifecycle_sql_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lifecycle_sql_upsert_returning",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 4 = 0
+    ),
+    src AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    ),
+    affected AS (
+      -- DO UPDATE post-images (conflicting keys)
+      SELECT t.c_custkey, t.c_name,
+             CAST(CAST(t.c_acctbal AS DECIMAL(18,2))
+                  + CAST(s.spend AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+      FROM tgt t JOIN src s ON t.c_custkey = s.k
+      UNION ALL
+      -- fresh inserts, as stored
+      SELECT s.k, 'upserted', s.spend
+      FROM src s LEFT JOIN tgt t ON t.c_custkey = s.k WHERE t.c_custkey IS NULL
+    )
+    SELECT COUNT(*) AS n_ret,
+           COUNT(CASE WHEN c_name = 'upserted' THEN 1 END) AS n_new,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS ret_bal
+    FROM affected
+    """,
+)
+def lifecycle_sql_upsert_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT ... ON CONFLICT (pk) DO UPDATE ... RETURNING`` — the
+    upsert-and-read-back idiom (VERDICT r14 missing #1; the reference's
+    host executes it natively, reference CHANGELOG.md:22).  The engine
+    returns the POST-images of inserted and updated rows in one
+    statement; the oracle reconstructs exactly that affected set
+    (conflict post-images + fresh inserts, NOT untouched target rows)
+    relationally.  A skipped row leaking into RETURNING, a pre-image
+    where a post-image belongs, or a lost insert all break the hash."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 4 = 0")
+    )
+    eng.create_table("cust_upr", source_df=cust, primary_key=["c_custkey"])
+    t(spark, sf_dir, "orders").filter("o_custkey % 2 = 0").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("spend")
+    ).createOrReplaceTempView("upsert_ret_src")
+    ret = eng.sql("""
+        INSERT INTO cust_upr
+        SELECT k, 'upserted', spend FROM upsert_ret_src
+        ON CONFLICT (c_custkey) DO UPDATE SET
+          c_acctbal = CAST(cust_upr.c_acctbal AS DECIMAL(18,2))
+                      + CAST(excluded.c_acctbal AS DECIMAL(18,2))
+        RETURNING c_custkey, c_name, c_acctbal
+    """)
+    return ret.agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.count(F.when(F.col("c_name") == "upserted", 1)).alias("n_new"),
+        dsum("c_acctbal", 2).alias("ret_bal"),
+    )
+
+
+@query(
     "lifecycle_sql_join_dml",
     oracle="""
     WITH tgt AS (

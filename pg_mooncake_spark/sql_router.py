@@ -1794,12 +1794,8 @@ class SqlRouterMixin:
                     else F.lit(None).cast(f.dataType),
                 )
         if conflict_sql is not None:
-            if returning is not None:
-                raise ValueError(
-                    "RETURNING is not supported with ON CONFLICT"
-                )
             return self._sql_insert_on_conflict(
-                t, tgt_alias, df, conflict_sql
+                t, tgt_alias, df, conflict_sql, returning=returning
             )
         if returning is not None:
             # the inserted images (generated columns recomputed exactly
@@ -1833,10 +1829,18 @@ class SqlRouterMixin:
         tgt_alias: Optional[str],
         df: DataFrame,
         conflict_sql: str,
+        returning: Optional[str] = None,
     ) -> DataFrame:
         """``INSERT ... ON CONFLICT [(pk cols)] DO NOTHING | DO UPDATE
-        SET ... [WHERE cond]`` — the Postgres upsert, routed onto ONE
-        apply_changes CDC batch (exports/views sync once).
+        SET ... [WHERE cond] [RETURNING ...]`` — the Postgres upsert,
+        routed onto ONE apply_changes CDC batch (exports/views sync
+        once).
+
+        RETURNING follows Postgres exactly: DO NOTHING returns only the
+        rows actually inserted (conflict-skipped rows are silent);
+        DO UPDATE returns the post-images of inserted AND updated rows,
+        but not rows the DO UPDATE WHERE left unchanged
+        (reference CHANGELOG.md:22 — transactional INSERT contract).
 
         - only the primary key is a supported conflict target (the
           engine has no secondary unique indexes);
@@ -1908,6 +1912,23 @@ class SqlRouterMixin:
                 )
                 anti = c if anti is None else (anti & c)
             fresh = first.join(ex_keys, anti, "left_anti")
+            if returning is not None:
+                # inserted images only (Postgres: skipped conflicts are
+                # not returned), generated columns recomputed and cast
+                # to stored types; pinned BEFORE the append — the lazy
+                # anti-join plan reads the target view the insert
+                # mutates
+                images = self._apply_generated(name, fresh).select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                ret = self._returning_df(
+                    images, returning
+                ).localCheckpoint(eager=True)
+                self.insert(t, fresh)
+                return ret
             v = self.insert(t, fresh)
             return self._dml_result("INSERT", t, v)
         um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
@@ -1980,12 +2001,40 @@ class SqlRouterMixin:
             ).otherwise(F.lit("I")).alias(OP_COL),
         )
         batch = u.unionByName(fresh).unionByName(viol)
+        affected = None
+        if returning is not None:
+            # pin the affected post-images (U rows post-SET + I rows)
+            # pre-apply: their lazy plans read the target view the
+            # apply mutates.  The duplicate-key arbitration error must
+            # still win over RETURNING, so the viol branch is evaluated
+            # here too (zero rows when clean, raises in-job otherwise —
+            # Postgres errors before returning anything).
+            try:
+                affected = u.unionByName(fresh).unionByName(
+                    viol
+                ).localCheckpoint(eager=True)
+            except Exception as e:
+                if dup_msg in str(e):
+                    raise ValueError(dup_msg) from None
+                raise
         try:
             v = self.apply_changes(name, batch)
         except Exception as e:
             if dup_msg in str(e):
                 raise ValueError(dup_msg) from None
             raise
+        if affected is not None:
+            # post-images exactly as stored: generated-column recompute
+            # + schema conform cast, same as the real apply path
+            images = self._apply_generated(
+                name, affected.drop(OP_COL)
+            ).select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            return self._returning_df(images, returning)
         return self._dml_result("INSERT", t, v)
     def _sql_update_from(
         self,

@@ -419,6 +419,58 @@ class TestInsertOnConflict:
                 "ON CONFLICT (k) DO UPDATE SET v = excluded.v"
             )
 
+    def test_do_nothing_returning_inserted_only(self, eng):
+        ret = eng.sql(
+            "INSERT INTO m VALUES (1, 'x', 9.0), (7, 'g', 7.0) "
+            "ON CONFLICT DO NOTHING RETURNING k, v"
+        )
+        # Postgres: conflict-skipped rows are NOT returned
+        assert sorted((r["k"], r["v"]) for r in ret.collect()) == [(7, "g")]
+        assert (7, "g", 7.0) in _rows(eng)
+        assert (1, "a", 1.0) in _rows(eng)  # k=1 untouched
+
+    def test_do_update_returning_post_images(self, eng):
+        ret = eng.sql(
+            "INSERT INTO m AS old VALUES (2, 'B', 10.0), (5, 'e', 5.0) "
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v, "
+            "x = old.x + excluded.x RETURNING k, v, x"
+        )
+        # updated row returns its POST-image; insert returns as stored
+        assert sorted((r["k"], r["v"], r["x"]) for r in ret.collect()) == [
+            (2, "B", 12.0), (5, "e", 5.0),
+        ]
+        assert _rows(eng) == [
+            (1, "a", 1.0), (2, "B", 12.0), (3, "c", 3.0), (5, "e", 5.0),
+        ]
+
+    def test_do_update_returning_where_filtered_rows_absent(self, eng):
+        ret = eng.sql(
+            "INSERT INTO m VALUES (1, 'z', 0.0), (3, 'Z', 0.0) "
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v "
+            "WHERE m.x > 2 RETURNING k, v"
+        )
+        # k=1 fails the DO UPDATE WHERE -> unchanged AND not returned
+        assert sorted((r["k"], r["v"]) for r in ret.collect()) == [(3, "Z")]
+        assert _rows(eng) == [(1, "a", 1.0), (2, "b", 2.0), (3, "Z", 3.0)]
+
+    def test_do_update_returning_star_and_expressions(self, eng):
+        ret = eng.sql(
+            "INSERT INTO m VALUES (2, 'p', 8.0) "
+            "ON CONFLICT (k) DO UPDATE SET x = excluded.x "
+            "RETURNING *, x * 2 AS dbl"
+        )
+        assert [tuple(r) for r in ret.collect()] == [(2, "b", 8.0, 16.0)]
+
+    def test_do_update_returning_batch_dup_still_raises(self, eng):
+        with pytest.raises(ValueError, match="second time"):
+            eng.sql(
+                "INSERT INTO m VALUES (2, 'p', 0.0), (2, 'q', 0.0) "
+                "ON CONFLICT (k) DO UPDATE SET v = excluded.v "
+                "RETURNING k"
+            )
+        # arbitration error wins: nothing applied
+        assert _rows(eng) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+
     def test_conflict_target_must_be_pk(self, eng):
         with pytest.raises(ValueError, match="primary"):
             eng.sql(
