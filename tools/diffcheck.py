@@ -3,8 +3,10 @@
 Mimics the driver's CORRECTNESS gate: for every query in
 ``__spark_entry__.queries()`` that has an oracle, run both engines on the
 same parquet fixtures and compare row count, column names, and
-order-insensitive values.  Used by tests/test_oracle_diff.py and runnable
-standalone:  python tools/diffcheck.py [sf_dir] [name ...]
+order-insensitive values.  Protocol-run (no pytest wrapper: the full
+gate at sf0.01 takes ~30 min, far past any sensible test timeout — the
+per-round checklist in MEMORY runs it standalone before the final
+commit):  python tools/diffcheck.py [sf_dir] [name ...]
 """
 
 from __future__ import annotations
