@@ -83,7 +83,14 @@ def codegen_span_count(df: DataFrame) -> int:
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        txt = plan_text(df, "codegen")
+        # a Dataset memoizes its QueryExecution: if ANY explain ran on
+        # ``df`` while AQE was on, re-explaining after the conf flip
+        # reuses the adaptive plan and reports "Found 0" even though
+        # codegen is fully engaged (round-15 audit caught this skewing
+        # an audit toward a phantom defect).  selectExpr("*") is a
+        # no-op projection that forces a fresh QueryExecution honoring
+        # the current conf.
+        txt = plan_text(df.selectExpr("*"), "codegen")
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", txt)

