@@ -131,7 +131,13 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join = EXISTS (SURVEY §2.B joins)."""
+    """Left-semi join = EXISTS (SURVEY §2.B joins).
+
+    Round-15 negative result (sf10): pre-DISTINCTing o_custkey before
+    the semi join measured 7.5 s vs 6.4 s — the semi join's shuffle
+    already map-side-dedups its build keys, so the explicit distinct
+    just adds an exchange.  The wall is the join + the ~1M-row global
+    ORDER BY the query's contract requires."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     return (

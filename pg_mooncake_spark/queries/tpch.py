@@ -211,6 +211,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     date filter and the customer broadcast; the local-supplier
     (c_nationkey = s_nationkey) predicate rides the orderkey join as a
     residual.
+
+    Eager-aggregation negative result (round 15, sf10): pre-summing
+    revenue per (l_orderkey, s_nationkey, n_name) before the orders
+    join measured 3.32 s vs 2.27 s — only ~1 ASIA lineitem shares an
+    (order, supplier-nation) pair, so the pre-agg adds a shuffle and
+    collapses nothing (same shape as the q3 negative).  Join-first
+    kept.
     """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(

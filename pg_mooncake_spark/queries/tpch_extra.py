@@ -281,6 +281,13 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part (and supplier/nation) run BEFORE the orders join, so the only
     fact-fact shuffle moves the ~13% of lineitem that survives the part
     filter — broadcast filters are free reducers for later shuffles.
+
+    Eager aggregation (round 15): profit is summed per (l_orderkey,
+    n_name) BEFORE the orders join — decimal-exact, so regrouping by
+    (nation, year) after the join is value-identical — shrinking both
+    the shuffled lineitem side and the join's probe work (~15% at
+    sf10, BASELINE.md; the q13/q10 lever at its modest end because
+    only ~1.3 red lineitems share an (order, nation) pair).
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
@@ -291,14 +298,21 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(30,6)")
-    return (
+    pre = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "n_name")
+        .agg(F.sum(amount).alias("amt"))
+    )
+    return (
+        pre.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            pre.l_orderkey == F.col("o_orderkey"),
+        )
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy(F.col("n_name").alias("nation"), "o_year")
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(F.sum("amt").cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
