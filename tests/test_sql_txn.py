@@ -779,3 +779,48 @@ class TestTransactionalAlter:
         assert _rows(e2, "b") == [(1, 10), (2, 20)]
         assert e2.recover_transactions() == []
         assert _rows(e2, "b") == [(1, 10), (2, 20)]
+
+
+class TestTransactionalCall:
+    """CALL mooncake.* inside BEGIN blocks (round 15; VERDICT r14
+    missing #3): drop_table and load_files have transactional semantics
+    and stage; maintenance procedures refuse like VACUUM."""
+
+    def test_call_drop_table_stages(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("CALL mooncake.drop_table('b')")
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM b").collect()
+        eng.sql("ROLLBACK")
+        assert _rows(eng, "b") == [(1, 10)]  # no trace
+        eng.sql("BEGIN")
+        eng.sql("CALL mooncake.drop_table('b')")
+        eng.sql("COMMIT")
+        assert "b" not in eng.catalog.list_tables()
+
+    def test_call_load_files_stages(self, eng, spark, tmp_path):
+        p = str(tmp_path / "bulk")
+        spark.createDataFrame(
+            [(7, 70)], "k int, n int"
+        ).write.parquet(p)
+        eng.sql("BEGIN")
+        eng.sql(f"CALL mooncake.load_files('b', '{p}')")
+        assert eng.sql("SELECT count(*) AS c FROM b").collect()[0].c == 2
+        eng.sql("ROLLBACK")
+        assert _rows(eng, "b") == [(1, 10)]
+        eng.sql("BEGIN")
+        eng.sql(f"CALL mooncake.load_files('b', '{p}')")
+        eng.sql("COMMIT")
+        assert _rows(eng, "b") == [(1, 10), (7, 70)]
+
+    def test_maintenance_calls_still_refuse(self, eng):
+        for stmt in (
+            "CALL mooncake.create_snapshot('a')",
+            "CALL mooncake.optimize_table('a')",
+            "CALL mooncake.create_table('f2', 'a')",
+            "CALL mooncake.reset()",
+        ):
+            eng.sql("BEGIN")
+            with pytest.raises(ValueError, match="transaction block"):
+                eng.sql(stmt)
+            eng.sql("ROLLBACK")
