@@ -61,66 +61,66 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # (1) never driver-verified: the round-14 additions
+    # (1) never driver-verified: the round-15 additions
+    "lifecycle_sql_upsert_returning",
+    "lifecycle_sql_txn_alter",
+    # (2) implementation changed this round (eager-agg rewrites of
+    # q13/q10/q9; ON CONFLICT grew RETURNING; txn staging grew the
+    # alter gates + 8-element savepoint tuple): the external signal
+    # should re-confirm them
+    "q13_customer_distribution",
+    "q10_returned_items",
+    "q9_product_type_profit",
+    "lifecycle_sql_upsert",
     "lifecycle_sql_txn_ddl",
-    "lifecycle_sql_returning_join",
-    # (2) implementation changed this round (RETURNING plumbing in
-    # _sql_dml, txn staging/savepoint shape, optimize stats commit):
-    # the external signal should re-confirm them
-    "lifecycle_sql_returning",
-    "lifecycle_sql_dml",
     "lifecycle_sql_txn",
     "lifecycle_sql_savepoint",
-    "iceberg_sorted_range_scan",
-    # (3) last driver-verified in round 10 — ALL 31 (the rotation the
-    # r13 registry comment committed to, starting at
-    # join_anti_customers_without_orders)
-    "join_anti_customers_without_orders",
-    "join_cross_region_nation",
-    "join_full_outer",
-    "join_inequality_acctbal",
-    "join_inner_orders_customers",
-    "join_left_outer_customer_orders",
-    "join_right_outer",
-    "join_semi_customers_with_orders",
-    "lateral_explode_tokens",
-    "lifecycle_iceberg_mirror_sync",
-    "lifecycle_sql_call_follower",
-    "lifecycle_sql_ddl",
-    "lifecycle_sql_join_dml",
-    "lifecycle_sql_merge",
-    "lifecycle_sql_merge_by_source",
-    "lifecycle_sql_merge_order",
-    "lifecycle_sql_upsert",
-    "limit_offset",
-    "mv_rename_survival",
-    "orderby_multikey_nulls",
-    "pivot_status_by_priority",
-    "q21_suppliers_kept_waiting",
-    "scalar_datetime_family",
-    "scalar_math_family",
-    "scalar_regexp_family",
-    "scalar_string_family",
-    "scalar_try_family",
-    "setop_except",
-    "sim_ann_ivf",
-    "text_pii_redaction",
-    "text_repetition_score",
-    # (4) last driver-verified in round 11 — first 12 alphabetically
-    # (fills the 50-slot window; the rest of the r11 band heads the
-    # r15 rotation: events_sessionization onward, then the r12 band)
-    "agg_bitwise_family",
-    "agg_boolean_family",
-    "corpus_sample_deterministic",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signature",
-    "dedup_ngram_jaccard",
-    "dedup_simhash16",
-    "dedup_substring_runs",
-    "delta_roundtrip_lineitem",
-    "events_asof_join",
+    # (3) last driver-verified in round 11 — ALL 36 (the rotation the
+    # r14 registry comment committed to: events_sessionization onward)
+    "events_sessionization",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "iceberg_bucket_partition_roundtrip",
+    "iceberg_partitioned_roundtrip",
+    "lifecycle_cdc_lineitem_merge",
+    "lifecycle_decimal_roundtrip",
+    "lifecycle_partitioned_counts",
+    "lifecycle_sanity_cdc",
+    "lifecycle_schema_evolution_cdc",
+    "lifecycle_snapshot_versions",
+    "lifecycle_sql_copy",
+    "lifecycle_trades_quickstart",
+    "media_feature_extraction",
+    "media_frame_sampling",
+    "media_resize_dedup",
+    "pipeline_pretraining_corpus",
+    "scalar_array_family",
+    "scalar_array_setops_family",
+    "scalar_bitwise_family",
+    "scalar_conditional_family",
+    "scalar_hash_family",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "subquery_correlated_scalar",
+    "subquery_in_notin",
+    "subquery_scalar_uncorrelated",
+    "text_winnowing_fingerprints",
+    "topk_per_group",
+    "unpivot_stack",
+    "window_offset_family",
+    "window_ranking_family",
+    "window_running_and_range_frames",
+    # (4) last driver-verified in round 12 — first 5 alphabetically
+    # (fills the 50-slot window; the rest of the r12 band heads the
+    # r16 rotation: corpus_domain_cap onward)
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "corpus_chunking",
+    "corpus_cluster_sample",
+    "corpus_decontaminate",
 )
 
 
