@@ -2356,12 +2356,20 @@ class MooncakeEngine(SqlRouterMixin):
         )
         if not exists:
             raise KeyError(name)
+        if name in self._txn.get("altered", set()):
+            # a staged alter followed by a staged drop would leave crash
+            # recovery unable to replay the alter batch once the drop
+            # has applied (the alter's idempotency marker is SCHEMA
+            # state, which dies with the table — and a re-created
+            # same-name table must never absorb it); refuse the combo
+            # loudly (review r15 finding 1)
+            raise self._txn_abort(ValueError(
+                f"DROP TABLE on {name!r} is not supported after a staged "
+                "ALTER in this transaction block; COMMIT or ROLLBACK "
+                "first"
+            ))
         created.pop(name, None)
         self._txn["overlay"].pop(name, None)
-        # a staged ALTER on this table stays in the ordered stage (the
-        # replay alters then drops), but the name no longer refers to
-        # the altered table for later statements in the block
-        self._txn.get("altered", set()).discard(name)
         dropped.add(name)
         self._txn["staged"].append((name, "drop", None))
         return -1

@@ -267,7 +267,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         except Exception:
             files, total_bytes, rows = [], 0, 0
-        est_tasks = max(len(files), -(-total_bytes // (128 << 20)))
+        # Spark's split sizing: maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/defaultParallelism)) — the
+        # parallelism term matters: a single 200 MB file already scans
+        # as ~32 tasks, and a bytes/128MB-only estimate would bolt a
+        # pointless full-table shuffle onto it (review r15 finding 6)
+        split = min(128 << 20, max(4 << 20, total_bytes // max(1, target)))
+        est_tasks = max(len(files), -(-total_bytes // max(1, split)))
         if rows >= 20_000 and est_tasks < max(2, target // 2):
             df = df.repartition(target)
     if cache_on:

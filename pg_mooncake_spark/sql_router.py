@@ -1922,20 +1922,22 @@ class SqlRouterMixin:
                 anti = c if anti is None else (anti & c)
             fresh = first.join(ex_keys, anti, "left_anti")
             if returning is not None:
-                # inserted images only (Postgres: skipped conflicts are
-                # not returned), generated columns recomputed and cast
-                # to stored types; pinned BEFORE the append — the lazy
-                # anti-join plan reads the target view the insert
-                # mutates
+                # pin the arbitration result ONCE and both insert and
+                # return from the pinned frame (review r15 finding 4:
+                # monotonically_increasing_id is nondeterministic across
+                # evaluations, so re-running the window+anti-join for
+                # the insert could store a different duplicate than the
+                # one RETURNING reported).  Inserted images only
+                # (Postgres: skipped conflicts are not returned),
+                # generated columns recomputed, cast to stored types.
+                fresh = fresh.localCheckpoint(eager=True)
                 images = self._apply_generated(name, fresh).select(
                     *[
                         F.col(f.name).cast(f.dataType).alias(f.name)
                         for f in schema.fields
                     ]
                 )
-                ret = self._returning_df(
-                    images, returning
-                ).localCheckpoint(eager=True)
+                ret = self._returning_df(images, returning)
                 self.insert(t, fresh)
                 return ret
             v = self.insert(t, fresh)
@@ -2012,20 +2014,20 @@ class SqlRouterMixin:
         batch = u.unionByName(fresh).unionByName(viol)
         affected = None
         if returning is not None:
-            # pin the affected post-images (U rows post-SET + I rows)
-            # pre-apply: their lazy plans read the target view the
-            # apply mutates.  The duplicate-key arbitration error must
-            # still win over RETURNING, so the viol branch is evaluated
-            # here too (zero rows when clean, raises in-job otherwise —
-            # Postgres errors before returning anything).
+            # pin the batch ONCE and apply the PINNED frame (review r15
+            # finding 3: applying the lazy twin re-evaluates the whole
+            # conflict join — 2x cost, and a nondeterministic SET
+            # expression could store values differing from what
+            # RETURNING reported).  The duplicate-key arbitration error
+            # must still win over RETURNING: the viol branch raises
+            # during this checkpoint, before anything is returned.
             try:
-                affected = u.unionByName(fresh).unionByName(
-                    viol
-                ).localCheckpoint(eager=True)
+                batch = batch.localCheckpoint(eager=True)
             except Exception as e:
                 if dup_msg in str(e):
                     raise ValueError(dup_msg) from None
                 raise
+            affected = batch
         try:
             v = self.apply_changes(name, batch)
         except Exception as e:
@@ -2824,22 +2826,20 @@ class SqlRouterMixin:
                 # expression analysis, and the validation scan all run
                 # HERE (the untouched gate makes the committed state the
                 # visible state), so COMMIT replay cannot fail on them.
-                # Names staged earlier in the block count as taken —
-                # auto-naming stays collision-free and a duplicated
-                # explicit name errors at ITS statement
+                # Gates FIRST — a refused statement must not pay the
+                # validation scan (review r15 finding 7).  Names staged
+                # earlier in the block count as taken — auto-naming
+                # stays collision-free and a duplicated explicit name
+                # errors at ITS statement
                 canon = self._canon(t)
-                staged_names = {
-                    s.get("cname")
-                    for n, k, s in self._txn["staged"]
-                    if n == canon and k == "alter"
-                    and s.get("op") == "add_check"
-                }
+                self._txn_check_writable(canon)
+                self._txn_alter_gate(canon)
                 cname = self._add_check_constraint(
                     t, cname, expr, not_valid, dry_run=True,
-                    extra_taken={n for n in staged_names if n},
+                    extra_taken=self._txn_staged_check_names(canon),
                 )
                 self._txn_stage_alter(
-                    self._canon(t),
+                    canon,
                     {"op": "add_check", "cname": cname, "expr": expr,
                      "not_valid": not_valid},
                 )
@@ -2978,9 +2978,14 @@ class SqlRouterMixin:
         table's schema (or an explicit ``schema`` when the table does
         not exist yet) — a typo'd expression must refuse at DDL time
         (Postgres validates syntax even for NOT VALID), never poison
-        later writes."""
+        later writes.
+
+        Inside a transaction block the probe uses the OVERLAY schema,
+        so an expression referencing a column staged by an earlier
+        ALTER in the same block analyzes the way Postgres would
+        (review r15 finding 5)."""
         if schema is None:
-            schema = self._moontable(t).schema()
+            schema = self._txn_visible_schema(t)
         probe = self.spark.createDataFrame([], schema)
         try:
             probe.select(F.expr(expr))
@@ -3076,7 +3081,7 @@ class SqlRouterMixin:
                 f'constraint "{dup}" for relation "{name}" already exists'
             )
         widened = T.StructType(
-            [*self._moontable(t).schema().fields,
+            [*self._txn_visible_schema(t).fields,
              T.StructField(col, _pg_type_to_spark(type_sql), True)]
         )
         for what, e_ in [
@@ -3143,6 +3148,33 @@ class SqlRouterMixin:
             cons.setdefault("generated", {})[col] = info["generated"]
         self._set_constraints(t, cons)
         return v
+    def _txn_visible_schema(self, t: str) -> T.StructType:
+        """The schema the current statement SEES: the block overlay's
+        when a transaction staged changes for the table (e.g. an
+        earlier ALTER ADD COLUMN), the committed mirror schema
+        otherwise."""
+        if self._txn is not None:
+            canon = self._canon(t)
+            if canon in self._txn["overlay"]:
+                return self._txn["overlay"][canon].schema
+        return self._moontable(t).schema()
+
+    def _txn_staged_check_names(self, canon: str) -> set:
+        """CHECK-constraint names already staged for ``canon`` in the
+        open block — explicit ADD CONSTRAINT names and names embedded in
+        staged ADD COLUMN tails both count, so a collision across the
+        two spellings errors at ITS statement instead of silently
+        losing a constraint at replay (review r15 finding 2)."""
+        names: set = set()
+        for n, k, s in self._txn["staged"]:
+            if n != canon or k != "alter":
+                continue
+            if s.get("op") == "add_check" and s.get("cname"):
+                names.add(s["cname"])
+            elif s.get("op") == "add_column":
+                names.update(s.get("check_names") or [])
+        return names
+
     def _txn_stage_add_column(self, name: str, col: str, tail: str) -> int:
         """Stage ``ADD COLUMN`` inside the open block: all of
         :meth:`_sql_add_column`'s pre-write refusals run now (dry run —
@@ -3151,9 +3183,20 @@ class SqlRouterMixin:
         the block see the column, DEFAULT/GENERATED fill included), and
         the verbatim tail replays through the real ALTER path at
         COMMIT."""
+        self._txn_check_writable(name)
         self._txn_alter_gate(name)
         self._sql_add_column(name, col, tail, dry_run=True)
         type_sql, info = _parse_col_constraints(tail)
+        explicit = [n for n, _ in info["checks"] if n]
+        dup = next(
+            (n for n in explicit
+             if n in self._txn_staged_check_names(name)),
+            None,
+        )
+        if dup is not None:
+            raise ValueError(
+                f'constraint "{dup}" for relation "{name}" already exists'
+            )
         dt = _pg_type_to_spark(type_sql)
         fill = info["generated"] or info["default"]
         base = self.table(name)
@@ -3162,7 +3205,8 @@ class SqlRouterMixin:
         )
         return self._txn_stage_alter(
             name,
-            {"op": "add_column", "col": col, "tail": tail},
+            {"op": "add_column", "col": col, "tail": tail,
+             "check_names": explicit},
             overlay_df=overlay,
         )
 

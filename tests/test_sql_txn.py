@@ -824,3 +824,57 @@ class TestTransactionalCall:
             with pytest.raises(ValueError, match="transaction block"):
                 eng.sql(stmt)
             eng.sql("ROLLBACK")
+
+    def test_drop_after_staged_alter_refused(self, eng):
+        # review r15 finding 1: a staged alter followed by a staged drop
+        # would wedge crash recovery (the alter's idempotency marker is
+        # schema state, which dies with the table)
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        with pytest.raises(ValueError, match="staged ALTER"):
+            eng.sql("DROP TABLE a")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a ADD COLUMN extra int")
+        with pytest.raises(ValueError, match="staged ALTER"):
+            eng.sql("CALL mooncake.drop_table('a')")
+        eng.sql("ROLLBACK")
+
+    def test_check_name_collision_across_spellings(self, eng):
+        # review r15 finding 2: a CHECK name staged via an ADD COLUMN
+        # tail and one via ADD CONSTRAINT must collide at the statement
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ADD COLUMN c int CONSTRAINT cc CHECK (c > 0 OR c IS NULL)")
+        with pytest.raises(ValueError, match='"cc"'):
+            eng.sql("ALTER TABLE b ADD CONSTRAINT cc CHECK (n < 10)")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ADD CONSTRAINT cc CHECK (n < 1000)")
+        with pytest.raises(ValueError, match='"cc"'):
+            eng.sql("ALTER TABLE b ADD COLUMN c int CONSTRAINT cc CHECK (c > 0)")
+        eng.sql("ROLLBACK")
+
+    def test_check_can_reference_column_staged_earlier(self, eng):
+        # review r15 finding 5: Postgres accepts a CHECK referencing a
+        # column added earlier in the same block
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ADD COLUMN c int DEFAULT 1")
+        eng.sql("ALTER TABLE b ADD CONSTRAINT c_pos CHECK (c > 0)")
+        eng.sql("COMMIT")
+        names = {n for n, _ in (eng._constraints("b") or {})["checks"]}
+        assert "c_pos" in names
+        assert _rows(eng, "b") == [(1, 10, 1)]
+        with pytest.raises(Exception, match='check constraint "c_pos"'):
+            eng.sql("INSERT INTO b VALUES (9, 9, -1)")
+
+    def test_read_only_block_refuses_alter_without_scan(self, eng):
+        # review r15 finding 7: the refusal must fire before any
+        # validation job
+        eng.sql("BEGIN READ ONLY")
+        with pytest.raises(ValueError, match="read-only"):
+            eng.sql("ALTER TABLE b ADD CHECK (n > 0)")
+        eng.sql("ROLLBACK")
+        eng.sql("BEGIN READ ONLY")
+        with pytest.raises(ValueError, match="read-only"):
+            eng.sql("ALTER TABLE b ADD COLUMN c int")
+        eng.sql("ROLLBACK")
