@@ -596,10 +596,12 @@ class TestReturning:
         import pytest
 
         eng = self._eng(spark, warehouse)
-        with pytest.raises(ValueError, match="ON CONFLICT"):
+        # ON CONFLICT ... RETURNING is supported as of round 15
+        # (TestInsertOnConflict); MERGE stays refused
+        with pytest.raises(ValueError, match="MERGE"):
             eng.sql(
-                "INSERT INTO r_t VALUES (1, 'x', 1.0) "
-                "ON CONFLICT DO NOTHING RETURNING k"
+                "MERGE INTO r_t USING (SELECT 1 AS k) s ON r_t.k = s.k "
+                "WHEN MATCHED THEN DELETE RETURNING k"
             )
         with pytest.raises(ValueError, match="primary-key column"):
             eng.sql("UPDATE r_t SET k = k + 100 RETURNING k")
