@@ -143,6 +143,10 @@ class MooncakeEngine(SqlRouterMixin):
         # session-scoped prepared statements: name -> statement text with
         # $n markers (PREPARE / EXECUTE / DEALLOCATE, Postgres semantics)
         self._prepared: dict[str, tuple[str, Optional[int]]] = {}
+        # open cursors (DECLARE/FETCH/MOVE/CLOSE): name -> _Cursor; the
+        # seq counter orders creation for savepoint/txn-end sweeps
+        self._cursors: dict[str, Any] = {}
+        self._cursor_seq = 0
         # session GUC overlay: canonical name -> explicitly-set value
         # (SET/SHOW/RESET, reference CHANGELOG.md:13-14 duckdb.* GUCs);
         # _guc_originals captures pre-SET Spark conf values so RESET can
@@ -2413,6 +2417,7 @@ class MooncakeEngine(SqlRouterMixin):
             txn, self._txn = self._txn, None
             self._guc_txn_unwind(txn, committed=False)
         self._prepared.clear()
+        self._cursors.clear()
         for name in list(self._gucs):
             self._guc_set(name, None)
         for t in self.catalog.list_tables():

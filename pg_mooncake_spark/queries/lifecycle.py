@@ -2403,3 +2403,68 @@ def lifecycle_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE bal > 500.0 AND bal <= 1500.0
     """)
     return eng.sql("SELECT * FROM rich_by_nation_v ORDER BY nk")
+
+
+@query(
+    "lifecycle_sql_cursor",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_custkey % 19 = 0
+    ),
+    fetched AS (
+      -- FETCH 7                    -> rows 1..7
+      SELECT k, price FROM base WHERE rn BETWEEN 1 AND 7
+      -- MOVE 5 skips 8..12; FETCH 6 -> rows 13..18
+      UNION ALL SELECT k, price FROM base WHERE rn BETWEEN 13 AND 18
+      -- FETCH ABSOLUTE 25          -> row 25
+      UNION ALL SELECT k, price FROM base WHERE rn = 25
+      -- FETCH BACKWARD 3           -> rows 24, 23, 22
+      UNION ALL SELECT k, price FROM base WHERE rn IN (22, 23, 24)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+    FROM fetched
+    """,
+)
+def lifecycle_sql_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres cursors end-to-end (round 15): DECLARE SCROLL inside a
+    transaction block over an engine mirror, then FETCH count / MOVE /
+    FETCH ABSOLUTE / FETCH BACKWARD page through the pinned plan.  The
+    oracle reconstructs each fetched slice with ROW_NUMBER ranges over
+    the same total order; a position drifting by one row, a MOVE that
+    returns rows, or BACKWARD serving the wrong direction all break
+    the hash.  The fetched chunks are unioned as a MULTISET (UNION
+    ALL), so a chunk double-serving a row breaks it too."""
+    eng = _temp_engine(spark)
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter("o_custkey % 19 = 0")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    eng.create_table("ord_cur", source_df=src, primary_key=["k"])
+    eng.sql("BEGIN")
+    eng.sql(
+        "DECLARE cur SCROLL CURSOR FOR "
+        "SELECT k, price FROM ord_cur ORDER BY k"
+    )
+    chunks = [eng.sql("FETCH 7 FROM cur")]
+    eng.sql("MOVE 5 IN cur")
+    chunks.append(eng.sql("FETCH 6 FROM cur"))
+    chunks.append(eng.sql("FETCH ABSOLUTE 25 FROM cur"))
+    chunks.append(eng.sql("FETCH BACKWARD 3 FROM cur"))
+    eng.sql("CLOSE cur")
+    eng.sql("COMMIT")
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionAll(c)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("sum_keys"),
+        dsum("price", 2).alias("sum_price"),
+    )

@@ -64,6 +64,7 @@ _WINDOW_PRIORITY = (
     # (1) never driver-verified: the round-15 additions
     "lifecycle_sql_upsert_returning",
     "lifecycle_sql_txn_alter",
+    "lifecycle_sql_cursor",
     # (2) implementation changed this round (eager-agg rewrites of
     # q13/q10/q9; ON CONFLICT grew RETURNING; txn staging grew the
     # alter gates + 8-element savepoint tuple): the external signal

@@ -78,6 +78,213 @@ _PLAIN_LITERAL = re.compile(
     re.I,
 )
 
+_CURSOR_FWD_ONLY_MSG = "cursor can only scan forward"
+
+_DECLARE_KIND = re.compile(r"^\s*DECLARE\b", re.I)
+_FETCH_MOVE_KIND = re.compile(r"^\s*(FETCH|MOVE)\b", re.I)
+_CLOSE_KIND = re.compile(r"^\s*CLOSE\b", re.I)
+
+
+class _Cursor:
+    """Driver-side state of one DECLAREd cursor over a pinned SELECT plan.
+
+    Postgres executes a cursor's query incrementally and (for SCROLL /
+    WITH HOLD) buffers output in a backend tuplestore; the Spark analog
+    is ``DataFrame.toLocalIterator()`` — partitions stream to the driver
+    ON DEMAND, so a NO SCROLL cursor over an arbitrarily large scan
+    holds at most one partition's rows at a time and retains nothing
+    already fetched.  A SCROLL cursor retains the fetched prefix (the
+    tuplestore analog — Postgres pays the same memory/spill) so PRIOR /
+    BACKWARD / ABSOLUTE can re-serve rows without re-running the query.
+
+    Cursors here are insensitive by construction: the plan is resolved
+    at DECLARE time against pinned snapshot views (and, inside a
+    transaction block, the block's overlay), so later DML never changes
+    what FETCH returns — exactly Postgres's INSENSITIVE default.
+
+    Position protocol (Postgres FETCH semantics): ``pos`` is 1-based;
+    0 = before the first row, ``total + 1`` = after the last.  For a
+    NO SCROLL cursor ``pos`` always equals the number of rows pulled
+    from the iterator; only the current row is retained (FETCH 0 /
+    RELATIVE 0 re-fetch it)."""
+
+    def __init__(
+        self, name: str, df: DataFrame, scroll: bool, hold: bool, seq: int
+    ):
+        self.name = name
+        self.df = df
+        self.schema = df.schema
+        self.scroll = scroll
+        self.hold = hold
+        self.seq = seq  # creation order — savepoint/txn unwind key
+        self.pos = 0
+        self._it = None
+        self._exhausted = False
+        self._pulled = 0
+        self._buf: list = []  # SCROLL only: every row pulled so far
+        self._current = None  # NO SCROLL only: row at the position
+
+    # ------------------------------------------------------- iterator
+
+    def _pull(self):
+        """Next row from the underlying plan, or None at end (records
+        the now-known total row count)."""
+        if self._exhausted:
+            return None
+        if self._it is None:
+            self._it = self.df.toLocalIterator()
+        try:
+            row = next(self._it)
+        except StopIteration:
+            self._exhausted = True
+            return None
+        self._pulled += 1
+        if self.scroll:
+            self._buf.append(row)
+        return row
+
+    @property
+    def _total_known(self) -> bool:
+        return self._exhausted
+
+    def _ensure(self, k: int) -> None:
+        """SCROLL: pull until ``k`` rows are buffered or the plan ends."""
+        while not self._exhausted and len(self._buf) < k:
+            self._pull()
+
+    def _drain(self) -> None:
+        while not self._exhausted:
+            self._pull()
+
+    # ------------------------------------------------------- movement
+
+    def exec(self, kind: str, n: int) -> list:
+        """One FETCH/MOVE direction: ``kind`` in fwd|bwd|abs|rel|
+        all_fwd|all_bwd (bare counts and NEXT/PRIOR/FIRST/LAST are
+        normalized by the parser).  Returns the rows a FETCH would
+        emit — MOVE reports ``len`` and drops them."""
+        if self.scroll:
+            return self._exec_scroll(kind, n)
+        return self._exec_forward(kind, n)
+
+    def _exec_forward(self, kind: str, n: int) -> list:
+        """NO SCROLL: every direction that moves backward (or jumps to
+        a position behind/relative-to the end) refuses the way Postgres
+        does."""
+        if kind in ("bwd", "all_bwd") or (kind in ("fwd", "rel") and n < 0):
+            raise ValueError(_CURSOR_FWD_ONLY_MSG)
+        if kind == "abs":
+            # forward ABSOLUTE is legal on a no-scroll cursor iff the
+            # target is not behind the current position (Postgres)
+            if n < 0 or n < self.pos:
+                raise ValueError(_CURSOR_FWD_ONLY_MSG)
+            delta = n - self.pos
+            if delta == 0:
+                return [self._current] if self._on_row() else []
+            moved = self._forward_rows(delta)
+            return [moved[-1]] if len(moved) == delta else []
+        if kind == "all_fwd":
+            out = []
+            while True:
+                row = self._pull()
+                if row is None:
+                    break
+                out.append(row)
+            self.pos = self._pulled + 1
+            self._current = None
+            return out
+        if kind == "rel":
+            if n == 0:
+                return [self._current] if self._on_row() else []
+            moved = self._forward_rows(n)
+            if len(moved) == n:
+                return [moved[-1]]
+            return []
+        # fwd n
+        if n == 0:
+            return [self._current] if self._on_row() else []
+        return self._forward_rows(n)
+
+    def _on_row(self) -> bool:
+        return self._current is not None
+
+    def _forward_rows(self, n: int) -> list:
+        out = []
+        for _ in range(n):
+            row = self._pull()
+            if row is None:
+                self.pos = self._pulled + 1
+                self._current = None
+                return out
+            out.append(row)
+            self.pos = self._pulled
+            self._current = row
+        return out
+
+    def _exec_scroll(self, kind: str, n: int) -> list:
+        if kind == "fwd" and n < 0:
+            kind, n = "bwd", -n
+        elif kind == "bwd" and n < 0:
+            kind, n = "fwd", -n
+        p = self.pos
+        if kind == "all_fwd":
+            self._drain()
+            out = self._buf[p:]
+            self.pos = len(self._buf) + 1
+            return out
+        if kind == "all_bwd":
+            out = [self._buf[i] for i in range(p - 2, -1, -1)]
+            self.pos = 0
+            return out
+        if kind == "fwd":
+            if n == 0:
+                return self._row_at(p)
+            self._ensure(p + n)
+            out = self._buf[p:p + n]
+            self.pos = p + len(out) if len(out) == n else len(self._buf) + 1
+            return out
+        if kind == "bwd":
+            if n == 0:
+                return self._row_at(p)
+            lo = max(p - n, 1)
+            out = [self._buf[i - 1] for i in range(p - 1, lo - 1, -1)]
+            self.pos = max(p - n, 0)
+            return out
+        if kind == "abs":
+            if n > 0:
+                self._ensure(n)
+                if n <= len(self._buf):
+                    self.pos = n
+                    return [self._buf[n - 1]]
+                self.pos = len(self._buf) + 1
+                return []
+            if n < 0:
+                self._drain()
+                k = len(self._buf) + 1 + n
+                if k >= 1:
+                    self.pos = k
+                    return [self._buf[k - 1]]
+                self.pos = 0
+                return []
+            self.pos = 0
+            return []
+        # rel
+        if n == 0:
+            return self._row_at(p)
+        k = p + n
+        if k <= 0:
+            self.pos = 0
+            return []
+        return self._exec_scroll("abs", k)
+
+    def _row_at(self, p: int) -> list:
+        """SCROLL: the row at position ``p`` if the cursor is on one."""
+        if p >= 1:
+            self._ensure(p)
+            if p <= len(self._buf):
+                return [self._buf[p - 1]]
+        return []
+
 
 class SqlRouterMixin:
     """Statement router half of :class:`~pg_mooncake_spark.engine.
@@ -240,6 +447,13 @@ class SqlRouterMixin:
         )
         if dsm:
             return self._sql_discard(dsm.group(1).upper())
+        if _DECLARE_KIND.match(query):
+            return self._sql_declare_cursor(query, pin)
+        fm = _FETCH_MOVE_KIND.match(query)
+        if fm:
+            return self._sql_fetch_move(query, fm.group(1).upper())
+        if _CLOSE_KIND.match(query):
+            return self._sql_close_cursor(query)
         mv = re.match(
             rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
             rf"{_SQL_TABLE}\s+AS\s+(.*?);?\s*$",
@@ -874,6 +1088,187 @@ class SqlRouterMixin:
             "statement string, parameter string, value string",
         )
 
+    # ------------------------------------------------------------ cursors
+
+    @staticmethod
+    def _cursor_name(tok: str) -> str:
+        """Postgres identifier folding for cursor names: quoted keeps
+        case, unquoted folds to lowercase."""
+        return tok[1:-1] if tok.startswith('"') else tok.lower()
+
+    def _sql_declare_cursor(
+        self, query: str, pin: Optional[dict[str, int]]
+    ) -> DataFrame:
+        """``DECLARE name [BINARY] [[A|IN]SENSITIVE] [[NO] SCROLL]
+        CURSOR [{WITH|WITHOUT} HOLD] FOR select`` — the Postgres cursor
+        statement family (DECLARE/FETCH/MOVE/CLOSE; every psql script
+        that pages through a big result uses it, and the reference's
+        host executes it natively over the extension's scans).
+
+        The body plans through :meth:`_run_select` at DECLARE time —
+        pinned snapshot views plus, inside a transaction block, the
+        block's overlay — so the cursor is INSENSITIVE by construction
+        (Postgres's default): later DML never changes what FETCH
+        returns.  Rows stream to the driver per partition on demand
+        (``toLocalIterator``), so a NO SCROLL cursor over an
+        arbitrarily large scan never materializes the result; SCROLL
+        retains the fetched prefix — the tuplestore Postgres itself
+        pays for a scrollable cursor.  BINARY and [A|IN]SENSITIVE are
+        accepted and inert (wire-format / already-insensitive).
+
+        Postgres rules enforced: a non-holdable cursor can only be
+        declared inside a transaction block; WITH HOLD survives COMMIT
+        (the pinned plan stays valid — old snapshot files outlive the
+        commit) but dies with a ROLLBACK of the creating block; a
+        duplicate name refuses."""
+        m = re.match(
+            r'^\s*DECLARE\s+("[^"]+"|[A-Za-z_]\w*)\s+'
+            r"((?:BINARY\s+|INSENSITIVE\s+|ASENSITIVE\s+|"
+            r"NO\s+SCROLL\s+|SCROLL\s+)*)"
+            r"CURSOR\s+(?:(WITH|WITHOUT)\s+HOLD\s+)?FOR\s+(.+?)\s*;?\s*$",
+            query, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse statement: {query!r}")
+        name = self._cursor_name(m.group(1))
+        opt_toks = (m.group(2) or "").upper().split()
+        scroll = any(
+            tk == "SCROLL" and (i == 0 or opt_toks[i - 1] != "NO")
+            for i, tk in enumerate(opt_toks)
+        )
+        hold = (m.group(3) or "").upper() == "WITH"
+        body = m.group(4).strip()
+        if not hold and self._txn is None:
+            raise ValueError(
+                "DECLARE CURSOR can only be used in transaction blocks"
+            )
+        if name in self._cursors:
+            raise ValueError(f'cursor "{name}" already exists')
+        head = body.split(None, 1)[0].upper() if body else ""
+        if head == "TABLE":
+            body = "SELECT * FROM " + body.split(None, 1)[1]
+        elif head not in ("SELECT", "WITH", "VALUES"):
+            raise ValueError(
+                f"DECLARE CURSOR body must be a SELECT: {body!r}"
+            )
+        df = self._run_select(body, pin)  # analyzes NOW (Postgres plans
+        # the query at DECLARE; name/typo errors surface here)
+        self._cursor_seq += 1
+        self._cursors[name] = _Cursor(
+            name, df, scroll, hold, self._cursor_seq
+        )
+        return self._txn_result(
+            "DECLARE CURSOR", f"cursor {name} declared"
+        )
+
+    def _sql_fetch_move(self, query: str, word: str) -> DataFrame:
+        """``FETCH [direction [FROM|IN]] name`` returns the fetched rows
+        as a DataFrame in the cursor's schema (empty past either end);
+        ``MOVE`` repositions identically and reports the row count it
+        passed, Postgres's MOVE tag.  Directions: NEXT, PRIOR, FIRST,
+        LAST, ABSOLUTE n, RELATIVE n, count, ALL, FORWARD [n|ALL],
+        BACKWARD [n|ALL]; backward motion on a NO SCROLL cursor refuses
+        with Postgres's message."""
+        m = re.match(
+            rf"^\s*{word}\s+(.+?)\s*;?\s*$", query, re.I | re.S
+        )
+        if not m:
+            raise ValueError(f"cannot parse statement: {query!r}")
+        toks = re.findall(r'"[^"]+"|\S+', m.group(1))
+        if len(toks) >= 2 and toks[-2].upper() in ("FROM", "IN"):
+            name_tok, dirs = toks[-1], toks[:-2]
+        else:
+            name_tok, dirs = toks[-1], toks[:-1]
+        name = self._cursor_name(name_tok)
+        kind, n = self._parse_fetch_direction(dirs, query)
+        cur = self._cursors.get(name)
+        if cur is None:
+            raise ValueError(f'cursor "{name}" does not exist')
+        rows = cur.exec(kind, n)
+        if word == "MOVE":
+            return self._txn_result(
+                "MOVE", f"{len(rows)} row(s) over cursor {name}"
+            )
+        return self.spark.createDataFrame(rows, schema=cur.schema)
+
+    @staticmethod
+    def _parse_fetch_direction(
+        dirs: list, query: str
+    ) -> tuple[str, int]:
+        """Normalize a FETCH/MOVE direction to (kind, n): NEXT/bare
+        counts become fwd, PRIOR becomes bwd 1, FIRST/LAST become
+        ABSOLUTE 1/-1 (Postgres equivalences)."""
+        def _int(tok: str) -> int:
+            try:
+                return int(tok)
+            except ValueError:
+                raise ValueError(
+                    f"cannot parse FETCH/MOVE direction in: {query!r}"
+                )
+        u = [d.upper() for d in dirs]
+        if not u:
+            return ("fwd", 1)
+        if len(u) == 1:
+            w = u[0]
+            if w == "NEXT":
+                return ("fwd", 1)
+            if w == "PRIOR":
+                return ("bwd", 1)
+            if w == "FIRST":
+                return ("abs", 1)
+            if w == "LAST":
+                return ("abs", -1)
+            if w == "ALL":
+                return ("all_fwd", 0)
+            if w == "FORWARD":
+                return ("fwd", 1)
+            if w == "BACKWARD":
+                return ("bwd", 1)
+            return ("fwd", _int(w))
+        if len(u) == 2:
+            a, b = u
+            if a == "ABSOLUTE":
+                return ("abs", _int(b))
+            if a == "RELATIVE":
+                return ("rel", _int(b))
+            if a == "FORWARD":
+                return ("all_fwd", 0) if b == "ALL" else ("fwd", _int(b))
+            if a == "BACKWARD":
+                return ("all_bwd", 0) if b == "ALL" else ("bwd", _int(b))
+        raise ValueError(
+            f"cannot parse FETCH/MOVE direction in: {query!r}"
+        )
+
+    def _sql_close_cursor(self, query: str) -> DataFrame:
+        """``CLOSE name | ALL`` — drop cursor state (the underlying
+        iterator is abandoned; no further Spark jobs launch)."""
+        m = re.match(
+            r'^\s*CLOSE\s+("[^"]+"|[A-Za-z_]\w*)\s*;?\s*$', query, re.I
+        )
+        if not m:
+            raise ValueError(f"cannot parse statement: {query!r}")
+        tok = m.group(1)
+        if not tok.startswith('"') and tok.upper() == "ALL":
+            count = len(self._cursors)
+            self._cursors.clear()
+            return self._txn_result("CLOSE", f"{count} cursor(s) closed")
+        name = self._cursor_name(tok)
+        if name not in self._cursors:
+            raise ValueError(f'cursor "{name}" does not exist')
+        del self._cursors[name]
+        return self._txn_result("CLOSE", f"cursor {name} closed")
+
+    def _txn_close_cursors(self, txn: dict, committed: bool) -> None:
+        """Transaction-end cursor sweep (Postgres): non-holdable
+        cursors die with the block either way; WITH HOLD cursors
+        survive COMMIT (their pinned plans outlive it — snapshot files
+        are immutable and vacuum-protected) but die on ROLLBACK when
+        created inside the rolled-back block."""
+        base = txn.get("cursor_seq", 0)
+        for name, cur in list(self._cursors.items()):
+            if not cur.hold or (not committed and cur.seq > base):
+                del self._cursors[name]
+
     def _sql_explain(
         self, query: str, pin: Optional[dict[str, int]]
     ) -> DataFrame:
@@ -1413,6 +1808,9 @@ class SqlRouterMixin:
                 dict(self._txn.get("created", {})),
                 set(self._txn.get("dropped", set())),
                 set(self._txn.get("altered", set())),
+                # cursor watermark: ROLLBACK TO closes cursors opened
+                # after the savepoint (Postgres)
+                self._cursor_seq,
             ))
             return self._txn_result(
                 "SAVEPOINT", f"savepoint {name} established"
@@ -1483,6 +1881,9 @@ class SqlRouterMixin:
                 "read_only": bool(
                     re.search(r"\bREAD\s+ONLY\b", q, re.I)
                 ),
+                # cursor-creation watermark: ROLLBACK closes cursors
+                # created inside the block (even WITH HOLD — Postgres)
+                "cursor_seq": self._cursor_seq,
             }
             return self._txn_result("BEGIN", "transaction started")
         if word in ("COMMIT", "END"):
@@ -1493,6 +1894,7 @@ class SqlRouterMixin:
             if self._txn["aborted"]:
                 txn, self._txn = self._txn, None
                 self._guc_txn_unwind(txn, committed=False)
+                self._txn_close_cursors(txn, committed=False)
                 self._txn_unregister_created_views(
                     set(txn.get("created", {}))
                     | set(txn.get("dropped", set()))
@@ -1506,6 +1908,7 @@ class SqlRouterMixin:
                 manifest = self._persist_txn(txn["staged"])
                 self._replay_txn(manifest)
             self._guc_txn_unwind(txn, committed=True)
+            self._txn_close_cursors(txn, committed=True)
             return self._txn_result(
                 "COMMIT", f"{len(txn['staged'])} statement(s) applied"
             )
@@ -1531,7 +1934,7 @@ class SqlRouterMixin:
                     f"savepoint {name!r} does not exist"
                 ))
             (_, length, overlay, sp_gucs, sp_track,
-             sp_created, sp_dropped, sp_altered) = sps[idx]
+             sp_created, sp_dropped, sp_altered, sp_cursor_seq) = sps[idx]
             # the savepoint itself survives; later ones are destroyed
             del sps[idx + 1:]
             self._txn["staged"] = self._txn["staged"][:length]
@@ -1547,6 +1950,10 @@ class SqlRouterMixin:
                 if self._gucs.get(g) != sp_gucs.get(g):
                     self._guc_set(g, sp_gucs.get(g))
             self._txn["gucs"] = {k: dict(v) for k, v in sp_track.items()}
+            # cursors opened after the savepoint close with it (Postgres)
+            for cname, cur in list(self._cursors.items()):
+                if cur.seq > sp_cursor_seq:
+                    del self._cursors[cname]
             self._txn["aborted"] = False  # un-poisons a failed block
             return self._txn_result(
                 "ROLLBACK", f"rolled back to savepoint {name}"
@@ -1554,6 +1961,7 @@ class SqlRouterMixin:
         txn, self._txn = self._txn, None
         if txn is not None:
             self._guc_txn_unwind(txn, committed=False)
+            self._txn_close_cursors(txn, committed=False)
             self._txn_unregister_created_views(
                 set(txn.get("created", {}))
                 | set(txn.get("dropped", set()))

@@ -1,0 +1,262 @@
+"""DECLARE / FETCH / MOVE / CLOSE — the Postgres cursor statement
+family (round 15).  Position protocol, SCROLL vs NO SCROLL, WITH HOLD,
+and the transactional lifecycle (block end, savepoints, DISCARD ALL)
+follow the Postgres manual's FETCH/DECLARE pages; the engine streams
+rows per partition (toLocalIterator), so NO SCROLL retains nothing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.engine import MooncakeEngine
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    e = MooncakeEngine(spark, warehouse)
+    e.sql("CREATE TABLE t (k int PRIMARY KEY, v text)")
+    e.sql("INSERT INTO t SELECT id, concat('v', id) FROM range(1, 11)")
+    return e
+
+
+def _ks(df):
+    return [r.k for r in df.collect()]
+
+
+class TestForwardOnly:
+    def test_fetch_counts_and_positions(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k, v FROM t ORDER BY k")
+        assert _ks(eng.sql("FETCH 3 FROM c")) == [1, 2, 3]
+        assert _ks(eng.sql("FETCH NEXT FROM c")) == [4]
+        # bare name = FETCH NEXT; IN is an accepted FROM spelling
+        assert _ks(eng.sql("FETCH c")) == [5]
+        assert _ks(eng.sql("FETCH FORWARD 2 IN c")) == [6, 7]
+        # FETCH 0 re-fetches the current row without moving
+        assert _ks(eng.sql("FETCH 0 FROM c")) == [7]
+        assert _ks(eng.sql("FETCH ALL FROM c")) == [8, 9, 10]
+        # past the end: empty, and stays empty
+        assert _ks(eng.sql("FETCH 5 FROM c")) == []
+        assert _ks(eng.sql("FETCH ALL FROM c")) == []
+        # after-last position is not "on a row"
+        assert _ks(eng.sql("FETCH 0 FROM c")) == []
+        eng.sql("ROLLBACK")
+
+    def test_schema_preserved_on_empty_fetch(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k, v FROM t WHERE k > 99")
+        out = eng.sql("FETCH 10 FROM c")
+        assert out.columns == ["k", "v"]
+        assert out.count() == 0
+        eng.sql("ROLLBACK")
+
+    def test_backward_motion_refuses(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k FROM t ORDER BY k")
+        eng.sql("FETCH 3 FROM c")
+        with pytest.raises(ValueError, match="only scan forward"):
+            eng.sql("FETCH PRIOR FROM c")
+        eng.sql("ROLLBACK")
+
+    def test_forward_absolute_and_relative_allowed(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k FROM t ORDER BY k")
+        # ABSOLUTE ahead of the position is legal on NO SCROLL
+        assert _ks(eng.sql("FETCH ABSOLUTE 4 FROM c")) == [4]
+        assert _ks(eng.sql("FETCH RELATIVE 3 FROM c")) == [7]
+        # ... but not behind it
+        with pytest.raises(ValueError, match="only scan forward"):
+            eng.sql("FETCH ABSOLUTE 2 FROM c")
+        eng.sql("ROLLBACK")
+
+    def test_move_reports_rows_passed(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k FROM t ORDER BY k")
+        assert eng.sql("MOVE 4 FROM c").collect()[0]["detail"].startswith("4 ")
+        assert _ks(eng.sql("FETCH NEXT FROM c")) == [5]
+        # moving past the end reports only the rows actually passed
+        assert eng.sql("MOVE 99 FROM c").collect()[0]["detail"].startswith(
+            "5 "
+        )
+        eng.sql("ROLLBACK")
+
+
+class TestScroll:
+    def test_all_directions(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE s SCROLL CURSOR FOR SELECT k FROM t ORDER BY k")
+        assert _ks(eng.sql("FETCH 4 FROM s")) == [1, 2, 3, 4]
+        assert _ks(eng.sql("FETCH PRIOR FROM s")) == [3]
+        # BACKWARD returns rows in reverse order
+        assert _ks(eng.sql("FETCH BACKWARD 2 FROM s")) == [2, 1]
+        # at before-first, further backward returns nothing
+        assert _ks(eng.sql("FETCH BACKWARD 1 FROM s")) == []
+        assert _ks(eng.sql("FETCH FIRST FROM s")) == [1]
+        assert _ks(eng.sql("FETCH LAST FROM s")) == [10]
+        assert _ks(eng.sql("FETCH ABSOLUTE 5 FROM s")) == [5]
+        assert _ks(eng.sql("FETCH RELATIVE -2 FROM s")) == [3]
+        assert _ks(eng.sql("FETCH RELATIVE 0 FROM s")) == [3]
+        # negative bare count scans backward (Postgres)
+        assert _ks(eng.sql("FETCH -2 FROM s")) == [2, 1]
+        assert _ks(eng.sql("FETCH BACKWARD ALL FROM s")) == []
+        assert _ks(eng.sql("FETCH FORWARD ALL FROM s")) == list(range(1, 11))
+        # after-last: BACKWARD ALL replays everything reversed
+        assert _ks(eng.sql("FETCH BACKWARD ALL FROM s")) == list(
+            range(10, 0, -1)
+        )
+        eng.sql("ROLLBACK")
+
+    def test_absolute_negative_and_overshoot(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE s SCROLL CURSOR FOR SELECT k FROM t ORDER BY k")
+        assert _ks(eng.sql("FETCH ABSOLUTE -3 FROM s")) == [8]
+        # overshooting either end parks before/after and returns nothing
+        assert _ks(eng.sql("FETCH ABSOLUTE 99 FROM s")) == []
+        assert _ks(eng.sql("FETCH PRIOR FROM s")) == [10]
+        assert _ks(eng.sql("FETCH ABSOLUTE -99 FROM s")) == []
+        assert _ks(eng.sql("FETCH NEXT FROM s")) == [1]
+        eng.sql("ROLLBACK")
+
+
+class TestLifecycle:
+    def test_declare_outside_block_refuses(self, eng):
+        with pytest.raises(ValueError, match="transaction blocks"):
+            eng.sql("DECLARE c CURSOR FOR SELECT 1 AS x")
+
+    def test_with_hold_outside_block(self, eng):
+        eng.sql("DECLARE h CURSOR WITH HOLD FOR SELECT k FROM t ORDER BY k")
+        assert _ks(eng.sql("FETCH 2 FROM h")) == [1, 2]
+        eng.sql("CLOSE h")
+
+    def test_duplicate_name_refuses(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT 1 AS x")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("DECLARE c CURSOR FOR SELECT 2 AS x")
+        eng.sql("ROLLBACK")
+
+    def test_unknown_cursor_refuses(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("FETCH 1 FROM nope")
+        eng.sql("ROLLBACK")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("CLOSE nope")
+
+    def test_commit_closes_non_holdable_keeps_holdable(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k FROM t ORDER BY k")
+        eng.sql("DECLARE h CURSOR WITH HOLD FOR SELECT k FROM t ORDER BY k")
+        eng.sql("FETCH 1 FROM h")
+        eng.sql("COMMIT")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("FETCH 1 FROM c")
+        # the holdable cursor kept its position across COMMIT
+        assert _ks(eng.sql("FETCH 2 FROM h")) == [2, 3]
+        eng.sql("CLOSE h")
+
+    def test_rollback_closes_even_holdable_created_inside(self, eng):
+        eng.sql("DECLARE pre CURSOR WITH HOLD FOR SELECT k FROM t ORDER BY k")
+        eng.sql("BEGIN")
+        eng.sql("DECLARE h CURSOR WITH HOLD FOR SELECT 1 AS x")
+        eng.sql("ROLLBACK")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("FETCH 1 FROM h")
+        # ... but a holdable cursor from BEFORE the block survives
+        assert _ks(eng.sql("FETCH 1 FROM pre")) == [1]
+        eng.sql("CLOSE pre")
+
+    def test_failed_statement_aborts_block_then_fetch_refuses(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k FROM t ORDER BY k")
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM no_such_table_xyz")
+        with pytest.raises(ValueError, match="aborted"):
+            eng.sql("FETCH 1 FROM c")
+        eng.sql("ROLLBACK")
+
+    def test_savepoint_rollback_closes_cursors_opened_after(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE before CURSOR FOR SELECT k FROM t ORDER BY k")
+        eng.sql("FETCH 2 FROM before")
+        eng.sql("SAVEPOINT sp")
+        eng.sql("DECLARE after CURSOR FOR SELECT 1 AS x")
+        eng.sql("ROLLBACK TO sp")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("FETCH 1 FROM after")
+        # the failed FETCH poisoned the block (Postgres); un-poison
+        eng.sql("ROLLBACK TO sp")
+        # the pre-savepoint cursor survives, position intact (Postgres:
+        # cursor positions are non-transactional)
+        assert _ks(eng.sql("FETCH 1 FROM before")) == [3]
+        eng.sql("ROLLBACK")
+
+    def test_close_all(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE a CURSOR FOR SELECT 1 AS x")
+        eng.sql("DECLARE b CURSOR FOR SELECT 2 AS x")
+        r = eng.sql("CLOSE ALL").collect()[0]
+        assert r["detail"] == "2 cursor(s) closed"
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("FETCH 1 FROM a")
+        eng.sql("ROLLBACK")
+
+    def test_insensitive_to_later_dml(self, eng):
+        """The plan pins at DECLARE: DML after DECLARE (in the same
+        block, via the overlay barrier at COMMIT) never changes what
+        FETCH returns — Postgres INSENSITIVE default."""
+        eng.sql(
+            "DECLARE h CURSOR WITH HOLD FOR SELECT k FROM t ORDER BY k"
+        )
+        eng.sql("FETCH 1 FROM h")
+        eng.sql("DELETE FROM t WHERE k > 1")
+        assert _ks(eng.sql("FETCH 3 FROM h")) == [2, 3, 4]
+        eng.sql("CLOSE h")
+
+    def test_discard_all_drops_cursors(self, eng):
+        eng.sql("DECLARE h CURSOR WITH HOLD FOR SELECT 1 AS x")
+        eng.sql("DISCARD ALL")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("FETCH 1 FROM h")
+
+    def test_quoted_name_keeps_case(self, eng):
+        eng.sql("BEGIN")
+        eng.sql('DECLARE "My Cursor" CURSOR FOR SELECT k FROM t ORDER BY k')
+        assert _ks(eng.sql('FETCH 1 FROM "My Cursor"')) == [1]
+        eng.sql('CLOSE "My Cursor"')
+        # unquoted folds to lowercase and therefore does NOT resolve a
+        # quoted mixed-case name (checked last: the failure poisons the
+        # block, Postgres-style)
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql('FETCH 1 FROM "my cursor"')
+        eng.sql("ROLLBACK")
+
+    def test_declare_sees_transaction_overlay(self, eng):
+        """Inside a block the cursor plans over the overlay — it sees
+        the block's own staged writes (read-your-writes), and keeps
+        seeing them even after ROLLBACK TO discards the stage (the
+        DECLARE-time pin is the Postgres sensitivity contract)."""
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO t VALUES (99, 'staged')")
+        eng.sql(
+            "DECLARE c CURSOR FOR SELECT k FROM t WHERE k > 10 ORDER BY k"
+        )
+        assert _ks(eng.sql("FETCH ALL FROM c")) == [99]
+        eng.sql("ROLLBACK")
+
+    def test_declare_body_must_be_select(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="must be a SELECT"):
+            eng.sql("DECLARE c CURSOR FOR DELETE FROM t")
+        eng.sql("ROLLBACK")
+
+    def test_binary_and_insensitive_options_accepted(self, eng):
+        eng.sql("BEGIN")
+        eng.sql(
+            "DECLARE c BINARY INSENSITIVE NO SCROLL CURSOR FOR "
+            "SELECT k FROM t ORDER BY k"
+        )
+        assert _ks(eng.sql("FETCH 1 FROM c")) == [1]
+        with pytest.raises(ValueError, match="only scan forward"):
+            eng.sql("FETCH PRIOR FROM c")
+        eng.sql("ROLLBACK")
