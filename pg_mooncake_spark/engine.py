@@ -2052,6 +2052,34 @@ class MooncakeEngine(SqlRouterMixin):
                             bool(spec.get("not_valid")),
                             skip_if_exists=True,
                         )
+                    elif spec["op"] == "drop_check":
+                        # idempotent: absence means OUR drop already ran
+                        cons = self._constraints(name) or {}
+                        cons["checks"] = [
+                            c for c in cons.get("checks", [])
+                            if c[0] != spec["cname"]
+                        ]
+                        cons["not_validated"] = [
+                            x for x in cons.get("not_validated", [])
+                            if x != spec["cname"]
+                        ]
+                        self._set_constraints(name, cons)
+                    elif spec["op"] == "validate_check":
+                        # the stage already ran the scan on the same
+                        # (untouched-gated) rows; replay flips metadata
+                        cons = self._constraints(name) or {}
+                        if spec["cname"] in cons.get("not_validated", []):
+                            cons["not_validated"] = [
+                                x for x in cons["not_validated"]
+                                if x != spec["cname"]
+                            ]
+                            self._set_constraints(name, cons)
+                    elif spec["op"] == "alter_column":
+                        # _txn_replaying is set: the SET NOT NULL scan
+                        # (already run at stage time) is skipped
+                        self._sql_alter_column(
+                            name, spec["col"], spec["action"]
+                        )
                     else:  # pragma: no cover - manifest corruption
                         raise ValueError(
                             f"unknown staged ALTER op {spec!r}"

@@ -1867,18 +1867,46 @@ def _lifecycle_sql_txn_alter_impl(spark: SparkSession, sf_dir: str) -> DataFrame
     eng.sql(
         "INSERT INTO cust_ta VALUES (1000000007, 99, 1.0, 'gold')"
     )
+    # round-15 extension: the remaining metadata ALTER shapes stage
+    # too — one committed block VALIDATEs a NOT VALID check added in
+    # the same block (read-your-writes existence; the scan runs at
+    # stage time), drops the original check, and sets a column DEFAULT
+    # that a column-list INSERT exercises after COMMIT
+    eng.sql("BEGIN")
+    eng.sql(
+        "ALTER TABLE cust_ta ADD CONSTRAINT tier_known "
+        "CHECK (tier IS NOT NULL) NOT VALID"
+    )
+    eng.sql("ALTER TABLE cust_ta VALIDATE CONSTRAINT tier_known")
+    eng.sql("ALTER TABLE cust_ta DROP CONSTRAINT bal_known")
+    eng.sql("ALTER TABLE cust_ta ALTER COLUMN tier SET DEFAULT 'silver'")
+    eng.sql("COMMIT")
+    eng.sql(
+        "INSERT INTO cust_ta (c_custkey, c_nationkey, bal) "
+        "VALUES (1000000009, 98, 2.0)"
+    )
     cols = [f.name for f in eng._moontable("cust_ta").schema().fields]
+    cons = eng._constraints("cust_ta") or {}
+    check_names = {n for n, _ in cons.get("checks", [])}
+    validated = (
+        "tier_known" in check_names
+        and "tier_known" not in cons.get("not_validated", [])
+    )
     return eng.table("cust_ta").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("tier") == "std", 1)).alias("n_std"),
         F.count(F.when(F.col("tier") == "gold", 1)).alias("n_gold"),
+        F.count(F.when(F.col("tier") == "silver", 1)).alias("n_silver"),
         dsum("bal", 2).alias("total_bal"),
     ).select(
-        "n_rows", "n_std", "n_gold", "total_bal",
+        "n_rows", "n_std", "n_gold", "n_silver", "total_bal",
         F.lit(1 if "ghost" not in cols else 0).cast("long")
         .alias("ghost_gone"),
         F.lit(1 if "note_ta" in eng.catalog.list_tables() else 0)
         .cast("long").alias("note_alive"),
+        F.lit(0 if "bal_known" in check_names else 1).cast("long")
+        .alias("bal_known_gone"),
+        F.lit(1 if validated else 0).cast("long").alias("tier_validated"),
     )
 
 
@@ -1943,14 +1971,20 @@ def _lifecycle_sql_txn_ddl_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     -- committed block: ADD COLUMN tier DEFAULT 'std' (backfills every
     -- existing row) + ADD CHECK; the ghost column rolled back; one
-    -- post-COMMIT insert carries tier='gold'
-    SELECT (SELECT COUNT(*) FROM cust) + 1 AS n_rows,
+    -- post-COMMIT insert carries tier='gold'.  A second committed
+    -- block (round-15 shapes) VALIDATEs a NOT VALID check added in the
+    -- same block, drops bal_known, and sets DEFAULT 'silver' that the
+    -- final column-list insert picks up
+    SELECT (SELECT COUNT(*) FROM cust) + 2 AS n_rows,
            (SELECT COUNT(*) FROM cust) AS n_std,
            CAST(1 AS BIGINT) AS n_gold,
-           (SELECT CAST(SUM(CAST(bal AS DECIMAL(30,2))) + 1.00 AS DOUBLE)
+           CAST(1 AS BIGINT) AS n_silver,
+           (SELECT CAST(SUM(CAST(bal AS DECIMAL(30,2))) + 3.00 AS DOUBLE)
             FROM cust) AS total_bal,
            CAST(1 AS BIGINT) AS ghost_gone,
-           CAST(1 AS BIGINT) AS note_alive
+           CAST(1 AS BIGINT) AS note_alive,
+           CAST(1 AS BIGINT) AS bal_known_gone,
+           CAST(1 AS BIGINT) AS tier_validated
     """,
 )
 def lifecycle_sql_txn_alter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3260,9 +3260,39 @@ class SqlRouterMixin:
             q, re.I,
         )
         if m:
-            self._no_txn("ALTER TABLE VALIDATE CONSTRAINT")
             t, cname = m.group(1), m.group(2)
             name = self._canon(t)
+            if self._txn is not None:
+                # stage on an untouched table (round 15): committed rows
+                # ARE the visible rows (the alter gate refuses after any
+                # staged batch), so the validation scan runs HERE and
+                # COMMIT replay is metadata-only.  Constraints added or
+                # dropped earlier in the block count (read-your-writes).
+                self._txn_check_writable(name)
+                self._txn_alter_gate(name)
+                checks, nv = self._txn_effective_checks(t)
+                if cname not in checks:
+                    raise ValueError(
+                        f'constraint "{cname}" of relation "{name}" '
+                        "does not exist"
+                    )
+                if cname not in nv:
+                    # already validated — Postgres no-op; nothing stages
+                    return self._dml_result("ALTER", t, 0)
+                bad = (
+                    self.table(t)
+                    .where(f"NOT coalesce(({checks[cname]}), true)")
+                    .limit(1).count()
+                )
+                if bad:
+                    raise ValueError(
+                        f'check constraint "{cname}" of relation '
+                        f'"{name}" is violated by some row'
+                    )
+                self._txn_stage_alter(
+                    name, {"op": "validate_check", "cname": cname}
+                )
+                return self._dml_result("ALTER", t, -1)
             cons = self._constraints(t) or {}
             by_name = {n: e for n, e in cons.get("checks", [])}
             if cname not in by_name:
@@ -3292,9 +3322,27 @@ class SqlRouterMixin:
             q, re.I,
         )
         if m:
-            self._no_txn("ALTER TABLE DROP CONSTRAINT")
             t, if_exists, cname = m.group(1), bool(m.group(2)), m.group(3)
             name = self._canon(t)
+            if self._txn is not None:
+                # stage on an untouched table (round 15): metadata-only
+                # at replay; existence resolves against the block's
+                # staged ALTERs too (an ADD CONSTRAINT two statements
+                # earlier is droppable in the same block)
+                self._txn_check_writable(name)
+                self._txn_alter_gate(name)
+                checks, _ = self._txn_effective_checks(t)
+                if cname not in checks:
+                    if if_exists:
+                        return self._dml_result("ALTER", t, 0)
+                    raise ValueError(
+                        f'constraint "{cname}" of relation "{name}" '
+                        "does not exist"
+                    )
+                self._txn_stage_alter(
+                    name, {"op": "drop_check", "cname": cname}
+                )
+                return self._dml_result("ALTER", t, -1)
             cons = self._constraints(t) or {}
             checks = cons.get("checks", [])
             if cname not in {n for n, _ in checks}:
@@ -3316,8 +3364,25 @@ class SqlRouterMixin:
             q, re.I | re.S,
         )
         if m:
-            self._no_txn("ALTER TABLE ALTER COLUMN")
             t, col, action = m.group(1), m.group(2).strip('"'), m.group(3)
+            if self._txn is not None:
+                # stage on an untouched table (round 15): every refusal
+                # and the SET NOT NULL null-scan run at STAGE time (the
+                # untouched gate makes committed rows the visible rows);
+                # replay re-runs the real path with the scan skipped
+                # (``_txn_replaying``).  A column added by a staged ADD
+                # COLUMN in this block refuses here — put its
+                # constraints in the ADD COLUMN tail instead.
+                name = self._canon(t)
+                self._txn_check_writable(name)
+                self._txn_alter_gate(name)
+                self._sql_alter_column(t, col, action.strip(), dry_run=True)
+                self._txn_stage_alter(
+                    name,
+                    {"op": "alter_column", "col": col,
+                     "action": action.strip()},
+                )
+                return self._dml_result("ALTER", t, -1)
             return self._sql_alter_column(t, col, action.strip())
         raise ValueError(f"unsupported {kind} statement: {q!r}")
     def _add_check_constraint(
@@ -3402,12 +3467,20 @@ class SqlRouterMixin:
                 f"invalid {what} expression {expr!r}: "
                 f"{str(ex).splitlines()[0]}"
             ) from ex
-    def _sql_alter_column(self, t: str, col: str, action: str) -> DataFrame:
+    def _sql_alter_column(
+        self, t: str, col: str, action: str, dry_run: bool = False
+    ) -> DataFrame:
         """``ALTER TABLE t ALTER [COLUMN] c SET DEFAULT expr | DROP
         DEFAULT | SET NOT NULL | DROP NOT NULL`` — constraint-metadata
         mutations with Postgres validation semantics: SET NOT NULL scans
         once for existing NULLs; DROP NOT NULL refuses on primary-key
-        columns."""
+        columns.
+
+        ``dry_run`` runs every refusal and the null-scan without
+        writing (the transactional STAGE path); COMMIT/crash replay
+        re-enters with ``_txn_replaying`` set, which skips the
+        null-scan the stage already ran (the untouched gate guarantees
+        the rows have not changed since)."""
         name = self._canon(t)
         mt = self._moontable(t)
         if col not in [f.name for f in mt.schema().fields]:
@@ -3422,16 +3495,20 @@ class SqlRouterMixin:
                     "column"
                 )
             self._analysis_check_expr(t, "DEFAULT", am.group(1).strip())
+            if dry_run:
+                return self._dml_result("ALTER", t, 0)
             cons.setdefault("defaults", {})[col] = am.group(1).strip()
             self._set_constraints(t, cons)
             return self._dml_result("ALTER", t, 1)
         if re.match(r"DROP\s+DEFAULT\s*$", action, re.I):
+            if dry_run:
+                return self._dml_result("ALTER", t, 0)
             (cons.get("defaults") or {}).pop(col, None)
             self._set_constraints(t, cons)
             return self._dml_result("ALTER", t, 1)
         if re.match(r"SET\s+NOT\s+NULL\s*$", action, re.I):
             if col not in cons.get("not_null", []):
-                bad = (
+                bad = 0 if self._txn_replaying else (
                     self.table(t).where(F.col(col).isNull()).limit(1).count()
                 )
                 if bad:
@@ -3439,12 +3516,16 @@ class SqlRouterMixin:
                         f'column "{col}" of relation "{name}" contains '
                         "null values"
                     )
+                if dry_run:
+                    return self._dml_result("ALTER", t, 0)
                 cons.setdefault("not_null", []).append(col)
                 self._set_constraints(t, cons)
             return self._dml_result("ALTER", t, 1)
         if re.match(r"DROP\s+NOT\s+NULL\s*$", action, re.I):
             if col in (mt.primary_key() or []):
                 raise ValueError(f'column "{col}" is in a primary key')
+            if dry_run:
+                return self._dml_result("ALTER", t, 0)
             cons["not_null"] = [
                 c for c in cons.get("not_null", []) if c != col
             ]
@@ -3582,6 +3663,37 @@ class SqlRouterMixin:
             elif s.get("op") == "add_column":
                 names.update(s.get("check_names") or [])
         return names
+
+    def _txn_effective_checks(self, t: str) -> tuple[dict, set]:
+        """Check-constraint state the open block SEES for ``t``:
+        committed checks/not_validated with the block's staged ALTERs
+        replayed in statement order — adds (explicit and ADD COLUMN
+        tail names), drops, validates.  Lets VALIDATE/DROP CONSTRAINT
+        stage against read-your-writes state instead of silently
+        missing a constraint added two statements earlier."""
+        canon = self._canon(t)
+        cons = self._constraints(t) or {}
+        checks = {n: e for n, e in cons.get("checks", [])}
+        not_validated = set(cons.get("not_validated", []))
+        for n, k, s in self._txn["staged"]:
+            if n != canon or k != "alter":
+                continue
+            op = s.get("op")
+            if op == "add_check":
+                checks[s["cname"]] = s["expr"]
+                if s.get("not_valid"):
+                    not_validated.add(s["cname"])
+            elif op == "add_column":
+                for cn in (s.get("check_names") or []):
+                    # expr lives in the staged tail; column checks are
+                    # never NOT VALID, so existence is all that matters
+                    checks.setdefault(cn, None)
+            elif op == "drop_check":
+                checks.pop(s["cname"], None)
+                not_validated.discard(s["cname"])
+            elif op == "validate_check":
+                not_validated.discard(s["cname"])
+        return checks, not_validated
 
     def _txn_stage_add_column(self, name: str, col: str, tail: str) -> int:
         """Stage ``ADD COLUMN`` inside the open block: all of

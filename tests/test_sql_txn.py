@@ -878,3 +878,163 @@ class TestTransactionalCall:
         with pytest.raises(ValueError, match="read-only"):
             eng.sql("ALTER TABLE b ADD COLUMN c int")
         eng.sql("ROLLBACK")
+
+
+class TestTransactionalAlterMore:
+    """Round-15 extension: DROP CONSTRAINT / VALIDATE CONSTRAINT /
+    ALTER COLUMN stage inside BEGIN blocks on untouched tables —
+    metadata-only at replay; every refusal and validation scan runs at
+    STAGE time (the untouched gate makes committed rows the visible
+    rows)."""
+
+    def test_drop_constraint_commit(self, eng):
+        eng.sql("ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0)")
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b DROP CONSTRAINT b_pos")
+        eng.sql("COMMIT")
+        assert not (eng._constraints("b") or {}).get("checks")
+        eng.sql("INSERT INTO b VALUES (9, -5)")  # no longer enforced
+        assert (9, -5) in _rows(eng, "b")
+
+    def test_drop_constraint_rollback_keeps_it(self, eng):
+        eng.sql("ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0)")
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b DROP CONSTRAINT b_pos")
+        eng.sql("ROLLBACK")
+        with pytest.raises(Exception, match='b_pos'):
+            eng.sql("INSERT INTO b VALUES (9, -5)")
+
+    def test_drop_constraint_added_in_same_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ADD CONSTRAINT tmp_c CHECK (n < 1000)")
+        eng.sql("ALTER TABLE b DROP CONSTRAINT tmp_c")
+        eng.sql("COMMIT")
+        assert not (eng._constraints("b") or {}).get("checks")
+
+    def test_drop_constraint_unknown(self, eng):
+        eng.sql("BEGIN")
+        # IF EXISTS: quiet no-op, block stays healthy
+        eng.sql("ALTER TABLE b DROP CONSTRAINT IF EXISTS nope")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("ALTER TABLE b DROP CONSTRAINT nope")
+        eng.sql("ROLLBACK")
+
+    def test_validate_constraint_commit(self, eng):
+        eng.sql(
+            "ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0) NOT VALID"
+        )
+        assert "b_pos" in (eng._constraints("b") or {}).get(
+            "not_validated", []
+        )
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b VALIDATE CONSTRAINT b_pos")
+        eng.sql("COMMIT")
+        assert "b_pos" not in (eng._constraints("b") or {}).get(
+            "not_validated", []
+        )
+
+    def test_validate_violated_aborts_its_statement(self, eng):
+        eng.sql("INSERT INTO b VALUES (9, -5)")
+        eng.sql(
+            "ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0) NOT VALID"
+        )
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="violated"):
+            eng.sql("ALTER TABLE b VALIDATE CONSTRAINT b_pos")
+        eng.sql("ROLLBACK")
+        # still marked not-validated
+        assert "b_pos" in (eng._constraints("b") or {})["not_validated"]
+
+    def test_validate_check_added_not_valid_in_same_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql(
+            "ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0) NOT VALID"
+        )
+        eng.sql("ALTER TABLE b VALIDATE CONSTRAINT b_pos")
+        eng.sql("COMMIT")
+        cons = eng._constraints("b") or {}
+        assert ["b_pos", "n > 0"] in [list(c) for c in cons["checks"]]
+        assert "b_pos" not in cons.get("not_validated", [])
+
+    def test_validate_already_valid_is_noop(self, eng):
+        eng.sql("ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0)")
+        eng.sql("BEGIN")
+        r = eng.sql("ALTER TABLE b VALIDATE CONSTRAINT b_pos").collect()[0]
+        assert r["version"] == 0  # nothing staged
+        eng.sql("COMMIT")
+
+    def test_set_default_commit(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ALTER COLUMN n SET DEFAULT 7")
+        eng.sql("COMMIT")
+        eng.sql("INSERT INTO b (k) VALUES (2)")
+        assert (2, 7) in _rows(eng, "b")
+
+    def test_set_default_rollback_leaves_no_trace(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ALTER COLUMN n SET DEFAULT 7")
+        eng.sql("ROLLBACK")
+        assert not ((eng._constraints("b") or {}).get("defaults") or {})
+
+    def test_set_not_null_scans_at_stage(self, eng):
+        eng.sql("INSERT INTO b VALUES (2, NULL)")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="contains null"):
+            eng.sql("ALTER TABLE b ALTER COLUMN n SET NOT NULL")
+        eng.sql("ROLLBACK")
+
+    def test_set_not_null_commit_enforces(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ALTER COLUMN n SET NOT NULL")
+        eng.sql("COMMIT")
+        with pytest.raises(Exception, match="not-null|null"):
+            eng.sql("INSERT INTO b VALUES (3, NULL)")
+
+    def test_drop_not_null_on_pk_refuses_at_stage(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="primary key"):
+            eng.sql("ALTER TABLE b ALTER COLUMN k DROP NOT NULL")
+        eng.sql("ROLLBACK")
+
+    def test_staged_alter_still_gates_dml(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ALTER COLUMN n SET DEFAULT 7")
+        with pytest.raises(ValueError, match="ALTERed"):
+            eng.sql("INSERT INTO b VALUES (5, 50)")
+        eng.sql("ROLLBACK")
+
+    def test_savepoint_rolls_back_staged_drop_constraint(self, eng):
+        eng.sql("ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0)")
+        eng.sql("BEGIN")
+        eng.sql("SAVEPOINT sp")
+        eng.sql("ALTER TABLE b DROP CONSTRAINT b_pos")
+        eng.sql("ROLLBACK TO sp")
+        eng.sql("COMMIT")
+        # the drop rolled back with the savepoint: still enforced
+        with pytest.raises(Exception, match="b_pos"):
+            eng.sql("INSERT INTO b VALUES (9, -5)")
+
+    def test_crash_mid_replay_alter_column_recovers(
+        self, eng, spark, warehouse, monkeypatch
+    ):
+        """Crash between the manifest rename and the alter_column
+        replay: the next attach completes it idempotently (the
+        _txn_replaying flag also skips the re-scan)."""
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ALTER COLUMN n SET NOT NULL")
+        eng.sql("ALTER TABLE b ALTER COLUMN n SET DEFAULT 7")
+
+        real = MooncakeEngine._replay_txn
+
+        def dying(self_, manifest):
+            raise RuntimeError("crash before replay")
+
+        monkeypatch.setattr(MooncakeEngine, "_replay_txn", dying)
+        with pytest.raises(RuntimeError):
+            eng.sql("COMMIT")
+        monkeypatch.undo()
+        e2 = MooncakeEngine(spark, warehouse)  # attach runs recovery
+        cons = e2._constraints("b") or {}
+        assert "n" in cons.get("not_null", [])
+        assert (cons.get("defaults") or {}).get("n") == "7"
+        assert e2.recover_transactions() == []
