@@ -2502,3 +2502,83 @@ def lifecycle_sql_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_keys"),
         dsum("price", 2).alias("sum_price"),
     )
+
+
+@query(
+    "lifecycle_sql_merge_returning",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 6 = 0
+    ),
+    src AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders WHERE o_custkey % 4 = 0 GROUP BY o_custkey
+    ),
+    acts AS (
+      -- WHEN MATCHED AND spend > 300000 THEN UPDATE (post-images)
+      SELECT 'UPDATE' AS act,
+             CAST(CAST(t.bal AS DECIMAL(18,2))
+                  + CAST(s.spend AS DECIMAL(18,2)) AS DOUBLE) AS bal
+      FROM tgt t JOIN src s ON t.c_custkey = s.k WHERE s.spend > 300000
+      UNION ALL
+      -- WHEN MATCHED THEN DELETE (pre-images, first-match-wins)
+      SELECT 'DELETE', t.bal
+      FROM tgt t JOIN src s ON t.c_custkey = s.k
+      WHERE NOT (s.spend > 300000)
+      UNION ALL
+      -- WHEN NOT MATCHED THEN INSERT (the new rows)
+      SELECT 'INSERT', s.spend
+      FROM src s LEFT JOIN tgt t ON t.c_custkey = s.k
+      WHERE t.c_custkey IS NULL
+    )
+    SELECT act, COUNT(*) AS n,
+           CAST(SUM(CAST(bal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM acts GROUP BY act ORDER BY act
+    """,
+)
+def lifecycle_sql_merge_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE ... RETURNING`` with PostgreSQL 17 semantics (round 15):
+    one returned row per action taken — UPDATE post-images, DELETE
+    pre-images, INSERT new rows — with ``merge_action()`` naming the
+    action.  The oracle reconstructs all three action sets
+    relationally; a pre-image where a post-image belongs (or vice
+    versa), a mislabeled action, or a DO-branch row leaking breaks
+    the hash."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter("c_custkey % 6 = 0")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+    )
+    eng.create_table("cust_mr", source_df=cust, primary_key=["c_custkey"])
+    t(spark, sf_dir, "orders").filter("o_custkey % 4 = 0").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("spend")
+    ).createOrReplaceTempView("merge_ret_src")
+    ret = eng.sql("""
+        MERGE INTO cust_mr USING merge_ret_src AS s
+          ON cust_mr.c_custkey = s.k
+        WHEN MATCHED AND s.spend > 300000 THEN UPDATE SET
+          bal = CAST(CAST(cust_mr.bal AS DECIMAL(18,2))
+                     + CAST(s.spend AS DECIMAL(18,2)) AS DOUBLE)
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (c_custkey, bal)
+          VALUES (s.k, s.spend)
+        RETURNING merge_action() AS act, bal
+    """)
+    return (
+        ret.groupBy("act")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("bal", 2).alias("total_bal"),
+        )
+        .orderBy("act")
+    )

@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_upsert_returning",
     "lifecycle_sql_txn_alter",
     "lifecycle_sql_cursor",
+    "lifecycle_sql_merge_returning",
     # (2) implementation changed this round (eager-agg rewrites of
     # q13/q10/q9; ON CONFLICT grew RETURNING; txn staging grew the
     # alter gates + 8-element savepoint tuple): the external signal

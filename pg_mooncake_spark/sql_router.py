@@ -1995,11 +1995,11 @@ class SqlRouterMixin:
                 "to the current table state"
             )
         # Postgres RETURNING: always the trailing clause.  Supported on
-        # INSERT VALUES/SELECT, UPDATE [... FROM], DELETE [... USING],
-        # inside transaction blocks (the captures read the overlay —
-        # read-your-writes gives exactly the staged pre/post images);
-        # refused loudly with MERGE / ON CONFLICT — a silent wrong
-        # answer is worse than a missing spelling.
+        # INSERT VALUES/SELECT (incl. ON CONFLICT), UPDATE [... FROM],
+        # DELETE [... USING], MERGE (PG17 semantics incl.
+        # merge_action()), inside transaction blocks (the captures read
+        # the overlay — read-your-writes gives exactly the staged
+        # pre/post images).
         returning: Optional[str] = None
         ri = _find_top_keyword(q, "RETURNING")
         if ri >= 0:
@@ -2007,10 +2007,8 @@ class SqlRouterMixin:
             q = q[:ri].strip()
             if not returning:
                 raise ValueError("RETURNING needs an expression list")
-            if kind == "MERGE":
-                raise ValueError("RETURNING is not supported with MERGE")
         if kind == "MERGE":
-            return self._sql_merge(q, pin=pin)
+            return self._sql_merge(q, pin=pin, returning=returning)
         if kind == "DELETE":
             m = re.match(
                 rf"DELETE\s+FROM\s+{_SQL_TABLE}\s*(?:AS\s+(\w+)\s*)?(.*)$",
@@ -2581,7 +2579,12 @@ class SqlRouterMixin:
         if returning is not None:
             return self._returning_df(batch.drop(OP_COL), returning)
         return self._dml_result("DELETE", t, v)
-    def _sql_merge(self, q: str, pin: Optional[dict[str, int]] = None) -> DataFrame:
+    def _sql_merge(
+        self,
+        q: str,
+        pin: Optional[dict[str, int]] = None,
+        returning: Optional[str] = None,
+    ) -> DataFrame:
         """Route ``MERGE INTO`` onto :meth:`apply_changes` — the last DML
         gap vs the reference contract (Postgres 15+ users write MERGE
         against the heap side, reference README.md:16; VERDICT r8 task 6).
@@ -2902,13 +2905,59 @@ class SqlRouterMixin:
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p)
+        ret: Optional[DataFrame] = None
+        if returning is not None:
+            # PG17 ``MERGE ... RETURNING``: one row per action taken —
+            # exactly this CDC batch (U rows are post-images, D rows
+            # pre-images, I rows the new rows).  Checkpoint the batch
+            # ONCE (the multi-match guard embedded in the op column
+            # fires HERE, before anything applies), project the
+            # RETURNING list over it, and feed the SAME checkpoint to
+            # apply_changes so the merge joins never recompute.
+            try:
+                batch = batch.localCheckpoint(eager=True)
+            except Exception as e:
+                if _MERGE_MULTI_MATCH_MSG in str(e):
+                    raise ValueError(_MERGE_MULTI_MATCH_MSG) from None
+                raise
+            act = (
+                F.when(F.col(OP_COL) == "I", "INSERT")
+                .when(F.col(OP_COL) == "U", "UPDATE")
+                .otherwise("DELETE")
+            )
+            ret_src = batch.select(
+                *[F.col(c) for c in names], act.alias("__merge_action")
+            )
+            items: list[str] = []
+            for item in _split_top_commas(returning):
+                item = item.strip()
+                if not item:
+                    continue
+                if item == "*":
+                    # Postgres: * expands to the target's columns, never
+                    # the action pseudo-column
+                    items.extend(names)
+                    continue
+                # merge_action() → the action tag, substituted outside
+                # string literals only
+                masked = _mask_quoted(item)
+                out, prev = [], 0
+                for am2 in re.finditer(
+                    r"\bmerge_action\s*\(\s*\)", masked, re.I
+                ):
+                    out.append(item[prev:am2.start()])
+                    out.append("__merge_action")
+                    prev = am2.end()
+                out.append(item[prev:])
+                items.append("".join(out))
+            ret = ret_src.selectExpr(*items)
         try:
             v = self.apply_changes(name, batch)
         except Exception as e:  # surface the in-job guard as ValueError
             if _MERGE_MULTI_MATCH_MSG in str(e):
                 raise ValueError(_MERGE_MULTI_MATCH_MSG) from None
             raise
-        return self._dml_result("MERGE", t, v)
+        return ret if ret is not None else self._dml_result("MERGE", t, v)
     def _sql_ddl(
         self, query: str, kind: str, pin: Optional[dict[str, int]] = None
     ) -> DataFrame:

@@ -185,6 +185,87 @@ class TestSqlMerge:
         assert got == want and (2, "upd", 2.0) in got
 
 
+class TestMergeReturning:
+    """``MERGE ... RETURNING`` (PostgreSQL 17): one row per action
+    taken — post-images for UPDATE/INSERT, pre-images for DELETE —
+    with ``merge_action()`` naming the action."""
+
+    def test_all_three_actions(self, eng, spark):
+        spark.createDataFrame(
+            [(2, "B2", 5.0), (3, None, 0.0), (9, "i", 9.0)],
+            "k long, v string, amt double",
+        ).createOrReplaceTempView("mr_src")
+        rows = eng.sql(
+            """
+            MERGE INTO m USING mr_src ON m.k = mr_src.k
+            WHEN MATCHED AND mr_src.v IS NOT NULL THEN
+              UPDATE SET v = mr_src.v, x = x + mr_src.amt
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT (k, v, x)
+              VALUES (mr_src.k, mr_src.v, mr_src.amt)
+            RETURNING merge_action() AS act, k, v, x
+            """
+        ).collect()
+        got = sorted((r.act, r.k, r.v, r.x) for r in rows)
+        assert got == [
+            ("DELETE", 3, "c", 3.0),     # pre-image of the deleted row
+            ("INSERT", 9, "i", 9.0),     # the new row
+            ("UPDATE", 2, "B2", 7.0),    # post-image
+        ]
+        # and the merge itself applied
+        assert _rows(eng) == [(1, "a", 1.0), (2, "B2", 7.0), (9, "i", 9.0)]
+
+    def test_star_expands_to_target_columns(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "upd")], "k long, v string"
+        ).createOrReplaceTempView("mr_src2")
+        rows = eng.sql(
+            "MERGE INTO m USING mr_src2 ON m.k = mr_src2.k "
+            "WHEN MATCHED THEN UPDATE SET v = mr_src2.v "
+            "RETURNING *"
+        )
+        assert rows.columns == ["k", "v", "x"]
+        assert [tuple(r) for r in rows.collect()] == [(1, "upd", 1.0)]
+
+    def test_no_action_rows_returns_empty(self, eng, spark):
+        spark.createDataFrame(
+            [(99, "z")], "k long, v string"
+        ).createOrReplaceTempView("mr_src3")
+        rows = eng.sql(
+            "MERGE INTO m USING mr_src3 ON m.k = mr_src3.k "
+            "WHEN MATCHED THEN DELETE RETURNING k"
+        )
+        assert rows.count() == 0
+        assert len(_rows(eng)) == 3
+
+    def test_multi_match_still_errors_before_apply(self, eng, spark):
+        import pytest
+
+        spark.createDataFrame(
+            [(2, "x"), (2, "y")], "k long, v string"
+        ).createOrReplaceTempView("mr_dup")
+        with pytest.raises(ValueError, match="matched multiple"):
+            eng.sql(
+                "MERGE INTO m USING mr_dup ON m.k = mr_dup.k "
+                "WHEN MATCHED THEN UPDATE SET v = mr_dup.v "
+                "RETURNING merge_action()"
+            )
+        assert _rows(eng) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+
+    def test_merge_action_in_string_literal_untouched(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "u")], "k long, v string"
+        ).createOrReplaceTempView("mr_src4")
+        rows = eng.sql(
+            "MERGE INTO m USING mr_src4 ON m.k = mr_src4.k "
+            "WHEN MATCHED THEN UPDATE SET v = mr_src4.v "
+            "RETURNING 'merge_action()' AS lit, merge_action() AS act"
+        ).collect()
+        assert [(r.lit, r.act) for r in rows] == [
+            ("merge_action()", "UPDATE")
+        ]
+
+
 class TestMergeClauseOrder:
     """WHEN MATCHED clauses apply first-match-wins in statement order
     (VERDICT r9 #1: the two-slot compiler hardwired UPDATE precedence,
@@ -596,13 +677,9 @@ class TestReturning:
         import pytest
 
         eng = self._eng(spark, warehouse)
-        # ON CONFLICT ... RETURNING is supported as of round 15
-        # (TestInsertOnConflict); MERGE stays refused
-        with pytest.raises(ValueError, match="MERGE"):
-            eng.sql(
-                "MERGE INTO r_t USING (SELECT 1 AS k) s ON r_t.k = s.k "
-                "WHEN MATCHED THEN DELETE RETURNING k"
-            )
+        # ON CONFLICT ... RETURNING and MERGE ... RETURNING are both
+        # supported as of round 15 (TestInsertOnConflict /
+        # TestMergeReturning); the remaining refusals are semantic
         with pytest.raises(ValueError, match="primary-key column"):
             eng.sql("UPDATE r_t SET k = k + 100 RETURNING k")
         # a string literal containing the word is NOT a clause
