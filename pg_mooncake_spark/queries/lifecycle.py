@@ -2459,7 +2459,10 @@ def lifecycle_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(k) AS BIGINT) AS sum_keys,
-           CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+           -- DELETE WHERE CURRENT OF removed exactly row 22 (the
+           -- cursor's position after FETCH BACKWARD 3)
+           (SELECT COUNT(*) - 1 FROM base) AS n_remaining
     FROM fetched
     """,
 )
@@ -2492,16 +2495,23 @@ def lifecycle_sql_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks.append(eng.sql("FETCH 6 FROM cur"))
     chunks.append(eng.sql("FETCH ABSOLUTE 25 FROM cur"))
     chunks.append(eng.sql("FETCH BACKWARD 3 FROM cur"))
+    # positioned on row 22 after BACKWARD 3: positioned DELETE (the
+    # WHERE CURRENT OF idiom) removes exactly that row
+    eng.sql("DELETE FROM ord_cur WHERE CURRENT OF cur")
     eng.sql("CLOSE cur")
     eng.sql("COMMIT")
     out = chunks[0]
     for c in chunks[1:]:
         out = out.unionAll(c)
-    return out.agg(
+    agg = out.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("k").alias("sum_keys"),
         dsum("price", 2).alias("sum_price"),
     )
+    rem = eng.table("ord_cur").agg(
+        F.count(F.lit(1)).alias("n_remaining")
+    )
+    return agg.crossJoin(rem)
 
 
 @query(

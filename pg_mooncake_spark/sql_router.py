@@ -83,6 +83,14 @@ _CURSOR_FWD_ONLY_MSG = "cursor can only scan forward"
 _DECLARE_KIND = re.compile(r"^\s*DECLARE\b", re.I)
 _FETCH_MOVE_KIND = re.compile(r"^\s*(FETCH|MOVE)\b", re.I)
 _CLOSE_KIND = re.compile(r"^\s*CLOSE\b", re.I)
+_LOCK_KIND = re.compile(r"^\s*LOCK\b", re.I)
+
+# Postgres lock modes, LOCK TABLE's IN ... MODE vocabulary
+_LOCK_MODES = frozenset({
+    "ACCESS SHARE", "ROW SHARE", "ROW EXCLUSIVE",
+    "SHARE UPDATE EXCLUSIVE", "SHARE", "SHARE ROW EXCLUSIVE",
+    "EXCLUSIVE", "ACCESS EXCLUSIVE",
+})
 
 
 class _Cursor:
@@ -285,6 +293,14 @@ class _Cursor:
                 return [self._buf[p - 1]]
         return []
 
+    def current_row(self):
+        """The row the cursor is positioned ON, or None (before first /
+        after last) — the WHERE CURRENT OF anchor."""
+        if self.scroll:
+            rows = self._row_at(self.pos)
+            return rows[0] if rows else None
+        return self._current
+
 
 class SqlRouterMixin:
     """Statement router half of :class:`~pg_mooncake_spark.engine.
@@ -454,6 +470,8 @@ class SqlRouterMixin:
             return self._sql_fetch_move(query, fm.group(1).upper())
         if _CLOSE_KIND.match(query):
             return self._sql_close_cursor(query)
+        if _LOCK_KIND.match(query):
+            return self._sql_lock(query)
         mv = re.match(
             rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
             rf"{_SQL_TABLE}\s+AS\s+(.*?);?\s*$",
@@ -604,6 +622,22 @@ class SqlRouterMixin:
         snapshot temp views, rewrite catalog relations
         (``mooncake.list_tables()``, ``information_schema.tables`` /
         ``.columns``), and hand the statement to Spark SQL."""
+        # Postgres row-lock clause ``SELECT ... FOR UPDATE | NO KEY
+        # UPDATE | SHARE | KEY SHARE [OF t,...] [NOWAIT | SKIP LOCKED]``
+        # — locks rows in Postgres; a single-session engine has nobody
+        # to lock out, and Spark SQL does not parse the clause, so a
+        # top-level trailing lock clause is stripped (same inert class
+        # as LOCK TABLE; also legalizes DECLARE ... FOR UPDATE cursors,
+        # the WHERE CURRENT OF idiom).  String literals and subqueries
+        # are left alone (top-level match only).
+        lm = re.search(
+            r"\bFOR\s+(?:UPDATE|NO\s+KEY\s+UPDATE|SHARE|KEY\s+SHARE)\b"
+            r"(?:\s+OF\s+[\w\s,.\"]+?)?(?:\s+(?:NOWAIT|SKIP\s+LOCKED))?"
+            r"\s*;?\s*$",
+            _mask_quoted(query), re.I,
+        )
+        if lm and lm.start() in {i for i, _ in _scan_top(query)}:
+            query = query[:lm.start()].rstrip()
         # ``SELECT * FROM mooncake.list_tables()`` — the reference's
         # catalog relation (src/functions.rs:84-116) as a queryable SQL
         # spelling: rewrite top-level occurrences to a temp view over
@@ -1257,6 +1291,77 @@ class SqlRouterMixin:
             raise ValueError(f'cursor "{name}" does not exist')
         del self._cursors[name]
         return self._txn_result("CLOSE", f"cursor {name} closed")
+
+    def _sql_lock(self, query: str) -> DataFrame:
+        """``LOCK [TABLE] [ONLY] t [, ...] [IN <mode> MODE] [NOWAIT]``
+        — a Postgres concurrency statement with nothing to lock in a
+        single-session engine: the statement validates the way Postgres
+        does (inside a transaction block only, known tables, known lock
+        mode) and acknowledges.  Scripts that LOCK before bulk DML run
+        unchanged."""
+        m = re.match(
+            r"^\s*LOCK\s+(?:TABLE\s+)?(?:ONLY\s+)?(.+?)"
+            r"(?:\s+IN\s+(.+?)\s+MODE)?(\s+NOWAIT)?\s*;?\s*$",
+            query, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse statement: {query!r}")
+        if self._txn is None:
+            raise ValueError(
+                "LOCK TABLE can only be used in transaction blocks"
+            )
+        mode = re.sub(
+            r"\s+", " ", (m.group(2) or "ACCESS EXCLUSIVE").strip().upper()
+        )
+        if mode not in _LOCK_MODES:
+            raise ValueError(f"unknown lock mode {mode!r}")
+        tables = [x.strip().strip('"') for x in m.group(1).split(",")]
+        for tb in tables:
+            self._moontable(tb)  # unknown-table error, like Postgres
+        return self._txn_result(
+            "LOCK", f"{', '.join(tables)} ({mode.lower()})"
+        )
+
+    def _current_of_cond(self, t: str, cond: str) -> str:
+        """``WHERE CURRENT OF cursor`` — Postgres positioned
+        UPDATE/DELETE: resolve the clause to a primary-key equality
+        predicate for the cursor's current row, then flow through the
+        ordinary keyed DML path.  Requires the target's pk columns in
+        the cursor's SELECT list (the simply-updatable analog: the
+        cursor must expose enough to address the row) and the cursor
+        positioned ON a row.  Non-CURRENT-OF conditions pass through
+        untouched."""
+        m = re.match(
+            r'^\s*CURRENT\s+OF\s+("[^"]+"|[A-Za-z_]\w*)\s*$', cond, re.I
+        )
+        if not m:
+            return cond
+        cname = self._cursor_name(m.group(1))
+        cur = self._cursors.get(cname)
+        if cur is None:
+            raise ValueError(f'cursor "{cname}" does not exist')
+        row = cur.current_row()
+        if row is None:
+            raise ValueError(
+                f'cursor "{cname}" is not positioned on a row'
+            )
+        pk = self._moontable(t).primary_key() or []
+        if not pk:
+            raise ValueError(
+                f"WHERE CURRENT OF needs a primary-keyed table "
+                f"({self._canon(t)!r} has none)"
+            )
+        d = row.asDict()
+        missing = [k for k in pk if k not in d]
+        if missing:
+            raise ValueError(
+                f'cursor "{cname}" does not expose primary-key '
+                f"column(s) {missing} of {self._canon(t)!r}; include "
+                "them in the cursor's SELECT list"
+            )
+        return " AND ".join(
+            f"{k} = {_render_literal(d[k])}" for k in pk
+        )
 
     def _txn_close_cursors(self, txn: dict, committed: bool) -> None:
         """Transaction-end cursor sweep (Postgres): non-holdable
@@ -2031,7 +2136,7 @@ class SqlRouterMixin:
                     raise ValueError(
                         f"unexpected clause after DELETE target: {rest!r}"
                     )
-                cond = rest[5:].strip()
+                cond = self._current_of_cond(t, rest[5:].strip())
             if using_sql is not None:
                 return self._sql_delete_using(
                     t, tgt_alias, using_sql, cond, returning=returning
@@ -2067,7 +2172,9 @@ class SqlRouterMixin:
                     cond = from_sql[wi + len("WHERE"):].strip()
                     from_sql = from_sql[:wi]
                 else:
-                    cond = rest[wi + len("WHERE"):].strip()
+                    cond = self._current_of_cond(
+                        t, rest[wi + len("WHERE"):].strip()
+                    )
                     rest = rest[:wi]
             assignments: dict[str, str] = {}
             for part in _split_top_commas(rest):

@@ -260,3 +260,115 @@ class TestLifecycle:
         with pytest.raises(ValueError, match="only scan forward"):
             eng.sql("FETCH PRIOR FROM c")
         eng.sql("ROLLBACK")
+
+
+class TestWhereCurrentOf:
+    """Positioned UPDATE/DELETE (Postgres ``WHERE CURRENT OF``): the
+    clause resolves to a primary-key predicate for the cursor's current
+    row and flows through the ordinary keyed DML path."""
+
+    def test_update_current_row(self, eng):
+        eng.sql("BEGIN")
+        eng.sql(
+            "DECLARE c CURSOR FOR SELECT k, v FROM t ORDER BY k FOR UPDATE"
+        )
+        eng.sql("FETCH 3 FROM c")  # positioned on k=3
+        eng.sql("UPDATE t SET v = 'touched' WHERE CURRENT OF c")
+        eng.sql("COMMIT")
+        rows = {r.k: r.v for r in eng.table("t").collect()}
+        assert rows[3] == "touched"
+        assert rows[2] == "v2"
+
+    def test_delete_current_row(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k FROM t ORDER BY k")
+        eng.sql("MOVE 5 FROM c")  # positioned on k=5
+        eng.sql("DELETE FROM t WHERE CURRENT OF c")
+        eng.sql("COMMIT")
+        assert 5 not in {r.k for r in eng.table("t").collect()}
+        assert eng.table("t").count() == 9
+
+    def test_not_positioned_refuses(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k FROM t ORDER BY k")
+        with pytest.raises(ValueError, match="not positioned"):
+            eng.sql("DELETE FROM t WHERE CURRENT OF c")
+        eng.sql("ROLLBACK")
+        # after-last is not positioned either
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT k FROM t ORDER BY k")
+        eng.sql("FETCH ALL FROM c")
+        eng.sql("FETCH 1 FROM c")
+        with pytest.raises(ValueError, match="not positioned"):
+            eng.sql("DELETE FROM t WHERE CURRENT OF c")
+        eng.sql("ROLLBACK")
+
+    def test_cursor_must_expose_pk(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c CURSOR FOR SELECT v FROM t ORDER BY v")
+        eng.sql("FETCH 1 FROM c")
+        with pytest.raises(ValueError, match="primary-key column"):
+            eng.sql("UPDATE t SET v = 'x' WHERE CURRENT OF c")
+        eng.sql("ROLLBACK")
+
+    def test_update_returning_current_of(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE c SCROLL CURSOR FOR SELECT k FROM t ORDER BY k")
+        eng.sql("FETCH ABSOLUTE 7 FROM c")
+        rows = eng.sql(
+            "UPDATE t SET v = 'ret' WHERE CURRENT OF c RETURNING k, v"
+        ).collect()
+        assert [(r.k, r.v) for r in rows] == [(7, "ret")]
+        eng.sql("ROLLBACK")
+
+    def test_unknown_cursor_refuses(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("DELETE FROM t WHERE CURRENT OF nope")
+        eng.sql("ROLLBACK")
+
+
+class TestLockAndRowLocks:
+    """LOCK TABLE and SELECT ... FOR UPDATE/SHARE — Postgres
+    concurrency statements with nothing to lock in a single-session
+    engine: validated (txn block, known table, known mode) and inert."""
+
+    def test_lock_table_in_block(self, eng):
+        eng.sql("BEGIN")
+        r = eng.sql("LOCK TABLE t IN ACCESS EXCLUSIVE MODE").collect()[0]
+        assert r["statement"] == "LOCK"
+        eng.sql("LOCK t")  # bare spelling, default mode
+        eng.sql("LOCK TABLE t IN ROW SHARE MODE NOWAIT")
+        eng.sql("COMMIT")
+
+    def test_lock_outside_block_refuses(self, eng):
+        with pytest.raises(ValueError, match="transaction blocks"):
+            eng.sql("LOCK TABLE t")
+
+    def test_lock_unknown_table_refuses(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(Exception):
+            eng.sql("LOCK TABLE no_such_table_xyz")
+        eng.sql("ROLLBACK")
+
+    def test_lock_unknown_mode_refuses(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="unknown lock mode"):
+            eng.sql("LOCK TABLE t IN TURBO MODE")
+        eng.sql("ROLLBACK")
+
+    def test_select_for_update_strips(self, eng):
+        rows = eng.sql(
+            "SELECT k, v FROM t WHERE k <= 2 ORDER BY k FOR UPDATE"
+        ).collect()
+        assert [r.k for r in rows] == [1, 2]
+        assert eng.sql(
+            "SELECT k FROM t ORDER BY k LIMIT 1 FOR NO KEY UPDATE NOWAIT"
+        ).collect()[0].k == 1
+        assert eng.sql(
+            "SELECT k FROM t ORDER BY k LIMIT 1 FOR SHARE OF t SKIP LOCKED"
+        ).collect()[0].k == 1
+
+    def test_for_update_in_string_literal_untouched(self, eng):
+        r = eng.sql("SELECT 'FOR UPDATE' AS s").collect()[0]
+        assert r.s == "FOR UPDATE"
