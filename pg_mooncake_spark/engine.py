@@ -1577,7 +1577,7 @@ class MooncakeEngine(SqlRouterMixin):
                 )
         return v
 
-    def drop_column(self, dst: str, col: str) -> int:
+    def drop_column(self, dst: str, col: str, dry_run: bool = False) -> int:
         """Propagate an upstream ALTER TABLE DROP COLUMN (extension
         territory, same as rename_column — the reference does no ALTER
         propagation, SURVEY §1.3): metadata-only on the mirror (a
@@ -1589,8 +1589,14 @@ class MooncakeEngine(SqlRouterMixin):
 
         Refused loudly when a dependent would break: primary-key
         columns, follower mirrors (their feed drain would drift), and
-        materialized views whose spec references the column."""
-        self._no_txn("drop_column")
+        materialized views whose spec references the column.
+
+        ``dry_run`` runs every refusal (including the Delta export
+        check_only pre-flights) and stops before any mutation — the
+        transactional STAGE path, so a bad ALTER aborts its own
+        statement, never the COMMIT."""
+        if not dry_run:
+            self._no_txn("drop_column")
         dst = self._canon(dst)
         mt = self._moontable(dst)
         entry = self.catalog.get(dst)
@@ -1659,6 +1665,8 @@ class MooncakeEngine(SqlRouterMixin):
         for path in exports:
             if os.path.isdir(os.path.join(path, "_delta_log")):
                 drop_column_delta(path, col, check_only=True)
+        if dry_run:
+            return 0
         for path in exports:  # exports first: a refusal leaves the
             # mirror untouched and the op retryable
             if os.path.isdir(os.path.join(path, "_delta_log")):
@@ -2080,6 +2088,15 @@ class MooncakeEngine(SqlRouterMixin):
                         self._sql_alter_column(
                             name, spec["col"], spec["action"]
                         )
+                    elif spec["op"] == "drop_column":
+                        # idempotent: absence means OUR drop already ran
+                        # (export-side drops inside are retry-safe too)
+                        cols = [
+                            f.name
+                            for f in self._moontable(name).schema().fields
+                        ]
+                        if spec["col"] in cols:
+                            self.drop_column(name, spec["col"])
                     else:  # pragma: no cover - manifest corruption
                         raise ValueError(
                             f"unknown staged ALTER op {spec!r}"
@@ -2339,6 +2356,22 @@ class MooncakeEngine(SqlRouterMixin):
                 f"changes in this transaction block (a {touched[0]!r} "
                 "batch was compiled against the pre-ALTER schema); "
                 "COMMIT or ROLLBACK first"
+            ))
+        if any(
+            n == name and k == "alter"
+            and (s or {}).get("op") == "drop_column"
+            for n, k, s in self._txn["staged"]
+        ):
+            # a staged DROP COLUMN is exclusive among the table's
+            # ALTERs: a later staged ALTER whose expression/column
+            # references the dropped column would only fail at COMMIT
+            # replay — past the commit point.  Refuse loudly at the
+            # statement instead (the DROP COLUMN stage enforces the
+            # mirror-image rule).
+            raise self._txn_abort(ValueError(
+                f"ALTER TABLE on {name!r} is not supported after a "
+                "staged DROP COLUMN in this transaction block; COMMIT "
+                "or ROLLBACK first"
             ))
 
     def _txn_dml_gate(self, dst: str) -> None:

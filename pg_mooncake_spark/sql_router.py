@@ -3367,12 +3367,37 @@ class SqlRouterMixin:
         if m:
             t, if_exists = m.group(1), bool(m.group(2))
             col = m.group(3).strip('"')
-            self._no_txn("ALTER TABLE DROP COLUMN")
             existing = [f.name for f in self._moontable(t).schema().fields]
             if col not in existing:
                 if if_exists:
                     return self._dml_result("ALTER", t, 0)
                 raise ValueError(f"no column {col!r} on {t!r}")
+            if self._txn is not None:
+                # stage on an untouched table (round 15): every refusal
+                # (pk / dependent checks / generated columns / followers
+                # / matviews / Delta export pre-flights) runs at STAGE
+                # time via dry_run.  A staged DROP COLUMN is exclusive
+                # among the table's ALTERs in the block — an earlier
+                # staged ALTER could reference the column and would
+                # only fail at COMMIT replay, past the commit point
+                canon = self._canon(t)
+                self._txn_check_writable(canon)
+                self._txn_alter_gate(canon)
+                if any(
+                    n == canon and k2 == "alter"
+                    for n, k2, _ in self._txn["staged"]
+                ):
+                    raise ValueError(
+                        f"ALTER TABLE DROP COLUMN on {canon!r} cannot "
+                        "follow other staged ALTERs in this transaction "
+                        "block; COMMIT or ROLLBACK first"
+                    )
+                self.drop_column(t, col, dry_run=True)
+                self._txn_stage_alter(
+                    canon, {"op": "drop_column", "col": col},
+                    overlay_df=self.table(t).drop(col),
+                )
+                return self._dml_result("ALTER", t, -1)
             v = self.drop_column(t, col)
             return self._dml_result("ALTER", t, v)
         # --- constraint lifecycle (round 12; Postgres error spellings) ---

@@ -117,14 +117,12 @@ class TestRollbackAndAbort:
         assert _rows(eng, "a") == [(1, "a1"), (2, "a2")]
 
     def test_ddl_and_call_refused_inside_block(self, eng):
-        # CREATE/DROP TABLE and (r15) ALTER ADD COLUMN / ADD CHECK now
-        # STAGE transactionally (TestTransactionalDDL /
-        # TestTransactionalAlter); the remaining ALTER shapes, CALL, and
-        # the API lifecycle methods still refuse
-        eng.sql("BEGIN")
-        with pytest.raises(ValueError, match="transaction"):
-            eng.sql("ALTER TABLE a DROP COLUMN v")
-        eng.sql("ROLLBACK")
+        # CREATE/DROP TABLE and (r15) ALTER ADD/DROP COLUMN, ADD CHECK,
+        # DROP/VALIDATE CONSTRAINT, ALTER COLUMN now STAGE
+        # transactionally (TestTransactionalDDL / TestTransactionalAlter
+        # / TestTransactionalAlterMore / TestTransactionalDropColumn);
+        # RENAME, CALL maintenance procedures, and the API lifecycle
+        # methods still refuse
         eng.sql("BEGIN")
         with pytest.raises(ValueError, match="transaction"):
             eng.sql("ALTER TABLE a RENAME COLUMN v TO w")
@@ -1037,4 +1035,87 @@ class TestTransactionalAlterMore:
         cons = e2._constraints("b") or {}
         assert "n" in cons.get("not_null", [])
         assert (cons.get("defaults") or {}).get("n") == "7"
+        assert e2.recover_transactions() == []
+
+
+class TestTransactionalDropColumn:
+    """Round-15: DROP COLUMN stages inside BEGIN blocks on untouched
+    tables.  Every refusal runs at stage time (dry_run); a staged DROP
+    COLUMN is exclusive among the table's ALTERs in the block — either
+    ordering of the interplay refuses loudly instead of failing at
+    COMMIT replay, past the commit point."""
+
+    def test_commit_drops(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a DROP COLUMN v")
+        # read-your-writes: the block sees the narrowed schema
+        assert eng.sql("SELECT * FROM a").columns == ["k"]
+        eng.sql("COMMIT")
+        assert [f.name for f in eng._moontable("a").schema().fields] == [
+            "k",
+        ]
+
+    def test_rollback_keeps_column(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a DROP COLUMN v")
+        eng.sql("ROLLBACK")
+        assert [f.name for f in eng._moontable("a").schema().fields] == [
+            "k", "v",
+        ]
+        assert _rows(eng, "a") == [(1, "a1"), (2, "a2")]
+
+    def test_pk_refuses_at_stage(self, eng):
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="primary-key"):
+            eng.sql("ALTER TABLE a DROP COLUMN k")
+        eng.sql("ROLLBACK")
+
+    def test_dependent_check_refuses_at_stage(self, eng):
+        eng.sql("ALTER TABLE b ADD CONSTRAINT b_pos CHECK (n > 0)")
+        eng.sql("BEGIN")
+        with pytest.raises(ValueError, match="depends on it"):
+            eng.sql("ALTER TABLE b DROP COLUMN n")
+        eng.sql("ROLLBACK")
+
+    def test_drop_after_other_alter_refuses(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b ALTER COLUMN n SET DEFAULT 7")
+        with pytest.raises(ValueError, match="cannot follow other staged"):
+            eng.sql("ALTER TABLE b DROP COLUMN n")
+        eng.sql("ROLLBACK")
+
+    def test_alter_after_staged_drop_refuses(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE b DROP COLUMN n")
+        with pytest.raises(ValueError, match="staged DROP COLUMN"):
+            eng.sql("ALTER TABLE b ADD COLUMN extra int")
+        eng.sql("ROLLBACK")
+
+    def test_unknown_column_if_exists(self, eng):
+        eng.sql("BEGIN")
+        r = eng.sql("ALTER TABLE a DROP COLUMN IF EXISTS nope").collect()[0]
+        assert r["version"] == 0
+        with pytest.raises(ValueError, match="no column"):
+            eng.sql("ALTER TABLE a DROP COLUMN nope")
+        eng.sql("ROLLBACK")
+
+    def test_crash_mid_replay_recovers(
+        self, eng, spark, warehouse, monkeypatch
+    ):
+        eng.sql("BEGIN")
+        eng.sql("ALTER TABLE a DROP COLUMN v")
+
+        monkeypatch.setattr(
+            MooncakeEngine, "_replay_txn",
+            lambda self_, m: (_ for _ in ()).throw(
+                RuntimeError("crash before replay")
+            ),
+        )
+        with pytest.raises(RuntimeError):
+            eng.sql("COMMIT")
+        monkeypatch.undo()
+        e2 = MooncakeEngine(spark, warehouse)  # attach runs recovery
+        assert [f.name for f in e2._moontable("a").schema().fields] == [
+            "k",
+        ]
         assert e2.recover_transactions() == []
