@@ -2097,6 +2097,13 @@ class MooncakeEngine(SqlRouterMixin):
                         ]
                         if spec["col"] in cols:
                             self.drop_column(name, spec["col"])
+                    elif spec["op"] == "create_index":
+                        self._register_index(
+                            name, spec["iname"], spec["spec"],
+                            skip_if_exists=True,
+                        )
+                    elif spec["op"] == "drop_index":
+                        self._unregister_index(name, spec["iname"])
                     else:  # pragma: no cover - manifest corruption
                         raise ValueError(
                             f"unknown staged ALTER op {spec!r}"

@@ -152,6 +152,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2/25 of their rows BEFORE the orderkey shuffle, and only the exact
     cross-pair residual remains post-join (~1.5x faster; the win grows
     with nation count at scale).
+
+    Eager-aggregation (the r15 lever) is a predicted negative here and
+    deliberately not applied: pre-aggregating li_side per (l_orderkey,
+    supp_nation, l_year) collapses ~0.3 rows per key after the 2/25
+    nation filter — below even q3's ~1 row/key, which measured 7.14 s
+    vs 3.86 s against the join-first shape (BASELINE.md r15: the lever
+    pays iff the aggregate collapses many rows per join key; q13 ~10,
+    q10 ~4 ✓; q3/q5/semi ~1 ✗).
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")

@@ -472,6 +472,12 @@ class SqlRouterMixin:
             return self._sql_close_cursor(query)
         if _LOCK_KIND.match(query):
             return self._sql_lock(query)
+        if re.match(r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b", query, re.I):
+            return self._sql_create_index(query)
+        if re.match(r"^\s*DROP\s+INDEX\b", query, re.I):
+            return self._sql_drop_index(query)
+        if re.match(r"^\s*REINDEX\b", query, re.I):
+            return self._sql_reindex(query)
         mv = re.match(
             rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
             rf"{_SQL_TABLE}\s+AS\s+(.*?);?\s*$",
@@ -1321,6 +1327,197 @@ class SqlRouterMixin:
         return self._txn_result(
             "LOCK", f"{', '.join(tables)} ({mode.lower()})"
         )
+
+    # ------------------------------------------------------------- indexes
+
+    def _index_registry(self) -> dict:
+        """Index name -> (table, spec) across the catalog (Postgres
+        indexes share one schema-wide namespace), plus the open block's
+        staged creations minus its staged drops."""
+        out: dict = {}
+        for tb in self.catalog.list_tables():
+            cons = self._constraints(tb) or {}
+            for iname, spec in (cons.get("indexes") or {}).items():
+                out[iname] = (tb, spec)
+        if self._txn is not None:
+            for n, k, s in self._txn["staged"]:
+                if k != "alter":
+                    continue
+                if s.get("op") == "create_index":
+                    out[s["iname"]] = (n, s["spec"])
+                elif s.get("op") == "drop_index":
+                    out.pop(s["iname"], None)
+        return out
+
+    def _register_index(
+        self, t: str, iname: str, spec: dict, skip_if_exists: bool = False
+    ) -> None:
+        cons = self._constraints(t) or {}
+        idx = dict(cons.get("indexes") or {})
+        if iname in idx and skip_if_exists:
+            return
+        idx[iname] = spec
+        cons["indexes"] = idx
+        self._set_constraints(t, cons)
+
+    def _unregister_index(self, t: str, iname: str) -> None:
+        cons = self._constraints(t) or {}
+        idx = dict(cons.get("indexes") or {})
+        if iname in idx:
+            del idx[iname]
+            cons["indexes"] = idx
+            self._set_constraints(t, cons)
+
+    def _sql_create_index(self, query: str) -> DataFrame:
+        """``CREATE [UNIQUE] INDEX [CONCURRENTLY] [IF NOT EXISTS]
+        [name] ON [ONLY] t [USING method] (col | (expr) [ASC|DESC|NULLS
+        ...], ...) [INCLUDE (...)] [WITH (...)] [WHERE pred]`` — the
+        pg_dump/app spelling, validated and catalog-recorded but
+        execution-inert: a columnstore prunes scans by per-file
+        statistics, not b-trees, so a secondary index changes no
+        result and no plan (``CLUSTER`` / ``optimize 'sort:'`` is the
+        physical-order tool — that hint is in the acknowledgment).
+        Validation is real: the table and every key column/expression
+        must resolve, names are schema-wide unique, and UNIQUE refuses
+        loudly — it would silently not enforce, and a PRIMARY KEY is
+        the enforced spelling here.
+
+        Inside a transaction block the registration stages (Postgres
+        runs index DDL transactionally) WITHOUT the untouched-table
+        gates the other ALTERs need: an inert metadata entry cannot
+        invalidate staged batches in either direction, and pg_dump
+        --single-transaction loads data then builds indexes on the same
+        tables in one block."""
+        m = re.match(
+            r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?"
+            r'(IF\s+NOT\s+EXISTS\s+)?(?:("[^"]+"|\w+)\s+)?ON\s+'
+            rf"(?:ONLY\s+)?{_SQL_TABLE}(?:\s+USING\s+\w+)?\s*\((.*?)\)\s*"
+            r"(?:INCLUDE\s*\([^)]*\)\s*)?(?:WITH\s*\([^)]*\)\s*)?"
+            r"(?:WHERE\s+(.+?))?\s*;?\s*$",
+            query, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE INDEX: {query!r}")
+        unique, if_not_exists = bool(m.group(1)), bool(m.group(2))
+        iname = m.group(3)
+        t, cols_sql, where = m.group(4), m.group(5).strip(), m.group(6)
+        if unique:
+            raise ValueError(
+                "UNIQUE indexes are not enforced by this engine "
+                "(columnstore); declare a PRIMARY KEY instead — that IS "
+                "enforced on every write path"
+            )
+        canon = self._canon(t)  # unknown-table error first
+        schema_cols = {f.name for f in self._txn_visible_schema(t).fields}
+        keys: list[str] = []
+        for item in _split_top_commas(cols_sql):
+            item = re.sub(
+                r"\s+(?:ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\s*$", "",
+                item.strip(), flags=re.I,
+            ).strip()
+            if not item:
+                continue
+            if re.match(r'^("[^"]+"|[A-Za-z_]\w*)$', item):
+                bare = item.strip('"')
+                if bare not in schema_cols:
+                    raise ValueError(
+                        f'column "{bare}" does not exist on {canon!r}'
+                    )
+            else:
+                self._analysis_check_expr(t, "INDEX", item)
+            keys.append(item)
+        if not keys:
+            raise ValueError(f"CREATE INDEX needs at least one column: {query!r}")
+        if where:
+            self._analysis_check_expr(t, "INDEX WHERE", where.strip())
+        taken = self._index_registry()
+        if iname is None:
+            base = (
+                f"{canon.replace('.', '_')}_"
+                f"{re.sub(r'[^A-Za-z0-9_]+', '_', keys[0]).strip('_')}_idx"
+            )
+            iname, n2 = base, 0
+            while iname in taken:
+                n2 += 1
+                iname = f"{base}{n2}"
+        else:
+            iname = self._cursor_name(iname)  # same identifier folding
+            if iname in taken:
+                if if_not_exists:
+                    return self._dml_result("CREATE INDEX", t, 0)
+                raise ValueError(f'relation "{iname}" already exists')
+        spec = {
+            "cols": keys,
+            "where": where.strip() if where else None,
+        }
+        if self._txn is not None:
+            self._txn_check_writable(canon)
+            self._txn["staged"].append(
+                (canon, "alter", {"op": "create_index", "iname": iname,
+                                  "spec": spec})
+            )
+            return self._dml_result("CREATE INDEX", t, -1)
+        self._register_index(canon, iname, spec)
+        return self._dml_result("CREATE INDEX", t, 1)
+
+    def _sql_drop_index(self, query: str) -> DataFrame:
+        """``DROP INDEX [CONCURRENTLY] [IF EXISTS] name [, ...]
+        [CASCADE|RESTRICT]`` — removes catalog entries; stages inside a
+        transaction block (inert metadata, same as CREATE INDEX)."""
+        m = re.match(
+            r"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(IF\s+EXISTS\s+)?"
+            r"(.+?)\s*(?:\b(?:CASCADE|RESTRICT))?\s*;?\s*$",
+            query, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DROP INDEX: {query!r}")
+        if_exists = bool(m.group(1))
+        names = [
+            self._cursor_name(x.strip())
+            for x in m.group(2).split(",") if x.strip()
+        ]
+        reg = self._index_registry()
+        dropped = 0
+        for iname in names:
+            if iname not in reg:
+                if if_exists:
+                    continue
+                raise ValueError(f'index "{iname}" does not exist')
+            tb = reg[iname][0]
+            if self._txn is not None:
+                self._txn_check_writable(tb)
+                self._txn["staged"].append(
+                    (tb, "alter", {"op": "drop_index", "iname": iname})
+                )
+            else:
+                self._unregister_index(tb, iname)
+            dropped += 1
+        return self._dml_result(
+            "DROP INDEX", ", ".join(names) or "*",
+            -1 if self._txn is not None else dropped,
+        )
+
+    def _sql_reindex(self, query: str) -> DataFrame:
+        """``REINDEX [(opts)] {INDEX|TABLE|SCHEMA|DATABASE|SYSTEM}
+        [CONCURRENTLY] name`` — validated acknowledgment (there is no
+        b-tree to rebuild; the statement exists so maintenance scripts
+        run; the real maintenance analog is ``VACUUM`` /
+        ``CALL mooncake.optimize_table``)."""
+        m = re.match(
+            r"^\s*REINDEX\s*(?:\([^)]*\)\s*)?"
+            r"(INDEX|TABLE|SCHEMA|DATABASE|SYSTEM)\s+"
+            r"(?:CONCURRENTLY\s+)?([\w.\"]+)\s*;?\s*$",
+            query, re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse REINDEX: {query!r}")
+        kind, target = m.group(1).upper(), m.group(2).strip('"')
+        if kind == "INDEX":
+            if target.lower() not in self._index_registry():
+                raise ValueError(f'index "{target.lower()}" does not exist')
+        elif kind == "TABLE":
+            self._moontable(target)  # unknown-table error, like Postgres
+        return self._dml_result("REINDEX", target, 0)
 
     def _current_of_cond(self, t: str, cond: str) -> str:
         """``WHERE CURRENT OF cursor`` — Postgres positioned

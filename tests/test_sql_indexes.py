@@ -1,0 +1,153 @@
+"""CREATE/DROP INDEX and REINDEX (round 15) — the pg_dump/app
+spelling, validated and catalog-recorded but execution-inert: a
+columnstore prunes scans by per-file statistics, not b-trees.  UNIQUE
+refuses loudly (it would silently not enforce)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.engine import MooncakeEngine
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    e = MooncakeEngine(spark, warehouse)
+    e.sql("CREATE TABLE t (k int PRIMARY KEY, v text, x double)")
+    e.sql("INSERT INTO t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    return e
+
+
+def _indexes(eng, t="t"):
+    return dict((eng._constraints(t) or {}).get("indexes") or {})
+
+
+class TestCreateIndex:
+    def test_create_records_and_results_unchanged(self, eng):
+        r = eng.sql("CREATE INDEX t_v_idx ON t (v)").collect()[0]
+        assert r["statement"] == "CREATE INDEX"
+        assert "t_v_idx" in _indexes(eng)
+        # inert: queries still answer identically
+        assert eng.sql("SELECT count(*) AS n FROM t WHERE v = 'a'") \
+            .collect()[0]["n"] == 1
+
+    def test_auto_name_and_dedup(self, eng):
+        eng.sql("CREATE INDEX ON t (v)")
+        eng.sql("CREATE INDEX ON t (v, k)")
+        names = set(_indexes(eng))
+        assert "t_v_idx" in names and "t_v_idx1" in names
+
+    def test_unique_refuses(self, eng):
+        with pytest.raises(ValueError, match="PRIMARY KEY"):
+            eng.sql("CREATE UNIQUE INDEX u_idx ON t (v)")
+
+    def test_unknown_column_refuses(self, eng):
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("CREATE INDEX bad_idx ON t (nope)")
+
+    def test_expression_index_validates(self, eng):
+        eng.sql("CREATE INDEX expr_idx ON t (lower(v), (x * 2) DESC)")
+        assert _indexes(eng)["expr_idx"]["cols"] == ["lower(v)", "(x * 2)"]
+        with pytest.raises(Exception):
+            eng.sql("CREATE INDEX bad2_idx ON t (lower(nope))")
+
+    def test_partial_index_where_validates(self, eng):
+        eng.sql("CREATE INDEX part_idx ON t (k) WHERE x > 1.0")
+        assert _indexes(eng)["part_idx"]["where"] == "x > 1.0"
+        with pytest.raises(Exception):
+            eng.sql("CREATE INDEX bad3_idx ON t (k) WHERE nope > 1")
+
+    def test_duplicate_name_schema_wide(self, eng):
+        eng.sql("CREATE TABLE t2 (a int PRIMARY KEY)")
+        eng.sql("CREATE INDEX shared_idx ON t (v)")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE INDEX shared_idx ON t2 (a)")
+        # IF NOT EXISTS: quiet no-op
+        r = eng.sql(
+            "CREATE INDEX IF NOT EXISTS shared_idx ON t2 (a)"
+        ).collect()[0]
+        assert r["version"] == 0
+
+    def test_using_and_options_accepted(self, eng):
+        eng.sql(
+            "CREATE INDEX CONCURRENTLY opt_idx ON t USING btree (v ASC) "
+            "WITH (fillfactor = 70)"
+        )
+        assert "opt_idx" in _indexes(eng)
+
+
+class TestDropReindex:
+    def test_drop_index(self, eng):
+        eng.sql("CREATE INDEX d_idx ON t (v)")
+        eng.sql("DROP INDEX d_idx")
+        assert "d_idx" not in _indexes(eng)
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("DROP INDEX d_idx")
+        eng.sql("DROP INDEX IF EXISTS d_idx")  # quiet
+
+    def test_drop_multiple(self, eng):
+        eng.sql("CREATE INDEX i1 ON t (v)")
+        eng.sql("CREATE INDEX i2 ON t (k)")
+        eng.sql("DROP INDEX i1, i2 CASCADE")
+        assert not _indexes(eng)
+
+    def test_drop_table_drops_its_indexes(self, eng):
+        eng.sql("CREATE INDEX gone_idx ON t (v)")
+        eng.sql("DROP TABLE t")
+        eng.sql("CREATE TABLE t3 (a int PRIMARY KEY)")
+        # the name is free again (schema-wide registry rebuilt)
+        eng.sql("CREATE INDEX gone_idx ON t3 (a)")
+
+    def test_reindex(self, eng):
+        eng.sql("CREATE INDEX r_idx ON t (v)")
+        assert eng.sql("REINDEX INDEX r_idx").collect()[0][
+            "statement"] == "REINDEX"
+        eng.sql("REINDEX TABLE t")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("REINDEX INDEX nope_idx")
+        with pytest.raises(Exception):
+            eng.sql("REINDEX TABLE no_such_table")
+
+
+class TestIndexInTxn:
+    """Index DDL stages inside transaction blocks WITHOUT the
+    untouched-table gates — inert metadata cannot invalidate staged
+    batches, and pg_dump --single-transaction loads data then builds
+    indexes on the same tables in one block."""
+
+    def test_data_then_index_same_table_one_block(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO t VALUES (3, 'c', 3.0)")
+        eng.sql("CREATE INDEX late_idx ON t (v)")  # after DML: allowed
+        eng.sql("INSERT INTO t VALUES (4, 'd', 4.0)")  # DML after: allowed
+        eng.sql("COMMIT")
+        assert "late_idx" in _indexes(eng)
+        assert eng.table("t").count() == 4
+
+    def test_rollback_leaves_no_index(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("CREATE INDEX ghost_idx ON t (v)")
+        # read-your-writes: a duplicate errors inside the block
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE INDEX ghost_idx ON t (k)")
+        eng.sql("ROLLBACK")
+        assert "ghost_idx" not in _indexes(eng)
+        eng.sql("CREATE INDEX ghost_idx ON t (v)")  # name free again
+
+    def test_staged_drop_index(self, eng):
+        eng.sql("CREATE INDEX sd_idx ON t (v)")
+        eng.sql("BEGIN")
+        eng.sql("DROP INDEX sd_idx")
+        # read-your-writes: the name is droppable/creatable again
+        eng.sql("CREATE INDEX sd_idx ON t (k)")
+        eng.sql("COMMIT")
+        assert _indexes(eng)["sd_idx"]["cols"] == ["k"]
+
+    def test_savepoint_rolls_back_staged_index(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("SAVEPOINT sp")
+        eng.sql("CREATE INDEX sp_idx ON t (v)")
+        eng.sql("ROLLBACK TO sp")
+        eng.sql("CREATE INDEX sp_idx ON t (k)")  # name free again
+        eng.sql("COMMIT")
+        assert _indexes(eng)["sp_idx"]["cols"] == ["k"]
