@@ -692,6 +692,28 @@ class SqlRouterMixin:
                 prev = e
             out.append(query[prev:])
             query = "".join(out)
+        # pg_catalog relations psql-style tooling reads: pg_tables /
+        # pg_views / pg_indexes (round 15; unqualified spellings too —
+        # pg_catalog is always on the Postgres search path)
+        pc_hits = [
+            (m.span(), m.group(1).lower())
+            for m in re.finditer(
+                r"\b(?:pg_catalog\s*\.\s*)?(pg_tables|pg_views|pg_indexes)\b",
+                _mask_quoted(query), re.I,
+            )
+        ]
+        if pc_hits:
+            for rel in {r for _, r in pc_hits}:
+                self._pg_catalog_df(rel).createOrReplaceTempView(
+                    f"__mooncake_{rel}"
+                )
+            out, prev = [], 0
+            for (s, e), rel in pc_hits:
+                out.append(query[prev:s])
+                out.append(f"__mooncake_{rel}")
+                prev = e
+            out.append(query[prev:])
+            query = "".join(out)
         # time-travel spelling: ``FROM t FOR VERSION AS OF 3`` /
         # ``FOR [SYSTEM_TIME|TIMESTAMP] AS OF '…'`` (SQL:2011 system
         # versioning; the bare Delta spellings VERSION/TIMESTAMP AS OF
@@ -1939,6 +1961,56 @@ class SqlRouterMixin:
             "primary_key boolean, column_default string, "
             "generation_expression string",
         )
+    def _pg_catalog_df(self, rel: str) -> DataFrame:
+        """``pg_tables`` / ``pg_views`` / ``pg_indexes`` over the engine
+        catalog — the pg_catalog relations psql's ``\\dt`` / ``\\dv`` /
+        ``\\di`` and ORM introspection read.  Column sets match
+        Postgres; indexes come from the round-15 index registry, and a
+        ``pg_indexes.indexdef`` is a replayable CREATE INDEX
+        statement."""
+        t_rows, v_rows, i_rows = [], [], []
+        for name, e in sorted(self.catalog.list_tables().items()):
+            schema_part, _, table_part = name.rpartition(".")
+            schema_part = schema_part or "public"
+            cfg = e.get("table_config") or {}
+            kind = cfg.get("kind") or "mirror"
+            if kind in ("mview", "logical_view"):
+                v_rows.append(
+                    (schema_part, table_part, "mooncake",
+                     cfg.get("view_sql"))
+                )
+                continue
+            indexes = (cfg.get("constraints") or {}).get("indexes") or {}
+            t_rows.append(
+                (schema_part, table_part, "mooncake", None,
+                 bool(indexes), False, False, False)
+            )
+            for iname, spec in indexes.items():
+                where = f" WHERE {spec['where']}" if spec.get("where") else ""
+                i_rows.append(
+                    (schema_part, table_part, iname, None,
+                     f"CREATE INDEX {iname} ON {name} "
+                     f"({', '.join(spec['cols'])}){where}")
+                )
+        if rel == "pg_tables":
+            return self.spark.createDataFrame(
+                t_rows,
+                "schemaname string, tablename string, tableowner string, "
+                "tablespace string, hasindexes boolean, hasrules boolean, "
+                "hastriggers boolean, rowsecurity boolean",
+            )
+        if rel == "pg_views":
+            return self.spark.createDataFrame(
+                v_rows,
+                "schemaname string, viewname string, viewowner string, "
+                "definition string",
+            )
+        return self.spark.createDataFrame(
+            i_rows,
+            "schemaname string, tablename string, indexname string, "
+            "tablespace string, indexdef string",
+        )
+
     def _information_schema_df(self, rel: str) -> DataFrame:
         """Build ``information_schema.tables`` / ``.columns`` over the
         engine catalog — the standard relations Postgres clients

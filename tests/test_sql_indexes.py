@@ -151,3 +151,42 @@ class TestIndexInTxn:
         eng.sql("CREATE INDEX sp_idx ON t (k)")  # name free again
         eng.sql("COMMIT")
         assert _indexes(eng)["sp_idx"]["cols"] == ["k"]
+
+
+class TestPgCatalog:
+    """pg_catalog.pg_tables / pg_views / pg_indexes — the relations
+    psql's \\dt / \\dv / \\di and ORM introspection read (unqualified
+    spellings too: pg_catalog is always on the Postgres search
+    path)."""
+
+    def test_pg_tables(self, eng):
+        rows = eng.sql(
+            "SELECT * FROM pg_catalog.pg_tables WHERE tablename = 't'"
+        ).collect()
+        assert len(rows) == 1 and rows[0].hasindexes is False
+        eng.sql("CREATE INDEX pt_idx ON t (v)")
+        assert eng.sql(
+            "SELECT hasindexes FROM pg_tables WHERE tablename = 't'"
+        ).collect()[0].hasindexes is True
+
+    def test_pg_views_lists_views_not_tables(self, eng):
+        eng.sql("CREATE VIEW v_small AS SELECT k FROM t WHERE k > 1")
+        rows = eng.sql("SELECT viewname, definition FROM pg_views").collect()
+        byname = {r.viewname: r.definition for r in rows}
+        assert "v_small" in byname
+        assert "k > 1" in byname["v_small"]
+        assert "t" not in byname  # base tables are not views
+
+    def test_pg_indexes_definition_replays(self, eng):
+        eng.sql("CREATE INDEX pi_idx ON t (v, lower(v)) WHERE k > 0")
+        row = eng.sql(
+            "SELECT * FROM pg_indexes WHERE indexname = 'pi_idx'"
+        ).collect()[0]
+        assert row.tablename == "t"
+        eng.sql("DROP INDEX pi_idx")
+        eng.sql(row.indexdef)  # the stored definition is replayable
+        assert "pi_idx" in _indexes(eng)
+
+    def test_string_literal_untouched(self, eng):
+        r = eng.sql("SELECT 'pg_tables' AS s").collect()[0]
+        assert r.s == "pg_tables"
