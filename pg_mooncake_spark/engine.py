@@ -1558,6 +1558,20 @@ class MooncakeEngine(SqlRouterMixin):
                     for n, e in cons.get("checks", [])
                 ],
                 "not_validated": cons.get("not_validated", []),
+                # index key columns/expressions and partial-WHERE
+                # predicates follow the rename too (review r15)
+                "indexes": {
+                    iname: {
+                        "cols": [
+                            _subst_idents(c, sub) for c in spec["cols"]
+                        ],
+                        "where": (
+                            _subst_idents(spec["where"], sub)
+                            if spec.get("where") else None
+                        ),
+                    }
+                    for iname, spec in (cons.get("indexes") or {}).items()
+                },
             })
         self.catalog.update_watermarks(
             dst, flush_version=v,
@@ -1695,6 +1709,20 @@ class MooncakeEngine(SqlRouterMixin):
                 },
                 "checks": cons.get("checks", []),
                 "not_validated": cons.get("not_validated", []),
+                # indexes keying the dropped column go with it
+                # (Postgres drops dependent indexes automatically);
+                # unrelated indexes survive (review r15)
+                "indexes": {
+                    iname: spec
+                    for iname, spec in (cons.get("indexes") or {}).items()
+                    if not any(
+                        ident.search(_mask_quoted(c)) for c in spec["cols"]
+                    )
+                    and not (
+                        spec.get("where")
+                        and ident.search(_mask_quoted(spec["where"]))
+                    )
+                },
             })
         self._refresh_views_of(dst)
         self.catalog.update_watermarks(

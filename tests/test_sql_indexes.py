@@ -190,3 +190,24 @@ class TestPgCatalog:
     def test_string_literal_untouched(self, eng):
         r = eng.sql("SELECT 'pg_tables' AS s").collect()[0]
         assert r.s == "pg_tables"
+
+
+class TestIndexSchemaChanges:
+    """Review r15: index metadata must survive the constraint-dict
+    rebuilds in rename_column / drop_column (both rebuild the dict
+    explicitly and previously dropped unknown keys)."""
+
+    def test_rename_column_renames_index_keys(self, eng):
+        eng.sql("CREATE INDEX rn_idx ON t (v, lower(v)) WHERE v <> ''")
+        eng.sql("ALTER TABLE t RENAME COLUMN v TO w")
+        spec = _indexes(eng)["rn_idx"]
+        assert spec["cols"] == ["w", "lower(w)"]
+        assert spec["where"] == "w <> ''"
+
+    def test_drop_column_drops_dependent_indexes_only(self, eng):
+        eng.sql("CREATE INDEX on_v ON t (v)")
+        eng.sql("CREATE INDEX on_k ON t (k)")
+        eng.sql("CREATE INDEX part_on_v ON t (k) WHERE v = 'a'")
+        eng.sql("ALTER TABLE t DROP COLUMN v")
+        left = set(_indexes(eng))
+        assert left == {"on_k"}
