@@ -68,11 +68,14 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_merge_returning",
     # (2) implementation changed this round (eager-agg rewrites of
     # q13/q10/q9; ON CONFLICT grew RETURNING; txn staging grew the
-    # alter gates + 8-element savepoint tuple): the external signal
-    # should re-confirm them
+    # alter gates + 9-element savepoint tuple incl. cursors; exact
+    # dedup reformulated as a window over the hash): the external
+    # signal should re-confirm them
     "q13_customer_distribution",
     "q10_returned_items",
     "q9_product_type_profit",
+    "dedup_exact",
+    "pipeline_pretraining_corpus",
     "lifecycle_sql_upsert",
     "lifecycle_sql_txn_ddl",
     "lifecycle_sql_txn",

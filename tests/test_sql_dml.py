@@ -740,3 +740,33 @@ class TestReturning:
         assert sorted(
             (r.k, r.v) for r in eng.table("r_t").collect()
         ) == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+
+class TestMergeReturningInTxn:
+    def test_merge_returning_reads_overlay(self, eng, spark):
+        """RETURNING inside a transaction block: the batch compiles
+        against the overlay (read-your-writes), rows return at the
+        statement, and the merge itself stays staged until COMMIT."""
+        spark.createDataFrame(
+            [(3, "upd"), (7, "new")], "k long, v string"
+        ).createOrReplaceTempView("mrt_src")
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO m VALUES (7, 'pre', 0.5)")  # staged
+        rows = eng.sql(
+            "MERGE INTO m USING mrt_src AS s ON m.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v) "
+            "RETURNING merge_action() AS act, k, v"
+        ).collect()
+        # k=7 exists in the overlay, so it MATCHES (UPDATE post-image)
+        assert sorted((r.act, r.k, r.v) for r in rows) == [
+            ("UPDATE", 3, "upd"), ("UPDATE", 7, "new"),
+        ]
+        # the mirror itself is untouched mid-block (table() reads
+        # the overlay by design — read-your-writes)
+        assert sorted(
+            r["k"] for r in eng._moontable("m").read().collect()
+        ) == [1, 2, 3]
+        eng.sql("COMMIT")
+        assert (7, "new", 0.5) in _rows(eng)
+        assert (3, "upd", 3.0) in _rows(eng)
