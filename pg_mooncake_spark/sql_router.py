@@ -463,7 +463,17 @@ class SqlRouterMixin:
         )
         if dsm:
             return self._sql_discard(dsm.group(1).upper())
-        if _DECLARE_KIND.match(query):
+        if _DECLARE_KIND.match(query) and not re.match(
+            r"^\s*DECLARE\s+(?:OR\s+REPLACE\s+)?VARIABLE\b"
+            r"(?!\s+(?:BINARY\s+|INSENSITIVE\s+|ASENSITIVE\s+"
+            r"|NO\s+SCROLL\s+|SCROLL\s+)*CURSOR\b)",
+            query, re.I,
+        ):
+            # DECLARE [OR REPLACE] VARIABLE is Spark's own session
+            # variable DDL — falls through; everything else DECLAREd is
+            # a Postgres cursor (including one unwisely named
+            # "variable", which the lookahead spots by its CURSOR
+            # keyword)
             return self._sql_declare_cursor(query, pin)
         fm = _FETCH_MOVE_KIND.match(query)
         if fm:

@@ -372,3 +372,17 @@ class TestLockAndRowLocks:
     def test_for_update_in_string_literal_untouched(self, eng):
         r = eng.sql("SELECT 'FOR UPDATE' AS s").collect()[0]
         assert r.s == "FOR UPDATE"
+
+
+class TestSparkVariableFallthrough:
+    def test_declare_variable_still_reaches_spark(self, eng):
+        """DECLARE [OR REPLACE] VARIABLE is Spark's session-variable
+        DDL — the cursor catch-all must not swallow it."""
+        eng.sql("DECLARE OR REPLACE VARIABLE cv INT DEFAULT 41")
+        assert eng.sql("SELECT cv + 1 AS x").collect()[0].x == 42
+
+    def test_cursor_named_variable(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("DECLARE variable CURSOR FOR SELECT k FROM t ORDER BY k")
+        assert _ks(eng.sql("FETCH 1 FROM variable")) == [1]
+        eng.sql("ROLLBACK")
