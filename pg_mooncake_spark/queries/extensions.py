@@ -910,3 +910,43 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders")
     return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+_GENERATE_SERIES_SPINE_SQL = """
+WITH months AS (
+  SELECT m AS month_start
+  FROM generate_series(DATE '1995-01-01', DATE '1995-06-01',
+                       INTERVAL 1 MONTH) AS g(m)
+),
+rev AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1995-07-01'
+  GROUP BY 1
+)
+SELECT m.month_start, COALESCE(r.n_orders, 0) AS n_orders
+FROM months m LEFT JOIN rev r USING (month_start)
+ORDER BY m.month_start
+"""
+
+
+@query("sql_generate_series_spine", oracle=_GENERATE_SERIES_SPINE_SQL)
+def sql_generate_series_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``generate_series`` as a FROM-clause table function (round 15):
+    the Postgres set-returning function rewrites textually onto Spark's
+    ``explode(sequence(...))`` (sql_router._run_select), here building
+    a six-month date spine LEFT-JOINed to per-month order counts — the
+    gap-free-report idiom generate_series exists for.  The oracle runs
+    the IDENTICAL statement in DuckDB, whose native generate_series
+    cross-checks the rewrite (bounds inclusive, month stepping, and the
+    zero-filled months all hash)."""
+    import tempfile
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
+    return eng.sql(_GENERATE_SERIES_SPINE_SQL)

@@ -654,6 +654,42 @@ class SqlRouterMixin:
         )
         if lm and lm.start() in {i for i, _ in _scan_top(query)}:
             query = query[:lm.start()].rstrip()
+        # Postgres set-returning functions (round 15): every pg script
+        # uses ``generate_series(a, b[, step])`` (ints, dates,
+        # timestamps, interval steps) and ``unnest(array)``; both map
+        # EXACTLY onto Spark's explode-as-table-function —
+        # ``explode(sequence(...))`` / ``explode(...)`` — in both
+        # FROM-clause and select-list positions, so the rewrite is
+        # textual (string literals untouched; the unaliased output
+        # column is Spark's ``col`` rather than Postgres's
+        # ``generate_series`` — alias it, as scripts do).
+        masked_gs = _mask_quoted(query)
+        out, prev = [], 0
+        for gm in re.finditer(r"\bgenerate_series\s*\(", masked_gs, re.I):
+            if gm.start() < prev:
+                continue  # inside a span already copied verbatim
+            depth, j = 1, gm.end()
+            while j < len(masked_gs) and depth:
+                depth += masked_gs[j] == "("
+                depth -= masked_gs[j] == ")"
+                j += 1
+            if depth:  # unbalanced — let Spark raise the parse error
+                continue
+            out.append(query[prev:gm.start()])
+            out.append("explode(sequence(" + query[gm.end():j - 1] + "))")
+            prev = j
+        if out:
+            out.append(query[prev:])
+            query = "".join(out)
+        if re.search(r"\bunnest\s*\(", query, re.I):
+            masked_un = _mask_quoted(query)
+            out, prev = [], 0
+            for um in re.finditer(r"\bunnest(?=\s*\()", masked_un, re.I):
+                out.append(query[prev:um.start()])
+                out.append("explode")
+                prev = um.end()
+            out.append(query[prev:])
+            query = "".join(out)
         # ``SELECT * FROM mooncake.list_tables()`` — the reference's
         # catalog relation (src/functions.rs:84-116) as a queryable SQL
         # spelling: rewrite top-level occurrences to a temp view over

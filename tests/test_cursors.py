@@ -386,3 +386,51 @@ class TestSparkVariableFallthrough:
         eng.sql("DECLARE variable CURSOR FOR SELECT k FROM t ORDER BY k")
         assert _ks(eng.sql("FETCH 1 FROM variable")) == [1]
         eng.sql("ROLLBACK")
+
+
+class TestSetReturningFunctions:
+    """generate_series / unnest — the Postgres SRFs, rewritten textually
+    onto Spark's explode-as-table-function (round 15)."""
+
+    def test_generate_series_from_clause(self, eng):
+        rows = eng.sql(
+            "SELECT x FROM generate_series(1, 5) AS g(x) ORDER BY x"
+        ).collect()
+        assert [r.x for r in rows] == [1, 2, 3, 4, 5]
+
+    def test_generate_series_step_and_select_list(self, eng):
+        rows = eng.sql(
+            "SELECT generate_series(10, 1, -3) AS n"
+        ).collect()
+        assert sorted(r.n for r in rows) == [1, 4, 7, 10]
+
+    def test_generate_series_dates(self, eng):
+        rows = eng.sql(
+            "SELECT d FROM generate_series(DATE '2024-01-01', "
+            "DATE '2024-01-04', INTERVAL 1 DAY) AS g(d)"
+        ).collect()
+        assert len(rows) == 4
+
+    def test_generate_series_joins_table(self, eng):
+        rows = eng.sql(
+            "SELECT g.x, count(t.k) AS n FROM generate_series(1, 3) "
+            "AS g(x) LEFT JOIN t ON t.k = g.x GROUP BY g.x ORDER BY g.x"
+        ).collect()
+        assert [(r.x, r.n) for r in rows] == [(1, 1), (2, 1), (3, 1)]
+
+    def test_unnest(self, eng):
+        rows = eng.sql(
+            "SELECT u FROM unnest(array(3, 1, 2)) AS t(u) ORDER BY u"
+        ).collect()
+        assert [r.u for r in rows] == [1, 2, 3]
+
+    def test_string_literal_untouched(self, eng):
+        r = eng.sql("SELECT 'generate_series(1,3)' AS s").collect()[0]
+        assert r.s == "generate_series(1,3)"
+
+    def test_nested_call_args_survive(self, eng):
+        rows = eng.sql(
+            "SELECT x FROM generate_series(least(1, 2), greatest(2, 3)) "
+            "AS g(x) ORDER BY x"
+        ).collect()
+        assert [r.x for r in rows] == [1, 2, 3]
