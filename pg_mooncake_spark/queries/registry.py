@@ -119,9 +119,11 @@ _WINDOW_PRIORITY = (
     "window_offset_family",
     "window_ranking_family",
     "window_running_and_range_frames",
-    # (4) last driver-verified in round 12 — first 5 alphabetically
-    # (fills the 50-slot window; the rest of the r12 band heads the
-    # r16 rotation: corpus_domain_cap onward)
+    # (4) last driver-verified in round 12 — first 5 alphabetically.
+    # The mid-round feature additions (cursor / merge-returning /
+    # generate_series keys + the dedup impl-changed pair) displaced all
+    # but the first from the 50-slot window; the whole r12 band
+    # (agg_approx_percentile, corpus_* onward) heads the r16 rotation
     "agg_approx_count_distinct",
     "agg_approx_percentile",
     "corpus_chunking",
