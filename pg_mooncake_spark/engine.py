@@ -1541,7 +1541,14 @@ class MooncakeEngine(SqlRouterMixin):
             # constraint metadata follows the rename: list membership,
             # dict keys, and identifier references inside expressions
             sub = {old.lower(): new}
+            # **cons first: keys this rebuild does not model (comments,
+            # anything future) survive instead of silently vanishing
             self._set_constraints(dst, {
+                **cons,
+                "comments": {
+                    (f"col:{new}" if k == f"col:{old}" else k): v
+                    for k, v in (cons.get("comments") or {}).items()
+                },
                 "not_null": [
                     new if c == old else c for c in cons.get("not_null", [])
                 ],
@@ -1696,8 +1703,30 @@ class MooncakeEngine(SqlRouterMixin):
         )
         v = mt.evolve_schema(narrowed)
         if cons:
-            # the column's OWN constraint entries go with it
+            # the column's OWN constraint entries go with it; **cons
+            # first so unmodeled keys (comments, future) survive
+            dropped_idx = {
+                iname
+                for iname, spec in (cons.get("indexes") or {}).items()
+                if any(
+                    ident.search(_mask_quoted(c)) for c in spec["cols"]
+                )
+                or (
+                    spec.get("where")
+                    and ident.search(_mask_quoted(spec["where"]))
+                )
+            }
             self._set_constraints(dst, {
+                **cons,
+                "comments": {
+                    k: v
+                    for k, v in (cons.get("comments") or {}).items()
+                    if k != f"col:{col}"
+                    and not (
+                        k.startswith("index:")
+                        and k[len("index:"):] in dropped_idx
+                    )
+                },
                 "not_null": [c for c in cons.get("not_null", []) if c != col],
                 "defaults": {
                     c: e for c, e in (cons.get("defaults") or {}).items()
@@ -1715,13 +1744,7 @@ class MooncakeEngine(SqlRouterMixin):
                 "indexes": {
                     iname: spec
                     for iname, spec in (cons.get("indexes") or {}).items()
-                    if not any(
-                        ident.search(_mask_quoted(c)) for c in spec["cols"]
-                    )
-                    and not (
-                        spec.get("where")
-                        and ident.search(_mask_quoted(spec["where"]))
-                    )
+                    if iname not in dropped_idx
                 },
             })
         self._refresh_views_of(dst)
@@ -2132,6 +2155,11 @@ class MooncakeEngine(SqlRouterMixin):
                         )
                     elif spec["op"] == "drop_index":
                         self._unregister_index(name, spec["iname"])
+                    elif spec["op"] == "comment":
+                        # idempotent by construction (set/remove)
+                        self._set_comment(
+                            name, spec["key"], spec.get("text")
+                        )
                     else:  # pragma: no cover - manifest corruption
                         raise ValueError(
                             f"unknown staged ALTER op {spec!r}"

@@ -488,6 +488,8 @@ class SqlRouterMixin:
             return self._sql_drop_index(query)
         if re.match(r"^\s*REINDEX\b", query, re.I):
             return self._sql_reindex(query)
+        if re.match(r"^\s*COMMENT\s+ON\b", query, re.I):
+            return self._sql_comment(query)
         mv = re.match(
             rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
             rf"{_SQL_TABLE}\s+AS\s+(.*?);?\s*$",
@@ -1564,6 +1566,105 @@ class SqlRouterMixin:
             "DROP INDEX", ", ".join(names) or "*",
             -1 if self._txn is not None else dropped,
         )
+
+    def _sql_comment(self, query: str) -> DataFrame:
+        """``COMMENT ON TABLE|VIEW|MATERIALIZED VIEW|COLUMN|INDEX|
+        CONSTRAINT ... IS 'text' | NULL`` — pg_dump emits one per
+        documented object, so dump replay needs the statement.  The
+        text persists in the owning table's catalog metadata
+        (``comments``: ``__table__`` / ``col:<c>`` / ``index:<i>`` /
+        ``constraint:<c>``), IS NULL removes it, and targets validate
+        for real (unknown table/column/index/constraint errors like
+        Postgres).  Inside a transaction block the write stages without
+        the untouched-table gates — same inert-metadata class as index
+        DDL."""
+        m = re.match(
+            r"^\s*COMMENT\s+ON\s+"
+            r"(TABLE|COLUMN|INDEX|MATERIALIZED\s+VIEW|VIEW|CONSTRAINT)\s+"
+            r"(.+?)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$",
+            query, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse COMMENT statement: {query!r}")
+        kind = re.sub(r"\s+", " ", m.group(1).upper())
+        target, lit = m.group(2).strip(), m.group(3)
+        text = (
+            None if lit.upper() == "NULL"
+            else lit[1:-1].replace("''", "'")
+        )
+        if kind == "COLUMN":
+            if "." not in target:
+                raise ValueError(
+                    f"COMMENT ON COLUMN needs table.column: {target!r}"
+                )
+            t, col = target.rsplit(".", 1)
+            col = col.strip().strip('"')
+            cols = {f.name for f in self._txn_visible_schema(t).fields}
+            if col not in cols:
+                raise ValueError(
+                    f'column "{col}" of relation "{self._canon(t)}" '
+                    "does not exist"
+                )
+            key = f"col:{col}"
+        elif kind == "INDEX":
+            iname = self._cursor_name(target.strip())
+            reg = self._index_registry()
+            if iname not in reg:
+                raise ValueError(f'index "{iname}" does not exist')
+            t, key = reg[iname][0], f"index:{iname}"
+        elif kind == "CONSTRAINT":
+            cm = re.match(
+                r'^("[^"]+"|\w+)\s+ON\s+(.+)$', target, re.I | re.S
+            )
+            if not cm:
+                raise ValueError(
+                    f"COMMENT ON CONSTRAINT needs 'name ON table': "
+                    f"{target!r}"
+                )
+            cname, t = cm.group(1).strip('"'), cm.group(2).strip()
+            if self._txn is not None:
+                known = set(self._txn_effective_checks(t)[0])
+            else:
+                known = {
+                    n for n, _ in
+                    (self._constraints(t) or {}).get("checks", [])
+                }
+            if cname not in known:
+                raise ValueError(
+                    f'constraint "{cname}" of relation '
+                    f'"{self._canon(t)}" does not exist'
+                )
+            key = f"constraint:{cname}"
+        else:  # TABLE / VIEW / MATERIALIZED VIEW
+            t = target.strip().strip('"')
+            if self._canon(t) not in self.catalog.list_tables() and (
+                self._txn is None
+                or self._canon(t) not in self._txn.get("created", {})
+            ):
+                raise ValueError(
+                    f'relation "{self._canon(t)}" does not exist'
+                )
+            key = "__table__"
+        canon = self._canon(t)
+        if self._txn is not None:
+            self._txn_check_writable(canon)
+            self._txn["staged"].append(
+                (canon, "alter",
+                 {"op": "comment", "key": key, "text": text})
+            )
+            return self._dml_result("COMMENT", t, -1)
+        self._set_comment(canon, key, text)
+        return self._dml_result("COMMENT", t, 1)
+
+    def _set_comment(self, t: str, key: str, text) -> None:
+        cons = self._constraints(t) or {}
+        com = dict(cons.get("comments") or {})
+        if text is None:
+            com.pop(key, None)
+        else:
+            com[key] = text
+        cons["comments"] = com
+        self._set_constraints(t, cons)
 
     def _sql_reindex(self, query: str) -> DataFrame:
         """``REINDEX [(opts)] {INDEX|TABLE|SCHEMA|DATABASE|SYSTEM}
@@ -3589,17 +3690,37 @@ class SqlRouterMixin:
                         raise
             return self._dml_result("DROP", last, 0)
         if kind == "TRUNCATE":
-            m = re.match(rf"TRUNCATE\s+(?:TABLE\s+)?{_SQL_TABLE}\s*$", q, re.I)
+            # multi-table + the Postgres modifiers (round 15): ONLY is
+            # inert (no inheritance), CONTINUE/RESTART IDENTITY are
+            # inert (no sequences to restart), CASCADE is inert (no
+            # foreign keys reference a mirror)
+            m = re.match(
+                r"TRUNCATE\s+(?:TABLE\s+)?(.+?)\s*"
+                r"(?:\b(?:RESTART|CONTINUE)\s+IDENTITY)?\s*"
+                r"(?:\b(?:CASCADE|RESTRICT))?\s*$",
+                q, re.I | re.S,
+            )
             if not m:
                 raise ValueError(f"cannot parse TRUNCATE: {q!r}")
-            if self._txn is not None:
-                # whole-table: stages without the row-addressed DML
-                # path's primary-key requirement (pk-less tables
-                # TRUNCATE fine in autocommit and must in a block too)
-                self._txn_stage_truncate(self._canon(m.group(1)))
-                return self._dml_result("TRUNCATE", m.group(1), -1)
-            v = self.delete_where(m.group(1), "true")
-            return self._dml_result("TRUNCATE", m.group(1), v)
+            tables = [
+                re.sub(r"^ONLY\s+", "", x.strip(), flags=re.I)
+                .rstrip("* \t").strip().strip('"')
+                for x in _split_top_commas(m.group(1))
+            ]
+            if not tables or not all(tables):
+                raise ValueError(f"cannot parse TRUNCATE: {q!r}")
+            last, v = "?", 0
+            for t in tables:
+                last = t
+                if self._txn is not None:
+                    # whole-table: stages without the row-addressed DML
+                    # path's primary-key requirement (pk-less tables
+                    # TRUNCATE fine in autocommit and must in a block too)
+                    self._txn_stage_truncate(self._canon(t))
+                    v = -1
+                else:
+                    v = self.delete_where(t, "true")
+            return self._dml_result("TRUNCATE", last, v)
         # ALTER
         m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+SET\s+ACCESS\s+METHOD\s+"

@@ -211,3 +211,84 @@ class TestIndexSchemaChanges:
         eng.sql("ALTER TABLE t DROP COLUMN v")
         left = set(_indexes(eng))
         assert left == {"on_k"}
+
+
+class TestCommentOn:
+    """COMMENT ON — pg_dump emits one per documented object; the text
+    persists in catalog metadata, IS NULL removes it, targets validate
+    for real, and the write stages inside transaction blocks (inert
+    metadata, like index DDL)."""
+
+    def _comments(self, eng, t="t"):
+        return dict((eng._constraints(t) or {}).get("comments") or {})
+
+    def test_table_column_index_constraint(self, eng):
+        eng.sql("CREATE INDEX c_idx ON t (v)")
+        eng.sql("ALTER TABLE t ADD CONSTRAINT t_pos CHECK (x > 0)")
+        eng.sql("COMMENT ON TABLE t IS 'the it''s table'")
+        eng.sql("COMMENT ON COLUMN t.v IS 'a text column'")
+        eng.sql("COMMENT ON INDEX c_idx IS 'an index'")
+        eng.sql("COMMENT ON CONSTRAINT t_pos ON t IS 'positive'")
+        com = self._comments(eng)
+        assert com["__table__"] == "the it's table"
+        assert com["col:v"] == "a text column"
+        assert com["index:c_idx"] == "an index"
+        assert com["constraint:t_pos"] == "positive"
+        # IS NULL removes
+        eng.sql("COMMENT ON COLUMN t.v IS NULL")
+        assert "col:v" not in self._comments(eng)
+
+    def test_unknown_targets_refuse(self, eng):
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("COMMENT ON TABLE nope IS 'x'")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("COMMENT ON COLUMN t.nope IS 'x'")
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("COMMENT ON INDEX nope IS 'x'")
+
+    def test_stages_in_txn(self, eng):
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO t VALUES (3, 'c', 3.0)")  # DML coexists
+        eng.sql("COMMENT ON TABLE t IS 'staged'")
+        eng.sql("ROLLBACK")
+        assert not self._comments(eng)
+        eng.sql("BEGIN")
+        eng.sql("COMMENT ON TABLE t IS 'committed'")
+        eng.sql("COMMIT")
+        assert self._comments(eng)["__table__"] == "committed"
+
+    def test_comment_survives_rename_and_drop_column(self, eng):
+        eng.sql("COMMENT ON TABLE t IS 'kept'")
+        eng.sql("COMMENT ON COLUMN t.v IS 'renamed along'")
+        eng.sql("COMMENT ON COLUMN t.x IS 'dropped along'")
+        eng.sql("ALTER TABLE t RENAME COLUMN v TO w")
+        com = self._comments(eng)
+        assert com["__table__"] == "kept"
+        assert com["col:w"] == "renamed along"
+        eng.sql("ALTER TABLE t DROP COLUMN x")
+        com = self._comments(eng)
+        assert com["__table__"] == "kept" and "col:x" not in com
+
+    def test_comment_on_view(self, eng):
+        eng.sql("CREATE VIEW tv AS SELECT k FROM t")
+        eng.sql("COMMENT ON VIEW tv IS 'a view'")
+        assert self._comments(eng, "tv")["__table__"] == "a view"
+
+
+class TestTruncateModifiers:
+    def test_multi_table_and_tokens(self, eng):
+        eng.sql("CREATE TABLE t9 (a int PRIMARY KEY)")
+        eng.sql("INSERT INTO t9 VALUES (1)")
+        eng.sql("TRUNCATE TABLE ONLY t, t9 RESTART IDENTITY CASCADE")
+        assert eng.table("t").count() == 0
+        assert eng.table("t9").count() == 0
+
+    def test_in_txn_stages_each(self, eng):
+        eng.sql("CREATE TABLE t8 (a int PRIMARY KEY)")
+        eng.sql("INSERT INTO t8 VALUES (1)")
+        eng.sql("BEGIN")
+        eng.sql("TRUNCATE t, t8 CONTINUE IDENTITY")
+        assert eng.sql("SELECT count(*) AS n FROM t").collect()[0].n == 0
+        eng.sql("ROLLBACK")
+        assert eng.table("t").count() == 2
+        assert eng.table("t8").count() == 1
