@@ -2592,3 +2592,80 @@ def lifecycle_sql_merge_returning(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("act")
     )
+
+
+@query(
+    "lifecycle_sql_dump_replay",
+    oracle="""
+    WITH copied AS (
+      SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5),
+                            (3, 'alpha', NULL)) AS v(k, v, x)
+    ),
+    loaded AS (
+      SELECT k, v, x FROM copied
+      UNION ALL
+      SELECT 100 + o_orderkey AS k, o_orderpriority AS v,
+             CAST(o_totalprice AS DOUBLE) AS x
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(x) AS n_x,
+           CAST(SUM(CAST(COALESCE(x, 0.0) AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_x,
+           COUNT(DISTINCT v) AS n_v,
+           CAST(1 AS BIGINT) AS idx_ok,
+           CAST(1 AS BIGINT) AS comment_ok
+    FROM loaded
+    """,
+)
+def lifecycle_sql_dump_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pg_dump-shaped script replayed whole through
+    :meth:`~pg_mooncake_spark.sql_router.SqlRouterMixin.sql_script`
+    (round 15): schema DDL, an inline ``COPY ... FROM STDIN`` payload
+    with a ``\\N`` NULL, a bulk ``INSERT ... SELECT`` from a registered
+    view, then the post-data section every dump ends with — CREATE
+    INDEX, COMMENT ON, ANALYZE — inside one ``BEGIN .. COMMIT`` the way
+    ``psql --single-transaction`` restores run.  The oracle
+    reconstructs the loaded rows; the index/comment flags assert the
+    post-data statements actually registered."""
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = _temp_engine(spark)
+    eng.sql_script("""
+        -- pg_dump preamble analog
+        BEGIN;
+        CREATE TABLE dump_t (k int PRIMARY KEY, v text, x double);
+        COPY dump_t FROM STDIN;
+1	alpha	1.5
+2	beta	2.5
+3	alpha	\\N
+\\.
+        INSERT INTO dump_t
+        SELECT 100 + o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DOUBLE)
+        FROM orders WHERE o_orderkey % 13 = 0;
+        -- post-data section
+        CREATE INDEX dump_t_v_idx ON dump_t (v);
+        COMMENT ON TABLE dump_t IS 'restored';
+        COMMENT ON COLUMN dump_t.v IS 'priority or letter';
+        COMMIT;
+        ANALYZE dump_t;
+    """)
+    cons = eng._constraints("dump_t") or {}
+    idx_ok = 1 if "dump_t_v_idx" in (cons.get("indexes") or {}) else 0
+    com = cons.get("comments") or {}
+    comment_ok = (
+        1 if com.get("__table__") == "restored"
+        and com.get("col:v") == "priority or letter" else 0
+    )
+    return eng.table("dump_t").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("x").alias("n_x"),
+        dsum(F.coalesce(F.col("x"), F.lit(0.0)), 2).alias("sum_x"),
+        F.countDistinct("v").alias("n_v"),
+    ).select(
+        "n_rows", "n_x", "sum_x", "n_v",
+        F.lit(idx_ok).cast("long").alias("idx_ok"),
+        F.lit(comment_ok).cast("long").alias("comment_ok"),
+    )

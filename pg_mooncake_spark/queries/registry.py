@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_cursor",
     "lifecycle_sql_merge_returning",
     "sql_generate_series_spine",
+    "lifecycle_sql_dump_replay",
     # (2) implementation changed this round (eager-agg rewrites of
     # q13/q10/q9; ON CONFLICT grew RETURNING; txn staging grew the
     # alter gates + 9-element savepoint tuple incl. cursors; exact
