@@ -928,11 +928,27 @@ rev AS (
 )
 SELECT m.month_start, COALESCE(r.n_orders, 0) AS n_orders
 FROM months m LEFT JOIN rev r USING (month_start)
-ORDER BY m.month_start
+UNION ALL
+SELECT DATE '1990-01-01' AS month_start, CAST(n AS BIGINT) AS n_orders
+FROM generate_series(5, 1) AS g(n)
+UNION ALL
+SELECT DATE '1991-01-01' AS month_start, CAST(n AS BIGINT) AS n_orders
+FROM generate_series(5, 1, -2) AS g(n)
+ORDER BY month_start, n_orders
 """
 
+# DuckDB ERRORS on reversed-bounds generate_series(5, 1) ("cannot
+# generate infinite series") where Postgres returns zero rows, so the
+# oracle spells that branch's empty set directly (WHERE 1 = 0); the
+# Spark side above still exercises the guarded rewrite — before the
+# round-16 fix it contributed five descending rows and hash-mismatched.
+_GENERATE_SERIES_SPINE_ORACLE_SQL = _GENERATE_SERIES_SPINE_SQL.replace(
+    "FROM generate_series(5, 1) AS g(n)",
+    "FROM generate_series(1, 1) AS g(n) WHERE 1 = 0",
+)
 
-@query("sql_generate_series_spine", oracle=_GENERATE_SERIES_SPINE_SQL)
+
+@query("sql_generate_series_spine", oracle=_GENERATE_SERIES_SPINE_ORACLE_SQL)
 def sql_generate_series_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``generate_series`` as a FROM-clause table function (round 15):
     the Postgres set-returning function rewrites textually onto Spark's

@@ -321,6 +321,11 @@ class SqlRouterMixin:
     # session-local (validated, SHOW-visible; no post-launch Spark knob)
     _GUC_STORED = {
         "mooncake.max_memory": "",
+        # Opt-in for restoring dumps whose post-data section carries
+        # UNIQUE indexes: record them (catalog-only, unenforced) instead
+        # of refusing.  Off by default — the loud refusal stays the
+        # contract (a silently-unenforced UNIQUE is a data-quality trap).
+        "mooncake.allow_unenforced_unique_indexes": "off",
         "search_path": '"$user", public',
         "client_min_messages": "notice",
     }
@@ -677,8 +682,35 @@ class SqlRouterMixin:
                 j += 1
             if depth:  # unbalanced — let Spark raise the parse error
                 continue
+            args = query[gm.end():j - 1]
+            # Top-level comma positions (relative to the arg span) so
+            # the two-argument form can be split.
+            commas, d = [], 0
+            for k in range(gm.end(), j - 1):
+                c = masked_gs[k]
+                d += c in "(["
+                d -= c in ")]"
+                if c == "," and d == 0:
+                    commas.append(k - gm.end())
             out.append(query[prev:gm.start()])
-            out.append("explode(sequence(" + query[gm.end():j - 1] + "))")
+            if len(commas) == 1:
+                # Two-argument form — integer-typed by Postgres rules
+                # (date/timestamp series require an explicit step).
+                # Spark's two-arg ``sequence`` infers step −1 when
+                # start > stop and returns a DESCENDING series where
+                # Postgres's default step 1 yields zero rows, so guard:
+                # ``if(a <= b, sequence(a, b), array())`` (the empty
+                # array coerces to the sequence's element type).  The
+                # three-argument form passes through — a reversed
+                # explicit step errors loudly in Spark rather than
+                # returning Postgres's empty set.
+                a, b = args[:commas[0]], args[commas[0] + 1:]
+                out.append(
+                    f"explode(if(({a}) <= ({b}), "
+                    f"sequence(({a}), ({b})), array()))"
+                )
+            else:
+                out.append("explode(sequence(" + args + "))")
             prev = j
         if out:
             out.append(query[prev:])
@@ -686,10 +718,30 @@ class SqlRouterMixin:
         if re.search(r"\bunnest\s*\(", query, re.I):
             masked_un = _mask_quoted(query)
             out, prev = [], 0
-            for um in re.finditer(r"\bunnest(?=\s*\()", masked_un, re.I):
+            for um in re.finditer(r"\bunnest\s*\(", masked_un, re.I):
+                if um.start() < prev:
+                    continue
+                # Postgres's multi-argument ``unnest(a, b, ...)`` zips
+                # arrays in parallel and ``unnest(map)`` produces two
+                # columns — neither maps onto one-column ``explode``,
+                # so refuse multi-argument spellings loudly instead of
+                # silently changing semantics.
+                depth, j = 1, um.end()
+                while j < len(masked_un) and depth:
+                    c = masked_un[j]
+                    depth += c == "("
+                    depth -= c == ")"
+                    if c == "," and depth == 1:
+                        raise ValueError(
+                            "unnest() with multiple arguments is not"
+                            " supported (Postgres zips arrays in"
+                            " parallel; rewrite as separate"
+                            " explode/posexplode calls)"
+                        )
+                    j += 1
                 out.append(query[prev:um.start()])
                 out.append("explode")
-                prev = um.end()
+                prev = um.end() - 1  # keep the '('
             out.append(query[prev:])
             query = "".join(out)
         # ``SELECT * FROM mooncake.list_tables()`` — the reference's
@@ -1391,7 +1443,12 @@ class SqlRouterMixin:
         )
         if mode not in _LOCK_MODES:
             raise ValueError(f"unknown lock mode {mode!r}")
-        tables = [x.strip().strip('"') for x in m.group(1).split(",")]
+        # Raw spellings per element — _moontable/_canon fold quoted and
+        # schema-qualified identifiers (strip('"') would mangle "s"."t").
+        tables = [
+            re.sub(r"^ONLY\s+", "", x.strip(), flags=re.I)
+            for x in _split_top_commas(m.group(1))
+        ]
         for tb in tables:
             self._moontable(tb)  # unknown-table error, like Postgres
         return self._txn_result(
@@ -1471,11 +1528,20 @@ class SqlRouterMixin:
         unique, if_not_exists = bool(m.group(1)), bool(m.group(2))
         iname = m.group(3)
         t, cols_sql, where = m.group(4), m.group(5).strip(), m.group(6)
-        if unique:
+        if unique and self._guc_effective(
+            "mooncake.allow_unenforced_unique_indexes"
+        ).lower() not in ("on", "true", "1", "yes"):
+            # A real pg_dump post-data section almost always carries
+            # unique indexes; `SET mooncake.allow_unenforced_unique_indexes
+            # = on` records them (catalog-only, unenforced) so a verbatim
+            # restore completes.  Default: loud refusal — silently not
+            # enforcing UNIQUE is a data-quality trap.
             raise ValueError(
                 "UNIQUE indexes are not enforced by this engine "
                 "(columnstore); declare a PRIMARY KEY instead — that IS "
-                "enforced on every write path"
+                "enforced on every write path — or SET "
+                "mooncake.allow_unenforced_unique_indexes = on to record "
+                "it unenforced"
             )
         canon = self._canon(t)  # unknown-table error first
         schema_cols = {f.name for f in self._txn_visible_schema(t).fields}
@@ -1520,6 +1586,8 @@ class SqlRouterMixin:
             "cols": keys,
             "where": where.strip() if where else None,
         }
+        if unique:
+            spec["unique"] = "unenforced"
         if self._txn is not None:
             self._txn_check_writable(canon)
             self._txn["staged"].append(
@@ -1680,12 +1748,17 @@ class SqlRouterMixin:
         )
         if not m:
             raise ValueError(f"cannot parse REINDEX: {query!r}")
-        kind, target = m.group(1).upper(), m.group(2).strip('"')
+        kind, target = m.group(1).upper(), m.group(2)
         if kind == "INDEX":
-            if target.lower() not in self._index_registry():
-                raise ValueError(f'index "{target.lower()}" does not exist')
-        elif kind == "TABLE":
-            self._moontable(target)  # unknown-table error, like Postgres
+            # Same identifier folding as DROP INDEX / COMMENT ON INDEX:
+            # quoted keeps case, unquoted lowercases.
+            target = self._cursor_name(target)
+            if target not in self._index_registry():
+                raise ValueError(f'index "{target}" does not exist')
+        else:
+            target = target.strip('"')
+            if kind == "TABLE":
+                self._moontable(target)  # unknown-table error, like Postgres
         return self._dml_result("REINDEX", target, 0)
 
     def _current_of_cond(self, t: str, cond: str) -> str:
@@ -3702,9 +3775,13 @@ class SqlRouterMixin:
             )
             if not m:
                 raise ValueError(f"cannot parse TRUNCATE: {q!r}")
+            # Keep each element's raw spelling (minus the inert ONLY
+            # prefix / descendant-``*`` suffix) — _canon/parse_table_name
+            # fold quoted and schema-qualified identifiers properly; a
+            # blanket strip('"') would mangle ``"s"."t"``.
             tables = [
                 re.sub(r"^ONLY\s+", "", x.strip(), flags=re.I)
-                .rstrip("* \t").strip().strip('"')
+                .rstrip("* \t").strip()
                 for x in _split_top_commas(m.group(1))
             ]
             if not tables or not all(tables):

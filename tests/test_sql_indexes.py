@@ -108,6 +108,26 @@ class TestDropReindex:
         with pytest.raises(Exception):
             eng.sql("REINDEX TABLE no_such_table")
 
+    def test_reindex_quoted_mixed_case(self, eng):
+        # quoted identifiers keep case through the same folding CREATE
+        # used (round-15 advice: strip+lower spuriously errored here)
+        eng.sql('CREATE INDEX "MyIdx" ON t (v)')
+        assert "MyIdx" in _indexes(eng)
+        eng.sql('REINDEX INDEX "MyIdx"')
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("REINDEX INDEX MyIdx")  # unquoted folds to myidx
+
+    def test_unique_allowed_behind_guc(self, eng):
+        # opt-in for pg_dump restores: record unenforced, off by default
+        with pytest.raises(ValueError, match="UNIQUE"):
+            eng.sql("CREATE UNIQUE INDEX u_opt_idx ON t (v)")
+        eng.sql("SET mooncake.allow_unenforced_unique_indexes = on")
+        eng.sql("CREATE UNIQUE INDEX u_opt_idx ON t (v)")
+        assert _indexes(eng)["u_opt_idx"].get("unique") == "unenforced"
+        eng.sql("RESET mooncake.allow_unenforced_unique_indexes")
+        with pytest.raises(ValueError, match="UNIQUE"):
+            eng.sql("CREATE UNIQUE INDEX u_opt2_idx ON t (v)")
+
 
 class TestIndexInTxn:
     """Index DDL stages inside transaction blocks WITHOUT the
@@ -292,3 +312,18 @@ class TestTruncateModifiers:
         eng.sql("ROLLBACK")
         assert eng.table("t").count() == 2
         assert eng.table("t8").count() == 1
+
+    def test_quoted_schema_qualified_spellings(self, eng):
+        # round-15 advice: blanket strip('"') mangled "s"."t" — the
+        # per-element parse must accept valid Postgres spellings
+        eng.sql('CREATE TABLE "s"."qt" (a int PRIMARY KEY)')
+        eng.sql('INSERT INTO "s"."qt" VALUES (1)')
+        eng.sql("CREATE TABLE plain9 (a int PRIMARY KEY)")
+        eng.sql("INSERT INTO plain9 VALUES (1)")
+        eng.sql('TRUNCATE "s"."qt", plain9')
+        assert eng.table("s.qt").count() == 0
+        assert eng.table("plain9").count() == 0
+        # LOCK's table list takes the same per-element parse
+        eng.sql("BEGIN")
+        eng.sql('LOCK TABLE "s"."qt", ONLY plain9 IN SHARE MODE')
+        eng.sql("COMMIT")
