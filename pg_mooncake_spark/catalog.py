@@ -262,3 +262,96 @@ class SyncCatalog:
         return {
             k: v for k, v in self._load().items() if not k.startswith("__")
         }
+
+    # --------------------------------------------------------- sequences
+    #
+    # Postgres sequence objects (CREATE SEQUENCE / serial / IDENTITY):
+    # catalog-persisted state under one reserved key, so a restarted
+    # session (or a replayed pg_dump's setval) resumes where it left
+    # off.  State per sequence: {data_type, increment, minvalue,
+    # maxvalue, start, cycle, owned_by, last_value, is_called}.
+    # ``last_value``/``is_called`` follow Postgres exactly: after
+    # ``setval(s, v)`` the next nextval returns v+increment; after
+    # ``setval(s, v, false)`` it returns v itself.
+
+    _SEQUENCES = "__sequences__"
+
+    def sequences(self) -> dict[str, dict[str, Any]]:
+        return dict(self._load().get(self._SEQUENCES, {}))
+
+    def seq_get(self, name: str) -> dict[str, Any]:
+        seqs = self._load().get(self._SEQUENCES, {})
+        if name not in seqs:
+            raise KeyError(f'sequence "{name}" does not exist')
+        return seqs[name]
+
+    def seq_put(self, name: str, state: dict[str, Any]) -> None:
+        """Create or replace one sequence's full state."""
+        with self._lock:
+            data = self._load()
+            data.setdefault(self._SEQUENCES, {})[name] = state
+            self._save(data)
+
+    def seq_update(self, name: str, **fields: Any) -> dict[str, Any]:
+        with self._lock:
+            data = self._load()
+            seqs = data.get(self._SEQUENCES, {})
+            if name not in seqs:
+                raise KeyError(f'sequence "{name}" does not exist')
+            seqs[name].update(fields)
+            self._save(data)
+            return seqs[name]
+
+    def seq_drop(self, name: str) -> dict[str, Any]:
+        with self._lock:
+            data = self._load()
+            seqs = data.get(self._SEQUENCES, {})
+            if name not in seqs:
+                raise KeyError(f'sequence "{name}" does not exist')
+            state = seqs.pop(name)
+            if not seqs:
+                data.pop(self._SEQUENCES, None)
+            self._save(data)
+            return state
+
+    def seq_alloc(self, name: str, n: int = 1) -> int:
+        """Atomically allocate ``n`` consecutive values; returns the
+        FIRST.  Bounds follow Postgres: exceeding maxvalue (ascending)
+        or minvalue (descending) errors unless CYCLE; a cycling
+        allocation restarts at the opposite bound (single-step only —
+        a bulk allocation that would cross the bound mid-batch errors,
+        matching what per-row nextval would produce only for n=1)."""
+        if n <= 0:
+            raise ValueError("seq_alloc needs n >= 1")
+        with self._lock:
+            data = self._load()
+            seqs = data.get(self._SEQUENCES, {})
+            if name not in seqs:
+                raise KeyError(f'sequence "{name}" does not exist')
+            s = seqs[name]
+            inc = int(s["increment"])
+            if s.get("is_called"):
+                first = int(s["last_value"]) + inc
+            else:
+                first = int(s["last_value"])
+            last = first + (n - 1) * inc
+            lo, hi = int(s["minvalue"]), int(s["maxvalue"])
+            if (inc > 0 and last > hi) or (inc < 0 and last < lo):
+                if s.get("cycle") and n == 1:
+                    first = last = lo if inc > 0 else hi
+                elif s.get("cycle"):
+                    raise ValueError(
+                        f'bulk allocation of {n} values would cycle '
+                        f'sequence "{name}" mid-batch; insert in smaller '
+                        "batches"
+                    )
+                else:
+                    bound = "maxvalue" if inc > 0 else "minvalue"
+                    raise ValueError(
+                        f'nextval: reached {bound} of sequence "{name}" '
+                        f"({hi if inc > 0 else lo})"
+                    )
+            s["last_value"] = last
+            s["is_called"] = True
+            self._save(data)
+            return first

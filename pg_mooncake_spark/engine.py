@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pg_mooncake_spark.catalog import SyncCatalog
+from pg_mooncake_spark.sequences import SequencesMixin
 from pg_mooncake_spark.sql_router import SqlRouterMixin
 from pg_mooncake_spark.sqlparse import (  # noqa: F401  (re-exported: tests
     _IDENT,
@@ -129,7 +130,7 @@ class _TxnTableShim:
         )
 
 
-class MooncakeEngine(SqlRouterMixin):
+class MooncakeEngine(SqlRouterMixin, SequencesMixin):
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
@@ -167,6 +168,7 @@ class MooncakeEngine(SqlRouterMixin):
         os.makedirs(self.warehouse, exist_ok=True)
         self.reap_pending_drops()
         self.recover_transactions()
+        self._reap_orphan_sequences()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -1730,6 +1732,10 @@ class MooncakeEngine(SqlRouterMixin):
                 "not_null": [c for c in cons.get("not_null", []) if c != col],
                 "defaults": {
                     c: e for c, e in (cons.get("defaults") or {}).items()
+                    if c != col
+                },
+                "identity": {
+                    c: k for c, k in (cons.get("identity") or {}).items()
                     if c != col
                 },
                 "generated": {

@@ -63,6 +63,7 @@ from pg_mooncake_spark.sqlparse import (
     _values_spans,
     parse_table_name,
 )
+from pg_mooncake_spark.sequences import _SEQ_TYPE_ALIASES, SERIAL_TYPES
 from pg_mooncake_spark.storage import OP_COL, MoonTable
 
 _MERGE_MULTI_MATCH_MSG = "MERGE: a target row matched multiple source rows"
@@ -411,6 +412,12 @@ class SqlRouterMixin:
         pin: Optional[dict[str, int]],
         copy_data: Optional[Any],
     ) -> DataFrame:
+        # sequence DDL + standalone sequence-function SELECTs (round
+        # 16): CREATE/ALTER/DROP SEQUENCE and the pg_dump spellings
+        # SELECT pg_catalog.setval('s', n, true) / SELECT nextval('s')
+        seq_df = self._sql_sequence_statement(query)
+        if seq_df is not None:
+            return seq_df
         kind = _DML_KIND.match(query)
         if kind:
             return self._sql_dml(query, kind.group(1).upper(), pin=pin)
@@ -2405,6 +2412,9 @@ class SqlRouterMixin:
                 # cursor watermark: ROLLBACK TO closes cursors opened
                 # after the savepoint (Postgres)
                 self._cursor_seq,
+                # sequence-DDL undo-log watermark: ROLLBACK TO unwinds
+                # sequence DDL performed after the savepoint
+                len(self._txn.get("seq_undo") or []),
             ))
             return self._txn_result(
                 "SAVEPOINT", f"savepoint {name} established"
@@ -2489,6 +2499,7 @@ class SqlRouterMixin:
                 txn, self._txn = self._txn, None
                 self._guc_txn_unwind(txn, committed=False)
                 self._txn_close_cursors(txn, committed=False)
+                self._seq_txn_unwind(txn)
                 self._txn_unregister_created_views(
                     set(txn.get("created", {}))
                     | set(txn.get("dropped", set()))
@@ -2528,7 +2539,8 @@ class SqlRouterMixin:
                     f"savepoint {name!r} does not exist"
                 ))
             (_, length, overlay, sp_gucs, sp_track,
-             sp_created, sp_dropped, sp_altered, sp_cursor_seq) = sps[idx]
+             sp_created, sp_dropped, sp_altered, sp_cursor_seq,
+             sp_seq_undo_len) = sps[idx]
             # the savepoint itself survives; later ones are destroyed
             del sps[idx + 1:]
             self._txn["staged"] = self._txn["staged"][:length]
@@ -2548,6 +2560,8 @@ class SqlRouterMixin:
             for cname, cur in list(self._cursors.items()):
                 if cur.seq > sp_cursor_seq:
                     del self._cursors[cname]
+            # sequence DDL after the savepoint unwinds with it
+            self._seq_txn_unwind(self._txn, upto=sp_seq_undo_len)
             self._txn["aborted"] = False  # un-poisons a failed block
             return self._txn_result(
                 "ROLLBACK", f"rolled back to savepoint {name}"
@@ -2556,6 +2570,7 @@ class SqlRouterMixin:
         if txn is not None:
             self._guc_txn_unwind(txn, committed=False)
             self._txn_close_cursors(txn, committed=False)
+            self._seq_txn_unwind(txn)
             self._txn_unregister_created_views(
                 set(txn.get("created", {}))
                 | set(txn.get("dropped", set()))
@@ -2737,10 +2752,19 @@ class SqlRouterMixin:
                 c.strip().strip('"') for c in rest[1:close].split(",")
             ]
             rest = rest[close + 1:].strip()
+        # Postgres identity-column clause: OVERRIDING SYSTEM VALUE lets
+        # explicit values into GENERATED ALWAYS columns; OVERRIDING USER
+        # VALUE discards explicit values in favor of the sequence
+        overriding: Optional[str] = None
+        om = re.match(r"OVERRIDING\s+(SYSTEM|USER)\s+VALUE\s+", rest, re.I)
+        if om:
+            overriding = om.group(1).lower()
+            rest = rest[om.end():].strip()
         schema = self._moontable(self._canon(t)).schema()
         cons = self._constraints(t) or {}
         defaults = cons.get("defaults", {})
         gen = cons.get("generated", {})
+        identity = cons.get("identity") or {}
         # Postgres: generated columns are EXCLUDED from the implicit
         # INSERT target list; explicitly listed ones only accept DEFAULT
         target = (
@@ -2763,12 +2787,39 @@ class SqlRouterMixin:
                             f"cannot insert a non-DEFAULT value into "
                             f'column "{target[i]}" (generated column)'
                         )
+        if identity and overriding != "system":
+            # GENERATED ALWAYS identity refuses explicit values (PG);
+            # BY DEFAULT accepts them
+            alw_pos = {
+                i for i, c in enumerate(target)
+                if identity.get(c) == "always"
+            }
+            if alw_pos and re.match(r"VALUES\b", rest, re.I):
+                for s, e, i in _values_spans(_mask_quoted(rest)):
+                    if i in alw_pos and rest[s:e].strip().upper() != "DEFAULT":
+                        raise ValueError(
+                            f'cannot insert a non-DEFAULT value into '
+                            f'column "{target[i]}" (GENERATED ALWAYS '
+                            "identity column; use OVERRIDING SYSTEM "
+                            "VALUE to force it)"
+                        )
+            elif alw_pos and not re.match(
+                r"DEFAULT\s+VALUES\b", rest, re.I
+            ):
+                bad = target[min(alw_pos)]
+                raise ValueError(
+                    f'cannot insert into column "{bad}" (GENERATED '
+                    "ALWAYS identity column; omit it, use DEFAULT, or "
+                    "OVERRIDING SYSTEM VALUE)"
+                )
+        values_nrows: Optional[int] = None  # known for VALUES sources
         if re.match(r"DEFAULT\s+VALUES\s*$", rest, re.I):
-            # one row of declared defaults (typed NULL where none)
+            # one row of declared defaults (typed NULL where none);
+            # nextval defaults materialize to one allocated literal
             exprs = [
                 (
-                    f"CAST(({defaults[f.name]}) AS "
-                    f"{f.dataType.simpleString()}) AS `{f.name}`"
+                    f"CAST(({self._seq_materialize_text(defaults[f.name])})"
+                    f" AS {f.dataType.simpleString()}) AS `{f.name}`"
                     if f.name in defaults
                     else f"CAST(NULL AS {f.dataType.simpleString()}) "
                          f"AS `{f.name}`"
@@ -2778,8 +2829,16 @@ class SqlRouterMixin:
             src = self.spark.sql("SELECT " + ", ".join(exprs))
             target = [f.name for f in schema.fields]
         elif re.match(r"VALUES\b", rest, re.I):
-            # bare DEFAULT elements become the declared default
+            # bare DEFAULT elements become the declared default; any
+            # nextval('s') occurrence (typed by the user or injected by
+            # a serial/identity default) becomes an allocated literal,
+            # one per occurrence — exactly Postgres's per-row call
+            values_nrows = sum(
+                1 for _, _, i2 in _values_spans(_mask_quoted(rest))
+                if i2 == 0
+            )
             rest = _rewrite_values_defaults(rest, target, schema, defaults)
+            rest = self._seq_materialize_text(rest)
             src = self.spark.sql(f"SELECT * FROM {rest}")
         elif re.match(r"(SELECT|WITH)\b", rest, re.I):
             # re-enter: resolves mirror views, honoring the caller's pin
@@ -2797,13 +2856,46 @@ class SqlRouterMixin:
         for f in schema.fields:
             if f.name not in df.columns:
                 # unlisted columns take their declared default (Postgres),
-                # NULL otherwise
+                # NULL otherwise; sequence defaults allocate a block and
+                # assign distributed (sequences.py)
                 d = defaults.get(f.name)
+                seqname = self._seq_default_target(d)
+                if seqname is not None:
+                    df = (
+                        self._seq_assign_small(
+                            df, f.name, seqname, f.dataType, values_nrows
+                        )
+                        if values_nrows is not None
+                        else self._seq_assign_column(
+                            df, f.name, seqname, f.dataType
+                        )
+                    )
+                    continue
                 df = df.withColumn(
                     f.name,
                     F.expr(d).cast(f.dataType) if d
                     else F.lit(None).cast(f.dataType),
                 )
+        if overriding == "user":
+            # OVERRIDING USER VALUE: identity columns take the sequence
+            # regardless of what the statement supplied (Postgres)
+            for f in schema.fields:
+                if f.name in identity and f.name in df.columns:
+                    seqname = self._seq_default_target(
+                        defaults.get(f.name)
+                    )
+                    if seqname is not None:
+                        df = (
+                            self._seq_assign_small(
+                                df.drop(f.name), f.name, seqname,
+                                f.dataType, values_nrows,
+                            )
+                            if values_nrows is not None
+                            else self._seq_assign_column(
+                                df.drop(f.name), f.name, seqname,
+                                f.dataType,
+                            )
+                        )
         if conflict_sql is not None:
             return self._sql_insert_on_conflict(
                 t, tgt_alias, df, conflict_sql, returning=returning
@@ -3651,6 +3743,10 @@ class SqlRouterMixin:
             checks: list[list[str]] = []  # [name, expr_sql]
             defaults: dict[str, str] = {}
             generated: dict[str, str] = {}
+            # (col, storage_type, identity_kind|None, identity_opts) for
+            # serial / GENERATED ... AS IDENTITY columns — each gets an
+            # owned sequence + a nextval default below
+            seq_cols: list[tuple[str, str, Optional[str], str]] = []
             for part in _split_top_commas(rest[1:close]):
                 part = part.strip()
                 cm = re.match(
@@ -3682,6 +3778,22 @@ class SqlRouterMixin:
                 if not dm.group(1).startswith('"'):
                     col = col.lower()
                 type_sql, info = _parse_col_constraints(dm.group(2).strip())
+                # serial/bigserial/smallserial: integer storage + an
+                # owned sequence default + implied NOT NULL (Postgres)
+                ts_norm = re.sub(r"\s+", " ", type_sql.strip().lower())
+                if ts_norm in SERIAL_TYPES:
+                    type_sql = SERIAL_TYPES[ts_norm]
+                    info["not_null"] = True
+                    seq_cols.append((col, type_sql, None, ""))
+                if info["identity"] is not None:
+                    ikind, iopts = info["identity"]
+                    st = _SEQ_TYPE_ALIASES.get(ts_norm)
+                    if st is None:
+                        raise ValueError(
+                            f'identity column "{col}" must be smallint/'
+                            f"integer/bigint, got {type_sql!r}"
+                        )
+                    seq_cols.append((col, st, ikind, iopts))
                 fields.append(
                     T.StructField(col, _pg_type_to_spark(type_sql), True)
                 )
@@ -3705,6 +3817,14 @@ class SqlRouterMixin:
                         f"{tbl_slug}_check"
                         if auto == 1 else f"{tbl_slug}_check{auto}"
                     )
+            created_seqs: list[str] = []
+            identity: dict[str, str] = {}
+            for col, storage, ikind, iopts in seq_cols:
+                sname = self._seq_create_owned(name, col, storage, iopts)
+                created_seqs.append(sname)
+                defaults[col] = f"nextval('{sname}')"
+                if ikind is not None:
+                    identity[col] = ikind
             constraints: dict[str, Any] = {}
             if not_null or pk:
                 # PRIMARY KEY implies NOT NULL, Postgres semantics
@@ -3716,6 +3836,8 @@ class SqlRouterMixin:
             if generated:
                 _no_gen_on_gen(generated)
                 constraints["generated"] = generated
+            if identity:
+                constraints["identity"] = identity
             schema = T.StructType(fields)
             empty = self.spark.createDataFrame([], schema)
             # Postgres errors on a bad constraint expression at CREATE,
@@ -3725,6 +3847,11 @@ class SqlRouterMixin:
                 *[("GENERATED", x) for x in generated.values()],
                 *[("CHECK", x[1]) for x in checks],
             ]:
+                if what == "DEFAULT" and self._seq_default_target(e_):
+                    # nextval(...) is engine-evaluated, not a Spark
+                    # expression; the sequence's existence was checked
+                    self._seq_resolve(self._seq_default_target(e_))
+                    continue
                 self._analysis_check_expr(None, what, e_, schema=schema)
             # change_feed on by default for SQL-created tables — the
             # wal_level=logical analog: DML commits persist an O(batch)
@@ -3738,12 +3865,21 @@ class SqlRouterMixin:
                     True,
                 )
                 return self._dml_result("CREATE", t, -1)
-            self.create_table(
-                t, source_df=empty, primary_key=pk or None, change_feed=True,
-                table_config=(
-                    {"constraints": constraints} if constraints else None
-                ),
-            )
+            try:
+                self.create_table(
+                    t, source_df=empty, primary_key=pk or None,
+                    change_feed=True,
+                    table_config=(
+                        {"constraints": constraints} if constraints else None
+                    ),
+                )
+            except Exception:
+                for sname in created_seqs:  # no leaked implicit sequences
+                    try:
+                        self.catalog.seq_drop(sname)
+                    except KeyError:
+                        pass
+                raise
             return self._dml_result("CREATE", t, 1)
         if kind == "DROP":
             m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.*)$", q, re.I | re.S)
@@ -3761,15 +3897,21 @@ class SqlRouterMixin:
                 except KeyError:
                     if not if_exists:
                         raise
+                else:
+                    # OWNED BY cascade: implicit serial/identity
+                    # sequences fall with their table (undo-logged in a
+                    # block, so ROLLBACK restores them)
+                    self._seq_drop_owned(self._canon(t))
             return self._dml_result("DROP", last, 0)
         if kind == "TRUNCATE":
             # multi-table + the Postgres modifiers (round 15): ONLY is
-            # inert (no inheritance), CONTINUE/RESTART IDENTITY are
-            # inert (no sequences to restart), CASCADE is inert (no
+            # inert (no inheritance), CONTINUE IDENTITY is the default,
+            # RESTART IDENTITY restarts the tables' owned sequences
+            # (round 16 — sequences exist now), CASCADE is inert (no
             # foreign keys reference a mirror)
             m = re.match(
                 r"TRUNCATE\s+(?:TABLE\s+)?(.+?)\s*"
-                r"(?:\b(?:RESTART|CONTINUE)\s+IDENTITY)?\s*"
+                r"(?:\b(RESTART)\s+IDENTITY|\bCONTINUE\s+IDENTITY)?\s*"
                 r"(?:\b(?:CASCADE|RESTRICT))?\s*$",
                 q, re.I | re.S,
             )
@@ -3786,6 +3928,7 @@ class SqlRouterMixin:
             ]
             if not tables or not all(tables):
                 raise ValueError(f"cannot parse TRUNCATE: {q!r}")
+            restart_identity = bool(m.group(2))
             last, v = "?", 0
             for t in tables:
                 last = t
@@ -3797,8 +3940,28 @@ class SqlRouterMixin:
                     v = -1
                 else:
                     v = self.delete_where(t, "true")
+                if restart_identity:
+                    # Postgres: RESTART IDENTITY resets owned sequences
+                    # to their START value; unlike plain setval this IS
+                    # undone by ROLLBACK (PG runs it as ALTER SEQUENCE
+                    # RESTART) — hence the 'setpos' undo entry
+                    canon = self._canon(t)
+                    for sname, st in self.catalog.sequences().items():
+                        owner = st.get("owned_by") or ""
+                        if owner.startswith(f"{canon}."):
+                            self._seq_txn_log(
+                                "setpos", sname,
+                                (st["last_value"], st["is_called"]),
+                            )
+                            self.catalog.seq_update(
+                                sname, last_value=st["start"],
+                                is_called=False,
+                            )
             return self._dml_result("TRUNCATE", last, v)
-        # ALTER
+        # ALTER — pg_dump qualifies with ONLY (no-inheritance marker;
+        # inert here, a mirror is one logical table): normalize once so
+        # every ALTER shape below accepts the dump spelling
+        q = re.sub(r"^(ALTER\s+TABLE)\s+ONLY\b", r"\1", q, flags=re.I)
         m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+SET\s+ACCESS\s+METHOD\s+"
             r"(\w+)\s*$",
@@ -3910,8 +4073,10 @@ class SqlRouterMixin:
                     canon, {"op": "drop_column", "col": col},
                     overlay_df=self.table(t).drop(col),
                 )
+                self._seq_drop_owned(canon, col)  # undo-logged
                 return self._dml_result("ALTER", t, -1)
             v = self.drop_column(t, col)
+            self._seq_drop_owned(self._canon(t), col)
             return self._dml_result("ALTER", t, v)
         # --- constraint lifecycle (round 12; Postgres error spellings) ---
         m = re.match(
@@ -4069,6 +4234,14 @@ class SqlRouterMixin:
                 # constraints in the ADD COLUMN tail instead.
                 name = self._canon(t)
                 self._txn_check_writable(name)
+                if name in self._txn.get("created", {}):
+                    # metadata-only shapes on a table created EARLIER IN
+                    # THIS BLOCK (the pg_dump identity restore shape:
+                    # CREATE TABLE; ALTER COLUMN ADD GENERATED ... in
+                    # one --single-transaction) mutate the staged spec
+                    return self._txn_alter_created_column(
+                        name, t, col, action.strip()
+                    )
                 self._txn_alter_gate(name)
                 self._sql_alter_column(t, col, action.strip(), dry_run=True)
                 self._txn_stage_alter(
@@ -4079,6 +4252,89 @@ class SqlRouterMixin:
                 return self._dml_result("ALTER", t, -1)
             return self._sql_alter_column(t, col, action.strip())
         raise ValueError(f"unsupported {kind} statement: {q!r}")
+    def _txn_alter_created_column(
+        self, canon: str, t: str, col: str, action: str
+    ) -> DataFrame:
+        """ALTER COLUMN on a table created earlier in the SAME open
+        block.  Storage does not exist yet, so only metadata-only shapes
+        apply — ADD GENERATED ... AS IDENTITY, SET DEFAULT, DROP DEFAULT
+        (exactly what a pg_dump --single-transaction restore replays
+        between CREATE TABLE and the data section); anything else keeps
+        the loud created-in-block refusal.  The staged CREATE spec is
+        REPLACED (never mutated in place) and the prior spec lands in
+        the sequence undo log, so ROLLBACK TO a savepoint between the
+        CREATE and this ALTER restores the original spec."""
+        spec = self._txn["created"][canon]
+        schema = T.StructType.fromJson(spec["schema"])
+        fld = next((f for f in schema.fields if f.name == col), None)
+        if fld is None:
+            raise ValueError(
+                f'column "{col}" of relation "{canon}" does not exist'
+            )
+        cfg = dict(spec.get("table_config") or {})
+        cons = {
+            k: (dict(v) if isinstance(v, dict) else list(v))
+            for k, v in (cfg.get("constraints") or {}).items()
+        }
+        im = re.match(
+            r"ADD\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+            r"\s*(?:\((.*)\))?\s*$",
+            action, re.I | re.S,
+        )
+        dm_def = re.match(r"SET\s+DEFAULT\s+(.+)$", action, re.I | re.S)
+        if im:
+            ikind = (
+                "always" if im.group(1).upper() == "ALWAYS" else "default"
+            )
+            storage = {
+                "smallint": "smallint", "int": "integer",
+                "bigint": "bigint", "integer": "integer",
+            }.get(fld.dataType.simpleString())
+            if storage is None:
+                raise ValueError(
+                    f'identity column "{col}" must be smallint/integer/'
+                    f"bigint, got {fld.dataType.simpleString()}"
+                )
+            if col not in (cons.get("not_null") or []) and col not in (
+                spec.get("primary_key") or []
+            ):
+                raise ValueError(
+                    f'column "{col}" of relation "{canon}" must be '
+                    "declared NOT NULL before identity can be added"
+                )
+            sname = self._seq_create_owned(
+                canon, col, storage, im.group(2) or ""
+            )
+            cons.setdefault("defaults", {})[col] = f"nextval('{sname}')"
+            cons.setdefault("identity", {})[col] = ikind
+        elif dm_def:
+            expr = dm_def.group(1).strip()
+            seqname = self._seq_default_target(expr)
+            if seqname is not None:
+                expr = f"nextval('{self._seq_resolve(seqname)}')"
+            else:
+                self._analysis_check_expr(
+                    None, "DEFAULT", expr, schema=schema
+                )
+            cons.setdefault("defaults", {})[col] = expr
+        elif re.match(r"DROP\s+DEFAULT\s*$", action, re.I):
+            (cons.get("defaults") or {}).pop(col, None)
+        else:
+            self._txn_alter_gate(canon)  # keeps the loud refusal
+        new_spec = {
+            **spec,
+            "table_config": {
+                **cfg,
+                "constraints": {k: v for k, v in cons.items() if v} or None,
+            },
+        }
+        self._seq_txn_log("spec", canon, spec)
+        self._txn["created"][canon] = new_spec
+        for i, (n, k, s) in enumerate(self._txn["staged"]):
+            if n == canon and k == "create":
+                self._txn["staged"][i] = (n, k, new_spec)
+                break
+        return self._dml_result("ALTER", t, -1)
     def _add_check_constraint(
         self,
         t: str,
@@ -4188,11 +4444,82 @@ class SqlRouterMixin:
                     f'column "{col}" of relation "{name}" is a generated '
                     "column"
                 )
-            self._analysis_check_expr(t, "DEFAULT", am.group(1).strip())
+            expr = am.group(1).strip()
+            seqname = self._seq_default_target(expr)
+            if seqname is not None:
+                # pg_dump's serial wiring: SET DEFAULT
+                # nextval('t_id_seq'::regclass) — engine-evaluated, not
+                # a Spark expression; normalize to the resolved name
+                expr = f"nextval('{self._seq_resolve(seqname)}')"
+            else:
+                self._analysis_check_expr(t, "DEFAULT", expr)
             if dry_run:
                 return self._dml_result("ALTER", t, 0)
-            cons.setdefault("defaults", {})[col] = am.group(1).strip()
+            cons.setdefault("defaults", {})[col] = expr
             self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        im = re.match(
+            r"ADD\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+            r"\s*(?:\((.*)\))?\s*$",
+            action, re.I | re.S,
+        )
+        if im:
+            # the pg_dump shape for identity columns: CREATE TABLE with
+            # a plain NOT NULL int column, then ALTER ... ADD GENERATED
+            # ALWAYS AS IDENTITY (SEQUENCE NAME public.t_id_seq START
+            # WITH 1 ...) — creates the owned sequence + records kind
+            ikind = (
+                "always" if im.group(1).upper() == "ALWAYS" else "default"
+            )
+            if col in (cons.get("identity") or {}):
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" is already an '
+                    "identity column"
+                )
+            dtype = next(
+                f.dataType for f in mt.schema().fields if f.name == col
+            )
+            storage = {
+                "smallint": "smallint", "int": "integer",
+                "bigint": "bigint", "integer": "integer",
+            }.get(dtype.simpleString())
+            if storage is None:
+                raise ValueError(
+                    f'identity column "{col}" must be smallint/integer/'
+                    f"bigint, got {dtype.simpleString()}"
+                )
+            if col not in (cons.get("not_null") or []) and col not in (
+                mt.primary_key() or []
+            ):
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" must be '
+                    "declared NOT NULL before identity can be added"
+                )
+            if dry_run:
+                return self._dml_result("ALTER", t, 0)
+            sname = self._seq_create_owned(
+                name, col, storage, im.group(2) or ""
+            )
+            cons.setdefault("defaults", {})[col] = f"nextval('{sname}')"
+            cons.setdefault("identity", {})[col] = ikind
+            self._set_constraints(t, cons)
+            return self._dml_result("ALTER", t, 1)
+        if re.match(r"DROP\s+IDENTITY(?:\s+IF\s+EXISTS)?\s*$", action, re.I):
+            if col not in (cons.get("identity") or {}):
+                if re.search(r"IF\s+EXISTS", action, re.I):
+                    return self._dml_result("ALTER", t, 0)
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" is not an '
+                    "identity column"
+                )
+            if dry_run:
+                return self._dml_result("ALTER", t, 0)
+            cons["identity"] = {
+                c: k for c, k in cons["identity"].items() if c != col
+            }
+            (cons.get("defaults") or {}).pop(col, None)
+            self._set_constraints(t, cons)
+            self._seq_drop_owned(name, col)
             return self._dml_result("ALTER", t, 1)
         if re.match(r"DROP\s+DEFAULT\s*$", action, re.I):
             if dry_run:

@@ -255,7 +255,7 @@ def _parse_col_constraints(tail: str) -> tuple[str, dict[str, Any]]:
     rest = tail[first:].strip()
     info: dict[str, Any] = {
         "is_pk": False, "not_null": False, "default": None, "checks": [],
-        "generated": None,
+        "generated": None, "identity": None,
     }
     while rest:
         m = re.match(r"PRIMARY\s+KEY\b", rest, re.I)
@@ -302,11 +302,41 @@ def _parse_col_constraints(tail: str) -> tuple[str, dict[str, Any]]:
                 )
             rest = after[sm.end():].strip()
             continue
+        im = re.match(
+            r"GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*",
+            rest, re.I,
+        )
+        if im:
+            kind = (
+                "always" if im.group(1).upper() == "ALWAYS" else "default"
+            )
+            after = rest[im.end():].strip()
+            opts = ""
+            if after.startswith("("):
+                depth, close = 1, -1
+                for i in range(1, len(after)):
+                    if after[i] == "(":
+                        depth += 1
+                    elif after[i] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            close = i
+                            break
+                if close < 0:
+                    raise ValueError(
+                        f"unbalanced IDENTITY options: {rest!r}"
+                    )
+                opts = after[1:close].strip()
+                after = after[close + 1:].strip()
+            info["identity"] = (kind, opts)
+            info["not_null"] = True  # identity implies NOT NULL
+            rest = after
+            continue
         m = re.match(r"GENERATED\b", rest, re.I)
         if m:
             raise ValueError(
-                "only GENERATED ALWAYS AS (expr) STORED is supported "
-                "(IDENTITY columns are not)"
+                "only GENERATED ALWAYS AS (expr) STORED and "
+                "GENERATED ... AS IDENTITY are supported"
             )
         cm = re.match(r"(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\(", rest, re.I)
         if cm:
