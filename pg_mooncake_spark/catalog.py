@@ -263,6 +263,41 @@ class SyncCatalog:
             k: v for k, v in self._load().items() if not k.startswith("__")
         }
 
+    # --------------------------------------------- named object registries
+    #
+    # Schemas and extensions (round 16): pg_dump preambles and the
+    # reference's own bootstrap (``CREATE SCHEMA mooncake``,
+    # ``CREATE EXTENSION pg_mooncake``) create namespace objects the
+    # engine records but does not execute against — persisted so DROP
+    # SCHEMA emptiness checks and re-creation errors behave like
+    # Postgres across sessions.
+
+    def named_set(self, key: str) -> list[str]:
+        return list(self._load().get(key, []))
+
+    def named_set_add(self, key: str, name: str) -> bool:
+        """Add; returns False if already present."""
+        with self._lock:
+            data = self._load()
+            items = data.setdefault(key, [])
+            if name in items:
+                return False
+            items.append(name)
+            self._save(data)
+            return True
+
+    def named_set_remove(self, key: str, name: str) -> bool:
+        with self._lock:
+            data = self._load()
+            items = data.get(key, [])
+            if name not in items:
+                return False
+            items.remove(name)
+            if not items:
+                data.pop(key, None)
+            self._save(data)
+            return True
+
     # --------------------------------------------------------- sequences
     #
     # Postgres sequence objects (CREATE SEQUENCE / serial / IDENTITY):

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pg_mooncake_spark.admin import AdminMixin
 from pg_mooncake_spark.catalog import SyncCatalog
 from pg_mooncake_spark.sequences import SequencesMixin
 from pg_mooncake_spark.sql_router import SqlRouterMixin
@@ -130,7 +131,7 @@ class _TxnTableShim:
         )
 
 
-class MooncakeEngine(SqlRouterMixin, SequencesMixin):
+class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
@@ -2154,6 +2155,16 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin):
                         ]
                         if spec["col"] in cols:
                             self.drop_column(name, spec["col"])
+                    elif spec["op"] == "add_pk":
+                        # idempotent: a matching pk means OUR replay ran
+                        mt = self._moontable(name)
+                        if list(mt.primary_key() or []) != spec["cols"]:
+                            mt.set_primary_key(spec["cols"])
+                        cons = self._constraints(name) or {}
+                        cons["not_null"] = sorted(
+                            {*cons.get("not_null", []), *spec["cols"]}
+                        )
+                        self._set_constraints(name, cons)
                     elif spec["op"] == "create_index":
                         self._register_index(
                             name, spec["iname"], spec["spec"],

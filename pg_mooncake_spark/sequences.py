@@ -355,6 +355,10 @@ class SequencesMixin:
                 return self._dml_result("ALTER SEQUENCE", raw, 0)
             raise
         cur = self.catalog.seq_get(name)
+        om = re.match(r"OWNER\s+TO\s+[\w\"]+\s*$", opts.strip(), re.I)
+        if om:
+            # pg_dump emits one per sequence; no roles here — inert
+            return self._dml_result("ALTER SEQUENCE", name, 0)
         rm = re.match(r"RENAME\s+TO\s+([\w\"]+)\s*$", opts.strip(), re.I)
         if rm:
             new = self._seq_canon(rm.group(1))

@@ -329,6 +329,26 @@ class SqlRouterMixin:
         "mooncake.allow_unenforced_unique_indexes": "off",
         "search_path": '"$user", public',
         "client_min_messages": "notice",
+        # The verbatim pg_dump 17 preamble (round 16): every statement a
+        # real dump opens with must execute — these are validated-inert
+        # session knobs here (single-session engine, no timeouts/ACLs to
+        # configure), same class as LOCK TABLE.  Defaults mirror
+        # Postgres's defaults.
+        "statement_timeout": "0",
+        "lock_timeout": "0",
+        "idle_in_transaction_session_timeout": "0",
+        "transaction_timeout": "0",
+        "client_encoding": "UTF8",
+        "standard_conforming_strings": "on",
+        "check_function_bodies": "true",
+        "xmloption": "content",
+        "row_security": "on",
+        "default_tablespace": "",
+        "default_table_access_method": "heap",
+        # Same contract as allow_unenforced_unique_indexes, for the
+        # post-data FOREIGN KEY constraints every relational dump ends
+        # with: off = loud refusal, on = record-and-continue.
+        "mooncake.allow_unenforced_foreign_keys": "off",
     }
     _SIZE_RE = re.compile(
         r"^\d+(\.\d+)?\s*(%|B|KB|MB|GB|TB|PB|KIB|MIB|GIB|TIB)?$", re.I
@@ -418,6 +438,12 @@ class SqlRouterMixin:
         seq_df = self._sql_sequence_statement(query)
         if seq_df is not None:
             return seq_df
+        # admin/namespace statements (round 16): CREATE/DROP SCHEMA,
+        # CREATE/DROP EXTENSION, set_config(), OWNER TO, GRANT/REVOKE —
+        # the rest of a verbatim pg_dump preamble/postamble
+        adm_df = self._sql_admin_statement(query)
+        if adm_df is not None:
+            return adm_df
         kind = _DML_KIND.match(query)
         if kind:
             return self._sql_dml(query, kind.group(1).upper(), pin=pin)
@@ -1655,7 +1681,8 @@ class SqlRouterMixin:
         DDL."""
         m = re.match(
             r"^\s*COMMENT\s+ON\s+"
-            r"(TABLE|COLUMN|INDEX|MATERIALIZED\s+VIEW|VIEW|CONSTRAINT)\s+"
+            r"(TABLE|COLUMN|INDEX|MATERIALIZED\s+VIEW|VIEW|CONSTRAINT"
+            r"|SCHEMA|SEQUENCE|EXTENSION|DATABASE)\s+"
             r"(.+?)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$",
             query, re.I | re.S,
         )
@@ -1667,6 +1694,17 @@ class SqlRouterMixin:
             None if lit.upper() == "NULL"
             else lit[1:-1].replace("''", "'")
         )
+        if kind in ("SCHEMA", "SEQUENCE", "EXTENSION", "DATABASE"):
+            # namespace-object comments (pg_dump emits them): target
+            # validates for real; the text is acknowledged, not
+            # persisted (these objects have no per-table metadata home)
+            if kind == "SCHEMA":
+                sname = self._schema_fold(target.strip())
+                if sname not in self._known_schemas():
+                    raise ValueError(f'schema "{sname}" does not exist')
+            elif kind == "SEQUENCE":
+                self._seq_resolve(target.strip())
+            return self._dml_result("COMMENT", target.strip('"'), 0)
         if kind == "COLUMN":
             if "." not in target:
                 raise ValueError(
@@ -3963,6 +4001,17 @@ class SqlRouterMixin:
         # every ALTER shape below accepts the dump spelling
         q = re.sub(r"^(ALTER\s+TABLE)\s+ONLY\b", r"\1", q, flags=re.I)
         m = re.match(
+            rf"ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_SQL_TABLE}\s+"
+            r"OWNER\s+TO\s+[\w\"]+\s*$",
+            q, re.I,
+        )
+        if m:
+            # pg_dump emits one per table; no roles in a single-session
+            # engine — validated-inert (unknown-table error is real)
+            t = m.group(1)
+            self._moontable(t)
+            return self._dml_result("ALTER", t, 0)
+        m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+SET\s+ACCESS\s+METHOD\s+"
             r"(\w+)\s*$",
             q, re.I,
@@ -4078,6 +4127,54 @@ class SqlRouterMixin:
             v = self.drop_column(t, col)
             self._seq_drop_owned(self._canon(t), col)
             return self._dml_result("ALTER", t, v)
+        # --- post-data constraint shapes a real pg_dump replays ---
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+"
+            r"(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*$",
+            q, re.I,
+        )
+        if m:
+            return self._sql_add_primary_key(
+                m.group(1), m.group(2), m.group(3)
+            )
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+"
+            r"(?:CONSTRAINT\s+(\w+)\s+)?UNIQUE\s*\(([^)]*)\)\s*"
+            r"(?:INCLUDE\s*\([^)]*\)\s*)?$",
+            q, re.I,
+        )
+        if m:
+            # same contract as CREATE UNIQUE INDEX: loud refusal unless
+            # the restore opted into recording it unenforced
+            t, cname, cols_sql = m.group(1), m.group(2), m.group(3)
+            idx = cname or (
+                f"{self._canon(t).replace('.', '_')}_"
+                f"{cols_sql.split(',')[0].strip().strip(chr(34))}_key"
+            )
+            return self._sql_create_index(
+                f'CREATE UNIQUE INDEX "{idx}" ON {t} ({cols_sql})'
+            )
+        m = re.match(
+            rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+"
+            r"(?:CONSTRAINT\s+(\w+)\s+)?FOREIGN\s+KEY\s*\([^)]*\)\s*"
+            r"REFERENCES\s+.+$",
+            q, re.I | re.S,
+        )
+        if m:
+            # no cross-table enforcement machinery here — recording an
+            # unenforced FK silently would be a data-quality trap, so
+            # the default is the loud refusal; restores opt in with the
+            # same GUC family as unique indexes
+            if self._guc_effective(
+                "mooncake.allow_unenforced_foreign_keys"
+            ).lower() not in ("on", "true", "1", "yes"):
+                raise ValueError(
+                    "FOREIGN KEY constraints are not enforced by this "
+                    "engine; SET mooncake.allow_unenforced_foreign_keys "
+                    "= on to record them unenforced during a restore"
+                )
+            self._moontable(m.group(1))  # unknown-table error is real
+            return self._dml_result("ALTER", m.group(1), 0)
         # --- constraint lifecycle (round 12; Postgres error spellings) ---
         m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+"
@@ -4252,6 +4349,108 @@ class SqlRouterMixin:
                 return self._dml_result("ALTER", t, -1)
             return self._sql_alter_column(t, col, action.strip())
         raise ValueError(f"unsupported {kind} statement: {q!r}")
+    def _sql_add_primary_key(
+        self, t: str, cname: Optional[str], cols_sql: str
+    ) -> DataFrame:
+        """``ALTER TABLE [ONLY] t ADD [CONSTRAINT name] PRIMARY KEY
+        (cols)`` — how every real pg_dump declares keys: the data
+        section loads first, the key lands in post-data.  Validation is
+        Postgres's (no second pk; columns exist; NULL scan; uniqueness
+        scan — the index build analog), then a metadata-only ``set_pk``
+        commit records the key so row-addressed DML works from here on.
+        Inside a block: a table created in the block gets its staged
+        spec updated (the --single-transaction restore shape, scans run
+        against the staged overlay); an untouched table stages with the
+        scans run at stage time."""
+        canon = self._canon(t)
+        cols = [
+            c.strip()[1:-1] if c.strip().startswith('"')
+            else c.strip().lower()
+            for c in cols_sql.split(",") if c.strip()
+        ]
+        if not cols:
+            raise ValueError("PRIMARY KEY needs at least one column")
+
+        def _scan_pk(df: DataFrame) -> None:
+            null_cond = " OR ".join(f"`{c}` IS NULL" for c in cols)
+            if df.where(null_cond).limit(1).count():
+                raise ValueError(
+                    f'column "{cols[0]}" of relation "{canon}" contains '
+                    "null values"
+                )
+            if df.groupBy(*[F.col(f"`{c}`") for c in cols]).count() \
+                    .where("count > 1").limit(1).count():
+                raise ValueError(
+                    f'could not create unique index "{cname or canon}_'
+                    'pkey": duplicate key value violates the new '
+                    "primary key"
+                )
+
+        if self._txn is not None and canon in self._txn.get("created", {}):
+            spec = self._txn["created"][canon]
+            schema = T.StructType.fromJson(spec["schema"])
+            known = {f.name for f in schema.fields}
+            missing = [c for c in cols if c not in known]
+            if missing:
+                raise ValueError(
+                    f'column "{missing[0]}" of relation "{canon}" does '
+                    "not exist"
+                )
+            if spec.get("primary_key"):
+                raise ValueError(
+                    f'multiple primary keys for table "{canon}" are '
+                    "not allowed"
+                )
+            ov = self._txn["overlay"].get(canon)
+            if ov is not None:
+                _scan_pk(ov)
+            cfg = dict(spec.get("table_config") or {})
+            cons = {
+                k: (dict(v) if isinstance(v, dict) else list(v))
+                for k, v in (cfg.get("constraints") or {}).items()
+            }
+            cons["not_null"] = sorted({*cons.get("not_null", []), *cols})
+            new_spec = {
+                **spec,
+                "primary_key": cols,
+                "table_config": {**cfg, "constraints": cons},
+            }
+            self._seq_txn_log("spec", canon, spec)
+            self._txn["created"][canon] = new_spec
+            for i, (n, k, s) in enumerate(self._txn["staged"]):
+                if n == canon and k == "create":
+                    self._txn["staged"][i] = (n, k, new_spec)
+                    break
+            return self._dml_result("ALTER", t, -1)
+        mt = self._moontable(t)
+        if mt.primary_key():
+            raise ValueError(
+                f'multiple primary keys for table "{canon}" are not '
+                "allowed"
+            )
+        known = {f.name for f in mt.schema().fields}
+        missing = [c for c in cols if c not in known]
+        if missing:
+            raise ValueError(
+                f'column "{missing[0]}" of relation "{canon}" does '
+                "not exist"
+            )
+        if not self._txn_replaying:
+            _scan_pk(self.table(t))
+        if self._txn is not None:
+            self._txn_check_writable(canon)
+            self._txn_alter_gate(canon)
+            self._txn_stage_alter(
+                canon, {"op": "add_pk", "cols": cols}
+            )
+            return self._dml_result("ALTER", t, -1)
+        v = mt.set_primary_key(cols)
+        cons = self._constraints(t) or {}
+        cons["not_null"] = sorted({*cons.get("not_null", []), *cols})
+        self._set_constraints(t, cons)
+        self.catalog.update_watermarks(canon, flush_version=v)
+        return self._dml_result("ALTER", t, v)
+
     def _txn_alter_created_column(
         self, canon: str, t: str, col: str, action: str
     ) -> DataFrame:

@@ -267,6 +267,11 @@ class MoonTable:
                         pm[new] = pm.pop(old, old)
                         d["phys"] = pm
                 eff_pk = [c.renames.get(k, k) for k in eff_pk]
+            if v != vs[0] and c.primary_key is not None:
+                # late pk declaration (pg_dump post-data ADD CONSTRAINT
+                # PRIMARY KEY): a metadata-only 'set_pk' commit carries
+                # the new key; later renames still remap it above
+                eff_pk = list(c.primary_key)
         if eff_schema != first.schema or eff_pk != list(first.primary_key or []):
             from dataclasses import replace as _dc_replace
 
@@ -1981,6 +1986,30 @@ class MoonTable:
                 version=v,
                 op="evolve",
                 schema=json.dumps(new_schema.jsonValue()),
+            )
+        )
+        return v
+
+    def set_primary_key(self, primary_key: list[str]) -> int:
+        """Metadata-only primary-key declaration commit — the pg_dump
+        restore shape loads data first and declares the key in the
+        post-data section (``ALTER TABLE ONLY t ADD CONSTRAINT t_pkey
+        PRIMARY KEY (...)``).  Validation (column existence, NULL and
+        uniqueness scans) is the caller's job; this just records the
+        key so subsequent MERGE/UPDATE/DELETE address rows by it.  Time
+        travel below the commit sees the table keyless."""
+        cols = {f.name for f in self.schema().fields}
+        missing = [c for c in primary_key if c not in cols]
+        if missing:
+            raise MoonTableError(
+                f"primary-key column(s) {missing} do not exist"
+            )
+        v = self.latest_version() + 1
+        self._write_commit(
+            Commit(
+                version=v,
+                op="set_pk",
+                primary_key=list(primary_key),
             )
         )
         return v
