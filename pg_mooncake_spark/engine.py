@@ -2155,6 +2155,21 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
                         ]
                         if spec["col"] in cols:
                             self.drop_column(name, spec["col"])
+                    elif spec["op"] == "rename_column":
+                        # idempotent: old gone + new present means OUR
+                        # replay already ran
+                        cols = [
+                            f.name
+                            for f in self._moontable(name).schema().fields
+                        ]
+                        if spec["old"] in cols:
+                            self.rename_column(
+                                name, spec["old"], spec["new"]
+                            )
+                    elif spec["op"] == "rename_table":
+                        # idempotent: the catalog move already happened
+                        if name in self.catalog.list_tables():
+                            self.rename_table(name, spec["new"])
                     elif spec["op"] == "add_pk":
                         # idempotent: a matching pk means OUR replay ran
                         mt = self._moontable(name)

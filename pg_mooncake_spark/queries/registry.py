@@ -61,75 +61,70 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # (1) never driver-verified: the round-15 additions
-    "lifecycle_sql_upsert_returning",
-    "lifecycle_sql_txn_alter",
-    "lifecycle_sql_cursor",
-    "lifecycle_sql_merge_returning",
+    # ---- round-16 rotation (VERDICT r15 task #1: the r12-stale band).
+    # (1) never driver-verified: the round-16 addition
+    "lifecycle_sql_sequences",
+    # (2) implementation/oracle changed this round: the
+    # generate_series rewrite gained the reversed-bounds guard and its
+    # oracle now covers descending/negative-step cases; the dump-replay
+    # capstone was rewritten to the VERBATIM pg_dump shape (preamble,
+    # serial wiring, COPY column list, post-data ADD CONSTRAINT
+    # PRIMARY KEY, setval)
     "sql_generate_series_spine",
     "lifecycle_sql_dump_replay",
-    # (2) implementation changed this round (eager-agg rewrites of
-    # q13/q10/q9; ON CONFLICT grew RETURNING; txn staging grew the
-    # alter gates + 9-element savepoint tuple incl. cursors; exact
-    # dedup reformulated as a window over the hash): the external
-    # signal should re-confirm them
-    "q13_customer_distribution",
-    "q10_returned_items",
-    "q9_product_type_profit",
-    "dedup_exact",
-    "pipeline_pretraining_corpus",
-    "lifecycle_sql_upsert",
-    "lifecycle_sql_txn_ddl",
-    "lifecycle_sql_txn",
-    "lifecycle_sql_savepoint",
-    # (3) last driver-verified in round 11 — ALL 36 (the rotation the
-    # r14 registry comment committed to: events_sessionization onward)
-    "events_sessionization",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "iceberg_bucket_partition_roundtrip",
-    "iceberg_partitioned_roundtrip",
-    "lifecycle_cdc_lineitem_merge",
-    "lifecycle_decimal_roundtrip",
-    "lifecycle_partitioned_counts",
-    "lifecycle_sanity_cdc",
-    "lifecycle_schema_evolution_cdc",
-    "lifecycle_snapshot_versions",
-    "lifecycle_sql_copy",
-    "lifecycle_trades_quickstart",
-    "media_feature_extraction",
-    "media_frame_sampling",
-    "media_resize_dedup",
-    "pipeline_pretraining_corpus",
-    "scalar_array_family",
-    "scalar_array_setops_family",
-    "scalar_bitwise_family",
-    "scalar_conditional_family",
-    "scalar_hash_family",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "subquery_correlated_scalar",
-    "subquery_in_notin",
-    "subquery_scalar_uncorrelated",
-    "text_winnowing_fingerprints",
-    "topk_per_group",
-    "unpivot_stack",
-    "window_offset_family",
-    "window_ranking_family",
-    "window_running_and_range_frames",
-    # (4) last driver-verified in round 12 — first 5 alphabetically.
-    # The mid-round feature additions (cursor / merge-returning /
-    # generate_series keys + the dedup impl-changed pair) displaced all
-    # but the first from the 50-slot window; the whole r12 band
-    # (agg_approx_percentile, corpus_* onward) heads the r16 rotation
+    # (3) the 49 keys last driver-verified in round 12, alphabetically.
+    # 1 + 2 + 49 = 52 > 50, so the LAST TWO entries below overflow the
+    # 50-slot window and head the round-17 rotation instead (they stay
+    # covered by the full local diffcheck gate every round).
     "agg_approx_count_distinct",
     "agg_approx_percentile",
     "corpus_chunking",
     "corpus_cluster_sample",
     "corpus_decontaminate",
+    "corpus_domain_cap",
+    "corpus_mixture",
+    "corpus_pack_sequences",
+    "corpus_sample_stratified",
+    "dedup_components",
+    "dedup_incremental_index",
+    "dedup_minhash_pairs_fast",
+    "dedup_simhash64_fast",
+    "delta_cdf_roundtrip",
+    "delta_rename_mapping_roundtrip",
+    "events_range_join",
+    "iceberg_changelog_export",
+    "iceberg_metadata_tables",
+    "iceberg_roundtrip_lineitem",
+    "join_cobucketed",
+    "lifecycle_change_feed",
+    "lifecycle_delta_mirror_sync",
+    "lifecycle_mor_scattered_dml",
+    "lifecycle_rename_widen_cdc",
+    "lifecycle_sql_constraints",
+    "lifecycle_sql_generated",
+    "lifecycle_sql_prepare",
+    "lifecycle_sql_time_travel",
+    "lifecycle_sql_views",
+    "q1_pricing_summary",
+    "scalar_interval_family",
+    "scalar_json_family",
+    "scalar_json_structured",
+    "sequence_generation",
+    "sim_ann_indexed_probe",
+    "sim_ann_lsh_bucketed",
+    "sim_cosine_topk_bruteforce",
+    "sketch_hll_distinct",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "struct_and_map_access",
+    "text_boilerplate_fraction",
+    "text_entropy_scores",
+    "text_language_id",
+    "text_ngram_surprisal",
+    "text_profile_analysis",
+    "text_quality_buckets",
+    "text_quality_scoring",
+    "text_top_ngrams",
 )
 
 

@@ -4037,20 +4037,68 @@ class SqlRouterMixin:
             q, re.I,
         )
         if m:
-            self._no_txn("ALTER TABLE RENAME TO")
-            self.rename_table(m.group(1), m.group(2).strip('"'))
-            return self._dml_result("ALTER", m.group(2).strip('"'), 1)
+            t, new = m.group(1), m.group(2).strip('"')
+            if self._txn is not None:
+                # stage on an UNTOUCHED table (round 16, VERDICT r15
+                # missing #5): metadata-only, so the staged-batch
+                # invalidation hazard the alter gate guards against is
+                # absent.  Name checks run at stage time; until COMMIT
+                # the table answers to its OLD name (the staged rename
+                # is invisible to reads — loud unknown-table on the new
+                # name, never a silent wrong answer).
+                canon = self._canon(t)
+                self._txn_check_writable(canon)
+                self._txn_alter_gate(canon)
+                new_canon = parse_table_name(new)
+                if (
+                    new_canon in self.catalog.list_tables()
+                    or new_canon in self._txn.get("created", {})
+                ):
+                    raise ValueError(
+                        f"mirror {new_canon!r} already registered"
+                    )
+                self._txn_stage_alter(
+                    canon, {"op": "rename_table", "new": new_canon}
+                )
+                return self._dml_result("ALTER", new, -1)
+            self.rename_table(t, new)
+            return self._dml_result("ALTER", new, 1)
         m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+RENAME\s+COLUMN\s+"
             r'("[^"]+"|\w+)\s+TO\s+("[^"]+"|\w+)\s*$',
             q, re.I,
         )
         if m:
-            self._no_txn("ALTER TABLE RENAME COLUMN")
-            v = self.rename_column(
-                m.group(1), m.group(2).strip('"'), m.group(3).strip('"')
-            )
-            return self._dml_result("ALTER", m.group(1), v)
+            t = m.group(1)
+            old, new = m.group(2).strip('"'), m.group(3).strip('"')
+            if self._txn is not None:
+                # stage on an UNTOUCHED table (round 16): metadata-only
+                # rename — existence checks at stage time, the real
+                # propagation (mirror rename-era commit + exports) at
+                # COMMIT replay
+                canon = self._canon(t)
+                self._txn_check_writable(canon)
+                self._txn_alter_gate(canon)
+                names = [
+                    f.name for f in self._moontable(t).schema().fields
+                ]
+                if old not in names:
+                    raise ValueError(
+                        f'column "{old}" of relation "{canon}" does '
+                        "not exist"
+                    )
+                if new in names:
+                    raise ValueError(
+                        f'column "{new}" of relation "{canon}" '
+                        "already exists"
+                    )
+                self._txn_stage_alter(
+                    canon,
+                    {"op": "rename_column", "old": old, "new": new},
+                )
+                return self._dml_result("ALTER", t, -1)
+            v = self.rename_column(t, old, new)
+            return self._dml_result("ALTER", t, v)
         m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+ADD\s+COLUMN\s+"
             r'(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|\w+)\s+(.+?)\s*$',
@@ -5100,6 +5148,7 @@ class SqlRouterMixin:
         fmt: str,
         header: Optional[bool],
         sep: Optional[str],
+        cols: Optional[list[str]] = None,
     ) -> DataFrame:
         """Materialize a COPY FROM STDIN payload as a DataFrame typed to
         the target table's schema.  Accepts a ready DataFrame verbatim,
@@ -5124,7 +5173,17 @@ class SqlRouterMixin:
         if isinstance(copy_data, DataFrame):
             return copy_data
         schema = self._moontable(table).schema()
-        names = [f.name for f in schema.fields]
+        known = {f.name for f in schema.fields}
+        if cols is not None:
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise ValueError(
+                    f'column "{bad[0]}" of relation '
+                    f"{self._canon(table)!r} does not exist"
+                )
+            names = list(cols)
+        else:
+            names = [f.name for f in schema.fields]
         if fmt == "csv":
             import csv as _csv
             import io
@@ -5258,6 +5317,18 @@ class SqlRouterMixin:
             if not tm:
                 raise ValueError(f"cannot parse COPY statement: {query!r}")
             t, rest = tm.group(1), rest[tm.end():]
+        # optional column list — pg_dump always emits one:
+        # COPY public.t (a, b, c) FROM STDIN
+        copy_cols: Optional[list[str]] = None
+        if t is not None:
+            clm = re.match(r"\(([^)]*)\)\s*", rest)
+            if clm:
+                copy_cols = [
+                    c.strip()[1:-1] if c.strip().startswith('"')
+                    else c.strip().lower()
+                    for c in clm.group(1).split(",") if c.strip()
+                ]
+                rest = rest[clm.end():]
         dm = re.match(
             r"(FROM|TO)\s+(STDIN\b|STDOUT\b|'[^']+')\s*(.*)$",
             rest, re.I | re.S,
@@ -5306,12 +5377,36 @@ class SqlRouterMixin:
             header = bool(lm.group(2))
         if stdin:
             assert t is not None
-            df = self._copy_stdin_df(t, copy_data, fmt or "text", header, sep)
+            df = self._copy_stdin_df(
+                t, copy_data, fmt or "text", header, sep, copy_cols
+            )
+            if copy_cols is not None:
+                # unlisted columns take their declared defaults, exactly
+                # as COPY does in Postgres (sequence defaults allocate)
+                schema = self._moontable(t).schema()
+                defaults = (self._constraints(t) or {}).get("defaults", {})
+                for f in schema.fields:
+                    if f.name in df.columns:
+                        continue
+                    d = defaults.get(f.name)
+                    seqname = self._seq_default_target(d)
+                    if seqname is not None:
+                        df = self._seq_assign_column(
+                            df, f.name, seqname, f.dataType
+                        )
+                    else:
+                        df = df.withColumn(
+                            f.name,
+                            F.expr(d).cast(f.dataType) if d
+                            else F.lit(None).cast(f.dataType),
+                        )
             v = self.insert(t, df)
             return self._dml_result("COPY", t, v)
         if stdout:
             src = self.sql(src_query) if src_query is not None \
                 else self.table(t)
+            if copy_cols is not None:
+                src = src.select(*copy_cols)
             return self._copy_stdout_df(src, fmt or "text", header, sep)
         if fmt == "text":
             fmt, sep = "csv", sep or "\t"
@@ -5326,6 +5421,13 @@ class SqlRouterMixin:
                 )
         if direction == "FROM":
             assert t is not None
+            if copy_cols is not None and [
+                f.name for f in self._moontable(t).schema().fields
+            ] != copy_cols:
+                raise ValueError(
+                    "COPY FROM 'path' supports a column list only in "
+                    "table order; reorder or use COPY ... FROM STDIN"
+                )
             options: dict[str, str] = {}
             if fmt == "csv":
                 # Postgres csv defaults: no header unless HEADER given
@@ -5335,6 +5437,8 @@ class SqlRouterMixin:
             v = self.load_files(t, [path], fmt=fmt, options=options)
             return self._dml_result("COPY", t, v)
         df = self.sql(src_query) if src_query is not None else self.table(t)
+        if copy_cols is not None and direction == "TO":
+            df = df.select(*copy_cols)
         # Postgres semantics: a local target with a matching file
         # extension yields ONE file (single-writer by contract); other
         # targets take the distributed directory-of-parts path.

@@ -247,6 +247,34 @@ class TestSqlDdl:
             (1, "a", 10), (2, None, 20), (3, "c", None),
         ]
 
+    def test_copy_stdin_column_list(self, eng):
+        """``COPY t (cols) FROM STDIN`` — the spelling every pg_dump
+        data section uses (round 16): listed columns map positionally,
+        unlisted columns take their declared defaults (sequence
+        defaults allocate)."""
+        eng.sql(
+            "CREATE TABLE cl (id serial PRIMARY KEY, v text, "
+            "n int DEFAULT 7)"
+        )
+        # the dump order: explicit ids in the data section, then the
+        # setval watermark, then app writes draw fresh ids
+        eng.sql(
+            "COPY cl (id, v, n) FROM STDIN",
+            copy_data="1\ta\t10\n2\tb\t20\n",
+        )
+        eng.sql("SELECT setval('cl_id_seq', 2, true)")
+        eng.sql("COPY cl (v) FROM STDIN", copy_data="c\n")
+        rows = sorted(tuple(r) for r in eng.table("cl").collect())
+        assert rows == [(1, "a", 10), (2, "b", 20), (3, "c", 7)]
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("COPY cl (nope) FROM STDIN", copy_data="x\n")
+
+    def test_copy_to_stdout_column_list(self, eng):
+        eng.sql("CREATE TABLE co (k int PRIMARY KEY, v text)")
+        eng.sql("INSERT INTO co VALUES (1, 'a')")
+        out = eng.sql("COPY co (v) TO STDOUT").collect()
+        assert [r[0] for r in out] == ["a"]
+
     def test_copy_from_stdin_dataframe_and_txn(self, eng, spark):
         eng.sql("CREATE TABLE sdf (k int PRIMARY KEY, v text)")
         df = spark.createDataFrame([(1, "a")], "k int, v string")
