@@ -1309,6 +1309,7 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         group_by: list[str],
         aggs: dict[str, tuple[str, str]],
         where: Optional[str] = None,
+        state_change_feed: bool = False,
     ) -> None:
         """Persisted GROUP BY aggregate over a mirror, kept fresh
         INCREMENTALLY from the mirror's change feed: each
@@ -1328,7 +1329,8 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
             raise ValueError(f"{name!r} already registered")
         path = self._table_path(name)
         MaterializedView.create(
-            self.spark, path, self._moontable(base), group_by, aggs, where=where
+            self.spark, path, self._moontable(base), group_by, aggs,
+            where=where, state_change_feed=state_change_feed,
         )
         self.catalog.register(
             name, base, path, table_config={"kind": "mview", "base": base}
@@ -1345,6 +1347,11 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         mv = MaterializedView(self.spark, entry["path"])
         v = mv.refresh()
         self.catalog.update_watermarks(name, commit_version=v, flush_version=v)
+        # cascade: a view whose state carries a change feed can itself
+        # be the base of a second-level view (two-level folds like the
+        # q13 histogram); the dependency graph is acyclic by
+        # construction (each view is created after its base)
+        self._refresh_views_of(name)
         return v
 
     def materialized_view(self, name: str) -> DataFrame:

@@ -2797,3 +2797,89 @@ def lifecycle_sql_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT CAST(SUM(v) AS BIGINT) FROM seq_vals
             WHERE part = 'cycle') AS cycle_sum
     """)
+
+
+@query(
+    "mv_q13_distribution",
+    oracle="""
+    WITH post AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 47 = 3 THEN '1-URGENT'
+                  WHEN o_orderkey % 53 = 11 THEN '5-LOW'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+      WHERE NOT (o_orderkey % 31 = 5)
+    ),
+    c_orders AS (
+      SELECT c.c_custkey, COUNT(p.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN post p
+        ON c.c_custkey = p.o_custkey
+       AND p.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def mv_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 as a CHAINED incrementally-maintained materialized
+    view (round 16, VERDICT r15 task #4 — q13 was the worst weak perf
+    ratio; the engine-native answer is the same O(changes) maintenance
+    that fixed q1, applied through BOTH aggregation levels):
+
+    - level 1 (``q13_counts``): orders per customer under the priority
+      filter, keyed on o_custkey, maintained from the orders mirror's
+      change feed — and its OWN state table carries a change feed
+      (``state_change_feed=True``);
+    - level 2 (``q13_hist``): the customer-count histogram, keyed on
+      c_count, maintained from level 1's state feed.  A base delta that
+      moves one customer from 3 to 4 orders lands as a −1 on bucket 3
+      and a +1 on bucket 4 — COUNT folds under retraction exactly like
+      q1's sums.
+
+    The zero bucket (customers with no qualifying orders) is total
+    customers minus the level-1 group count — a parquet-footer COUNT
+    plus a tiny aggregate over the histogram, O(buckets) not O(orders).
+    DML after view creation (a delete slice plus two priority-flipping
+    update slices, one INTO the filter and one OUT of it) exercises the
+    signed-delta fold through both levels; the oracle recomputes q13
+    from scratch over the post-DML state."""
+    eng = _temp_engine(spark)
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    eng.create_table(
+        "om13", source_df=orders, primary_key=["o_orderkey"],
+        change_feed=True,
+    )
+    eng.create_materialized_view(
+        "q13_counts", "om13", ["o_custkey"],
+        {"c_count": ("count", "*")},
+        where="o_orderpriority <> '5-LOW'",
+        state_change_feed=True,
+    )
+    eng.create_materialized_view(
+        "q13_hist", "q13_counts", ["c_count"],
+        {"custdist": ("count", "*")},
+    )
+    eng.delete_where("om13", "o_orderkey % 31 = 5")
+    eng.update_where(
+        "om13", "o_orderkey % 53 = 11", {"o_orderpriority": "'5-LOW'"}
+    )
+    eng.update_where(
+        "om13", "o_orderkey % 47 = 3", {"o_orderpriority": "'1-URGENT'"}
+    )
+    hist = eng.materialized_view("q13_hist").select(
+        F.col("c_count").cast("long").alias("c_count"),
+        F.col("custdist").cast("long").alias("custdist"),
+    )
+    total = cust.count()
+    with_orders = hist.agg(F.sum("custdist")).collect()[0][0] or 0
+    zero = eng.spark.createDataFrame(
+        [(0, int(total - with_orders))], "c_count long, custdist long"
+    )
+    return hist.unionByName(zero).orderBy(
+        F.desc("custdist"), F.desc("c_count")
+    )

@@ -62,8 +62,9 @@ def query(name: str, oracle: Optional[str] = None):
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
     # ---- round-16 rotation (VERDICT r15 task #1: the r12-stale band).
-    # (1) never driver-verified: the round-16 addition
+    # (1) never driver-verified: the round-16 additions
     "lifecycle_sql_sequences",
+    "mv_q13_distribution",
     # (2) implementation/oracle changed this round: the
     # generate_series rewrite gained the reversed-bounds guard and its
     # oracle now covers descending/negative-step cases; the dump-replay
@@ -73,9 +74,9 @@ _WINDOW_PRIORITY = (
     "sql_generate_series_spine",
     "lifecycle_sql_dump_replay",
     # (3) the 49 keys last driver-verified in round 12, alphabetically.
-    # 1 + 2 + 49 = 52 > 50, so the LAST TWO entries below overflow the
-    # 50-slot window and head the round-17 rotation instead (they stay
-    # covered by the full local diffcheck gate every round).
+    # 2 + 2 + 49 = 53 > 50, so the LAST THREE entries below overflow
+    # the 50-slot window and head the round-17 rotation instead (they
+    # stay covered by the full local diffcheck gate every round).
     "agg_approx_count_distinct",
     "agg_approx_percentile",
     "corpus_chunking",

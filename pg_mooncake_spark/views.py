@@ -121,6 +121,7 @@ class MaterializedView:
         group_by: list[str],
         aggs: dict[str, tuple[str, str]],
         where: Optional[str] = None,
+        state_change_feed: bool = False,
     ) -> "MaterializedView":
         """Full initial computation at the base's current version; every
         later :meth:`refresh` is incremental from that version's change
@@ -131,7 +132,14 @@ class MaterializedView:
         PER IMAGE, which is exactly the filtered view's semantics: an
         update moving a row out of the predicate contributes only its
         pre-image (a retraction), one moving it in only its post-image
-        (an addition)."""
+        (an addition).
+
+        ``state_change_feed=True`` gives the view's OWN state table a
+        change feed, so a second view can aggregate over this one —
+        the two-level fold (e.g. TPC-H q13: per-customer order counts,
+        then a histogram of the counts) maintains end-to-end in
+        O(changes): a base delta touches a few customers, each emits a
+        −1/+1 bucket move in the second level."""
         for out, (fn, _expr) in aggs.items():
             if fn not in _FNS:
                 raise MoonTableError(f"unsupported aggregate {fn!r} for {out!r}")
@@ -143,7 +151,10 @@ class MaterializedView:
         if where:
             src = src.filter(where)
         full = _full_agg(src, group_by, aggs)
-        mv.state.create(full.schema, primary_key=list(group_by))
+        mv.state.create(
+            full.schema, primary_key=list(group_by),
+            change_feed=state_change_feed,
+        )
         mv.state.append(full, source_version=base_version)
         mv._save_spec(
             {

@@ -633,3 +633,95 @@ class TestSqlMatviewSpellings:
                 "SELECT grp, count(*) AS n FROM base_s GROUP BY grp"
             )
         eng.sql("ROLLBACK")
+
+
+class TestChainedViews:
+    """Round 16: a view's state table can carry its own change feed
+    (``state_change_feed=True``) so a SECOND view aggregates over the
+    first — the two-level fold (q13 histogram shape).  The invariant:
+    level-2 incremental state ≡ from-scratch two-level GROUP BY over
+    the final base state, through inserts, deletes, and filter-crossing
+    updates."""
+
+    def _expected(self, eng):
+        return {
+            (r["c"], r["n"]) for r in (
+                eng.table("base2")
+                .where("g <> 'skip'")
+                .groupBy("id_mod")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("c")
+                .agg(F.count(F.lit(1)).alias("n"))
+            ).collect()
+        }
+
+    @pytest.fixture()
+    def eng(self, spark, warehouse):
+        e = MooncakeEngine(spark, warehouse)
+        rows = [(i, "skip" if i % 7 == 0 else "keep", float(i)) for i in range(60)]
+        df = spark.createDataFrame(rows, SCHEMA).withColumn(
+            "id_mod", F.col("id") % 11
+        )
+        e.create_table(
+            "base2", source_df=df, primary_key=["id"], change_feed=True
+        )
+        e.create_materialized_view(
+            "lvl1", "base2", ["id_mod"], {"c": ("count", "*")},
+            where="g <> 'skip'", state_change_feed=True,
+        )
+        e.create_materialized_view(
+            "lvl2", "lvl1", ["c"], {"n": ("count", "*")}
+        )
+        return e
+
+    def _lvl2(self, eng):
+        return {
+            (r["c"], r["n"])
+            for r in eng.materialized_view("lvl2").collect()
+        }
+
+    def test_initial_state_matches(self, eng):
+        assert self._lvl2(eng) == self._expected(eng)
+
+    def test_folds_through_both_levels(self, eng):
+        eng.delete_where("base2", "id % 5 = 2")
+        assert self._lvl2(eng) == self._expected(eng)
+        # filter-crossing updates: rows leave and enter the level-1 view
+        eng.update_where("base2", "id % 13 = 1", {"g": "'skip'"})
+        eng.update_where("base2", "id % 7 = 0", {"g": "'keep'"})
+        assert self._lvl2(eng) == self._expected(eng)
+        # inserts move customers between buckets
+        eng.insert(
+            "base2",
+            eng.spark.createDataFrame(
+                [(100 + i, "keep", 1.0) for i in range(8)], SCHEMA
+            ).withColumn("id_mod", (F.col("id") % 11)),
+        )
+        assert self._lvl2(eng) == self._expected(eng)
+
+    def test_emptied_bucket_disappears(self, eng):
+        eng.delete_where("base2", "true")
+        assert self._lvl2(eng) == set() == self._expected(eng)
+
+    def test_state_without_feed_refuses_second_level(
+        self, spark, warehouse
+    ):
+        e = MooncakeEngine(spark, warehouse)
+        df = spark.createDataFrame(
+            [(1, "a", 1.0)], SCHEMA
+        ).withColumn("id_mod", F.col("id") % 3)
+        e.create_table(
+            "base3", source_df=df, primary_key=["id"], change_feed=True
+        )
+        e.create_materialized_view(
+            "l1", "base3", ["id_mod"], {"c": ("count", "*")}
+        )  # no state_change_feed
+        e.create_materialized_view("l2", "l1", ["c"], {"n": ("count", "*")})
+        with pytest.raises(Exception, match="change"):
+            # the first refresh needs the level-1 state's feed
+            e.insert(
+                "base3",
+                spark.createDataFrame(
+                    [(2, "b", 2.0)], SCHEMA
+                ).withColumn("id_mod", F.col("id") % 3),
+            )
