@@ -90,39 +90,64 @@ def main() -> None:
             ).save()
             spark_t[name].append(time.perf_counter() - t0)
 
-    # ---- DuckDB side: same SQL the correctness oracle runs
-    import duckdb
+    # ---- DuckDB side: same SQL the correctness oracle runs, in a
+    # SUBPROCESS that exits per query (VERDICT r15 task #6): an
+    # in-process oracle holding gigabytes of buffer shares the
+    # allocator/page cache with the JVM for the rest of the session, and
+    # the recorded q9 ratio was inflated by exactly that — the harness
+    # must not tax the thing it measures.
+    import subprocess
 
-    con = duckdb.connect()
-    con.execute(f"SET threads={cpus}")
-    con.execute("SET TimeZone='UTC'")
-    from pg_mooncake_spark.queries.registry import TABLES
-
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
     duck_t: dict[str, object] = {}
     for name in names:
         sql = oracles.get(name)
         if sql is None:
             duck_t[name] = None
             continue
-        runs: list[float] = []
-        capped = False
-        for _ in range(n_runs):
-            timer = threading.Timer(cap, con.interrupt)
-            timer.start()
-            t0 = time.perf_counter()
-            try:
-                con.execute(sql).fetchall()
-                runs.append(time.perf_counter() - t0)
-            except duckdb.InterruptException:
-                capped = True
-                break
-            finally:
-                timer.cancel()
-        duck_t[name] = f">{cap:g}" if capped else round(median(runs), 3)
+        script = (
+            "import json, sys, time, threading, duckdb\n"
+            f"cap = {cap!r}\n"
+            f"n_runs = {n_runs!r}\n"
+            f"cpus = {cpus!r}\n"
+            f"sf_dir = {sf_dir!r}\n"
+            f"tables = {list(__import__('pg_mooncake_spark.queries.registry', fromlist=['TABLES']).TABLES)!r}\n"
+            "sql = sys.stdin.read()\n"
+            "con = duckdb.connect()\n"
+            "con.execute(f'SET threads={cpus}')\n"
+            "con.execute(\"SET TimeZone='UTC'\")\n"
+            "for t in tables:\n"
+            "    con.execute(\n"
+            "        f\"CREATE VIEW {t} AS SELECT * FROM "
+            "'{sf_dir}/{t}.parquet'\"\n"
+            "    )\n"
+            "runs, capped = [], False\n"
+            "for _ in range(n_runs):\n"
+            "    timer = threading.Timer(cap, con.interrupt)\n"
+            "    timer.start()\n"
+            "    t0 = time.perf_counter()\n"
+            "    try:\n"
+            "        con.execute(sql).fetchall()\n"
+            "        runs.append(time.perf_counter() - t0)\n"
+            "    except duckdb.InterruptException:\n"
+            "        capped = True\n"
+            "        break\n"
+            "    finally:\n"
+            "        timer.cancel()\n"
+            "print(json.dumps({'runs': runs, 'capped': capped}))\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            input=sql, capture_output=True, text=True,
+            timeout=cap * n_runs + 120,
+        )
+        if proc.returncode != 0:
+            duck_t[name] = None
+            continue
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        duck_t[name] = (
+            f">{cap:g}" if res["capped"]
+            else round(median(res["runs"]), 3)
+        )
 
     out: dict[str, object] = {"sf_dir": sf_dir, "runs": n_runs, "queries": {}}
     for name in names:
