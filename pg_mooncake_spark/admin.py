@@ -73,6 +73,8 @@ class AdminMixin:
                     raise ValueError(
                         f'extension "{name}" already exists'
                     )
+            else:
+                self._seq_txn_log("ext_create", name)
             return self._dml_result("CREATE EXTENSION", name, 1)
         m = re.match(
             r"^\s*DROP\s+EXTENSION\s+(IF\s+EXISTS\s+)?"
@@ -86,6 +88,8 @@ class AdminMixin:
                     raise ValueError(
                         f'extension "{name}" does not exist'
                     )
+            else:
+                self._seq_txn_log("ext_drop", name)
             return self._dml_result("DROP EXTENSION", name, 1)
         m = re.match(
             r"^\s*ALTER\s+SCHEMA\s+(\"[^\"]+\"|[A-Za-z_]\w*)\s+"
@@ -143,6 +147,7 @@ class AdminMixin:
                 return self._dml_result("CREATE SCHEMA", name, 0)
             raise ValueError(f'schema "{name}" already exists')
         self.catalog.named_set_add(_SCHEMAS, name)
+        self._seq_txn_log("schema_create", name)
         return self._dml_result("CREATE SCHEMA", name, 1)
 
     def _sql_drop_schema(
@@ -180,7 +185,8 @@ class AdminMixin:
                     self.catalog.seq_drop(s)
                 except KeyError:
                     pass  # dropped with its owner table above
-            self.catalog.named_set_remove(_SCHEMAS, name)
+            if self.catalog.named_set_remove(_SCHEMAS, name):
+                self._seq_txn_log("schema_drop", name)
             last, n = name, n + 1
         return self._dml_result("DROP SCHEMA", last, n)
 

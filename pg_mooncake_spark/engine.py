@@ -539,6 +539,15 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
                 continue  # recompute injected below
             if e.strip().upper() == "DEFAULT":
                 d = defaults.get(c)
+                if d and self._seq_default_target(d):
+                    # per-matched-row nextval would need the match set
+                    # materialized before allocation — refuse clearly
+                    # rather than leak Spark's unresolved-function error
+                    raise ValueError(
+                        f'UPDATE SET "{c}" = DEFAULT is not supported '
+                        "for a sequence default (nextval); assign an "
+                        "explicit value or re-insert the rows"
+                    )
                 e = (
                     f"CAST(({d}) AS {types[c]})" if d
                     else f"CAST(NULL AS {types[c]})"
@@ -1493,6 +1502,13 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
                     "references it; drop the view first"
                 )
         self.catalog.rename(old, newc)
+        # owned sequences (serial/identity) follow their table
+        for sname, st in self.catalog.sequences().items():
+            owner = st.get("owned_by") or ""
+            if owner.startswith(f"{old}."):
+                self.catalog.seq_update(
+                    sname, owned_by=f"{newc}.{owner[len(old) + 1:]}"
+                )
         try:  # a stale pinned temp view must not answer for the old name
             self.spark.catalog.dropTempView(self._view_name(old))
         except Exception:
@@ -1566,6 +1582,10 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
                     (new if c == old else c): _subst_idents(e, sub)
                     for c, e in (cons.get("defaults") or {}).items()
                 },
+                "identity": {
+                    (new if c == old else c): k
+                    for c, k in (cons.get("identity") or {}).items()
+                },
                 "generated": {
                     (new if c == old else c): _subst_idents(e, sub)
                     for c, e in (cons.get("generated") or {}).items()
@@ -1594,6 +1614,10 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
             dst, flush_version=v,
             export_version=self._ev_advance(v, prior_ev, prior_latest),
         )
+        # an owned sequence (serial/identity) follows its column
+        for sname, st in self.catalog.sequences().items():
+            if st.get("owned_by") == f"{dst}.{old}":
+                self.catalog.seq_update(sname, owned_by=f"{dst}.{new}")
         # materialized views over this mirror: remap their specs (and,
         # for a renamed GROUP BY key, their state tables) so refreshes
         # keep working under the new name (VERDICT r8 task 7)

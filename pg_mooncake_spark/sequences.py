@@ -70,8 +70,12 @@ _NEXTVAL_RE = re.compile(
 )
 
 _SEQ_FN_STMT_RE = re.compile(
+    # args hold no parens (a quoted name, an integer, a boolean), so
+    # [^()]* cannot backtrack a multi-clause SELECT into a false match
+    # — `SELECT nextval('s') FROM t` falls through to the generic path
+    # and errors loudly there
     r"^\s*SELECT\s+(?:pg_catalog\.)?"
-    r"(nextval|currval|setval|lastval)\s*\((.*?)\)"
+    r"(nextval|currval|setval|lastval)\s*\(([^()]*)\)"
     r"\s*(?:AS\s+(\"[^\"]+\"|[A-Za-z_]\w*)\s*)?;?\s*$",
     re.I | re.S,
 )
@@ -112,11 +116,14 @@ class SequencesMixin:
     # --------------------------------------------------- txn undo logging
 
     def _seq_txn_log(self, op: str, name: str, payload: Any = None) -> None:
-        """Record one sequence-DDL undo entry in the open block (no-op
-        in autocommit).  ``op``: 'create' (undo = drop), 'drop' (undo =
-        restore full state), 'alter' (undo = restore OPTION fields,
-        keeping last_value/is_called — nextval/setval never roll
-        back)."""
+        """Record one catalog-object undo entry in the open block (no-op
+        in autocommit).  Sequence ops: 'create' (undo = drop), 'drop'
+        (undo = restore full state), 'alter' (undo = restore OPTION
+        fields, keeping last_value/is_called — nextval/setval never
+        roll back), 'setpos' (TRUNCATE RESTART IDENTITY).  The same log
+        also unwinds schema/extension records ('schema_create' /
+        'schema_drop' / 'ext_create' / 'ext_drop') and staged-CREATE
+        spec mutations ('spec')."""
         if self._txn is not None:
             self._txn.setdefault("seq_undo", []).append((op, name, payload))
 
@@ -145,6 +152,18 @@ class SequencesMixin:
                     self.catalog.seq_update(
                         name, last_value=lv, is_called=ic
                     )
+                elif op == "schema_create":
+                    from pg_mooncake_spark.admin import _SCHEMAS
+                    self.catalog.named_set_remove(_SCHEMAS, name)
+                elif op == "schema_drop":
+                    from pg_mooncake_spark.admin import _SCHEMAS
+                    self.catalog.named_set_add(_SCHEMAS, name)
+                elif op == "ext_create":
+                    from pg_mooncake_spark.admin import _EXTENSIONS
+                    self.catalog.named_set_remove(_EXTENSIONS, name)
+                elif op == "ext_drop":
+                    from pg_mooncake_spark.admin import _EXTENSIONS
+                    self.catalog.named_set_add(_EXTENSIONS, name)
                 elif op == "spec":
                     # ALTER COLUMN on a block-created table: restore the
                     # staged CREATE spec (name = table canon here)
@@ -465,6 +484,12 @@ class SequencesMixin:
             self._seq_session_note(name, value)
             v = value
         return self.spark.createDataFrame([(v,)], f"`{col}` bigint")
+
+    def _seq_discard_session(self) -> None:
+        """DISCARD SEQUENCES / DISCARD ALL: currval/lastval become
+        undefined again (Postgres)."""
+        self._seq_currval = {}
+        self._seq_lastused = None
 
     def _seq_session_note(self, name: str, v: int) -> None:
         if not hasattr(self, "_seq_currval"):

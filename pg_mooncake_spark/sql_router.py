@@ -1261,17 +1261,21 @@ class SqlRouterMixin:
         the client-library session-reset spelling (connection poolers
         issue DISCARD ALL between checkouts).  ALL maps to
         :meth:`reset` and, like Postgres, refuses inside a transaction
-        block; PLANS deallocates prepared statements; SEQUENCES is a
-        no-op (sequence caches are per-statement here); TEMP drops the
-        engine's pinned resolution temp views (they re-pin lazily)."""
+        block; PLANS deallocates prepared statements; SEQUENCES
+        discards the session's currval/lastval state (round 16 — real
+        sequences now); TEMP drops the engine's pinned resolution temp
+        views (they re-pin lazily)."""
         if what == "ALL":
             if self._txn is not None:
                 raise self._txn_abort(ValueError(
                     "DISCARD ALL cannot run inside a transaction block"
                 ))
             self.reset()
+            self._seq_discard_session()
         elif what == "PLANS":
             self._prepared.clear()
+        elif what == "SEQUENCES":
+            self._seq_discard_session()
         elif what in ("TEMP", "TEMPORARY"):
             for t in self.catalog.list_tables():
                 try:
@@ -3878,32 +3882,36 @@ class SqlRouterMixin:
                 constraints["identity"] = identity
             schema = T.StructType(fields)
             empty = self.spark.createDataFrame([], schema)
-            # Postgres errors on a bad constraint expression at CREATE,
-            # not at first write: one analysis pass (no job) per expr
-            for what, e_ in [
-                *[("DEFAULT", x) for x in defaults.values()],
-                *[("GENERATED", x) for x in generated.values()],
-                *[("CHECK", x[1]) for x in checks],
-            ]:
-                if what == "DEFAULT" and self._seq_default_target(e_):
-                    # nextval(...) is engine-evaluated, not a Spark
-                    # expression; the sequence's existence was checked
-                    self._seq_resolve(self._seq_default_target(e_))
-                    continue
-                self._analysis_check_expr(None, what, e_, schema=schema)
-            # change_feed on by default for SQL-created tables — the
-            # wal_level=logical analog: DML commits persist an O(batch)
-            # change file so the table can be followed (CALL
-            # mooncake.create_table), fed to views, and repaired from;
-            # appends derive their feed rows for free either way
-            if in_txn:
-                self._txn_stage_create(
-                    name, schema, pk or None,
-                    {"constraints": constraints} if constraints else None,
-                    True,
-                )
-                return self._dml_result("CREATE", t, -1)
             try:
+                # Postgres errors on a bad constraint expression at
+                # CREATE, not at first write: one analysis pass (no
+                # job) per expr.  The whole tail is covered by the
+                # implicit-sequence cleanup: a failing CHECK here must
+                # not leak a serial column's just-created sequence.
+                for what, e_ in [
+                    *[("DEFAULT", x) for x in defaults.values()],
+                    *[("GENERATED", x) for x in generated.values()],
+                    *[("CHECK", x[1]) for x in checks],
+                ]:
+                    if what == "DEFAULT" and self._seq_default_target(e_):
+                        # nextval(...) is engine-evaluated, not a Spark
+                        # expression; check the sequence exists instead
+                        self._seq_resolve(self._seq_default_target(e_))
+                        continue
+                    self._analysis_check_expr(None, what, e_, schema=schema)
+                # change_feed on by default for SQL-created tables — the
+                # wal_level=logical analog: DML commits persist an
+                # O(batch) change file so the table can be followed
+                # (CALL mooncake.create_table), fed to views, and
+                # repaired from; appends derive their feed rows for
+                # free either way
+                if in_txn:
+                    self._txn_stage_create(
+                        name, schema, pk or None,
+                        {"constraints": constraints} if constraints else None,
+                        True,
+                    )
+                    return self._dml_result("CREATE", t, -1)
                 self.create_table(
                     t, source_df=empty, primary_key=pk or None,
                     change_feed=True,
@@ -3912,11 +3920,12 @@ class SqlRouterMixin:
                     ),
                 )
             except Exception:
-                for sname in created_seqs:  # no leaked implicit sequences
-                    try:
-                        self.catalog.seq_drop(sname)
-                    except KeyError:
-                        pass
+                if not in_txn:  # in a block the undo log handles these
+                    for sname in created_seqs:
+                        try:
+                            self.catalog.seq_drop(sname)
+                        except KeyError:
+                            pass
                 raise
             return self._dml_result("CREATE", t, 1)
         if kind == "DROP":
@@ -4817,6 +4826,19 @@ class SqlRouterMixin:
         bad ALTER aborts its own statement, not the COMMIT)."""
         name = self._canon(t)
         type_sql, info = _parse_col_constraints(tail)
+        if re.sub(r"\s+", " ", type_sql.strip().lower()) in SERIAL_TYPES:
+            raise ValueError(
+                "ADD COLUMN with a serial type is not supported; add "
+                "the integer column, then ALTER COLUMN ... ADD "
+                "GENERATED BY DEFAULT AS IDENTITY (or SET DEFAULT "
+                "nextval('<seq>'))"
+            )
+        if info["identity"] is not None:
+            raise ValueError(
+                "ADD COLUMN ... GENERATED AS IDENTITY is not supported "
+                "in one statement; add the NOT NULL integer column, "
+                "then ALTER COLUMN ... ADD GENERATED ... AS IDENTITY"
+            )
         if info["is_pk"]:
             raise ValueError(
                 "cannot add a PRIMARY KEY column to an existing table"

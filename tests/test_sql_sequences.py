@@ -86,6 +86,26 @@ class TestSequenceBasics:
         with pytest.raises(ValueError, match="does not exist"):
             eng.sql("DROP SEQUENCE dd")
 
+    def test_update_set_default_on_sequence_column_refuses(self, eng):
+        eng.sql("CREATE TABLE usd (k int PRIMARY KEY, id serial, v text)")
+        eng.sql("INSERT INTO usd (k, v) VALUES (1, 'a')")
+        with pytest.raises(ValueError, match="sequence default"):
+            eng.sql("UPDATE usd SET id = DEFAULT WHERE k = 1")
+        # ordinary defaults still substitute
+        eng.sql("UPDATE usd SET v = DEFAULT WHERE k = 1")
+        assert eng.table("usd").collect()[0]["v"] is None
+
+    def test_discard_sequences_clears_session_state(self, eng):
+        eng.sql("CREATE SEQUENCE ds")
+        eng.sql("SELECT nextval('ds')")
+        eng.sql("DISCARD SEQUENCES")
+        with pytest.raises(ValueError, match="not yet defined"):
+            eng.sql("SELECT currval('ds')")
+        with pytest.raises(ValueError, match="not yet defined"):
+            eng.sql("SELECT lastval()")
+        # the sequence object itself survives (only session state goes)
+        assert _val(eng.sql("SELECT nextval('ds')")) == 2
+
     def test_persistence_across_sessions(self, eng, spark, warehouse):
         eng.sql("CREATE SEQUENCE persist START WITH 3")
         eng.sql("SELECT nextval('persist')")
