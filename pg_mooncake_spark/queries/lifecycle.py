@@ -2883,3 +2883,77 @@ def mv_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.unionByName(zero).orderBy(
         F.desc("custdist"), F.desc("c_count")
     )
+
+
+@query(
+    "mv_q18_large_orders",
+    oracle="""
+    WITH post AS (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey % 89 = 7 THEN l_quantity + 5
+                  ELSE l_quantity END AS l_quantity
+      FROM lineitem
+      WHERE NOT (l_orderkey % 97 = 3)
+    ),
+    big AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(30,2))) AS q
+      FROM post
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 120
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           CAST(q AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def mv_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18's HAVING aggregate as an incrementally-maintained MV
+    (round 16 — the MV pattern generalized to a JOIN-feeding
+    aggregate): ``sum(l_quantity)`` per order maintains from the
+    lineitem mirror's change feed, so the q18 read never scans or
+    shuffles the fact table — it filters the O(orders) view state
+    (> threshold survives a handful of rows), then joins only those to
+    orders and a broadcast customer.  At any scale the read is
+    view-filter + two narrow joins; the 6M-row (sf1: 6M, sf10: 60M)
+    lineitem scan+shuffle that dominates the recompute plan is gone.
+    DML after creation (a quantity-bump slice that pushes orders over
+    the threshold and a delete slice that pulls some back under)
+    exercises the signed-delta fold; the oracle recomputes the literal
+    IN + re-aggregate q18 over the post-DML state."""
+    eng = _temp_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    eng.create_table(
+        "li18", source_df=li,
+        primary_key=["l_orderkey", "l_linenumber"], change_feed=True,
+    )
+    eng.create_materialized_view(
+        "q18_qty", "li18", ["l_orderkey"],
+        {"sum_qty": ("sum", "CAST(l_quantity AS DECIMAL(30,2))")},
+    )
+    eng.update_where(
+        "li18", "l_orderkey % 89 = 7", {"l_quantity": "l_quantity + 5"}
+    )
+    eng.delete_where("li18", "l_orderkey % 97 = 3")
+    big = eng.materialized_view("q18_qty").filter(F.col("sum_qty") > 120)
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )

@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = (
     # (1) never driver-verified: the round-16 additions
     "lifecycle_sql_sequences",
     "mv_q13_distribution",
+    "mv_q18_large_orders",
     # (2) implementation/oracle changed this round: the
     # generate_series rewrite gained the reversed-bounds guard and its
     # oracle now covers descending/negative-step cases; the dump-replay
@@ -74,7 +75,7 @@ _WINDOW_PRIORITY = (
     "sql_generate_series_spine",
     "lifecycle_sql_dump_replay",
     # (3) the 49 keys last driver-verified in round 12, alphabetically.
-    # 2 + 2 + 49 = 53 > 50, so the LAST THREE entries below overflow
+    # 3 + 2 + 49 = 54 > 50, so the LAST FOUR entries below overflow
     # the 50-slot window and head the round-17 rotation instead (they
     # stay covered by the full local diffcheck gate every round).
     "agg_approx_count_distinct",

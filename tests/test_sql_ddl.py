@@ -365,8 +365,12 @@ class TestSqlDdl:
     def test_malformed_ddl_raises(self, eng):
         with pytest.raises(ValueError, match="cannot parse|unsupported"):
             eng.sql("CREATE TABLE")
-        with pytest.raises(ValueError, match="unsupported"):
+        # OWNER TO is validated-inert since round 16: unknown table is
+        # the real Postgres error, not an unsupported-statement one
+        with pytest.raises(KeyError, match="unknown mirror"):
             eng.sql("ALTER TABLE x OWNER TO y")
+        with pytest.raises(ValueError, match="unsupported"):
+            eng.sql("ALTER TABLE x INHERIT parent_t")
         with pytest.raises(ValueError, match="column defs|cannot parse"):
             eng.sql("CREATE TABLE x LIKE y")
 

@@ -120,17 +120,10 @@ class TestRollbackAndAbort:
         # CREATE/DROP TABLE and (r15) ALTER ADD/DROP COLUMN, ADD CHECK,
         # DROP/VALIDATE CONSTRAINT, ALTER COLUMN now STAGE
         # transactionally (TestTransactionalDDL / TestTransactionalAlter
-        # / TestTransactionalAlterMore / TestTransactionalDropColumn);
-        # RENAME, CALL maintenance procedures, and the API lifecycle
-        # methods still refuse
-        eng.sql("BEGIN")
-        with pytest.raises(ValueError, match="transaction"):
-            eng.sql("ALTER TABLE a RENAME COLUMN v TO w")
-        eng.sql("ROLLBACK")
-        eng.sql("BEGIN")
-        with pytest.raises(ValueError, match="transaction"):
-            eng.sql("ALTER TABLE a RENAME TO a2")
-        eng.sql("ROLLBACK")
+        # / TestTransactionalAlterMore / TestTransactionalDropColumn),
+        # and since round 16 RENAME COLUMN / RENAME TO stage too
+        # (TestTransactionalRename); CALL maintenance procedures and
+        # the API lifecycle methods still refuse
         eng.sql("BEGIN")
         with pytest.raises(ValueError, match="transaction"):
             eng.sql("CALL mooncake.create_snapshot('a')")
