@@ -522,6 +522,52 @@ class SequencesMixin:
 
         return _NEXTVAL_RE.sub(_sub, sql_text)
 
+    def _seq_extract_select_items(
+        self, sql: str
+    ) -> tuple[str, list[tuple[int, str]]]:
+        """For an INSERT's SELECT source, pull out select-list items
+        that are EXACTLY ``nextval('s') [AS alias]`` (the classic
+        migration spelling ``INSERT INTO t SELECT nextval('s'), a, b
+        FROM old``): each becomes a typed NULL placeholder in the query
+        and a (position, sequence) entry for the caller to assign
+        distributed afterwards.  nextval nested inside expressions, or
+        under WITH, is left alone — Spark then fails loudly on the
+        unresolved function rather than silently mis-assigning."""
+        from pg_mooncake_spark.sqlparse import (
+            _find_top_keyword,
+            _split_top_commas,
+        )
+
+        m = re.match(r"^\s*SELECT\s+(DISTINCT\s+)?", sql, re.I)
+        if not m or m.group(1) or not _NEXTVAL_RE.search(sql):
+            return sql, []
+        start = m.end()
+        fi = _find_top_keyword(sql[start:], "FROM")
+        end = start + fi if fi >= 0 else len(sql)
+        items = _split_top_commas(sql[start:end])
+        out_items: list[str] = []
+        found: list[tuple[int, str]] = []
+        item_re = re.compile(
+            r"^\s*nextval\s*\(\s*'([^']+)'\s*(?:::\s*regclass\s*)?\)"
+            r"\s*(?:AS\s+(\"[^\"]+\"|[A-Za-z_]\w*))?\s*$",
+            re.I,
+        )
+        for i, item in enumerate(items):
+            im = item_re.match(item)
+            if im:
+                name = self._seq_resolve(im.group(1))
+                found.append((i, name))
+                alias = im.group(2) or f"__seq_item_{i}"
+                out_items.append(f"CAST(NULL AS BIGINT) AS {alias}")
+            else:
+                out_items.append(item)
+        if not found:
+            return sql, []
+        return (
+            sql[:start] + ", ".join(out_items) + " " + sql[end:],
+            found,
+        )
+
     def _seq_assign_small(
         self, df: DataFrame, colname: str, seqname: str, dtype, n: int
     ) -> DataFrame:

@@ -2855,6 +2855,7 @@ class SqlRouterMixin:
                     "OVERRIDING SYSTEM VALUE)"
                 )
         values_nrows: Optional[int] = None  # known for VALUES sources
+        seq_items: list = []  # (position, sequence) from a SELECT source
         if re.match(r"DEFAULT\s+VALUES\s*$", rest, re.I):
             # one row of declared defaults (typed NULL where none);
             # nextval defaults materialize to one allocated literal
@@ -2883,6 +2884,10 @@ class SqlRouterMixin:
             rest = self._seq_materialize_text(rest)
             src = self.spark.sql(f"SELECT * FROM {rest}")
         elif re.match(r"(SELECT|WITH)\b", rest, re.I):
+            # top-level nextval('s') select items become typed-NULL
+            # placeholders + distributed per-row assignment below (the
+            # INSERT INTO t SELECT nextval('s'), ... migration idiom)
+            rest, seq_items = self._seq_extract_select_items(rest)
             # re-enter: resolves mirror views, honoring the caller's pin
             src = self.sql(rest, pin=pin)
         else:
@@ -2895,6 +2900,11 @@ class SqlRouterMixin:
                 f"{len(target)} target columns {target}"
             )
         df = src.toDF(*target)  # positional matching, SQL semantics
+        for i, seqname in seq_items:
+            col = target[i]
+            df = self._seq_assign_column(
+                df.drop(col), col, seqname, schema[col].dataType
+            )
         for f in schema.fields:
             if f.name not in df.columns:
                 # unlisted columns take their declared default (Postgres),

@@ -157,6 +157,31 @@ class TestSerialColumns:
         rows = sorted(tuple(r) for r in eng.table("ext").collect())
         assert rows == [(100, "a"), (101, "b")]
 
+    def test_nextval_in_insert_select_list(self, eng, spark):
+        # the migration idiom: INSERT INTO new SELECT nextval('s'), ...
+        eng.sql("CREATE SEQUENCE mig START WITH 100")
+        eng.sql("CREATE TABLE migt (id bigint, v text)")
+        spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "v string"
+        ).createOrReplaceTempView("mig_src")
+        eng.sql(
+            "INSERT INTO migt SELECT nextval('mig'), v FROM mig_src"
+        )
+        rows = sorted(tuple(r) for r in eng.table("migt").collect())
+        assert [r[0] for r in rows] == [100, 101, 102]
+        assert sorted(r[1] for r in rows) == ["a", "b", "c"]
+        # aliased spelling works too; embedded expressions stay loud
+        eng.sql(
+            "INSERT INTO migt SELECT nextval('mig') AS id, v "
+            "FROM mig_src"
+        )
+        assert eng.table("migt").count() == 6
+        with pytest.raises(Exception):
+            eng.sql(
+                "INSERT INTO migt SELECT nextval('mig') + 1, v "
+                "FROM mig_src"
+            )
+
     def test_drop_table_drops_owned_sequence(self, eng):
         eng.sql("CREATE TABLE dt (id serial)")
         assert "dt_id_seq" in eng.catalog.sequences()
