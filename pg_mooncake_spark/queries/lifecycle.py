@@ -3041,3 +3041,61 @@ def mv_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "lifecycle_sql_retype",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS price2,
+             CAST(o_orderpriority AS VARCHAR) AS prio
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(price2 AS DECIMAL(30,2))) AS DOUBLE) AS sum_p,
+           CAST(SUM(CAST(SUBSTR(prio, 1, 1) AS INT)) AS BIGINT)
+             AS sum_code
+    FROM base
+    """,
+)
+def lifecycle_sql_retype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE`` end-to-end (round 16
+    — the migration-script staple; the reference's host runs it
+    natively): a mirror loads an orders slice, one column widens
+    double→decimal(18,2) (a lossy-looking but value-preserving cast at
+    2-digit money precision), another converts text→int with a USING
+    expression; DML after the retypes proves row addressing survives
+    the rewrite.  The oracle reproduces both casts from the raw
+    parquet.  A third statement asserts strictness: retyping the
+    priority text to int WITHOUT the USING errors (non-numeric
+    strings), and the failed statement leaves no commit behind."""
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = _temp_engine(spark)
+    eng.sql_script("""
+        CREATE TABLE rt (k bigint PRIMARY KEY, price double precision,
+                         prio text);
+        INSERT INTO rt
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 5 = 0;
+    """)
+    try:
+        eng.sql("ALTER TABLE rt ALTER COLUMN prio TYPE int")
+        raise AssertionError("strict cast should have refused")
+    except ValueError:
+        pass
+    eng.sql("ALTER TABLE rt ALTER COLUMN price TYPE numeric(18,2)")
+    eng.sql(
+        "ALTER TABLE rt ALTER COLUMN prio TYPE int "
+        "USING CAST(SUBSTR(prio, 1, 1) AS INT)"
+    )
+    return eng.sql("""
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(price AS DOUBLE) AS DECIMAL(30,2)))
+                    AS DOUBLE) AS sum_p,
+               CAST(SUM(prio) AS BIGINT) AS sum_code
+        FROM rt
+    """)

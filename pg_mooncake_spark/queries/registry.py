@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = (
     "mv_q13_distribution",
     "mv_q18_large_orders",
     "mv_q10_returned_items",
+    "lifecycle_sql_retype",
     # (2) implementation/oracle changed this round: the
     # generate_series rewrite gained the reversed-bounds guard and its
     # oracle now covers descending/negative-step cases; the dump-replay
@@ -76,7 +77,7 @@ _WINDOW_PRIORITY = (
     "sql_generate_series_spine",
     "lifecycle_sql_dump_replay",
     # (3) the 49 keys last driver-verified in round 12, alphabetically.
-    # 4 + 2 + 49 = 55 > 50, so the LAST FIVE entries below overflow
+    # 5 + 2 + 49 = 56 > 50, so the LAST SIX entries below overflow
     # the 50-slot window and head the round-17 rotation instead (they
     # stay covered by the full local diffcheck gate every round).
     "agg_approx_count_distinct",

@@ -4416,6 +4416,114 @@ class SqlRouterMixin:
                 return self._dml_result("ALTER", t, -1)
             return self._sql_alter_column(t, col, action.strip())
         raise ValueError(f"unsupported {kind} statement: {q!r}")
+    def _sql_alter_column_type(
+        self, t: str, col: str, type_sql: str, using: Optional[str],
+        dry_run: bool = False,
+    ) -> DataFrame:
+        """``ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE newtype
+        [USING expr]`` — the migration-script staple.  Postgres rewrites
+        the table; so does this: one full-rewrite commit that swaps the
+        data and the schema atomically (storage.retype_column), with
+        time travel below it seeing the old type.  Cast strictness is
+        Postgres's: a value the cast turns into NULL (where the old
+        value was not NULL) errors the whole statement instead of
+        silently nulling — Spark's lenient cast is checked with one
+        scan before anything is written.
+
+        Loud refusals keep honesty at the boundaries: attached exports
+        (Delta/Iceberg type evolution is not modeled), dependent
+        views/followers (their specs/state assume the old type),
+        generated columns, identity columns retyped outside the int
+        family, and transaction blocks (a staged table rewrite would
+        hide an O(table) operation behind COMMIT)."""
+        if self._txn is not None:
+            raise self._txn_abort(ValueError(
+                "ALTER COLUMN TYPE rewrites the table and is not "
+                "supported inside a transaction block; COMMIT or "
+                "ROLLBACK first"
+            ))
+        name = self._canon(t)
+        mt = self._moontable(t)
+        schema = mt.schema()
+        fld = next((f for f in schema.fields if f.name == col), None)
+        if fld is None:
+            raise ValueError(
+                f'column "{col}" of relation "{name}" does not exist'
+            )
+        new_dt = _pg_type_to_spark(type_sql)
+        cons = self._constraints(t) or {}
+        if col in (cons.get("generated") or {}):
+            raise ValueError(
+                f'cannot retype generated column "{col}"; drop and '
+                "re-add it with the new expression"
+            )
+        ikind = (cons.get("identity") or {}).get(col)
+        if ikind and new_dt.simpleString() not in (
+            "smallint", "int", "bigint", "integer"
+        ):
+            raise ValueError(
+                f'identity column "{col}" must stay smallint/integer/'
+                "bigint"
+            )
+        entry = self.catalog.get(name)
+        if entry.get("exports"):
+            raise ValueError(
+                f"cannot retype {col!r} on {name!r}: attached "
+                "Delta/Iceberg exports do not support type evolution "
+                "here; detach the exports first"
+            )
+        deps = self.catalog.dependents(name)
+        if deps:
+            raise ValueError(
+                f"cannot retype {col!r} on {name!r}: dependent objects "
+                f"{sorted(deps)} assume the old type; drop or recreate "
+                "them first"
+            )
+        cast_expr = (
+            F.expr(using) if using
+            else F.col(f"`{col}`")
+        ).cast(new_dt)
+        df = self.table(t)
+        # Postgres cast strictness: any row the cast rejects (ANSI cast
+        # throws) or nulls out (lenient paths) fails the statement
+        try:
+            bad = df.where(
+                F.col(f"`{col}`").isNotNull() & cast_expr.isNull()
+            ).limit(1).count()
+        except Exception as ex:
+            raise ValueError(
+                f'some values of column "{col}" cannot be cast to '
+                f"{type_sql} (add a USING expression that handles "
+                f"them): {str(ex).splitlines()[0][:200]}"
+            ) from ex
+        if bad:
+            raise ValueError(
+                f'some values of column "{col}" cannot be cast to '
+                f"{type_sql} (add a USING expression that handles them)"
+            )
+        if dry_run:
+            return self._dml_result("ALTER", t, 0)
+        new_schema = T.StructType([
+            T.StructField(f.name, new_dt if f.name == col else f.dataType,
+                          f.nullable)
+            for f in schema.fields
+        ])
+        newdf = df.withColumn(col, cast_expr).select(
+            *[f.name for f in schema.fields]
+        )
+        v = mt.retype_column(newdf, new_schema)
+        # defaults/checks referencing the column must still analyze
+        # under the new type (Postgres re-derives them; we validate)
+        for what, e_ in [
+            *[("DEFAULT", x) for x in
+              (cons.get("defaults") or {}).values()
+              if not self._seq_default_target(x)],
+            *[("CHECK", x[1]) for x in cons.get("checks", [])],
+        ]:
+            self._analysis_check_expr(t, what, e_)
+        self.catalog.update_watermarks(name, flush_version=v)
+        return self._dml_result("ALTER", t, v)
+
     def _sql_add_primary_key(
         self, t: str, cname: Optional[str], cols_sql: str
     ) -> DataFrame:
@@ -4770,6 +4878,17 @@ class SqlRouterMixin:
             cons.setdefault("identity", {})[col] = ikind
             self._set_constraints(t, cons)
             return self._dml_result("ALTER", t, 1)
+        tm = re.match(
+            r"(?:SET\s+DATA\s+)?TYPE\s+(.+)$", action, re.I | re.S
+        )
+        if tm:
+            tail_sql = tm.group(1).strip()
+            ui = _find_top_keyword(tail_sql, "USING")
+            using = tail_sql[ui + 5:].strip() if ui >= 0 else None
+            type_sql = (tail_sql[:ui] if ui >= 0 else tail_sql).strip()
+            return self._sql_alter_column_type(
+                t, col, type_sql, using, dry_run=dry_run
+            )
         if re.match(r"DROP\s+IDENTITY(?:\s+IF\s+EXISTS)?\s*$", action, re.I):
             if col not in (cons.get("identity") or {}):
                 if re.search(r"IF\s+EXISTS", action, re.I):

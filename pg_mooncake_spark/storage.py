@@ -1990,6 +1990,34 @@ class MoonTable:
         )
         return v
 
+    def retype_column(self, df: DataFrame, new_schema: T.StructType) -> int:
+        """Full-rewrite commit that replaces the data AND the schema
+        atomically (the ALTER COLUMN TYPE path — Postgres rewrites the
+        table too).  ``df`` must already be cast to ``new_schema``
+        (column set and order identical to the current schema; only
+        types differ).  Time travel below the commit sees the old
+        type; the change feed treats it as a data-changing overwrite
+        barrier."""
+        old_names = [f.name for f in self.schema().fields]
+        if [f.name for f in new_schema.fields] != old_names:
+            raise MoonTableError(
+                "retype_column changes types only, not the column set"
+            )
+        files, dels, _ = self._snapshot_full(None)
+        v = self.latest_version() + 1
+        add = self._stage_files(df, self.primary_key())
+        self._write_commit(
+            Commit(
+                version=v,
+                op="overwrite",
+                add=add,
+                remove=[d["name"] for d in files]
+                + [d["name"] for d in dels],
+                schema=json.dumps(new_schema.jsonValue()),
+            )
+        )
+        return v
+
     def set_primary_key(self, primary_key: list[str]) -> int:
         """Metadata-only primary-key declaration commit — the pg_dump
         restore shape loads data first and declares the key in the

@@ -424,3 +424,66 @@ def test_copy_stdout_custom_delimiter_roundtrip(eng):
     assert sorted(tuple(r) for r in eng.table("sod2").collect()) == [
         (1, "a|b"), (2, None),
     ]
+
+
+class TestAlterColumnType:
+    """ALTER TABLE ... ALTER COLUMN ... [SET DATA] TYPE (round 16) —
+    a full-rewrite commit swapping data and schema atomically, with
+    Postgres cast strictness and loud boundary refusals."""
+
+    @pytest.fixture()
+    def teng(self, spark, warehouse):
+        e = MooncakeEngine(spark, warehouse)
+        e.sql("CREATE TABLE ty (k int PRIMARY KEY, v text, n int)")
+        e.sql("INSERT INTO ty VALUES (1, '10', 5), (2, '20', 6)")
+        return e
+
+    def test_widen_and_using(self, teng):
+        teng.sql("ALTER TABLE ty ALTER COLUMN n TYPE bigint")
+        assert [
+            f.simpleString() for f in teng._moontable("ty").schema().fields
+        ] == ["k:int", "v:string", "n:bigint"]
+        teng.sql(
+            "ALTER TABLE ty ALTER COLUMN v SET DATA TYPE int "
+            "USING CAST(v AS INT)"
+        )
+        assert sorted(tuple(r) for r in teng.table("ty").collect()) == [
+            (1, 10, 5), (2, 20, 6),
+        ]
+
+    def test_cast_strictness(self, teng):
+        teng.sql("CREATE TABLE tb (k int PRIMARY KEY, s text)")
+        teng.sql("INSERT INTO tb VALUES (1, 'abc')")
+        with pytest.raises(ValueError, match="cannot be cast"):
+            teng.sql("ALTER TABLE tb ALTER COLUMN s TYPE int")
+        # the failed statement wrote nothing
+        assert [
+            f.simpleString() for f in teng._moontable("tb").schema().fields
+        ] == ["k:int", "s:string"]
+
+    def test_dml_and_time_travel_after_retype(self, teng):
+        teng.sql("ALTER TABLE ty ALTER COLUMN n TYPE bigint")
+        teng.sql("UPDATE ty SET n = 99 WHERE k = 1")
+        assert sorted(tuple(r) for r in teng.table("ty").collect()) == [
+            (1, "10", 99), (2, "20", 6),
+        ]
+        # below the retype commit the old type answers
+        assert [
+            f.simpleString() for f in teng.table("ty", version=1).schema.fields
+        ] == ["k:int", "v:string", "n:int"]
+
+    def test_refusals(self, teng):
+        teng.sql("BEGIN")
+        with pytest.raises(ValueError, match="transaction"):
+            teng.sql("ALTER TABLE ty ALTER COLUMN n TYPE bigint")
+        teng.sql("ROLLBACK")
+        teng.sql(
+            "CREATE TABLE tg (k int PRIMARY KEY, a int, "
+            "b int GENERATED ALWAYS AS (a + 1) STORED)"
+        )
+        with pytest.raises(ValueError, match="generated"):
+            teng.sql("ALTER TABLE tg ALTER COLUMN b TYPE bigint")
+        teng.sql("CREATE TABLE ti (id int GENERATED ALWAYS AS IDENTITY)")
+        with pytest.raises(ValueError, match="identity"):
+            teng.sql("ALTER TABLE ti ALTER COLUMN id TYPE text")
+        teng.sql("ALTER TABLE ti ALTER COLUMN id TYPE bigint")  # ok
