@@ -378,6 +378,24 @@ class SequencesMixin:
         if om:
             # pg_dump emits one per sequence; no roles here — inert
             return self._dml_result("ALTER SEQUENCE", name, 0)
+        sm = re.match(
+            r'SET\s+SCHEMA\s+("[^"]+"|[A-Za-z_]\w*)\s*$',
+            opts.strip(), re.I,
+        )
+        if sm:
+            sch = self._schema_fold(sm.group(1))
+            if sch not in self._known_schemas():
+                raise ValueError(f'schema "{sch}" does not exist')
+            new = f"{sch}.{name.rsplit('.', 1)[-1]}"
+            if new == name:
+                return self._dml_result("ALTER SEQUENCE", name, 0)
+            if new in self.catalog.sequences():
+                raise ValueError(f'relation "{new}" already exists')
+            self._seq_txn_log("drop", name, dict(cur))
+            self.catalog.seq_drop(name)
+            self.catalog.seq_put(new, cur)
+            self._seq_txn_log("create", new)
+            return self._dml_result("ALTER SEQUENCE", new, 1)
         rm = re.match(r"RENAME\s+TO\s+([\w\"]+)\s*$", opts.strip(), re.I)
         if rm:
             new = self._seq_canon(rm.group(1))

@@ -3770,6 +3770,77 @@ class SqlRouterMixin:
                 # partitioned_table.sql:2-3): the mirror is one logical
                 # table — child-partition DDL is a recorded no-op
                 return self._dml_result("CREATE", t, 0)
+            lk = re.match(
+                r"\(\s*LIKE\s+([\w.\"]+)\s*"
+                r"((?:INCLUDING\s+\w+\s*|EXCLUDING\s+\w+\s*)*)\)\s*$",
+                rest, re.I,
+            )
+            if lk:
+                # ``CREATE TABLE x (LIKE t [INCLUDING ...])`` — the app
+                # scaffold statement.  Schema always copies; INCLUDING
+                # DEFAULTS / CONSTRAINTS / INDEXES / ALL copy the named
+                # constraint classes (identity/sequence defaults are
+                # NOT copied — Postgres creates a fresh sequence only
+                # under INCLUDING IDENTITY, which refuses loudly here
+                # rather than silently sharing the source's sequence)
+                src_canon = self._canon(lk.group(1))
+                src_schema = self._moontable(src_canon).schema()
+                opts = {
+                    w.upper()
+                    for w in re.findall(
+                        r"(?:INCLUDING)\s+(\w+)", lk.group(2), re.I
+                    )
+                }
+                if "IDENTITY" in opts:
+                    raise ValueError(
+                        "CREATE TABLE (LIKE ... INCLUDING IDENTITY) is "
+                        "not supported; add the identity column with "
+                        "ALTER COLUMN ... ADD GENERATED afterwards"
+                    )
+                src_cons = dict(self._constraints(src_canon) or {})
+                new_cons: dict[str, Any] = {}
+                if {"DEFAULTS", "ALL"} & opts:
+                    new_cons["defaults"] = {
+                        c: e
+                        for c, e in (src_cons.get("defaults") or {}).items()
+                        if not self._seq_default_target(e)
+                    }
+                if {"CONSTRAINTS", "ALL"} & opts:
+                    for k2 in ("not_null", "checks", "not_validated"):
+                        if src_cons.get(k2):
+                            new_cons[k2] = src_cons[k2]
+                if {"GENERATED", "ALL"} & opts and src_cons.get("generated"):
+                    new_cons["generated"] = src_cons["generated"]
+                if {"INDEXES", "ALL"} & opts and src_cons.get("indexes"):
+                    # index names are schema-wide unique: re-key
+                    new_cons["indexes"] = {
+                        f"{name.replace('.', '_')}_{iname}": spec
+                        for iname, spec in src_cons["indexes"].items()
+                    }
+                new_cons = {k2: v for k2, v in new_cons.items() if v}
+                # INCLUDING INDEXES/ALL copies the pk (in Postgres the
+                # pk IS an index); without it the copy is keyless
+                like_pk = (
+                    self._moontable(src_canon).primary_key()
+                    if {"INDEXES", "ALL"} & opts else None
+                )
+                if in_txn:
+                    self._txn_stage_create(
+                        name, src_schema, like_pk,
+                        {"constraints": new_cons} if new_cons else None,
+                        True,
+                    )
+                    return self._dml_result("CREATE", t, -1)
+                self.create_table(
+                    t,
+                    source_df=self.spark.createDataFrame([], src_schema),
+                    primary_key=like_pk,
+                    change_feed=True,
+                    table_config=(
+                        {"constraints": new_cons} if new_cons else None
+                    ),
+                )
+                return self._dml_result("CREATE", t, 1)
             if not rest.startswith("("):
                 raise ValueError(
                     f"CREATE TABLE needs (column defs) or AS SELECT: {q!r}"
@@ -4030,6 +4101,24 @@ class SqlRouterMixin:
             t = m.group(1)
             self._moontable(t)
             return self._dml_result("ALTER", t, 0)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_SQL_TABLE}\s+"
+            r'SET\s+SCHEMA\s+("[^"]+"|[A-Za-z_]\w*)\s*$',
+            q, re.I,
+        )
+        if m:
+            # namespace move = a rename into the schema (the storage
+            # path is an opaque handle either way)
+            self._no_txn("ALTER TABLE SET SCHEMA")
+            t = m.group(1)
+            canon = self._canon(t)
+            sch = self._schema_fold(m.group(2))
+            if sch not in self._known_schemas():
+                raise ValueError(f'schema "{sch}" does not exist')
+            base_name = canon.rsplit(".", 1)[-1]
+            new = f"{sch}.{base_name}"
+            self.rename_table(t, new)
+            return self._dml_result("ALTER", new, 1)
         m = re.match(
             rf"ALTER\s+TABLE\s+{_SQL_TABLE}\s+SET\s+ACCESS\s+METHOD\s+"
             r"(\w+)\s*$",

@@ -487,3 +487,69 @@ class TestAlterColumnType:
         with pytest.raises(ValueError, match="identity"):
             teng.sql("ALTER TABLE ti ALTER COLUMN id TYPE text")
         teng.sql("ALTER TABLE ti ALTER COLUMN id TYPE bigint")  # ok
+
+
+class TestCreateTableLike:
+    """CREATE TABLE x (LIKE t [INCLUDING ...]) — the app scaffold
+    statement (round 16).  Schema always copies; DEFAULTS/CONSTRAINTS/
+    GENERATED/INDEXES/ALL copy their classes; INCLUDING INDEXES/ALL
+    copies the pk (in Postgres the pk IS an index); INCLUDING IDENTITY
+    refuses loudly (silently sharing the source sequence would be
+    wrong)."""
+
+    @pytest.fixture()
+    def leng(self, spark, warehouse):
+        e = MooncakeEngine(spark, warehouse)
+        e.sql(
+            "CREATE TABLE src (k int PRIMARY KEY, "
+            "v text NOT NULL DEFAULT 'x', CHECK (k > 0))"
+        )
+        return e
+
+    def test_bare_like_schema_only(self, leng):
+        leng.sql("CREATE TABLE c1 (LIKE src)")
+        mt = leng._moontable("c1")
+        assert [f.name for f in mt.schema().fields] == ["k", "v"]
+        assert mt.primary_key() is None
+        assert leng._constraints("c1") is None
+
+    def test_including_all(self, leng):
+        leng.sql("CREATE TABLE c2 (LIKE src INCLUDING ALL)")
+        assert leng._moontable("c2").primary_key() == ["k"]
+        leng.sql("INSERT INTO c2 (k) VALUES (1)")  # default fills v
+        assert sorted(tuple(r) for r in leng.table("c2").collect()) \
+            == [(1, "x")]
+        with pytest.raises(Exception, match="c2"):
+            leng.sql("INSERT INTO c2 VALUES (-1, 'z')")  # check copied
+
+    def test_serial_default_not_copied(self, leng):
+        leng.sql("CREATE TABLE s2 (id serial PRIMARY KEY, v text)")
+        leng.sql("CREATE TABLE c3 (LIKE s2 INCLUDING DEFAULTS)")
+        # sequence defaults never copy (they'd share the sequence)
+        assert not (leng._constraints("c3") or {}).get("defaults")
+        with pytest.raises(ValueError, match="IDENTITY"):
+            leng.sql("CREATE TABLE c4 (LIKE s2 INCLUDING IDENTITY)")
+
+    def test_like_in_txn(self, leng):
+        leng.sql("BEGIN")
+        leng.sql("CREATE TABLE c5 (LIKE src INCLUDING ALL)")
+        leng.sql("INSERT INTO c5 (k) VALUES (7)")
+        leng.sql("COMMIT")
+        assert sorted(tuple(r) for r in leng.table("c5").collect()) \
+            == [(7, "x")]
+
+
+class TestSetSchema:
+    def test_table_and_sequence_set_schema(self, eng):
+        eng.sql("CREATE SCHEMA arch")
+        eng.sql("CREATE TABLE mv_t (k int PRIMARY KEY)")
+        eng.sql("INSERT INTO mv_t VALUES (1)")
+        eng.sql("ALTER TABLE mv_t SET SCHEMA arch")
+        assert "arch.mv_t" in eng.catalog.list_tables()
+        assert eng.table("arch.mv_t").count() == 1
+        eng.sql("CREATE SEQUENCE sq1")
+        eng.sql("SELECT nextval('sq1')")
+        eng.sql("ALTER SEQUENCE sq1 SET SCHEMA arch")
+        assert eng.sql("SELECT nextval('arch.sq1')").collect()[0][0] == 2
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("ALTER TABLE arch.mv_t SET SCHEMA nope")
