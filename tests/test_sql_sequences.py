@@ -157,6 +157,24 @@ class TestSerialColumns:
         rows = sorted(tuple(r) for r in eng.table("ext").collect())
         assert rows == [(100, "a"), (101, "b")]
 
+    def test_insert_returning_serial_id(self, eng):
+        # THE app statement: INSERT ... RETURNING id on a serial pk —
+        # the returned images carry the assigned sequence values
+        eng.sql("CREATE TABLE app (id serial PRIMARY KEY, v text)")
+        r = eng.sql(
+            "INSERT INTO app (v) VALUES ('a') RETURNING id"
+        ).collect()
+        assert [tuple(x) for x in r] == [(1,)]
+        r2 = eng.sql(
+            "INSERT INTO app (v) VALUES ('b'), ('c') RETURNING id, v"
+        ).collect()
+        assert sorted(tuple(x) for x in r2) == [(2, "b"), (3, "c")]
+        r3 = eng.sql(
+            "INSERT INTO app (id, v) VALUES (100, 'x') "
+            "ON CONFLICT (id) DO NOTHING RETURNING id"
+        ).collect()
+        assert [tuple(x) for x in r3] == [(100,)]
+
     def test_nextval_in_insert_select_list(self, eng, spark):
         # the migration idiom: INSERT INTO new SELECT nextval('s'), ...
         eng.sql("CREATE SEQUENCE mig START WITH 100")
