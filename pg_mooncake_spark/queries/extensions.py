@@ -934,17 +934,41 @@ FROM generate_series(5, 1) AS g(n)
 UNION ALL
 SELECT DATE '1991-01-01' AS month_start, CAST(n AS BIGINT) AS n_orders
 FROM generate_series(5, 1, -2) AS g(n)
+UNION ALL
+SELECT DATE '1992-01-01' AS month_start, CAST(n AS BIGINT) AS n_orders
+FROM generate_series(5, 1, 1) AS g(n)
+UNION ALL
+SELECT DATE '1993-01-01' AS month_start, CAST(n AS BIGINT) AS n_orders
+FROM generate_series(1, 5, -1) AS g(n)
+UNION ALL
+SELECT CAST(m AS DATE) AS month_start, CAST(99 AS BIGINT) AS n_orders
+FROM generate_series(TIMESTAMP '1995-03-01', TIMESTAMP '1995-01-01',
+                     INTERVAL 1 MONTH) AS g(m)
 ORDER BY month_start, n_orders
 """
 
-# DuckDB ERRORS on reversed-bounds generate_series(5, 1) ("cannot
-# generate infinite series") where Postgres returns zero rows, so the
-# oracle spells that branch's empty set directly (WHERE 1 = 0); the
-# Spark side above still exercises the guarded rewrite — before the
-# round-16 fix it contributed five descending rows and hash-mismatched.
+# DuckDB ERRORS on reversed-bounds generate_series ("cannot generate
+# infinite series") where Postgres returns zero rows — for the two-arg
+# form AND (round 17) the three-arg forms whose range is reversed
+# relative to the explicit step, numeric or timestamp/interval.  The
+# oracle spells each such branch's empty set directly (WHERE 1 = 0);
+# the Spark side above still exercises the guarded rewrites — before
+# the round-16/17 fixes these legs contributed descending rows (or a
+# loud Spark sequence error) and failed the compare.
 _GENERATE_SERIES_SPINE_ORACLE_SQL = _GENERATE_SERIES_SPINE_SQL.replace(
     "FROM generate_series(5, 1) AS g(n)",
     "FROM generate_series(1, 1) AS g(n) WHERE 1 = 0",
+).replace(
+    "FROM generate_series(5, 1, 1) AS g(n)",
+    "FROM generate_series(1, 1) AS g(n) WHERE 1 = 0",
+).replace(
+    "FROM generate_series(1, 5, -1) AS g(n)",
+    "FROM generate_series(1, 1) AS g(n) WHERE 1 = 0",
+).replace(
+    "FROM generate_series(TIMESTAMP '1995-03-01', TIMESTAMP '1995-01-01',\n"
+    "                     INTERVAL 1 MONTH) AS g(m)",
+    "FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-01-01',\n"
+    "                     INTERVAL 1 MONTH) AS g(m) WHERE 1 = 0",
 )
 
 
@@ -966,3 +990,61 @@ def sql_generate_series_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
     eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
     return eng.sql(_GENERATE_SERIES_SPINE_SQL)
+
+
+_DISTINCT_ON_SQL = """
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_date,
+       o_totalprice AS last_price
+FROM orders
+WHERE o_orderstatus <> 'P'
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+"""
+
+
+@query("sql_distinct_on", oracle=_DISTINCT_ON_SQL)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT DISTINCT ON (k) ... ORDER BY k, tail`` (round 17,
+    VERDICT r16 missing #2) — Postgres's latest-row-per-key idiom,
+    rewritten by sql_router._rewrite_distinct_on onto ``row_number()
+    OVER (PARTITION BY k ORDER BY tail) = 1`` with Postgres null
+    placement spelled out.  Here: each customer's most recent
+    non-pending order (orderkey DESC tiebreak makes the winner unique,
+    so the hash compare is exact).  The oracle runs the IDENTICAL
+    statement in DuckDB, whose native DISTINCT ON implements the same
+    Postgres semantics independently."""
+    import tempfile
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
+    return eng.sql(_DISTINCT_ON_SQL)
+
+
+_DISTINCT_ON_UNORDERED_SQL = """
+SELECT DISTINCT ON (o_orderpriority)
+       o_orderpriority,
+       upper(o_orderpriority) AS upper_priority,
+       substring(o_orderpriority, 1, 1) AS prio_digit
+FROM orders
+"""
+
+
+@query("sql_distinct_on_unordered", oracle=_DISTINCT_ON_UNORDERED_SQL)
+def sql_distinct_on_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON without an ORDER BY — Postgres allows it and picks
+    an arbitrary row per group, so the projected columns here are all
+    functionally determined by the ON expression (any winner yields the
+    same values; the engine internally orders by the ON expressions for
+    determinism).  Both engines therefore hash identically even though
+    neither guarantees WHICH physical row won."""
+    import tempfile
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
+    return eng.sql(_DISTINCT_ON_UNORDERED_SQL)

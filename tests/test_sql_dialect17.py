@@ -1,0 +1,196 @@
+"""Round-17 SELECT-dialect surface: Postgres regex-match operators
+(~ / ~* / !~ / !~*), SELECT DISTINCT ON, and the three-argument
+generate_series reversed-range guard (VERDICT r16 missing #2/#4/#5).
+
+Reference host behavior: Postgres's pg_operator regex matches are
+partial (search, not full-match); DISTINCT ON keeps the first row of
+each group under the query's ORDER BY and enforces the ON-prefix rule;
+generate_series(a, b, step) returns the empty set when the range is
+reversed relative to the step's sign (any type) and errors on step 0.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.engine import MooncakeEngine
+from pg_mooncake_spark.sql_router import (
+    _rewrite_distinct_on,
+    _rewrite_pg_regex_ops,
+)
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    return MooncakeEngine(spark, warehouse)
+
+
+class TestPgRegexOps:
+    def test_all_four_operators(self, eng):
+        r = eng.sql(
+            "SELECT 'abc' ~ 'b' AS a, 'abc' ~ '^b' AS b, "
+            "'ABC' ~* 'abc' AS c, 'abc' !~ 'z' AS d, "
+            "'ABC' !~* 'abc' AS e"
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d, r.e) == (True, False, True, True, False)
+
+    def test_partial_match_semantics(self, eng):
+        # Postgres ~ searches, it does not full-match
+        assert eng.sql("SELECT 'src10' ~ '1[0-9]$' AS m").collect()[0].m
+
+    def test_where_clause_and_null(self, eng):
+        eng.sql("CREATE TABLE rx (s text)")
+        eng.sql("INSERT INTO rx VALUES ('foo'), ('BAR'), (NULL)")
+        assert [r.s for r in eng.sql(
+            "SELECT s FROM rx WHERE s !~* 'bar' ORDER BY s"
+        ).collect()] == ["foo"]
+        assert eng.sql(
+            "SELECT count(*) AS n FROM rx WHERE s ~ 'o'"
+        ).collect()[0].n == 1
+
+    def test_prefix_bitwise_not_untouched(self, eng):
+        r = eng.sql("SELECT ~5 AS a, 2 & ~1 AS b").collect()[0]
+        assert (r.a, r.b) == (-6, 2)
+
+    def test_case_insensitive_non_literal_pattern(self, eng):
+        assert eng.sql(
+            "SELECT 'Abc' ~* ('ab' || 'c') AS m"
+        ).collect()[0].m is True
+        assert eng.sql(
+            "SELECT 'Abc' ~* upper('ab') AS m"
+        ).collect()[0].m is True
+
+    def test_string_literal_contents_untouched(self, eng):
+        # a ~ inside a string literal must not rewrite
+        assert eng.sql("SELECT 'a~b' AS s").collect()[0].s == "a~b"
+        assert eng.sql("SELECT 'it''s' ~ 'it''s' AS m").collect()[0].m
+
+    def test_rewrite_is_textual_and_spanned(self):
+        import re as _re
+
+        out = _re.sub(
+            r"\s+", " ",
+            _rewrite_pg_regex_ops("SELECT a ~ 'x', b !~ 'y' FROM t"),
+        )
+        assert "RLIKE 'x'" in out and "NOT RLIKE 'y'" in out
+        # LIKE's internal spellings are left alone
+        s = "SELECT a ~~ 'x%' FROM t"
+        assert _rewrite_pg_regex_ops(s) == s
+
+
+class TestDistinctOn:
+    @pytest.fixture()
+    def deng(self, eng):
+        eng.sql("CREATE TABLE d (k int, v int, ts int)")
+        eng.sql(
+            "INSERT INTO d VALUES (1, 10, 1), (1, 20, 2), (2, 30, 5), "
+            "(2, 40, 4), (3, NULL, 9)"
+        )
+        return eng
+
+    def test_latest_row_per_key(self, deng):
+        rows = deng.sql(
+            "SELECT DISTINCT ON (k) k, v, ts FROM d ORDER BY k, ts DESC"
+        ).collect()
+        assert [(r.k, r.v, r.ts) for r in rows] == [
+            (1, 20, 2), (2, 30, 5), (3, None, 9)
+        ]
+
+    def test_qualified_references_and_limit(self, deng):
+        rows = deng.sql(
+            "SELECT DISTINCT ON (k) t.k, t.v FROM d t "
+            "ORDER BY k, ts DESC LIMIT 2"
+        ).collect()
+        assert [(r.k, r.v) for r in rows] == [(1, 20), (2, 30)]
+
+    def test_without_order_by(self, deng):
+        rows = deng.sql("SELECT DISTINCT ON (k) k FROM d").collect()
+        assert sorted(r.k for r in rows) == [1, 2, 3]
+
+    def test_nulls_sort_like_postgres(self, deng):
+        # ASC default is NULLS LAST in Postgres (Spark's is FIRST):
+        # the non-null v must win the k=3 group... k=3 has one row;
+        # use v ordering across k groups instead
+        deng.sql("INSERT INTO d VALUES (3, 7, 1)")
+        rows = deng.sql(
+            "SELECT DISTINCT ON (k) k, v FROM d ORDER BY k, v"
+        ).collect()
+        assert (3, 7) in {(r.k, r.v) for r in rows}
+
+    def test_desc_nulls_first_like_postgres(self, deng):
+        deng.sql("INSERT INTO d VALUES (3, 7, 1)")
+        rows = deng.sql(
+            "SELECT DISTINCT ON (k) k, v FROM d ORDER BY k, v DESC"
+        ).collect()
+        # DESC default is NULLS FIRST in Postgres: NULL wins k=3
+        assert (3, None) in {(r.k, r.v) for r in rows}
+
+    def test_prefix_rule_enforced(self, deng):
+        with pytest.raises(ValueError, match="must match initial ORDER BY"):
+            deng.sql(
+                "SELECT DISTINCT ON (k) k, v FROM d ORDER BY v, ts"
+            )
+
+    def test_group_by_body_composes(self, deng):
+        rows = deng.sql(
+            "SELECT DISTINCT ON (k) k, sum(v) AS sv FROM d "
+            "GROUP BY k, ts ORDER BY k, sum(v) DESC"
+        ).collect()
+        assert [(r.k, r.sv) for r in rows] == [(1, 20), (2, 40), (3, None)]
+
+    def test_subquery_position_refused(self, deng):
+        with pytest.raises(ValueError, match="top-level"):
+            deng.sql(
+                "SELECT * FROM (SELECT DISTINCT ON (k) k FROM d) s"
+            )
+
+    def test_ordinal_and_alias_order_by(self, deng):
+        rows = deng.sql(
+            "SELECT DISTINCT ON (k) k AS kk, ts FROM d ORDER BY kk, 2 DESC"
+        ).collect()
+        assert [(r.kk, r.ts) for r in rows] == [(1, 2), (2, 5), (3, 9)]
+
+    def test_rewrite_shape(self):
+        out = _rewrite_distinct_on(
+            "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, ts DESC"
+        )
+        assert "row_number() OVER (PARTITION BY (k)" in out
+        assert "NULLS FIRST" in out and "__mnck_don_rn = 1" in out
+
+
+class TestGenerateSeriesThreeArg:
+    @pytest.mark.parametrize(
+        "args,expect",
+        [
+            ("5, 1, 1", []),
+            ("1, 5, -1", []),
+            ("5, 1, -2", [5, 3, 1]),
+            ("5, 5, -1", [5]),
+            ("5, 5, 3", [5]),
+        ],
+    )
+    def test_numeric_reversed_ranges(self, eng, args, expect):
+        rows = eng.sql(
+            f"SELECT * FROM generate_series({args}) AS g(x)"
+        ).collect()
+        assert [r.x for r in rows] == expect
+
+    def test_timestamp_reversed_range_is_empty(self, eng):
+        rows = eng.sql(
+            "SELECT * FROM generate_series(TIMESTAMP '2024-01-03', "
+            "TIMESTAMP '2024-01-01', INTERVAL 1 DAY) AS g(t)"
+        ).collect()
+        assert rows == []
+
+    def test_timestamp_forward_still_works(self, eng):
+        rows = eng.sql(
+            "SELECT * FROM generate_series(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-03', INTERVAL 1 DAY) AS g(t)"
+        ).collect()
+        assert len(rows) == 3
+
+    def test_zero_step_errors_loudly(self, eng):
+        with pytest.raises(Exception):
+            eng.sql(
+                "SELECT * FROM generate_series(1, 5, 0) AS g(x)"
+            ).collect()
