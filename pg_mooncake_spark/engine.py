@@ -176,10 +176,20 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
     def _canon(self, name: str) -> str:
         """Resolve a user-supplied identifier to its catalog key: an exact
         catalog hit (already-canonical, e.g. 'My Table') wins; otherwise
-        normalize via parse_table_name."""
-        if name in self.catalog.list_tables():
+        normalize via parse_table_name.  ``public`` is Postgres's default
+        schema, so ``public.t`` and ``t`` name the SAME relation (round
+        17): whichever spelling the catalog stores under answers for
+        both."""
+        tabs = self.catalog.list_tables()
+        if name in tabs:
             return name
-        return parse_table_name(name)
+        c = parse_table_name(name)
+        if c not in tabs:
+            if c.startswith("public.") and c[len("public."):] in tabs:
+                return c[len("public."):]
+            if "." not in c and f"public.{c}" in tabs:
+                return f"public.{c}"
+        return c
 
     def _table_path(self, name: str) -> str:
         # name is already canonical (parse_table_name)
@@ -271,7 +281,13 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         """
         self._no_txn("create_table")
         dst = parse_table_name(dst)
-        if dst in self.catalog.list_tables():
+        tabs = self.catalog.list_tables()
+        # public is the default schema: public.t and t are one relation
+        alt = (
+            dst[len("public."):] if dst.startswith("public.")
+            else f"public.{dst}" if "." not in dst else None
+        )
+        if dst in tabs or (alt is not None and alt in tabs):
             raise ValueError(f"mirror {dst!r} already registered")
         path = self._table_path(dst)
         mt = MoonTable(self.spark, path)
@@ -317,10 +333,7 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         self.catalog.finish_drop(name)
         # a stale pinned temp view registered by an earlier sql() call
         # must not keep answering for the dropped mirror
-        try:
-            self.spark.catalog.dropTempView(self._view_name(name))
-        except Exception:
-            pass
+        self._drop_resolution_views(name)
 
     def reap_pending_drops(self) -> list[str]:
         """Finish phase 2 for any drop interrupted between catalog commit
@@ -1504,15 +1517,13 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         self.catalog.rename(old, newc)
         # owned sequences (serial/identity) follow their table
         for sname, st in self.catalog.sequences().items():
-            owner = st.get("owned_by") or ""
-            if owner.startswith(f"{old}."):
+            owner = self._seq_owner(st)
+            if owner and owner[0] == old:
                 self.catalog.seq_update(
-                    sname, owned_by=f"{newc}.{owner[len(old) + 1:]}"
+                    sname, owned_by=[newc, owner[1]]
                 )
-        try:  # a stale pinned temp view must not answer for the old name
-            self.spark.catalog.dropTempView(self._view_name(old))
-        except Exception:
-            pass
+        # a stale pinned temp view must not answer for the old name
+        self._drop_resolution_views(old)
 
     def rename_column(self, dst: str, old: str, new: str) -> int:
         """Propagate an upstream ALTER TABLE RENAME COLUMN (extension
@@ -1616,8 +1627,8 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         )
         # an owned sequence (serial/identity) follows its column
         for sname, st in self.catalog.sequences().items():
-            if st.get("owned_by") == f"{dst}.{old}":
-                self.catalog.seq_update(sname, owned_by=f"{dst}.{new}")
+            if self._seq_owner(st) == (dst, old):
+                self.catalog.seq_update(sname, owned_by=[dst, new])
         # materialized views over this mirror: remap their specs (and,
         # for a renamed GROUP BY key, their state tables) so refreshes
         # keep working under the new name (VERDICT r8 task 7)
@@ -2310,7 +2321,7 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
             if name in self.catalog.list_tables():
                 continue  # a real table owns this alias; leave it
             try:
-                self.spark.catalog.dropTempView(self._view_name(name))
+                self._drop_resolution_views(name)
             except Exception:
                 pass
 
@@ -2578,6 +2589,21 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         self._check_recovery_pending()
 
 
+
+    def _drop_resolution_views(self, name: str) -> None:
+        """Deregister every temp-view alias :meth:`sql`'s resolver may
+        have registered for ``name`` — the sanitized canonical alias
+        and, for a public-schema table, the bare spelling (round 17's
+        default-schema aliasing registers both)."""
+        aliases = {self._view_name(name)}
+        if name.startswith("public."):
+            aliases.add(self._view_name(name[len("public."):]))
+        for a in aliases:
+            try:
+                self.spark.catalog.dropTempView(a)
+            except Exception:
+                pass
+
     def _view_name(self, name: str) -> str:
         """The temp-view alias :meth:`sql` registers for a mirror."""
         return name if _IDENT.match(name) else re.sub(r"[^A-Za-z0-9_]", "_", name)
@@ -2608,10 +2634,7 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         for name in list(self._gucs):
             self._guc_set(name, None)
         for t in self.catalog.list_tables():
-            try:
-                self.spark.catalog.dropTempView(self._view_name(t))
-            except Exception:
-                pass
+            self._drop_resolution_views(t)
 
     def add_column(self, dst: str, col: str, dtype: T.DataType) -> int:
         """Widen the mirror with a new NULLABLE column — the upstream

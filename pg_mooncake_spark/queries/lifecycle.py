@@ -2714,7 +2714,7 @@ def lifecycle_sql_dump_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = eng.catalog.seq_get("public.dump_t_k_seq")
     seq_ok = (
         1 if seq["last_value"] == 3 + n_app and seq["is_called"]
-        and seq["owned_by"] == "public.dump_t.k" else 0
+        and list(seq["owned_by"]) == ["public.dump_t", "k"] else 0
     )
     return eng.table("public.dump_t").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -252,6 +252,23 @@ class SequencesMixin:
                 raise ValueError(
                     f"cannot parse {stmt} SEQUENCE option near: {toks!r}"
                 )
+        if (
+            base is not None
+            and "data_type" in explicit
+            and explicit["data_type"] != s.get("data_type", "bigint")
+        ):
+            # ALTER SEQUENCE ... AS <type> (ADVICE r16): Postgres
+            # re-derives bounds that equal the OLD type's defaults so a
+            # bigint-default sequence retyped to smallint doesn't keep
+            # maxvalue 2^63-1; explicitly retained bounds outside the
+            # new type's range error below.
+            old_type = s.get("data_type", "bigint")
+            _, old_tmax, old_tmin = _SEQ_DEFAULTS_BY_TYPE[old_type]
+            _, new_tmax, new_tmin = _SEQ_DEFAULTS_BY_TYPE[data_type]
+            if "minvalue" not in explicit and s.get("minvalue") == old_tmin:
+                s["minvalue"] = new_tmin
+            if "maxvalue" not in explicit and s.get("maxvalue") == old_tmax:
+                s["maxvalue"] = new_tmax
         inc = explicit.get("increment", s.get("increment", 1))
         if inc == 0:
             raise ValueError("INCREMENT must not be zero")
@@ -265,6 +282,12 @@ class SequencesMixin:
             lo = dmin
         if hi is None or "maxvalue" in explicit and explicit["maxvalue"] is None:
             hi = dmax
+        for label, bound in (("MINVALUE", lo), ("MAXVALUE", hi)):
+            if not (tmin <= bound <= tmax):
+                raise ValueError(
+                    f"{label} ({bound}) is out of range for sequence "
+                    f"data type {data_type}"
+                )
         start = explicit.get("start", s.get("start", lo if inc > 0 else hi))
         if not (lo <= start <= hi):
             raise ValueError(
@@ -291,9 +314,14 @@ class SequencesMixin:
             out["is_called"] = False
         return out
 
-    def _seq_owner_canon(self, tgt: str) -> str:
-        """``OWNED BY table.column`` → ``canon_table.column`` (the last
-        dotted part is the column, the rest the table)."""
+    def _seq_owner_canon(self, tgt: str) -> list[str]:
+        """``OWNED BY table.column`` → structured ``[canon_table,
+        column]`` (the last dotted part is the column, the rest the
+        table).  Stored as a two-element list — NOT a re-joined dotted
+        string — so a table named ``t`` and a table ``t.users`` inside
+        a schema named ``t`` can never collide on a string prefix
+        (ADVICE r16: DROP/TRUNCATE/RENAME previously matched owners by
+        startswith/rsplit over the dotted encoding)."""
         parts = tgt.rsplit(".", 1)
         if len(parts) != 2:
             raise ValueError(
@@ -308,7 +336,22 @@ class SequencesMixin:
             raise ValueError(
                 f'column "{col}" of relation "{canon}" does not exist'
             )
-        return f"{canon}.{col}"
+        return [canon, col]
+
+    @staticmethod
+    def _seq_owner(st: dict) -> Optional[tuple[str, str]]:
+        """The structured ``(table_canon, column)`` owner of a sequence
+        state, or None.  Accepts the legacy dotted-string encoding from
+        catalogs written before round 17 (ambiguous for dotted table
+        names — exactly why the encoding changed — but a best-effort
+        rsplit keeps old warehouses readable)."""
+        ob = st.get("owned_by")
+        if not ob:
+            return None
+        if isinstance(ob, (list, tuple)) and len(ob) == 2:
+            return (ob[0], ob[1])
+        t, _, c = str(ob).rpartition(".")
+        return (t, c)
 
     # --------------------------------------------------------- statements
 
@@ -425,6 +468,18 @@ class SequencesMixin:
                 if if_exists:
                     continue
                 raise
+            owner = self._seq_owner(self.catalog.seq_get(name))
+            if owner is not None:
+                # Postgres refuses with a dependency error: the serial/
+                # identity column's nextval default would dangle and
+                # every later INSERT would fail (ADVICE r16).  The
+                # OWNED-BY cascade (_seq_drop_owned) is the sanctioned
+                # path — drop the table or column instead.
+                raise ValueError(
+                    f'cannot drop sequence "{name}" because column '
+                    f'"{owner[1]}" of table "{owner[0]}" requires it '
+                    f'(drop table "{owner[0]}" or the column instead)'
+                )
             state = self.catalog.seq_drop(name)
             self._seq_txn_log("drop", name, state)
             last, n = name, n + 1
@@ -529,16 +584,33 @@ class SequencesMixin:
     def _seq_materialize_text(self, sql_text: str) -> str:
         """Replace every ``nextval('s')`` occurrence in a VALUES clause
         with an allocated literal (textual order = row order, the
-        per-row allocation Postgres performs).  The argument is a
-        quoted literal, so quoting-aware masking is unnecessary — the
-        pattern itself consumes the quotes."""
-        def _sub(m: "re.Match") -> str:
-            name = self._seq_resolve(m.group(1))
+        per-row allocation Postgres performs).  Matches run on a
+        quote-masked copy and splice back by span (ADVICE r16: the
+        pattern's quoted-name argument could previously bridge TWO
+        string literals — ``VALUES ('id=nextval(' || c || ')')`` — and
+        corrupt a legitimate row; nextval INSIDE a string literal is
+        data, not a call)."""
+        from pg_mooncake_spark.sqlparse import _mask_quoted
+
+        masked = _mask_quoted(sql_text)
+        out: list[str] = []
+        prev = 0
+        for m in _NEXTVAL_RE.finditer(masked):
+            # the mask blanks literal contents, so re-read the name
+            # from the original text at the matched span
+            om = _NEXTVAL_RE.match(sql_text, m.start())
+            if om is None or om.end() != m.end():
+                continue
+            name = self._seq_resolve(om.group(1))
             v = self.catalog.seq_alloc(name, 1)
             self._seq_session_note(name, v)
-            return str(v)
-
-        return _NEXTVAL_RE.sub(_sub, sql_text)
+            out.append(sql_text[prev:m.start()])
+            out.append(str(v))
+            prev = m.end()
+        if not out:
+            return sql_text
+        out.append(sql_text[prev:])
+        return "".join(out)
 
     def _seq_extract_select_items(
         self, sql: str
@@ -702,7 +774,7 @@ class SequencesMixin:
             if state["minvalue"] == _SEQ_DEFAULTS_BY_TYPE["bigint"][2]:
                 state["minvalue"] = tmin
             state["data_type"] = t
-        state["owned_by"] = f"{table_canon}.{col}"
+        state["owned_by"] = [table_canon, col]
         if name in self.catalog.sequences():
             if getattr(self, "_txn_replaying", False):
                 # idempotent crash replay: the sequence was created by
@@ -720,8 +792,8 @@ class SequencesMixin:
         — the table itself was only staged)."""
         tabs = set(self.catalog.list_tables())
         for name, st in self.catalog.sequences().items():
-            owner = st.get("owned_by")
-            if owner and owner.rsplit(".", 1)[0] not in tabs:
+            owner = self._seq_owner(st)
+            if owner and owner[0] not in tabs:
                 try:
                     self.catalog.seq_drop(name)
                 except KeyError:
@@ -730,13 +802,10 @@ class SequencesMixin:
     def _seq_drop_owned(self, table_canon: str, col: Optional[str] = None) -> None:
         """Drop sequences owned by a table (or one of its columns) —
         the OWNED BY cascade DROP TABLE / DROP COLUMN performs."""
-        prefix = (
-            f"{table_canon}.{col}" if col else f"{table_canon}."
-        )
         for name, st in self.catalog.sequences().items():
-            owner = st.get("owned_by")
-            if owner and (
-                owner == prefix if col else owner.startswith(prefix)
+            owner = self._seq_owner(st)
+            if owner and owner[0] == table_canon and (
+                col is None or owner[1] == col
             ):
                 state = self.catalog.seq_drop(name)
                 self._seq_txn_log("drop", name, state)

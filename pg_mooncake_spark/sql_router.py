@@ -884,10 +884,8 @@ class SqlRouterMixin:
                         "(use DROP TABLE / drop_table)"
                     )
                 self.catalog.drop(name)
-                try:  # resolution may have left a session temp view
-                    self.spark.catalog.dropTempView(self._view_name(name))
-                except Exception:
-                    pass
+                # resolution may have left session temp views
+                self._drop_resolution_views(name)
                 return self._dml_result("DROP VIEW", name, 1)
             # not a catalog relation — Spark temp views drop below
         cm = re.match(
@@ -992,6 +990,21 @@ class SqlRouterMixin:
         )
         if lm and lm.start() in {i for i, _ in _scan_top(query)}:
             query = query[:lm.start()].rstrip()
+        # psql emits search_path-proof operator calls and collations:
+        # ``OPERATOR(pg_catalog.~)`` → the bare operator; ``COLLATE
+        # pg_catalog.default`` is the database default (inert here)
+        if re.search(r"\bOPERATOR\s*\(", query, re.I):
+            query = re.sub(
+                r"OPERATOR\s*\(\s*pg_catalog\s*\.\s*"
+                r"(!?~~?\*?|[<>=!]{1,2})\s*\)",
+                r" \1 ", query, flags=re.I,
+            )
+        if re.search(r"\bCOLLATE\b", query, re.I):
+            query = re.sub(
+                r'\s+COLLATE\s+(?:pg_catalog\s*\.\s*)?'
+                r'(?:"default"|default|"C"|"POSIX")\b',
+                "", query, flags=re.I,
+            )
         # Postgres regex-match operators ~ / ~* / !~ / !~* (round 17)
         if "~" in query:
             query = _rewrite_pg_regex_ops(query)
@@ -1168,6 +1181,46 @@ class SqlRouterMixin:
                 prev = e
             out.append(query[prev:])
             query = "".join(out)
+        # schema-qualified mirror references (round 17): Spark has no
+        # 'public' (or user) namespace, so ``FROM public.t`` /
+        # ``JOIN s."T"`` resolve by rewriting the dotted reference in a
+        # RELATION position (after FROM/JOIN/TABLE only — a dotted
+        # expression like alias.column never names a relation there) to
+        # the mirror's sanitized temp-view alias; the token scan below
+        # then registers that view.  Three-part names are left for
+        # Spark's own (loud) resolution.
+        if "." in query:
+            masked_dq = _mask_quoted(query)
+            txn_created_names = set(
+                self._txn.get("created", {})
+            ) if self._txn is not None else set()
+            known_tables = (
+                set(self.catalog.list_tables()) | txn_created_names
+            )
+            out, prev = [], 0
+            for m in re.finditer(
+                r"\b(?:FROM|JOIN|TABLE)\s+"
+                r'("[^"]+"|[A-Za-z_]\w*)\s*\.\s*("[^"]+"|[A-Za-z_]\w*)',
+                masked_dq, re.I,
+            ):
+                after = m.end()
+                while after < len(masked_dq) and masked_dq[after].isspace():
+                    after += 1
+                if after < len(masked_dq) and masked_dq[after] in ".(":
+                    continue  # three-part name or function call
+                cand = query[m.start(1):m.end(2)]
+                try:
+                    canon = self._canon(cand)
+                except ValueError:
+                    continue
+                if canon not in known_tables:
+                    continue
+                out.append(query[prev:m.start(1)])
+                out.append(self._view_name(canon))
+                prev = m.end(2)
+            if out:
+                out.append(query[prev:])
+                query = "".join(out)
         # time-travel spelling: ``FROM t FOR VERSION AS OF 3`` /
         # ``FOR [SYSTEM_TIME|TIMESTAMP] AS OF '…'`` (SQL:2011 system
         # versioning; the bare Delta spellings VERSION/TIMESTAMP AS OF
@@ -1231,8 +1284,21 @@ class SqlRouterMixin:
                 if q_:
                     tokens.add(re.sub(r"[^A-Za-z0-9_]", "_", q_).lower())
         by_alias: dict[str, list[str]] = {}
-        for name in self.catalog.list_tables():
+        tabs_now = self.catalog.list_tables()
+
+        def _offer(name: str) -> None:
             by_alias.setdefault(self._view_name(name).lower(), []).append(name)
+            # public is the default schema: a table stored qualified
+            # also answers to its bare spelling (round 17)
+            if name.startswith("public."):
+                bare = name[len("public."):]
+                if bare not in tabs_now:
+                    by_alias.setdefault(
+                        self._view_name(bare).lower(), []
+                    ).append(name)
+
+        for name in tabs_now:
+            _offer(name)
         txn_created = (
             self._txn.get("created", {}) if self._txn is not None else {}
         )
@@ -1241,10 +1307,8 @@ class SqlRouterMixin:
             else set()
         )
         for name in txn_created:
-            if name not in self.catalog.list_tables():
-                by_alias.setdefault(
-                    self._view_name(name).lower(), []
-                ).append(name)
+            if name not in tabs_now:
+                _offer(name)
         pin_names = {self._canon(n) for n in (pin or {})}
         for alias_l, names in by_alias.items():
             if alias_l not in tokens and not (set(names) & pin_names):
@@ -1264,12 +1328,12 @@ class SqlRouterMixin:
                 # token match may also be a CTE alias, which then still
                 # resolves correctly)
                 try:
-                    self.spark.catalog.dropTempView(self._view_name(name))
+                    self.spark.catalog.dropTempView(alias_l)
                 except Exception:
                     pass
                 continue
             self.table(name, (pin or {}).get(name)).createOrReplaceTempView(
-                self._view_name(name)
+                alias_l
             )
         return self.spark.sql(query)
     def _sql_prepare(
@@ -1599,10 +1663,7 @@ class SqlRouterMixin:
             self._seq_discard_session()
         elif what in ("TEMP", "TEMPORARY"):
             for t in self.catalog.list_tables():
-                try:
-                    self.spark.catalog.dropTempView(self._view_name(t))
-                except Exception:
-                    pass
+                self._drop_resolution_views(t)
         return self.spark.createDataFrame(
             [("DISCARD", what, None)],
             "statement string, parameter string, value string",
@@ -4396,8 +4457,8 @@ class SqlRouterMixin:
                     # RESTART) — hence the 'setpos' undo entry
                     canon = self._canon(t)
                     for sname, st in self.catalog.sequences().items():
-                        owner = st.get("owned_by") or ""
-                        if owner.startswith(f"{canon}."):
+                        owner = self._seq_owner(st)
+                        if owner and owner[0] == canon:
                             self._seq_txn_log(
                                 "setpos", sname,
                                 (st["last_value"], st["is_called"]),
@@ -4918,19 +4979,22 @@ class SqlRouterMixin:
                           f.nullable)
             for f in schema.fields
         ])
-        newdf = df.withColumn(col, cast_expr).select(
-            *[f.name for f in schema.fields]
-        )
-        v = mt.retype_column(newdf, new_schema)
         # defaults/checks referencing the column must still analyze
-        # under the new type (Postgres re-derives them; we validate)
+        # under the new type (Postgres re-derives them; we validate) —
+        # BEFORE the rewrite commits, against new_schema, so a failing
+        # expression refuses the whole statement atomically instead of
+        # raising after the retype persisted (ADVICE r16)
         for what, e_ in [
             *[("DEFAULT", x) for x in
               (cons.get("defaults") or {}).values()
               if not self._seq_default_target(x)],
             *[("CHECK", x[1]) for x in cons.get("checks", [])],
         ]:
-            self._analysis_check_expr(t, what, e_)
+            self._analysis_check_expr(None, what, e_, schema=new_schema)
+        newdf = df.withColumn(col, cast_expr).select(
+            *[f.name for f in schema.fields]
+        )
+        v = mt.retype_column(newdf, new_schema)
         self.catalog.update_watermarks(name, flush_version=v)
         return self._dml_result("ALTER", t, v)
 

@@ -128,7 +128,7 @@ class TestSerialColumns:
         assert rows == [(1, "a"), (2, "b"), (3, "c")]
         # the implicit sequence exists and is owned
         st = eng.catalog.seq_get("st_id_seq")
-        assert st["owned_by"] == "st.id"
+        assert list(st["owned_by"]) == ["st", "id"]
 
     def test_bigserial_type(self, eng):
         eng.sql("CREATE TABLE bt (id bigserial, v text)")
