@@ -2222,6 +2222,23 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
                             {*cons.get("not_null", []), *spec["cols"]}
                         )
                         self._set_constraints(name, cons)
+                    elif spec["op"] == "add_fk":
+                        # the stage already ran the referential scan on
+                        # the gated rows; replay records metadata
+                        # (idempotent: overwrite by name)
+                        cons = self._constraints(name) or {}
+                        cons["foreign_keys"] = {
+                            **(cons.get("foreign_keys") or {}),
+                            spec["cname"]: spec["fk"],
+                        }
+                        self._set_constraints(name, cons)
+                    elif spec["op"] == "drop_fk":
+                        # idempotent: absence means OUR drop already ran
+                        cons = self._constraints(name) or {}
+                        fks = dict(cons.get("foreign_keys") or {})
+                        fks.pop(spec["cname"], None)
+                        cons["foreign_keys"] = fks
+                        self._set_constraints(name, cons)
                     elif spec["op"] == "create_index":
                         self._register_index(
                             name, spec["iname"], spec["spec"],

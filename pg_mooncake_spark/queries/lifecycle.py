@@ -3099,3 +3099,106 @@ def lifecycle_sql_retype(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(prio) AS BIGINT) AS sum_code
         FROM rt
     """)
+
+
+@query(
+    "lifecycle_sql_fk_restore",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*) AS n_nations,
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_nkey,
+           CAST(1 AS BIGINT) AS fk_ok,
+           CAST(1 AS BIGINT) AS uq_ok,
+           CAST(1 AS BIGINT) AS pk_ok
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def lifecycle_sql_fk_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-table pg_dump restore every relational schema needs
+    (round 17, VERDICT r16 task #1): TWO tables created and COPY-loaded
+    in one ``BEGIN .. COMMIT`` block, then the post-data section —
+    PRIMARY KEYs, a UNIQUE index, and a FOREIGN KEY — replayed
+    VERBATIM.  The FK and UNIQUE declarations now validate-then-record
+    (one referential-integrity / uniqueness scan against the staged
+    overlay, the r16 PK pattern) instead of refusing behind a GUC, so
+    this dump restores out of the box.  The COPY payload is generated
+    from the real region/nation tables so the scan sizes follow sf; the
+    oracle recomputes the cross-table join from the parquet sources and
+    the flag columns assert the constraints actually registered as
+    validated."""
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "nation", "region")
+    regions = sorted(
+        (r.r_regionkey, r.r_name)
+        for r in t(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name").collect()
+    )
+    nations = sorted(
+        (r.n_nationkey, r.n_regionkey, r.n_name)
+        for r in t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name").collect()
+    )
+    region_copy = "\n".join(f"{k}\t{n}" for k, n in regions)
+    nation_copy = "\n".join(f"{k}\t{rk}\t{n}" for k, rk, n in nations)
+    eng = _temp_engine(spark)
+    eng.sql_script(f"""
+        SET statement_timeout = 0;
+        SET client_encoding = 'UTF8';
+        SET standard_conforming_strings = on;
+        BEGIN;
+        CREATE TABLE public.fkr_region (
+            r_regionkey integer NOT NULL,
+            r_name text
+        );
+        CREATE TABLE public.fkr_nation (
+            n_nationkey integer NOT NULL,
+            n_regionkey integer,
+            n_name text
+        );
+        COPY public.fkr_region (r_regionkey, r_name) FROM STDIN;
+{region_copy}
+\\.
+        COPY public.fkr_nation (n_nationkey, n_regionkey, n_name) FROM STDIN;
+{nation_copy}
+\\.
+        ALTER TABLE ONLY public.fkr_region
+            ADD CONSTRAINT fkr_region_pkey PRIMARY KEY (r_regionkey);
+        ALTER TABLE ONLY public.fkr_nation
+            ADD CONSTRAINT fkr_nation_pkey PRIMARY KEY (n_nationkey);
+        CREATE UNIQUE INDEX fkr_region_name_key
+            ON public.fkr_region USING btree (r_name);
+        ALTER TABLE ONLY public.fkr_nation
+            ADD CONSTRAINT fkr_nation_region_fkey
+            FOREIGN KEY (n_regionkey) REFERENCES public.fkr_region(r_regionkey);
+        COMMIT;
+    """)
+    fks = (eng._constraints("fkr_nation") or {}).get("foreign_keys") or {}
+    fk = fks.get("fkr_nation_region_fkey") or {}
+    fk_ok = 1 if (
+        fk.get("validated") is True
+        and fk.get("ref_table") == "public.fkr_region"
+        and fk.get("ref_cols") == ["r_regionkey"]
+    ) else 0
+    idx = (eng._constraints("fkr_region") or {}).get("indexes") or {}
+    uq_ok = 1 if (
+        (idx.get("fkr_region_name_key") or {}).get("unique") == "validated"
+    ) else 0
+    pk_ok = 1 if (
+        eng._moontable("fkr_nation").primary_key() == ["n_nationkey"]
+        and eng._moontable("fkr_region").primary_key() == ["r_regionkey"]
+    ) else 0
+    return eng.sql(f"""
+        SELECT r.r_name,
+               COUNT(*) AS n_nations,
+               CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_nkey,
+               CAST({fk_ok} AS BIGINT) AS fk_ok,
+               CAST({uq_ok} AS BIGINT) AS uq_ok,
+               CAST({pk_ok} AS BIGINT) AS pk_ok
+        FROM public.fkr_nation n
+        JOIN public.fkr_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+    """)

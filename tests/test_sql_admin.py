@@ -196,20 +196,27 @@ class TestLatePrimaryKey:
         eng.sql("COMMIT")
         assert eng._moontable("ut").primary_key() == ["id"]
 
-    def test_unique_and_fk_behind_gucs(self, eng):
+    def test_unique_and_fk_validate_by_default(self, eng):
+        # round 17: the GUCs flipped from refuse to validate-then-record
+        # — default runs the scan; 'on' skips it (records unenforced)
         eng.sql("CREATE TABLE uf (id int PRIMARY KEY, v text)")
-        with pytest.raises(ValueError, match="UNIQUE"):
-            eng.sql("ALTER TABLE uf ADD CONSTRAINT uf_v UNIQUE (v)")
-        eng.sql("SET mooncake.allow_unenforced_unique_indexes = on")
         eng.sql("ALTER TABLE uf ADD CONSTRAINT uf_v UNIQUE (v)")
-        assert "uf_v" in (eng._constraints("uf") or {}).get("indexes", {})
-        with pytest.raises(ValueError, match="FOREIGN KEY"):
-            eng.sql(
-                "ALTER TABLE uf ADD CONSTRAINT uf_fk FOREIGN KEY (id) "
-                "REFERENCES uf(id)"
-            )
-        eng.sql("SET mooncake.allow_unenforced_foreign_keys = on")
+        idx = (eng._constraints("uf") or {}).get("indexes", {})
+        assert idx["uf_v"].get("unique") == "validated"
         eng.sql(
             "ALTER TABLE uf ADD CONSTRAINT uf_fk FOREIGN KEY (id) "
             "REFERENCES uf(id)"
         )
+        fks = (eng._constraints("uf") or {}).get("foreign_keys", {})
+        assert fks["uf_fk"]["validated"] is True
+        eng.sql("SET mooncake.allow_unenforced_unique_indexes = on")
+        eng.sql("ALTER TABLE uf ADD CONSTRAINT uf_v2 UNIQUE (id, v)")
+        idx = (eng._constraints("uf") or {}).get("indexes", {})
+        assert idx["uf_v2"].get("unique") == "unenforced"
+        eng.sql("SET mooncake.allow_unenforced_foreign_keys = on")
+        eng.sql(
+            "ALTER TABLE uf ADD CONSTRAINT uf_fk2 FOREIGN KEY (id) "
+            "REFERENCES uf(id)"
+        )
+        fks = (eng._constraints("uf") or {}).get("foreign_keys", {})
+        assert fks["uf_fk2"]["validated"] is False

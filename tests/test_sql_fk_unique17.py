@@ -1,0 +1,247 @@
+"""Round-17 FK + UNIQUE validate-then-record (VERDICT r16 missing #1):
+ADD CONSTRAINT FOREIGN KEY runs one referential-integrity scan then
+records; UNIQUE constraints / CREATE UNIQUE INDEX run the uniqueness
+scan; NOT VALID + VALIDATE CONSTRAINT split works; DROP CONSTRAINT and
+DROP TABLE dependency rules follow Postgres.  Write-path enforcement
+is documented out of scope (validated at declare/validate time).
+Reference host: Postgres enforces these natively
+(/root/reference/README.md:16)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.engine import MooncakeEngine
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    e = MooncakeEngine(spark, warehouse)
+    e.sql("CREATE TABLE parent (id int PRIMARY KEY, name text)")
+    e.sql("INSERT INTO parent VALUES (1, 'a'), (2, 'b')")
+    e.sql("CREATE TABLE child (cid int PRIMARY KEY, pid int, v text)")
+    return e
+
+
+class TestForeignKeyValidation:
+    def test_valid_fk_records(self, eng):
+        eng.sql("INSERT INTO child VALUES (10, 1, 'x'), (11, 2, 'y')")
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT child_pid_fkey "
+            "FOREIGN KEY (pid) REFERENCES parent (id)"
+        )
+        fks = (eng._constraints("child") or {})["foreign_keys"]
+        fk = fks["child_pid_fkey"]
+        assert fk["cols"] == ["pid"] and fk["ref_table"] == "parent"
+        assert fk["ref_cols"] == ["id"] and fk["validated"] is True
+
+    def test_violating_fk_refuses(self, eng):
+        eng.sql("INSERT INTO child VALUES (10, 99, 'x')")
+        with pytest.raises(ValueError, match="violates foreign key"):
+            eng.sql(
+                "ALTER TABLE child ADD FOREIGN KEY (pid) "
+                "REFERENCES parent (id)"
+            )
+        assert not (eng._constraints("child") or {}).get("foreign_keys")
+
+    def test_null_fk_keys_skip_match_simple(self, eng):
+        eng.sql("INSERT INTO child VALUES (10, NULL, 'x')")
+        eng.sql(
+            "ALTER TABLE child ADD FOREIGN KEY (pid) REFERENCES parent (id)"
+        )
+
+    def test_ref_cols_default_to_parent_pk(self, eng):
+        eng.sql("INSERT INTO child VALUES (10, 1, 'x')")
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT f1 FOREIGN KEY (pid) "
+            "REFERENCES parent"
+        )
+        fk = (eng._constraints("child") or {})["foreign_keys"]["f1"]
+        assert fk["ref_cols"] == ["id"]
+
+    def test_ref_cols_must_be_unique_or_pk(self, eng):
+        with pytest.raises(ValueError, match="no unique constraint"):
+            eng.sql(
+                "ALTER TABLE child ADD FOREIGN KEY (v) "
+                "REFERENCES parent (name)"
+            )
+        # a validated unique index on name legalizes it
+        eng.sql("CREATE UNIQUE INDEX parent_name_key ON parent (name)")
+        eng.sql(
+            "ALTER TABLE child ADD FOREIGN KEY (v) REFERENCES parent (name)"
+        )
+
+    def test_actions_recorded_verbatim(self, eng):
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT fa FOREIGN KEY (pid) "
+            "REFERENCES parent (id) ON DELETE CASCADE ON UPDATE SET NULL "
+            "DEFERRABLE INITIALLY DEFERRED"
+        )
+        fk = (eng._constraints("child") or {})["foreign_keys"]["fa"]
+        assert fk["on_delete"] == "CASCADE"
+        assert fk["on_update"] == "SET NULL"
+
+    def test_not_valid_then_validate(self, eng):
+        eng.sql("INSERT INTO child VALUES (10, 99, 'x')")
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT nv FOREIGN KEY (pid) "
+            "REFERENCES parent (id) NOT VALID"
+        )
+        fk = (eng._constraints("child") or {})["foreign_keys"]["nv"]
+        assert fk["validated"] is False
+        with pytest.raises(ValueError, match="violates foreign key"):
+            eng.sql("ALTER TABLE child VALIDATE CONSTRAINT nv")
+        eng.sql("DELETE FROM child WHERE pid = 99")
+        eng.sql("ALTER TABLE child VALIDATE CONSTRAINT nv")
+        fk = (eng._constraints("child") or {})["foreign_keys"]["nv"]
+        assert fk["validated"] is True
+
+    def test_unknown_columns_refused(self, eng):
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql(
+                "ALTER TABLE child ADD FOREIGN KEY (nope) "
+                "REFERENCES parent (id)"
+            )
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql(
+                "ALTER TABLE child ADD FOREIGN KEY (pid) "
+                "REFERENCES parent (nope)"
+            )
+
+    def test_drop_constraint_removes_fk(self, eng):
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT fd FOREIGN KEY (pid) "
+            "REFERENCES parent (id)"
+        )
+        eng.sql("ALTER TABLE child DROP CONSTRAINT fd")
+        assert "fd" not in (
+            (eng._constraints("child") or {}).get("foreign_keys") or {}
+        )
+
+    def test_drop_parent_refused_then_cascade(self, eng):
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT fp FOREIGN KEY (pid) "
+            "REFERENCES parent (id)"
+        )
+        with pytest.raises(ValueError, match="depend on it"):
+            eng.sql("DROP TABLE parent")
+        eng.sql("DROP TABLE parent CASCADE")
+        assert "parent" not in eng.catalog.list_tables()
+        # the dependent constraint is gone, the table remains
+        assert "fp" not in (
+            (eng._constraints("child") or {}).get("foreign_keys") or {}
+        )
+
+    def test_composite_fk(self, eng):
+        eng.sql("CREATE TABLE p2 (a int NOT NULL, b int NOT NULL, v text)")
+        eng.sql("ALTER TABLE p2 ADD PRIMARY KEY (a, b)")
+        eng.sql("INSERT INTO p2 VALUES (1, 1, 'x')")
+        eng.sql("CREATE TABLE c2 (k int PRIMARY KEY, a int, b int)")
+        eng.sql("INSERT INTO c2 VALUES (1, 1, 1), (2, NULL, 5)")
+        eng.sql(
+            "ALTER TABLE c2 ADD FOREIGN KEY (a, b) REFERENCES p2 (a, b)"
+        )
+        eng.sql("INSERT INTO c2 VALUES (3, 7, 7)")  # not re-checked (doc'd)
+        with pytest.raises(ValueError, match="disagree"):
+            eng.sql("ALTER TABLE c2 ADD FOREIGN KEY (a) REFERENCES p2 (a, b)")
+
+    def test_table_constraints_lists_fk_and_unique(self, eng):
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT fl FOREIGN KEY (pid) "
+            "REFERENCES parent (id)"
+        )
+        eng.sql("CREATE UNIQUE INDEX child_v_key ON child (v)")
+        rows = eng.sql(
+            "SELECT constraint_name, constraint_type "
+            "FROM information_schema.table_constraints "
+            "WHERE table_name = 'child'"
+        ).collect()
+        types = {r.constraint_name: r.constraint_type for r in rows}
+        assert types.get("fl") == "FOREIGN KEY"
+        assert types.get("child_v_key") == "UNIQUE"
+
+
+class TestUniqueValidation:
+    def test_nulls_are_distinct(self, eng):
+        eng.sql("INSERT INTO child VALUES (1, NULL, NULL), (2, NULL, NULL)")
+        eng.sql("CREATE UNIQUE INDEX child_v_u ON child (v)")
+
+    def test_partial_unique_scans_subset(self, eng):
+        eng.sql(
+            "INSERT INTO child VALUES (1, 1, 'dup'), (2, 1, 'dup'), "
+            "(3, 2, 'solo')"
+        )
+        # duplicates exist only where pid = 1; the partial index
+        # over pid = 2 validates
+        eng.sql(
+            "CREATE UNIQUE INDEX child_part ON child (v) WHERE pid = 2"
+        )
+        with pytest.raises(ValueError, match="duplicate key"):
+            eng.sql(
+                "CREATE UNIQUE INDEX child_all ON child (v) WHERE pid = 1"
+            )
+
+    def test_expression_unique(self, eng):
+        eng.sql("INSERT INTO child VALUES (1, 1, 'A'), (2, 2, 'a')")
+        with pytest.raises(ValueError, match="duplicate key"):
+            eng.sql("CREATE UNIQUE INDEX child_lv ON child (lower(v))")
+
+    def test_drop_constraint_drops_unique_index(self, eng):
+        eng.sql("ALTER TABLE child ADD CONSTRAINT cu UNIQUE (v)")
+        eng.sql("ALTER TABLE child DROP CONSTRAINT cu")
+        assert "cu" not in (
+            (eng._constraints("child") or {}).get("indexes") or {}
+        )
+
+
+class TestSingleTransactionRestoreShape:
+    """pg_dump --single-transaction: CREATE both tables, load data,
+    then post-data PK + FK + unique index — all in ONE block, scans
+    running against the staged overlay."""
+
+    def test_two_table_dump_in_one_block(self, spark, warehouse):
+        e = MooncakeEngine(spark, warehouse)
+        e.sql_script("""
+            BEGIN;
+            CREATE TABLE r17p (id integer NOT NULL, name text);
+            CREATE TABLE r17c (cid integer NOT NULL, pid integer,
+                               v text);
+            COPY r17p (id, name) FROM stdin;
+1	alpha
+2	beta
+\\.
+            COPY r17c (cid, pid, v) FROM stdin;
+10	1	x
+11	2	y
+12	1	z
+\\.
+            ALTER TABLE ONLY r17p ADD CONSTRAINT r17p_pkey
+                PRIMARY KEY (id);
+            ALTER TABLE ONLY r17c ADD CONSTRAINT r17c_pkey
+                PRIMARY KEY (cid);
+            ALTER TABLE ONLY r17c ADD CONSTRAINT r17c_pid_fkey
+                FOREIGN KEY (pid) REFERENCES r17p(id);
+            CREATE UNIQUE INDEX r17p_name_key ON r17p (name);
+            COMMIT;
+        """)
+        assert e._moontable("r17c").primary_key() == ["cid"]
+        fks = (e._constraints("r17c") or {})["foreign_keys"]
+        assert fks["r17c_pid_fkey"]["validated"] is True
+        idx = (e._constraints("r17p") or {})["indexes"]
+        assert idx["r17p_name_key"]["unique"] == "validated"
+        assert e.table("r17c").count() == 3
+
+    def test_violating_fk_aborts_the_block(self, spark, warehouse):
+        e = MooncakeEngine(spark, warehouse)
+        with pytest.raises(ValueError, match="violates foreign key"):
+            e.sql_script("""
+                BEGIN;
+                CREATE TABLE bp (id integer NOT NULL PRIMARY KEY);
+                CREATE TABLE bc (cid integer NOT NULL, pid integer);
+                INSERT INTO bc VALUES (1, 42);
+                ALTER TABLE ONLY bc ADD CONSTRAINT bc_fk
+                    FOREIGN KEY (pid) REFERENCES bp(id);
+                COMMIT;
+            """)
+        e.sql("ROLLBACK")
+        assert "bc" not in e.catalog.list_tables()

@@ -37,9 +37,11 @@ class TestCreateIndex:
         names = set(_indexes(eng))
         assert "t_v_idx" in names and "t_v_idx1" in names
 
-    def test_unique_refuses(self, eng):
-        with pytest.raises(ValueError, match="PRIMARY KEY"):
-            eng.sql("CREATE UNIQUE INDEX u_idx ON t (v)")
+    def test_unique_validates_then_records(self, eng):
+        # round 17: no longer a refusal — the uniqueness scan runs at
+        # build time and the index records as validated
+        eng.sql("CREATE UNIQUE INDEX u_idx ON t (v)")
+        assert _indexes(eng)["u_idx"].get("unique") == "validated"
 
     def test_unknown_column_refuses(self, eng):
         with pytest.raises(ValueError, match="does not exist"):
@@ -117,16 +119,18 @@ class TestDropReindex:
         with pytest.raises(ValueError, match="does not exist"):
             eng.sql("REINDEX INDEX MyIdx")  # unquoted folds to myidx
 
-    def test_unique_allowed_behind_guc(self, eng):
-        # opt-in for pg_dump restores: record unenforced, off by default
-        with pytest.raises(ValueError, match="UNIQUE"):
-            eng.sql("CREATE UNIQUE INDEX u_opt_idx ON t (v)")
-        eng.sql("SET mooncake.allow_unenforced_unique_indexes = on")
+    def test_unique_validates_by_default(self, eng):
+        # round 17: validate-then-record (the r16 PK pattern) — the
+        # uniqueness scan runs at build time; the GUC skips it
         eng.sql("CREATE UNIQUE INDEX u_opt_idx ON t (v)")
-        assert _indexes(eng)["u_opt_idx"].get("unique") == "unenforced"
+        assert _indexes(eng)["u_opt_idx"].get("unique") == "validated"
+        eng.sql("INSERT INTO t VALUES (3, 'b', 3.0)")  # dup v='b'
+        with pytest.raises(ValueError, match="duplicate key"):
+            eng.sql("CREATE UNIQUE INDEX u_dup_idx ON t (v)")
+        eng.sql("SET mooncake.allow_unenforced_unique_indexes = on")
+        eng.sql("CREATE UNIQUE INDEX u_dup_idx ON t (v)")
+        assert _indexes(eng)["u_dup_idx"].get("unique") == "unenforced"
         eng.sql("RESET mooncake.allow_unenforced_unique_indexes")
-        with pytest.raises(ValueError, match="UNIQUE"):
-            eng.sql("CREATE UNIQUE INDEX u_opt2_idx ON t (v)")
 
 
 class TestIndexInTxn:
