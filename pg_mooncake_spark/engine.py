@@ -1332,6 +1332,7 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         aggs: dict[str, tuple[str, str]],
         where: Optional[str] = None,
         state_change_feed: bool = False,
+        enrich: Optional[list[dict]] = None,
     ) -> None:
         """Persisted GROUP BY aggregate over a mirror, kept fresh
         INCREMENTALLY from the mirror's change feed: each
@@ -1341,7 +1342,13 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         The base needs ``create_table(..., change_feed=True)``.
         ``aggs``: output column → (fn, sql_expr), fn ∈ {sum, count, min,
         max, avg}, expr ``"*"`` for count.  ``where`` restricts the view
-        to matching base rows (maintained per change-feed image)."""
+        to matching base rows (maintained per change-feed image).
+
+        ``enrich`` (round 17): an ordered STATIC dimension chain joined
+        onto the fact before filter/aggregate — each step
+        ``{"table": mirror, "on": [(base_col, dim_col), ...],
+        "cols": [...], "filter": sql}``; dims pin at their current
+        version and a refresh after a dim changed raises loudly."""
         self._no_txn("create_materialized_view")
         from pg_mooncake_spark.views import MaterializedView
 
@@ -1349,10 +1356,20 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         base = self._canon(base)
         if name in self.catalog.list_tables():
             raise ValueError(f"{name!r} already registered")
+        enrich_paths = None
+        if enrich:
+            enrich_paths = [
+                {**step,
+                 "path": self.catalog.get(self._canon(step["table"]))["path"]}
+                for step in enrich
+            ]
+            for step in enrich_paths:
+                step.pop("table", None)
         path = self._table_path(name)
         MaterializedView.create(
             self.spark, path, self._moontable(base), group_by, aggs,
             where=where, state_change_feed=state_change_feed,
+            enrich=enrich_paths,
         )
         self.catalog.register(
             name, base, path, table_config={"kind": "mview", "base": base}

@@ -81,6 +81,31 @@ def _rewrite_ident(sql: str, old: str, new: str) -> str:
     return "".join(out)
 
 
+def _apply_enrich(spark: SparkSession, df: DataFrame, enrich) -> DataFrame:
+    """Join the static dimension chain onto ``df`` (base rows OR change-
+    feed images — each image enriches against the SAME pinned dim
+    versions, so the signed fold stays exact).  Every step is an INNER
+    join; a dim-side ``filter`` narrows before joining (q5's
+    ``r_name = 'ASIA'`` prunes the whole chain).  At refresh the left
+    side is the O(changes) delta batch, so AQE broadcasts it against
+    even a large dimension — the refresh never shuffles the fact."""
+    for step in enrich or []:
+        dim = MoonTable(spark, step["path"]).read(version=step["version"])
+        if step.get("filter"):
+            dim = dim.filter(step["filter"])
+        pairs = [tuple(p) for p in step["on"]]
+        sel = [
+            (F.col(d).alias(b) if d != b else F.col(d)) for b, d in pairs
+        ]
+        keyed = {b for b, _ in pairs}
+        for c in step.get("cols") or []:
+            if c not in keyed:
+                sel.append(F.col(c))
+        df = df.join(dim.select(*sel), on=[b for b, _ in pairs],
+                     how="inner")
+    return df
+
+
 class MaterializedView:
     """A persisted GROUP BY aggregate over a base moontable.
 
@@ -89,7 +114,18 @@ class MaterializedView:
     (``"*"`` for count).  State lives in a moontable at ``path`` keyed
     on the group columns; the spec (including the base version the state
     reflects) is one JSON beside it.
-    """
+
+    ``enrich`` (round 17, VERDICT r16 task #5 — the join-MV frontier)
+    extends the view query to ``base ⋈ dim ⋈ dim ... WHERE ... GROUP
+    BY``: an ordered chain of INNER joins against STATIC dimension
+    moontables, each pinned at its creation-time version.  The fact's
+    change feed folds through the chain in O(changes) per commit (the
+    delta batch broadcasts against the dims); the dims themselves are
+    declared static — a refresh after any enrich dim advanced raises
+    loudly instead of silently serving a stale join (dim churn is not
+    folded; recreate the view).  This is the TPC-H q5 shape: revenue
+    per nation with region/nation/supplier/customer/orders joined in
+    and only lineitem hot."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -122,6 +158,7 @@ class MaterializedView:
         aggs: dict[str, tuple[str, str]],
         where: Optional[str] = None,
         state_change_feed: bool = False,
+        enrich: Optional[list[dict]] = None,
     ) -> "MaterializedView":
         """Full initial computation at the base's current version; every
         later :meth:`refresh` is incremental from that version's change
@@ -147,7 +184,21 @@ class MaterializedView:
                 raise MoonTableError(f"aggregate {out!r} collides with a group key")
         mv = MaterializedView(spark, path)
         base_version = base.latest_version()
+        enrich_spec = None
+        if enrich:
+            enrich_spec = []
+            for step in enrich:
+                dim = MoonTable(spark, step["path"])
+                enrich_spec.append({
+                    "path": dim.path,
+                    "version": dim.latest_version(),
+                    "on": [list(p) for p in step["on"]],
+                    "cols": list(step.get("cols") or []),
+                    "filter": step.get("filter"),
+                })
         src = base.read(version=base_version)
+        if enrich_spec:
+            src = _apply_enrich(spark, src, enrich_spec)
         if where:
             src = src.filter(where)
         full = _full_agg(src, group_by, aggs)
@@ -162,6 +213,7 @@ class MaterializedView:
                 "group_by": list(group_by),
                 "aggs": {k: list(v) for k, v in aggs.items()},
                 "where": where,
+                "enrich": enrich_spec,
                 "base_version": base_version,
             }
         )
@@ -189,7 +241,21 @@ class MaterializedView:
         end = base.latest_version()
         if end < start:
             return reflected
+        for step in spec.get("enrich") or []:
+            cur = MoonTable(self.spark, step["path"]).latest_version()
+            if cur != step["version"]:
+                # static-dimension contract: dim churn is NOT folded —
+                # serving the stale join silently would be a wrong
+                # answer, so refuse loudly (recreate the view)
+                raise MoonTableError(
+                    f"enrich dimension {step['path']!r} advanced "
+                    f"(version {step['version']} → {cur}); this view's "
+                    "dimensions are static — DROP and re-CREATE the "
+                    "view to absorb dimension changes"
+                )
         ch = base.changes(start, end)
+        if spec.get("enrich"):
+            ch = _apply_enrich(self.spark, ch, spec["enrich"])
         if spec.get("where"):
             # per-image predicate: a pre-image that matched retracts, a
             # post-image that matches adds — row migrations across the
@@ -286,6 +352,10 @@ class MaterializedView:
             try:
                 rec_groups = inc.filter(F.col("__needs") == 1).select(*gb)
                 rec_src = base.read(version=end)
+                if spec.get("enrich"):
+                    rec_src = _apply_enrich(
+                        self.spark, rec_src, spec["enrich"]
+                    )
                 if spec.get("where"):
                     rec_src = rec_src.filter(spec["where"])
                 rec = _full_agg(
