@@ -61,74 +61,79 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # ---- round-16 rotation (VERDICT r15 task #1: the r12-stale band).
-    # (1) never driver-verified: the round-16 additions
-    "lifecycle_sql_sequences",
-    "mv_q13_distribution",
-    "mv_q18_large_orders",
-    "mv_q10_returned_items",
-    "lifecycle_sql_retype",
-    # (2) implementation/oracle changed this round: the
-    # generate_series rewrite gained the reversed-bounds guard and its
-    # oracle now covers descending/negative-step cases; the dump-replay
-    # capstone was rewritten to the VERBATIM pg_dump shape (preamble,
-    # serial wiring, COPY column list, post-data ADD CONSTRAINT
-    # PRIMARY KEY, setval)
+    # ---- round-17 rotation (VERDICT r16 task #2).
+    # (1) never driver-verified: the round-17 additions — the FK/UNIQUE
+    # validate-then-record capstone, the q5 join-MV, DISTINCT ON (both
+    # spellings), and the Postgres regex operators
+    "lifecycle_sql_fk_restore",
+    "mv_q5_volume",
+    "sql_distinct_on",
+    "sql_distinct_on_unordered",
+    "scalar_pg_regex_ops",
+    # (2) implementation/oracle changed this round: generate_series
+    # gained the three-argument reversed-range guard and its oracle now
+    # covers those branches (numeric + timestamp/interval)
     "sql_generate_series_spine",
-    "lifecycle_sql_dump_replay",
-    # (3) the 49 keys last driver-verified in round 12, alphabetically.
-    # 5 + 2 + 49 = 56 > 50, so the LAST SIX entries below overflow
-    # the 50-slot window and head the round-17 rotation instead (they
-    # stay covered by the full local diffcheck gate every round).
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "corpus_chunking",
-    "corpus_cluster_sample",
-    "corpus_decontaminate",
-    "corpus_domain_cap",
-    "corpus_mixture",
-    "corpus_pack_sequences",
-    "corpus_sample_stratified",
-    "dedup_components",
-    "dedup_incremental_index",
-    "dedup_minhash_pairs_fast",
-    "dedup_simhash64_fast",
-    "delta_cdf_roundtrip",
-    "delta_rename_mapping_roundtrip",
-    "events_range_join",
-    "iceberg_changelog_export",
-    "iceberg_metadata_tables",
-    "iceberg_roundtrip_lineitem",
-    "join_cobucketed",
-    "lifecycle_change_feed",
-    "lifecycle_delta_mirror_sync",
-    "lifecycle_mor_scattered_dml",
-    "lifecycle_rename_widen_cdc",
-    "lifecycle_sql_constraints",
-    "lifecycle_sql_generated",
-    "lifecycle_sql_prepare",
-    "lifecycle_sql_time_travel",
-    "lifecycle_sql_views",
-    "q1_pricing_summary",
-    "scalar_interval_family",
-    "scalar_json_family",
-    "scalar_json_structured",
-    "sequence_generation",
-    "sim_ann_indexed_probe",
-    "sim_ann_lsh_bucketed",
-    "sim_cosine_topk_bruteforce",
-    "sketch_hll_distinct",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "struct_and_map_access",
-    "text_boilerplate_fraction",
-    "text_entropy_scores",
+    # (3a) the six keys last driver-verified in round 12 (the
+    # documented r16 50-slot overflow — they head this rotation)
     "text_language_id",
     "text_ngram_surprisal",
     "text_profile_analysis",
     "text_quality_buckets",
     "text_quality_scoring",
     "text_top_ngrams",
+    # (3b) the 45 keys last driver-verified in round 13,
+    # alphabetically.  6 + 6 + 45 = 57 > 50, so the LAST SEVEN entries
+    # below overflow the 50-slot window and head the round-18 rotation
+    # instead (they stay covered by the full local diffcheck gate every
+    # round): q5_local_supplier_volume, q6_forecast_revenue,
+    # q7_volume_shipping, q8_market_share, scalar_cast_conversion,
+    # scalar_hof_family, sql_recursive_cte.
+    "agg_cube_with_grouping",
+    "agg_distinct_and_filtered",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_scalar_ungrouped",
+    "agg_stats_family",
+    "agg_string_agg",
+    "avro_roundtrip_documents",
+    "corpus_shard_assignment",
+    "delta_cdf_mapped_rename",
+    "delta_dv_delete_roundtrip",
+    "delta_dv_update_roundtrip",
+    "delta_schema_evolution_roundtrip",
+    "distinct_projection",
+    "embedding_normalize_quantize",
+    "iceberg_delete_roundtrip",
+    "jdbc_mirror_snapshot",
+    "lifecycle_sql_matview",
+    "mv_filtered_where",
+    "mv_incremental_agg",
+    "mv_minmax_retraction",
+    "mv_q1_pricing_summary",
+    "orc_roundtrip_lineitem",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "scalar_cast_conversion",
+    "scalar_hof_family",
+    "sql_recursive_cte",
 )
 
 
