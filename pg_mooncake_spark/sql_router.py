@@ -994,18 +994,44 @@ class SqlRouterMixin:
             query = query[:lm.start()].rstrip()
         # psql emits search_path-proof operator calls and collations:
         # ``OPERATOR(pg_catalog.~)`` → the bare operator; ``COLLATE
-        # pg_catalog.default`` is the database default (inert here)
-        if re.search(r"\bOPERATOR\s*\(", query, re.I):
-            query = re.sub(
+        # pg_catalog.default`` is the database default (inert here).
+        # Both rewrites run on masked spans so the words inside a
+        # string literal are DATA, never rewritten.
+        def _masked_sub(pattern: str, repl, q: str) -> str:
+            """Regex-replace over the quote mask; ``repl(match)`` may
+            return None to keep the original span (e.g. a COLLATE
+            naming a collation we don't treat as inert)."""
+            mq = _mask_quoted(q)
+            out, prev = [], 0
+            for sm in re.finditer(pattern, mq, re.I):
+                r_ = repl(sm) if callable(repl) else repl
+                if r_ is None:
+                    continue
+                out.append(q[prev:sm.start()])
+                out.append(r_)
+                prev = sm.end()
+            if not out:
+                return q
+            out.append(q[prev:])
+            return "".join(out)
+
+        if re.search(r"\bOPERATOR\s*\(", _mask_quoted(query), re.I):
+            query = _masked_sub(
                 r"OPERATOR\s*\(\s*pg_catalog\s*\.\s*"
                 r"(!?~~?\*?|[<>=!]{1,2})\s*\)",
-                r" \1 ", query, flags=re.I,
+                lambda sm: f" {sm.group(1)} ", query,
             )
-        if re.search(r"\bCOLLATE\b", query, re.I):
-            query = re.sub(
+        if re.search(r"\bCOLLATE\b", _mask_quoted(query), re.I):
+            # the quoted spelling is blanked in the mask, so the
+            # collation NAME is re-read from the original text
+            def _collate_repl(sm):
+                name = query[sm.start(1):sm.end(1)].strip('"').lower()
+                return "" if name in ("default", "c", "posix") else None
+
+            query = _masked_sub(
                 r'\s+COLLATE\s+(?:pg_catalog\s*\.\s*)?'
-                r'(?:"default"|default|"C"|"POSIX")\b',
-                "", query, flags=re.I,
+                r'("[^"]*"|[A-Za-z_]\w*)',
+                _collate_repl, query,
             )
         # Postgres regex-match operators ~ / ~* / !~ / !~* (round 17)
         if "~" in query:
@@ -2746,21 +2772,23 @@ class SqlRouterMixin:
 
     def _pg_rel_fields(self, name: str, e: dict):
         """Schema fields of a cataloged relation (mirror / view / MV),
-        or None when unreadable."""
+        or None when unreadable.  A materialized view reports its
+        FINALIZED read schema — the hidden maintenance columns
+        (__rows, per-aggregate __nn) are implementation, not
+        attributes."""
         kind = (e.get("table_config") or {}).get("kind") or "mirror"
         try:
             if kind == "logical_view":
                 return self.table(name).schema.fields
-            return MoonTable(self.spark, e["path"]).schema().fields
-        except Exception:
-            try:
+            if kind == "mview":
                 from pg_mooncake_spark.views import MaterializedView
 
                 return MaterializedView(
                     self.spark, e["path"]
                 ).read().schema.fields
-            except Exception:
-                return None
+            return MoonTable(self.spark, e["path"]).schema().fields
+        except Exception:
+            return None
 
     def _pg_lowlevel_df(self, rel: str) -> DataFrame:
         ns_names = sorted(
@@ -5068,7 +5096,8 @@ class SqlRouterMixin:
                     self._txn_check_writable(name)
                     self._txn_alter_gate(name)
                 self._scan_foreign_key(
-                    t, cname, fk["cols"], fk["ref_table"], fk["ref_cols"]
+                    t, cname, fk["cols"], fk["ref_table"],
+                    fk["ref_cols"], match=fk.get("match"),
                 )
                 fk["validated"] = True
                 if self._txn is not None:
@@ -5443,14 +5472,16 @@ class SqlRouterMixin:
 
     def _scan_foreign_key(
         self, child: str, cname: str, cols: list[str],
-        parent: str, pcols: list[str],
+        parent: str, pcols: list[str], match: Optional[str] = None,
     ) -> None:
         """The referential-integrity scan ADD CONSTRAINT FOREIGN KEY
         runs (Postgres's validation pass): child rows whose key is
         fully non-NULL (MATCH SIMPLE skips partially-NULL keys)
         anti-joined against the parent keys; any survivor refuses.
-        The parent side is usually a dimension — AQE broadcasts it
-        when small, so at scale this is one scan of the child."""
+        MATCH FULL additionally refuses a key that mixes NULL and
+        non-NULL components.  The parent side is usually a dimension —
+        AQE broadcasts it when small, so at scale this is one scan of
+        the child."""
         cdf = self._constraint_scan_df(child)
         pdf = self._constraint_scan_df(parent)
         probe = cdf.select(
@@ -5458,8 +5489,19 @@ class SqlRouterMixin:
               for i, c in enumerate(cols)]
         )
         nn = probe["__fk0"].isNotNull()
+        any_nn = probe["__fk0"].isNotNull()
         for i in range(1, len(cols)):
             nn = nn & probe[f"__fk{i}"].isNotNull()
+            any_nn = any_nn | probe[f"__fk{i}"].isNotNull()
+        if match == "FULL" and len(cols) > 1:
+            mixed = probe.where(any_nn & ~nn).limit(1).count()
+            if mixed:
+                raise ValueError(
+                    f'insert or update on table "{self._canon(child)}" '
+                    f'violates foreign key constraint "{cname}": '
+                    "MATCH FULL does not allow mixing of null and "
+                    "nonnull key values"
+                )
         ref = pdf.select(
             *[F.col(f"`{c}`").alias(f"__fk{i}")
               for i, c in enumerate(pcols)]
@@ -5548,6 +5590,8 @@ class SqlRouterMixin:
                 "MATCH PARTIAL is not implemented (Postgres doesn't "
                 "implement it either)"
             )
+        if re.search(r"MATCH\s+FULL", opts, re.I):
+            fk["match"] = "FULL"
         # column existence, both sides (overlay/staged schemas included)
         child_cols = {f.name for f in self._txn_visible_schema(t).fields}
         missing = [c for c in cols if c not in child_cols]
@@ -5576,7 +5620,11 @@ class SqlRouterMixin:
                 "number of referencing and referenced columns for "
                 "foreign key disagree"
             )
-        if pcols not in self._effective_unique_key_sets(parent):
+        # Postgres matches the unique constraint by column SET, not
+        # declaration order
+        if set(pcols) not in [
+            set(s) for s in self._effective_unique_key_sets(parent)
+        ]:
             raise ValueError(
                 "there is no unique constraint matching given keys for "
                 f'referenced table "{pcanon}"'
@@ -5588,7 +5636,9 @@ class SqlRouterMixin:
         ).lower() in ("on", "true", "1", "yes")
         fk["validated"] = not (not_valid or skip)
         if fk["validated"] and not self._txn_replaying:
-            self._scan_foreign_key(t, cname, cols, parent, pcols)
+            self._scan_foreign_key(
+                t, cname, cols, parent, pcols, match=fk.get("match")
+            )
         existing = self._effective_fks(t)
         if cname in existing:
             raise ValueError(
