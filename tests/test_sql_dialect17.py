@@ -194,3 +194,25 @@ class TestGenerateSeriesThreeArg:
             eng.sql(
                 "SELECT * FROM generate_series(1, 5, 0) AS g(x)"
             ).collect()
+
+
+class TestPsqlSpellingNormalization:
+    def test_collate_and_operator_in_literals_untouched(self, eng):
+        assert eng.sql(
+            "SELECT 'a COLLATE default b' AS s"
+        ).collect()[0].s == "a COLLATE default b"
+        assert eng.sql(
+            "SELECT 'OPERATOR(pg_catalog.~)' AS s"
+        ).collect()[0].s == "OPERATOR(pg_catalog.~)"
+
+    def test_inert_collations_strip(self, eng):
+        assert eng.sql(
+            "SELECT 'x' = 'x' COLLATE pg_catalog.default AS m"
+        ).collect()[0].m is True
+        assert eng.sql(
+            "SELECT 1 AS x ORDER BY 'a' COLLATE \"default\""
+        ).collect()[0].x == 1
+
+    def test_named_collation_errors_loudly(self, eng):
+        with pytest.raises(Exception):
+            eng.sql("SELECT 'a' COLLATE \"en_US\" AS s")

@@ -245,3 +245,28 @@ class TestSingleTransactionRestoreShape:
             """)
         e.sql("ROLLBACK")
         assert "bc" not in e.catalog.list_tables()
+
+
+class TestMatchFullAndSetwiseRefs:
+    def test_match_full_refuses_mixed_null_keys(self, eng):
+        eng.sql("CREATE TABLE p2 (a int NOT NULL, b int NOT NULL)")
+        eng.sql("ALTER TABLE p2 ADD PRIMARY KEY (a, b)")
+        eng.sql("INSERT INTO p2 VALUES (1, 1)")
+        eng.sql("CREATE TABLE c2 (k int PRIMARY KEY, a int, b int)")
+        eng.sql("INSERT INTO c2 VALUES (1, 1, NULL)")
+        with pytest.raises(ValueError, match="MATCH FULL"):
+            eng.sql(
+                "ALTER TABLE c2 ADD FOREIGN KEY (a, b) "
+                "REFERENCES p2 (a, b) MATCH FULL"
+            )
+        # MATCH SIMPLE (default) skips partially-NULL keys
+        eng.sql("ALTER TABLE c2 ADD FOREIGN KEY (a, b) REFERENCES p2 (a, b)")
+
+    def test_ref_cols_match_unique_set_order_insensitively(self, eng):
+        eng.sql("CREATE TABLE p3 (a int NOT NULL, b int NOT NULL)")
+        eng.sql("ALTER TABLE p3 ADD PRIMARY KEY (a, b)")
+        eng.sql("CREATE TABLE c3 (k int PRIMARY KEY, a int, b int)")
+        eng.sql(
+            "ALTER TABLE c3 ADD CONSTRAINT sw FOREIGN KEY (b, a) "
+            "REFERENCES p3 (b, a)"
+        )
