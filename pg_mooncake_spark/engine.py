@@ -1539,6 +1539,14 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
                 self.catalog.seq_update(
                     sname, owned_by=[newc, owner[1]]
                 )
+        # FOREIGN KEYs referencing the old name follow the rename
+        # (Postgres tracks by oid; our records are by name)
+        self._fk_remap_all(
+            lambda _o, _c, fk: (
+                {**fk, "ref_table": newc}
+                if fk.get("ref_table") == old else fk
+            )
+        )
         # a stale pinned temp view must not answer for the old name
         self._drop_resolution_views(old)
 
@@ -1646,6 +1654,19 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         for sname, st in self.catalog.sequences().items():
             if self._seq_owner(st) == (dst, old):
                 self.catalog.seq_update(sname, owned_by=[dst, new])
+
+        # FOREIGN KEYs follow the column on both sides (child cols on
+        # this table; ref_cols of any FK referencing this table)
+        def _fk_col_remap(owner, _cn, fk):
+            if owner == dst and old in fk.get("cols", []):
+                fk["cols"] = [new if c == old else c for c in fk["cols"]]
+            if fk.get("ref_table") == dst and old in fk.get("ref_cols", []):
+                fk["ref_cols"] = [
+                    new if c == old else c for c in fk["ref_cols"]
+                ]
+            return fk
+
+        self._fk_remap_all(_fk_col_remap)
         # materialized views over this mirror: remap their specs (and,
         # for a renamed GROUP BY key, their state tables) so refreshes
         # keep working under the new name (VERDICT r8 task 7)
@@ -2623,6 +2644,30 @@ class MooncakeEngine(SqlRouterMixin, SequencesMixin, AdminMixin):
         self._check_recovery_pending()
 
 
+
+    def _fk_remap_all(self, fn) -> None:
+        """Apply ``fn(owner_canon, cname, fk_dict) -> dict | None`` to
+        every recorded FOREIGN KEY in the catalog (None drops the
+        record) — the metadata propagation DDL on referenced tables
+        needs (Postgres tracks these by oid; we track by name, so
+        renames remap here)."""
+        for other in list(self.catalog.list_tables()):
+            cons = self._constraints(other) or {}
+            fks = cons.get("foreign_keys") or {}
+            if not fks:
+                continue
+            new, changed = {}, False
+            for cn, fk in fks.items():
+                out = fn(other, cn, dict(fk))
+                if out is None:
+                    changed = True
+                    continue
+                if out != fk:
+                    changed = True
+                new[cn] = out
+            if changed:
+                cons["foreign_keys"] = new
+                self._set_constraints(other, cons)
 
     def _drop_resolution_views(self, name: str) -> None:
         """Deregister every temp-view alias :meth:`sql`'s resolver may

@@ -3315,3 +3315,98 @@ def mv_q5_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.col("revenue").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@query(
+    "mv_q3_shipping",
+    oracle="""
+    WITH post AS (
+      SELECT l_orderkey, l_shipdate,
+             CASE WHEN l_linenumber = 1 AND l_orderkey % 11 = 4
+                  THEN l_extendedprice * 1.05
+                  ELSE l_extendedprice END AS l_extendedprice,
+             l_discount
+      FROM lineitem
+      WHERE NOT (l_orderkey % 97 = 31)
+    )
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer, orders, post l
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l.l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def mv_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3 as an incrementally-maintained JOIN view (round 17 —
+    the second query converted through the `enrich` chain): per-order
+    revenue over BUILDING-segment, pre-1995-03-15 orders maintains from
+    the lineitem feed joined through orders → customer (both static,
+    date/segment filters pushed into the dim steps; the l_shipdate
+    predicate is the view WHERE, applied per change-feed image).  The
+    q3 READ is a top-10 sort over the O(qualifying orders) view state —
+    the lineitem scan AND the orders shuffle disappear from the steady
+    state, the same escape hatch q1/q13/q18 already have.  DML after
+    creation (an extendedprice bump on one line slice and an order
+    delete slice) exercises the fold; the oracle recomputes the full
+    three-table q3 over the post-DML state."""
+    eng = _temp_engine(spark)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    eng.create_table(
+        "li3", source_df=li,
+        primary_key=["l_orderkey", "l_linenumber"], change_feed=True,
+    )
+    eng.create_table(
+        "ord3",
+        source_df=t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+        ),
+    )
+    eng.create_table(
+        "cust3",
+        source_df=t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+    )
+    eng.create_materialized_view(
+        "q3_ship", "li3",
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        {"revenue": (
+            "sum",
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))",
+        )},
+        where="l_shipdate > TIMESTAMP '1995-03-15 00:00:00'",
+        enrich=[
+            {"table": "ord3", "on": [("l_orderkey", "o_orderkey")],
+             "cols": ["o_custkey", "o_orderdate", "o_orderpriority"],
+             "filter": "o_orderdate < TIMESTAMP '1995-03-15 00:00:00'"},
+            {"table": "cust3", "on": [("o_custkey", "c_custkey")],
+             "cols": [], "filter": "c_mktsegment = 'BUILDING'"},
+        ],
+    )
+    eng.update_where(
+        "li3", "l_linenumber = 1 AND l_orderkey % 11 = 4",
+        {"l_extendedprice": "l_extendedprice * 1.05"},
+    )
+    eng.delete_where("li3", "l_orderkey % 97 = 31")
+    return (
+        eng.materialized_view("q3_ship")
+        .select(
+            "l_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )

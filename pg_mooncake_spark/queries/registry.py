@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = (
     # spellings), and the Postgres regex operators
     "lifecycle_sql_fk_restore",
     "mv_q5_volume",
+    "mv_q3_shipping",
     "sql_distinct_on",
     "sql_distinct_on_unordered",
     "scalar_pg_regex_ops",
@@ -83,12 +84,12 @@ _WINDOW_PRIORITY = (
     "text_quality_scoring",
     "text_top_ngrams",
     # (3b) the 45 keys last driver-verified in round 13,
-    # alphabetically.  6 + 6 + 45 = 57 > 50, so the LAST SEVEN entries
+    # alphabetically.  7 + 6 + 45 = 58 > 50, so the LAST EIGHT entries
     # below overflow the 50-slot window and head the round-18 rotation
     # instead (they stay covered by the full local diffcheck gate every
-    # round): q5_local_supplier_volume, q6_forecast_revenue,
-    # q7_volume_shipping, q8_market_share, scalar_cast_conversion,
-    # scalar_hof_family, sql_recursive_cte.
+    # round): q4_order_priority, q5_local_supplier_volume,
+    # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+    # scalar_cast_conversion, scalar_hof_family, sql_recursive_cte.
     "agg_cube_with_grouping",
     "agg_distinct_and_filtered",
     "agg_grouping_sets",

@@ -4759,11 +4759,14 @@ class SqlRouterMixin:
             m = re.match(
                 r"TRUNCATE\s+(?:TABLE\s+)?(.+?)\s*"
                 r"(?:\b(RESTART)\s+IDENTITY|\bCONTINUE\s+IDENTITY)?\s*"
-                r"(?:\b(?:CASCADE|RESTRICT))?\s*$",
+                r"(?:\b(CASCADE|RESTRICT))?\s*$",
                 q, re.I | re.S,
             )
             if not m:
                 raise ValueError(f"cannot parse TRUNCATE: {q!r}")
+            tr_cascade = bool(
+                m.group(3) and m.group(3).upper() == "CASCADE"
+            )
             # Keep each element's raw spelling (minus the inert ONLY
             # prefix / descendant-``*`` suffix) — _canon/parse_table_name
             # fold quoted and schema-qualified identifiers properly; a
@@ -4776,6 +4779,34 @@ class SqlRouterMixin:
             if not tables or not all(tables):
                 raise ValueError(f"cannot parse TRUNCATE: {q!r}")
             restart_identity = bool(m.group(2))
+            # FOREIGN KEY rule (round 17, the Postgres semantics): a
+            # referenced parent truncates only when every referencing
+            # table is truncated in the SAME statement — or CASCADE
+            # pulls the referencing tables in (transitively)
+            canon_set = {self._canon(x) for x in tables}
+            frontier = list(canon_set)
+            while frontier:
+                cur = frontier.pop()
+                for other in self.catalog.list_tables():
+                    if other in canon_set:
+                        continue
+                    for cn, fk in (
+                        (self._constraints(other) or {})
+                        .get("foreign_keys") or {}
+                    ).items():
+                        if fk.get("ref_table") == cur:
+                            if not tr_cascade:
+                                raise ValueError(
+                                    f'cannot truncate a table referenced '
+                                    f'in a foreign key constraint '
+                                    f'("{other}" references "{cur}" via '
+                                    f'"{cn}"); TRUNCATE both together or '
+                                    "use TRUNCATE ... CASCADE"
+                                )
+                            canon_set.add(other)
+                            tables.append(other)
+                            frontier.append(other)
+                            break
             last, v = "?", 0
             for t in tables:
                 last = t
@@ -4972,6 +5003,38 @@ class SqlRouterMixin:
                 if if_exists:
                     return self._dml_result("ALTER", t, 0)
                 raise ValueError(f"no column {col!r} on {t!r}")
+            # FOREIGN KEY interplay (round 17): a REFERENCED column
+            # refuses like Postgres; a referencING column drops its
+            # constraint with it (Postgres's auto-drop of dependent
+            # constraints)
+            canon_dc = self._canon(t)
+            for other in self.catalog.list_tables():
+                for cn, fk in (
+                    (self._constraints(other) or {})
+                    .get("foreign_keys") or {}
+                ).items():
+                    if (
+                        fk.get("ref_table") == canon_dc
+                        and col in (fk.get("ref_cols") or [])
+                    ):
+                        raise ValueError(
+                            f'cannot drop column "{col}" of table '
+                            f'"{canon_dc}" because foreign key '
+                            f'constraint "{cn}" on table "{other}" '
+                            "depends on it (drop the constraint first)"
+                        )
+            child_fk_drops = [
+                cn for cn, fk in (
+                    (self._constraints(t) or {}).get("foreign_keys") or {}
+                ).items()
+                if col in (fk.get("cols") or [])
+            ]
+            if self._txn is not None and child_fk_drops:
+                raise ValueError(
+                    f"DROP COLUMN on foreign-key column {col!r} inside "
+                    "a transaction block is not supported; DROP the "
+                    f"constraint ({child_fk_drops[0]!r}) first"
+                )
             if self._txn is not None:
                 # stage on an untouched table (round 15): every refusal
                 # (pk / dependent checks / generated columns / followers
@@ -5001,6 +5064,13 @@ class SqlRouterMixin:
                 return self._dml_result("ALTER", t, -1)
             v = self.drop_column(t, col)
             self._seq_drop_owned(self._canon(t), col)
+            if child_fk_drops:
+                cons = self._constraints(t) or {}
+                fks = dict(cons.get("foreign_keys") or {})
+                for cn in child_fk_drops:
+                    fks.pop(cn, None)
+                cons["foreign_keys"] = fks
+                self._set_constraints(t, cons)
             return self._dml_result("ALTER", t, v)
         # --- post-data constraint shapes a real pg_dump replays ---
         m = re.match(

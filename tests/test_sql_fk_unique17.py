@@ -270,3 +270,66 @@ class TestMatchFullAndSetwiseRefs:
             "ALTER TABLE c3 ADD CONSTRAINT sw FOREIGN KEY (b, a) "
             "REFERENCES p3 (b, a)"
         )
+
+
+class TestFkMetadataPropagation:
+    """FK records are tracked by NAME here (Postgres uses oids), so
+    DDL on either side must remap or refuse — never go stale."""
+
+    @pytest.fixture()
+    def fkeng(self, eng):
+        eng.sql("INSERT INTO child VALUES (10, 1, 'x')")
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT cp FOREIGN KEY (pid) "
+            "REFERENCES parent (id)"
+        )
+        return eng
+
+    def test_rename_parent_table_follows(self, fkeng):
+        fkeng.sql("ALTER TABLE parent RENAME TO parent2")
+        fk = (fkeng._constraints("child") or {})["foreign_keys"]["cp"]
+        assert fk["ref_table"] == "parent2"
+        # the dependency check follows too
+        with pytest.raises(ValueError, match="depend on it"):
+            fkeng.sql("DROP TABLE parent2")
+
+    def test_rename_columns_follow_both_sides(self, fkeng):
+        fkeng.sql("ALTER TABLE parent RENAME COLUMN id TO pid2")
+        fkeng.sql("ALTER TABLE child RENAME COLUMN pid TO parent_ref")
+        fk = (fkeng._constraints("child") or {})["foreign_keys"]["cp"]
+        assert fk["ref_cols"] == ["pid2"]
+        assert fk["cols"] == ["parent_ref"]
+        # validate still works against the remapped names
+        fkeng.sql("ALTER TABLE child DROP CONSTRAINT cp")
+        fkeng.sql(
+            "ALTER TABLE child ADD CONSTRAINT cp2 FOREIGN KEY "
+            "(parent_ref) REFERENCES parent (pid2)"
+        )
+
+    def test_drop_referenced_column_refused(self, fkeng):
+        with pytest.raises(ValueError, match="depends on it"):
+            fkeng.sql("ALTER TABLE parent DROP COLUMN id")
+
+    def test_drop_referencing_column_drops_constraint(self, fkeng):
+        fkeng.sql("ALTER TABLE child DROP COLUMN pid")
+        assert "cp" not in (
+            (fkeng._constraints("child") or {}).get("foreign_keys") or {}
+        )
+
+    def test_truncate_parent_rules(self, fkeng):
+        with pytest.raises(ValueError, match="referenced in a foreign"):
+            fkeng.sql("TRUNCATE parent")
+        # both together is allowed (Postgres semantics)
+        fkeng.sql("TRUNCATE parent, child")
+        assert fkeng.table("parent").count() == 0
+        assert fkeng.table("child").count() == 0
+
+    def test_truncate_cascade_pulls_children(self, eng):
+        eng.sql("INSERT INTO child VALUES (10, 1, 'x')")
+        eng.sql(
+            "ALTER TABLE child ADD CONSTRAINT cc FOREIGN KEY (pid) "
+            "REFERENCES parent (id)"
+        )
+        eng.sql("TRUNCATE parent CASCADE")
+        assert eng.table("parent").count() == 0
+        assert eng.table("child").count() == 0
