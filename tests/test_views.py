@@ -824,3 +824,74 @@ class TestEnrichedJoinView:
         e.delete_where("f2", "id = 1")
         got = {(r.g, r.mx) for r in e.materialized_view("mx").collect()}
         assert got == {("x", 5.0), ("y", 3.0)}
+
+
+class TestStateSelfCompaction:
+    """Round-17: refresh() compacts the view state every
+    COMPACT_EVERY_FOLDS folds — a merge-on-read composed state read
+    cost 12-19x the compacted read at sf10 (BASELINE.md r17 q3)."""
+
+    def test_compaction_preserves_results_and_triggers(
+        self, spark, warehouse
+    ):
+        e = MooncakeEngine(spark, warehouse)
+        df = spark.createDataFrame(
+            [(i, "g" + str(i % 3), float(i)) for i in range(30)], SCHEMA
+        )
+        e.create_table(
+            "cb", source_df=df, primary_key=["id"], change_feed=True
+        )
+        e.create_materialized_view(
+            "cbv", "cb", ["g"],
+            {"total": ("sum", "CAST(x AS DECIMAL(20,2))")},
+        )
+        path = e.catalog.get("cbv")["path"]
+        for i in range(30, 30 + MaterializedView.COMPACT_EVERY_FOLDS + 1):
+            e.insert(
+                "cb",
+                spark.createDataFrame(
+                    [(i, "g" + str(i % 3), float(i))], SCHEMA
+                ),
+            )
+        mv = MaterializedView(spark, path)
+        assert mv.spec().get("folds_since_compact", 0) < \
+            MaterializedView.COMPACT_EVERY_FOLDS
+        # the view still matches a from-scratch aggregate
+        want = {
+            (r.g, float(r.total))
+            for r in e.table("cb").groupBy("g").agg(
+                F.sum(F.col("x").cast("decimal(20,2)")).alias("total")
+            ).collect()
+        }
+        got = {
+            (r.g, float(r.total))
+            for r in e.materialized_view("cbv").collect()
+        }
+        assert got == want
+
+    def test_chained_view_unaffected_by_compaction(self, spark, warehouse):
+        e = MooncakeEngine(spark, warehouse)
+        df = spark.createDataFrame(
+            [(i, "g" + str(i % 2), 1.0) for i in range(8)], SCHEMA
+        )
+        e.create_table(
+            "cc", source_df=df, primary_key=["id"], change_feed=True
+        )
+        e.create_materialized_view(
+            "l1c", "cc", ["g"], {"n": ("count", "*")},
+            state_change_feed=True,
+        )
+        e.create_materialized_view("l2c", "l1c", ["n"], {"m": ("count", "*")})
+        for i in range(8, 8 + MaterializedView.COMPACT_EVERY_FOLDS + 1):
+            e.insert(
+                "cc",
+                spark.createDataFrame([(i, "g0", 1.0)], SCHEMA),
+            )
+        # level-1 compacted at least once in there; level-2 must match
+        # a recompute over level-1 (compaction emitted NO feed rows)
+        l1 = {(r.g, r.n) for r in e.materialized_view("l1c").collect()}
+        counts = {}
+        for _, n in l1:
+            counts[n] = counts.get(n, 0) + 1
+        l2 = {(r.n, r.m) for r in e.materialized_view("l2c").collect()}
+        assert l2 == {(n, m) for n, m in counts.items()}
