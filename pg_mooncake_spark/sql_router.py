@@ -1171,7 +1171,8 @@ class SqlRouterMixin:
             (m.span(), m.group(1).lower())
             for m in re.finditer(
                 r"\binformation_schema\s*\.\s*"
-                r"(tables|columns|table_constraints|check_constraints)\b",
+                r"(tables|columns|table_constraints|check_constraints|"
+                r"key_column_usage|referential_constraints)\b",
                 _mask_quoted(query), re.I,
             )
         ]
@@ -1197,13 +1198,15 @@ class SqlRouterMixin:
         # path.
         if re.search(
             r"\b(?:pg_catalog\s*\.\s*)?(?:format_type|pg_get_expr|"
-            r"pg_table_is_visible|pg_get_indexdef)\s*\(",
+            r"pg_table_is_visible|pg_get_indexdef|"
+            r"pg_get_constraintdef)\s*\(",
             _mask_quoted(query), re.I,
         ):
             self._ensure_pg_catalog_fns()
             query = re.sub(
                 r"\bpg_catalog\s*\.\s*(format_type|pg_get_expr|"
-                r"pg_table_is_visible|pg_get_indexdef)\b",
+                r"pg_table_is_visible|pg_get_indexdef|"
+                r"pg_get_constraintdef)\b",
                 r"\1", query, flags=re.I,
             )
             # pg_get_expr's optional pretty-print flag is inert here
@@ -1216,7 +1219,7 @@ class SqlRouterMixin:
             for m in re.finditer(
                 r"\b(?:pg_catalog\s*\.\s*)?(pg_tables|pg_views|"
                 r"pg_indexes|pg_class|pg_namespace|pg_attribute|"
-                r"pg_attrdef|pg_index)\b",
+                r"pg_attrdef|pg_index|pg_constraint)\b",
                 _mask_quoted(query), re.I,
             )
         ]
@@ -2790,6 +2793,119 @@ class SqlRouterMixin:
         except Exception:
             return None
 
+    def _pg_table_pk(self, name: str, e: dict) -> list[str]:
+        cfg = e.get("table_config") or {}
+        pk = cfg.get("primary_key") or []
+        if not pk and (cfg.get("kind") or "mirror") == "mirror":
+            try:
+                pk = MoonTable(self.spark, e["path"]).primary_key() or []
+            except Exception:
+                pk = []
+        return list(pk)
+
+    _FK_ACTION_CHARS = {
+        "NO ACTION": "a", "RESTRICT": "r", "CASCADE": "c",
+        "SET NULL": "n", "SET DEFAULT": "d",
+    }
+
+    def _pg_constraint_inventory(self) -> list[dict]:
+        """Every recorded constraint as a pg_constraint-shaped dict
+        (plus its ``pg_get_constraintdef`` text) — PRIMARY KEY, FOREIGN
+        KEY, UNIQUE (index-backed), and CHECK, with conkey/confkey as
+        attribute numbers consistent with pg_attribute's attnum."""
+        tabs = sorted(self.catalog.list_tables().items())
+        attnums: dict[str, dict[str, int]] = {}
+        for name, e in tabs:
+            fields = self._pg_rel_fields(name, e) or []
+            attnums[name] = {f.name: i for i, f in enumerate(fields, 1)}
+        out: list[dict] = []
+
+        def _nums(name: str, cols: list[str]) -> list[int]:
+            m2 = attnums.get(name, {})
+            return [m2.get(c.strip('"'), 0) for c in cols]
+
+        for name, e in tabs:
+            schema_part, _, table_part = name.rpartition(".")
+            schema_part = schema_part or "public"
+            cfg = e.get("table_config") or {}
+            if (cfg.get("kind") or "mirror") != "mirror":
+                continue
+            cons = cfg.get("constraints") or {}
+            rel_oid = self._pg_oid("rel", name)
+
+            def _add(cname, ctype, **kw):
+                out.append({
+                    "oid": self._pg_oid("con", f"{name}.{cname}"),
+                    "conname": cname, "ns": schema_part,
+                    "table": name, "table_part": table_part,
+                    "contype": ctype, "conrelid": rel_oid,
+                    "convalidated": True, "condeferrable": False,
+                    "conkey": [], "confrelid": 0, "confkey": [],
+                    "confupdtype": " ", "confdeltype": " ",
+                    "confmatchtype": " ", "def": "",
+                    "cols_named": [], "ref_table": None,
+                    "ref_named": [], **kw,
+                })
+
+            pk = self._pg_table_pk(name, e)
+            if pk:
+                _add(
+                    f"{table_part}_pkey", "p", conkey=_nums(name, pk),
+                    cols_named=list(pk),
+                    **{"def": f"PRIMARY KEY ({', '.join(pk)})"},
+                )
+            for cname, fk in (cons.get("foreign_keys") or {}).items():
+                ref = fk.get("ref_table", "")
+                d = (
+                    f"FOREIGN KEY ({', '.join(fk.get('cols') or [])}) "
+                    f"REFERENCES {ref}"
+                    f"({', '.join(fk.get('ref_cols') or [])})"
+                )
+                if fk.get("match") == "FULL":
+                    d += " MATCH FULL"
+                if fk.get("on_update"):
+                    d += f" ON UPDATE {fk['on_update']}"
+                if fk.get("on_delete"):
+                    d += f" ON DELETE {fk['on_delete']}"
+                if not fk.get("validated", True):
+                    d += " NOT VALID"
+                _add(
+                    cname, "f",
+                    conkey=_nums(name, fk.get("cols") or []),
+                    cols_named=list(fk.get("cols") or []),
+                    ref_table=ref,
+                    ref_named=list(fk.get("ref_cols") or []),
+                    confrelid=self._pg_oid("rel", ref),
+                    confkey=_nums(ref, fk.get("ref_cols") or []),
+                    confupdtype=self._FK_ACTION_CHARS.get(
+                        fk.get("on_update"), "a"),
+                    confdeltype=self._FK_ACTION_CHARS.get(
+                        fk.get("on_delete"), "a"),
+                    confmatchtype="f" if fk.get("match") == "FULL"
+                    else "s",
+                    convalidated=bool(fk.get("validated", True)),
+                    **{"def": d},
+                )
+            for iname, ispec in (cons.get("indexes") or {}).items():
+                if not ispec.get("unique"):
+                    continue
+                cols = [
+                    c.strip('"') for c in (ispec.get("cols") or [])
+                ]
+                _add(
+                    iname, "u", conkey=_nums(name, cols),
+                    cols_named=list(cols),
+                    **{"def": f"UNIQUE ({', '.join(cols)})"},
+                )
+            nv = set(cons.get("not_validated") or [])
+            for cname, expr in cons.get("checks", []):
+                _add(
+                    cname, "c", convalidated=cname not in nv,
+                    **{"def": f"CHECK (({expr}))"
+                       + ("" if cname not in nv else " NOT VALID")},
+                )
+        return out
+
     def _pg_lowlevel_df(self, rel: str) -> DataFrame:
         ns_names = sorted(
             self._known_schemas() | {"pg_catalog", "information_schema"}
@@ -2862,6 +2978,25 @@ class SqlRouterMixin:
             schema_part, _, seq_part = sname.rpartition(".")
             _cls(self._pg_oid("rel", sname), seq_part,
                  schema_part or "public", "S", 3, False)
+        if rel == "pg_constraint":
+            rows = [
+                (c["oid"], c["conname"],
+                 ns_oid.get(c["ns"], ns_oid["public"]), c["contype"],
+                 c["condeferrable"], False, c["convalidated"],
+                 c["conrelid"], c["confrelid"], c["conkey"],
+                 c["confkey"], c["confupdtype"], c["confdeltype"],
+                 c["confmatchtype"])
+                for c in self._pg_constraint_inventory()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "oid int, conname string, connamespace int, "
+                "contype string, condeferrable boolean, "
+                "condeferred boolean, convalidated boolean, "
+                "conrelid int, confrelid int, conkey array<int>, "
+                "confkey array<int>, confupdtype string, "
+                "confdeltype string, confmatchtype string",
+            )
         if rel == "pg_namespace":
             return self.spark.createDataFrame(
                 [(ns_oid[n], n, 10) for n in ns_names],
@@ -2943,7 +3078,14 @@ class SqlRouterMixin:
                     f"({', '.join(spec['cols'])}){where}"
                 )
 
+        con_defs = {
+            c["oid"]: c["def"] for c in self._pg_constraint_inventory()
+        }
         self.spark.udf.register("format_type", format_type, "string")
+        self.spark.udf.register(
+            "pg_get_constraintdef", lambda oid: con_defs.get(oid),
+            "string",
+        )
         self.spark.udf.register(
             "pg_get_expr", lambda expr, relid: expr, "string"
         )
@@ -2954,6 +3096,63 @@ class SqlRouterMixin:
             "pg_get_indexdef", lambda oid: idx_defs.get(oid), "string"
         )
 
+    def _information_schema_kcu_df(self, rel: str) -> DataFrame:
+        """``key_column_usage`` / ``referential_constraints`` from the
+        constraint inventory (round 17 — the standard relations ORMs
+        read FK topology through)."""
+        inv = self._pg_constraint_inventory()
+        if rel == "key_column_usage":
+            rows = []
+            for c in inv:
+                if c["contype"] not in ("p", "u", "f"):
+                    continue
+                for pos, col in enumerate(c["cols_named"], start=1):
+                    rows.append(
+                        ("mooncake", c["ns"], c["conname"],
+                         "mooncake", c["ns"], c["table_part"], col, pos)
+                    )
+            return self.spark.createDataFrame(
+                rows,
+                "constraint_catalog string, constraint_schema string, "
+                "constraint_name string, table_catalog string, "
+                "table_schema string, table_name string, "
+                "column_name string, ordinal_position int",
+            )
+        rules = {"a": "NO ACTION", "r": "RESTRICT", "c": "CASCADE",
+                 "n": "SET NULL", "d": "SET DEFAULT"}
+        rows = []
+        for c in inv:
+            if c["contype"] != "f":
+                continue
+            # the unique/pk constraint the FK targets, matched by
+            # column set on the referenced table
+            uniq = next(
+                (u["conname"] for u in inv
+                 if u["table"] == c["ref_table"]
+                 and u["contype"] in ("p", "u")
+                 and set(u["cols_named"]) == set(c["ref_named"])),
+                None,
+            )
+            uns = next(
+                (u["ns"] for u in inv if u["table"] == c["ref_table"]),
+                c["ns"],
+            )
+            rows.append(
+                ("mooncake", c["ns"], c["conname"],
+                 "mooncake", uns, uniq,
+                 "FULL" if c["confmatchtype"] == "f" else "NONE",
+                 rules.get(c["confupdtype"], "NO ACTION"),
+                 rules.get(c["confdeltype"], "NO ACTION"))
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "constraint_catalog string, constraint_schema string, "
+            "constraint_name string, unique_constraint_catalog string, "
+            "unique_constraint_schema string, "
+            "unique_constraint_name string, match_option string, "
+            "update_rule string, delete_rule string",
+        )
+
     def _information_schema_df(self, rel: str) -> DataFrame:
         """Build ``information_schema.tables`` / ``.columns`` over the
         engine catalog — the standard relations Postgres clients
@@ -2962,7 +3161,11 @@ class SqlRouterMixin:
         ``table_constraints`` / ``check_constraints`` follow Postgres
         conventions: the pk row is ``<table>_pkey``, NOT NULL surfaces
         as a CHECK named ``<table>_<col>_not_null`` with clause
-        ``<col> IS NOT NULL``."""
+        ``<col> IS NOT NULL``; ``key_column_usage`` /
+        ``referential_constraints`` come from the constraint
+        inventory (round 17)."""
+        if rel in ("key_column_usage", "referential_constraints"):
+            return self._information_schema_kcu_df(rel)
         t_rows, c_rows, tc_rows, cc_rows = [], [], [], []
         for name, e in sorted(self.catalog.list_tables().items()):
             schema_part, _, table_part = name.rpartition(".")

@@ -178,3 +178,84 @@ class TestCatalogInventory:
         a = _oid(eng, "users")
         b = _oid(eng, "users")
         assert a == b
+
+
+class TestPgConstraint:
+    """pg_constraint + pg_get_constraintdef (SQLAlchemy's
+    get_foreign_keys / get_pk_constraint path) and the
+    information_schema FK topology relations."""
+
+    @pytest.fixture()
+    def ceng(self, eng):
+        eng.sql("CREATE TABLE cparent (id int PRIMARY KEY, name text)")
+        eng.sql("INSERT INTO cparent VALUES (1, 'a')")
+        eng.sql(
+            "CREATE TABLE cchild (cid int PRIMARY KEY, pid int, v text,"
+            " CONSTRAINT pos CHECK (cid > 0))"
+        )
+        eng.sql(
+            "ALTER TABLE cchild ADD CONSTRAINT cchild_pid_fkey "
+            "FOREIGN KEY (pid) REFERENCES cparent (id) ON DELETE CASCADE"
+        )
+        eng.sql("CREATE UNIQUE INDEX cparent_name_key ON cparent (name)")
+        return eng
+
+    def test_get_foreign_keys_shape(self, ceng):
+        rows = ceng.sql("""
+            SELECT c.conname,
+                   pg_catalog.pg_get_constraintdef(c.oid) AS condef
+            FROM pg_catalog.pg_constraint c
+            JOIN pg_catalog.pg_class cl ON cl.oid = c.conrelid
+            WHERE cl.relname = 'cchild' AND c.contype = 'f'
+        """).collect()
+        assert len(rows) == 1
+        assert rows[0].conname == "cchild_pid_fkey"
+        assert rows[0].condef == (
+            "FOREIGN KEY (pid) REFERENCES cparent(id) ON DELETE CASCADE"
+        )
+
+    def test_get_pk_constraint_via_conkey(self, ceng):
+        rows = ceng.sql("""
+            SELECT a.attname
+            FROM pg_catalog.pg_constraint c
+            JOIN pg_catalog.pg_class cl ON cl.oid = c.conrelid
+            JOIN pg_catalog.pg_attribute a
+              ON a.attrelid = c.conrelid
+             AND array_contains(c.conkey, a.attnum)
+            WHERE cl.relname = 'cparent' AND c.contype = 'p'
+        """).collect()
+        assert [r.attname for r in rows] == ["id"]
+
+    def test_constraint_types_inventory(self, ceng):
+        rows = ceng.sql(
+            "SELECT conname, contype, convalidated FROM pg_constraint"
+        ).collect()
+        m = {r.conname: (r.contype, r.convalidated) for r in rows}
+        assert m["cparent_pkey"] == ("p", True)
+        assert m["cchild_pid_fkey"] == ("f", True)
+        assert m["cparent_name_key"] == ("u", True)
+        assert m["pos"] == ("c", True)
+
+    def test_key_column_usage(self, ceng):
+        rows = ceng.sql("""
+            SELECT constraint_name, table_name, column_name,
+                   ordinal_position
+            FROM information_schema.key_column_usage
+            WHERE table_name IN ('cparent', 'cchild')
+            ORDER BY constraint_name, ordinal_position
+        """).collect()
+        got = [(r.constraint_name, r.column_name) for r in rows]
+        assert ("cchild_pid_fkey", "pid") in got
+        assert ("cparent_pkey", "id") in got
+        assert ("cparent_name_key", "name") in got
+
+    def test_referential_constraints(self, ceng):
+        rows = ceng.sql("""
+            SELECT constraint_name, unique_constraint_name,
+                   update_rule, delete_rule
+            FROM information_schema.referential_constraints
+        """).collect()
+        assert [(r.constraint_name, r.unique_constraint_name,
+                 r.update_rule, r.delete_rule) for r in rows] == [
+            ("cchild_pid_fkey", "cparent_pkey", "NO ACTION", "CASCADE")
+        ]
