@@ -1033,6 +1033,77 @@ class SqlRouterMixin:
                 r'("[^"]*"|[A-Za-z_]\w*)',
                 _collate_repl, query,
             )
+        # Session-identity functions drivers probe on connect (round
+        # 17): version() must answer a PostgreSQL-parseable string
+        # (psycopg/JDBC regex "PostgreSQL <major>"), current_schema /
+        # current_database / current_user answer the engine's identity
+        # instead of Spark's.  Masked spans — the words inside string
+        # literals are data.
+        if re.search(
+            r"\b(?:version\s*\(|current_schema|current_database|"
+            r"current_user|session_user)",
+            _mask_quoted(query), re.I,
+        ):
+            query = _masked_sub(
+                r"\b(?:pg_catalog\s*\.\s*)?version\s*\(\s*\)",
+                "'PostgreSQL 17.0 (pg_mooncake_spark on Apache Spark "
+                + self.spark.version + ")'",
+                query,
+            )
+            query = _masked_sub(
+                r"\b(?:pg_catalog\s*\.\s*)?current_schema\s*(?:\(\s*\))?"
+                r"(?!\w)",
+                "'public'", query,
+            )
+            query = _masked_sub(
+                r"\b(?:pg_catalog\s*\.\s*)?current_database\s*\(\s*\)",
+                "'mooncake'", query,
+            )
+            query = _masked_sub(
+                r"\b(?:current_user|session_user)\b(?!\s*\()",
+                "'mooncake'", query,
+            )
+        # 'name'::regclass / CAST('name' AS REGCLASS) resolve to the
+        # relation's pg_class oid (SQLAlchemy's modern get_columns
+        # resolves the table oid this way); a further ::oid /
+        # CAST(.. AS OID) is the identity.  Sequence-function
+        # arguments (nextval('s'::regclass)) are left for the
+        # sequence machinery, which resolves names itself.
+        if re.search(r"\bregclass\b", _mask_quoted(query), re.I):
+            masked_rc = _mask_quoted(query)
+            out_rc: list[str] = []
+            prev_rc = 0
+            for rm in re.finditer(
+                r"CAST\s*\(\s*('[^']*')\s+AS\s+REGCLASS\s*\)"
+                r"|('[^']*')\s*::\s*regclass",
+                masked_rc, re.I,
+            ):
+                g = 1 if rm.group(1) else 2
+                lit = query[rm.start(g):rm.end(g)]
+                before = masked_rc[:rm.start()].rstrip()
+                if re.search(r"(?:nextval|currval|setval)\s*\($",
+                             before, re.I):
+                    continue
+                relname = lit[1:-1].replace("''", "'")
+                canon = self._canon(relname)
+                if canon not in self.catalog.list_tables() and \
+                        canon not in self.catalog.sequences():
+                    raise ValueError(
+                        f'relation "{relname}" does not exist'
+                    )
+                out_rc.append(query[prev_rc:rm.start()])
+                out_rc.append(str(self._pg_oid("rel", canon)))
+                prev_rc = rm.end()
+            if out_rc:
+                out_rc.append(query[prev_rc:])
+                query = "".join(out_rc)
+            query = _masked_sub(
+                r"::\s*oid\b", "", query,
+            )
+            query = _masked_sub(
+                r"CAST\s*\(\s*(\d+)\s+AS\s+OID\s*\)",
+                lambda sm: sm.group(1), query,
+            )
         # Postgres regex-match operators ~ / ~* / !~ / !~* (round 17)
         if "~" in query:
             query = _rewrite_pg_regex_ops(query)
@@ -1219,7 +1290,7 @@ class SqlRouterMixin:
             for m in re.finditer(
                 r"\b(?:pg_catalog\s*\.\s*)?(pg_tables|pg_views|"
                 r"pg_indexes|pg_class|pg_namespace|pg_attribute|"
-                r"pg_attrdef|pg_index|pg_constraint)\b",
+                r"pg_attrdef|pg_index|pg_constraint|pg_type)\b",
                 _mask_quoted(query), re.I,
             )
         ]
@@ -2978,6 +3049,34 @@ class SqlRouterMixin:
             schema_part, _, seq_part = sname.rpartition(".")
             _cls(self._pg_oid("rel", sname), seq_part,
                  schema_part or "public", "S", 3, False)
+        if rel == "pg_type":
+            # the scalar types the engine stores plus their array
+            # types; typname uses Postgres's internal spellings
+            names = {
+                21: "int2", 23: "int4", 20: "int8", 700: "float4",
+                701: "float8", 25: "text", 16: "bool", 1082: "date",
+                1114: "timestamp", 17: "bytea", 1700: "numeric",
+                1043: "varchar", 26: "oid",
+            }
+            lens = {21: 2, 23: 4, 20: 8, 700: 4, 701: 8, 16: 1,
+                    1082: 4, 1114: 8, 26: 4}
+            rows = []
+            pgc = ns_oid["pg_catalog"]
+            for oid, nm in sorted(names.items()):
+                arr = self._PG_ARRAY_OIDS.get(oid, 0)
+                rows.append(
+                    (oid, nm, pgc, "b", lens.get(oid, -1), 0, arr)
+                )
+            for el, arr in sorted(self._PG_ARRAY_OIDS.items()):
+                rows.append(
+                    (arr, "_" + names.get(el, "any"), pgc, "b", -1,
+                     el, 0)
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "oid int, typname string, typnamespace int, "
+                "typtype string, typlen int, typelem int, typarray int",
+            )
         if rel == "pg_constraint":
             rows = [
                 (c["oid"], c["conname"],

@@ -259,3 +259,65 @@ class TestPgConstraint:
                  r.update_rule, r.delete_rule) for r in rows] == [
             ("cchild_pid_fkey", "cparent_pkey", "NO ACTION", "CASCADE")
         ]
+
+
+class TestSessionIdentityAndRegclass:
+    """version()/current_schema/current_database/current_user answer
+    Postgres-shaped values, and 'name'::regclass resolves to the
+    pg_class oid (the modern SQLAlchemy oid-resolution shape)."""
+
+    def test_version_is_postgres_parseable(self, eng):
+        v = eng.sql("SELECT version() AS v").collect()[0].v
+        assert v.startswith("PostgreSQL 17")
+
+    def test_identity_functions(self, eng):
+        r = eng.sql(
+            "SELECT current_schema() AS s, current_database() AS d, "
+            "current_user AS u"
+        ).collect()[0]
+        assert (r.s, r.d, r.u) == ("public", "mooncake", "mooncake")
+
+    def test_regclass_matches_pg_class_oid(self, eng):
+        o1 = eng.sql("SELECT 'users'::regclass AS o").collect()[0].o
+        o2 = _oid(eng, "users")
+        assert o1 == o2
+        rows = eng.sql(
+            "SELECT a.attname FROM pg_attribute a "
+            "WHERE a.attrelid = 'users'::regclass ORDER BY a.attnum"
+        ).collect()
+        assert [r.attname for r in rows] == ["id", "name", "bal", "note"]
+
+    def test_regclass_cast_and_oid_chain(self, eng):
+        o = eng.sql(
+            "SELECT CAST(CAST('users' AS REGCLASS) AS OID) AS o"
+        ).collect()[0].o
+        assert o == _oid(eng, "users")
+
+    def test_unknown_relation_errors(self, eng):
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("SELECT 'nope'::regclass AS o")
+
+    def test_literals_stay_data(self, eng):
+        r = eng.sql(
+            "SELECT 'version() current_user ::oid' AS s, '1::oid' AS t"
+        ).collect()[0]
+        assert r.s == "version() current_user ::oid"
+        assert r.t == "1::oid"
+
+    def test_nextval_regclass_still_routes_to_sequences(self, eng):
+        eng.sql("CREATE SEQUENCE rsq")
+        assert eng.sql(
+            "SELECT nextval('rsq'::regclass) AS n"
+        ).collect()[0].n == 1
+
+    def test_pg_type_join(self, eng):
+        rows = eng.sql("""
+            SELECT a.attname, t.typname
+            FROM pg_attribute a JOIN pg_type t ON t.oid = a.atttypid
+            WHERE a.attrelid = 'users'::regclass
+            ORDER BY a.attnum
+        """).collect()
+        assert [(r.attname, r.typname) for r in rows] == [
+            ("id", "int4"), ("name", "text"),
+            ("bal", "numeric"), ("note", "text"),
+        ]
