@@ -843,3 +843,56 @@ def scalar_pg_regex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "documents")
     eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
     return eng.sql(_PG_REGEX_OPS_SQL)
+
+
+_PG_DIALECT_SQL = """
+SELECT o_orderkey::int8 AS okey,
+       (o_orderkey % 5)::int2 AS bucket,
+       (o_orderkey)::text AS okey_text,
+       concat_ws(',', ARRAY[o_orderkey % 3, o_orderkey % 7]) AS arr,
+       concat_ws(',', '{1,2,3}'::int[]) AS lit_arr,
+       concat_ws('|', string_to_array(o_orderpriority, '-')) AS prio_parts,
+       date_format(o_orderdate AT TIME ZONE 'America/New_York',
+                   'yyyy-MM-dd HH:mm:ss') AS nyc_utc
+FROM orders
+ORDER BY okey
+"""
+
+# DuckDB reads the same spellings natively except the brace array
+# literal (it refuses the VARCHAR→list cast — spelled ARRAY[...])
+# and the timestamptz formatting (cast back to naive under the UTC
+# session, then strftime).
+_PG_DIALECT_ORACLE_SQL = """
+SELECT o_orderkey::int8 AS okey,
+       (o_orderkey % 5)::int2 AS bucket,
+       (o_orderkey)::text AS okey_text,
+       array_to_string(ARRAY[o_orderkey % 3, o_orderkey % 7], ',') AS arr,
+       array_to_string(ARRAY[1, 2, 3], ',') AS lit_arr,
+       array_to_string(string_to_array(o_orderpriority, '-'), '|') AS prio_parts,
+       strftime((o_orderdate AT TIME ZONE 'America/New_York')::timestamp,
+                '%Y-%m-%d %H:%M:%S') AS nyc_utc
+FROM orders
+ORDER BY okey
+"""
+
+
+@query("scalar_pg_dialect_family", oracle=_PG_DIALECT_ORACLE_SQL)
+def scalar_pg_dialect_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres SELECT-dialect spellings Spark's parser rejects,
+    rewritten textually (round 17, sql_router
+    _rewrite_pg_casts_and_arrays / _rewrite_at_time_zone): pg type
+    names in ``::`` casts (int2/int8/text), ``ARRAY[...]``
+    constructors, brace array literals ``'{1,2,3}'::int[]``,
+    ``string_to_array`` (delimiter regex-escaped onto Spark's split),
+    and ``expr AT TIME ZONE 'zone'`` (→ to_utc_timestamp — both
+    engines agree on the IANA offset including the DST rows).  The
+    oracle runs DuckDB's native implementations of the same
+    spellings."""
+    import tempfile
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
+    return eng.sql(_PG_DIALECT_SQL)

@@ -384,6 +384,269 @@ def _rewrite_distinct_on(query: str) -> str:
     return out
 
 
+# Postgres type names Spark's cast parser doesn't know (SELECT-side;
+# DDL goes through _pg_type_to_spark).  Bare names only — a
+# parenthesized tail (varchar(10), numeric(12,2)) is handled below.
+_PG_CAST_NAMES = {
+    "int2": "smallint", "int4": "int", "int8": "bigint",
+    "float4": "float", "float8": "double",
+    "bool": "boolean", "text": "string", "varchar": "string",
+    "bpchar": "string", "character": "string",
+    "timestamptz": "timestamp", "numeric": "decimal(38,18)",
+    "oid": "int", "name": "string", "regtype": "string",
+}
+
+
+def _rewrite_pg_casts_and_arrays(query: str) -> str:
+    """SELECT-side Postgres spellings Spark's parser rejects (round
+    17): ``x::int8`` / ``CAST(x AS text)`` type names map to Spark's
+    (mirroring the DDL map in sqlparse._PG_TYPES), ``ARRAY[...]``
+    becomes ``array(...)``, a literal ``'{1,2,3}'::int4[]`` becomes a
+    typed ``array(CAST(...))``, ``string_to_array(s, 'lit')`` becomes
+    ``split`` with the literal delimiter regex-escaped, and
+    ``TABLESAMPLE BERNOULLI|SYSTEM (n)`` becomes Spark's
+    ``TABLESAMPLE (n PERCENT)``.  All rewrites run over the quote mask
+    — string-literal contents are data."""
+    # '{...}'::type[] — parse the literal NOW (it is a literal) and
+    # emit a typed array constructor; nested/quoted payloads refuse
+    # loudly rather than mis-parse
+    def _arr_lit(m: "re.Match", q: str) -> Optional[str]:
+        lit = q[m.start(1) + 1:m.end(1) - 1]
+        pg_t = m.group(2).lower()
+        spark_t = _PG_CAST_NAMES.get(pg_t, pg_t)
+        body = lit.strip()
+        if not (body.startswith("{") and body.endswith("}")):
+            return None
+        inner = body[1:-1].strip()
+        if "{" in inner or '"' in inner or "'" in inner:
+            raise ValueError(
+                f"cannot rewrite array literal {lit!r}: nested or "
+                "quoted elements are not supported; spell it as "
+                "ARRAY[...]"
+            )
+        if not inner:
+            return f"CAST(array() AS array<{spark_t}>)"
+        parts = []
+        for el in inner.split(","):
+            el = el.strip()
+            if el.upper() == "NULL":
+                parts.append(f"CAST(NULL AS {spark_t})")
+            elif spark_t in ("string",):
+                e2 = el.replace("'", "''")
+                parts.append(f"'{e2}'")
+            else:
+                parts.append(f"CAST('{el}' AS {spark_t})")
+        return f"array({', '.join(parts)})"
+
+    masked = _mask_quoted(query)
+    out: list[str] = []
+    prev = 0
+    for m in re.finditer(
+        r"('[^']*')\s*::\s*(\w+)\s*\[\s*\]", masked, re.I
+    ):
+        rep = _arr_lit(m, query)
+        if rep is None:
+            continue
+        out.append(query[prev:m.start()])
+        out.append(rep)
+        prev = m.end()
+    if out:
+        out.append(query[prev:])
+        query = "".join(out)
+
+    # ::typename (bare, not followed by a parenthesized tail)
+    def _sub_masked(pattern: str, repl, q: str) -> str:
+        mq = _mask_quoted(q)
+        o, p = [], 0
+        for sm in re.finditer(pattern, mq, re.I):
+            r_ = repl(sm) if callable(repl) else repl
+            if r_ is None:
+                continue
+            o.append(q[p:sm.start()])
+            o.append(r_)
+            p = sm.end()
+        if not o:
+            return q
+        o.append(q[p:])
+        return "".join(o)
+
+    if "::" in query:
+        query = _sub_masked(
+            r"::\s*(\w+)\b(?!\s*[(\[])",
+            lambda sm: (
+                f"::{_PG_CAST_NAMES[sm.group(1).lower()]}"
+                if sm.group(1).lower() in _PG_CAST_NAMES else None
+            ),
+            query,
+        )
+    # CAST(x AS typename) — rewrite the type token right before the
+    # cast's closing paren
+    if re.search(r"\bCAST\s*\(", _mask_quoted(query), re.I):
+        masked = _mask_quoted(query)
+        out, prev = [], 0
+        for cm in re.finditer(r"\bCAST\s*\(", masked, re.I):
+            if cm.start() < prev:
+                continue
+            depth, j = 0, cm.end() - 1
+            while j < len(masked):
+                depth += masked[j] == "("
+                depth -= masked[j] == ")"
+                j += 1
+                if depth == 0:
+                    break
+            if depth:
+                continue
+            span = masked[cm.end():j - 1]
+            tm = None
+            for tm2 in re.finditer(r"\bAS\s+(\w+)\s*$", span, re.I):
+                tm = tm2
+            if tm is None:
+                continue
+            name = tm.group(1).lower()
+            if name not in _PG_CAST_NAMES:
+                continue
+            s0 = cm.end() + tm.start(1)
+            out.append(query[prev:s0])
+            out.append(_PG_CAST_NAMES[name])
+            prev = cm.end() + tm.end(1)
+        if out:
+            out.append(query[prev:])
+            query = "".join(out)
+    # ARRAY[...] constructor → array(...)
+    while True:
+        masked = _mask_quoted(query)
+        am = re.search(r"\bARRAY\s*\[", masked, re.I)
+        if am is None:
+            break
+        depth, j = 0, am.end() - 1
+        while j < len(masked):
+            depth += masked[j] == "["
+            depth -= masked[j] == "]"
+            j += 1
+            if depth == 0:
+                break
+        if depth:
+            break  # unbalanced — let Spark raise
+        query = (
+            query[:am.start()] + "array(" + query[am.end():j - 1] + ")"
+            + query[j:]
+        )
+    # string_to_array(s, 'lit') → split with the delimiter escaped
+    # (Spark's split takes a REGEX; Postgres's takes a literal)
+    if re.search(r"\bstring_to_array\s*\(", _mask_quoted(query), re.I):
+        masked = _mask_quoted(query)
+        out, prev = [], 0
+        for sm in re.finditer(
+            r"\bstring_to_array\s*(\()", masked, re.I
+        ):
+            depth, j = 0, sm.start(1)
+            while j < len(masked):
+                depth += masked[j] == "("
+                depth -= masked[j] == ")"
+                j += 1
+                if depth == 0:
+                    break
+            commas = [
+                k for k in range(sm.end(1), j - 1)
+                if masked[k] == "," and query[sm.end(1):k].count("(")
+                == query[sm.end(1):k].count(")")
+            ]
+            lm = re.fullmatch(
+                r"\s*('[^']*')\s*",
+                masked[commas[0] + 1:j - 1] if commas else "",
+            )
+            if not commas or lm is None:
+                continue  # non-literal delimiter: loud unresolved fn
+            d0 = commas[0] + 1 + lm.start(1)
+            delim = query[d0 + 1:commas[0] + 1 + lm.end(1) - 1]
+            esc = re.escape(delim.replace("''", "'")).replace(
+                "'", "''").replace("\\", "\\\\")
+            out.append(query[prev:sm.start()])
+            out.append("split(")
+            out.append(query[sm.end(1):commas[0]])
+            out.append(f", '{esc}')")
+            prev = j
+        if out:
+            out.append(query[prev:])
+            query = "".join(out)
+    # TABLESAMPLE BERNOULLI|SYSTEM (n) → TABLESAMPLE (n PERCENT)
+    if re.search(r"\bTABLESAMPLE\b", _mask_quoted(query), re.I):
+        query = _sub_masked(
+            r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*"
+            r"(\d+(?:\.\d+)?)\s*\)(\s+REPEATABLE\s*\(\s*(\d+)\s*\))?",
+            lambda sm: (
+                f"TABLESAMPLE ({sm.group(1)} PERCENT)"
+                + (f" REPEATABLE ({sm.group(3)})" if sm.group(2) else "")
+            ),
+            query,
+        )
+    return query
+
+
+def _rewrite_at_time_zone(query: str) -> str:
+    """``expr AT TIME ZONE 'zone'`` → ``to_utc_timestamp(expr, zone)``
+    (round 17): a timestamp-without-time-zone interpreted as
+    wall-clock in ``zone`` becomes the UTC instant — the engine's
+    session timezone is pinned to UTC, so this matches what Postgres
+    displays for ``timestamp AT TIME ZONE z`` under a UTC session.
+    The left operand is the longest trailing primary expression
+    (literal with optional TIMESTAMP/DATE prefix, call/parenthesized,
+    or dotted identifier); a non-literal zone stays for Spark's loud
+    parse error."""
+    while True:
+        masked = _mask_quoted(query)
+        m = re.search(
+            r"\s+AT\s+TIME\s+ZONE\s+('[^']*')", masked, re.I
+        )
+        if m is None:
+            return query
+        zone = query[m.start(1):m.end(1)]
+        # backward scan for the operand start
+        k = m.start() - 1
+        while k >= 0 and masked[k].isspace():
+            k -= 1
+        end = k + 1
+        if k >= 0 and masked[k] == ")":
+            depth = 0
+            while k >= 0:
+                depth += masked[k] == ")"
+                depth -= masked[k] == "("
+                k -= 1
+                if depth == 0:
+                    break
+            while k >= 0 and (masked[k].isalnum() or masked[k] in "_."):
+                k -= 1  # a call's function name
+            start = k + 1
+        elif k >= 0 and masked[k] == "'":
+            k -= 1
+            while k >= 0 and masked[k] != "'":
+                k -= 1
+            k -= 1
+            # typed-literal prefix: TIMESTAMP '...' / DATE '...'
+            w = k
+            while w >= 0 and masked[w].isspace():
+                w -= 1
+            we = w
+            while w >= 0 and (masked[w].isalnum() or masked[w] == "_"):
+                w -= 1
+            if masked[w + 1:we + 1].upper() in ("TIMESTAMP", "DATE",
+                                                "TIME"):
+                k = w
+            start = k + 1
+        else:
+            while k >= 0 and (masked[k].isalnum() or masked[k] in '_."'):
+                k -= 1
+            start = k + 1
+        operand = query[start:end].strip()
+        if not operand:
+            return query  # nothing to bind — leave for Spark's error
+        query = (
+            query[:start]
+            + f"to_utc_timestamp({operand}, {zone})"
+            + query[m.end():]
+        )
+
+
 # Postgres lock modes, LOCK TABLE's IN ... MODE vocabulary
 _LOCK_MODES = frozenset({
     "ACCESS SHARE", "ROW SHARE", "ROW EXCLUSIVE",
@@ -1104,6 +1367,17 @@ class SqlRouterMixin:
                 r"CAST\s*\(\s*(\d+)\s+AS\s+OID\s*\)",
                 lambda sm: sm.group(1), query,
             )
+        # Postgres cast spellings / ARRAY constructors / array
+        # literals / string_to_array / TABLESAMPLE (round 17)
+        if re.search(
+            r"::|\bARRAY\s*\[|\bCAST\s*\(|\bstring_to_array\b|"
+            r"\bTABLESAMPLE\b",
+            _mask_quoted(query), re.I,
+        ):
+            query = _rewrite_pg_casts_and_arrays(query)
+        # expr AT TIME ZONE 'zone' (round 17)
+        if re.search(r"\bAT\s+TIME\s+ZONE\b", _mask_quoted(query), re.I):
+            query = _rewrite_at_time_zone(query)
         # Postgres regex-match operators ~ / ~* / !~ / !~* (round 17)
         if "~" in query:
             query = _rewrite_pg_regex_ops(query)

@@ -216,3 +216,53 @@ class TestPsqlSpellingNormalization:
     def test_named_collation_errors_loudly(self, eng):
         with pytest.raises(Exception):
             eng.sql("SELECT 'a' COLLATE \"en_US\" AS s")
+
+
+class TestPgCastsArraysAndTimeZone:
+    def test_pg_type_names_in_casts(self, eng):
+        r = eng.sql(
+            "SELECT 1::int2 AS a, 1::int8 AS b, 5::text AS c, "
+            "'5'::varchar AS d, 2.5::float8 AS e, "
+            "CAST(5 AS text) AS f, CAST('1' AS int8) AS g"
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d, r.e, r.f, r.g) == \
+            (1, 1, "5", "5", 2.5, "5", 1)
+
+    def test_array_constructor_and_literal(self, eng):
+        r = eng.sql(
+            "SELECT ARRAY[1 + 1, coalesce(2, 3)] AS a, "
+            "'{1,2,3}'::int4[] AS b, '{a,b}'::text[] AS c, "
+            "'{}'::int8[] AS d, '{1,NULL}'::int[] AS e"
+        ).collect()[0]
+        assert r.a == [2, 2] and r.b == [1, 2, 3]
+        assert r.c == ["a", "b"] and r.d == [] and r.e == [1, None]
+
+    def test_string_to_array_escapes_delimiter(self, eng):
+        r = eng.sql(
+            "SELECT string_to_array('a.b.c', '.') AS a, "
+            "string_to_array('x,y', ',') AS b"
+        ).collect()[0]
+        assert r.a == ["a", "b", "c"] and r.b == ["x", "y"]
+
+    def test_at_time_zone(self, eng):
+        r = eng.sql(
+            "SELECT TIMESTAMP '2024-06-01 12:00:00' "
+            "AT TIME ZONE 'America/New_York' AS x, "
+            "date_format(TIMESTAMP '2024-06-01 12:00:00' "
+            "AT TIME ZONE 'UTC', 'HH:mm') AS y"
+        ).collect()[0]
+        assert r.x.hour == 16 and r.y == "12:00"  # EDT is UTC-4
+
+    def test_tablesample_bernoulli(self, eng):
+        eng.sql("CREATE TABLE tsamp (k int PRIMARY KEY)")
+        eng.sql("INSERT INTO tsamp VALUES (1), (2), (3)")
+        n = eng.sql(
+            "SELECT count(*) AS n FROM tsamp TABLESAMPLE BERNOULLI (100)"
+        ).collect()[0].n
+        assert n == 3
+
+    def test_literals_stay_data(self, eng):
+        r = eng.sql(
+            "SELECT 'ARRAY[1] ::int8 CAST( AT TIME ZONE' AS s"
+        ).collect()[0]
+        assert r.s == "ARRAY[1] ::int8 CAST( AT TIME ZONE"
