@@ -853,9 +853,12 @@ SELECT o_orderkey::int8 AS okey,
        concat_ws(',', '{1,2,3}'::int[]) AS lit_arr,
        concat_ws('|', string_to_array(o_orderpriority, '-')) AS prio_parts,
        date_format(o_orderdate AT TIME ZONE 'America/New_York',
-                   'yyyy-MM-dd HH:mm:ss') AS nyc_utc
+                   'yyyy-MM-dd HH:mm:ss') AS nyc_utc,
+       to_char(o_orderdate, 'YYYY-MM-DD') AS od_text,
+       EXTRACT(EPOCH FROM o_orderdate)::int8 AS od_epoch
 FROM orders
 ORDER BY okey
+FETCH FIRST 5000 ROWS ONLY
 """
 
 # DuckDB reads the same spellings natively except the brace array
@@ -870,9 +873,12 @@ SELECT o_orderkey::int8 AS okey,
        array_to_string(ARRAY[1, 2, 3], ',') AS lit_arr,
        array_to_string(string_to_array(o_orderpriority, '-'), '|') AS prio_parts,
        strftime((o_orderdate AT TIME ZONE 'America/New_York')::timestamp,
-                '%Y-%m-%d %H:%M:%S') AS nyc_utc
+                '%Y-%m-%d %H:%M:%S') AS nyc_utc,
+       strftime(o_orderdate, '%Y-%m-%d') AS od_text,
+       CAST(epoch(o_orderdate) AS int8) AS od_epoch
 FROM orders
 ORDER BY okey
+FETCH FIRST 5000 ROWS ONLY
 """
 
 

@@ -583,6 +583,174 @@ def _rewrite_pg_casts_and_arrays(query: str) -> str:
     return query
 
 
+# Postgres to_char/to_date format tokens → Java SimpleDateFormat-style
+# patterns (longest first; applied only to literal formats).  Anything
+# alphabetic left over after translation refuses loudly — a silently
+# wrong date format is worse than an error.
+_PG_FMT_REFUSED = ("SSSS", "IW", "IYYY", "ID", "CC", "RM", "rm",
+                   "TH", "th", "J", "WW", "W")
+_PG_FMT_TOKENS = [
+    ("HH24", "HH"), ("HH12", "hh"), ("MI", "mm"),
+    ("MS", "SSS"), ("US", "SSSSSS"), ("YYYY", "yyyy"), ("YY", "yy"),
+    ("MONTH", "MMMM"), ("Month", "MMMM"), ("MON", "MMM"),
+    ("Mon", "MMM"), ("DDD", "DDD"), ("DD", "dd"), ("DAY", "EEEE"),
+    ("Day", "EEEE"), ("DY", "EEE"), ("Dy", "EEE"), ("HH", "hh"),
+    ("SS", "ss"), ("AM", "a"), ("PM", "a"), ("am", "a"), ("pm", "a"),
+    ("TZ", "z"), ("MM", "MM"), ("Q", "Q"),
+]
+
+
+def _pg_datetime_format(fmt: str) -> str:
+    """Translate a Postgres to_char/to_date format literal to Spark's
+    datetime pattern; unknown alphabetic tokens (or pg fill/ordinal
+    modifiers beyond FM) raise rather than silently mis-format."""
+    s = fmt.replace("FM", "")
+    if '"' in s:
+        raise ValueError(
+            f"to_char/to_date format {fmt!r}: quoted literal text is "
+            "not supported; concatenate strings instead"
+        )
+    out = []
+    i = 0
+    while i < len(s):
+        for bad in _PG_FMT_REFUSED:
+            if s.startswith(bad, i):
+                raise ValueError(
+                    f"unsupported to_char/to_date format token "
+                    f"{bad!r} in {fmt!r}"
+                )
+        for tok, rep in _PG_FMT_TOKENS:
+            if s.startswith(tok, i):
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            c = s[i]
+            if c.isalpha():
+                raise ValueError(
+                    f"unsupported to_char/to_date format token at "
+                    f"{s[i:]!r} in {fmt!r}"
+                )
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_pg_datetime_fns(query: str) -> str:
+    """Postgres datetime-function spellings (round 17):
+    ``to_char(x, 'fmt')`` → ``date_format`` and ``to_date`` /
+    ``to_timestamp`` format literals translate token-for-token;
+    ``EXTRACT(EPOCH FROM x)`` → fractional epoch seconds;
+    ``FETCH FIRST n ROWS ONLY`` → ``LIMIT n``; ``OFFSET n ROWS`` →
+    ``OFFSET n``; ``gen_random_uuid()`` → ``uuid()``.  Masked spans —
+    string-literal contents are data; a non-literal format stays for
+    Spark's loud error."""
+    masked = _mask_quoted(query)
+    out: list[str] = []
+    prev = 0
+    for m in re.finditer(
+        r"\b(to_char|to_date|to_timestamp)\s*\(", masked, re.I
+    ):
+        if m.start() < prev:
+            continue
+        depth, j = 1, m.end()
+        commas = []
+        while j < len(masked) and depth:
+            c = masked[j]
+            depth += c == "("
+            depth -= c == ")"
+            if c == "," and depth == 1:
+                commas.append(j)
+            j += 1
+        if depth or len(commas) != 1:
+            continue  # 1-arg / 3-arg forms: leave for Spark
+        am = re.fullmatch(
+            r"\s*('[^']*')\s*", masked[commas[0] + 1:j - 1]
+        )
+        if am is None:
+            continue
+        f0 = commas[0] + 1 + am.start(1)
+        fmt = query[f0 + 1:commas[0] + 1 + am.end(1) - 1]
+        java = _pg_datetime_format(fmt).replace("'", "''")
+        fn = m.group(1).lower()
+        out.append(query[prev:m.start()])
+        out.append(
+            ("date_format(" if fn == "to_char" else fn + "(")
+            + query[m.end():commas[0]]
+            + f", '{java}')"
+        )
+        prev = j
+    if out:
+        out.append(query[prev:])
+        query = "".join(out)
+    # EXTRACT(EPOCH FROM x) → fractional epoch seconds
+    while True:
+        masked = _mask_quoted(query)
+        em = re.search(
+            r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", masked, re.I
+        )
+        if em is None:
+            break
+        depth = 1
+        j = em.end()
+        while j < len(masked) and depth:
+            depth += masked[j] == "("
+            depth -= masked[j] == ")"
+            j += 1
+        if depth:
+            break
+        inner = query[em.end():j - 1]
+        query = (
+            query[:em.start()]
+            + f"(unix_micros(CAST(({inner}) AS TIMESTAMP)) / 1000000.0)"
+            + query[j:]
+        )
+    # FETCH FIRST n ROWS ONLY / OFFSET n ROWS
+    masked = _mask_quoted(query)
+    if re.search(r"\bFETCH\s+(?:FIRST|NEXT)\b", masked, re.I):
+        out, prev = [], 0
+        for m in re.finditer(
+            r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+ONLY",
+            masked, re.I,
+        ):
+            out.append(query[prev:m.start()])
+            out.append(f"LIMIT {(m.group(1) or '1').strip()}")
+            prev = m.end()
+        out.append(query[prev:])
+        query = "".join(out)
+        masked = _mask_quoted(query)
+    if re.search(r"\bOFFSET\s+\d+\s+ROWS?\b", masked, re.I):
+        out, prev = [], 0
+        for m in re.finditer(
+            r"\bOFFSET\s+(\d+)\s+ROWS?\b", masked, re.I
+        ):
+            out.append(query[prev:m.start()])
+            out.append(f"OFFSET {m.group(1)}")
+            prev = m.end()
+        out.append(query[prev:])
+        query = "".join(out)
+        masked = _mask_quoted(query)
+    # the SQL-standard clause order is OFFSET-then-FETCH; Spark parses
+    # LIMIT-then-OFFSET
+    if re.search(r"\bOFFSET\s+\d+\s+LIMIT\s+\d+", masked, re.I):
+        query = re.sub(
+            r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)",
+            r"LIMIT \2 OFFSET \1", query, flags=re.I,
+        )
+        masked = _mask_quoted(query)
+    if re.search(r"\bgen_random_uuid\s*\(\s*\)", masked, re.I):
+        out, prev = [], 0
+        for m in re.finditer(
+            r"\bgen_random_uuid\s*\(\s*\)", masked, re.I
+        ):
+            out.append(query[prev:m.start()])
+            out.append("uuid()")
+            prev = m.end()
+        out.append(query[prev:])
+        query = "".join(out)
+    return query
+
+
 def _rewrite_at_time_zone(query: str) -> str:
     """``expr AT TIME ZONE 'zone'`` → ``to_utc_timestamp(expr, zone)``
     (round 17): a timestamp-without-time-zone interpreted as
@@ -1378,6 +1546,15 @@ class SqlRouterMixin:
         # expr AT TIME ZONE 'zone' (round 17)
         if re.search(r"\bAT\s+TIME\s+ZONE\b", _mask_quoted(query), re.I):
             query = _rewrite_at_time_zone(query)
+        # to_char/to_date format literals, EXTRACT(EPOCH), FETCH
+        # FIRST, OFFSET n ROWS, gen_random_uuid (round 17)
+        if re.search(
+            r"\bto_char\s*\(|\bto_date\s*\(|\bto_timestamp\s*\(|"
+            r"\bEXTRACT\s*\(\s*EPOCH|\bFETCH\s+(?:FIRST|NEXT)|"
+            r"\bOFFSET\s+\d+\s+ROWS?\b|\bgen_random_uuid\b",
+            _mask_quoted(query), re.I,
+        ):
+            query = _rewrite_pg_datetime_fns(query)
         # Postgres regex-match operators ~ / ~* / !~ / !~* (round 17)
         if "~" in query:
             query = _rewrite_pg_regex_ops(query)

@@ -266,3 +266,54 @@ class TestPgCastsArraysAndTimeZone:
             "SELECT 'ARRAY[1] ::int8 CAST( AT TIME ZONE' AS s"
         ).collect()[0]
         assert r.s == "ARRAY[1] ::int8 CAST( AT TIME ZONE"
+
+
+class TestPgDatetimeFnsAndFetch:
+    def test_to_char_common_formats(self, eng):
+        r = eng.sql(
+            "SELECT to_char(TIMESTAMP '2024-06-01 12:34:56', "
+            "'YYYY-MM-DD HH24:MI:SS') AS a, "
+            "to_char(TIMESTAMP '2024-06-01 12:34:56', 'Mon DD, YYYY') "
+            "AS b, "
+            "to_char(TIMESTAMP '2024-06-01 23:59:00', 'HH12:MI AM') AS c"
+        ).collect()[0]
+        assert r.a == "2024-06-01 12:34:56"
+        assert r.b == "Jun 01, 2024"
+        assert r.c == "11:59 PM"
+
+    def test_to_date_and_to_timestamp(self, eng):
+        r = eng.sql(
+            "SELECT to_date('2024-06-01', 'YYYY-MM-DD') AS a, "
+            "to_timestamp('2024-06-01 10:00:00', "
+            "'YYYY-MM-DD HH24:MI:SS') AS b"
+        ).collect()[0]
+        assert str(r.a) == "2024-06-01"
+        assert r.b.hour == 10
+
+    def test_unsupported_format_refuses(self, eng):
+        with pytest.raises(ValueError, match="format token"):
+            eng.sql("SELECT to_char(now(), 'IW-J') AS a")
+
+    def test_extract_epoch(self, eng):
+        r = eng.sql(
+            "SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 00:01:00')"
+            " AS a, EXTRACT(YEAR FROM TIMESTAMP '2024-06-01 00:00:00')"
+            " AS y"
+        ).collect()[0]
+        assert float(r.a) == 60.0 and r.y == 2024
+
+    def test_fetch_first_and_offset_rows(self, eng):
+        eng.sql("CREATE TABLE ff (k int PRIMARY KEY)")
+        eng.sql("INSERT INTO ff VALUES (1), (2), (3)")
+        assert [r.k for r in eng.sql(
+            "SELECT k FROM ff ORDER BY k FETCH FIRST 2 ROWS ONLY"
+        ).collect()] == [1, 2]
+        assert [r.k for r in eng.sql(
+            "SELECT k FROM ff ORDER BY k OFFSET 1 ROWS "
+            "FETCH NEXT 1 ROWS ONLY"
+        ).collect()] == [2]
+
+    def test_gen_random_uuid(self, eng):
+        assert eng.sql(
+            "SELECT length(gen_random_uuid()::text) AS n"
+        ).collect()[0].n == 36
