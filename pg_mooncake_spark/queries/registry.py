@@ -72,6 +72,7 @@ _WINDOW_PRIORITY = (
     "sql_distinct_on_unordered",
     "scalar_pg_regex_ops",
     "scalar_pg_dialect_family",
+    "scalar_pg_json_ops",
     # (2) implementation/oracle changed this round: generate_series
     # gained the three-argument reversed-range guard and its oracle now
     # covers those branches (numeric + timestamp/interval)
@@ -85,13 +86,13 @@ _WINDOW_PRIORITY = (
     "text_quality_scoring",
     "text_top_ngrams",
     # (3b) the 45 keys last driver-verified in round 13,
-    # alphabetically.  8 + 6 + 45 = 59 > 50, so the LAST NINE entries
+    # alphabetically.  9 + 6 + 45 = 60 > 50, so the LAST TEN entries
     # below overflow the 50-slot window and head the round-18 rotation
     # instead (they stay covered by the full local diffcheck gate every
-    # round): q3_shipping_priority, q4_order_priority,
-    # q5_local_supplier_volume, q6_forecast_revenue, q7_volume_shipping,
-    # q8_market_share, scalar_cast_conversion, scalar_hof_family,
-    # sql_recursive_cte.
+    # round): q2_min_cost_supplier, q3_shipping_priority,
+    # q4_order_priority, q5_local_supplier_volume, q6_forecast_revenue,
+    # q7_volume_shipping, q8_market_share, scalar_cast_conversion,
+    # scalar_hof_family, sql_recursive_cte.
     "agg_cube_with_grouping",
     "agg_distinct_and_filtered",
     "agg_grouping_sets",

@@ -902,3 +902,50 @@ def scalar_pg_dialect_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
     eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
     return eng.sql(_PG_DIALECT_SQL)
+
+
+_PG_JSON_OPS_SQL = """
+WITH j AS (
+  SELECT o_orderkey AS k,
+         '{"key": ' || (o_orderkey % 100) || ', "meta": {"prio": "'
+           || o_orderpriority || '","status": "' || o_orderstatus
+           || '"}, "tags": ["t' || (o_orderkey % 3) || '", "t'
+           || (o_orderkey % 7) || '"]}' AS doc
+  FROM orders
+)
+SELECT k,
+       doc ->> 'key' AS key_text,
+       doc -> 'meta' ->> 'prio' AS prio,
+       doc #>> '{meta,status}' AS status,
+       doc -> 'tags' ->> 0 AS tag0,
+       doc -> 'tags' ->> 1 AS tag1
+FROM j
+ORDER BY k
+"""
+
+
+# DuckDB's json extension implements -> / ->> but not the #> path
+# operators — the oracle spells the path access as a chained ->.
+_PG_JSON_OPS_ORACLE_SQL = _PG_JSON_OPS_SQL.replace(
+    "doc #>> '{meta,status}' AS status,",
+    "(doc -> 'meta') ->> 'status' AS status,",
+)
+
+
+@query("scalar_pg_json_ops", oracle=_PG_JSON_OPS_ORACLE_SQL)
+def scalar_pg_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres JSON operators ``->`` / ``->>`` / ``#>>`` (round 17,
+    sql_router._rewrite_pg_json_ops — rewritten onto
+    ``get_json_object`` JSONPaths, chains nesting naturally), over a
+    per-row JSON document built from order columns.  The oracle runs
+    the IDENTICAL statement in DuckDB, whose native json extension
+    implements the same operators independently — object traversal,
+    array indexing, and the text-mode leaf accessor all cross-check."""
+    import tempfile
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
+    return eng.sql(_PG_JSON_OPS_SQL)

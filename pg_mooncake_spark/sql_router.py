@@ -751,6 +751,111 @@ def _rewrite_pg_datetime_fns(query: str) -> str:
     return query
 
 
+def _primary_operand_start(masked: str, k: int) -> int:
+    """Start index of the primary expression ENDING at ``k`` (inclusive
+    scan leftward over the quote mask): a parenthesized tail with its
+    call name, a string literal with an optional typed prefix
+    (TIMESTAMP/DATE/TIME), or a dotted identifier."""
+    while k >= 0 and masked[k].isspace():
+        k -= 1
+    if k < 0:
+        return 0
+    if masked[k] == ")":
+        depth = 0
+        while k >= 0:
+            depth += masked[k] == ")"
+            depth -= masked[k] == "("
+            k -= 1
+            if depth == 0:
+                break
+        while k >= 0 and (masked[k].isalnum() or masked[k] in "_."):
+            k -= 1
+        return k + 1
+    if masked[k] == "'":
+        k -= 1
+        while k >= 0 and masked[k] != "'":
+            k -= 1
+        k -= 1
+        w = k
+        while w >= 0 and masked[w].isspace():
+            w -= 1
+        we = w
+        while w >= 0 and (masked[w].isalnum() or masked[w] == "_"):
+            w -= 1
+        if masked[w + 1:we + 1].upper() in ("TIMESTAMP", "DATE", "TIME"):
+            return w + 1
+        return k + 1
+    while k >= 0 and (masked[k].isalnum() or masked[k] in '_."'):
+        k -= 1
+    return k + 1
+
+
+def _rewrite_pg_json_ops(query: str) -> str:
+    """Postgres JSON operators (round 17): ``j -> 'k'`` / ``j ->> 'k'``
+    / ``j -> n`` / ``#>`` / ``#>>`` '{a,b}' rewrite onto
+    ``get_json_object`` with the equivalent JSONPath.  Chains
+    (``j -> 'a' ->> 'b'``) nest naturally — each step's output is json
+    text the next step parses.  One documented divergence:
+    ``->`` on a SCALAR string leaf returns the unquoted value here
+    (get_json_object's behavior) where Postgres keeps the json quotes;
+    ``->>`` — the overwhelmingly common leaf accessor — matches
+    exactly.  A non-literal right operand stays for Spark's loud
+    parse error.  Disambiguation vs Spark's lambda arrow: a bare
+    ``ident -> <digit>`` could be a higher-order-function body
+    (``transform(a, x -> 1)``), so only ``->`` with a STRING key, or
+    with a digit whose left side is itself a call/chain, rewrites."""
+    pos = 0
+    while True:
+        masked = _mask_quoted(query)
+        m = re.compile(
+            r"(->>|->|#>>|#>)\s*('[^']*'|\d+)"
+        ).search(masked, pos)
+        if m is None:
+            return query
+        op = m.group(1)
+        rhs = query[m.start(2):m.end(2)]
+        start = _primary_operand_start(masked, m.start() - 1)
+        left = query[start:m.start()].strip()
+        if not left:
+            return query
+        if (
+            op == "->"
+            and rhs[0] != "'"
+            and re.fullmatch(r"[A-Za-z_]\w*", left)
+        ):
+            pos = m.end()  # plausibly a lambda body — leave it
+            continue
+        pos = 0
+        if rhs[0] == "'":
+            key = rhs[1:-1].replace("''", "'")
+            if op in ("#>", "#>>"):
+                body = key.strip()
+                if not (body.startswith("{") and body.endswith("}")):
+                    raise ValueError(
+                        f"{op} expects a '{{a,b}}' path literal, got "
+                        f"{rhs}"
+                    )
+                parts = [p.strip() for p in body[1:-1].split(",") if p.strip()]
+            else:
+                parts = [key]
+        else:
+            parts = [int(rhs)]
+        path = "$"
+        for p in parts:
+            if isinstance(p, int) or re.fullmatch(r"\d+", str(p)):
+                path += f"[{p}]"
+            elif re.fullmatch(r"[A-Za-z_]\w*", str(p)):
+                path += f".{p}"
+            else:
+                path += f"['{p}']"
+        path = path.replace("'", "''")
+        query = (
+            query[:start]
+            + f"get_json_object({left}, '{path}')"
+            + query[m.end():]
+        )
+
+
 def _rewrite_at_time_zone(query: str) -> str:
     """``expr AT TIME ZONE 'zone'`` → ``to_utc_timestamp(expr, zone)``
     (round 17): a timestamp-without-time-zone interpreted as
@@ -1546,6 +1651,9 @@ class SqlRouterMixin:
         # expr AT TIME ZONE 'zone' (round 17)
         if re.search(r"\bAT\s+TIME\s+ZONE\b", _mask_quoted(query), re.I):
             query = _rewrite_at_time_zone(query)
+        # Postgres JSON operators -> / ->> / #> / #>> (round 17)
+        if re.search(r"->|#>", _mask_quoted(query)):
+            query = _rewrite_pg_json_ops(query)
         # to_char/to_date format literals, EXTRACT(EPOCH), FETCH
         # FIRST, OFFSET n ROWS, gen_random_uuid (round 17)
         if re.search(

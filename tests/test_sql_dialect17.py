@@ -317,3 +317,41 @@ class TestPgDatetimeFnsAndFetch:
         assert eng.sql(
             "SELECT length(gen_random_uuid()::text) AS n"
         ).collect()[0].n == 36
+
+
+class TestPgJsonOperators:
+    @pytest.fixture()
+    def jeng(self, eng):
+        eng.sql("CREATE TABLE js (k int PRIMARY KEY, j text)")
+        eng.sql(
+            'INSERT INTO js VALUES (1, \'{"a": {"b": 2}, '
+            '"tags": ["x", "y"], "n": 5}\')'
+        )
+        return eng
+
+    def test_operators_and_chains(self, jeng):
+        r = jeng.sql(
+            "SELECT j -> 'a' AS a, j ->> 'n' AS n, "
+            "j -> 'a' ->> 'b' AS b, j -> 'tags' ->> 0 AS t0, "
+            "j #>> '{a,b}' AS pb FROM js"
+        ).collect()[0]
+        assert r.a == '{"b":2}' and r.n == "5" and r.b == "2"
+        assert r.t0 == "x" and r.pb == "2"
+
+    def test_where_clause(self, jeng):
+        assert jeng.sql(
+            "SELECT k FROM js WHERE j ->> 'n' = '5'"
+        ).collect()[0].k == 1
+
+    def test_lambdas_survive(self, jeng):
+        r = jeng.sql(
+            "SELECT transform(array(1,2), x -> 1) AS a, "
+            "transform(array(1,2), x -> x + 1) AS b, "
+            "filter(array('a','b'), s -> s = 'a') AS c"
+        ).collect()[0]
+        assert r.a == [1, 1] and r.b == [2, 3] and r.c == ["a"]
+
+    def test_literal_stays_data(self, jeng):
+        assert jeng.sql(
+            "SELECT 'a -> b #>> c' AS s"
+        ).collect()[0].s == "a -> b #>> c"
