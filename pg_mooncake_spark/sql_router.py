@@ -1829,14 +1829,14 @@ class SqlRouterMixin:
         if re.search(
             r"\b(?:pg_catalog\s*\.\s*)?(?:format_type|pg_get_expr|"
             r"pg_table_is_visible|pg_get_indexdef|"
-            r"pg_get_constraintdef)\s*\(",
+            r"pg_get_constraintdef|pg_get_serial_sequence)\s*\(",
             _mask_quoted(query), re.I,
         ):
             self._ensure_pg_catalog_fns()
             query = re.sub(
                 r"\bpg_catalog\s*\.\s*(format_type|pg_get_expr|"
                 r"pg_table_is_visible|pg_get_indexdef|"
-                r"pg_get_constraintdef)\b",
+                r"pg_get_constraintdef|pg_get_serial_sequence)\b",
                 r"\1", query, flags=re.I,
             )
             # pg_get_expr's optional pretty-print flag is inert here
@@ -1849,7 +1849,8 @@ class SqlRouterMixin:
             for m in re.finditer(
                 r"\b(?:pg_catalog\s*\.\s*)?(pg_tables|pg_views|"
                 r"pg_indexes|pg_class|pg_namespace|pg_attribute|"
-                r"pg_attrdef|pg_index|pg_constraint|pg_type)\b",
+                r"pg_attrdef|pg_index|pg_constraint|pg_type|"
+                r"pg_sequences)\b",
                 _mask_quoted(query), re.I,
             )
         ]
@@ -2822,6 +2823,18 @@ class SqlRouterMixin:
                     n for n, _ in
                     (self._constraints(t) or {}).get("checks", [])
                 }
+            # round 17: FOREIGN KEY / UNIQUE / PRIMARY KEY constraint
+            # names comment too (pg_dump emits them all)
+            cons_all = self._constraints(t) or {}
+            known |= set(cons_all.get("foreign_keys") or {})
+            known |= {
+                n for n, spec in (cons_all.get("indexes") or {}).items()
+                if spec.get("unique")
+            }
+            if self._effective_pk(t):
+                known.add(
+                    f"{self._canon(t).rpartition('.')[2]}_pkey"
+                )
             if cname not in known:
                 raise ValueError(
                     f'constraint "{cname}" of relation '
@@ -3608,6 +3621,28 @@ class SqlRouterMixin:
             schema_part, _, seq_part = sname.rpartition(".")
             _cls(self._pg_oid("rel", sname), seq_part,
                  schema_part or "public", "S", 3, False)
+        if rel == "pg_sequences":
+            # the postgres-10+ view psql's \ds reads; last_value is
+            # NULL until the sequence has been called, as in Postgres
+            rows = []
+            for sname, st in sorted(self.catalog.sequences().items()):
+                sp, _, base = sname.rpartition(".")
+                rows.append(
+                    (sp or "public", base, "mooncake",
+                     st.get("data_type", "bigint"), st.get("start"),
+                     st.get("minvalue"), st.get("maxvalue"),
+                     st.get("increment"), bool(st.get("cycle")), 1,
+                     st.get("last_value") if st.get("is_called")
+                     else None)
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "schemaname string, sequencename string, "
+                "sequenceowner string, data_type string, "
+                "start_value long, min_value long, max_value long, "
+                "increment_by long, cycle boolean, cache_size long, "
+                "last_value long",
+            )
         if rel == "pg_type":
             # the scalar types the engine stores plus their array
             # types; typname uses Postgres's internal spellings
@@ -3752,6 +3787,29 @@ class SqlRouterMixin:
         )
         self.spark.udf.register(
             "pg_get_indexdef", lambda oid: idx_defs.get(oid), "string"
+        )
+        # pg_get_serial_sequence('t', 'col') — the ORM autoincrement
+        # probe: resolve via the owned-sequence registry, answering
+        # both the bare and schema-qualified table spellings
+        serial_map: dict[tuple, str] = {}
+        for sname, st in self.catalog.sequences().items():
+            owner = self._seq_owner(st)
+            if not owner:
+                continue
+            tcanon, col = owner
+            serial_map[(tcanon, col)] = sname
+            if tcanon.startswith("public."):
+                serial_map[(tcanon[len("public."):], col)] = sname
+            elif "." not in tcanon:
+                serial_map[(f"public.{tcanon}", col)] = sname
+
+        def pg_get_serial_sequence(tbl, col):
+            if tbl is None or col is None:
+                return None
+            return serial_map.get((tbl.strip('"'), col.strip('"')))
+
+        self.spark.udf.register(
+            "pg_get_serial_sequence", pg_get_serial_sequence, "string"
         )
 
     def _information_schema_kcu_df(self, rel: str) -> DataFrame:

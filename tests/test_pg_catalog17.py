@@ -321,3 +321,49 @@ class TestSessionIdentityAndRegclass:
             ("id", "int4"), ("name", "text"),
             ("bal", "numeric"), ("note", "text"),
         ]
+
+
+class TestSequencesCatalogAndSerialProbe:
+    def test_pg_sequences_view(self, eng):
+        rows = eng.sql(
+            "SELECT sequencename, data_type, start_value, increment_by,"
+            " cycle, last_value FROM pg_sequences"
+        ).collect()
+        m = {r.sequencename: r for r in rows}
+        assert "users_id_seq" in m
+        r = m["users_id_seq"]
+        # one row was inserted in the fixture: last_value reflects it
+        assert r.last_value == 1 and r.increment_by == 1
+        eng.sql("CREATE SEQUENCE fresh17")
+        rows = eng.sql(
+            "SELECT last_value FROM pg_sequences "
+            "WHERE sequencename = 'fresh17'"
+        ).collect()
+        assert rows[0].last_value is None  # never called → NULL
+
+    def test_pg_get_serial_sequence(self, eng):
+        r = eng.sql(
+            "SELECT pg_get_serial_sequence('users', 'id') AS s, "
+            "pg_get_serial_sequence('public.users', 'id') AS q, "
+            "pg_get_serial_sequence('users', 'name') AS none"
+        ).collect()[0]
+        assert r.s == "users_id_seq" and r.q == "users_id_seq"
+        assert r.none is None
+
+    def test_comment_on_fk_unique_pkey(self, eng):
+        eng.sql("CREATE TABLE cp2 (id int PRIMARY KEY)")
+        eng.sql("CREATE TABLE cc2 (k int PRIMARY KEY, pid int)")
+        eng.sql(
+            "ALTER TABLE cc2 ADD CONSTRAINT cc2_fk FOREIGN KEY (pid) "
+            "REFERENCES cp2 (id)"
+        )
+        eng.sql("ALTER TABLE cc2 ADD CONSTRAINT cc2_u UNIQUE (pid)")
+        eng.sql("COMMENT ON CONSTRAINT cc2_fk ON cc2 IS 'the fk'")
+        eng.sql("COMMENT ON CONSTRAINT cc2_u ON cc2 IS 'the uq'")
+        eng.sql("COMMENT ON CONSTRAINT cc2_pkey ON cc2 IS 'the pk'")
+        com = (eng._constraints("cc2") or {}).get("comments") or {}
+        assert com["constraint:cc2_fk"] == "the fk"
+        assert com["constraint:cc2_u"] == "the uq"
+        assert com["constraint:cc2_pkey"] == "the pk"
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("COMMENT ON CONSTRAINT nope ON cc2 IS 'x'")
