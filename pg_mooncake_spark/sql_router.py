@@ -479,14 +479,15 @@ def _rewrite_pg_casts_and_arrays(query: str) -> str:
             ),
             query,
         )
-    # CAST(x AS typename) — rewrite the type token right before the
-    # cast's closing paren
+    # CAST(x AS typename) — rewrite the type token right before each
+    # cast's closing paren.  NESTED casts each get their own pass
+    # (round 18): the type-token spans never overlap (each sits at the
+    # end of its own paren group), so collect them all first, then
+    # splice in one left-to-right pass.
     if re.search(r"\bCAST\s*\(", _mask_quoted(query), re.I):
         masked = _mask_quoted(query)
-        out, prev = [], 0
+        spans = []  # (start, end, replacement) of each type token
         for cm in re.finditer(r"\bCAST\s*\(", masked, re.I):
-            if cm.start() < prev:
-                continue
             depth, j = 0, cm.end() - 1
             while j < len(masked):
                 depth += masked[j] == "("
@@ -505,11 +506,16 @@ def _rewrite_pg_casts_and_arrays(query: str) -> str:
             name = tm.group(1).lower()
             if name not in _PG_CAST_NAMES:
                 continue
-            s0 = cm.end() + tm.start(1)
-            out.append(query[prev:s0])
-            out.append(_PG_CAST_NAMES[name])
-            prev = cm.end() + tm.end(1)
-        if out:
+            spans.append((
+                cm.end() + tm.start(1), cm.end() + tm.end(1),
+                _PG_CAST_NAMES[name],
+            ))
+        if spans:
+            out, prev = [], 0
+            for s0, e0, rep in sorted(spans):
+                out.append(query[prev:s0])
+                out.append(rep)
+                prev = e0
             out.append(query[prev:])
             query = "".join(out)
     # ARRAY[...] constructor → array(...)
@@ -586,25 +592,29 @@ def _rewrite_pg_casts_and_arrays(query: str) -> str:
 # Postgres to_char/to_date format tokens → Java SimpleDateFormat-style
 # patterns (longest first; applied only to literal formats).  Anything
 # alphabetic left over after translation refuses loudly — a silently
-# wrong date format is worse than an error.
-_PG_FMT_REFUSED = ("SSSS", "IW", "IYYY", "ID", "CC", "RM", "rm",
-                   "TH", "th", "J", "WW", "W")
+# wrong date format is worse than an error.  Postgres treats template
+# patterns case-insensitively for the date/time tokens (round 18:
+# ``to_char(d, 'yyyy-mm-dd')`` is legal pg SQL), and the capitalization
+# variants that change pg OUTPUT case (MONTH/Month/MON/DAY/Day/AM/am)
+# all map to the same Spark pattern anyway, so matching here is
+# uniformly case-insensitive.
+_PG_FMT_REFUSED = ("SSSS", "IYYY", "IW", "ID", "CC", "RM",
+                   "TH", "J", "WW", "W")
 _PG_FMT_TOKENS = [
     ("HH24", "HH"), ("HH12", "hh"), ("MI", "mm"),
     ("MS", "SSS"), ("US", "SSSSSS"), ("YYYY", "yyyy"), ("YY", "yy"),
-    ("MONTH", "MMMM"), ("Month", "MMMM"), ("MON", "MMM"),
-    ("Mon", "MMM"), ("DDD", "DDD"), ("DD", "dd"), ("DAY", "EEEE"),
-    ("Day", "EEEE"), ("DY", "EEE"), ("Dy", "EEE"), ("HH", "hh"),
-    ("SS", "ss"), ("AM", "a"), ("PM", "a"), ("am", "a"), ("pm", "a"),
-    ("TZ", "z"), ("MM", "MM"), ("Q", "Q"),
+    ("MONTH", "MMMM"), ("MON", "MMM"), ("DDD", "DDD"), ("DD", "dd"),
+    ("DAY", "EEEE"), ("DY", "EEE"), ("HH", "hh"), ("SS", "ss"),
+    ("AM", "a"), ("PM", "a"), ("TZ", "z"), ("MM", "MM"), ("Q", "Q"),
 ]
 
 
 def _pg_datetime_format(fmt: str) -> str:
     """Translate a Postgres to_char/to_date format literal to Spark's
-    datetime pattern; unknown alphabetic tokens (or pg fill/ordinal
-    modifiers beyond FM) raise rather than silently mis-format."""
-    s = fmt.replace("FM", "")
+    datetime pattern (tokens matched case-insensitively, as Postgres
+    does); unknown alphabetic tokens (or pg fill/ordinal modifiers
+    beyond FM) raise rather than silently mis-format."""
+    s = re.sub(r"FM", "", fmt, flags=re.I)
     if '"' in s:
         raise ValueError(
             f"to_char/to_date format {fmt!r}: quoted literal text is "
@@ -612,15 +622,16 @@ def _pg_datetime_format(fmt: str) -> str:
         )
     out = []
     i = 0
+    su = s.upper()
     while i < len(s):
         for bad in _PG_FMT_REFUSED:
-            if s.startswith(bad, i):
+            if su.startswith(bad, i):
                 raise ValueError(
                     f"unsupported to_char/to_date format token "
                     f"{bad!r} in {fmt!r}"
                 )
         for tok, rep in _PG_FMT_TOKENS:
-            if s.startswith(tok, i):
+            if su.startswith(tok, i):
                 out.append(rep)
                 i += len(tok)
                 break
@@ -733,10 +744,15 @@ def _rewrite_pg_datetime_fns(query: str) -> str:
     # the SQL-standard clause order is OFFSET-then-FETCH; Spark parses
     # LIMIT-then-OFFSET
     if re.search(r"\bOFFSET\s+\d+\s+LIMIT\s+\d+", masked, re.I):
-        query = re.sub(
-            r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)",
-            r"LIMIT \2 OFFSET \1", query, flags=re.I,
-        )
+        out, prev = [], 0
+        for m in re.finditer(
+            r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)", masked, re.I
+        ):
+            out.append(query[prev:m.start()])
+            out.append(f"LIMIT {m.group(2)} OFFSET {m.group(1)}")
+            prev = m.end()
+        out.append(query[prev:])
+        query = "".join(out)
         masked = _mask_quoted(query)
     if re.search(r"\bgen_random_uuid\s*\(\s*\)", masked, re.I):
         out, prev = [], 0
@@ -790,6 +806,55 @@ def _primary_operand_start(masked: str, k: int) -> int:
     return k + 1
 
 
+# Spark SQL's higher-order functions — the closed set of builtins whose
+# arguments may be lambda expressions (``x -> body`` / ``(x, y) -> body``).
+# Used to tell a lambda arrow apart from the Postgres json ``->`` operator.
+_SPARK_HOF_FNS = frozenset({
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort",
+})
+
+
+def _lambda_param_context(masked: str, start: int, left: str) -> bool:
+    """True when the primary expression beginning at ``start`` (text
+    ``left``) is positioned as a lambda PARAMETER list: either a
+    parenthesized tuple of two-plus bare identifiers (never a valid
+    json-op operand), or a bare identifier / ``(ident)`` that begins an
+    argument of one of Spark's higher-order functions."""
+    if re.fullmatch(
+        r"\(\s*[A-Za-z_]\w*(\s*,\s*[A-Za-z_]\w*)+\s*\)", left
+    ):
+        return True
+    if not re.fullmatch(r"(?:[A-Za-z_]\w*|\(\s*[A-Za-z_]\w*\s*\))", left):
+        return False
+    k = start - 1
+    while k >= 0 and masked[k].isspace():
+        k -= 1
+    if k < 0 or masked[k] not in "(,":
+        return False
+    if masked[k] == ",":
+        # scan left to the unmatched '(' of the enclosing arg list
+        depth = 0
+        while k >= 0:
+            depth += masked[k] == ")"
+            if masked[k] == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            k -= 1
+        if k < 0:
+            return False
+    # k sits on the call's '(' — read the function name before it
+    k -= 1
+    while k >= 0 and masked[k].isspace():
+        k -= 1
+    e = k
+    while k >= 0 and (masked[k].isalnum() or masked[k] == "_"):
+        k -= 1
+    return masked[k + 1:e + 1].lower() in _SPARK_HOF_FNS
+
+
 def _rewrite_pg_json_ops(query: str) -> str:
     """Postgres JSON operators (round 17): ``j -> 'k'`` / ``j ->> 'k'``
     / ``j -> n`` / ``#>`` / ``#>>`` '{a,b}' rewrite onto
@@ -800,10 +865,13 @@ def _rewrite_pg_json_ops(query: str) -> str:
     (get_json_object's behavior) where Postgres keeps the json quotes;
     ``->>`` — the overwhelmingly common leaf accessor — matches
     exactly.  A non-literal right operand stays for Spark's loud
-    parse error.  Disambiguation vs Spark's lambda arrow: a bare
-    ``ident -> <digit>`` could be a higher-order-function body
-    (``transform(a, x -> 1)``), so only ``->`` with a STRING key, or
-    with a digit whose left side is itself a call/chain, rewrites."""
+    parse error.  Disambiguation vs Spark's lambda arrow (round 18):
+    an arrow is a LAMBDA when its left side is a parenthesized
+    identifier tuple (``(x, i) -> …``) or a bare identifier that
+    begins an argument of one of Spark's higher-order functions
+    (``transform(a, x -> 'y')``) — see ``_lambda_param_context``.
+    Everywhere else a bare-identifier left operand is a json column
+    and rewrites, including ``j -> 0`` array indexing."""
     pos = 0
     while True:
         masked = _mask_quoted(query)
@@ -818,12 +886,8 @@ def _rewrite_pg_json_ops(query: str) -> str:
         left = query[start:m.start()].strip()
         if not left:
             return query
-        if (
-            op == "->"
-            and rhs[0] != "'"
-            and re.fullmatch(r"[A-Za-z_]\w*", left)
-        ):
-            pos = m.end()  # plausibly a lambda body — leave it
+        if op == "->" and _lambda_param_context(masked, start, left):
+            pos = m.end()  # a lambda parameter list — leave it
             continue
         pos = 0
         if rhs[0] == "'":
@@ -865,7 +929,18 @@ def _rewrite_at_time_zone(query: str) -> str:
     The left operand is the longest trailing primary expression
     (literal with optional TIMESTAMP/DATE prefix, call/parenthesized,
     or dotted identifier); a non-literal zone stays for Spark's loud
-    parse error."""
+    parse error.
+
+    CHAINED applications alternate direction (round 18): in Postgres,
+    ``ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'`` first
+    produces a timestamptz (the UTC instant), then converts that
+    instant to New-York wall-clock — the standard tz-conversion idiom.
+    The second step is therefore ``from_utc_timestamp``, not another
+    ``to_utc_timestamp`` (which would invert the offset).  The rewrite
+    detects an operand that is already a ``to_utc_timestamp(...)``
+    call — the timestamptz analog — and emits ``from_utc_timestamp``
+    for it; an operand that is a ``from_utc_timestamp(...)`` call is a
+    plain local timestamp again, so a third application flips back."""
     while True:
         masked = _mask_quoted(query)
         m = re.search(
@@ -913,9 +988,12 @@ def _rewrite_at_time_zone(query: str) -> str:
         operand = query[start:end].strip()
         if not operand:
             return query  # nothing to bind — leave for Spark's error
+        fn = "to_utc_timestamp"
+        if re.match(r"to_utc_timestamp\s*\(", operand, re.I):
+            fn = "from_utc_timestamp"  # timestamptz → local wall-clock
         query = (
             query[:start]
-            + f"to_utc_timestamp({operand}, {zone})"
+            + f"{fn}({operand}, {zone})"
             + query[m.end():]
         )
 
