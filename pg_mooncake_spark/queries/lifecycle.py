@@ -3224,8 +3224,8 @@ def lifecycle_sql_fk_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """,
@@ -3243,7 +3243,13 @@ def mv_q5_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (refresh after a dim advanced raises loudly; recreate).
     DML after creation (a discount bump on one supplier slice and an
     order-slice delete) exercises the fold through the chain; the
-    oracle recomputes the full six-table q5 over the post-DML state."""
+    oracle recomputes the full six-table q5 over the post-DML state.
+
+    Round 18: the date window moved from 1994 to 1996 — the fixtures'
+    o_orderdate spans 1995-01-01..2001-08-01 (FIXTURES.md), so the r17
+    1994 window matched ZERO rows at every scale and the driver-green
+    row was vacuous (VERDICT r17 What's-wrong #1).  1996 matches the
+    plain q5 key (tpch.py) and returns 5 nations at sf0.01."""
     eng = _temp_engine(spark)
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_suppkey",
@@ -3293,8 +3299,8 @@ def mv_q5_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich=[
             {"table": "ord5", "on": [("l_orderkey", "o_orderkey")],
              "cols": ["o_custkey"],
-             "filter": "o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' "
-                       "AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'"},
+             "filter": "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+                       "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"},
             {"table": "cust5", "on": [("o_custkey", "c_custkey")],
              "cols": ["c_nationkey"]},
             {"table": "supp5", "on": [("l_suppkey", "s_suppkey")],
