@@ -141,7 +141,10 @@ class TestForeignKeyValidation:
         eng.sql(
             "ALTER TABLE c2 ADD FOREIGN KEY (a, b) REFERENCES p2 (a, b)"
         )
-        eng.sql("INSERT INTO c2 VALUES (3, 7, 7)")  # not re-checked (doc'd)
+        # round 18: blind appends ARE re-checked (engine._guard_fk_append)
+        with pytest.raises(ValueError, match="violates foreign key"):
+            eng.sql("INSERT INTO c2 VALUES (3, 7, 7)")
+        eng.sql("INSERT INTO c2 VALUES (3, 1, 1)")  # present key passes
         with pytest.raises(ValueError, match="disagree"):
             eng.sql("ALTER TABLE c2 ADD FOREIGN KEY (a) REFERENCES p2 (a, b)")
 
