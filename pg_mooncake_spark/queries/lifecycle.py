@@ -1646,6 +1646,112 @@ def lifecycle_sql_upsert_returning(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "lifecycle_sql_upsert_unique",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    src1 AS (
+      SELECT c_custkey + 1000000 AS k, c_name,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    after1 AS (
+      -- DO UPDATE on the NAME: existing names fold, fresh names insert
+      -- with their surrogate key
+      SELECT t.c_custkey, t.c_name,
+             CASE WHEN s.c_name IS NOT NULL
+                  THEN CAST(CAST(t.c_acctbal AS DECIMAL(18,2))
+                            + CAST(s.bal AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE t.c_acctbal END AS c_acctbal
+      FROM tgt t LEFT JOIN src1 s ON t.c_name = s.c_name
+      UNION ALL
+      SELECT s.k, s.c_name, s.bal
+      FROM src1 s LEFT JOIN tgt t ON t.c_name = s.c_name
+      WHERE t.c_name IS NULL
+    ),
+    src2 AS (
+      SELECT c_custkey + 2000000 AS k, c_name,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    after2 AS (
+      -- DO NOTHING on the NAME: only names absent from after1 land
+      SELECT * FROM after1
+      UNION ALL
+      SELECT s.k, s.c_name, s.bal
+      FROM src2 s LEFT JOIN after1 a ON a.c_name = s.c_name
+      WHERE a.c_name IS NULL
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN c_custkey < 1000000 THEN 1 END) AS n_orig,
+           COUNT(CASE WHEN c_custkey >= 1000000
+                       AND c_custkey < 2000000 THEN 1 END) AS n_up_new,
+           COUNT(CASE WHEN c_custkey >= 2000000 THEN 1 END) AS n_dn_new,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+               AS total_bal
+    FROM after2
+    """,
+)
+def lifecycle_sql_upsert_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT ... ON CONFLICT (non-pk unique column) DO UPDATE /
+    DO NOTHING`` (round 18, VERDICT r17 missing #2): the natural-key
+    upsert every ETL job writes — incoming rows carry FRESH surrogate
+    keys but may collide on the business key, so arbitration must
+    resolve against the validated unique index on ``c_name``, not the
+    pk.  Statement 1 (DO UPDATE) folds balances for existing names and
+    inserts new names under their surrogate keys; statement 2
+    (DO NOTHING) then inserts only still-unseen names.  The oracle
+    replays both arbitrations relationally by joining on the name."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .filter("c_custkey % 3 = 0")
+    )
+    eng.create_table("cust_uu", source_df=cust, primary_key=["c_custkey"])
+    eng.sql("CREATE UNIQUE INDEX cust_uu_name ON cust_uu (c_name)")
+    src = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    src.filter("c_custkey % 2 = 0").selectExpr(
+        "c_custkey + 1000000 AS k", "c_name", "bal"
+    ).createOrReplaceTempView("uu_src1")
+    src.filter("c_custkey % 5 = 0").selectExpr(
+        "c_custkey + 2000000 AS k", "c_name", "bal"
+    ).createOrReplaceTempView("uu_src2")
+    eng.sql("""
+        INSERT INTO cust_uu
+        SELECT k, c_name, bal FROM uu_src1
+        ON CONFLICT (c_name) DO UPDATE SET
+          c_acctbal = CAST(cust_uu.c_acctbal AS DECIMAL(18,2))
+                      + CAST(excluded.c_acctbal AS DECIMAL(18,2))
+    """)
+    eng.sql("""
+        INSERT INTO cust_uu
+        SELECT k, c_name, bal FROM uu_src2
+        ON CONFLICT (c_name) DO NOTHING
+    """)
+    return eng.table("cust_uu").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("c_custkey") < 1000000, 1)).alias("n_orig"),
+        F.count(
+            F.when(
+                (F.col("c_custkey") >= 1000000)
+                & (F.col("c_custkey") < 2000000), 1,
+            )
+        ).alias("n_up_new"),
+        F.count(F.when(F.col("c_custkey") >= 2000000, 1)).alias("n_dn_new"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )
+
+
+@query(
     "lifecycle_sql_join_dml",
     oracle="""
     WITH tgt AS (
@@ -1717,6 +1823,107 @@ def lifecycle_sql_join_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table("cust_jd").agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("c_acctbal", 2).alias("total_bal"),
+    )
+
+
+@query(
+    "lifecycle_sql_dml_subquery",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    s1 AS (
+      -- UPDATE ... WHERE EXISTS (urgent order), inside the block
+      SELECT c_custkey, c_name,
+             CASE WHEN EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = tgt.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+                  THEN CAST(CAST(bal AS DECIMAL(18,2))
+                            + CAST(100 AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE bal END AS bal
+      FROM tgt
+    ),
+    s2 AS (
+      -- DELETE ... WHERE c_custkey IN (>2 LOW orders), same block
+      SELECT * FROM s1
+      WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderpriority = '5-LOW'
+        GROUP BY o_custkey HAVING COUNT(*) > 2)
+    ),
+    s3 AS (
+      -- post-commit: scalar subquery over the table itself
+      SELECT c_custkey, c_name,
+             CASE WHEN bal > (SELECT MAX(bal) FROM s2) / 2
+                  THEN CAST(CAST(bal AS DECIMAL(18,2)) * 2 AS DOUBLE)
+                  ELSE bal END AS bal
+      FROM s2
+    ),
+    s4 AS (
+      -- DELETE ... WHERE NOT EXISTS (any order)
+      SELECT * FROM s3
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = s3.c_custkey)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(bal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM s4
+    """,
+)
+def lifecycle_sql_dml_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery predicates in plain UPDATE/DELETE (round 18, VERDICT
+    r17 missing #3): ``IN (SELECT ...)``, ``EXISTS``, ``NOT EXISTS``
+    and scalar subqueries in a DML WHERE — the shapes every Postgres
+    app writes — compile through the join-DML machinery (one SELECT
+    over the registered views per statement; Catalyst plans the
+    subquery as a semi/anti/scalar-subquery join).  Two statements run
+    INSIDE a transaction block (stage-time, read-your-writes), two
+    after COMMIT, one of them a self-referencing scalar subquery (MAX
+    — order-independent, so both engines agree bit-exactly).  The
+    oracle replays all four statements as chained CTEs."""
+    eng = _temp_engine(spark)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+        .filter("c_custkey % 3 = 0")
+    )
+    eng.create_table("cust_sq", source_df=cust, primary_key=["c_custkey"])
+    t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).createOrReplaceTempView("sq_orders")
+    eng.sql("BEGIN")
+    eng.sql("""
+        UPDATE cust_sq SET
+          bal = CAST(bal AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2))
+        WHERE EXISTS (SELECT 1 FROM sq_orders o
+                      WHERE o.o_custkey = cust_sq.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """)
+    eng.sql("""
+        DELETE FROM cust_sq
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM sq_orders
+          WHERE o_orderpriority = '5-LOW'
+          GROUP BY o_custkey HAVING COUNT(*) > 2)
+    """)
+    eng.sql("COMMIT")
+    eng.sql("""
+        UPDATE cust_sq SET bal = CAST(bal AS DECIMAL(18,2)) * 2
+        WHERE bal > (SELECT MAX(bal) FROM cust_sq) / 2
+    """)
+    eng.sql("""
+        DELETE FROM cust_sq
+        WHERE NOT EXISTS (SELECT 1 FROM sq_orders o
+                          WHERE o.o_custkey = cust_sq.c_custkey)
+    """)
+    return eng.table("cust_sq").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("bal", 2).alias("total_bal"),
     )
 
 

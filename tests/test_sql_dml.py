@@ -552,8 +552,10 @@ class TestInsertOnConflict:
         # arbitration error wins: nothing applied
         assert _rows(eng) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
 
-    def test_conflict_target_must_be_pk(self, eng):
-        with pytest.raises(ValueError, match="primary"):
+    def test_conflict_target_must_match_an_arbiter(self, eng):
+        # round 18: the target resolves against the pk or a validated
+        # unique index; matching neither raises Postgres's spelling
+        with pytest.raises(ValueError, match="no unique or exclusion"):
             eng.sql(
                 "INSERT INTO m VALUES (9, 'i', 0.0) "
                 "ON CONFLICT (v) DO NOTHING"

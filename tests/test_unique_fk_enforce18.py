@@ -256,3 +256,165 @@ class TestFkAppendGuard:
         eng.sql("INSERT INTO rc VALUES (12, 3)")
         assert eng.table("rp").count() == 3
         assert eng.table("rc").count() == 3
+
+
+class TestOnConflictUniqueArbitration:
+    """Round-18 (VERDICT r17 missing #2): ON CONFLICT resolves its
+    target against validated unique indexes, not just the pk."""
+
+    @pytest.fixture()
+    def tab(self, eng):
+        eng.sql("CREATE TABLE t (id int PRIMARY KEY, email text, n int)")
+        eng.sql("INSERT INTO t VALUES (1, 'a@x', 1), (2, 'b@x', 1)")
+        eng.sql("CREATE UNIQUE INDEX t_email ON t (email)")
+        return eng
+
+    def test_do_nothing_on_unique(self, tab):
+        tab.sql(
+            "INSERT INTO t VALUES (3, 'a@x', 5) "
+            "ON CONFLICT (email) DO NOTHING"
+        )
+        assert tab.table("t").count() == 2
+        tab.sql(
+            "INSERT INTO t VALUES (3, 'c@x', 5) "
+            "ON CONFLICT (email) DO NOTHING"
+        )
+        assert tab.table("t").count() == 3
+
+    def test_do_update_on_unique_keeps_pk(self, tab):
+        tab.sql(
+            "INSERT INTO t VALUES (9, 'a@x', 42) "
+            "ON CONFLICT (email) DO UPDATE SET n = excluded.n"
+        )
+        rows = tab.sql("SELECT id, n FROM t WHERE email = 'a@x'").collect()
+        assert [(r.id, r.n) for r in rows] == [(1, 42)]
+
+    def test_null_keys_never_conflict(self, tab):
+        tab.sql(
+            "INSERT INTO t VALUES (4, NULL, 1), (5, NULL, 1) "
+            "ON CONFLICT (email) DO NOTHING"
+        )
+        assert tab.table("t").count() == 4
+
+    def test_no_matching_index_refuses(self, tab):
+        with pytest.raises(ValueError, match="no unique or exclusion"):
+            tab.sql(
+                "INSERT INTO t VALUES (6, 'd@x', 1) "
+                "ON CONFLICT (n) DO NOTHING"
+            )
+
+    def test_on_constraint_name(self, tab):
+        tab.sql(
+            "INSERT INTO t VALUES (6, 'a@x', 7) ON CONFLICT "
+            "ON CONSTRAINT t_email DO UPDATE SET n = 7"
+        )
+        assert tab.sql(
+            "SELECT n FROM t WHERE email = 'a@x'"
+        ).collect()[0].n == 7
+
+    def test_on_constraint_unknown_refuses(self, tab):
+        with pytest.raises(ValueError, match="does not exist"):
+            tab.sql(
+                "INSERT INTO t VALUES (6, 'd@x', 1) ON CONFLICT "
+                "ON CONSTRAINT nope DO NOTHING"
+            )
+
+    def test_fresh_pk_collision_probed(self, tab):
+        # fresh email, but the surrogate id already exists: Postgres
+        # raises the pkey violation — apply_changes must not upsert
+        with pytest.raises(ValueError, match='"t_pkey"'):
+            tab.sql(
+                "INSERT INTO t VALUES (1, 'z@x', 0) "
+                "ON CONFLICT (email) DO NOTHING"
+            )
+        with pytest.raises(ValueError, match='"t_pkey"'):
+            tab.sql(
+                "INSERT INTO t VALUES (1, 'z@x', 0) "
+                "ON CONFLICT (email) DO UPDATE SET n = 0"
+            )
+
+    def test_second_time_error(self, tab):
+        with pytest.raises(ValueError, match="second time"):
+            tab.sql(
+                "INSERT INTO t VALUES (7, 'q@x', 1), (8, 'q@x', 2) "
+                "ON CONFLICT (email) DO UPDATE SET n = excluded.n"
+            )
+
+    def test_do_nothing_intra_batch_first_wins(self, tab):
+        tab.sql(
+            "INSERT INTO t VALUES (7, 'q@x', 1), (8, 'q@x', 2) "
+            "ON CONFLICT (email) DO NOTHING"
+        )
+        rows = tab.sql("SELECT id, n FROM t WHERE email = 'q@x'").collect()
+        assert [(r.id, r.n) for r in rows] == [(7, 1)]
+
+    def test_pk_assignment_refused_under_unique_arbiter(self, tab):
+        with pytest.raises(ValueError, match="may not assign primary-key"):
+            tab.sql(
+                "INSERT INTO t VALUES (9, 'a@x', 1) "
+                "ON CONFLICT (email) DO UPDATE SET id = 99"
+            )
+
+    def test_pk_target_still_pk_path(self, tab):
+        tab.sql(
+            "INSERT INTO t VALUES (1, 'k@x', 99) "
+            "ON CONFLICT (id) DO UPDATE SET n = excluded.n"
+        )
+        assert tab.sql(
+            "SELECT n FROM t WHERE id = 1"
+        ).collect()[0].n == 99
+
+    def test_returning_post_images(self, tab):
+        rows = tab.sql(
+            "INSERT INTO t VALUES (30, 'new@x', 3), (31, 'a@x', 4) "
+            "ON CONFLICT (email) DO UPDATE SET n = excluded.n "
+            "RETURNING id, n"
+        ).collect()
+        assert sorted((r.id, r.n) for r in rows) == [(1, 4), (30, 3)]
+
+    def test_partial_index_inference(self, eng):
+        eng.sql("CREATE TABLE p (id int PRIMARY KEY, v text, act boolean)")
+        eng.sql("INSERT INTO p VALUES (1, 'x', true), (2, 'x', false)")
+        eng.sql("CREATE UNIQUE INDEX p_v ON p (v) WHERE act")
+        # without the predicate the partial index is not inferred
+        with pytest.raises(ValueError, match="no unique or exclusion"):
+            eng.sql(
+                "INSERT INTO p VALUES (3, 'x', true) "
+                "ON CONFLICT (v) DO NOTHING"
+            )
+        eng.sql(
+            "INSERT INTO p VALUES (3, 'x', true) "
+            "ON CONFLICT (v) WHERE act DO NOTHING"
+        )
+        assert eng.table("p").count() == 2  # conflicted, skipped
+        eng.sql(
+            "INSERT INTO p VALUES (3, 'x', false) "
+            "ON CONFLICT (v) WHERE act DO NOTHING"
+        )
+        assert eng.table("p").count() == 3  # ineligible row inserts
+
+    def test_do_update_where_clause(self, tab):
+        tab.sql(
+            "INSERT INTO t VALUES (9, 'a@x', 100) "
+            "ON CONFLICT (email) DO UPDATE SET n = excluded.n "
+            "WHERE t.n > 500"
+        )
+        # WHERE failed: row unchanged, proposed row NOT inserted
+        assert tab.sql(
+            "SELECT n FROM t WHERE email = 'a@x'"
+        ).collect()[0].n == 1
+        assert tab.table("t").count() == 2
+
+    def test_other_unique_index_still_enforced(self, eng):
+        eng.sql(
+            "CREATE TABLE m (id int PRIMARY KEY, a text, b text)"
+        )
+        eng.sql("INSERT INTO m VALUES (1, 'a1', 'b1')")
+        eng.sql("CREATE UNIQUE INDEX m_a ON m (a)")
+        eng.sql("CREATE UNIQUE INDEX m_b ON m (b)")
+        # fresh on the arbiter (a), duplicate on the OTHER index (b)
+        with pytest.raises(ValueError, match='"m_b"'):
+            eng.sql(
+                "INSERT INTO m VALUES (2, 'a2', 'b1') "
+                "ON CONFLICT (a) DO UPDATE SET b = excluded.b"
+            )
