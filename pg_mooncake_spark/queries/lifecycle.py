@@ -3649,3 +3649,96 @@ def mv_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "mv_supplier_churn",
+    oracle="""
+    WITH supp_post AS (
+      -- the churned dimension: re-tiered slice + deleted slice
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 10 = 0
+                  THEN (s_nationkey + 1) % 25
+                  ELSE s_nationkey END AS s_nationkey
+      FROM supplier WHERE NOT (s_suppkey % 17 = 3)
+    ),
+    li_post AS (
+      SELECT l_suppkey, l_extendedprice
+      FROM lineitem WHERE NOT (l_orderkey % 101 = 7)
+    )
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM li_post l, supp_post s, nation n
+    WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def mv_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-MV DIMENSION CHURN (round 18, VERDICT r17 missing #4): a
+    revenue-per-nation view enriched through supplier → nation, then
+    the supplier dimension CHANGES — one slice re-tiered to a different
+    nation (UPDATE rewrites the join path), one slice deleted (its fact
+    rows drop out of the INNER join) — and a fact delete lands in the
+    same refresh.  The refresh absorbs the churn with a bounded
+    recompute of only the affected nations
+    (views._fold_dim_churn: dim change feed → changed join keys → one
+    pruned fact pass for affected groups under both pins → semi-joined
+    recompute), THEN folds the fact delta against the new pins — the
+    ordering that avoids double-counting.  The oracle recomputes the
+    post-churn join from scratch; any stale pin, unabsorbed slice, or
+    double-folded delta breaks the hash."""
+    eng = _temp_engine(spark)
+    eng.create_table(
+        "li_ch",
+        source_df=t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+        ),
+        primary_key=["l_orderkey", "l_linenumber"], change_feed=True,
+    )
+    eng.create_table(
+        "supp_ch",
+        source_df=t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        ),
+        primary_key=["s_suppkey"], change_feed=True,
+    )
+    eng.create_table(
+        "nat_ch",
+        source_df=t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        ),
+    )
+    eng.create_materialized_view(
+        "rev_nation", "li_ch", ["n_name"],
+        {
+            "revenue": ("sum", "CAST(l_extendedprice AS DECIMAL(30,2))"),
+            "n_lines": ("count", "*"),
+        },
+        enrich=[
+            {"table": "supp_ch", "on": [("l_suppkey", "s_suppkey")],
+             "cols": ["s_nationkey"]},
+            {"table": "nat_ch", "on": [("s_nationkey", "n_nationkey")],
+             "cols": ["n_name"]},
+        ],
+    )
+    # dimension churn: re-tier one slice, delete another
+    eng.update_where(
+        "supp_ch", "s_suppkey % 10 = 0",
+        {"s_nationkey": "(s_nationkey + 1) % 25"},
+    )
+    eng.delete_where("supp_ch", "s_suppkey % 17 = 3")
+    # a fact delta in the same refresh (churn folds first, at the
+    # pre-delta fact version)
+    eng.delete_where("li_ch", "l_orderkey % 101 = 7")
+    return (
+        eng.materialized_view("rev_nation")
+        .select(
+            "n_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("n_lines").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )

@@ -117,15 +117,19 @@ class MaterializedView:
 
     ``enrich`` (round 17, VERDICT r16 task #5 — the join-MV frontier)
     extends the view query to ``base ⋈ dim ⋈ dim ... WHERE ... GROUP
-    BY``: an ordered chain of INNER joins against STATIC dimension
-    moontables, each pinned at its creation-time version.  The fact's
-    change feed folds through the chain in O(changes) per commit (the
-    delta batch broadcasts against the dims); the dims themselves are
-    declared static — a refresh after any enrich dim advanced raises
-    loudly instead of silently serving a stale join (dim churn is not
-    folded; recreate the view).  This is the TPC-H q5 shape: revenue
-    per nation with region/nation/supplier/customer/orders joined in
-    and only lineitem hot."""
+    BY``: an ordered chain of INNER joins against SLOWLY-CHANGING
+    dimension moontables, each pinned at a version.  The fact's change
+    feed folds through the chain in O(changes) per commit (the delta
+    batch broadcasts against the dims).  Dimension churn is absorbed
+    at the next refresh by a BOUNDED recompute of only the affected
+    groups (round 18, :meth:`_fold_dim_churn`) — the dim's change feed
+    names the changed join keys, one pruned fact pass finds the
+    affected groups under both pins, and one semi-joined recompute
+    rewrites exactly those state rows; a dim whose feed cannot replay
+    the gap (UPDATE/DELETE without change_feed=True) still refuses
+    loudly.  This is the TPC-H q5 shape: revenue per nation with
+    region/nation/supplier/customer/orders joined in and only lineitem
+    hot."""
 
     #: fold count between automatic state compactions (see refresh)
     COMPACT_EVERY_FOLDS = 4
@@ -242,20 +246,17 @@ class MaterializedView:
             self._save_spec(spec)
         start = reflected + 1
         end = base.latest_version()
+        # Round 18 (VERDICT r17 missing #4): absorb dimension churn
+        # FIRST, with a bounded recompute pinned at fact@reflected —
+        # the fact fold below then enriches its deltas against the NEW
+        # dim pins, landing at f(fact@end, dims@new) with no double
+        # count.  Ordering matters: churn-recompute over fact@end would
+        # bake the pending fact deltas into affected groups, and the
+        # fold would then add them again.
+        if spec.get("enrich"):
+            self._fold_dim_churn(spec, base, gb, aggs, reflected)
         if end < start:
             return reflected
-        for step in spec.get("enrich") or []:
-            cur = MoonTable(self.spark, step["path"]).latest_version()
-            if cur != step["version"]:
-                # static-dimension contract: dim churn is NOT folded —
-                # serving the stale join silently would be a wrong
-                # answer, so refuse loudly (recreate the view)
-                raise MoonTableError(
-                    f"enrich dimension {step['path']!r} advanced "
-                    f"(version {step['version']} → {cur}); this view's "
-                    "dimensions are static — DROP and re-CREATE the "
-                    "view to absorb dimension changes"
-                )
         ch = base.changes(start, end)
         if spec.get("enrich"):
             ch = _apply_enrich(self.spark, ch, spec["enrich"])
@@ -393,6 +394,127 @@ class MaterializedView:
             spec["folds_since_compact"] = 0
         self._save_spec(spec)
         return end
+
+    # -------------------------------------------------------- dim churn
+
+    def _fold_dim_churn(
+        self,
+        spec: dict,
+        base: MoonTable,
+        gb: list[str],
+        aggs: dict[str, tuple[str, str]],
+        reflected: int,
+    ) -> None:
+        """Absorb advanced enrich dimensions with a BOUNDED recompute
+        (round 18, VERDICT r17 missing #4) instead of refusing — the
+        static-dimension contract's biggest operational gap: a
+        periodically-updated dimension (price lists, user tiers) forced
+        DROP + full recreate.
+
+        Per advanced dimension, in chain order:
+
+        1. The dim's change feed between the pinned and current
+           versions yields the CHANGED JOIN KEYS (pre- and post-images,
+           so key rewrites and deletes count on both sides).  Steps
+           before this one are unchanged, so a fact row's join key for
+           this step is identical under old and new pins — ONE
+           enrichment of fact@reflected through the preceding steps,
+           semi-joined to the changed keys (broadcast — the delta is
+           small), finds the AFFECTED fact rows.
+        2. Affected GROUPS = the groups those rows reach under the OLD
+           pin ∪ under the NEW pin (a churned dim can rename the group
+           key itself — q5's n_name lives on nation).
+        3. One full-aggregate recompute of exactly those groups over
+           fact@reflected ⋈ chain@new-pin, merged into the state;
+           affected groups with no surviving rows delete.
+
+        Cost: two column-pruned fact scans (affected detection +
+        bounded recompute) and an O(affected groups) state write —
+        against DROP+recreate's full aggregate, full state rewrite, and
+        lost refresh watermark.  Unaffected groups are untouched: their
+        rows join no changed dim row under either pin, so their values
+        are identical under both.
+
+        Requires the dim's change feed to cover the gap: an insert-only
+        dim replays from history, but UPDATE/DELETE commits need the
+        dim created with ``change_feed=True`` — otherwise this refuses
+        with the old recreate message (now actionable).  Multiple
+        advanced dims fold sequentially, each against the already-
+        updated pins of its predecessors."""
+        for idx, step in enumerate(spec.get("enrich") or []):
+            dim = MoonTable(self.spark, step["path"])
+            cur = dim.latest_version()
+            if cur == step["version"]:
+                continue
+            try:
+                dch = dim.changes(step["version"] + 1, cur)
+            except Exception as e:
+                raise MoonTableError(
+                    f"enrich dimension {step['path']!r} advanced "
+                    f"(version {step['version']} → {cur}) but its "
+                    "change feed cannot replay the gap "
+                    f"({e}); create the dimension with "
+                    "change_feed=True to let the view absorb churn, "
+                    "or DROP and re-CREATE the view"
+                ) from None
+            pairs = [tuple(p) for p in step["on"]]
+            dcols = [d for _, d in pairs]
+            bcols = [b for b, _ in pairs]
+            keys = dch.select(
+                *[F.col(d).alias(f"__k{i}") for i, d in enumerate(dcols)]
+            ).distinct()
+            fact = base.read(version=reflected)
+            pre = _apply_enrich(self.spark, fact, spec["enrich"][:idx])
+            cond = None
+            for i, b in enumerate(bcols):
+                c = pre[b] == keys[f"__k{i}"]
+                cond = c if cond is None else (cond & c)
+            affected = pre.join(keys, cond, "leftsemi")
+            old_tail = spec["enrich"][idx:]
+            new_tail = [dict(s) for s in old_tail]
+            new_tail[0]["version"] = cur
+
+            def _groups(tail) -> DataFrame:
+                g = _apply_enrich(self.spark, affected, tail)
+                if spec.get("where"):
+                    g = g.filter(spec["where"])
+                return g.select(*gb).distinct()
+
+            affected_groups = (
+                _groups(old_tail).unionByName(_groups(new_tail)).distinct()
+                .localCheckpoint(eager=True)
+            )
+            step["version"] = cur  # advance the pin (spec saved below)
+            if not affected_groups.take(1):
+                self._save_spec(spec)
+                continue
+            rec_src = _apply_enrich(self.spark, fact, spec["enrich"])
+            if spec.get("where"):
+                rec_src = rec_src.filter(spec["where"])
+            rec = _full_agg(
+                rec_src.join(affected_groups, on=gb, how="leftsemi"),
+                gb, aggs,
+            )
+            state_schema = self.state.schema()
+            aligned = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in state_schema.fields
+            ]
+            gone = affected_groups.join(
+                rec.select(*gb), on=gb, how="leftanti"
+            )
+            # watermark unchanged: churn does not advance the BASE
+            # version the state reflects
+            self._merge_state(
+                rec.select(*aligned), gone, gb, state_schema, reflected
+            )
+            spec["folds_since_compact"] = (
+                spec.get("folds_since_compact", 0) + 1
+            )
+            if spec["folds_since_compact"] >= self.COMPACT_EVERY_FOLDS:
+                self.state.optimize()
+                spec["folds_since_compact"] = 0
+            self._save_spec(spec)
 
     # ----------------------------------------------------------- rename
 

@@ -784,20 +784,25 @@ class TestEnrichedJoinView:
         eng5.update_where("fact", "id = 3", {"dim_id": "10"})
         assert self._read(eng5) == {("red", 175.0, 3)}
 
-    def test_dim_churn_refuses_loudly(self, eng5, spark):
+    def test_dim_churn_folds(self, eng5, spark):
+        # round 18: dimension churn is ABSORBED by a bounded recompute
+        # (views._fold_dim_churn) instead of refusing — an insert-only
+        # dim replays from history even without change_feed=True
         eng5.insert(
             "dim",
             spark.createDataFrame(
                 [(40, "green", True)], "d_id int, color string, active boolean"
             ),
         )
-        with pytest.raises(Exception, match="static"):
-            eng5.insert(
-                "fact",
-                spark.createDataFrame(
-                    [(7, 40, 1.0)], "id int, dim_id int, amt double"
-                ),
-            )
+        eng5.insert(
+            "fact",
+            spark.createDataFrame(
+                [(7, 40, 1.0)], "id int, dim_id int, amt double"
+            ),
+        )
+        assert self._read(eng5) == {
+            ("red", 150.0, 2), ("blue", 25.0, 1), ("green", 1.0, 1),
+        }
 
     def test_minmax_recompute_through_chain(self, spark, warehouse):
         e = MooncakeEngine(spark, warehouse)
