@@ -61,73 +61,32 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # ---- round-17 rotation (VERDICT r16 task #2).
-    # (1) never driver-verified: the round-17 additions — the FK/UNIQUE
-    # validate-then-record capstone, the q5 join-MV, DISTINCT ON (both
-    # spellings), and the Postgres regex operators
-    "lifecycle_sql_fk_restore",
+    # ---- round-18 rotation (VERDICT r17 task #2).
+    # (1) never driver-verified: the round-18 additions — the non-pk
+    # ON CONFLICT arbitration key, the subquery-DML key, and the
+    # join-MV dimension-churn key
+    "lifecycle_sql_upsert_unique",
+    "lifecycle_sql_dml_subquery",
+    "mv_supplier_churn",
+    # (2) implementation/oracle changed this round:
+    # - mv_q5_volume: the vacuous 1994 window moved to 1996 (VERDICT
+    #   r17 what's-wrong #1) — must re-verify NON-vacuously
+    # - lifecycle_sql_fk_restore: new enforce_ok column (write-path
+    #   enforcement capstone extension)
+    # - scalar_pg_json_ops: five new jsonb-predicate columns (@>, ?,
+    #   ?|, ?&) and the lambda-guard rewrite underneath
+    # - scalar_pg_dialect_family: chained AT TIME ZONE, nested CAST,
+    #   and case-insensitive to_char rewrites changed underneath
+    # - lifecycle_sql_upsert / _returning: the ON CONFLICT target
+    #   resolver changed in front of the pk path they exercise
     "mv_q5_volume",
-    "mv_q3_shipping",
-    "sql_distinct_on",
-    "sql_distinct_on_unordered",
-    "scalar_pg_regex_ops",
-    "scalar_pg_dialect_family",
+    "lifecycle_sql_fk_restore",
     "scalar_pg_json_ops",
-    # (2) implementation/oracle changed this round: generate_series
-    # gained the three-argument reversed-range guard and its oracle now
-    # covers those branches (numeric + timestamp/interval)
-    "sql_generate_series_spine",
-    # (3a) the six keys last driver-verified in round 12 (the
-    # documented r16 50-slot overflow — they head this rotation)
-    "text_language_id",
-    "text_ngram_surprisal",
-    "text_profile_analysis",
-    "text_quality_buckets",
-    "text_quality_scoring",
-    "text_top_ngrams",
-    # (3b) the 45 keys last driver-verified in round 13,
-    # alphabetically.  9 + 6 + 45 = 60 > 50, so the LAST TEN entries
-    # below overflow the 50-slot window and head the round-18 rotation
-    # instead (they stay covered by the full local diffcheck gate every
-    # round): q2_min_cost_supplier, q3_shipping_priority,
-    # q4_order_priority, q5_local_supplier_volume, q6_forecast_revenue,
-    # q7_volume_shipping, q8_market_share, scalar_cast_conversion,
-    # scalar_hof_family, sql_recursive_cte.
-    "agg_cube_with_grouping",
-    "agg_distinct_and_filtered",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_scalar_ungrouped",
-    "agg_stats_family",
-    "agg_string_agg",
-    "avro_roundtrip_documents",
-    "corpus_shard_assignment",
-    "delta_cdf_mapped_rename",
-    "delta_dv_delete_roundtrip",
-    "delta_dv_update_roundtrip",
-    "delta_schema_evolution_roundtrip",
-    "distinct_projection",
-    "embedding_normalize_quantize",
-    "iceberg_delete_roundtrip",
-    "jdbc_mirror_snapshot",
-    "lifecycle_sql_matview",
-    "mv_filtered_where",
-    "mv_incremental_agg",
-    "mv_minmax_retraction",
-    "mv_q1_pricing_summary",
-    "orc_roundtrip_lineitem",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
+    "scalar_pg_dialect_family",
+    "lifecycle_sql_upsert",
+    "lifecycle_sql_upsert_returning",
+    # (3a) the ten keys last driver-verified in round 13 (the
+    # documented r17 50-slot overflow — they head this rotation)
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -138,6 +97,47 @@ _WINDOW_PRIORITY = (
     "scalar_cast_conversion",
     "scalar_hof_family",
     "sql_recursive_cte",
+    # (3b) the 45 keys last driver-verified in round 14,
+    # alphabetically.  3 + 6 + 10 + 45 = 64 > 50, so the LAST
+    # FOURTEEN overflow the 50-slot window and head the round-19
+    # rotation instead (they stay covered by the full local diffcheck
+    # gate every round): limit_offset, mv_rename_survival,
+    # orderby_multikey_nulls, pivot_status_by_priority,
+    # q21_suppliers_kept_waiting, scalar_datetime_family,
+    # scalar_math_family, scalar_regexp_family, scalar_string_family,
+    # scalar_try_family, setop_except, sim_ann_ivf, text_pii_redaction,
+    # text_repetition_score.
+    "agg_bitwise_family",
+    "agg_boolean_family",
+    "corpus_sample_deterministic",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_simhash16",
+    "dedup_substring_runs",
+    "delta_roundtrip_lineitem",
+    "events_asof_join",
+    "iceberg_sorted_range_scan",
+    "join_anti_customers_without_orders",
+    "join_cross_region_nation",
+    "join_full_outer",
+    "join_inequality_acctbal",
+    "join_inner_orders_customers",
+    "join_left_outer_customer_orders",
+    "join_right_outer",
+    "join_semi_customers_with_orders",
+    "lateral_explode_tokens",
+    "lifecycle_iceberg_mirror_sync",
+    "lifecycle_sql_call_follower",
+    "lifecycle_sql_ddl",
+    "lifecycle_sql_dml",
+    "lifecycle_sql_join_dml",
+    "lifecycle_sql_merge",
+    "lifecycle_sql_merge_by_source",
+    "lifecycle_sql_merge_order",
+    "lifecycle_sql_returning",
+    "lifecycle_sql_returning_join",
 )
 
 
