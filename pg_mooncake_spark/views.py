@@ -423,7 +423,13 @@ class MaterializedView:
            small), finds the AFFECTED fact rows.
         2. Affected GROUPS = the groups those rows reach under the OLD
            pin ∪ under the NEW pin (a churned dim can rename the group
-           key itself — q5's n_name lives on nation).
+           key itself — q5's n_name lives on nation).  FAST PATH: when
+           every group key is produced by this step or a later one and
+           the remaining chain's join keys are reachable from this
+           step's columns, the affected groups come from enriching the
+           CHANGED DIM ROWS alone through the rest of the chain
+           (pre-images reach the old groups, post-images the new) —
+           no fact pass for detection at all.
         3. One full-aggregate recompute of exactly those groups over
            fact@reflected ⋈ chain@new-pin, merged into the state;
            affected groups with no surviving rows delete.
@@ -460,30 +466,73 @@ class MaterializedView:
             pairs = [tuple(p) for p in step["on"]]
             dcols = [d for _, d in pairs]
             bcols = [b for b, _ in pairs]
-            keys = dch.select(
-                *[F.col(d).alias(f"__k{i}") for i, d in enumerate(dcols)]
-            ).distinct()
-            fact = base.read(version=reflected)
-            pre = _apply_enrich(self.spark, fact, spec["enrich"][:idx])
-            cond = None
-            for i, b in enumerate(bcols):
-                c = pre[b] == keys[f"__k{i}"]
-                cond = c if cond is None else (cond & c)
-            affected = pre.join(keys, cond, "leftsemi")
             old_tail = spec["enrich"][idx:]
             new_tail = [dict(s) for s in old_tail]
             new_tail[0]["version"] = cur
+            fact = base.read(version=reflected)
+            # FAST PATH: when every group key is produced by this step
+            # or a later one, and the remaining chain's join keys are
+            # reachable from this step's columns, the affected groups
+            # are derivable from the CHANGED DIM ROWS alone — no fact
+            # pass for detection (q5-shape: changed suppliers → their
+            # old/new nations, a driver-cheap dim-delta walk).  The
+            # view WHERE is skipped here (it may reference fact
+            # columns): that only widens the affected-group superset,
+            # never misses one.
+            avail = set(step.get("cols") or []) | set(dcols)
+            reach = True
+            for later in spec["enrich"][idx + 1:]:
+                if any(
+                    b not in avail for b, _ in (tuple(p) for p in later["on"])
+                ):
+                    reach = False
+                    break
+                avail |= set(later.get("cols") or [])
+            produced = set()
+            for s2 in spec["enrich"][idx:]:
+                produced |= set(s2.get("cols") or [])
+            dim_side = reach and all(g in produced for g in gb)
 
-            def _groups(tail) -> DataFrame:
-                g = _apply_enrich(self.spark, affected, tail)
-                if spec.get("where"):
-                    g = g.filter(spec["where"])
-                return g.select(*gb).distinct()
+            if dim_side:
+                # the feed's pre-images reach the OLD groups and its
+                # post-images the NEW ones through the same (pinned)
+                # remaining chain — one enrichment covers both sides
+                imgs = dch.select(
+                    *dict.fromkeys(
+                        dcols + list(step.get("cols") or [])
+                    )
+                )
+                affected_groups = (
+                    _apply_enrich(self.spark, imgs, old_tail[1:])
+                    .select(*gb).distinct()
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                keys = dch.select(
+                    *[
+                        F.col(d).alias(f"__k{i}")
+                        for i, d in enumerate(dcols)
+                    ]
+                ).distinct()
+                pre = _apply_enrich(
+                    self.spark, fact, spec["enrich"][:idx]
+                )
+                cond = None
+                for i, b in enumerate(bcols):
+                    c = pre[b] == keys[f"__k{i}"]
+                    cond = c if cond is None else (cond & c)
+                affected = pre.join(keys, cond, "leftsemi")
 
-            affected_groups = (
-                _groups(old_tail).unionByName(_groups(new_tail)).distinct()
-                .localCheckpoint(eager=True)
-            )
+                def _groups(tail) -> DataFrame:
+                    g = _apply_enrich(self.spark, affected, tail)
+                    if spec.get("where"):
+                        g = g.filter(spec["where"])
+                    return g.select(*gb).distinct()
+
+                affected_groups = (
+                    _groups(old_tail).unionByName(_groups(new_tail))
+                    .distinct().localCheckpoint(eager=True)
+                )
             step["version"] = cur  # advance the pin (spec saved below)
             if not affected_groups.take(1):
                 self._save_spec(spec)

@@ -170,3 +170,46 @@ class TestDimChurnFold:
         assert sorted(
             (r.g, r.s) for r in eng.materialized_view("mv4").collect()
         ) == [("a", 5), ("b", 7)]
+
+    def test_fact_side_group_key_slow_path(self, eng, spark):
+        # group key is a FACT column: affected groups must come from
+        # the fact-pass detection (the dim-delta fast path can't name
+        # them), and a WHERE over the dim column moves rows in/out
+        eng.create_table(
+            "d5",
+            source_df=spark.createDataFrame(
+                [(1, "gold"), (2, "silver")], "p int, tier string"
+            ),
+            primary_key=["p"], change_feed=True,
+        )
+        eng.create_table(
+            "f5",
+            source_df=spark.createDataFrame(
+                [(1, 1, 10), (2, 2, 20), (3, 2, 5)],
+                "id int, p int, qty int",
+            ),
+            primary_key=["id"], change_feed=True,
+        )
+        eng.create_materialized_view(
+            "mv5", "f5", ["p"], {"total": ("sum", "qty")},
+            where="tier = 'gold'",
+            enrich=[{"table": "d5", "on": [("p", "p")], "cols": ["tier"]}],
+        )
+        assert sorted(
+            (r.p, r.total)
+            for r in eng.materialized_view("mv5").collect()
+        ) == [(1, 10)]
+        # churn: silver -> gold pulls group p=2 INTO the filtered view
+        eng.sql("UPDATE d5 SET tier = 'gold' WHERE p = 2")
+        MaterializedView(spark, eng.catalog.get("mv5")["path"]).refresh()
+        assert sorted(
+            (r.p, r.total)
+            for r in eng.materialized_view("mv5").collect()
+        ) == [(1, 10), (2, 25)]
+        # and back out again
+        eng.sql("UPDATE d5 SET tier = 'bronze' WHERE p = 2")
+        MaterializedView(spark, eng.catalog.get("mv5")["path"]).refresh()
+        assert sorted(
+            (r.p, r.total)
+            for r in eng.materialized_view("mv5").collect()
+        ) == [(1, 10)]
