@@ -4964,9 +4964,16 @@ class SqlRouterMixin:
             keys.groupBy(*pk).agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > 1).select(*pk)
         )
-        offender = (
-            dup.unionByName(mt.keys_present(keys)).limit(1).collect()
-        )
+        if self._txn is not None and self._canon(name) in self._txn["overlay"]:
+            # read-your-writes: staged rows count as existing keys —
+            # keys_present reads only the committed snapshot
+            present = keys.distinct().join(
+                self._txn["overlay"][self._canon(name)].select(*pk),
+                on=list(pk), how="leftsemi",
+            )
+        else:
+            present = mt.keys_present(keys)
+        offender = dup.unionByName(present).limit(1).collect()
         if offender:
             vals = ", ".join(str(v) for v in tuple(offender[0]))
             raise ValueError(

@@ -362,11 +362,15 @@ class MaterializedView:
                     )
                 if spec.get("where"):
                     rec_src = rec_src.filter(spec["where"])
+                # pinned ONCE: `gone`, the batch union, and the merge's
+                # ups/dels split each read it — unpinned, the bounded
+                # min/max recompute re-ran per consumer (round 18, same
+                # lesson as the dim-churn fold's 2.4× overshoot)
                 rec = _full_agg(
                     rec_src.join(rec_groups, on=gb, how="leftsemi"),
                     gb,
                     aggs,
-                )
+                ).localCheckpoint(eager=True)
                 # groups whose recompute found no surviving base rows
                 # disappeared entirely — delete them from the view
                 gone = rec_groups.join(rec.select(*gb), on=gb, how="leftanti")
@@ -540,10 +544,15 @@ class MaterializedView:
             rec_src = _apply_enrich(self.spark, fact, spec["enrich"])
             if spec.get("where"):
                 rec_src = rec_src.filter(spec["where"])
+            # pin the bounded recompute ONCE (O(affected groups) rows):
+            # `gone` and the merge batch both read it, and the merge's
+            # ups/dels split reads it twice more — unpinned, the full
+            # fact aggregation re-ran per consumer (measured 21.9 s vs
+            # 9.2 s recreate at sf10 before this checkpoint)
             rec = _full_agg(
                 rec_src.join(affected_groups, on=gb, how="leftsemi"),
                 gb, aggs,
-            )
+            ).localCheckpoint(eager=True)
             state_schema = self.state.schema()
             aligned = [
                 F.col(f.name).cast(f.dataType).alias(f.name)

@@ -418,3 +418,15 @@ class TestOnConflictUniqueArbitration:
                 "INSERT INTO m VALUES (2, 'a2', 'b1') "
                 "ON CONFLICT (a) DO UPDATE SET b = excluded.b"
             )
+
+    def test_txn_staged_pk_collision_probed(self, tab):
+        # review r18: the fresh-pk probe must see rows STAGED in the
+        # open block, not just the committed snapshot
+        tab.sql("BEGIN")
+        tab.sql("INSERT INTO t VALUES (50, 'aa@x', 1)")
+        with pytest.raises(ValueError, match='"t_pkey"'):
+            tab.sql(
+                "INSERT INTO t VALUES (50, 'bb@x', 2) "
+                "ON CONFLICT (email) DO NOTHING"
+            )
+        tab.sql("ROLLBACK")

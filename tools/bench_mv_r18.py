@@ -142,14 +142,20 @@ def recompute():
 
 step("q5 recompute from the same mirrors (median of 3)", recompute, n=3)
 
-# ---- 2. dimension churn: re-tier 1% of suppliers (move nation)
+# ---- 2. dimension churn
 print("\n-- dim churn --", flush=True)
+mv = MaterializedView(spark, eng.catalog.get("q5_volume")["path"])
+
+# narrow: ONE supplier re-tiered — 1-2 affected nations
+step("narrow churn DML (one supplier)", lambda: eng.update_where(
+    "supp5", "s_suppkey = 11", {"s_nationkey": "(s_nationkey + 2) % 25"}))
+step("narrow churn fold (<=2 affected nations)", mv.refresh)
+
+# wide: 1% of suppliers re-tiered — most nations affected
 step("dim churn DML (supplier re-tier, 1% slice)", lambda: eng.update_where(
     "supp5", "s_suppkey % 100 = 7",
     {"s_nationkey": "(s_nationkey + 1) % 25"}))
-
-mv = MaterializedView(spark, eng.catalog.get("q5_volume")["path"])
-step("churn fold (bounded recompute, affected nations only)", mv.refresh)
+step("wide churn fold (most nations affected)", mv.refresh)
 rows = step("MV read post-churn", lambda: eng.materialized_view(
     "q5_volume").collect(), n=3)
 print(f"state rows post-churn: {len(rows)}", flush=True)
