@@ -4625,7 +4625,12 @@ class SqlRouterMixin:
                     t, tgt_alias, assignments, from_sql.strip(), cond,
                     returning=returning,
                 )
-            if self._cond_has_subquery(cond):
+            if self._cond_has_subquery(cond) or any(
+                self._cond_has_subquery(e) for e in assignments.values()
+            ):
+                # a subquery in the WHERE or in a SET expression
+                # (``SET c = (SELECT ...)``, correlated included) —
+                # both compile through the one-SELECT path (round 18)
                 return self._sql_update_subquery(
                     t, tgt_alias, assignments, cond, returning=returning
                 )

@@ -106,6 +106,78 @@ def _apply_enrich(spark: SparkSession, df: DataFrame, enrich) -> DataFrame:
     return df
 
 
+def _backward_fact_prune(
+    spark: SparkSession,
+    fact: DataFrame,
+    enrich: list[dict],
+    gb: list[str],
+    groups: DataFrame,
+) -> DataFrame:
+    """Magic-sets pruning for a bounded group recompute (round 18):
+    when all group keys are produced by ONE enrich step, walk the join
+    chain BACKWARDS from that step to the fact — filter the producing
+    dim to the affected group values, derive the set of its join-key
+    values, semi-join the previous dim on them, and so on until the
+    hop's join column is a FACT column, then semi-join the fact itself.
+    Every hop is a small dim-to-dim semi-join (broadcast); the final
+    fact semi-join is the real pruning: the recompute's scan-join
+    pipeline then processes only rows that can reach an affected group,
+    instead of the whole fact filtered only after the last join.
+
+    Sound by construction (each derived key set is a superset filter —
+    a fact row reaching an affected group value necessarily carries a
+    key in every set along its join path); the exact group semi-join
+    after aggregation still applies.  Returns ``fact`` unchanged when
+    the shape does not qualify (group keys spanning steps, a hop's join
+    column not traceable to a single earlier step, or fact-side group
+    keys — Catalyst's own left-semi pushdown already covers those)."""
+    producer: Optional[int] = None
+    for i, s in enumerate(enrich):
+        cols = set(s.get("cols") or [])
+        if any(g in cols for g in gb):
+            if not all(g in cols for g in gb) or producer is not None:
+                return fact  # group keys span steps
+            producer = i
+    if producer is None:
+        return fact  # fact-side group keys: Catalyst pushes the semi
+    # who provides column `c` to the chain? the LAST step before `i`
+    # listing it in cols, else the fact
+
+    def _provider(c: str, before: int) -> int:
+        for j in range(before - 1, -1, -1):
+            if c in (enrich[j].get("cols") or []):
+                return j
+        return -1  # fact column
+
+    def _dim(j: int) -> DataFrame:
+        s = enrich[j]
+        d = MoonTable(spark, s["path"]).read(version=s["version"])
+        return d.filter(s["filter"]) if s.get("filter") else d
+
+    # the producing dim's slice that reaches an affected group (group
+    # keys are the dim's own column names — _apply_enrich keeps
+    # non-join cols un-aliased)
+    i = producer
+    keyed = _dim(i).join(groups, on=list(gb), how="leftsemi")
+    while True:
+        pairs = [tuple(p) for p in enrich[i]["on"]]
+        srcs = {_provider(b, i) for b, _ in pairs}
+        if len(srcs) != 1:
+            return fact  # multi-source hop — not a simple chain
+        src = srcs.pop()
+        # the join-key VALUES this dim slice matches, named by the
+        # enriched-side (b) spelling the provider carries
+        keys = keyed.select(
+            *[F.col(d).alias(b) for b, d in pairs]
+        ).distinct()
+        bnames = [b for b, _ in pairs]
+        if src < 0:
+            return fact.join(keys, on=bnames, how="leftsemi")
+        # an earlier dim provides these columns under the same names
+        i = src
+        keyed = _dim(i).join(keys, on=bnames, how="leftsemi")
+
+
 class MaterializedView:
     """A persisted GROUP BY aggregate over a base moontable.
 
@@ -357,8 +429,15 @@ class MaterializedView:
                 rec_groups = inc.filter(F.col("__needs") == 1).select(*gb)
                 rec_src = base.read(version=end)
                 if spec.get("enrich"):
+                    # magic-sets: dim-side group keys prune the fact
+                    # BEFORE the join chain (round 18)
                     rec_src = _apply_enrich(
-                        self.spark, rec_src, spec["enrich"]
+                        self.spark,
+                        _backward_fact_prune(
+                            self.spark, rec_src, spec["enrich"], gb,
+                            rec_groups,
+                        ),
+                        spec["enrich"],
                     )
                 if spec.get("where"):
                     rec_src = rec_src.filter(spec["where"])
@@ -541,7 +620,13 @@ class MaterializedView:
             if not affected_groups.take(1):
                 self._save_spec(spec)
                 continue
-            rec_src = _apply_enrich(self.spark, fact, spec["enrich"])
+            rec_src = _apply_enrich(
+                self.spark,
+                _backward_fact_prune(
+                    self.spark, fact, spec["enrich"], gb, affected_groups
+                ),
+                spec["enrich"],
+            )
             if spec.get("where"):
                 rec_src = rec_src.filter(spec["where"])
             # pin the bounded recompute ONCE (O(affected groups) rows):

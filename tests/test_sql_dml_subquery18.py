@@ -106,3 +106,16 @@ class TestSubqueryDml:
         assert eng.sql(
             "SELECT txt FROM s WHERE k = 1"
         ).collect()[0].txt == "(SELECT 1)"
+
+    def test_set_scalar_subquery(self, eng):
+        eng.sql("UPDATE a SET v = (SELECT MAX(v) FROM a) WHERE k = 1")
+        assert eng.sql("SELECT v FROM a WHERE k = 1").collect()[0].v == 40
+
+    def test_set_correlated_subquery(self, eng):
+        eng.sql(
+            "UPDATE a SET v = (SELECT coalesce(MAX(flag), -1) FROM b "
+            "WHERE b.k = a.k)"
+        )
+        assert sorted((r.k, r.v) for r in eng.table("a").collect()) == [
+            (1, -1), (2, 1), (3, 0), (4, 1),
+        ]
