@@ -124,7 +124,11 @@ class TestDropReindex:
         # uniqueness scan runs at build time; the GUC skips it
         eng.sql("CREATE UNIQUE INDEX u_opt_idx ON t (v)")
         assert _indexes(eng)["u_opt_idx"].get("unique") == "validated"
+        # round 18: the validated index is write-enforced too — the
+        # dup-v setup insert needs the bulk-load hatch
+        eng.sql("SET mooncake.skip_unique_write_checks = on")
         eng.sql("INSERT INTO t VALUES (3, 'b', 3.0)")  # dup v='b'
+        eng.sql("RESET mooncake.skip_unique_write_checks")
         with pytest.raises(ValueError, match="duplicate key"):
             eng.sql("CREATE UNIQUE INDEX u_dup_idx ON t (v)")
         eng.sql("SET mooncake.allow_unenforced_unique_indexes = on")
