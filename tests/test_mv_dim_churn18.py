@@ -213,3 +213,55 @@ class TestDimChurnFold:
             (r.p, r.total)
             for r in eng.materialized_view("mv5").collect()
         ) == [(1, 10)]
+
+    def test_magic_sets_prune_plan_and_values(self, eng, spark):
+        # the backward walk must yield a LeftSemi-filtered fact and
+        # keep only rows reaching the affected groups
+        from pg_mooncake_spark.views import _backward_fact_prune
+
+        eng.create_table(
+            "d6a",
+            source_df=spark.createDataFrame(
+                [(1, 10), (2, 20)], "k int, nk int"
+            ),
+            primary_key=["k"], change_feed=True,
+        )
+        eng.create_table(
+            "d6b",
+            source_df=spark.createDataFrame(
+                [(10, "a"), (20, "b")], "nk int, name string"
+            ),
+        )
+        eng.create_table(
+            "f6",
+            source_df=spark.createDataFrame(
+                [(1, 1, 5), (2, 2, 7)], "id int, k int, v int"
+            ),
+            primary_key=["id"], change_feed=True,
+        )
+        eng.create_materialized_view(
+            "mv6", "f6", ["name"], {"s": ("sum", "v")},
+            enrich=[
+                {"table": "d6a", "on": [("k", "k")], "cols": ["nk"]},
+                {"table": "d6b", "on": [("nk", "nk")], "cols": ["name"]},
+            ],
+        )
+        from pg_mooncake_spark.views import MaterializedView as MV
+
+        spec = MV(spark, eng.catalog.get("mv6")["path"]).spec()
+        groups = spark.createDataFrame([("a",)], "name string")
+        pruned = _backward_fact_prune(
+            spark, eng.table("f6"), spec["enrich"], ["name"], groups
+        )
+        plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan
+        assert [r.id for r in pruned.collect()] == [1]
+        # fact-side group keys: unchanged frame (Catalyst's own pushdown
+        # covers that shape)
+        same = _backward_fact_prune(
+            spark, eng.table("f6"), spec["enrich"], ["id"],
+            spark.createDataFrame([(1,)], "id int"),
+        )
+        assert same is not None and "LeftSemi" not in (
+            same._jdf.queryExecution().optimizedPlan().toString()
+        )
