@@ -1866,10 +1866,19 @@ def lifecycle_sql_join_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM s3
       WHERE EXISTS (SELECT 1 FROM orders o
                     WHERE o.o_custkey = s3.c_custkey)
+    ),
+    s5 AS (
+      -- row-form SET (bal) = (correlated subquery) on a slice
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders o
+                        WHERE o.o_custkey = s4.c_custkey)
+                  ELSE bal END AS bal
+      FROM s4
     )
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CAST(bal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
-    FROM s4
+    FROM s5
     """,
 )
 def lifecycle_sql_dml_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1881,8 +1890,9 @@ def lifecycle_sql_dml_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery as a semi/anti/scalar-subquery join).  Two statements run
     INSIDE a transaction block (stage-time, read-your-writes), two
     after COMMIT, one of them a self-referencing scalar subquery (MAX
-    — order-independent, so both engines agree bit-exactly).  The
-    oracle replays all four statements as chained CTEs."""
+    — order-independent, so both engines agree bit-exactly), and a
+    final row-form ``SET (bal) = (correlated subquery)`` over a slice.
+    The oracle replays all five statements as chained CTEs."""
     eng = _temp_engine(spark)
     cust = (
         t(spark, sf_dir, "customer")
@@ -1920,6 +1930,12 @@ def lifecycle_sql_dml_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         DELETE FROM cust_sq
         WHERE NOT EXISTS (SELECT 1 FROM sq_orders o
                           WHERE o.o_custkey = cust_sq.c_custkey)
+    """)
+    eng.sql("""
+        UPDATE cust_sq SET (bal) =
+          (SELECT CAST(COUNT(*) AS DOUBLE) FROM sq_orders o
+           WHERE o.o_custkey = cust_sq.c_custkey)
+        WHERE c_custkey % 7 = 0
     """)
     return eng.table("cust_sq").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -4613,6 +4613,18 @@ class SqlRouterMixin:
                     rest = rest[:wi]
             assignments: dict[str, str] = {}
             for part in _split_top_commas(rest):
+                rowm = re.match(
+                    r"\s*\(\s*([^()]*?)\s*\)\s*=\s*(\(.*\))\s*$",
+                    part, re.S,
+                )
+                if rowm:
+                    # Postgres row-form: SET (a, b) = (SELECT x, y ...)
+                    # or SET (a, b) = (1, 2)  (round 18)
+                    for c, e in self._row_form_assignments(
+                        rowm.group(1), rowm.group(2)
+                    ).items():
+                        assignments[c] = e
+                    continue
                 am = re.match(
                     r'\s*(?:\w+\.)?("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.+)$',
                     part, re.S,
@@ -5545,6 +5557,59 @@ class SqlRouterMixin:
         if returning is not None:
             return self._returning_df(batch.drop(OP_COL), returning)
         return self._dml_result("DELETE", t, v)
+
+    @staticmethod
+    def _row_form_assignments(cols_sql: str, rhs: str) -> dict[str, str]:
+        """Expand Postgres's multi-column UPDATE row form (round 18):
+
+        - ``SET (a, b) = (SELECT x, y FROM ...)`` — the sub-SELECT's
+          projection is wrapped in one ``named_struct`` scalar subquery
+          and each target column reads its field (`__c0`, `__c1`, ...);
+          a per-item trailing alias is dropped (Postgres ignores them
+          here).  Catalyst's subquery reuse dedupes the repeated
+          scalar-subquery text; Postgres's one-row-per-target rule maps
+          to Spark's more-than-one-row scalar-subquery error.
+        - ``SET (a, b) = (1, 2)`` — a plain row literal splits into
+          per-column assignments.
+
+        Arity mismatches raise Postgres's spelling."""
+        cols = [
+            c.strip().strip('"') for c in cols_sql.split(",") if c.strip()
+        ]
+        inner = rhs.strip()[1:-1].strip()
+        if re.match(r"SELECT\b", inner, re.I):
+            pm = re.match(r"SELECT\s+(.*)$", inner, re.I | re.S)
+            body = pm.group(1)
+            fi = _find_top_keyword(body, "FROM")
+            proj, tail = (
+                (body[:fi], body[fi:]) if fi >= 0 else (body, "")
+            )
+            items = [
+                re.sub(
+                    r"\s+AS\s+(\"[^\"]+\"|\w+)\s*$", "", i.strip(),
+                    flags=re.I,
+                )
+                for i in _split_top_commas(proj) if i.strip()
+            ]
+            if len(items) != len(cols):
+                raise ValueError(
+                    "number of columns does not match number of values "
+                    f"in SET ({cols_sql.strip()}) = (SELECT ...)"
+                )
+            struct = ", ".join(
+                f"'__c{i}', ({e})" for i, e in enumerate(items)
+            )
+            sub = f"(SELECT named_struct({struct}) {tail})"
+            return {
+                c: f"({sub}).__c{i}" for i, c in enumerate(cols)
+            }
+        items = [i.strip() for i in _split_top_commas(inner) if i.strip()]
+        if len(items) != len(cols):
+            raise ValueError(
+                "number of columns does not match number of values in "
+                f"SET ({cols_sql.strip()}) = (...)"
+            )
+        return dict(zip(cols, items))
 
     @staticmethod
     def _cond_has_subquery(cond: str) -> bool:

@@ -119,3 +119,30 @@ class TestSubqueryDml:
         assert sorted((r.k, r.v) for r in eng.table("a").collect()) == [
             (1, -1), (2, 1), (3, 0), (4, 1),
         ]
+
+    def test_row_form_literal(self, eng):
+        eng.sql("CREATE TABLE rf (k int PRIMARY KEY, x int, y text)")
+        eng.sql("INSERT INTO rf VALUES (1, 0, 'o')")
+        eng.sql("UPDATE rf SET (x, y) = (5, 'five') WHERE k = 1")
+        r = eng.sql("SELECT x, y FROM rf WHERE k = 1").collect()[0]
+        assert (r.x, r.y) == (5, "five")
+
+    def test_row_form_correlated_subquery(self, eng):
+        eng.sql("CREATE TABLE rf2 (k int PRIMARY KEY, x int, y text)")
+        eng.sql("CREATE TABLE rsrc (k int PRIMARY KEY, nx int, ny text)")
+        eng.sql("INSERT INTO rf2 VALUES (1, 0, 'o'), (2, 0, 'o')")
+        eng.sql("INSERT INTO rsrc VALUES (1, 7, 'seven')")
+        eng.sql(
+            "UPDATE rf2 SET (x, y) = "
+            "(SELECT nx, ny FROM rsrc WHERE rsrc.k = rf2.k) WHERE k = 1"
+        )
+        rows = sorted(
+            (r.k, r.x, r.y) for r in eng.table("rf2").collect()
+        )
+        assert rows == [(1, 7, "seven"), (2, 0, "o")]
+
+    def test_row_form_arity_mismatch(self, eng):
+        eng.sql("CREATE TABLE rf3 (k int PRIMARY KEY, x int, y text)")
+        eng.sql("INSERT INTO rf3 VALUES (1, 0, 'o')")
+        with pytest.raises(ValueError, match="number of columns"):
+            eng.sql("UPDATE rf3 SET (x, y) = (1, 2, 3) WHERE k = 1")

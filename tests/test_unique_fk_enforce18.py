@@ -430,3 +430,17 @@ class TestOnConflictUniqueArbitration:
                 "ON CONFLICT (email) DO NOTHING"
             )
         tab.sql("ROLLBACK")
+
+    def test_unique_arbitration_inside_txn(self, tab):
+        tab.sql("BEGIN")
+        tab.sql("INSERT INTO t VALUES (60, 'tx@x', 1)")
+        # DO UPDATE arbitrating on the unique col sees the staged row
+        tab.sql(
+            "INSERT INTO t VALUES (61, 'tx@x', 5) "
+            "ON CONFLICT (email) DO UPDATE SET n = excluded.n"
+        )
+        tab.sql("COMMIT")
+        rows = tab.sql(
+            "SELECT id, n FROM t WHERE email = 'tx@x'"
+        ).collect()
+        assert [(r.id, r.n) for r in rows] == [(60, 5)]
