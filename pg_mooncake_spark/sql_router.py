@@ -1112,6 +1112,39 @@ def _rewrite_pg_jsonb_predicates(query: str) -> str:
         query = query[:start] + expr + query[m.end():]
 
 
+def _rewrite_pg_scalar_dialect(text: str) -> str:
+    """The EXPRESSION-level Postgres dialect passes of the SELECT
+    pipeline, shared with DML fragments (round 18): WHERE conditions,
+    SET expressions, and VALUES rows previously bypassed the rewrites
+    and died on Spark's parser for valid pg spellings
+    (``WHERE v ~ '^a'``, ``WHERE j ->> 's' = 'y'``,
+    ``VALUES ('1'::int4, ...)``).  Same gates and same order as the
+    pipeline; fragments without pg spellings pass through untouched.
+    Statement-level passes (DISTINCT ON, generate_series, catalogs)
+    stay SELECT-only."""
+    if re.search(
+        r"::|\bARRAY\s*\[|\bCAST\s*\(|\bstring_to_array\b|"
+        r"\bTABLESAMPLE\b",
+        _mask_quoted(text), re.I,
+    ):
+        text = _rewrite_pg_casts_and_arrays(text)
+    if re.search(r"\bAT\s+TIME\s+ZONE\b", _mask_quoted(text), re.I):
+        text = _rewrite_at_time_zone(text)
+    if re.search(r"->|#>", _mask_quoted(text)):
+        text = _rewrite_pg_json_ops(text)
+    if re.search(r"@>|<@|\?", _mask_quoted(text)):
+        text = _rewrite_pg_jsonb_predicates(text)
+    if re.search(
+        r"\bto_char\s*\(|\bto_date\s*\(|\bto_timestamp\s*\(|"
+        r"\bEXTRACT\s*\(\s*EPOCH|\bgen_random_uuid\b",
+        _mask_quoted(text), re.I,
+    ):
+        text = _rewrite_pg_datetime_fns(text)
+    if "~" in text:
+        text = _rewrite_pg_regex_ops(text)
+    return text
+
+
 def _rewrite_at_time_zone(query: str) -> str:
     """``expr AT TIME ZONE 'zone'`` → ``to_utc_timestamp(expr, zone)``
     (round 17): a timestamp-without-time-zone interpreted as
@@ -4566,6 +4599,9 @@ class SqlRouterMixin:
                         f"unexpected clause after DELETE target: {rest!r}"
                     )
                 cond = self._current_of_cond(t, rest[5:].strip())
+            if cond != "true":
+                # pg dialect spellings in the DML WHERE (round 18)
+                cond = _rewrite_pg_scalar_dialect(cond)
             if using_sql is not None:
                 return self._sql_delete_using(
                     t, tgt_alias, using_sql, cond, returning=returning
@@ -4632,6 +4668,14 @@ class SqlRouterMixin:
                 if not am:
                     raise ValueError(f"cannot parse SET clause: {part!r}")
                 assignments[am.group(1).strip('"')] = am.group(2).strip()
+            # pg dialect spellings in the WHERE and SET expressions
+            # (round 18; bare DEFAULT passes through untouched)
+            if cond != "true":
+                cond = _rewrite_pg_scalar_dialect(cond)
+            assignments = {
+                c: _rewrite_pg_scalar_dialect(e)
+                for c, e in assignments.items()
+            }
             if from_sql is not None:
                 return self._sql_update_from(
                     t, tgt_alias, assignments, from_sql.strip(), cond,
@@ -4792,6 +4836,8 @@ class SqlRouterMixin:
             )
             rest = _rewrite_values_defaults(rest, target, schema, defaults)
             rest = self._seq_materialize_text(rest)
+            # pg dialect spellings in VALUES rows (round 18)
+            rest = _rewrite_pg_scalar_dialect(rest)
             src = self.spark.sql(f"SELECT * FROM {rest}")
         elif re.match(r"(SELECT|WITH)\b", rest, re.I):
             # top-level nextval('s') select items become typed-NULL
@@ -4885,8 +4931,13 @@ class SqlRouterMixin:
 
     def _returning_df(self, df: DataFrame, returning: str) -> DataFrame:
         """Project a RETURNING expression list (``*`` or expressions
-        with optional ``AS alias``) over the affected-row images."""
-        items = [i.strip() for i in _split_top_commas(returning) if i.strip()]
+        with optional ``AS alias``) over the affected-row images; pg
+        dialect spellings rewrite like any other expression fragment
+        (round 18)."""
+        items = [
+            _rewrite_pg_scalar_dialect(i.strip())
+            for i in _split_top_commas(returning) if i.strip()
+        ]
         return df.selectExpr(*items)
     def _resolve_conflict_target(
         self,

@@ -182,3 +182,60 @@ class TestNestedCastTypes:
             "SELECT CAST(CAST('42' AS int4) AS text) AS s"
         ).collect()[0]
         assert row.s == "42"
+
+
+class TestPgDialectInDmlFragments:
+    """Round-18 late addition: pg dialect spellings (regex ops, json
+    ops, jsonb predicates, ::casts, to_char) previously died on
+    Spark's parser when used in DML WHERE / SET / VALUES / RETURNING
+    fragments — the rewrites only ran in the SELECT pipeline."""
+
+    @pytest.fixture()
+    def tab(self, eng):
+        eng.sql("CREATE TABLE t (k int PRIMARY KEY, v text, j text)")
+        eng.sql(
+            "INSERT INTO t VALUES "
+            "(1, 'abc', '{\"s\": \"x\"}'), (2, 'xyz', '{\"s\": \"y\"}')"
+        )
+        return eng
+
+    def test_regex_op_in_delete_where(self, tab):
+        tab.sql("DELETE FROM t WHERE v ~ '^a'")
+        assert sorted(r.k for r in tab.table("t").collect()) == [2]
+
+    def test_json_op_in_update_where(self, tab):
+        tab.sql("UPDATE t SET v = 'm' WHERE j ->> 's' = 'y'")
+        assert tab.sql(
+            "SELECT v FROM t WHERE k = 2"
+        ).collect()[0].v == "m"
+
+    def test_jsonb_predicate_in_delete(self, tab):
+        tab.sql("DELETE FROM t WHERE j @> '{\"s\": \"x\"}'")
+        assert sorted(r.k for r in tab.table("t").collect()) == [2]
+
+    def test_pg_cast_in_where_and_values(self, tab):
+        tab.sql("UPDATE t SET v = v || '!' WHERE k::int8 = 1")
+        assert tab.sql(
+            "SELECT v FROM t WHERE k = 1"
+        ).collect()[0].v == "abc!"
+        tab.sql(
+            "INSERT INTO t VALUES "
+            "('3'::int4, to_char(DATE '2024-01-01', 'yyyy'), '{}')"
+        )
+        assert tab.sql(
+            "SELECT v FROM t WHERE k = 3"
+        ).collect()[0].v == "2024"
+
+    def test_pg_cast_in_returning(self, tab):
+        rows = tab.sql(
+            "DELETE FROM t WHERE k = 1 RETURNING k::int8 AS kk"
+        ).collect()
+        assert [r.kk for r in rows] == [1]
+
+    def test_lambda_in_set_survives(self, eng):
+        eng.sql("CREATE TABLE la (k int PRIMARY KEY, a array<int>)")
+        eng.sql("INSERT INTO la VALUES (1, array(1, 2))")
+        eng.sql("UPDATE la SET a = transform(a, x -> x + 1) WHERE k = 1")
+        assert list(
+            eng.sql("SELECT a FROM la WHERE k = 1").collect()[0].a
+        ) == [2, 3]
