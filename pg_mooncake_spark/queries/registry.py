@@ -63,11 +63,14 @@ def query(name: str, oracle: Optional[str] = None):
 _WINDOW_PRIORITY = (
     # ---- round-18 rotation (VERDICT r17 task #2).
     # (1) never driver-verified: the round-18 additions — the non-pk
-    # ON CONFLICT arbitration key, the subquery-DML key, and the
-    # join-MV dimension-churn key
+    # ON CONFLICT arbitration key, the subquery-DML key, the join-MV
+    # dimension-churn key, and the late-round pg array-operator and
+    # json-construction dialect keys
     "lifecycle_sql_upsert_unique",
     "lifecycle_sql_dml_subquery",
     "mv_supplier_churn",
+    "scalar_pg_array_ops",
+    "scalar_pg_json_build",
     # (2) implementation/oracle changed this round:
     # - mv_q5_volume: the vacuous 1994 window moved to 1996 (VERDICT
     #   r17 what's-wrong #1) — must re-verify NON-vacuously
@@ -98,10 +101,11 @@ _WINDOW_PRIORITY = (
     "scalar_hof_family",
     "sql_recursive_cte",
     # (3b) the 45 keys last driver-verified in round 14,
-    # alphabetically.  3 + 6 + 10 + 45 = 64 > 50, so the LAST
-    # FOURTEEN overflow the 50-slot window and head the round-19
+    # alphabetically.  5 + 6 + 10 + 45 = 66 > 50, so the LAST
+    # SIXTEEN overflow the 50-slot window and head the round-19
     # rotation instead (they stay covered by the full local diffcheck
-    # gate every round): limit_offset, mv_rename_survival,
+    # gate every round): lifecycle_sql_returning,
+    # lifecycle_sql_returning_join, limit_offset, mv_rename_survival,
     # orderby_multikey_nulls, pivot_status_by_priority,
     # q21_suppliers_kept_waiting, scalar_datetime_family,
     # scalar_math_family, scalar_regexp_family, scalar_string_family,
@@ -136,8 +140,6 @@ _WINDOW_PRIORITY = (
     "lifecycle_sql_merge",
     "lifecycle_sql_merge_by_source",
     "lifecycle_sql_merge_order",
-    "lifecycle_sql_returning",
-    "lifecycle_sql_returning_join",
 )
 
 

@@ -988,3 +988,128 @@ def scalar_pg_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
     eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
     return eng.sql(_PG_JSON_OPS_SQL)
+
+
+_PG_ARRAY_OPS_SQL = """
+WITH a AS (
+  SELECT o_orderkey AS k,
+         ARRAY[o_orderkey % 3, o_orderkey % 5, o_orderkey % 7] AS arr,
+         o_orderstatus AS st
+  FROM orders
+)
+SELECT k,
+       CAST(CASE WHEN arr @> ARRAY[2, 1] THEN 1 ELSE 0 END
+            AS BIGINT) AS contains_21,
+       CAST(CASE WHEN ARRAY[k % 3] <@ arr THEN 1 ELSE 0 END
+            AS BIGINT) AS contained,
+       CAST(CASE WHEN arr && ARRAY[0, 6] THEN 1 ELSE 0 END
+            AS BIGINT) AS overlaps_06,
+       CAST(CASE WHEN (k % 11) = ANY(arr) THEN 1 ELSE 0 END
+            AS BIGINT) AS eq_any,
+       CAST(CASE WHEN (k % 11) <> ALL(arr) THEN 1 ELSE 0 END
+            AS BIGINT) AS ne_all,
+       CAST(CASE WHEN (k % 4) > ANY(arr) THEN 1 ELSE 0 END
+            AS BIGINT) AS gt_any,
+       CAST(CASE WHEN (k % 10) >= ALL(arr) THEN 1 ELSE 0 END
+            AS BIGINT) AS ge_all,
+       CAST(CASE WHEN st = ANY(SELECT DISTINCT o_orderstatus
+                               FROM orders WHERE o_orderkey < 100)
+                 THEN 1 ELSE 0 END AS BIGINT) AS st_seen_early
+FROM a
+ORDER BY k
+FETCH FIRST 5000 ROWS ONLY
+"""
+
+# DuckDB runs @> / <@ / && natively on lists; its quantified ANY/ALL
+# only accepts subqueries, so the array forms spell the equivalent
+# list functions (no nulls in arr by construction, so min/max bounds
+# are exact for the inequality quantifiers).
+_PG_ARRAY_OPS_ORACLE_SQL = (
+    _PG_ARRAY_OPS_SQL
+    .replace("(k % 11) = ANY(arr)", "list_contains(arr, k % 11)")
+    .replace("(k % 11) <> ALL(arr)", "NOT list_contains(arr, k % 11)")
+    .replace("(k % 4) > ANY(arr)", "(k % 4) > list_min(arr)")
+    .replace("(k % 10) >= ALL(arr)", "(k % 10) >= list_max(arr)")
+)
+
+
+@query("scalar_pg_array_ops", oracle=_PG_ARRAY_OPS_ORACLE_SQL)
+def scalar_pg_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres ARRAY operators (round 18, sql_router
+    _rewrite_pg_array_predicates / _rewrite_pg_any_all): containment
+    ``@>`` / ``<@`` and overlap ``&&`` (compiled onto forall +
+    array_contains / arrays_overlap — JVM-side, whole-stage codegen),
+    and the quantified comparisons ``= ANY``, ``<> ALL``, ``> ANY``,
+    ``>= ALL`` over arrays (array_contains / exists / forall) plus
+    ``= ANY (subquery)`` (≡ IN, Catalyst plans the left-semi).  The
+    oracle runs DuckDB's native list operators and list functions —
+    independent implementations of the same semantics."""
+    import tempfile
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
+    return eng.sql(_PG_ARRAY_OPS_SQL)
+
+
+_PG_JSON_BUILD_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_orderstatus AS st
+  FROM orders
+  WHERE o_orderkey <= 2000
+)
+SELECT prio,
+       json_build_object('prio', prio, 'n', count(*)) AS meta,
+       json_agg(json_build_object('k', k, 'st', st) ORDER BY k) AS docs,
+       json_agg(k ORDER BY k DESC) AS ks_desc,
+       jsonb_build_array(min(k), max(k), count(*)) AS bounds
+FROM base
+GROUP BY prio
+ORDER BY prio
+"""
+
+# DuckDB: json_object / json_array build construction; the ordered
+# aggregation goes through list(expr ORDER BY ...) → to_json, with a
+# json() wrapper so object elements embed as json values, not escaped
+# strings — an independent path to the same serialized arrays.
+_PG_JSON_BUILD_ORACLE_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_orderstatus AS st
+  FROM orders
+  WHERE o_orderkey <= 2000
+)
+SELECT prio,
+       json_object('prio', prio, 'n', count(*)) AS meta,
+       to_json(list(json(json_object('k', k, 'st', st))
+                    ORDER BY k)) AS docs,
+       to_json(list(k ORDER BY k DESC)) AS ks_desc,
+       json_array(min(k), max(k), count(*)) AS bounds
+FROM base
+GROUP BY prio
+ORDER BY prio
+"""
+
+
+@query("scalar_pg_json_build", oracle=_PG_JSON_BUILD_ORACLE_SQL)
+def scalar_pg_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres JSON construction and aggregation (round 18,
+    sql_router._rewrite_pg_json_build): ``json_build_object`` →
+    to_json(named_struct) with null members serialized (Postgres emits
+    {"a": null}; Spark's default would drop the field),
+    ``jsonb_build_array`` → to_json(array), and ``json_agg(expr ORDER
+    BY k [DESC])`` → to_json over a comparator-sorted collect_list
+    (Postgres null placement), with directly-nested build calls
+    staying STRUCTURAL so values nest instead of double-encoding as
+    escaped strings.  The oracle builds the same documents through
+    DuckDB's json_object / json_array / ordered list() — an
+    independent serialization path that must agree byte-for-byte."""
+    import tempfile
+
+    from pg_mooncake_spark.engine import MooncakeEngine
+    from pg_mooncake_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, "orders")
+    eng = MooncakeEngine(spark, tempfile.mkdtemp(prefix="mooncake_wh_"))
+    return eng.sql(_PG_JSON_BUILD_SQL)

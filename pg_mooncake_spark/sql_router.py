@@ -1112,6 +1112,428 @@ def _rewrite_pg_jsonb_predicates(query: str) -> str:
         query = query[:start] + expr + query[m.end():]
 
 
+def _extend_operand_left(masked: str, start: int) -> int:
+    """Extend a primary-operand start leftward over tight-binding
+    binary operators (``+ - * / % ||``) so a loose-binding comparison's
+    LHS like ``a + 1`` or ``f(x) || 'y'`` is captured whole.  A
+    candidate operator whose own left side is NOT an operand end
+    (alnum / ``)`` / quote) is unary — stop there."""
+    while True:
+        k = start - 1
+        while k >= 0 and masked[k].isspace():
+            k -= 1
+        if k < 0:
+            return start
+        if k >= 1 and masked[k - 1:k + 1] == "||":
+            k2 = k - 2
+        elif masked[k] in "+-*/%":
+            k2 = k - 1
+        else:
+            return start
+        while k2 >= 0 and masked[k2].isspace():
+            k2 -= 1
+        if k2 < 0 or not (
+            masked[k2].isalnum() or masked[k2] in ")'\"_"
+        ):
+            return start  # unary sign / leading operator — stop
+        s2 = _primary_operand_start(masked, k2)
+        if s2 >= start:
+            return start
+        start = s2
+
+
+_ANY_ALL_PAT = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(", re.I
+)
+
+
+def _rewrite_pg_any_all(query: str) -> str:
+    """Postgres quantified comparisons (round 18).
+
+    - ``x = ANY (subquery)`` → ``x IN (subquery)`` and
+      ``x <> ALL (subquery)`` → ``x NOT IN (subquery)`` — the exact
+      equivalences Postgres itself documents; other operator/quantifier
+      combinations over a subquery have no Spark spelling and refuse
+      loudly (rewrite with EXISTS).
+    - ``x = ANY (array-expr)`` → ``array_contains(arr, x)`` (JVM-side,
+      codegen; NULL-element arrays yield NULL on no-match exactly like
+      Postgres), ``x <> ALL (arr)`` → its negation, and every other
+      operator maps onto the ``exists`` / ``forall`` higher-order
+      functions, whose three-valued logic matches Postgres's ANY/ALL.
+
+    The LHS is the comparison's full tight-binding chain
+    (:func:`_extend_operand_left`), so ``a + 1 = ANY(...)`` captures
+    ``a + 1``."""
+    while True:
+        masked = _mask_quoted(query)
+        m = _ANY_ALL_PAT.search(masked)
+        if m is None:
+            return query
+        op = m.group(1)
+        quant = m.group(2).upper()
+        depth, j = 1, m.end()
+        while j < len(masked) and depth:
+            depth += masked[j] == "("
+            depth -= masked[j] == ")"
+            j += 1
+        if depth:
+            return query  # unbalanced — let Spark raise the parse error
+        inner = query[m.end():j - 1]
+        lead = masked[m.end():j - 1].lstrip()
+        if re.match(r"(SELECT|WITH|VALUES)\b", lead, re.I):
+            if quant in ("ANY", "SOME") and op == "=":
+                query = query[:m.start()] + " IN (" + inner + ")" \
+                    + query[j:]
+            elif quant == "ALL" and op in ("<>", "!="):
+                query = query[:m.start()] + " NOT IN (" + inner + ")" \
+                    + query[j:]
+            else:
+                raise ValueError(
+                    f"quantified comparison {op} {quant} (subquery) is "
+                    "not supported (only = ANY ≡ IN and <> ALL ≡ NOT "
+                    "IN); rewrite with EXISTS"
+                )
+            continue
+        start = _extend_operand_left(
+            masked, _primary_operand_start(masked, m.start() - 1)
+        )
+        left = query[start:m.start()].strip()
+        if not left:
+            return query
+        if quant in ("ANY", "SOME") and op == "=":
+            expr = f"array_contains(({inner}), ({left}))"
+        elif quant == "ALL" and op in ("<>", "!="):
+            expr = f"(NOT array_contains(({inner}), ({left})))"
+        else:
+            hof = "exists" if quant in ("ANY", "SOME") else "forall"
+            sop = "<>" if op == "!=" else op
+            expr = (
+                f"{hof}(({inner}), "
+                f"__pg_qe -> (({left}) {sop} __pg_qe))"
+            )
+        query = query[:start] + expr + query[j:]
+
+
+_ARRAYISH_RE = re.compile(
+    r"^(array\s*\(|CAST\s*\(\s*array)", re.I
+)
+
+
+def _rewrite_pg_array_predicates(query: str) -> str:
+    """Postgres ARRAY predicate operators (round 18): ``a @> b``
+    (contains), ``a <@ b`` (contained by), ``a && b`` (overlap).  Fires
+    only when one operand is TEXTUALLY an array expression — an
+    ``array(...)`` constructor or a typed empty-array cast (both
+    produced by the earlier ARRAY[...] / '{...}'::t[] rewrites) — so
+    jsonb ``@>`` (string-literal needle) and Spark's boolean ``&&``
+    pass through to their own handlers.  Containment compiles to
+    ``forall(needle, e -> array_contains(hay, e))`` — empty needles
+    are contained in everything (Postgres), a NULL operand yields NULL
+    (Postgres); NULL ELEMENTS differ (Postgres never matches them,
+    the HOF yields NULL) — and ``&&`` to ``arrays_overlap``."""
+    pat = re.compile(r"(@>|<@|&&)\s*")
+    pos = 0
+    while True:
+        masked = _mask_quoted(query)
+        m = pat.search(masked, pos)
+        if m is None:
+            return query
+        # RHS primary span: a call / dotted identifier starting at the
+        # first non-space after the operator
+        k = m.end()
+        while k < len(masked) and masked[k].isspace():
+            k += 1
+        rs = k
+        while k < len(masked) and (masked[k].isalnum() or masked[k] in "_."):
+            k += 1
+        while k < len(masked) and masked[k].isspace():
+            k += 1
+        if k < len(masked) and masked[k] == "(" and k > rs:
+            depth = 0
+            while k < len(masked):
+                depth += masked[k] == "("
+                depth -= masked[k] == ")"
+                k += 1
+                if depth == 0:
+                    break
+            if depth:
+                return query
+        re_ = k
+        rhs = query[rs:re_].strip()
+        start = _primary_operand_start(masked, m.start() - 1)
+        left = query[start:m.start()].strip()
+        rhs_arr = bool(_ARRAYISH_RE.match(rhs))
+        lhs_arr = bool(_ARRAYISH_RE.match(left))
+        if not rhs_arr and not (
+            lhs_arr and re.fullmatch(r"[A-Za-z_][\w.]*", rhs)
+        ):
+            pos = m.end()
+            continue
+        if not left:
+            pos = m.end()
+            continue
+        op = m.group(1)
+        if op == "&&":
+            expr = f"arrays_overlap(({left}), ({rhs}))"
+        elif op == "@>":
+            expr = (
+                f"forall(({rhs}), __pg_ce -> "
+                f"array_contains(({left}), __pg_ce))"
+            )
+        else:  # <@
+            expr = (
+                f"forall(({left}), __pg_ce -> "
+                f"array_contains(({rhs}), __pg_ce))"
+            )
+        query = query[:start] + expr + query[re_:]
+
+
+_JSON_BUILD_NAMES = (
+    "json_build_object", "jsonb_build_object",
+    "json_build_array", "jsonb_build_array", "row_to_json",
+)
+_JSON_AGG_NAMES = (
+    "json_agg", "jsonb_agg", "json_object_agg", "jsonb_object_agg",
+)
+_JSON_BUILD_PAT = re.compile(
+    r"\b(" + "|".join(_JSON_BUILD_NAMES + _JSON_AGG_NAMES)
+    + r")\s*\(", re.I,
+)
+# to_json options: Spark drops null struct fields by default
+# (spark.sql.jsonGenerator.ignoreNullFields) where Postgres's
+# json_build_object emits {"a": null} — force parity.
+_TO_JSON_OPTS = "map('ignoreNullFields', 'false')"
+
+
+def _jsonb_sort_comparator(field: str, desc: bool) -> str:
+    """A three-way comparator lambda body for array_sort over
+    ``struct(<field>, ...)`` with Postgres null placement (ASC → nulls
+    last, DESC → nulls first)."""
+    lo, hi = ("1", "-1") if desc else ("-1", "1")
+    n = f"l.{field} IS NULL AND r.{field} IS NULL"
+    return (
+        f"(l, r) -> CASE WHEN {n} THEN 0 "
+        f"WHEN l.{field} IS NULL THEN {hi} "
+        f"WHEN r.{field} IS NULL THEN {lo} "
+        f"WHEN l.{field} < r.{field} THEN {lo} "
+        f"WHEN l.{field} > r.{field} THEN {hi} ELSE 0 END"
+    )
+
+
+def _json_build_value(arg: str) -> str:
+    """A build-call ARGUMENT: if it is itself (exactly) a json
+    construction call, compile to the bare struct/array expression so
+    the outer ``to_json`` serializes it NESTED (Postgres nests the
+    value; wrapping the inner call in its own to_json would instead
+    embed an escaped json STRING)."""
+    s = arg.strip()
+    m = _JSON_BUILD_PAT.match(_mask_quoted(s))
+    if m and m.group(1).lower() in _JSON_BUILD_NAMES:
+        masked = _mask_quoted(s)
+        depth, j = 1, m.end()
+        while j < len(masked) and depth:
+            depth += masked[j] == "("
+            depth -= masked[j] == ")"
+            j += 1
+        if depth == 0 and not s[j:].strip():
+            return _json_struct_expr(
+                m.group(1).lower(), s[m.end():j - 1]
+            )
+    return s
+
+
+def _json_struct_expr(name: str, inner: str) -> str:
+    """Compile one json construction call (args text ``inner``) to the
+    equivalent Spark STRUCT-VALUED expression (no to_json wrapper —
+    the caller decides the serialization boundary)."""
+    parts = [p for p in _split_top_commas(inner)]
+    if name in ("json_build_object", "jsonb_build_object"):
+        if len(parts) % 2:
+            raise ValueError(
+                f"{name}() needs an even number of arguments"
+            )
+        out: list[str] = []
+        for i in range(0, len(parts), 2):
+            key = parts[i].strip()
+            if not re.fullmatch(r"'[^']*'", _mask_quoted(key)):
+                raise ValueError(
+                    f"{name}() keys must be string literals (Spark's "
+                    f"named_struct field names are fixed at plan "
+                    f"time), got {key!r}"
+                )
+            out.append(key)
+            out.append(f"({_json_build_value(parts[i + 1])})")
+        return f"named_struct({', '.join(out)})" if out \
+            else "named_struct()"
+    if name in ("json_build_array", "jsonb_build_array"):
+        vals = ", ".join(
+            f"({_json_build_value(p)})" for p in parts if p.strip()
+        )
+        return f"array({vals})"
+    # row_to_json(t) — a bare (dotted) relation alias serializes the
+    # whole row; ``t.*`` is the same spelling
+    arg = inner.strip()
+    am = re.fullmatch(r"([A-Za-z_][\w.]*?)(?:\.\*)?", arg)
+    if not am:
+        raise ValueError(
+            "row_to_json() supports a relation alias argument "
+            f"(t or t.*), got {arg!r}"
+        )
+    return f"struct({am.group(1)}.*)"
+
+
+def _rewrite_pg_json_build(query: str) -> str:
+    """Postgres JSON construction and aggregation (round 18):
+
+    - ``json[b]_build_object('k', v, ...)`` → ``to_json(named_struct)``
+      (keys must be string literals; directly-nested build calls stay
+      structural so the value nests rather than double-encoding);
+    - ``json[b]_build_array(...)`` → ``to_json(array(...))``
+      (Spark arrays are homogeneous — mixed-type elements raise
+      Spark's loud coercion error where Postgres would mix);
+    - ``row_to_json(t)`` → ``to_json(struct(t.*))``;
+    - ``json[b]_agg(expr [ORDER BY k [ASC|DESC]])`` →
+      ``to_json(collect_list)``, the ordered form via
+      ``array_sort(collect_list(struct(k, v)), comparator)`` with
+      Postgres null placement — the UNORDERED form is
+      partition-order-nondeterministic exactly as Postgres's is
+      scan-order-nondeterministic (give it an ORDER BY for stable
+      output);
+    - ``json[b]_object_agg(k, v)`` →
+      ``to_json(map_from_entries(collect_list(struct(k, v))))``.
+
+    All emit ``to_json(..., {ignoreNullFields: false})`` so NULL
+    members serialize as json null like Postgres."""
+    while True:
+        masked = _mask_quoted(query)
+        m = _JSON_BUILD_PAT.search(masked)
+        if m is None:
+            return query
+        name = m.group(1).lower()
+        depth, j = 1, m.end()
+        while j < len(masked) and depth:
+            depth += masked[j] == "("
+            depth -= masked[j] == ")"
+            j += 1
+        if depth:
+            return query
+        inner = query[m.end():j - 1]
+        if name in _JSON_BUILD_NAMES:
+            expr = (
+                f"to_json({_json_struct_expr(name, inner)}, "
+                f"{_TO_JSON_OPTS})"
+            )
+        elif name in ("json_agg", "jsonb_agg"):
+            if re.match(r"\s*DISTINCT\b", inner, re.I):
+                raise ValueError(
+                    f"{name}(DISTINCT ...) is not supported (element "
+                    "order after dedup is undefined); aggregate over "
+                    "a DISTINCT subquery instead"
+                )
+            om = None
+            inner_masked = _mask_quoted(inner)
+            for om2 in re.finditer(
+                r"\bORDER\s+BY\b", inner_masked, re.I
+            ):
+                d = inner_masked[:om2.start()].count("(") \
+                    - inner_masked[:om2.start()].count(")")
+                if d == 0:
+                    om = om2
+                    break
+            if om is None:
+                val = _json_build_value(inner)
+                expr = (
+                    f"to_json(collect_list({val}), {_TO_JSON_OPTS})"
+                )
+            else:
+                val = _json_build_value(inner[:om.start()])
+                order = inner[om.end():].strip()
+                keys = _split_top_commas(order)
+                if len(keys) != 1:
+                    raise ValueError(
+                        f"{name}(... ORDER BY) supports exactly one "
+                        f"sort key, got {len(keys)}"
+                    )
+                km = re.fullmatch(
+                    r"(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+"
+                    r"(FIRST|LAST))?\s*",
+                    keys[0], re.I | re.S,
+                )
+                key = km.group(1).strip()
+                desc = (km.group(2) or "").upper() == "DESC"
+                if km.group(3):
+                    raise ValueError(
+                        f"{name}(... ORDER BY ... NULLS ...) is not "
+                        "supported; default Postgres null placement "
+                        "applies"
+                    )
+                cmp_ = _jsonb_sort_comparator("__pg_o", desc)
+                expr = (
+                    f"to_json(transform(array_sort(collect_list("
+                    f"struct(({key}) AS __pg_o, ({val}) AS __pg_v)), "
+                    f"{cmp_}), __pg_s -> __pg_s.__pg_v), "
+                    f"{_TO_JSON_OPTS})"
+                )
+        else:  # json_object_agg / jsonb_object_agg
+            parts = _split_top_commas(inner)
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{name}() takes exactly two arguments (key, "
+                    f"value), got {len(parts)}"
+                )
+            k, v = parts[0].strip(), _json_build_value(parts[1])
+            expr = (
+                f"to_json(map_from_entries(collect_list(struct("
+                f"CAST(({k}) AS string), ({v})))), {_TO_JSON_OPTS})"
+            )
+        query = query[:m.start()] + expr + query[j:]
+
+
+_JSON_SRF_PAT = re.compile(
+    r"\b(jsonb?_array_elements(?:_text)?|jsonb?_array_length|"
+    r"jsonb_object_keys)\s*\(", re.I,
+)
+
+
+def _rewrite_pg_json_srf(query: str) -> str:
+    """Postgres JSON set-returning / array functions (round 18):
+
+    - ``json[b]_array_elements[_text](j)`` →
+      ``explode(from_json(j, 'array<string>'))`` — Spark's Jackson
+      parser preserves non-string elements as their raw json text
+      under a string element type, so the non-_text variant's
+      elements remain ``->``-addressable json;
+    - ``json[b]_array_length(j)`` → ``size(from_json(...))``;
+    - ``jsonb_object_keys(j)`` → ``explode(json_object_keys(j))``
+      (one row per key, as in Postgres; the UN-prefixed
+      ``json_object_keys`` spelling is Spark's own ARRAY-returning
+      builtin and passes through untouched).
+
+    Set-returning spellings in non-lateral positions get Spark's loud
+    generator-placement error, like Postgres's own restrictions."""
+    while True:
+        masked = _mask_quoted(query)
+        m = _JSON_SRF_PAT.search(masked)
+        if m is None:
+            return query
+        name = m.group(1).lower()
+        depth, j = 1, m.end()
+        while j < len(masked) and depth:
+            depth += masked[j] == "("
+            depth -= masked[j] == ")"
+            j += 1
+        if depth:
+            return query
+        args = query[m.end():j - 1]
+        if "array_elements" in name:
+            rep = f"explode(from_json(({args}), 'array<string>'))"
+        elif "array_length" in name:
+            rep = f"size(from_json(({args}), 'array<string>'))"
+        else:
+            rep = f"explode(json_object_keys({args}))"
+        query = query[:m.start()] + rep + query[j:]
+
+
 def _rewrite_pg_scalar_dialect(text: str) -> str:
     """The EXPRESSION-level Postgres dialect passes of the SELECT
     pipeline, shared with DML fragments (round 18): WHERE conditions,
@@ -1128,12 +1550,24 @@ def _rewrite_pg_scalar_dialect(text: str) -> str:
         _mask_quoted(text), re.I,
     ):
         text = _rewrite_pg_casts_and_arrays(text)
+    if _ANY_ALL_PAT.search(_mask_quoted(text)):
+        text = _rewrite_pg_any_all(text)
     if re.search(r"\bAT\s+TIME\s+ZONE\b", _mask_quoted(text), re.I):
         text = _rewrite_at_time_zone(text)
     if re.search(r"->|#>", _mask_quoted(text)):
         text = _rewrite_pg_json_ops(text)
+    if re.search(r"@>|<@|&&", _mask_quoted(text)):
+        text = _rewrite_pg_array_predicates(text)
     if re.search(r"@>|<@|\?", _mask_quoted(text)):
         text = _rewrite_pg_jsonb_predicates(text)
+    if _JSON_BUILD_PAT.search(_mask_quoted(text)):
+        text = _rewrite_pg_json_build(text)
+    if re.search(
+        r"\bjsonb?_array_(?:elements(?:_text)?|length)\s*\(|"
+        r"\bjsonb_object_keys\s*\(",
+        _mask_quoted(text), re.I,
+    ):
+        text = _rewrite_pg_json_srf(text)
     if re.search(
         r"\bto_char\s*\(|\bto_date\s*\(|\bto_timestamp\s*\(|"
         r"\bEXTRACT\s*\(\s*EPOCH|\bgen_random_uuid\b",
@@ -1959,17 +2393,34 @@ class SqlRouterMixin:
             _mask_quoted(query), re.I,
         ):
             query = _rewrite_pg_casts_and_arrays(query)
+        # quantified comparisons = ANY / <> ALL / op ANY|ALL over
+        # arrays and subqueries (round 18; after ARRAY[...] rewrote)
+        if _ANY_ALL_PAT.search(_mask_quoted(query)):
+            query = _rewrite_pg_any_all(query)
         # expr AT TIME ZONE 'zone' (round 17)
         if re.search(r"\bAT\s+TIME\s+ZONE\b", _mask_quoted(query), re.I):
             query = _rewrite_at_time_zone(query)
         # Postgres JSON operators -> / ->> / #> / #>> (round 17)
         if re.search(r"->|#>", _mask_quoted(query)):
             query = _rewrite_pg_json_ops(query)
+        # ARRAY predicates @> / <@ / && (round 18; BEFORE the jsonb
+        # pass so array-shaped containment is consumed and the jsonb
+        # pass keeps its string-literal-needle contract)
+        if re.search(r"@>|<@|&&", _mask_quoted(query)):
+            query = _rewrite_pg_array_predicates(query)
         # jsonb predicates @> / ? / ?| / ?& (round 18; after the ->
         # rewrite so a chain left operand is already a call, and after
         # ARRAY[...] became array(...))
         if re.search(r"@>|<@|\?", _mask_quoted(query)):
             query = _rewrite_pg_jsonb_predicates(query)
+        # JSON construction / aggregation — json[b]_build_object,
+        # json[b]_build_array, row_to_json, json[b]_agg [ORDER BY],
+        # json[b]_object_agg (round 18)
+        if _JSON_BUILD_PAT.search(_mask_quoted(query)):
+            query = _rewrite_pg_json_build(query)
+        # JSON set-returning / length functions (round 18)
+        if _JSON_SRF_PAT.search(_mask_quoted(query)):
+            query = _rewrite_pg_json_srf(query)
         # to_char/to_date format literals, EXTRACT(EPOCH), FETCH
         # FIRST, OFFSET n ROWS, gen_random_uuid (round 17)
         if re.search(
