@@ -3100,6 +3100,12 @@ def mv_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = cust.count()
     with_orders = hist.agg(F.sum("custdist")).collect()[0][0] or 0
+    # Only emit the zero bucket when it is non-empty: at tiny scale
+    # every customer can have a qualifying order, and an unconditional
+    # (0, 0) row diverges from the oracle's histogram (found by the
+    # r18 full-registry sf0.001 sweep; sf0.01+ always has the bucket).
+    if total - with_orders <= 0:
+        return hist.orderBy(F.desc("custdist"), F.desc("c_count"))
     zero = eng.spark.createDataFrame(
         [(0, int(total - with_orders))], "c_count long, custdist long"
     )

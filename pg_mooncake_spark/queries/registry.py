@@ -201,6 +201,88 @@ def _load_all() -> None:
 
 
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Fixture-table row count from parquet FOOTERS only (driver-local
+    metadata read, O(files), cached per (dir, table)).
+
+    Queries use this to make scale-adaptive physical-plan choices
+    (broadcast a filtered fact side vs let the planner shuffle it;
+    shuffled-hash vs sort-merge) from the data actually present instead
+    of a constant tuned for one scale factor — the same pattern as the
+    CPU-dense-scan rebalance in :func:`t`.  Returns 0 when metadata
+    can't be read, which callers treat as "unknown: change nothing".
+    """
+    import os as _os
+
+    key = (sf_dir, name)
+    if key not in _ROWS_CACHE:
+        try:
+            import pyarrow.parquet as _pq
+
+            p = f"{sf_dir}/{name}.parquet"
+            files = (
+                [
+                    _os.path.join(p, f)
+                    for f in _os.listdir(p)
+                    if f.endswith(".parquet")
+                ]
+                if _os.path.isdir(p)
+                else [p]
+            )
+            _ROWS_CACHE[key] = sum(
+                _pq.ParquetFile(f).metadata.num_rows for f in files
+            )
+        except Exception:
+            _ROWS_CACHE[key] = 0
+    return _ROWS_CACHE[key]
+
+
+# Scale-adaptive physical-plan gates (round-18 optimization; measured at
+# sf0.1 and sf10, BASELINE.md/OPTIMIZATION_r18.md).  Parameterised via
+# env so a cluster deployment can re-tune without code changes:
+# - BROADCAST_SIDE_ROWS: a *filtered/derived* join side whose estimated
+#   row count is at or under this bound gets an explicit broadcast hint
+#   (the planner's own estimate for a post-join/post-filter relation is
+#   too coarse to fire, measured: q3 1.6x, q5 1.09x at sf10).  Above the
+#   bound the side falls back to a shuffled-hash hint — never a forced
+#   broadcast that would hit the 8 GB relation cap at cluster scale.
+# - HASHJOIN_MIN_ROWS: a *base-table* join side at or above this many
+#   rows is past the auto-broadcast range, so the plan would otherwise
+#   be a sort-merge join; hint shuffled-hash instead (skips both sides'
+#   sorts; measured: join_semi 4.5x, q9 2.3x, q21 1.75x, q13 1.7x at
+#   sf10).  Below the bound leave the planner alone so small scales
+#   keep their broadcast plans.
+import os as _os_mod
+
+BROADCAST_SIDE_ROWS = int(
+    _os_mod.environ.get("SPARK_GRAFT_BROADCAST_SIDE_ROWS", str(4_000_000))
+)
+HASHJOIN_MIN_ROWS = int(
+    _os_mod.environ.get("SPARK_GRAFT_HASHJOIN_MIN_ROWS", str(2_000_000))
+)
+
+
+def maybe_broadcast(df: DataFrame, est_rows: int) -> DataFrame:
+    """Broadcast-hint ``df`` when its estimated row count fits the gate;
+    shuffled-hash-hint it otherwise (sort-merge is never the right
+    strategy for these measured shapes — see gate comment above)."""
+    from pyspark.sql import functions as F
+
+    if 0 < est_rows <= BROADCAST_SIDE_ROWS:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
+def hash_join_hint(df: DataFrame, base_rows: int) -> DataFrame:
+    """Shuffled-hash-hint ``df`` when the base table is past the
+    auto-broadcast range (gate comment above); otherwise leave the
+    planner's (broadcast) choice alone."""
+    if base_rows >= HASHJOIN_MIN_ROWS:
+        return df.hint("shuffle_hash")
+    return df
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pg_mooncake_spark.functions import dsum
-from pg_mooncake_spark.queries.registry import query, register_views, t
+from pg_mooncake_spark.queries.registry import (
+    hash_join_hint,
+    query,
+    register_views,
+    t,
+    table_rows,
+)
 
 # ---------------------------------------------------------------------------
 # Joins
@@ -137,11 +143,26 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semi join measured 7.5 s vs 6.4 s — the semi join's shuffle
     already map-side-dedups its build keys, so the explicit distinct
     just adds an exchange.  The wall is the join + the ~1M-row global
-    ORDER BY the query's contract requires."""
+    ORDER BY the query's contract requires.
+
+    Round-18 optimization: at sf10 the static plan BROADCAST the
+    ~7.3M-row filtered orders side (its size estimate under the
+    threshold) — collecting and shipping a multi-hundred-MB hash
+    relation before probing 1.5M customers against it.  The
+    shuffled-hash hint (gated on orders' footer rows, hash_join_hint;
+    sf0.1's genuinely small broadcast stays) shuffles both sides by
+    custkey and hash-builds per partition.  Plan diff at sf10:
+    BroadcastHashJoin(7.3M-entry build) → ShuffledHashJoin.  Measured
+    interleaved A/B at sf10: 6.49 s → 1.45 s (4.5×), values identical
+    (1.5M rows cross-checked)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        c.join(
+            hash_join_hint(o, table_rows(sf_dir, "orders")),
+            c.c_custkey == o.o_custkey,
+            "left_semi",
+        )
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )

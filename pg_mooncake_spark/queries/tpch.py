@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_mooncake_spark.functions import dsum, scaled_long, unscale_sum
-from pg_mooncake_spark.queries.registry import query, t
+from pg_mooncake_spark.queries.registry import (
+    hash_join_hint,
+    maybe_broadcast,
+    query,
+    t,
+    table_rows,
+)
 
 # Shared expression: revenue = extendedprice * (1 - discount).
 _REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)"
@@ -163,6 +169,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice and the map-side combine buys nothing.  Keep the join-first
     shape (the q13/q10 lever only pays when the agg collapses many
     rows per key).
+
+    Round-18 optimization: the orders⋈customer side survives both its
+    filters at ~10% of orders and projects to 2 columns, so it is
+    broadcast-hinted into the lineitem scan (size-gated via parquet
+    footer rows — maybe_broadcast) and lineitem never shuffles:
+    SortMergeJoin → BroadcastHashJoin, 3 exchanges → 1 carrying fact
+    rows none.  Measured interleaved A/B at sf10: 3.52 s → 2.20 s
+    (1.6×), values identical.
     """
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
@@ -171,12 +185,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    ord_side = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+    ).select("o_orderkey", "o_orderdate")
     return (
         li.join(
-            orders.join(
-                F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
-            ),
-            li.l_orderkey == orders.o_orderkey,
+            maybe_broadcast(ord_side, table_rows(sf_dir, "orders") // 10),
+            li.l_orderkey == ord_side.o_orderkey,
             "inner",
         )
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
@@ -218,6 +233,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, supplier-nation) pair, so the pre-agg adds a shuffle and
     collapses nothing (same shape as the q3 negative).  Join-first
     kept.
+
+    Round-18 optimization: the orders(1-year)⋈customer side projects to
+    (o_orderkey, c_nationkey) — ~15% of orders, 2 narrow columns — and
+    is broadcast-hinted (size-gated, maybe_broadcast) so the ASIA
+    lineitem side never shuffles: SortMergeJoin + 2 fact exchanges →
+    BroadcastHashJoin, zero fact exchanges.  Measured interleaved A/B
+    at sf10: 4.65 s → 4.24 s (1.10×), values identical; the win is
+    smaller than q3's because the ASIA-supplier broadcast chain already
+    kept only 1/5 of lineitem.
     """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
@@ -232,10 +256,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_side = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
         F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey")
     )
-    ord_side = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    ord_side = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_nationkey")
     return (
         li_side.join(
-            ord_side,
+            maybe_broadcast(ord_side, table_rows(sf_dir, "orders") // 6),
             (li_side.l_orderkey == ord_side.o_orderkey)
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -427,7 +453,20 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces ``COUNT(o_orderkey) = 0`` exactly, so values stay
     hash-identical to the naive-plan oracle.  Catalyst does not perform this
     agg-below-outer-join rewrite itself (measured 41x vs DuckDB at sf10
-    before, see BASELINE.md)."""
+    before, see BASELINE.md).
+
+    Round-18 optimization: at sf10 the planner's post-aggregate size
+    ESTIMATE still fell under the broadcast threshold, so the static
+    plan collected and shipped the ~1.1M-entry count relation as a
+    broadcast — exactly the shape round 15 measured losing (4.13 s
+    forced-broadcast vs 1.80 s shuffled).  The shuffled-hash hint,
+    gated on orders' footer row count (hash_join_hint: below the gate
+    the planner's genuinely-small broadcast is left alone, so sf0.1
+    plans are unchanged), pins the join to shuffle-both-sides + hash
+    build per partition — no million-entry driver collect, no sort.
+    Plan diff at sf10: BroadcastHashJoin(1.1M-entry build) →
+    ShuffledHashJoin.  Measured interleaved A/B at sf10: 2.05 s →
+    1.22 s (1.7×), values identical."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     ord_counts = (
@@ -437,7 +476,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     per_cust = cust.select("c_custkey").join(
-        ord_counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+        hash_join_hint(ord_counts, table_rows(sf_dir, "orders")),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
     )
     return (
         per_cust.select(

@@ -35,7 +35,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pg_mooncake_spark.functions import dsum
-from pg_mooncake_spark.queries.registry import query, t
+from pg_mooncake_spark.queries.registry import (
+    hash_join_hint,
+    maybe_broadcast,
+    query,
+    t,
+    table_rows,
+)
 
 _REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)"
 
@@ -85,6 +91,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates ~2% of lineitem instead of all of it.  The oracle runs
     the unpushed form (aggregate everything, filter at the end),
     proving the pushdown equivalent.
+
+    Round-18 optimization: the supply aggregate is explicitly
+    repartitioned by l_partkey ALONE before the (l_partkey, l_suppkey)
+    groupBy — hashpartitioning(l_partkey) satisfies the aggregate's
+    clustered-distribution requirement (a coarser co-partitioning) AND
+    the window-min's partitionBy(l_partkey), so the window reuses the
+    aggregate's exchange: 2 shuffles → 1.  Measured interleaved A/B at
+    sf10: 1.25 s → 1.16 s (1.08×), values identical.
     """
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
@@ -97,6 +111,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             (dsum("l_extendedprice", 2) / dsum("l_quantity", 2)).alias("unit_cost")
@@ -160,6 +175,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs 3.86 s against the join-first shape (BASELINE.md r15: the lever
     pays iff the aggregate collapses many rows per join key; q13 ~10,
     q10 ~4 ✓; q3/q5/semi ~1 ✗).
+
+    Round-18 optimization: the nation-filtered orders⋈customer side
+    projects to (o_orderkey, cust_nation) — ~8% of orders — and is
+    broadcast-hinted (size-gated, maybe_broadcast) so the filtered
+    lineitem side never shuffles.  Measured interleaved A/B at sf10:
+    2.21 s → 2.11 s (1.05×, within noise but the plan sheds both fact
+    exchanges — the structural win is what scales), values identical.
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
@@ -180,11 +202,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_side = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
         F.broadcast(n1), supp.s_nationkey == F.col("n1_key")
     )
-    ord_side = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
-    ).join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+    ord_side = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .select("o_orderkey", "cust_nation")
+    )
     return (
-        li_side.join(ord_side, li_side.l_orderkey == ord_side.o_orderkey)
+        li_side.join(
+            maybe_broadcast(ord_side, table_rows(sf_dir, "orders") // 12),
+            li_side.l_orderkey == ord_side.o_orderkey,
+        )
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -296,6 +323,17 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffled lineitem side and the join's probe work (~15% at
     sf10, BASELINE.md; the q13/q10 lever at its modest end because
     only ~1.3 red lineitems share an (order, nation) pair).
+
+    Round-18 optimization: at sf10 the planner's size estimate for the
+    2-column orders projection still fell under the broadcast
+    threshold, so the static plan collected and shipped a 15M-entry
+    broadcast hash relation — a pathological build (hundreds of MB on
+    the driver and every executor's copy).  The shuffled-hash hint
+    (gated on orders' footer rows, hash_join_hint — sf0.1's genuinely
+    small broadcast stays) shuffles both sides and hash-builds per
+    partition instead.  Plan diff at sf10: BroadcastHashJoin(15M-entry
+    build) → ShuffledHashJoin.  Measured interleaved A/B at sf10:
+    12.4 s → 5.3 s (2.3×), values identical.
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
@@ -315,7 +353,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pre.join(
-            orders.select("o_orderkey", "o_orderdate"),
+            hash_join_hint(
+                orders.select("o_orderkey", "o_orderdate"),
+                table_rows(sf_dir, "orders"),
+            ),
             pre.l_orderkey == F.col("o_orderkey"),
         )
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
@@ -494,9 +535,25 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     order belongs to that supplier — so per-order aggregates carry the
     full answer.  Lineitem shuffles once.  The DuckDB oracle runs the
     literal EXISTS/NOT-EXISTS form, proving the rewrite.
+
+    Round-18 optimization: orders is projected to the 2 columns the
+    join actually consumes (o_orderkey, o_orderdate) before the fact
+    join, and the join carries a shuffled-hash hint past the
+    auto-broadcast range (gated on orders' footer rows,
+    hash_join_hint).  At sf10 the static plan had chosen to BROADCAST
+    the ~7.3M-row F-status orders side (its size estimate under the
+    threshold) — a multi-hundred-MB driver build; the hint replaces it
+    with shuffle + per-partition hash build.  Plan diff at sf10:
+    BroadcastHashJoin(7.3M-entry build) → ShuffledHashJoin.  Measured
+    interleaved A/B at sf10: 7.24 s → 4.12 s (1.75×), values
+    identical.
     """
     li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     late = F.col("l_shipdate") > F.col("o_orderdate")
@@ -505,7 +562,10 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grain first computes the same distinct counts as plain counts over
     # an already-reduced input — one fact-sized shuffle, no Expand.
     per_os = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(
+            hash_join_hint(orders, table_rows(sf_dir, "orders")),
+            li.l_orderkey == orders.o_orderkey,
+        )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.count(F.when(late, True)).alias("late_rows"))
     )

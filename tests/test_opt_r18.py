@@ -1,0 +1,120 @@
+"""Round-18 optimization regressions: scale-adaptive join-strategy gates.
+
+The r18 optimization round replaced planner-estimate-driven join
+strategies on the fact joins with footer-metadata-driven ones
+(registry.maybe_broadcast / hash_join_hint): at sf10 the planner's size
+estimates chose BROADCASTS of multi-million-entry relations (q9: the
+15M-row orders projection; join_semi: 7.3M filtered orders; q13: the
+1.1M-entry count relation) while SHUFFLING the genuinely small sides
+(q3/q5/q7's filtered orders⋈customer projections).  These tests pin the
+gate logic and both plan regimes so a future change can't silently
+reintroduce either pathology.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_mooncake_spark.queries import registry
+from pg_mooncake_spark.queries.registry import (
+    all_queries,
+    hash_join_hint,
+    maybe_broadcast,
+    table_rows,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_table_rows_matches_actual_counts(spark):
+    for name in ("orders", "customer", "nation"):
+        assert table_rows(SF, name) == spark.read.parquet(
+            f"{SF}/{name}.parquet"
+        ).count()
+
+
+def test_table_rows_unreadable_returns_zero():
+    assert table_rows("/nonexistent_dir_xyz", "orders") == 0
+
+
+def test_small_side_gets_broadcast_hint(spark):
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = _plan(
+        cust.join(maybe_broadcast(nat, 100), cust.c_nationkey == nat.n_nationkey)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_large_side_gets_shuffled_hash_hint(spark, monkeypatch):
+    monkeypatch.setattr(registry, "BROADCAST_SIDE_ROWS", 10)
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    plan = _plan(
+        cust.join(
+            maybe_broadcast(nat, 1000), cust.c_nationkey == nat.n_nationkey
+        )
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_join_hint_inert_below_gate(spark):
+    # sf0.001 orders (~1.5k rows) is far below HASHJOIN_MIN_ROWS: the
+    # planner's broadcast choice must be untouched on every hinted query
+    for key in (
+        "join_semi_customers_with_orders",
+        "q13_customer_distribution",
+        "q9_product_type_profit",
+        "q21_suppliers_kept_waiting",
+    ):
+        plan = _plan(all_queries()[key](spark, SF))
+        assert "ShuffledHashJoin" not in plan, key
+        assert "BroadcastHashJoin" in plan, key
+
+
+def test_hash_join_hint_engages_above_gate(spark, monkeypatch):
+    # force the gate down: every hinted fact join must pin shuffled-hash
+    monkeypatch.setattr(registry, "HASHJOIN_MIN_ROWS", 1)
+    for key in (
+        "join_semi_customers_with_orders",
+        "q13_customer_distribution",
+        "q9_product_type_profit",
+        "q21_suppliers_kept_waiting",
+    ):
+        plan = _plan(all_queries()[key](spark, SF))
+        assert "ShuffledHashJoin" in plan, key
+
+
+def test_gated_queries_value_identical_across_regimes(spark, monkeypatch):
+    """The hint changes physical strategy only: rows must be identical
+    with the gate forced on vs off."""
+    keys = (
+        "join_semi_customers_with_orders",
+        "q13_customer_distribution",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+    )
+    baseline = {
+        k: [tuple(r) for r in all_queries()[k](spark, SF).collect()] for k in keys
+    }
+    monkeypatch.setattr(registry, "HASHJOIN_MIN_ROWS", 1)
+    monkeypatch.setattr(registry, "BROADCAST_SIDE_ROWS", 1)
+    for k in keys:
+        forced = [tuple(r) for r in all_queries()[k](spark, SF).collect()]
+        assert forced == baseline[k], k
+
+
+def test_q2_window_reuses_supply_exchange(spark):
+    """q2's window-min must not add a second shuffle: exactly one
+    non-broadcast Exchange above the scans (the l_partkey repartition),
+    and the Window sits exchange-free above it."""
+    plan = _plan(all_queries()["q2_min_cost_supplier"](spark, SF))
+    import re
+
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles == 1, plan

@@ -1,0 +1,418 @@
+"""Round-18 optimization A/B harness.
+
+Times named variant pairs (current registry query vs candidate rewrite)
+with the noop sink, warm pass + median of N, in ONE session so the
+comparison is same-session fair (BASELINE.md protocol).  Variants are
+defined inline here; values are cross-checked between variants before
+timing (sorted collect) so a faster-but-wrong rewrite can never look
+like a win.
+
+Usage: python tools/ab_r18.py <sf_dir> <experiment> [runs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def session(cpus: str = "32") -> SparkSession:
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pg_mooncake_spark-ab18")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.local.dir", "/tmp/ab18_scratch")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def timeit(df_fn, runs: int) -> list[float]:
+    out = []
+    df_fn().write.format("noop").mode("overwrite").save()  # warm
+    for _ in range(runs):
+        df = df_fn()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+
+def crosscheck(a: DataFrame, b: DataFrame, name: str) -> None:
+    ra = sorted(map(str, a.collect()))
+    rb = sorted(map(str, b.collect()))
+    assert ra == rb, f"{name}: variant results differ ({len(ra)} vs {len(rb)} rows)"
+    print(f"  values identical ({len(ra)} rows)")
+
+
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+# ---------------------------------------------------------------- variants
+
+
+def q5_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    base = lambda: all_queries()["q5_local_supplier_volume"](spark, sf_dir)
+
+    def cand():
+        """Broadcast the orders(1yr)⋈customer side: lineitem never shuffles."""
+        cust = t(spark, sf_dir, "customer")
+        orders = t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        li = t(spark, sf_dir, "lineitem")
+        supp = t(spark, sf_dir, "supplier")
+        nat = t(spark, sf_dir, "nation")
+        reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+        asia_nat = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        ord_side = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        ).select("o_orderkey", "c_nationkey")
+        li_side = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+            F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey")
+        )
+        from pg_mooncake_spark.queries.tpch import _rev_col
+
+        return (
+            li_side.join(
+                F.broadcast(ord_side),
+                (li_side.l_orderkey == ord_side.o_orderkey)
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .groupBy("n_name")
+            .agg(_rev_col().alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name")
+        )
+
+    return base, cand
+
+
+def q7_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    base = lambda: all_queries()["q7_volume_shipping"](spark, sf_dir)
+
+    def cand():
+        """Broadcast the (2/25-nation-filtered) orders⋈customer side."""
+        from pg_mooncake_spark.queries.tpch import _rev_col
+
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        cust = t(spark, sf_dir, "customer")
+        supp = t(spark, sf_dir, "supplier")
+        nat = t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        )
+        n1 = nat.select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = nat.select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+        pair = (
+            (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+        ) | (
+            (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+        )
+        li_side = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+            F.broadcast(n1), supp.s_nationkey == F.col("n1_key")
+        )
+        ord_side = (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+            .select("o_orderkey", "cust_nation")
+        )
+        return (
+            li_side.join(
+                F.broadcast(ord_side), li_side.l_orderkey == ord_side.o_orderkey
+            )
+            .filter(pair)
+            .withColumn("l_year", F.year("l_shipdate").cast("long"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(_rev_col().alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year")
+        )
+
+    return base, cand
+
+
+def q2_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries, t
+    from pg_mooncake_spark.functions import dsum
+
+    base = lambda: all_queries()["q2_min_cost_supplier"](spark, sf_dir)
+
+    def cand():
+        """Partition the supply agg by l_partkey alone so the window-min
+        reuses the exchange (2 shuffles -> 1)."""
+        li = t(spark, sf_dir, "lineitem")
+        part = t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+        supp = t(spark, sf_dir, "supplier")
+        nat = t(spark, sf_dir, "nation")
+        reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+        supply = (
+            li.join(
+                F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"),
+                "left_semi",
+            )
+            .repartition("l_partkey")
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(
+                (dsum("l_extendedprice", 2) / dsum("l_quantity", 2)).alias(
+                    "unit_cost"
+                )
+            )
+        )
+        asia = (
+            supply.join(F.broadcast(supp), supply.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        )
+        w = Window.partitionBy("l_partkey")
+        return (
+            asia.join(F.broadcast(part), asia.l_partkey == part.p_partkey)
+            .withColumn("min_cost", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("min_cost"))
+            .select(
+                "s_acctbal",
+                "s_name",
+                "n_name",
+                "p_partkey",
+                F.round("unit_cost", 6).alias("supply_cost"),
+            )
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100)
+        )
+
+    return base, cand
+
+
+
+def q3_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    base = lambda: all_queries()["q3_shipping_priority"](spark, sf_dir)
+
+    def cand():
+        """Broadcast the orders(date)⋈customer(BUILDING) side (~2.4% of
+        orders survive the segment filter): lineitem never shuffles."""
+        from pg_mooncake_spark.queries.tpch import _rev_col
+
+        cust = t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        )
+        li = t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        )
+        ord_side = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        ).select("o_orderkey", "o_orderdate")
+        return (
+            li.join(F.broadcast(ord_side), li.l_orderkey == ord_side.o_orderkey)
+            .groupBy(
+                "l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate")
+            )
+            .agg(_rev_col().alias("revenue"))
+            .select("l_orderkey", "revenue", "orderdate")
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+        )
+
+    return base, cand
+
+
+def q9_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries, t
+    from pg_mooncake_spark.functions import dsum
+
+    base = lambda: all_queries()["q9_product_type_profit"](spark, sf_dir)
+
+    def cand():
+        """Shuffled-hash hint on the pre⋈orders join (skip both sorts)."""
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        supp = t(spark, sf_dir, "supplier")
+        part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+        nat = t(spark, sf_dir, "nation")
+        amount = (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+        ).cast("decimal(30,6)")
+        pre = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .groupBy("l_orderkey", "n_name")
+            .agg(F.sum(amount).alias("amt"))
+        )
+        return (
+            pre.join(
+                orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
+                pre.l_orderkey == F.col("o_orderkey"),
+            )
+            .withColumn("o_year", F.year("o_orderdate").cast("long"))
+            .groupBy(F.col("n_name").alias("nation"), "o_year")
+            .agg(F.sum("amt").cast("double").alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year"))
+        )
+
+    return base, cand
+
+
+def semi_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    base = lambda: all_queries()["join_semi_customers_with_orders"](spark, sf_dir)
+
+    def cand():
+        """Shuffled-hash hint on the semi join (skip both sorts)."""
+        c = t(spark, sf_dir, "customer")
+        o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+        return (
+            c.join(o.hint("shuffle_hash"), c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey")
+        )
+
+    return base, cand
+
+
+
+def q21_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    base = lambda: all_queries()["q21_suppliers_kept_waiting"](spark, sf_dir)
+
+    def cand():
+        """Project orders to 2 cols + shuffled-hash hint on the fact join."""
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey", "o_orderdate")
+        supp = t(spark, sf_dir, "supplier")
+        nat = t(spark, sf_dir, "nation")
+        late = F.col("l_shipdate") > F.col("o_orderdate")
+        per_os = (
+            li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(F.count(F.when(late, True)).alias("late_rows"))
+        )
+        late_supp = F.col("late_rows") > 0
+        per_order = (
+            per_os.groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_supp"),
+                F.count(F.when(late_supp, True)).alias("n_late_supp"),
+                F.max(F.when(late_supp, F.col("l_suppkey"))).alias("late_supp"),
+                F.sum("late_rows").alias("n_late_rows"),
+            )
+            .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        )
+        return (
+            per_order.join(F.broadcast(supp), per_order.late_supp == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .groupBy("s_name")
+            .agg(F.sum("n_late_rows").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100)
+        )
+
+    return base, cand
+
+
+def q13_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    base = lambda: all_queries()["q13_customer_distribution"](spark, sf_dir)
+
+    def cand():
+        """Shuffled-hash hint on the left join (skip both sorts)."""
+        cust = t(spark, sf_dir, "customer")
+        orders = t(spark, sf_dir, "orders")
+        ord_counts = (
+            orders.filter(F.col("o_orderpriority") != "5-LOW")
+            .select("o_custkey")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+        per_cust = cust.select("c_custkey").join(
+            ord_counts.hint("shuffle_hash"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        return (
+            per_cust.select(
+                F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count")
+            )
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count"))
+        )
+
+    return base, cand
+
+
+EXPERIMENTS = {
+    "q21": q21_variants,
+    "q13": q13_variants,
+    "q3": q3_variants,
+    "q9": q9_variants,
+    "semi": semi_variants,
+    "q5": q5_variants,
+    "q7": q7_variants,
+    "q2": q2_variants,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    exp = sys.argv[2]
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    spark = session()
+    base, cand = EXPERIMENTS[exp](spark, sf_dir)
+    print(f"== {exp} @ {sf_dir} ==")
+    crosscheck(base(), cand(), exp)
+    # interleave A/B rounds so monotone environment drift hits both
+    # variants equally (the block-ordered A/B/A kept showing drift
+    # larger than the effect under test on this host)
+    import time as _t
+    base().write.format("noop").mode("overwrite").save()
+    cand().write.format("noop").mode("overwrite").save()
+    tb, tc = [], []
+    for _ in range(runs):
+        for fn, acc in ((base, tb), (cand, tc)):
+            df = fn()
+            t0 = _t.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            acc.append(round(_t.perf_counter() - t0, 3))
+    print(f"  base: {tb} median {median(tb):.3f}")
+    print(f"  cand: {tc} median {median(tc):.3f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
