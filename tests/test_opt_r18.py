@@ -118,3 +118,58 @@ def test_q2_window_reuses_supply_exchange(spark):
 
     n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_shuffles == 1, plan
+
+
+def test_bpe_count_equals_alternation_form(spark):
+    """token_count_bpe_ish's two-class-counts+translate decomposition
+    must equal the original three-way alternation on adversarial
+    inputs (class boundaries, unicode, empties, runs)."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.operators.text import token_count_bpe_ish
+
+    rows = [
+        ("",),
+        (" ",),
+        ("abc",),
+        ("abc123",),
+        ("a1b2c3",),
+        ("!!!",),
+        ("a!b?c.",),
+        ("Hello, World! 42 times...",),
+        ("çafé überños",),
+        ("tab\there\nnewline",),
+        ("  double  spaces  ",),
+        ("123 456 789",),
+        ("a" * 500 + "!" + "9" * 30,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    old = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+        )
+    ).cast("bigint")
+    got = df.select(
+        token_count_bpe_ish(F.col("text")).alias("new"), old.alias("old")
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], (r["new"], r["old"])
+
+
+def test_token_char_sum_equals_fold(spark):
+    """The translate-based char sum in text_profile/quality_features
+    must equal the per-token length fold it replaced."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.operators.text import tokens
+
+    rows = [("",), (" ",), ("a b  c",), ("  x  ",), ("word, another.",)]
+    df = spark.createDataFrame(rows, "text string")
+    fold = F.aggregate(
+        tokens(F.col("text")),
+        F.lit(0).cast("bigint"),
+        lambda a, t: a + F.length(t),
+    )
+    lin = F.length(F.translate(F.lower(F.col("text")), " ", "")).cast("bigint")
+    for r in df.select(fold.alias("a"), lin.alias("b")).collect():
+        assert r["a"] == r["b"], (r["a"], r["b"])
