@@ -276,6 +276,12 @@ def maybe_broadcast(df: DataFrame, est_rows: int) -> DataFrame:
     return df.hint("shuffle_hash")
 
 
+def hashjoin_min_rows() -> int:
+    """Current HASHJOIN_MIN_ROWS gate (function so tests can
+    monkeypatch the module global and every caller sees it)."""
+    return HASHJOIN_MIN_ROWS
+
+
 def hash_join_hint(df: DataFrame, base_rows: int) -> DataFrame:
     """Shuffled-hash-hint ``df`` when the base table is past the
     auto-broadcast range (gate comment above); otherwise leave the

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pg_mooncake_spark.functions import dsum
 from pg_mooncake_spark.queries.registry import (
     hash_join_hint,
+    hashjoin_min_rows,
     query,
     register_views,
     t,
@@ -40,11 +41,22 @@ from pg_mooncake_spark.queries.registry import (
     """,
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join; customer is the broadcast dimension."""
+    """Inner equi-join; customer is the broadcast dimension at small
+    scale.
+
+    Round-18 optimization: the unconditional customer broadcast becomes
+    a shuffled-hash hint once the fact side is past the auto-broadcast
+    range (hash_join_hint on orders' footer rows): at sf10 the forced
+    broadcast built and shipped a 1.5M-entry (custkey, name) relation;
+    shuffling both sides and hash-building per partition measured
+    2.15 → 1.80 s interleaved (values identical).  At sf0.1 the gate is
+    off and the planner's broadcast stays."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    c = t(spark, sf_dir, "customer")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = table_rows(sf_dir, "orders") >= hashjoin_min_rows()
+    side = c.hint("shuffle_hash") if big else F.broadcast(c)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(side, o.o_custkey == c.c_custkey)
         .select("o_orderkey", "c_name", F.col("o_totalprice").alias("totalprice"))
         .orderBy("o_orderkey")
     )
@@ -60,7 +72,15 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with no orders."""
+    """Left outer join preserving customers with no orders.
+
+    Round-18 negative result (sf10, interleaved A/B): eager-aggregating
+    orders per o_custkey before the join + shuffled-hash hint measured
+    2.7–6.0 s vs 2.9–4.5 s for this shape — no consistent win, because
+    the output contract is per-customer rows with a global ORDER BY, so
+    the post-join aggregate+sort dominates either way (unlike q13,
+    which collapses to a ~50-row histogram after its second level).
+    Join-first kept."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return (
@@ -177,11 +197,22 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join = NOT EXISTS."""
+    """Left-anti join = NOT EXISTS.
+
+    Round-18 optimization: same gate as join_semi — at sf10 the static
+    plan broadcast the full 15M-row orders build side; the shuffled-hash
+    hint (gated on orders' footer rows) measured 6.7 → 1.2 s
+    interleaved (5.5×), values identical.  The orders side is also
+    projected to the join key alone (the anti join consumes nothing
+    else), halving the exchanged bytes."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(
+            hash_join_hint(o, table_rows(sf_dir, "orders")),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )
