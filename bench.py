@@ -85,7 +85,10 @@ def main() -> None:
     # first-touch parquet footer reads all land here, so the timed rounds
     # below measure steady-state query throughput rather than charging
     # one-time session costs to whichever query happens to run first.
+    # Jobs are labeled (guide §1.5) so the UI/event log attributes every
+    # stage to its query when the bench runs with the UI enabled.
     for name in HEADLINE:
+        spark.sparkContext.setJobDescription(f"warm: {name}")
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -102,13 +105,15 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     load_start = os.getloadavg()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(n_runs):
+    for rnd in range(n_runs):
         spark.catalog.clearCache()
         for name in HEADLINE:
             fn = queries[name]
+            spark.sparkContext.setJobDescription(f"bench[{rnd}]: {name}")
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - start)
+    spark.sparkContext.setJobDescription(None)
     load_end = os.getloadavg()
 
     def median(xs: list[float]) -> float:

@@ -249,6 +249,11 @@ def table_rows(sf_dir: str, name: str) -> int:
 #   too coarse to fire, measured: q3 1.6x, q5 1.09x at sf10).  Above the
 #   bound the side falls back to a shuffled-hash hint — never a forced
 #   broadcast that would hit the 8 GB relation cap at cluster scale.
+#   The default is the measured break-even of the build cost: at sf10
+#   a 1.5M-entry build won 1.6x (q3), a 2.5M-entry build won 1.10x
+#   (q5), and a 3.0M-entry build LOST 1.5x vs shuffled-hash (q8,
+#   three-way interleaved A/B) — so the bound sits at the last
+#   measured-winning size, 2.5M.
 # - HASHJOIN_MIN_ROWS: a *base-table* join side at or above this many
 #   rows is past the auto-broadcast range, so the plan would otherwise
 #   be a sort-merge join; hint shuffled-hash instead (skips both sides'
@@ -258,7 +263,7 @@ def table_rows(sf_dir: str, name: str) -> int:
 import os as _os_mod
 
 BROADCAST_SIDE_ROWS = int(
-    _os_mod.environ.get("SPARK_GRAFT_BROADCAST_SIDE_ROWS", str(4_000_000))
+    _os_mod.environ.get("SPARK_GRAFT_BROADCAST_SIDE_ROWS", str(2_500_000))
 )
 HASHJOIN_MIN_ROWS = int(
     _os_mod.environ.get("SPARK_GRAFT_HASHJOIN_MIN_ROWS", str(2_000_000))

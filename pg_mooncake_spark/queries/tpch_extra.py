@@ -247,7 +247,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both fact sides are reduced before the orderkey shuffle: the
     ECONOMY part filter broadcasts into lineitem (with supplier/n2),
     and the AMERICA region filter broadcasts into orders (via
-    customer/n1)."""
+    customer/n1).  The orders side is projected to its two surviving
+    columns and size-gated (maybe_broadcast, est = orders/5 — the
+    AMERICA region keeps 1/5 of customers): genuinely small scales
+    broadcast it (no fact exchange at all), past the gate it takes a
+    shuffled-hash hint — at sf10 the 3.0M-entry broadcast build
+    measured 1.5x WORSE than shuffled-hash while shuffled-hash beat
+    the default sort-merge 2.38 -> 2.24 s (three-way interleaved A/B,
+    OPTIMIZATION_r18.md)."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -274,9 +281,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .select("o_orderkey", "o_orderdate")
     )
     return (
-        li_side.join(ord_side, li_side.l_orderkey == ord_side.o_orderkey)
+        li_side.join(
+            maybe_broadcast(ord_side, table_rows(sf_dir, "orders") // 5),
+            li_side.l_orderkey == F.col("o_orderkey"),
+        )
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(

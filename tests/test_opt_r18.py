@@ -98,6 +98,7 @@ def test_gated_queries_value_identical_across_regimes(spark, monkeypatch):
         "q13_customer_distribution",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
+        "q8_market_share",
     )
     baseline = {
         k: [tuple(r) for r in all_queries()[k](spark, SF).collect()] for k in keys
@@ -107,6 +108,21 @@ def test_gated_queries_value_identical_across_regimes(spark, monkeypatch):
     for k in keys:
         forced = [tuple(r) for r in all_queries()[k](spark, SF).collect()]
         assert forced == baseline[k], k
+
+
+def test_q8_fact_join_both_regimes(spark, monkeypatch):
+    """q8's orders-side gate: broadcast when the est fits (small SFs —
+    the planner's own choice was sort-merge at every scale), shuffled
+    hash past the gate (sf10 measured: the 3.0M-entry broadcast build
+    LOST 1.5x vs shuffled-hash, which beat sort-merge).  Sort-merge
+    must never come back on the fact join."""
+    plan = _plan(all_queries()["q8_market_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    monkeypatch.setattr(registry, "BROADCAST_SIDE_ROWS", 1)
+    plan = _plan(all_queries()["q8_market_share"](spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_q2_window_reuses_supply_exchange(spark):

@@ -376,8 +376,77 @@ def q13_variants(spark, sf_dir):
     return base, cand
 
 
+def _q8_cand(spark, sf_dir, side_hint):
+    """q8 with ord_side projected to (o_orderkey, o_orderdate) and the
+    fact join hinted: side_hint('broadcast'|'shuffle_hash')."""
+    from pg_mooncake_spark.queries.registry import t
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    zero = F.lit(0).cast("decimal(30,6)")
+    li_side = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    ord_side = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    ord_side = (
+        F.broadcast(ord_side)
+        if side_hint == "broadcast"
+        else ord_side.hint("shuffle_hash")
+    )
+    return (
+        li_side.join(ord_side, li_side.l_orderkey == F.col("o_orderkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q8b_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries
+
+    base = lambda: all_queries()["q8_market_share"](spark, sf_dir)
+    return base, lambda: _q8_cand(spark, sf_dir, "broadcast")
+
+
+def q8h_variants(spark, sf_dir):
+    from pg_mooncake_spark.queries.registry import all_queries
+
+    base = lambda: all_queries()["q8_market_share"](spark, sf_dir)
+    return base, lambda: _q8_cand(spark, sf_dir, "shuffle_hash")
+
+
 EXPERIMENTS = {
     "q21": q21_variants,
+    "q8b": q8b_variants,
+    "q8h": q8h_variants,
     "q13": q13_variants,
     "q3": q3_variants,
     "q9": q9_variants,
