@@ -55,11 +55,18 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # the bench is a repeated workload over the same tables: enable the
-    # session-shared dataset cache (registry.t) so each table's scan is
-    # paid once — the warehouse buffer-pool analog (-18% total, measured
-    # 3×3 A/B at sf0.1).  The correctness gate never sets this.
-    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    # r18 measurement-honesty fix: the bench no longer enables the
+    # session-shared dataset cache (SPARK_GRAFT_CACHE_TABLES).  The
+    # per-round clearCache() below was *intended* to make every timed
+    # query do its own materialization, but a persisted Dataset
+    # re-registers its InMemoryRelation lazily on next use (verified:
+    # the executed plan shows InMemoryTableScan again right after
+    # clearCache()), so within a round every query after the first read
+    # base tables from memory instead of parquet.  Timed queries must
+    # compute from the parquet inputs; the cache remains available as an
+    # engine feature for user workloads, just never under the bench.
+    # (Old-methodology totals r05-r17 carried roughly a 15-20% benefit;
+    # see OPTIMIZATION_r18.md for the bracketing runs.)
 
     from pyspark.sql import SparkSession
 

@@ -443,8 +443,86 @@ def q8h_variants(spark, sf_dir):
     return base, lambda: _q8_cand(spark, sf_dir, "shuffle_hash")
 
 
+def fp_variants(spark, sf_dir):
+    """Isolate the polynomial fingerprint fold (text_profile's last
+    interpreted per-char HOF): per-char aggregate vs 6-char-blocked fold
+    (Horner inside the lambda, exact BIGINT, bit-identical).
+
+    RESULT (sf10, 500k docs, interleaved 6 rounds): NEGATIVE both ways —
+    the per-char ascii work dominates, not the lambda dispatch.
+    - `blocked` (transform+positional substring): 2.99 -> 4.53 s. The
+      positional substring(text, i*6+1, 6) is O(pos) on UTF8String, so
+      block construction is O(L^2).
+    - `blocked_rx` (one O(L) regex chunking pass): 2.66 -> 2.97 s, and
+      Java's (?<=\\G.{6}) lookbehind silently fails to split strings
+      containing supplementary (non-BMP) characters — the whole text
+      arrives as one block (verified), so the shape is also unsafe
+      outside BMP-only corpora.  Base per-char fold kept."""
+    from pg_mooncake_spark.queries.registry import t
+    from pg_mooncake_spark.operators.text import fingerprint
+
+    P = 1_000_000_007
+    B6 = 31**6
+
+    def blocked(text):
+        L = F.length(text)
+        nfull = F.floor(L / F.lit(6)).cast("int")
+        zero = F.lit(0).cast("bigint")
+
+        def horner6(b):
+            acc = F.ascii(F.substring(b, 1, 1)).cast("bigint")
+            for i in range(2, 7):
+                acc = acc * 31 + F.ascii(F.substring(b, i, 1)).cast("bigint")
+            return acc
+
+        blocks = F.transform(
+            F.sequence(F.lit(1), nfull),
+            lambda i: F.substring(text, (i - F.lit(1)) * 6 + 1, F.lit(6)),
+        )
+        head = F.when(nfull == 0, zero).otherwise(
+            F.aggregate(blocks, zero, lambda acc, b: (acc * B6 + horner6(b)) % P)
+        )
+        tail_chars = F.filter(
+            F.split(F.substring(text, nfull * 6 + 1, F.lit(6)), ""),
+            lambda c: c != "",
+        )
+        return F.aggregate(tail_chars, head, lambda acc, c: (acc * 31 + F.ascii(c)) % P)
+
+    def blocked_rx(text):
+        """Blocks via one O(L) regex pass (positional substring over the
+        full text is O(pos) on UTF8String — the `blocked` variant above
+        is O(L^2) and loses).  Lambda reads only the 6-char block."""
+        zero = F.lit(0).cast("bigint")
+        # (?s) so . crosses newlines; \G chunks into 6-codepoint blocks.
+        blocks = F.split(text, r"(?s)(?<=\G.{6})")
+
+        def horner(b, n):
+            acc = F.ascii(F.substring(b, 1, 1)).cast("bigint")
+            for i in range(2, n + 1):
+                acc = acc * 31 + F.ascii(F.substring(b, i, 1)).cast("bigint")
+            return acc if n else zero
+
+        def step(acc, b):
+            L = F.length(b)
+            # full block: multiplier 31^6 and 6-char Horner; the single
+            # partial/empty tail block branches on its length (exact
+            # BIGINT throughout: acc < p, so acc*31^6 + horner < 2^63).
+            partial = F.when(L == 0, acc)
+            for n in range(1, 6):
+                partial = partial.when(L == n, (acc * (31**n) + horner(b, n)) % P)
+            return F.when(L == 6, (acc * B6 + horner(b, 6)) % P).otherwise(partial)
+
+        return F.aggregate(blocks, zero, step)
+
+    docs = lambda: t(spark, sf_dir, "documents")
+    base = lambda: docs().select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    cand = lambda: docs().select("doc_id", blocked_rx(F.col("text")).alias("fp"))
+    return base, cand
+
+
 EXPERIMENTS = {
     "q21": q21_variants,
+    "fp": fp_variants,
     "q8b": q8b_variants,
     "q8h": q8h_variants,
     "q13": q13_variants,

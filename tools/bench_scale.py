@@ -51,7 +51,12 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     cap = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "300"))
-    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    # r18 measurement-honesty fix (mirrors bench.py): no base-table
+    # dataset cache under measurement — a persisted Dataset lazily
+    # re-registers its InMemoryRelation even after clearCache(), so
+    # timed Spark queries were reading memory while the DuckDB side of
+    # this comparison read parquet.  Ratios produced before r18 carried
+    # that benefit on the Spark side.
 
     from pyspark.sql import SparkSession
 
