@@ -64,9 +64,11 @@ def main() -> None:
     # clearCache()), so within a round every query after the first read
     # base tables from memory instead of parquet.  Timed queries must
     # compute from the parquet inputs; the cache remains available as an
-    # engine feature for user workloads, just never under the bench.
-    # (Old-methodology totals r05-r17 carried roughly a 15-20% benefit;
-    # see OPTIMIZATION_r18.md for the bracketing runs.)
+    # engine feature for user workloads, just never under the bench —
+    # force it off so a stray env opt-in cannot tilt the timing.
+    # (Same-box brackets with/without overlap at sf0.1 — the r05 -18%
+    # does not hold on the current query shapes; OPTIMIZATION_r18.md.)
+    os.environ.pop("SPARK_GRAFT_CACHE_TABLES", None)
 
     from pyspark.sql import SparkSession
 

@@ -56,7 +56,9 @@ def main() -> None:
     # re-registers its InMemoryRelation even after clearCache(), so
     # timed Spark queries were reading memory while the DuckDB side of
     # this comparison read parquet.  Ratios produced before r18 carried
-    # that benefit on the Spark side.
+    # that benefit on the Spark side.  Forced off (not just un-defaulted)
+    # so a stray env opt-in cannot tilt the comparison.
+    os.environ.pop("SPARK_GRAFT_CACHE_TABLES", None)
 
     from pyspark.sql import SparkSession
 
