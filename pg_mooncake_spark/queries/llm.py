@@ -37,8 +37,10 @@ _DOCS2 = """
 """
 
 
-def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+def _docs2(
+    spark: SparkSession, sf_dir: str, dense: bool = False
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents", dense=dense).select("doc_id", "text")
     exact = (
         d.filter(F.col("doc_id") < 25)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -166,7 +168,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate equi-join → estimated-Jaccard filter.  Exact copies land at
     1.0, near-copies high, unrelated docs never pair (LSH keeps the
     candidate set linear — the 100 TB property)."""
-    docs = _docs2(spark, sf_dir)
+    docs = _docs2(spark, sf_dir, dense=True)
     pairs = D.minhash_dedup_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5, use_md5=True
     )
@@ -231,7 +233,7 @@ def dedup_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash+LSH (xxhash64, no string hashes) — the DuckDB
     oracle replays XXH64 bit-for-bit via generated SQL, so this fast
     path is value-verified, not rows-only (r2 VERDICT task 9)."""
-    docs = _docs2(spark, sf_dir)
+    docs = _docs2(spark, sf_dir, dense=True)
     return D.minhash_dedup_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5, use_md5=False
     ).orderBy("id_a", "id_b")
@@ -730,7 +732,7 @@ def text_profile_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), quality features, and
     polynomial fingerprint — one tokenization pass (explode + groupBy)
     shared by every token statistic (operators/text.py layer note)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", dense=True)
     return (
         X.text_profile(d, "text", "doc_id")
         .select(
@@ -840,7 +842,7 @@ def text_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score + full profile (language, fingerprint).
     Every output — including the composite score — is deterministic
     integer/double arithmetic, so the full profile is oracle-checked."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", dense=True)
     return X.text_profile(d, "text", "doc_id").orderBy("doc_id")
 
 
@@ -1319,7 +1321,7 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain in SQL, so every stage's semantics are pinned end-to-end."""
     from pg_mooncake_spark.operators.corpus import sample_deterministic
 
-    docs = _docs2(spark, sf_dir)
+    docs = _docs2(spark, sf_dir, dense=True)
     prof = X.text_profile(docs, "text", "doc_id").select(
         "doc_id", "quality", "lang_pred", "n_tokens_ws"
     )
@@ -1899,7 +1901,7 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the self-contained proxy (text_ngram_surprisal)."""
     from pyspark import StorageLevel
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", dense=True)
     # the surprisal relation feeds TWO consumers (the 1-row stats
     # aggregate and the bucket aggregate); persist the one needed
     # column so the expensive bigram-model computation runs ONCE —

@@ -268,6 +268,34 @@ BROADCAST_SIDE_ROWS = int(
 HASHJOIN_MIN_ROWS = int(
     _os_mod.environ.get("SPARK_GRAFT_HASHJOIN_MIN_ROWS", str(2_000_000))
 )
+# Row floors for the CPU-dense-scan rebalance in t() (below).  Two
+# tiers, because the break-even depends on the DOWNSTREAM per-row cost,
+# which only the caller knows:
+# - AUTO (20k, the r14 value) applies to every load: big enough that
+#   only genuinely starved large scans fire (sf10's 500k-doc file at 2
+#   tasks: text_profile 87→22 s, r14), small enough never to tax tiny
+#   fixtures.
+# - DENSE (5k) applies when the caller declares its pipeline CPU-dense
+#   (``t(..., dense=True)``): full text profile / quality features /
+#   MinHash signatures, where per-row cost is ~0.3 ms·core.  Napkin at
+#   sf0.1: 5k docs × 1 scan task ≈ 1.7 s on one core while 31 idle —
+#   matches the 2.06 s bench line.  Measured break-even this round
+#   (interleaved A/B, values identical):
+#     5k-row documents, dense callers:  text_profile 2.17→1.04 s
+#       (2.1×), quality_scoring 1.66→0.75 s (2.2×), minhash pipeline
+#       1.60→1.35 s (1.19×) — WIN
+#     5k-row documents, light caller:   text_language_id 0.56→0.82 s —
+#       LOSS (scores-only pass is too cheap; stays on the AUTO tier)
+#     2k-row embeddings, light caller:  sim_cosine 0.137→0.308 s —
+#       LOSS (stays on the AUTO tier)
+# Both env-tunable like the join gates; at 100 TB neither fires
+# (thousands of files → the scan is already parallel).
+REBALANCE_MIN_ROWS = int(
+    _os_mod.environ.get("SPARK_GRAFT_REBALANCE_MIN_ROWS", str(20_000))
+)
+REBALANCE_DENSE_MIN_ROWS = int(
+    _os_mod.environ.get("SPARK_GRAFT_REBALANCE_DENSE_MIN_ROWS", str(5_000))
+)
 
 
 def maybe_broadcast(df: DataFrame, est_rows: int) -> DataFrame:
@@ -296,8 +324,16 @@ def hash_join_hint(df: DataFrame, base_rows: int) -> DataFrame:
     return df
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(
+    spark: SparkSession, sf_dir: str, name: str, dense: bool = False
+) -> DataFrame:
     """Load one fixture table as a DataFrame (columnar parquet scan).
+
+    ``dense=True`` declares the caller's pipeline CPU-dense (full text
+    profile, MinHash signatures, ...): the under-parallel-scan rebalance
+    then fires from REBALANCE_DENSE_MIN_ROWS instead of the 20k AUTO
+    floor (gate comment above — the break-even depends on downstream
+    per-row cost, which only the caller knows).
 
     ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects (PARQUET_TYPE_ILLEGAL).  We read nanos as a
@@ -313,7 +349,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os as _os
 
     cache_on = _os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
-    key = (sf_dir, name)
+    key = (sf_dir, name, dense)
     if cache_on and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     if name == "events":
@@ -386,7 +422,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # pointless full-table shuffle onto it (review r15 finding 6)
         split = min(128 << 20, max(4 << 20, total_bytes // max(1, target)))
         est_tasks = max(len(files), -(-total_bytes // max(1, split)))
-        if rows >= 20_000 and est_tasks < max(2, target // 2):
+        min_rows = REBALANCE_DENSE_MIN_ROWS if dense else REBALANCE_MIN_ROWS
+        if rows >= min_rows and est_tasks < max(2, target // 2):
             df = df.repartition(target)
     if cache_on:
         df = df.persist()

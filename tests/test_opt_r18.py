@@ -189,3 +189,28 @@ def test_token_char_sum_equals_fold(spark):
     lin = F.length(F.translate(F.lower(F.col("text")), " ", "")).cast("bigint")
     for r in df.select(fold.alias("a"), lin.alias("b")).collect():
         assert r["a"] == r["b"], (r["a"], r["b"])
+
+
+def test_dense_rebalance_two_tiers(spark, monkeypatch):
+    """The CPU-dense-scan rebalance has two row floors: the 20k AUTO
+    tier for every load and a lower DENSE tier callers opt into when
+    their per-row work is heavy (text profile, MinHash signatures).
+    Pin: with the dense floor lowered to cover the fixture, a
+    dense=True load gains the round-robin exchange while the plain
+    load of the same table stays scan-only — and the profile's values
+    are identical under both regimes."""
+    from pg_mooncake_spark.queries.registry import t as load
+
+    monkeypatch.setattr(registry, "REBALANCE_DENSE_MIN_ROWS", 1)
+    # keep the AUTO tier out of the way so the tiers are distinguishable
+    monkeypatch.setattr(registry, "REBALANCE_MIN_ROWS", 10**9)
+    plain = _plan(load(spark, SF, "documents"))
+    dense = _plan(load(spark, SF, "documents", dense=True))
+    assert "Exchange RoundRobinPartitioning" not in plain, plain
+    assert "Exchange RoundRobinPartitioning" in dense, dense
+
+    key = "text_profile_analysis"
+    with_rebalance = [tuple(r) for r in all_queries()[key](spark, SF).collect()]
+    monkeypatch.setattr(registry, "REBALANCE_DENSE_MIN_ROWS", 10**9)
+    without = [tuple(r) for r in all_queries()[key](spark, SF).collect()]
+    assert with_rebalance == without

@@ -520,8 +520,163 @@ def fp_variants(spark, sf_dir):
     return base, cand
 
 
+def q9r_variants(spark, sf_dir):
+    """q9: repartition the fact side by l_orderkey ALONE before the eager
+    (l_orderkey, n_name) aggregate, so the aggregate AND the orders join
+    both reuse one exchange (the q2 coarser-co-partitioning lever,
+    §2.4): HashPartitioning(l_orderkey) satisfies the agg's clustered
+    distribution on (l_orderkey, n_name) and the join's on l_orderkey.
+    Before-plan at sf10: Exchange(l_orderkey, n_name) under the agg plus
+    a SECOND full Exchange(l_orderkey) of the ~8M-row aggregate feeding
+    the ShuffledHashJoin."""
+    from pg_mooncake_spark.queries.registry import all_queries, t, table_rows, hash_join_hint
+
+    base = lambda: all_queries()["q9_product_type_profit"](spark, sf_dir)
+
+    def cand():
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        supp = t(spark, sf_dir, "supplier")
+        part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+        nat = t(spark, sf_dir, "nation")
+        amount = (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+        ).cast("decimal(30,6)")
+        pre = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .select("l_orderkey", "n_name", amount.alias("amount"))
+            .repartition("l_orderkey")
+            .groupBy("l_orderkey", "n_name")
+            .agg(F.sum("amount").alias("amt"))
+        )
+        return (
+            pre.join(
+                hash_join_hint(
+                    orders.select("o_orderkey", "o_orderdate"),
+                    table_rows(sf_dir, "orders"),
+                ),
+                pre.l_orderkey == F.col("o_orderkey"),
+            )
+            .withColumn("o_year", F.year("o_orderdate").cast("long"))
+            .groupBy(F.col("n_name").alias("nation"), "o_year")
+            .agg(F.sum("amt").cast("double").alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year"))
+        )
+
+    return base, cand
+
+
+def lshd_variants(spark, sf_dir):
+    """minhash pairs: replace the global distinct() over the pre-distinct
+    candidate pairs (every pair appears once per matching band — on the
+    clone-tiled sf10 corpus that is 4x ~25M pair rows through a full
+    exchange) with a LOCAL first-matching-band predicate: carry each
+    side's 4 band hashes as a 16-byte int array through the band join
+    and keep a pair only in the band where the two arrays first agree.
+    Set-equivalent to distinct (each colliding pair survives exactly
+    once), but the dedup is a filter, not a shuffle (§2.3/§2.4)."""
+    from pg_mooncake_spark.queries.registry import all_queries
+    from pg_mooncake_spark.queries.llm import _docs2
+
+    base = lambda: all_queries()["dedup_minhash_pairs_fast"](spark, sf_dir)
+
+    def cand():
+        import pg_mooncake_spark.operators.dedup as D
+
+        docs = _docs2(spark, sf_dir)
+        num_hashes, bands = 16, 4
+        rpb = num_hashes // bands
+        sigs = D.minhash_signature(docs, "text", "doc_id", num_hashes, 3, False)
+        sigs = sigs.persist()
+        band_arr = F.array(
+            *[
+                F.hash(F.slice(F.col("signature"), b * rpb + 1, rpb))
+                for b in range(bands)
+            ]
+        )
+        banded = sigs.select(F.col("doc_id"), band_arr.alias("_bhs")).select(
+            "doc_id",
+            "_bhs",
+            F.posexplode("_bhs").alias("band_idx", "band_hash"),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        first_match = F.array_position(
+            F.zip_with(F.col("a._bhs"), F.col("b._bhs"), lambda x, y: x == y),
+            True,
+        )
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .filter(F.col("a.band_idx") == first_match - 1)
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+        )
+        sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes))
+        )
+        return (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= 0.5)
+            .orderBy("id_a", "id_b")
+        )
+
+    return base, cand
+
+
+def _rebal_pair(key):
+    """A/B the CPU-dense-scan rebalance gate for one registry query:
+    base = r14 gate (20k rows — does NOT fire at sf0.1's 5k docs, the
+    whole map-only pipeline runs on ONE scan task), cand = lowered gate
+    (fires, repartition(defaultParallelism) spreads the CPU-dense rows
+    across cores at the cost of one tiny shuffle)."""
+
+    def make(spark, sf_dir):
+        import pg_mooncake_spark.queries.registry as R
+        from pg_mooncake_spark.queries.registry import all_queries
+
+        q = all_queries()[key]
+
+        def base():
+            R.REBALANCE_DENSE_MIN_ROWS = 20_000
+            return q(spark, sf_dir)
+
+        def cand():
+            R.REBALANCE_DENSE_MIN_ROWS = 5_000
+            return q(spark, sf_dir)
+
+        return base, cand
+
+    return make
+
+
 EXPERIMENTS = {
     "q21": q21_variants,
+    "q9r": q9r_variants,
+    "lshd": lshd_variants,
+    "rebal_profile": _rebal_pair("text_profile_analysis"),
+    "rebal_minhash": _rebal_pair("dedup_minhash_pairs_fast"),
+    "rebal_quality": _rebal_pair("text_quality_scoring"),
+    "rebal_cosine": _rebal_pair("sim_cosine_topk_bruteforce"),
+    "rebal_lid": _rebal_pair("text_language_id"),
     "fp": fp_variants,
     "q8b": q8b_variants,
     "q8h": q8h_variants,
@@ -552,6 +707,11 @@ def main() -> None:
     tb, tc = [], []
     for _ in range(runs):
         for fn, acc in ((base, tb), (cand, tc)):
+            # drop DataFrame caches a previous run created (e.g. the
+            # MinHash signature persist) — bench.py does the same per
+            # round, so a persist must re-materialize inside the timed
+            # region exactly as it does under the driver's bench
+            spark.catalog.clearCache()
             df = fn()
             t0 = _t.perf_counter()
             df.write.format("noop").mode("overwrite").save()
