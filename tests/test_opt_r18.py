@@ -214,3 +214,19 @@ def test_dense_rebalance_two_tiers(spark, monkeypatch):
     monkeypatch.setattr(registry, "REBALANCE_DENSE_MIN_ROWS", 10**9)
     without = [tuple(r) for r in all_queries()[key](spark, SF).collect()]
     assert with_rebalance == without
+
+
+def test_q9_pre_agg_reuses_repartition_exchange(spark, monkeypatch):
+    """q9's eager (l_orderkey, n_name) aggregate must share ONE exchange
+    with the orders join (repartition by l_orderkey alone satisfies
+    both), never pay back-to-back exchanges.  In the forced
+    shuffled-hash regime (the sf10 shape) the whole plan carries
+    exactly 3 hash exchanges: the l_orderkey repartition, the orders
+    side, and the final tiny (nation, year) aggregate."""
+    import re
+
+    monkeypatch.setattr(registry, "HASHJOIN_MIN_ROWS", 1)
+    plan = _plan(all_queries()["q9_product_type_profit"](spark, SF))
+    assert "ShuffledHashJoin" in plan
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 3, plan

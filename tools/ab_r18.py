@@ -586,7 +586,7 @@ def lshd_variants(spark, sf_dir):
     def cand():
         import pg_mooncake_spark.operators.dedup as D
 
-        docs = _docs2(spark, sf_dir)
+        docs = _docs2(spark, sf_dir, dense=True)
         num_hashes, bands = 16, 4
         rpb = num_hashes // bands
         sigs = D.minhash_signature(docs, "text", "doc_id", num_hashes, 3, False)
@@ -697,7 +697,13 @@ def main() -> None:
     spark = session()
     base, cand = EXPERIMENTS[exp](spark, sf_dir)
     print(f"== {exp} @ {sf_dir} ==")
-    crosscheck(base(), cand(), exp)
+    if os.environ.get("AB_SKIP_CROSSCHECK") == "1":
+        # for timing runs whose output is too big to collect (sf10
+        # minhash pairs ~25M rows); value-identity must already be
+        # proven at a smaller SF in the same experiment
+        print("  crosscheck SKIPPED (env) — verified at smaller SF")
+    else:
+        crosscheck(base(), cand(), exp)
     # interleave A/B rounds so monotone environment drift hits both
     # variants equally (the block-ordered A/B/A kept showing drift
     # larger than the effect under test on this host)
