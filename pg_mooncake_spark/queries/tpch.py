@@ -625,9 +625,19 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     functionally dependent on it), so instead of semi-joining lineitem
     and re-aggregating it — two extra fact shuffles — we keep the sum
     from the HAVING pass and join only the few surviving orders to
-    orders/customer.  Lineitem is scanned and shuffled exactly once;
-    AQE broadcasts the filtered per-order rows into the orders join.
-    The oracle runs the literal IN + re-aggregate form.
+    orders/customer.  Lineitem is scanned and shuffled exactly once.
+    The surviving-orders side is ~34% of orders at every SF (the
+    fixtures tile, so the HAVING selectivity is scale-free): its join
+    with orders is size-gated like the other fact joins
+    (hash_join_hint, inert below the gate): at scale a ~5M-row × 24 B
+    build is past any sane broadcast and sort-merge pays two sorts for
+    nothing — sf10 interleaved A/B 14.1 → 9.8 s, candidate won all 6
+    rounds pairwise.  Below the gate the planner+AQE choice is left
+    alone: a static broadcast hint measured 9% WORSE at sf0.1 (the
+    broadcast build serializes the aggregate before the orders probe
+    can start; AQE's runtime conversion overlaps the two map stages),
+    so small-SF plans stay bit-identical to round 17.  The oracle runs
+    the literal IN + re-aggregate form.
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
@@ -637,8 +647,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
         .filter(F.col("q") > 120)
     )
+    big = hash_join_hint(big, table_rows(sf_dir, "orders") // 3)
     return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",

@@ -125,6 +125,20 @@ def test_q8_fact_join_both_regimes(spark, monkeypatch):
     assert "SortMergeJoin" not in plan
 
 
+def test_q18_fact_join_both_regimes(spark, monkeypatch):
+    """q18's surviving-orders⋈orders gate (hash_join_hint): inert below
+    the gate — the plan carries no hint, so small-SF executions are
+    bit-identical to round 17 (a static broadcast hint measured 9%
+    WORSE at sf0.1) — and shuffled hash past it (sf10 measured
+    14.1 → 9.8 s vs the planner's sort-merge)."""
+    plan = _plan(all_queries()["q18_large_volume_customers"](spark, SF))
+    assert "ShuffledHashJoin" not in plan  # gate inert at sf0.001
+    monkeypatch.setattr(registry, "HASHJOIN_MIN_ROWS", 1)
+    plan = _plan(all_queries()["q18_large_volume_customers"](spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_q2_window_reuses_supply_exchange(spark):
     """q2's window-min must not add a second shuffle: exactly one
     non-broadcast Exchange above the scans (the l_partkey repartition),

@@ -668,8 +668,52 @@ def _rebal_pair(key):
     return make
 
 
+def q18_variants(spark, sf_dir):
+    """q18: the post-HAVING per-order aggregate (measured 34% of orders
+    at every SF — the fixtures tile, so selectivity is scale-free)
+    joins orders as a SortMergeJoin at sf10 (5.1M-row side × 24 B ≈
+    125 MB > the 64 MB AQE broadcast bound; executed-plan check), and
+    at small SFs AQE's runtime SMJ→BHJ conversion still pays the orders
+    shuffle write first.  Gate it like the other fact joins:
+    maybe_broadcast(big, orders_rows // 3) → static broadcast below
+    2.5M est (orders never shuffles), shuffled-hash above (no sorts,
+    build = the smaller aggregate side).  ADOPTED (sf10 A/B 14.1 →
+    9.8 s, all 6 rounds pairwise): base here is the pre-adoption
+    ungated shape so the experiment stays re-runnable."""
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    cand = lambda: all_queries()["q18_large_volume_customers"](spark, sf_dir)
+
+    def base():
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        cust = t(spark, sf_dir, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+            .filter(F.col("q") > 120)
+        )
+        return (
+            big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select(
+                "c_name",
+                "c_custkey",
+                "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("orderdate"),
+                "o_totalprice",
+                F.col("q").cast("double").alias("sum_qty"),
+            )
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(25)
+        )
+
+    return base, cand
+
+
 EXPERIMENTS = {
     "q21": q21_variants,
+    "q18g": q18_variants,
     "q9r": q9r_variants,
     "lshd": lshd_variants,
     "rebal_profile": _rebal_pair("text_profile_analysis"),
