@@ -120,29 +120,33 @@ def minhash_signature(
     Empty docs produce an all-NULL signature (``array_min`` over an
     empty array), exactly as the aggregation shape did.
     """
+    # The num_hashes member expressions are built as ONE SQL string
+    # parsed JVM-side (F.expr): the per-Column py4j construction of 16
+    # array_min(transform(...)) trees cost ~0.5 s of driver time per
+    # query build (profiled: >8k py4j round trips for the pairs
+    # pipeline), where one parse is a single round trip.  The parsed
+    # tree is the same expression (same functions, same literal types),
+    # so the physical plan and values are unchanged.
     if use_md5:
         hashed = word_shingles(F.col(text_col), shingle_k)
-
-        def member(s: int) -> Column:
-            return F.array_min(
-                F.transform("_hs", lambda x: F.md5(F.concat(x, F.lit(f"#{s}"))))
-            )
-
+        members = [
+            f"array_min(transform(`_hs`, x -> md5(concat(x, '#{s}'))))"
+            for s in range(num_hashes)
+        ]
     else:
         hashed = F.transform(
             word_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
         )
-
-        def member(s: int) -> Column:
-            return F.array_min(
-                F.transform("_hs", lambda h: F.xxhash64(h, F.lit(s)))
-            )
+        members = [
+            f"array_min(transform(`_hs`, h -> xxhash64(h, {s})))"
+            for s in range(num_hashes)
+        ]
 
     base = df.select(F.col(id_col), hashed.alias("_hs0"))
     barrier = base.select("*", F.explode(F.array("_hs0")).alias("_hs")).drop("_hs0")
     return barrier.select(
         id_col,
-        F.array(*[member(s) for s in range(num_hashes)]).alias("signature"),
+        F.expr("array(" + ", ".join(members) + ")").alias("signature"),
     )
 
 

@@ -203,6 +203,39 @@ def _load_all() -> None:
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ROWS_CACHE: dict[tuple[str, str], int] = {}
 
+# Plan memo for t(): the UNEXECUTED scan DataFrame per
+# (session, dir, table, dense, file mtime+size).  This holds query-plan
+# metadata only — never rows: the DataFrame is lazy and un-persisted, so
+# every action that uses it still reads the parquet files.  What it
+# saves is the driver-side cost of re-resolving the same table on every
+# query build (spark.read.parquet = footer schema read + file listing +
+# py4j round trips ≈ 110 ms/call at sf0.1 — measured ~7.6 s of the 24-
+# query bench total, i.e. half the quiet-band wall clock, was plan
+# re-construction).  A real engine resolves a table once in its catalog;
+# re-deriving the schema from footers per statement is the anomaly.  The
+# mtime+size key makes any rewrite of the fixture invalidate the entry.
+_SCAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _fixture_sig(path: str) -> tuple | None:
+    """(mtime_ns, bytes) fingerprint of a parquet file or directory —
+    the _SCAN_MEMO invalidation key.  None when unreadable."""
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            m = s = 0
+            for f in _os.listdir(path):
+                if f.endswith(".parquet"):
+                    st = _os.stat(_os.path.join(path, f))
+                    m ^= st.st_mtime_ns
+                    s += st.st_size
+            return (m, s)
+        st = _os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
 
 def table_rows(sf_dir: str, name: str) -> int:
     """Fixture-table row count from parquet FOOTERS only (driver-local
@@ -345,6 +378,11 @@ def t(
     the same tables pays each scan once — the local analog of a
     warehouse's shared buffer pool.  Off by default so single-query runs
     and the correctness gate measure the cold path.
+
+    Independent of that data cache, the returned scan DataFrame is
+    memoized per (session, dir, table, dense, file mtime+size) — see
+    _SCAN_MEMO above: plan metadata only, no rows; every action still
+    reads parquet.
     """
     import os as _os
 
@@ -352,6 +390,23 @@ def t(
     key = (sf_dir, name, dense)
     if cache_on and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
+    memo_key = None
+    if not cache_on:
+        sig = _fixture_sig(f"{sf_dir}/{name}.parquet")
+        if sig is not None:
+            # the rebalance gates are part of the key: a changed gate
+            # (env re-tune, test monkeypatch) must re-derive the plan
+            memo_key = (
+                spark.sparkContext.applicationId,
+                sf_dir,
+                name,
+                dense,
+                REBALANCE_MIN_ROWS,
+                REBALANCE_DENSE_MIN_ROWS,
+            ) + sig
+            hit = _SCAN_MEMO.get(memo_key)
+            if hit is not None:
+                return hit
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
@@ -428,6 +483,10 @@ def t(
     if cache_on:
         df = df.persist()
         _TABLE_CACHE[key] = df
+    elif memo_key is not None:
+        if len(_SCAN_MEMO) > 256:  # bound stale-session entries
+            _SCAN_MEMO.clear()
+        _SCAN_MEMO[memo_key] = df
     return df
 
 

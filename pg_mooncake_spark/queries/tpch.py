@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pg_mooncake_spark.functions import dsum, scaled_long, unscale_sum
+from pg_mooncake_spark.functions import dsum
 from pg_mooncake_spark.queries.registry import (
     hash_join_hint,
     maybe_broadcast,
@@ -82,57 +82,68 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded cast to DOUBLE at the end); ~2× less per-row work.
     """
     li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # assume_non_negative: TPC-H domain — quantity/price >= 0,
-    # 0 <= discount <= 1, tax >= 0, so every encoded column and product
-    # is non-negative by construction; the default in-job guard costs
-    # ~25% on this 5-encode/row loop (r13 A/B) and proves nothing here
-    nn = dict(assume_non_negative=True)
+    # The encode/merge expressions are spelled as SQL strings parsed
+    # JVM-side (selectExpr / one F.expr each): the Column-by-Column
+    # construction cost ~1.2k py4j round trips (~0.4 s driver time) per
+    # query build.  Each string is the literal-for-literal translation
+    # of the former scaled_long/unscale_sum composition (100.0D/0.5D are
+    # DOUBLE literals exactly like F.lit(float(...))/F.lit(0.5); bare
+    # 100 is the INT literal F.lit(10**s) was), so the parsed tree, the
+    # physical plan, and the values are unchanged.
+    # assume_non_negative (no in-job guard): TPC-H domain — quantity/
+    # price >= 0, 0 <= discount <= 1, tax >= 0, so every encoded column
+    # and product is non-negative by construction; the guard costs ~25%
+    # on this 5-encode/row loop (r13 A/B) and proves nothing here.
+    disc_price = "(l_extendedprice * (1 - l_discount))"
     staged = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .select(
+        .selectExpr(
             "l_returnflag",
             "l_linestatus",
-            scaled_long("l_quantity", 2, **nn).alias("qty_c"),
-            scaled_long("l_extendedprice", 2, **nn).alias("price_c"),
-            scaled_long(disc_price, 6, **nn).alias("disc_price_u"),
-            scaled_long(
-                disc_price * (1 + F.col("l_tax")), 6, **nn
-            ).alias("charge_u"),
-            scaled_long("l_discount", 4, **nn).alias("disc_t"),
-            F.spark_partition_id().alias("_pid"),
+            "CAST(l_quantity * 100.0D + 0.5D AS BIGINT) AS qty_c",
+            "CAST(l_extendedprice * 100.0D + 0.5D AS BIGINT) AS price_c",
+            f"CAST({disc_price} * 1000000.0D + 0.5D AS BIGINT) AS disc_price_u",
+            f"CAST({disc_price} * (l_tax + 1) * 1000000.0D + 0.5D AS BIGINT)"
+            " AS charge_u",
+            "CAST(l_discount * 10000.0D + 0.5D AS BIGINT) AS disc_t",
+            "spark_partition_id() AS _pid",
         )
     )
     partial = staged.groupBy("l_returnflag", "l_linestatus", "_pid").agg(
-        F.sum("qty_c").alias("qty_c"),
-        F.sum("price_c").alias("price_c"),
-        F.sum("disc_price_u").alias("disc_price_u"),
-        F.sum("charge_u").alias("charge_u"),
-        F.sum("disc_t").alias("disc_t"),
-        F.count(F.lit(1)).alias("cnt"),
+        F.expr("sum(qty_c) AS qty_c"),
+        F.expr("sum(price_c) AS price_c"),
+        F.expr("sum(disc_price_u) AS disc_price_u"),
+        F.expr("sum(charge_u) AS charge_u"),
+        F.expr("sum(disc_t) AS disc_t"),
+        F.expr("count(1) AS cnt"),
     )
+
+    def unscale(col: str, scale: int, out: str) -> str:
+        return (
+            f"CAST(sum(CAST({col} AS DECIMAL(38,0))) / {10**scale}"
+            f" AS DOUBLE) AS {out}"
+        )
+
     return (
         partial.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            unscale_sum("qty_c", 2).alias("sum_qty"),
-            unscale_sum("price_c", 2).alias("sum_base_price"),
-            unscale_sum("disc_price_u", 6).alias("sum_disc_price"),
-            unscale_sum("charge_u", 6).alias("sum_charge"),
-            unscale_sum("disc_t", 4).alias("_sum_disc"),
-            F.sum("cnt").alias("count_order"),
+            F.expr(unscale("qty_c", 2, "sum_qty")),
+            F.expr(unscale("price_c", 2, "sum_base_price")),
+            F.expr(unscale("disc_price_u", 6, "sum_disc_price")),
+            F.expr(unscale("charge_u", 6, "sum_charge")),
+            F.expr(unscale("disc_t", 4, "_sum_disc")),
+            F.expr("sum(cnt) AS count_order"),
         )
-        .select(
+        .selectExpr(
             "l_returnflag",
             "l_linestatus",
             "sum_qty",
             "sum_base_price",
             "sum_disc_price",
             "sum_charge",
-            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
-            F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
-                "avg_price"
-            ),
-            F.round(F.col("_sum_disc") / F.col("count_order"), 6).alias("avg_disc"),
+            "round(sum_qty / count_order, 6) AS avg_qty",
+            "round(sum_base_price / count_order, 6) AS avg_price",
+            "round(_sum_disc / count_order, 6) AS avg_disc",
             "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -244,3 +244,86 @@ def test_q9_pre_agg_reuses_repartition_exchange(spark, monkeypatch):
     assert "ShuffledHashJoin" in plan
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n == 3, plan
+
+
+def test_scan_memo_hits_and_holds_no_data(spark):
+    """t()'s scan memo returns the same lazy DataFrame object on a
+    repeat load (the driver-cost win) and never persists rows — the
+    plan must stay a plain parquet scan, not an InMemoryRelation."""
+    from pg_mooncake_spark.queries.registry import t as load
+
+    a = load(spark, SF, "nation")
+    b = load(spark, SF, "nation")
+    assert a is b
+    assert "InMemoryRelation" not in _plan(a)
+
+
+def test_scan_memo_invalidates_on_file_change(spark, tmp_path):
+    """Rewriting the fixture file (mtime/size change) must invalidate
+    the memo entry: the next t() re-resolves and sees the new data."""
+    import shutil
+    import time as _time
+
+    from pg_mooncake_spark.queries.registry import t as load
+
+    p = str(tmp_path)
+    shutil.copy(f"{SF}/nation.parquet", f"{p}/nation.parquet")
+    assert load(spark, p, "nation").count() == 25
+    two = load(spark, SF, "nation").limit(2)
+    _time.sleep(0.05)  # ensure a distinct mtime on coarse filesystems
+    two.write.mode("overwrite").parquet(f"{p}/nation.parquet")
+    assert load(spark, p, "nation").count() == 2
+
+
+def test_q1_exprstr_literal_types(spark):
+    """q1's SQL-string encode must parse to the same literal types the
+    Column form produced: DOUBLE 100.0/0.5 (a bare 0.5 would parse as
+    DECIMAL(1,1) and silently change the arithmetic), BIGINT cast, and
+    the exact-decimal merge."""
+    plan = _plan(all_queries()["q1_pricing_summary"](spark, SF))
+    assert "cast(((l_quantity" in plan and "* 100.0) + 0.5) as bigint)" in plan
+    assert "as decimal(38,0)" in plan.lower()
+    assert "0.5BD" not in plan  # decimal literal would be a regression
+
+
+def test_minhash_sig_exprstr_matches_column_form(spark):
+    """minhash_signature's one-string expression must equal the former
+    per-Column construction on adversarial docs (empty text, single
+    word, unicode, repeated shingles)."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.operators.dedup import (
+        minhash_signature,
+        word_shingles,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "a b c d e f g"),
+        (4, "same same same same"),
+        (5, "çafé über ños tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signature(df, "text", "doc_id", 8, 3).collect()
+    }
+    hashed = F.transform(word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+    base = df.select("doc_id", hashed.alias("_hs0"))
+    barrier = base.select(
+        "*", F.explode(F.array("_hs0")).alias("_hs")
+    ).drop("_hs0")
+    def old_member(s: int):
+        # NOTE: a single-parameter lambda — `lambda h, s=s: ...` would
+        # be read by pyspark as the (element, index) transform form
+        return F.array_min(
+            F.transform("_hs", lambda h: F.xxhash64(h, F.lit(s)))
+        )
+
+    old = barrier.select(
+        "doc_id",
+        F.array(*[old_member(s) for s in range(8)]).alias("signature"),
+    )
+    want = {r["doc_id"]: r["signature"] for r in old.collect()}
+    assert got == want
