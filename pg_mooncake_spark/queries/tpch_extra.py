@@ -351,32 +351,54 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     nat = t(spark, sf_dir, "nation")
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(30,6)")
     # Round-18 (second pass): repartition by l_orderkey ALONE before the
     # eager aggregate — the q2 coarser-co-partitioning lever (§2.4).
     # HashPartitioning(l_orderkey) satisfies both the aggregate's
-    # clustered distribution on (l_orderkey, n_name) AND the orders
+    # clustered distribution on (l_orderkey, nationkey) AND the orders
     # join's on l_orderkey, so ONE exchange serves where the previous
-    # plan paid two back-to-back (Exchange(l_orderkey, n_name) under
-    # the agg, then a second full Exchange(l_orderkey) of the ~8M-row
-    # aggregate feeding the ShuffledHashJoin).  Map-side partial
-    # aggregation moves after the shuffle, but q9's partial-agg ratio
-    # is only ~1.3 rows/group, so the exchanged bytes barely change
-    # while a whole exchange disappears.  Interleaved A/B, values
-    # identical: sf10 4.79 → 4.27 s (1.12×), sf0.1 0.89 → 0.83 s.
+    # plan paid two back-to-back (Exchange under the agg, then a second
+    # full Exchange(l_orderkey) of the ~8M-row aggregate feeding the
+    # ShuffledHashJoin).  Map-side partial aggregation moves after the
+    # shuffle, but q9's partial-agg ratio is only ~1.3 rows/group, so
+    # the exchanged bytes barely change while a whole exchange
+    # disappears.  Interleaved A/B, values identical: sf10
+    # 4.79 → 4.27 s (1.12×), sf0.1 0.89 → 0.83 s.
+    #
+    # Round-18 (session 3), two exact-arithmetic levers on the same
+    # eager aggregate, measured together (interleaved A/B at sf10:
+    # 2.99 → 2.48-2.57 s ≈ 1.17×, values identical; sf0.1 0.66 → 0.63):
+    # 1. The per-row DECIMAL(30,6) amount is replaced by an exact
+    #    micro-unit BIGINT encode (the q1 fast path, sign-aware since
+    #    amount can be negative: HALF_UP rounds away from zero, so the
+    #    ±0.5 offset follows the sign).  Exact because amount is a
+    #    product/difference of 2-decimal columns with <= 6 true
+    #    decimals; a per-(order, nation) sum is bounded by the order's
+    #    line count, so the long cannot overflow at any scale.  The
+    #    final (nation, year) regroup — NOT order-bounded — merges
+    #    per-partition long partials exactly in DECIMAL(38,0), q1's
+    #    unscale_sum shape.
+    # 2. The eager agg groups on s_nationkey (8-byte long) instead of
+    #    n_name (~25-byte string); the 25-row nation broadcast attaches
+    #    the name AFTER the final aggregate (1:1, names unique), so the
+    #    fact exchange and both hash aggregates hash/compare narrow
+    #    numeric keys (head-to-head A/B: 2.68 → 2.57 s, 5/6 rounds).
+    amount_d = (
+        "(l_extendedprice * (1 - l_discount)"
+        " - 0.1D * p_retailprice * l_quantity)"
+    )
+    amt_expr = (
+        f"CAST({amount_d} * 1000000.0D + "
+        f"IF({amount_d} >= 0D, 0.5D, -0.5D) AS BIGINT) AS amount"
+    )
     pre = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .select("l_orderkey", "n_name", amount.alias("amount"))
+        .selectExpr("l_orderkey", "s_nationkey", amt_expr)
         .repartition("l_orderkey")
-        .groupBy("l_orderkey", "n_name")
-        .agg(F.sum("amount").alias("amt"))
+        .groupBy("l_orderkey", "s_nationkey")
+        .agg(F.expr("sum(amount) AS amt"))
     )
-    return (
+    final = (
         pre.join(
             hash_join_hint(
                 orders.select("o_orderkey", "o_orderdate"),
@@ -384,9 +406,25 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             pre.l_orderkey == F.col("o_orderkey"),
         )
-        .withColumn("o_year", F.year("o_orderdate").cast("long"))
-        .groupBy(F.col("n_name").alias("nation"), "o_year")
-        .agg(F.sum("amt").cast("double").alias("sum_profit"))
+        .selectExpr(
+            "s_nationkey",
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year",
+            "amt",
+            "spark_partition_id() AS _pid",
+        )
+        .groupBy("s_nationkey", "o_year", "_pid")
+        .agg(F.expr("sum(amt) AS amt_p"))
+        .groupBy("s_nationkey", "o_year")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(amt_p AS DECIMAL(38,0))) / 1000000"
+                " AS DOUBLE) AS sum_profit"
+            )
+        )
+    )
+    return (
+        final.join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "o_year", "sum_profit")
         .orderBy("nation", F.desc("o_year"))
     )
 

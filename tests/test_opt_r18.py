@@ -231,19 +231,79 @@ def test_dense_rebalance_two_tiers(spark, monkeypatch):
 
 
 def test_q9_pre_agg_reuses_repartition_exchange(spark, monkeypatch):
-    """q9's eager (l_orderkey, n_name) aggregate must share ONE exchange
-    with the orders join (repartition by l_orderkey alone satisfies
-    both), never pay back-to-back exchanges.  In the forced
+    """q9's eager (l_orderkey, s_nationkey) aggregate must share ONE
+    exchange with the orders join (repartition by l_orderkey alone
+    satisfies both), never pay back-to-back exchanges.  In the forced
     shuffled-hash regime (the sf10 shape) the whole plan carries
-    exactly 3 hash exchanges: the l_orderkey repartition, the orders
-    side, and the final tiny (nation, year) aggregate."""
+    exactly 4 hash exchanges: the l_orderkey repartition, the orders
+    side, and the two tiny exact-merge aggregates ((nationkey, year,
+    pid) then (nationkey, year) — each carries <= groups x partitions
+    rows, the q1 unscale_sum shape)."""
     import re
 
     monkeypatch.setattr(registry, "HASHJOIN_MIN_ROWS", 1)
     plan = _plan(all_queries()["q9_product_type_profit"](spark, SF))
     assert "ShuffledHashJoin" in plan
     n = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n == 3, plan
+    assert n == 4, plan
+
+
+def test_q18_scaled_long_sum_equals_decimal(spark):
+    """q18's per-order quantity sum as scaled BIGINT must reproduce the
+    DECIMAL(30,2) HAVING pass exactly: same surviving orders, same
+    sum_qty doubles (IEEE division of an exactly-representable integer
+    by 100.0 is correctly rounded = Decimal.toDouble)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    dec = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+        .filter(F.col("q") > 120)
+        .selectExpr("l_orderkey", "CAST(q AS DOUBLE) AS sum_qty")
+    )
+    lng = (
+        li.selectExpr(
+            "l_orderkey", "CAST(l_quantity * 100.0D + 0.5D AS BIGINT) AS qc"
+        )
+        .groupBy("l_orderkey")
+        .agg(F.expr("sum(qc) AS qc"))
+        .filter(F.col("qc") > 12000)
+        .selectExpr("l_orderkey", "qc / 100.0D AS sum_qty")
+    )
+    a = sorted(map(tuple, dec.collect()))
+    b = sorted(map(tuple, lng.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_q9_long_encode_equals_decimal_cast(spark):
+    """q9's sign-aware micro-unit encode must equal the per-row
+    DECIMAL(30,6) cast (x1e6) on adversarial 2-decimal inputs,
+    including negative amounts (HALF_UP rounds away from zero) and
+    values near rounding boundaries."""
+    rows = [
+        (101.13, 0.05, 19.99, 7.0),   # typical positive
+        (1.01, 0.0, 1000.0, 50.0),    # strongly negative amount
+        (0.0, 0.0, 0.0, 0.0),         # zero
+        (0.01, 0.99, 99999.99, 50.0), # near-max magnitudes
+        (50.05, 0.07, 33.33, 3.0),    # odd decimals
+    ]
+    df = spark.createDataFrame(
+        rows, "l_extendedprice double, l_discount double, "
+        "p_retailprice double, l_quantity double"
+    )
+    amount_d = (
+        "(l_extendedprice * (1 - l_discount)"
+        " - 0.1D * p_retailprice * l_quantity)"
+    )
+    out = df.selectExpr(
+        f"CAST({amount_d} * 1000000.0D + "
+        f"IF({amount_d} >= 0D, 0.5D, -0.5D) AS BIGINT) AS enc",
+        f"CAST(CAST({amount_d} AS DECIMAL(30,6)) * 1000000 AS BIGINT)"
+        " AS dec_ref",
+    ).collect()
+    for r in out:
+        assert r.enc == r.dec_ref, r
 
 
 def test_scan_memo_hits_and_holds_no_data(spark):

@@ -711,9 +711,247 @@ def q18_variants(spark, sf_dir):
     return base, cand
 
 
+def q18q_variants(spark, sf_dir):
+    """q18 session-3 candidate: the per-order quantity aggregate summed
+    as a scaled BIGINT instead of DECIMAL(30,2) — the q1 exact-sum fast
+    path applied to q18's HAVING pass.  l_quantity is a 2-decimal money
+    column, so CAST(l_quantity * 100.0D + 0.5D AS BIGINT) encodes each
+    row exactly (q1's oracle has pinned this encode for 7 rounds); a
+    per-order sum of quantity-cents is bounded by the order's size, so
+    a 64-bit sum cannot overflow at any total scale.  q > 120.00 becomes
+    qc > 12000 (exact integers both sides) and the final
+    CAST(q AS DOUBLE) becomes qc / 100.0D (IEEE division of an exactly-
+    representable integer is correctly rounded = Decimal.toDouble)."""
+    from pg_mooncake_spark.queries.registry import (
+        all_queries,
+        hash_join_hint,
+        t,
+        table_rows,
+    )
+
+    base = lambda: all_queries()["q18_large_volume_customers"](spark, sf_dir)
+
+    def cand():
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        cust = t(spark, sf_dir, "customer")
+        big = (
+            li.selectExpr(
+                "l_orderkey",
+                "CAST(l_quantity * 100.0D + 0.5D AS BIGINT) AS qty_c",
+            )
+            .groupBy("l_orderkey")
+            .agg(F.expr("sum(qty_c) AS qc"))
+            .filter(F.col("qc") > 12000)
+        )
+        big = hash_join_hint(big, table_rows(sf_dir, "orders") // 3)
+        return (
+            big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .selectExpr(
+                "c_name",
+                "c_custkey",
+                "o_orderkey",
+                "CAST(o_orderdate AS DATE) AS orderdate",
+                "o_totalprice",
+                "qc / 100.0D AS sum_qty",
+            )
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(25)
+        )
+
+    return base, cand
+
+
+def _q9_nationkey(spark, sf_dir, long_encode: bool):
+    """q9 with the eager aggregate keyed on s_nationkey (8-byte long)
+    instead of n_name (~25-byte string): the nation-name attach moves to
+    a 25-row broadcast AFTER the final aggregate, so the fact exchange
+    and both hash aggregates work on narrow numeric keys.  1:1 mapping
+    (nation names unique), so values are identical by construction.
+
+    ``long_encode=True`` additionally sums the per-(order, nation)
+    amounts as exact micro-unit BIGINTs (q1 fast path): the per-row
+    DECIMAL(30,6) cast is replaced by CAST(x*1e6 ± 0.5 AS BIGINT)
+    (sign-aware: HALF_UP rounds away from zero), exact because the
+    amount expression is a product/difference of 2-decimal columns with
+    <= 6 true decimals; a per-(order, nation) sum is bounded by the
+    order's line count so the long cannot overflow at any scale.  The
+    final (nation, year) regroup merges per-partition long partials in
+    DECIMAL(38,0) exactly like q1's unscale_sum."""
+    from pg_mooncake_spark.queries.registry import (
+        hash_join_hint,
+        t,
+        table_rows,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    nat = t(spark, sf_dir, "nation")
+    amount_d = (
+        "(l_extendedprice * (1 - l_discount)"
+        " - 0.1D * p_retailprice * l_quantity)"
+    )
+    if long_encode:
+        amt_expr = (
+            f"CAST({amount_d} * 1000000.0D + "
+            f"IF({amount_d} >= 0D, 0.5D, -0.5D) AS BIGINT) AS amount"
+        )
+    else:
+        amt_expr = f"CAST({amount_d} AS DECIMAL(30,6)) AS amount"
+    pre = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .selectExpr("l_orderkey", "s_nationkey", amt_expr)
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "s_nationkey")
+        .agg(F.sum("amount").alias("amt"))
+    )
+    joined = (
+        pre.join(
+            hash_join_hint(
+                orders.select("o_orderkey", "o_orderdate"),
+                table_rows(sf_dir, "orders"),
+            ),
+            pre.l_orderkey == F.col("o_orderkey"),
+        )
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+    )
+    if long_encode:
+        final = (
+            joined.selectExpr(
+                "s_nationkey", "o_year", "amt", "spark_partition_id() AS _pid"
+            )
+            .groupBy("s_nationkey", "o_year", "_pid")
+            .agg(F.expr("sum(amt) AS amt_p"))
+            .groupBy("s_nationkey", "o_year")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(amt_p AS DECIMAL(38,0))) / 1000000"
+                    " AS DOUBLE) AS sum_profit"
+                )
+            )
+        )
+    else:
+        final = joined.groupBy("s_nationkey", "o_year").agg(
+            F.sum("amt").cast("double").alias("sum_profit")
+        )
+    return (
+        final.join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "o_year", "sum_profit")
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q9q_variants(spark, sf_dir):
+    """registry q9 vs the minimal long-encode adoption: keep the n_name
+    eager-agg keys, swap only the DECIMAL(30,6) per-row amount for the
+    exact micro-unit BIGINT encode + q1-style two-level exact merge."""
+    from pg_mooncake_spark.queries.registry import (
+        all_queries,
+        hash_join_hint,
+        t,
+        table_rows,
+    )
+
+    base = lambda: all_queries()["q9_product_type_profit"](spark, sf_dir)
+
+    def cand():
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        supp = t(spark, sf_dir, "supplier")
+        part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+        nat = t(spark, sf_dir, "nation")
+        amount_d = (
+            "(l_extendedprice * (1 - l_discount)"
+            " - 0.1D * p_retailprice * l_quantity)"
+        )
+        amt_expr = (
+            f"CAST({amount_d} * 1000000.0D + "
+            f"IF({amount_d} >= 0D, 0.5D, -0.5D) AS BIGINT) AS amount"
+        )
+        pre = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .selectExpr("l_orderkey", "n_name", amt_expr)
+            .repartition("l_orderkey")
+            .groupBy("l_orderkey", "n_name")
+            .agg(F.expr("sum(amount) AS amt"))
+        )
+        return (
+            pre.join(
+                hash_join_hint(
+                    orders.select("o_orderkey", "o_orderdate"),
+                    table_rows(sf_dir, "orders"),
+                ),
+                pre.l_orderkey == F.col("o_orderkey"),
+            )
+            .selectExpr(
+                "n_name AS nation",
+                "CAST(year(o_orderdate) AS BIGINT) AS o_year",
+                "amt",
+                "spark_partition_id() AS _pid",
+            )
+            .groupBy("nation", "o_year", "_pid")
+            .agg(F.expr("sum(amt) AS amt_p"))
+            .groupBy("nation", "o_year")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(amt_p AS DECIMAL(38,0))) / 1000000"
+                    " AS DOUBLE) AS sum_profit"
+                )
+            )
+            .orderBy("nation", F.desc("o_year"))
+        )
+
+    return base, cand
+
+
+def q9n_variants(spark, sf_dir):
+    """registry q9 vs nationkey-keyed eager aggregate (decimal sums)."""
+    from pg_mooncake_spark.queries.registry import all_queries
+
+    base = lambda: all_queries()["q9_product_type_profit"](spark, sf_dir)
+    cand = lambda: _q9_nationkey(spark, sf_dir, long_encode=False)
+    return base, cand
+
+
+def q9nq_variants(spark, sf_dir):
+    """nationkey-keyed q9: decimal sums vs scaled-BIGINT sums."""
+    base = lambda: _q9_nationkey(spark, sf_dir, long_encode=False)
+    cand = lambda: _q9_nationkey(spark, sf_dir, long_encode=True)
+    return base, cand
+
+
+def q9x_variants(spark, sf_dir):
+    """head-to-head: n_name+long-encode (q9q cand) vs nationkey+long."""
+    base_pair = q9q_variants(spark, sf_dir)
+    base = base_pair[1]
+    cand = lambda: _q9_nationkey(spark, sf_dir, long_encode=True)
+    return base, cand
+
+
+def q9a_variants(spark, sf_dir):
+    """adoption pair: registry q9 vs nationkey+long-encode (final)."""
+    from pg_mooncake_spark.queries.registry import all_queries
+
+    base = lambda: all_queries()["q9_product_type_profit"](spark, sf_dir)
+    cand = lambda: _q9_nationkey(spark, sf_dir, long_encode=True)
+    return base, cand
+
+
 EXPERIMENTS = {
     "q21": q21_variants,
     "q18g": q18_variants,
+    "q18q": q18q_variants,
+    "q9n": q9n_variants,
+    "q9q": q9q_variants,
+    "q9x": q9x_variants,
+    "q9a": q9a_variants,
+    "q9nq": q9nq_variants,
     "q9r": q9r_variants,
     "lshd": lshd_variants,
     "rebal_profile": _rebal_pair("text_profile_analysis"),
