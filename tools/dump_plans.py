@@ -42,7 +42,8 @@ def main() -> None:
     from pg_mooncake_spark.queries.registry import all_queries
 
     queries = all_queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r18")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r19")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir)
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
