@@ -373,28 +373,65 @@ def normalize_quantize_stats(
     starts at exact 0.0 and adds terms left-to-right, rounding uses the
     explicit floor(x + 0.5) form (engine round() half-way conventions
     differ), and outputs round computed doubles at fixed precision.
-    Emits (id, norm, max_abs_unit, q_checksum, mse_1e6)."""
+    Emits (id, norm, max_abs_unit, q_checksum, mse_1e6).
+
+    Round-19 restructure (same arithmetic, staged through generator
+    barriers): higher-order functions are evaluated interpreted and
+    nothing hoists a non-lambda subexpression out of the per-element
+    loop, so the original single-Project spelling re-evaluated ``norm``
+    inside every element of ``unit``, ``unit`` inside every element of
+    ``q`` (through ``scale`` → ``max_abs``), and ``q`` inside ``err`` —
+    O(d³) work per row (~100 s for 2k rows of d=64 at sf0.1; sf10 never
+    finished).  Each intermediate is now materialized once per row via
+    the ``explode(array(...))`` 1:1 generator barrier (operators/text.py
+    idiom), making the whole pipeline O(d) per row.  Every fold runs the
+    same operations in the same order on the same values, so doubles
+    stay bit-identical (the divisor ``127.0 / max_abs`` is evaluated
+    per element now, but IEEE division of the same operands is
+    deterministic — verified value-identical against the old spelling
+    and the oracle)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(v, lambda x: x / norm)
-    max_abs = F.array_max(F.transform(unit, F.abs))
-    scale = F.lit(127.0) / max_abs
-    q = F.transform(
-        unit, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint")
+    # barrier 1: the double vector and its norm, each computed once
+    b1 = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(v.alias("v"), norm.alias("n")))).alias(
+            "_s1"
+        ),
     )
+    unit = F.transform(F.col("_s1.v"), lambda x: x / F.col("_s1.n"))
+    max_abs = F.array_max(F.transform(unit, F.abs))
+    # barrier 2: the unit vector and its max-|x|, computed once
+    b2 = b1.select(
+        F.col(id_col),
+        F.col("_s1.n").alias("_norm"),
+        F.size(F.col("_s1.v")).alias("_d"),
+        F.explode(
+            F.array(F.struct(unit.alias("u"), max_abs.alias("m")))
+        ).alias("_s2"),
+    )
+    scale = F.lit(127.0) / F.col("_s2.m")
+    q = F.transform(
+        F.col("_s2.u"),
+        lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"),
+    )
+    # barrier 3: the quantized vector, computed once
+    b3 = b2.select("*", F.explode(F.array(q)).alias("_q"))
     err = F.zip_with(
-        unit, q, lambda x, qi: (x - qi.cast("double") / scale)
+        F.col("_s2.u"),
+        F.col("_q"),
+        lambda x, qi: (x - qi.cast("double") / scale),
     )
     mse = (
         F.aggregate(err, F.lit(0.0), lambda a, d: a + d * d)
-        / F.size(v).cast("double")
+        / F.col("_d").cast("double")
     )
-    return df.select(
+    return b3.select(
         F.col(id_col),
-        F.round(norm, 6).alias("norm"),
-        F.round(max_abs, 6).alias("max_abs_unit"),
-        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
-            "q_checksum"
-        ),
+        F.round(F.col("_norm"), 6).alias("norm"),
+        F.round(F.col("_s2.m"), 6).alias("max_abs_unit"),
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("q_checksum"),
         F.round(mse * F.lit(1_000_000.0), 6).alias("mse_1e6"),
     )

@@ -224,6 +224,110 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_fingerprints_col(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    mod: int = 1_000_000_007,
+    base: int = 31,
+    out_col: str = "fp",
+) -> DataFrame:
+    """``winnowing_fingerprints`` staged through generator barriers:
+    (id, materialized fingerprint array) per row.
+
+    The Column spelling above re-evaluates ``tk`` inside every gram
+    slice and ``hashes`` inside every window (higher-order lambdas are
+    interpreted and nothing hoists a non-lambda subexpression out of
+    the per-element loop) — O(tokens²·k) per row, and each *reference*
+    to the returned column repeats all of it.  Here every intermediate
+    is materialized once per row via the ``explode(array(...))`` 1:1
+    barrier, so gram building and window minima index into an
+    already-built array: O(tokens·(k+w)) per row.  Same expressions,
+    same branch order, same null propagation (the ``when(n >= k, ...)``
+    guard with no otherwise yields NULL exactly where the lazy
+    when-chain above never evaluated ``hashes``), so results are
+    bit-identical — pinned by tests against the Column spelling."""
+    tk = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    # barrier 0: the token array, built once
+    b0 = df.select(F.col(id_col), F.explode(F.array(tk)).alias("_wtk"))
+    # barrier 1: per-token polynomial hash and base^len mod m, one char
+    # pass per token.  Gram hashes then compose in O(1) per gram via the
+    # exact modular identity H(xy) = (H(x)·base^|y| + H(y)) mod m — the
+    # same value the per-char fold over the concatenated gram string
+    # produces, without building or re-splitting any gram string (every
+    # intermediate stays below m·base + 127 < m², so BIGINT never
+    # overflows and the identity is exact).  base^len comes from a
+    # constant-folded 256-entry lookup (length() counts the same units
+    # split(tok, "") produces — pinned by the unicode/supplementary
+    # adversarial test), with an exact fold fallback for longer tokens.
+    pows: list[int] = [1]
+    for _ in range(256):
+        pows.append((pows[-1] * base) % mod)
+    pow_lit = F.array(*[F.lit(v).cast("bigint") for v in pows])
+    tok_hash = lambda tok: F.aggregate(  # noqa: E731
+        F.split(tok, ""),
+        F.lit(0).cast("bigint"),
+        lambda a, c: (a * base + F.ascii(c)) % mod,
+    )
+    tok_pow = lambda tok: F.when(  # noqa: E731
+        F.length(tok) <= 256, F.element_at(pow_lit, F.length(tok) + 1)
+    ).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(tok)),
+            F.lit(1).cast("bigint"),
+            lambda a, i: (a * base) % mod,
+        )
+    )
+    b1 = b0.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.transform(F.col("_wtk"), tok_hash).alias("h"),
+                    F.transform(F.col("_wtk"), tok_pow).alias("p"),
+                )
+            )
+        ).alias("_wt"),
+    )
+    n = F.size(F.col("_wt.h"))
+    sep = 32  # ascii(' '), the concat_ws separator of the gram string
+
+    def gram_hash(i):
+        # chain built in Python (k is a plain int): element_at into the
+        # materialized hash/power arrays, ~4 arithmetic ops per token
+        acc = F.element_at(F.col("_wt.h"), i)
+        for j in range(1, k):
+            acc = (
+                (acc * base + sep) % mod * F.element_at(F.col("_wt.p"), i + j)
+                + F.element_at(F.col("_wt.h"), i + j)
+            ) % mod
+        return acc
+
+    hashes = F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
+    # barrier 2: the gram-hash array, built once (guarded: the lazy
+    # when-chain in the Column form never evaluates `hashes` when
+    # n < k, where the descending sequence would be garbage)
+    b2 = b1.select(
+        F.col(id_col),
+        n.alias("_wn"),
+        F.explode(F.array(F.when(n >= k, hashes))).alias("_wh"),
+    )
+    nh = F.size(F.col("_wh"))
+    wins = F.transform(
+        F.sequence(F.lit(1), nh - w + 1),
+        lambda i: F.array_min(F.slice(F.col("_wh"), i, w)),
+    )
+    fp = (
+        F.when(F.col("_wn") < k, F.array().cast("array<bigint>"))
+        .when(nh < w, F.array(F.array_min(F.col("_wh"))))
+        .otherwise(F.array_sort(F.array_distinct(wins)))
+    )
+    # barrier 3: the fingerprint set, built once for every consumer
+    return b2.select(F.col(id_col), F.explode(F.array(fp)).alias(out_col))
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Tokenize once, aggregate every token-derived statistic.
 
@@ -410,10 +514,17 @@ def repetition_score(
     """
     from pg_mooncake_spark.operators.dedup import word_kgrams
 
-    grams = word_kgrams(F.col(text_col), k)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return df.select(
+    # barrier-materialize the k-gram array once (r19): `total` and
+    # `distinct` each re-evaluated the zip-of-shifted-slices chain —
+    # 2× the per-row gram build for no reason.  Same expressions over
+    # the materialized column, bit-identical results.
+    b = df.select(
+        F.col(id_col),
+        F.explode(F.array(word_kgrams(F.col(text_col), k))).alias("_kg"),
+    )
+    total = F.size(F.col("_kg"))
+    distinct = F.size(F.array_distinct(F.col("_kg")))
+    return b.select(
         F.col(id_col),
         total.cast("bigint").alias("n_grams"),
         F.when(total > 0, F.round(1.0 - distinct / total, 6))

@@ -742,7 +742,7 @@ def text_profile_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-preserving, so output order is identical (order-sensitive
     crosscheck over all 500k sf10 rows).  Measured interleaved A/B at
     sf10: 6.13 → 4.33 s (1.42×)."""
-    d = t(spark, sf_dir, "documents", dense=True)
+    d = t(spark, sf_dir, "documents", dense=True, rebalance=False)
     return X.text_profile(d.orderBy("doc_id"), "text", "doc_id").select(
         "doc_id",
         "n_tokens_ws",
@@ -848,7 +848,7 @@ def text_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score + full profile (language, fingerprint).
     Every output — including the composite score — is deterministic
     integer/double arithmetic, so the full profile is oracle-checked."""
-    d = t(spark, sf_dir, "documents", dense=True)
+    d = t(spark, sf_dir, "documents", dense=True, rebalance=False)
     # sort-first: keep the range-exchange sampler off the profile
     # subtree (see text_profile_analysis)
     return X.text_profile(d.orderBy("doc_id"), "text", "doc_id")
@@ -1010,7 +1010,11 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sort-first: the input scan is sorted, not the redacted output, so
     the range sampler never re-runs the redaction regexes (see
     text_profile_analysis)."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id")
+    d = (
+        t(spark, sf_dir, "documents", rebalance=False)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
     did = F.col("doc_id")
     w = d.withColumn(
         "text",
@@ -1080,7 +1084,11 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 5 = 0 get their text doubled — those must score ≈0.5+;
     untouched prose stays near 0."""
     # sort-first: see text_profile_analysis
-    d = t(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id")
+    d = (
+        t(spark, sf_dir, "documents", rebalance=False)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
     w = d.withColumn(
         "text",
         F.when(
@@ -1646,11 +1654,15 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-replayable.  Emits count/checksum/min/max of each doc's
     fingerprint set so the oracle hash pins the whole set without
     array-typed output columns."""
-    # sort-first: see text_profile_analysis
-    d = t(spark, sf_dir, "documents").orderBy("doc_id")
-    fp = X.winnowing_fingerprints(F.col("text"))
+    # sort-first: see text_profile_analysis.  Staged operator (r19):
+    # the Column spelling re-evaluated the token array per gram and the
+    # hash array per window, and CollapseProject re-inlined the whole
+    # fingerprint expression into each of the four stats below — the
+    # barrier-materialized form computes each intermediate once per row
+    # (bit-identical; see winnowing_fingerprints_col).
+    d = t(spark, sf_dir, "documents", rebalance=False).orderBy("doc_id")
     mod = 1_000_000_007
-    return d.select("doc_id", fp.alias("fp")).select(
+    return X.winnowing_fingerprints_col(d, "text", "doc_id").select(
         "doc_id",
         F.size("fp").cast("bigint").alias("n_fp"),
         F.aggregate(
@@ -1698,7 +1710,7 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold order so the doubles match bit-for-bit.
 
     Sort-first: see text_profile_analysis."""
-    e = t(spark, sf_dir, "embeddings").orderBy("vec_id")
+    e = t(spark, sf_dir, "embeddings", rebalance=False).orderBy("vec_id")
     return S.normalize_quantize_stats(e, "embedding", "vec_id")
 
 

@@ -358,7 +358,11 @@ def hash_join_hint(df: DataFrame, base_rows: int) -> DataFrame:
 
 
 def t(
-    spark: SparkSession, sf_dir: str, name: str, dense: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    dense: bool = False,
+    rebalance: bool = True,
 ) -> DataFrame:
     """Load one fixture table as a DataFrame (columnar parquet scan).
 
@@ -367,6 +371,13 @@ def t(
     then fires from REBALANCE_DENSE_MIN_ROWS instead of the 20k AUTO
     floor (gate comment above — the break-even depends on downstream
     per-row cost, which only the caller knows).
+
+    ``rebalance=False`` declares that the caller immediately
+    repartitions the scan itself (the sort-first pipelines range-
+    partition on the id as their first step), so the round-robin
+    rebalance would be a redundant full shuffle of the same rows that
+    the range exchange re-shuffles one operator later (r19 measured:
+    text_profile 4.24 → 3.38 s at sf10 from dropping it).
 
     ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects (PARQUET_TYPE_ILLEGAL).  We read nanos as a
@@ -387,7 +398,7 @@ def t(
     import os as _os
 
     cache_on = _os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
-    key = (sf_dir, name, dense)
+    key = (sf_dir, name, dense, rebalance)
     if cache_on and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     memo_key = None
@@ -401,6 +412,7 @@ def t(
                 sf_dir,
                 name,
                 dense,
+                rebalance,
                 REBALANCE_MIN_ROWS,
                 REBALANCE_DENSE_MIN_ROWS,
             ) + sig
@@ -435,7 +447,7 @@ def t(
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
+    if rebalance and name in ("documents", "embeddings"):
         # CPU-dense tables (text expressions, vector math) stored as
         # compact compressed parquet get STARVED by byte-based split
         # sizing: sf10's 500k-doc file is 4.5 MB on disk and scans as

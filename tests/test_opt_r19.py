@@ -1,6 +1,13 @@
 """Round-19 optimization regression pins.
 
-1. The round-18 sort-first rewrite (queries/llm.py: trailing ``orderBy``
+1. (tests below) Bit-identity of the r19 staged operator rewrites
+   against their original single-expression spellings — the nested
+   higher-order-function forms re-evaluated whole subexpressions inside
+   per-element lambdas (normalize_quantize_stats was O(d³)/row,
+   winnowing O(tokens²)/row) and are replaced by generator-barrier
+   staged forms that MUST stay value-identical.
+
+2. The round-18 sort-first rewrite (queries/llm.py: trailing ``orderBy``
    moved to the *input* of map-only pipelines so the RangePartitioner
    sampling job samples the cheap scan instead of re-executing the whole
    expression subtree) is only order-correct while the pipeline above
@@ -74,3 +81,146 @@ def test_sort_first_plan_shuffle_free_above_sort(spark, queries, name, key):
     )
     # and the sort must actually be on the contract key
     assert key in lines[first_sort]
+
+
+# ---------------------------------------------------------------------------
+# Staged-operator bit-identity (r19 rewrites)
+# ---------------------------------------------------------------------------
+
+ADVERSARIAL_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, ""),
+    (3, None),
+    (4, "one two"),
+    (5, "a b c"),
+    (6, "a b c d"),
+    (7, "x"),
+    (8, "héllo wörld ünïcode tokens here μ λ π ω"),
+    (9, "  spaced   out   tokens   here  "),
+    (10, "a b c d e f g h i j"),
+    (11, "🙂 emoji 𝄞 supplementary chars test here now ok"),
+    (12, "same same same same same same same same"),
+    (13, "x" * 300 + " " + "y" * 300 + " zz qq ww"),  # >256-char tokens
+]
+
+
+def test_winnowing_staged_matches_column_spelling(spark):
+    """winnowing_fingerprints_col (barrier-staged, per-token hash
+    composition) must equal the original Column spelling bit-for-bit on
+    adversarial inputs: empty/null text, fewer tokens than k, fewer
+    grams than w, unicode incl. supplementary planes, repeated grams,
+    and tokens longer than the 256-entry power lookup."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_col,
+    )
+
+    d = spark.createDataFrame(ADVERSARIAL_DOCS, "doc_id long, text string")
+    old = d.select(
+        "doc_id", winnowing_fingerprints(F.col("text")).alias("fp")
+    ).collect()
+    new = winnowing_fingerprints_col(d, "text", "doc_id").collect()
+    assert sorted(map(str, old)) == sorted(map(str, new))
+
+
+def test_repetition_staged_matches_inline_spelling(spark):
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.operators.dedup import word_kgrams
+    from pg_mooncake_spark.operators.text import repetition_score
+
+    d = spark.createDataFrame(ADVERSARIAL_DOCS, "doc_id long, text string")
+    grams = word_kgrams(F.col("text"), 2)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    old = d.select(
+        F.col("doc_id"),
+        total.cast("bigint").alias("n_grams"),
+        F.when(total > 0, F.round(1.0 - distinct / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    ).collect()
+    new = repetition_score(d, "text", "doc_id", k=2).collect()
+    assert sorted(map(str, old)) == sorted(map(str, new))
+
+
+def test_normalize_quantize_staged_matches_original(spark):
+    """The barrier-staged normalize_quantize_stats must reproduce the
+    original nested-HOF spelling bit-for-bit (incl. zero vectors, empty
+    arrays, and null embeddings)."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.operators.similarity import (
+        normalize_quantize_stats,
+    )
+
+    def original(df, vec_col, id_col):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        unit = F.transform(v, lambda x: x / norm)
+        max_abs = F.array_max(F.transform(unit, F.abs))
+        scale = F.lit(127.0) / max_abs
+        q = F.transform(
+            unit, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint")
+        )
+        err = F.zip_with(unit, q, lambda x, qi: (x - qi.cast("double") / scale))
+        mse = (
+            F.aggregate(err, F.lit(0.0), lambda a, d: a + d * d)
+            / F.size(v).cast("double")
+        )
+        return df.select(
+            F.col(id_col),
+            F.round(norm, 6).alias("norm"),
+            F.round(max_abs, 6).alias("max_abs_unit"),
+            F.aggregate(
+                q, F.lit(0).cast("bigint"), lambda a, b: a + b
+            ).alias("q_checksum"),
+            F.round(mse * F.lit(1_000_000.0), 6).alias("mse_1e6"),
+        )
+
+    rows = [
+        (1, [1.0, 2.0, -3.0, 0.5]),
+        (4, None),  # null embedding
+        (5, [1e-30, -1e30, 42.0]),
+        (6, [0.25]),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = original(d, "embedding", "vec_id").collect()
+    new = normalize_quantize_stats(d, "embedding", "vec_id").collect()
+    assert sorted(map(str, old)) == sorted(map(str, new))
+
+    # zero and empty vectors raise DIVIDE_BY_ZERO under ANSI in BOTH
+    # spellings (127/max_abs resp. the checksum fold's % on an empty
+    # guard) — the staged form must not swallow what the original threw
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(2, [0.0, 0.0, 0.0]), (3, [])],
+        "vec_id long, embedding array<double>",
+    )
+    for fn in (original, normalize_quantize_stats):
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            fn(bad, "embedding", "vec_id").collect()
+
+
+def test_t_rebalance_flag_drops_roundrobin_exchange(spark):
+    """t(..., rebalance=False) must not inject the round-robin
+    repartition (the sort-first callers' range exchange does the
+    spreading), and the two flag values must not share a memo entry."""
+    from pg_mooncake_spark.plans import inspect as I
+    from pg_mooncake_spark.queries import registry as R
+
+    R.REBALANCE_DENSE_MIN_ROWS, saved = 1, R.REBALANCE_DENSE_MIN_ROWS
+    try:
+        with_rb = R.t(spark, SF_DIR, "documents", dense=True)
+        without_rb = R.t(
+            spark, SF_DIR, "documents", dense=True, rebalance=False
+        )
+        assert "RoundRobinPartitioning" in I.plan_text(with_rb, "formatted")
+        assert "RoundRobinPartitioning" not in I.plan_text(
+            without_rb, "formatted"
+        )
+    finally:
+        R.REBALANCE_DENSE_MIN_ROWS = saved
