@@ -83,6 +83,23 @@ def test_sort_first_plan_shuffle_free_above_sort(spark, queries, name, key):
     assert key in lines[first_sort]
 
 
+def test_topk_per_group_order_and_single_exchange(spark, queries):
+    """topk_per_group (r19 single-range-exchange shape): output must
+    arrive in the old trailing orderBy("o_custkey", "rn") order with
+    exactly one Exchange in the plan (the range partition serving both
+    the window and the output order)."""
+    rows = queries["topk_per_group"](spark, SF_DIR).collect()
+    keys = [(r["o_custkey"], r["rn"]) for r in rows]
+    assert keys == sorted(keys), "output order lost"
+    assert len(set(keys)) == len(keys)
+    # fresh DataFrame: a collected Dataset memoizes its AQE
+    # QueryExecution and the post-execution plan double-prints exchanges
+    df = queries["topk_per_group"](spark, SF_DIR)
+    assert I.exchange_count(df) == 1
+    plan = I.plan_text(df, "simple")
+    assert "rangepartitioning(o_custkey" in plan
+
+
 # ---------------------------------------------------------------------------
 # Staged-operator bit-identity (r19 rewrites)
 # ---------------------------------------------------------------------------
