@@ -202,6 +202,7 @@ def _load_all() -> None:
 
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ROWS_CACHE: dict[tuple[str, str], int] = {}
+_COLBYTES_CACHE: dict[tuple, float] = {}
 
 # Plan memo for t(): the UNEXECUTED scan DataFrame per
 # (session, dir, table, dense, file mtime+size).  This holds query-plan
@@ -331,13 +332,72 @@ REBALANCE_DENSE_MIN_ROWS = int(
 )
 
 
-def maybe_broadcast(df: DataFrame, est_rows: int) -> DataFrame:
-    """Broadcast-hint ``df`` when its estimated row count fits the gate;
-    shuffled-hash-hint it otherwise (sort-merge is never the right
-    strategy for these measured shapes — see gate comment above)."""
+# Bytes cap for the broadcast gate (r19, VERDICT r18 item 5): the row
+# gate alone would let a WIDE 2.5M-row side through — every break-even
+# the r18 A/Bs measured was a 2-column ~12-16 B/row side (2.5M rows ≈
+# 40 MB of column data), so the bound is the measured-winning size with
+# headroom for framing, not a new regime: a side at the row bound stays
+# broadcast while its columns average ≤ ~26 B/row, and anything wider
+# falls back to the shuffled-hash hint the row gate already used.
+BROADCAST_SIDE_BYTES = int(
+    float(_os_mod.environ.get("SPARK_GRAFT_BROADCAST_SIDE_MB", "64"))
+    * (1 << 20)
+)
+
+
+def table_col_bytes_per_row(sf_dir: str, name: str, cols: list[str]) -> float:
+    """Average per-row uncompressed bytes of the named columns, from
+    parquet FOOTER metadata only (driver-local, cached per key).
+    Returns 0.0 when metadata can't be read — callers treat that as
+    "unknown: rely on the row gate alone"."""
+    import os as _os
+
+    key = (sf_dir, name, tuple(sorted(cols)))
+    if key not in _COLBYTES_CACHE:
+        try:
+            import pyarrow.parquet as _pq
+
+            p = f"{sf_dir}/{name}.parquet"
+            files = (
+                [
+                    _os.path.join(p, f)
+                    for f in _os.listdir(p)
+                    if f.endswith(".parquet")
+                ]
+                if _os.path.isdir(p)
+                else [p]
+            )
+            want = set(cols)
+            total, rows = 0, 0
+            for f in files:
+                md = _pq.ParquetFile(f).metadata
+                rows += md.num_rows
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        if c.path_in_schema.split(".")[0] in want:
+                            total += c.total_uncompressed_size
+            _COLBYTES_CACHE[key] = (total / rows) if rows else 0.0
+        except Exception:
+            _COLBYTES_CACHE[key] = 0.0
+    return _COLBYTES_CACHE[key]
+
+
+def maybe_broadcast(
+    df: DataFrame, est_rows: int, est_row_bytes: float = 0.0
+) -> DataFrame:
+    """Broadcast-hint ``df`` when its estimated row count AND estimated
+    bytes (rows × avg projected row width, from footer metadata when the
+    caller passes it) fit the gates; shuffled-hash-hint it otherwise
+    (sort-merge is never the right strategy for these measured shapes —
+    see gate comments above)."""
     from pyspark.sql import functions as F
 
-    if 0 < est_rows <= BROADCAST_SIDE_ROWS:
+    if 0 < est_rows <= BROADCAST_SIDE_ROWS and (
+        est_row_bytes <= 0.0
+        or est_rows * est_row_bytes <= BROADCAST_SIDE_BYTES
+    ):
         return F.broadcast(df)
     return df.hint("shuffle_hash")
 

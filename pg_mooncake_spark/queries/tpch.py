@@ -27,6 +27,7 @@ from pg_mooncake_spark.functions import dsum
 from pg_mooncake_spark.queries.registry import (
     hash_join_hint,
     maybe_broadcast,
+    table_col_bytes_per_row,
     query,
     t,
     table_rows,
@@ -201,7 +202,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderdate")
     return (
         li.join(
-            maybe_broadcast(ord_side, table_rows(sf_dir, "orders") // 10),
+            maybe_broadcast(
+                ord_side,
+                table_rows(sf_dir, "orders") // 10,
+                table_col_bytes_per_row(
+                    sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+                ),
+            ),
             li.l_orderkey == ord_side.o_orderkey,
             "inner",
         )
@@ -272,7 +279,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "c_nationkey")
     return (
         li_side.join(
-            maybe_broadcast(ord_side, table_rows(sf_dir, "orders") // 6),
+            maybe_broadcast(
+                ord_side,
+                table_rows(sf_dir, "orders") // 6,
+                table_col_bytes_per_row(sf_dir, "orders", ["o_orderkey"])
+                + table_col_bytes_per_row(
+                    sf_dir, "customer", ["c_nationkey"]
+                ),
+            ),
             (li_side.l_orderkey == ord_side.o_orderkey)
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

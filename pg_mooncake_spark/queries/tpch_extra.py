@@ -38,6 +38,7 @@ from pg_mooncake_spark.functions import dsum
 from pg_mooncake_spark.queries.registry import (
     hash_join_hint,
     maybe_broadcast,
+    table_col_bytes_per_row,
     query,
     t,
     table_rows,
@@ -209,7 +210,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li_side.join(
-            maybe_broadcast(ord_side, table_rows(sf_dir, "orders") // 12),
+            maybe_broadcast(
+                ord_side,
+                table_rows(sf_dir, "orders") // 12,
+                table_col_bytes_per_row(sf_dir, "orders", ["o_orderkey"])
+                + table_col_bytes_per_row(sf_dir, "nation", ["n_name"]),
+            ),
             li_side.l_orderkey == ord_side.o_orderkey,
         )
         .filter(pair)
@@ -285,7 +291,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li_side.join(
-            maybe_broadcast(ord_side, table_rows(sf_dir, "orders") // 5),
+            maybe_broadcast(
+                ord_side,
+                table_rows(sf_dir, "orders") // 5,
+                table_col_bytes_per_row(
+                    sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+                ),
+            ),
             li_side.l_orderkey == F.col("o_orderkey"),
         )
         .withColumn("o_year", F.year("o_orderdate").cast("long"))

@@ -222,6 +222,76 @@ def test_normalize_quantize_staged_matches_original(spark):
             fn(bad, "embedding", "vec_id").collect()
 
 
+# ---------------------------------------------------------------------------
+# Bytes-aware broadcast gate (r19, VERDICT r18 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_table_col_bytes_per_row_from_footers():
+    from pg_mooncake_spark.queries.registry import table_col_bytes_per_row
+
+    w_key = table_col_bytes_per_row(SF_DIR, "orders", ["o_orderkey"])
+    w_two = table_col_bytes_per_row(
+        SF_DIR, "orders", ["o_orderkey", "o_orderdate"]
+    )
+    # a BIGINT key column: ~8 B plus page-header overhead at tiny SFs
+    assert 0.5 <= w_key <= 12.0
+    assert w_two > w_key
+    assert table_col_bytes_per_row("/nonexistent_xyz", "orders", ["a"]) == 0.0
+
+
+def test_broadcast_gate_narrow_side_still_broadcasts(spark):
+    """A side AT the row bound with narrow (measured-break-even ~16 B)
+    rows stays broadcast: the bytes cap must not change the r18 regime."""
+    from pyspark.sql import functions as F
+
+    from pg_mooncake_spark.plans import inspect as I
+    from pg_mooncake_spark.queries import registry as R
+
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    j = cust.join(
+        R.maybe_broadcast(nat, R.BROADCAST_SIDE_ROWS, 16.0),
+        cust.c_nationkey == nat.n_nationkey,
+    )
+    assert "BroadcastHashJoin" in I.plan_text(j, "simple")
+
+
+def test_broadcast_gate_wide_side_falls_back_to_shuffled_hash(spark):
+    """The same row count with WIDE rows (est bytes past the cap) must
+    fall back to the shuffled-hash hint, never a forced broadcast."""
+    from pg_mooncake_spark.plans import inspect as I
+    from pg_mooncake_spark.queries import registry as R
+
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    wide_bytes = (R.BROADCAST_SIDE_BYTES / R.BROADCAST_SIDE_ROWS) * 4
+    j = cust.join(
+        R.maybe_broadcast(nat, R.BROADCAST_SIDE_ROWS, wide_bytes),
+        cust.c_nationkey == nat.n_nationkey,
+    )
+    plan = I.plan_text(j, "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bytes_gate_leaves_small_sf_plans_broadcast(spark, queries):
+    """q3/q5/q7/q8 at sf0.001: the byte estimates the call sites now
+    pass must keep the broadcast regime (sf0.1-and-below plans unchanged
+    by construction)."""
+    from pg_mooncake_spark.plans import inspect as I
+
+    for key in (
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q7_volume_shipping",
+        "q8_market_share",
+    ):
+        plan = I.plan_text(queries[key](spark, SF_DIR), "simple")
+        assert "ShuffledHashJoin" not in plan, key
+        assert "SortMergeJoin" not in plan, key
+
+
 def test_t_rebalance_flag_drops_roundrobin_exchange(spark):
     """t(..., rebalance=False) must not inject the round-robin
     repartition (the sort-first callers' range exchange does the
