@@ -3098,16 +3098,24 @@ def mv_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_count").cast("long").alias("c_count"),
         F.col("custdist").cast("long").alias("custdist"),
     )
-    total = cust.count()
-    with_orders = hist.agg(F.sum("custdist")).collect()[0][0] or 0
-    # Only emit the zero bucket when it is non-empty: at tiny scale
-    # every customer can have a qualifying order, and an unconditional
-    # (0, 0) row diverges from the oracle's histogram (found by the
-    # r18 full-registry sf0.001 sweep; sf0.01+ always has the bucket).
-    if total - with_orders <= 0:
-        return hist.orderBy(F.desc("custdist"), F.desc("c_count"))
-    zero = eng.spark.createDataFrame(
-        [(0, int(total - with_orders))], "c_count long, custdist long"
+    # Zero bucket derived INSIDE the returned DAG (r19, VERDICT r18
+    # item 6/7): customers with no qualifying order = total customers
+    # minus the histogram's weight sum, emitted as a (0, N) row only
+    # when N > 0 (at tiny scale every customer can have a qualifying
+    # order, and an unconditional (0, 0) row diverges from the oracle —
+    # the r18 sweep's finding, preserved by the filter).  Both inputs
+    # are single-row aggregates, so the cross join is two 1-row
+    # broadcasts — no driver-side count()/collect() at build time.
+    zero = (
+        cust.agg(F.count(F.lit(1)).alias("_t"))
+        .crossJoin(
+            hist.agg(F.coalesce(F.sum("custdist"), F.lit(0)).alias("_w"))
+        )
+        .select(
+            F.lit(0).cast("long").alias("c_count"),
+            (F.col("_t") - F.col("_w")).cast("long").alias("custdist"),
+        )
+        .filter(F.col("custdist") > 0)
     )
     return hist.unionByName(zero).orderBy(
         F.desc("custdist"), F.desc("c_count")

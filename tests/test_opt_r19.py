@@ -222,6 +222,22 @@ def test_normalize_quantize_staged_matches_original(spark):
             fn(bad, "embedding", "vec_id").collect()
 
 
+def test_mv_q13_zero_bucket_is_lazy(spark, queries):
+    """mv_q13_distribution derives its zero bucket inside the returned
+    DAG (union + filtered 1-row aggregate) instead of running
+    count()/collect() driver actions at build time — the plan must
+    contain the Union at EVERY scale (the old code dropped it at SFs
+    where the bucket was empty, proving it decided eagerly)."""
+    from pg_mooncake_spark.plans import inspect as I
+
+    df = queries["mv_q13_distribution"](spark, SF_DIR)
+    plan = I.plan_text(df, "simple")
+    assert "Union" in plan
+    # sf0.001: every customer has a qualifying order, so the lazy filter
+    # must still suppress the (0, 0) row at execution time
+    assert not [r for r in df.collect() if r["c_count"] == 0 and r["custdist"] == 0]
+
+
 # ---------------------------------------------------------------------------
 # Bytes-aware broadcast gate (r19, VERDICT r18 item 5)
 # ---------------------------------------------------------------------------
