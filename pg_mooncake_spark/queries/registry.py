@@ -61,7 +61,68 @@ def query(name: str, oracle: Optional[str] = None):
 # Remaining keys follow in registration order and rotate in future rounds.
 # This is one static, reviewable list, not computed tiers.
 _WINDOW_PRIORITY = (
-    # ---- round-18 rotation (VERDICT r17 task #2).
+    # ---- round-19 rotation (VERDICT r18 item 8: rotate onto the ~111
+    # keys the r17+r18 driver samples never covered, changed keys
+    # first).
+    # (1) implementation changed THIS round — the six sort-first keys
+    # (r18's unverified tail, now rewritten through staged operators),
+    # the single-exchange topk, and the lazy-zero-bucket MV:
+    "text_profile_analysis",
+    "text_quality_scoring",
+    "text_pii_redaction",
+    "text_repetition_score",
+    "text_winnowing_fingerprints",
+    "embedding_normalize_quantize",
+    "topk_per_group",
+    "mv_q13_distribution",
+    # (2) the sixteen r18-overflow keys (documented in the r18 comment
+    # below as heading this rotation), minus the two already above:
+    "lifecycle_sql_returning",
+    "lifecycle_sql_returning_join",
+    "limit_offset",
+    "mv_rename_survival",
+    "orderby_multikey_nulls",
+    "pivot_status_by_priority",
+    "q21_suppliers_kept_waiting",
+    "scalar_datetime_family",
+    "scalar_math_family",
+    "scalar_regexp_family",
+    "scalar_string_family",
+    "scalar_try_family",
+    "setop_except",
+    "sim_ann_ivf",
+    # (3) longest-absent fill, registration order, from the
+    # r17+r18-uncovered set:
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q9_product_type_profit",
+    "window_ranking_family",
+    "window_offset_family",
+    "window_running_and_range_frames",
+    "agg_approx_count_distinct",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_except_all",
+    "subquery_scalar_uncorrelated",
+    "subquery_correlated_scalar",
+    "subquery_in_notin",
+    "unpivot_stack",
+    "agg_approx_percentile",
+    "scalar_conditional_family",
+    "scalar_json_family",
+    "scalar_json_structured",
+    "scalar_array_family",
+    "scalar_hash_family",
+    "sequence_generation",
+    "struct_and_map_access",
+    "scalar_bitwise_family",
+    "scalar_array_setops_family",
+    "scalar_interval_family",
+    # ---- round-18 rotation (VERDICT r17 task #2), now past the
+    # 50-slot window; kept for history/ordering stability.
     # (1) never driver-verified: the round-18 additions — the non-pk
     # ON CONFLICT arbitration key, the subquery-DML key, the join-MV
     # dimension-churn key, and the late-round pg array-operator and

@@ -156,15 +156,40 @@ def main() -> None:
             else round(median(res["runs"]), 3)
         )
 
-    out: dict[str, object] = {"sf_dir": sf_dir, "runs": n_runs, "queries": {}}
+    # One-line JSON in the same shape as bench.py (metric/value/unit/
+    # queries/sf — VERDICT r18 item 3: the scale probe must be driver-
+    # reproducible and comparable), plus the DuckDB-oracle wall-times
+    # and ratios this tool exists to report.
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].rstrip("data")
+    try:
+        sf_val: float | str = float(sf_tag)
+    except ValueError:
+        sf_val = sf_dir
+    spark_med = {n: round(median(spark_t[n]), 3) for n in names}
+    detail: dict[str, object] = {}
     for name in names:
-        s = round(median(spark_t[name]), 3)
+        s = spark_med[name]
         d = duck_t[name]
         ratio = (
             round(s / d, 2) if isinstance(d, float) and d > 0 else None
         )
-        out["queries"][name] = {"spark": s, "duckdb": d, "ratio": ratio}
-    print(json.dumps(out))
+        detail[name] = {"spark": s, "duckdb": d, "ratio": ratio}
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_query_set_total",
+                "value": round(sum(spark_med.values()), 3),
+                "unit": "sec",
+                "queries": spark_med,
+                "sf": sf_val,
+                "sf_dir": sf_dir,
+                "runs": n_runs,
+                "cpus": int(cpus),
+                "duckdb": detail,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
