@@ -1569,9 +1569,24 @@ def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) + per-session rollup —
-    gaps-and-islands via lag + running sum, shuffling only on user_id."""
+    gaps-and-islands via lag + running sum, shuffling only on user_id.
+
+    Single-exchange shape (r19, the topk lever): the trailing
+    orderBy(user_id, session_idx) paid a second (range) exchange whose
+    sampler re-executed the sort + 2 windows + aggregate above the
+    user_id shuffle (shuffle files are reused; the compute is not).
+    Range-partitioning the scan by user_id satisfies the window's AND
+    the aggregate's clustering (equal users share a partition), and
+    sortWithinPartitions over the small per-session rollup restores the
+    contract order — range boundaries keep users ascending across
+    partitions.  Ordered-identical crosscheck over all 9.5M sf10 rows;
+    interleaved A/B: sf0.1 0.546 → 0.376 s (1.45×), sf10
+    3.48 → 2.08 s (1.67×).  Order + single-exchange pinned in
+    tests/test_opt_r19.py."""
     e = t(spark, sf_dir, "events")
-    return session_stats(e, 30).orderBy("user_id", "session_idx")
+    return session_stats(
+        e.repartitionByRange(F.col("user_id")), 30
+    ).sortWithinPartitions("user_id", "session_idx")
 
 
 @query(

@@ -222,6 +222,20 @@ def test_normalize_quantize_staged_matches_original(spark):
             fn(bad, "embedding", "vec_id").collect()
 
 
+def test_sessionization_order_and_single_exchange(spark, queries):
+    """events_sessionization (r19 single-range-exchange shape): output
+    must arrive in the old trailing orderBy(user_id, session_idx) order
+    with exactly one Exchange (range on user_id serving the windows,
+    the aggregate, and the output order)."""
+    rows = queries["events_sessionization"](spark, SF_DIR).collect()
+    keys = [(r["user_id"], r["session_idx"]) for r in rows]
+    assert keys == sorted(keys), "output order lost"
+    assert len(set(keys)) == len(keys)
+    df = queries["events_sessionization"](spark, SF_DIR)
+    assert I.exchange_count(df) == 1
+    assert "rangepartitioning(user_id" in I.plan_text(df, "simple")
+
+
 def test_mv_q13_zero_bucket_is_lazy(spark, queries):
     """mv_q13_distribution derives its zero bucket inside the returned
     DAG (union + filtered 1-row aggregate) instead of running

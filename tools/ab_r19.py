@@ -196,7 +196,31 @@ def topk_variants(spark, sf_dir):
     return base, cand
 
 
+def sess_variants(spark, sf_dir):
+    """events_sessionization: the trailing orderBy(user_id, session_idx)
+    adds a range exchange whose sampler re-executes the sort+2 windows+
+    aggregate above the user_id shuffle (the shuffle files are reused,
+    the compute is not).  Candidate: range-partition the scan by user_id
+    up front — RangePartitioning(user_id) satisfies the window's AND the
+    aggregate's clustering — then sortWithinPartitions the (small)
+    per-session rollup, so the output arrives in the contract order with
+    ONE exchange and no sampler re-execution."""
+    from pg_mooncake_spark.operators.sessionize import session_stats
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    base = lambda: all_queries()["events_sessionization"](spark, sf_dir)
+
+    def cand():
+        e = t(spark, sf_dir, "events")
+        return session_stats(
+            e.repartitionByRange(F.col("user_id")), 30
+        ).sortWithinPartitions("user_id", "session_idx")
+
+    return base, cand
+
+
 EXPERIMENTS = {
+    "sess": sess_variants,
     "sf_profile": _sort_first_pair("text_profile_analysis"),
     "sf_quality": _sort_first_pair("text_quality_scoring"),
     "sf_embed": _sort_first_pair("embedding_normalize_quantize"),
@@ -204,7 +228,7 @@ EXPERIMENTS = {
     "topk": topk_variants,
 }
 
-ORDERED = {"topk"}
+ORDERED = {"topk", "sess"}
 
 
 def main() -> None:
