@@ -35,12 +35,22 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_r",
+    range_partition: bool = False,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     ``right.ts <= left.ts`` and the same ``on`` key (NULLs when none).
 
     ``tolerance_seconds`` drops matches older than the window (like
     pandas ``merge_asof(tolerance=...)``).
+
+    ``range_partition=True`` range-partitions the unioned input on the
+    key instead of letting the window hash-exchange it (r19):
+    RangePartitioning(on) satisfies the window's clustering (equal keys
+    share a partition), and range boundaries keep keys ASCENDING across
+    partitions — so a caller that wants key-ordered output can
+    sortWithinPartitions instead of paying a second (range) exchange
+    whose sampler re-executes the window subtree.  Values are identical
+    either way; only the shuffle's partitioner changes.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts_col)]
@@ -65,6 +75,8 @@ def asof_join(
     )
     lhs = left.withColumn("__side", F.lit(1))
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    if range_partition:
+        unioned = unioned.repartitionByRange(F.col(on))
 
     # right rows sort before left rows at equal ts (side 0 < 1), so an
     # exactly-simultaneous right row IS visible to the left row.

@@ -35,7 +35,17 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via the union+window trick (one shuffle on user_id, no
     inequality-join row explosion) — checked against DuckDB's native
     ASOF JOIN.  Each click is annotated with the value of the user's most
-    recent purchase at or before the click."""
+    recent purchase at or before the click.
+
+    Single-exchange shape (r19, the topk/sessionization lever): the
+    trailing orderBy(user_id, event_id) paid a second (range) exchange
+    whose sampler re-executed the union + window.  With
+    ``range_partition=True`` the union is range-partitioned on user_id
+    (satisfies the window's clustering; users ascend across partitions),
+    so sortWithinPartitions over the click rows restores the contract
+    order with ONE exchange.  Ordered-identical crosscheck over all
+    1.99M sf10 rows; interleaved A/B: sf0.1 0.386 → 0.280 s (1.37×),
+    sf10 1.615 → 1.269 s (1.27×).  Pinned in tests/test_opt_r19.py."""
     e = t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
@@ -43,13 +53,15 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
-    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts")
+    joined = asof_join(
+        clicks, purchases, on="user_id", ts_col="ts", range_partition=True
+    )
     return joined.select(
         "user_id",
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.round("value_r", 6).alias("last_purchase_value"),
-    ).orderBy("user_id", "event_id")
+    ).sortWithinPartitions("user_id", "event_id")
 
 
 @query(

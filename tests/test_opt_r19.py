@@ -236,6 +236,41 @@ def test_sessionization_order_and_single_exchange(spark, queries):
     assert "rangepartitioning(user_id" in I.plan_text(df, "simple")
 
 
+def test_asof_order_and_single_exchange(spark, queries):
+    """events_asof_join (r19 single-range-exchange shape): output must
+    arrive in the old trailing orderBy(user_id, event_id) order with
+    exactly one Exchange (range on user_id over the union, serving the
+    as-of window and the output order)."""
+    rows = queries["events_asof_join"](spark, SF_DIR).collect()
+    keys = [(r["user_id"], r["event_id"]) for r in rows]
+    assert keys == sorted(keys), "output order lost"
+    assert len(set(keys)) == len(keys)
+    df = queries["events_asof_join"](spark, SF_DIR)
+    assert I.exchange_count(df) == 1
+    assert "rangepartitioning(user_id" in I.plan_text(df, "simple")
+
+
+def test_asof_range_partition_values_identical(spark):
+    """asof_join(range_partition=True) must produce the same rows as the
+    default hash path, including tolerance handling and simultaneous
+    right rows."""
+    from pg_mooncake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (2, 16, 3.0)],
+        "k long, ts long, v double",
+    )
+    a = asof_join(left, right, on="k", ts_col="ts").collect()
+    b = asof_join(
+        left, right, on="k", ts_col="ts", range_partition=True
+    ).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
 def test_mv_q13_zero_bucket_is_lazy(spark, queries):
     """mv_q13_distribution derives its zero bucket inside the returned
     DAG (union + filtered 1-row aggregate) instead of running

@@ -219,8 +219,40 @@ def sess_variants(spark, sf_dir):
     return base, cand
 
 
+def asof_variants(spark, sf_dir):
+    """events_asof_join: hash exchange (window) + range exchange
+    (trailing orderBy, sampler re-runs the window) vs ONE range
+    exchange via asof_join(range_partition=True) + sortWithinPartitions."""
+    from pg_mooncake_spark.operators.asof import asof_join
+    from pg_mooncake_spark.queries.registry import all_queries, t
+
+    base = lambda: all_queries()["events_asof_join"](spark, sf_dir)
+
+    def cand():
+        e = t(spark, sf_dir, "events")
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        joined = asof_join(
+            clicks, purchases, on="user_id", ts_col="ts",
+            range_partition=True,
+        )
+        return joined.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.round("value_r", 6).alias("last_purchase_value"),
+        ).sortWithinPartitions("user_id", "event_id")
+
+    return base, cand
+
+
 EXPERIMENTS = {
     "sess": sess_variants,
+    "asof": asof_variants,
     "sf_profile": _sort_first_pair("text_profile_analysis"),
     "sf_quality": _sort_first_pair("text_quality_scoring"),
     "sf_embed": _sort_first_pair("embedding_normalize_quantize"),
@@ -228,7 +260,7 @@ EXPERIMENTS = {
     "topk": topk_variants,
 }
 
-ORDERED = {"topk", "sess"}
+ORDERED = {"topk", "sess", "asof"}
 
 
 def main() -> None:
