@@ -342,7 +342,7 @@ def dedup_simhash64_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's short docs can exceed 6 bits — those are MinHash/Jaccard
     territory, not a recall bug (tests/test_dedup.py asserts recall
     against each pair's true hamming)."""
-    docs = _docs2(spark, sf_dir)
+    docs = _docs2(spark, sf_dir, dense=True)
     sh = D.simhash(docs, "text", "doc_id")
     return D.simhash_banded_pairs(
         sh, "doc_id", bits=64, bands=8, max_hamming=6
